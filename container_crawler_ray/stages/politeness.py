@@ -1,0 +1,134 @@
+"""Per-host politeness scheduler (T6/O1/J2/M5 in SURVEY.md §2).
+
+After the ``groupby(host)`` shuffle each host's pending candidates land in
+one group; the group fn applies, deterministically:
+
+1. within-pass exact dedup by ``url_hash`` (A4 backstop; copies of a
+   canonical URL share the host so they always meet here — no extra
+   shuffle needed). Preference: retry rows over scan rows, then min rowid.
+2. robots rules (J2 broadcast small side): first-match path-prefix rules;
+   a host whose rules disallow ``/`` is skipped entirely — the
+   ``SkipContainer`` analog [recon: ``container_crawler/exceptions.py:≈5``,
+   caught ``__init__.py:≈215–225``].
+3. priority top-k under the token bucket (O1): sort by
+   (priority desc, rowid asc, src) — rowid ties make crawl order
+   reproducible — and schedule the first ``floor(available_tokens)`` rows.
+   Bucket state: ``available = min(capacity, stored + rate)`` with
+   ``rate = pass_time_ms / crawl_delay_ms`` (virtual time → deterministic).
+
+Rows keep flowing with a ``sched`` tag instead of being dropped, so one
+materialized pass result carries every branch (metrics, deferral, verify).
+Tags: scheduled | deferred | disallowed | skipped_host | dup | seen |
+verify_ok | verify_miss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..functions.canonicalize import path_of
+
+
+def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
+                     cfg_capacity_factor: float):
+    """Build the per-host group fn. robots/buckets are ray.put broadcast
+    refs (small sides), resolved once per worker process via ray.get."""
+
+    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+        robots = ray.get(robots_ref)
+        buckets = ray.get(buckets_ref)
+        host = g["host"].iloc[0]
+        n = len(g)
+        sched = np.full(n, "", dtype=object)
+
+        # verification branch: not-owned rows never compete for budget
+        verify = ~g["owned"].to_numpy()
+        sched[verify & g["seen"].to_numpy()] = "verify_ok"
+        sched[verify & ~g["seen"].to_numpy()] = "verify_miss"
+
+        own = ~verify
+        # 1. within-pass dedup (prefer retry, then min rowid)
+        is_retry = (g["src"] == "retry").to_numpy()
+        order = np.lexsort((g["rowid"].to_numpy(), ~is_retry))
+        first_seen: dict[int, int] = {}
+        dup = np.zeros(n, dtype=bool)
+        uh = g["url_hash"].to_numpy()
+        for idx in order:
+            if not own[idx]:
+                continue
+            h = int(uh[idx])
+            if h in first_seen:
+                dup[idx] = True
+            else:
+                first_seen[h] = idx
+        sched[own & dup] = "dup"
+
+        # 2. already-seen scan rows are duplicates across passes
+        seen_drop = own & ~dup & g["seen"].to_numpy() & ~is_retry
+        sched[seen_drop] = "seen"
+
+        # 3. robots
+        rb = robots.get(host)
+        rules = rb["rules"] if rb else [{"allow": True, "path_prefix": "/"}]
+        delay_ms = rb["crawl_delay_ms"] if rb else 1000
+        if not _allowed(rules, "/"):
+            # SkipContainer analog: whole host skipped this pass
+            remaining = own & (sched == "")
+            sched[remaining] = "skipped_host"
+            out = g.copy()
+            out["sched"] = sched.astype(str)
+            return out
+        cand = own & (sched == "")
+        paths = g["canonical_url"].map(path_of).to_numpy()
+        disallowed = np.array(
+            [bool(c) and not _allowed(rules, p) for c, p in zip(cand, paths)]
+        )
+        sched[disallowed] = "disallowed"
+        cand &= ~disallowed
+
+        # 4. token bucket + priority top-k
+        rate = cfg_pass_time_ms / max(1.0, float(delay_ms))
+        cap = max(1.0, cfg_capacity_factor * rate)
+        stored = buckets.get(host, cap)  # buckets start full
+        avail = min(cap, stored + rate)
+        budget = int(avail)
+        cidx = np.flatnonzero(cand)
+        if len(cidx):
+            pr = g["priority"].to_numpy()[cidx]
+            ri = g["rowid"].to_numpy()[cidx]
+            order2 = np.lexsort((ri, -pr))
+            chosen = cidx[order2[:budget]]
+            sched[chosen] = "scheduled"
+            rest = cidx[order2[budget:]]
+            sched[rest] = "deferred"
+        out = g.copy()
+        out["sched"] = sched.astype(str)
+        return out
+
+    return schedule
+
+
+def _allowed(rules: list[dict], path: str) -> bool:
+    for r in rules:
+        if path.startswith(r["path_prefix"]):
+            return bool(r["allow"])
+    return True
+
+
+def bucket_updates(robots: dict, buckets: dict, host_scheduled: dict[str, int],
+                   pass_time_ms: float, capacity_factor: float) -> dict:
+    """Driver-side bucket residual update from per-host scheduled counts —
+    recomputes the same avail/budget arithmetic as the group fn (the group
+    fn is pure; state mutation stays on the driver, checkpointable)."""
+    out = dict(buckets)
+    for host, m in host_scheduled.items():
+        rb = robots.get(host)
+        delay_ms = rb["crawl_delay_ms"] if rb else 1000
+        rate = pass_time_ms / max(1.0, float(delay_ms))
+        cap = max(1.0, capacity_factor * rate)
+        stored = buckets.get(host, cap)
+        avail = min(cap, stored + rate)
+        out[host] = avail - m
+    return out

@@ -1,0 +1,76 @@
+"""Unit tests: hashing, canonicalization, synth world determinism."""
+
+import numpy as np
+
+from container_crawler_ray.functions.canonicalize import (
+    canonicalize_url, host_of, path_of)
+from container_crawler_ray.functions.hashing import hash64, hash64_many, mix64
+from container_crawler_ray.sources import synth
+
+
+def test_hash64_deterministic_and_vectorized():
+    assert hash64("abc") == hash64(b"abc")
+    arr = hash64_many(["abc", "def", "abc"])
+    assert arr.dtype == np.uint64
+    assert arr[0] == hash64("abc") == arr[2]
+    assert arr[1] == hash64("def")
+
+
+def test_mix64_scalar_matches_vector():
+    xs = np.array([1, 2, 2**63 + 5], dtype=np.uint64)
+    v = mix64(xs)
+    for i, x in enumerate(xs.tolist()):
+        assert mix64(int(x)) == int(v[i])
+
+
+def test_canonicalize_rules():
+    # case, default port, fragment, query-key sort (FIXTURES.md §1 variant)
+    assert canonicalize_url("HTTP://H0001.EXAMPLE:80/p/7#frag") == \
+        "http://h0001.example/p/7"
+    assert canonicalize_url("http://a.example/x?b=2&a=1") == \
+        "http://a.example/x?a=1&b=2"
+    assert canonicalize_url("https://a.example:443/") == "https://a.example/"
+    assert canonicalize_url("https://a.example:8443/x") == \
+        "https://a.example:8443/x"
+    assert canonicalize_url("http://a.example") == "http://a.example/"
+    assert canonicalize_url("http://a.example/%7Euser/%2fx") == \
+        "http://a.example/~user/%2Fx"
+
+
+def test_canonicalize_idempotent():
+    urls = synth.make_seed_urls(500)
+    for u in urls:
+        c = canonicalize_url(u)
+        assert canonicalize_url(c) == c
+        assert host_of(c)
+        assert path_of(c).startswith("/")
+
+
+def test_synth_world_deterministic():
+    a = synth.make_seed_urls(1000)
+    b = synth.make_seed_urls(1000)
+    assert a == b
+    u = "http://h0003.example/p/42"
+    assert synth.make_spans(u) == synth.make_spans(u)
+    spans = synth.make_spans(u)
+    # offsets strictly increasing, kind/text/media consistent
+    offs = [s["offset"] for s in spans]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    for s in spans:
+        if s["kind"] == "text":
+            assert s["text"] and not s["media_ref"]
+        else:
+            assert s["media_ref"] and not s["text"]
+    links = synth.out_links(u, 200, 1000)
+    assert 2 <= len(links) <= 5
+    assert all(l.startswith("http://h") for l in links)
+
+
+def test_robots_rules():
+    rules = synth.robots_rules("h0010.example")
+    assert synth.path_allowed(rules, "/p/2")
+    assert not synth.path_allowed(rules, "/p/1")
+    assert not synth.path_allowed(rules, "/p/15")  # prefix match
+    rules_all = synth.robots_rules("h0199.example")
+    assert not synth.path_allowed(rules_all, "/")
+    assert synth.robots_delay_ms("h0000.example") == 10
