@@ -523,7 +523,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                 state.next_rowid[p] = state.next_rowid.get(p, 0) + int(r["n"])
             frag_tbls = ray.get(assigned.to_arrow_refs())
             frag = pa.concat_tables([t.select([f.name for f in FRONTIER])
-                                     for t in frag_tbls if len(t)])
+                                     for t in frag_tbls
+                                     if t.num_columns and len(t)])
             store.append_fragment("frontier", frag, pass_id, tag="append",
                                   meta=_frontier_meta(frag))
 
@@ -549,12 +550,14 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         t2 = t2.append_column("last_error", pa.array(new_err, type=pa.string()))
         return t2.select([f.name for f in RETRY])
 
-    retry_next_tbls = ray.get(
-        result.map_batches(_retry_next, batch_format="pyarrow").to_arrow_refs())
-    retry_next = pa.concat_tables([t for t in retry_next_tbls]) \
-        if retry_next_tbls else pa.Table.from_pylist([], schema=RETRY)
-    if len(retry_next) == 0:
-        retry_next = _empty_retry()
+    retry_next_tbls = [
+        t for t in ray.get(
+            result.map_batches(_retry_next,
+                               batch_format="pyarrow").to_arrow_refs())
+        if t.num_columns and len(t)
+    ]
+    retry_next = (pa.concat_tables(retry_next_tbls) if retry_next_tbls
+                  else _empty_retry())
 
     # ---- metrics ---------------------------------------------------------
     wall_ms = int((time.monotonic() - t0) * 1000)
