@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship span-assembly pipeline at sf0.001 (the
+interleaved-document shape from BASELINE.json input_hint).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 plus the graft's training-data operators. SQL-expressible
+ones have a value-exact DuckDB twin in ``oracle_sql()`` (float outputs are
+quantized to integer cents/basis-points via FLOOR on BOTH sides so the
+comparison is integer-exact; SQL aggregates are CAST to BIGINT so Arrow
+types line up). Stateful crawl pipelines and heuristic text ops are
+rows-only by nature.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +22,218 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved span assembly over sf0.001 documents."""
+    from container_crawler_ray.pipelines.spans import spanify
+
+    return spanify("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from container_crawler_ray.pipelines import (
+        analytics, ann, crawl_queries, dedup, media, spans, text_ops)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (SURVEY §2.5)
+        "docs_per_lang": analytics.docs_per_lang,
+        "events_rollup": analytics.events_rollup,
+        "q1_pricing": analytics.q1_pricing,
+        "user_activity": analytics.user_activity,
+        # watermark scan + sorts/top-k (SURVEY §2.1 S1, §2.6)
+        "events_since_watermark": analytics.events_since_watermark,
+        "docs_top_nchars": analytics.docs_top_nchars,
+        "events_topk_per_user": analytics.events_topk_per_user,
+        # joins (SURVEY §2.4)
+        "region_revenue": analytics.region_revenue,
+        # dedup family (graft training-data ops)
+        "dedup_exact": analytics.dedup_exact,
+        "ngram_top_pairs": dedup.ngram_top_pairs,
+        "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "minhash_lsh_groups": dedup.minhash_lsh_groups,   # rows-only
+        "simhash_docs": dedup.simhash_docs,               # rows-only
+        # similarity search
+        "knn_bruteforce": ann.knn_bruteforce,
+        "knn_lsh": ann.knn_lsh,                           # rows-only
+        # text analysis
+        "text_stats": analytics.text_stats,
+        "text_analysis": text_ops.text_analysis,          # rows-only
+        # interleaved spans (input_hint shape)
+        "spans_flat": spans.spans_flat,
+        # multimodal plumbing
+        "media_metadata": media.media_metadata,
+        # crawl engine itself (rows-only: stateful multi-pass)
+        "crawl_pass_docs": crawl_queries.crawl_pass_docs,
+        "frontier_host_stats": crawl_queries.frontier_host_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    md5h = "CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)"
+    return {
+        "docs_per_lang": """
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(MAX(n_chars) AS BIGINT) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "events_rollup": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id
+            FROM events GROUP BY event_type
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "user_activity": """
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
+            FROM events GROUP BY user_id
+        """,
+        "events_since_watermark": """
+            SELECT event_id, user_id, event_type, value
+            FROM events WHERE event_id > 5000
+            ORDER BY event_id LIMIT 2000
+        """,
+        "docs_top_nchars": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "events_topk_per_user": """
+            SELECT user_id, event_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "region_revenue": """
+            SELECT r.r_name AS r_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "dedup_exact": """
+            SELECT text,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ngram_top_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         AS i
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     tok || ' ' || lead(tok,1) OVER w || ' ' ||
+                     lead(tok,2) OVER w AS shingle
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tok,2) OVER w IS NOT NULL
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - inter AS BIGINT) AS union_n,
+                   CAST((inter*10000) // (sa.n + sb.n - inter) AS BIGINT)
+                       AS jaccard_bp
+            FROM pairs
+            JOIN sizes sa ON pairs.a = sa.doc_id
+            JOIN sizes sb ON pairs.b = sb.doc_id
+            ORDER BY jaccard_bp DESC, a, b LIMIT 20
+        """,
+        "embedding_dup_pairs": """
+            SELECT * FROM (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     CAST(FLOOR(list_cosine_similarity(
+                         CAST(a.embedding AS DOUBLE[]),
+                         CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+                         AS sim_bp
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE sim_bp >= 4000
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 10)
+            SELECT query_id, neighbor_id, sim_bp FROM (
+              SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                     CAST(FLOOR(list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(e.embedding AS DOUBLE[])) * 10000) AS BIGINT)
+                         AS sim_bp
+              FROM q, embeddings e WHERE e.vec_id != q.vec_id
+            )
+            QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY sim_bp DESC, neighbor_id) <= 5
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars_computed,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+                       AS n_wordish,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT)
+                       AS n_punct
+            FROM documents
+        """,
+        "spans_flat": r"""
+            WITH toks AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         - 1 AS span_idx
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, span_idx,
+                CASE WHEN span_idx % 4 = 3 THEN 'media' ELSE 'text' END
+                    AS kind,
+                CASE WHEN span_idx % 4 = 3 THEN '' ELSE tok END AS text,
+                CASE WHEN span_idx % 4 = 3
+                     THEN 'm://' || doc_id || '/' || span_idx
+                     ELSE '' END AS media_ref
+              FROM toks
+            )
+            SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind, text,
+                   media_ref,
+                   CAST(COALESCE(SUM(LENGTH(text) + LENGTH(media_ref)) OVER (
+                       PARTITION BY doc_id ORDER BY span_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS "offset"
+            FROM spans
+        """,
+        "media_metadata": f"""
+            SELECT doc_id,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   ['png','jpeg','webp'][CAST({md5h} % 3 AS BIGINT) + 1]
+                       AS fmt,
+                   CAST(64 + ({md5h} // 3) % 960 AS BIGINT) AS width,
+                   CAST(64 + ({md5h} // 7) % 540 AS BIGINT) AS height
+            FROM documents
+        """,
+    }

@@ -1,0 +1,210 @@
+"""SQL-checkable Ray Data operators over the driver testdata tables
+(documents/events/lineitem/orders/customer/nation/region).
+
+These are the operator-inventory entries (SURVEY.md §2.5/§2.6/§2.4 —
+aggregations, sorts/top-k, joins, watermark scans) exercised on the
+standard tables so the driver's DuckDB oracle can verify them value-exact.
+
+Float discipline for oracle parity: money/metric sums are computed as
+integer cents via FLOOR(x*100) on BOTH sides (identical float64 input →
+identical floor), and SQL aggregates are CAST(... AS BIGINT) so Arrow
+types line up (DuckDB SUM would otherwise widen to HUGEINT/decimal).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.text import text_stats_batch
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ----------------------------------------------------------- aggregations
+def docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """A2-style grouped rollup (count/sum/max per language)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    return out.to_pandas()
+
+
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """Metrics rollup with integer-cents sums (floor parity with SQL)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return t.append_column("value_cents", pa.array(v))
+
+    out = ds.map_batches(cents, batch_format="pyarrow").groupby(
+        "event_type"
+    ).aggregate(
+        Count(alias_name="n"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+        Min("event_id", alias_name="min_event_id"),
+        Max("event_id", alias_name="max_event_id"),
+    )
+    return out.to_pandas()
+
+
+def q1_pricing(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q1-shaped pricing summary (partial vectorized derivation →
+    grouped aggregate; the groupby is the only shuffle)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(qty),
+                "price_cents": pa.array(
+                    np.floor(price * 100).astype(np.int64)),
+                "disc_price_cents": pa.array(
+                    np.floor(price * (1 - disc) * 100).astype(np.int64)),
+            }
+        )
+
+    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+        Count(alias_name="n_rows"),
+    )
+    return out.to_pandas()
+
+
+def user_activity(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", columns=["user_id", "value", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        ts_us = t.column("ts").cast(pa.int64())
+        t = t.append_column("value_cents", pa.array(v))
+        return t.append_column("ts_us", ts_us)
+
+    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        "user_id"
+    ).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+        Min("ts_us", alias_name="first_ts_us"),
+        Max("ts_us", alias_name="last_ts_us"),
+    )
+    return out.to_pandas()
+
+
+# ------------------------------------------------- watermark scan / top-k
+def events_since_watermark(sf_dir: str, last_row: int = 5000,
+                           chunk: int = 2000) -> pd.DataFrame:
+    """S1/O3 on the events log: rows with event_id > watermark, in id
+    order, chunk-limited — filter pushed into the parquet read."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+        filter=pc.field("event_id") > pa.scalar(last_row),
+    )
+    return ds.sort("event_id").limit(chunk).to_pandas()
+
+
+def docs_top_nchars(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """O2 global top-k with deterministic tie-break."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"],
+                   descending=[True, False]).limit(k).to_pandas()
+
+
+def events_topk_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """O1 per-group priority top-k (the politeness-scheduler shape)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True]).head(k)
+
+    return ds.groupby("user_id").map_groups(
+        topk, batch_format="pandas").to_pandas()
+
+
+# ------------------------------------------------------------------ joins
+def region_revenue(sf_dir: str) -> pd.DataFrame:
+    """J2 broadcast-small-side join chain: orders ⨝ customer ⨝ nation ⨝
+    region, dims broadcast once via ray.put, probed per batch (no
+    shuffle join for dimension tables)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    nat_to_reg = dict(zip(nat.column("n_nationkey").to_pylist(),
+                          nat.column("n_regionkey").to_pylist()))
+    reg_name = dict(zip(reg.column("r_regionkey").to_pylist(),
+                        reg.column("r_name").to_pylist()))
+    cust_to_region = {
+        c: reg_name[nat_to_reg[n]]
+        for c, n in zip(cust.column("c_custkey").to_pylist(),
+                        cust.column("c_nationkey").to_pylist())
+    }
+    lookup_ref = ray.put(cust_to_region)
+
+    class JoinStage:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            names = [self.lookup[k] for k in keys]
+            cents = np.floor(
+                t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+            return pa.table({"r_name": pa.array(names, type=pa.string()),
+                             "price_cents": pa.array(cents)})
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    out = ds.map_batches(JoinStage, fn_constructor_args=(lookup_ref,),
+                         batch_format="pyarrow", concurrency=2,
+                         num_cpus=0.5).groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_cents", alias_name="revenue_cents"),
+    )
+    return out.to_pandas()
+
+
+# ------------------------------------------------------------- text stats
+def text_stats(sf_dir: str) -> pd.DataFrame:
+    """Integer token/punct counts (RE2 parity with the DuckDB oracle)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(text_stats_batch,
+                          batch_format="pyarrow").to_pandas()
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """A4 exact dedup: hash-partition by content, keep first (min doc_id).
+    At 100 TB this groups by a content hash computed in map_batches; at
+    testdata scale we group the raw text so the SQL oracle is trivial."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_id"),
+        Count(alias_name="n_copies"),
+    )
+    return out.to_pandas()

@@ -1,0 +1,127 @@
+"""Tests for the training-data operators + driver entry contract."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __ray_entry__
+    return __ray_entry__
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def test_entry_smoke(entrymod):
+    ds = entrymod.entry()
+    import ray.data
+    assert isinstance(ds, ray.data.Dataset)
+    rows = ds.take(5)
+    assert len(rows) == 5
+    for r in rows:
+        assert isinstance(r["doc_id"], str)
+        assert len(r["spans"]) > 0
+        offs = [s["offset"] for s in r["spans"]]
+        assert offs == sorted(offs)
+
+
+@pytest.mark.parametrize("name", [
+    "docs_per_lang", "q1_pricing", "events_rollup", "region_revenue",
+    "spans_flat", "knn_bruteforce", "media_metadata", "text_stats",
+    "ngram_top_pairs", "embedding_dup_pairs",
+])
+def test_oracle_parity(entrymod, con, name):
+    """Driver-style comparison at sf0.001: row count + sorted columns +
+    order-insensitive values."""
+    from tools.check_oracle import canon, compare, to_pdf
+
+    res = to_pdf(entrymod.queries()[name](SF))
+    sql = con.sql(entrymod.oracle_sql()[name]).df()
+    assert compare(name, res, sql) == "OK"
+
+
+def test_minhash_groups_planted_dups(tmp_path):
+    """Planted near-dup documents must land in the same LSH group."""
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    a = base.iloc[0]["text"]
+    near = " ".join(a.split()[:-1] + ["changed"])
+    planted = pd.DataFrame({
+        "doc_id": [9001, 9002, 9003, 9004],
+        "text": [a, a, near, "completely different words entirely here now"],
+    })
+    df = pd.concat([base[["doc_id", "text"]].head(50), planted])
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    from container_crawler_ray.pipelines.dedup import minhash_lsh_groups
+    out = minhash_lsh_groups(str(d), jaccard_tau=0.5)
+    g = dict(zip(out["doc_id"], out["group_id"]))
+    assert g[9001] == g[9002] == g[0], "exact copies share the group"
+    assert g[9003] == g[0], "near-dup joins the group"
+    assert g[9004] == 9004, "distinct doc stays alone"
+
+
+def test_simhash_properties(tmp_path):
+    base = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(5)
+    text = base.iloc[0]["text"]
+    near = " ".join(["zzz"] + text.split()[1:])
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [text, text, near]})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    from container_crawler_ray.pipelines.dedup import simhash_docs
+    out = simhash_docs(str(d)).set_index("doc_id")["simhash"]
+    assert out[1] == out[2], "identical docs → identical simhash"
+    ham = bin(int(out[1]) ^ int(out[3])).count("1")
+    assert ham <= 16, f"near-dup should be hamming-close, got {ham}"
+
+
+def test_knn_lsh_recall(entrymod):
+    """LSH ANN must recover most of the brute-force neighbors."""
+    qs = entrymod.queries()
+    bf = qs["knn_bruteforce"](SF)
+    lsh = qs["knn_lsh"](SF)
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    lsh_sets = lsh.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+               for q in bf_sets.index]
+    assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls):.2f}"
+
+
+def test_text_analysis_rows(entrymod):
+    out = entrymod.queries()["text_analysis"](SF)
+    assert len(out) == 500
+    assert set(out["lang_pred"]) <= {"en", "de", "fr", "es", "zh"}
+    assert (out["quality_milli"] >= 0).all()
+    assert out["fingerprint"].nunique() > 400, "fingerprints discriminate"
+
+
+def test_crawl_query_deterministic(entrymod):
+    q = entrymod.queries()["crawl_pass_docs"]
+    a = q(SF, passes=1)
+    b = q(SF, passes=1)
+    assert a.equals(b)
+    assert len(a) > 50

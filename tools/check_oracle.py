@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry at a given sf_dir, run its oracle_sql() twin in DuckDB over the same
+parquet views, and compare row count + (sorted-by-name) columns +
+order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pdf(x) -> pd.DataFrame:
+    if isinstance(x, pd.DataFrame):
+        return x
+    try:
+        import pyarrow as pa
+        if isinstance(x, pa.Table):
+            return x.to_pandas()
+    except ImportError:
+        pass
+    import ray.data
+    if isinstance(x, ray.data.Dataset):
+        return x.to_pandas()
+    raise TypeError(type(x))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("uint", "int")):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif "datetime" in str(df[c].dtype):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
+    a, b = canon(ray_df), canon(sql_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA {list(a.columns)} vs {list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS {len(a)} vs {len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            ok = np.allclose(av, bv, rtol=0, atol=0, equal_nan=True)
+        else:
+            ok = (av == bv).all()
+        if not ok:
+            bad = int(np.argmax(~(av == bv)) if av.dtype.kind != "f"
+                      else np.argmax(av != bv))
+            return f"VALUES col={c} row={bad}: {av[bad]!r} vs {bv[bad]!r}"
+    return "OK"
+
+
+def main(sf_dir: str) -> int:
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        try:
+            res = to_pdf(fn(sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:26s} RAY-ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.monotonic() - t0
+        if name not in oracles:
+            print(f"{name:26s} rows-only  {len(res):7d} rows  {dt:6.1f}s")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:26s} SQL-ERROR {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        verdict = compare(name, res, sql_df)
+        flag = "" if verdict == "OK" else "  <<< FAIL"
+        if verdict != "OK":
+            failures += 1
+        print(f"{name:26s} {verdict:10s} {len(res):7d} rows  {dt:6.1f}s{flag}")
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rc = main(sf)
+    sys.exit(1 if rc else 0)
