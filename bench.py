@@ -1,0 +1,162 @@
+"""Benchmark harness (driver contract).
+
+Headline: one fetch-heavy crawl pass over a deterministic 150k-URL
+synthetic frontier (Zipf-skewed hosts, politeness budgets, seen-set,
+link expansion — the full engine), with the simulated fetch calibrated to
+~8 ms CPU/URL (md5 over 2 MiB ≈ a realistic HTML parse+tokenize cost), so
+the measurement is dominated by useful per-URL compute rather than
+orchestration. Plus per-operator timings over ``$GRAFT_SF_DIR`` testdata.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
+
+``--scaling``: reruns the headline in fresh processes at num_cpus=8 and 32
+on the same input and reports both throughputs + scaling efficiency
+(the sandbox stand-in for the N vs 4N node criterion — SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing", "docs_per_lang", "events_rollup", "region_revenue",
+    "events_topk_per_user", "dedup_exact", "text_stats", "spans_flat",
+    "ngram_top_pairs", "knn_bruteforce", "knn_lsh", "embedding_dup_pairs",
+    "minhash_lsh_groups", "simhash_docs", "text_analysis", "media_metadata",
+]
+
+SEEDS = 150_000
+
+
+def crawl_headline(ncpu: int) -> dict:
+    import ray
+    import ray.data
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import run_crawl
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    from container_crawler_ray.pipelines.crawl import init_run, run_pass
+
+    cfg = CrawlConfig(
+        num_partitions=32, items_chunk=20_000, workers=ncpu, seen_shards=8,
+        n_hosts=200, n_paths=3000, pass_time_ms=3_600_000,
+        parse_cost_bytes=3 << 20, fail_mod=97, fetch_batch_size=256,
+        fetch_mode="tasks",
+    )
+    seeds = make_seed_urls(SEEDS, n_hosts=cfg.n_hosts)
+    # warm the worker pool + page cache (untimed)
+    ray.data.range(10_000).map_batches(lambda b: b).materialize()
+    root = f"/tmp/ccrawl-bench-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    # seed load is one-time setup; the metric is steady-state pass
+    # throughput (URLs scheduled+fetched per second of pass wall time)
+    store, state = init_run(root, cfg, seeds)
+    t0 = time.monotonic()
+    stats = run_pass(store, cfg, state)
+    sec = time.monotonic() - t0
+    state.seen.teardown()
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": sec, "fetched": stats["fetched"],
+            "urls_per_sec": stats["fetched"] / sec}
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    head = crawl_headline(NUM_CPUS)
+
+    qtimes: dict[str, float] = {}
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        try:
+            res = qs[name](SF_DIR)
+            # consume datasets so laziness doesn't hide work
+            if hasattr(res, "count") and not hasattr(res, "columns"):
+                res.count()
+            qtimes[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            qtimes[name] = -1.0
+            print(f"# query {name} failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "crawl_pass_seconds",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "crawl_fetched": head["fetched"],
+        "crawl_urls_per_sec": round(head["urls_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    """Same headline crawl at two parallelism levels in fresh processes."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=SF_DIR, GRAFT_HEADLINE_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    r8 = results[8]["crawl_urls_per_sec"]
+    r32 = results[32]["crawl_urls_per_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t8, "sec_32": t32,
+        "urls_per_sec_8": r8, "urls_per_sec_32": r32,
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">=0.8 between N and 4N parallelism",
+        "pass": eff >= 0.8,
+    }))
+
+
+def headline_only() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    head = crawl_headline(NUM_CPUS)
+    print(json.dumps({
+        "metric": "crawl_pass_seconds", "value": round(head["sec"], 3),
+        "unit": "sec", "queries": {}, "sf": SF_DIR, "num_cpus": NUM_CPUS,
+        "crawl_fetched": head["fetched"],
+        "crawl_urls_per_sec": round(head["urls_per_sec"], 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif os.environ.get("GRAFT_HEADLINE_ONLY"):
+        headline_only()
+    else:
+        main()

@@ -37,6 +37,7 @@ class CrawlConfig:
     pass_time_ms: int = 1000         # virtual wall-time per pass for token buckets
     bucket_capacity_factor: float = 2.0
     fetch_batch_size: int = 512      # rows per fetch __call__ in per-row mode
+    fetch_mode: str = "actors"       # "actors" (stateful pool) | "tasks"
     max_passes: int = 100            # driver-loop bound
     fail_mod: int = 97               # synthetic transient-failure injector (0 = off)
     parse_cost_bytes: int = 0        # simulated per-fetch parse CPU (bench)

@@ -10,14 +10,15 @@ invariant — so per-pass materializations are bounded regardless of
 frontier size):
 
     read_parquet(frontier fragments, filter=rowid > min(wm))
-      → map_batches(watermark filter, vectorized)                 [S1]
-      → groupby(partition_id).map_groups(sort rowid, head chunk)  [O3]
+      → map_batches(watermark WINDOW filter, vectorized)       [S1/O3]
+        (= sort+head(chunk), shuffle-free: per-partition rowids are dense)
       → union(retry re-injections)                                [J3]
       → map_batches(mod-ownership tag)                            [M1]
-      → map_batches(SeenProbeStage actor pool)                    [J1]
+      → map_batches(seen probe, per-worker cached shard clients)  [J1]
       → groupby(host).map_groups(politeness/robots/top-k)    [O1/T6/J2/M5]
-      → map_batches(SeenMarkStage actor pool)                     [T5]
-      → map_batches(FetchStage actor pool, bulk|per-row)     [T1/M2/M3]
+        (the ONE per-pass shuffle — the priority-frontier exchange)
+      → map_batches(seen mark: scheduled rows only)               [T5]
+      → map_batches(fetch: actor pool or elastic tasks)      [T1/M2/M3]
       → materialize (the bounded pass result)
 
 then derived branches (documents sink, link explosion → frontier append,
@@ -45,7 +46,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..config import CrawlConfig
 from ..functions.canonicalize import canonicalize_many, host_of
@@ -55,8 +55,8 @@ from ..sources import synth
 from ..stages.fetch import FetchStage, SimulatedFetchHandler
 from ..stages.links import explode_links, make_link_enrich, make_rowid_assigner
 from ..stages.politeness import make_schedule_fn
-from ..stages.probe import SeenProbeStage, SeenMarkStage
-from ..stages.scan import make_chunk_fn, make_watermark_filter
+from ..stages.probe import make_mark_fn, make_probe_fn
+from ..stages.scan import make_watermark_filter
 from ..state.seen import SeenSet
 from ..storage import TableStore
 
@@ -250,41 +250,19 @@ def _make_owned_fn(num_nodes: int, node_id: int):
 _OWN_TAGS = ("scheduled", "deferred", "disallowed", "skipped_host", "dup", "seen")
 
 
-def _partial_stats(t: pa.Table) -> pa.Table:
-    """Per-batch partial aggregates (one row per partition per batch) —
-    pre-aggregation before the tiny groupby (SURVEY.md §2.5 A2)."""
-    pid = t.column("partition_id").to_numpy()
-    src = np.asarray(t.column("src").to_pylist())
-    sched = np.asarray(t.column("sched").to_pylist())
-    ok = t.column("ok").to_numpy()
-    rowid = t.column("rowid").to_numpy()
-    is_scan = src == "scan"
-    err_gate = (is_scan & (sched == "scheduled") & ~ok) | (sched == "verify_miss")
-    rows = []
-    for p in np.unique(pid):
-        m = pid == p
-        ms = m & is_scan
-        rows.append(
-            {
-                "partition_id": int(p),
-                "scanned": int(ms.sum()),
-                "scan_max_rowid": int(rowid[ms].max()) if ms.any() else -1,
-                "err_gate": int(err_gate[m].sum()),
-                "scheduled": int((m & (sched == "scheduled")).sum()),
-                "fetched": int((m & ok).sum()),
-                "deferred": int((m & (sched == "deferred")).sum()),
-                "verified": int((m & ((sched == "verify_ok")
-                                      | (sched == "verify_miss"))).sum()),
-            }
-        )
-    return pa.Table.from_pylist(rows)
-
-
 def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
              robots_ref=None, handler=None) -> dict:
     """Execute one crawl pass; returns pass stats. Mutates *state* and
     commits it durably (meta.json last)."""
     t0 = time.monotonic()
+    _tm: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        _tm[name] = round(now - _last[0], 3)
+        _last[0] = now
+
     pass_id = state.pass_id + 1
     if robots_ref is None:
         robots_ref = ray.put(state.robots)
@@ -312,12 +290,12 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         ds = ray.data.read_parquet(
             frontier_files, filter=pc.field("rowid") > pa.scalar(min_wm)
         )
-        ds = ds.map_batches(
-            make_watermark_filter(wm_for_filter, cfg.num_partitions),
+        # window filter = sort-by-rowid + head(items_chunk), shuffle-free
+        # (per-partition rowids are dense — see make_watermark_filter)
+        scan = ds.map_batches(
+            make_watermark_filter(wm_for_filter, cfg.num_partitions,
+                                  cfg.items_chunk),
             batch_format="pyarrow",
-        )
-        scan = ds.groupby("partition_id").map_groups(
-            make_chunk_fn(cfg.items_chunk), batch_format="pyarrow"
         )
         pieces.append(scan.map_batches(_add_cand_cols("scan"),
                                        batch_format="pyarrow"))
@@ -343,6 +321,7 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         cand = cand.union(p)
     cand = cand.materialize()
     n_cand = cand.count()
+    _mark("scan")
     if n_cand == 0:
         return _finalize_empty_pass(store, cfg, state, pass_id, t0, n_dead)
 
@@ -350,101 +329,80 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     buckets_ref = ray.put(state.buckets)
     pipe = cand.map_batches(_make_owned_fn(cfg.num_nodes, cfg.node_id),
                             batch_format="pyarrow")
-    # probe/mark are light (batched RPCs to the shard actors) — fractional
-    # CPUs so the three pools of the pipeline never deadlock the node
-    pipe = pipe.map_batches(
-        SeenProbeStage, fn_constructor_args=seen_args,
-        batch_format="pyarrow", concurrency=cfg.workers, num_cpus=0.25,
-    )
+    # probe/mark are plain task functions with a per-worker-process client
+    # cache (stages/probe.py): Ray's long-lived workers amortize the
+    # named-actor lookups across passes, with no per-pass pool spin-up
+    pipe = pipe.map_batches(make_probe_fn(seen_args), batch_format="pyarrow")
     pipe = pipe.groupby("host").map_groups(
         make_schedule_fn(robots_ref, buckets_ref, cfg.pass_time_ms,
                          cfg.bucket_capacity_factor),
         batch_format="pandas",
     )
-    pipe = pipe.map_batches(
-        SeenMarkStage, fn_constructor_args=seen_args,
-        batch_format="pyarrow", concurrency=cfg.workers, num_cpus=0.25,
-    )
-    result = pipe.map_batches(
-        FetchStage, fn_constructor_args=(handler, cfg.bulk_process),
+    pipe = pipe.map_batches(make_mark_fn(seen_args), batch_format="pyarrow")
+    # Even out the post-shuffle blocks before fetch: the politeness groupby
+    # emits one block per host group, so a hot host (Zipf head) would ride
+    # into fetch as ONE straggler task. repartition splits the bounded
+    # candidate set into uniform blocks and breaks operator fusion with the
+    # group tasks — this is the explicit hot-host skew handling for the
+    # fetch stage (SURVEY.md §4.1).
+    pipe = pipe.repartition(max(cfg.workers * 2, 16))
+    fetch_kwargs = dict(
         batch_size=None if cfg.bulk_process else cfg.fetch_batch_size,
-        batch_format="pyarrow", concurrency=cfg.workers,
-    ).materialize()
-
-    # ---- per-partition stats (partial agg → tiny shuffle) ----------------
-    pstats = (
-        result.map_batches(_partial_stats, batch_format="pyarrow")
-        .groupby("partition_id")
-        .aggregate(
-            Sum("scanned", alias_name="scanned"),
-            Max("scan_max_rowid", alias_name="scan_max_rowid"),
-            Sum("err_gate", alias_name="err_gate"),
-            Sum("scheduled", alias_name="scheduled"),
-            Sum("fetched", alias_name="fetched"),
-            Sum("deferred", alias_name="deferred"),
-            Sum("verified", alias_name="verified"),
-        )
-        .to_pandas()
-        .set_index("partition_id")
-    )
-
-    # ---- watermark gating (all-or-nothing per chunk) ---------------------
-    advanced: set[int] = set()
-    for p, row in pstats.iterrows():
-        if row["scanned"] > 0 and row["err_gate"] == 0:
-            state.watermarks[int(p)] = int(row["scan_max_rowid"])
-            advanced.add(int(p))
-
-    # ---- host bucket updates --------------------------------------------
-    hstats = (
-        result.groupby(["host", "sched"]).aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )
-    sched_by_host: dict[str, int] = {}
-    for _, r in hstats.iterrows():
-        if r["sched"] in _OWN_TAGS:
-            sched_by_host.setdefault(r["host"], 0)
-            if r["sched"] == "scheduled":
-                sched_by_host[r["host"]] += int(r["n"])
-    for host, m in sched_by_host.items():
-        rb = state.robots.get(host)
-        rules = rb["rules"] if rb else [{"allow": True, "path_prefix": "/"}]
-        if rules and not rules[0]["allow"] and rules[0]["path_prefix"] == "/":
-            continue  # skip-all hosts never touch their bucket
-        delay = rb["crawl_delay_ms"] if rb else 1000
-        rate = cfg.pass_time_ms / max(1.0, float(delay))
-        cap = max(1.0, cfg.bucket_capacity_factor * rate)
-        stored = state.buckets.get(host, cap)
-        state.buckets[host] = min(cap, stored + rate) - m
-
-    # ---- documents sink (streaming write, per-pass dir) ------------------
-    docs = result.map_batches(
-        lambda t: t.filter(t.column("ok")), batch_format="pyarrow"
-    )
-    doc_cols = docs.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "url": t.column("canonical_url"),
-                "host": t.column("host"),
-                "pass_id": pa.array(np.full(len(t), pass_id, dtype=np.int64)),
-                "spans": t.column("spans"),
-            }
-        ),
         batch_format="pyarrow",
     )
-    n_fetched = int(pstats["fetched"].sum()) if len(pstats) else 0
-    if n_fetched:
+    if cfg.fetch_mode == "tasks":
+        # elastic stateless tasks + per-worker handler cache
+        from ..stages.fetch import make_fetch_fn
+        handler_ref = ray.put(handler)
+        result = pipe.map_batches(
+            make_fetch_fn(handler_ref, cfg.bulk_process), **fetch_kwargs
+        ).materialize()
+    else:
+        # actor pool (autoscaling 1..workers so upstream stages never starve)
+        result = pipe.map_batches(
+            FetchStage, fn_constructor_args=(handler, cfg.bulk_process),
+            concurrency=(1, cfg.workers), **fetch_kwargs,
+        ).materialize()
+    _mark("probe_sched_fetch")
+
+    # ---- three independent consumers of the materialized result run
+    # CONCURRENTLY (separate Dataset executions on driver threads):
+    #   A. documents sink (streaming parquet write)
+    #   B. link explosion (+ lineage write) — feeds the frontier append
+    #   C. slim driver-side collection for all small derivations
+    # Everything except the heavy payload columns (spans/links) comes back
+    # in one execution; candidates are bounded by P×items_chunk+|retry|
+    # (the reference's micro-batch invariant), so C is a bounded,
+    # vectorized driver step — not a driver loop over the dataset.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _docs_branch():
+        docs = result.map_batches(
+            lambda t: t.filter(t.column("ok")), batch_format="pyarrow")
+        doc_cols = docs.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "url": t.column("canonical_url"),
+                    "host": t.column("host"),
+                    "pass_id": pa.array(
+                        np.full(len(t), pass_id, dtype=np.int64)),
+                    "spans": t.column("spans"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         doc_cols.write_parquet(store.pass_dir("documents", pass_id))
 
-    # ---- link explosion → lineage + new frontier rows --------------------
-    n_new_links = 0
-    new_rows_ds = None
-    if n_fetched:
+    def _flat_branch():
         flat = (
             result.map_batches(lambda t: t.filter(t.column("ok")),
                                batch_format="pyarrow")
             .map_batches(explode_links, batch_format="pyarrow")
+            # coalesce: downstream probe does one RPC per shard per BLOCK,
+            # so fewer, larger blocks keep the shard actors off the
+            # critical path
+            .repartition(max(cfg.workers, 8))
             .materialize()
         )
         if flat.count():
@@ -462,48 +420,99 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                 batch_format="pyarrow",
             )
             lin.write_parquet(store.pass_dir("lineage", pass_id))
-            enriched = flat.map_batches(
-                make_link_enrich(cfg.num_partitions, cfg.salted_hosts),
-                batch_format="pyarrow",
-            )
-            enriched = enriched.map_batches(
-                SeenProbeStage, fn_constructor_args=seen_args,
-                batch_format="pyarrow", concurrency=cfg.workers, num_cpus=0.25,
-            ).map_batches(
-                lambda t: t.filter(pc.invert(t.column("seen"))),
-                batch_format="pyarrow",
-            )
-            deduped = enriched.groupby("canonical_url").aggregate(
-                Min("depth", alias_name="depth")
-            )
-            new_rows_ds = deduped.map_batches(
-                _relink_from_canonical(cfg), batch_format="pyarrow"
-            )
+        return flat
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    docs_fut = pool.submit(_docs_branch)
+    flat_fut = pool.submit(_flat_branch)
+    slim = result.drop_columns(["spans", "links"]).to_pandas()
+    _mark("slim_collect")
+    is_scan = (slim["src"] == "scan").to_numpy()
+    sched_a = slim["sched"].to_numpy()
+    ok_a = slim["ok"].to_numpy()
+    pid_a = slim["partition_id"].to_numpy()
+    rowid_a = slim["rowid"].to_numpy()
+    err_gate_m = ((is_scan & (sched_a == "scheduled") & ~ok_a)
+                  | (sched_a == "verify_miss"))
+    flags = pd.DataFrame({
+        "partition_id": pid_a,
+        "scanned": is_scan.astype(np.int64),
+        "scan_rowid": np.where(is_scan, rowid_a, -1),
+        "err_gate": err_gate_m.astype(np.int64),
+        "scheduled": (sched_a == "scheduled").astype(np.int64),
+        "fetched": ok_a.astype(np.int64),
+        "deferred": (sched_a == "deferred").astype(np.int64),
+        "verified": np.isin(sched_a, ("verify_ok", "verify_miss")).astype(
+            np.int64),
+    })
+    pstats = flags.groupby("partition_id").agg(
+        scanned=("scanned", "sum"), scan_max_rowid=("scan_rowid", "max"),
+        err_gate=("err_gate", "sum"), scheduled=("scheduled", "sum"),
+        fetched=("fetched", "sum"), deferred=("deferred", "sum"),
+        verified=("verified", "sum"))
+
+    # ---- watermark gating (all-or-nothing per chunk) ---------------------
+    advanced: set[int] = set()
+    for p, row in pstats.iterrows():
+        if row["scanned"] > 0 and row["err_gate"] == 0:
+            state.watermarks[int(p)] = int(row["scan_max_rowid"])
+            advanced.add(int(p))
+
+    # ---- host bucket updates --------------------------------------------
+    own_m = np.isin(sched_a, _OWN_TAGS)
+    hosts_own = slim.loc[own_m, "host"]
+    sched_counts = (slim.loc[own_m]
+                    .assign(s=(sched_a[own_m] == "scheduled").astype(np.int64))
+                    .groupby("host")["s"].sum())
+    for host, m in sched_counts.items():
+        rb = state.robots.get(host)
+        rules = rb["rules"] if rb else [{"allow": True, "path_prefix": "/"}]
+        if rules and not rules[0]["allow"] and rules[0]["path_prefix"] == "/":
+            continue  # skip-all hosts never touch their bucket
+        delay = rb["crawl_delay_ms"] if rb else 1000
+        rate = cfg.pass_time_ms / max(1.0, float(delay))
+        cap = max(1.0, cfg.bucket_capacity_factor * rate)
+        stored = state.buckets.get(host, cap)
+        state.buckets[host] = min(cap, stored + rate) - int(m)
+
+    # ---- join the concurrent branches ------------------------------------
+    n_fetched = int(pstats["fetched"].sum()) if len(pstats) else 0
+    docs_fut.result()
+    _mark("docs_write")
+    flat = flat_fut.result()
+    pool.shutdown()
+    n_new_links = 0
+    new_rows_ds = None
+    if flat.count():
+        enriched = flat.map_batches(
+            make_link_enrich(cfg.num_partitions, cfg.salted_hosts),
+            batch_format="pyarrow",
+        )
+        # exact per-pass link dedup happens inside the partition
+        # assigner (equal URLs co-locate by construction), so the only
+        # shuffle left on this path is the partition groupby itself
+        new_rows_ds = enriched.map_batches(
+            make_probe_fn(seen_args), batch_format="pyarrow"
+        ).map_batches(
+            lambda t: t.filter(pc.invert(t.column("seen"))).drop_columns(
+                ["seen"]),
+            batch_format="pyarrow",
+        )
+    _mark("links")
 
     # ---- deferred re-queue (only for advanced partitions) ----------------
-    adv = advanced
-    def _deferred_filter(t: pa.Table) -> pa.Table:
-        sched = np.asarray(t.column("sched").to_pylist())
-        src = np.asarray(t.column("src").to_pylist())
-        pid = t.column("partition_id").to_numpy()
-        keep = (sched == "deferred") & (src == "scan") & np.isin(
-            pid, np.fromiter(adv, dtype=np.int64, count=len(adv)))
-        return t.filter(pa.array(keep))
-
-    deferred_ds = None
-    if advanced and int(pstats["deferred"].sum()) > 0:
-        deferred_ds = result.map_batches(_deferred_filter,
-                                         batch_format="pyarrow")
-        deferred_ds = deferred_ds.map_batches(
-            _to_append_shape(order_kind=0), batch_format="pyarrow")
-
+    deferred_m = ((sched_a == "deferred") & is_scan
+                  & np.isin(pid_a, np.fromiter(advanced, dtype=np.int64,
+                                               count=len(advanced))))
     append_pieces = []
+    if deferred_m.any():
+        dslim = slim.loc[deferred_m]
+        append_pieces.append(ray.data.from_arrow(
+            _append_shape_from_pandas(dslim, order_kind=0)))
     if new_rows_ds is not None:
         append_pieces.append(
             new_rows_ds.map_batches(_to_append_shape(order_kind=1),
                                     batch_format="pyarrow"))
-    if deferred_ds is not None:
-        append_pieces.append(deferred_ds)
     if append_pieces:
         app = append_pieces[0]
         for x in append_pieces[1:]:
@@ -511,53 +520,52 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         assigned = app.groupby("partition_id").map_groups(
             make_rowid_assigner(dict(state.next_rowid), pass_id),
             batch_format="pyarrow",
-        ).materialize()
-        n_new_links = assigned.count()
-        if n_new_links:
-            counts = (
-                assigned.groupby("partition_id")
-                .aggregate(Count(alias_name="n")).to_pandas()
-            )
-            for _, r in counts.iterrows():
-                p = int(r["partition_id"])
-                state.next_rowid[p] = state.next_rowid.get(p, 0) + int(r["n"])
-            frag_tbls = ray.get(assigned.to_arrow_refs())
-            frag = pa.concat_tables([t.select([f.name for f in FRONTIER])
-                                     for t in frag_tbls
-                                     if t.num_columns and len(t)])
+        )
+        frag_tbls = ray.get(assigned.to_arrow_refs())
+        frag_tbls = [t.select([f.name for f in FRONTIER])
+                     for t in frag_tbls if t.num_columns and len(t)]
+        if frag_tbls:
+            frag = pa.concat_tables(frag_tbls)
+            n_new_links = len(frag)
+            fpid = frag.column("partition_id").to_numpy()
+            for p, n in zip(*np.unique(fpid, return_counts=True)):
+                state.next_rowid[int(p)] = (state.next_rowid.get(int(p), 0)
+                                            + int(n))
             store.append_fragment("frontier", frag, pass_id, tag="append",
                                   meta=_frontier_meta(frag))
+    _mark("frontier_append")
 
-    # ---- next retry table ------------------------------------------------
-    def _retry_next(t: pa.Table) -> pa.Table:
-        sched = np.asarray(t.column("sched").to_pylist())
-        src = np.asarray(t.column("src").to_pylist())
-        ok = t.column("ok").to_numpy()
-        failed = (sched == "scheduled") & ~ok
-        deferred_retry = (sched == "deferred") & (src == "retry")
-        keep = failed | deferred_retry
-        t2 = t.filter(pa.array(keep))
-        failed2 = pa.array(
-            (np.asarray(t2.column("sched").to_pylist()) == "scheduled"))
-        att = t2.column("attempts").to_numpy().astype(np.int32)
-        att = att + np.asarray(failed2).astype(np.int32)
-        err = t2.column("error").to_pylist()
-        last = t2.column("last_error").to_pylist()
-        new_err = [e if f else l for e, f, l in
-                   zip(err, np.asarray(failed2), last)]
-        t2 = t2.drop_columns(["attempts", "last_error"])
-        t2 = t2.append_column("attempts", pa.array(att))
-        t2 = t2.append_column("last_error", pa.array(new_err, type=pa.string()))
-        return t2.select([f.name for f in RETRY])
-
-    retry_next_tbls = [
-        t for t in ray.get(
-            result.map_batches(_retry_next,
-                               batch_format="pyarrow").to_arrow_refs())
-        if t.num_columns and len(t)
-    ]
-    retry_next = (pa.concat_tables(retry_next_tbls) if retry_next_tbls
-                  else _empty_retry())
+    # ---- next retry table (from the slim collection) ---------------------
+    failed_m = (sched_a == "scheduled") & ~ok_a
+    deferred_retry_m = (sched_a == "deferred") & ~is_scan
+    keep_m = failed_m | deferred_retry_m
+    rslim = slim.loc[keep_m]
+    att = rslim["attempts"].to_numpy().astype(np.int32) \
+        + failed_m[keep_m].astype(np.int32)
+    last_err = np.where(failed_m[keep_m], rslim["error"].to_numpy(),
+                        rslim["last_error"].to_numpy())
+    retry_next = pa.table(
+        {
+            "rowid": pa.array(rslim["rowid"].to_numpy()),
+            "partition_id": pa.array(
+                rslim["partition_id"].to_numpy().astype(np.int32)),
+            "url": pa.array(rslim["url"].tolist(), type=pa.string()),
+            "canonical_url": pa.array(rslim["canonical_url"].tolist(),
+                                      type=pa.string()),
+            "host": pa.array(rslim["host"].tolist(), type=pa.string()),
+            "url_hash": pa.array(rslim["url_hash"].to_numpy().astype(np.uint64)),
+            "host_hash": pa.array(
+                rslim["host_hash"].to_numpy().astype(np.uint64)),
+            "priority": pa.array(
+                rslim["priority"].to_numpy().astype(np.float32)),
+            "depth": pa.array(rslim["depth"].to_numpy().astype(np.int32)),
+            "pass_added": pa.array(rslim["pass_added"].to_numpy()),
+            "attempts": pa.array(att),
+            "last_error": pa.array(last_err.tolist(), type=pa.string()),
+        },
+        schema=RETRY,
+    ) if keep_m.any() else _empty_retry()
+    _mark("retry")
 
     # ---- metrics ---------------------------------------------------------
     wall_ms = int((time.monotonic() - t0) * 1000)
@@ -581,6 +589,7 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     _write_state_fragments(store, cfg, state, retry_tbl=retry_next)
     store.write_meta({"pass_id": pass_id,
                       "num_partitions": cfg.num_partitions})
+    _mark("checkpoint")
     n_sched = int(pstats["scheduled"].sum()) if len(pstats) else 0
     return {
         "pass_id": pass_id,
@@ -595,41 +604,30 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         "dead": n_dead,
         "advanced_partitions": sorted(advanced),
         "wall_ms": wall_ms,
+        "timings": _tm,
         "done": False,
     }
 
 
-def _relink_from_canonical(cfg: CrawlConfig):
-    """After the canonical_url dedup aggregate, rebuild the frontier row
-    fields (url/host/hashes/priority/partition) from canonical_url."""
-    salted = set(cfg.salted_hosts)
-
-    def f(t: pa.Table) -> pa.Table:
-        canon = t.column("canonical_url").to_pylist()
-        hosts = [host_of(c) for c in canon]
-        uh = hash64_many(canon)
-        hh = hash64_many(hosts)
-        P = np.uint64(cfg.num_partitions)
-        pid = (hh % P).astype(np.int32)
-        if salted:
-            mask = np.array([h in salted for h in hosts])
-            if mask.any():
-                pid[mask] = (uh[mask] % P).astype(np.int32)
-        prio = (uh % np.uint64(1000)).astype(np.float32) / 1000.0
-        return pa.table(
-            {
-                "partition_id": pa.array(pid, type=pa.int32()),
-                "url": pa.array(canon, type=pa.string()),
-                "canonical_url": pa.array(canon, type=pa.string()),
-                "host": pa.array(hosts, type=pa.string()),
-                "url_hash": pa.array(uh, type=pa.uint64()),
-                "host_hash": pa.array(hh, type=pa.uint64()),
-                "priority": pa.array(prio, type=pa.float32()),
-                "depth": t.column("depth").cast(pa.int32()),
-            }
-        )
-
-    return f
+def _append_shape_from_pandas(df: pd.DataFrame, order_kind: int) -> pa.Table:
+    """Driver-side twin of _to_append_shape for the (bounded) deferred set."""
+    n = len(df)
+    return pa.table(
+        {
+            "partition_id": pa.array(
+                df["partition_id"].to_numpy().astype(np.int32)),
+            "url": pa.array(df["url"].tolist(), type=pa.string()),
+            "canonical_url": pa.array(df["canonical_url"].tolist(),
+                                      type=pa.string()),
+            "host": pa.array(df["host"].tolist(), type=pa.string()),
+            "url_hash": pa.array(df["url_hash"].to_numpy().astype(np.uint64)),
+            "host_hash": pa.array(df["host_hash"].to_numpy().astype(np.uint64)),
+            "priority": pa.array(df["priority"].to_numpy().astype(np.float32)),
+            "depth": pa.array(df["depth"].to_numpy().astype(np.int32)),
+            "order_kind": pa.array(np.full(n, order_kind, dtype=np.int8)),
+            "order_a": pa.array(df["rowid"].to_numpy().astype(np.int64)),
+        }
+    )
 
 
 def _to_append_shape(order_kind: int):

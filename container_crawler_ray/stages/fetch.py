@@ -84,9 +84,53 @@ class SimulatedFetchHandler(FetchHandler):
         }
 
 
+def apply_fetch(handler: FetchHandler, bulk: bool, t: pa.Table) -> pa.Table:
+    """The fetch kernel shared by the actor-pool stage and the task-mode
+    function: fetch rows tagged ``scheduled``, per-row (errors captured per
+    row) or bulk (one handle_batch per chunk, all-or-nothing)."""
+    n = len(t)
+    sched = np.asarray(t.column("sched").to_pylist())
+    todo = np.flatnonzero(sched == "scheduled")
+    ok = np.zeros(n, dtype=bool)
+    err = [""] * n
+    spans: list = [None] * n
+    links: list = [None] * n
+    if len(todo):
+        rows = t.take(pa.array(todo)).to_pylist()
+        if bulk:
+            try:
+                results = handler.handle_batch(rows)
+                for i, r in zip(todo, results):
+                    ok[i] = True
+                    spans[i] = r["spans"]
+                    links[i] = r["links"]
+            except Exception as e:  # noqa: BLE001 — incl. RetryError
+                msg = f"{type(e).__name__}: {e}"
+                for i in todo:
+                    err[i] = msg
+        else:
+            for i, row in zip(todo, rows):
+                try:
+                    r = handler.handle_row(row)
+                    ok[i] = True
+                    spans[i] = r["spans"]
+                    links[i] = r["links"]
+                except Exception as e:  # noqa: BLE001
+                    err[i] = f"{type(e).__name__}: {e}"
+    uh = t.column("url_hash").to_numpy()
+    doc_id = [f"{int(h):016x}" if ok[i] else "" for i, h in enumerate(uh)]
+    t = t.append_column("ok", pa.array(ok))
+    t = t.append_column("error", pa.array(err, type=pa.string()))
+    t = t.append_column("doc_id", pa.array(doc_id, type=pa.string()))
+    t = t.append_column("spans", pa.array(spans, type=pa.list_(SPAN_STRUCT)))
+    t = t.append_column("links", pa.array(links, type=pa.list_(pa.string())))
+    return t
+
+
 class FetchStage:
-    """map_batches callable class. Pass ``fn_constructor_kwargs`` or bind
-    with functools.partial-like closure via make()."""
+    """Actor-pool form (T1): handler constructed + ``setup`` ONCE per actor.
+    Use for handlers with expensive state (models, sessions, robots
+    caches)."""
 
     def __init__(self, handler: FetchHandler, bulk_process: bool,
                  ctx_ref=None):
@@ -96,42 +140,25 @@ class FetchStage:
         self.handler.setup(ctx)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        n = len(t)
-        sched = np.asarray(t.column("sched").to_pylist())
-        todo = np.flatnonzero(sched == "scheduled")
-        ok = np.zeros(n, dtype=bool)
-        err = [""] * n
-        spans: list = [None] * n
-        links: list = [None] * n
-        if len(todo):
-            rows = t.take(pa.array(todo)).to_pylist()
-            if self.bulk:
-                # bulk mode: one handle_batch per chunk, all-or-nothing
-                try:
-                    results = self.handler.handle_batch(rows)
-                    for i, r in zip(todo, results):
-                        ok[i] = True
-                        spans[i] = r["spans"]
-                        links[i] = r["links"]
-                except (RetryError, Exception) as e:  # noqa: BLE001
-                    msg = f"{type(e).__name__}: {e}"
-                    for i in todo:
-                        err[i] = msg
-            else:
-                # per-row mode: per-row error capture
-                for i, row in zip(todo, rows):
-                    try:
-                        r = self.handler.handle_row(row)
-                        ok[i] = True
-                        spans[i] = r["spans"]
-                        links[i] = r["links"]
-                    except Exception as e:  # noqa: BLE001
-                        err[i] = f"{type(e).__name__}: {e}"
-        uh = t.column("url_hash").to_numpy()
-        doc_id = [f"{int(h):016x}" if ok[i] else "" for i, h in enumerate(uh)]
-        t = t.append_column("ok", pa.array(ok))
-        t = t.append_column("error", pa.array(err, type=pa.string()))
-        t = t.append_column("doc_id", pa.array(doc_id, type=pa.string()))
-        t = t.append_column("spans", pa.array(spans, type=pa.list_(SPAN_STRUCT)))
-        t = t.append_column("links", pa.array(links, type=pa.list_(pa.string())))
-        return t
+        return apply_fetch(self.handler, self.bulk, t)
+
+
+# Task-mode form: stateless elastic tasks with a per-worker-process handler
+# cache — the right idiom when the handler is cheap to build; tasks soak up
+# whatever CPUs the other stages leave free, with no pool sizing to tune.
+_HANDLERS: dict = {}
+
+
+def make_fetch_fn(handler_ref, bulk: bool):
+    def fetch(t: pa.Table) -> pa.Table:
+        key = handler_ref.hex()
+        h = _HANDLERS.get(key)
+        if h is None:
+            h = ray.get(handler_ref)
+            h.setup({})
+            if len(_HANDLERS) > 8:
+                _HANDLERS.clear()
+            _HANDLERS[key] = h
+        return apply_fetch(h, bulk, t)
+
+    return fetch

@@ -75,13 +75,27 @@ def make_link_enrich(num_partitions: int, salted_hosts: tuple[str, ...]):
 
 
 def make_rowid_assigner(base_rowids: dict[int, int], pass_id: int):
-    """Per-partition group fn: deterministic append order (deferred rows by
-    old rowid first, then new links by canonical_url), rowids from the
-    partition's checkpointed counter."""
+    """Per-partition group fn: exact link dedup (min depth per canonical
+    URL — copies always co-locate because partition routing is a pure
+    function of the URL/host hash, so no extra shuffle is needed), then
+    deterministic append order (deferred rows by old rowid first, then new
+    links by canonical_url), rowids from the partition's checkpointed
+    counter."""
 
     def assign(t: pa.Table) -> pa.Table:
         pid = int(t.column("partition_id")[0].as_py())
         base = base_rowids.get(pid, 0)
+        kind = t.column("order_kind").to_numpy()
+        if (kind == 1).any():
+            df = t.to_pandas()
+            links = df[df["order_kind"] == 1]
+            links = links.sort_values(["canonical_url", "depth"],
+                                      kind="mergesort")
+            links = links.drop_duplicates("canonical_url", keep="first")
+            import pandas as pd
+            df = pd.concat([df[df["order_kind"] == 0], links])
+            t = pa.Table.from_pandas(df, preserve_index=False,
+                                     schema=t.schema)
         order = pc.sort_indices(
             t,
             sort_keys=[("order_kind", "ascending"), ("order_a", "ascending"),

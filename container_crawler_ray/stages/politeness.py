@@ -44,29 +44,26 @@ def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
         sched = np.full(n, "", dtype=object)
 
         # verification branch: not-owned rows never compete for budget
+        seen_a = g["seen"].to_numpy()
         verify = ~g["owned"].to_numpy()
-        sched[verify & g["seen"].to_numpy()] = "verify_ok"
-        sched[verify & ~g["seen"].to_numpy()] = "verify_miss"
+        sched[verify & seen_a] = "verify_ok"
+        sched[verify & ~seen_a] = "verify_miss"
 
         own = ~verify
-        # 1. within-pass dedup (prefer retry, then min rowid)
+        # 1. within-pass dedup (prefer retry, then min rowid) — vectorized:
+        # first occurrence in (retry-first, rowid-asc) order claims the hash
         is_retry = (g["src"] == "retry").to_numpy()
         order = np.lexsort((g["rowid"].to_numpy(), ~is_retry))
-        first_seen: dict[int, int] = {}
-        dup = np.zeros(n, dtype=bool)
+        own_order = order[own[order]]
         uh = g["url_hash"].to_numpy()
-        for idx in order:
-            if not own[idx]:
-                continue
-            h = int(uh[idx])
-            if h in first_seen:
-                dup[idx] = True
-            else:
-                first_seen[h] = idx
+        dup = np.zeros(n, dtype=bool)
+        if len(own_order):
+            dup_sorted = pd.Series(uh[own_order]).duplicated().to_numpy()
+            dup[own_order[dup_sorted]] = True
         sched[own & dup] = "dup"
 
         # 2. already-seen scan rows are duplicates across passes
-        seen_drop = own & ~dup & g["seen"].to_numpy() & ~is_retry
+        seen_drop = own & ~dup & seen_a & ~is_retry
         sched[seen_drop] = "seen"
 
         # 3. robots
@@ -81,12 +78,17 @@ def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
             out["sched"] = sched.astype(str)
             return out
         cand = own & (sched == "")
-        paths = g["canonical_url"].map(path_of).to_numpy()
-        disallowed = np.array(
-            [bool(c) and not _allowed(rules, p) for c, p in zip(cand, paths)]
-        )
-        sched[disallowed] = "disallowed"
-        cand &= ~disallowed
+        trivial_allow = (len(rules) == 1 and rules[0]["allow"]
+                         and rules[0]["path_prefix"] == "/")
+        if not trivial_allow:
+            # per-row path checks only for hosts with real rule lists
+            paths = g["canonical_url"].map(path_of).to_numpy()
+            disallowed = np.array(
+                [bool(c) and not _allowed(rules, p)
+                 for c, p in zip(cand, paths)]
+            )
+            sched[disallowed] = "disallowed"
+            cand &= ~disallowed
 
         # 4. token bucket + priority top-k
         rate = cfg_pass_time_ms / max(1.0, float(delay_ms))

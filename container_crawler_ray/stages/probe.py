@@ -28,6 +28,43 @@ import pyarrow as pa
 from ..state.seen import SeenSet
 
 
+# Worker-process-level client cache: plain map_batches FUNCTIONS resolve
+# their SeenSet once per (run, worker process) and Ray's long-lived worker
+# pool amortizes it across passes — no per-pass actor-pool spin-up. The
+# Stage classes below remain for callers who want an explicit actor pool.
+_CLIENTS: dict[tuple, SeenSet] = {}
+
+
+def _client(seen_args: tuple) -> SeenSet:
+    c = _CLIENTS.get(seen_args)
+    if c is None:
+        c = SeenSet(*seen_args)
+        _CLIENTS[seen_args] = c
+    return c
+
+
+def make_probe_fn(seen_args: tuple):
+    def probe(t: pa.Table) -> pa.Table:
+        hashes = t.column("url_hash").to_numpy().astype(np.uint64)
+        seen = _client(seen_args).contains(hashes)
+        return t.append_column("seen", pa.array(seen))
+
+    return probe
+
+
+def make_mark_fn(seen_args: tuple):
+    def mark(t: pa.Table) -> pa.Table:
+        sched = np.asarray(t.column("sched").to_pylist())
+        src = np.asarray(t.column("src").to_pylist())
+        m = (sched == "scheduled") & (src == "scan")
+        if m.any():
+            hashes = t.column("url_hash").to_numpy().astype(np.uint64)[m]
+            _client(seen_args).contains_add(hashes)
+        return t
+
+    return mark
+
+
 class SeenProbeStage:
     def __init__(self, run_id: str, num_shards: int,
                  cuckoo_capacity: int, bloom_bits: int):

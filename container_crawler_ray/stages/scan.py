@@ -19,15 +19,26 @@ import numpy as np
 import pyarrow as pa
 
 
-def make_watermark_filter(watermarks: dict[int, int], num_partitions: int):
+def make_watermark_filter(watermarks: dict[int, int], num_partitions: int,
+                          items_chunk: int | None = None):
+    """Vectorized scan filter. With *items_chunk*, also caps the window at
+    ``watermark + items_chunk`` — equivalent to sort-by-rowid + head(chunk)
+    because per-partition rowids are DENSE append sequences (0,1,2,…;
+    rows are never deleted; the assigner allocates contiguously). This
+    turns the chunk scan into a pure filter with NO sort/groupby shuffle.
+    """
     wm = np.full(num_partitions, -1, dtype=np.int64)
     for p, w in watermarks.items():
         wm[p] = w
+    hi = wm + items_chunk if items_chunk is not None else None
 
     def wm_filter(t: pa.Table) -> pa.Table:
         pid = t.column("partition_id").to_numpy()
         rowid = t.column("rowid").to_numpy()
-        return t.filter(pa.array(rowid > wm[pid]))
+        keep = rowid > wm[pid]
+        if hi is not None:
+            keep &= rowid <= hi[pid]
+        return t.filter(pa.array(keep))
 
     return wm_filter
 

@@ -28,7 +28,9 @@ import pyarrow.parquet as pq
 
 
 def _write_file(table: pa.Table, path: str) -> None:
-    pq.write_table(table, path)
+    # modest row groups so read_parquet can split one fragment into many
+    # parallel read tasks (a single-row-group file reads serially)
+    pq.write_table(table, path, row_group_size=32 * 1024)
 
 
 def _read_file(path: str) -> pa.Table:
