@@ -669,6 +669,21 @@ def _finalize_empty_pass(store, cfg, state, pass_id, t0, n_dead=0) -> dict:
             "wall_ms": int((time.monotonic() - t0) * 1000), "done": True}
 
 
+def enumerate_partitions(store: TableStore,
+                         committed_passes: int | None = None) -> list[int]:
+    """S3 analog (the account-wildcard enumerator [recon:
+    ``container_crawler/__init__.py:≈120–150``]): list the partition ids
+    present in the frontier, from fragment metadata/files — the driver-side
+    fan-out source when partitions are not known a priori."""
+    import pyarrow.parquet as pq
+
+    parts: set[int] = set()
+    for f in store.fragments("frontier", committed_passes):
+        t = pq.read_table(f, columns=["partition_id"])
+        parts.update(np.unique(t.column("partition_id").to_numpy()).tolist())
+    return sorted(parts)
+
+
 # --------------------------------------------------------------------- loop
 def run_crawl(root: str, cfg: CrawlConfig, seed_urls: list[str] | None = None,
               max_passes: int | None = None, resume: bool = False,
@@ -699,3 +714,31 @@ def run_crawl(root: str, cfg: CrawlConfig, seed_urls: list[str] | None = None,
         "total_scheduled": sum(p["scheduled"] for p in passes),
         "final_pass": state.pass_id,
     }
+
+
+def run_always(root: str, cfg: CrawlConfig,
+               seed_urls: list[str] | None = None,
+               poll_interval: float = 5.0, max_polls: int = 3,
+               handler=None) -> list[dict]:
+    """Reference entry point 1 [recon: ``container_crawler/__init__.py:
+    ≈100–115``]: run_once + sleep(poll_interval), forever. Here the loop is
+    bounded by *max_polls* (a daemon wrapper would pass a large value);
+    each poll is one pass over every owned partition, so new frontier
+    appends made between polls are picked up incrementally via the
+    watermarks — the change-data-capture shape of the reference."""
+    if seed_urls is not None:
+        store, state = init_run(root, cfg, seed_urls)
+    else:
+        store, state = resume_run(root, cfg)
+    robots_ref = ray.put(state.robots)
+    polls = []
+    try:
+        for _ in range(max_polls):
+            stats = run_pass(store, cfg, state, robots_ref=robots_ref,
+                             handler=handler)
+            polls.append(stats)
+            if not (stats["done"] and stats["retry_size"] == 0):
+                time.sleep(poll_interval)
+    finally:
+        state.seen.teardown()
+    return polls

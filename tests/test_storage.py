@@ -1,0 +1,72 @@
+"""Storage-layer tests: atomic replace, per-pass fragments, pruning, GC."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from container_crawler_ray.storage import TableStore
+
+
+@pytest.fixture
+def store(tmp_path):
+    return TableStore(str(tmp_path / "s"))
+
+
+def _t(vals):
+    return pa.table({"x": pa.array(vals, type=pa.int64())})
+
+
+def test_atomic_current(store):
+    store.write_current("ck", _t([1, 2]))
+    assert store.read_current("ck").column("x").to_pylist() == [1, 2]
+    store.write_current("ck", _t([3]))
+    assert store.read_current("ck").column("x").to_pylist() == [3]
+    # no tmp leftovers
+    assert not [f for f in os.listdir(store.table_dir("ck"))
+                if f.endswith(".tmp")]
+
+
+def test_fragments_and_committed_filter(store):
+    for p in (1, 2, 3):
+        store.append_fragment("fr", _t([p]), p)
+    assert len(store.fragments("fr")) == 3
+    # uncommitted pass-3 fragment excluded
+    assert len(store.fragments("fr", committed_passes=2)) == 2
+    t = store.read_all("fr", committed_passes=2)
+    assert sorted(t.column("x").to_pylist()) == [1, 2]
+
+
+def test_fragment_overwrite_idempotent(store):
+    store.append_fragment("fr", _t([1, 2, 3]), 1)
+    store.append_fragment("fr", _t([9]), 1)  # re-run of an uncommitted pass
+    t = store.read_all("fr")
+    assert t.column("x").to_pylist() == [9]
+
+
+def test_fragment_meta_sidecar(store):
+    store.append_fragment("fr", _t([5]), 1, meta={"max_rowid": 5})
+    frag = store.fragments("fr")[0]
+    assert store.fragment_meta(frag) == {"max_rowid": 5}
+
+
+def test_state_fragment_gc(store):
+    for p in range(5):
+        store.append_fragment("ck", _t([p]), p, tag="ckpt")
+    store.gc_state_fragments("ck", "ckpt", keep_from_pass=3)
+    names = sorted(os.listdir(store.table_dir("ck")))
+    assert [n for n in names if n.endswith(".parquet")] == \
+        ["ckpt_000003.parquet", "ckpt_000004.parquet"]
+
+
+def test_pass_dir_cleared_on_rerun(store):
+    d = store.pass_dir("docs", 2)
+    open(os.path.join(d, "junk.parquet"), "w").write("x")
+    d2 = store.pass_dir("docs", 2)
+    assert d == d2 and os.listdir(d2) == []
+
+
+def test_meta_commit_point(store):
+    assert store.read_meta() is None
+    store.write_meta({"pass_id": 7})
+    assert store.read_meta()["pass_id"] == 7
