@@ -73,6 +73,21 @@ class CrawlState:
     robots: dict[str, dict]
     seen: SeenSet
     salted_hosts: tuple = ()
+    # multi-engine: per-sender high-water of drained link-mailbox passes
+    drained: dict = field(default_factory=dict)
+
+
+def _etag(cfg: CrawlConfig, base: str) -> str:
+    """Per-engine state-fragment tag. Multi-engine runs are shared-nothing
+    (the reference's one-daemon-per-node model): each engine owns the
+    partitions with ``partition_id % num_engines == engine_index`` and its
+    own watermark/retry/bucket state under a suffixed tag."""
+    return f"{base}-e{cfg.engine_index}" if cfg.num_engines > 1 else base
+
+
+def _meta_name(cfg: CrawlConfig) -> str:
+    return (f"meta-e{cfg.engine_index}.json" if cfg.num_engines > 1
+            else "meta.json")
 
 
 # --------------------------------------------------------------------- init
@@ -147,40 +162,79 @@ def init_run(root: str, cfg: CrawlConfig, seed_urls: list[str],
     seed_tbl = assign_seed_rowids(rows, state.next_rowid, pass_id=0)
     store.append_fragment("frontier", seed_tbl, 0, tag="append",
                           meta=_frontier_meta(seed_tbl))
-    _write_state_fragments(store, cfg, state)
+    single = dataclasses_replace_single(cfg)
+    _write_state_fragments(store, single, state)
+    # seen_run_id in the init meta lets every engine of a multi-engine run
+    # resolve the SAME named shard actors — the seen set is cluster-global,
+    # sharded by url_hash, exactly as on a real multi-node cluster
     store.write_meta({"pass_id": 0, "run": "initialized",
-                      "num_partitions": cfg.num_partitions})
+                      "num_partitions": cfg.num_partitions,
+                      "seen_run_id": state.seen.run_id})
     return store, state
+
+
+def dataclasses_replace_single(cfg: CrawlConfig) -> CrawlConfig:
+    """Coordinator view of the config (init writes the plain/global state)."""
+    import dataclasses
+    if cfg.num_engines == 1:
+        return cfg
+    return dataclasses.replace(cfg, num_engines=1, engine_index=0)
 
 
 def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
     """Exact resume from the last committed pass: every state table is read
-    at the meta.json pass version; later (torn) fragments are ignored and
-    will be overwritten when the pass re-runs."""
+    at the meta version; later (torn) fragments are ignored and will be
+    overwritten when the pass re-runs. A multi-engine engine's first start
+    bootstraps from the coordinator's init state (plain meta/ckpt)."""
     store = TableStore(root)
-    meta = store.read_meta()
-    assert meta is not None, "no meta.json — nothing to resume"
+    init_meta = store.read_meta()
+    assert init_meta is not None, "no meta.json — nothing to resume"
+    meta = store.read_meta(_meta_name(cfg)) if cfg.num_engines > 1 else init_meta
+    bootstrap = meta is None
+    if bootstrap:
+        meta = init_meta  # engine's first start: coordinator state at pass 0
     p = meta["pass_id"]
-    ck = store.read_fragment("checkpoints", "ckpt", p)
+    ck = store.read_fragment("checkpoints",
+                             "ckpt" if bootstrap else _etag(cfg, "ckpt"), p)
+    seen_run = init_meta.get("seen_run_id", uuid.uuid4().hex[:12])
     state = CrawlState(
         run_id=uuid.uuid4().hex[:12],
-        pass_id=p,
+        pass_id=p if not bootstrap else 0,
         watermarks={}, next_rowid={}, buckets={},
         robots=synth.robots_lookup(cfg.n_hosts),
-        seen=SeenSet(uuid.uuid4().hex[:12], cfg.seen_shards,
+        seen=SeenSet(seen_run, cfg.seen_shards,
                      cfg.cuckoo_capacity, cfg.bloom_bits),
         salted_hosts=cfg.salted_hosts,
+        drained=dict((int(k), v) for k, v in
+                     (meta.get("drained") or {}).items()),
     )
+    own = (lambda q: q % cfg.num_engines == cfg.engine_index)
     for row in ck.to_pylist():
+        if cfg.num_engines > 1 and not own(row["partition_id"]):
+            continue
         state.watermarks[row["partition_id"]] = row["last_row"]
         state.next_rowid[row["partition_id"]] = row["next_rowid"]
-    bk = store.read_fragment("buckets", "buckets", p)
+    bk = store.read_fragment("buckets",
+                             "buckets" if bootstrap else _etag(cfg, "buckets"), p)
     if bk is not None:
         state.buckets = dict(zip(bk.column("host").to_pylist(),
                                  bk.column("tokens").to_pylist()))
-    sn = store.read_fragment("seen_shards", "seen", p)
-    if sn is not None and len(sn):
-        state.seen.restore_from_table(sn)
+    # seen restore: single-engine restores its snapshot; multi-engine
+    # engines each snapshot the shards they own (shard % E == engine), so
+    # restore merges every engine's committed fragment
+    if cfg.num_engines == 1:
+        sn = store.read_fragment("seen_shards", "seen", p)
+        if sn is not None and len(sn):
+            state.seen.restore_from_table(sn)
+    else:
+        for e in range(cfg.num_engines):
+            m_e = store.read_meta(f"meta-e{e}.json")
+            if m_e is None:
+                continue
+            sn = store.read_fragment("seen_shards", f"seen-e{e}",
+                                     m_e["pass_id"])
+            if sn is not None and len(sn):
+                state.seen.restore_from_table(sn)
     return store, state
 
 
@@ -207,20 +261,98 @@ def _write_state_fragments(store: TableStore, cfg: CrawlConfig,
         },
         schema=CHECKPOINTS,
     )
-    store.append_fragment("checkpoints", ck, p, tag="ckpt")
+    store.append_fragment("checkpoints", ck, p, tag=_etag(cfg, "ckpt"))
     hosts = sorted(state.buckets)
     bk = pa.table(
         {"host": hosts,
          "tokens": pa.array([state.buckets[h] for h in hosts], type=pa.float64())},
         schema=BUCKETS,
     )
-    store.append_fragment("buckets", bk, p, tag="buckets")
-    store.append_fragment("seen_shards", state.seen.snapshot_table(), p, tag="seen")
+    store.append_fragment("buckets", bk, p, tag=_etag(cfg, "buckets"))
+    # multi-engine: each engine checkpoints the seen shards it owns
+    # (shard % E == engine) so no engine overwrites another's marks
+    shard_ids = None
+    if cfg.num_engines > 1:
+        shard_ids = [s for s in range(cfg.seen_shards)
+                     if s % cfg.num_engines == cfg.engine_index]
+    store.append_fragment("seen_shards", state.seen.snapshot_table(shard_ids),
+                          p, tag=_etag(cfg, "seen"))
     if retry_tbl is not None:
-        store.append_fragment("retry", retry_tbl, p, tag="retry")
-    for name, tag in (("checkpoints", "ckpt"), ("buckets", "buckets"),
-                      ("seen_shards", "seen"), ("retry", "retry")):
+        store.append_fragment("retry", retry_tbl, p, tag=_etag(cfg, "retry"))
+    for name, tag in (("checkpoints", _etag(cfg, "ckpt")),
+                      ("buckets", _etag(cfg, "buckets")),
+                      ("seen_shards", _etag(cfg, "seen")),
+                      ("retry", _etag(cfg, "retry"))):
         store.gc_state_fragments(name, tag, p - 1)
+
+
+# ------------------------------------------------------------ multi-engine
+def _committed_frontier_files(store: TableStore, cfg: CrawlConfig,
+                              state: CrawlState) -> list[str]:
+    """Multi-engine frontier visibility: the seed fragments (coordinator,
+    committed by the plain init meta) plus THIS engine's own committed
+    appends. Foreign engines never append to the shared frontier — they
+    post link intents to per-engine mailboxes instead — so cross-engine
+    rowid sequences cannot collide."""
+    import os as _os
+    import re as _re
+
+    files = store.fragments("frontier")
+    mine = (f"append-e{cfg.engine_index}_", f"append-e{cfg.engine_index}d_")
+    out = []
+    pat = _re.compile(r"_(\d{6})\.")
+    for f in files:
+        base = _os.path.basename(f)
+        m = pat.search(base)
+        if not m:
+            continue
+        p = int(m.group(1))
+        if base.startswith(mine):
+            if p <= state.pass_id:
+                out.append(f)
+        elif base.startswith("append_"):  # coordinator seed fragment
+            out.append(f)
+    return out
+
+
+def _drain_mailboxes(store: TableStore, cfg: CrawlConfig, state: CrawlState,
+                     pass_id: int) -> int:
+    """Pick up committed link intents addressed to this engine, assign
+    rowids from this engine's per-partition counters (deterministic order:
+    sender, sender-pass, canonical_url) and append them to the frontier so
+    this very pass can scan them. The mailbox high-water per sender is part
+    of this engine's meta commit, so a killed pass re-drains identically.
+    """
+    import pyarrow.parquet as pq
+
+    rows: list[pa.Table] = []
+    new_drained = dict(state.drained)
+    for e in range(cfg.num_engines):
+        if e == cfg.engine_index:
+            continue
+        m_e = store.read_meta(f"meta-e{e}.json")
+        committed = m_e["pass_id"] if m_e else -1
+        lo = new_drained.get(e, 0)
+        for sp in range(lo + 1, committed + 1):
+            t = store.read_fragment("mailbox",
+                                    f"inbox-e{cfg.engine_index}-from-e{e}", sp)
+            if t is not None and len(t):
+                t = t.sort_by("canonical_url")
+                rows.append(t)
+        if committed > lo:
+            new_drained[e] = committed
+    state.drained = new_drained
+    if not rows:
+        return 0
+    tbl = pa.concat_tables(rows)
+    tbl = assign_seed_rowids(tbl.select([
+        "partition_id", "url", "canonical_url", "host", "url_hash",
+        "host_hash", "priority", "depth"]), state.next_rowid,
+        pass_id=pass_id)
+    store.append_fragment("frontier", tbl, pass_id,
+                          tag=f"append-e{cfg.engine_index}d",
+                          meta=_frontier_meta(tbl))
+    return len(tbl)
 
 
 # --------------------------------------------------------------------- pass
@@ -273,7 +405,17 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                  cfg.bloom_bits)
 
     # ---- scan + retry union → bounded candidate set ----------------------
-    frontier_files = store.fragments("frontier", committed_passes=state.pass_id)
+    if cfg.num_engines > 1:
+        _drain_mailboxes(store, cfg, state, pass_id)
+        frontier_files = _committed_frontier_files(store, cfg, state)
+        # include this pass's own freshly-drained fragment
+        frontier_files += [
+            f for f in store.fragments("frontier")
+            if f"append-e{cfg.engine_index}d_{pass_id:06d}" in f
+        ]
+    else:
+        frontier_files = store.fragments("frontier",
+                                         committed_passes=state.pass_id)
     owned_parts = [
         p for p in range(cfg.num_partitions)
         if p % cfg.num_engines == cfg.engine_index
@@ -299,7 +441,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         )
         pieces.append(scan.map_batches(_add_cand_cols("scan"),
                                        batch_format="pyarrow"))
-    retry_tbl = store.read_fragment("retry", "retry", state.pass_id)
+    retry_tbl = store.read_fragment("retry", _etag(cfg, "retry"),
+                                    state.pass_id)
     n_dead = 0
     retry_live = _empty_retry()
     if retry_tbl is not None and len(retry_tbl):
@@ -392,7 +535,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             ),
             batch_format="pyarrow",
         )
-        doc_cols.write_parquet(store.pass_dir("documents", pass_id))
+        doc_cols.write_parquet(store.pass_dir("documents", pass_id,
+                                              tag=_etag(cfg, "pass")))
 
     def _flat_branch():
         flat = (
@@ -419,7 +563,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                 ),
                 batch_format="pyarrow",
             )
-            lin.write_parquet(store.pass_dir("lineage", pass_id))
+            lin.write_parquet(store.pass_dir("lineage", pass_id,
+                                             tag=_etag(cfg, "pass")))
         return flat
 
     pool = ThreadPoolExecutor(max_workers=2)
@@ -510,6 +655,39 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         append_pieces.append(ray.data.from_arrow(
             _append_shape_from_pandas(dslim, order_kind=0)))
     if new_rows_ds is not None:
+        if cfg.num_engines > 1:
+            # foreign-partition links are POSTED, not appended: only the
+            # owning engine may assign rowids in its partitions
+            E, me = cfg.num_engines, cfg.engine_index
+
+            def _own_filter(t: pa.Table) -> pa.Table:
+                pid = t.column("partition_id").to_numpy()
+                return t.filter(pa.array(pid % E == me))
+
+            def _foreign_filter(t: pa.Table) -> pa.Table:
+                pid = t.column("partition_id").to_numpy()
+                return t.filter(pa.array(pid % E != me))
+
+            foreign_tbls = [
+                t for t in ray.get(
+                    new_rows_ds.map_batches(_foreign_filter,
+                                            batch_format="pyarrow")
+                    .to_arrow_refs())
+                if t.num_columns and len(t)
+            ]
+            if foreign_tbls:
+                foreign = pa.concat_tables(foreign_tbls)
+                fpid = foreign.column("partition_id").to_numpy()
+                for tgt in range(E):
+                    if tgt == me:
+                        continue
+                    sub = foreign.filter(pa.array(fpid % E == tgt))
+                    if len(sub):
+                        store.append_fragment(
+                            "mailbox", sub, pass_id,
+                            tag=f"inbox-e{tgt}-from-e{me}")
+            new_rows_ds = new_rows_ds.map_batches(_own_filter,
+                                                  batch_format="pyarrow")
         append_pieces.append(
             new_rows_ds.map_batches(_to_append_shape(order_kind=1),
                                     batch_format="pyarrow"))
@@ -531,7 +709,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             for p, n in zip(*np.unique(fpid, return_counts=True)):
                 state.next_rowid[int(p)] = (state.next_rowid.get(int(p), 0)
                                             + int(n))
-            store.append_fragment("frontier", frag, pass_id, tag="append",
+            store.append_fragment("frontier", frag, pass_id,
+                                  tag=_etag(cfg, "append"),
                                   meta=_frontier_meta(frag))
     _mark("frontier_append")
 
@@ -588,7 +767,9 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     state.pass_id = pass_id
     _write_state_fragments(store, cfg, state, retry_tbl=retry_next)
     store.write_meta({"pass_id": pass_id,
-                      "num_partitions": cfg.num_partitions})
+                      "num_partitions": cfg.num_partitions,
+                      "drained": state.drained},
+                     name=_meta_name(cfg))
     _mark("checkpoint")
     n_sched = int(pstats["scheduled"].sum()) if len(pstats) else 0
     return {
@@ -662,7 +843,8 @@ def _empty_retry() -> pa.Table:
 def _finalize_empty_pass(store, cfg, state, pass_id, t0, n_dead=0) -> dict:
     state.pass_id = pass_id
     _write_state_fragments(store, cfg, state, retry_tbl=_empty_retry())
-    store.write_meta({"pass_id": pass_id, "num_partitions": cfg.num_partitions})
+    store.write_meta({"pass_id": pass_id, "num_partitions": cfg.num_partitions,
+                      "drained": state.drained}, name=_meta_name(cfg))
     return {"pass_id": pass_id, "candidates": 0, "scanned": 0, "scheduled": 0,
             "fetched": 0, "errors": 0, "deferred": 0, "new_frontier_rows": 0,
             "retry_size": 0, "dead": n_dead, "advanced_partitions": [],

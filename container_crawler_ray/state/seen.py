@@ -106,21 +106,33 @@ class SeenSet:
         return self._actors
 
     def _scatter_gather(self, hashes: np.ndarray, method: str) -> np.ndarray:
-        """Group keys by shard, one RPC per shard, reassemble in order."""
+        """Group keys by shard, one RPC per shard, reassemble in order.
+        Retries transient actor unavailability — every shard op here is
+        safe to re-send (contains is read-only; adds are set-idempotent and
+        their return mask is not consumed by the engine)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         out = np.zeros(len(hashes), dtype=bool)
         if len(hashes) == 0:
             return out
         shard = (hashes % np.uint64(self.num_shards)).astype(np.int64)
-        refs, masks = [], []
-        for i in range(self.num_shards):
-            m = shard == i
-            if m.any():
-                refs.append(getattr(self.actors[i], method).remote(hashes[m]))
-                masks.append(m)
-        for m, res in zip(masks, ray.get(refs)):
-            out[m] = res
-        return out
+        last_err = None
+        for attempt in range(4):
+            try:
+                refs, masks = [], []
+                for i in range(self.num_shards):
+                    m = shard == i
+                    if m.any():
+                        refs.append(
+                            getattr(self.actors[i], method).remote(hashes[m]))
+                        masks.append(m)
+                for m, res in zip(masks, ray.get(refs)):
+                    out[m] = res
+                return out
+            except ray.exceptions.ActorUnavailableError as e:
+                last_err = e
+                import time as _time
+                _time.sleep(0.5 * (attempt + 1))
+        raise last_err
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         return self._scatter_gather(hashes, "contains")
@@ -133,8 +145,10 @@ class SeenSet:
         return sum(ray.get([a.num_items.remote() for a in self.actors]))
 
     # ---------------------------------------------------------- checkpoint
-    def snapshot_table(self) -> pa.Table:
-        snaps = ray.get([a.snapshot.remote() for a in self.actors])
+    def snapshot_table(self, shard_ids: list[int] | None = None) -> pa.Table:
+        actors = (self.actors if shard_ids is None
+                  else [self.actors[i] for i in shard_ids])
+        snaps = ray.get([a.snapshot.remote() for a in actors])
         rows = {"shard_id": [], "kind": [], "bits": [], "num_items": []}
         for s in snaps:
             stash = np.array(

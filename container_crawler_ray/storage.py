@@ -143,16 +143,17 @@ class TableStore:
         return pa.concat_tables(tables, promote_options="default")
 
     # ----------------------------------------------------------------- meta
-    def write_meta(self, meta: dict) -> None:
+    def write_meta(self, meta: dict, name: str = "meta.json") -> None:
         """The commit record for a pass: written LAST. ``os.replace`` makes
-        it the atomic commit point for the whole pass."""
-        tmp = os.path.join(self.root, ".meta.json.tmp")
+        it the atomic commit point for the whole pass. Multi-engine runs
+        use one meta file per engine (``meta-e<k>.json``)."""
+        tmp = os.path.join(self.root, f".{name}.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(tmp, os.path.join(self.root, "meta.json"))
+        os.replace(tmp, os.path.join(self.root, name))
 
-    def read_meta(self) -> dict | None:
-        p = os.path.join(self.root, "meta.json")
+    def read_meta(self, name: str = "meta.json") -> dict | None:
+        p = os.path.join(self.root, name)
         if not os.path.exists(p):
             return None
         with open(p) as f:

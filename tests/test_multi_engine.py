@@ -1,0 +1,87 @@
+"""Shared-nothing multi-engine test (the reference's one-daemon-per-node
+model, SURVEY.md §4.1): two engine instances over one store, each owning
+half the partitions, exchanging discovered links through per-engine
+mailboxes and sharing the global sharded seen set. The union of their
+crawls must equal a single-engine crawl of the same closed world.
+"""
+
+import dataclasses
+import glob
+
+import pyarrow.parquet as pq
+
+from container_crawler_ray.config import CrawlConfig
+from container_crawler_ray.pipelines.crawl import (
+    init_run, resume_run, run_crawl, run_pass)
+from container_crawler_ray.sources.synth import make_seed_urls
+
+BASE = dict(num_partitions=4, items_chunk=200, workers=2, seen_shards=2,
+            n_hosts=10, n_paths=40, pass_time_ms=8000, fail_mod=0,
+            max_passes=30, fetch_mode="tasks")
+
+
+def _docs(root):
+    return [d for f in sorted(glob.glob(f"{root}/tables/documents/*/*.parquet"))
+            for d in pq.read_table(f).to_pylist()]
+
+
+def test_two_engines_equal_single_engine(tmp_store):
+    seeds = make_seed_urls(120, n_hosts=10)
+
+    # single-engine ground run, crawled to exhaustion
+    rootS = f"{tmp_store}-single"
+    outS = run_crawl(rootS, CrawlConfig(**BASE), seed_urls=seeds,
+                     max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+    assert outS["passes"][-1]["done"]
+
+    # two shared-nothing engines over one store
+    rootM = f"{tmp_store}-multi"
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(rootM, cfg0, seeds)
+    store0, st0 = resume_run(rootM, cfg0)
+    store1, st1 = resume_run(rootM, cfg1)
+    idle = 0
+    for _ in range(40):
+        s0 = run_pass(store0, cfg0, st0)
+        s1 = run_pass(store1, cfg1, st1)
+        if (s0["done"] and s1["done"]
+                and s0["retry_size"] == 0 and s1["retry_size"] == 0):
+            idle += 1
+            if idle >= 2:   # one extra round so late mailbox posts drain
+                break
+        else:
+            idle = 0
+    docsM = {d["doc_id"] for d in _docs(rootM)}
+    assert docsM == docsS, (
+        f"multi-engine union differs: only-single={len(docsS - docsM)} "
+        f"only-multi={len(docsM - docsS)}")
+
+    # no rowid collisions within any partition across all frontier fragments
+    seen_rowids: dict[tuple, int] = {}
+    for f in glob.glob(f"{rootM}/tables/frontier/*.parquet"):
+        for r in pq.read_table(f, columns=["partition_id", "rowid"]).to_pylist():
+            key = (r["partition_id"], r["rowid"])
+            seen_rowids[key] = seen_rowids.get(key, 0) + 1
+    dups = {k: v for k, v in seen_rowids.items() if v > 1}
+    assert not dups, f"rowid collisions: {list(dups)[:5]}"
+
+    st0.seen.teardown()
+
+
+def test_engine_partition_disjointness(tmp_store):
+    """Each document is fetched by the engine owning its partition."""
+    seeds = make_seed_urls(80, n_hosts=10)
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(tmp_store, cfg0, seeds)
+    store0, st0 = resume_run(tmp_store, cfg0)
+    store1, st1 = resume_run(tmp_store, cfg1)
+    run_pass(store0, cfg0, st0)
+    docs_after_e0 = {d["doc_id"] for d in _docs(tmp_store)}
+    run_pass(store1, cfg1, st1)
+    docs_after_e1 = {d["doc_id"] for d in _docs(tmp_store)}
+    assert docs_after_e0 and docs_after_e1 - docs_after_e0, \
+        "both engines fetch something"
+    st0.seen.teardown()

@@ -127,7 +127,11 @@ def test_engine_placement_no_op_for_foreign_partitions(tmp_store):
     seeds = make_seed_urls(120, n_hosts=20)
     store, state = init_run(tmp_store, cfg, seeds)
     run_pass(store, cfg, state)
-    wm = _wm(tmp_store)
+    # multi-engine runs commit per-engine state (meta-e0 / ckpt-e0)
+    meta = json.load(open(f"{tmp_store}/meta-e0.json"))
+    ck = pq.read_table(
+        f"{tmp_store}/tables/checkpoints/ckpt-e0_{meta['pass_id']:06d}.parquet")
+    wm = {r["partition_id"]: r["last_row"] for r in ck.to_pylist()}
     assert all(wm[p] == -1 for p in (1, 3))
     assert any(wm[p] > -1 for p in (0, 2))
 
