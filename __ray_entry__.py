@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": analytics.events_rollup,
         "q1_pricing": analytics.q1_pricing,
         "user_activity": analytics.user_activity,
+        "events_windowed": analytics.events_windowed,
         # watermark scan + sorts/top-k (SURVEY §2.1 S1, §2.6)
         "events_since_watermark": analytics.events_since_watermark,
         "docs_top_nchars": analytics.docs_top_nchars,
@@ -53,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_lsh": ann.knn_lsh,                           # rows-only
+        "knn_ivf": ann.knn_ivf,                           # rows-only
         # text analysis
         "text_stats": analytics.text_stats,
         "text_analysis": text_ops.text_analysis,          # rows-only
@@ -103,6 +105,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_ts_us,
                    CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_ts_us
             FROM events GROUP BY user_id
+        """,
+        "events_windowed": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 3600000000) * 3600000000 AS BIGINT)
+                       AS window_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events GROUP BY 1, 2
         """,
         "events_since_watermark": """
             SELECT event_id, user_id, event_type, value

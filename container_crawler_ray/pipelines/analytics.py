@@ -190,6 +190,36 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def events_windowed(sf_dir: str) -> pd.DataFrame:
+    """Streaming-shaped workload (SURVEY.md §2.9): tumbling 1-hour windows
+    per event_type over the ordered events log. Ray Data has no event-time
+    windows; the mapping is a derived window-start key + grouped aggregate
+    (ordering assumption: none needed — tumbling windows are
+    order-insensitive)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        hour_us = 3_600_000_000
+        win = (ts_us // hour_us) * hour_us
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "window_start_us": pa.array(win),
+                "value_cents": pa.array(v),
+            }
+        )
+
+    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
+        ["event_type", "window_start_us"]
+    ).aggregate(
+        Count(alias_name="n"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+    )
+    return out.to_pandas()
+
+
 # ------------------------------------------------------------- text stats
 def text_stats(sf_dir: str) -> pd.DataFrame:
     """Integer token/punct counts (RE2 parity with the DuckDB oracle)."""

@@ -99,14 +99,15 @@ def test_simhash_properties(tmp_path):
     assert ham <= 16, f"near-dup should be hamming-close, got {ham}"
 
 
-def test_knn_lsh_recall(entrymod):
-    """LSH ANN must recover most of the brute-force neighbors."""
+@pytest.mark.parametrize("variant", ["knn_lsh", "knn_ivf"])
+def test_ann_recall(entrymod, variant):
+    """Approximate ANN variants must recover most brute-force neighbors."""
     qs = entrymod.queries()
     bf = qs["knn_bruteforce"](SF)
-    lsh = qs["knn_lsh"](SF)
+    approx = qs[variant](SF)
     bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
-    lsh_sets = lsh.groupby("query_id")["neighbor_id"].apply(set)
-    recalls = [len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q])
+    ap_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(bf_sets[q] & ap_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets.index]
     assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls):.2f}"
 
