@@ -162,6 +162,17 @@ def init_run(root: str, cfg: CrawlConfig, seed_urls: list[str],
     seed_tbl = assign_seed_rowids(rows, state.next_rowid, pass_id=0)
     store.append_fragment("frontier", seed_tbl, 0, tag="append",
                           meta=_frontier_meta(seed_tbl))
+    # persist robots so resume (any engine, any process) sees the same
+    # politeness rules that were configured at init
+    hosts = sorted(state.robots)
+    store.write_current("robots", pa.table(
+        {
+            "host": hosts,
+            "crawl_delay_ms": pa.array(
+                [state.robots[h]["crawl_delay_ms"] for h in hosts],
+                type=pa.int32()),
+            "rules": [state.robots[h]["rules"] for h in hosts],
+        }))
     single = dataclasses_replace_single(cfg)
     _write_state_fragments(store, single, state)
     # seen_run_id in the init meta lets every engine of a multi-engine run
@@ -197,11 +208,18 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
     ck = store.read_fragment("checkpoints",
                              "ckpt" if bootstrap else _etag(cfg, "ckpt"), p)
     seen_run = init_meta.get("seen_run_id", uuid.uuid4().hex[:12])
+    rb_tbl = store.read_current("robots")
+    robots = (
+        {r["host"]: {"crawl_delay_ms": r["crawl_delay_ms"],
+                     "rules": r["rules"]}
+         for r in rb_tbl.to_pylist()}
+        if rb_tbl is not None else synth.robots_lookup(cfg.n_hosts)
+    )
     state = CrawlState(
         run_id=uuid.uuid4().hex[:12],
         pass_id=p if not bootstrap else 0,
         watermarks={}, next_rowid={}, buckets={},
-        robots=synth.robots_lookup(cfg.n_hosts),
+        robots=robots,
         seen=SeenSet(seen_run, cfg.seen_shards,
                      cfg.cuckoo_capacity, cfg.bloom_bits),
         salted_hosts=cfg.salted_hosts,

@@ -120,3 +120,29 @@ def test_salted_hot_host_spreads_partitions(tmp_store):
         f"{tmp_store}/tables/checkpoints/ckpt_{meta['pass_id']:06d}.parquet")
     eng_wm = {r["partition_id"]: r["last_row"] for r in ck.to_pylist()}
     assert eng_wm == ora.watermarks
+
+
+def test_custom_robots_survive_resume(tmp_store):
+    """Robots configured at init are durable: a resumed run (fresh state
+    object) enforces the same rules."""
+    from container_crawler_ray.pipelines.crawl import resume_run
+
+    robots = {
+        "h0001.example": {"crawl_delay_ms": 10,
+                          "rules": [{"allow": False, "path_prefix": "/"}]},
+        "h0002.example": {"crawl_delay_ms": 10,
+                          "rules": [{"allow": True, "path_prefix": "/"}]},
+    }
+    cfg = CrawlConfig(**BASE, fail_mod=0)
+    store, state = init_run(tmp_store, cfg,
+                            ["http://h0001.example/p/1",
+                             "http://h0002.example/p/2"],
+                            robots=robots)
+    store2, state2 = resume_run(tmp_store, cfg)
+    assert state2.robots == robots
+    run_pass(store2, cfg, state2)
+    docs = _docs(tmp_store)
+    hosts = {d["host"] for d in docs}
+    assert hosts == {"h0002.example"}, "disallow-all host must be skipped"
+    state.seen.teardown()
+    state2.seen.teardown()
