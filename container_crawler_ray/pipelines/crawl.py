@@ -505,8 +505,11 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     # into fetch as ONE straggler task. repartition splits the bounded
     # candidate set into uniform blocks and breaks operator fusion with the
     # group tasks — this is the explicit hot-host skew handling for the
-    # fetch stage (SURVEY.md §4.1).
-    pipe = pipe.repartition(max(cfg.workers * 2, 16))
+    # fetch stage (SURVEY.md §4.1). Block count adapts to the candidate
+    # count: fetch task granularity IS block granularity, and coarse blocks
+    # quantize the stage into straggler-sensitive waves.
+    n_blocks = int(np.clip(n_cand // 400, cfg.workers * 2, 1024))
+    pipe = pipe.repartition(n_blocks)
     fetch_kwargs = dict(
         batch_size=None if cfg.bulk_process else cfg.fetch_batch_size,
         batch_format="pyarrow",
@@ -588,7 +591,12 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     pool = ThreadPoolExecutor(max_workers=2)
     docs_fut = pool.submit(_docs_branch)
     flat_fut = pool.submit(_flat_branch)
-    slim = result.drop_columns(["spans", "links"]).to_pandas()
+    # zero-copy read of the already-materialized blocks (no extra Ray
+    # execution); drop the payload columns before the pandas conversion
+    _slim_tbls = [t for t in ray.get(result.to_arrow_refs())
+                  if t.num_columns and len(t)]
+    slim = (pa.concat_tables(_slim_tbls)
+            .drop_columns(["spans", "links"]).to_pandas())
     _mark("slim_collect")
     is_scan = (slim["src"] == "scan").to_numpy()
     sched_a = slim["sched"].to_numpy()
