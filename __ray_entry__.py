@@ -30,7 +30,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from container_crawler_ray.pipelines import (
-        analytics, ann, crawl_queries, dedup, media, spans, text_ops)
+        analytics, ann, crawl_queries, curate, dedup, media, spans, text_ops)
 
     return {
         # aggregations (SURVEY §2.5)
@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": text_ops.text_analysis,          # rows-only
         # interleaved spans (input_hint shape)
         "spans_flat": spans.spans_flat,
+        # curation composition
+        "curate_docs": curate.curate_docs,
+        "curate_dedup": curate.curate_dedup,              # rows-only
         # multimodal plumbing
         "media_metadata": media.media_metadata,
         # crawl engine itself (rows-only: stateful multi-pass)
@@ -237,6 +240,16 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS "offset"
             FROM spans
+        """,
+        "curate_docs": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT)
+                       AS n_punct
+            FROM documents
+            WHERE len(regexp_extract_all(text, '\S+')) >= 10
+              AND len(regexp_extract_all(text, '[.!?,;:]')) <= 40
         """,
         "media_metadata": f"""
             SELECT doc_id,

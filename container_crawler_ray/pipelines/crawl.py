@@ -631,7 +631,6 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
 
     # ---- host bucket updates --------------------------------------------
     own_m = np.isin(sched_a, _OWN_TAGS)
-    hosts_own = slim.loc[own_m, "host"]
     sched_counts = (slim.loc[own_m]
                     .assign(s=(sched_a[own_m] == "scheduled").astype(np.int64))
                     .groupby("host")["s"].sum())

@@ -126,3 +126,14 @@ def test_crawl_query_deterministic(entrymod):
     b = q(SF, passes=1)
     assert a.equals(b)
     assert len(a) > 50
+
+
+def test_curation_pipeline(entrymod, con):
+    from tools.check_oracle import compare, to_pdf
+
+    res = to_pdf(entrymod.queries()["curate_docs"](SF))
+    sql = con.sql(entrymod.oracle_sql()["curate_docs"]).df()
+    assert compare("curate_docs", res, sql) == "OK"
+    dd = entrymod.queries()["curate_dedup"](SF)
+    assert 0 < len(dd) <= len(res)
+    assert dd["keep_id"].is_unique
