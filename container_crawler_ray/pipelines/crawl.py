@@ -257,9 +257,15 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
 
 
 def _frontier_meta(t: pa.Table) -> dict:
+    """Sidecar manifest for scan pruning: global + per-partition max rowid."""
     if len(t) == 0:
-        return {"max_rowid": -1}
-    return {"max_rowid": int(pc.max(t.column("rowid")).as_py())}
+        return {"max_rowid": -1, "per_partition_max": {}}
+    pid = t.column("partition_id").to_numpy()
+    rowid = t.column("rowid").to_numpy()
+    per = {}
+    for p in np.unique(pid):
+        per[str(int(p))] = int(rowid[pid == p].max())
+    return {"max_rowid": int(rowid.max()), "per_partition_max": per}
 
 
 def _write_state_fragments(store: TableStore, cfg: CrawlConfig,
@@ -373,6 +379,30 @@ def _drain_mailboxes(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     return len(tbl)
 
 
+def _prune_consumed_fragments(store: TableStore, files: list[str],
+                              watermarks: dict[int, int]) -> list[str]:
+    """Manifest-level fragment pruning (S1 scale path, SURVEY.md §2.1):
+    a fragment whose sidecar ``max_rowid`` is ≤ the minimum watermark over
+    all partitions can contain no unscanned row — skip it before any I/O.
+    Conservative: fragments without sidecars are kept. At 10^10-URL scale
+    this is what keeps pass cost proportional to the frontier DELTA, not
+    the frontier's lifetime size."""
+    out = []
+    for f in files:
+        m = store.fragment_meta(f)
+        if m is not None:
+            per = m.get("per_partition_max")
+            if per is not None:
+                if all(int(mx) <= watermarks.get(int(p), -1)
+                       for p, mx in per.items()):
+                    continue
+            elif (watermarks and m.get("max_rowid", 1 << 62)
+                    <= min(watermarks.values())):
+                continue
+        out.append(f)
+    return out
+
+
 # --------------------------------------------------------------------- pass
 def _add_cand_cols(src: str):
     def f(t: pa.Table) -> pa.Table:
@@ -434,6 +464,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     else:
         frontier_files = store.fragments("frontier",
                                          committed_passes=state.pass_id)
+    frontier_files = _prune_consumed_fragments(store, frontier_files,
+                                               state.watermarks)
     owned_parts = [
         p for p in range(cfg.num_partitions)
         if p % cfg.num_engines == cfg.engine_index

@@ -183,3 +183,26 @@ def test_resume_equals_uninterrupted(tmp_store):
         {d["doc_id"] for d in _docs(rootB)}
     assert _wm(rootA) == _wm(rootB)
     assert _frontier_rowids(rootA) == _frontier_rowids(rootB)
+
+
+def test_fragment_pruning_skips_consumed_files(tmp_store):
+    """Manifest pruning: once every partition's watermark passes a
+    fragment's max rowid, the scan no longer reads that file."""
+    from container_crawler_ray.pipelines.crawl import (
+        _prune_consumed_fragments)
+
+    cfg = CrawlConfig(**BASE, fail_mod=0)
+    seeds = make_seed_urls(60, n_hosts=20)
+    store, state = init_run(tmp_store, cfg, seeds)
+    files0 = store.fragments("frontier", committed_passes=0)
+    assert _prune_consumed_fragments(store, files0, state.watermarks) \
+        == files0, "nothing consumed yet"
+    run_pass(store, cfg, state)
+    run_pass(store, cfg, state)
+    files = store.fragments("frontier", committed_passes=state.pass_id)
+    pruned = _prune_consumed_fragments(store, files, state.watermarks)
+    assert len(pruned) < len(files), "consumed fragments must be pruned"
+    # correctness: pruning never drops unscanned rows — rerun one more
+    # pass and ensure it still converges cleanly
+    s = run_pass(store, cfg, state)
+    assert s["errors"] == 0
