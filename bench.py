@@ -1,9 +1,9 @@
 """Benchmark harness (driver contract).
 
-Headline: one fetch-heavy crawl pass over a deterministic 150k-URL
+Headline: one fetch-heavy crawl pass over a deterministic 100k-URL
 synthetic frontier (Zipf-skewed hosts, politeness budgets, seen-set,
 link expansion — the full engine), with the simulated fetch calibrated to
-~8 ms CPU/URL (md5 over 2 MiB ≈ a realistic HTML parse+tokenize cost), so
+~13 ms CPU/URL (md5 over 4 MiB ≈ a heavy page parse+tokenize cost), so
 the measurement is dominated by useful per-URL compute rather than
 orchestration. Plus per-operator timings over ``$GRAFT_SF_DIR`` testdata.
 
@@ -11,9 +11,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: reruns the headline in fresh processes at num_cpus=8 and 32
-on the same input and reports both throughputs + scaling efficiency
-(the sandbox stand-in for the N vs 4N node criterion — SURVEY.md §4.3).
+``--scaling``: reruns the headline in fresh processes at num_cpus=4 and
+16 (N and 4N) on the same input and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion —
+SURVEY.md §4.3).
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ BENCH_QUERIES = [
     "events_topk_per_user", "dedup_exact", "text_stats", "spans_flat",
     "ngram_top_pairs", "knn_bruteforce", "knn_lsh", "embedding_dup_pairs",
     "minhash_lsh_groups", "simhash_docs", "text_analysis", "media_metadata",
+    "knn_ivf", "events_windowed", "user_activity", "curate_docs",
 ]
 
 SEEDS = 100_000

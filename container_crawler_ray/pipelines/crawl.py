@@ -15,7 +15,7 @@ frontier size):
       → union(retry re-injections)                                [J3]
       → map_batches(mod-ownership tag)                            [M1]
       → map_batches(seen probe, per-worker cached shard clients)  [J1]
-      → groupby(host).map_groups(politeness/robots/top-k)    [O1/T6/J2/M5]
+      → groupby(host_hash).map_groups(politeness/robots/top-k) [O1/T6/J2/M5]
         (the ONE per-pass shuffle — the priority-frontier exchange)
       → map_batches(seen mark: scheduled rows only)               [T5]
       → map_batches(fetch: actor pool or elastic tasks)      [T1/M2/M3]
@@ -526,7 +526,7 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     # cache (stages/probe.py): Ray's long-lived workers amortize the
     # named-actor lookups across passes, with no per-pass pool spin-up
     pipe = pipe.map_batches(make_probe_fn(seen_args), batch_format="pyarrow")
-    pipe = pipe.groupby("host").map_groups(
+    pipe = pipe.groupby("host_hash").map_groups(
         make_schedule_fn(robots_ref, buckets_ref, cfg.pass_time_ms,
                          cfg.bucket_capacity_factor),
         batch_format="pandas",
