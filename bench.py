@@ -124,7 +124,7 @@ def scaling() -> None:
     The low level runs once (long wall → noise amortized); the high level
     runs best-of-2 (short wall → vulnerable to CPU-steal spikes)."""
     results = {}
-    for ncpu, reps in ((SCALE_LO, 1), (SCALE_HI, 2)):
+    for ncpu, reps in ((SCALE_LO, 1), (SCALE_HI, 3)):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=SF_DIR, GRAFT_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPS=str(reps))
