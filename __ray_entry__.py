@@ -49,31 +49,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
-        "minhash_lsh_groups": dedup.minhash_lsh_groups,   # rows-only
-        "simhash_docs": dedup.simhash_docs,               # rows-only
+        "minhash_lsh_groups": dedup.minhash_lsh_groups,   # golden oracle
+        "simhash_docs": dedup.simhash_docs,               # golden oracle
         # similarity search
         "knn_bruteforce": ann.knn_bruteforce,
-        "knn_lsh": ann.knn_lsh,                           # rows-only
-        "knn_ivf": ann.knn_ivf,                           # rows-only
+        "knn_lsh": ann.knn_lsh,                           # golden oracle
+        "knn_ivf": ann.knn_ivf,                           # golden oracle
         # text analysis
         "text_stats": analytics.text_stats,
-        "text_analysis": text_ops.text_analysis,          # rows-only
+        "text_analysis": text_ops.text_analysis,          # golden oracle
         # interleaved spans (input_hint shape)
         "spans_flat": spans.spans_flat,
         # curation composition
         "curate_docs": curate.curate_docs,
-        "curate_dedup": curate.curate_dedup,              # rows-only
+        "curate_dedup": curate.curate_dedup,              # golden oracle
         # multimodal plumbing
         "media_metadata": media.media_metadata,
-        # crawl engine itself (rows-only: stateful multi-pass)
+        # crawl engine (stateful multi-pass; goldens from the independent
+        # single-threaded spec oracle in tests/oracle.py)
         "crawl_pass_docs": crawl_queries.crawl_pass_docs,
         "frontier_host_stats": crawl_queries.frontier_host_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins. Two oracle classes:
+
+    - SQL-recomputed: the query's semantics re-expressed in ANSI SQL over
+      the registered table views (most entries).
+    - Golden-file: queries whose semantics SQL cannot express (LSH/IVF
+      probing, minhash group propagation, heuristic scoring, the stateful
+      multi-pass crawl). Their DuckDB side reads a parquet golden under
+      ``tests/golden/`` produced at sf0.01 by INDEPENDENT single-process
+      reimplementations (``tools/make_goldens.py`` — plain Python loops,
+      no Ray, no pipeline imports), so the distributed machinery is
+      checked against straight-line reference code, value-exact.
+    """
     md5h = "CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)"
-    return {
+    gold = "/root/repo/tests/golden"
+    golden_queries = ["simhash_docs", "text_analysis", "minhash_lsh_groups",
+                      "curate_dedup", "knn_lsh", "knn_ivf",
+                      "frontier_host_stats", "crawl_pass_docs"]
+    goldens = {
+        name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
+        for name in golden_queries
+    }
+    return goldens | {
         "docs_per_lang": """
             SELECT lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

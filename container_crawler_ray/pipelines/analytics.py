@@ -147,8 +147,10 @@ def events_topk_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
 # ------------------------------------------------------------------ joins
 def region_revenue(sf_dir: str) -> pd.DataFrame:
     """J2 broadcast-small-side join chain: orders ⨝ customer ⨝ nation ⨝
-    region, dims broadcast once via ray.put, probed per batch (no
-    shuffle join for dimension tables)."""
+    region. The dim chain collapses on the driver into one int8 numpy
+    index array (custkey → region index) broadcast once via ray.put; the
+    probe is a single vectorized numpy take per batch — no shuffle join,
+    no per-row dict lookups."""
     import pyarrow.parquet as pq
     import ray
 
@@ -157,33 +159,36 @@ def region_revenue(sf_dir: str) -> pd.DataFrame:
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet")
-    nat_to_reg = dict(zip(nat.column("n_nationkey").to_pylist(),
-                          nat.column("n_regionkey").to_pylist()))
-    reg_name = dict(zip(reg.column("r_regionkey").to_pylist(),
-                        reg.column("r_name").to_pylist()))
-    cust_to_region = {
-        c: reg_name[nat_to_reg[n]]
-        for c, n in zip(cust.column("c_custkey").to_pylist(),
-                        cust.column("c_nationkey").to_pylist())
-    }
-    lookup_ref = ray.put(cust_to_region)
+    reg_keys = reg.column("r_regionkey").to_numpy()
+    reg_names = reg.column("r_name").to_pylist()
+    # nationkey → region index (dense int keys in the TPC-H dims)
+    nat_keys = nat.column("n_nationkey").to_numpy()
+    nat_reg = nat.column("n_regionkey").to_numpy()
+    reg_pos = np.full(int(reg_keys.max()) + 1, -1, dtype=np.int8)
+    reg_pos[reg_keys] = np.arange(len(reg_keys), dtype=np.int8)
+    nat_to_ri = np.full(int(nat_keys.max()) + 1, -1, dtype=np.int8)
+    nat_to_ri[nat_keys] = reg_pos[nat_reg]
+    cust_keys = cust.column("c_custkey").to_numpy()
+    cust_nat = cust.column("c_nationkey").to_numpy()
+    cust_to_ri = np.full(int(cust_keys.max()) + 1, -1, dtype=np.int8)
+    cust_to_ri[cust_keys] = nat_to_ri[cust_nat]
+    lookup_ref = ray.put((cust_to_ri, reg_names))
 
-    class JoinStage:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)  # once per actor
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            names = [self.lookup[k] for k in keys]
-            cents = np.floor(
-                t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
-            return pa.table({"r_name": pa.array(names, type=pa.string()),
-                             "price_cents": pa.array(cents)})
+    def join_fn(t: pa.Table) -> pa.Table:
+        lut, names = ray.get(lookup_ref)    # zero-copy plasma lookup
+        keys = t.column("o_custkey").to_numpy()
+        ri = lut[keys]
+        name_col = pc.take(pa.array(names, type=pa.string()),
+                           pa.array(ri.astype(np.int64)))
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({"r_name": name_col,
+                         "price_cents": pa.array(cents)})
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    out = ds.map_batches(JoinStage, fn_constructor_args=(lookup_ref,),
-                         batch_format="pyarrow", concurrency=2,
-                         num_cpus=0.5).groupby("r_name").aggregate(
+    out = ds.map_batches(join_fn, batch_format="pyarrow").groupby(
+        "r_name"
+    ).aggregate(
         Count(alias_name="n_orders"),
         Sum("price_cents", alias_name="revenue_cents"),
     )

@@ -1,15 +1,23 @@
 """Approximate-nearest-neighbor search over the ``embeddings`` table.
 
-Two paths (SURVEY-mandated similarity-search component):
+Three paths (SURVEY-mandated similarity-search component):
 
 - ``knn_bruteforce``: exact cosine top-k — broadcast the (small) query
   matrix via ``ray.put`` once, one numpy matmul per batch against it,
   per-batch local top-k, tiny final merge. This is the correctness
   baseline and the SQL-checkable entry.
-- ``knn_lsh``: the scale path — random-hyperplane LSH buckets
-  (signature = sign pattern of H projections); probe only same-bucket
-  (plus multiprobe flip-1) candidates. Recall measured against the
-  brute-force baseline in tests.
+- ``knn_lsh``: random-hyperplane LSH buckets (signature = sign pattern of
+  H projections); probe only same-bucket (plus multiprobe flip-≤F)
+  candidates, one matmul per (bucket, probing-query-set). Recall measured
+  against the brute-force baseline in tests.
+- ``knn_ivf``: k-means coarse quantizer trained on a DETERMINISTIC hash
+  sample of the vectors (never the full matrix on the driver — the
+  100 TB path); each query scores only its ``nprobe`` nearest lists.
+
+All scoring stages are plain task-mode ``map_batches`` functions: the
+broadcast state is numpy arrays in the object store (``ray.put`` once),
+and ``ray.get`` inside the task is a zero-copy local lookup — no actor
+pool to warm up, and the stage autoscales to the cluster.
 
 Similarity math is float64 end-to-end; reported as basis points
 (floor(sim*10000)) for integer-exact oracle comparison.
@@ -24,67 +32,72 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from ..functions.vectors import list_col_to_matrix, normalize_rows
+
 
 def _load_queries(sf_dir: str, n_queries: int):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    ids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    mat = list_col_to_matrix(tbl.column("embedding"))
     sel = ids < n_queries
-    q = mat[sel]
-    qn = np.linalg.norm(q, axis=1)
-    qn[qn == 0] = 1.0
-    return ids[sel], q / qn[:, None]
+    return ids[sel], normalize_rows(mat[sel])
 
 
-class BruteForceKNN:
-    """Per-batch scoring stage: batch block × broadcast query matrix."""
-
-    def __init__(self, qref, k: int):
-        self.qids, self.qmat = ray.get(qref)
-        self.k = k
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-        m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(m, axis=1)
-        n[n == 0] = 1.0
-        m = m / n[:, None]
-        sims = self.qmat @ m.T                      # (Q, batch)
-        rows = {"query_id": [], "neighbor_id": [], "sim_bp": []}
-        k = min(self.k, sims.shape[1])
-        bp_all = np.floor(sims * 10000).astype(np.int64)
-        for qi in range(sims.shape[0]):
-            mask = ids != self.qids[qi]             # exclude self
-            cand = np.flatnonzero(mask)
-            if len(cand) == 0:
-                continue
-            # local top-k in the SAME order as the global merge and the
-            # SQL oracle (sim_bp desc, neighbor_id asc) so boundary ties
-            # are pruned identically
-            bp = bp_all[qi][cand]
-            order = np.lexsort((ids[cand], -bp))[:k]
-            top = cand[order]
-            rows["query_id"].extend([int(self.qids[qi])] * len(top))
-            rows["neighbor_id"].extend(ids[top].tolist())
-            rows["sim_bp"].extend(bp_all[qi][top].tolist())
-        return pa.table({k2: pa.array(v, type=pa.int64())
-                         for k2, v in rows.items()})
+def _read_embeddings(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
 
 
-def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
-    qids, qmat = _load_queries(sf_dir, n_queries)
-    qref = ray.put((qids, qmat))
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    local = ds.map_batches(BruteForceKNN, fn_constructor_args=(qref, k),
-                           batch_format="pyarrow", concurrency=2,
-                           num_cpus=0.5).to_pandas()
-    # final merge: global top-k per query with deterministic tie-break
+def _global_topk(local: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Merge per-batch candidate lists into the global top-k per query with
+    the deterministic (sim desc, neighbor asc) tie-break the SQL oracle
+    uses."""
     out = (local.sort_values(["query_id", "sim_bp", "neighbor_id"],
                              ascending=[True, False, True])
            .groupby("query_id", as_index=False).head(k))
     return out.reset_index(drop=True)
+
+
+def make_bruteforce_fn(qref, k: int):
+    """Per-batch scoring: batch block × broadcast query matrix. Local top-k
+    is taken in the SAME order as the global merge so boundary ties are
+    pruned identically."""
+
+    def score(t: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(qref)          # zero-copy plasma lookup
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        sims = qmat @ m.T                   # (Q, batch)
+        bp_all = np.floor(sims * 10000).astype(np.int64)
+        kk = min(k, sims.shape[1])
+        q_out, n_out, s_out = [], [], []
+        for qi in range(sims.shape[0]):
+            cand = np.flatnonzero(ids != qids[qi])   # exclude self
+            if len(cand) == 0:
+                continue
+            bp = bp_all[qi][cand]
+            order = np.lexsort((ids[cand], -bp))[:kk]
+            top = cand[order]
+            q_out.append(np.full(len(top), qids[qi], dtype=np.int64))
+            n_out.append(ids[top])
+            s_out.append(bp_all[qi][top])
+        if not q_out:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim_bp": pa.array([], type=pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(q_out)),
+                         "neighbor_id": pa.array(np.concatenate(n_out)),
+                         "sim_bp": pa.array(np.concatenate(s_out))})
+
+    return score
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 10, k: int = 5) -> pd.DataFrame:
+    qref = ray.put(_load_queries(sf_dir, n_queries))
+    local = _read_embeddings(sf_dir).map_batches(
+        make_bruteforce_fn(qref, k), batch_format="pyarrow").to_pandas()
+    return _global_topk(local, k)
 
 
 def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
@@ -111,53 +124,57 @@ def knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
         for r in range(1, max_flips + 1)
         for combo in combinations(range(n_planes), r)
     ]
-    probe: dict[int, set[int]] = {}
+    # bucket → sorted array of probing query indices (arrays, not sets —
+    # the per-batch probe is one matmul per (bucket, query-set))
+    probe_sets: dict[int, set[int]] = {}
     for qi, s in enumerate(qsig):
         for m_ in flip_masks:
-            probe.setdefault(int(s) ^ m_, set()).add(qi)
+            probe_sets.setdefault(int(s) ^ m_, set()).add(qi)
+    probe = {b: np.fromiter(sorted(v), dtype=np.int64)
+             for b, v in probe_sets.items()}
     qref = ray.put((qids, qmat, probe))
 
-    class LSHKNN:
-        def __init__(self, ref, k):
-            self.qids, self.qmat, self.probe = ray.get(ref)
-            self.k = k
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qmat_, probe_ = ray.get(qref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        sig = signature(m)
+        # group batch vectors by bucket: one matmul per occupied bucket
+        order = np.argsort(sig, kind="stable")
+        uniq, starts = np.unique(sig[order], return_index=True)
+        bounds = np.append(starts, len(order))
+        q_out, n_out, s_out = [], [], []
+        for ui, b in enumerate(uniq):
+            qis = probe_.get(int(b))
+            if qis is None:
+                continue
+            rows = order[bounds[ui]:bounds[ui + 1]]
+            sims = qmat_[qis] @ m[rows].T            # (|qis|, |rows|)
+            bp = np.floor(sims * 10000).astype(np.int64)
+            sub_ids = ids[rows]
+            for row_i, qi in enumerate(qis):
+                keep = sub_ids != qids_[qi]
+                q_out.append(np.full(int(keep.sum()), qids_[qi],
+                                     dtype=np.int64))
+                n_out.append(sub_ids[keep])
+                s_out.append(bp[row_i][keep])
+        if not q_out:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim_bp": pa.array([], type=pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(q_out)),
+                         "neighbor_id": pa.array(np.concatenate(n_out)),
+                         "sim_bp": pa.array(np.concatenate(s_out))})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = 1.0
-            m = m / n[:, None]
-            sig = signature(m)
-            rows = {"query_id": [], "neighbor_id": [], "sim_bp": []}
-            # invert: for each vector, which queries probe its bucket
-            for vi in range(len(ids)):
-                for qi in self.probe.get(int(sig[vi]), ()):
-                    if ids[vi] == self.qids[qi]:
-                        continue
-                    s = float(self.qmat[qi] @ m[vi])
-                    rows["query_id"].append(int(self.qids[qi]))
-                    rows["neighbor_id"].append(int(ids[vi]))
-                    rows["sim_bp"].append(int(np.floor(s * 10000)))
-            return pa.table({k2: pa.array(v, type=pa.int64())
-                             for k2, v in rows.items()})
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    local = ds.map_batches(LSHKNN, fn_constructor_args=(qref, k),
-                           batch_format="pyarrow", concurrency=2,
-                           num_cpus=0.5).to_pandas()
-    out = (local.sort_values(["query_id", "sim_bp", "neighbor_id"],
-                             ascending=[True, False, True])
-           .groupby("query_id", as_index=False).head(k))
-    return out.reset_index(drop=True)
+    local = _read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    return _global_topk(local, k)
 
 
 def _kmeans(mat: np.ndarray, k: int, iters: int = 8,
             seed: int = 42) -> np.ndarray:
-    """Deterministic Lloyd k-means (numpy) for the IVF coarse quantizer.
-    Runs on the driver over a sample — at scale this trains on
-    ds.random_sample() and broadcasts the centroid matrix."""
+    """Deterministic Lloyd k-means (numpy) for the IVF coarse quantizer —
+    runs on the driver over the (bounded) training sample only."""
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(iters):
@@ -170,62 +187,78 @@ def _kmeans(mat: np.ndarray, k: int, iters: int = 8,
     return cent
 
 
+def _train_sample(sf_dir: str, target_rows: int = 4096) -> np.ndarray:
+    """Deterministic distributed sample for quantizer training: keep rows
+    with ``mix64(vec_id) % gap == 0`` inside map_batches, so only the
+    ~``target_rows`` sampled vectors ever reach the driver (same plan at
+    any data scale; hash sampling is reproducible, unlike
+    ``random_sample``'s per-block RNG)."""
+    from ..functions.hashing import mix64
+
+    total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    gap = max(1, total // target_rows)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.uint64)
+        keep = (mix64(ids) % np.uint64(gap)) == 0
+        return t.filter(pa.array(keep))
+
+    tbls = ray.get(
+        _read_embeddings(sf_dir)
+        .map_batches(sample, batch_format="pyarrow").to_arrow_refs())
+    tbls = [t for t in tbls if len(t)]
+    mat = np.concatenate([list_col_to_matrix(t.column("embedding"))
+                          for t in tbls]) if tbls \
+        else np.empty((0, 0), dtype=np.float64)
+    return mat
+
+
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
             n_lists: int = 16, nprobe: int = 6) -> pd.DataFrame:
     """IVF ANN: vectors bucketed by nearest of ``n_lists`` k-means
-    centroids (broadcast); each query scores only vectors in its
-    ``nprobe`` nearest lists. Same output shape/ordering as the
-    brute-force baseline; recall measured in tests."""
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    full = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    cent = _kmeans(full, n_lists)
-    centn = cent / np.maximum(np.linalg.norm(cent, axis=1), 1e-12)[:, None]
+    centroids (trained on a hash sample, broadcast); each query scores
+    only vectors in its ``nprobe`` nearest lists. Same output
+    shape/ordering as the brute-force baseline; recall measured in tests.
+    """
+    cent = _kmeans(_train_sample(sf_dir), n_lists)
+    centn = normalize_rows(cent.copy())
     qids, qmat = _load_queries(sf_dir, n_queries)
-    # query → probe lists (by centroid cosine)
+    # query → probe lists (by centroid cosine); inverted to list → queries
     qc = qmat @ centn.T
     probe_lists = np.argsort(-qc, axis=1)[:, :nprobe]
-    probe_of_list: dict[int, list[int]] = {}
-    for qi, lists in enumerate(probe_lists):
-        for li in lists:
-            probe_of_list.setdefault(int(li), []).append(qi)
+    probe_of_list: dict[int, np.ndarray] = {}
+    for li in np.unique(probe_lists):
+        qis = np.flatnonzero((probe_lists == li).any(axis=1))
+        probe_of_list[int(li)] = qis.astype(np.int64)
     ref = ray.put((qids, qmat, centn, probe_of_list))
 
-    class IVFKNN:
-        def __init__(self, ref, k):
-            self.qids, self.qmat, self.centn, self.probe = ray.get(ref)
-            self.k = k
+    def score(t: pa.Table) -> pa.Table:
+        qids_, qmat_, centn_, probe_ = ray.get(ref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        lists = (m @ centn_.T).argmax(axis=1)
+        q_out, n_out, s_out = [], [], []
+        for li, qis in probe_.items():
+            vm = lists == li
+            if not vm.any():
+                continue
+            sub_ids = ids[vm]
+            sims = qmat_[qis] @ m[vm].T
+            bp = np.floor(sims * 10000).astype(np.int64)
+            for row_i, qi in enumerate(qis):
+                keep = sub_ids != qids_[qi]
+                q_out.append(np.full(int(keep.sum()), qids_[qi],
+                                     dtype=np.int64))
+                n_out.append(sub_ids[keep])
+                s_out.append(bp[row_i][keep])
+        if not q_out:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim_bp": pa.array([], type=pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(q_out)),
+                         "neighbor_id": pa.array(np.concatenate(n_out)),
+                         "sim_bp": pa.array(np.concatenate(s_out))})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-            m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-            n = np.linalg.norm(m, axis=1)
-            n[n == 0] = 1.0
-            m = m / n[:, None]
-            lists = (m @ self.centn.T).argmax(axis=1)
-            rows = {"query_id": [], "neighbor_id": [], "sim_bp": []}
-            for li, qis in self.probe.items():
-                vm = lists == li
-                if not vm.any():
-                    continue
-                sub_ids = ids[vm]
-                sims = self.qmat[qis] @ m[vm].T
-                bp = np.floor(sims * 10000).astype(np.int64)
-                for row_i, qi in enumerate(qis):
-                    keep = sub_ids != self.qids[qi]
-                    rows["query_id"].extend(
-                        [int(self.qids[qi])] * int(keep.sum()))
-                    rows["neighbor_id"].extend(sub_ids[keep].tolist())
-                    rows["sim_bp"].extend(bp[row_i][keep].tolist())
-            return pa.table({k2: pa.array(v, type=pa.int64())
-                             for k2, v in rows.items()})
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    local = ds.map_batches(IVFKNN, fn_constructor_args=(ref, k),
-                           batch_format="pyarrow", concurrency=2,
-                           num_cpus=0.5).to_pandas()
-    out = (local.sort_values(["query_id", "sim_bp", "neighbor_id"],
-                             ascending=[True, False, True])
-           .groupby("query_id", as_index=False).head(k))
-    return out.reset_index(drop=True)
+    local = _read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    return _global_topk(local, k)

@@ -42,46 +42,150 @@ def _word_shingles(text: str, k: int) -> np.ndarray:
         dtype=np.uint64, count=len(toks) - k + 1))
 
 
-class MinHashStage:
-    """Per-batch minhash sketches. The permutation coefficients are fixed
-    derived constants (once per actor) — universal hashing
-    h_i(x) = (a_i * x + b_i) mod (2^61-1)."""
+_MINHASH_COEF: dict[int, tuple] = {}
 
-    def __init__(self, k: int = 3):
-        self.k = k
+
+def _minhash_coefs():
+    """Fixed universal-hash coefficients h_i(x) = (a_i*x + b_i) mod 2^61-1,
+    derived once per worker process."""
+    c = _MINHASH_COEF.get(NUM_PERM)
+    if c is None:
         rng = np.random.RandomState(42)
-        self.a = rng.randint(1, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+        a = rng.randint(1, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+        b = rng.randint(0, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64)
+        c = (a, b)
+        _MINHASH_COEF[NUM_PERM] = c
+    return c
 
-    def sketch(self, sh: np.ndarray) -> np.ndarray:
-        if len(sh) == 0:
-            return np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            hv = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _P61
-        return hv.min(axis=1)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        doc_ids = t.column("doc_id").to_pylist()
+def make_minhash_fn(k: int):
+    """Per-batch minhash → band-hash rows. The per-doc sketch is a numpy
+    matmul-shaped kernel over the doc's shingles; the band hashing runs
+    ONCE for the whole batch on the stacked (docs × NUM_PERM) sketch
+    matrix."""
+
+    def minhash(t: pa.Table) -> pa.Table:
+        a, b = _minhash_coefs()
+        doc_ids = t.column("doc_id").to_numpy().astype(np.int64)
         texts = t.column("text").to_pylist()
-        rows_doc, rows_band, rows_hash = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            mh = self.sketch(_word_shingles(text, self.k))
-            bands = mh.reshape(BANDS, ROWS_PER_BAND)
-            with np.errstate(over="ignore"):
-                bh = mix64(bands[:, 0].copy())
-                for j in range(1, ROWS_PER_BAND):
-                    bh = mix64(bh ^ bands[:, j])
-            for b in range(BANDS):
-                rows_doc.append(doc_id)
-                rows_band.append(b)
-                rows_hash.append(int(bh[b]))
+        n = len(texts)
+        sk = np.empty((n, NUM_PERM), dtype=np.uint64)
+        maxu = np.iinfo(np.uint64).max
+        with np.errstate(over="ignore"):
+            for i, text in enumerate(texts):
+                sh = _word_shingles(text, k)
+                if len(sh) == 0:
+                    sk[i] = maxu
+                else:
+                    sk[i] = ((sh[None, :] * a[:, None] + b[:, None])
+                             % _P61).min(axis=1)
+            # band hash: fold ROWS_PER_BAND sketch values per band,
+            # vectorized over (docs × BANDS) at once
+            bands = sk.reshape(n, BANDS, ROWS_PER_BAND)
+            bh = mix64(bands[:, :, 0].copy())
+            for j in range(1, ROWS_PER_BAND):
+                bh = mix64(bh ^ bands[:, :, j])
         return pa.table(
             {
-                "doc_id": pa.array(rows_doc, type=pa.int64()),
-                "band": pa.array(rows_band, type=pa.int32()),
-                "band_hash": pa.array(np.array(rows_hash, dtype=np.uint64)),
+                "doc_id": pa.array(np.repeat(doc_ids, BANDS)),
+                "band": pa.array(np.tile(np.arange(BANDS, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
             }
         )
+
+    return minhash
+
+
+def _shingle_explode_fn(k: int, cand_ref):
+    """(doc_id, shingle_hash) rows for CANDIDATE docs only (broadcast id
+    set, sorted for searchsorted membership)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(cand, ids), 0, len(cand) - 1)
+        keep = np.flatnonzero(cand[pos] == ids)
+        texts = t.column("text").to_pylist()
+        out_ids, out_sh = [], []
+        for i in keep:
+            sh = _word_shingles(texts[i], k)
+            out_ids.append(np.full(len(sh), ids[i], dtype=np.int64))
+            out_sh.append(sh)
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "shingle_hash": pa.array([], type=pa.uint64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_ids)),
+                         "shingle_hash": pa.array(np.concatenate(out_sh))})
+
+    return explode
+
+
+def _propagate_components(edges: pd.DataFrame,
+                          max_rounds: int = 8) -> pd.DataFrame:
+    """Distributed connected components by iterative min-label propagation
+    (the 100 TB path — no driver union-find): each round is
+    ``groupby(src)`` message fan-out + ``groupby(node)`` min-reduce over
+    Ray Data; the driver sees only the per-round changed COUNT. Converges
+    in O(component diameter) rounds; near-dup components are dense
+    (cliques from band collisions), so 2–3 rounds is typical."""
+    both = pd.DataFrame({
+        "src": np.concatenate([edges["a"].to_numpy(), edges["b"].to_numpy()]),
+        "dst": np.concatenate([edges["b"].to_numpy(), edges["a"].to_numpy()]),
+    })
+    edges_ds = ray.data.from_pandas(both)
+    nodes = np.unique(both["src"].to_numpy())
+    labels = ray.data.from_pandas(
+        pd.DataFrame({"node": nodes, "label": nodes}))
+
+    def fanout(g: pd.DataFrame) -> pd.DataFrame:
+        # group = one node's label row (kind 0) + its out-edges (kind 1)
+        lab = g.loc[g["kind"] == 0, "label"]
+        if len(lab) == 0:       # node with edges but no label row (never
+            return pd.DataFrame({"node": [], "label": [], "kind": []})
+        lv = int(lab.min())
+        dsts = g.loc[g["kind"] == 1, "dst"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "node": np.concatenate([g.loc[g["kind"] == 0, "node"].to_numpy()[:1],
+                                    dsts]),
+            "label": np.full(1 + len(dsts), lv, dtype=np.int64),
+            "kind": np.concatenate([np.array([0], dtype=np.int8),
+                                    np.ones(len(dsts), dtype=np.int8)]),
+        })
+
+    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        new = int(g["label"].min())
+        old = int(g.loc[g["kind"] == 0, "label"].min())
+        return pd.DataFrame({"node": g["node"].iloc[:1],
+                             "label": [new],
+                             "changed": [int(new < old)]})
+
+    for _ in range(max_rounds):
+        tagged = labels.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "label": t.column("label"),
+                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }), batch_format="pyarrow",
+        ).union(edges_ds.map_batches(
+            lambda t: pa.table({
+                "node": t.column("src").cast(pa.int64()),
+                "label": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "dst": t.column("dst").cast(pa.int64()),
+                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
+            }), batch_format="pyarrow"))
+        msgs = tagged.groupby("node").map_groups(fanout,
+                                                 batch_format="pandas")
+        new_labels = msgs.groupby("node").map_groups(
+            min_reduce, batch_format="pandas").materialize()
+        changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"])
+        if not changed:
+            break
+    out = labels.to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["label"] = out["label"].astype(np.int64)
+    return out
 
 
 def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
@@ -89,108 +193,170 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
     """Near-dup groups: (doc_id, group_id) where group_id = min doc_id of
     the connected component over verified candidate pairs.
 
-    Candidate pairs come from LSH band buckets; verification recomputes
-    exact shingle Jaccard for each candidate pair (pair list is small —
-    the pairwise step never touches non-colliding docs). Components by
-    union-find over the verified pair list on the driver; at 10^10 scale
-    this becomes iterative min-label propagation (groupby rounds), which
-    the same pair list feeds."""
+    Cluster-shaped end to end (nothing un-bounded touches the driver):
+
+    1. minhash sketches + LSH band explode (map_batches) — the band
+       groupby moves one (band, hash, doc) row per band per doc, never
+       text;
+    2. candidate pairs per bucket (``groupby(band, band_hash)``,
+       vectorized triu expansion), dedup'd by a pair-key groupby — the
+       pair LIST is bounded by the collision set and is the only thing
+       the driver holds;
+    3. exact-Jaccard verification WITHOUT raw text on the driver: shingle
+       rows are exploded for candidate docs only (broadcast sorted id
+       array), hash-bucketed 256 ways, self-merged per bucket restricted
+       to the candidate pair set (broadcast pair-key array), then reduced
+       to (a, b, inter) + per-doc shingle counts;
+    4. connected components by distributed min-label propagation
+       (``_propagate_components``) — no driver union-find;
+    5. group ids join back to ALL docs via a broadcast (dup-docs-only)
+       label map, default group_id = doc_id.
+    """
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
-    bands = docs.map_batches(MinHashStage, fn_constructor_kwargs={"k": k},
-                             batch_format="pyarrow", concurrency=2,
-                             num_cpus=0.5)
+    bands = docs.map_batches(make_minhash_fn(k), batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique().tolist())
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"a": out_a, "b": out_b})
+        ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64)})
+        ai, bi = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    pairs = pairs.drop_duplicates()
+    # pair dedup across bands: bucket by pair-key hash (ONE bounded
+    # shuffle with a vectorized per-bucket reduce — per-pair groups would
+    # pay one task per tiny group)
+    def add_pbucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = (g["a"].to_numpy(dtype=np.int64) * 1000003
+               + g["b"].to_numpy(dtype=np.int64))
+        g = g.copy()
+        g["pbucket"] = (key % 64).astype(np.int32)
+        return g
+
+    pairs = (bands.groupby(["band", "band_hash"])
+             .map_groups(bucket_pairs, batch_format="pandas")
+             .map_batches(add_pbucket, batch_format="pandas")
+             .groupby("pbucket").map_groups(
+                 lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
+                 batch_format="pandas")
+             .to_pandas())
+    all_ids_tbls = ray.get(docs.select_columns(["doc_id"]).to_arrow_refs())
+    all_ids = np.sort(np.concatenate(
+        [t.column("doc_id").to_numpy() for t in all_ids_tbls
+         if len(t)])).astype(np.int64)
     if len(pairs) == 0:
-        ids = docs.to_pandas()["doc_id"]
-        return pd.DataFrame({"doc_id": ids, "group_id": ids})
+        return pd.DataFrame({"doc_id": all_ids, "group_id": all_ids})
+    pa_arr = pairs["a"].to_numpy().astype(np.int64)
+    pb_arr = pairs["b"].to_numpy().astype(np.int64)
 
-    # verify candidates with exact jaccard (broadcast the candidate doc
-    # texts only — bounded by the collision set)
-    cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ray.data.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ).map_batches(
-            lambda t: t.filter(
-                pa.compute.is_in(t.column("doc_id"),
-                                 value_set=pa.array(cand_ids))),
-            batch_format="pyarrow",
-        ).to_pandas().to_dict("records")
-    }
-    sh = {i: set(_word_shingles(texts[i], k).tolist()) for i in cand_ids}
-    verified = []
-    for a, b in zip(pairs["a"], pairs["b"]):
-        inter = len(sh[a] & sh[b])
-        union = len(sh[a] | sh[b])
-        if union and inter / union >= jaccard_tau:
-            verified.append((a, b))
+    # --- distributed exact-Jaccard verification -------------------------
+    cand_ids = np.unique(np.concatenate([pa_arr, pb_arr]))
+    cand_ref = ray.put(cand_ids)
+    pair_keys = np.sort(pa_arr * np.int64(1 << 32) + pb_arr)
+    pkey_ref = ray.put(pair_keys)
+    sh = docs.map_batches(_shingle_explode_fn(k, cand_ref),
+                          batch_format="pyarrow")
 
-    parent: dict[int, int] = {}
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (mix64(t.column("shingle_hash").to_numpy().astype(np.uint64))
+             % np.uint64(256)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    def bucket_inter(g: pd.DataFrame) -> pd.DataFrame:
+        pk = ray.get(pkey_ref)
+        m = g[["shingle_hash", "doc_id"]].merge(
+            g[["shingle_hash", "doc_id"]], on="shingle_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if not len(m):
+            return pd.DataFrame({"a": np.array([], dtype=np.int64),
+                                 "b": np.array([], dtype=np.int64),
+                                 "inter_part": np.array([], dtype=np.int64)})
+        key = (m["doc_id_x"].to_numpy().astype(np.int64) * np.int64(1 << 32)
+               + m["doc_id_y"].to_numpy().astype(np.int64))
+        pos = np.searchsorted(pk, key)
+        pos[pos >= len(pk)] = len(pk) - 1
+        m = m[pk[pos] == key]       # candidate pairs only
+        out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
+            name="inter_part")
+        out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        out["pbucket"] = ((out["a"] * 1000003 + out["b"]) % 64).astype(
+            "int32")
+        return out
 
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-    all_ids = docs.to_pandas()["doc_id"].tolist()
-    return pd.DataFrame({"doc_id": all_ids,
-                         "group_id": [find(i) for i in all_ids]})
+    inter = (sh.map_batches(bucketize, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_inter,
+                                           batch_format="pandas")
+             .groupby("pbucket").map_groups(
+                 lambda g: g.groupby(["a", "b"], as_index=False)
+                 ["inter_part"].sum(), batch_format="pandas")
+             .to_pandas())
+    sizes = sh.groupby("doc_id").aggregate(
+        Count(alias_name="n_sh")).to_pandas()
+    size_of = dict(zip(sizes["doc_id"].astype(np.int64),
+                       sizes["n_sh"].astype(np.int64)))
+    if len(inter):
+        na = inter["a"].map(size_of).to_numpy(dtype=np.int64)
+        nb = inter["b"].map(size_of).to_numpy(dtype=np.int64)
+        iv = inter["inter_part"].to_numpy(dtype=np.int64)
+        union = na + nb - iv
+        verified = inter.loc[(union > 0) & (iv / np.maximum(union, 1)
+                                            >= jaccard_tau), ["a", "b"]]
+    else:
+        verified = inter
+    if not len(verified):
+        return pd.DataFrame({"doc_id": all_ids, "group_id": all_ids})
+
+    # --- distributed components + broadcast label join back -------------
+    comp = _propagate_components(verified, max_rounds=max_rounds)
+    lbl_nodes = comp["node"].to_numpy()
+    lbl_vals = comp["label"].to_numpy()
+    order = np.argsort(lbl_nodes)
+    lbl_nodes, lbl_vals = lbl_nodes[order], lbl_vals[order]
+    group = all_ids.copy()
+    pos = np.searchsorted(lbl_nodes, all_ids)
+    pos_c = np.clip(pos, 0, max(0, len(lbl_nodes) - 1))
+    hit = (len(lbl_nodes) > 0) & (lbl_nodes[pos_c] == all_ids)
+    group[hit] = lbl_vals[pos_c[hit]]
+    return pd.DataFrame({"doc_id": all_ids, "group_id": group})
 
 
-class SimHashStage:
-    """64-bit SimHash over word unigrams (vectorized bit-vote)."""
+def simhash_batch(t: pa.Table) -> pa.Table:
+    """64-bit SimHash over word unigrams. The bit-vote runs ONCE for the
+    whole batch: hash every token of every doc, build one (tokens × 64)
+    bit matrix, segment-sum per doc with ``np.add.reduceat`` — no per-doc
+    or per-bit Python loop."""
+    from ..functions.hashing import hash64_many
 
-    def __init__(self):
-        self._weights = np.arange(64, dtype=np.uint64)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        from ..functions.hashing import hash64
-
-        texts = t.column("text").to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, s in enumerate(texts):
-            toks = s.split()
-            if not toks:
-                continue
-            hv = np.fromiter((hash64(w) for w in toks), dtype=np.uint64,
-                             count=len(toks))
-            bits = ((hv[:, None] >> self._weights[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            sim = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    sim |= np.uint64(1) << np.uint64(b)
-            out[i] = sim
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "simhash": pa.array(out)})
+    texts = t.column("text").to_pylist()
+    tok_lists = [s.split() for s in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nz = counts > 0
+    if nz.any():
+        all_toks = [w for toks in tok_lists for w in toks]
+        hv = hash64_many(all_toks)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        # reduceat needs strictly-valid segment starts: reduce only over
+        # non-empty docs (empty docs keep simhash 0)
+        seg = np.add.reduceat(bits, starts[nz], axis=0)
+        pos = (2 * seg) > counts[nz, None]           # majority bit vote
+        weights = np.uint64(1) << shifts
+        out[nz] = (pos.astype(np.uint64) * weights[None, :]).sum(
+            axis=1, dtype=np.uint64)
+    return pa.table({"doc_id": t.column("doc_id"),
+                     "simhash": pa.array(out)})
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(SimHashStage, batch_format="pyarrow",
-                          concurrency=2, num_cpus=0.5).to_pandas()
+    return ds.map_batches(simhash_batch, batch_format="pyarrow").to_pandas()
 
 
 def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
@@ -271,51 +437,75 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
         {"a": "int64", "b": "int64", "inter": "int64", "union_n": "int64"})
 
 
-def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000) -> pd.DataFrame:
+def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000,
+                        block_rows: int = 8192) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (a < b, sim >= tau). Cosine in
     float64 on both sides; similarity reported in basis points
     (floor(sim*10000)) for integer-exact oracle comparison.
 
-    Ray shape: the (small) full matrix is broadcast once via ray.put;
-    each batch computes its block of the similarity matrix with one
-    numpy matmul — at scale this becomes block × block tiling with the
-    same kernel."""
+    Ray shape — block × block tiling (the 100 TB path; nothing global is
+    broadcast and the driver never holds a vector): the dataset is
+    repartitioned into ~``block_rows``-row blocks, each block is
+    normalized ONCE by a map_batches stage, and one raw Ray task per
+    upper-triangle block pair computes its tile of the similarity matrix
+    with a single matmul, emitting only the (a, b, sim_bp) hits. Raw
+    tasks are used because a pairwise block cross-product is the one
+    shape ``Dataset`` can't express without duplicating the data B times.
+    O(B²/2) tiles is inherent to all-pairs similarity; at scale the same
+    kernel runs per LSH/IVF bucket instead of per global tile."""
     import pyarrow.parquet as pq
-    import ray
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ref = ray.put((ids, matn))
+    from ..functions.vectors import list_col_to_matrix, normalize_rows
 
-    class BlockSim:
-        def __init__(self, ref, tau_bp):
-            self.ids, self.matn = ray.get(ref)
-            self.tau_bp = tau_bp
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            bids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-            bm = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-            bn = np.linalg.norm(bm, axis=1)
-            bn[bn == 0] = 1.0
-            bm = bm / bn[:, None]
-            sims = bm @ self.matn.T
-            bp = np.floor(sims * 10000).astype(np.int64)
-            ai, bj = np.nonzero(bp >= self.tau_bp)
-            a = bids[ai]
-            b = self.ids[bj]
-            keep = a < b
-            return pa.table({"a": pa.array(a[keep]),
-                             "b": pa.array(b[keep]),
-                             "sim_bp": pa.array(bp[ai[keep], bj[keep]])})
-
+    total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    n_blocks = max(1, (total + block_rows - 1) // block_rows)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    out = ds.map_batches(BlockSim, fn_constructor_args=(ref, tau_bp),
-                         batch_format="pyarrow", concurrency=2,
-                         num_cpus=0.5).to_pandas()
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
+
+    def norm_block(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        nvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1)), m.shape[1] if len(m) else 1)
+        return pa.table({"vec_id": pa.array(ids), "nvec": nvec})
+
+    blocks = ray.get(ds.map_batches(norm_block, batch_format="pyarrow",
+                                    batch_size=None).to_arrow_refs())
+    block_refs = [ray.put(b) for b in blocks if len(b)]
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia = ta.column("vec_id").to_numpy().astype(np.int64)
+        ib = tb.column("vec_id").to_numpy().astype(np.int64)
+        ma = list_col_to_matrix(ta.column("nvec"))
+        mb = list_col_to_matrix(tb.column("nvec"))
+        bp = np.floor((ma @ mb.T) * 10000).astype(np.int64)
+        ai, bj = np.nonzero(bp >= tau_bp)
+        a, b = ia[ai], ib[bj]
+        if same:
+            # full within-block matrix holds both mirror images (and the
+            # diagonal): a < b keeps exactly one copy of each pair
+            keep = a < b
+            a, b, s = a[keep], b[keep], bp[ai[keep], bj[keep]]
+        else:
+            # cross tile is computed once per unordered block pair; ids
+            # are disjoint across blocks but not ordered by block, so
+            # normalize each hit to (min, max) instead of filtering
+            s = bp[ai, bj]
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "sim_bp": pa.array(s)})
+
+    futs = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            futs.append(tile.remote(block_refs[i], block_refs[j], i == j))
+    tiles = [t for t in ray.get(futs) if len(t)]
+    if not tiles:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                             "b": pd.Series(dtype=np.int64),
+                             "sim_bp": pd.Series(dtype=np.int64)})
+    out = pa.concat_tables(tiles).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)

@@ -85,5 +85,5 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "text"])
     out = ds.map_batches(_to_payload, batch_format="pyarrow").map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=256,
-        concurrency=2, num_cpus=0.5)
+        concurrency=(1, 8))
     return out.to_pandas()

@@ -20,28 +20,54 @@ from ..schemas import SPAN_STRUCT
 
 
 def assemble_spans_batch(t: pa.Table) -> pa.Table:
-    doc_ids = t.column("doc_id").to_pylist()
+    """Batch-vectorized span assembly: tokenization is the only per-doc
+    Python step; kinds/payloads/offsets are built as flat numpy/Arrow
+    arrays and wrapped into the nested list<struct> column via
+    ``ListArray.from_arrays`` — no per-token dict building."""
+    doc_ids = [str(d) for d in t.column("doc_id").to_pylist()]
     texts = t.column("text").to_pylist()
-    out_ids, out_spans = [], []
-    for doc_id, text in zip(doc_ids, texts):
-        sid = str(doc_id)
-        toks = text.split()
-        spans = []
-        off = 0
-        for i, tok in enumerate(toks):
-            if i % 4 == 3:
-                kind, txt, ref = "media", "", f"m://{sid}/{i}"
-            else:
-                kind, txt, ref = "text", tok, ""
-            spans.append({"kind": kind, "text": txt, "media_ref": ref,
-                          "offset": off})
-            off += len(txt) + len(ref)
-        out_ids.append(sid)
-        out_spans.append(spans)
+    tok_lists = [s.split() for s in texts]
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    total = int(counts.sum())
+    # flat per-span arrays
+    idx = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(counts) - counts, counts))
+    is_media = (idx % 4) == 3
+    flat_toks = np.fromiter((w for toks in tok_lists for w in toks),
+                            dtype=object, count=total)
+    span_text = np.where(is_media, "", flat_toks)
+    refs = np.full(total, "", dtype=object)
+    did_rep = np.repeat(np.asarray(doc_ids, dtype=object), counts)
+    mpos = np.flatnonzero(is_media)
+    if len(mpos):
+        refs[mpos] = [f"m://{did_rep[i]}/{idx[i]}" for i in mpos]
+    # offset = per-doc exclusive cumsum of payload lengths
+    if total:
+        lens = (np.frompyfunc(len, 1, 1)(span_text).astype(np.int64)
+                + np.frompyfunc(len, 1, 1)(refs).astype(np.int64))
+        cum = np.cumsum(lens) - lens
+        starts = np.cumsum(counts) - counts
+        doc_base = np.repeat(cum[np.minimum(starts, total - 1)], counts)
+        offsets = cum - doc_base
+    else:
+        offsets = np.array([], dtype=np.int64)
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(np.where(is_media, "media", "text"), type=pa.string()),
+            pa.array(span_text, type=pa.string()),
+            pa.array(refs, type=pa.string()),
+            pa.array(offsets.astype(np.int32)),
+        ],
+        fields=list(SPAN_STRUCT),
+    )
+    list_offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    list_offsets[1:] = np.cumsum(counts)
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets), struct)
     return pa.table(
         {
-            "doc_id": pa.array(out_ids, type=pa.string()),
-            "spans": pa.array(out_spans, type=pa.list_(SPAN_STRUCT)),
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "spans": spans.cast(pa.list_(SPAN_STRUCT)),
         }
     )
 

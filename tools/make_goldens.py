@@ -1,0 +1,402 @@
+"""Golden-file oracles for the queries whose semantics are not
+SQL-expressible (LSH/IVF probing, minhash grouping, heuristic text
+analysis, the stateful crawl).
+
+Each golden is produced by an INDEPENDENT single-process implementation —
+plain Python/numpy loops, no Ray, no imports of the pipeline modules — so
+a bug in the distributed machinery (shuffles, broadcasts, label
+propagation, actor pools) cannot hide in shared code. Shared with the
+engine are only the "world" constants (md5-based hash64 / mix64 /
+canonicalize / synthetic seed generator), mirroring tests/oracle.py's
+shared-world-independent-engine rule.
+
+Usage:  python tools/make_goldens.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.01 → tests/golden/ (the driver's oracle
+scale). The DuckDB twins in __ray_entry__.oracle_sql() read these files
+with read_parquet(); the driver compares them value-exact against the
+live Ray pipelines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+MASK64 = (1 << 64) - 1
+
+
+def hash64(s: str | bytes) -> int:
+    if isinstance(s, str):
+        s = s.encode("utf-8")
+    return int.from_bytes(hashlib.md5(s).digest()[:8], "big")
+
+
+def mix64(x: int) -> int:
+    x &= MASK64
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) & MASK64
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) & MASK64
+    x ^= x >> 31
+    return x
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+
+def _embs(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1)
+    n[n == 0] = 1.0
+    return ids, mat / n[:, None]
+
+
+# ----------------------------------------------------------------- simhash
+def g_simhash(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for _, r in _docs(sf_dir).iterrows():
+        toks = r["text"].split()
+        sim = 0
+        if toks:
+            votes = [0] * 64
+            for w in toks:
+                h = hash64(w)
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            for b in range(64):
+                if votes[b] > 0:
+                    sim |= 1 << b
+        rows.append({"doc_id": int(r["doc_id"]), "simhash": sim})
+    df = pd.DataFrame(rows)
+    df["simhash"] = df["simhash"].astype(np.uint64)
+    return df
+
+
+# ----------------------------------------------------------- text analysis
+_STOPS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une"},
+    "es": {"el", "la", "y", "los", "las", "es", "un", "una", "de"},
+    "zh": set(),
+}
+_FP_BASE = 1099511628211
+
+
+def _g_lang(s: str) -> str:
+    if any("一" <= c <= "鿿" for c in s[:200]):
+        return "zh"
+    toks = [w.lower() for w in s.split()[:80]]
+    best, best_n = "en", -1
+    for lang, stops in _STOPS.items():
+        if not stops:
+            continue
+        n = sum(1 for w in toks if w in stops)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
+
+
+def _g_quality(s: str) -> float:
+    toks = s.split()
+    n = len(toks)
+    if n == 0:
+        return 0.0
+    all_stops = set().union(*_STOPS.values())
+    stop_ratio = sum(1 for w in toks if w.lower() in all_stops) / n
+    upper_ratio = sum(1 for c in s if c.isupper()) / max(1, len(s))
+    mean_len = sum(len(w) for w in toks) / n
+    len_score = min(1.0, n / 50.0)
+    word_score = 1.0 if 3.0 <= mean_len <= 10.0 else 0.5
+    return (0.4 * len_score + 0.3 * min(1.0, stop_ratio * 4)
+            + 0.2 * word_score + 0.1 * (1.0 - min(1.0, upper_ratio * 5)))
+
+
+def _g_winnow(s: str, k: int = 8, w: int = 16) -> int:
+    b = s.encode("utf-8")
+    if len(b) < k:
+        return len(b)
+    n = len(b) - k + 1
+    hs = []
+    for i in range(n):
+        h = 0
+        for j in range(k):
+            h = (h * _FP_BASE + b[i + j]) & MASK64
+        hs.append(h)
+    if n <= w:
+        return min(hs)
+    mins = [min(hs[i:i + w]) for i in range(n - w + 1)]
+    out = 0
+    for v in sorted(set(mins)):
+        out ^= v
+    return out
+
+
+def g_text_analysis(sf_dir: str) -> pd.DataFrame:
+    rows = []
+    for _, r in _docs(sf_dir).iterrows():
+        s = r["text"]
+        rows.append({
+            "doc_id": int(r["doc_id"]),
+            "lang_pred": _g_lang(s),
+            "quality_milli": int(np.floor(np.float64(_g_quality(s)) * 1000)),
+            "fingerprint": _g_winnow(s),
+        })
+    df = pd.DataFrame(rows)
+    df["quality_milli"] = df["quality_milli"].astype(np.int64)
+    df["fingerprint"] = df["fingerprint"].astype(np.uint64)
+    return df
+
+
+# ------------------------------------------------------------ minhash/LSH
+NUM_PERM, BANDS = 64, 16
+ROWS_PER_BAND = NUM_PERM // BANDS
+_P61 = (1 << 61) - 1
+
+
+def _g_shingles(text: str, k: int = 3) -> set[int]:
+    toks = text.split()
+    if len(toks) < k:
+        return {hash64(" ".join(toks))} if toks else set()
+    return {hash64(" ".join(toks[i:i + k])) for i in range(len(toks) - k + 1)}
+
+
+def _g_minhash_groups(sf_dir: str, k: int = 3,
+                      tau: float = 0.5) -> pd.DataFrame:
+    rng = np.random.RandomState(42)
+    A = rng.randint(1, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64).tolist()
+    B = rng.randint(0, (1 << 61) - 1, size=NUM_PERM).astype(np.uint64).tolist()
+    docs = _docs(sf_dir)
+    sh_of: dict[int, set[int]] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        sh = _g_shingles(r["text"], k)
+        sh_of[did] = sh
+        if sh:
+            sketch = [min(((a * x + b) % _P61) & MASK64 for x in sh)
+                      for a, b in zip(A, B)]
+        else:
+            sketch = [MASK64] * NUM_PERM
+        for band in range(BANDS):
+            bh = mix64(sketch[band * ROWS_PER_BAND])
+            for j in range(1, ROWS_PER_BAND):
+                bh = mix64(bh ^ sketch[band * ROWS_PER_BAND + j])
+            buckets.setdefault((band, bh), []).append(did)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        sa, sb = sh_of[a], sh_of[b]
+        u = len(sa | sb)
+        if u and len(sa & sb) / u >= tau:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    all_ids = sorted(int(d) for d in docs["doc_id"])
+    return pd.DataFrame({"doc_id": np.array(all_ids, dtype=np.int64),
+                         "group_id": np.array([find(i) for i in all_ids],
+                                              dtype=np.int64)})
+
+
+def g_minhash(sf_dir: str) -> pd.DataFrame:
+    return _g_minhash_groups(sf_dir)
+
+
+def g_curate_dedup(sf_dir: str) -> pd.DataFrame:
+    docs = _docs(sf_dir)
+    tok_re = re.compile(r"\S+")
+    punct_re = re.compile(r"[.!?,;:]")
+    kept = {
+        int(r["doc_id"]) for _, r in docs.iterrows()
+        if len(tok_re.findall(r["text"])) >= 10
+        and len(punct_re.findall(r["text"])) <= 40
+    }
+    groups = _g_minhash_groups(sf_dir)
+    groups = groups[groups["doc_id"].isin(kept)]
+    reps = groups.groupby("group_id", as_index=False)["doc_id"].min()
+    out = reps.rename(columns={"doc_id": "keep_id"}).sort_values("keep_id")
+    return out.reset_index(drop=True).astype(
+        {"group_id": "int64", "keep_id": "int64"})
+
+
+# ------------------------------------------------------------------- knn
+def _g_topk(hits: list[tuple[int, int, int]], k: int = 5) -> pd.DataFrame:
+    df = pd.DataFrame(hits, columns=["query_id", "neighbor_id", "sim_bp"])
+    df = df.sort_values(["query_id", "sim_bp", "neighbor_id"],
+                        ascending=[True, False, True])
+    df = df.groupby("query_id", as_index=False).head(k)
+    return df.reset_index(drop=True).astype("int64")
+
+
+def g_knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
+              n_planes: int = 5, max_flips: int = 3) -> pd.DataFrame:
+    from itertools import combinations
+
+    ids, mat = _embs(sf_dir)
+    planes = np.random.RandomState(42).randn(n_planes, mat.shape[1])
+    sig = ((mat @ planes.T) > 0).astype(np.uint32) @ (
+        1 << np.arange(n_planes, dtype=np.uint32))
+    qm = ids < n_queries
+    flips = [0] + [sum(1 << b for b in c)
+                   for r in range(1, max_flips + 1)
+                   for c in combinations(range(n_planes), r)]
+    hits = []
+    for qi in np.flatnonzero(qm):
+        qid = int(ids[qi])
+        probe = {int(sig[qi]) ^ m for m in flips}
+        for vi in range(len(ids)):
+            if ids[vi] == qid or int(sig[vi]) not in probe:
+                continue
+            bp = int(np.floor(float(mat[qi] @ mat[vi]) * 10000))
+            hits.append((qid, int(ids[vi]), bp))
+    return _g_topk(hits, k)
+
+
+def g_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
+              n_lists: int = 16, nprobe: int = 6) -> pd.DataFrame:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    raw = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    # deterministic hash sample (gap from total row count), as specified
+    total = len(ids)
+    gap = max(1, total // 4096)
+    keep = np.array([mix64(int(i)) % gap == 0
+                     for i in ids.astype(np.uint64)])
+    sample = raw[keep]
+    rng = np.random.RandomState(42)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)),
+                             replace=False)]
+    for _ in range(8):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    centn = cent / cn[:, None]
+    n = np.linalg.norm(raw, axis=1)
+    n[n == 0] = 1.0
+    mat = raw / n[:, None]
+    lists = (mat @ centn.T).argmax(axis=1)
+    qm = ids < n_queries
+    hits = []
+    for qi in np.flatnonzero(qm):
+        qid = int(ids[qi])
+        probes = set(np.argsort(-(mat[qi] @ centn.T))[:nprobe].tolist())
+        for vi in range(len(ids)):
+            if ids[vi] == qid or int(lists[vi]) not in probes:
+                continue
+            bp = int(np.floor(float(mat[qi] @ mat[vi]) * 10000))
+            hits.append((qid, int(ids[vi]), bp))
+    return _g_topk(hits, k)
+
+
+# --------------------------------------------------- frontier host stats
+def g_frontier_host_stats(sf_dir: str) -> pd.DataFrame:
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    n = max(200, min(2000, meta.num_rows))
+    urls = make_seed_urls(n, n_hosts=50)   # shared world generator
+    stats: dict[str, list] = {}
+    for u in urls:
+        # canonicalize independently: lower scheme/host, strip :80/:443 and
+        # fragment (mirrors functions/canonicalize.py's documented rules)
+        m = re.match(r"(?i)^(https?)://([^/#?]+)(.*)$", u)
+        scheme, host, rest = m.group(1).lower(), m.group(2).lower(), m.group(3)
+        host = re.sub(r":(80|443)$", "", host)
+        rest = rest.split("#", 1)[0] or "/"
+        # replicate the engine's float32 arithmetic exactly (note: numpy
+        # SCALAR * python-int promotes to float64, arrays do not — force
+        # float32 on both operands to match the engine's array math)
+        p32 = np.float32(hash64(u) % 1000) / np.float32(1000.0)
+        pr_milli = int(np.int64(p32 * np.float32(1000.0)))
+        s = stats.setdefault(host, [0, -1, 1 << 30])
+        s[0] += 1
+        s[1] = max(s[1], pr_milli)
+        s[2] = min(s[2], 0)            # seed depth is always 0
+    rows = [{"host": h, "n_urls": v[0], "max_priority_milli": v[1],
+             "min_depth": v[2]} for h, v in stats.items()]
+    df = pd.DataFrame(rows).sort_values("host").reset_index(drop=True)
+    return df.astype({"n_urls": "int64", "max_priority_milli": "int64",
+                      "min_depth": "int64"})
+
+
+# ------------------------------------------------------- crawl pass docs
+def g_crawl_pass_docs(sf_dir: str) -> pd.DataFrame:
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from oracle import run_oracle
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    meta = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    n = max(200, min(2000, meta.num_rows))
+    cfg = CrawlConfig(num_partitions=8, items_chunk=400, workers=2,
+                      seen_shards=4, n_hosts=50, n_paths=max(200, n // 2),
+                      pass_time_ms=2000)
+    st = run_oracle(cfg, make_seed_urls(n, n_hosts=50), max_passes=2)
+    rows = [{"doc_id": d["doc_id"], "url": d["url"], "host": d["host"],
+             "pass_id": d["pass_id"], "n_spans": len(d["spans"])}
+            for d in st.docs]
+    df = pd.DataFrame(rows).sort_values(
+        ["pass_id", "host", "url"]).reset_index(drop=True)
+    return df.astype({"pass_id": "int64", "n_spans": "int64"})
+
+
+GOLDENS = {
+    "simhash_docs": g_simhash,
+    "text_analysis": g_text_analysis,
+    "minhash_lsh_groups": g_minhash,
+    "curate_dedup": g_curate_dedup,
+    "knn_lsh": g_knn_lsh,
+    "knn_ivf": g_knn_ivf,
+    "frontier_host_stats": g_frontier_host_stats,
+    "crawl_pass_docs": g_crawl_pass_docs,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        REPO, "tests", "golden")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        df = fn(sf_dir)
+        path = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+        print(f"{name}: {len(df)} rows -> {path}")
+
+
+if __name__ == "__main__":
+    main()
