@@ -30,7 +30,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from container_crawler_ray.pipelines import (
-        analytics, ann, crawl_queries, curate, dedup, media, spans, text_ops)
+        analytics, ann, crawl_queries, curate, dedup, joins, media, spans,
+        text_ops)
 
     return {
         # aggregations (SURVEY §2.5)
@@ -43,8 +44,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_since_watermark": analytics.events_since_watermark,
         "docs_top_nchars": analytics.docs_top_nchars,
         "events_topk_per_user": analytics.events_topk_per_user,
-        # joins (SURVEY §2.4)
+        # joins (SURVEY §2.4): broadcast-dim and fact-fact co-partition
         "region_revenue": analytics.region_revenue,
+        "order_priority_revenue": joins.order_priority_revenue,
+        # sessionization + exact per-group percentiles
+        "user_sessions": analytics.user_sessions,
+        "events_percentiles": analytics.events_percentiles,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -152,6 +157,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "order_priority_revenue": """
+            SELECT o.o_orderpriority AS o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "user_sessions": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            lagd AS (SELECT user_id, t,
+                            lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                                AS pt FROM e),
+            brk AS (SELECT user_id, t,
+                           CASE WHEN pt IS NULL OR t - pt > 1800000000
+                                THEN 1 ELSE 0 END AS news FROM lagd),
+            sess AS (SELECT user_id,
+                            SUM(news) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS sid FROM brk),
+            per AS (SELECT user_id, sid, COUNT(*) AS n
+                    FROM sess GROUP BY user_id, sid)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(MAX(n) AS BIGINT) AS max_session_events
+            FROM per GROUP BY user_id
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   CAST(quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5)
+                        AS BIGINT) AS p50_cents,
+                   CAST(quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.95)
+                        AS BIGINT) AS p95_cents
+            FROM events GROUP BY event_type
         """,
         "region_revenue": """
             SELECT r.r_name AS r_name,

@@ -1,20 +1,22 @@
 """Benchmark harness (driver contract).
 
-Headline: one fetch-heavy crawl pass over a deterministic 100k-URL
+Headline: one fetch-heavy crawl pass over a deterministic 200k-URL
 synthetic frontier (Zipf-skewed hosts, politeness budgets, seen-set,
 link expansion — the full engine), with the simulated fetch calibrated to
-~13 ms CPU/URL (md5 over 4 MiB ≈ a heavy page parse+tokenize cost), so
-the measurement is dominated by useful per-URL compute rather than
-orchestration. Plus per-operator timings over ``$GRAFT_SF_DIR`` testdata.
+~13 ms CPU/URL (md5 over a shared 8 MiB buffer ≈ a heavy page
+parse+tokenize cost), so the measurement is dominated by useful per-URL
+compute rather than orchestration. Plus per-operator timings over
+``$GRAFT_SF_DIR`` testdata.
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling``: reruns the headline in fresh processes at num_cpus=4 and
-16 (N and 4N) on the same input and reports both throughputs + scaling
+``--scaling``: reruns the headline in fresh processes at num_cpus=8 and
+32 (N and 4N) on the same input and reports both throughputs + scaling
 efficiency (the sandbox stand-in for the N vs 4N node criterion —
-SURVEY.md §4.3).
+SURVEY.md §4.3). Both levels use the same rep policy (best-of-REPS,
+default 2) so neither side of the ratio is favored.
 """
 
 from __future__ import annotations
@@ -35,9 +37,10 @@ BENCH_QUERIES = [
     "ngram_top_pairs", "knn_bruteforce", "knn_lsh", "embedding_dup_pairs",
     "minhash_lsh_groups", "simhash_docs", "text_analysis", "media_metadata",
     "knn_ivf", "events_windowed", "user_activity", "curate_docs",
+    "order_priority_revenue", "user_sessions", "events_percentiles",
 ]
 
-SEEDS = 100_000
+SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
 REPS = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
 
 
@@ -52,7 +55,7 @@ def crawl_headline(ncpu: int, reps: int = REPS) -> dict:
     cfg = CrawlConfig(
         num_partitions=32, items_chunk=20_000, workers=ncpu, seen_shards=8,
         n_hosts=200, n_paths=3000, pass_time_ms=3_600_000,
-        parse_cost_bytes=4 << 20, fail_mod=97, fetch_batch_size=256,
+        parse_cost_bytes=8 << 20, fail_mod=97, fetch_batch_size=256,
         fetch_mode="tasks",
     )
     seeds = make_seed_urls(SEEDS, n_hosts=cfg.n_hosts)
@@ -116,15 +119,16 @@ def main() -> None:
     ray.shutdown()
 
 
-SCALE_LO, SCALE_HI = 4, 16   # N and 4N (north_rule criterion)
+SCALE_LO, SCALE_HI = 8, 32   # N and 4N (north_rule criterion)
+SCALE_REPS = int(os.environ.get("GRAFT_SCALE_REPS", "2"))
 
 
 def scaling() -> None:
     """Same headline crawl at N and 4N parallelism in fresh processes.
-    The low level runs once (long wall → noise amortized); the high level
-    runs best-of-2 (short wall → vulnerable to CPU-steal spikes)."""
+    Both levels run the SAME rep policy (best-of-SCALE_REPS) so the
+    efficiency ratio is not biased toward either side."""
     results = {}
-    for ncpu, reps in ((SCALE_LO, 1), (SCALE_HI, 3)):
+    for ncpu, reps in ((SCALE_LO, SCALE_REPS), (SCALE_HI, SCALE_REPS)):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=SF_DIR, GRAFT_HEADLINE_ONLY="1",
                    GRAFT_BENCH_REPS=str(reps))

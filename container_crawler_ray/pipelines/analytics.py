@@ -27,6 +27,14 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# Map-side combine note: Ray Data's sort-based ``groupby().aggregate()``
+# already pre-aggregates within each block before the exchange (its
+# AggregateFn accumulate/merge protocol), so the all-to-all moves
+# ~|groups| × |blocks| partial rows, not the input table. A hand-rolled
+# pandas partial-aggregate stage in front of it was MEASURED 4-8× slower
+# at sf0.1 (it multiplies block count and pays a second per-block
+# aggregation in Python) — keep these as single direct aggregates.
+
 # ----------------------------------------------------------- aggregations
 def docs_per_lang(sf_dir: str) -> pd.DataFrame:
     """A2-style grouped rollup (count/sum/max per language)."""
@@ -231,6 +239,65 @@ def text_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(text_stats_batch,
                           batch_format="pyarrow").to_pandas()
+
+
+def user_sessions(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Sessionization (streaming-adjacent operator): per-user event
+    sessions split at >30-min gaps → session count + largest session.
+    Ray shape: one ``groupby(user_id)`` shuffle, vectorized numpy
+    (sort/diff/cumsum) per group — the classic order-dependent operator
+    SQL needs window functions for. Duplicate timestamps are gap-0 so
+    tie order can't change the result."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64())})
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts_us"].to_numpy())
+        breaks = np.diff(ts) > gap_us
+        n_sessions = 1 + int(breaks.sum())
+        # longest run of events between breaks
+        idx = np.flatnonzero(np.concatenate(([True], breaks, [True])))
+        max_len = int(np.diff(idx).max())
+        return pd.DataFrame({"user_id": g["user_id"].iloc[:1],
+                             "n_sessions": [n_sessions],
+                             "max_session_events": [max_len]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("user_id").map_groups(sessions, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"n_sessions": "int64", "max_session_events": "int64"})
+
+
+def events_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p95 of value-cents per event_type (quantile_disc
+    semantics: sorted[ceil(q*n)-1], computed in integer arithmetic so
+    the SQL twin matches bit-exactly). Per-group exact quantiles need
+    the group's values together — fine for low-cardinality groups; a
+    high-cardinality/streaming variant would switch to a mergeable
+    sketch (t-digest/KLL) with an approximate oracle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": pa.array(v)})
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        p50 = v[-(-n // 2) - 1]            # ceil(n/2)-1, integer math
+        p95 = v[-(-19 * n // 20) - 1]      # ceil(19n/20)-1
+        return pd.DataFrame({"event_type": g["event_type"].iloc[:1],
+                             "p50_cents": [int(p50)],
+                             "p95_cents": [int(p95)]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("event_type").map_groups(quant, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"p50_cents": "int64", "p95_cents": "int64"})
 
 
 def dedup_exact(sf_dir: str) -> pd.DataFrame:

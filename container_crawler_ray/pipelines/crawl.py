@@ -180,6 +180,7 @@ def init_run(root: str, cfg: CrawlConfig, seed_urls: list[str],
     # sharded by url_hash, exactly as on a real multi-node cluster
     store.write_meta({"pass_id": 0, "run": "initialized",
                       "num_partitions": cfg.num_partitions,
+                      "salted_hosts": list(cfg.salted_hosts),
                       "seen_run_id": state.seen.run_id})
     return store, state
 
@@ -200,6 +201,12 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
     store = TableStore(root)
     init_meta = store.read_meta()
     assert init_meta is not None, "no meta.json — nothing to resume"
+    # partitioning is part of the durable layout: resuming with a different
+    # partition count would silently skip partitions / mis-route links
+    init_parts = init_meta.get("num_partitions")
+    assert init_parts is None or init_parts == cfg.num_partitions, (
+        f"resume with num_partitions={cfg.num_partitions} but the run was "
+        f"initialized with {init_parts}")
     meta = store.read_meta(_meta_name(cfg)) if cfg.num_engines > 1 else init_meta
     bootstrap = meta is None
     if bootstrap:
@@ -222,7 +229,10 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
         robots=robots,
         seen=SeenSet(seen_run, cfg.seen_shards,
                      cfg.cuckoo_capacity, cfg.bloom_bits),
-        salted_hosts=cfg.salted_hosts,
+        # salting is part of the durable partition layout — the init-time
+        # value wins over whatever the resume-time cfg happens to say
+        salted_hosts=tuple(init_meta.get("salted_hosts",
+                                         cfg.salted_hosts)),
         drained=dict((int(k), v) for k, v in
                      (meta.get("drained") or {}).items()),
     )
@@ -237,14 +247,22 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
     if bk is not None:
         state.buckets = dict(zip(bk.column("host").to_pylist(),
                                  bk.column("tokens").to_pylist()))
-    # seen restore: single-engine restores its snapshot; multi-engine
-    # engines each snapshot the shards they own (shard % E == engine), so
-    # restore merges every engine's committed fragment
+    # seen restore: single-engine restores its snapshot unconditionally
+    # (its torn-pass marks must roll back to the commit point). Multi-engine
+    # engines each snapshot the shards they own (shard % E == engine); a
+    # resuming engine restores ITS shards from its own committed fragment
+    # but foreign engines' shards only when their actors are freshly
+    # created (num_items == 0) — restoring a LIVE shard another engine is
+    # mid-pass on would erase in-flight seen marks and re-permit duplicate
+    # fetches. (Residual caveat: a crashed engine's uncommitted marks on
+    # foreign LIVE shards survive, so its replayed rows dedup against them
+    # — at-least-once for state, effectively-once for committed docs.)
     if cfg.num_engines == 1:
         sn = store.read_fragment("seen_shards", "seen", p)
         if sn is not None and len(sn):
             state.seen.restore_from_table(sn)
     else:
+        items = state.seen.items_per_shard()
         for e in range(cfg.num_engines):
             m_e = store.read_meta(f"meta-e{e}.json")
             if m_e is None:
@@ -252,7 +270,11 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
             sn = store.read_fragment("seen_shards", f"seen-e{e}",
                                      m_e["pass_id"])
             if sn is not None and len(sn):
-                state.seen.restore_from_table(sn)
+                mine = e == cfg.engine_index
+                ok = {s for s in range(cfg.seen_shards)
+                      if s % cfg.num_engines == e
+                      and (mine or items[s] == 0)}
+                state.seen.restore_from_table(sn, only_shards=ok)
     return store, state
 
 
@@ -479,9 +501,9 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
 
     pieces = []
     if frontier_files:
-        ds = ray.data.read_parquet(
-            frontier_files, filter=pc.field("rowid") > pa.scalar(min_wm)
-        )
+        # backend-pluggable distributed scan with rowid predicate pushdown
+        ds = store.ray_read(frontier_files,
+                            filter=pc.field("rowid") > pa.scalar(min_wm))
         # window filter = sort-by-rowid + head(items_chunk), shuffle-free
         # (per-partition rowids are dense — see make_watermark_filter)
         scan = ds.map_batches(
@@ -529,7 +551,7 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     pipe = pipe.groupby("host_hash").map_groups(
         make_schedule_fn(robots_ref, buckets_ref, cfg.pass_time_ms,
                          cfg.bucket_capacity_factor),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     pipe = pipe.map_batches(make_mark_fn(seen_args), batch_format="pyarrow")
     # Even out the post-shuffle blocks before fetch: the politeness groupby
@@ -592,7 +614,10 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                                               tag=_etag(cfg, "pass")))
 
     def _flat_branch():
-        flat = (
+        # explode + canonicalize/hash/route in ONE execution, overlapped
+        # with the driver's slim processing; the seen-probe stays lazy on
+        # the append path so lineage records every extracted edge
+        return (
             result.map_batches(lambda t: t.filter(t.column("ok")),
                                batch_format="pyarrow")
             .map_batches(explode_links, batch_format="pyarrow")
@@ -600,8 +625,16 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             # so fewer, larger blocks keep the shard actors off the
             # critical path
             .repartition(max(cfg.workers, 8))
+            .map_batches(
+                make_link_enrich(cfg.num_partitions, state.salted_hosts,
+                                 keep_parents=True),
+                batch_format="pyarrow")
             .materialize()
         )
+
+    def _lineage_branch(flat):
+        # runs concurrently with the driver's frontier-append assembly —
+        # both consume the already-materialized flat blocks
         if flat.count():
             lin = flat.map_batches(
                 lambda t: pa.table(
@@ -618,9 +651,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             )
             lin.write_parquet(store.pass_dir("lineage", pass_id,
                                              tag=_etag(cfg, "pass")))
-        return flat
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     docs_fut = pool.submit(_docs_branch)
     flat_fut = pool.submit(_flat_branch)
     # zero-copy read of the already-materialized blocks (no extra Ray
@@ -666,38 +698,44 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     sched_counts = (slim.loc[own_m]
                     .assign(s=(sched_a[own_m] == "scheduled").astype(np.int64))
                     .groupby("host")["s"].sum())
+    from ..stages.politeness import _allowed as _robots_allowed
     for host, m in sched_counts.items():
         rb = state.robots.get(host)
         rules = rb["rules"] if rb else [{"allow": True, "path_prefix": "/"}]
-        if rules and not rules[0]["allow"] and rules[0]["path_prefix"] == "/":
-            continue  # skip-all hosts never touch their bucket
+        if not _robots_allowed(rules, "/"):
+            continue  # skip-all hosts never touch their bucket (same
+            # first-match predicate as the scheduler — no drift)
         delay = rb["crawl_delay_ms"] if rb else 1000
         rate = cfg.pass_time_ms / max(1.0, float(delay))
         cap = max(1.0, cfg.bucket_capacity_factor * rate)
         stored = state.buckets.get(host, cap)
-        state.buckets[host] = min(cap, stored + rate) - int(m)
+        nb = min(cap, stored + rate) - int(m)
+        # bound driver memory to hosts with outstanding debt: an entry
+        # that would refill to capacity next pass (nb + rate >= cap)
+        # behaves exactly like an absent entry (avail = cap either way),
+        # so drop it — at 10^8 hosts the dict holds only the recently
+        # throttled head, not every host ever scheduled
+        if nb + rate >= cap:
+            state.buckets.pop(host, None)
+        else:
+            state.buckets[host] = nb
 
-    # ---- join the concurrent branches ------------------------------------
+    # ---- join the link branch (docs sink keeps writing concurrently —
+    # it is only joined right before the commit point below) ---------------
     n_fetched = int(pstats["fetched"].sum()) if len(pstats) else 0
-    docs_fut.result()
-    _mark("docs_write")
     flat = flat_fut.result()
-    pool.shutdown()
+    lineage_fut = pool.submit(_lineage_branch, flat)
     n_new_links = 0
     new_rows_ds = None
     if flat.count():
-        enriched = flat.map_batches(
-            make_link_enrich(cfg.num_partitions, cfg.salted_hosts),
-            batch_format="pyarrow",
-        )
         # exact per-pass link dedup happens inside the partition
         # assigner (equal URLs co-locate by construction), so the only
         # shuffle left on this path is the partition groupby itself
-        new_rows_ds = enriched.map_batches(
+        new_rows_ds = flat.map_batches(
             make_probe_fn(seen_args), batch_format="pyarrow"
         ).map_batches(
             lambda t: t.filter(pc.invert(t.column("seen"))).drop_columns(
-                ["seen"]),
+                ["seen", "parent_url", "parent_doc_id"]),
             batch_format="pyarrow",
         )
     _mark("links")
@@ -820,7 +858,12 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         else pa.Table.from_pylist([], schema=METRICS)
     store.append_fragment("metrics", metrics_tbl, pass_id, tag="metrics")
 
-    # ---- commit ----------------------------------------------------------
+    # ---- commit (docs + lineage sinks must be durable BEFORE meta
+    # commits) -------------------------------------------------------------
+    docs_fut.result()
+    lineage_fut.result()
+    pool.shutdown()
+    _mark("docs_write_join")
     state.pass_id = pass_id
     _write_state_fragments(store, cfg, state, retry_tbl=retry_next)
     store.write_meta({"pass_id": pass_id,

@@ -120,72 +120,94 @@ def _shingle_explode_fn(k: int, cand_ref):
     return explode
 
 
+_CC_BUCKETS = 64
+
+
 def _propagate_components(edges: pd.DataFrame,
                           max_rounds: int = 8) -> pd.DataFrame:
     """Distributed connected components by iterative min-label propagation
-    (the 100 TB path — no driver union-find): each round is
-    ``groupby(src)`` message fan-out + ``groupby(node)`` min-reduce over
-    Ray Data; the driver sees only the per-round changed COUNT. Converges
-    in O(component diameter) rounds; near-dup components are dense
-    (cliques from band collisions), so 2–3 rounds is typical."""
+    (the 100 TB path — no driver union-find). Each round is two
+    ONE hash-bucketed exchange per round: a node's label row, its
+    out-edges (keyed by src) and its incoming messages (keyed by dst) all
+    co-locate in bucket ``node % B``, so one vectorized group fn per
+    bucket both min-reduces the incoming labels AND fans the updated
+    label out along the node's edges for the next round.
+
+    Bucketing (B = 64 groups) rather than per-node groups keeps the
+    per-round work a handful of vectorized tasks; the driver sees only
+    the per-round changed COUNT. Converges in O(component diameter) + 1
+    rounds; near-dup components are dense (cliques from band
+    collisions), so 3 rounds is typical."""
     both = pd.DataFrame({
         "src": np.concatenate([edges["a"].to_numpy(), edges["b"].to_numpy()]),
         "dst": np.concatenate([edges["b"].to_numpy(), edges["a"].to_numpy()]),
-    })
-    edges_ds = ray.data.from_pandas(both)
+    }).astype(np.int64)
+    both["bucket"] = (both["src"] % _CC_BUCKETS).astype(np.int32)
+    # rows: kind 0 = label (node,label), kind 1 = edge (node=src, dst),
+    # kind 2 = message (node=dst, label). Edges re-enter every round.
+    ne = len(both)
+    edges_ds = ray.data.from_arrow(pa.table({
+        "node": pa.array(both["src"].to_numpy()),
+        "label": pa.array(np.full(ne, -1, dtype=np.int64)),
+        "dst": pa.array(both["dst"].to_numpy()),
+        "kind": pa.array(np.ones(ne, dtype=np.int8)),
+        "bucket": pa.array(both["bucket"].to_numpy()),
+    })).materialize()
     nodes = np.unique(both["src"].to_numpy())
-    labels = ray.data.from_pandas(
-        pd.DataFrame({"node": nodes, "label": nodes}))
+    state = ray.data.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "label": pa.array(nodes),
+        "dst": pa.array(np.full(len(nodes), -1, dtype=np.int64)),
+        "kind": pa.array(np.zeros(len(nodes), dtype=np.int8)),
+        "bucket": pa.array((nodes % _CC_BUCKETS).astype(np.int32)),
+    }))
 
-    def fanout(g: pd.DataFrame) -> pd.DataFrame:
-        # group = one node's label row (kind 0) + its out-edges (kind 1)
-        lab = g.loc[g["kind"] == 0, "label"]
-        if len(lab) == 0:       # node with edges but no label row (never
-            return pd.DataFrame({"node": [], "label": [], "kind": []})
-        lv = int(lab.min())
-        dsts = g.loc[g["kind"] == 1, "dst"].to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "node": np.concatenate([g.loc[g["kind"] == 0, "node"].to_numpy()[:1],
-                                    dsts]),
-            "label": np.full(1 + len(dsts), lv, dtype=np.int64),
-            "kind": np.concatenate([np.array([0], dtype=np.int8),
-                                    np.ones(len(dsts), dtype=np.int8)]),
+    def step(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 0]
+        edg = g[g["kind"] == 1]
+        msg = g[g["kind"] == 2]
+        # min-reduce: new label per node = min(old, incoming messages)
+        old = lab.set_index("node")["label"]
+        if len(msg):
+            incoming = msg.groupby("node")["label"].min()
+            new = pd.concat([old, incoming]).groupby(level=0).min()
+            new = new.reindex(old.index)
+        else:
+            new = old
+        changed = (new.to_numpy() < old.to_numpy())
+        upd = pd.DataFrame({"node": old.index.to_numpy(),
+                            "label": new.to_numpy()})
+        # fan-out the updated labels along this node's out-edges
+        m = edg[["node", "dst"]].merge(upd, on="node")
+        out_node = np.concatenate([upd["node"].to_numpy(),
+                                   m["dst"].to_numpy()])
+        # return an Arrow block: pandas-ingested datasets are Arrow-backed
+        # in Ray 2.49, and union requires homogeneous block types
+        return pa.table({
+            "node": pa.array(out_node),
+            "label": pa.array(np.concatenate([upd["label"].to_numpy(),
+                                              m["label"].to_numpy()])),
+            "dst": pa.array(np.full(len(out_node), -1, dtype=np.int64)),
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(upd), dtype=np.int8),
+                 np.full(len(m), 2, dtype=np.int8)])),
+            "bucket": pa.array((out_node % _CC_BUCKETS).astype(np.int32)),
+            "changed": pa.array(np.concatenate(
+                [changed.astype(np.int64),
+                 np.zeros(len(m), dtype=np.int64)])),
         })
 
-    def min_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        new = int(g["label"].min())
-        old = int(g.loc[g["kind"] == 0, "label"].min())
-        return pd.DataFrame({"node": g["node"].iloc[:1],
-                             "label": [new],
-                             "changed": [int(new < old)]})
-
-    for _ in range(max_rounds):
-        tagged = labels.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "label": t.column("label"),
-                "dst": pa.array(np.full(len(t), -1, dtype=np.int64)),
-                "kind": pa.array(np.zeros(len(t), dtype=np.int8)),
-            }), batch_format="pyarrow",
-        ).union(edges_ds.map_batches(
-            lambda t: pa.table({
-                "node": t.column("src").cast(pa.int64()),
-                "label": pa.array(np.full(len(t), -1, dtype=np.int64)),
-                "dst": t.column("dst").cast(pa.int64()),
-                "kind": pa.array(np.ones(len(t), dtype=np.int8)),
-            }), batch_format="pyarrow"))
-        msgs = tagged.groupby("node").map_groups(fanout,
-                                                 batch_format="pandas")
-        new_labels = msgs.groupby("node").map_groups(
-            min_reduce, batch_format="pandas").materialize()
-        changed = new_labels.sum("changed")
-        labels = new_labels.drop_columns(["changed"])
-        if not changed:
+    for rnd in range(max_rounds):
+        new_state = state.union(edges_ds).groupby("bucket").map_groups(
+            step, batch_format="pandas").materialize()
+        changed = new_state.sum("changed")
+        state = new_state.drop_columns(["changed"])
+        if rnd > 0 and not changed:
             break
-    out = labels.to_pandas()
-    out["node"] = out["node"].astype(np.int64)
-    out["label"] = out["label"].astype(np.int64)
-    return out
+    out = state.to_pandas()
+    out = out[out["kind"] == 0]
+    return pd.DataFrame({"node": out["node"].astype(np.int64).to_numpy(),
+                         "label": out["label"].astype(np.int64).to_numpy()})
 
 
 def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
@@ -216,31 +238,44 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
                                  columns=["doc_id", "text"])
     bands = docs.map_batches(make_minhash_fn(k), batch_format="pyarrow")
 
+    def hash_bucket(t: pa.Table) -> pa.Table:
+        b = (t.column("band_hash").to_numpy()
+             % np.uint64(256)).astype(np.int32)
+        return t.append_column("hbucket", pa.array(b))
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy().astype(np.int64))
-        if len(ids) < 2:
+        # equal (band, band_hash) rows always co-bucket; detect collision
+        # runs with one vectorized sort instead of per-(band,hash) groups
+        g = g.sort_values(["band", "band_hash", "doc_id"])
+        bh = g["band_hash"].to_numpy()
+        bd = g["band"].to_numpy()
+        new_run = np.ones(len(g), dtype=bool)
+        new_run[1:] = (bh[1:] != bh[:-1]) | (bd[1:] != bd[:-1])
+        run_id = np.cumsum(new_run) - 1
+        sizes = np.bincount(run_id)
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        out_a, out_b = [], []
+        starts = np.cumsum(sizes) - sizes
+        for r in np.flatnonzero(sizes >= 2):     # collision runs are rare
+            run = np.unique(ids[starts[r]:starts[r] + sizes[r]])
+            if len(run) < 2:
+                continue
+            ai, bi = np.triu_indices(len(run), 1)
+            out_a.append(run[ai])
+            out_b.append(run[bi])
+        if not out_a:
             return pd.DataFrame({"a": np.array([], dtype=np.int64),
                                  "b": np.array([], dtype=np.int64)})
-        ai, bi = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
-    # pair dedup across bands: bucket by pair-key hash (ONE bounded
-    # shuffle with a vectorized per-bucket reduce — per-pair groups would
-    # pay one task per tiny group)
-    def add_pbucket(g: pd.DataFrame) -> pd.DataFrame:
-        key = (g["a"].to_numpy(dtype=np.int64) * 1000003
-               + g["b"].to_numpy(dtype=np.int64))
-        g = g.copy()
-        g["pbucket"] = (key % 64).astype(np.int32)
-        return g
-
-    pairs = (bands.groupby(["band", "band_hash"])
+    # candidate pairs stream to the driver (bounded by the collision set —
+    # this list is broadcast right back for the verification filter);
+    # cross-band dedup is a vectorized drop_duplicates on that bounded set
+    pairs = (bands.map_batches(hash_bucket, batch_format="pyarrow")
+             .groupby("hbucket")
              .map_groups(bucket_pairs, batch_format="pandas")
-             .map_batches(add_pbucket, batch_format="pandas")
-             .groupby("pbucket").map_groups(
-                 lambda g: g.drop_duplicates(["a", "b"])[["a", "b"]],
-                 batch_format="pandas")
-             .to_pandas())
+             .to_pandas().drop_duplicates(["a", "b"]))
     all_ids_tbls = ray.get(docs.select_columns(["doc_id"]).to_arrow_refs())
     all_ids = np.sort(np.concatenate(
         [t.column("doc_id").to_numpy() for t in all_ids_tbls
@@ -255,8 +290,10 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
     cand_ref = ray.put(cand_ids)
     pair_keys = np.sort(pa_arr * np.int64(1 << 32) + pb_arr)
     pkey_ref = ray.put(pair_keys)
+    # materialize: the shingle explode feeds BOTH the intersection merge
+    # and the per-doc size aggregate — without this it would execute twice
     sh = docs.map_batches(_shingle_explode_fn(k, cand_ref),
-                          batch_format="pyarrow")
+                          batch_format="pyarrow").materialize()
 
     def bucketize(t: pa.Table) -> pa.Table:
         b = (mix64(t.column("shingle_hash").to_numpy().astype(np.uint64))
@@ -279,20 +316,25 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
         m = m[pk[pos] == key]       # candidate pairs only
         out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
             name="inter_part")
-        out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
-        out["pbucket"] = ((out["a"] * 1000003 + out["b"]) % 64).astype(
-            "int32")
-        return out
+        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
 
+    # per-bucket partial (a, b, inter_part) rows are bounded by the pair
+    # set × bucket count — the final sum is a vectorized driver reduce
     inter = (sh.map_batches(bucketize, batch_format="pyarrow")
              .groupby("bucket").map_groups(bucket_inter,
                                            batch_format="pandas")
-             .groupby("pbucket").map_groups(
-                 lambda g: g.groupby(["a", "b"], as_index=False)
-                 ["inter_part"].sum(), batch_format="pandas")
              .to_pandas())
-    sizes = sh.groupby("doc_id").aggregate(
-        Count(alias_name="n_sh")).to_pandas()
+    if len(inter):
+        inter = inter.groupby(["a", "b"], as_index=False)["inter_part"].sum()
+    # per-doc shingle counts: partial np.unique per block, summed on the
+    # driver (rows bounded by candidate docs × block count)
+    def partial_sizes(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("doc_id").to_numpy(), return_counts=True)
+        return pa.table({"doc_id": pa.array(u.astype(np.int64)),
+                         "n_sh": pa.array(c.astype(np.int64))})
+
+    sizes = (sh.map_batches(partial_sizes, batch_format="pyarrow")
+             .to_pandas().groupby("doc_id", as_index=False)["n_sh"].sum())
     size_of = dict(zip(sizes["doc_id"].astype(np.int64),
                        sizes["n_sh"].astype(np.int64)))
     if len(inter):

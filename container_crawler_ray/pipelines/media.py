@@ -83,6 +83,9 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
     the worker heap (SURVEY.md 'Memory-aware')."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
+    # autoscaling (1, 8) actor pool: a FIXED pool of N would deadlock on
+    # hosts with fewer than N CPUs, and the min=1 floor lets the stage
+    # start as soon as one actor is placed
     out = ds.map_batches(_to_payload, batch_format="pyarrow").map_batches(
         MediaDecodeStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 8))

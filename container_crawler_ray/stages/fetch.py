@@ -60,8 +60,11 @@ class SimulatedFetchHandler(FetchHandler):
     """Deterministic closed-world fetcher (FIXTURES.md §3/§5): spans, links
     and transient first-attempt failures are pure functions of the
     canonical URL. ``parse_cost_bytes`` adds realistic CPU per fetch (an
-    md5 over a generated buffer) so benches measure compute, not overhead.
-    """
+    md5 seeded with the URL over a shared read-only buffer) so benches
+    measure compute, not overhead. The buffer is allocated ONCE per
+    worker (``setup``), not per URL — per-row multi-MiB allocations are
+    memory-bandwidth-bound and would make the cost model measure the
+    allocator instead of the hash."""
 
     def __init__(self, n_hosts: int, n_paths: int, fail_mod: int,
                  parse_cost_bytes: int = 0):
@@ -69,6 +72,12 @@ class SimulatedFetchHandler(FetchHandler):
         self.n_paths = n_paths
         self.fail_mod = fail_mod
         self.parse_cost_bytes = parse_cost_bytes
+        self._buf: bytes | None = None
+
+    def setup(self, ctx: dict) -> None:
+        super().setup(ctx)
+        if self.parse_cost_bytes:
+            self._buf = b"\xa5" * self.parse_cost_bytes
 
     def handle_row(self, row: dict) -> dict:
         url = row["canonical_url"]
@@ -76,8 +85,11 @@ class SimulatedFetchHandler(FetchHandler):
             raise RetryError(f"transient fetch error: {url}")
         if self.parse_cost_bytes:
             import hashlib
-            buf = (url.encode() * (self.parse_cost_bytes // len(url) + 1))
-            hashlib.md5(buf[: self.parse_cost_bytes]).digest()
+            if self._buf is None:       # driver-side / un-setup use
+                self._buf = b"\xa5" * self.parse_cost_bytes
+            h = hashlib.md5(url.encode())
+            h.update(self._buf)
+            h.digest()
         return {
             "spans": synth.make_spans(url),
             "links": synth.out_links(url, self.n_hosts, self.n_paths),

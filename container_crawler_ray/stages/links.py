@@ -35,7 +35,8 @@ def explode_links(t: pa.Table) -> pa.Table:
     )
 
 
-def make_link_enrich(num_partitions: int, salted_hosts: tuple[str, ...]):
+def make_link_enrich(num_partitions: int, salted_hosts: tuple[str, ...],
+                     keep_parents: bool = False):
     """Canonicalize (links may come from the wild), hash, route to
     partitions. Hot-host salting (SURVEY.md §4.1): rows of a salted host
     are spread by url_hash instead of host_hash so one hot host doesn't
@@ -58,18 +59,20 @@ def make_link_enrich(num_partitions: int, salted_hosts: tuple[str, ...]):
             if salt_mask.any():
                 pid[salt_mask] = (uh[salt_mask] % P).astype(np.int32)
         prio = ((uh % np.uint64(1000)).astype(np.float32) / 1000.0)
-        return pa.table(
-            {
-                "url": pa.array(urls, type=pa.string()),
-                "canonical_url": pa.array(canon, type=pa.string()),
-                "host": pa.array(hosts, type=pa.string()),
-                "url_hash": pa.array(uh, type=pa.uint64()),
-                "host_hash": pa.array(hh, type=pa.uint64()),
-                "partition_id": pa.array(pid, type=pa.int32()),
-                "priority": pa.array(prio, type=pa.float32()),
-                "depth": t.column("depth").cast(pa.int32()),
-            }
-        )
+        cols = {
+            "url": pa.array(urls, type=pa.string()),
+            "canonical_url": pa.array(canon, type=pa.string()),
+            "host": pa.array(hosts, type=pa.string()),
+            "url_hash": pa.array(uh, type=pa.uint64()),
+            "host_hash": pa.array(hh, type=pa.uint64()),
+            "partition_id": pa.array(pid, type=pa.int32()),
+            "priority": pa.array(prio, type=pa.float32()),
+            "depth": t.column("depth").cast(pa.int32()),
+        }
+        if keep_parents:        # lineage sink reads parent cols downstream
+            cols["parent_url"] = t.column("parent_url")
+            cols["parent_doc_id"] = t.column("parent_doc_id")
+        return pa.table(cols)
 
     return enrich
 

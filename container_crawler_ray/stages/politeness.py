@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from ..functions.canonicalize import path_of
@@ -33,29 +35,34 @@ from ..functions.canonicalize import path_of
 
 def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
                      cfg_capacity_factor: float):
-    """Build the per-host group fn. robots/buckets are ray.put broadcast
-    refs (small sides), resolved once per worker process via ray.get."""
+    """Build the per-host group fn (Arrow batches — this is the one
+    per-pass shuffle, so the group blocks stay zero-copy instead of
+    paying an Arrow→pandas→Arrow round trip). robots/buckets are
+    ray.put broadcast refs (small sides), resolved per call via ray.get
+    (a local plasma lookup after the first touch on a worker)."""
 
-    def schedule(g: pd.DataFrame) -> pd.DataFrame:
+    def schedule(t: pa.Table) -> pa.Table:
         robots = ray.get(robots_ref)
         buckets = ray.get(buckets_ref)
-        host = g["host"].iloc[0]
-        n = len(g)
+        host = t.column("host")[0].as_py()
+        n = len(t)
         sched = np.full(n, "", dtype=object)
 
         # verification branch: not-owned rows never compete for budget
-        seen_a = g["seen"].to_numpy()
-        verify = ~g["owned"].to_numpy()
+        seen_a = t.column("seen").to_numpy()
+        verify = ~t.column("owned").to_numpy()
         sched[verify & seen_a] = "verify_ok"
         sched[verify & ~seen_a] = "verify_miss"
 
         own = ~verify
         # 1. within-pass dedup (prefer retry, then min rowid) — vectorized:
         # first occurrence in (retry-first, rowid-asc) order claims the hash
-        is_retry = (g["src"] == "retry").to_numpy()
-        order = np.lexsort((g["rowid"].to_numpy(), ~is_retry))
+        is_retry = pc.equal(t.column("src"), "retry").to_numpy(
+            zero_copy_only=False)
+        rowid = t.column("rowid").to_numpy()
+        order = np.lexsort((rowid, ~is_retry))
         own_order = order[own[order]]
-        uh = g["url_hash"].to_numpy()
+        uh = t.column("url_hash").to_numpy()
         dup = np.zeros(n, dtype=bool)
         if len(own_order):
             dup_sorted = pd.Series(uh[own_order]).duplicated().to_numpy()
@@ -72,17 +79,16 @@ def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
         delay_ms = rb["crawl_delay_ms"] if rb else 1000
         if not _allowed(rules, "/"):
             # SkipContainer analog: whole host skipped this pass
-            remaining = own & (sched == "")
-            sched[remaining] = "skipped_host"
-            out = g.copy()
-            out["sched"] = sched.astype(str)
-            return out
+            sched[own & (sched == "")] = "skipped_host"
+            return t.append_column(
+                "sched", pa.array(sched, type=pa.string()))
         cand = own & (sched == "")
         trivial_allow = (len(rules) == 1 and rules[0]["allow"]
                          and rules[0]["path_prefix"] == "/")
         if not trivial_allow:
             # per-row path checks only for hosts with real rule lists
-            paths = g["canonical_url"].map(path_of).to_numpy()
+            paths = [path_of(u)
+                     for u in t.column("canonical_url").to_pylist()]
             disallowed = np.array(
                 [bool(c) and not _allowed(rules, p)
                  for c, p in zip(cand, paths)]
@@ -98,16 +104,13 @@ def make_schedule_fn(robots_ref, buckets_ref, cfg_pass_time_ms: float,
         budget = int(avail)
         cidx = np.flatnonzero(cand)
         if len(cidx):
-            pr = g["priority"].to_numpy()[cidx]
-            ri = g["rowid"].to_numpy()[cidx]
-            order2 = np.lexsort((ri, -pr))
+            pr = t.column("priority").to_numpy()[cidx]
+            order2 = np.lexsort((rowid[cidx], -pr))
             chosen = cidx[order2[:budget]]
             sched[chosen] = "scheduled"
             rest = cidx[order2[budget:]]
             sched[rest] = "deferred"
-        out = g.copy()
-        out["sched"] = sched.astype(str)
-        return out
+        return t.append_column("sched", pa.array(sched, type=pa.string()))
 
     return schedule
 

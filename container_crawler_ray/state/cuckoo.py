@@ -13,8 +13,12 @@ Design:
   exact set with overwhelming (and, given fixed hashing, deterministic)
   probability.
 - alt index = i ^ mix(fp)  (partial-key cuckoo displacement);
-- insertion eviction path is DERIVED FROM THE KEY (no RNG) so filter state
-  is a pure function of the insert sequence — required for exact resume;
+- insertion eviction path is DERIVED FROM THE KEY (no RNG), so filter
+  state is a pure function of the insert SEQUENCE. Mark-stage batches
+  arrive in nondeterministic Ray block order, so bit-level state is not
+  reproducible across re-runs — but MEMBERSHIP is (same key set in, same
+  answers out), and membership-level determinism is what exact resume
+  relies on;
 - when an insert still fails after MAX_KICKS evictions, the key spills to a
   bloom filter tier (never loses a key; FP rate degrades gracefully instead
   of insert failure — the right trade for a crawl dedup at 10^10 scale).

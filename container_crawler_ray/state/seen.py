@@ -171,9 +171,20 @@ class SeenSet:
                 rows["num_items"].append(n)
         return pa.table(rows, schema=SEEN_SHARDS)
 
-    def restore_from_table(self, table: pa.Table) -> None:
+    def items_per_shard(self) -> list[int]:
+        return ray.get([a.num_items.remote() for a in self.actors])
+
+    def restore_from_table(self, table: pa.Table,
+                           only_shards: set[int] | None = None) -> None:
+        """Restore shard filters from a snapshot fragment. *only_shards*
+        restricts which shard ids are touched — multi-engine resume uses
+        it to avoid rolling back LIVE shards another engine is actively
+        marking (restoring a live shard would erase its in-flight seen
+        marks and permit duplicate fetches)."""
         by_shard: dict[int, dict[str, tuple[bytes, int]]] = {}
         for row in table.to_pylist():
+            if only_shards is not None and row["shard_id"] not in only_shards:
+                continue
             by_shard.setdefault(row["shard_id"], {})[row["kind"]] = (
                 row["bits"], row["num_items"])
         refs = []

@@ -11,9 +11,13 @@ documents, metrics, lineage) gain one fragment per pass, named by pass id so
 a re-run of an uncommitted pass overwrites its own fragments idempotently
 (this is what makes kill/resume exact).
 
-``north_rule`` asks for Lance; the ``lance`` package is not installed in
-this sandbox (no network), so the backend is parquet with the same layout.
-Swap-in point: the three functions ``_write_file/_read_file/_file_ext``.
+``north_rule`` asks for Lance. The backend is a pluggable seam: pick with
+``TableStore(root, backend=...)`` or the ``GRAFT_STORAGE_BACKEND`` env
+var (default ``parquet``). The ``lance`` backend is registered and
+becomes live the moment the ``lance`` package is installable (it is not
+in this sandbox — no network), at which point the swap is a config
+change, not a code change. Custom backends register via
+``register_backend``.
 """
 
 from __future__ import annotations
@@ -27,25 +31,103 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _write_file(table: pa.Table, path: str) -> None:
-    # modest row groups so read_parquet can split one fragment into many
-    # parallel read tasks (a single-row-group file reads serially)
-    pq.write_table(table, path, row_group_size=32 * 1024)
+class ParquetBackend:
+    """Default file backend: one parquet file per fragment."""
+
+    ext = "parquet"
+
+    def write(self, table: pa.Table, path: str) -> None:
+        # modest row groups so read_parquet can split one fragment into
+        # many parallel read tasks (a single-row-group file reads serially)
+        pq.write_table(table, path, row_group_size=32 * 1024)
+
+    def read(self, path: str) -> pa.Table:
+        return pq.read_table(path)
+
+    def ray_read(self, files: list[str], filter=None):
+        """Distributed scan over fragment files with predicate pushdown
+        (row groups that cannot match are skipped at the read)."""
+        import ray.data
+        return ray.data.read_parquet(files, filter=filter)
 
 
-def _read_file(path: str) -> pa.Table:
-    return pq.read_table(path)
+class LanceBackend:
+    """Lance file backend (north_rule target). Requires the ``lance``
+    package; raises with a clear message where it is not installed so the
+    parquet default keeps working everywhere else."""
+
+    ext = "lance"
+
+    def __init__(self):
+        try:
+            import lance  # noqa: F401
+            self._lance = lance
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "GRAFT_STORAGE_BACKEND=lance but the 'lance' package is "
+                "not installed; install pylance or use the parquet "
+                "backend") from e
+
+    def write(self, table: pa.Table, path: str) -> None:  # pragma: no cover
+        self._lance.write_dataset(table, path, mode="overwrite")
+
+    def read(self, path: str) -> pa.Table:  # pragma: no cover
+        return self._lance.dataset(path).to_table()
+
+    def ray_read(self, files: list[str], filter=None):  # pragma: no cover
+        import ray.data
+        parts = [ray.data.read_lance(f) for f in files]
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        if filter is not None:
+            ds = ds.filter(expr=str(filter))
+        return ds
 
 
-_FILE_EXT = "parquet"
+_BACKENDS: dict[str, type] = {
+    "parquet": ParquetBackend,
+    "lance": LanceBackend,
+}
+
+
+def register_backend(name: str, cls: type) -> None:
+    """Register a custom storage backend class (must provide ``ext``,
+    ``write(table, path)`` and ``read(path) -> Table``)."""
+    _BACKENDS[name] = cls
+
+
+def resolve_backend(name: str | None = None):
+    name = name or os.environ.get("GRAFT_STORAGE_BACKEND", "parquet")
+    try:
+        return _BACKENDS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown storage backend {name!r}; "
+            f"registered: {sorted(_BACKENDS)}") from None
 
 
 class TableStore:
     """Directory-of-tables store rooted at *root* (e.g. a crawl run dir)."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend=None):
         self.root = root
+        self._backend = backend if backend is not None else resolve_backend()
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
+
+    def _write_file(self, table: pa.Table, path: str) -> None:
+        self._backend.write(table, path)
+
+    def _read_file(self, path: str) -> pa.Table:
+        return self._backend.read(path)
+
+    @property
+    def _ext(self) -> str:
+        return self._backend.ext
+
+    def ray_read(self, files: list[str], filter=None):
+        """Backend-dispatched ``ray.data`` scan over fragment files."""
+        return self._backend.ray_read(files, filter=filter)
 
     # ------------------------------------------------------------------ paths
     def table_dir(self, name: str) -> str:
@@ -57,13 +139,13 @@ class TableStore:
     def write_current(self, name: str, table: pa.Table) -> None:
         """Atomically replace the single-fragment table *name*."""
         d = self.table_dir(name)
-        tmp = os.path.join(d, f".current.{_FILE_EXT}.tmp")
-        _write_file(table, tmp)
-        os.replace(tmp, os.path.join(d, f"current.{_FILE_EXT}"))
+        tmp = os.path.join(d, f".current.{self._ext}.tmp")
+        self._write_file(table, tmp)
+        os.replace(tmp, os.path.join(d, f"current.{self._ext}"))
 
     def read_current(self, name: str) -> pa.Table | None:
-        p = os.path.join(self.table_dir(name), f"current.{_FILE_EXT}")
-        return _read_file(p) if os.path.exists(p) else None
+        p = os.path.join(self.table_dir(name), f"current.{self._ext}")
+        return self._read_file(p) if os.path.exists(p) else None
 
     # --------------------------------------------------------------- appends
     def append_fragment(self, name: str, table: pa.Table, pass_id: int,
@@ -73,9 +155,9 @@ class TableStore:
         ranges for scan pruning) lands in the per-fragment sidecar manifest.
         """
         d = self.table_dir(name)
-        frag = os.path.join(d, f"{tag}_{pass_id:06d}.{_FILE_EXT}")
+        frag = os.path.join(d, f"{tag}_{pass_id:06d}.{self._ext}")
         tmp = frag + ".tmp"
-        _write_file(table, tmp)
+        self._write_file(table, tmp)
         os.replace(tmp, frag)
         if meta is not None:
             mtmp = frag + ".json.tmp"
@@ -91,8 +173,8 @@ class TableStore:
         uses this to ignore orphans."""
         d = self.table_dir(name)
         files = sorted(
-            glob.glob(os.path.join(d, f"*.{_FILE_EXT}"))
-            + glob.glob(os.path.join(d, "*", f"*.{_FILE_EXT}"))
+            glob.glob(os.path.join(d, f"*.{self._ext}"))
+            + glob.glob(os.path.join(d, "*", f"*.{self._ext}"))
         )
         if committed_passes is None:
             return files
@@ -117,13 +199,13 @@ class TableStore:
         return d
 
     def read_fragment(self, name: str, tag: str, pass_id: int) -> pa.Table | None:
-        p = os.path.join(self.table_dir(name), f"{tag}_{pass_id:06d}.{_FILE_EXT}")
-        return _read_file(p) if os.path.exists(p) else None
+        p = os.path.join(self.table_dir(name), f"{tag}_{pass_id:06d}.{self._ext}")
+        return self._read_file(p) if os.path.exists(p) else None
 
     def gc_state_fragments(self, name: str, tag: str, keep_from_pass: int) -> None:
         d = self.table_dir(name)
-        pat = re.compile(re.escape(tag) + r"_(\d{6})\." + _FILE_EXT + "$")
-        for f in glob.glob(os.path.join(d, f"{tag}_*.{_FILE_EXT}")):
+        pat = re.compile(re.escape(tag) + r"_(\d{6})\." + self._ext + "$")
+        for f in glob.glob(os.path.join(d, f"{tag}_*.{self._ext}")):
             m = pat.search(f)
             if m and int(m.group(1)) < keep_from_pass:
                 os.remove(f)
@@ -139,7 +221,7 @@ class TableStore:
         files = self.fragments(name, committed_passes)
         if not files:
             return None
-        tables = [_read_file(f) for f in files]
+        tables = [self._read_file(f) for f in files]
         return pa.concat_tables(tables, promote_options="default")
 
     # ----------------------------------------------------------------- meta

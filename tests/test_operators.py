@@ -49,6 +49,7 @@ def test_entry_smoke(entrymod):
     "docs_per_lang", "q1_pricing", "events_rollup", "region_revenue",
     "spans_flat", "knn_bruteforce", "media_metadata", "text_stats",
     "ngram_top_pairs", "embedding_dup_pairs",
+    "order_priority_revenue", "user_sessions", "events_percentiles",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

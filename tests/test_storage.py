@@ -70,3 +70,56 @@ def test_meta_commit_point(store):
     assert store.read_meta() is None
     store.write_meta({"pass_id": 7})
     assert store.read_meta()["pass_id"] == 7
+
+
+# ------------------------------------------------------- backend seam
+def test_backend_seam_custom_backend(tmp_path):
+    """The storage backend is pluggable: a custom backend drives every
+    fragment read/write through its own format (here: arrow IPC files),
+    proving the Lance swap is a config change, not a rewrite."""
+    import pyarrow.ipc as ipc
+
+    from container_crawler_ray.storage import register_backend, resolve_backend
+
+    class IpcBackend:
+        ext = "arrows"
+
+        def write(self, table, path):
+            with ipc.new_file(path, table.schema) as w:
+                w.write_table(table)
+
+        def read(self, path):
+            with ipc.open_file(path) as r:
+                return r.read_all()
+
+        def ray_read(self, files, filter=None):  # pragma: no cover
+            raise NotImplementedError
+
+    register_backend("ipc-test", IpcBackend)
+    store = TableStore(str(tmp_path / "b"), backend=resolve_backend("ipc-test"))
+    store.write_current("t", _t([1, 2]))
+    assert store.read_current("t").column("x").to_pylist() == [1, 2]
+    store.append_fragment("t", _t([3]), 1)
+    assert store.read_fragment("t", "append", 1).column("x").to_pylist() == [3]
+    assert all(f.endswith(".arrows") for f in store.fragments("t"))
+
+
+def test_backend_env_var_switch(tmp_path, monkeypatch):
+    from container_crawler_ray import storage
+
+    monkeypatch.setenv("GRAFT_STORAGE_BACKEND", "parquet")
+    assert isinstance(TableStore(str(tmp_path / "p"))._backend,
+                      storage.ParquetBackend)
+    monkeypatch.setenv("GRAFT_STORAGE_BACKEND", "nope")
+    with pytest.raises(ValueError, match="unknown storage backend"):
+        TableStore(str(tmp_path / "x"))
+
+
+def test_lance_backend_registered_but_gated(monkeypatch):
+    """lance isn't installed in this environment: selecting it must fail
+    with an actionable message (and would work where pylance exists)."""
+    from container_crawler_ray import storage
+
+    assert "lance" in storage._BACKENDS
+    with pytest.raises(ImportError, match="lance"):
+        storage.resolve_backend("lance")
