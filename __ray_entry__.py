@@ -68,8 +68,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation composition
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
-        # multimodal plumbing
+        # multimodal plumbing (decode/feature/frame-sample stages; decode
+        # itself is a clearly-marked deterministic fake — no codecs here)
         "media_metadata": media.media_metadata,
+        "media_features": media.media_features,
+        "media_frames": media.media_frames,
         # crawl engine (stateful multi-pass; goldens from the independent
         # single-threaded spec oracle in tests/oracle.py)
         "crawl_pass_docs": crawl_queries.crawl_pass_docs,
@@ -318,5 +321,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + ({md5h} // 3) % 960 AS BIGINT) AS width,
                    CAST(64 + ({md5h} // 7) % 540 AS BIGINT) AS height
             FROM documents
+        """,
+        "media_features": "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        + ", ".join(
+            f"CAST(CAST(('0x' || substr(md5(text), {1 + 2 * j}, 2)) AS INT)"
+            f" AS BIGINT) AS f{j}" for j in range(8))
+        + " FROM documents",
+        "media_frames": f"""
+            WITH m AS (
+              SELECT doc_id, strlen(text) AS n_bytes,
+                     8 + {md5h} % 24 AS n_frames
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_bytes, n_frames,
+                     CAST((n_frames + 3) // 4 AS BIGINT) AS step
+              FROM m
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(u.frame_idx AS BIGINT) AS frame_idx,
+                   CAST(u.frame_idx * (n_bytes // n_frames) AS BIGINT)
+                       AS frame_off
+            FROM s, UNNEST(range(0, CAST(n_frames AS BIGINT), step))
+                 AS u(frame_idx)
         """,
     }

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "minhash_lsh_groups", "simhash_docs", "text_analysis", "media_metadata",
     "knn_ivf", "events_windowed", "user_activity", "curate_docs",
     "order_priority_revenue", "user_sessions", "events_percentiles",
+    "media_features", "media_frames",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -500,7 +500,10 @@ def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000,
     from ..functions.vectors import list_col_to_matrix, normalize_rows
 
     total = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    n_blocks = max(1, (total + block_rows - 1) // block_rows)
+    # block count: ceil(total/block_rows) bounds per-tile memory, but keep
+    # at least ~8 blocks (36 tiles) so small inputs still parallelize
+    n_blocks = max((total + block_rows - 1) // block_rows,
+                   min(8, (total + 255) // 256))
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
     if n_blocks > 1:

@@ -77,6 +77,84 @@ def _to_payload(t: pa.Table) -> pa.Table:
                      "payload": pa.array(payloads, type=pa.binary())})
 
 
+class MediaFeatureStage:
+    """Actor-pool feature extractor: a real deployment loads a vision
+    model in ``__init__`` and runs batched inference in ``__call__``;
+    here the 'model' is a deterministic md5-derived projection so the
+    Ray plumbing (actor pool, batch sizing, fixed-dim output schema) is
+    real and the values are SQL-reproducible. Output: 8 int features
+    f0..f7 (one md5 byte each) as scalar columns — the shape a
+    downstream ANN/cluster stage consumes."""
+
+    N_FEATURES = 8
+
+    def __init__(self):
+        self._model_ready = True   # real impl: load weights once here
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        feats = np.empty((len(payloads), self.N_FEATURES), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            d = hashlib.md5(p).digest()
+            feats[i] = np.frombuffer(d[:self.N_FEATURES], dtype=np.uint8)
+        cols = {"doc_id": t.column("doc_id").cast(pa.int64())}
+        for j in range(self.N_FEATURES):
+            cols[f"f{j}"] = pa.array(feats[:, j])
+        return pa.table(cols)
+
+
+class MediaFrameSampler:
+    """Actor-pool frame sampler (video stand-in): payload → every
+    ceil(n/4)-th frame index + byte offset. A real decoder seeks the
+    container per sampled frame; the deterministic fake derives the
+    frame count from the payload hash so the fan-out plumbing (one
+    input row → K frame rows, list offsets, small batches for wide
+    binary) is exercised end to end and SQL-checkable."""
+
+    def __init__(self, sample_target: int = 4):
+        self.sample_target = sample_target
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        doc_ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n_frames = np.empty(len(payloads), dtype=np.int64)
+        n_bytes = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            h = int(hashlib.md5(p).hexdigest()[:15], 16)
+            n_frames[i] = 8 + h % 24
+            n_bytes[i] = len(p)
+        step = (n_frames + self.sample_target - 1) // self.sample_target
+        counts = (n_frames + step - 1) // step     # sampled frames per doc
+        total = int(counts.sum())
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(counts) - counts, counts))
+        frame_idx = idx * np.repeat(step, counts)
+        frame_off = frame_idx * np.repeat(n_bytes // n_frames, counts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, counts)),
+            "frame_idx": pa.array(frame_idx),
+            "frame_off": pa.array(frame_off),
+        })
+
+
+def media_features(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_to_payload, batch_format="pyarrow").map_batches(
+        MediaFeatureStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 8))
+    return out.to_pandas()
+
+
+def media_frames(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_to_payload, batch_format="pyarrow").map_batches(
+        MediaFrameSampler, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 8))
+    return out.to_pandas()
+
+
 def media_metadata(sf_dir: str) -> pd.DataFrame:
     """documents → binary payloads → actor-pool decode → typed metadata.
     Small batch_size on purpose: binary payload batches must be sized to

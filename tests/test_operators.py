@@ -50,6 +50,7 @@ def test_entry_smoke(entrymod):
     "spans_flat", "knn_bruteforce", "media_metadata", "text_stats",
     "ngram_top_pairs", "embedding_dup_pairs",
     "order_priority_revenue", "user_sessions", "events_percentiles",
+    "media_features", "media_frames",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
