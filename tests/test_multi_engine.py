@@ -85,3 +85,41 @@ def test_engine_partition_disjointness(tmp_store):
     assert docs_after_e0 and docs_after_e1 - docs_after_e0, \
         "both engines fetch something"
     st0.seen.teardown()
+
+
+def test_resume_does_not_roll_back_live_foreign_shards(tmp_store):
+    """Restarting one engine while another is mid-pass must NOT restore
+    the live engine's seen shards from its last committed snapshot —
+    that would erase in-flight seen marks and re-permit duplicate
+    fetches. The resuming engine restores its OWN shards; foreign
+    shards are restored only when their actors are freshly created."""
+    import numpy as np
+
+    seeds = make_seed_urls(120, n_hosts=10)
+    root = f"{tmp_store}-liveresume"
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    store, state = init_run(root, dataclasses.replace(cfg0, num_engines=1,
+                                                      engine_index=0), seeds)
+    state.seen.teardown()
+
+    s0, st0 = resume_run(root, cfg0)
+    s1, st1 = resume_run(root, cfg1)
+    run_pass(s0, cfg0, st0)
+    run_pass(s1, cfg1, st1)
+
+    # engine 1 keeps running: it marks NEW uncommitted hashes into the
+    # shards it owns (shard id odd = engine 1 under shard % 2 == engine)
+    live_hashes = np.array([0xDEAD0001, 0xDEAD0003], dtype=np.uint64)
+    assert all(int(h) % cfg1.seen_shards == 1 for h in live_hashes)
+    st1.seen.contains_add(live_hashes)
+    before = st1.seen.items_per_shard()
+
+    # engine 0 crashes and resumes while engine 1's actors are LIVE
+    s0b, st0b = resume_run(root, cfg0)
+    after = st0b.seen.items_per_shard()
+    assert after[1] == before[1], (
+        "live foreign shard rolled back on resume")
+    assert st0b.seen.contains(live_hashes).all(), (
+        "in-flight marks of the live engine were erased")
+    st0b.seen.teardown()
