@@ -44,15 +44,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_since_watermark": analytics.events_since_watermark,
         "docs_top_nchars": analytics.docs_top_nchars,
         "events_topk_per_user": analytics.events_topk_per_user,
-        # joins (SURVEY §2.4): broadcast-dim and fact-fact co-partition
+        # joins (SURVEY §2.4): broadcast-dim, fact-fact co-partition,
+        # as-of, anti, range/interval, and filtered top-N multi-join
         "region_revenue": analytics.region_revenue,
         "order_priority_revenue": joins.order_priority_revenue,
+        "purchase_click_asof": joins.purchase_click_asof,
+        "quiet_customers": joins.quiet_customers,
+        "q3_shipping": joins.q3_shipping,
+        "events_value_bands": analytics.events_value_bands,
         # sessionization + exact per-group percentiles
         "user_sessions": analytics.user_sessions,
         "events_percentiles": analytics.events_percentiles,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
+        "top_tokens": analytics.top_tokens,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "minhash_lsh_groups": dedup.minhash_lsh_groups,   # golden oracle
         "simhash_docs": dedup.simhash_docs,               # golden oracle
@@ -95,9 +102,9 @@ def oracle_sql() -> dict[str, str]:
     """
     md5h = "CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)"
     gold = "/root/repo/tests/golden"
-    golden_queries = ["simhash_docs", "text_analysis", "minhash_lsh_groups",
-                      "curate_dedup", "knn_lsh", "knn_ivf",
-                      "frontier_host_stats", "crawl_pass_docs"]
+    golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
+                      "minhash_lsh_groups", "curate_dedup", "knn_lsh",
+                      "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -160,6 +167,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "purchase_click_asof": """
+            WITH c AS (
+              SELECT user_id, ts, MAX(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), p AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), m AS (
+              SELECT p.purchase_id, p.user_id, p.ts AS pts, MAX(c.ts) AS cts
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+              GROUP BY 1, 2, 3
+            )
+            SELECT CAST(m.purchase_id AS BIGINT) AS purchase_id,
+                   CAST(m.user_id AS BIGINT) AS user_id,
+                   CAST(epoch_us(m.pts) AS BIGINT) AS purchase_ts_us,
+                   CAST(c.click_id AS BIGINT) AS click_id,
+                   CAST(epoch_us(m.cts) AS BIGINT) AS click_ts_us,
+                   CAST(epoch_us(m.pts) - epoch_us(m.cts) AS BIGINT)
+                       AS gap_us
+            FROM m JOIN c ON c.user_id = m.user_id AND c.ts = m.cts
+        """,
+        "quiet_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+        """,
+        "q3_shipping": """
+            SELECT l.l_orderkey AS l_orderkey,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "events_value_bands": """
+            WITH bands(tier, lo, hi) AS (VALUES
+                ('t0', 0.0, 5.0), ('t1', 5.0, 25.0), ('t2', 25.0, 75.0),
+                ('t3', 75.0, 150.0), ('t4', 150.0, 1000000.0))
+            SELECT b.tier AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(e.value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1
+        """,
+        "top_tokens": r"""
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 50
         """,
         "order_priority_revenue": """
             SELECT o.o_orderpriority AS o_orderpriority,

@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "knn_ivf", "events_windowed", "user_activity", "curate_docs",
     "order_priority_revenue", "user_sessions", "events_percentiles",
     "media_features", "media_frames",
+    "purchase_click_asof", "quiet_customers", "q3_shipping",
+    "events_value_bands", "top_tokens", "simhash_dup_pairs",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -310,3 +310,58 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
         Count(alias_name="n_copies"),
     )
     return out.to_pandas()
+
+
+def events_value_bands(sf_dir: str) -> pd.DataFrame:
+    """Range join of events against a small band/interval table —
+    broadcast the band edges and resolve each row's interval with one
+    vectorized binary search (``np.searchsorted``) per batch instead of
+    shuffling either side. The grouped rollup after the in-map band
+    assignment is the only exchange. At 100 TB the band table stays a
+    broadcast (it is dimension-sized by construction); a fact×fact
+    interval join would switch to the bucketed pattern in ``joins.py``."""
+    edges = np.array([0.0, 5.0, 25.0, 75.0, 150.0, 1e6])
+    tiers = np.array(["t0", "t1", "t2", "t3", "t4"])
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def band(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy()
+        idx = np.searchsorted(edges, v, side="right") - 1
+        cents = np.floor(v * 100).astype(np.int64)
+        return pa.table({"tier": pa.array(tiers[idx]),
+                         "value_cents": pa.array(cents)})
+
+    out = ds.map_batches(band, batch_format="pyarrow").groupby(
+        "tier"
+    ).aggregate(
+        Count(alias_name="n"),
+        Sum("value_cents", alias_name="sum_value_cents"),
+    )
+    return out.to_pandas()
+
+
+def top_tokens(sf_dir: str, topn: int = 50) -> pd.DataFrame:
+    """Global token frequency top-N (wordcount at corpus scale). The
+    map side emits PRE-AGGREGATED (token, partial-count) rows via one
+    ``np.unique`` per batch, so the exchange moves |vocab ∩ batch| rows
+    per block — not one row per token occurrence; the groupby-sum then
+    reduces partials and only the final top-N is collected. Ties at the
+    cut line break on token text, matching the SQL twin exactly."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        all_toks = np.array([w for s in texts for w in s.split()],
+                            dtype=object)
+        if len(all_toks) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        toks, counts = np.unique(all_toks, return_counts=True)
+        return pa.table({"tok": pa.array(list(toks), type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("tok").aggregate(Sum("n", alias_name="n")))
+    out = (agg.sort(["n", "tok"], descending=[True, False])
+           .limit(topn).to_pandas())
+    return out.astype({"n": "int64"})

@@ -554,3 +554,81 @@ def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000,
                              "sim_bp": pd.Series(dtype=np.int64)})
     out = pa.concat_tables(tiles).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ ``max_hamming``,
+    found via 4×16-bit banding. Pigeonhole makes the banding EXACT for
+    ``max_hamming ≤ 3``: at most 3 flipped bits leave at least one of
+    the 4 bands untouched, so every qualifying pair shares an exact band
+    key — the golden oracle recomputes all-pairs Hamming independently
+    and must agree pair-for-pair.
+
+    Shape: simhash per batch → explode 4 (bandkey, doc) rows per doc →
+    hash-bucket the band keys into a bounded task count → one vectorized
+    XOR+popcount per bucket over the run of each equal band key. The
+    exchange moves four small integer rows per doc; document text never
+    leaves the first map stage. A pathological run (thousands of exact
+    dups sharing a band key) bounds at run², which a production config
+    caps by pre-collapsing exact-equal simhashes first."""
+    from .analytics import _read
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sims = docs.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = t.column("simhash").to_numpy()
+        n = len(ids)
+        parts = []
+        for band in range(4):
+            key = ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF))
+            bandkey = (np.uint64(band) << np.uint64(16)) | key
+            bucket = (mix64(bandkey) % np.uint64(128)).astype(np.int32)
+            parts.append(pa.table({
+                "doc_id": pa.array(ids),
+                "simhash": pa.array(h),
+                "bandkey": pa.array(bandkey.astype(np.int64)),
+                "bucket": pa.array(bucket),
+            }))
+        return pa.concat_tables(parts) if n else parts[0]
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bandkey", "doc_id"], kind="mergesort")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        keys = g["bandkey"].to_numpy()
+        out_a, out_b, out_h = [], [], []
+        starts = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1], [True])))
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            x = np.bitwise_xor(hs[s + ii], hs[s + jj])
+            ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(
+                axis=1)
+            keep = ham <= max_hamming
+            out_a.append(ids[s + ii[keep]])
+            out_b.append(ids[s + jj[keep]])
+            out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"a": np.concatenate(out_a),
+                           "b": np.concatenate(out_b),
+                           "hamming": np.concatenate(out_h)})
+        # a<b is guaranteed by the doc_id sort; a pair seen in several
+        # bands of the SAME bucket collapses here, cross-bucket repeats
+        # collapse in the final (tiny) result set
+        return df.drop_duplicates(["a", "b"])
+
+    pairs = (sims.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(bucket_pairs,
+                                           batch_format="pandas")
+             .to_pandas())
+    pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    return pairs.reset_index(drop=True).astype(
+        {"a": "int64", "b": "int64", "hamming": "int64"})

@@ -76,3 +76,199 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         revenue_cents=("revenue_cents", "sum"),
         n_lines=("n_lines", "sum"))
     return out.astype({"revenue_cents": "int64", "n_lines": "int64"})
+
+
+def purchase_click_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (attribution): for each ``purchase`` event, the same
+    user's most recent ``click`` at-or-before the purchase timestamp.
+
+    Ray shape: one exchange — tag both event streams, bucket by
+    ``user_id % B``, ``groupby(bucket)``, then one vectorized
+    ``pd.merge_asof(by=user_id)`` per bucket (C sort-merge under the
+    hood). Per-bucket memory is |events|/B; skewed users can be salted
+    the same way the politeness scheduler salts hot hosts. Ties (equal
+    user_id+ts clicks) are pre-collapsed to the max event_id so the
+    match is deterministic on both the Ray and SQL sides. Purchases with
+    no prior click are dropped (inner as-of)."""
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        uid = t.column("user_id").to_numpy()
+        side = (np.asarray(t.column("event_type")) == "purchase").astype(
+            np.int8)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "user_id": t.column("user_id"),
+            "side": pa.array(side),
+            "bucket": pa.array((uid % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = (g[g["side"] == 0]
+                  .sort_values(["ts_us", "event_id"], kind="mergesort")
+                  .drop_duplicates(["user_id", "ts_us"], keep="last")
+                  .rename(columns={"event_id": "click_id",
+                                   "ts_us": "click_ts_us"}))
+        purch = (g[g["side"] == 1]
+                 .rename(columns={"event_id": "purchase_id",
+                                  "ts_us": "purchase_ts_us"})
+                 .sort_values("purchase_ts_us", kind="mergesort"))
+        if clicks.empty or purch.empty:
+            return pd.DataFrame({
+                "purchase_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "purchase_ts_us": pd.Series([], dtype="int64"),
+                "click_id": pd.Series([], dtype="int64"),
+                "click_ts_us": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(
+            purch[["purchase_id", "user_id", "purchase_ts_us"]],
+            clicks[["click_id", "user_id", "click_ts_us"]],
+            left_on="purchase_ts_us", right_on="click_ts_us",
+            by="user_id", direction="backward")
+        m = m[m["click_id"].notna()].copy()
+        m["click_id"] = m["click_id"].astype("int64")
+        m["click_ts_us"] = m["click_ts_us"].astype("int64")
+        m["gap_us"] = m["purchase_ts_us"] - m["click_ts_us"]
+        return m[["purchase_id", "user_id", "purchase_ts_us",
+                  "click_id", "click_ts_us", "gap_us"]]
+
+    out = (ev.map_batches(tag, batch_format="pyarrow")
+           .groupby("bucket").map_groups(bucket_asof, batch_format="pandas"))
+    return out.to_pandas()
+
+
+def q3_shipping(sf_dir: str, segment: str = "BUILDING",
+                cutoff: str = "1998-01-01", topn: int = 10) -> pd.DataFrame:
+    """TPC-H-Q3-ish shipping priority: revenue of the top orders for one
+    market segment before a date cutoff.
+
+    Join plan for scale: the CUSTOMER side shrinks to a key set after the
+    segment filter → broadcast it once (``ray.put``) and semi-join orders
+    in-map; orders ⨝ lineitem is fact×fact → bucketed co-partition join
+    (same one-exchange pattern as ``order_priority_revenue``) with the
+    (orderkey, date) partial aggregate inside each bucket, so the final
+    exchange moves one row per order, not per lineitem."""
+    import ray
+
+    cutoff_us = int(pd.Timestamp(cutoff).value // 1000)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def seg_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(t.column("c_mktsegment"), segment)
+        return t.filter(m).select(["c_custkey"])
+
+    keys = np.sort(cust.map_batches(seg_keys, batch_format="pyarrow")
+                   .to_pandas()["c_custkey"].to_numpy().astype(np.int64))
+    keys_ref = ray.put(keys)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        dt = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        keep = (dt < cutoff_us) & np.isin(ck, ks, assume_unique=False)
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)[keep]
+        return pa.table({
+            "key": pa.array(key),
+            "date_us": pa.array(dt[keep]),
+            "cents": pa.array(np.full(keep.sum(), -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(int(keep.sum()), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "date_us": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "cents": pa.array(cents),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "date_us"]]
+        right = g[g["side"] == 1][["key", "cents"]]
+        m = right.merge(left, on="key")
+        out = m.groupby(["key", "date_us"], as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+        return out
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    partial = (tagged.groupby("bucket")
+               .map_groups(bucket_join, batch_format="pandas"))
+    out = partial.to_pandas()
+    # buckets partition by orderkey, so (key, date) rows are already
+    # unique across buckets — only the global top-N remains
+    out = out.sort_values(["revenue_cents", "key"],
+                          ascending=[False, True]).head(topn)
+    out = out.rename(columns={"key": "l_orderkey",
+                              "date_us": "o_orderdate_us"})
+    return (out[["l_orderkey", "o_orderdate_us", "revenue_cents"]]
+            .reset_index(drop=True)
+            .astype({"l_orderkey": "int64", "o_orderdate_us": "int64",
+                     "revenue_cents": "int64"}))
+
+
+def quiet_customers(sf_dir: str,
+                    min_total: float = 300_000.0) -> pd.DataFrame:
+    """Anti-join: customers with NO order above ``min_total``. Bucketed
+    co-partition anti-join — both sides hash to ``key % B`` buckets, one
+    exchange, then a vectorized ``np.isin`` complement per bucket. The
+    probe side is pre-deduplicated per batch so the exchange moves at
+    most one row per distinct custkey per block, not one per order."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("c_acctbal").to_numpy() * 100).astype(
+            np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "c_name": t.column("c_name"),
+            "acctbal_cents": pa.array(cents),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_custkey").to_numpy().astype(np.int64)
+        key = np.unique(key[t.column("o_totalprice").to_numpy() > min_total])
+        return pa.table({
+            "key": pa.array(key),
+            "c_name": pa.array([""] * len(key), type=pa.string()),
+            "acctbal_cents": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def bucket_anti(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        hit = np.isin(left["key"].to_numpy(),
+                      g.loc[g["side"] == 1, "key"].to_numpy())
+        out = left.loc[~hit, ["key", "c_name", "acctbal_cents"]]
+        return out.rename(columns={"key": "c_custkey"})
+
+    tagged = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow"))
+    out = (tagged.groupby("bucket")
+           .map_groups(bucket_anti, batch_format="pandas"))
+    return out.to_pandas()

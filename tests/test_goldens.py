@@ -19,7 +19,8 @@ SF = "/root/testdata/sf0.01"
 GOLD = os.path.join(os.path.dirname(__file__), "golden")
 
 GOLDEN_QUERIES = [
-    "simhash_docs", "text_analysis", "minhash_lsh_groups", "curate_dedup",
+    "simhash_docs", "simhash_dup_pairs", "text_analysis",
+    "minhash_lsh_groups", "curate_dedup",
     "knn_lsh", "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
 ]
 

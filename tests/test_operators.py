@@ -51,6 +51,8 @@ def test_entry_smoke(entrymod):
     "ngram_top_pairs", "embedding_dup_pairs",
     "order_priority_revenue", "user_sessions", "events_percentiles",
     "media_features", "media_frames",
+    "purchase_click_asof", "quiet_customers", "q3_shipping",
+    "events_value_bands", "top_tokens",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

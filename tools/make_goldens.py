@@ -87,6 +87,42 @@ def g_simhash(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over a uint64 array — deliberately a DIFFERENT
+    algorithm from the engine's np.unpackbits path."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
+def g_simhash_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """ALL pairs with Hamming(simhash) <= max_hamming by brute-force
+    O(n^2) scan (chunked) — no banding, so it independently checks the
+    engine's pigeonhole-banding claim of exactness."""
+    sims = g_simhash(sf_dir).sort_values("doc_id")   # index order == id
+    ids = sims["doc_id"].to_numpy()                  # order, so the a<b
+    hs = sims["simhash"].to_numpy().astype(np.uint64)  # triangle is by id
+    n = len(ids)
+    rows_a, rows_b, rows_h = [], [], []
+    for s in range(0, n, 256):
+        e = min(n, s + 256)
+        x = np.bitwise_xor(hs[s:e, None], hs[None, :])
+        ham = _popcount64(x.ravel()).reshape(e - s, n)
+        ai, bi = np.nonzero(ham <= max_hamming)
+        keep = (s + ai) < bi          # upper triangle only, a < b
+        rows_a.append(ids[s + ai[keep]])
+        rows_b.append(ids[bi[keep]])
+        rows_h.append(ham[ai[keep], bi[keep]])
+    df = pd.DataFrame({"a": np.concatenate(rows_a),
+                       "b": np.concatenate(rows_b),
+                       "hamming": np.concatenate(rows_h)})
+    df = df.sort_values(["a", "b"]).reset_index(drop=True)
+    return df.astype({"a": "int64", "b": "int64", "hamming": "int64"})
+
+
 # ----------------------------------------------------------- text analysis
 _STOPS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that"},
@@ -376,6 +412,7 @@ def g_crawl_pass_docs(sf_dir: str) -> pd.DataFrame:
 
 GOLDENS = {
     "simhash_docs": g_simhash,
+    "simhash_dup_pairs": g_simhash_pairs,
     "text_analysis": g_text_analysis,
     "minhash_lsh_groups": g_minhash,
     "curate_dedup": g_curate_dedup,
