@@ -52,9 +52,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_customers": joins.quiet_customers,
         "q3_shipping": joins.q3_shipping,
         "events_value_bands": analytics.events_value_bands,
-        # sessionization + exact per-group percentiles
+        # sessionization, percentiles, rolling windows, distinct counts,
+        # deterministic hash sampling
         "user_sessions": analytics.user_sessions,
         "events_percentiles": analytics.events_percentiles,
+        "user_value_rolling": analytics.user_value_rolling,
+        "users_per_event_type": analytics.users_per_event_type,
+        "docs_hash_sample": analytics.docs_hash_sample,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -251,6 +255,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id
+        """,
+        "users_per_event_type": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "user_value_rolling": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS roll_cents
+            FROM events
+        """,
+        "docs_hash_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(text), 16, 1)) AS INT) = 0
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "media_features", "media_frames",
     "purchase_click_asof", "quiet_customers", "q3_shipping",
     "events_value_bands", "top_tokens", "simhash_dup_pairs",
+    "user_value_rolling", "users_per_event_type", "docs_hash_sample",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -365,3 +365,83 @@ def top_tokens(sf_dir: str, topn: int = 50) -> pd.DataFrame:
     out = (agg.sort(["n", "tok"], descending=[True, False])
            .limit(topn).to_pandas())
     return out.astype({"n": "int64"})
+
+
+def users_per_event_type(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct count (COUNT DISTINCT user_id per event_type) as a
+    two-stage shuffle: map-side dedup of (event_type, user_id) pairs per
+    batch (np.unique), a groupby on the PAIR to finish the dedup, then a
+    tiny per-type count. The first exchange moves at most
+    |distinct pairs per block| rows; the second moves one row per pair —
+    this is the pattern that survives 10^9 users where a per-group
+    nunique() (all of a group's raw rows in one task) would not. An
+    approximate variant would swap stage two for a mergeable HLL sketch."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type"))
+        uid = t.column("user_id").to_numpy()
+        key = pd.MultiIndex.from_arrays([et, uid])
+        uniq = ~key.duplicated()
+        return pa.table({"event_type": pa.array(et[uniq]),
+                         "user_id": pa.array(uid[uniq])})
+
+    dedup = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_c")))
+    out = (dedup.map_batches(
+        lambda t: t.select(["event_type"]), batch_format="pyarrow")
+        .groupby("event_type").aggregate(Count(alias_name="n_users")))
+    return out.to_pandas()
+
+
+def user_value_rolling(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Per-user rolling 3-event sum of value-cents in (ts, event_id)
+    order — the order-dependent window aggregate SQL expresses as
+    ``SUM() OVER (PARTITION BY ... ORDER BY ... ROWS 2 PRECEDING)``.
+    One ``groupby(user_id)`` exchange; inside each group the window is a
+    shifted-cumsum (vectorized), not a Python loop. Event_id joins the
+    sort key so duplicate timestamps cannot make the result
+    order-ambiguous."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": pa.array(cents)})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        c = g["cents"].to_numpy()
+        cs = np.concatenate(([0], np.cumsum(c)))
+        lo = np.maximum(0, np.arange(len(c)) - window + 1)
+        out = cs[1 + np.arange(len(c))] - cs[lo]
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                             "event_id": g["event_id"].to_numpy(),
+                             "roll_cents": out})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("user_id").map_groups(roll, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"roll_cents": "int64"})
+
+
+def docs_hash_sample(sf_dir: str, mod: int = 16) -> pd.DataFrame:
+    """Deterministic hash sampling (the reproducible alternative to
+    ``ds.random_sample`` for pipelines that must re-select the SAME
+    sample on re-run/resume): keep docs where ``hash64(text) % mod == 0``.
+    Pure map-side filter — no exchange, no state; the SQL twin recomputes
+    the identical MD5-derived bucket."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = hash64_many(t.column("text").to_pylist())
+        m = (h % np.uint64(mod)) == 0
+        return t.filter(pa.array(m)).select(["doc_id", "n_chars"])
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
