@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
         "top_tokens": analytics.top_tokens,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
+        "embedding_dup_groups": dedup.embedding_dup_groups,  # golden oracle
         "minhash_lsh_groups": dedup.minhash_lsh_groups,   # golden oracle
         "simhash_docs": dedup.simhash_docs,               # golden oracle
         # similarity search
@@ -107,7 +108,8 @@ def oracle_sql() -> dict[str, str]:
     md5h = "CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT)"
     gold = "/root/repo/tests/golden"
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
-                      "minhash_lsh_groups", "curate_dedup", "knn_lsh",
+                      "minhash_lsh_groups", "curate_dedup",
+                      "embedding_dup_groups", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"

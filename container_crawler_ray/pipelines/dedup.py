@@ -632,3 +632,33 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     pairs = pairs.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
     return pairs.reset_index(drop=True).astype(
         {"a": "int64", "b": "int64", "hamming": "int64"})
+
+
+def embedding_dup_groups(sf_dir: str, tau_bp: int = 4000,
+                         max_rounds: int = 8) -> pd.DataFrame:
+    """Embedding near-duplicate GROUPS: connected components over the
+    cosine-similarity pair graph (``embedding_dup_pairs``), resolved by
+    the same distributed min-label propagation the MinHash path uses —
+    no driver union-find, no full-table materialization. Singleton
+    vectors keep their own id as group_id. The golden oracle recomputes
+    groups with an independent single-process union-find over a
+    brute-force similarity matrix."""
+    import pyarrow.parquet as pq
+
+    pairs = embedding_dup_pairs(sf_dir, tau_bp=tau_bp)
+    all_ids = np.sort(pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id"]).column("vec_id").to_numpy().astype(np.int64))
+    if pairs.empty:
+        return pd.DataFrame({"vec_id": all_ids, "group_id": all_ids})
+    comp = _propagate_components(pairs[["a", "b"]], max_rounds=max_rounds)
+    lbl_nodes = comp["node"].to_numpy()
+    lbl_vals = comp["label"].to_numpy()
+    order = np.argsort(lbl_nodes)
+    lbl_nodes, lbl_vals = lbl_nodes[order], lbl_vals[order]
+    group = all_ids.copy()
+    pos = np.searchsorted(lbl_nodes, all_ids)
+    pos_c = np.clip(pos, 0, max(0, len(lbl_nodes) - 1))
+    hit = (len(lbl_nodes) > 0) & (lbl_nodes[pos_c] == all_ids)
+    group[hit] = lbl_vals[pos_c[hit]]
+    return pd.DataFrame({"vec_id": all_ids, "group_id": group})

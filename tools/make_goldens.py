@@ -282,6 +282,34 @@ def g_curate_dedup(sf_dir: str) -> pd.DataFrame:
         {"group_id": "int64", "keep_id": "int64"})
 
 
+def g_embedding_groups(sf_dir: str, tau_bp: int = 4000) -> pd.DataFrame:
+    """Union-find over a brute-force cosine matrix — independent of the
+    engine's tiled pair generation AND its label propagation."""
+    ids, mat = _embs(sf_dir)
+    bp = np.floor((mat @ mat.T) * 10000).astype(np.int64)
+    ai, bi = np.nonzero(bp >= tau_bp)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for i, j in zip(ai, bi):
+        if i >= j:
+            continue
+        a, b = int(ids[i]), int(ids[j])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out_ids = np.sort(ids)
+    return pd.DataFrame({
+        "vec_id": out_ids.astype(np.int64),
+        "group_id": np.array([find(int(v)) for v in out_ids],
+                             dtype=np.int64)})
+
+
 # ------------------------------------------------------------------- knn
 def _g_topk(hits: list[tuple[int, int, int]], k: int = 5) -> pd.DataFrame:
     df = pd.DataFrame(hits, columns=["query_id", "neighbor_id", "sim_bp"])
@@ -416,6 +444,7 @@ GOLDENS = {
     "text_analysis": g_text_analysis,
     "minhash_lsh_groups": g_minhash,
     "curate_dedup": g_curate_dedup,
+    "embedding_dup_groups": g_embedding_groups,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
     "frontier_host_stats": g_frontier_host_stats,
