@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media.media_metadata,
         "media_features": media.media_features,
         "media_frames": media.media_frames,
+        "media_resized": media.media_resized,
         # crawl engine (stateful multi-pass; goldens from the independent
         # single-threaded spec oracle in tests/oracle.py)
         "crawl_pass_docs": crawl_queries.crawl_pass_docs,
@@ -417,6 +418,28 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(CAST(('0x' || substr(md5(text), {1 + 2 * j}, 2)) AS INT)"
             f" AS BIGINT) AS f{j}" for j in range(8))
         + " FROM documents",
+        "media_resized": f"""
+            WITH m AS (
+              SELECT doc_id, strlen(text) AS n_bytes,
+                     CAST(64 + ({md5h} // 3) % 960 AS BIGINT) AS width,
+                     CAST(64 + ({md5h} // 7) % 540 AS BIGINT) AS height
+              FROM documents
+            ), s AS (
+              SELECT *, GREATEST(width, height) AS mx FROM m
+            )
+            SELECT doc_id, width, height,
+                   CAST(CASE WHEN mx <= 256 THEN width
+                        ELSE width * 256 // mx END AS BIGINT) AS out_width,
+                   CAST(CASE WHEN mx <= 256 THEN height
+                        ELSE height * 256 // mx END AS BIGINT) AS out_height,
+                   CAST(n_bytes
+                        * (CASE WHEN mx <= 256 THEN width
+                           ELSE width * 256 // mx END
+                           * CASE WHEN mx <= 256 THEN height
+                             ELSE height * 256 // mx END)
+                        // (width * height) AS BIGINT) AS n_bytes_est
+            FROM s
+        """,
         "media_frames": f"""
             WITH m AS (
               SELECT doc_id, strlen(text) AS n_bytes,

@@ -168,3 +168,51 @@ def media_metadata(sf_dir: str) -> pd.DataFrame:
         MediaDecodeStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 8))
     return out.to_pandas()
+
+
+class MediaResizeStage:
+    """Actor-pool resize: fit each image into a ``box × box`` bounding
+    box preserving aspect ratio. A real implementation decodes, resizes
+    (PIL/cv2) and re-encodes in ``__call__``; here the decode is the
+    same deterministic fake as ``MediaDecodeStage`` and the geometry is
+    pure integer math (``out = dim * box // max(w, h)``) so the output
+    is SQL-reproducible while the Ray plumbing — actor pool, small
+    binary batches, typed output schema with an estimated output byte
+    count for downstream memory budgeting — is real."""
+
+    def __init__(self, box: int = 256):
+        self.box = box
+        self._codec_ready = True   # real impl: codec handles load once
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        n = len(payloads)
+        w = np.empty(n, dtype=np.int64)
+        h = np.empty(n, dtype=np.int64)
+        nb = np.empty(n, dtype=np.int64)
+        for i, p in enumerate(payloads):
+            x = int(hashlib.md5(p).hexdigest()[:15], 16)
+            w[i] = 64 + (x // 3) % 960
+            h[i] = 64 + (x // 7) % 540
+            nb[i] = len(p)
+        mx = np.maximum(w, h)
+        big = mx > self.box
+        ow, oh = w.copy(), h.copy()
+        ow[big] = w[big] * self.box // mx[big]
+        oh[big] = h[big] * self.box // mx[big]
+        nb_est = nb * (ow * oh) // (w * h)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "width": pa.array(w), "height": pa.array(h),
+            "out_width": pa.array(ow), "out_height": pa.array(oh),
+            "n_bytes_est": pa.array(nb_est),
+        })
+
+
+def media_resized(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_to_payload, batch_format="pyarrow").map_batches(
+        MediaResizeStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 8))
+    return out.to_pandas()

@@ -17,7 +17,11 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser(description="container-crawler-ray job")
     ap.add_argument("--root", required=True, help="run/state directory")
-    ap.add_argument("--seeds", type=int, default=10_000)
+    ap.add_argument("--seeds", type=int, default=10_000,
+                    help="synthetic seed count (ignored with --seed-file)")
+    ap.add_argument("--seed-file", default=None,
+                    help="URL list file (.txt/.csv/.parquet) instead of "
+                         "synthetic seeds")
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -49,10 +53,15 @@ def main() -> None:
                       bulk_process=args.bulk,
                       fetch_mode=args.fetch_mode,
                       workers=args.num_cpus or 16)
-    out = run_crawl(
-        args.root, cfg,
-        seed_urls=None if args.resume else make_seed_urls(args.seeds),
-        max_passes=args.passes, resume=args.resume)
+    if args.resume:
+        seed_urls = None
+    elif args.seed_file:
+        from .sources.seeds import load_seed_urls
+        seed_urls = load_seed_urls(args.seed_file)
+    else:
+        seed_urls = make_seed_urls(args.seeds)
+    out = run_crawl(args.root, cfg, seed_urls=seed_urls,
+                    max_passes=args.passes, resume=args.resume)
     print(json.dumps({"final_pass": out["final_pass"],
                       "total_fetched": out["total_fetched"],
                       "total_scheduled": out["total_scheduled"]}))
