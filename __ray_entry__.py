@@ -75,8 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "text_stats": analytics.text_stats,
         "text_analysis": text_ops.text_analysis,          # golden oracle
-        # interleaved spans (input_hint shape)
+        # interleaved spans (input_hint shape) + sequence packing
         "spans_flat": spans.spans_flat,
+        "pack_sequences": spans.pack_sequences,           # golden oracle
         # curation composition
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
@@ -110,7 +111,7 @@ def oracle_sql() -> dict[str, str]:
     gold = "/root/repo/tests/golden"
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
                       "minhash_lsh_groups", "curate_dedup",
-                      "embedding_dup_groups", "knn_lsh",
+                      "embedding_dup_groups", "pack_sequences", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"

@@ -42,7 +42,7 @@ BENCH_QUERIES = [
     "purchase_click_asof", "quiet_customers", "q3_shipping",
     "events_value_bands", "top_tokens", "simhash_dup_pairs",
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
-    "embedding_dup_groups", "media_resized",
+    "embedding_dup_groups", "media_resized", "pack_sequences",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

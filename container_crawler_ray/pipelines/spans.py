@@ -105,3 +105,55 @@ def spanify(sf_dir: str) -> ray.data.Dataset:
 def spans_flat(sf_dir: str):
     return spanify(sf_dir).map_batches(flatten_spans_batch,
                                        batch_format="pyarrow").to_pandas()
+
+
+def pack_sequences(sf_dir: str, budget: int = 2048,
+                   part_size: int = 256) -> "pd.DataFrame":
+    """Sequence packing (the training-data step after span assembly):
+    greedily pack documents into fixed-character-budget sequences.
+
+    Packing is inherently order-dependent, so the scalable form is
+    PARTITION-LOCAL packing: docs are grouped into bounded id-blocks
+    (``doc_id // part_size``), packed greedily in doc_id order inside
+    each block, and sequences never cross blocks — every block packs
+    independently and in parallel, and a resumed run re-packs each block
+    identically (no global sequential state). seq_id = block * 2^20 +
+    local index is unique and deterministic. A doc longer than the
+    budget gets a sequence of its own (never split — the span layer
+    already bounds doc length upstream at 100 TB).
+
+    Output: one row per doc — (doc_id, seq_id, seq_off, n_chars).
+    Golden oracle: straight-line single-process packer."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        block = t.column("doc_id").to_numpy() // part_size
+        return t.append_column("block", pa.array(block.astype(np.int64)))
+
+    def pack(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_chars"].to_numpy()
+        seq = np.empty(len(n), dtype=np.int64)
+        off = np.empty(len(n), dtype=np.int64)
+        cur_seq, cur_off = 0, 0
+        for i, ln in enumerate(n):       # bounded by part_size (256)
+            if cur_off > 0 and cur_off + ln > budget:
+                cur_seq += 1
+                cur_off = 0
+            seq[i] = cur_seq
+            off[i] = cur_off
+            cur_off += ln
+        base = int(g["block"].iloc[0]) << 20
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "seq_id": base + seq,
+                             "seq_off": off,
+                             "n_chars": n})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("block").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"seq_id": "int64", "seq_off": "int64",
+                       "n_chars": "int64"})

@@ -385,6 +385,33 @@ def g_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     return _g_topk(hits, k)
 
 
+def g_pack_sequences(sf_dir: str, budget: int = 2048,
+                     part_size: int = 256) -> pd.DataFrame:
+    """Straight-line greedy packer over id-blocks (mirrors the operator
+    spec; independent of the Ray grouping machinery)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    rows = []
+    for _, r in t.iterrows():
+        did, ln = int(r["doc_id"]), int(r["n_chars"])
+        rows.append((did // part_size, did, ln))
+    out = []
+    cur_block, cur_seq, cur_off = None, 0, 0
+    for block, did, ln in rows:
+        if block != cur_block:
+            cur_block, cur_seq, cur_off = block, 0, 0
+        if cur_off > 0 and cur_off + ln > budget:
+            cur_seq += 1
+            cur_off = 0
+        out.append({"doc_id": did, "seq_id": (block << 20) + cur_seq,
+                    "seq_off": cur_off, "n_chars": ln})
+        cur_off += ln
+    return pd.DataFrame(out).astype(
+        {"doc_id": "int64", "seq_id": "int64", "seq_off": "int64",
+         "n_chars": "int64"})
+
+
 # --------------------------------------------------- frontier host stats
 def g_frontier_host_stats(sf_dir: str) -> pd.DataFrame:
     from container_crawler_ray.sources.synth import make_seed_urls
@@ -445,6 +472,7 @@ GOLDENS = {
     "minhash_lsh_groups": g_minhash,
     "curate_dedup": g_curate_dedup,
     "embedding_dup_groups": g_embedding_groups,
+    "pack_sequences": g_pack_sequences,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
     "frontier_host_stats": g_frontier_host_stats,
