@@ -23,8 +23,23 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.text import text_stats_batch
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None,
+          rows_per_block: int = 65536):
+    """Size-aware read: block count scales with the table's row count
+    (parquet metadata only), not with the CPU count. These queries are
+    exchange-dominated (derive → groupby/sort), and Ray's sort shuffle
+    pays per input block — letting a small table split into 64
+    CPU-count-sized slivers made the shuffle dominate wall time.
+    CPU-heavy per-row stages (regex/md5 over text) pass a SMALL
+    ``rows_per_block`` instead, because block count is also the map
+    stage's parallelism."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    nb = max(2, n // rows_per_block)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=nb)
 
 
 # Map-side combine note: Ray Data's sort-based ``groupby().aggregate()``
@@ -141,15 +156,27 @@ def docs_top_nchars(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 
 def events_topk_per_user(sf_dir: str, k: int = 3) -> pd.DataFrame:
-    """O1 per-group priority top-k (the politeness-scheduler shape)."""
+    """O1 per-group priority top-k (the politeness-scheduler shape).
+    Users are BUCKETED (``user_id % 64``) so the exchange makes ~64
+    group tasks instead of one per user, and the per-bucket kernel is
+    one C-level ``sort_values + groupby.head`` over all of the bucket's
+    users — per-user Python dispatch was the dominant cost at 10^3
+    users and would be fatal at 10^8."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value", "event_id"],
-                             ascending=[False, True]).head(k)
+    def tag(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
 
-    return ds.groupby("user_id").map_groups(
-        topk, batch_format="pandas").to_pandas()
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["value", "event_id"],
+                             ascending=[False, True], kind="mergesort")
+               .groupby("user_id", sort=False).head(k))
+        return out[["user_id", "event_id", "value"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(topk, batch_format="pandas")
+            .to_pandas())
 
 
 # ------------------------------------------------------------------ joins
@@ -236,7 +263,8 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
 # ------------------------------------------------------------- text stats
 def text_stats(sf_dir: str) -> pd.DataFrame:
     """Integer token/punct counts (RE2 parity with the DuckDB oracle)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
     return ds.map_batches(text_stats_batch,
                           batch_format="pyarrow").to_pandas()
 
@@ -251,22 +279,29 @@ def user_sessions(sf_dir: str, gap_us: int = 1_800_000_000) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
     def derive(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
         return pa.table({"user_id": t.column("user_id"),
-                         "ts_us": t.column("ts").cast(pa.int64())})
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "bucket": pa.array(b)})
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts_us"].to_numpy())
-        breaks = np.diff(ts) > gap_us
-        n_sessions = 1 + int(breaks.sum())
-        # longest run of events between breaks
-        idx = np.flatnonzero(np.concatenate(([True], breaks, [True])))
-        max_len = int(np.diff(idx).max())
-        return pd.DataFrame({"user_id": g["user_id"].iloc[:1],
-                             "n_sessions": [n_sessions],
-                             "max_session_events": [max_len]})
+        # one vectorized pass over ALL of the bucket's users: session
+        # breaks at user change or >gap, then two C-level groupbys
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        news = np.ones(len(g), dtype=bool)
+        news[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        sid = np.cumsum(news)
+        per = (pd.DataFrame({"user_id": uid, "sid": sid})
+               .groupby(["user_id", "sid"], sort=False).size()
+               .rename("n").reset_index())
+        out = per.groupby("user_id", sort=False, as_index=False).agg(
+            n_sessions=("sid", "size"), max_session_events=("n", "max"))
+        return out
 
     out = (ds.map_batches(derive, batch_format="pyarrow")
-           .groupby("user_id").map_groups(sessions, batch_format="pandas")
+           .groupby("bucket").map_groups(sessions, batch_format="pandas")
            .to_pandas())
     return out.astype({"n_sessions": "int64", "max_session_events": "int64"})
 
@@ -347,7 +382,8 @@ def top_tokens(sf_dir: str, topn: int = 50) -> pd.DataFrame:
     per block — not one row per token occurrence; the groupby-sum then
     reduces partials and only the final top-N is collected. Ties at the
     cut line break on token text, matching the SQL twin exactly."""
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["text"],
+               rows_per_block=2048)
 
     def partial(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
@@ -399,32 +435,40 @@ def user_value_rolling(sf_dir: str, window: int = 3) -> pd.DataFrame:
     """Per-user rolling 3-event sum of value-cents in (ts, event_id)
     order — the order-dependent window aggregate SQL expresses as
     ``SUM() OVER (PARTITION BY ... ORDER BY ... ROWS 2 PRECEDING)``.
-    One ``groupby(user_id)`` exchange; inside each group the window is a
-    shifted-cumsum (vectorized), not a Python loop. Event_id joins the
-    sort key so duplicate timestamps cannot make the result
-    order-ambiguous."""
+    One bucketed ``groupby(user_id % 64)`` exchange; the window for ALL
+    of a bucket's users is one shifted-cumsum over the
+    (user, ts, event_id)-sorted frame — the per-user window lower bound
+    is clamped by the row's rank within its user (``cumcount``), so user
+    boundaries reset the window without any per-user Python dispatch.
+    Event_id joins the sort key so duplicate timestamps cannot make the
+    result order-ambiguous."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
                                           "value"])
 
     def derive(t: pa.Table) -> pa.Table:
         cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
         return pa.table({"event_id": t.column("event_id"),
                          "user_id": t.column("user_id"),
                          "ts_us": t.column("ts").cast(pa.int64()),
-                         "cents": pa.array(cents)})
+                         "cents": pa.array(cents),
+                         "bucket": pa.array(b)})
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
         c = g["cents"].to_numpy()
+        rank = g.groupby("user_id", sort=False).cumcount().to_numpy()
         cs = np.concatenate(([0], np.cumsum(c)))
-        lo = np.maximum(0, np.arange(len(c)) - window + 1)
-        out = cs[1 + np.arange(len(c))] - cs[lo]
+        i = np.arange(len(c))
+        lo = i - np.minimum(rank, window - 1)
+        out = cs[i + 1] - cs[lo]
         return pd.DataFrame({"user_id": g["user_id"].to_numpy(),
                              "event_id": g["event_id"].to_numpy(),
                              "roll_cents": out})
 
     out = (ds.map_batches(derive, batch_format="pyarrow")
-           .groupby("user_id").map_groups(roll, batch_format="pandas")
+           .groupby("bucket").map_groups(roll, batch_format="pandas")
            .to_pandas())
     return out.astype({"roll_cents": "int64"})
 
@@ -437,7 +481,9 @@ def docs_hash_sample(sf_dir: str, mod: int = 16) -> pd.DataFrame:
     the identical MD5-derived bucket."""
     from ..functions.hashing import hash64_many
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "n_chars"],
+               rows_per_block=2048)
 
     def keep(t: pa.Table) -> pa.Table:
         h = hash64_many(t.column("text").to_pylist())

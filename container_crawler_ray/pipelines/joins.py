@@ -21,8 +21,22 @@ import ray.data
 _JOIN_BUCKETS = 64
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None,
+          rows_per_block: int = 65536):
+    """Size-aware read: block count proportional to the table's rows
+    (from parquet metadata — no data read). The join exchanges here are
+    shuffle-dominated, and Ray's sort shuffle pays per input block — a
+    CPU-count-based split of a small table into 64 tiny blocks made the
+    sort 5× slower than the join itself. ~64k-row blocks keep per-task
+    work real at every scale (at 100 TB this yields millions of blocks;
+    at sf0.1 a handful)."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    nb = max(2, n // rows_per_block)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=nb)
 
 
 def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
