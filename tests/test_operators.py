@@ -143,3 +143,38 @@ def test_curation_pipeline(entrymod, con):
     dd = entrymod.queries()["curate_dedup"](SF)
     assert 0 < len(dd) <= len(res)
     assert dd["keep_id"].is_unique
+
+
+def test_pack_sequences_invariants(entrymod):
+    """Greedy packer invariants at sf0.001: every doc in exactly one
+    sequence; offsets are a prefix-sum within the sequence; a sequence
+    exceeds the budget only when it is a single oversized doc."""
+    BUDGET = 2048
+    df = entrymod.queries()["pack_sequences"](SF)
+    assert df["doc_id"].is_unique
+    for seq_id, g in df.groupby("seq_id"):
+        g = g.sort_values("seq_off")
+        offs = g["seq_off"].to_numpy()
+        lens = g["n_chars"].to_numpy()
+        assert offs[0] == 0
+        assert (offs[1:] == (offs[:-1] + lens[:-1])).all()
+        total = offs[-1] + lens[-1]
+        if total > BUDGET:
+            assert len(g) == 1, f"multi-doc seq {seq_id} over budget"
+        # all docs of a sequence come from one id-block
+        assert (g["doc_id"].to_numpy() // 256 == seq_id >> 20).all()
+
+
+def test_simhash_pairs_invariants(entrymod):
+    """Banded Hamming pairs at sf0.001: a < b, hamming <= 3, and each
+    reported distance matches a direct popcount of the two simhashes."""
+    import numpy as np
+
+    qs = entrymod.queries()
+    pairs = qs["simhash_dup_pairs"](SF)
+    sims = qs["simhash_docs"](SF).set_index("doc_id")["simhash"]
+    assert (pairs["a"] < pairs["b"]).all()
+    assert (pairs["hamming"] <= 3).all()
+    for _, r in pairs.iterrows():
+        x = np.uint64(sims[r["a"]]) ^ np.uint64(sims[r["b"]])
+        assert bin(int(x)).count("1") == r["hamming"]
