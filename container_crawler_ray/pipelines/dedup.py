@@ -573,7 +573,10 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     caps by pre-collapsing exact-equal simhashes first."""
     from .analytics import _read
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # small blocks: the simhash stage is CPU-bound per row and block
+    # count is its parallelism
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 rows_per_block=2048)
     sims = docs.map_batches(simhash_batch, batch_format="pyarrow")
 
     def explode(t: pa.Table) -> pa.Table:
