@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentiles": analytics.events_percentiles,
         "user_value_rolling": analytics.user_value_rolling,
         "users_per_event_type": analytics.users_per_event_type,
+        "users_per_event_type_hll":
+            analytics.users_per_event_type_hll,      # golden oracle
+        "user_event_pivot": analytics.user_event_pivot,
         "docs_hash_sample": analytics.docs_hash_sample,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
@@ -111,7 +114,8 @@ def oracle_sql() -> dict[str, str]:
     gold = "/root/repo/tests/golden"
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
                       "minhash_lsh_groups", "curate_dedup",
-                      "embedding_dup_groups", "pack_sequences", "knn_lsh",
+                      "embedding_dup_groups", "pack_sequences",
+                      "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
@@ -259,6 +263,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS n_click,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'error')
+                        AS BIGINT) AS n_error,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS n_purchase,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                        AS BIGINT) AS n_signup,
+                   CAST(COUNT(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "users_per_event_type": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)

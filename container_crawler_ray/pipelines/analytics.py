@@ -491,3 +491,69 @@ def docs_hash_sample(sf_dir: str, mod: int = 16) -> pd.DataFrame:
         return t.filter(pa.array(m)).select(["doc_id", "n_chars"])
 
     return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def users_per_event_type_hll(sf_dir: str) -> pd.DataFrame:
+    """APPROXIMATE distinct count via a mergeable HyperLogLog sketch —
+    the form that scales past ``users_per_event_type``'s exact pair
+    shuffle: the map side folds each block into 4 KiB of registers per
+    group, the exchange moves one register row per (group, block), and
+    the reduce is an elementwise max. Deterministic given the engine's
+    mix64 hash, so the golden oracle (an independent pure-Python HLL)
+    matches the estimate EXACTLY even though the estimate itself is
+    approximate (±~2% at 4096 registers)."""
+    from ..functions.sketch import hll_add, hll_empty, hll_estimate
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy().astype(np.uint64)
+        types, regs = [], []
+        for ty in np.unique(et):
+            reg = hll_empty()
+            hll_add(reg, uid[et == ty])
+            types.append(str(ty))
+            regs.append(reg.tobytes())
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "reg": pa.array(regs, type=pa.binary())})
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.stack([np.frombuffer(b, dtype=np.uint8)
+                         for b in g["reg"]])
+        merged = regs.max(axis=0)
+        return pd.DataFrame({"event_type": g["event_type"].iloc[:1],
+                             "n_users_approx": [hll_estimate(merged)]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type").map_groups(reduce_group,
+                                             batch_format="pandas")
+           .to_pandas())
+    return out.astype({"n_users_approx": "int64"})
+
+
+def user_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (crosstab): one row per user with a count column per event
+    type. Map side pre-aggregates the crosstab per batch (one pandas
+    ``groupby.size`` + ``unstack``), so the exchange moves one partial
+    row per (user, block); the groupby-sum finishes it. Fixed, known
+    category set — the columns are part of the schema, as a pivot at
+    scale requires."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ct = (df.groupby(["user_id", "event_type"], sort=False).size()
+              .unstack(fill_value=0))
+        cols = {"user_id": pa.array(ct.index.to_numpy().astype(np.int64))}
+        for ty in types:
+            v = (ct[ty].to_numpy() if ty in ct.columns
+                 else np.zeros(len(ct), dtype=np.int64))
+            cols[f"n_{ty}"] = pa.array(v.astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in types]
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*aggs))
+    return out.to_pandas()

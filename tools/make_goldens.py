@@ -412,6 +412,37 @@ def g_pack_sequences(sf_dir: str, budget: int = 2048,
          "n_chars": "int64"})
 
 
+def g_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
+    """Pure-Python HyperLogLog (int bit-twiddling, per-row loop) —
+    independent of the engine's vectorized register math but using the
+    shared-world mix64 hash, so registers and estimate match exactly."""
+    import math
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_type", "user_id"]).to_pandas()
+    regs: dict[str, list[int]] = {}
+    for _, r in t.iterrows():
+        ty = r["event_type"]
+        reg = regs.setdefault(ty, [0] * m)
+        h = mix64(int(r["user_id"]))
+        idx = h >> (64 - p)
+        tail = ((h << p) | ((1 << p) - 1)) & MASK64
+        rank = (64 - tail.bit_length()) + 1
+        if rank > reg[idx]:
+            reg[idx] = rank
+    rows = []
+    for ty in sorted(regs):
+        reg = regs[ty]
+        e = alpha * m * m / sum(2.0 ** -v for v in reg)
+        zeros = reg.count(0)
+        if e <= 2.5 * m and zeros:
+            e = m * math.log(m / zeros)
+        rows.append({"event_type": ty, "n_users_approx": int(e)})
+    return pd.DataFrame(rows).astype({"n_users_approx": "int64"})
+
+
 # --------------------------------------------------- frontier host stats
 def g_frontier_host_stats(sf_dir: str) -> pd.DataFrame:
     from container_crawler_ray.sources.synth import make_seed_urls
@@ -473,6 +504,7 @@ GOLDENS = {
     "curate_dedup": g_curate_dedup,
     "embedding_dup_groups": g_embedding_groups,
     "pack_sequences": g_pack_sequences,
+    "users_per_event_type_hll": g_users_hll,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
     "frontier_host_stats": g_frontier_host_stats,
