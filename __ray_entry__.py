@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
+        "dup_ngram_spans": dedup.dup_ngram_spans,
         "top_tokens": analytics.top_tokens,
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_groups": dedup.embedding_dup_groups,  # golden oracle
@@ -232,6 +233,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN bands b
               ON e.value >= b.lo AND e.value < b.hi
             GROUP BY 1
+        """,
+        "dup_ngram_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         AS i
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok,1) OVER win || ' ' ||
+                     lead(tok,2) OVER win AS wtext
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tok,2) OVER win IS NOT NULL
+            ), dcount AS (
+              SELECT wtext, COUNT(DISTINCT doc_id) AS nd
+              FROM w GROUP BY wtext
+            )
+            SELECT w.doc_id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_windows
+            FROM w JOIN dcount d ON w.wtext = d.wtext
+            GROUP BY w.doc_id
         """,
         "top_tokens": r"""
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS n

@@ -43,7 +43,7 @@ BENCH_QUERIES = [
     "events_value_bands", "top_tokens", "simhash_dup_pairs",
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
     "embedding_dup_groups", "media_resized", "pack_sequences",
-    "users_per_event_type_hll", "user_event_pivot",
+    "users_per_event_type_hll", "user_event_pivot", "dup_ngram_spans",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -665,3 +665,79 @@ def embedding_dup_groups(sf_dir: str, tau_bp: int = 4000,
     hit = (len(lbl_nodes) > 0) & (lbl_nodes[pos_c] == all_ids)
     group[hit] = lbl_vals[pos_c[hit]]
     return pd.DataFrame({"vec_id": all_ids, "group_id": group})
+
+
+def dup_ngram_spans(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Duplicated-window statistics — the exact-substring-dedup signal
+    (à la "Deduplicating Training Data Makes Language Models Better"):
+    a doc's k-token window is DUPLICATED when the same window text
+    occurs in at least one other document. Output per doc: total
+    windows and duplicated windows (the masking step would drop those
+    spans).
+
+    Shape: explode one (window-hash, doc) row per window position →
+    pre-collapse per (doc, hash) with a position count → one
+    ``groupby(hash)`` on 64-bit hashes to find multi-doc windows →
+    per-doc re-aggregate. The exchange carries only hashes and counts;
+    window text never leaves the map stage (at 100 TB the window hash
+    IS the join key, exactly like the reference-scale suffix-array
+    pipelines)."""
+    from .analytics import _read
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 rows_per_block=2048)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+
+        ids_out, hashes, counts = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = text.split()
+            wins = [" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)]
+            if not wins:
+                continue
+            hv = hash64_many(wins)
+            uniq, cnt = np.unique(hv, return_counts=True)
+            ids_out.append(np.full(len(uniq), doc_id, dtype=np.int64))
+            hashes.append(uniq)
+            counts.append(cnt.astype(np.int64))
+        if not ids_out:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "whash": pa.array([], type=pa.uint64()),
+                             "n_pos": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids_out)),
+                         "whash": pa.array(np.concatenate(hashes)),
+                         "n_pos": pa.array(np.concatenate(counts))})
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        b = (t.column("whash").to_numpy() % np.uint64(128)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # a window is duplicated when >= 2 rows (one per distinct doc,
+        # thanks to the per-doc pre-collapse) share its hash; fully
+        # vectorized per bucket
+        ndocs = g.groupby("whash", sort=False)["doc_id"].transform("size")
+        dup_pos = np.where(ndocs.to_numpy() > 1,
+                           g["n_pos"].to_numpy(), 0)
+        tmp = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                            "n_pos": g["n_pos"].to_numpy(),
+                            "dup_pos": dup_pos})
+        out = tmp.groupby("doc_id", sort=False, as_index=False).agg(
+            n_windows=("n_pos", "sum"), n_dup_windows=("dup_pos", "sum"))
+        return out
+
+    partial = (exploded.map_batches(bucketize, batch_format="pyarrow")
+               .groupby("bucket").map_groups(flag_dups,
+                                             batch_format="pandas"))
+    out = partial.to_pandas()
+    # a doc's windows spread across hash buckets: final per-doc sum is a
+    # tiny second aggregate (one row per (doc, bucket-with-hits))
+    out = out.groupby("doc_id", as_index=False).agg(
+        n_windows=("n_windows", "sum"),
+        n_dup_windows=("n_dup_windows", "sum"))
+    return out.astype({"n_windows": "int64", "n_dup_windows": "int64"})
