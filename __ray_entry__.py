@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation composition
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
+        "curate_pack": curate.curate_pack,                # golden oracle
         # multimodal plumbing (decode/feature/frame-sample stages; decode
         # itself is a clearly-marked deterministic fake — no codecs here)
         "media_metadata": media.media_metadata,
@@ -116,7 +117,7 @@ def oracle_sql() -> dict[str, str]:
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
                       "minhash_lsh_groups", "curate_dedup",
                       "embedding_dup_groups", "pack_sequences",
-                      "users_per_event_type_hll", "knn_lsh",
+                      "curate_pack", "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"

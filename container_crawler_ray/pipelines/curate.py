@@ -46,3 +46,59 @@ def curate_dedup(sf_dir: str, jaccard_tau: float = 0.5) -> pd.DataFrame:
     reps = groups.groupby("group_id", as_index=False)["doc_id"].min()
     out = reps.rename(columns={"doc_id": "keep_id"}).sort_values("keep_id")
     return out.reset_index(drop=True)
+
+
+def curate_pack(sf_dir: str, budget: int = 2048,
+                part_size: int = 256,
+                jaccard_tau: float = 0.5) -> pd.DataFrame:
+    """The full curation composition a training run consumes: quality
+    gate → near-dup removal (group representatives) → sequence packing
+    of the surviving docs. The survivor id set is dimension-sized
+    relative to the corpus (it is one int per KEPT doc), so it
+    broadcasts (``ray.put``) into a vectorized ``searchsorted``
+    membership filter; packing then runs partition-local exactly like
+    ``spans.pack_sequences``. Output: (doc_id, seq_id, seq_off,
+    n_chars) for curated docs only."""
+    import numpy as np
+    import ray
+
+    keep = np.sort(curate_dedup(sf_dir, jaccard_tau=jaccard_tau)
+                   ["keep_id"].to_numpy().astype(np.int64))
+    keep_ref = ray.put(keep)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, ids), 0, max(0, len(ks) - 1))
+        m = (len(ks) > 0) & (ks[pos] == ids)
+        t = t.filter(pa.array(m))
+        block = t.column("doc_id").to_numpy() // part_size
+        return t.append_column("block", pa.array(block.astype(np.int64)))
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_chars"].to_numpy()
+        seq = np.empty(len(n), dtype=np.int64)
+        off = np.empty(len(n), dtype=np.int64)
+        cur_seq, cur_off = 0, 0
+        for i, ln in enumerate(n):      # bounded by part_size
+            if cur_off > 0 and cur_off + ln > budget:
+                cur_seq += 1
+                cur_off = 0
+            seq[i] = cur_seq
+            off[i] = cur_off
+            cur_off += ln
+        base = int(g["block"].iloc[0]) << 20
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "seq_id": base + seq, "seq_off": off,
+                             "n_chars": n})
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("block").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"seq_id": "int64", "seq_off": "int64",
+                       "n_chars": "int64"})

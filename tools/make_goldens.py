@@ -385,12 +385,8 @@ def g_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     return _g_topk(hits, k)
 
 
-def g_pack_sequences(sf_dir: str, budget: int = 2048,
-                     part_size: int = 256) -> pd.DataFrame:
-    """Straight-line greedy packer over id-blocks (mirrors the operator
-    spec; independent of the Ray grouping machinery)."""
-    t = pq.read_table(f"{sf_dir}/documents.parquet",
-                      columns=["doc_id", "n_chars"]).to_pandas()
+def _g_pack_frame(t: pd.DataFrame, budget: int,
+                  part_size: int) -> pd.DataFrame:
     t = t.sort_values("doc_id").reset_index(drop=True)
     rows = []
     for _, r in t.iterrows():
@@ -410,6 +406,26 @@ def g_pack_sequences(sf_dir: str, budget: int = 2048,
     return pd.DataFrame(out).astype(
         {"doc_id": "int64", "seq_id": "int64", "seq_off": "int64",
          "n_chars": "int64"})
+
+
+def g_pack_sequences(sf_dir: str, budget: int = 2048,
+                     part_size: int = 256) -> pd.DataFrame:
+    """Straight-line greedy packer over id-blocks (mirrors the operator
+    spec; independent of the Ray grouping machinery)."""
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    return _g_pack_frame(t, budget, part_size)
+
+
+def g_curate_pack(sf_dir: str, budget: int = 2048,
+                  part_size: int = 256) -> pd.DataFrame:
+    """Gate + dedup survivors (g_curate_dedup) packed by the
+    straight-line packer."""
+    keep = set(g_curate_dedup(sf_dir)["keep_id"])
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t = t[t["doc_id"].isin(keep)]
+    return _g_pack_frame(t, budget, part_size)
 
 
 def g_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
@@ -504,6 +520,7 @@ GOLDENS = {
     "curate_dedup": g_curate_dedup,
     "embedding_dup_groups": g_embedding_groups,
     "pack_sequences": g_pack_sequences,
+    "curate_pack": g_curate_pack,
     "users_per_event_type_hll": g_users_hll,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
