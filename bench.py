@@ -99,10 +99,13 @@ def main() -> None:
 
     head = crawl_headline(NUM_CPUS)
 
+    import gc
+
     qtimes: dict[str, float] = {}
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
         t0 = time.monotonic()
+        res = None
         try:
             res = qs[name](SF_DIR)
             # consume datasets so laziness doesn't hide work
@@ -112,6 +115,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             qtimes[name] = -1.0
             print(f"# query {name} failed: {e}", file=sys.stderr)
+        # drop dataset refs between queries: lingering lazy datasets pin
+        # object-store blocks and inflate LATE entries by 2-4x (measured —
+        # multi-execution ops read 9.8s in-session vs 2.6s fresh)
+        del res
+        gc.collect()
 
     print(json.dumps({
         "metric": "crawl_pass_seconds",
