@@ -214,7 +214,7 @@ def _train_sample(sf_dir: str, target_rows: int = 4096) -> np.ndarray:
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
-            n_lists: int = 16, nprobe: int = 6) -> pd.DataFrame:
+            n_lists: int = 16, nprobe: int = 8) -> pd.DataFrame:
     """IVF ANN: vectors bucketed by nearest of ``n_lists`` k-means
     centroids (trained on a hash sample, broadcast); each query scores
     only vectors in its ``nprobe`` nearest lists. Same output

@@ -115,7 +115,8 @@ def test_ann_recall(entrymod, variant):
     ap_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(bf_sets[q] & ap_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets.index]
-    assert np.mean(recalls) >= 0.5, f"mean recall {np.mean(recalls):.2f}"
+    bar = 0.85 if variant == "knn_lsh" else 0.7
+    assert np.mean(recalls) >= bar, f"mean recall {np.mean(recalls):.2f}"
 
 
 def test_text_analysis_rows(entrymod):

@@ -344,7 +344,7 @@ def g_knn_lsh(sf_dir: str, n_queries: int = 10, k: int = 5,
 
 
 def g_knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
-              n_lists: int = 16, nprobe: int = 6) -> pd.DataFrame:
+              n_lists: int = 16, nprobe: int = 8) -> pd.DataFrame:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy().astype(np.int64)
