@@ -206,3 +206,30 @@ def test_fragment_pruning_skips_consumed_files(tmp_store):
     # pass and ensure it still converges cleanly
     s = run_pass(store, cfg, state)
     assert s["errors"] == 0
+
+
+def test_driver_bucket_state_bounded(tmp_path):
+    """The driver's token-bucket dict must hold only hosts with
+    OUTSTANDING politeness debt, not every host ever scheduled —
+    at 1e8 hosts an entry per host is a driver-memory scale-killer.
+    With a light load per host (most hosts refill to capacity between
+    passes) the dict must stay far below the host count."""
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import init_run, run_pass
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    n_hosts = 120
+    cfg = CrawlConfig(num_partitions=8, items_chunk=400, workers=2,
+                      seen_shards=4, n_hosts=n_hosts, n_paths=400,
+                      pass_time_ms=60_000)   # ample budget: no debt
+    seeds = make_seed_urls(360, n_hosts=n_hosts)   # ~3 URLs per host
+    store, st = init_run(str(tmp_path / "run"), cfg, seeds)
+    hosts_seen = set()
+    for _ in range(2):
+        run_pass(store, cfg, st)
+        hosts_seen |= set(st.buckets)
+        # every host refills past capacity next pass => entry dropped
+        assert len(st.buckets) <= n_hosts // 10, (
+            f"bucket dict holds {len(st.buckets)} entries for "
+            f"{n_hosts} lightly-loaded hosts — unbounded growth")
+    st.seen.teardown()
