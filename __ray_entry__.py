@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_asof": joins.purchase_click_asof,
         "quiet_customers": joins.quiet_customers,
         "q3_shipping": joins.q3_shipping,
+        "part_supplier_revenue": joins.part_supplier_revenue,
         "events_value_bands": analytics.events_value_bands,
         # sessionization, percentiles, rolling windows, distinct counts,
         # deterministic hash sampling
@@ -223,6 +224,17 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY 1, 2
             ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "part_supplier_revenue": """
+            SELECT p.p_brand AS p_brand, n.n_name AS n_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
         """,
         "events_value_bands": """
             WITH bands(tier, lo, hi) AS (VALUES

@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ray.data.aggregate import Sum
 
 _JOIN_BUCKETS = 64
 
@@ -286,3 +287,73 @@ def quiet_customers(sf_dir: str,
     out = (tagged.groupby("bucket")
            .map_groups(bucket_anti, batch_format="pandas"))
     return out.to_pandas()
+
+
+def part_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q9-ish: revenue per (part brand, supplier nation) from
+    lineitem ⨝ part ⨝ supplier ⨝ nation. All three non-fact sides are
+    dimension-sized, so they collapse on the driver into dense
+    key→index lookup arrays broadcast once (``ray.put``); the fact scan
+    resolves both dims with two vectorized ``np.take`` per batch and
+    pre-aggregates per block — no shuffle join, and the single groupby
+    exchange moves one row per (brand, nation, block)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    brands = pd.Index(part.column("p_brand").to_pylist())
+    brand_cat = pd.factorize(brands)  # codes, uniques
+    p_lookup = np.full(int(pk.max()) + 1, -1, dtype=np.int32)
+    p_lookup[pk] = brand_cat[0].astype(np.int32)
+    brand_names = np.asarray(brand_cat[1], dtype=object)
+
+    nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    n_names = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    n_lookup = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    n_lookup[nk] = np.arange(len(nk), dtype=np.int32)
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_nat = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    s_lookup = np.full(int(sk.max()) + 1, -1, dtype=np.int32)
+    s_lookup[sk] = n_lookup[s_nat]
+
+    refs = ray.put((p_lookup, brand_names, s_lookup, n_names))
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+
+    def agg(t: pa.Table) -> pa.Table:
+        pl, bn, sl, nn = ray.get(refs)
+        pkey = t.column("l_partkey").to_numpy().astype(np.int64)
+        skey = t.column("l_suppkey").to_numpy().astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        bi = pl[pkey]
+        ni = sl[skey]
+        # per-block partial aggregate on the dense (brand, nation) grid
+        key = bi.astype(np.int64) * len(nn) + ni
+        uniq, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=cents).astype(np.int64)
+        cnts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(bn[(uniq // len(nn)).astype(np.int64)],
+                                type=pa.string()),
+            "n_name": pa.array(nn[(uniq % len(nn)).astype(np.int64)],
+                               type=pa.string()),
+            "revenue_cents": pa.array(sums),
+            "n_lines": pa.array(cnts),
+        })
+
+    out = (items.map_batches(agg, batch_format="pyarrow")
+           .groupby(["p_brand", "n_name"])
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                      Sum("n_lines", alias_name="n_lines"))
+           .to_pandas())
+    return out.astype({"revenue_cents": "int64", "n_lines": "int64"})
