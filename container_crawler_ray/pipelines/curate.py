@@ -102,3 +102,79 @@ def curate_pack(sf_dir: str, budget: int = 2048,
            .to_pandas())
     return out.astype({"seq_id": "int64", "seq_off": "int64",
                        "n_chars": "int64"})
+
+
+def write_curated(sf_dir: str, out_dir: str, budget: int = 2048,
+                  part_size: int = 256,
+                  jaccard_tau: float = 0.5) -> pd.DataFrame:
+    """Resumable partitioned output for the curation pipeline: each
+    id-block writes its own ``block_NNNNNN.parquet`` atomically
+    (tmp + rename) INSIDE the pack task, and blocks whose file already
+    exists are skipped before any work runs — a failed run re-executes
+    only the missing blocks (the batch analog of the crawl engine's
+    idempotent per-pass fragment commits; never one giant file).
+    Returns the manifest (block, n_docs, n_seqs, path, skipped)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    done_ref = ray.put(done)
+
+    keep = np.sort(curate_dedup(sf_dir, jaccard_tau=jaccard_tau)
+                   ["keep_id"].to_numpy().astype(np.int64))
+    keep_ref = ray.put(keep)
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        pos = np.clip(np.searchsorted(ks, ids), 0, max(0, len(ks) - 1))
+        m = (len(ks) > 0) & (ks[pos] == ids)
+        t = t.filter(pa.array(m))
+        block = t.column("doc_id").to_numpy() // part_size
+        return t.append_column("block", pa.array(block.astype(np.int64)))
+
+    def pack_and_write(g: pd.DataFrame) -> pd.DataFrame:
+        block = int(g["block"].iloc[0])
+        fname = f"block_{block:06d}.parquet"
+        path = os.path.join(out_dir, fname)
+        if fname in ray.get(done_ref):
+            return pd.DataFrame({"block": [block], "n_docs": [len(g)],
+                                 "n_seqs": [-1], "path": [path],
+                                 "skipped": [True]})
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_chars"].to_numpy()
+        seq = np.empty(len(n), dtype=np.int64)
+        off = np.empty(len(n), dtype=np.int64)
+        cur_seq, cur_off = 0, 0
+        for i, ln in enumerate(n):
+            if cur_off > 0 and cur_off + ln > budget:
+                cur_seq += 1
+                cur_off = 0
+            seq[i] = cur_seq
+            off[i] = cur_off
+            cur_off += ln
+        out = pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy()),
+            "seq_id": pa.array((block << 20) + seq),
+            "seq_off": pa.array(off),
+            "text": pa.array(g["text"].tolist(), type=pa.string()),
+        })
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"block": [block], "n_docs": [len(g)],
+                             "n_seqs": [int(seq[-1]) + 1], "path": [path],
+                             "skipped": [False]})
+
+    manifest = (ds.map_batches(tag, batch_format="pyarrow")
+                .groupby("block").map_groups(pack_and_write,
+                                             batch_format="pandas")
+                .to_pandas())
+    return manifest.sort_values("block").reset_index(drop=True)

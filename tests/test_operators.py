@@ -180,3 +180,24 @@ def test_simhash_pairs_invariants(entrymod):
     for _, r in pairs.iterrows():
         x = np.uint64(sims[r["a"]]) ^ np.uint64(sims[r["b"]])
         assert bin(int(x)).count("1") == r["hamming"]
+
+
+def test_write_curated_resumable(tmp_path):
+    """Partitioned curated output: re-run skips existing blocks; a
+    deleted block is regenerated byte-identically."""
+    import glob
+    import os
+
+    from container_crawler_ray.pipelines.curate import write_curated
+
+    out = str(tmp_path / "curated")
+    m1 = write_curated(SF, out)
+    assert (~m1["skipped"]).all() and len(m1) > 1
+    files = sorted(glob.glob(f"{out}/block_*.parquet"))
+    assert len(files) == len(m1)
+    victim = files[0]
+    orig = open(victim, "rb").read()
+    os.remove(victim)
+    m2 = write_curated(SF, out)
+    assert m2["skipped"].sum() == len(m1) - 1, "only missing block redone"
+    assert open(victim, "rb").read() == orig, "regenerated identically"
