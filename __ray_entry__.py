@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
         "curate_pack": curate.curate_pack,                # golden oracle
+        "decontaminate_docs": curate.decontaminate_docs,
         # multimodal plumbing (decode/feature/frame-sample stages; decode
         # itself is a clearly-marked deterministic fake — no codecs here)
         "media_metadata": media.media_metadata,
@@ -450,6 +451,30 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS "offset"
             FROM spans
+        """,
+        "decontaminate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         AS i
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     tok || ' ' || lead(tok,1) OVER win || ' ' ||
+                     lead(tok,2) OVER win AS wtext
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tok,2) OVER win IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT wtext FROM w WHERE doc_id < 20
+            )
+            SELECT w.doc_id AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(CASE WHEN b.wtext IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated
+            FROM w LEFT JOIN bench b ON w.wtext = b.wtext
+            WHERE w.doc_id >= 20
+            GROUP BY w.doc_id
         """,
         "curate_docs": r"""
             SELECT doc_id,

@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
     "embedding_dup_groups", "media_resized", "pack_sequences",
     "users_per_event_type_hll", "user_event_pivot", "dup_ngram_spans",
-    "curate_pack", "part_supplier_revenue",
+    "curate_pack", "part_supplier_revenue", "decontaminate_docs",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -178,3 +178,65 @@ def write_curated(sf_dir: str, out_dir: str, budget: int = 2048,
                                              batch_format="pandas")
                 .to_pandas())
     return manifest.sort_values("block").reset_index(drop=True)
+
+
+def decontaminate_docs(sf_dir: str, k: int = 3,
+                       benchmark_max_id: int = 20) -> pd.DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    k-token window with a benchmark/eval set, so they can be dropped
+    before training. The benchmark side is eval-set-sized (tiny next to
+    the corpus), so its window-hash set broadcasts once (``ray.put``)
+    and each batch checks membership with one sorted ``np.searchsorted``
+    — no shuffle at all; the corpus streams through a single map stage.
+    Here the 'benchmark' is the docs with ``doc_id < benchmark_max_id``
+    (stand-in for an external eval file). Benchmark docs themselves are
+    excluded from the output. Output: (doc_id, n_windows,
+    n_contaminated) for every non-benchmark doc with >= 1 window."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash64_many
+
+    import pyarrow.parquet as pq
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "<", benchmark_max_id)])
+    bw = set()
+    for text in bench.column("text").to_pylist():
+        toks = text.split()
+        wins = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        if wins:
+            bw.update(hash64_many(wins).tolist())
+    bench_hashes = np.sort(np.fromiter(bw, dtype=np.uint64, count=len(bw)))
+    bench_ref = ray.put(bench_hashes)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        bh = ray.get(bench_ref)
+        ids, n_w, n_c = [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            if doc_id < benchmark_max_id:
+                continue
+            toks = text.split()
+            wins = [" ".join(toks[i:i + k])
+                    for i in range(len(toks) - k + 1)]
+            if not wins:
+                continue
+            hv = hash64_many(wins)
+            pos = np.clip(np.searchsorted(bh, hv), 0, max(0, len(bh) - 1))
+            hits = int(((len(bh) > 0) & (bh[pos] == hv)).sum())
+            ids.append(doc_id)
+            n_w.append(len(wins))
+            n_c.append(hits)
+        import numpy as _np
+        return pa.table({
+            "doc_id": pa.array(_np.array(ids, dtype=_np.int64)),
+            "n_windows": pa.array(_np.array(n_w, dtype=_np.int64)),
+            "n_contaminated": pa.array(_np.array(n_c, dtype=_np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()
