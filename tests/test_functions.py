@@ -74,3 +74,29 @@ def test_robots_rules():
     rules_all = synth.robots_rules("h0199.example")
     assert not synth.path_allowed(rules_all, "/")
     assert synth.robots_delay_ms("h0000.example") == 10
+
+
+def test_hll_sketch_properties():
+    """Mergeable-sketch laws the distributed aggregate relies on:
+    commutative merge, empty identity, partition-invariance (any split
+    of the input merges to the same registers), and sane estimates."""
+    import numpy as np
+
+    from container_crawler_ray.functions.sketch import (
+        hll_add, hll_empty, hll_estimate, hll_merge)
+
+    vals = np.arange(20_000, dtype=np.uint64)
+    direct = hll_add(hll_empty(), vals)
+    # partition-invariance over an arbitrary 3-way split
+    a = hll_add(hll_empty(), vals[:5_000])
+    b = hll_add(hll_empty(), vals[5_000:13_000])
+    c = hll_add(hll_empty(), vals[13_000:])
+    merged = hll_merge(hll_merge(a, b), c)
+    assert (merged == direct).all()
+    assert (hll_merge(a, b) == hll_merge(b, a)).all()
+    assert (hll_merge(a, hll_empty()) == a).all()
+    est = hll_estimate(direct)
+    assert abs(est - 20_000) / 20_000 < 0.05, f"estimate {est}"
+    # duplicates must not change the registers
+    dup = hll_add(hll_add(hll_empty(), vals), vals)
+    assert (dup == direct).all()
