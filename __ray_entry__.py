@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_event_type_hll":
             analytics.users_per_event_type_hll,      # golden oracle
         "user_event_pivot": analytics.user_event_pivot,
+        "events_grouping_sets": analytics.events_grouping_sets,
         "docs_hash_sample": analytics.docs_hash_sample,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
@@ -302,6 +303,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id
+        """,
+        "events_grouping_sets": """
+            SELECT CASE WHEN GROUPING(event_type) = 0 AND
+                             GROUPING(user_id) = 1 THEN 0
+                        WHEN GROUPING(user_id) = 0 THEN 1
+                        ELSE 2 END AS set_id,
+                   COALESCE(event_type, '') AS event_type,
+                   CAST(COALESCE(user_id, -1) AS BIGINT) AS user_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY GROUPING SETS ((event_type), (user_id), ())
         """,
         "user_event_pivot": """
             SELECT user_id,

@@ -557,3 +557,51 @@ def user_event_pivot(sf_dir: str) -> pd.DataFrame:
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby("user_id").aggregate(*aggs))
     return out.to_pandas()
+
+
+def events_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (GROUPING SETS): totals by (event_type),
+    by (user_id) and the grand total in ONE scan — the map side emits a
+    partial row per grouping set per batch (so the exchange moves
+    |sets| × |groups ∩ batch| rows, never the input twice), and the
+    reduce is a single grouped sum. Set keys are encoded as
+    (set_id, key) with -1/'' for the rolled-up dimension, matching the
+    SQL twin's COALESCE convention."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        frames = []
+        df = pd.DataFrame({"event_type": et, "user_id": uid, "c": cents})
+        by_t = df.groupby("event_type", sort=False)["c"].agg(["sum", "size"])
+        frames.append(pd.DataFrame({
+            "set_id": 0, "event_type": by_t.index.to_numpy(),
+            "user_id": -1, "sum_cents": by_t["sum"].to_numpy(),
+            "n": by_t["size"].to_numpy()}))
+        by_u = df.groupby("user_id", sort=False)["c"].agg(["sum", "size"])
+        frames.append(pd.DataFrame({
+            "set_id": 1, "event_type": "", "user_id": by_u.index.to_numpy(),
+            "sum_cents": by_u["sum"].to_numpy(),
+            "n": by_u["size"].to_numpy()}))
+        frames.append(pd.DataFrame({
+            "set_id": [2], "event_type": [""], "user_id": [-1],
+            "sum_cents": [int(cents.sum())], "n": [len(cents)]}))
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "set_id": pa.array(out["set_id"].to_numpy().astype(np.int32)),
+            "event_type": pa.array(out["event_type"].astype(str).tolist(),
+                                   type=pa.string()),
+            "user_id": pa.array(out["user_id"].to_numpy().astype(np.int64)),
+            "sum_cents": pa.array(out["sum_cents"].to_numpy()
+                                  .astype(np.int64)),
+            "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["set_id", "event_type", "user_id"])
+           .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    return out.astype({"sum_cents": "int64", "n": "int64"})

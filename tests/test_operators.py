@@ -55,7 +55,7 @@ def test_entry_smoke(entrymod):
     "events_value_bands", "top_tokens",
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
     "media_resized", "user_event_pivot", "dup_ngram_spans",
-    "part_supplier_revenue", "decontaminate_docs",
+    "part_supplier_revenue", "decontaminate_docs", "events_grouping_sets",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
