@@ -123,3 +123,39 @@ def test_resume_does_not_roll_back_live_foreign_shards(tmp_store):
     assert st0b.seen.contains(live_hashes).all(), (
         "in-flight marks of the live engine were erased")
     st0b.seen.teardown()
+
+
+def test_three_engines_equal_single_engine(tmp_store):
+    """3-way shared-nothing split (partition % 3 ownership, 3 seen
+    shards): union of the three engines' crawls equals the single-engine
+    crawl — the ownership/mailbox/seen logic is modulo-N, not
+    hardcoded-2."""
+    seeds = make_seed_urls(120, n_hosts=10)
+    base = dict(BASE, num_partitions=6, seen_shards=3)
+
+    rootS = f"{tmp_store}-single3"
+    outS = run_crawl(rootS, CrawlConfig(**base), seed_urls=seeds,
+                     max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+    assert outS["passes"][-1]["done"]
+
+    rootM = f"{tmp_store}-multi3"
+    cfgs = [CrawlConfig(**base, num_engines=3, engine_index=i)
+            for i in range(3)]
+    init_run(rootM, cfgs[0], seeds)
+    pairs = [resume_run(rootM, c) for c in cfgs]
+    idle = 0
+    for _ in range(40):
+        ss = [run_pass(store, c, st)
+              for (store, st), c in zip(pairs, cfgs)]
+        if all(s["done"] and s["retry_size"] == 0 for s in ss):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+    docsM = {d["doc_id"] for d in _docs(rootM)}
+    assert docsM == docsS, (
+        f"3-engine union differs: only-single={len(docsS - docsM)} "
+        f"only-multi={len(docsM - docsS)}")
+    pairs[0][1].seen.teardown()
