@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.users_per_event_type_hll,      # golden oracle
         "user_event_pivot": analytics.user_event_pivot,
         "events_grouping_sets": analytics.events_grouping_sets,
+        "events_latest_per_key": analytics.events_latest_per_key,
         "docs_hash_sample": analytics.docs_hash_sample,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
@@ -303,6 +304,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id
+        """,
+        "events_latest_per_key": """
+            SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(FLOOR(value*100) AS BIGINT) AS value_cents
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id DESC) = 1
         """,
         "events_grouping_sets": """
             SELECT CASE WHEN GROUPING(event_type) = 0 AND

@@ -45,7 +45,7 @@ BENCH_QUERIES = [
     "embedding_dup_groups", "media_resized", "pack_sequences",
     "users_per_event_type_hll", "user_event_pivot", "dup_ngram_spans",
     "curate_pack", "part_supplier_revenue", "decontaminate_docs",
-    "events_grouping_sets",
+    "events_grouping_sets", "events_latest_per_key",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

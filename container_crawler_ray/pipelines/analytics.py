@@ -605,3 +605,35 @@ def events_grouping_sets(sf_dir: str) -> pd.DataFrame:
                       Sum("n", alias_name="n"))
            .to_pandas())
     return out.astype({"sum_cents": "int64", "n": "int64"})
+
+
+def events_latest_per_key(sf_dir: str) -> pd.DataFrame:
+    """Changelog compaction (CDC keep-latest): one surviving row per
+    (user_id, event_type) — the newest by (ts, event_id). This is the
+    upsert-materialization the reference's container change-scan feeds
+    downstream. Bucketed by ``user_id % 64`` so the per-bucket kernel is
+    one C-level sort + drop_duplicates over all of the bucket's keys;
+    (ts, event_id) in the sort makes duplicate timestamps
+    deterministic."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "event_type": t.column("event_type"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "value_cents": pa.array(cents),
+                         "bucket": pa.array(b)})
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        out = g.drop_duplicates(["user_id", "event_type"], keep="last")
+        return out[["user_id", "event_type", "event_id", "ts_us",
+                    "value_cents"]]
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bucket").map_groups(latest, batch_format="pandas")
+            .to_pandas())
