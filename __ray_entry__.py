@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": analytics.user_event_pivot,
         "events_grouping_sets": analytics.events_grouping_sets,
         "events_latest_per_key": analytics.events_latest_per_key,
+        "users_click_and_purchase": analytics.users_click_and_purchase,
         "docs_hash_sample": analytics.docs_hash_sample,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
@@ -304,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(n) AS BIGINT) AS max_session_events
             FROM per GROUP BY user_id
+        """,
+        "users_click_and_purchase": """
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events
+            WHERE event_type = 'click'
+            INTERSECT
+            SELECT CAST(user_id AS BIGINT) FROM events
+            WHERE event_type = 'purchase'
         """,
         "events_latest_per_key": """
             SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

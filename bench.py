@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "users_per_event_type_hll", "user_event_pivot", "dup_ngram_spans",
     "curate_pack", "part_supplier_revenue", "decontaminate_docs",
     "events_grouping_sets", "events_latest_per_key",
+    "users_click_and_purchase",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

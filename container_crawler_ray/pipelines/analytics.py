@@ -637,3 +637,35 @@ def events_latest_per_key(sf_dir: str) -> pd.DataFrame:
     return (ds.map_batches(derive, batch_format="pyarrow")
             .groupby("bucket").map_groups(latest, batch_format="pandas")
             .to_pandas())
+
+
+def users_click_and_purchase(sf_dir: str) -> pd.DataFrame:
+    """Set intersection (audience segmentation): users appearing in BOTH
+    the click and the purchase streams. Map side emits deduped
+    (user_id, side-bit) pairs per batch; one groupby ORs the bits and
+    keeps users with both — the exchange moves at most two small rows
+    per user per block, never raw events. INTERSECT in the SQL twin."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        out_u, out_b = [], []
+        for ty, bit in (("click", 1), ("purchase", 2)):
+            u = np.unique(uid[et == ty])
+            out_u.append(u)
+            out_b.append(np.full(len(u), bit, dtype=np.int64))
+        return pa.table({"user_id": pa.array(np.concatenate(out_u)),
+                         "bit": pa.array(np.concatenate(out_b))})
+
+    agg = (ds.map_batches(sides, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Max("bit", alias_name="mx"),
+                                         Min("bit", alias_name="mn")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ((t.column("mx").to_numpy() == 2)
+             & (t.column("mn").to_numpy() == 1))   # saw both bit values
+        return pa.table({"user_id": pa.array(
+            t.column("user_id").to_numpy()[m].astype(np.int64))})
+
+    return agg.map_batches(keep, batch_format="pyarrow").to_pandas()

@@ -56,7 +56,7 @@ def test_entry_smoke(entrymod):
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
     "media_resized", "user_event_pivot", "dup_ngram_spans",
     "part_supplier_revenue", "decontaminate_docs", "events_grouping_sets",
-    "events_latest_per_key",
+    "events_latest_per_key", "users_click_and_purchase",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
