@@ -97,9 +97,15 @@ class SeenSet:
     @property
     def actors(self) -> list:
         if self._actors is None:
+            # detached: a non-detached actor is OWNED by the worker that
+            # created it, so the whole shared seen set would die with the
+            # one engine that happened to create it (multi-engine crash =
+            # global state loss). Detached shards outlive any engine and
+            # are reclaimed only by the explicit teardown() kill.
             self._actors = [
                 SeenShard.options(
-                    name=self._name(i), namespace=NAMESPACE, get_if_exists=True
+                    name=self._name(i), namespace=NAMESPACE,
+                    get_if_exists=True, lifetime="detached",
                 ).remote(i, self.cuckoo_capacity, self.bloom_bits)
                 for i in range(self.num_shards)
             ]

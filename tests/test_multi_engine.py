@@ -159,3 +159,43 @@ def test_three_engines_equal_single_engine(tmp_store):
         f"3-engine union differs: only-single={len(docsS - docsM)} "
         f"only-multi={len(docsM - docsS)}")
     pairs[0][1].seen.teardown()
+
+
+def test_two_engines_with_midway_restart_equal_single(tmp_store):
+    """Engine 0 'crashes' after its first pass (state discarded) and
+    resumes from its committed checkpoints while engine 1 keeps going;
+    the finished union must STILL equal the single-engine crawl —
+    mailbox drains and seen marks are idempotent across the restart."""
+    seeds = make_seed_urls(120, n_hosts=10)
+
+    rootS = f"{tmp_store}-single-r"
+    run_crawl(rootS, CrawlConfig(**BASE), seed_urls=seeds, max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+
+    rootM = f"{tmp_store}-multi-r"
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(rootM, cfg0, seeds)
+    s0, st0 = resume_run(rootM, cfg0)
+    s1, st1 = resume_run(rootM, cfg1)
+    run_pass(s0, cfg0, st0)
+    run_pass(s1, cfg1, st1)
+    # engine 0 crashes: drop its driver state, resume from checkpoints
+    del s0, st0
+    s0, st0 = resume_run(rootM, cfg0)
+    idle = 0
+    for _ in range(40):
+        r0 = run_pass(s0, cfg0, st0)
+        r1 = run_pass(s1, cfg1, st1)
+        if (r0["done"] and r1["done"]
+                and r0["retry_size"] == 0 and r1["retry_size"] == 0):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+    docsM = {d["doc_id"] for d in _docs(rootM)}
+    assert docsM == docsS, (
+        f"restart broke the union: only-single={len(docsS - docsM)} "
+        f"only-multi={len(docsM - docsS)}")
+    st0.seen.teardown()
