@@ -182,6 +182,11 @@ def init_run(root: str, cfg: CrawlConfig, seed_urls: list[str],
                       "num_partitions": cfg.num_partitions,
                       "salted_hosts": list(cfg.salted_hosts),
                       "seen_run_id": state.seen.run_id})
+    # sidecar survives pass commits (which overwrite meta.json in
+    # single-engine mode): destroy_run_actors reads it to reclaim the
+    # run's detached shard actors after a crash without a resume
+    store.write_meta({"seen_run_id": state.seen.run_id},
+                     name="seen_run.json")
     return store, state
 
 
@@ -214,6 +219,11 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
     p = meta["pass_id"]
     ck = store.read_fragment("checkpoints",
                              "ckpt" if bootstrap else _etag(cfg, "ckpt"), p)
+    # single-engine pass commits overwrite meta.json, dropping
+    # seen_run_id — resume then mints FRESH shard names on purpose:
+    # reusing the old names would race a just-torn-down actor set
+    # (kill + get_if_exists on the same name). The sidecar below tracks
+    # whichever name set is CURRENT so destroy_run_actors can reclaim it.
     seen_run = init_meta.get("seen_run_id", uuid.uuid4().hex[:12])
     rb_tbl = store.read_current("robots")
     robots = (
@@ -275,6 +285,9 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
                       if s % cfg.num_engines == e
                       and (mine or items[s] == 0)}
                 state.seen.restore_from_table(sn, only_shards=ok)
+    # track the CURRENT shard-actor name set for crash cleanup
+    store.write_meta({"seen_run_id": state.seen.run_id},
+                     name="seen_run.json")
     return store, state
 
 
@@ -1024,3 +1037,28 @@ def run_always(root: str, cfg: CrawlConfig,
     finally:
         state.seen.teardown()
     return polls
+
+
+def destroy_run_actors(root: str, cfg: CrawlConfig) -> int:
+    """Reclaim a run's detached seen-shard actors without resuming it —
+    the cleanup path for a run that crashed before ``teardown()`` (a
+    detached actor outlives its creator by design, so an abandoned run
+    would otherwise hold its shard memory until the cluster restarts).
+    Reads the run's ``seen_run_id`` from the committed meta and kills
+    every shard actor that still exists. Returns the kill count."""
+    from ..state.seen import NAMESPACE
+
+    store = TableStore(root)
+    meta = store.read_meta("seen_run.json") or store.read_meta() or {}
+    if "seen_run_id" not in meta:
+        return 0
+    run_id = meta["seen_run_id"]
+    killed = 0
+    for i in range(cfg.seen_shards):
+        try:
+            a = ray.get_actor(f"seen-{run_id}-{i}", namespace=NAMESPACE)
+        except ValueError:
+            continue
+        ray.kill(a)
+        killed += 1
+    return killed

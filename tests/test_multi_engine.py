@@ -199,3 +199,27 @@ def test_two_engines_with_midway_restart_equal_single(tmp_store):
         f"restart broke the union: only-single={len(docsS - docsM)} "
         f"only-multi={len(docsM - docsS)}")
     st0.seen.teardown()
+
+
+def test_destroy_run_actors_reclaims_leaked_shards(tmp_store):
+    """A run abandoned without teardown leaves detached shard actors;
+    destroy_run_actors reclaims exactly them (idempotent)."""
+    import ray as _ray
+
+    from container_crawler_ray.pipelines.crawl import destroy_run_actors
+    from container_crawler_ray.state.seen import NAMESPACE
+
+    seeds = make_seed_urls(60, n_hosts=10)
+    root = f"{tmp_store}-leak"
+    cfg = CrawlConfig(**BASE)
+    store, st = init_run(root, cfg, seeds)
+    run_pass(store, cfg, st)
+    name0 = f"seen-{st.seen.run_id}-0"
+    assert _ray.get_actor(name0, namespace=NAMESPACE) is not None
+    del store, st                        # 'crash': no teardown
+    killed = destroy_run_actors(root, cfg)
+    assert killed == cfg.seen_shards
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _ray.get_actor(name0, namespace=NAMESPACE)
+    assert destroy_run_actors(root, cfg) == 0    # idempotent
