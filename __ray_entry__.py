@@ -66,6 +66,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_key": analytics.events_latest_per_key,
         "users_click_and_purchase": analytics.users_click_and_purchase,
         "docs_hash_sample": analytics.docs_hash_sample,
+        # window functions (rank / lag), semi-structured extraction,
+        # stratified sampling, histogram-sketch quantiles
+        "events_ranked": analytics.events_ranked,
+        "events_lag_delta": analytics.events_lag_delta,
+        "events_props_stats": analytics.events_props_stats,
+        "events_stratified_sample": analytics.events_stratified_sample,
+        "events_value_histogram": analytics.events_value_histogram,
+        "q5_region_supplier_volume": joins.q5_region_supplier_volume,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -367,6 +375,82 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_sample": """
             SELECT doc_id, n_chars FROM documents
             WHERE CAST(('0x' || substr(md5(text), 16, 1)) AS INT) = 0
+        """,
+        "events_ranked": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rnk
+            FROM events
+            QUALIFY rnk <= 2
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id,
+                   CAST(cents - prev AS BIGINT) AS delta_cents
+            FROM (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(value*100) AS BIGINT) AS cents,
+                       LAG(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+                FROM events)
+            WHERE prev IS NOT NULL
+        """,
+        "events_props_stats": """
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        // 10 AS BIGINT) AS k_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        """,
+        "events_stratified_sample": """
+            SELECT event_id, event_type,
+                   CAST(FLOOR(value*100) AS BIGINT) AS value_cents
+            FROM events
+            WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                       1, 15)) AS UBIGINT)
+                  % (CASE event_type WHEN 'purchase' THEN 1
+                                     WHEN 'signup' THEN 2
+                                     WHEN 'click' THEN 4
+                                     WHEN 'error' THEN 8
+                                     ELSE 16 END) = 0
+        """,
+        "events_value_histogram": """
+            WITH b AS (
+                SELECT event_type,
+                       CAST(FLOOR(value*100) AS BIGINT) // 50 AS bin,
+                       COUNT(*) AS c
+                FROM events GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, bin,
+                       SUM(c) OVER (PARTITION BY event_type
+                                    ORDER BY bin) AS cc,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM b
+            )
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cc >= CEIL(0.5 * n)
+                                 THEN bin * 50 END) AS BIGINT)
+                       AS p50_est_cents,
+                   CAST(MIN(CASE WHEN cc >= CEIL(0.95 * n)
+                                 THEN bin * 50 END) AS BIGINT)
+                       AS p95_est_cents
+            FROM cum GROUP BY event_type
+        """,
+        "q5_region_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "curate_pack", "part_supplier_revenue", "decontaminate_docs",
     "events_grouping_sets", "events_latest_per_key",
     "users_click_and_purchase",
+    "events_ranked", "events_lag_delta", "events_props_stats",
+    "events_stratified_sample", "events_value_histogram",
+    "q5_region_supplier_volume",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

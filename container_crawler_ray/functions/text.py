@@ -124,3 +124,35 @@ def winnow_fingerprint(texts: list[str], k: int = 8, w: int = 16) -> np.ndarray:
         sel = np.unique(mins)
         out[i] = np.bitwise_xor.reduce(sel)
     return out
+
+
+def json_int_field(strings: list[str], key: str) -> np.ndarray:
+    """Extract an integer field from a column of JSON strings,
+    vectorized-first: one compiled-C regex pass (``pandas .str.extract``)
+    handles the common flat layout; only rows the regex misses fall back
+    to ``json.loads`` (and rows without the key, or unparseable, yield
+    the int64 sentinel ``iinfo(int64).min``). Mirrors DuckDB's
+    ``json_extract_string(props, '$.key')`` for flat objects so the
+    oracle comparison is value-exact.
+    """
+    import json
+    import re
+
+    import pandas as pd
+
+    s = pd.Series(strings, dtype="object")
+    pat = re.compile(r'"%s"\s*:\s*(-?\d+)' % re.escape(key))
+    ext = s.str.extract(pat, expand=False)
+    out = pd.to_numeric(ext, errors="coerce")
+    sentinel = np.iinfo(np.int64).min
+    miss = out.isna().to_numpy()
+    vals = out.fillna(sentinel).to_numpy(dtype=np.int64)
+    if miss.any():
+        for i in np.flatnonzero(miss):
+            try:
+                v = json.loads(s.iloc[i]).get(key)
+            except (TypeError, ValueError):
+                v = None
+            if isinstance(v, int) and not isinstance(v, bool):
+                vals[i] = v
+    return vals

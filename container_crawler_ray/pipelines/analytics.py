@@ -669,3 +669,180 @@ def users_click_and_purchase(sf_dir: str) -> pd.DataFrame:
             t.column("user_id").to_numpy()[m].astype(np.int64))})
 
     return agg.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def events_ranked(sf_dir: str, k: int = 2) -> pd.DataFrame:
+    """Ranking window function (ROW_NUMBER): each user's k most recent
+    events with their rank. Same bucketed-window shape as
+    ``user_value_rolling`` — one ``user_id % 64`` exchange, then the rank
+    for ALL of a bucket's users is one C-level mergesort +
+    ``groupby.cumcount`` over the (user, -ts, -event_id)-sorted frame; no
+    per-user Python dispatch. (ts DESC, event_id DESC) is a total order,
+    so ranks are deterministic under duplicate timestamps."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "bucket": pa.array(b)})
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          ascending=[True, False, False],
+                          kind="mergesort")
+        rnk = g.groupby("user_id", sort=False).cumcount().to_numpy() + 1
+        keep = rnk <= k
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy()[keep],
+                             "event_id": g["event_id"].to_numpy()[keep],
+                             "rnk": rnk[keep].astype(np.int64)})
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bucket").map_groups(rank, batch_format="pandas")
+            .to_pandas())
+
+
+def events_lag_delta(sf_dir: str) -> pd.DataFrame:
+    """LAG window function: per user in (ts, event_id) order, the change
+    in value-cents from the user's previous event (first event per user
+    has no predecessor and is dropped, = SQL ``WHERE prev IS NOT NULL``).
+    One bucketed exchange; the lag for every user in a bucket is a single
+    ``shift(1)`` over the sorted frame with a same-user mask — user
+    boundaries never leak a predecessor across users."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": pa.array(cents),
+                         "bucket": pa.array(b)})
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        c = g["cents"].to_numpy()
+        same = np.empty(len(g), dtype=bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        prev = np.empty_like(c)
+        prev[1:] = c[:-1]
+        return pd.DataFrame({
+            "user_id": uid[same],
+            "event_id": g["event_id"].to_numpy()[same],
+            "delta_cents": (c - prev)[same].astype(np.int64)})
+
+    return (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bucket").map_groups(lag, batch_format="pandas")
+            .to_pandas())
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction (SURVEY §2.8 json fn, exercised as a
+    pipeline): pull the integer ``k`` field out of the ``props`` JSON
+    string column, then aggregate value-cents per k-decile. The extract
+    is one vectorized C-regex pass (``pandas .str.extract``) with a
+    ``json.loads`` fallback only for rows the fast path misses — never a
+    per-row Python json parse in the hot loop."""
+    from ..functions.text import json_int_field
+
+    ds = _read(sf_dir, "events", columns=["props", "value"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        kv = json_int_field(t.column("props").to_pylist(), "k")
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        ok = kv != np.iinfo(np.int64).min
+        return pa.table({"k_decile": pa.array(kv[ok] // 10),
+                         "cents": pa.array(cents[ok])})
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby("k_decile")
+           .aggregate(Count(alias_name="n"),
+                      Sum("cents", alias_name="sum_cents"))
+           .to_pandas())
+    return out.astype({"n": "int64", "sum_cents": "int64"})
+
+
+def events_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Stratified deterministic sampling: per-event-type keep rates
+    (purchase 1/1, signup 1/2, click 1/4, error 1/8, view 1/16) applied
+    via the engine's md5-derived hash of the event id — reproducible
+    across re-runs/resume (same rows survive every time), map-side only
+    (no exchange, no state), and the SQL twin recomputes the identical
+    bucket from ``md5(CAST(event_id AS VARCHAR))``. The hash uses the top
+    60 bits (15 hex chars) so DuckDB's UBIGINT parse can mirror it."""
+    from ..functions.hashing import hash64_many
+
+    rates = {"purchase": 1, "signup": 2, "click": 4, "error": 8,
+             "view": 16}
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        et = np.asarray(t.column("event_type")).astype(object)
+        h60 = hash64_many([str(e) for e in eid]) >> np.uint64(4)
+        rate = np.asarray([rates[x] for x in et], dtype=np.uint64)
+        m = (h60 % rate) == 0
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": pa.array(eid[m]),
+                         "event_type": pa.array(et[m], type=pa.string()),
+                         "value_cents": pa.array(cents[m])})
+
+    return ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def events_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch — the O(bins)
+    alternative to ``events_percentiles``'s exact per-group quantile,
+    which is what survives 100 TB (the exchange moves one (type, bin,
+    count) row per block instead of every value; the sketch state is a
+    few KB per group regardless of input size). Estimates are the lower
+    edge of the bin holding the quantile rank (bin width 50 cents), so
+    they are deterministic and the SQL twin reproduces them exactly from
+    the same binning + cumulative-count rule."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    width = 50
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        bins = np.floor_divide(cents, width)
+        types, out_bin, out_n = [], [], []
+        for ty in np.unique(et):
+            m = et == ty
+            u, c = np.unique(bins[m], return_counts=True)
+            types.extend([str(ty)] * len(u))
+            out_bin.append(u)
+            out_n.append(c)
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "bin": pa.array(np.concatenate(out_bin)),
+                         "n": pa.array(np.concatenate(out_n)
+                                       .astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bin"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    # the sketch result is O(types × bins) — tiny by construction; the
+    # quantile read-off is driver-side arithmetic on the sketch, not on
+    # the data.
+    rows = []
+    for ty, g in hist.groupby("event_type"):
+        g = g.sort_values("bin")
+        cc = g["n"].cumsum().to_numpy()
+        n = int(cc[-1])
+        b = g["bin"].to_numpy()
+        row = {"event_type": ty, "n": n}
+        for q, col in ((0.5, "p50_est_cents"), (0.95, "p95_est_cents")):
+            rank = int(np.ceil(q * n))
+            row[col] = int(b[np.searchsorted(cc, rank)] * width)
+        rows.append(row)
+    return pd.DataFrame(rows).astype({"n": "int64",
+                                      "p50_est_cents": "int64",
+                                      "p95_est_cents": "int64"})

@@ -357,3 +357,147 @@ def part_supplier_revenue(sf_dir: str) -> pd.DataFrame:
                       Sum("n_lines", alias_name="n_lines"))
            .to_pandas())
     return out.astype({"revenue_cents": "int64", "n_lines": "int64"})
+
+
+def q5_region_supplier_volume(sf_dir: str,
+                              region: str = "ASIA") -> pd.DataFrame:
+    """TPC-H-Q5-ish: revenue per nation from lineitems whose CUSTOMER and
+    SUPPLIER sit in the same nation of one region — the canonical
+    multiway join mixing both join strategies:
+
+    - nation/region/supplier are dimension-sized → collapsed on the
+      driver into dense ``suppkey → nation-index`` / ``nation-index →
+      in-region`` lookup arrays, broadcast ONCE via ``ray.put`` (at
+      10⁸+ suppliers the supplier side would graduate to a third
+      co-partition join; the seam is the same bucket key).
+    - customer and orders are both fact-shaped → co-partition join #1
+      (bucket by ``custkey % B``) produces (orderkey, cust-nation).
+    - its output and lineitem are both fact-shaped → co-partition join
+      #2 (bucket by ``orderkey % B``), where the bucket kernel resolves
+      the supplier nation with one ``np.take``, applies the
+      same-nation + region filters, and PARTIAL-aggregates per nation —
+      so the final exchange moves one row per (nation, bucket).
+
+    Two all-to-all exchanges total for a 6-table join; each bucket kernel
+    is one C-level pandas merge + numpy mask.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+
+    reg_keys = reg.column("r_regionkey").to_numpy()
+    in_reg_key = {int(k) for k, n in zip(reg_keys,
+                                         reg.column("r_name").to_pylist())
+                  if n == region}
+    nk = nat.column("n_nationkey").to_numpy().astype(np.int64)
+    n_names = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    n_in_region = np.asarray(
+        [int(rk) in in_reg_key for rk in
+         nat.column("n_regionkey").to_numpy()], dtype=bool)
+    nat_lookup = np.full(int(nk.max()) + 1, -1, dtype=np.int32)
+    nat_lookup[nk] = np.arange(len(nk), dtype=np.int32)
+    sk = supp.column("s_suppkey").to_numpy().astype(np.int64)
+    s_lookup = np.full(int(sk.max()) + 1, -1, dtype=np.int32)
+    s_lookup[sk] = nat_lookup[supp.column("s_nationkey").to_numpy()
+                              .astype(np.int64)]
+    dims_ref = ray.put((s_lookup, nat_lookup, n_in_region, n_names))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+
+    # ---- join #1: orders ⨝ customer on custkey (both fact-shaped)
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "payload": pa.array(t.column("c_nationkey").to_numpy()
+                                .astype(np.int64)),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "payload": pa.array(t.column("o_orderkey").to_numpy()
+                                .astype(np.int64)),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "payload"]].rename(
+            columns={"payload": "c_nat"})
+        right = g[g["side"] == 1][["key", "payload"]].rename(
+            columns={"payload": "o_orderkey"})
+        m = right.merge(left, on="key")
+        return m[["o_orderkey", "c_nat"]]
+
+    ord_nat = (cust.map_batches(tag_cust, batch_format="pyarrow")
+               .union(orders.map_batches(tag_orders,
+                                         batch_format="pyarrow"))
+               .groupby("bucket").map_groups(join_cust,
+                                             batch_format="pandas"))
+
+    # ---- join #2: (orderkey, cust-nation) ⨝ lineitem on orderkey
+    def tag_ordnat(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "nat": pa.array(t.column("c_nat").to_numpy()
+                            .astype(np.int64)),
+            "cents": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        supp_nat = t.column("l_suppkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "nat": pa.array(supp_nat),    # suppkey until resolved below
+            "cents": pa.array(cents),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def join_items(g: pd.DataFrame) -> pd.DataFrame:
+        sl, _nl, in_reg, names = ray.get(dims_ref)
+        left = g[g["side"] == 0][["key", "nat"]].rename(
+            columns={"nat": "c_nat"})
+        right = g[g["side"] == 1][["key", "nat", "cents"]].rename(
+            columns={"nat": "suppkey"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                                 "revenue_cents": pd.Series([], dtype=np.int64),
+                                 "n_lines": pd.Series([], dtype=np.int64)})
+        s_ni = sl[m["suppkey"].to_numpy()]
+        c_ni = _nl[m["c_nat"].to_numpy()]
+        keep = (s_ni == c_ni) & in_reg[s_ni]
+        ni = s_ni[keep]
+        cents = m["cents"].to_numpy()[keep]
+        uniq, inv = np.unique(ni, return_inverse=True)
+        return pd.DataFrame({
+            "n_name": names[uniq],
+            "revenue_cents": np.bincount(inv, weights=cents)
+            .astype(np.int64),
+            "n_lines": np.bincount(inv).astype(np.int64)})
+
+    partial = (ord_nat.map_batches(tag_ordnat, batch_format="pyarrow")
+               .union(items.map_batches(tag_items, batch_format="pyarrow"))
+               .groupby("bucket").map_groups(join_items,
+                                             batch_format="pandas")
+               .to_pandas())
+    out = partial.groupby("n_name", as_index=False).agg(
+        revenue_cents=("revenue_cents", "sum"),
+        n_lines=("n_lines", "sum"))
+    return out.astype({"revenue_cents": "int64", "n_lines": "int64"})

@@ -57,6 +57,9 @@ def test_entry_smoke(entrymod):
     "media_resized", "user_event_pivot", "dup_ngram_spans",
     "part_supplier_revenue", "decontaminate_docs", "events_grouping_sets",
     "events_latest_per_key", "users_click_and_purchase",
+    "events_ranked", "events_lag_delta", "events_props_stats",
+    "events_stratified_sample", "events_value_histogram",
+    "q5_region_supplier_volume",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
