@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": analytics.events_stratified_sample,
         "events_value_histogram": analytics.events_value_histogram,
         "q5_region_supplier_volume": joins.q5_region_supplier_volume,
+        "big_order_lines_bloom": joins.big_order_lines_bloom,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -451,6 +452,15 @@ def oracle_sql() -> dict[str, str]:
               AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
               AND r_name = 'ASIA'
             GROUP BY n_name
+        """,
+        "big_order_lines_bloom": """
+            SELECT o.o_orderpriority AS o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_totalprice > 450000
+            GROUP BY o.o_orderpriority
         """,
         "events_percentiles": """
             SELECT event_type,

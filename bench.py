@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "users_click_and_purchase",
     "events_ranked", "events_lag_delta", "events_props_stats",
     "events_stratified_sample", "events_value_histogram",
-    "q5_region_supplier_volume",
+    "q5_region_supplier_volume", "big_order_lines_bloom",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -59,7 +59,7 @@ def test_entry_smoke(entrymod):
     "events_latest_per_key", "users_click_and_purchase",
     "events_ranked", "events_lag_delta", "events_props_stats",
     "events_stratified_sample", "events_value_histogram",
-    "q5_region_supplier_volume",
+    "q5_region_supplier_volume", "big_order_lines_bloom",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

@@ -3,7 +3,8 @@ entry at a given sf_dir, run its oracle_sql() twin in DuckDB over the same
 parquet views, and compare row count + (sorted-by-name) columns +
 order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+(with query names given, only those entries run)
 """
 
 from __future__ import annotations
@@ -66,7 +67,7 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     return "OK"
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -83,6 +84,12 @@ def main(sf_dir: str) -> int:
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.monotonic()
@@ -112,5 +119,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    rc = main(sf, only=sys.argv[2:] or None)
     sys.exit(1 if rc else 0)
