@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_grouping_sets": analytics.events_grouping_sets,
         "events_latest_per_key": analytics.events_latest_per_key,
         "users_click_and_purchase": analytics.users_click_and_purchase,
+        "users_click_no_purchase": analytics.users_click_no_purchase,
+        "docs_per_source_cap": analytics.docs_per_source_cap,
+        "doc_repetition": analytics.doc_repetition,
+        "tfidf_top_terms": analytics.tfidf_top_terms,
         "docs_hash_sample": analytics.docs_hash_sample,
         # window functions (rank / lag), semi-structured extraction,
         # stratified sampling, histogram-sketch quantiles
@@ -75,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": analytics.events_value_histogram,
         "q5_region_supplier_volume": joins.q5_region_supplier_volume,
         "big_order_lines_bloom": joins.big_order_lines_bloom,
+        "q18_large_orders": joins.q18_large_orders,
+        "q17_small_qty_revenue": joins.q17_small_qty_revenue,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -322,6 +328,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) FROM events
             WHERE event_type = 'purchase'
         """,
+        "users_click_no_purchase": """
+            SELECT CAST(user_id AS BIGINT) AS user_id FROM events
+            WHERE event_type = 'click' AND value > 95.0
+            EXCEPT
+            SELECT CAST(user_id AS BIGINT) FROM events
+            WHERE event_type = 'purchase' AND value > 95.0
+        """,
+        "docs_per_source_cap": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source ORDER BY doc_id) <= 5
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '\S+') AS ws
+              FROM documents),
+            flat AS (
+              SELECT doc_id, unnest(ws) AS tok,
+                     generate_subscripts(ws, 1) AS pos,
+                     len(ws) AS n_tok
+              FROM toks),
+            bg AS (
+              SELECT doc_id, n_tok, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS nxt
+              FROM flat),
+            cnt AS (
+              SELECT doc_id, MAX(n_tok) AS n_tok, COUNT(*) AS c
+              FROM bg WHERE nxt IS NOT NULL
+              GROUP BY doc_id, tok, nxt),
+            tops AS (
+              SELECT doc_id, MAX(n_tok) AS n_tok, MAX(c) AS top_n
+              FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id AS doc_id,
+                   CAST(COALESCE(t.n_tok, len(regexp_extract_all(d.text,
+                        '\S+'))) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(t.top_n, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(CASE WHEN COALESCE(t.n_tok, 0) >= 2
+                        THEN t.top_n * 2 * 10000 // t.n_tok
+                        ELSE 0 END AS BIGINT) AS rep_bp
+            FROM documents d LEFT JOIN tops t ON d.doc_id = t.doc_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH flat AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+            tf AS (
+              SELECT doc_id, tok, COUNT(*) AS tf
+              FROM flat GROUP BY doc_id, tok),
+            dfc AS (
+              SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, dfc.df,
+                     tf.tf * 1000000 // dfc.df AS score_ppm
+              FROM tf JOIN dfc ON tf.tok = dfc.tok)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, tok,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   CAST(score_ppm AS BIGINT) AS score_ppm
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY score_ppm DESC, tok) <= 3
+        """,
         "events_latest_per_key": """
             SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
                    CAST(event_id AS BIGINT) AS event_id,
@@ -461,6 +534,37 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE o.o_totalprice > 450000
             GROUP BY o.o_orderpriority
+        """,
+        "q18_large_orders": """
+            WITH big AS (
+              SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT))
+                     AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT CAST(o.o_custkey AS BIGINT) AS c_custkey,
+                   c.c_name AS c_name,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_us,
+                   CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                       AS totalprice_cents,
+                   b.sum_qty AS sum_qty
+            FROM orders o
+            JOIN big b ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "q17_small_qty_revenue": """
+            WITH a AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_quantity AS BIGINT)) AS s,
+                     COUNT(*) AS c
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.s
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -846,3 +846,166 @@ def events_value_histogram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"n": "int64",
                                       "p50_est_cents": "int64",
                                       "p95_est_cents": "int64"})
+
+
+def users_click_no_purchase(sf_dir: str,
+                            value_floor: float = 95.0) -> pd.DataFrame:
+    """Set difference (EXCEPT): users with a high-value click
+    (``value > value_floor``) who never made a high-value purchase.
+    Same exchange discipline as ``users_click_and_purchase`` — map side
+    emits deduped (user_id, side-bit) pairs, one groupby reduces to
+    (min-bit, max-bit), and ``mn == mx == 1`` means the user only ever
+    appeared on the click side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type",
+                                          "value"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        hot = t.column("value").to_numpy() > value_floor
+        out_u, out_b = [], []
+        for ty, bit in (("click", 1), ("purchase", 2)):
+            u = np.unique(uid[(et == ty) & hot])
+            out_u.append(u)
+            out_b.append(np.full(len(u), bit, dtype=np.int64))
+        return pa.table({"user_id": pa.array(np.concatenate(out_u)),
+                         "bit": pa.array(np.concatenate(out_b))})
+
+    agg = (ds.map_batches(sides, batch_format="pyarrow")
+           .groupby("user_id").aggregate(Max("bit", alias_name="mx"),
+                                         Min("bit", alias_name="mn")))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = ((t.column("mx").to_numpy() == 1)
+             & (t.column("mn").to_numpy() == 1))
+        return pa.table({"user_id": pa.array(
+            t.column("user_id").to_numpy()[m].astype(np.int64))})
+
+    return agg.map_batches(keep, batch_format="pyarrow").to_pandas()
+
+
+def docs_per_source_cap(sf_dir: str, cap: int = 5) -> pd.DataFrame:
+    """Per-domain cap sampling (corpus balancing): keep at most ``cap``
+    documents per source, lowest doc_id first — the per-host document
+    quota every crawl corpus applies before training. Same bucketed
+    top-k shape as ``events_topk_per_user``: sources are hash-bucketed
+    so the exchange makes ~64 group tasks, and each bucket runs one
+    C-level sort + ``groupby.head`` across all its sources."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source")).astype(object)
+        b = (hash64_many(src) % np.uint64(64)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values("doc_id", kind="mergesort")
+               .groupby("source", sort=False).head(cap))
+        return out[["doc_id", "source", "n_chars"]]
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(head, batch_format="pandas")
+            .to_pandas())
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Within-document repetition signal (Gopher-style quality filter):
+    for each document, the occurrence count of its most frequent word
+    bigram and the fraction of tokens that bigram covers (basis points).
+    Entirely map-side — a document never spans blocks, so there is NO
+    exchange at all; each batch tokenizes into one flat pandas frame and
+    reduces with C-level groupby kernels (no per-document Python loop)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def rep(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        toks = [s.split() for s in texts]
+        n_tok = np.array([len(w) for w in toks], dtype=np.int64)
+        df = pd.DataFrame({
+            "doc": np.repeat(ids, n_tok),
+            "tok": np.concatenate([np.asarray(w, dtype=object)
+                                   for w in toks]) if n_tok.sum()
+                   else np.array([], dtype=object)})
+        df["nxt"] = df["tok"].shift(-1)
+        # last token of each doc has no successor within the doc
+        df["valid"] = df["doc"] == df["doc"].shift(-1)
+        big = df[df["valid"]]
+        top = pd.Series(0, index=ids, dtype=np.int64)
+        if len(big):
+            cnt = (big.groupby(["doc", "tok", "nxt"], sort=False)
+                   .size().groupby(level=0).max())
+            top.loc[cnt.index] = cnt.to_numpy(np.int64)
+        top_n = top.to_numpy(np.int64)
+        rep_bp = np.where(n_tok >= 2, top_n * 2 * 10000 // np.maximum(n_tok, 1), 0)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n_tok),
+                         "top_bigram_n": pa.array(top_n),
+                         "rep_bp": pa.array(rep_bp.astype(np.int64))})
+
+    return ds.map_batches(rep, batch_format="pyarrow").to_pandas()
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-document top-k TF-IDF terms, with an integer-exact score
+    (``score_ppm = tf * 1_000_000 // df`` — monotone in tf/df, so the
+    ranking equals the float tf·idf ranking and is reproducible in SQL).
+
+    Two passes over documents, one vocabulary-sized exchange: pass 1
+    emits per-batch (token, df-partial) rows — each (doc, token) pair
+    counts once, and docs never span blocks, so summing partials is the
+    exact document frequency; the vocabulary (Zipf-small relative to
+    the corpus) is broadcast once via ``ray.put``. Pass 2 recomputes tf
+    map-side, scores against the broadcast df, and takes per-doc top-k
+    INSIDE the batch — the heavy (doc, token) table is never shuffled."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def _tf_frame(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        toks = [s.split() for s in t.column("text").to_pylist()]
+        n_tok = np.array([len(w) for w in toks], dtype=np.int64)
+        flat = pd.DataFrame({
+            "doc_id": np.repeat(ids, n_tok),
+            "tok": np.concatenate([np.asarray(w, dtype=object)
+                                   for w in toks]) if n_tok.sum()
+                   else np.array([], dtype=object)})
+        return (flat.groupby(["doc_id", "tok"], sort=False)
+                .size().rename("tf").reset_index())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tf = _tf_frame(t)
+        dfc = tf.groupby("tok", sort=False).size()
+        return pa.table({"tok": pa.array(dfc.index.to_numpy(object),
+                                         type=pa.string()),
+                         "df": pa.array(dfc.to_numpy(np.int64))})
+
+    vocab = (ds.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("df", alias_name="df"))
+             .to_pandas())
+    vref = ray.put(dict(zip(vocab["tok"], vocab["df"].astype(np.int64))))
+
+    def score(t: pa.Table) -> pa.Table:
+        df_of = ray.get(vref)
+        tf = _tf_frame(t)
+        tf["df"] = tf["tok"].map(df_of).astype(np.int64)
+        tf["score_ppm"] = tf["tf"].to_numpy(np.int64) * 1_000_000 \
+            // tf["df"].to_numpy(np.int64)
+        top = (tf.sort_values(["score_ppm", "tok"],
+                              ascending=[False, True], kind="mergesort")
+               .groupby("doc_id", sort=False).head(k))
+        return pa.table({
+            "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+            "tok": pa.array(top["tok"].to_numpy(object),
+                            type=pa.string()),
+            "tf": pa.array(top["tf"].to_numpy(np.int64)),
+            "df": pa.array(top["df"].to_numpy(np.int64)),
+            "score_ppm": pa.array(top["score_ppm"].to_numpy(np.int64))})
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()

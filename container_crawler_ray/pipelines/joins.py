@@ -602,3 +602,127 @@ def big_order_lines_bloom(sf_dir: str,
         revenue_cents=("revenue_cents", "sum"),
         n_lines=("n_lines", "sum"))
     return out.astype({"revenue_cents": "int64", "n_lines": "int64"})
+
+
+def q18_large_orders(sf_dir: str, qty_threshold: int = 250) -> pd.DataFrame:
+    """TPC-H-Q18-ish aggregate semi-join: customers whose orders carry
+    more than ``qty_threshold`` total quantity.
+
+    Scale shape: lineitem is reduced FIRST (one ``groupby(l_orderkey)``
+    sum — Ray's sort aggregate pre-combines per block, so the exchange
+    moves partial sums, not lines), and only the qualifying
+    (orderkey → qty) survivors — a tiny, highly-selective set — are
+    broadcast via ``ray.put`` to filter/annotate orders map-side.
+    Customer is broadcast the same way. No fact-fact shuffle at all:
+    the single all-to-all touches the pre-aggregated keys.
+    """
+    import ray
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def part_qty(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        ks, inv = np.unique(key, return_inverse=True)
+        return pa.table({"l_orderkey": pa.array(ks),
+                         "qty": pa.array(np.bincount(inv, weights=qty)
+                                         .astype(np.int64))})
+
+    agg = (items.map_batches(part_qty, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("qty", alias_name="qty"))
+           .to_pandas())
+    big = agg[agg["qty"] > qty_threshold].sort_values("l_orderkey")
+    big_keys = big["l_orderkey"].to_numpy(np.int64)
+    big_qty = big["qty"].to_numpy(np.int64)
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .to_pandas().sort_values("c_custkey"))
+    cust_keys = cust["c_custkey"].to_numpy(np.int64)
+    cust_names = cust["c_name"].to_numpy(object)
+    ref = ray.put((big_keys, big_qty, cust_keys, cust_names))
+
+    def pick(t: pa.Table) -> pa.Table:
+        bk, bq, ck_keys, ck_names = ray.get(ref)
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(bk, key)
+        pos[pos >= len(bk)] = 0
+        keep = (bk[pos] == key) if len(bk) else np.zeros(len(key), bool)
+        t = t.filter(pa.array(keep))
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        price = t.column("o_totalprice").to_numpy()
+        od = t.column("o_orderdate").to_numpy().astype("datetime64[us]")
+        return pa.table({
+            "c_custkey": pa.array(ck),
+            "c_name": pa.array(ck_names[np.searchsorted(ck_keys, ck)],
+                               type=pa.string()),
+            "o_orderkey": pa.array(key),
+            "o_orderdate_us": pa.array(od.astype(np.int64)),
+            "totalprice_cents": pa.array(
+                np.floor(price * 100).astype(np.int64)),
+            "sum_qty": pa.array(bq[np.searchsorted(bk, key)])})
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice",
+                            "o_orderdate"])
+    out = orders.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q17-ish correlated-aggregate filter: total revenue of
+    lineitems whose quantity is below 20% of their part's average
+    quantity.
+
+    Two passes over lineitem, zero fact-fact shuffles: pass 1 is a
+    per-part (sum, count) aggregate (block-level pre-combine, exchange
+    moves one partial row per part per block); the per-part stats —
+    |parts| rows, small relative to lines — are broadcast once with
+    ``ray.put``; pass 2 filters map-side with the integer-exact
+    predicate ``5·qty·cnt < sum`` (no float average materialized) and
+    pre-sums revenue per block, so the final reduce sees one row per
+    block. At 100 TB the part-stats table may exceed a broadcast; the
+    fallback is the bucketed co-partition join used elsewhere in this
+    module — the predicate and outputs are unchanged.
+    """
+    import ray
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity"])
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        ks, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "l_partkey": pa.array(ks),
+            "s": pa.array(np.bincount(inv, weights=qty).astype(np.int64)),
+            "c": pa.array(np.bincount(inv).astype(np.int64))})
+
+    stats = (items.map_batches(part_stats, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+             .to_pandas())
+    pk = stats["l_partkey"].to_numpy(np.int64)
+    lut_s = np.zeros(pk.max() + 1, dtype=np.int64)
+    lut_c = np.zeros(pk.max() + 1, dtype=np.int64)
+    lut_s[pk] = stats["s"].to_numpy(np.int64)
+    lut_c[pk] = stats["c"].to_numpy(np.int64)
+    ref = ray.put((lut_s, lut_c))
+
+    def pick(t: pa.Table) -> pa.Table:
+        lut_s_, lut_c_ = ray.get(ref)
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        keep = 5 * qty * lut_c_[key] < lut_s_[key]
+        price = t.column("l_extendedprice").to_numpy()[keep]
+        cents = np.floor(price * 100).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], type=pa.int64())})
+
+    full = _read(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    part = full.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(part["revenue_cents"].sum())],
+                         "n_lines": [int(part["n_lines"].sum())]})
