@@ -81,6 +81,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_order_lines_bloom": joins.big_order_lines_bloom,
         "q18_large_orders": joins.q18_large_orders,
         "q17_small_qty_revenue": joins.q17_small_qty_revenue,
+        "q14_promo_revenue": joins.q14_promo_revenue,
+        "q7_nation_volume": joins.q7_nation_volume,
+        "q19_bracket_revenue": joins.q19_bracket_revenue,
+        "late_shipment_priority": joins.late_shipment_priority,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -565,6 +569,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
             WHERE 5 * CAST(l.l_quantity AS BIGINT) * a.c < a.s
+        """,
+        "q14_promo_revenue": """
+            WITH f AS (
+              SELECT CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                     AS BIGINT) AS cents, p.p_type AS p_type
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate < TIMESTAMP '1997-01-01')
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                            ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents
+                            ELSE 0 END) * 10000 // SUM(cents)
+                        AS BIGINT) AS promo_bp
+            FROM f
+        """,
+        "q7_nation_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS year,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)
+                        *100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND ns.n_nationkey <> nc.n_nationkey
+            GROUP BY 1, 2, 3
+        """,
+        "q19_bracket_revenue": """
+            SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)
+                        *100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "late_shipment_priority": """
+            SELECT o.o_orderpriority AS o_orderpriority,
+                   CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate
+                                      + INTERVAL 90 DAY
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -726,3 +726,261 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
     part = full.map_batches(pick, batch_format="pyarrow").to_pandas()
     return pd.DataFrame({"revenue_cents": [int(part["revenue_cents"].sum())],
                          "n_lines": [int(part["n_lines"].sum())]})
+
+
+def q14_promo_revenue(sf_dir: str, year: int = 1996) -> pd.DataFrame:
+    """TPC-H-Q14-ish promo-revenue ratio: of lineitems shipped in
+    ``year``, what share of discounted revenue comes from PROMO-type
+    parts. Broadcast shape: part is dimension-sized, so its
+    (partkey → is_promo) bit goes out once as a dense numpy bitmap via
+    ``ray.put``; lineitem is filtered on shipdate map-side (the read
+    prunes to three columns) and each block emits ONE partial row —
+    the final reduce sees |blocks| rows, no all-to-all at any width.
+    Ratio reported in integer basis points so the DuckDB twin matches
+    bit-for-bit."""
+    import ray
+
+    part = (_read(sf_dir, "part", columns=["p_partkey", "p_type"])
+            .to_pandas())
+    pk = part["p_partkey"].to_numpy(np.int64)
+    promo = np.zeros(pk.max() + 1, dtype=bool)
+    promo[pk] = (part["p_type"].to_numpy(object) == "PROMO")
+    ref = ray.put(promo)
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_promo = ray.get(ref)
+        ship = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (ship >= lo) & (ship < hi)
+        key = t.column("l_partkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        p = is_promo[key]
+        return pa.table({
+            "promo_cents": pa.array([int(cents[p].sum())], pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = items.map_batches(partial, batch_format="pyarrow").to_pandas()
+    promo_c = int(agg["promo_cents"].sum())
+    total_c = int(agg["total_cents"].sum())
+    return pd.DataFrame({
+        "promo_cents": [promo_c], "total_cents": [total_c],
+        "promo_bp": [promo_c * 10000 // total_c if total_c else 0]})
+
+
+def q7_nation_volume(sf_dir: str, y0: int = 1996,
+                     y1: int = 1997) -> pd.DataFrame:
+    """TPC-H-Q7-ish nation-pair shipping volume: discounted revenue per
+    (supplier nation, customer nation, ship-year) for cross-nation
+    flows in [y0, y1].
+
+    Scale shape: ONE fact-fact exchange — lineitem and orders are
+    co-partitioned on ``orderkey % 64`` buckets and merged per bucket;
+    supplier→nation and customer→nation are dimension-sized dense
+    LUTs broadcast once via ``ray.put``. Each bucket pre-aggregates to
+    (supp_nation, cust_nation, year) partials, so the second exchange
+    moves ≤ |nations|² · years rows per bucket."""
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nation["n_nationkey"].to_numpy(np.int64)
+    nname = np.empty(nk.max() + 1, dtype=object)
+    nname[nk] = nation["n_name"].to_numpy(object)
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+
+    ref = ray.put((nname, s_nat, c_nat))
+    lo = np.datetime64(f"{y0}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{y1 + 1}-01-01", "us").astype(np.int64)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (ship >= lo) & (ship < hi)
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        yr = (ship[m].astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_suppkey").to_numpy()
+                            .astype(np.int64)[m]),
+            "cents": pa.array(np.floor(price * (1 - disc) * 100)
+                              .astype(np.int64)),
+            "year": pa.array(yr),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "cents": pa.array(np.full(len(key), -1, dtype=np.int64)),
+            "year": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        nname_, s_nat_, c_nat_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "custkey"})
+        right = g[g["side"] == 1][["key", "aux", "cents", "year"]] \
+            .rename(columns={"aux": "suppkey"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                                 "cust_nation": pd.Series([], dtype=object),
+                                 "year": pd.Series([], dtype=np.int64),
+                                 "revenue_cents": pd.Series([], dtype=np.int64)})
+        sn = s_nat_[m["suppkey"].to_numpy(np.int64)]
+        cn = c_nat_[m["custkey"].to_numpy(np.int64)]
+        keep = sn != cn
+        out = pd.DataFrame({
+            "supp_nation": nname_[sn[keep]],
+            "cust_nation": nname_[cn[keep]],
+            "year": m["year"].to_numpy(np.int64)[keep],
+            "cents": m["cents"].to_numpy(np.int64)[keep]})
+        return (out.groupby(["supp_nation", "cust_nation", "year"],
+                            as_index=False)
+                .agg(revenue_cents=("cents", "sum")))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    out = (part.groupby(["supp_nation", "cust_nation", "year"],
+                        as_index=False)
+           .agg(revenue_cents=("revenue_cents", "sum")))
+    return out.astype({"year": "int64", "revenue_cents": "int64"})
+
+
+def q19_bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q19-ish disjunctive bracket join: revenue of lineitems
+    whose part matches one of three (brand, size-range, qty-range)
+    brackets. Part attributes (brand id + size) broadcast once as dense
+    LUTs; the disjunction is one vectorized boolean expression per
+    block; each block emits a single partial row."""
+    import ray
+
+    brackets = [("Brand#1", 1, 15, 1, 11),
+                ("Brand#2", 1, 25, 10, 20),
+                ("Brand#3", 1, 35, 20, 30)]
+
+    part = (_read(sf_dir, "part",
+                  columns=["p_partkey", "p_brand", "p_size"]).to_pandas())
+    pk = part["p_partkey"].to_numpy(np.int64)
+    brands = part["p_brand"].to_numpy(object)
+    size = np.zeros(pk.max() + 1, dtype=np.int64)
+    size[pk] = part["p_size"].to_numpy(np.int64)
+    bidx = np.full(pk.max() + 1, -1, dtype=np.int64)
+    for i, (b, *_rest) in enumerate(brackets):
+        bidx[pk[brands == b]] = i
+    ref = ray.put((bidx, size))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice",
+                           "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bidx_, size_ = ray.get(ref)
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        b = bidx_[key]
+        s = size_[key]
+        keep = np.zeros(len(key), dtype=bool)
+        for i, (_brand, s0, s1, q0, q1) in enumerate(brackets):
+            keep |= ((b == i) & (s >= s0) & (s <= s1)
+                     & (qty >= q0) & (qty <= q1))
+        price = t.column("l_extendedprice").to_numpy()[keep]
+        disc = t.column("l_discount").to_numpy()[keep]
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = items.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue_cents": [int(agg["revenue_cents"].sum())],
+        "n_lines": [int(agg["n_lines"].sum())]})
+
+
+def late_shipment_priority(sf_dir: str,
+                           late_days: int = 90) -> pd.DataFrame:
+    """TPC-H-Q12-ish late-shipment count: per order priority, how many
+    lineitems shipped more than ``late_days`` after the order date
+    (the testdata schema has no commit/receipt dates, so ship-lag vs
+    orderdate is the analog). Same one-exchange bucketed co-partition
+    join as ``order_priority_revenue``: both fact tables tagged with
+    ``orderkey % 64``, merged per bucket, partials pre-aggregated so
+    the final reduce sees ≤ |priorities| rows per bucket."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_orderdate"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+    lag_us = np.int64(late_days) * 86_400_000_000
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "ts": pa.array(od),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "o_orderpriority": pa.array([""] * len(key), type=pa.string()),
+            "ts": pa.array(sd),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "o_orderpriority", "ts"]] \
+            .rename(columns={"ts": "od"})
+        right = g[g["side"] == 1][["key", "ts"]]
+        m = right.merge(left, on="key")
+        m["late"] = (m["ts"] - m["od"] > lag_us).astype(np.int64)
+        return (m.groupby("o_orderpriority", as_index=False)
+                .agg(n_late=("late", "sum"), n_lines=("late", "size")))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    out = (part.groupby("o_orderpriority", as_index=False)
+           .agg(n_late=("n_late", "sum"), n_lines=("n_lines", "sum")))
+    return out.astype({"n_late": "int64", "n_lines": "int64"})

@@ -60,6 +60,11 @@ def test_entry_smoke(entrymod):
     "events_ranked", "events_lag_delta", "events_props_stats",
     "events_stratified_sample", "events_value_histogram",
     "q5_region_supplier_volume", "big_order_lines_bloom",
+    "q18_large_orders", "q17_small_qty_revenue",
+    "users_click_no_purchase", "docs_per_source_cap",
+    "doc_repetition", "tfidf_top_terms",
+    "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
+    "late_shipment_priority",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
