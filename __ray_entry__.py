@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_source_cap": analytics.docs_per_source_cap,
         "doc_repetition": analytics.doc_repetition,
         "tfidf_top_terms": analytics.tfidf_top_terms,
+        "redact_terms": analytics.redact_terms,
+        "events_funnel": analytics.events_funnel,
         "docs_hash_sample": analytics.docs_hash_sample,
         # window functions (rank / lag), semi-structured extraction,
         # stratified sampling, histogram-sketch quantiles
@@ -398,6 +400,33 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id
                 ORDER BY score_ppm DESC, tok) <= 3
+        """,
+        "redact_terms": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '\b(customer|spark|value)\b')) AS BIGINT)
+                       AS n_hits,
+                   CAST(length(regexp_replace(text,
+                        '\b(customer|spark|value)\b', '[REDACTED]', 'g'))
+                        AS BIGINT) AS n_chars_redacted
+            FROM documents
+        """,
+        "events_funnel": """
+            WITH v AS (SELECT user_id, MIN(ts) AS vt FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS ct
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.vt
+                  GROUP BY e.user_id),
+            p AS (SELECT DISTINCT e.user_id
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.ct)
+            SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT)
+                       AS n_users_view,
+                   CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+                       AS n_users_view_click,
+                   CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+                       AS n_users_funnel
         """,
         "events_latest_per_key": """
             SELECT CAST(user_id AS BIGINT) AS user_id, event_type,

@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "users_click_no_purchase", "docs_per_source_cap",
     "doc_repetition", "tfidf_top_terms",
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
-    "late_shipment_priority",
+    "late_shipment_priority", "redact_terms", "events_funnel",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

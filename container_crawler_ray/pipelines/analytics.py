@@ -1009,3 +1009,79 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> pd.DataFrame:
             "score_ppm": pa.array(top["score_ppm"].to_numpy(np.int64))})
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+def redact_terms(sf_dir: str,
+                 pattern: str = r"\b(customer|spark|value)\b",
+                 repl: str = "[REDACTED]") -> pd.DataFrame:
+    """Dictionary/pattern redaction over documents (the PII-scrub shape:
+    a compiled alternation of sensitive patterns, replace + audit
+    count). The synthetic corpus has no emails/phones, so the term list
+    stands in for PII regexes — the machinery (compiled pattern once
+    per actor, vectorized count + sub per batch, audit columns out) is
+    exactly what an email/phone/IP scrub plugs into via ``pattern``.
+    Entirely map-side: no exchange, output is (doc_id, n_hits,
+    n_chars_redacted)."""
+    import re
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    class Redactor:
+        def __init__(self):
+            self.rx = re.compile(pattern)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            rx = self.rx
+            hits = np.fromiter((len(rx.findall(s)) for s in texts),
+                               dtype=np.int64, count=len(texts))
+            red = [rx.sub(repl, s) for s in texts]
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_hits": pa.array(hits),
+                "n_chars_redacted": pa.array(
+                    np.fromiter((len(s) for s in red), dtype=np.int64,
+                                count=len(red)))})
+
+    return ds.map_batches(Redactor, concurrency=(1, 16),
+                          batch_format="pyarrow").to_pandas()
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """Ordered-sequence funnel: users who did view → click → purchase
+    in strict timestamp order. Per-user state never crosses the one
+    exchange: users are bucketed (``user_id % 64``), and each bucket
+    resolves the funnel with three vectorized pandas merges (min view
+    ts per user → first click strictly after it → any purchase
+    strictly after that); the final reduce sums three counters."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": t.column("event_type"),
+            "ts": pa.array(t.column("ts").to_numpy()
+                           .astype("datetime64[us]").astype(np.int64)),
+            "bucket": pa.array((uid % 64).astype(np.int32))})
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        v = (g[g["event_type"] == "view"].groupby("user_id")["ts"].min()
+             .rename("vt").reset_index())
+        c = g[g["event_type"] == "click"].merge(v, on="user_id")
+        c = (c[c["ts"] > c["vt"]].groupby("user_id")["ts"].min()
+             .rename("ct").reset_index())
+        p = g[g["event_type"] == "purchase"].merge(c, on="user_id")
+        n_funnel = p[p["ts"] > p["ct"]]["user_id"].nunique()
+        return pd.DataFrame({"n_users_view": [np.int64(len(v))],
+                             "n_users_view_click": [np.int64(len(c))],
+                             "n_users_funnel": [np.int64(n_funnel)]})
+
+    part = (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("bucket").map_groups(funnel, batch_format="pandas")
+            .to_pandas())
+    return pd.DataFrame({
+        "n_users_view": [int(part["n_users_view"].sum())],
+        "n_users_view_click": [int(part["n_users_view_click"].sum())],
+        "n_users_funnel": [int(part["n_users_funnel"].sum())]})

@@ -64,7 +64,7 @@ def test_entry_smoke(entrymod):
     "users_click_no_purchase", "docs_per_source_cap",
     "doc_repetition", "tfidf_top_terms",
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
-    "late_shipment_priority",
+    "late_shipment_priority", "redact_terms", "events_funnel",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
