@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # interleaved spans (input_hint shape) + sequence packing
         "spans_flat": spans.spans_flat,
         "pack_sequences": spans.pack_sequences,           # golden oracle
+        "interleaved_pack": spans.interleaved_pack,       # golden oracle
         # curation composition
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
@@ -143,7 +144,8 @@ def oracle_sql() -> dict[str, str]:
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
                       "minhash_lsh_groups", "curate_dedup",
                       "embedding_dup_groups", "pack_sequences",
-                      "curate_pack", "users_per_event_type_hll", "knn_lsh",
+                      "curate_pack", "interleaved_pack",
+                      "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"

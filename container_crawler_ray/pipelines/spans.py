@@ -157,3 +157,93 @@ def pack_sequences(sf_dir: str, budget: int = 2048,
            .to_pandas())
     return out.astype({"seq_id": "int64", "seq_off": "int64",
                        "n_chars": "int64"})
+
+
+def interleaved_pack(sf_dir: str, budget: int = 2048,
+                     part_size: int = 256,
+                     media_cost: int = 16) -> "pd.DataFrame":
+    """Flagship interleaved composition, end to end: span-assemble each
+    document (text tokens + ``m://doc/i`` media spans per the entry()
+    rule), charge media spans a fixed ``media_cost`` token budget,
+    'decode' each media span with the deterministic md5 feature stub
+    (the same honest fake as ``media.MediaFeatureStage``), and greedily
+    pack whole documents into fixed-budget interleaved sequences.
+
+    Scale shape mirrors ``pack_sequences``: per-doc derivation is one
+    vectorized map over flat token arrays (no per-token Python in the
+    hot path; md5 only over the 1-in-4 media spans, the honest stand-in
+    for a decoder); packing is PARTITION-LOCAL (``doc_id // part_size``
+    blocks, sequences never cross blocks) so every block packs
+    independently, deterministically, resumably. One exchange total.
+
+    Output: one row per sequence — (seq_id, n_docs, n_spans, n_media,
+    n_text_chars, cost, media_sig) where media_sig is the XOR of the
+    md5-stub features of every media span in the sequence
+    (order-independent, so the reduce is exchange-safe).
+    Golden oracle: straight-line single-process reimplementation."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        toks = [s.split() for s in t.column("text").to_pylist()]
+        n_tok = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                            count=len(toks))
+        total = int(n_tok.sum())
+        doc_rep = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+        idx = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(n_tok) - n_tok, n_tok))
+        is_media = (idx % 4) == 3
+        flat = np.fromiter((w for ws in toks for w in ws),
+                           dtype=object, count=total)
+        lens = np.frompyfunc(len, 1, 1)(flat).astype(np.int64)
+        lens[is_media] = 0
+        n_text_chars = np.bincount(doc_rep, weights=lens,
+                                   minlength=len(ids)).astype(np.int64)
+        n_media = n_tok // 4
+        # md5 feature stub per media span, XOR-reduced per doc
+        sig = np.zeros(len(ids), dtype=np.uint64)
+        md5 = hashlib.md5
+        fb = int.from_bytes
+        for d, i in zip(doc_rep[is_media], idx[is_media]):
+            ref = f"m://{ids[d]}/{i}"
+            sig[d] ^= np.uint64(fb(md5(ref.encode()).digest()[:8], "big"))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_spans": pa.array(n_tok),
+            "n_media": pa.array(n_media),
+            "n_text_chars": pa.array(n_text_chars),
+            "cost": pa.array(n_text_chars + media_cost * n_media),
+            "media_sig": pa.array(sig.view(np.int64)),
+            "block": pa.array(ids // part_size)})
+
+    def pack(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("doc_id", kind="mergesort")
+        cost = g["cost"].to_numpy(np.int64)
+        seq = np.empty(len(cost), dtype=np.int64)
+        cur_seq, cur_off = 0, 0
+        for i, c in enumerate(cost):         # bounded by part_size
+            if cur_off > 0 and cur_off + c > budget:
+                cur_seq += 1
+                cur_off = 0
+            seq[i] = cur_seq
+            cur_off += c
+        base = int(g["block"].iloc[0]) << 20
+        g = g.assign(seq_id=base + seq)
+        sig = g.groupby("seq_id")["media_sig"].apply(
+            lambda s: np.bitwise_xor.reduce(s.to_numpy(np.int64)))
+        out = g.groupby("seq_id", as_index=False).agg(
+            n_docs=("doc_id", "size"), n_spans=("n_spans", "sum"),
+            n_media=("n_media", "sum"),
+            n_text_chars=("n_text_chars", "sum"), cost=("cost", "sum"))
+        out["media_sig"] = sig.to_numpy(np.int64)
+        return out
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("block").map_groups(pack, batch_format="pandas")
+           .to_pandas())
+    return out.astype({c: "int64" for c in out.columns})

@@ -459,6 +459,70 @@ def g_users_hll(sf_dir: str, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(rows).astype({"n_users_approx": "int64"})
 
 
+
+def g_interleaved_pack(sf_dir: str, budget: int = 2048,
+                       part_size: int = 256,
+                       media_cost: int = 16) -> pd.DataFrame:
+    """Straight-line interleaved span-assemble + md5 media stub + greedy
+    block-local pack (independent of the engine's vectorized path)."""
+    import hashlib
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id")
+    rows = []
+    for _, r in t.iterrows():
+        did = int(r["doc_id"])
+        toks = r["text"].split()
+        n_media = 0
+        n_chars = 0
+        sig = 0
+        for i, w in enumerate(toks):
+            if i % 4 == 3:
+                n_media += 1
+                h = int.from_bytes(
+                    hashlib.md5(f"m://{did}/{i}".encode()).digest()[:8],
+                    "big")
+                sig ^= h
+            else:
+                n_chars += len(w)
+        rows.append({"doc_id": did, "n_spans": len(toks),
+                     "n_media": n_media, "n_text_chars": n_chars,
+                     "cost": n_chars + media_cost * n_media,
+                     "media_sig": sig - (1 << 64) if sig >= (1 << 63)
+                     else sig,
+                     "block": did // part_size})
+    df = pd.DataFrame(rows)
+    out = []
+    for blk, g in df.groupby("block"):
+        cur_seq, cur_off = 0, 0
+        acc: dict[int, dict] = {}
+        for _, r in g.sort_values("doc_id").iterrows():
+            c = int(r["cost"])
+            if cur_off > 0 and cur_off + c > budget:
+                cur_seq += 1
+                cur_off = 0
+            sid = (int(blk) << 20) + cur_seq
+            a = acc.setdefault(sid, {"seq_id": sid, "n_docs": 0,
+                                     "n_spans": 0, "n_media": 0,
+                                     "n_text_chars": 0, "cost": 0,
+                                     "media_sig": 0})
+            a["n_docs"] += 1
+            a["n_spans"] += int(r["n_spans"])
+            a["n_media"] += int(r["n_media"])
+            a["n_text_chars"] += int(r["n_text_chars"])
+            a["cost"] += c
+            a["media_sig"] ^= int(r["media_sig"]) & ((1 << 64) - 1)
+            cur_off += c
+        for a in acc.values():
+            s = a["media_sig"]
+            a["media_sig"] = s - (1 << 64) if s >= (1 << 63) else s
+            out.append(a)
+    cols = ["seq_id", "n_docs", "n_spans", "n_media", "n_text_chars",
+            "cost", "media_sig"]
+    return pd.DataFrame(out)[cols].astype("int64")
+
+
 # --------------------------------------------------- frontier host stats
 def g_frontier_host_stats(sf_dir: str) -> pd.DataFrame:
     from container_crawler_ray.sources.synth import make_seed_urls
@@ -524,6 +588,7 @@ GOLDENS = {
     "users_per_event_type_hll": g_users_hll,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
+    "interleaved_pack": g_interleaved_pack,
     "frontier_host_stats": g_frontier_host_stats,
     "crawl_pass_docs": g_crawl_pass_docs,
 }
