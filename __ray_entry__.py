@@ -30,8 +30,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from container_crawler_ray.pipelines import (
-        analytics, ann, crawl_queries, curate, dedup, joins, media, spans,
-        text_ops)
+        analytics, ann, crawl_queries, curate, dedup, graph, joins, media,
+        spans, text_ops)
 
     return {
         # aggregations (SURVEY §2.5)
@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_flat": spans.spans_flat,
         "pack_sequences": spans.pack_sequences,           # golden oracle
         "interleaved_pack": spans.interleaved_pack,       # golden oracle
+        "pagerank_parts": graph.pagerank_parts,           # golden oracle
         # curation composition
         "curate_docs": curate.curate_docs,
         "curate_dedup": curate.curate_dedup,              # golden oracle
@@ -144,7 +145,7 @@ def oracle_sql() -> dict[str, str]:
     golden_queries = ["simhash_docs", "simhash_dup_pairs", "text_analysis",
                       "minhash_lsh_groups", "curate_dedup",
                       "embedding_dup_groups", "pack_sequences",
-                      "curate_pack", "interleaved_pack",
+                      "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
     goldens = {

@@ -55,7 +55,7 @@ BENCH_QUERIES = [
     "doc_repetition", "tfidf_top_terms",
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
     "late_shipment_priority", "redact_terms", "events_funnel",
-    "interleaved_pack",
+    "interleaved_pack", "pagerank_parts",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

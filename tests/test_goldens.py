@@ -22,7 +22,7 @@ GOLDEN_QUERIES = [
     "simhash_docs", "simhash_dup_pairs", "text_analysis",
     "minhash_lsh_groups", "curate_dedup", "embedding_dup_groups",
     "pack_sequences", "curate_pack", "interleaved_pack",
-    "users_per_event_type_hll",
+    "pagerank_parts", "users_per_event_type_hll",
     "knn_lsh", "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
 ]
 

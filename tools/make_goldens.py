@@ -523,6 +523,40 @@ def g_interleaved_pack(sf_dir: str, budget: int = 2048,
     return pd.DataFrame(out)[cols].astype("int64")
 
 
+
+def g_pagerank_parts(sf_dir: str, iters: int = 10,
+                     damp_pct: int = 85) -> pd.DataFrame:
+    """Straight-line integer PageRank over the consecutive-lineitem
+    part graph (dict loops, no numpy vector path)."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_partkey"]).to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber"])
+    edges: dict[tuple[int, int], int] = {}
+    prev_o, prev_p = None, None
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        o, p = int(o), int(p)
+        if o == prev_o:
+            edges[(prev_p, p)] = edges.get((prev_p, p), 0) + 1
+        prev_o, prev_p = o, p
+    out_w: dict[int, int] = {}
+    for (s, _d), w in edges.items():
+        out_w[s] = out_w.get(s, 0) + w
+    parts = sorted(int(x) for x in pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"])
+        .column("p_partkey").to_pylist())
+    ranks = {p: 1_000_000 for p in parts}
+    teleport = (100 - damp_pct) * 10_000
+    for _ in range(iters):
+        nxt = {p: teleport for p in parts}
+        for (s, d), w in edges.items():
+            nxt[d] += (ranks[s] * damp_pct // 100) * w // out_w[s]
+        ranks = nxt
+    return pd.DataFrame({"p_partkey": parts,
+                         "rank_ppm": [ranks[p] for p in parts]}
+                        ).astype("int64")
+
+
 # --------------------------------------------------- frontier host stats
 def g_frontier_host_stats(sf_dir: str) -> pd.DataFrame:
     from container_crawler_ray.sources.synth import make_seed_urls
@@ -589,6 +623,7 @@ GOLDENS = {
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
     "interleaved_pack": g_interleaved_pack,
+    "pagerank_parts": g_pagerank_parts,
     "frontier_host_stats": g_frontier_host_stats,
     "crawl_pass_docs": g_crawl_pass_docs,
 }
