@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_nation_volume": joins.q7_nation_volume,
         "q19_bracket_revenue": joins.q19_bracket_revenue,
         "late_shipment_priority": joins.late_shipment_priority,
+        "q22_idle_rich_customers": joins.q22_idle_rich_customers,
+        "doc_token_rank": analytics.doc_token_rank,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -653,6 +655,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
+        """,
+        "q22_idle_rich_customers": """
+            WITH avgb AS (
+              SELECT CAST(SUM(CAST(FLOOR(c_acctbal*100) AS BIGINT))
+                     // COUNT(*) AS BIGINT) AS a
+              FROM customer WHERE FLOOR(c_acctbal*100) > 0)
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   CAST(FLOOR(c.c_acctbal*100) AS BIGINT)
+                       AS acctbal_cents
+            FROM customer c, avgb
+            WHERE FLOOR(c.c_acctbal*100) > avgb.a
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "doc_token_rank": r"""
+            WITH flat AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok
+              FROM documents),
+            cnt AS (SELECT tok, COUNT(*) AS n FROM flat GROUP BY tok),
+            rk AS (SELECT tok,
+                          row_number() OVER (ORDER BY n DESC, tok) AS r
+                   FROM cnt)
+            SELECT CAST(f.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(rk.r) AS BIGINT) AS rank_sum
+            FROM flat f JOIN rk ON f.tok = rk.tok
+            GROUP BY f.doc_id
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
     "late_shipment_priority", "redact_terms", "events_funnel",
     "interleaved_pack", "pagerank_parts",
+    "q22_idle_rich_customers", "doc_token_rank",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

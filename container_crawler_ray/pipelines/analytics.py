@@ -1085,3 +1085,56 @@ def events_funnel(sf_dir: str) -> pd.DataFrame:
         "n_users_view": [int(part["n_users_view"].sum())],
         "n_users_view_click": [int(part["n_users_view_click"].sum())],
         "n_users_funnel": [int(part["n_users_funnel"].sum())]})
+
+
+def doc_token_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean-frequency-rank quality signal: rank every
+    vocabulary token by global count (rank 1 = most frequent,
+    deterministic ``(count desc, token)`` order → rank is exactly
+    row_number, no ties), then score each document by the SUM of its
+    tokens' ranks plus its token count — common-word documents score
+    low, rare-word salads score high, and the two integer outputs let
+    any consumer form the exact mean.
+
+    Same two-pass broadcast-vocabulary shape as ``tfidf_top_terms``:
+    the token-count exchange moves (token, partial-count) rows only;
+    the Zipf-small ranked vocabulary is broadcast once via
+    ``ray.put``; pass 2 is map-side."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks = [s.split() for s in t.column("text").to_pylist()]
+        flat = pd.Series(np.concatenate(
+            [np.asarray(w, dtype=object) for w in toks])
+            if sum(len(w) for w in toks) else [], dtype=object)
+        c = flat.value_counts()
+        return pa.table({"tok": pa.array(c.index.to_numpy(object),
+                                         type=pa.string()),
+                         "n": pa.array(c.to_numpy(np.int64))})
+
+    vocab = (ds.map_batches(tok_partial, batch_format="pyarrow")
+             .groupby("tok").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    vocab = vocab.sort_values(["n", "tok"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    rank_of = dict(zip(vocab["tok"], np.arange(1, len(vocab) + 1,
+                                               dtype=np.int64)))
+    ref = ray.put(rank_of)
+
+    def score(t: pa.Table) -> pa.Table:
+        ro = ray.get(ref)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        toks = [s.split() for s in t.column("text").to_pylist()]
+        n_tok = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                            count=len(toks))
+        rsum = np.fromiter(
+            (sum(ro[w] for w in ws) for ws in toks),
+            dtype=np.int64, count=len(toks))
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n_tok),
+                         "rank_sum": pa.array(rsum)})
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas()

@@ -345,6 +345,35 @@ def _write_state_fragments(store: TableStore, cfg: CrawlConfig,
         store.gc_state_fragments(name, tag, p - 1)
 
 
+def _purge_torn_pass(store: TableStore, cfg: CrawlConfig,
+                     pass_id: int) -> None:
+    """Remove orphan fragments a crashed attempt at THIS (uncommitted)
+    pass may have left behind. Unconditional writes (checkpoints, buckets,
+    seen snapshots, metrics) are overwritten by the re-run, but the
+    CONDITIONAL ones — frontier append, retry, dead-letter, docs/lineage
+    pass dirs, mailboxes — are only written when non-empty; if the re-run
+    produces nothing for one of them, the torn fragment would survive and
+    be read back as committed data once this pass's meta lands (e.g. a
+    garbage ``append_0000NN.parquet`` crashes the NEXT pass's scan).
+    Only this engine's own tags are touched; shared-name tags (dead,
+    metrics) are purged in single-engine mode only."""
+    store.remove_fragment("frontier", _etag(cfg, "append"), pass_id)
+    store.remove_fragment("retry", _etag(cfg, "retry"), pass_id)
+    store.remove_pass_dir("documents", pass_id, tag=_etag(cfg, "pass"))
+    store.remove_pass_dir("lineage", pass_id, tag=_etag(cfg, "pass"))
+    if cfg.num_engines == 1:
+        store.remove_fragment("dead_letter", "dead", pass_id)
+        store.remove_fragment("metrics", "metrics", pass_id)
+    else:
+        store.remove_fragment(
+            "frontier", f"append-e{cfg.engine_index}d", pass_id)
+        for tgt in range(cfg.num_engines):
+            if tgt != cfg.engine_index:
+                store.remove_fragment(
+                    "mailbox",
+                    f"inbox-e{tgt}-from-e{cfg.engine_index}", pass_id)
+
+
 # ------------------------------------------------------------ multi-engine
 def _committed_frontier_files(store: TableStore, cfg: CrawlConfig,
                               state: CrawlState) -> list[str]:
@@ -479,6 +508,7 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         _last[0] = now
 
     pass_id = state.pass_id + 1
+    _purge_torn_pass(store, cfg, pass_id)
     if robots_ref is None:
         robots_ref = ray.put(state.robots)
     if handler is None:

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
@@ -999,3 +1000,62 @@ def late_shipment_priority(sf_dir: str,
     out = (part.groupby("o_orderpriority", as_index=False)
            .agg(n_late=("n_late", "sum"), n_lines=("n_lines", "sum")))
     return out.astype({"n_late": "int64", "n_lines": "int64"})
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q22-ish: customers whose balance exceeds the global
+    average positive balance AND who have never placed an URGENT
+    order (the synthetic data gives every customer >=1 order, so the
+    anti-join side is restricted to ``o_orderpriority = '1-URGENT'``
+    to keep the predicate non-degenerate).
+
+    Three cheap passes, no all-to-all: (1) the global scalar (sum,
+    count over positive balances) is a per-block partial reduce —
+    blocks rows to the driver; (2) the distinct order-placing custkey
+    set is per-block ``np.unique`` partials union'd on the driver and
+    broadcast back sorted (at 10⁹ customers this becomes the Bloom
+    prefilter of ``big_order_lines_bloom`` — same predicate, same
+    outputs); (3) customer is filtered map-side against the scalar +
+    the broadcast set."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    bal = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    avg_cents = int(bal["s"].sum()) // max(int(bal["n"].sum()), 1)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def ck_partial(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+        ck = t.filter(m).column("o_custkey")
+        u = np.unique(ck.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"ck": pa.array(u)})
+
+    have = (orders.map_batches(ck_partial, batch_format="pyarrow")
+            .to_pandas())
+    have_keys = np.unique(have["ck"].to_numpy(np.int64))
+    ref = ray.put(have_keys)
+
+    def pick(t: pa.Table) -> pa.Table:
+        hk = ray.get(ref)
+        ck = t.column("c_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        pos = np.searchsorted(hk, ck)
+        pos_c = np.clip(pos, 0, max(0, len(hk) - 1))
+        has_order = (hk[pos_c] == ck) if len(hk) else \
+            np.zeros(len(ck), bool)
+        keep = (cents > avg_cents) & ~has_order
+        return pa.table({"c_custkey": pa.array(ck[keep]),
+                         "acctbal_cents": pa.array(cents[keep])})
+
+    return cust.map_batches(pick, batch_format="pyarrow").to_pandas()

@@ -166,6 +166,28 @@ class TableStore:
             os.replace(mtmp, frag + ".json")
         return frag
 
+    def remove_fragment(self, name: str, tag: str, pass_id: int) -> None:
+        """Delete a fragment (and its sidecar) if present. Used by the
+        torn-pass purge: a crashed attempt at pass N may leave fragments
+        that the re-run won't overwrite (conditional appends are only
+        written when non-empty), and once pass N commits those orphans
+        would be read back as committed data."""
+        d = self.table_dir(name)
+        frag = os.path.join(d, f"{tag}_{pass_id:06d}.{self._ext}")
+        for p in (frag, frag + ".json"):
+            if os.path.exists(p):
+                os.remove(p)
+
+    def remove_pass_dir(self, name: str, pass_id: int,
+                        tag: str = "pass") -> None:
+        """Delete a per-pass streaming-write directory if present (torn-pass
+        purge twin of remove_fragment for ``pass_dir`` sinks)."""
+        import shutil
+
+        d = os.path.join(self.table_dir(name), f"{tag}_{pass_id:06d}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
     def fragments(self, name: str, committed_passes: int | None = None) -> list[str]:
         """All fragment files of *name* (flat files and per-pass dirs),
         sorted. If *committed_passes* is given, fragments from later

@@ -65,6 +65,7 @@ def test_entry_smoke(entrymod):
     "doc_repetition", "tfidf_top_terms",
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
     "late_shipment_priority", "redact_terms", "events_funnel",
+    "q22_idle_rich_customers", "doc_token_rank",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

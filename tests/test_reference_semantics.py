@@ -185,6 +185,36 @@ def test_resume_equals_uninterrupted(tmp_store):
     assert _frontier_rowids(rootA) == _frontier_rowids(rootB)
 
 
+def test_resume_purges_torn_conditional_fragments(tmp_store):
+    """A crashed attempt at the next (uncommitted) pass can leave torn
+    fragments that the re-run won't overwrite when it produces nothing
+    for that table (frontier append / retry / dead-letter / docs dir are
+    conditional writes). Resume must purge them — otherwise, once the
+    pass commits, a garbage ``append_0000NN.parquet`` crashes the NEXT
+    pass's scan and a garbage docs dir corrupts analytics reads."""
+    import os
+
+    cfg = CrawlConfig(**BASE, fail_mod=13)
+    seeds = make_seed_urls(100, n_hosts=20)
+    rootA, rootB = f"{tmp_store}-A", f"{tmp_store}-B"
+    run_crawl(rootA, cfg, seed_urls=seeds, max_passes=4)
+    run_crawl(rootB, cfg, seed_urls=seeds, max_passes=2)
+    # plant torn pass-3 orphans in every conditional sink
+    os.makedirs(f"{rootB}/tables/documents/pass_000003", exist_ok=True)
+    os.makedirs(f"{rootB}/tables/dead_letter", exist_ok=True)
+    for p in ("documents/pass_000003/junk.parquet",
+              "frontier/append_000003.parquet",
+              "retry/retry_000003.parquet",
+              "dead_letter/dead_000003.parquet"):
+        with open(f"{rootB}/tables/{p}", "w") as f:
+            f.write("not a parquet file")
+    run_crawl(rootB, cfg, resume=True, max_passes=4)
+    assert {d["doc_id"] for d in _docs(rootA)} == \
+        {d["doc_id"] for d in _docs(rootB)}
+    assert _wm(rootA) == _wm(rootB)
+    assert _frontier_rowids(rootA) == _frontier_rowids(rootB)
+
+
 def test_fragment_pruning_skips_consumed_files(tmp_store):
     """Manifest pruning: once every partition's watermark passes a
     fragment's max rowid, the scan no longer reads that file."""
