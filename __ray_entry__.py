@@ -89,6 +89,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": joins.late_shipment_priority,
         "q22_idle_rich_customers": joins.q22_idle_rich_customers,
         "doc_token_rank": analytics.doc_token_rank,
+        "q6_revenue_delta": joins.q6_revenue_delta,
+        "q10_returned_revenue": joins.q10_returned_revenue,
+        "q13_order_count_distribution": joins.q13_order_count_distribution,
+        "q15_top_supplier": joins.q15_top_supplier,
+        "q8_market_share": joins.q8_market_share,
+        "q9_nation_year_revenue": joins.q9_nation_year_revenue,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -684,6 +690,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rk.r) AS BIGINT) AS rank_sum
             FROM flat f JOIN rk ON f.tok = rk.tok
             GROUP BY f.doc_id
+        """,
+        "q6_revenue_delta": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+                       l_extendedprice*l_discount*100) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q10_returned_revenue": """
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   c.c_name AS c_name,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)
+                        *100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+            ORDER BY revenue_cents DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                  FROM customer c
+                  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey) t
+            GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+              SELECT l_suppkey AS s_suppkey,
+                     SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT)) AS total_revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name AS s_name,
+                   CAST(r.total_revenue_cents AS BIGINT)
+                       AS total_revenue_cents
+            FROM supplier s JOIN r ON s.s_suppkey = r.s_suppkey
+            WHERE r.total_revenue_cents =
+                  (SELECT MAX(total_revenue_cents) FROM r)
+        """,
+        "q8_market_share": """
+            WITH f AS (
+              SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                         AS year,
+                     CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100)
+                         AS BIGINT) AS cents,
+                     CASE WHEN ns.n_name = 'NATION_3' THEN 1 ELSE 0 END
+                         AS frn
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN part p ON l.l_partkey = p.p_partkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o.o_orderdate < TIMESTAMP '1998-01-01')
+            SELECT year,
+                   CAST(SUM(CASE WHEN frn = 1 THEN cents ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(SUM(CASE WHEN frn = 1 THEN cents ELSE 0 END)
+                        * 10000 // SUM(cents) AS BIGINT) AS share_bp
+            FROM f GROUP BY year
+        """,
+        "q9_nation_year_revenue": """
+            SELECT ns.n_name AS nation,
+                   CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                       AS year,
+                   CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)
+                        *100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2
         """,
         "events_percentiles": """
             SELECT event_type,

@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "late_shipment_priority", "redact_terms", "events_funnel",
     "interleaved_pack", "pagerank_parts",
     "q22_idle_rich_customers", "doc_token_rank",
+    "q6_revenue_delta", "q10_returned_revenue",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q8_market_share", "q9_nation_year_revenue",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

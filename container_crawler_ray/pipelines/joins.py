@@ -1059,3 +1059,434 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
                          "acctbal_cents": pa.array(cents[keep])})
 
     return cust.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+
+def q6_revenue_delta(sf_dir: str, year: int = 1996) -> pd.DataFrame:
+    """TPC-H-Q6-ish forecast-revenue-change: pure filter + scalar
+    aggregate on lineitem (ship-year window, discount band, small
+    quantity) — the cheapest possible shape: map-side partials, one
+    tiny driver reduce, no exchange at any scale. Revenue here is
+    ``extendedprice * discount`` (the "what if we dropped the
+    discount" delta), quantized to integer cents map-side."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_discount", "l_quantity",
+                           "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        disc = t.column("l_discount").to_numpy()
+        qty = t.column("l_quantity").to_numpy()
+        m = ((ship >= lo) & (ship < hi)
+             & (disc >= 0.05) & (disc <= 0.07) & (qty < 24))
+        price = t.column("l_extendedprice").to_numpy()[m]
+        cents = np.floor(price * disc[m] * 100).astype(np.int64)
+        return pa.table({"revenue_cents": pa.array([int(cents.sum())],
+                                                   pa.int64()),
+                         "n_lines": pa.array([int(m.sum())], pa.int64())})
+
+    agg = items.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(agg["revenue_cents"].sum())],
+                         "n_lines": [int(agg["n_lines"].sum())]})
+
+
+def q10_returned_revenue(sf_dir: str, year: int = 1996,
+                         top: int = 20) -> pd.DataFrame:
+    """TPC-H-Q10-ish returned-item report: top customers by discounted
+    revenue of RETURNED lines on orders placed in ``year``.
+
+    One fact-fact exchange: lineitem is pre-filtered map-side to
+    returnflag='R' (and pre-projected to 2 columns), orders to the
+    order-date window; both co-partition on ``orderkey % 64`` and each
+    bucket merges then pre-aggregates to (custkey, cents) partials, so
+    the second exchange moves ≤ |custkeys-per-bucket| rows. The top-k
+    runs on the custkey aggregate (customer-dimension-sized); names
+    attach from a broadcast LUT only for the k winners."""
+    import ray
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                           "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        flag = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        m = flag == "R"
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(np.full(len(key), -1, dtype=np.int64)),
+            "cents": pa.array(np.floor(price * (1 - disc) * 100)
+                              .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (od >= lo) & (od < hi)
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)[m]),
+            "cents": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "c_custkey"})
+        right = g[g["side"] == 1][["key", "cents"]]
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({
+                "c_custkey": pd.Series([], dtype=np.int64),
+                "revenue_cents": pd.Series([], dtype=np.int64)})
+        return (m.groupby("c_custkey", as_index=False)
+                .agg(revenue_cents=("cents", "sum")))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    agg = (part.groupby("c_custkey", as_index=False)
+           .agg(revenue_cents=("revenue_cents", "sum")))
+    agg = agg.sort_values(["revenue_cents", "c_custkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(top)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name"]).to_pandas()
+    out = agg.merge(cust, on="c_custkey")
+    return (out[["c_custkey", "c_name", "revenue_cents"]]
+            .astype({"c_custkey": "int64", "revenue_cents": "int64"})
+            .reset_index(drop=True))
+
+
+def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q13-ish customer order-count distribution: how many
+    customers placed exactly N orders, for every N (including 0).
+
+    Two cascaded partial reduces, both exchange-light: (1) per-block
+    ``np.bincount``-style custkey partials → distributed
+    ``groupby(custkey)`` sum (the only width-|customers| step, fully
+    distributed); (2) per-block value-counts of the counts → driver
+    sum over ≤ max-orders-per-customer distinct values. Zero-order
+    customers are |customer| − |custkeys seen|, computed from parquet
+    row-count metadata (custkey is the PK) — no customer-table scan."""
+    import pyarrow.parquet as pq_
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def ck_partial(t: pa.Table) -> pa.Table:
+        ck, n = np.unique(t.column("o_custkey").to_numpy()
+                          .astype(np.int64), return_counts=True)
+        return pa.table({"c_custkey": pa.array(ck),
+                         "n": pa.array(n.astype(np.int64))})
+
+    per_cust = (orders.map_batches(ck_partial, batch_format="pyarrow")
+                .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        c, n = np.unique(t.column("n").to_numpy().astype(np.int64),
+                         return_counts=True)
+        return pa.table({"c_count": pa.array(c),
+                         "custdist": pa.array(n.astype(np.int64))})
+
+    dist = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
+            .to_pandas())
+    out = (dist.groupby("c_count", as_index=False)
+           .agg(custdist=("custdist", "sum")))
+
+    n_cust = pq_.ParquetFile(f"{sf_dir}/customer.parquet") \
+        .metadata.num_rows
+    n_zero = n_cust - int(out["custdist"].sum())
+    if n_zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [n_zero]})],
+                        ignore_index=True)
+    return (out.sort_values("c_count", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"c_count": "int64", "custdist": "int64"}))
+
+
+def q15_top_supplier(sf_dir: str, y: int = 1996,
+                     q: int = 1) -> pd.DataFrame:
+    """TPC-H-Q15-ish top supplier: supplier(s) with the maximum
+    discounted revenue over one quarter. Map-side (suppkey, cents)
+    partials → distributed ``groupby(suppkey)`` (supplier-dimension
+    width) → driver max + equality filter (handles ties exactly like
+    the SQL subquery) → names from the supplier dimension."""
+    lo = np.datetime64(f"{y}-{3 * (q - 1) + 1:02d}-01", "us") \
+        .astype(np.int64)
+    hi_m = 3 * q + 1
+    hi = (np.datetime64(f"{y + 1}-01-01", "us") if hi_m > 12 else
+          np.datetime64(f"{y}-{hi_m:02d}-01", "us")).astype(np.int64)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_suppkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (ship >= lo) & (ship < hi)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        df = pd.DataFrame({"s_suppkey": sk, "cents": cents}) \
+            .groupby("s_suppkey", as_index=False).agg(c=("cents", "sum"))
+        return pa.table({"s_suppkey": pa.array(df["s_suppkey"]
+                                               .to_numpy(np.int64)),
+                         "c": pa.array(df["c"].to_numpy(np.int64))})
+
+    rev = (items.map_batches(partial, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("c", alias_name="total_revenue_cents"))
+           .to_pandas())
+    best = int(rev["total_revenue_cents"].max())
+    win = rev[rev["total_revenue_cents"] == best]
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_name"]).to_pandas()
+    out = win.merge(supp, on="s_suppkey")
+    return (out[["s_suppkey", "s_name", "total_revenue_cents"]]
+            .sort_values("s_suppkey", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"s_suppkey": "int64",
+                     "total_revenue_cents": "int64"}))
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_3",
+                    region: str = "ASIA", p_type: str = "STANDARD",
+                    y0: int = 1996, y1: int = 1997) -> pd.DataFrame:
+    """TPC-H-Q8-ish national market share: of all ``p_type``-part
+    revenue sold to customers in ``region`` during [y0, y1], the share
+    (basis points) supplied from ``nation``, per order-year.
+
+    Same single-exchange skeleton as :func:`q7_nation_volume` — the
+    only fact-fact edge (lineitem ⨝ orders on orderkey) buckets on
+    ``orderkey % 64``; everything dimension-sized (part-type bitmap,
+    supplier→is-nation bitmap, customer→in-region bitmap) broadcasts
+    once via ``ray.put`` and each bucket pre-aggregates to per-year
+    (nation_cents, total_cents) partials, so the reduce sees
+    |buckets| × |years| rows."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0]
+    nkey = nat.loc[nat["n_name"] == nation, "n_nationkey"].iloc[0]
+    region_nations = set(
+        nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"].astype(int))
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_type"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    type_ok = np.zeros(pk.max() + 1, dtype=bool)
+    type_ok[pk] = part["p_type"].to_numpy(object) == p_type
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_is_nation = np.zeros(sk.max() + 1, dtype=bool)
+    s_is_nation[sk] = supp["s_nationkey"].to_numpy(np.int64) == nkey
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_in_region = np.zeros(ck.max() + 1, dtype=bool)
+    c_in_region[ck] = np.isin(cust["c_nationkey"].to_numpy(np.int64),
+                              list(region_nations))
+
+    ref = ray.put((type_ok, s_is_nation, c_in_region))
+    lo = np.datetime64(f"{y0}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{y1 + 1}-01-01", "us").astype(np.int64)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        type_ok_, s_is_nation_, _ = ray.get(ref)
+        pkey = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = type_ok_[pkey]
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        from_nation = s_is_nation_[
+            t.column("l_suppkey").to_numpy().astype(np.int64)[m]]
+        return pa.table({
+            "key": pa.array(key),
+            "cents": pa.array(np.floor(price * (1 - disc) * 100)
+                              .astype(np.int64)),
+            "frn": pa.array(from_nation),
+            "year": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        _, _, c_in_region_ = ray.get(ref)
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        in_win = (od >= lo) & (od < hi)
+        in_reg = c_in_region_[
+            t.column("o_custkey").to_numpy().astype(np.int64)]
+        m = in_win & in_reg
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        yr = (od[m].astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({
+            "key": pa.array(key),
+            "cents": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "frn": pa.array(np.zeros(len(key), dtype=bool)),
+            "year": pa.array(yr),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "year"]]
+        right = g[g["side"] == 1][["key", "cents", "frn"]]
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({
+                "year": pd.Series([], dtype=np.int64),
+                "nation_cents": pd.Series([], dtype=np.int64),
+                "total_cents": pd.Series([], dtype=np.int64)})
+        cents = m["cents"].to_numpy(np.int64)
+        df = pd.DataFrame({
+            "year": m["year"].to_numpy(np.int64),
+            "nation_cents": np.where(m["frn"].to_numpy(bool), cents, 0),
+            "total_cents": cents})
+        return (df.groupby("year", as_index=False)
+                .agg(nation_cents=("nation_cents", "sum"),
+                     total_cents=("total_cents", "sum")))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    partials = (tagged.groupby("bucket")
+                .map_groups(bucket_join, batch_format="pandas")
+                .to_pandas())
+    out = (partials.groupby("year", as_index=False)
+           .agg(nation_cents=("nation_cents", "sum"),
+                total_cents=("total_cents", "sum")))
+    out["share_bp"] = (out["nation_cents"] * 10000
+                       // out["total_cents"].where(out["total_cents"] != 0,
+                                                   1))
+    return (out.sort_values("year", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"year": "int64", "nation_cents": "int64",
+                     "total_cents": "int64", "share_bp": "int64"}))
+
+
+def q9_nation_year_revenue(sf_dir: str,
+                           name_like: str = "widget") -> pd.DataFrame:
+    """TPC-H-Q9-ish product profit (adapted: the synthetic schema has
+    no partsupp/supplycost, so the measure is discounted revenue):
+    revenue per (supplier nation, order year) over lineitems whose
+    part NAME contains ``name_like``.
+
+    One fact-fact exchange (lineitem ⨝ orders on ``orderkey % 64``
+    buckets); part-name-match and supplier→nation broadcast as dense
+    LUTs; buckets pre-aggregate to (nation, year) partials."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    nname = np.empty(nk.max() + 1, dtype=object)
+    nname[nk] = nat["n_name"].to_numpy(object)
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_name"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    name_ok = np.zeros(pk.max() + 1, dtype=bool)
+    name_ok[pk] = part["p_name"].str.contains(name_like,
+                                              regex=False).to_numpy()
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+
+    ref = ray.put((name_ok, s_nat, nname))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        name_ok_, s_nat_, _ = ray.get(ref)
+        pkey = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = name_ok_[pkey]
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        price = t.column("l_extendedprice").to_numpy()[m]
+        disc = t.column("l_discount").to_numpy()[m]
+        nid = s_nat_[t.column("l_suppkey").to_numpy()
+                     .astype(np.int64)[m]]
+        return pa.table({
+            "key": pa.array(key),
+            "cents": pa.array(np.floor(price * (1 - disc) * 100)
+                              .astype(np.int64)),
+            "nid": pa.array(nid),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]")
+        yr = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        return pa.table({
+            "key": pa.array(key),
+            "cents": pa.array(yr),  # year rides the cents slot
+            "nid": pa.array(np.full(len(key), -1, dtype=np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        _, _, nname_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "cents"]] \
+            .rename(columns={"cents": "year"})
+        right = g[g["side"] == 1][["key", "cents", "nid"]]
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({
+                "nation": pd.Series([], dtype=object),
+                "year": pd.Series([], dtype=np.int64),
+                "revenue_cents": pd.Series([], dtype=np.int64)})
+        df = pd.DataFrame({
+            "nation": nname_[m["nid"].to_numpy(np.int64)],
+            "year": m["year"].to_numpy(np.int64),
+            "cents": m["cents"].to_numpy(np.int64)})
+        return (df.groupby(["nation", "year"], as_index=False)
+                .agg(revenue_cents=("cents", "sum")))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    partials = (tagged.groupby("bucket")
+                .map_groups(bucket_join, batch_format="pandas")
+                .to_pandas())
+    out = (partials.groupby(["nation", "year"], as_index=False)
+           .agg(revenue_cents=("revenue_cents", "sum")))
+    return (out.sort_values(["nation", "year"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"year": "int64", "revenue_cents": "int64"}))

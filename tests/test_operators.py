@@ -66,6 +66,9 @@ def test_entry_smoke(entrymod):
     "q14_promo_revenue", "q7_nation_volume", "q19_bracket_revenue",
     "late_shipment_priority", "redact_terms", "events_funnel",
     "q22_idle_rich_customers", "doc_token_rank",
+    "q6_revenue_delta", "q10_returned_revenue",
+    "q13_order_count_distribution", "q15_top_supplier",
+    "q8_market_share", "q9_nation_year_revenue",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
