@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": joins.q15_top_supplier,
         "q8_market_share": joins.q8_market_share,
         "q9_nation_year_revenue": joins.q9_nation_year_revenue,
+        "events_rollup_incremental": analytics.events_rollup_incremental,
+        "lineitem_unpivot": analytics.lineitem_unpivot,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -690,6 +692,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rk.r) AS BIGINT) AS rank_sum
             FROM flat f JOIN rk ON f.tok = rk.tok
             GROUP BY f.doc_id
+        """,
+        "events_rollup_incremental": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents,
+                   CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+                   CAST(MAX(event_id) AS BIGINT) AS max_event_id
+            FROM events GROUP BY event_type
+        """,
+        "lineitem_unpivot": """
+            WITH long AS (
+              SELECT l_returnflag, 'quantity' AS measure,
+                     CAST(FLOOR(l_quantity*100) AS BIGINT) AS cents
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'extendedprice',
+                     CAST(FLOOR(l_extendedprice*100) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'discount',
+                     CAST(FLOOR(l_discount*100) AS BIGINT) FROM lineitem
+              UNION ALL
+              SELECT l_returnflag, 'tax',
+                     CAST(FLOOR(l_tax*100) AS BIGINT) FROM lineitem)
+            SELECT l_returnflag, measure,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM long GROUP BY 1, 2
         """,
         "q6_revenue_delta": """
             SELECT CAST(COALESCE(SUM(CAST(FLOOR(

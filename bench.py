@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q6_revenue_delta", "q10_returned_revenue",
     "q13_order_count_distribution", "q15_top_supplier",
     "q8_market_share", "q9_nation_year_revenue",
+    "events_rollup_incremental", "lineitem_unpivot",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1138,3 +1138,92 @@ def doc_token_rank(sf_dir: str) -> pd.DataFrame:
                          "rank_sum": pa.array(rsum)})
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+def events_rollup_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental materialized aggregate — the analytics twin of the
+    crawl's S1 watermark scan (``stages/scan.py``): the rollup is kept
+    as a MERGEABLE partial-aggregate state table (count→sum, sum→sum,
+    min→min, max→max), and each increment scans only rows past the
+    watermark (``event_id`` predicate pushed into the parquet read) and
+    merges group-wise. Two increments here (history ≤ wm, delta > wm);
+    the oracle is the one-shot SQL aggregate — incremental ≡ full is
+    exactly the invariant a 100-TB pipeline needs to re-run cheaply.
+    At scale each increment costs O(delta), never O(history)."""
+    import pyarrow.parquet as pq_
+
+    path = f"{sf_dir}/events.parquet"
+    n = pq_.ParquetFile(path).metadata.num_rows
+    wm = n // 2  # watermark after the first increment
+
+    def increment(lo: int, hi: int):
+        ds = ray.data.read_parquet(
+            path, columns=["event_type", "event_id", "value"],
+            filter=(pc.field("event_id") > pa.scalar(lo))
+            & (pc.field("event_id") <= pa.scalar(hi)))
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = np.floor(t.column("value").to_numpy() * 100) \
+                .astype(np.int64)
+            df = pd.DataFrame({
+                "event_type": t.column("event_type")
+                .to_numpy(zero_copy_only=False),
+                "value_cents": v,
+                "event_id": t.column("event_id").to_numpy()
+                .astype(np.int64)})
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("event_id", "size"),
+                sum_value_cents=("value_cents", "sum"),
+                min_event_id=("event_id", "min"),
+                max_event_id=("event_id", "max"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return (ds.map_batches(partial, batch_format="pyarrow")
+                .to_pandas())
+
+    def merge(states: list[pd.DataFrame]) -> pd.DataFrame:
+        s = pd.concat(states, ignore_index=True)
+        return (s.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"),
+            sum_value_cents=("sum_value_cents", "sum"),
+            min_event_id=("min_event_id", "min"),
+            max_event_id=("max_event_id", "max")))
+
+    state = increment(-1, wm)          # increment 1: bootstrap to wm
+    delta = increment(wm, 1 << 62)     # increment 2: wm → head
+    out = merge([state, delta])
+    return out.astype({"n": "int64", "sum_value_cents": "int64",
+                       "min_event_id": "int64", "max_event_id": "int64"})
+
+
+def lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
+    """Wide→long melt (UNPIVOT): every lineitem row expands to one row
+    per measure column (quantity, extendedprice, discount, tax). The
+    expansion is a column-stacked Arrow build inside ``map_batches``
+    (np.repeat/np.tile — no per-row Python), pre-aggregated per
+    (l_returnflag, measure) in the same kernel so the only exchange is
+    the |flags|×4-row groupby."""
+    MEASURES = ("discount", "extendedprice", "quantity", "tax")
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice",
+                        "l_discount", "l_tax"])
+
+    def melt(t: pa.Table) -> pa.Table:
+        flag = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        k = len(t)
+        cents = np.concatenate([
+            np.floor(t.column(f"l_{m}").to_numpy() * 100).astype(np.int64)
+            for m in MEASURES])
+        df = pd.DataFrame({
+            "l_returnflag": np.tile(flag, len(MEASURES)),
+            "measure": np.repeat(np.asarray(MEASURES, dtype=object), k),
+            "cents": cents})
+        g = (df.groupby(["l_returnflag", "measure"], as_index=False)
+             .agg(total_cents=("cents", "sum"),
+                  n=("cents", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    out = (part.groupby(["l_returnflag", "measure"], as_index=False)
+           .agg(total_cents=("total_cents", "sum"), n=("n", "sum")))
+    return out.astype({"total_cents": "int64", "n": "int64"})
