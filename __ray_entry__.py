@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_nation_year_revenue": joins.q9_nation_year_revenue,
         "events_rollup_incremental": analytics.events_rollup_incremental,
         "lineitem_unpivot": analytics.lineitem_unpivot,
+        "gopher_quality_flags": text_ops.gopher_quality_flags,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -692,6 +693,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rk.r) AS BIGINT) AS rank_sum
             FROM flat f JOIN rk ON f.tok = rk.tok
             GROUP BY f.doc_id
+        """,
+        "gopher_quality_flags": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '\S+') AS toks,
+                     length(regexp_replace(text, '\s', '', 'g'))
+                         AS nonspace
+              FROM documents),
+            m AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(nonspace * 100 // greatest(len(toks), 1)
+                          AS BIGINT) AS mean_wlen_x100,
+                     CAST(len(list_intersect(list_distinct(toks),
+                          ['the','a','and','of'])) AS BIGINT)
+                         AS n_stop_kinds,
+                     CAST(len(list_distinct(toks)) * 10000
+                          // greatest(len(toks), 1) AS BIGINT) AS uniq_bp
+              FROM tok)
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words = 0 THEN 0
+                        ELSE mean_wlen_x100 END AS mean_wlen_x100,
+                   n_stop_kinds,
+                   CASE WHEN n_words = 0 THEN 0 ELSE uniq_bp END
+                       AS uniq_bp,
+                   CAST(CASE WHEN n_words BETWEEN 30 AND 1000
+                          AND mean_wlen_x100 BETWEEN 300 AND 600
+                          AND n_stop_kinds >= 1 AND uniq_bp >= 3000
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM m
         """,
         "events_rollup_incremental": """
             SELECT event_type,

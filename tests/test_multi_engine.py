@@ -223,3 +223,25 @@ def test_destroy_run_actors_reclaims_leaked_shards(tmp_store):
     with _pytest.raises(ValueError):
         _ray.get_actor(name0, namespace=NAMESPACE)
     assert destroy_run_actors(root, cfg) == 0    # idempotent
+
+
+def test_total_shard_actor_loss_between_passes_recovers(tmp_store):
+    """Node-loss drill: after a committed pass, ALL detached seen-shard
+    actors are killed (ray.kill — simulated node failure). A resume must
+    mint fresh shard actors, restore their filters from the committed
+    snapshot, and converge to exactly the uninterrupted run's documents,
+    watermarks and frontier."""
+    from container_crawler_ray.pipelines.crawl import destroy_run_actors
+
+    seeds = make_seed_urls(80, n_hosts=10)
+    cfg = CrawlConfig(**BASE)
+    rootA, rootB = f"{tmp_store}-lossA", f"{tmp_store}-lossB"
+    run_crawl(rootA, cfg, seed_urls=seeds, max_passes=4)
+    store, st = init_run(rootB, cfg, seeds)
+    run_pass(store, cfg, st)
+    run_pass(store, cfg, st)
+    del store, st                                    # crash: no teardown
+    assert destroy_run_actors(rootB, cfg) == cfg.seen_shards  # node dies
+    run_crawl(rootB, cfg, resume=True, max_passes=4)
+    assert {d["doc_id"] for d in _docs(rootA)} == \
+        {d["doc_id"] for d in _docs(rootB)}
