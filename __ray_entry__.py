@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_incremental": analytics.events_rollup_incremental,
         "lineitem_unpivot": analytics.lineitem_unpivot,
         "gopher_quality_flags": text_ops.gopher_quality_flags,
+        "name_edit_near_pairs": dedup.name_edit_near_pairs,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -693,6 +694,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rk.r) AS BIGINT) AS rank_sum
             FROM flat f JOIN rk ON f.tok = rk.tok
             GROUP BY f.doc_id
+        """,
+        "name_edit_near_pairs": """
+            WITH n AS (SELECT DISTINCT p_name FROM part)
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS BIGINT)
+                       AS dist
+            FROM n a JOIN n b ON a.p_name < b.p_name
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
         """,
         "gopher_quality_flags": r"""
             WITH tok AS (

@@ -61,7 +61,7 @@ BENCH_QUERIES = [
     "q13_order_count_distribution", "q15_top_supplier",
     "q8_market_share", "q9_nation_year_revenue",
     "events_rollup_incremental", "lineitem_unpivot",
-    "gopher_quality_flags",
+    "gopher_quality_flags", "name_edit_near_pairs",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

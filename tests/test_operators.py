@@ -70,7 +70,7 @@ def test_entry_smoke(entrymod):
     "q13_order_count_distribution", "q15_top_supplier",
     "q8_market_share", "q9_nation_year_revenue",
     "events_rollup_incremental", "lineitem_unpivot",
-    "gopher_quality_flags",
+    "gopher_quality_flags", "name_edit_near_pairs",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
