@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": analytics.lineitem_unpivot,
         "gopher_quality_flags": text_ops.gopher_quality_flags,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
+        "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "ngram_top_pairs": dedup.ngram_top_pairs,
@@ -694,6 +695,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rk.r) AS BIGINT) AS rank_sum
             FROM flat f JOIN rk ON f.tok = rk.tok
             GROUP BY f.doc_id
+        """,
+        "triangle_count_parts": """
+            WITH L AS (
+              SELECT l_partkey,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) AS nxt
+              FROM lineitem),
+            e0 AS (SELECT DISTINCT least(l_partkey, nxt) AS a,
+                          greatest(l_partkey, nxt) AS b
+                   FROM L WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+            nodes AS (SELECT a AS v FROM e0 UNION SELECT b FROM e0)
+            SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT)
+                       AS n_nodes,
+                   CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*)
+                         FROM e0 e1
+                         JOIN e0 e2 ON e2.a = e1.b
+                         JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b)
+                        AS BIGINT) AS n_triangles
         """,
         "name_edit_near_pairs": """
             WITH n AS (SELECT DISTINCT p_name FROM part)

@@ -42,7 +42,10 @@ def _build_edges(sf_dir: str):
             "bucket", pa.array((key % _BUCKETS).astype(np.int32)))
 
     def mk_edges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["l_orderkey", "l_linenumber"],
+        # l_partkey tiebreak: (orderkey, linenumber) is NOT unique in
+        # the data, and without a total order the consecutive-pair set
+        # would depend on Ray block arrival order (nondeterministic)
+        g = g.sort_values(["l_orderkey", "l_linenumber", "l_partkey"],
                           kind="mergesort")
         ok = g["l_orderkey"].to_numpy(np.int64)
         pk = g["l_partkey"].to_numpy(np.int64)
@@ -140,3 +143,118 @@ def pagerank_parts(sf_dir: str, iters: int = 10,
         ranks[~in_cat] = 0
 
     return pd.DataFrame({"p_partkey": pk, "rank_ppm": ranks[pk]})
+
+
+def triangle_count_parts(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle count over the UNDIRECTED part
+    co-occurrence graph (same edge derivation as
+    :func:`pagerank_parts`; weights dropped, self-loops removed,
+    (a<b) canonical form deduplicated).
+
+    Classic degree-ordered node-iterator (Schank 2007, public
+    algorithm): orient every edge from the (degree, id)-smaller
+    endpoint to the larger, so each out-adjacency is O(√m)-bounded;
+    per source node emit its out-neighbor pairs as wedge candidates;
+    a triangle exists iff the closing (min,max) pair is itself an
+    edge — checked with one bucketed co-partition merge, counted
+    map-side. Exchanges move only integer id pairs. The degree table
+    is part-dimension-sized and broadcast via ``ray.put``; at web
+    scale it would join distributed on the same bucket key instead."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .materialize())
+
+    # degree over the distinct undirected edge set
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t.column("a").to_numpy(),
+                              t.column("b").to_numpy()]).astype(np.int64)
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "deg": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum as _Sum
+    deg = (und.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
+           .to_pandas())
+    n_nodes = len(deg)
+    dmax = int(deg["node"].max()) + 1
+    dlut = np.zeros(dmax, dtype=np.int64)
+    dlut[deg["node"].to_numpy(np.int64)] = deg["deg"].to_numpy(np.int64)
+    dref = ray.put(dlut)
+
+    # orient low→high by (degree, id); tag for the wedge grouping
+    def orient(t: pa.Table) -> pa.Table:
+        dl = ray.get(dref)
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        a_first = (dlt := dl[a] < dl[b]) | ((dl[a] == dl[b]) & (a < b))
+        del dlt
+        u = np.where(a_first, a, b)
+        v = np.where(a_first, b, a)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "wk": pa.array((u % _BUCKETS).astype(np.int32))})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        for _, grp in g.groupby("u", sort=False):
+            nb = np.sort(grp["v"].to_numpy(np.int64))
+            k = len(nb)
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            outs_a.append(nb[i])
+            outs_b.append(nb[j])
+        if not outs_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int8)})
+        return pd.DataFrame({"a": np.concatenate(outs_a),
+                             "b": np.concatenate(outs_b),
+                             "side": np.int8(1)})
+
+    wedge_ds = (und.map_batches(orient, batch_format="pyarrow")
+                .groupby("wk").map_groups(wedges, batch_format="pandas"))
+
+    def edge_side(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t.column("a"), "b": t.column("b"),
+                         "side": pa.array(
+                             np.zeros(len(t), dtype=np.int8))})
+
+    both = und.map_batches(edge_side, batch_format="pyarrow") \
+        .union(wedge_ds)
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return t.append_column(
+            "pk", pa.array(((a * 1315423911 + b) % _BUCKETS)
+                           .astype(np.int32)))
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == 0][["a", "b"]].drop_duplicates()
+        w = g[g["side"] == 1][["a", "b"]]
+        n = len(w.merge(e, on=["a", "b"]))
+        return pd.DataFrame({"n_triangles": [n]})
+
+    tri = (both.map_batches(tag_pair, batch_format="pyarrow")
+           .groupby("pk").map_groups(close_count, batch_format="pandas")
+           .to_pandas())
+
+    n_edges = int(und.count())
+    return pd.DataFrame({"n_nodes": [int(n_nodes)],
+                         "n_edges": [n_edges],
+                         "n_triangles": [int(tri["n_triangles"].sum())]})

@@ -71,6 +71,7 @@ def test_entry_smoke(entrymod):
     "q8_market_share", "q9_nation_year_revenue",
     "events_rollup_incremental", "lineitem_unpivot",
     "gopher_quality_flags", "name_edit_near_pairs",
+    "triangle_count_parts",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

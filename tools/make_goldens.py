@@ -531,7 +531,10 @@ def g_pagerank_parts(sf_dir: str, iters: int = 10,
     li = pq.read_table(f"{sf_dir}/lineitem.parquet",
                        columns=["l_orderkey", "l_linenumber",
                                 "l_partkey"]).to_pandas()
-    li = li.sort_values(["l_orderkey", "l_linenumber"])
+    # l_partkey tiebreak: (orderkey, linenumber) is not unique; the
+    # engine, this golden and the triangle-count SQL twin all use the
+    # same total order so the edge set is well-defined
+    li = li.sort_values(["l_orderkey", "l_linenumber", "l_partkey"])
     edges: dict[tuple[int, int], int] = {}
     prev_o, prev_p = None, None
     for o, p in zip(li["l_orderkey"], li["l_partkey"]):
