@@ -1191,18 +1191,26 @@ def q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
         ck, n = np.unique(t.column("o_custkey").to_numpy()
                           .astype(np.int64), return_counts=True)
         return pa.table({"c_custkey": pa.array(ck),
-                         "n": pa.array(n.astype(np.int64))})
+                         "n": pa.array(n.astype(np.int64)),
+                         "bk": pa.array((ck % _JOIN_BUCKETS)
+                                        .astype(np.int32))})
 
-    per_cust = (orders.map_batches(ck_partial, batch_format="pyarrow")
-                .groupby("c_custkey").aggregate(Sum("n", alias_name="n")))
+    def bucket_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        # custkey is high-cardinality: one C-level pandas sum per
+        # bucket beats Ray's native sort-aggregate over the full key
+        # width (same lesson as q17/q18's bucketed reduce), and the
+        # count-distribution partial collapses to ≤ max-orders-per-
+        # customer rows INSIDE the bucket — the driver never sees the
+        # |customers|-wide table
+        per = (g.groupby("c_custkey", as_index=False)
+               .agg(n=("n", "sum")))
+        c, n = np.unique(per["n"].to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"c_count": c,
+                             "custdist": n.astype(np.int64)})
 
-    def dist_partial(t: pa.Table) -> pa.Table:
-        c, n = np.unique(t.column("n").to_numpy().astype(np.int64),
-                         return_counts=True)
-        return pa.table({"c_count": pa.array(c),
-                         "custdist": pa.array(n.astype(np.int64))})
-
-    dist = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
+    dist = (orders.map_batches(ck_partial, batch_format="pyarrow")
+            .groupby("bk").map_groups(bucket_reduce,
+                                      batch_format="pandas")
             .to_pandas())
     out = (dist.groupby("c_count", as_index=False)
            .agg(custdist=("custdist", "sum")))
