@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "top_tokens": analytics.top_tokens,
+        "token_freq_cms": analytics.token_freq_cms,       # golden oracle
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_groups": dedup.embedding_dup_groups,  # golden oracle
         "minhash_lsh_groups": dedup.minhash_lsh_groups,   # golden oracle
@@ -160,7 +161,8 @@ def oracle_sql() -> dict[str, str]:
                       "embedding_dup_groups", "pack_sequences",
                       "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
-                      "knn_ivf", "frontier_host_stats", "crawl_pass_docs"]
+                      "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
+                      "token_freq_cms"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "q8_market_share", "q9_nation_year_revenue",
     "events_rollup_incremental", "lineitem_unpivot",
     "gopher_quality_flags", "name_edit_near_pairs",
-    "triangle_count_parts",
+    "triangle_count_parts", "token_freq_cms",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -532,6 +532,74 @@ def users_per_event_type_hll(sf_dir: str) -> pd.DataFrame:
     return out.astype({"n_users_approx": "int64"})
 
 
+def token_freq_cms(sf_dir: str) -> pd.DataFrame:
+    """Point-query token frequencies from a merged Count-Min sketch
+    (``state/cms.py``) — the fixed-size companion to the HLL distinct
+    sketch: HLL answers "how many distinct", CMS answers "how often is
+    THIS one", both as mergeable integer summaries.
+
+    Distributed shape: each block folds its tokens into a local
+    (depth×width) sketch and emits only its NONZERO cells as
+    (flat-cell, count) rows, so the exchange moves ≤ depth·width rows
+    per block regardless of block token count; a ``groupby(cell)`` sum
+    produces the merged sketch (≤ 8192 rows total — integer adds
+    commute, so per-block-then-merge equals one global build
+    bit-exactly). The probe set (distinct tokens of every 199th
+    document — standing in for an external query list) is deduped
+    distributedly and estimated under the broadcast sketch
+    (``ray.put`` once, zero-copy ``ray.get`` per batch). Estimates are
+    one-sided: ``est ≥ true``, overestimate bounded by e·N/width.
+    Deterministic given the engine's md5 hash64 + splitmix64 rounds, so
+    the golden oracle (independent pure-Python sketch) matches EXACTLY.
+    """
+    from ..functions.hashing import hash64_many
+    from ..state import cms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def cells(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        toks = np.array([w for s in texts for w in s.split()],
+                        dtype=object)
+        if len(toks) == 0:
+            return pa.table({"cell": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, counts = np.unique(toks, return_counts=True)
+        sk = cms.sketch_counts(hash64_many(uniq),
+                               counts.astype(np.int64))
+        flat = sk.ravel()
+        nz = np.flatnonzero(flat)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(flat[nz])})
+
+    merged = (ds.map_batches(cells, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    sk = np.zeros(cms.DEPTH * cms.WIDTH, dtype=np.int64)
+    sk[merged["cell"].to_numpy()] = merged["n"].to_numpy()
+    sk_ref = ray.put(sk.reshape(cms.DEPTH, cms.WIDTH))
+
+    def probe(t: pa.Table) -> pa.Table:
+        keep = (t.column("doc_id").to_numpy() % 199) == 0
+        texts = np.asarray(t.column("text"), dtype=object)[keep]
+        toks = sorted({w for s in texts for w in s.split()})
+        return pa.table({"tok": pa.array(toks, type=pa.string())})
+
+    def est(t: pa.Table) -> pa.Table:
+        toks = t.column("tok").to_pylist()
+        e = cms.estimate(ray.get(sk_ref), hash64_many(toks))
+        return pa.table({"tok": t.column("tok"),
+                         "est_n": pa.array(e.astype(np.int64))})
+
+    out = (ds.map_batches(probe, batch_format="pyarrow")
+           .groupby("tok").aggregate(Count(alias_name="_c"))
+           .map_batches(est, batch_format="pyarrow")
+           .select_columns(["tok", "est_n"])
+           .sort("tok").to_pandas())
+    return out.astype({"est_n": "int64"})
+
+
 def user_event_pivot(sf_dir: str) -> pd.DataFrame:
     """Pivot (crosstab): one row per user with a count column per event
     type. Map side pre-aggregates the crosstab per batch (one pandas

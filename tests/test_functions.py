@@ -100,3 +100,29 @@ def test_hll_sketch_properties():
     # duplicates must not change the registers
     dup = hll_add(hll_add(hll_empty(), vals), vals)
     assert (dup == direct).all()
+
+
+def test_cms_sketch_properties():
+    """Count-Min laws the distributed cell-merge relies on: the sketch
+    is a pure function of the insert MULTISET (partition-invariant sum
+    of per-split sketches), estimates are one-sided (est >= true) and
+    exact when width comfortably exceeds the key count."""
+    import numpy as np
+
+    from container_crawler_ray.state import cms
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 63, size=500, dtype=np.uint64)
+    counts = rng.integers(1, 100, size=500).astype(np.int64)
+
+    direct = cms.sketch_counts(keys, counts)
+    split = (cms.sketch_counts(keys[:200], counts[:200])
+             + cms.sketch_counts(keys[200:], counts[200:]))
+    assert (split == direct).all()
+
+    est = cms.estimate(direct, keys)
+    assert (est >= counts).all()  # one-sided error
+    # 500 keys in 4x2048 cells: expected collisions per row ~ n/width;
+    # min over 4 independent rows is almost surely exact.
+    assert (est == counts).mean() > 0.95
+    assert direct.sum() == counts.sum() * cms.DEPTH

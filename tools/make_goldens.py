@@ -613,6 +613,41 @@ def g_crawl_pass_docs(sf_dir: str) -> pd.DataFrame:
     return df.astype({"pass_id": "int64", "n_spans": "int64"})
 
 
+def g_token_freq_cms(sf_dir: str, depth: int = 4,
+                     width: int = 2048) -> pd.DataFrame:
+    """Independent Count-Min build: one global dict-of-cells sketch from
+    exact token counts (integer adds commute, so this equals the
+    engine's per-block-then-merge path bit-exactly), then min-over-rows
+    estimates for the probe set (tokens of every 199th doc)."""
+    from collections import Counter
+
+    docs = _docs(sf_dir)
+    true = Counter()
+    probe: set[str] = set()
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        true.update(toks)
+        if int(doc_id) % 199 == 0:
+            probe.update(toks)
+
+    sk = np.zeros((depth, width), dtype=np.int64)
+    cols: dict[str, list[int]] = {}
+    for tok, n in true.items():
+        h = hash64(tok)
+        cc = []
+        for r in range(depth):
+            h = mix64(h)
+            c = h % width
+            sk[r, c] += n
+            cc.append(c)
+        cols[tok] = cc
+
+    toks = sorted(probe)
+    est = [min(sk[r, cols[t][r]] for r in range(depth)) for t in toks]
+    return pd.DataFrame({"tok": toks,
+                         "est_n": np.array(est, dtype=np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -629,6 +664,7 @@ GOLDENS = {
     "pagerank_parts": g_pagerank_parts,
     "frontier_host_stats": g_frontier_host_stats,
     "crawl_pass_docs": g_crawl_pass_docs,
+    "token_freq_cms": g_token_freq_cms,
 }
 
 
