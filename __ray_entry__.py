@@ -95,6 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": joins.q15_top_supplier,
         "q8_market_share": joins.q8_market_share,
         "q9_nation_year_revenue": joins.q9_nation_year_revenue,
+        "q2_min_cost_supplier": joins.q2_min_cost_supplier,
+        "q4_priority_with_bulk_line": joins.q4_priority_with_bulk_line,
+        "q11_important_parts": joins.q11_important_parts,
+        "q16_supplier_breadth": joins.q16_supplier_breadth,
+        "q20_dominant_suppliers": joins.q20_dominant_suppliers,
+        "q21_blocking_suppliers": joins.q21_blocking_suppliers,
         "events_rollup_incremental": analytics.events_rollup_incremental,
         "lineitem_unpivot": analytics.lineitem_unpivot,
         "gopher_quality_flags": text_ops.gopher_quality_flags,
@@ -836,6 +842,96 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier s JOIN r ON s.s_suppkey = r.s_suppkey
             WHERE r.total_revenue_cents =
                   (SELECT MAX(total_revenue_cents) FROM r)
+        """,
+        "q2_min_cost_supplier": """
+            WITH costs AS (
+              SELECT l_partkey AS p, l_suppkey AS s,
+                     MIN(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS c
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey AND p_size <= 10
+              GROUP BY 1, 2),
+            best AS (SELECT p, MIN(c) AS mc FROM costs GROUP BY p),
+            pick AS (
+              SELECT costs.p, MIN(costs.s) AS s, MIN(costs.c) AS c
+              FROM costs JOIN best
+                ON costs.p = best.p AND costs.c = best.mc
+              GROUP BY costs.p)
+            SELECT CAST(pick.p AS BIGINT) AS p_partkey,
+                   CAST(pick.s AS BIGINT) AS s_suppkey,
+                   supplier.s_name AS s_name,
+                   CAST(pick.c AS BIGINT) AS min_price_cents
+            FROM pick JOIN supplier ON supplier.s_suppkey = pick.s
+            ORDER BY p_partkey
+        """,
+        "q4_priority_with_bulk_line": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity >= 45)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q11_important_parts": """
+            WITH vals AS (
+              SELECT l_partkey AS p,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                          AS BIGINT) AS v
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = 3
+              GROUP BY 1),
+            tot AS (SELECT CAST(SUM(v) AS BIGINT) AS t FROM vals)
+            SELECT CAST(p AS BIGINT) AS p_partkey, v AS value_cents
+            FROM vals, tot
+            WHERE v * 1000000 > t * 2000
+            ORDER BY value_cents DESC, p_partkey
+        """,
+        "q16_supplier_breadth": """
+            SELECT p_brand, p_type,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE s_acctbal >= 0
+            GROUP BY p_brand, p_type
+            ORDER BY p_brand, p_type
+        """,
+        "q20_dominant_suppliers": """
+            WITH ps AS (
+              SELECT l_partkey AS p, l_suppkey AS s,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+              FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT p, CAST(SUM(q) AS BIGINT) AS tq
+                    FROM ps GROUP BY p)
+            SELECT DISTINCT CAST(ps.s AS BIGINT) AS s_suppkey,
+                   supplier.s_name AS s_name
+            FROM ps JOIN tot ON ps.p = tot.p
+            JOIN supplier ON supplier.s_suppkey = ps.s
+            WHERE 5 * ps.q > tot.tq
+            ORDER BY s_suppkey
+        """,
+        "q21_blocking_suppliers": """
+            WITH per AS (
+              SELECT l_orderkey AS o, l_suppkey AS s,
+                     MAX(l_shipdate) AS ms
+              FROM lineitem GROUP BY 1, 2),
+            agg AS (SELECT o, MAX(ms) AS mx, COUNT(*) AS nsup
+                    FROM per GROUP BY o),
+            atmax AS (
+              SELECT per.o, per.s FROM per JOIN agg ON per.o = agg.o
+              WHERE per.ms = agg.mx AND agg.nsup >= 2),
+            uniq AS (SELECT o, MIN(s) AS s FROM atmax
+                     GROUP BY o HAVING COUNT(*) = 1)
+            SELECT supplier.s_name AS s_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM uniq JOIN supplier ON supplier.s_suppkey = uniq.s
+            GROUP BY supplier.s_name
+            ORDER BY n_orders DESC, s_name
+            LIMIT 20
         """,
         "q8_market_share": """
             WITH f AS (

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "events_rollup_incremental", "lineitem_unpivot",
     "gopher_quality_flags", "name_edit_near_pairs",
     "triangle_count_parts", "token_freq_cms",
+    "q2_min_cost_supplier", "q4_priority_with_bulk_line",
+    "q11_important_parts", "q16_supplier_breadth",
+    "q20_dominant_suppliers", "q21_blocking_suppliers",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1498,3 +1498,364 @@ def q9_nation_year_revenue(sf_dir: str,
     return (out.sort_values(["nation", "year"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"year": "int64", "revenue_cents": "int64"}))
+
+
+def q2_min_cost_supplier(sf_dir: str, max_size: int = 10) -> pd.DataFrame:
+    """TPC-H-Q2-ish min-cost-supplier lookup (the correlated-MIN
+    subquery shape), adapted to these tables: lineitem stands in for
+    partsupp, "cost" is the minimum observed line price. For each part
+    with ``p_size <= max_size``, find the supplier offering the lowest
+    price; ties break to the smallest suppkey (Q2 proper breaks on
+    acctbal — same algebra, deterministic here).
+
+    Ray shape: the part-size filter is a broadcast bitmap applied
+    MAP-SIDE so filtered parts never enter the exchange; one bucketed
+    ``groupby(partkey % B)`` then resolves BOTH aggregate levels — per
+    (part, supplier) min, then per-part argmin — inside the bucket with
+    C-level pandas kernels (the two-level collapse is why bucketing
+    beats two native sort-aggregates here); supplier names come from a
+    dimension broadcast at the end. No fact-fact shuffle, one exchange
+    total."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    keep = np.zeros(pk.max() + 1, dtype=bool)
+    keep[pk] = part["p_size"].to_numpy(np.int64) <= max_size
+    keep_ref = ray.put(keep)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep_ = ray.get(keep_ref)
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = keep_[key]
+        key = key[m]
+        sup = t.column("l_suppkey").to_numpy().astype(np.int64)[m]
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy()[m] * 100).astype(np.int64)
+        df = pd.DataFrame({"p": key, "s": sup, "c": cents})
+        g = df.groupby(["p", "s"], as_index=False)["c"].min()
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (g["p"].to_numpy(np.int64) % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p", "s"], as_index=False)["c"].min()
+        best = ps.groupby("p", as_index=False)["c"].min().rename(
+            columns={"c": "mc"})
+        m = ps.merge(best, on="p")
+        m = m[m["c"] == m["mc"]]
+        out = m.groupby("p", as_index=False).agg(s=("s", "min"),
+                                                 c=("c", "min"))
+        return out[["p", "s", "c"]]
+
+    rows = (items.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(resolve, batch_format="pandas")
+            .to_pandas())
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    names = np.empty(sup["s_suppkey"].to_numpy(np.int64).max() + 1,
+                     dtype=object)
+    names[sup["s_suppkey"].to_numpy(np.int64)] = \
+        sup["s_name"].to_numpy(object)
+    out = pd.DataFrame({
+        "p_partkey": rows["p"].to_numpy(np.int64),
+        "s_suppkey": rows["s"].to_numpy(np.int64),
+        "s_name": names[rows["s"].to_numpy(np.int64)],
+        "min_price_cents": rows["c"].to_numpy(np.int64)})
+    return (out.sort_values("p_partkey", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q4_priority_with_bulk_line(sf_dir: str, year: int = 1997,
+                               min_qty: int = 45) -> pd.DataFrame:
+    """TPC-H-Q4-ish EXISTS semi-join: count orders placed in ``year``
+    per priority that have AT LEAST ONE bulk line (quantity ≥
+    ``min_qty`` — standing in for Q4's commit<receipt predicate, which
+    these tables lack).
+
+    Ray shape: the lineitem side is reduced MAP-SIDE to per-block
+    DISTINCT matching orderkeys (so the exchange moves ≤ one row per
+    matching order per block, never one per line); orders are filtered
+    to the year map-side; one bucketed co-partition ``groupby`` then
+    evaluates EXISTS per bucket with a vectorized ``isin`` — the
+    semi-join never materializes matched pairs, at any scale."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        m = (od >= lo) & (od < hi)
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)[m]
+        return pa.table({
+            "key": pa.array(key),
+            "pri": pc.array_filter(t.column("o_orderpriority"),
+                                   pa.array(m)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        qty = t.column("l_quantity").to_numpy()
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        key = np.unique(key[qty >= min_qty])
+        return pa.table({
+            "key": pa.array(key),
+            "pri": pa.array([""] * len(key), type=pa.string()),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_semi(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        hits = left[left["key"].isin(g.loc[g["side"] == 1, "key"])]
+        return hits.groupby("pri", as_index=False).agg(
+            n_orders=("key", "size"))
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_semi, batch_format="pandas").to_pandas())
+    out = part.groupby("pri", as_index=False).agg(
+        n_orders=("n_orders", "sum")).rename(
+            columns={"pri": "o_orderpriority"})
+    return (out.sort_values("o_orderpriority", kind="mergesort")
+            .reset_index(drop=True).astype({"n_orders": "int64"}))
+
+
+def q11_important_parts(sf_dir: str, nationkey: int = 3,
+                        share_ppm: int = 2000) -> pd.DataFrame:
+    """TPC-H-Q11-ish share-of-global-total filter: value of each part
+    supplied by nation ``nationkey``'s suppliers, keeping parts whose
+    value exceeds ``share_ppm`` parts-per-million of the grand total —
+    the group-vs-global-aggregate dependency Q11's HAVING subquery
+    expresses.
+
+    Ray shape: supplier→nation membership broadcasts as a dense bitmap
+    (map-side filter); per-part value uses the bucketed reduce; the
+    grand total is the (tiny) sum of the per-part rows already on the
+    driver, so the HAVING comparison is integer arithmetic with no
+    second pass over the fact table."""
+    import ray
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    in_nation = np.zeros(sk.max() + 1, dtype=bool)
+    in_nation[sk] = sup["s_nationkey"].to_numpy(np.int64) == nationkey
+    ref = ray.put(in_nation)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        in_n = ray.get(ref)
+        supk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        m = in_n[supk]
+        key = t.column("l_partkey").to_numpy().astype(np.int64)[m]
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy()[m] * 100).astype(np.int64)
+        ks, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "p": pa.array(ks),
+            "v": pa.array(np.bincount(inv, weights=cents).astype(np.int64)),
+            "bucket": pa.array((ks % _JOIN_BUCKETS).astype(np.int32))})
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p", as_index=False).agg(v=("v", "sum"))
+
+    vals = (items.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    total = int(vals["v"].sum())
+    keep = vals["v"].to_numpy(np.int64) * 1_000_000 > total * share_ppm
+    out = pd.DataFrame({
+        "p_partkey": vals["p"].to_numpy(np.int64)[keep],
+        "value_cents": vals["v"].to_numpy(np.int64)[keep]})
+    return (out.sort_values(["value_cents", "p_partkey"],
+                            ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q16_supplier_breadth(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q16-ish supplier breadth: per (p_brand, p_type), how many
+    DISTINCT suppliers shipped that kind of part — excluding suppliers
+    with negative account balance (standing in for Q16's
+    complaints NOT IN subquery).
+
+    Ray shape: both dimension lookups (partkey→brand/type,
+    suppkey→excluded) broadcast as dense arrays; the map side emits
+    per-block-distinct (brand, type, suppkey) triples, a ``groupby``
+    on the triple finishes the dedup, and the distinct count is a tiny
+    second aggregate — the exact-distinct two-exchange pattern from
+    ``users_per_event_type``, with the NOT-IN applied before any row
+    moves."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+    pk = part["p_partkey"].to_numpy(np.int64)
+    brand = np.empty(pk.max() + 1, dtype=object)
+    ptype = np.empty(pk.max() + 1, dtype=object)
+    brand[pk] = part["p_brand"].to_numpy(object)
+    ptype[pk] = part["p_type"].to_numpy(object)
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    sk = sup["s_suppkey"].to_numpy(np.int64)
+    bad = np.zeros(sk.max() + 1, dtype=bool)
+    bad[sk] = sup["s_acctbal"].to_numpy() < 0
+    ref = ray.put((brand, ptype, bad))
+
+    items = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        brand_, ptype_, bad_ = ray.get(ref)
+        supk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        m = ~bad_[supk]
+        key = t.column("l_partkey").to_numpy().astype(np.int64)[m]
+        supk = supk[m]
+        df = pd.DataFrame({"p_brand": brand_[key], "p_type": ptype_[key],
+                           "s": supk})
+        df = df.drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dedup = (items.map_batches(triples, batch_format="pyarrow")
+             .groupby(["p_brand", "p_type", "s"])
+             .aggregate(Count(alias_name="_c")))
+    out = (dedup.map_batches(
+        lambda t: t.select(["p_brand", "p_type"]), batch_format="pyarrow")
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Count(alias_name="supplier_cnt"))
+        .to_pandas())
+    return (out.sort_values(["p_brand", "p_type"], kind="mergesort")
+            .reset_index(drop=True).astype({"supplier_cnt": "int64"}))
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q20-ish nested semi-join: suppliers who supplied more than
+    20% of some part's total shipped quantity (Q20 proper compares a
+    supplier's stock to half the part's demand — same
+    correlated-threshold algebra on these tables; 20% because the
+    synthetic data spreads each part over ~20 suppliers).
+
+    Ray shape: one bucketed ``groupby(partkey % B)`` resolves the
+    per-(part,supplier) sums AND the per-part total AND the >50%
+    comparison inside each bucket; qualifying suppkeys are deduped in
+    the same pass (per-bucket distinct), so the driver only ever sees
+    ≤|suppliers| rows; names come from a dimension broadcast."""
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        sup = t.column("l_suppkey").to_numpy().astype(np.int64)
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"p": key, "s": sup, "q": qty})
+        g = df.groupby(["p", "s"], as_index=False)["q"].sum()
+        return pa.table({
+            "p": pa.array(g["p"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+            "q": pa.array(g["q"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (g["p"].to_numpy(np.int64) % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p", "s"], as_index=False)["q"].sum()
+        tot = ps.groupby("p", as_index=False)["q"].sum().rename(
+            columns={"q": "tq"})
+        m = ps.merge(tot, on="p")
+        win = m.loc[5 * m["q"] > m["tq"], ["s"]].drop_duplicates()
+        return win
+
+    rows = (items.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(dominant, batch_format="pandas")
+            .to_pandas())
+    if rows.empty or "s" not in rows.columns:
+        # all buckets empty: Ray returns a schemaless empty frame
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object)})
+    supk = np.unique(rows["s"].to_numpy(np.int64))
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    names = np.empty(sup["s_suppkey"].to_numpy(np.int64).max() + 1,
+                     dtype=object)
+    names[sup["s_suppkey"].to_numpy(np.int64)] = \
+        sup["s_name"].to_numpy(object)
+    return pd.DataFrame({"s_suppkey": supk, "s_name": names[supk]})
+
+
+def q21_blocking_suppliers(sf_dir: str, topn: int = 20) -> pd.DataFrame:
+    """TPC-H-Q21-ish "who's holding up the order": per supplier, the
+    number of multi-supplier orders where THIS supplier's latest line
+    shipped strictly after every other supplier's (Q21's
+    EXISTS-other/NOT-EXISTS-other-late pair, expressed on shipdate
+    since these tables carry no commit/receipt dates).
+
+    Ray shape: map-side collapse to per-(order, supplier) max-shipdate
+    partials (one row per pair per block), one bucketed
+    ``groupby(orderkey % B)``; inside the bucket a vectorized
+    two-level max + unique-argmax test emits (suppkey, 1) partials;
+    the per-supplier count is a tiny final aggregate. The EXISTS /
+    NOT-EXISTS pair never materializes a join — it is an order-local
+    predicate, which is the whole trick."""
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sup = t.column("l_suppkey").to_numpy().astype(np.int64)
+        ship = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"o": key, "s": sup, "ms": ship})
+        g = df.groupby(["o", "s"], as_index=False)["ms"].max()
+        return pa.table({
+            "o": pa.array(g["o"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+            "ms": pa.array(g["ms"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (g["o"].to_numpy(np.int64) % _JOIN_BUCKETS).astype(np.int32)),
+        })
+
+    def blockers(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["o", "s"], as_index=False)["ms"].max()
+        agg = ps.groupby("o", as_index=False).agg(mx=("ms", "max"),
+                                                  nsup=("s", "size"))
+        m = ps.merge(agg, on="o")
+        atmax = m[m["ms"] == m["mx"]]
+        nmax = atmax.groupby("o")["s"].transform("size")
+        win = atmax[(nmax == 1) & (atmax["nsup"] >= 2)]
+        return win.groupby("s", as_index=False).agg(n_orders=("o", "size"))
+
+    part = (items.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(blockers, batch_format="pandas")
+            .to_pandas())
+    out = part.groupby("s", as_index=False).agg(
+        n_orders=("n_orders", "sum"))
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    names = np.empty(sup["s_suppkey"].to_numpy(np.int64).max() + 1,
+                     dtype=object)
+    names[sup["s_suppkey"].to_numpy(np.int64)] = \
+        sup["s_name"].to_numpy(object)
+    out = pd.DataFrame({"s_name": names[out["s"].to_numpy(np.int64)],
+                        "n_orders": out["n_orders"].to_numpy(np.int64)})
+    return (out.sort_values(["n_orders", "s_name"],
+                            ascending=[False, True], kind="mergesort")
+            .head(topn).reset_index(drop=True))
