@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup_incremental": analytics.events_rollup_incremental,
         "lineitem_unpivot": analytics.lineitem_unpivot,
         "gopher_quality_flags": text_ops.gopher_quality_flags,
+        "lm_bigram_scores": text_ops.lm_bigram_scores,    # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -168,7 +169,7 @@ def oracle_sql() -> dict[str, str]:
                       "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
-                      "token_freq_cms"]
+                      "token_freq_cms", "lm_bigram_scores"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

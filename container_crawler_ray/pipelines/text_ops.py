@@ -83,3 +83,106 @@ def gopher_quality_flags(sf_dir: str) -> pd.DataFrame:
             "keep": pa.array(keep)})
 
     return ds.map_batches(flags, batch_format="pyarrow").to_pandas()
+
+
+def lm_bigram_scores(sf_dir: str, min_count: int = 1) -> pd.DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020 —
+    public paper — filters web text by LM perplexity): train a bigram
+    count model over the corpus, then score every document by its mean
+    per-token add-one-smoothed log-probability (in floor'd milli-nats,
+    so the independent golden matches bit-for-bit).
+
+    Distributed shape, both passes streaming:
+    - TRAIN: each block emits per-block-deduped (bigram, count)
+      partials (``np.unique`` — the exchange moves distinct pairs per
+      block, not token occurrences); one ``groupby(pair)`` sum yields
+      the model, which is dimension-sized and broadcast ONCE via
+      ``ray.put``. At 100 TB the model is pruned map-side with
+      ``min_count`` (exactly how CCNet ships a pruned KenLM instead of
+      raw counts) and/or trained on a sample — the scoring pass is
+      unchanged.
+    - SCORE: pure map-side; per block the token stream is flattened
+      once, both model lookups are C-level ``pd.Index.get_indexer``
+      calls, and per-doc sums are one ``np.add.reduceat`` (sequential
+      within each doc's segment, so per-doc float rounding is
+      independent of block boundaries — that is what makes the golden
+      reproducible).
+
+    Determinism: counts are exact integers; log-probs are float64 from
+    identical integers; per-doc summation touches only the doc's own
+    segment. Empty docs are dropped (no positions to score).
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    # SEP is a space: tokens come from str.split() so they can never
+    # contain one (NB a NUL separator dies inside numpy — fixed-width
+    # unicode coercion silently strips trailing NULs from the scalar).
+    SEP = " "
+    BOS = "\x02"  # not a corpus token: doc-start context
+
+    def _flatten(texts):
+        """(w1, w2, starts, lens) for the non-empty docs of a batch."""
+        toks = [s.split() for s in texts]
+        keep = [i for i, tk in enumerate(toks) if tk]
+        lens = np.array([len(toks[i]) for i in keep], dtype=np.int64)
+        if not keep:
+            z = np.array([], dtype=object)
+            return z, z, np.array([], dtype=np.int64), lens, keep
+        w2 = np.concatenate([np.asarray(toks[i], dtype=object)
+                             for i in keep])
+        w1 = np.concatenate([np.asarray([BOS] + toks[i][:-1],
+                                        dtype=object) for i in keep])
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        return w1, w2, starts, lens, keep
+
+    def pairs(t: pa.Table) -> pa.Table:
+        w1, w2, _, _, _ = _flatten(t.column("text").to_pylist())
+        if len(w2) == 0:
+            return pa.table({"pair": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        key, counts = np.unique(w1 + SEP + w2, return_counts=True)
+        return pa.table({"pair": pa.array(list(key), type=pa.string()),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    model = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("pair").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    model = model[model["n"] >= min_count]
+    w1w2 = model["pair"].str.split(SEP, n=1, expand=True)
+    vocab = int(w1w2[1].nunique())
+    ctx = (pd.DataFrame({"w1": w1w2[0], "n": model["n"]})
+           .groupby("w1", as_index=False)["n"].sum())
+    big_idx = pd.Index(model["pair"])
+    big_n = model["n"].to_numpy(np.int64)
+    ctx_idx = pd.Index(ctx["w1"])
+    ctx_n = ctx["n"].to_numpy(np.int64)
+    ref = ray.put((big_idx, big_n, ctx_idx, ctx_n, vocab))
+
+    def score(t: pa.Table) -> pa.Table:
+        big_idx_, big_n_, ctx_idx_, ctx_n_, v = ray.get(ref)
+        texts = t.column("text").to_pylist()
+        w1, w2, starts, lens, keep = _flatten(texts)
+        if len(keep) == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "score_milli": pa.array([], type=pa.int64())})
+        bi = big_idx_.get_indexer(pd.Index(w1 + SEP + w2))
+        bn = np.where(bi >= 0, big_n_[bi], 0)
+        ci = ctx_idx_.get_indexer(pd.Index(w1))
+        cn = np.where(ci >= 0, ctx_n_[ci], 0)
+        lp = np.log(bn + 1.0) - np.log(cn + np.float64(v))
+        sums = np.add.reduceat(lp, starts)
+        milli = np.floor(1000.0 * sums / lens).astype(np.int64)
+        doc_id = t.column("doc_id").to_numpy().astype(np.int64)[keep]
+        return pa.table({"doc_id": pa.array(doc_id),
+                         "n_tokens": pa.array(lens),
+                         "score_milli": pa.array(milli)})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .sort("doc_id").to_pandas())
+    return out.astype({"doc_id": "int64", "n_tokens": "int64",
+                       "score_milli": "int64"})

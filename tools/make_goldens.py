@@ -648,6 +648,51 @@ def g_token_freq_cms(sf_dir: str, depth: int = 4,
                          "est_n": np.array(est, dtype=np.int64)})
 
 
+def g_lm_bigram_scores(sf_dir: str) -> pd.DataFrame:
+    """Independent bigram-LM scorer: dict-count training over the whole
+    corpus (integer adds — order-free, so it equals the engine's
+    per-block-partials + groupby-sum path exactly), then per-doc mean
+    add-one log-prob. Per-doc sums use ``np.add.reduceat`` over a
+    GLOBAL concatenation — reduceat sums each segment independently and
+    sequentially, so per-doc float rounding matches the engine's
+    per-block concatenation bit-for-bit."""
+    from collections import Counter
+
+    docs = _docs(sf_dir).sort_values("doc_id")
+    BOS = "\x02"
+
+    big = Counter()
+    kept_ids, all_w1, all_w2, lens = [], [], [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        if not toks:
+            continue
+        w1 = [BOS] + toks[:-1]
+        big.update(zip(w1, toks))
+        kept_ids.append(int(doc_id))
+        all_w1.extend(w1)
+        all_w2.extend(toks)
+        lens.append(len(toks))
+
+    ctx = Counter()
+    vocab = set()
+    for (a, b), n in big.items():
+        ctx[a] += n
+        vocab.add(b)
+    v = float(len(vocab))
+
+    bn = np.array([big[(a, b)] for a, b in zip(all_w1, all_w2)],
+                  dtype=np.int64)
+    cn = np.array([ctx[a] for a in all_w1], dtype=np.int64)
+    lp = np.log(bn + 1.0) - np.log(cn + v)
+    lens = np.array(lens, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    sums = np.add.reduceat(lp, starts)
+    milli = np.floor(1000.0 * sums / lens).astype(np.int64)
+    return pd.DataFrame({"doc_id": np.array(kept_ids, dtype=np.int64),
+                         "n_tokens": lens, "score_milli": milli})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -665,6 +710,7 @@ GOLDENS = {
     "frontier_host_stats": g_frontier_host_stats,
     "crawl_pass_docs": g_crawl_pass_docs,
     "token_freq_cms": g_token_freq_cms,
+    "lm_bigram_scores": g_lm_bigram_scores,
 }
 
 
