@@ -30,8 +30,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from container_crawler_ray.pipelines import (
-        analytics, ann, crawl_queries, curate, dedup, graph, joins, media,
-        spans, text_ops)
+        analytics, ann, cluster, crawl_queries, curate, dedup, graph, joins,
+        media, spans, text_ops)
 
     return {
         # aggregations (SURVEY §2.5)
@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot": analytics.lineitem_unpivot,
         "gopher_quality_flags": text_ops.gopher_quality_flags,
         "lm_bigram_scores": text_ops.lm_bigram_scores,    # golden oracle
+        "kmeans_clusters": cluster.kmeans_clusters,       # golden oracle
+        "semantic_dedup": cluster.semantic_dedup,         # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -169,7 +171,8 @@ def oracle_sql() -> dict[str, str]:
                       "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
-                      "token_freq_cms", "lm_bigram_scores"]
+                      "token_freq_cms", "lm_bigram_scores",
+                      "kmeans_clusters", "semantic_dedup"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

@@ -66,7 +66,7 @@ BENCH_QUERIES = [
     "q2_min_cost_supplier", "q4_priority_with_bulk_line",
     "q11_important_parts", "q16_supplier_breadth",
     "q20_dominant_suppliers", "q21_blocking_suppliers",
-    "lm_bigram_scores",
+    "lm_bigram_scores", "kmeans_clusters", "semantic_dedup",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

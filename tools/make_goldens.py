@@ -693,6 +693,76 @@ def g_lm_bigram_scores(sf_dir: str) -> pd.DataFrame:
                          "n_tokens": lens, "score_milli": milli})
 
 
+def _g_norm(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def _g_emb_matrix(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in t.column("embedding").to_pylist()]
+                   ).astype(np.float64)
+    return ids, mat
+
+
+def _g_lloyd(sf_dir: str, k: int = 16, iters: int = 5):
+    """Independent spherical Lloyd mirroring the engine's determinism
+    contract: selection init (k smallest mix64(vec_id)), 2^-20
+    fixed-point integer centroid sums (order-free, so this global
+    single-process build equals the engine's per-block partial +
+    groupby reduce), renormalize each round."""
+    FP = float(1 << 20)
+    ids, mat = _g_emb_matrix(sf_dir)
+    vn = _g_norm(mat)
+    h = np.array([mix64(int(i)) for i in ids], dtype=np.uint64)
+    pick = np.lexsort((ids, h))[:k]
+    cent = _g_norm(mat[pick].copy())
+    for _ in range(iters):
+        a = (vn @ cent.T).argmax(axis=1)
+        fp = np.floor(vn * FP).astype(np.int64)
+        new = cent.copy()
+        for c in np.unique(a):
+            m = a == c
+            s = fp[m].sum(axis=0, dtype=np.int64).astype(np.float64)
+            new[int(c)] = s / (float(m.sum()) * FP)
+        cent = _g_norm(new)
+    return ids, vn, cent
+
+
+def g_kmeans_clusters(sf_dir: str, k: int = 16,
+                      iters: int = 5) -> pd.DataFrame:
+    ids, vn, cent = _g_lloyd(sf_dir, k, iters)
+    sims = vn @ cent.T
+    a = sims.argmax(axis=1)
+    bp = np.floor(sims[np.arange(len(a)), a] * 10000).astype(np.int64)
+    df = pd.DataFrame({"vec_id": ids, "cluster": a.astype(np.int64),
+                       "centroid_sim_bp": bp})
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
+def g_semantic_dedup(sf_dir: str, tau_bp: int = 4000, k: int = 16,
+                     iters: int = 5) -> pd.DataFrame:
+    ids, vn, cent = _g_lloyd(sf_dir, k, iters)
+    _, mat = _g_emb_matrix(sf_dir)
+    a = (vn @ cent.T).argmax(axis=1)
+    out = []
+    for c in np.unique(a):
+        m = np.flatnonzero(a == c)
+        m = m[np.argsort(ids[m])]
+        sub = _g_norm(mat[m].copy())
+        bp = np.floor((sub @ sub.T) * 10000).astype(np.int64)
+        dup = np.tril(bp >= tau_bp, k=-1).any(axis=1)
+        out.append(pd.DataFrame({
+            "vec_id": ids[m], "cluster": np.full(len(m), c, np.int64),
+            "keep": (~dup).astype(np.int64)}))
+    df = pd.concat(out, ignore_index=True)
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -711,6 +781,8 @@ GOLDENS = {
     "crawl_pass_docs": g_crawl_pass_docs,
     "token_freq_cms": g_token_freq_cms,
     "lm_bigram_scores": g_lm_bigram_scores,
+    "kmeans_clusters": g_kmeans_clusters,
+    "semantic_dedup": g_semantic_dedup,
 }
 
 
