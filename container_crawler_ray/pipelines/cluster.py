@@ -39,11 +39,20 @@ DIM = 64
 
 
 def _read_embeddings(sf_dir: str):
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+    """Row-scaled blocks + ONE materialization: the Lloyd loop and the
+    final assignment re-traverse this table ``iters+1`` times, so it is
+    pinned in the object store once (spillable) instead of re-read from
+    parquet per iteration — the same pattern as pagerank's edge list.
+    Every per-block op downstream is a selection or an integer sum, so
+    the result is block-split-invariant by construction."""
+    path = f"{sf_dir}/embeddings.parquet"
+    n = pq.ParquetFile(path).metadata.num_rows
+    return ray.data.read_parquet(
+        path, columns=["vec_id", "embedding"],
+        override_num_blocks=max(2, n // 65536)).materialize()
 
 
-def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
+def _init_centroids(ds, k: int) -> np.ndarray:
     """The k normalized vectors with the smallest ``mix64(vec_id)``
     (ties on vec_id). Each block proposes its local k, the driver picks
     the global k — pure selection, so any block split gives the same
@@ -55,20 +64,18 @@ def _init_centroids(sf_dir: str, k: int) -> np.ndarray:
         out = t.take(pa.array(pick))
         return out.append_column("h", pa.array(h[pick].astype(np.uint64)))
 
-    local = (_read_embeddings(sf_dir)
-             .map_batches(cand, batch_format="pyarrow").to_pandas())
+    local = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
     local = local.sort_values(["h", "vec_id"]).head(k)
     mat = np.stack([np.asarray(v, dtype=np.float32)
                     for v in local["embedding"]]).astype(np.float64)
     return normalize_rows(mat)
 
 
-def _lloyd(sf_dir: str, k: int, iters: int) -> np.ndarray:
+def _lloyd(ds, k: int, iters: int) -> np.ndarray:
     """Distributed spherical Lloyd: broadcast centroids, map-side
     assignment + fixed-point partial sums, ``groupby(cluster)`` integer
     reduce, renormalize. Returns the final normalized centroids."""
-    ds = _read_embeddings(sf_dir)
-    cent = _init_centroids(sf_dir, k)
+    cent = _init_centroids(ds, k)
 
     for _ in range(iters):
         ref = ray.put(cent)
@@ -112,7 +119,8 @@ def kmeans_clusters(sf_dir: str, k: int = 16,
     """Per-vector cluster assignment from ``iters`` rounds of the
     distributed Lloyd above, plus the cosine-to-centroid in basis
     points. Output sorted by vec_id."""
-    cent = _lloyd(sf_dir, k, iters)
+    ds = _read_embeddings(sf_dir)
+    cent = _lloyd(ds, k, iters)
     ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
@@ -126,8 +134,7 @@ def kmeans_clusters(sf_dir: str, k: int = 16,
                          "cluster": pa.array(a.astype(np.int64)),
                          "centroid_sim_bp": pa.array(bp)})
 
-    out = (_read_embeddings(sf_dir)
-           .map_batches(assign, batch_format="pyarrow")
+    out = (ds.map_batches(assign, batch_format="pyarrow")
            .sort("vec_id").to_pandas())
     return out.astype({"vec_id": "int64", "cluster": "int64",
                        "centroid_sim_bp": "int64"})
@@ -141,7 +148,8 @@ def semantic_dedup(sf_dir: str, tau_bp: int = 4000, k: int = 16,
     ``groupby(cluster)`` exchange moves the table; the quadratic
     similarity runs per cluster as a single matmul. Output: every
     vector with its cluster and keep flag, sorted by vec_id."""
-    cent = _lloyd(sf_dir, k, iters)
+    ds = _read_embeddings(sf_dir)
+    cent = _lloyd(ds, k, iters)
     ref = ray.put(cent)
 
     def tag(t: pa.Table) -> pa.Table:
@@ -166,8 +174,7 @@ def semantic_dedup(sf_dir: str, tau_bp: int = 4000, k: int = 16,
                              "cluster": g["cluster"].to_numpy(np.int64),
                              "keep": (~dup).astype(np.int64)})
 
-    out = (_read_embeddings(sf_dir)
-           .map_batches(tag, batch_format="pyarrow")
+    out = (ds.map_batches(tag, batch_format="pyarrow")
            .groupby("cluster").map_groups(dedup_cluster,
                                           batch_format="pandas")
            .to_pandas())

@@ -1694,53 +1694,62 @@ def q16_supplier_breadth(sf_dir: str) -> pd.DataFrame:
     with negative account balance (standing in for Q16's
     complaints NOT IN subquery).
 
-    Ray shape: both dimension lookups (partkey→brand/type,
-    suppkey→excluded) broadcast as dense arrays; the map side emits
-    per-block-distinct (brand, type, suppkey) triples, a ``groupby``
-    on the triple finishes the dedup, and the distinct count is a tiny
-    second aggregate — the exact-distinct two-exchange pattern from
-    ``users_per_event_type``, with the NOT-IN applied before any row
-    moves."""
+    Ray shape: both dimension lookups (partkey→brand/type codes,
+    suppkey→excluded) broadcast as dense arrays, and the (brand, type)
+    pair is INTEGER-CODED map-side (``code·2^32 + suppkey``), so the
+    exchange carries per-block-distinct int64 keys instead of string
+    triples; one bucketed ``groupby(key % B)`` finishes the distinct
+    (each (code, supp) pair lands in exactly one bucket, so per-bucket
+    distinct-counts partition the global count) and the strings are
+    re-attached only to the ≤|brand×type| result rows on the driver.
+    (The first cut used two native string-key sort aggregates and was
+    6× slower — measured 9.6 s vs 1.5 s at sf0.1.)"""
     import ray
-
-    from ray.data.aggregate import Count
 
     part = _read(sf_dir, "part",
                  columns=["p_partkey", "p_brand", "p_type"]).to_pandas()
+    bt = (part["p_brand"].astype(str) + "\x1f" + part["p_type"]
+          .astype(str))
+    codes_s, uniq_bt = pd.factorize(bt, sort=True)
     pk = part["p_partkey"].to_numpy(np.int64)
-    brand = np.empty(pk.max() + 1, dtype=object)
-    ptype = np.empty(pk.max() + 1, dtype=object)
-    brand[pk] = part["p_brand"].to_numpy(object)
-    ptype[pk] = part["p_type"].to_numpy(object)
+    code_of_part = np.full(pk.max() + 1, -1, dtype=np.int64)
+    code_of_part[pk] = codes_s.astype(np.int64)
 
     sup = _read(sf_dir, "supplier",
                 columns=["s_suppkey", "s_acctbal"]).to_pandas()
     sk = sup["s_suppkey"].to_numpy(np.int64)
     bad = np.zeros(sk.max() + 1, dtype=bool)
     bad[sk] = sup["s_acctbal"].to_numpy() < 0
-    ref = ray.put((brand, ptype, bad))
+    ref = ray.put((code_of_part, bad))
 
     items = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
 
-    def triples(t: pa.Table) -> pa.Table:
-        brand_, ptype_, bad_ = ray.get(ref)
+    def keys(t: pa.Table) -> pa.Table:
+        code_, bad_ = ray.get(ref)
         supk = t.column("l_suppkey").to_numpy().astype(np.int64)
         m = ~bad_[supk]
-        key = t.column("l_partkey").to_numpy().astype(np.int64)[m]
-        supk = supk[m]
-        df = pd.DataFrame({"p_brand": brand_[key], "p_type": ptype_[key],
-                           "s": supk})
-        df = df.drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        code = code_[t.column("l_partkey").to_numpy().astype(np.int64)[m]]
+        key = np.unique((code << 32) | supk[m])
+        return pa.table({
+            "key": pa.array(key),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
 
-    dedup = (items.map_batches(triples, batch_format="pyarrow")
-             .groupby(["p_brand", "p_type", "s"])
-             .aggregate(Count(alias_name="_c")))
-    out = (dedup.map_batches(
-        lambda t: t.select(["p_brand", "p_type"]), batch_format="pyarrow")
-        .groupby(["p_brand", "p_type"])
-        .aggregate(Count(alias_name="supplier_cnt"))
-        .to_pandas())
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["key"].to_numpy(np.int64))
+        code, cnt = np.unique(key >> 32, return_counts=True)
+        return pd.DataFrame({"code": code,
+                             "supplier_cnt": cnt.astype(np.int64)})
+
+    partial = (items.map_batches(keys, batch_format="pyarrow")
+               .groupby("bucket").map_groups(count_bucket,
+                                             batch_format="pandas")
+               .to_pandas())
+    agg = partial.groupby("code", as_index=False)["supplier_cnt"].sum()
+    pair = uniq_bt[agg["code"].to_numpy(np.int64)].str.split("\x1f")
+    out = pd.DataFrame({
+        "p_brand": [p[0] for p in pair],
+        "p_type": [p[1] for p in pair],
+        "supplier_cnt": agg["supplier_cnt"].to_numpy(np.int64)})
     return (out.sort_values(["p_brand", "p_type"], kind="mergesort")
             .reset_index(drop=True).astype({"supplier_cnt": "int64"}))
 
