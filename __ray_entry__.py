@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing": analytics.q1_pricing,
         "user_activity": analytics.user_activity,
         "events_windowed": analytics.events_windowed,
+        "events_hopping": analytics.events_hopping,
         # watermark scan + sorts/top-k (SURVEY §2.1 S1, §2.6)
         "events_since_watermark": analytics.events_since_watermark,
         "docs_top_nchars": analytics.docs_top_nchars,
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_scores": text_ops.lm_bigram_scores,    # golden oracle
         "kmeans_clusters": cluster.kmeans_clusters,       # golden oracle
         "semantic_dedup": cluster.semantic_dedup,         # golden oracle
+        "user_value_time_window": analytics.user_value_time_window,
+        "doc_posting_hashes": analytics.doc_posting_hashes,
+        "bm25_scores": text_ops.bm25_scores,              # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -172,7 +176,7 @@ def oracle_sql() -> dict[str, str]:
                       "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
-                      "kmeans_clusters", "semantic_dedup"]
+                      "kmeans_clusters", "semantic_dedup", "bm25_scores"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -221,6 +225,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
                        AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT event_type,
+                   CAST((epoch_us(ts) // 900000000) * 900000000
+                        - k * 900000000 AS BIGINT) AS window_start_us,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
+            FROM events, generate_series(0, 3) AS t(k)
+            GROUP BY 1, 2
         """,
         "events_since_watermark": """
             SELECT event_id, user_id, event_type, value
@@ -917,6 +931,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "user_value_time_window": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS win_cents
+            FROM events
+        """,
+        "doc_posting_hashes": r"""
+            WITH pairs AS (
+              SELECT DISTINCT tok, doc_id FROM (
+                SELECT unnest(regexp_extract_all(text, '\S+')) AS tok,
+                       doc_id
+                FROM documents))
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(('0x' || substr(md5(string_agg(
+                       CAST(doc_id AS VARCHAR), ','
+                       ORDER BY doc_id)), 1, 15)) AS UBIGINT)
+                       AS posting_hash
+            FROM pairs GROUP BY tok ORDER BY tok
         """,
         "q21_blocking_suppliers": """
             WITH per AS (

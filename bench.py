@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q11_important_parts", "q16_supplier_breadth",
     "q20_dominant_suppliers", "q21_blocking_suppliers",
     "lm_bigram_scores", "kmeans_clusters", "semantic_dedup",
+    "user_value_time_window", "doc_posting_hashes", "bm25_scores",
+    "events_hopping",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

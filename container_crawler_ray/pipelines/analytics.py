@@ -260,6 +260,40 @@ def events_windowed(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas()
 
 
+def events_hopping(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows advancing
+    every 15 minutes, so each event lands in exactly 4 overlapping
+    windows. The Ray mapping is a map-side EXPLODE (each row emits its
+    4 window-start keys — ``np.repeat`` + offset ravel, no Python
+    loop) followed by the same grouped aggregate as the tumbling case;
+    the exchange grows by the overlap factor, which is the inherent
+    cost of hopping windows in any engine (Flink/Beam do the same
+    per-pane replication)."""
+    hop_us = 900_000_000          # 15 min
+    n_panes = 4                   # 1 h window / 15 min hop
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy()
+        base = (ts_us // hop_us) * hop_us
+        win = (base[:, None]
+               - hop_us * np.arange(n_panes, dtype=np.int64)[None, :]
+               ).ravel()
+        et = np.repeat(np.asarray(t.column("event_type")), n_panes)
+        v = np.repeat(
+            np.floor(t.column("value").to_numpy() * 100).astype(np.int64),
+            n_panes)
+        return pa.table({"event_type": pa.array(et),
+                         "window_start_us": pa.array(win),
+                         "value_cents": pa.array(v)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["event_type", "window_start_us"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_cents", alias_name="sum_value_cents")))
+    return out.to_pandas()
+
+
 # ------------------------------------------------------------- text stats
 def text_stats(sf_dir: str) -> pd.DataFrame:
     """Integer token/punct counts (RE2 parity with the DuckDB oracle)."""
@@ -1295,3 +1329,113 @@ def lineitem_unpivot(sf_dir: str) -> pd.DataFrame:
     out = (part.groupby(["l_returnflag", "measure"], as_index=False)
            .agg(total_cents=("total_cents", "sum"), n=("n", "sum")))
     return out.astype({"total_cents": "int64", "n": "int64"})
+
+
+def user_value_time_window(sf_dir: str,
+                           window_us: int = 3_600_000_000) -> pd.DataFrame:
+    """Time-RANGE windowed aggregate: for every event, the same user's
+    value-cents summed over the trailing hour INCLUSIVE of equal-ts
+    peers — SQL's ``SUM() OVER (PARTITION BY user ORDER BY ts RANGE
+    BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``, the
+    time-based sibling of ``user_value_rolling``'s ROWS window.
+
+    One bucketed ``groupby(user_id % 64)`` exchange; inside a bucket
+    every user's window bounds come from TWO ``np.searchsorted`` calls
+    total: users are dense-ranked and each user's timestamps are
+    offset into a disjoint band (``rank · span``), making the bucket's
+    (user, ts) order a single monotonic int64 axis — no per-user
+    dispatch. Band arithmetic bounds the bucket at
+    ``users_per_bucket · time_span < 2^63`` µs; at larger scale the
+    bucket count is the dial (more buckets → fewer users per bucket).
+    """
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": pa.array(cents),
+                         "bucket": pa.array(b)})
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        ts = g["ts_us"].to_numpy(np.int64)
+        u_idx = pd.factorize(g["user_id"].to_numpy(), sort=False)[0]
+        tmin = ts.min()
+        span = np.int64(ts.max() - tmin + window_us + 2)
+        adj = u_idx.astype(np.int64) * span + (ts - tmin)
+        cs = np.concatenate(([0], np.cumsum(g["cents"].to_numpy())))
+        lo = np.searchsorted(adj, adj - np.int64(window_us), side="left")
+        hi = np.searchsorted(adj, adj, side="right")
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "win_cents": cs[hi] - cs[lo]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(win, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"win_cents": "int64"})
+
+
+def doc_posting_hashes(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build, verified by content: per term, the
+    document frequency and an order-canonical digest of the posting
+    list (md5 of the comma-joined ascending doc_ids, truncated to the
+    engine's 15-hex convention) — so the SQL twin can check the FULL
+    index without hauling list columns through the comparator.
+
+    Ray shape: per-doc-distinct (term, doc_id) pairs map-side (the
+    exchange moves one row per posting entry, the floor for an exact
+    index); terms are co-located by ``hash64(term) % 64`` so each
+    bucket finalizes its terms' postings with C-level sort + groupby
+    joins. At web scale the stopword head makes single giant postings
+    — there you cap or segment postings per (term, doc-range) shard;
+    the digest-per-shard check works unchanged."""
+    import hashlib
+
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        toks, docs = [], []
+        for did, s in zip(ids, texts):
+            uniq = sorted(set(s.split()))
+            toks.extend(uniq)
+            docs.extend([did] * len(uniq))
+        toks = np.asarray(toks, dtype=object)
+        b = (hash64_many(toks) % np.uint64(64)).astype(np.int32) \
+            if len(toks) else np.array([], dtype=np.int32)
+        return pa.table({"tok": pa.array(list(toks), type=pa.string()),
+                         "doc_id": pa.array(np.asarray(docs,
+                                                       dtype=np.int64)),
+                         "bucket": pa.array(b)})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tok", "doc_id"], kind="mergesort")
+        ids_str = g["doc_id"].astype(str)
+        agg = (pd.DataFrame({"tok": g["tok"], "s": ids_str})
+               .groupby("tok", sort=False)["s"]
+               .agg([("n_docs", "size"), ("joined", ",".join)])
+               .reset_index())
+        ph = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in agg["joined"]),
+            dtype=np.uint64, count=len(agg))
+        return pd.DataFrame({"tok": agg["tok"],
+                             "n_docs": agg["n_docs"].astype(np.int64),
+                             "posting_hash": ph})
+
+    out = (ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby("bucket").map_groups(finalize, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("tok", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_docs": "int64", "posting_hash": "uint64"}))

@@ -186,3 +186,81 @@ def lm_bigram_scores(sf_dir: str, min_count: int = 1) -> pd.DataFrame:
            .sort("doc_id").to_pandas())
     return out.astype({"doc_id": "int64", "n_tokens": "int64",
                        "score_milli": "int64"})
+
+
+def bm25_scores(sf_dir: str, topn: int = 20, k1: float = 1.2,
+                b: float = 0.75) -> pd.DataFrame:
+    """BM25 retrieval scoring (Robertson & Zaragoza 2009 — public
+    formula) of every document against a deterministic query: the
+    distinct tokens of the lowest-doc_id document. Top-``topn`` docs by
+    score (floor'd milli-nats; ties break on doc_id).
+
+    Distributed shape: corpus statistics (N, total tokens, per-term
+    document frequencies) come from ONE stats pass that emits a single
+    fixed-width partial row per block (int64 counters — order-free
+    merge on the driver); the scoring pass is pure map-side with the
+    (tiny) stats broadcast, then a global top-k. The float math
+    (idf · tf saturation) is per-doc from identical integers on both
+    sides, so the independent golden matches exactly."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    q_tbl = pq_.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filters=[("doc_id", "=", 0)])
+    q_terms = np.asarray(sorted(set(q_tbl.column("text")[0].as_py()
+                                    .split())), dtype=object)
+    nq = len(q_terms)
+    q_index = pd.Index(q_terms)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        df = np.zeros(nq, dtype=np.int64)
+        n_toks = 0
+        for s in texts:
+            toks = s.split()
+            n_toks += len(toks)
+            hit = q_index.get_indexer(pd.Index(set(toks)))
+            df[hit[hit >= 0]] += 1
+        return pa.table({"n_docs": pa.array([len(texts)]),
+                         "n_toks": pa.array([n_toks]),
+                         "df": pa.array([df.tobytes()],
+                                        type=pa.binary())})
+
+    part = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(part["n_docs"].sum())
+    n_toks = int(part["n_toks"].sum())
+    df = np.zeros(nq, dtype=np.int64)
+    for bbytes in part["df"]:
+        df += np.frombuffer(bbytes, dtype=np.int64)
+    avgdl = np.float64(n_toks) / np.float64(n_docs)
+    idf = np.log((np.float64(n_docs) - df + 0.5) / (df + 0.5) + 1.0)
+    ref = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(ref)
+        texts = t.column("text").to_pylist()
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = np.asarray(s.split(), dtype=object)
+            dl = np.float64(len(toks))
+            if len(toks) == 0:
+                out[i] = 0
+                continue
+            ti = q_index.get_indexer(pd.Index(toks))
+            tf = np.bincount(ti[ti >= 0], minlength=nq).astype(np.float64)
+            sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl_))
+            out[i] = np.int64(np.floor(np.dot(idf_, sat) * 1000.0))
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy()
+                               .astype(np.int64)),
+            "score_milli": pa.array(out)})
+
+    local = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = (local.sort_values(["score_milli", "doc_id"],
+                             ascending=[False, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+    return out.astype({"doc_id": "int64", "score_milli": "int64"})

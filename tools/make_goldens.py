@@ -763,6 +763,55 @@ def g_semantic_dedup(sf_dir: str, tau_bp: int = 4000, k: int = 16,
     return df.sort_values("vec_id").reset_index(drop=True)
 
 
+def g_bm25_scores(sf_dir: str, topn: int = 20, k1: float = 1.2,
+                  b: float = 0.75) -> pd.DataFrame:
+    """Independent BM25: dict/Counter corpus stats, same float formula
+    per doc from identical integers, floor'd milli scores, (score desc,
+    doc_id asc) top-n."""
+    docs = _docs(sf_dir).sort_values("doc_id").reset_index(drop=True)
+    q_terms = np.asarray(
+        sorted(set(docs.loc[docs["doc_id"].idxmin(), "text"].split())),
+        dtype=object)
+    nq = len(q_terms)
+    pos = {t: i for i, t in enumerate(q_terms)}
+
+    n_docs = 0
+    n_toks = 0
+    df = np.zeros(nq, dtype=np.int64)
+    toklists = []
+    for text in docs["text"]:
+        toks = text.split()
+        n_docs += 1
+        n_toks += len(toks)
+        for t in set(toks):
+            if t in pos:
+                df[pos[t]] += 1
+        toklists.append(toks)
+    avgdl = np.float64(n_toks) / np.float64(n_docs)
+    idf = np.log((np.float64(n_docs) - df + 0.5) / (df + 0.5) + 1.0)
+
+    scores = np.empty(n_docs, dtype=np.int64)
+    for i, toks in enumerate(toklists):
+        if not toks:
+            scores[i] = 0
+            continue
+        dl = np.float64(len(toks))
+        tf = np.zeros(nq, dtype=np.float64)
+        for t in toks:
+            j = pos.get(t)
+            if j is not None:
+                tf[j] += 1.0
+        sat = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        scores[i] = np.int64(np.floor(np.dot(idf, sat) * 1000.0))
+
+    out = pd.DataFrame({"doc_id": docs["doc_id"].to_numpy(np.int64),
+                        "score_milli": scores})
+    out = (out.sort_values(["score_milli", "doc_id"],
+                           ascending=[False, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+    return out
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -783,6 +832,7 @@ GOLDENS = {
     "lm_bigram_scores": g_lm_bigram_scores,
     "kmeans_clusters": g_kmeans_clusters,
     "semantic_dedup": g_semantic_dedup,
+    "bm25_scores": g_bm25_scores,
 }
 
 
