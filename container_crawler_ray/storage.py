@@ -192,22 +192,128 @@ class TableStore:
         """All fragment files of *name* (flat files and per-pass dirs),
         sorted. If *committed_passes* is given, fragments from later
         (uncommitted, possibly torn) passes are excluded — the resume path
-        uses this to ignore orphans."""
+        uses this to ignore orphans.
+
+        Compaction awareness: originals listed as covered in
+        ``compaction.json`` are skipped even if still on disk (the window
+        between manifest commit and original deletion), and ``LOxHI``
+        segment files are admitted only when the manifest lists them (a
+        segment without a manifest entry is a torn compaction — ignored
+        and overwritten by the retry)."""
         d = self.table_dir(name)
         files = sorted(
             glob.glob(os.path.join(d, f"*.{self._ext}"))
             + glob.glob(os.path.join(d, "*", f"*.{self._ext}"))
         )
+        man = self._compaction_manifest(name)
+        covered: set[str] = set()
+        segments: set[str] = set()
+        for ent in man.get("covered", []):
+            segments.add(ent["segment"])
+            covered.update(ent["originals"])
+        seg_pat = re.compile(r"_\d{6}x\d{6}\." + re.escape(self._ext) + "$")
+        kept = []
+        for f in files:
+            base = os.path.basename(f)
+            if base in covered:
+                continue
+            if seg_pat.search(base) and base not in segments:
+                continue
+            kept.append(f)
+        files = kept
         if committed_passes is None:
             return files
         out = []
-        pat = re.compile(r"_(\d{6})([./])")
+        # for LOxHI segments the second match group is HI, which is what
+        # the orphan filter must compare (a segment only ever covers
+        # committed passes, so HI <= any later committed watermark)
+        pat = re.compile(r"_(?:\d{6}x)?(\d{6})([./x])")
         for f in files:
             m = pat.search(os.path.relpath(f, d))
             if m and int(m.group(1)) > committed_passes:
                 continue
             out.append(f)
         return out
+
+    # ------------------------------------------------------------ compaction
+    def _compaction_manifest(self, name: str) -> dict:
+        p = os.path.join(self.table_dir(name), "compaction.json")
+        if not os.path.exists(p):
+            return {"covered": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def compact(self, name: str, tag: str = "append",
+                upto_pass: int | None = None) -> str | None:
+        """Merge the flat ``<tag>_NNNNNN`` fragments (all of them, or
+        those with pass ≤ *upto_pass*) into one ``<tag>_LOxHI`` segment —
+        the small-file compaction every long-running append store needs
+        (at one fragment per pass, a month of 5-minute passes is ~9k
+        files; scan planning and sidecar pruning pay per file).
+
+        Crash-safe by manifest ordering: (1) segment written tmp+replace,
+        (2) ``compaction.json`` atomically updated to map the segment to
+        its covered originals, (3) originals deleted. A crash after (1)
+        leaves an unlisted segment that ``fragments()`` ignores; after
+        (2), ``fragments()`` serves the segment and skips the originals
+        whether or not deletion finished — no state double-reads rows.
+        Sidecar manifests (rowid scan pruning) are merged, so the S1
+        delta-scan pruning keeps working on the segment. Call only for
+        passes already committed (``meta.json``); re-running an
+        UNcommitted pass may legitimately rewrite its fragment, which a
+        segment must never absorb."""
+        d = self.table_dir(name)
+        man = self._compaction_manifest(name)
+        covered = {o for e in man["covered"] for o in e["originals"]}
+        pat = re.compile("^" + re.escape(tag) + r"_(\d{6})\."
+                         + re.escape(self._ext) + "$")
+        picks: list[tuple[int, str]] = []
+        for f in sorted(glob.glob(os.path.join(d, f"{tag}_*.{self._ext}"))):
+            base = os.path.basename(f)
+            m = pat.match(base)
+            if not m or base in covered:
+                continue
+            p = int(m.group(1))
+            if upto_pass is not None and p > upto_pass:
+                continue
+            picks.append((p, f))
+        if len(picks) < 2:
+            return None
+        lo, hi = picks[0][0], picks[-1][0]
+        merged = pa.concat_tables([self._read_file(f) for _, f in picks],
+                                  promote_options="default")
+        metas = [self.fragment_meta(f) for _, f in picks]
+        side = None
+        if all(m is not None for m in metas):
+            per: dict[str, int] = {}
+            for m in metas:
+                for pid, mx in (m.get("per_partition_max") or {}).items():
+                    per[pid] = max(per.get(pid, -1), int(mx))
+            side = {"max_rowid": max(m.get("max_rowid", -1) for m in metas),
+                    "per_partition_max": per}
+        seg_base = f"{tag}_{lo:06d}x{hi:06d}.{self._ext}"
+        seg = os.path.join(d, seg_base)
+        tmp = seg + ".tmp"
+        self._write_file(merged, tmp)
+        os.replace(tmp, seg)
+        if side is not None:
+            mtmp = seg + ".json.tmp"
+            with open(mtmp, "w") as f:
+                json.dump(side, f)
+            os.replace(mtmp, seg + ".json")
+        man["covered"].append({
+            "segment": seg_base,
+            "originals": [os.path.basename(f) for _, f in picks]})
+        mpath = os.path.join(d, "compaction.json")
+        mtmp = mpath + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(mtmp, mpath)
+        for _, f in picks:
+            for p_ in (f, f + ".json"):
+                if os.path.exists(p_):
+                    os.remove(p_)
+        return seg
 
     def pass_dir(self, name: str, pass_id: int, tag: str = "pass") -> str:
         """Directory for a streaming per-pass write (``ds.write_parquet``).

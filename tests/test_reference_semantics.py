@@ -263,3 +263,40 @@ def test_driver_bucket_state_bounded(tmp_path):
             f"bucket dict holds {len(st.buckets)} entries for "
             f"{n_hosts} lightly-loaded hosts — unbounded growth")
     st.seen.teardown()
+
+
+def _frontier_rows_sorted(root):
+    """Full frontier MULTISET (deferred re-appends duplicate
+    canonical_urls, so the keyed _frontier_rowids dict is file-order
+    sensitive — this is the order-free comparison)."""
+    import pandas as pd
+
+    fs = sorted(glob.glob(f"{root}/tables/frontier/*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in fs],
+                   ignore_index=True)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_compact_then_resume_equals_uninterrupted(tmp_store):
+    """Small-file compaction between passes is invisible to the engine:
+    2 passes + frontier compaction + resume 2 ≡ straight 4 passes
+    (content, watermarks, rowids — the compacted segment's merged
+    sidecar must keep the delta-scan pruning exact)."""
+    from container_crawler_ray.storage import TableStore
+
+    cfg = CrawlConfig(**BASE, fail_mod=13)
+    seeds = make_seed_urls(100, n_hosts=20)
+    rootA, rootB = f"{tmp_store}-A", f"{tmp_store}-B"
+    run_crawl(rootA, cfg, seed_urls=seeds, max_passes=4)
+    run_crawl(rootB, cfg, seed_urls=seeds, max_passes=2)
+    st = TableStore(rootB)
+    committed = st.read_meta()["pass_id"]
+    assert st.compact("frontier", upto_pass=committed) is not None
+    run_crawl(rootB, cfg, resume=True, max_passes=4)
+    assert {d["doc_id"] for d in _docs(rootA)} == \
+        {d["doc_id"] for d in _docs(rootB)}
+    assert _wm(rootA) == _wm(rootB)
+    assert _frontier_rows_sorted(rootA).equals(_frontier_rows_sorted(rootB))
+    # and the file count actually went down
+    assert len(glob.glob(f"{rootB}/tables/frontier/*.parquet")) < \
+        len(glob.glob(f"{rootA}/tables/frontier/*.parquet"))

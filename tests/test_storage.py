@@ -123,3 +123,53 @@ def test_lance_backend_registered_but_gated(monkeypatch):
     assert "lance" in storage._BACKENDS
     with pytest.raises(ImportError, match="lance"):
         storage.resolve_backend("lance")
+
+
+def test_compact_merges_fragments_and_sidecars(store):
+    for p in (1, 2, 3, 4):
+        store.append_fragment("fr", _t([p * 10, p * 10 + 1]), p,
+                              meta={"max_rowid": p * 10 + 1,
+                                    "per_partition_max": {"0": p * 10 + 1}})
+    seg = store.compact("fr")
+    assert seg is not None and seg.endswith("append_000001x000004.parquet")
+    files = store.fragments("fr")
+    assert [os.path.basename(f) for f in files] == \
+        ["append_000001x000004.parquet"]
+    t = store.read_all("fr")
+    assert sorted(t.column("x").to_pylist()) == \
+        [10, 11, 20, 21, 30, 31, 40, 41]
+    # merged pruning sidecar
+    assert store.fragment_meta(files[0]) == \
+        {"max_rowid": 41, "per_partition_max": {"0": 41}}
+    # committed-pass filter parses the segment's HI bound
+    assert store.fragments("fr", committed_passes=4) == files
+    assert store.fragments("fr", committed_passes=3) == []
+    # new appends coexist with the segment; a second compact absorbs only
+    # the loose fragments (segments are terminal)
+    store.append_fragment("fr", _t([50]), 5)
+    assert len(store.fragments("fr")) == 2
+    assert store.compact("fr") is None  # one loose fragment -> no-op
+
+
+def test_compact_crash_windows_never_double_read(store):
+    import glob
+    import json
+
+    for p in (1, 2):
+        store.append_fragment("fr", _t([p]), p)
+    # torn compaction attempt: segment written, manifest NOT yet written
+    seg = os.path.join(store.table_dir("fr"), "append_000001x000002.parquet")
+    store._write_file(_t([1, 2]), seg)
+    got = store.read_all("fr").column("x").to_pylist()
+    assert sorted(got) == [1, 2]  # unlisted segment ignored, originals win
+    # manifest committed, originals not yet deleted (the other window)
+    man = {"covered": [{"segment": "append_000001x000002.parquet",
+                        "originals": ["append_000001.parquet",
+                                      "append_000002.parquet"]}]}
+    with open(os.path.join(store.table_dir("fr"), "compaction.json"),
+              "w") as f:
+        json.dump(man, f)
+    got = store.read_all("fr").column("x").to_pylist()
+    assert sorted(got) == [1, 2]  # segment wins, originals skipped
+    assert len(glob.glob(os.path.join(store.table_dir("fr"),
+                                      "append_00000?.parquet"))) == 2
