@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_time_window": analytics.user_value_time_window,
         "doc_posting_hashes": analytics.doc_posting_hashes,
         "bm25_scores": text_ops.bm25_scores,              # golden oracle
+        "events_value_zscore": analytics.events_value_zscore,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -931,6 +932,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "events_value_zscore": """
+            WITH m AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(CAST(FLOOR(value*100) AS BIGINT))
+                          AS DOUBLE) AS s,
+                     CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)
+                              * CAST(FLOOR(value*100) AS BIGINT))
+                          AS DOUBLE) AS q
+              FROM events GROUP BY event_type)
+            SELECT e.event_id,
+                   CAST(FLOOR(((CAST(FLOOR(e.value*100) AS BIGINT)
+                                - s/n)
+                       / SQRT(q/n - (s/n)*(s/n))) * 1000) AS BIGINT)
+                       AS z_milli
+            FROM events e JOIN m USING (event_type)
         """,
         "user_value_time_window": """
             SELECT event_id, user_id,

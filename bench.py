@@ -68,7 +68,7 @@ BENCH_QUERIES = [
     "q20_dominant_suppliers", "q21_blocking_suppliers",
     "lm_bigram_scores", "kmeans_clusters", "semantic_dedup",
     "user_value_time_window", "doc_posting_hashes", "bm25_scores",
-    "events_hopping",
+    "events_hopping", "events_value_zscore",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

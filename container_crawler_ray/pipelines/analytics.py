@@ -1439,3 +1439,61 @@ def doc_posting_hashes(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("tok", kind="mergesort")
             .reset_index(drop=True)
             .astype({"n_docs": "int64", "posting_hash": "uint64"}))
+
+
+def events_value_zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type z-score normalization (the feature-scaling pass a
+    training pipeline runs before model input): for each event, how
+    many standard deviations its value sits from its type's mean, in
+    floor'd milli units.
+
+    Exactness discipline: the cross-row moments are EXACT INTEGER sums
+    (Σcents, Σcents² — commutative, so block/merge order cannot change
+    them); the float math (mean, σ, the per-row z) happens once per row
+    from those exact integers, with the identical expression on the
+    DuckDB side (IEEE-correctly-rounded /, sqrt on identical doubles →
+    identical results). Shape: one tiny groupby for the moments
+    (3 int64s per type per block), broadcast, then a pure map-side
+    normalize — the second pass streams, nothing shuffles."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        c = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        types, inv = np.unique(et, return_inverse=True)
+        s = np.zeros(len(types), dtype=np.int64)
+        q = np.zeros(len(types), dtype=np.int64)
+        np.add.at(s, inv, c)            # int64 adds: exact at any scale
+        np.add.at(q, inv, c * c)        # (float-weighted bincount is not)
+        return pa.table({
+            "event_type": pa.array(list(types), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "s": pa.array(s),
+            "q": pa.array(q)})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                      Sum("q", alias_name="q")).to_pandas())
+    idx = pd.Index(agg["event_type"])
+    n = agg["n"].to_numpy(np.float64)
+    mu = agg["s"].to_numpy(np.float64) / n
+    sigma = np.sqrt(agg["q"].to_numpy(np.float64) / n - mu * mu)
+    ref = ray.put((idx, mu, sigma))
+
+    def norm(t: pa.Table) -> pa.Table:
+        idx_, mu_, sg_ = ray.get(ref)
+        et = np.asarray(t.column("event_type")).astype(object)
+        c = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        i = idx_.get_indexer(pd.Index(et))
+        z = (c.astype(np.float64) - mu_[i]) / sg_[i]
+        return pa.table({
+            "event_id": pa.array(t.column("event_id").to_numpy()
+                                 .astype(np.int64)),
+            "z_milli": pa.array(np.floor(z * 1000.0).astype(np.int64))})
+
+    out = ds.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return out.astype({"event_id": "int64", "z_milli": "int64"})
