@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_posting_hashes": analytics.doc_posting_hashes,
         "bm25_scores": text_ops.bm25_scores,              # golden oracle
         "events_value_zscore": analytics.events_value_zscore,
+        "user_value_running_total": analytics.user_value_running_total,
+        "crm_spend_reconciliation": joins.crm_spend_reconciliation,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -932,6 +934,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "user_value_running_total": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS running_cents
+            FROM events
+        """,
+        "crm_spend_reconciliation": """
+            WITH crm AS (
+              SELECT c_custkey AS key,
+                     CAST(FLOOR(c_acctbal*100) AS BIGINT) AS acctbal_cents
+              FROM customer WHERE c_acctbal >= 5000),
+            sp AS (
+              SELECT user_id AS key,
+                     CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT)
+                         AS spend_cents
+              FROM events GROUP BY user_id)
+            SELECT CAST(COALESCE(crm.key, sp.key) AS BIGINT) AS key,
+                   CAST(COALESCE(acctbal_cents, -1) AS BIGINT)
+                       AS acctbal_cents,
+                   CAST(COALESCE(spend_cents, -1) AS BIGINT)
+                       AS spend_cents,
+                   CASE WHEN crm.key IS NULL THEN 'events_only'
+                        WHEN sp.key IS NULL THEN 'crm_only'
+                        ELSE 'both' END AS status
+            FROM crm FULL OUTER JOIN sp ON crm.key = sp.key
+            ORDER BY key
         """,
         "events_value_zscore": """
             WITH m AS (

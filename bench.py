@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "lm_bigram_scores", "kmeans_clusters", "semantic_dedup",
     "user_value_time_window", "doc_posting_hashes", "bm25_scores",
     "events_hopping", "events_value_zscore",
+    "user_value_running_total", "crm_spend_reconciliation",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1497,3 +1497,43 @@ def events_value_zscore(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(norm, batch_format="pyarrow").to_pandas()
     return out.astype({"event_id": "int64", "z_milli": "int64"})
+
+
+def user_value_running_total(sf_dir: str) -> pd.DataFrame:
+    """Cumulative window (``SUM() OVER (PARTITION BY user ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING)``): each user's lifetime
+    value-cents total as of each event — the last window-function shape
+    missing from the family (rank / lag / ROWS / RANGE live nearby).
+    Same bucketed kernel: one ``user_id % 64`` exchange, then one
+    global cumsum with per-user resets via the cumcount-anchored
+    subtraction trick (cumsum minus the value of the user's first row's
+    prefix) — no per-user dispatch."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        b = (t.column("user_id").to_numpy() % 64).astype(np.int32)
+        return pa.table({"event_id": t.column("event_id"),
+                         "user_id": t.column("user_id"),
+                         "ts_us": t.column("ts").cast(pa.int64()),
+                         "cents": pa.array(cents),
+                         "bucket": pa.array(b)})
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        c = g["cents"].to_numpy()
+        cs = np.cumsum(c)
+        rank = g.groupby("user_id", sort=False).cumcount().to_numpy()
+        i = np.arange(len(c))
+        first = i - rank                       # index of the user's first row
+        base = cs[first] - c[first]            # prefix before the user starts
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "running_cents": cs - base})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(running, batch_format="pandas")
+           .to_pandas())
+    return out.astype({"running_cents": "int64"})

@@ -1868,3 +1868,70 @@ def q21_blocking_suppliers(sf_dir: str, topn: int = 20) -> pd.DataFrame:
     return (out.sort_values(["n_orders", "s_name"],
                             ascending=[False, True], kind="mergesort")
             .head(topn).reset_index(drop=True))
+
+
+def crm_spend_reconciliation(sf_dir: str,
+                             min_acctbal: float = 5000.0) -> pd.DataFrame:
+    """FULL OUTER join (the reconciliation shape — every other join in
+    this module is inner/semi/anti/left): the CRM's high-balance
+    customer list against per-user observed spend, keeping orphans on
+    BOTH sides with a status tag. Missing sides surface as -1 (not
+    NULL) so the Arrow schema stays int64 end-to-end.
+
+    Ray shape: the events side pre-aggregates to one row per user
+    map-side+groupby (partials per block); both relations tag a side
+    byte and union; ONE bucketed ``groupby(key % B)`` co-locates keys
+    and a vectorized pandas ``merge(how="outer")`` per bucket emits
+    matched rows and both orphan kinds — outer-ness is bucket-local
+    because the bucket function is total on the key."""
+    crm = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def tag_crm(t: pa.Table) -> pa.Table:
+        bal = t.column("c_acctbal").to_numpy()
+        m = bal >= min_acctbal
+        key = t.column("c_custkey").to_numpy().astype(np.int64)[m]
+        cents = np.floor(bal[m] * 100).astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "v": pa.array(cents),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_spend(t: pa.Table) -> pa.Table:
+        key = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        ks, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({
+            "key": pa.array(ks),
+            "v": pa.array(s),
+            "side": pa.array(np.ones(len(ks), dtype=np.int8)),
+            "bucket": pa.array((ks % _JOIN_BUCKETS).astype(np.int32))})
+
+    def outer(g: pd.DataFrame) -> pd.DataFrame:
+        crm_ = g[g["side"] == 0][["key", "v"]].rename(
+            columns={"v": "acctbal_cents"})
+        sp = (g[g["side"] == 1].groupby("key", as_index=False)["v"].sum()
+              .rename(columns={"v": "spend_cents"}))
+        m = crm_.merge(sp, on="key", how="outer")
+        status = np.where(m["acctbal_cents"].isna(), "events_only",
+                          np.where(m["spend_cents"].isna(), "crm_only",
+                                   "both"))
+        return pd.DataFrame({
+            "key": m["key"].to_numpy(np.int64),
+            "acctbal_cents": m["acctbal_cents"].fillna(-1)
+            .to_numpy(np.int64),
+            "spend_cents": m["spend_cents"].fillna(-1).to_numpy(np.int64),
+            "status": status})
+
+    tagged = crm.map_batches(tag_crm, batch_format="pyarrow").union(
+        ev.map_batches(tag_spend, batch_format="pyarrow"))
+    out = (tagged.groupby("bucket").map_groups(outer,
+                                               batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("key", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"key": "int64", "acctbal_cents": "int64",
+                     "spend_cents": "int64"}))
