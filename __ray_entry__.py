@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_zscore": analytics.events_value_zscore,
         "user_value_running_total": analytics.user_value_running_total,
         "crm_spend_reconciliation": joins.crm_spend_reconciliation,
+        "strip_dup_windows": dedup.strip_dup_windows,     # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -179,7 +180,8 @@ def oracle_sql() -> dict[str, str]:
                       "users_per_event_type_hll", "knn_lsh",
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
-                      "kmeans_clusters", "semantic_dedup", "bm25_scores"]
+                      "kmeans_clusters", "semantic_dedup", "bm25_scores",
+                      "strip_dup_windows"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

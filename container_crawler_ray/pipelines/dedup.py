@@ -851,3 +851,87 @@ def name_edit_near_pairs(sf_dir: str, max_d: int = 2) -> pd.DataFrame:
            .to_pandas().drop_duplicates(["name_a", "name_b"]))
     return (out.sort_values(["name_a", "name_b"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    paper): ``dup_ngram_spans`` measures duplicated windows; this op
+    actually MASKS them. Every k-token window whose text also occurs in
+    another document marks its tokens; overlapping marks are merged by
+    an interval-union kernel (difference-array + cumsum — no Python
+    span loop) and the doc keeps the unmasked tokens.
+
+    Two streaming passes: (1) the dup-ngram groupby finds window hashes
+    with >1 distinct doc — only (hash, partial doc-count) rows move;
+    the resulting dup-hash set broadcasts via ``ray.put`` (at 100 TB
+    you'd ship it as a Bloom filter — one-sided error only ever masks a
+    few extra windows); (2) map-side re-hash + mask per doc. Output per
+    doc: token counts before/after and the number of maximal masked
+    spans — the golden recomputes all of it independently."""
+    import ray
+
+    from .analytics import _read
+    from ..functions.hashing import hash64_many
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 rows_per_block=2048)
+
+    def whashes(text: str, k_: int):
+        toks = text.split()
+        if len(toks) < k_:
+            return toks, np.array([], dtype=np.uint64)
+        wins = [" ".join(toks[i:i + k_]) for i in range(len(toks) - k_ + 1)]
+        return toks, hash64_many(wins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        hs, ds_ = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            _, hv = whashes(text, k)
+            u = np.unique(hv)
+            hs.append(u)
+            ds_.append(np.full(len(u), doc_id, dtype=np.int64))
+        if not hs:
+            return pa.table({"whash": pa.array([], type=pa.uint64()),
+                             "n_docs": pa.array([], type=pa.int64())})
+        df = pd.DataFrame({"whash": np.concatenate(hs),
+                           "n_docs": np.ones(sum(map(len, hs)),
+                                             dtype=np.int64)})
+        g = df.groupby("whash", as_index=False)["n_docs"].sum()
+        return pa.table({"whash": pa.array(g["whash"].to_numpy(np.uint64)),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(np.int64))})
+
+    from ray.data.aggregate import Sum
+    agg = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("whash").aggregate(Sum("n_docs", alias_name="n"))
+           .to_pandas())
+    dup = np.sort(agg.loc[agg["n"] > 1, "whash"].to_numpy(np.uint64))
+    ref = ray.put(dup)
+
+    def mask(t: pa.Table) -> pa.Table:
+        dup_ = ray.get(ref)
+        ids, n_tok, n_kept, n_spans = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks, hv = whashes(text, k)
+            n = len(toks)
+            pos = np.flatnonzero(np.isin(hv, dup_))
+            diff = np.zeros(n + 1, dtype=np.int64)
+            np.add.at(diff, pos, 1)
+            np.add.at(diff, np.minimum(pos + k, n), -1)
+            m = np.cumsum(diff[:-1]) > 0
+            spans = int((m & ~np.concatenate(([False], m[:-1]))).sum())
+            ids.append(doc_id)
+            n_tok.append(n)
+            n_kept.append(int(n - m.sum()))
+            n_spans.append(spans)
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "n_tokens": pa.array(np.asarray(n_tok, dtype=np.int64)),
+            "n_tokens_kept": pa.array(np.asarray(n_kept, dtype=np.int64)),
+            "n_dup_spans": pa.array(np.asarray(n_spans, dtype=np.int64))})
+
+    out = (docs.map_batches(mask, batch_format="pyarrow")
+           .sort("doc_id").to_pandas())
+    return out.astype({c: "int64" for c in out.columns})

@@ -812,6 +812,38 @@ def g_bm25_scores(sf_dir: str, topn: int = 20, k1: float = 1.2,
     return out
 
 
+def g_strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Independent masking: dict of window-hash → distinct-doc count
+    over the whole corpus, then per-doc interval union via a plain
+    Python sweep (deliberately NOT the engine's diff-array kernel)."""
+    docs = _docs(sf_dir).sort_values("doc_id")
+    seen: dict[int, set[int]] = {}
+    toks_of = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split()
+        toks_of[int(doc_id)] = toks
+        for i in range(max(0, len(toks) - k + 1)):
+            h = hash64(" ".join(toks[i:i + k]))
+            seen.setdefault(h, set()).add(int(doc_id))
+    dup = {h for h, d in seen.items() if len(d) > 1}
+
+    rows = []
+    for doc_id in docs["doc_id"]:
+        toks = toks_of[int(doc_id)]
+        n = len(toks)
+        masked = [False] * n
+        for i in range(max(0, n - k + 1)):
+            if hash64(" ".join(toks[i:i + k])) in dup:
+                for j in range(i, min(i + k, n)):
+                    masked[j] = True
+        spans = sum(1 for j in range(n)
+                    if masked[j] and (j == 0 or not masked[j - 1]))
+        rows.append({"doc_id": int(doc_id), "n_tokens": n,
+                     "n_tokens_kept": n - sum(masked),
+                     "n_dup_spans": spans})
+    return pd.DataFrame(rows).astype("int64")
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -833,6 +865,7 @@ GOLDENS = {
     "kmeans_clusters": g_kmeans_clusters,
     "semantic_dedup": g_semantic_dedup,
     "bm25_scores": g_bm25_scores,
+    "strip_dup_windows": g_strip_dup_windows,
 }
 
 
