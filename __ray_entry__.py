@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_running_total": analytics.user_value_running_total,
         "crm_spend_reconciliation": joins.crm_spend_reconciliation,
         "strip_dup_windows": dedup.strip_dup_windows,     # golden oracle
+        "part_components": graph.part_components,         # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -181,7 +182,7 @@ def oracle_sql() -> dict[str, str]:
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
-                      "strip_dup_windows"]
+                      "strip_dup_windows", "part_components"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

@@ -258,3 +258,62 @@ def triangle_count_parts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_nodes": [int(n_nodes)],
                          "n_edges": [n_edges],
                          "n_triangles": [int(tri["n_triangles"].sum())]})
+
+
+def part_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the (undirected) part co-occurrence
+    graph by distributed min-label propagation to fixpoint — the
+    standalone form of the label propagation inside
+    ``dedup.embedding_dup_groups``, exposed as a first-class graph op.
+
+    Each round: broadcast the label array (node→current min label),
+    every edge bucket emits per-bucket pre-reduced (node, min neighbor
+    label) partials (``np.minimum.at`` — min is commutative, so
+    partials merge exactly regardless of block order), the driver folds
+    them in and stops when no label changed. Rounds ≤ graph diameter.
+    The label vector here is dimension-sized (parts); at a scale where
+    it is not, labels become a keyed table co-partitioned with the
+    edges and the fold becomes a ``groupby(node).min`` — same algebra.
+    Output: one row per node with its component id (= the component's
+    minimum partkey) plus the component size, sorted by part."""
+    edges = _build_edges(sf_dir)
+
+    n_max = int(_read(sf_dir, "part", columns=["p_partkey"])
+                .to_pandas()["p_partkey"].max())
+    labels = np.arange(n_max + 1, dtype=np.int64)
+
+    while True:
+        ref = ray.put(labels)
+
+        def props(t: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            src = t.column("src").to_numpy().astype(np.int64)
+            dst = t.column("dst").to_numpy().astype(np.int64)
+            m = np.minimum(lab[src], lab[dst])
+            nodes = np.concatenate([src, dst])
+            vals = np.concatenate([m, m])
+            uniq, inv = np.unique(nodes, return_inverse=True)
+            best = np.full(len(uniq), np.iinfo(np.int64).max,
+                           dtype=np.int64)
+            np.minimum.at(best, inv, vals)
+            return pa.table({"node": pa.array(uniq),
+                             "lab": pa.array(best)})
+
+        part = edges.map_batches(props, batch_format="pyarrow").to_pandas()
+        agg = part.groupby("node", as_index=False)["lab"].min()
+        new = labels.copy()
+        idx = agg["node"].to_numpy(np.int64)
+        np.minimum.at(new, idx, agg["lab"].to_numpy(np.int64))
+        if (new == labels).all():
+            break
+        labels = new
+
+    # only nodes that appear in at least one edge are graph members
+    e = edges.to_pandas()
+    nodes = np.unique(np.concatenate([e["src"].to_numpy(np.int64),
+                                      e["dst"].to_numpy(np.int64)]))
+    comp = labels[nodes]
+    sizes = pd.Series(comp).map(pd.Series(comp).value_counts()).to_numpy()
+    out = pd.DataFrame({"p_partkey": nodes, "component": comp,
+                        "component_size": sizes.astype(np.int64)})
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -24,6 +24,8 @@ GOLDEN_QUERIES = [
     "pack_sequences", "curate_pack", "interleaved_pack",
     "pagerank_parts", "users_per_event_type_hll",
     "knn_lsh", "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
+    "token_freq_cms", "lm_bigram_scores", "kmeans_clusters",
+    "semantic_dedup", "bm25_scores", "strip_dup_windows",
 ]
 
 

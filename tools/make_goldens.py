@@ -844,6 +844,48 @@ def g_strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return pd.DataFrame(rows).astype("int64")
 
 
+def g_part_components(sf_dir: str) -> pd.DataFrame:
+    """Independent connected components: same consecutive-lineitem edge
+    derivation as g_pagerank_parts, resolved by plain UNION-FIND
+    (deliberately a different algorithm from the engine's min-label
+    propagation)."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_partkey"]).to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber", "l_partkey"])
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    prev_o, prev_p = None, None
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        o, p = int(o), int(p)
+        if o == prev_o:
+            union(prev_p, p)
+        prev_o, prev_p = o, p
+
+    nodes = sorted(parent)
+    comp = {n: find(n) for n in nodes}
+    from collections import Counter
+    sizes = Counter(comp.values())
+    return pd.DataFrame({
+        "p_partkey": np.array(nodes, dtype=np.int64),
+        "component": np.array([comp[n] for n in nodes], dtype=np.int64),
+        "component_size": np.array([sizes[comp[n]] for n in nodes],
+                                   dtype=np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -866,6 +908,7 @@ GOLDENS = {
     "semantic_dedup": g_semantic_dedup,
     "bm25_scores": g_bm25_scores,
     "strip_dup_windows": g_strip_dup_windows,
+    "part_components": g_part_components,
 }
 
 
