@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": text_ops.bm25_scores,              # golden oracle
         "events_value_zscore": analytics.events_value_zscore,
         "user_value_running_total": analytics.user_value_running_total,
+        "user_top_event_type": analytics.user_top_event_type,
         "crm_spend_reconciliation": joins.crm_spend_reconciliation,
         "strip_dup_windows": dedup.strip_dup_windows,     # golden oracle
         "part_components": graph.part_components,         # golden oracle
@@ -937,6 +938,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "user_top_event_type": """
+            SELECT user_id, event_type AS top_type,
+                   CAST(n AS BIGINT) AS n_events
+            FROM (SELECT user_id, event_type, COUNT(*) AS n,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY COUNT(*) DESC, event_type) AS rn
+                  FROM events GROUP BY user_id, event_type)
+            WHERE rn = 1 ORDER BY user_id
         """,
         "user_value_running_total": """
             SELECT event_id, user_id,

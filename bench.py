@@ -70,7 +70,7 @@ BENCH_QUERIES = [
     "user_value_time_window", "doc_posting_hashes", "bm25_scores",
     "events_hopping", "events_value_zscore",
     "user_value_running_total", "crm_spend_reconciliation",
-    "strip_dup_windows", "part_components",
+    "strip_dup_windows", "part_components", "user_top_event_type",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1537,3 +1537,47 @@ def user_value_running_total(sf_dir: str) -> pd.DataFrame:
            .groupby("bucket").map_groups(running, batch_format="pandas")
            .to_pandas())
     return out.astype({"running_cents": "int64"})
+
+
+def user_top_event_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group MODE (argmax-count aggregate): each user's most
+    frequent event type, ties broken alphabetically — the
+    ``row_number() over (order by count desc)`` shape SQL uses when an
+    engine lacks a native MODE.
+
+    Shape: map-side (user, type) partial counts via one pandas
+    crosstab-style groupby per block (the exchange moves one row per
+    (user, type, block)); one bucketed ``groupby(user % 64)`` resolves
+    the count-sum AND the argmax inside the bucket with C-level
+    kernels — the same single-exchange two-level collapse as
+    ``q2_min_cost_supplier``."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy().astype(np.int64),
+            "event_type": np.asarray(t.column("event_type"))
+            .astype(object)})
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        uid = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(g["event_type"].to_numpy(object),
+                                   type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "bucket": pa.array((uid % 64).astype(np.int32))})
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = s.drop_duplicates("user_id", keep="first")
+        return top.rename(columns={"event_type": "top_type",
+                                   "n": "n_events"})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(mode, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "n_events": "int64"}))
