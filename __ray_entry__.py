@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crm_spend_reconciliation": joins.crm_spend_reconciliation,
         "strip_dup_windows": dedup.strip_dup_windows,     # golden oracle
         "part_components": graph.part_components,         # golden oracle
+        "events_weighted_sample": analytics.events_weighted_sample,  # golden
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -183,7 +184,8 @@ def oracle_sql() -> dict[str, str]:
                       "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
-                      "strip_dup_windows", "part_components"]
+                      "strip_dup_windows", "part_components",
+                      "events_weighted_sample"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "events_hopping", "events_value_zscore",
     "user_value_running_total", "crm_spend_reconciliation",
     "strip_dup_windows", "part_components", "user_top_event_type",
+    "events_weighted_sample",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

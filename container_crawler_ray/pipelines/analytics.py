@@ -1581,3 +1581,41 @@ def user_top_event_type(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({"user_id": "int64", "n_events": "int64"}))
+
+
+def events_weighted_sample(sf_dir: str, n: int = 100) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006 A-ES — public algorithm): each row draws
+    ``key = u^(1/w)`` with ``u`` a hash-derived uniform (mix64 of
+    event_id — reproducible on re-run/resume, unlike RNG state) and
+    ``w`` = value-cents+1; the global top-``n`` keys ARE the weighted
+    sample. Distributed: each block keeps its local top-``n`` (same
+    (key desc, event_id) order as the final merge, so boundary ties
+    prune identically) and the driver merges ≤ n·blocks candidate
+    rows — no shuffle at all. Keys are reported as floor(key·1e9);
+    ordering uses the full float64 key with event_id tie-break, and
+    the golden reproduces the identical IEEE pow/division."""
+    from ..functions.hashing import mix64
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        u = (mix64(eid.astype(np.uint64)).astype(np.float64) + 1.0) \
+            / np.float64(2.0 ** 64)
+        key = np.power(u, 1.0 / (cents + 1).astype(np.float64))
+        order = np.lexsort((eid, -key))[:n]
+        return pa.table({
+            "event_id": pa.array(eid[order]),
+            "key": pa.array(key[order]),
+            "w_cents": pa.array(cents[order])})
+
+    cand = ds.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cand["event_id"].to_numpy(np.int64),
+                        -cand["key"].to_numpy()))[:n]
+    out = cand.iloc[order]
+    return pd.DataFrame({
+        "event_id": out["event_id"].to_numpy(np.int64),
+        "w_cents": out["w_cents"].to_numpy(np.int64),
+        "key_e9": np.floor(out["key"].to_numpy() * 1e9).astype(np.int64)})

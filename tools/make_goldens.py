@@ -886,6 +886,24 @@ def g_part_components(sf_dir: str) -> pd.DataFrame:
                                    dtype=np.int64)})
 
 
+def g_events_weighted_sample(sf_dir: str, n: int = 100) -> pd.DataFrame:
+    """Independent A-ES: same hash-derived uniforms and IEEE pow over
+    the WHOLE table at once (the engine merges per-block top-n; pure
+    selection, so the results must coincide exactly)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "value"])
+    eid = t.column("event_id").to_numpy().astype(np.int64)
+    cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+    u_ = np.array([mix64(int(x)) for x in eid], dtype=np.uint64)
+    u = (u_.astype(np.float64) + 1.0) / np.float64(2.0 ** 64)
+    key = np.power(u, 1.0 / (cents + 1).astype(np.float64))
+    order = np.lexsort((eid, -key))[:n]
+    return pd.DataFrame({
+        "event_id": eid[order],
+        "w_cents": cents[order],
+        "key_e9": np.floor(key[order] * 1e9).astype(np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -909,6 +927,7 @@ GOLDENS = {
     "bm25_scores": g_bm25_scores,
     "strip_dup_windows": g_strip_dup_windows,
     "part_components": g_part_components,
+    "events_weighted_sample": g_events_weighted_sample,
 }
 
 
