@@ -26,6 +26,7 @@ GOLDEN_QUERIES = [
     "knn_lsh", "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
     "token_freq_cms", "lm_bigram_scores", "kmeans_clusters",
     "semantic_dedup", "bm25_scores", "strip_dup_windows",
+    "part_components", "events_weighted_sample",
 ]
 
 
