@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_dup_windows": dedup.strip_dup_windows,     # golden oracle
         "part_components": graph.part_components,         # golden oracle
         "events_weighted_sample": analytics.events_weighted_sample,  # golden
+        "docs_compression_ratio": text_ops.docs_compression_ratio,   # golden
+        "orders_monthly_growth": joins.orders_monthly_growth,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -185,7 +187,7 @@ def oracle_sql() -> dict[str, str]:
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
                       "strip_dup_windows", "part_components",
-                      "events_weighted_sample"]
+                      "events_weighted_sample", "docs_compression_ratio"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -940,6 +942,21 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+              SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                         AS year,
+                     CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                         AS month,
+                     CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS revenue_cents
+              FROM orders GROUP BY 1, 2)
+            SELECT year, month, revenue_cents,
+                   CAST(COALESCE(revenue_cents - LAG(revenue_cents)
+                        OVER (ORDER BY year, month), 0) AS BIGINT)
+                       AS mom_delta_cents
+            FROM m ORDER BY year, month
         """,
         "user_top_event_type": """
             SELECT user_id, event_type AS top_type,

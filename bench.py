@@ -71,7 +71,8 @@ BENCH_QUERIES = [
     "events_hopping", "events_value_zscore",
     "user_value_running_total", "crm_spend_reconciliation",
     "strip_dup_windows", "part_components", "user_top_event_type",
-    "events_weighted_sample",
+    "events_weighted_sample", "docs_compression_ratio",
+    "orders_monthly_growth",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1935,3 +1935,38 @@ def crm_spend_reconciliation(sf_dir: str,
             .reset_index(drop=True)
             .astype({"key": "int64", "acctbal_cents": "int64",
                      "spend_cents": "int64"}))
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Window-over-aggregate composition: monthly order revenue with
+    month-over-month delta (the LAG-on-a-rollup shape every BI layer
+    asks for). The rollup is one grouped aggregate (partials per
+    block); the monthly series is tiny, so the LAG resolves on the
+    driver — exactly where a series of |months| rows belongs at any
+    data scale."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy().astype("datetime64[M]")
+        y = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = od.astype(np.int64) % 12 + 1
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        return pa.table({"year": pa.array(y), "month": pa.array(m),
+                         "cents": pa.array(cents)})
+
+    agg = (orders.map_batches(derive, batch_format="pyarrow")
+           .groupby(["year", "month"])
+           .aggregate(Sum("cents", alias_name="revenue_cents"))
+           .to_pandas()
+           .sort_values(["year", "month"], kind="mergesort")
+           .reset_index(drop=True))
+    rev = agg["revenue_cents"].to_numpy(np.int64)
+    prev = np.concatenate(([0], rev[:-1]))
+    delta = np.where(np.arange(len(rev)) == 0, 0, rev - prev)
+    return pd.DataFrame({
+        "year": agg["year"].to_numpy(np.int64),
+        "month": agg["month"].to_numpy(np.int64),
+        "revenue_cents": rev,
+        "mom_delta_cents": delta.astype(np.int64)})

@@ -264,3 +264,37 @@ def bm25_scores(sf_dir: str, topn: int = 20, k1: float = 1.2,
                              ascending=[False, True], kind="mergesort")
            .head(topn).reset_index(drop=True))
     return out.astype({"doc_id": "int64", "score_milli": "int64"})
+
+
+def docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compression-ratio quality signal (used by FineWeb/Gopher-family
+    curation recipes: highly repetitive or templated text compresses
+    far below natural prose): per doc, ``len(zlib(text)) / len(text)``
+    in milli units, plus both byte counts. Pure map-side (one pass, no
+    exchange); zlib level 6 is pinned so the independent golden (same
+    zlib, same level) matches bit-exactly. At 100 TB this is a
+    task-pool ``map_batches`` directly after a pruned read — the
+    canonical cheap-quality-gate shape."""
+    import zlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def ratio(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        raw = np.fromiter((len(s.encode("utf-8")) for s in texts),
+                          dtype=np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(s.encode("utf-8"), 6)) for s in texts),
+            dtype=np.int64, count=len(texts))
+        milli = np.where(raw > 0, comp * 1000 // np.maximum(raw, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy()
+                               .astype(np.int64)),
+            "n_bytes": pa.array(raw),
+            "n_bytes_zlib": pa.array(comp),
+            "ratio_milli": pa.array(milli.astype(np.int64))})
+
+    out = (ds.map_batches(ratio, batch_format="pyarrow")
+           .sort("doc_id").to_pandas())
+    return out.astype({c: "int64" for c in out.columns})

@@ -904,6 +904,21 @@ def g_events_weighted_sample(sf_dir: str, n: int = 100) -> pd.DataFrame:
         "key_e9": np.floor(key[order] * 1e9).astype(np.int64)})
 
 
+def g_docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Independent zlib-ratio: plain per-doc loop, same pinned level."""
+    import zlib
+
+    docs = _docs(sf_dir).sort_values("doc_id")
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        b = text.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        rows.append({"doc_id": int(doc_id), "n_bytes": len(b),
+                     "n_bytes_zlib": c,
+                     "ratio_milli": (c * 1000 // len(b)) if b else 0})
+    return pd.DataFrame(rows).astype("int64")
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -928,6 +943,7 @@ GOLDENS = {
     "strip_dup_windows": g_strip_dup_windows,
     "part_components": g_part_components,
     "events_weighted_sample": g_events_weighted_sample,
+    "docs_compression_ratio": g_docs_compression_ratio,
 }
 
 
