@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": analytics.events_weighted_sample,  # golden
         "docs_compression_ratio": text_ops.docs_compression_ratio,   # golden
         "orders_monthly_growth": joins.orders_monthly_growth,
+        "customer_rfm": joins.customer_rfm,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -942,6 +943,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "customer_rfm": """
+            WITH c AS (
+              SELECT o_custkey AS c_custkey,
+                     CAST((SELECT MAX(CAST(o_orderdate AS DATE))
+                           FROM orders)
+                          - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+                         AS recency_days,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS spend_cents
+              FROM orders GROUP BY o_custkey),
+            r AS (SELECT *,
+                    ROW_NUMBER() OVER (ORDER BY recency_days DESC,
+                                       c_custkey) AS rr,
+                    ROW_NUMBER() OVER (ORDER BY n_orders, c_custkey)
+                        AS rf,
+                    ROW_NUMBER() OVER (ORDER BY spend_cents, c_custkey)
+                        AS rm,
+                    COUNT(*) OVER () AS n
+                  FROM c)
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey, recency_days,
+                   n_orders, spend_cents,
+                   CAST(1 + (rr-1)*4//n AS BIGINT) AS r_q,
+                   CAST(1 + (rf-1)*4//n AS BIGINT) AS f_q,
+                   CAST(1 + (rm-1)*4//n AS BIGINT) AS m_q
+            FROM r ORDER BY c_custkey
         """,
         "orders_monthly_growth": """
             WITH m AS (

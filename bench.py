@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "user_value_running_total", "crm_spend_reconciliation",
     "strip_dup_windows", "part_components", "user_top_event_type",
     "events_weighted_sample", "docs_compression_ratio",
-    "orders_monthly_growth",
+    "orders_monthly_growth", "customer_rfm",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1970,3 +1970,71 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
         "month": agg["month"].to_numpy(np.int64),
         "revenue_cents": rev,
         "mom_delta_cents": delta.astype(np.int64)})
+
+
+def customer_rfm(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-scoring rollup): per customer, days since last order
+    (relative to the corpus max date), order count, and lifetime spend
+    cents, each scored into deterministic quartiles. NTILE's tie
+    handling is engine-defined, so quartiles use the explicit integer
+    formula ``1 + (rownum-1)·4 // n`` over the (metric, custkey) total
+    order — bit-identical in SQL and numpy.
+
+    Ray shape: one bucketed per-customer rollup (the only exchange);
+    the per-customer table is dimension-scale, so the three global
+    rankings run on the driver with ``np.lexsort`` — at a scale where
+    they don't fit, each becomes a distributed sort + per-block offset
+    scan (same total order, same formula)."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        ks, inv = np.unique(ck, return_inverse=True)
+        last = np.full(len(ks), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(last, inv, od)
+        spend = np.zeros(len(ks), dtype=np.int64)
+        np.add.at(spend, inv, cents)
+        return pa.table({
+            "c": pa.array(ks),
+            "last_day": pa.array(last),
+            "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+            "spend": pa.array(spend),
+            "bucket": pa.array((ks % _JOIN_BUCKETS).astype(np.int32))})
+
+    def reduce_c(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c", as_index=False).agg(
+            last_day=("last_day", "max"), n_orders=("n_orders", "sum"),
+            spend=("spend", "sum"))
+
+    cust = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_c,
+                                          batch_format="pandas")
+            .to_pandas())
+    ck = cust["c"].to_numpy(np.int64)
+    n = len(cust)
+    max_day = int(cust["last_day"].max())
+    rec = max_day - cust["last_day"].to_numpy(np.int64)
+
+    def quartile(metric: np.ndarray, asc: bool) -> np.ndarray:
+        order = np.lexsort((ck, metric if asc else -metric))
+        rn = np.empty(n, dtype=np.int64)
+        rn[order] = np.arange(n, dtype=np.int64)
+        return 1 + rn * 4 // n
+
+    out = pd.DataFrame({
+        "c_custkey": ck,
+        "recency_days": rec,
+        "n_orders": cust["n_orders"].to_numpy(np.int64),
+        "spend_cents": cust["spend"].to_numpy(np.int64),
+        # low recency is GOOD (quartile 4), high freq/monetary are good
+        "r_q": quartile(rec, asc=False),
+        "f_q": quartile(cust["n_orders"].to_numpy(np.int64), asc=True),
+        "m_q": quartile(cust["spend"].to_numpy(np.int64), asc=True)})
+    return (out.sort_values("c_custkey", kind="mergesort")
+            .reset_index(drop=True))
