@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_compression_ratio": text_ops.docs_compression_ratio,   # golden
         "orders_monthly_growth": joins.orders_monthly_growth,
         "customer_rfm": joins.customer_rfm,
+        "events_entropy_per_user": analytics.events_entropy_per_user,  # golden
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -188,7 +189,8 @@ def oracle_sql() -> dict[str, str]:
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
                       "strip_dup_windows", "part_components",
-                      "events_weighted_sample", "docs_compression_ratio"]
+                      "events_weighted_sample", "docs_compression_ratio",
+                      "events_entropy_per_user"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "strip_dup_windows", "part_components", "user_top_event_type",
     "events_weighted_sample", "docs_compression_ratio",
     "orders_monthly_growth", "customer_rfm",
+    "events_entropy_per_user",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

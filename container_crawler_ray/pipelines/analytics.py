@@ -1619,3 +1619,54 @@ def events_weighted_sample(sf_dir: str, n: int = 100) -> pd.DataFrame:
         "event_id": out["event_id"].to_numpy(np.int64),
         "w_cents": out["w_cents"].to_numpy(np.int64),
         "key_e9": np.floor(out["key"].to_numpy() * 1e9).astype(np.int64)})
+
+
+def events_entropy_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user Shannon entropy of the event-type distribution (a
+    behavioral-diversity feature), in floor'd milli-nats. Exact integer
+    counts feed identical float64 ``p·ln p`` terms on both sides; the
+    per-user term sums use ``np.add.reduceat`` over the (user, type)
+    total order, so rounding is segment-local and block-invariant —
+    the same determinism contract as ``lm_bigram_scores``.
+    One bucketed ``groupby(user % 64)`` exchange of per-block partial
+    counts; everything else is map-side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": t.column("user_id").to_numpy().astype(np.int64),
+            "event_type": np.asarray(t.column("event_type"))
+            .astype(object)})
+        g = df.groupby(["user_id", "event_type"], as_index=False).size()
+        uid = g["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "event_type": pa.array(g["event_type"].to_numpy(object),
+                                   type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "bucket": pa.array((uid % 64).astype(np.int32))})
+
+    def entropy(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        s = s.sort_values(["user_id", "event_type"], kind="mergesort")
+        uid = s["user_id"].to_numpy(np.int64)
+        c = s["n"].to_numpy(np.int64).astype(np.float64)
+        tot = s.groupby("user_id", sort=False)["n"].transform("sum") \
+            .to_numpy(np.int64).astype(np.float64)
+        p = c / tot
+        terms = -p * np.log(p)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        h = np.add.reduceat(terms, starts)
+        return pd.DataFrame({
+            "user_id": uid[starts],
+            "n_events": np.add.reduceat(s["n"].to_numpy(np.int64),
+                                        starts),
+            "entropy_milli": np.floor(h * 1000.0).astype(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(entropy, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "n_events": "int64",
+                     "entropy_milli": "int64"}))

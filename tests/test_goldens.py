@@ -27,7 +27,7 @@ GOLDEN_QUERIES = [
     "token_freq_cms", "lm_bigram_scores", "kmeans_clusters",
     "semantic_dedup", "bm25_scores", "strip_dup_windows",
     "part_components", "events_weighted_sample",
-    "docs_compression_ratio",
+    "docs_compression_ratio", "events_entropy_per_user",
 ]
 
 

@@ -919,6 +919,32 @@ def g_docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).astype("int64")
 
 
+def g_events_entropy_per_user(sf_dir: str) -> pd.DataFrame:
+    """Independent entropy: Counter counts, identical float64 p·ln p
+    terms, per-user reduceat over the global (user, type) order."""
+    from collections import Counter
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type"])
+    cnt = Counter(zip(t.column("user_id").to_pylist(),
+                      t.column("event_type").to_pylist()))
+    rows = sorted(cnt.items())
+    uid = np.array([u for (u, _), _ in rows], dtype=np.int64)
+    c = np.array([n for _, n in rows], dtype=np.int64)
+    tot_map = Counter()
+    for (u, _), n_ in cnt.items():
+        tot_map[u] += n_
+    tot = np.array([tot_map[u] for (u, _), _ in rows], dtype=np.int64)
+    p = c.astype(np.float64) / tot.astype(np.float64)
+    terms = -p * np.log(p)
+    starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+    return pd.DataFrame({
+        "user_id": uid[starts],
+        "n_events": np.add.reduceat(c, starts),
+        "entropy_milli": np.floor(
+            np.add.reduceat(terms, starts) * 1000.0).astype(np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -944,6 +970,7 @@ GOLDENS = {
     "part_components": g_part_components,
     "events_weighted_sample": g_events_weighted_sample,
     "docs_compression_ratio": g_docs_compression_ratio,
+    "events_entropy_per_user": g_events_entropy_per_user,
 }
 
 
