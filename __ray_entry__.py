@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": joins.orders_monthly_growth,
         "customer_rfm": joins.customer_rfm,
         "events_entropy_per_user": analytics.events_entropy_per_user,  # golden
+        "returnflag_revenue_salted": analytics.returnflag_revenue_salted,
+        "events_daily_gapfill": analytics.events_daily_gapfill,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -945,6 +947,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON supplier.s_suppkey = ps.s
             WHERE 5 * ps.q > tot.tq
             ORDER BY s_suppkey
+        """,
+        "returnflag_revenue_salted": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)
+                        *100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_daily_gapfill": """
+            WITH obs AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            dense AS (
+              SELECT t.event_type, d.day
+              FROM (SELECT DISTINCT event_type FROM obs) t,
+                   (SELECT unnest(generate_series(
+                        (SELECT MIN(day) FROM obs),
+                        (SELECT MAX(day) FROM obs))) AS day) d)
+            SELECT dense.event_type, dense.day,
+                   CAST(COALESCE(obs.n, 0) AS BIGINT) AS n
+            FROM dense LEFT JOIN obs
+              ON dense.event_type = obs.event_type
+             AND dense.day = obs.day
+            ORDER BY dense.event_type, dense.day
         """,
         "customer_rfm": """
             WITH c AS (

@@ -73,7 +73,8 @@ BENCH_QUERIES = [
     "strip_dup_windows", "part_components", "user_top_event_type",
     "events_weighted_sample", "docs_compression_ratio",
     "orders_monthly_growth", "customer_rfm",
-    "events_entropy_per_user",
+    "events_entropy_per_user", "returnflag_revenue_salted",
+    "events_daily_gapfill",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

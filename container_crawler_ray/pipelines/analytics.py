@@ -1670,3 +1670,77 @@ def events_entropy_per_user(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True)
             .astype({"user_id": "int64", "n_events": "int64",
                      "entropy_milli": "int64"}))
+
+
+def returnflag_revenue_salted(sf_dir: str) -> pd.DataFrame:
+    """Hot-key salted aggregate, demonstrated as an oracled query: the
+    group key (``l_returnflag``) has only 3 values, so a naive groupby
+    sends every row of each key through one reducer — the skew that
+    stalls a 256-node shuffle. The salt splits each hot key 16 ways
+    (``salt = rowhash % 16``), the first exchange reduces (key, salt)
+    partials (≤ 48 rows move), and a driver-side fold finishes —
+    the same pattern the crawl scheduler applies to Zipf-head hosts
+    (``salted_hosts``). Values are identical to the unsalted plan;
+    only the exchange shape changes."""
+    from ..functions.hashing import mix64
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = np.asarray(t.column("l_returnflag")).astype(object)
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        rid = (t.column("l_orderkey").to_numpy().astype(np.uint64)
+               * np.uint64(8) +
+               t.column("l_linenumber").to_numpy().astype(np.uint64))
+        salt = (mix64(rid) % np.uint64(16)).astype(np.int64)
+        df = pd.DataFrame({"flag": flag, "salt": salt, "c": cents})
+        g = df.groupby(["flag", "salt"], as_index=False).agg(
+            c=("c", "sum"), n=("c", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["flag", "salt"])
+            .aggregate(Sum("c", alias_name="revenue_cents"),
+                       Sum("n", alias_name="n_lines"))
+            .to_pandas())
+    out = part.groupby("flag", as_index=False).agg(
+        revenue_cents=("revenue_cents", "sum"),
+        n_lines=("n_lines", "sum")).rename(
+            columns={"flag": "l_returnflag"})
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"revenue_cents": "int64", "n_lines": "int64"}))
+
+
+def events_daily_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled daily event counts per type: every (type, day) cell
+    of the full [min day, max day] range appears, zero-filled — the
+    dimension-generation + left-join-fill shape dashboards need
+    (sparse groupbys silently drop empty buckets). The observed
+    aggregate is one grouped exchange; the dense (types × days) frame
+    is generated driver-side (it is output-sized by construction) and
+    the fill is a vectorized merge."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = (t.column("ts").cast(pa.int64()).to_numpy()
+               // 86_400_000_000).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "day": pa.array(day)})
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Count(alias_name="n")).to_pandas())
+    days = np.arange(agg["day"].min(), agg["day"].max() + 1,
+                     dtype=np.int64)
+    types = np.sort(agg["event_type"].unique())
+    dense = pd.MultiIndex.from_product(
+        [types, days], names=["event_type", "day"]).to_frame(index=False)
+    out = dense.merge(agg, on=["event_type", "day"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return (out.sort_values(["event_type", "day"], kind="mergesort")
+            .reset_index(drop=True).astype({"day": "int64"}))
