@@ -383,18 +383,17 @@ def _committed_frontier_files(store: TableStore, cfg: CrawlConfig,
     post link intents to per-engine mailboxes instead — so cross-engine
     rowid sequences cannot collide."""
     import os as _os
-    import re as _re
+
+    from ..storage import fragment_pass_id
 
     files = store.fragments("frontier")
     mine = (f"append-e{cfg.engine_index}_", f"append-e{cfg.engine_index}d_")
     out = []
-    pat = _re.compile(r"_(\d{6})\.")
     for f in files:
         base = _os.path.basename(f)
-        m = pat.search(base)
-        if not m:
+        p = fragment_pass_id(base)
+        if p is None:
             continue
-        p = int(m.group(1))
         if base.startswith(mine):
             if p <= state.pass_id:
                 out.append(f)

@@ -31,6 +31,21 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+_PASS_PAT = re.compile(r"_(?:\d{6}x)?(\d{6})([./x])")
+
+
+def fragment_pass_id(relpath: str) -> int | None:
+    """The pass id that governs a fragment file's commit visibility.
+    Plain fragments: their own pass. ``LOxHI`` compaction segments: HI
+    (a segment only ever covers committed passes, so the upper bound is
+    the correct orphan-filter comparison). EVERY reader that parses a
+    pass id out of a fragment name must use this — a local ``_(\\d{6})\\.``
+    regex silently drops compaction segments (found the hard way in the
+    multi-engine committed-frontier filter)."""
+    m = _PASS_PAT.search(relpath)
+    return int(m.group(1)) if m else None
+
+
 class ParquetBackend:
     """Default file backend: one parquet file per fragment."""
 
@@ -224,13 +239,9 @@ class TableStore:
         if committed_passes is None:
             return files
         out = []
-        # for LOxHI segments the second match group is HI, which is what
-        # the orphan filter must compare (a segment only ever covers
-        # committed passes, so HI <= any later committed watermark)
-        pat = re.compile(r"_(?:\d{6}x)?(\d{6})([./x])")
         for f in files:
-            m = pat.search(os.path.relpath(f, d))
-            if m and int(m.group(1)) > committed_passes:
+            p = fragment_pass_id(os.path.relpath(f, d))
+            if p is not None and p > committed_passes:
                 continue
             out.append(f)
         return out

@@ -245,3 +245,48 @@ def test_total_shard_actor_loss_between_passes_recovers(tmp_store):
     run_crawl(rootB, cfg, resume=True, max_passes=4)
     assert {d["doc_id"] for d in _docs(rootA)} == \
         {d["doc_id"] for d in _docs(rootB)}
+
+
+def test_two_engines_with_compaction_equal_single(tmp_store):
+    """Small-file compaction of one engine's committed frontier
+    appends (and the coordinator seed tag) mid-crawl must be invisible
+    to BOTH engines: the finished union still equals the single-engine
+    crawl. Exercises the LOxHI segment name through the multi-engine
+    committed-frontier filter (prefix match + HI-bound parse)."""
+    from container_crawler_ray.storage import TableStore
+
+    seeds = make_seed_urls(120, n_hosts=10)
+
+    rootS = f"{tmp_store}-single-c"
+    run_crawl(rootS, CrawlConfig(**BASE), seed_urls=seeds, max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+
+    rootM = f"{tmp_store}-multi-c"
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(rootM, cfg0, seeds)
+    s0, st0 = resume_run(rootM, cfg0)
+    s1, st1 = resume_run(rootM, cfg1)
+    for _ in range(3):
+        run_pass(s0, cfg0, st0)
+        run_pass(s1, cfg1, st1)
+    # compact engine 0's committed appends while engine 1 is live
+    st = TableStore(rootM)
+    committed0 = st.read_meta("meta-e0.json")["pass_id"]
+    st.compact("frontier", tag="append-e0", upto_pass=committed0)
+    idle = 0
+    for _ in range(40):
+        r0 = run_pass(s0, cfg0, st0)
+        r1 = run_pass(s1, cfg1, st1)
+        if (r0["done"] and r1["done"]
+                and r0["retry_size"] == 0 and r1["retry_size"] == 0):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+    docsM = {d["doc_id"] for d in _docs(rootM)}
+    assert docsM == docsS, (
+        f"compaction broke the union: only-single={len(docsS - docsM)} "
+        f"only-multi={len(docsM - docsS)}")
+    st0.seen.teardown()
