@@ -123,6 +123,35 @@ def _shingle_explode_fn(k: int, cand_ref):
 _CC_BUCKETS = 64
 
 
+_CC_LOCAL_MAX = 100_000
+
+
+def _local_components(edges: pd.DataFrame) -> pd.DataFrame:
+    """Min-root union-find for the driver-resident small side — emits
+    the same (node, label=min node of component) frame as the
+    distributed rounds."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["a"].to_numpy(np.int64),
+                    edges["b"].to_numpy(np.int64)):
+        a, b = int(a), int(b)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    return pd.DataFrame({
+        "node": np.array(nodes, dtype=np.int64),
+        "label": np.array([find(n) for n in nodes], dtype=np.int64)})
+
+
 def _propagate_components(edges: pd.DataFrame,
                           max_rounds: int = 8) -> pd.DataFrame:
     """Distributed connected components by iterative min-label propagation
@@ -137,7 +166,17 @@ def _propagate_components(edges: pd.DataFrame,
     per-round work a handful of vectorized tasks; the driver sees only
     the per-round changed COUNT. Converges in O(component diameter) + 1
     rounds; near-dup components are dense (cliques from band
-    collisions), so 3 rounds is typical."""
+    collisions), so 3 rounds is typical.
+
+    Small-side shortcut: the caller's pair list is ALREADY
+    driver-resident (it is collected to broadcast for the verification
+    filter — the bounded-candidate assumption these pipelines state
+    up front), so below ``_CC_LOCAL_MAX`` edges a local min-root
+    union-find resolves the identical labels without paying per-round
+    Ray orchestration (~0.4 s/round) on kilobyte inputs; the
+    distributed rounds engage past the threshold."""
+    if len(edges) <= _CC_LOCAL_MAX:
+        return _local_components(edges)
     both = pd.DataFrame({
         "src": np.concatenate([edges["a"].to_numpy(), edges["b"].to_numpy()]),
         "dst": np.concatenate([edges["b"].to_numpy(), edges["a"].to_numpy()]),
