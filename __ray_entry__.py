@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": ann.knn_bruteforce,
         "knn_lsh": ann.knn_lsh,                           # golden oracle
         "knn_ivf": ann.knn_ivf,                           # golden oracle
+        "knn_ivfpq": ann.knn_ivfpq,                       # golden oracle
         # text analysis
         "text_stats": analytics.text_stats,
         "text_analysis": text_ops.text_analysis,          # golden oracle
@@ -187,7 +188,8 @@ def oracle_sql() -> dict[str, str]:
                       "embedding_dup_groups", "pack_sequences",
                       "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
-                      "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
+                      "knn_ivf", "knn_ivfpq",
+                      "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
                       "strip_dup_windows", "part_components",

@@ -36,7 +36,7 @@ BENCH_QUERIES = [
     "events_topk_per_user", "dedup_exact", "text_stats", "spans_flat",
     "ngram_top_pairs", "knn_bruteforce", "knn_lsh", "embedding_dup_pairs",
     "minhash_lsh_groups", "simhash_docs", "text_analysis", "media_metadata",
-    "knn_ivf", "events_windowed", "user_activity", "curate_docs",
+    "knn_ivf", "knn_ivfpq", "events_windowed", "user_activity", "curate_docs",
     "order_priority_revenue", "user_sessions", "events_percentiles",
     "media_features", "media_frames",
     "purchase_click_asof", "quiet_customers", "q3_shipping",

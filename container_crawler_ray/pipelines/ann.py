@@ -207,10 +207,16 @@ def _train_sample(sf_dir: str, target_rows: int = 4096) -> np.ndarray:
         _read_embeddings(sf_dir)
         .map_batches(sample, batch_format="pyarrow").to_arrow_refs())
     tbls = [t for t in tbls if len(t)]
+    if not tbls:
+        return np.empty((0, 0), dtype=np.float64)
     mat = np.concatenate([list_col_to_matrix(t.column("embedding"))
-                          for t in tbls]) if tbls \
-        else np.empty((0, 0), dtype=np.float64)
-    return mat
+                          for t in tbls])
+    ids = np.concatenate([t.column("vec_id").to_numpy().astype(np.int64)
+                          for t in tbls])
+    # Ray Data does NOT guarantee block order across runs/parallelism;
+    # the k-means init is row-order-dependent (rng.choice of row indices),
+    # so pin the sample to vec_id order for run-invariant training.
+    return mat[np.argsort(ids, kind="stable")]
 
 
 def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
@@ -262,3 +268,130 @@ def knn_ivf(sf_dir: str, n_queries: int = 10, k: int = 5,
     local = _read_embeddings(sf_dir).map_batches(
         score, batch_format="pyarrow").to_pandas()
     return _global_topk(local, k)
+
+
+def _pq_train(sample: np.ndarray, m_sub: int, n_codes: int):
+    """Per-subspace codebooks for product quantization, trained on the
+    (bounded, driver-resident) hash sample. Vectors are normalized first
+    so the additive inner-product decomposition approximates cosine."""
+    sample = normalize_rows(sample.copy())
+    d = sample.shape[1]
+    dsub = d // m_sub
+    return [_kmeans(np.ascontiguousarray(sample[:, mi * dsub:(mi + 1) * dsub]),
+                    n_codes, seed=42 + mi) for mi in range(m_sub)]
+
+
+def knn_ivfpq(sf_dir: str, n_queries: int = 10, k: int = 5,
+              n_lists: int = 16, nprobe: int = 8,
+              m_sub: int = 8, n_codes: int = 16,
+              rerank: int = 8) -> pd.DataFrame:
+    """IVF-PQ ANN (the published 100-TB ANN layout, e.g. FAISS/SPANN-style):
+    coarse quantizer prunes to ``nprobe`` lists, then each candidate is
+    scored by asymmetric distance computation (ADC) over ``m_sub``
+    product-quantizer codes — sim(q, v) ≈ Σ_m lut[q, m, code_m(v)] where
+    the per-query LUT holds the query-subvector · codeword inner
+    products. A candidate's 64-float embedding collapses to ``m_sub``
+    4-bit codes, so at scale the scan touches 4 bytes/vector instead of
+    512 and the codes table fits in RAM where raw vectors cannot. The
+    ADC shortlist (top ``k*rerank`` per query) is then RE-RANKED against
+    the exact vectors in a second, candidate-filtered pass — the
+    production pattern: the cheap compressed scan bounds how many raw
+    vectors are ever touched (Q × k × rerank point lookups at scale).
+
+    Both quantizers train on the deterministic hash sample; codebooks +
+    LUTs broadcast once via ``ray.put``; encode + ADC scan are one
+    task-mode ``map_batches`` (vectorized, no per-row Python in the
+    argmin/gather path). Output quantized to basis points; golden-oracled
+    (tools/make_goldens.py reimplements the spec single-process).
+    """
+    sample = _train_sample(sf_dir)
+    centn = normalize_rows(_kmeans(sample, n_lists))
+    books = _pq_train(sample, m_sub, n_codes)
+    qids, qmat = _load_queries(sf_dir, n_queries)
+    d = qmat.shape[1]
+    dsub = d // m_sub
+    # per-query ADC lookup tables: lut[m] is (Q, n_codes)
+    lut = [qmat[:, mi * dsub:(mi + 1) * dsub] @ books[mi].T
+           for mi in range(m_sub)]
+    qc = qmat @ centn.T
+    probe_lists = np.argsort(-qc, axis=1)[:, :nprobe]
+    probe_of_list: dict[int, np.ndarray] = {}
+    for li in np.unique(probe_lists):
+        qis = np.flatnonzero((probe_lists == li).any(axis=1))
+        probe_of_list[int(li)] = qis.astype(np.int64)
+    ref = ray.put((qids, centn, books, lut, probe_of_list))
+
+    def score(t: pa.Table) -> pa.Table:
+        qids_, centn_, books_, lut_, probe_ = ray.get(ref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        lists = (m @ centn_.T).argmax(axis=1)
+        # PQ-encode the batch: one argmin per subspace (vectorized)
+        codes = np.empty((len(ids), len(books_)), dtype=np.int64)
+        for mi, cb in enumerate(books_):
+            sub = m[:, mi * dsub:(mi + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)
+        q_out, n_out, s_out = [], [], []
+        for li, qis in probe_.items():
+            vm = lists == li
+            if not vm.any():
+                continue
+            sub_ids = ids[vm]
+            c = codes[vm]
+            # ADC: accumulate subspace LUT gathers in fixed m-order so the
+            # float sum is bit-identical to the golden's
+            scores = np.zeros((len(qis), len(sub_ids)), dtype=np.float64)
+            for mi in range(len(books_)):
+                scores += lut_[mi][qis][:, c[:, mi]]
+            bp = np.floor(scores * 10000).astype(np.int64)
+            for row_i, qi in enumerate(qis):
+                keep = sub_ids != qids_[qi]
+                q_out.append(np.full(int(keep.sum()), qids_[qi],
+                                     dtype=np.int64))
+                n_out.append(sub_ids[keep])
+                s_out.append(bp[row_i][keep])
+        if not q_out:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim_bp": pa.array([], type=pa.int64())})
+        return pa.table({"query_id": pa.array(np.concatenate(q_out)),
+                         "neighbor_id": pa.array(np.concatenate(n_out)),
+                         "sim_bp": pa.array(np.concatenate(s_out))})
+
+    local = _read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    shortlist = _global_topk(local, k * rerank)
+    if shortlist.empty:
+        return shortlist
+
+    # Exact re-rank pass: only shortlisted ids are ever scored against the
+    # raw vectors. The candidate pair set is tiny (Q * k * rerank rows).
+    cand_ids = np.unique(shortlist["neighbor_id"].to_numpy())
+    pair_key = set((int(q) << 32) | int(n) for q, n in
+                   zip(shortlist["query_id"], shortlist["neighbor_id"]))
+    rref = ray.put((qids, qmat, cand_ids, pair_key))
+
+    def rescore(t: pa.Table) -> pa.Table:
+        qids_, qmat_, cand_, pairs_ = ray.get(rref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        vm = np.isin(ids, cand_)
+        if not vm.any():
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim_bp": pa.array([], type=pa.int64())})
+        sub_ids = ids[vm]
+        m = normalize_rows(list_col_to_matrix(t.column("embedding"))[vm])
+        bp = np.floor((qmat_ @ m.T) * 10000).astype(np.int64)
+        qq = np.repeat(qids_.astype(np.int64), len(sub_ids))
+        nn = np.tile(sub_ids, len(qids_))
+        keyv = (qq << 32) | nn
+        keep = np.fromiter((int(kv) in pairs_ for kv in keyv),
+                           dtype=bool, count=len(keyv))
+        return pa.table({"query_id": pa.array(qq[keep]),
+                         "neighbor_id": pa.array(nn[keep]),
+                         "sim_bp": pa.array(bp.ravel()[keep])})
+
+    exact = _read_embeddings(sf_dir).map_batches(
+        rescore, batch_format="pyarrow").to_pandas()
+    return _global_topk(exact, k)

@@ -23,7 +23,8 @@ GOLDEN_QUERIES = [
     "minhash_lsh_groups", "curate_dedup", "embedding_dup_groups",
     "pack_sequences", "curate_pack", "interleaved_pack",
     "pagerank_parts", "users_per_event_type_hll",
-    "knn_lsh", "knn_ivf", "frontier_host_stats", "crawl_pass_docs",
+    "knn_lsh", "knn_ivf", "knn_ivfpq",
+    "frontier_host_stats", "crawl_pass_docs",
     "token_freq_cms", "lm_bigram_scores", "kmeans_clusters",
     "semantic_dedup", "bm25_scores", "strip_dup_windows",
     "part_components", "events_weighted_sample",

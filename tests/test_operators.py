@@ -122,7 +122,7 @@ def test_simhash_properties(tmp_path):
     assert ham <= 16, f"near-dup should be hamming-close, got {ham}"
 
 
-@pytest.mark.parametrize("variant", ["knn_lsh", "knn_ivf"])
+@pytest.mark.parametrize("variant", ["knn_lsh", "knn_ivf", "knn_ivfpq"])
 def test_ann_recall(entrymod, variant):
     """Approximate ANN variants must recover most brute-force neighbors."""
     qs = entrymod.queries()
@@ -132,7 +132,7 @@ def test_ann_recall(entrymod, variant):
     ap_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
     recalls = [len(bf_sets[q] & ap_sets.get(q, set())) / len(bf_sets[q])
                for q in bf_sets.index]
-    bar = 0.85 if variant == "knn_lsh" else 0.7
+    bar = {"knn_lsh": 0.85, "knn_ivf": 0.7, "knn_ivfpq": 0.6}[variant]
     assert np.mean(recalls) >= bar, f"mean recall {np.mean(recalls):.2f}"
 
 

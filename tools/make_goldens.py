@@ -945,6 +945,85 @@ def g_events_entropy_per_user(sf_dir: str) -> pd.DataFrame:
             np.add.reduceat(terms, starts) * 1000.0).astype(np.int64)})
 
 
+def _g_kmeans(mat: np.ndarray, k: int, seed: int = 42,
+              iters: int = 8) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = mat[m].mean(axis=0)
+    return cent
+
+
+def g_knn_ivfpq(sf_dir: str, n_queries: int = 10, k: int = 5,
+                n_lists: int = 16, nprobe: int = 8,
+                m_sub: int = 8, n_codes: int = 16,
+                rerank: int = 8) -> pd.DataFrame:
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    raw = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    gap = max(1, len(ids) // 4096)
+    keep = np.array([mix64(int(i)) % gap == 0
+                     for i in ids.astype(np.uint64)])
+    sample = raw[keep]
+    cent = _g_kmeans(sample.copy(), n_lists, seed=42)
+    cn = np.linalg.norm(cent, axis=1)
+    cn[cn == 0] = 1.0
+    centn = cent / cn[:, None]
+    sn = np.linalg.norm(sample, axis=1)
+    sn[sn == 0] = 1.0
+    samplen = sample / sn[:, None]
+    d = raw.shape[1]
+    dsub = d // m_sub
+    books = [_g_kmeans(np.ascontiguousarray(
+                 samplen[:, mi * dsub:(mi + 1) * dsub]).copy(),
+             n_codes, seed=42 + mi) for mi in range(m_sub)]
+    n = np.linalg.norm(raw, axis=1)
+    n[n == 0] = 1.0
+    mat = raw / n[:, None]
+    lists = (mat @ centn.T).argmax(axis=1)
+    codes = np.empty((len(ids), m_sub), dtype=np.int64)
+    for mi, cb in enumerate(books):
+        sub = mat[:, mi * dsub:(mi + 1) * dsub]
+        d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        codes[:, mi] = d2.argmin(axis=1)
+    qm = ids < n_queries
+    qids = ids[qm]
+    qmat = mat[qm]
+    lut = [qmat[:, mi * dsub:(mi + 1) * dsub] @ books[mi].T
+           for mi in range(m_sub)]
+    qc = qmat @ centn.T
+    probe_lists = np.argsort(-qc, axis=1)[:, :nprobe]
+    hits = []
+    for row_q in range(len(qids)):
+        probes = set(probe_lists[row_q].tolist())
+        cand = np.flatnonzero(np.isin(lists, list(probes))
+                              & (ids != qids[row_q]))
+        if not len(cand):
+            continue
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for mi in range(m_sub):
+            scores += lut[mi][row_q][codes[cand, mi]]
+        bp = np.floor(scores * 10000).astype(np.int64)
+        hits.extend((int(qids[row_q]), int(ids[c]), int(b))
+                    for c, b in zip(cand, bp))
+    shortlist = _g_topk(hits, k * rerank)
+    # exact re-rank of the ADC shortlist against the raw (normalized)
+    # vectors, as the engine's second candidate-filtered pass does
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    exact = [(int(q), int(n),
+              int(np.floor(float(mat[row_of[int(q)]] @ mat[row_of[int(n)]])
+                           * 10000)))
+             for q, n in zip(shortlist["query_id"],
+                             shortlist["neighbor_id"])]
+    return _g_topk(exact, k)
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -957,6 +1036,7 @@ GOLDENS = {
     "users_per_event_type_hll": g_users_hll,
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
+    "knn_ivfpq": g_knn_ivfpq,
     "interleaved_pack": g_interleaved_pack,
     "pagerank_parts": g_pagerank_parts,
     "frontier_host_stats": g_frontier_host_stats,
