@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": ann.knn_lsh,                           # golden oracle
         "knn_ivf": ann.knn_ivf,                           # golden oracle
         "knn_ivfpq": ann.knn_ivfpq,                       # golden oracle
+        "embedding_rp": ann.embedding_rp,                 # golden oracle
         # text analysis
         "text_stats": analytics.text_stats,
         "text_analysis": text_ops.text_analysis,          # golden oracle
@@ -188,7 +189,7 @@ def oracle_sql() -> dict[str, str]:
                       "embedding_dup_groups", "pack_sequences",
                       "curate_pack", "interleaved_pack", "pagerank_parts",
                       "users_per_event_type_hll", "knn_lsh",
-                      "knn_ivf", "knn_ivfpq",
+                      "knn_ivf", "knn_ivfpq", "embedding_rp",
                       "frontier_host_stats", "crawl_pass_docs",
                       "token_freq_cms", "lm_bigram_scores",
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",

@@ -395,3 +395,42 @@ def knn_ivfpq(sf_dir: str, n_queries: int = 10, k: int = 5,
     exact = _read_embeddings(sf_dir).map_batches(
         rescore, batch_format="pyarrow").to_pandas()
     return _global_topk(exact, k)
+
+
+def _rp_signs(d_in: int, d_out: int) -> np.ndarray:
+    """Deterministic ±1 projection matrix (Achlioptas-style sign JL):
+    sign(i,j) from the parity of mix64(i*1_000_003 + j) — no RNG state to
+    ship, every task rebuilds the same (d_in × d_out) matrix locally."""
+    from ..functions.hashing import mix64
+
+    idx = (np.arange(d_in, dtype=np.uint64)[:, None]
+           * np.uint64(1_000_003)
+           + np.arange(d_out, dtype=np.uint64)[None, :])
+    return np.where(mix64(idx) & np.uint64(1), 1.0, -1.0)
+
+
+def embedding_rp(sf_dir: str, d_out: int = 16) -> pd.DataFrame:
+    """Johnson–Lindenstrauss random projection of the embedding column to
+    ``d_out`` dims: y = (x / ||x||) · S / sqrt(d_out) with hash-derived ±1
+    signs. The go-to shrink step before LSH banding / coarse clustering at
+    100 TB (512 B/vector → d_out·8 B) — one stateless vectorized
+    ``map_batches``, no training, no broadcast state (the sign matrix is
+    rebuilt from the hash inside each task). Output exploded to
+    (vec_id, dim, val_fp) long format, val_fp = floor(y·2^20) fixed-point;
+    golden-oracled (independent reimplementation in tools/make_goldens.py).
+    """
+    def project(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        s = _rp_signs(m.shape[1], d_out)
+        y = (m @ s) / np.sqrt(float(d_out))
+        fp = np.floor(y * (1 << 20)).astype(np.int64)
+        n = len(ids)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, d_out)),
+            "dim": pa.array(np.tile(np.arange(d_out, dtype=np.int64), n)),
+            "val_fp": pa.array(fp.ravel()),
+        })
+
+    return _read_embeddings(sf_dir).map_batches(
+        project, batch_format="pyarrow").to_pandas()

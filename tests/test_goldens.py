@@ -23,7 +23,7 @@ GOLDEN_QUERIES = [
     "minhash_lsh_groups", "curate_dedup", "embedding_dup_groups",
     "pack_sequences", "curate_pack", "interleaved_pack",
     "pagerank_parts", "users_per_event_type_hll",
-    "knn_lsh", "knn_ivf", "knn_ivfpq",
+    "knn_lsh", "knn_ivf", "knn_ivfpq", "embedding_rp",
     "frontier_host_stats", "crawl_pass_docs",
     "token_freq_cms", "lm_bigram_scores", "kmeans_clusters",
     "semantic_dedup", "bm25_scores", "strip_dup_windows",

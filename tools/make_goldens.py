@@ -1024,6 +1024,25 @@ def g_knn_ivfpq(sf_dir: str, n_queries: int = 10, k: int = 5,
     return _g_topk(exact, k)
 
 
+def g_embedding_rp(sf_dir: str, d_out: int = 16) -> pd.DataFrame:
+    ids, mat = _embs(sf_dir)
+    d_in = mat.shape[1]
+    rows_i, rows_d, rows_v = [], [], []
+    sign = np.empty((d_in, d_out))
+    for i in range(d_in):
+        for j in range(d_out):
+            sign[i, j] = 1.0 if mix64(i * 1_000_003 + j) & 1 else -1.0
+    y = (mat @ sign) / np.sqrt(float(d_out))
+    fp = np.floor(y * (1 << 20)).astype(np.int64)
+    for r in range(len(ids)):
+        for j in range(d_out):
+            rows_i.append(int(ids[r])); rows_d.append(j)
+            rows_v.append(int(fp[r, j]))
+    return pd.DataFrame({"vec_id": np.array(rows_i, dtype=np.int64),
+                         "dim": np.array(rows_d, dtype=np.int64),
+                         "val_fp": np.array(rows_v, dtype=np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1037,6 +1056,7 @@ GOLDENS = {
     "knn_lsh": g_knn_lsh,
     "knn_ivf": g_knn_ivf,
     "knn_ivfpq": g_knn_ivfpq,
+    "embedding_rp": g_embedding_rp,
     "interleaved_pack": g_interleaved_pack,
     "pagerank_parts": g_pagerank_parts,
     "frontier_host_stats": g_frontier_host_stats,
