@@ -129,6 +129,18 @@ def main() -> None:
 
     head = crawl_headline(NUM_CPUS)
 
+    # Run the query sweep in a FRESH Ray session: a 200k-URL crawl leaves
+    # worker-process state that can nondeterministically inflate later
+    # Python-loop-heavy query stages by 30-60x in the same session
+    # (observed: strip_dup_windows 231 s in-session vs 7 s fresh, same
+    # code and inputs, in-task user-CPU). Session isolation makes the
+    # per-query numbers measure the queries, not crawl-session residue.
+    ray.shutdown()
+    time.sleep(2)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
     import gc
 
     qtimes: dict[str, float] = {}

@@ -949,27 +949,65 @@ def strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
     ref = ray.put(dup)
 
     def mask(t: pa.Table) -> pa.Table:
+        # Batch-vectorized interval-union masking: md5 window hashes are
+        # per-doc (oracle parity), but membership is ONE searchsorted on
+        # the whole batch (np.isin would re-sort the dup set per doc) and
+        # the diff-array/cumsum kernel runs once over a concatenated
+        # per-doc slot layout — each doc owns n_d+1 slots (its tokens +
+        # one sentinel); every +1/-1 pair lands inside the owning doc's
+        # slots, so the slot-wise running sum never leaks across docs.
         dup_ = ray.get(ref)
-        ids, n_tok, n_kept, n_spans = [], [], [], []
-        for doc_id, text in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-            toks, hv = whashes(text, k)
-            n = len(toks)
-            pos = np.flatnonzero(np.isin(hv, dup_))
-            diff = np.zeros(n + 1, dtype=np.int64)
-            np.add.at(diff, pos, 1)
-            np.add.at(diff, np.minimum(pos + k, n), -1)
-            m = np.cumsum(diff[:-1]) > 0
-            spans = int((m & ~np.concatenate(([False], m[:-1]))).sum())
-            ids.append(doc_id)
-            n_tok.append(n)
-            n_kept.append(int(n - m.sum()))
-            n_spans.append(spans)
+        ids_np = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        if not texts:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"doc_id": z, "n_tokens": z,
+                             "n_tokens_kept": z, "n_dup_spans": z})
+        toks_hv = [whashes(s, k) for s in texts]
+        n_tok = np.fromiter((len(tk) for tk, _ in toks_hv),
+                            dtype=np.int64, count=len(texts))
+        n_win = np.fromiter((len(hv) for _, hv in toks_hv),
+                            dtype=np.int64, count=len(texts))
+        all_hv = (np.concatenate([hv for _, hv in toks_hv])
+                  if len(texts) else np.array([], dtype=np.uint64))
+        ins = np.searchsorted(dup_, all_hv)
+        isdup = np.zeros(len(all_hv), dtype=bool)
+        inb = ins < len(dup_)
+        isdup[inb] = dup_[ins[inb]] == all_hv[inb]
+        slots = n_tok + 1                       # per-doc diff-array length
+        doc_base = np.concatenate(([0], np.cumsum(slots)))[:-1]
+        win_base = np.concatenate(([0], np.cumsum(n_win)))[:-1]
+        # global window position -> owning doc and in-doc token offset
+        wdoc = np.repeat(np.arange(len(texts)), n_win)
+        wpos = np.arange(len(all_hv)) - win_base[wdoc]
+        dpos = wpos[isdup]
+        ddoc = wdoc[isdup]
+        diff = np.zeros(int(slots.sum()) + 1, dtype=np.int64)
+        np.add.at(diff, doc_base[ddoc] + dpos, 1)
+        np.add.at(diff, doc_base[ddoc]
+                  + np.minimum(dpos + k, n_tok[ddoc]), -1)
+        run = np.cumsum(diff[:-1])
+        m = run > 0
+        # token slots only (drop each doc's sentinel slot)
+        sent = doc_base + n_tok
+        tok_mask = np.ones(len(m), dtype=bool)
+        tok_mask[sent] = False
+        prev = np.concatenate(([False], m[:-1]))
+        prev[doc_base] = False                  # no carry across docs
+        starts = (m & ~prev) & tok_mask
+        masked = m & tok_mask
+        seg = np.concatenate((doc_base, [len(m)]))
+        n_spans_v = np.add.reduceat(
+            starts.astype(np.int64), seg[:-1])[:len(texts)] \
+            if len(texts) else np.array([], dtype=np.int64)
+        n_masked_v = np.add.reduceat(
+            masked.astype(np.int64), seg[:-1])[:len(texts)] \
+            if len(texts) else np.array([], dtype=np.int64)
         return pa.table({
-            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
-            "n_tokens": pa.array(np.asarray(n_tok, dtype=np.int64)),
-            "n_tokens_kept": pa.array(np.asarray(n_kept, dtype=np.int64)),
-            "n_dup_spans": pa.array(np.asarray(n_spans, dtype=np.int64))})
+            "doc_id": pa.array(ids_np),
+            "n_tokens": pa.array(n_tok),
+            "n_tokens_kept": pa.array(n_tok - n_masked_v),
+            "n_dup_spans": pa.array(n_spans_v)})
 
     out = (docs.map_batches(mask, batch_format="pyarrow")
            .sort("doc_id").to_pandas())
