@@ -124,6 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy_per_user": analytics.events_entropy_per_user,  # golden
         "returnflag_revenue_salted": analytics.returnflag_revenue_salted,
         "events_daily_gapfill": analytics.events_daily_gapfill,
+        "part_skyline": analytics.part_skyline,
+        "heavy_hitter_trigrams": text_ops.heavy_hitter_trigrams,
+        "part_bfs_hops": graph.part_bfs_hops,
+        "bpe_merges": text_ops.bpe_merges,                # golden oracle
+        "orders_retention_cohort": joins.orders_retention_cohort,
+        "lineitem_profile": analytics.lineitem_profile,
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -195,7 +201,7 @@ def oracle_sql() -> dict[str, str]:
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
                       "strip_dup_windows", "part_components",
                       "events_weighted_sample", "docs_compression_ratio",
-                      "events_entropy_per_user"]
+                      "events_entropy_per_user", "bpe_merges"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -976,6 +982,104 @@ def oracle_sql() -> dict[str, str]:
               ON dense.event_type = obs.event_type
              AND dense.day = obs.day
             ORDER BY dense.event_type, dense.day
+        """,
+        "lineitem_profile": """
+            SELECT * FROM (
+              SELECT 'l_quantity' AS "column",
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT)
+                         AS n_null,
+                     CAST(COUNT(DISTINCT l_quantity) AS BIGINT)
+                         AS n_distinct,
+                     CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+                     CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(l_extendedprice) AS BIGINT),
+                     CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+                     CAST(MIN(l_extendedprice) AS DOUBLE),
+                     CAST(MAX(l_extendedprice) AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+                     CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+                     CAST(MIN(l_discount) AS DOUBLE),
+                     CAST(MAX(l_discount) AS DOUBLE)
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(l_tax) AS BIGINT),
+                     CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+                     CAST(MIN(l_tax) AS DOUBLE),
+                     CAST(MAX(l_tax) AS DOUBLE)
+              FROM lineitem)
+            ORDER BY "column"
+        """,
+        "orders_retention_cohort": """
+            WITH om AS (SELECT DISTINCT o_custkey AS c,
+                               year(o_orderdate)*12
+                               + month(o_orderdate) - 1 AS m
+                        FROM orders),
+            fm AS (SELECT c, MIN(m) AS m0 FROM om GROUP BY c)
+            SELECT CAST(fm.m0 AS BIGINT) AS cohort_month,
+                   CAST(om.m - fm.m0 AS BIGINT) AS months_since,
+                   CAST(COUNT(DISTINCT om.c) AS BIGINT) AS n_customers
+            FROM om JOIN fm ON om.c = fm.c
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_bfs_hops": """
+            WITH RECURSIVE seq AS (
+              SELECT l_orderkey, l_partkey,
+                     LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey) AS nxt
+              FROM lineitem),
+            e AS (SELECT DISTINCT l_partkey AS a, nxt AS b
+                  FROM seq WHERE nxt IS NOT NULL),
+            und AS (SELECT a AS src, b AS dst FROM e
+                    UNION SELECT b, a FROM e),
+            walk(node, hops) AS (
+              SELECT (SELECT MIN(src) FROM und), 0
+              UNION
+              SELECT u.dst, w.hops + 1
+              FROM walk w JOIN und u ON u.src = w.node
+              WHERE w.hops < 3)
+            SELECT CAST(node AS BIGINT) AS p_partkey,
+                   CAST(MIN(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY node ORDER BY node
+        """,
+        "heavy_hitter_trigrams": r"""
+            WITH d AS (SELECT doc_id AS did,
+                              regexp_extract_all(text, '\S+') AS l
+                       FROM documents),
+            t AS (SELECT did, unnest(l) AS tok,
+                         unnest(range(1, len(l)+1)) AS i FROM d),
+            tri AS (SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                    FROM t a
+                    JOIN t b ON a.did = b.did AND b.i = a.i + 1
+                    JOIN t c ON a.did = c.did AND c.i = a.i + 2),
+            tot AS (SELECT COUNT(*) AS n FROM tri)
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tri GROUP BY g
+            HAVING COUNT(*) >= CEIL((SELECT n FROM tot) * 0.0002)
+            ORDER BY n DESC, g
+        """,
+        "part_skyline": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(FLOOR(p_retailprice*100) AS BIGINT)
+                                  AS price_cents,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT a.p_partkey, a.price_cents, a.p_size
+            FROM p a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p b
+              WHERE b.price_cents <= a.price_cents
+                AND b.p_size >= a.p_size
+                AND (b.price_cents < a.price_cents
+                     OR b.p_size > a.p_size))
+            ORDER BY a.p_partkey
         """,
         "customer_rfm": """
             WITH c AS (

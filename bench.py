@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "orders_monthly_growth", "customer_rfm",
     "events_entropy_per_user", "returnflag_revenue_salted",
     "events_daily_gapfill",
+    "part_skyline", "heavy_hitter_trigrams", "part_bfs_hops",
+    "bpe_merges",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

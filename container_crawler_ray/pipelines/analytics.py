@@ -1725,6 +1725,59 @@ def returnflag_revenue_salted(sf_dir: str) -> pd.DataFrame:
             .astype({"revenue_cents": "int64", "n_lines": "int64"}))
 
 
+def _skyline_kernel(price: np.ndarray, size: np.ndarray):
+    """Vectorized 2-D skyline (minimize price, maximize size). A point
+    is dominated iff another point has price <= and size >= with at
+    least one strict. Sweep: per distinct price take the group-max
+    size; a point survives iff it holds its price group's max AND that
+    max strictly beats the running max over all strictly-cheaper
+    prices. Duplicate (price, size) optima all survive (neither
+    dominates the other). Returns the surviving indices."""
+    df = pd.DataFrame({"p": price, "s": size})
+    gmax = df.groupby("p")["s"].transform("max").to_numpy()
+    # running max of group-max over strictly smaller prices
+    up = np.unique(price)
+    per_price_max = df.groupby("p")["s"].max().reindex(up).to_numpy()
+    run_before = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(per_price_max)[:-1]))
+    before = run_before[np.searchsorted(up, price)]
+    keep = (size == gmax) & (size > before)
+    return np.flatnonzero(keep)
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier of parts: no other part is both cheaper-or-equal
+    (p_retailprice) and larger-or-equal (p_size) with one strict — the
+    classic two-phase distributed skyline. Phase 1 runs the vectorized
+    sweep per block (a block's skyline is a superset of its rows'
+    global-skyline members, so non-candidates are pruned before any
+    exchange); phase 2 re-runs the same kernel on the concatenated
+    candidates, which are output-sized (skylines of random data are
+    ~log-sized), so the merge is a tiny driver step. At 100 TB the
+    phase-1 map prunes ~everything and phase 2 still sees only the
+    union of per-block skylines. SQL twin: NOT EXISTS dominance."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local_sky(t: pa.Table) -> pa.Table:
+        price = np.floor(t.column("p_retailprice").to_numpy()
+                         * 100).astype(np.int64)
+        size = t.column("p_size").to_numpy().astype(np.int64)
+        keys = t.column("p_partkey").to_numpy().astype(np.int64)
+        idx = _skyline_kernel(price, size)
+        return pa.table({"p_partkey": pa.array(keys[idx]),
+                         "price_cents": pa.array(price[idx]),
+                         "p_size": pa.array(size[idx])})
+
+    cand = ds.map_batches(local_sky, batch_format="pyarrow").to_pandas()
+    idx = _skyline_kernel(cand["price_cents"].to_numpy(),
+                          cand["p_size"].to_numpy())
+    out = cand.iloc[idx].sort_values("p_partkey", kind="mergesort")
+    return out.reset_index(drop=True).astype(
+        {"p_partkey": "int64", "price_cents": "int64", "p_size": "int64"})
+
+
 def events_daily_gapfill(sf_dir: str) -> pd.DataFrame:
     """Gap-filled daily event counts per type: every (type, day) cell
     of the full [min day, max day] range appears, zero-filled — the
@@ -1753,3 +1806,63 @@ def events_daily_gapfill(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].fillna(0).astype(np.int64)
     return (out.sort_values(["event_type", "day"], kind="mergesort")
             .reset_index(drop=True).astype({"day": "int64"}))
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def lineitem_profile(sf_dir: str) -> pd.DataFrame:
+    """Data-quality column profiler: one row per numeric column with
+    row count, null count, exact distinct count, min and max — the
+    ingest-validation pass a pipeline runs before training on a new
+    table drop. min/max/count fold from one-row-per-block partials
+    (tiny); the exact distinct count is the only real exchange and it
+    moves PRE-DEDUPED (column, value) pairs per block (np.unique), so
+    its volume is bounded by block-local cardinality, never row count.
+    At 100 TB you'd swap the exact-distinct leg for the HLL register
+    fold in ``users_per_event_type_hll`` (same shape, constant-size
+    partials) — the exact version is the oracle-checkable twin."""
+    ds = _read(sf_dir, "lineitem", columns=list(_PROFILE_COLS))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        cols, n, nn, mn, mx = [], [], [], [], []
+        for c in _PROFILE_COLS:
+            a = t.column(c)
+            v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+            null = int(a.null_count)
+            ok = v[~np.isnan(v)] if null or np.isnan(v).any() else v
+            cols.append(c); n.append(len(v)); nn.append(null)
+            mn.append(float(ok.min()) if len(ok) else np.nan)
+            mx.append(float(ok.max()) if len(ok) else np.nan)
+        return pa.table({"column": pa.array(cols, type=pa.string()),
+                         "n": pa.array(n, type=pa.int64()),
+                         "n_null": pa.array(nn, type=pa.int64()),
+                         "min_v": pa.array(mn, type=pa.float64()),
+                         "max_v": pa.array(mx, type=pa.float64())})
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in _PROFILE_COLS:
+            u = np.unique(t.column(c).to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
+            cols.extend([c] * len(u)); vals.append(u)
+        return pa.table({"column": pa.array(cols, type=pa.string()),
+                         "value": pa.array(np.concatenate(vals))})
+
+    base = (ds.map_batches(stats_partial, batch_format="pyarrow")
+            .groupby("column")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_null", alias_name="n_null"),
+                       Min("min_v", alias_name="min_v"),
+                       Max("max_v", alias_name="max_v"))
+            .to_pandas())
+    nd = (ds.map_batches(uniq_partial, batch_format="pyarrow")
+          .groupby(["column", "value"]).aggregate(Count(alias_name="_"))
+          .groupby("column").aggregate(Count(alias_name="n_distinct"))
+          .to_pandas())
+    out = base.merge(nd, on="column")
+    return (out.sort_values("column", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "n_null": "int64",
+                     "n_distinct": "int64"})
+            [["column", "n", "n_null", "n_distinct", "min_v", "max_v"]])

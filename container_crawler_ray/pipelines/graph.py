@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -317,3 +318,65 @@ def part_components(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"p_partkey": nodes, "component": comp,
                         "component_size": sizes.astype(np.int64)})
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def part_bfs_hops(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
+    """Single-source BFS (min-hop distances) over the undirected part
+    co-occurrence graph, from the smallest part key present in any
+    edge — the frontier-expansion primitive under reachability,
+    shortest-path and crawl-depth queries. Each round broadcasts the
+    CURRENT FRONTIER only (never the visited set's payload): edge
+    blocks emit their frontier-adjacent neighbors pre-deduped per
+    block (np.unique), the driver folds the dimension-sized distance
+    array and advances. Rounds = min(max_hops, eccentricity); per
+    round the exchange moves <= |new frontier| rows per block. At a
+    scale where the distance array outgrows the driver, dist becomes
+    a keyed table co-partitioned with edges and the fold a
+    groupby(node).min — the same algebra as ``part_components``.
+    Oracle: DuckDB WITH RECURSIVE over the identical edge derivation
+    (LEAD window with the same (l_linenumber, l_partkey) tie-break).
+    """
+    edges = _build_edges(sf_dir)
+
+    n_max = int(_read(sf_dir, "part", columns=["p_partkey"])
+                .to_pandas()["p_partkey"].max())
+    inf = np.iinfo(np.int64).max
+    dist = np.full(n_max + 1, inf, dtype=np.int64)
+
+    # source = min node over the edge set (src ∪ dst)
+    lo = edges.map_batches(
+        lambda t: pa.table({"m": pa.array([min(
+            int(pc.min(t.column("src")).as_py()),
+            int(pc.min(t.column("dst")).as_py()))])}),
+        batch_format="pyarrow").to_pandas()
+    src0 = int(lo["m"].min())
+    dist[src0] = 0
+    frontier = np.array([src0], dtype=np.int64)
+
+    for h in range(1, max_hops + 1):
+        ref = ray.put(np.sort(frontier))
+
+        def neigh(t: pa.Table, _ref=ref) -> pa.Table:
+            f = ray.get(_ref)
+            src = t.column("src").to_numpy().astype(np.int64)
+            dst = t.column("dst").to_numpy().astype(np.int64)
+
+            def hits(a, b):
+                pos = np.clip(np.searchsorted(f, a), 0, len(f) - 1)
+                return b[f[pos] == a]
+
+            out = np.unique(np.concatenate(
+                [hits(src, dst), hits(dst, src)]))
+            return pa.table({"node": pa.array(out)})
+
+        seen = (edges.map_batches(neigh, batch_format="pyarrow")
+                .to_pandas()["node"].unique())
+        nxt = seen[dist[seen] == inf]
+        if len(nxt) == 0:
+            break
+        dist[nxt] = h
+        frontier = nxt
+
+    nodes = np.flatnonzero(dist != inf)
+    return pd.DataFrame({"p_partkey": nodes.astype(np.int64),
+                         "hops": dist[nodes]})

@@ -2038,3 +2038,63 @@ def customer_rfm(sf_dir: str) -> pd.DataFrame:
         "m_q": quartile(cust["spend"].to_numpy(np.int64), asc=True)})
     return (out.sort_values("c_custkey", kind="mergesort")
             .reset_index(drop=True))
+
+
+def orders_retention_cohort(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: customers grouped by their FIRST order
+    month; for each (cohort_month, months_since_first) the number of
+    distinct customers who ordered. Two exchanges, both key-bounded:
+
+    1. per-customer first month — groupby(o_custkey).min over
+       map-side-reduced (custkey, min month) partials, so the exchange
+       moves <= |customers ∩ block| rows per block;
+    2. cohort fold — orders re-join their customer's cohort in a
+       bucketed co-partition merge (custkey % 64, same pattern as the
+       fact×fact joins above: no broadcast, both sides can be huge),
+       emitting pre-deduped (cohort, delta, custkey) rows; the final
+       distinct-count is the pair-dedup + tiny count shape from
+       ``users_per_event_type``.
+
+    Months are encoded as (year*12 + month_index) so 'months since
+    first' is integer subtraction — identical arithmetic in the SQL
+    twin."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        days = ts // 86_400_000_000
+        d = pd.to_datetime(days, unit="D")
+        mon = (d.year.to_numpy() * 12 + d.month.to_numpy() - 1) \
+            .astype(np.int64)
+        cust = t.column("o_custkey").to_numpy().astype(np.int64)
+        g = pd.DataFrame({"c": cust, "m": mon}).groupby(
+            ["c", "m"], as_index=False).size()
+        return pa.table({
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "m": pa.array(g["m"].to_numpy(np.int64)),
+            "bucket": pa.array((g["c"].to_numpy(np.int64)
+                                % _JOIN_BUCKETS).astype(np.int32))})
+
+    pairs = ds.map_batches(derive, batch_format="pyarrow")
+
+    def cohort_fold(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("c", as_index=False)["m"].min() \
+            .rename(columns={"m": "m0"})
+        j = g.merge(first, on="c")
+        j["delta"] = j["m"] - j["m0"]
+        out = j.drop_duplicates(["m0", "delta", "c"])
+        return (out.groupby(["m0", "delta"], as_index=False)
+                .agg(n_customers=("c", "size")))
+
+    part = (pairs.groupby("bucket")
+            .map_groups(cohort_fold, batch_format="pandas"))
+    out = (part.groupby(["m0", "delta"])
+           .aggregate(Sum("n_customers", alias_name="n_customers"))
+           .to_pandas()
+           .rename(columns={"m0": "cohort_month",
+                            "delta": "months_since"}))
+    return (out.sort_values(["cohort_month", "months_since"],
+                            kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"cohort_month": "int64", "months_since": "int64",
+                     "n_customers": "int64"}))

@@ -298,3 +298,236 @@ def docs_compression_ratio(sf_dir: str) -> pd.DataFrame:
     out = (ds.map_batches(ratio, batch_format="pyarrow")
            .sort("doc_id").to_pandas())
     return out.astype({c: "int64" for c in out.columns})
+
+
+# ------------------------------------------------- heavy hitters (MG sketch)
+_MG_CAPACITY = 10_000
+
+
+def _batch_trigram_mg(t: pa.Table, m: int) -> pa.Table:
+    """Misra-Gries summary of one batch's word trigrams: exact counts
+    via np.unique, then — if more than ``m`` distinct — subtract the
+    (m+1)-th largest count from all and keep the positive remainder.
+    The undercount per summary is <= n_batch/(m+1), and summing
+    summaries preserves the bound (mergeable summaries, Agarwal et al.
+    PODS'12), so a trigram with true frequency f has summed sketch
+    count >= f - N/(m+1) no matter how Ray ordered the blocks. A
+    sentinel row (g='', is_total=1) carries the batch's exact trigram
+    instance count so the global N needs no second pass."""
+    texts = t.column("text").to_pylist()
+    grams = []
+    for s in texts:
+        w = s.split()
+        grams.extend(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    total = len(grams)
+    if total:
+        g, n = np.unique(np.array(grams, dtype=object),
+                         return_counts=True)
+        if len(g) > m:
+            cut = np.partition(n, len(n) - m - 1)[len(n) - m - 1]
+            keep = n > cut
+            g, n = g[keep], n[keep] - cut
+    else:
+        g = np.array([], dtype=object)
+        n = np.array([], dtype=np.int64)
+    return pa.table({
+        "g": pa.array(list(g) + [""], type=pa.string()),
+        "n": pa.array(np.concatenate([n.astype(np.int64), [total]])),
+        "is_total": pa.array(
+            np.concatenate([np.zeros(len(g), np.int8), [1]]))})
+
+
+def heavy_hitter_trigrams(sf_dir: str,
+                          theta: float = 2e-4) -> pd.DataFrame:
+    """Frequent-item mining at corpus scale: word trigrams with
+    frequency >= ceil(theta * N), computed sketch-first so the heavy
+    exchange never carries the full n-gram vocabulary (the thing that
+    kills an exact wordcount at 100 TB, where distinct n-grams are
+    ~input-sized). Two stages:
+
+    1. per-block Misra-Gries summaries (<= _MG_CAPACITY rows per block,
+       vs unbounded distinct-per-block for exact) -> groupby-sum ->
+       candidate trigrams with sketch count >= theta*N - N/(m+1). MG
+       theory guarantees this candidate set contains EVERY truly
+       theta-heavy trigram, so the sketch can only over-admit, never
+       miss.
+    2. exact counts for the candidate set only (broadcast sorted
+       candidate array, per-batch np.unique + searchsorted membership,
+       groupby-sum), then the exact HAVING >= ceil(theta*N) filter.
+
+    Output is therefore EXACT (value-equal to the SQL twin's full
+    GROUP BY ... HAVING), while both exchanges stay bounded: stage 1
+    moves <= m rows per block, stage 2 moves <= |candidates| rows per
+    block. Deterministic regardless of block order."""
+    import ray
+
+    m = _MG_CAPACITY
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    from ray.data.aggregate import Sum
+
+    sketch = (ds.map_batches(lambda t: _batch_trigram_mg(t, m),
+                             batch_format="pyarrow")
+              .groupby("g")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("is_total", alias_name="tot"))
+              .to_pandas())
+    n_total = int(sketch.loc[sketch["tot"] > 0, "n"].sum())
+    thresh = int(np.ceil(n_total * theta))
+    lo = thresh - (n_total // (m + 1))
+    cand = np.sort(sketch.loc[(sketch["tot"] == 0)
+                              & (sketch["n"] >= lo), "g"]
+                   .to_numpy().astype(str))
+    cand_ref = ray.put(cand)
+
+    def exact(t: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        texts = t.column("text").to_pylist()
+        grams = []
+        for s in texts:
+            w = s.split()
+            grams.extend(" ".join(w[i:i + 3]) for i in range(len(w) - 2))
+        if not grams or len(c) == 0:
+            return pa.table({"g": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        g, n = np.unique(np.array(grams, dtype=str), return_counts=True)
+        pos = np.clip(np.searchsorted(c, g), 0, len(c) - 1)
+        keep = c[pos] == g
+        return pa.table({"g": pa.array(list(g[keep]), type=pa.string()),
+                         "n": pa.array(n[keep].astype(np.int64))})
+
+    out = (ds.map_batches(exact, batch_format="pyarrow")
+           .groupby("g").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = out[out["n"] >= thresh]
+    return (out.sort_values(["n", "g"], ascending=[False, True],
+                            kind="mergesort")
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+# ---------------------------------------------------- BPE merge training
+_BPE_LOCAL_MAX = 100_000
+
+
+def _bpe_pairs(syms: list[list[str]], cnt: np.ndarray) -> pd.DataFrame:
+    """Weighted adjacent-pair counts over symbol sequences."""
+    left, right, w = [], [], []
+    for s, c in zip(syms, cnt):
+        for i in range(len(s) - 1):
+            left.append(s[i]); right.append(s[i + 1]); w.append(c)
+    df = pd.DataFrame({"left": left, "right": right, "n": w})
+    if df.empty:
+        return df
+    return df.groupby(["left", "right"], as_index=False)["n"].sum()
+
+
+def _bpe_apply(syms: list[list[str]], a: str, b: str) -> list[list[str]]:
+    """Replace every non-overlapping (a, b) adjacency left-to-right."""
+    out = []
+    for s in syms:
+        r, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                r.append(a + b); i += 2
+            else:
+                r.append(s[i]); i += 1
+        out.append(r)
+    return out
+
+
+def bpe_merges(sf_dir: str, n_merges: int = 12,
+               local_max: int = _BPE_LOCAL_MAX) -> pd.DataFrame:
+    """Byte-pair-encoding tokenizer training (Sennrich et al. 2016):
+    learn the first ``n_merges`` merge rules from the corpus word
+    frequencies. The CORPUS-SIZED work — the word-frequency count —
+    is one pre-aggregated distributed exchange (np.unique partials →
+    groupby-sum), exactly the wordcount shape that scales to 100 TB.
+    The merge-learning loop then runs over the VOCABULARY (words ×
+    counts), which is orders of magnitude smaller than the corpus:
+    below ``local_max`` distinct words it folds on the driver (the
+    same small-side shortcut as ``_local_components``); above, each
+    round is a map_batches pair-count + groupby-sum + broadcast-rule
+    apply over the distributed vocab table — same algebra, and the
+    per-round exchange carries only (pair, partial-count) rows.
+    Deterministic tie-break: highest count, then lexicographic
+    (left, right). Output: one row per learned rule
+    (rank, left, right, n = pair frequency when merged)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = [w for s in t.column("text").to_pylist()
+                for w in s.split()]
+        if not toks:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.array(toks, dtype=object),
+                         return_counts=True)
+        return pa.table({"word": pa.array(list(u), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    vocab_ds = (ds.map_batches(wc, batch_format="pyarrow")
+                .groupby("word").aggregate(Sum("n", alias_name="n")))
+    n_vocab = vocab_ds.count()
+
+    rules = []
+    if n_vocab <= local_max:
+        v = vocab_ds.to_pandas()
+        syms = [list(w) for w in v["word"]]
+        cnt = v["n"].to_numpy(np.int64)
+        for rank in range(n_merges):
+            p = _bpe_pairs(syms, cnt)
+            if p.empty or p["n"].max() < 2:
+                break
+            p = p.sort_values(["n", "left", "right"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+            a, b, n = (p.iloc[0]["left"], p.iloc[0]["right"],
+                       int(p.iloc[0]["n"]))
+            rules.append((rank, a, b, n))
+            syms = _bpe_apply(syms, a, b)
+    else:
+        cur = vocab_ds.map_batches(
+            lambda t: pa.table({
+                "syms": pa.array([list(w) for w in
+                                  t.column("word").to_pylist()],
+                                 type=pa.list_(pa.string())),
+                "n": t.column("n")}),
+            batch_format="pyarrow").materialize()
+        for rank in range(n_merges):
+            def pc_batch(t: pa.Table) -> pa.Table:
+                d = _bpe_pairs(t.column("syms").to_pylist(),
+                               t.column("n").to_numpy())
+                if d.empty:
+                    return pa.table({
+                        "left": pa.array([], type=pa.string()),
+                        "right": pa.array([], type=pa.string()),
+                        "n": pa.array([], type=pa.int64())})
+                return pa.Table.from_pandas(d, preserve_index=False)
+
+            p = (cur.map_batches(pc_batch, batch_format="pyarrow")
+                 .groupby(["left", "right"])
+                 .aggregate(Sum("n", alias_name="n")).to_pandas())
+            if p.empty or p["n"].max() < 2:
+                break
+            p = p.sort_values(["n", "left", "right"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+            a, b, n = (p.iloc[0]["left"], p.iloc[0]["right"],
+                       int(p.iloc[0]["n"]))
+            rules.append((rank, a, b, n))
+
+            def ap(t: pa.Table, _a=a, _b=b) -> pa.Table:
+                return pa.table({
+                    "syms": pa.array(
+                        _bpe_apply(t.column("syms").to_pylist(), _a, _b),
+                        type=pa.list_(pa.string())),
+                    "n": t.column("n")})
+
+            cur = cur.map_batches(ap, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(rules, columns=["rank", "left", "right", "n"]) \
+        .astype({"rank": "int64", "n": "int64"})

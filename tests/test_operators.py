@@ -72,6 +72,7 @@ def test_entry_smoke(entrymod):
     "events_rollup_incremental", "lineitem_unpivot",
     "gopher_quality_flags", "name_edit_near_pairs",
     "triangle_count_parts",
+    "part_skyline", "heavy_hitter_trigrams", "part_bfs_hops",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
@@ -217,3 +218,31 @@ def test_write_curated_resumable(tmp_path):
     m2 = write_curated(SF, out)
     assert m2["skipped"].sum() == len(m1) - 1, "only missing block redone"
     assert open(victim, "rb").read() == orig, "regenerated identically"
+
+
+def test_bpe_distributed_path_matches_local(ray_session):
+    """bpe_merges' Ray merge-round path (vocab > local_max) must produce
+    the identical rule sequence as the driver fold."""
+    from container_crawler_ray.pipelines.text_ops import bpe_merges
+
+    sf = "/root/testdata/sf0.001"
+    a = bpe_merges(sf, n_merges=6)
+    b = bpe_merges(sf, n_merges=6, local_max=0)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_skyline_dominance(ray_session):
+    """No surviving part may be dominated by ANY part in the table."""
+    import pyarrow.parquet as pq
+    from container_crawler_ray.pipelines.analytics import part_skyline
+
+    sf = "/root/testdata/sf0.001"
+    sky = part_skyline(sf)
+    t = pq.read_table(f"{sf}/part.parquet",
+                      columns=["p_retailprice", "p_size"]).to_pandas()
+    price = np.floor(t["p_retailprice"].to_numpy() * 100).astype(np.int64)
+    size = t["p_size"].to_numpy().astype(np.int64)
+    for _, r in sky.iterrows():
+        dom = ((price <= r["price_cents"]) & (size >= r["p_size"])
+               & ((price < r["price_cents"]) | (size > r["p_size"])))
+        assert not dom.any()

@@ -1043,6 +1043,45 @@ def g_embedding_rp(sf_dir: str, d_out: int = 16) -> pd.DataFrame:
                          "val_fp": np.array(rows_v, dtype=np.int64)})
 
 
+
+def g_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Straight-line BPE (Sennrich et al. 2016): word-frequency dict by
+    plain Python Counter, 12 merge rounds; pair counts include every
+    adjacency of the current segmentation; merges apply left-to-right
+    non-overlapping; ties break (count desc, left asc, right asc)."""
+    from collections import Counter
+
+    docs = _docs(sf_dir)
+    wc = Counter()
+    for s in docs["text"]:
+        wc.update(s.split())
+    syms = {w: list(w) for w in wc}
+    rules = []
+    for rank in range(12):
+        pc = Counter()
+        for w, c in wc.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        top_n = max(pc.values())
+        if top_n < 2:
+            break
+        cands = sorted([k for k, v in pc.items() if v == top_n])
+        a, b = cands[0]
+        rules.append((rank, a, b, top_n))
+        for w in syms:
+            s, r, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    r.append(a + b); i += 2
+                else:
+                    r.append(s[i]); i += 1
+            syms[w] = r
+    return pd.DataFrame(rules, columns=["rank", "left", "right", "n"]) \
+        .astype({"rank": "int64", "n": "int64"})
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1071,6 +1110,7 @@ GOLDENS = {
     "events_weighted_sample": g_events_weighted_sample,
     "docs_compression_ratio": g_docs_compression_ratio,
     "events_entropy_per_user": g_events_entropy_per_user,
+    "bpe_merges": g_bpe_merges,
 }
 
 
