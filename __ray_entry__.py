@@ -130,6 +130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": text_ops.bpe_merges,                # golden oracle
         "orders_retention_cohort": joins.orders_retention_cohort,
         "lineitem_profile": analytics.lineitem_profile,
+        "part_pair_support": joins.part_pair_support,
+        "customer_part_jaccard": joins.customer_part_jaccard,
+        "pmi_bigrams": text_ops.pmi_bigrams,
+        "events_mad_outliers": analytics.events_mad_outliers,
+        "events_moving_sum": analytics.events_moving_sum,
+        "events_value_ewma": analytics.events_value_ewma,  # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -201,7 +207,8 @@ def oracle_sql() -> dict[str, str]:
                       "kmeans_clusters", "semantic_dedup", "bm25_scores",
                       "strip_dup_windows", "part_components",
                       "events_weighted_sample", "docs_compression_ratio",
-                      "events_entropy_per_user", "bpe_merges"]
+                      "events_entropy_per_user", "bpe_merges",
+                      "events_value_ewma"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -1080,6 +1087,83 @@ def oracle_sql() -> dict[str, str]:
                 AND (b.price_cents < a.price_cents
                      OR b.p_size > a.p_size))
             ORDER BY a.p_partkey
+        """,
+        "part_pair_support": """
+            WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem)
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY support DESC, part_a, part_b
+        """,
+        "customer_part_jaccard": """
+            WITH pur AS (SELECT DISTINCT o.o_custkey AS c,
+                                l.l_partkey AS p
+                         FROM orders o
+                         JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+            sz AS (SELECT c, COUNT(*) AS s FROM pur GROUP BY c),
+            i AS (SELECT a.c AS cust_a, b.c AS cust_b,
+                         COUNT(*) AS n_common
+                  FROM pur a JOIN pur b ON a.p = b.p AND a.c < b.c
+                  GROUP BY 1, 2)
+            SELECT i.cust_a, i.cust_b,
+                   CAST(i.n_common AS BIGINT) AS n_common,
+                   CAST(i.n_common AS DOUBLE)
+                       / (sa.s + sb.s - i.n_common) AS jaccard
+            FROM i JOIN sz sa ON sa.c = i.cust_a
+                   JOIN sz sb ON sb.c = i.cust_b
+            ORDER BY jaccard DESC, i.cust_a, i.cust_b
+            LIMIT 50
+        """,
+        "pmi_bigrams": r"""
+            WITH d AS (SELECT doc_id AS did,
+                              regexp_extract_all(text, '\S+') AS l
+                       FROM documents),
+            t AS (SELECT did, unnest(l) AS tok,
+                         unnest(range(1, len(l)+1)) AS i FROM d),
+            u AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+            tot AS (SELECT COUNT(*) AS n FROM t),
+            b AS (SELECT a.tok AS w1, c.tok AS w2, COUNT(*) AS n
+                  FROM t a JOIN t c ON a.did = c.did AND c.i = a.i + 1
+                  GROUP BY 1, 2)
+            SELECT b.w1, b.w2, CAST(b.n AS BIGINT) AS n_pair,
+                   CAST(b.n * (SELECT n FROM tot) AS DOUBLE)
+                       / (u1.n * u2.n) AS lift
+            FROM b JOIN u u1 ON b.w1 = u1.tok
+                   JOIN u u2 ON b.w2 = u2.tok
+            WHERE b.n >= 10
+            ORDER BY lift DESC, b.w1, b.w2 LIMIT 50
+        """,
+        "events_mad_outliers": """
+            WITH e AS (SELECT event_type,
+                              CAST(FLOOR(value*100) AS BIGINT) AS c
+                       FROM events),
+            m AS (SELECT event_type,
+                         CAST(2*median(c) AS BIGINT) AS med2
+                  FROM e GROUP BY 1),
+            d AS (SELECT e.event_type, m.med2,
+                         ABS(2*e.c - m.med2) AS dev
+                  FROM e JOIN m USING (event_type)),
+            md AS (SELECT event_type,
+                          CAST(2*median(dev) AS BIGINT) AS mad4
+                   FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   ANY_VALUE(d.med2) AS med2_cents,
+                   ANY_VALUE(md.mad4) AS mad4_cents,
+                   CAST(SUM(CASE WHEN 2*d.dev > 3*md.mad4
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM d JOIN md USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        "events_moving_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS msum_cents
+            FROM events ORDER BY event_id
         """,
         "customer_rfm": """
             WITH c AS (

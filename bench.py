@@ -76,7 +76,9 @@ BENCH_QUERIES = [
     "events_entropy_per_user", "returnflag_revenue_salted",
     "events_daily_gapfill",
     "part_skyline", "heavy_hitter_trigrams", "part_bfs_hops",
-    "bpe_merges",
+    "bpe_merges", "part_pair_support", "customer_part_jaccard",
+    "pmi_bigrams", "events_mad_outliers", "events_moving_sum",
+    "events_value_ewma", "orders_retention_cohort", "lineitem_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

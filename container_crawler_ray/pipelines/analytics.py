@@ -1866,3 +1866,147 @@ def lineitem_profile(sf_dir: str) -> pd.DataFrame:
             .astype({"n": "int64", "n_null": "int64",
                      "n_distinct": "int64"})
             [["column", "n", "n_null", "n_distinct", "min_v", "max_v"]])
+
+
+def events_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust anomaly detection per group: median + MAD (median absolute
+    deviation) of value-cents per event_type, and the count of events
+    beyond 3 MADs — the standard robust outlier gate for metric streams.
+    All statistics in INTEGER arithmetic so the SQL twin matches
+    bit-exactly: med2 = sorted[(n-1)//2] + sorted[n//2] (= 2×median for
+    odd AND even n), mad4 = the same doubling over |2·v − med2|, and the
+    outlier test |v − med| > 3·MAD becomes 2·|2·v − med2| > 3·mad4.
+    Exact medians need each group's values together (one groupby
+    exchange, same envelope as ``events_percentiles``); a
+    high-cardinality variant would switch to a mergeable histogram
+    sketch."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": pa.array(v)})
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["cents"].to_numpy())
+        n = len(v)
+        med2 = int(v[(n - 1) // 2]) + int(v[n // 2])
+        dev = np.sort(np.abs(2 * v - med2))
+        mad4 = int(dev[(n - 1) // 2]) + int(dev[n // 2])
+        n_out = int(np.count_nonzero(2 * dev > 3 * mad4))
+        return pd.DataFrame({"event_type": g["event_type"].iloc[:1],
+                             "med2_cents": [med2], "mad4_cents": [mad4],
+                             "n_outliers": [n_out]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("event_type").map_groups(mad, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"med2_cents": "int64", "mad4_cents": "int64",
+                     "n_outliers": "int64"}))
+
+
+def events_moving_sum(sf_dir: str, window: int = 3) -> pd.DataFrame:
+    """Rows-frame window function: per-event trailing sum of the last
+    ``window`` values (ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)
+    per user, ordered by (ts, event_id) — the moving-metric primitive
+    under rate smoothing and burst detection. One ``groupby(user % B)``
+    exchange; inside each bucket one C-level sort + pandas grouped
+    rolling sum (no Python row loop). Emits one row per input event —
+    the output is input-sized, which is fine because it streams straight
+    out as a column append; nothing is collected beyond the driver-side
+    test harness."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "cents": pa.array(v),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        ms = (g.groupby("user_id", sort=False)["cents"]
+              .rolling(window, min_periods=1).sum()
+              .reset_index(drop=True).to_numpy())
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "msum_cents": ms.astype(np.int64)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(roll, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "msum_cents": "int64"}))
+
+
+def events_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-key streaming fold: integer EWMA of value-cents per user in
+    (ts, event_id) order — e ← (7·e + v) >> 3 with e₀ = v₀, i.e.
+    α = 1/8 in fixed point. The recurrence is inherently sequential PER
+    KEY (each step needs the previous), so the cluster shape is
+    parallelism ACROSS keys: one ``groupby(user % B)`` exchange, and
+    inside each bucket the fold is vectorized across that bucket's
+    users — rows are ordered by (position-within-user, user) and the
+    loop advances one POSITION per iteration, updating every user still
+    alive at that position with one gather/scatter; the Python loop
+    count is max-events-per-key, never row count. Integer semantics
+    (floor shift) make the result exactly reproducible regardless of
+    batch boundaries — oracled against a single-process golden."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "cents": pa.array(v),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        v = g["cents"].to_numpy()
+        urank, uniq = pd.factorize(uid, sort=True)
+        # position of each row within its user (rows already user-sorted)
+        starts = np.ones(len(uid), dtype=np.int64)
+        starts[0] = 0
+        starts[1:] = np.where(uid[1:] != uid[:-1], 0, 1)
+        pos = np.arange(len(uid)) - \
+            np.maximum.accumulate(np.where(starts == 0,
+                                           np.arange(len(uid)), -1))
+        order = np.lexsort((urank, pos))
+        spos = pos[order]
+        e = np.zeros(len(uniq), dtype=np.int64)
+        bounds = np.searchsorted(spos, np.arange(spos[-1] + 2)) \
+            if len(spos) else np.array([0, 0])
+        for j in range(len(bounds) - 1):
+            lo, hi = bounds[j], bounds[j + 1]
+            if lo >= hi:
+                break
+            ids = urank[order[lo:hi]]
+            vals = v[order[lo:hi]]
+            if j == 0:
+                e[ids] = vals
+            else:
+                e[ids] = (7 * e[ids] + vals) >> 3
+        return pd.DataFrame({"user_id": uniq.astype(np.int64),
+                             "ewma_cents": e})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "ewma_cents": "int64"}))

@@ -476,7 +476,7 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
              % np.uint64(256)).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
-    def bucket_pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pair_counts(g: pd.DataFrame) -> pa.Table:
         m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]],
                                            on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
@@ -487,7 +487,9 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
         # multi-key aggregate over millions of tiny groups is far slower
         # than bucketed map_groups with a vectorized pandas reduce)
         out["pbucket"] = ((out["a"] * 1000003 + out["b"]) % 64).astype("int32")
-        return out
+        # Arrow output: pandas blocks straight into the next groupby put
+        # that exchange on Ray's pandas sort path (measured ~20× slower)
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["a", "b"], as_index=False)["inter_part"].sum()

@@ -531,3 +531,73 @@ def bpe_merges(sf_dir: str, n_merges: int = 12,
 
     return pd.DataFrame(rules, columns=["rank", "left", "right", "n"]) \
         .astype({"rank": "int64", "n": "int64"})
+
+
+def pmi_bigrams(sf_dir: str, min_count: int = 10,
+                topn: int = 50) -> pd.DataFrame:
+    """Collocation mining: the ``topn`` word bigrams ranked by
+    association lift — count(a,b) · N / (count(a) · count(b)), the
+    monotone core of PMI (PMI = log lift), left unlogged so the score
+    is one exact-integer product and ONE float64 division on both
+    sides (bit-identical to the SQL twin; log would compare libm
+    implementations instead of arithmetic). The corpus-sized work is a
+    single pre-aggregated exchange: each batch emits np.unique'd
+    (left, right, partial-n) rows for bigrams AND (w, '', n) sentinel
+    rows for unigrams, one groupby-sum folds both. The lift join then
+    runs over VOCABULARY-sized aggregates (pandas merge on the driver
+    here; at 100 TB vocabulary outgrows the driver and the same merge
+    becomes a word-bucketed co-partition join — the data-sized path is
+    unchanged). ``min_count`` prunes the long tail before scoring, the
+    standard PMI noise floor."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        uni, bi = [], []
+        for s in texts:
+            w = s.split()
+            uni.extend(w)
+            bi.extend(f"{w[i]}\x1f{w[i+1]}" for i in range(len(w) - 1))
+        lefts, rights, ns = [], [], []
+        if uni:
+            u, c = np.unique(np.array(uni, dtype=object),
+                             return_counts=True)
+            lefts.extend(u)
+            rights.extend([""] * len(u))
+            ns.extend(c)
+        if bi:
+            u, c = np.unique(np.array(bi, dtype=object),
+                             return_counts=True)
+            for pair, k in zip(u, c):
+                a, b = pair.split("\x1f")
+                lefts.append(a)
+                rights.append(b)
+                ns.append(k)
+        return pa.table({"w1": pa.array(lefts, type=pa.string()),
+                         "w2": pa.array(rights, type=pa.string()),
+                         "n": pa.array(np.array(ns, dtype=np.int64))})
+
+    agg = (ds.map_batches(counts, batch_format="pyarrow")
+           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    uni = agg[agg["w2"] == ""][["w1", "n"]].rename(
+        columns={"n": "cu"})
+    n_total = int(uni["cu"].sum())
+    bi = agg[(agg["w2"] != "") & (agg["n"] >= min_count)].copy()
+    bi = (bi.merge(uni.rename(columns={"w1": "w1k", "cu": "c1"}),
+                   left_on="w1", right_on="w1k")
+          .merge(uni.rename(columns={"w1": "w2k", "cu": "c2"}),
+                 left_on="w2", right_on="w2k"))
+    num = (bi["n"].to_numpy(np.int64) * n_total).astype(np.float64)
+    den = bi["c1"].to_numpy(np.int64) * bi["c2"].to_numpy(np.int64)
+    bi["lift"] = num / den
+    out = (bi[["w1", "w2", "n", "lift"]]
+           .rename(columns={"n": "n_pair"})
+           .sort_values(["lift", "w1", "w2"],
+                        ascending=[False, True, True], kind="mergesort")
+           .head(topn).reset_index(drop=True))
+    return out.astype({"n_pair": "int64"})

@@ -73,6 +73,9 @@ def test_entry_smoke(entrymod):
     "gopher_quality_flags", "name_edit_near_pairs",
     "triangle_count_parts",
     "part_skyline", "heavy_hitter_trigrams", "part_bfs_hops",
+    "part_pair_support", "customer_part_jaccard", "pmi_bigrams",
+    "events_mad_outliers", "events_moving_sum",
+    "orders_retention_cohort",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

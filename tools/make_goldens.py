@@ -1082,6 +1082,32 @@ def g_bpe_merges(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rules, columns=["rank", "left", "right", "n"]) \
         .astype({"rank": "int64", "n": "int64"})
 
+
+
+def g_events_value_ewma(sf_dir: str) -> pd.DataFrame:
+    """Independent integer EWMA: per-user plain Python loop over events
+    in (ts, event_id) order, e0 = v0, e = (7*e + v) >> 3 (arithmetic
+    shift = floor — identical for negatives in Python and numpy)."""
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["event_id", "user_id", "ts", "value"])
+    df = pd.DataFrame({
+        "event_id": t.column("event_id").to_numpy(),
+        "user_id": t.column("user_id").to_numpy(),
+        "ts_us": t.column("ts").cast("int64").to_numpy(),
+        "cents": np.floor(t.column("value").to_numpy() * 100)
+        .astype(np.int64)})
+    df = df.sort_values(["user_id", "ts_us", "event_id"],
+                        kind="mergesort")
+    out = {}
+    for u, v in zip(df["user_id"].to_numpy(), df["cents"].to_numpy()):
+        u = int(u); v = int(v)
+        out[u] = v if u not in out else (7 * out[u] + v) >> 3
+    rows = sorted(out.items())
+    return pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "ewma_cents": np.array([r[1] for r in rows], dtype=np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1111,6 +1137,7 @@ GOLDENS = {
     "docs_compression_ratio": g_docs_compression_ratio,
     "events_entropy_per_user": g_events_entropy_per_user,
     "bpe_merges": g_bpe_merges,
+    "events_value_ewma": g_events_value_ewma,
 }
 
 
