@@ -1841,13 +1841,39 @@ def lineitem_profile(sf_dir: str) -> pd.DataFrame:
                          "max_v": pa.array(mx, type=pa.float64())})
 
     def uniq_partial(t: pa.Table) -> pa.Table:
+        # (column, value) packed per block: column index in the top
+        # bits, the float64's raw bit pattern hashed into a bucket.
+        # Distinct (column, value) pairs are near ROW-sized for a
+        # high-cardinality column, and Ray's aggregate pays per group —
+        # the fold below is 64 bucketed np.unique reduces instead
+        # (same reasoning as the pair folds in joins.py).
         cols, vals = [], []
-        for c in _PROFILE_COLS:
+        for ci, c in enumerate(_PROFILE_COLS):
             u = np.unique(t.column(c).to_numpy(zero_copy_only=False)
                           .astype(np.float64))
-            cols.extend([c] * len(u)); vals.append(u)
-        return pa.table({"column": pa.array(cols, type=pa.string()),
-                         "value": pa.array(np.concatenate(vals))})
+            cols.append(np.full(len(u), ci, dtype=np.int64))
+            vals.append(u)
+        col = np.concatenate(cols)
+        bits = np.concatenate(vals).view(np.int64)
+        return pa.table({
+            "col": pa.array(col),
+            "bits": pa.array(bits),
+            "vbucket": pa.array(
+                (((bits.view(np.uint64)
+                    * np.uint64(0x9E3779B97F4A7C15))
+                  >> np.uint64(33)) % np.uint64(64))
+                .astype(np.int32))})
+
+    def uniq_reduce(g: pd.DataFrame) -> pa.Table:
+        # exact distinct per column within the bucket: same float bits
+        # always land in the same bucket, so per-bucket uniques sum to
+        # the global distinct count
+        d = pd.DataFrame({"col": g["col"].to_numpy(),
+                          "bits": g["bits"].to_numpy()}) \
+            .drop_duplicates()
+        out = d.groupby("col", as_index=False).size() \
+            .rename(columns={"size": "nd"})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     base = (ds.map_batches(stats_partial, batch_format="pyarrow")
             .groupby("column")
@@ -1857,9 +1883,13 @@ def lineitem_profile(sf_dir: str) -> pd.DataFrame:
                        Max("max_v", alias_name="max_v"))
             .to_pandas())
     nd = (ds.map_batches(uniq_partial, batch_format="pyarrow")
-          .groupby(["column", "value"]).aggregate(Count(alias_name="_"))
-          .groupby("column").aggregate(Count(alias_name="n_distinct"))
+          .groupby("vbucket").map_groups(uniq_reduce,
+                                         batch_format="pandas")
+          .groupby("col").aggregate(Sum("nd", alias_name="n_distinct"))
           .to_pandas())
+    nd["column"] = np.array(_PROFILE_COLS, dtype=object)[
+        nd["col"].to_numpy(np.int64)]
+    nd = nd[["column", "n_distinct"]]
     out = base.merge(nd, on="column")
     return (out.sort_values("column", kind="mergesort")
             .reset_index(drop=True)

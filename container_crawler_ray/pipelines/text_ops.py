@@ -378,6 +378,12 @@ def heavy_hitter_trigrams(sf_dir: str,
     cand = np.sort(sketch.loc[(sketch["tot"] == 0)
                               & (sketch["n"] >= lo), "g"]
                    .to_numpy().astype(str))
+    if len(cand) == 0:
+        # nothing clears even the sketch lower bound — the exact result
+        # is empty (an all-empty map output would lose its schema in
+        # to_pandas)
+        return pd.DataFrame({"g": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
     cand_ref = ray.put(cand)
 
     def exact(t: pa.Table) -> pa.Table:
