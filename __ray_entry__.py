@@ -136,6 +136,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mad_outliers": analytics.events_mad_outliers,
         "events_moving_sum": analytics.events_moving_sum,
         "events_value_ewma": analytics.events_value_ewma,  # golden oracle
+        "events_percentile_rank": analytics.events_percentile_rank,
+        "lineitem_corr": analytics.lineitem_corr,
+        "supplier_top_parts": analytics.supplier_top_parts,
+        "events_nearby_count": analytics.events_nearby_count,
+        "part_kcore": graph.part_kcore,                   # golden oracle
         "name_edit_near_pairs": dedup.name_edit_near_pairs,
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
@@ -208,7 +213,7 @@ def oracle_sql() -> dict[str, str]:
                       "strip_dup_windows", "part_components",
                       "events_weighted_sample", "docs_compression_ratio",
                       "events_entropy_per_user", "bpe_merges",
-                      "events_value_ewma"]
+                      "events_value_ewma", "part_kcore"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -1164,6 +1169,66 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS msum_cents
             FROM events ORDER BY event_id
+        """,
+        "events_percentile_rank": """
+            SELECT event_id,
+                   CAST((RANK() OVER (
+                            ORDER BY CAST(FLOOR(value*100) AS BIGINT))
+                         - 1) * 10000
+                        // (COUNT(*) OVER () - 1) AS BIGINT) AS pct_bp
+            FROM events ORDER BY event_id
+        """,
+        "lineitem_corr": """
+            WITH m AS (
+              SELECT l_returnflag AS flag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sx,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS sy,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                              * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS sxy,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                              * CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sxx,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                              * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS syy
+              FROM lineitem GROUP BY 1)
+            SELECT flag AS l_returnflag, n,
+                   CAST(FLOOR(
+                     (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     * 1000) AS BIGINT) AS corr_milli
+            FROM m ORDER BY l_returnflag
+        """,
+        "supplier_top_parts": """
+            WITH t AS (SELECT l_suppkey, l_partkey,
+                              CAST(SUM(CAST(FLOOR(l_quantity)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS total_qty
+                       FROM lineitem GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY l_suppkey
+                      ORDER BY total_qty DESC, l_partkey) AS rnk
+                  FROM t)
+            SELECT l_suppkey, l_partkey, total_qty,
+                   CAST(rnk AS BIGINT) AS "rank"
+            FROM r WHERE rnk <= 3 ORDER BY l_suppkey, rnk
+        """,
+        "events_nearby_count": """
+            SELECT a.event_id,
+                   CAST(COUNT(b.event_id) AS BIGINT) AS n_nearby
+            FROM events a LEFT JOIN events b
+              ON a.user_id = b.user_id
+             AND b.event_id <> a.event_id
+             AND ABS(epoch_us(b.ts) - epoch_us(a.ts)) <= 300000000
+            GROUP BY a.event_id ORDER BY a.event_id
         """,
         "customer_rfm": """
             WITH c AS (

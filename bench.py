@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "bpe_merges", "part_pair_support", "customer_part_jaccard",
     "pmi_bigrams", "events_mad_outliers", "events_moving_sum",
     "events_value_ewma", "orders_retention_cohort", "lineitem_profile",
+    "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
+    "events_nearby_count", "part_kcore",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

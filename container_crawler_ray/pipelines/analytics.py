@@ -2040,3 +2040,198 @@ def events_value_ewma(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({"user_id": "int64", "ewma_cents": "int64"}))
+
+
+def events_percentile_rank(sf_dir: str) -> pd.DataFrame:
+    """Global percent-rank of every event's value — the rank-transform
+    primitive under calibration curves and copula features. Two-pass
+    broadcast shape (no global sort): pass 1 folds per-block
+    ``np.unique`` partials into a (distinct cents → count) table with a
+    64-way bucketed reduce (distinct values can approach row count, and
+    Ray's aggregate pays per group); the driver turns it into a sorted
+    value array + cumulative-count array — DISTINCT-VALUE-sized, the
+    same class of broadcast as every LUT join here — and pass 2 maps
+    rank = cumcount[searchsorted(value)] over the events.
+    pct_bp = n_less · 10000 // (N−1), all-integer, ties share a rank
+    (SQL RANK() semantics, bit-exact twin). At a scale where distinct
+    values outgrow the driver, the fold keys on value directly and
+    pass 2 becomes a range-partitioned merge join against the CDF
+    table — same algebra."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "vbucket": pa.array((u % 64).astype(np.int32))})
+
+    def vc_reduce(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("cents", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vc = (ds.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby("vbucket").map_groups(vc_reduce, batch_format="pandas")
+          .to_pandas().sort_values("cents", kind="mergesort"))
+    vals = vc["cents"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(vc["n"].to_numpy(np.int64))))
+    n_total = int(cum[-1])
+    import ray
+    vals_ref = ray.put(vals)
+    cum_ref = ray.put(cum[:-1])
+
+    def rank(t: pa.Table) -> pa.Table:
+        va = ray.get(vals_ref)
+        cu = ray.get(cum_ref)
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        n_less = cu[np.searchsorted(va, v)]
+        bp = n_less * 10000 // (n_total - 1)
+        return pa.table({"event_id": t.column("event_id"),
+                         "pct_bp": pa.array(bp)})
+
+    out = ds.map_batches(rank, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "pct_bp": "int64"}))
+
+
+def lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Per-group Pearson correlation (quantity vs price dollars) from
+    EXACT integer moment sums — the feature-correlation scan of a data
+    audit. Each block emits one (flag, n, Σx, Σy, Σxy, Σx², Σy²) row
+    per group (constant-size partials, the classic mergeable-moments
+    shape, so the exchange is |groups|×|blocks| rows no matter the
+    input size); the driver folds them and evaluates the closed form
+    in float64 with the SAME operation order as the SQL twin
+    (each int64 cast to double, then identical IEEE multiply/subtract/
+    sqrt/divide — bit-equal results, no libm log involved).
+    corr_milli = floor(1000·corr)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "flag": t.column("l_returnflag").to_pylist(),
+            "x": np.floor(t.column("l_quantity").to_numpy())
+            .astype(np.int64),
+            "y": np.floor(t.column("l_extendedprice").to_numpy())
+            .astype(np.int64)})
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["n"] = 1
+        g = df.groupby("flag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("flag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("x", alias_name="sx"),
+                      Sum("y", alias_name="sy"),
+                      Sum("xy", alias_name="sxy"),
+                      Sum("xx", alias_name="sxx"),
+                      Sum("yy", alias_name="syy"))
+           .to_pandas())
+    dn = agg["n"].to_numpy(np.int64).astype(np.float64)
+    dsx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    dsy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    num = (dn * agg["sxy"].to_numpy(np.int64).astype(np.float64)
+           - dsx * dsy)
+    va = dn * agg["sxx"].to_numpy(np.int64).astype(np.float64) \
+        - dsx * dsx
+    vb = dn * agg["syy"].to_numpy(np.int64).astype(np.float64) \
+        - dsy * dsy
+    corr_milli = np.floor(num / (np.sqrt(va) * np.sqrt(vb)) * 1000.0) \
+        .astype(np.int64)
+    out = pd.DataFrame({"l_returnflag": agg["flag"],
+                        "n": agg["n"].to_numpy(np.int64),
+                        "corr_milli": corr_milli})
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+def supplier_top_parts(sf_dir: str, topn: int = 3) -> pd.DataFrame:
+    """Per-group top-N (top parts per supplier by shipped quantity,
+    ties to the smaller part key) — the grouped-leaderboard shape.
+    Block-local (supp, part, qty) partials pre-aggregate the exchange;
+    one ``groupby(supp % B)`` co-locates each supplier, and the
+    per-bucket top-N is one vectorized sort + C-level grouped head —
+    no per-supplier Python loop. Output is |suppliers|·N rows."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_partkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": t.column("l_suppkey").to_numpy().astype(np.int64),
+            "p": t.column("l_partkey").to_numpy().astype(np.int64),
+            "q": np.floor(t.column("l_quantity").to_numpy())
+            .astype(np.int64)})
+        g = df.groupby(["s", "p"], as_index=False)["q"].sum()
+        g["bucket"] = (g["s"] % 64).astype(np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def top(g: pd.DataFrame) -> pa.Table:
+        g = g.groupby(["s", "p"], as_index=False)["q"].sum()
+        g = g.sort_values(["s", "q", "p"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g["rank"] = g.groupby("s", sort=False).cumcount() + 1
+        out = g[g["rank"] <= topn]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(top, batch_format="pandas")
+           .to_pandas()
+           .rename(columns={"s": "l_suppkey", "p": "l_partkey",
+                            "q": "total_qty"}))
+    return (out.sort_values(["l_suppkey", "rank"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"l_suppkey": "int64", "l_partkey": "int64",
+                     "total_qty": "int64", "rank": "int64"}))
+
+
+def events_nearby_count(sf_dir: str,
+                        window_us: int = 300_000_000) -> pd.DataFrame:
+    """Temporal self range-join: for every event, how many OTHER
+    events the same user produced within ±5 minutes — the burst /
+    velocity feature under rate limiting and fraud scoring. A
+    fact×fact interval join: one ``groupby(user % B)`` exchange, then
+    per user segment two ``np.searchsorted`` calls bound the window in
+    the user's time-sorted array (count = hi − lo − 1, exact, ties
+    inclusive). The loop is over KEYS in the bucket (the recurrence is
+    per-key like ``events_value_ewma``); every per-key step is a
+    vectorized bisect over that key's whole segment. SQL twin: LEFT
+    self-join on user with the |Δts| predicate."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def count_window(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        n = np.empty(len(uid), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            lo = np.searchsorted(seg, seg - window_us, side="left")
+            hi = np.searchsorted(seg, seg + window_us, side="right")
+            n[s:e] = hi - lo - 1
+        return pa.table({"event_id": pa.array(eid),
+                         "n_nearby": pa.array(n)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(count_window,
+                                         batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "n_nearby": "int64"}))

@@ -29,7 +29,7 @@ GOLDEN_QUERIES = [
     "semantic_dedup", "bm25_scores", "strip_dup_windows",
     "part_components", "events_weighted_sample",
     "docs_compression_ratio", "events_entropy_per_user",
-    "bpe_merges", "events_value_ewma",
+    "bpe_merges", "events_value_ewma", "part_kcore",
 ]
 
 

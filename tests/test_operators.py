@@ -76,6 +76,8 @@ def test_entry_smoke(entrymod):
     "part_pair_support", "customer_part_jaccard", "pmi_bigrams",
     "events_mad_outliers", "events_moving_sum",
     "orders_retention_cohort",
+    "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
+    "events_nearby_count",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +

@@ -1108,6 +1108,39 @@ def g_events_value_ewma(sf_dir: str) -> pd.DataFrame:
         "ewma_cents": np.array([r[1] for r in rows], dtype=np.int64)})
 
 
+
+
+def g_part_kcore(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """Independent k-core: same consecutive-lineitem edge derivation as
+    g_part_components, then sequential peeling with a worklist (k-core
+    is order-independent, so any peeling order gives the same core)."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_partkey"]).to_pandas()
+    li = li.sort_values(["l_orderkey", "l_linenumber", "l_partkey"])
+    adj: dict[int, set] = {}
+    prev_o, prev_p = None, None
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        o, p = int(o), int(p)
+        if o == prev_o and p != prev_p:
+            adj.setdefault(prev_p, set()).add(p)
+            adj.setdefault(p, set()).add(prev_p)
+        prev_o, prev_p = o, p
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    if m in adj:
+                        adj[m].discard(n)
+                changed = True
+    rows = sorted((n, len(s)) for n, s in adj.items())
+    return pd.DataFrame({
+        "p_partkey": np.array([r[0] for r in rows], dtype=np.int64),
+        "core_deg": np.array([r[1] for r in rows], dtype=np.int64)})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1138,6 +1171,7 @@ GOLDENS = {
     "events_entropy_per_user": g_events_entropy_per_user,
     "bpe_merges": g_bpe_merges,
     "events_value_ewma": g_events_value_ewma,
+    "part_kcore": g_part_kcore,
 }
 
 
