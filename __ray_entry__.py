@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": joins.q2_min_cost_supplier,
         "q4_priority_with_bulk_line": joins.q4_priority_with_bulk_line,
         "q11_important_parts": joins.q11_important_parts,
+        "q12_shipmode_priority": joins.q12_shipmode_priority,
+        "lineitem_fingerprint": analytics.lineitem_fingerprint,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
         "q21_blocking_suppliers": joins.q21_blocking_suppliers,
@@ -929,6 +931,35 @@ def oracle_sql() -> dict[str, str]:
                             AND l_quantity >= 45)
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "lineitem_fingerprint": """
+            WITH h AS (
+              SELECT ((((l_orderkey % 2147483647) * 1000003
+                        + l_linenumber) % 2147483647 * 1000003
+                       + l_partkey) % 2147483647 * 1000003
+                      + l_suppkey) % 2147483647 AS v
+              FROM lineitem)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(v) AS BIGINT) AS checksum_sum,
+                   CAST(BIT_XOR(v) AS BIGINT) AS checksum_xor
+            FROM h
+        """,
+        "q12_shipmode_priority": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_returnflag IN ('A', 'R')
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "q11_important_parts": """
             WITH vals AS (

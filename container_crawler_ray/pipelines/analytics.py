@@ -2235,3 +2235,52 @@ def events_nearby_count(sf_dir: str,
     return (out.sort_values("event_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({"event_id": "int64", "n_nearby": "int64"}))
+
+
+def lineitem_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Order-invariant distributed table fingerprint: per-row integer
+    hash of the lineitem key columns folded into (row count, SUM,
+    BIT_XOR) — the standard cheap equality check for verifying a copy /
+    migration / replication of a huge table without moving it (compare
+    two 100-TB tables by exchanging three integers).
+
+    Ray shape: the ideal scale profile — each block reduces to ONE
+    fixed-size partial row inside ``map_batches`` (pure uint64 numpy,
+    no strings), there is NO shuffle at all, and the driver folds B
+    tiny partials. Commutative/associative combiners (sum, xor) make
+    the result independent of block order, so it is stable across
+    block splits, cluster sizes and retries.
+
+    Arithmetic is kept exactly SQL-twin-reproducible: every step stays
+    below 2^52 (mod 2^31-1 Mersenne fold, multiplier 1000003), so the
+    DuckDB BIGINT twin computes bit-identical values. The per-block
+    SUM of <2^31 values bounds at rows·2^31; the driver fold uses
+    Python ints, and the twin's global SUM fits BIGINT up to ~4×10^9
+    rows — past that, compare the xor and per-shard sums instead (the
+    partials parquet is the shard-level artifact you'd diff)."""
+    M = np.uint64(2147483647)  # 2^31 - 1
+    C = np.uint64(1000003)
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("l_orderkey").to_numpy().astype(np.uint64)
+        b = t.column("l_linenumber").to_numpy().astype(np.uint64)
+        c = t.column("l_partkey").to_numpy().astype(np.uint64)
+        d = t.column("l_suppkey").to_numpy().astype(np.uint64)
+        v = (a % M * C + b) % M
+        v = (v * C + c) % M
+        v = (v * C + d) % M
+        x = np.bitwise_xor.reduce(v) if len(v) else np.uint64(0)
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "s": pa.array([int(v.sum())], type=pa.int64()),
+                         "x": pa.array([int(x)], type=pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    xor = 0
+    for val in parts["x"].to_numpy(np.int64):
+        xor ^= int(val)
+    return pd.DataFrame({"n_rows": [int(parts["n"].sum())],
+                         "checksum_sum": [int(parts["s"].sum())],
+                         "checksum_xor": [xor]}).astype("int64")

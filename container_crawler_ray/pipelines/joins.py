@@ -1688,6 +1688,89 @@ def q11_important_parts(sf_dir: str, nationkey: int = 3,
             .reset_index(drop=True))
 
 
+def q12_shipmode_priority(sf_dir: str, year: int = 1996,
+                          flags: tuple = ("A", "R")) -> pd.DataFrame:
+    """TPC-H-Q12 high/low line-count split: lines shipped in ``year``
+    whose returnflag is in ``flags`` (standing in for Q12's shipmode
+    list — these tables carry no l_shipmode), joined to orders; per
+    flag, count lines belonging to HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs all the rest. Completes the q1–q22 TPC-H
+    shape set (order_priority_revenue covers the same join with a
+    revenue aggregate; this is the conditional-count variant).
+
+    Ray shape: both sides are fact-sized → bucketed co-partition join
+    (one exchange). Orders reduce map-side to (orderkey, hi:int8);
+    lineitem filters map-side by date + flag before anything moves, so
+    the exchange carries one slim row per surviving line and one per
+    order. Per bucket the priority bit joins to lines with one C-level
+    hash reindex, and only B × |flags| partial rows reach the driver."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+    flagset = list(flags)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        is_hi = np.isin(pri, ("1-URGENT", "2-HIGH")).astype(np.int8)
+        return pa.table({
+            "key": pa.array(key),
+            "flag": pa.array([""] * len(key), type=pa.string()),
+            "hi": pa.array(is_hi),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        sd = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[us]").astype(np.int64)
+        fl = t.column("l_returnflag").to_numpy(zero_copy_only=False)
+        m = (sd >= lo) & (sd < hi) & np.isin(fl, flagset)
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)[m]
+        return pa.table({
+            "key": pa.array(key),
+            "flag": pa.array(fl[m]),
+            "hi": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pa.Table:
+        lines = g[g["side"] == 1]
+        if not len(lines):
+            return pa.table({"flag": pa.array([], type=pa.string()),
+                             "high": pa.array([], type=pa.int64),
+                             "n": pa.array([], type=pa.int64)})
+        o = g[g["side"] == 0]
+        hi_of = pd.Series(o["hi"].to_numpy(np.int64),
+                          index=o["key"].to_numpy(np.int64))
+        line_hi = hi_of.reindex(
+            lines["key"].to_numpy(np.int64)).fillna(0).to_numpy(np.int64)
+        part = (pd.DataFrame({"flag": lines["flag"].to_numpy(),
+                              "hi": line_hi})
+                .groupby("flag", as_index=False)
+                .agg(high=("hi", "sum"), n=("hi", "size")))
+        return pa.Table.from_pandas(part.astype({"high": "int64",
+                                                 "n": "int64"}),
+                                    preserve_index=False)
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    out = part.groupby("flag", as_index=False).agg(
+        high_line_count=("high", "sum"), n=("n", "sum"))
+    out["low_line_count"] = out["n"] - out["high_line_count"]
+    out = out.rename(columns={"flag": "l_returnflag"}) \
+        .drop(columns=["n"]) \
+        .astype({"high_line_count": "int64", "low_line_count": "int64"})
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True)
+            [["l_returnflag", "high_line_count", "low_line_count"]])
+
+
 def q16_supplier_breadth(sf_dir: str) -> pd.DataFrame:
     """TPC-H-Q16-ish supplier breadth: per (p_brand, p_type), how many
     DISTINCT suppliers shipped that kind of part — excluding suppliers

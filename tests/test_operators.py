@@ -77,7 +77,8 @@ def test_entry_smoke(entrymod):
     "events_mad_outliers", "events_moving_sum",
     "orders_retention_cohort",
     "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
-    "events_nearby_count",
+    "events_nearby_count", "q12_shipmode_priority",
+    "lineitem_fingerprint",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
