@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "events_value_ewma", "orders_retention_cohort", "lineitem_profile",
     "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
     "events_nearby_count", "part_kcore",
+    "q12_shipmode_priority", "lineitem_fingerprint",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
