@@ -391,8 +391,9 @@ def part_kcore(sf_dir: str, k: int = 30) -> pd.DataFrame:
     maximal subgraph with min degree ≥ k is unique), so distributed
     rounds match any sequential peeling exactly. Cluster shape per
     round: one map_batches over the DISTRIBUTED edge set emits
-    per-block pre-summed (node, degree) partials, a dimension-sized
-    degree fold picks the victims, and the shrinking alive-mask
+    per-block dense bincount partials (fixed catalog-sized int64
+    vectors — no shuffle; summed on the driver like a gradient
+    all-reduce), the fold picks the victims, and the shrinking alive-mask
     broadcasts back (``ray.put`` bitmask over the part catalog — the
     same class of broadcast as the PageRank rank vector; at a 10⁹-node
     catalog the mask becomes a keyed table co-partitioned with edges).
@@ -432,21 +433,27 @@ def part_kcore(sf_dir: str, k: int = 30) -> pd.DataFrame:
         aref = ray.put(alive)
 
         def deg_partial(t: pa.Table, _aref=aref) -> pa.Table:
+            # fixed-size dense bincount partial per block: the node
+            # dimension is catalog-sized, so the degree fold needs NO
+            # shuffle — a Ray groupby here pays ~60 µs × 20k groups
+            # PER PEELING ROUND (measured 21.8 s total at sf0.1 vs
+            # ~2 s for this fold)
             al = ray.get(_aref)
             a = t.column("a").to_numpy().astype(np.int64)
             b = t.column("b").to_numpy().astype(np.int64)
             m = al[a] & al[b]
-            ids = np.concatenate([a[m], b[m]])
-            u, c = np.unique(ids, return_counts=True)
-            return pa.table({"node": pa.array(u),
-                             "deg": pa.array(c.astype(np.int64))})
+            cnt = (np.bincount(a[m], minlength=len(al))
+                   + np.bincount(b[m], minlength=len(al)))
+            return pa.table({"v": pa.array([cnt.astype(np.int64)
+                                            .tobytes()],
+                                           type=pa.large_binary())})
 
-        from ray.data.aggregate import Sum as _Sum
-        deg = (und.map_batches(deg_partial, batch_format="pyarrow")
-               .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
-               .to_pandas())
-        nodes = deg["node"].to_numpy(np.int64)
-        degs = deg["deg"].to_numpy(np.int64)
+        total = np.zeros(n_max + 1, dtype=np.int64)
+        for row in (und.map_batches(deg_partial, batch_format="pyarrow")
+                    .take_all()):
+            total += np.frombuffer(row["v"], dtype=np.int64)
+        nodes = np.flatnonzero(total)
+        degs = total[nodes]
         victims = nodes[degs < k]
         # also peel alive nodes that lost ALL edges this round
         isolated = np.flatnonzero(alive)
