@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": joins.q11_important_parts,
         "q12_shipmode_priority": joins.q12_shipmode_priority,
         "lineitem_fingerprint": analytics.lineitem_fingerprint,
+        "events_hist_quantiles": analytics.events_hist_quantiles,
+        "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
         "q21_blocking_suppliers": joins.q21_blocking_suppliers,
@@ -175,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_dedup": curate.curate_dedup,              # golden oracle
         "curate_pack": curate.curate_pack,                # golden oracle
         "decontaminate_docs": curate.decontaminate_docs,
+        "docs_split_assign": curate.docs_split_assign,
+        "docs_mixture_sample": curate.docs_mixture_sample,
         # multimodal plumbing (decode/feature/frame-sample stages; decode
         # itself is a clearly-marked deterministic fake — no codecs here)
         "media_metadata": media.media_metadata,
@@ -943,6 +947,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v) AS BIGINT) AS checksum_sum,
                    CAST(BIT_XOR(v) AS BIGINT) AS checksum_xor
             FROM h
+        """,
+        "events_hist_quantiles": """
+            WITH c AS (SELECT CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT q_pct, cents FROM (
+              SELECT 25 AS q_pct,
+                     CAST(quantile_disc(cents, 0.25) AS BIGINT) AS cents
+              FROM c
+              UNION ALL SELECT 50, CAST(quantile_disc(cents, 0.50)
+                                        AS BIGINT) FROM c
+              UNION ALL SELECT 75, CAST(quantile_disc(cents, 0.75)
+                                        AS BIGINT) FROM c
+              UNION ALL SELECT 90, CAST(quantile_disc(cents, 0.90)
+                                        AS BIGINT) FROM c
+              UNION ALL SELECT 99, CAST(quantile_disc(cents, 0.99)
+                                        AS BIGINT) FROM c)
+        """,
+        "purchase_attribution": """
+            WITH p AS (SELECT event_id AS pid, user_id, ts,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+                 c AS (SELECT event_id AS cid, user_id, ts
+                       FROM events WHERE event_type = 'click'),
+                 j AS (SELECT c.cid, c.user_id, p.cents,
+                              COUNT(*) OVER (PARTITION BY p.pid) AS n
+                       FROM p JOIN c ON c.user_id = p.user_id
+                            AND c.ts >= p.ts - INTERVAL 7 DAY
+                            AND c.ts < p.ts)
+            SELECT cid AS click_id, user_id,
+                   CAST(SUM(cents * 1000000 // n) AS BIGINT)
+                       AS attributed_micros
+            FROM j GROUP BY cid, user_id
+        """,
+        "docs_split_assign": """
+            WITH s AS (
+              SELECT lang, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 15)) AS UBIGINT) % 100 AS r
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN r < 90 THEN 'train'
+                        WHEN r < 95 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY 1, 2
+        """,
+        "docs_mixture_sample": """
+            WITH r AS (
+              SELECT source, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(
+                                 md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS UBIGINT), doc_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM documents)
+            SELECT source,
+                   CAST(SUM(CASE WHEN run <= 4000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(CASE WHEN run <= 4000 THEN n_chars
+                                 ELSE 0 END) AS BIGINT) AS chars_kept,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_total
+            FROM r GROUP BY source
         """,
         "q12_shipmode_priority": """
             SELECT l_returnflag,

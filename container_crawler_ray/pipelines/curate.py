@@ -240,3 +240,98 @@ def decontaminate_docs(sf_dir: str, k: int = 3,
         })
 
     return ds.map_batches(score, batch_format="pyarrow").to_pandas()
+
+
+def docs_split_assign(sf_dir: str, train_pct: int = 90,
+                      valid_pct: int = 5) -> pd.DataFrame:
+    """Deterministic stratified train/valid/test split — the assignment
+    every training run needs to be REPRODUCIBLE and shard-local: split =
+    md5(doc_id) mod 100 against fixed thresholds, so any worker can
+    recompute any document's split with no coordination, re-runs are
+    stable, and adding documents never reassigns existing ones (the
+    property a random split lacks). Pure map + per-block pre-aggregated
+    partials folded on the driver (the (lang × split) result is
+    constant-sized — no shuffle). Output: per (lang, split) doc and char
+    counts, the sanity report a split job emits."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = hash64_many([str(i) for i in ids]) >> np.uint64(4)
+        r = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(r < train_pct, "train",
+                         np.where(r < train_pct + valid_pct,
+                                  "valid", "test"))
+        df = pd.DataFrame({"lang": t.column("lang").to_pandas(),
+                           "split": split,
+                           "n_chars": t.column("n_chars").to_numpy()})
+        g = df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (parts.groupby(["lang", "split"], as_index=False)
+           .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+           .sort_values(["lang", "split"], kind="mergesort")
+           .reset_index(drop=True))
+    return out.astype({"n_docs": "int64", "sum_chars": "int64"})
+
+
+def docs_mixture_sample(sf_dir: str, budget_chars: int = 4000) -> pd.DataFrame:
+    """Domain-mixture sampling under a per-source token budget — the
+    data-mixing step of corpus assembly: within each source, documents
+    are taken in deterministic md5-rank order (a reproducible uniform
+    shuffle that needs no RNG state) until the source's char budget is
+    filled; a document is kept iff it fits entirely. One shuffle
+    (bucket by source), then a vectorized per-source sort + prefix-sum.
+    Sources are dimension-sized here; a source too big for one group
+    would run the same prefix-sum as two linear passes (per-block
+    partial sums → broadcast block offsets), never a global sort.
+    Output per source: docs/chars kept vs available."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (hash64_many([str(i) for i in ids])
+             >> np.uint64(4)).astype(np.int64)
+        return pa.table({"source": t.column("source"),
+                         "doc_id": t.column("doc_id"),
+                         "n_chars": t.column("n_chars"),
+                         "hkey": pa.array(h)})
+
+    def pick(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
+        nc = g["n_chars"].to_numpy(np.int64)
+        # per-source running total (groupby.cumsum is C-level)
+        run = g.groupby("source")["n_chars"].cumsum().to_numpy(np.int64)
+        keep = run <= budget_chars
+        out = pd.DataFrame({"source": g["source"].to_numpy(),
+                            "keep": keep, "n_chars": nc,
+                            "kc": np.where(keep, nc, 0)})
+        agg = out.groupby("source", as_index=False).agg(
+            n_docs_kept=("keep", "sum"),
+            chars_kept=("kc", "sum"),
+            n_docs_total=("keep", "size"),
+            chars_total=("n_chars", "sum"))
+        agg["n_docs_kept"] = agg["n_docs_kept"].astype(np.int64)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("source").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("source", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_docs_kept": "int64", "chars_kept": "int64",
+                     "n_docs_total": "int64", "chars_total": "int64"}))

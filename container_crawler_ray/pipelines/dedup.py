@@ -940,14 +940,29 @@ def strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
                            "n_docs": np.ones(sum(map(len, hs)),
                                              dtype=np.int64)})
         g = df.groupby("whash", as_index=False)["n_docs"].sum()
-        return pa.table({"whash": pa.array(g["whash"].to_numpy(np.uint64)),
-                         "n_docs": pa.array(g["n_docs"].to_numpy(np.int64))})
+        wh = g["whash"].to_numpy(np.uint64)
+        return pa.table({"whash": pa.array(wh),
+                         "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+                         "bk": pa.array((wh % np.uint64(64))
+                                        .astype(np.int32))})
 
-    from ray.data.aggregate import Sum
+    def reduce_dup(g: pd.DataFrame) -> pa.Table:
+        # window hashes are near token-cardinality, so a Ray aggregate
+        # pays per group (millions of groups → ~7s); 64 bucketed
+        # vectorized reduces fold the same rows in ~1s and emit ONLY
+        # the >1-doc hashes (the broadcast set), not every hash
+        wh = g["whash"].to_numpy(np.uint64)
+        n = g["n_docs"].to_numpy(np.int64)
+        order = np.argsort(wh, kind="mergesort")
+        wh, n = wh[order], n[order]
+        u, idx = np.unique(wh, return_index=True)
+        tot = np.add.reduceat(n, idx)
+        return pa.table({"whash": pa.array(u[tot > 1])})
+
     agg = (docs.map_batches(partial, batch_format="pyarrow")
-           .groupby("whash").aggregate(Sum("n_docs", alias_name="n"))
+           .groupby("bk").map_groups(reduce_dup, batch_format="pandas")
            .to_pandas())
-    dup = np.sort(agg.loc[agg["n"] > 1, "whash"].to_numpy(np.uint64))
+    dup = np.sort(agg["whash"].to_numpy(np.uint64))
     ref = ray.put(dup)
 
     def mask(t: pa.Table) -> pa.Table:

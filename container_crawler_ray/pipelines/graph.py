@@ -179,22 +179,25 @@ def triangle_count_parts(sf_dir: str) -> pd.DataFrame:
            .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
            .materialize())
 
-    # degree over the distinct undirected edge set
-    def deg_partial(t: pa.Table) -> pa.Table:
-        ids = np.concatenate([t.column("a").to_numpy(),
-                              t.column("b").to_numpy()]).astype(np.int64)
-        u, c = np.unique(ids, return_counts=True)
-        return pa.table({"node": pa.array(u),
-                         "deg": pa.array(c.astype(np.int64))})
+    # degree over the distinct undirected edge set — dense bincount
+    # partials (fixed catalog-sized vectors, no shuffle), same fold as
+    # part_kcore: a Ray groupby here pays per node group (~1.2s)
+    nd_max = int(_read(sf_dir, "part", columns=["p_partkey"])
+                 .max("p_partkey"))
 
-    from ray.data.aggregate import Sum as _Sum
-    deg = (und.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").aggregate(_Sum("deg", alias_name="deg"))
-           .to_pandas())
-    n_nodes = len(deg)
-    dmax = int(deg["node"].max()) + 1
-    dlut = np.zeros(dmax, dtype=np.int64)
-    dlut[deg["node"].to_numpy(np.int64)] = deg["deg"].to_numpy(np.int64)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        cnt = (np.bincount(a, minlength=nd_max + 1)
+               + np.bincount(b, minlength=nd_max + 1))
+        return pa.table({"v": pa.array([cnt.astype(np.int64).tobytes()],
+                                       type=pa.large_binary())})
+
+    dlut = np.zeros(nd_max + 1, dtype=np.int64)
+    for row in (und.map_batches(deg_partial, batch_format="pyarrow")
+                .take_all()):
+        dlut += np.frombuffer(row["v"], dtype=np.int64)
+    n_nodes = int((dlut > 0).sum())
     dref = ray.put(dlut)
 
     # orient low→high by (degree, id); tag for the wedge grouping
@@ -210,22 +213,34 @@ def triangle_count_parts(sf_dir: str) -> pd.DataFrame:
                          "wk": pa.array((u % _BUCKETS).astype(np.int32))})
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        outs_a, outs_b = [], []
-        for _, grp in g.groupby("u", sort=False):
-            nb = np.sort(grp["v"].to_numpy(np.int64))
-            k = len(nb)
-            if k < 2:
-                continue
-            i, j = np.triu_indices(k, 1)
-            outs_a.append(nb[i])
-            outs_b.append(nb[j])
-        if not outs_a:
+        # vectorized within-group pair expansion (no per-u Python
+        # loop): sort by (u, v), then for each row emit pairs with the
+        # `rem` rows after it in its u-group via repeat + running index
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        if len(u) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
                                  "side": pd.Series([], dtype=np.int8)})
-        return pd.DataFrame({"a": np.concatenate(outs_a),
-                             "b": np.concatenate(outs_b),
-                             "side": np.int8(1)})
+        change = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(u)]))
+        counts = ends - starts
+        gi = np.repeat(np.arange(len(starts)), counts)
+        pos = np.arange(len(u)) - starts[gi]
+        rem = counts[gi] - pos - 1          # partners after this row
+        total = int(rem.sum())
+        if total == 0:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "side": pd.Series([], dtype=np.int8)})
+        A = np.repeat(np.arange(len(u)), rem)
+        offs = np.concatenate(([0], np.cumsum(rem)))
+        B = A + 1 + (np.arange(total) - offs[A])
+        # v ascending within each u-group → v[A] < v[B] (canonical)
+        return pd.DataFrame({"a": v[A], "b": v[B], "side": np.int8(1)})
 
     wedge_ds = (und.map_batches(orient, batch_format="pyarrow")
                 .groupby("wk").map_groups(wedges, batch_format="pandas"))

@@ -2441,3 +2441,87 @@ def customer_part_jaccard(sf_dir: str, topn: int = 50) -> pd.DataFrame:
            .head(topn).reset_index(drop=True))
     return out.astype({"cust_a": "int64", "cust_b": "int64",
                        "n_common": "int64"})
+
+
+def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """Linear multi-touch attribution — the windowed many-to-many
+    companion of :func:`purchase_click_asof` (which is last-touch): every
+    ``purchase`` splits its value EQUALLY across the same user's
+    ``click`` events in the preceding window ``[ts-W, ts)``. Shares are
+    integer micros (``cents·10^6 // n_clicks``), so per-click sums are
+    order-invariant and the DuckDB twin (windowed COUNT over the range
+    join) matches bit-exactly.
+
+    Cluster shape: ONE exchange (hash-bucket both streams by user), then
+    per bucket both sides sort once by a packed (user, ts) int64 key,
+    every purchase resolves its click range with two vectorized binary
+    searches, and the per-click fold is a difference-array + cumsum —
+    no per-purchase loop, per-bucket memory |events|/B. Skewed users
+    salt like hot hosts in the politeness scheduler."""
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+    W = window_days * 86_400_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column("event_type"),
+                        value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        side = (np.asarray(t.column("event_type")) == "purchase").astype(
+            np.int8)
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(
+            np.int64)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "user_id": pa.array(uid),
+            "side": pa.array(side),
+            "cents": pa.array(cents),
+            "bucket": pa.array((uid % _JOIN_BUCKETS).astype(np.int32))})
+
+    def attrib(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "click_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "attributed_micros": pd.Series([], dtype="int64")})
+        c = g[g["side"] == 0]
+        p = g[g["side"] == 1]
+        if c.empty or p.empty:
+            return empty
+        cu = c["user_id"].to_numpy(np.int64)
+        cts = c["ts_us"].to_numpy(np.int64)
+        cid = c["event_id"].to_numpy(np.int64)
+        order = np.lexsort((cts, cu))
+        cu, cts, cid = cu[order], cts[order], cid[order]
+        pu = p["user_id"].to_numpy(np.int64)
+        pts = p["ts_us"].to_numpy(np.int64)
+        pcents = p["cents"].to_numpy(np.int64)
+        tmin = min(int(cts.min()), int(pts.min()))
+        span = max(int(cts.max()), int(pts.max())) - tmin
+        assert span < (1 << 48), "ts span exceeds packed-key budget"
+        ckey = (cu << 48) | (cts - tmin)
+        lo = np.searchsorted(
+            ckey, (pu << 48) | (np.maximum(pts - W, tmin) - tmin))
+        hi = np.searchsorted(ckey, (pu << 48) | (pts - tmin))
+        n = hi - lo
+        m = n > 0
+        if not m.any():
+            return empty
+        share = (pcents[m] * 1_000_000) // n[m]
+        diff = np.zeros(len(ckey) + 1, dtype=np.int64)
+        np.add.at(diff, lo[m], share)
+        np.add.at(diff, hi[m], -share)
+        att = np.cumsum(diff[:-1])
+        keep = att > 0
+        return pd.DataFrame({"click_id": cid[keep],
+                             "user_id": cu[keep],
+                             "attributed_micros": att[keep]})
+
+    out = (ev.map_batches(tag, batch_format="pyarrow")
+           .groupby("bucket").map_groups(attrib, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("click_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"click_id": "int64", "user_id": "int64",
+                     "attributed_micros": "int64"}))

@@ -78,7 +78,8 @@ def test_entry_smoke(entrymod):
     "orders_retention_cohort",
     "events_percentile_rank", "lineitem_corr", "supplier_top_parts",
     "events_nearby_count", "q12_shipmode_priority",
-    "lineitem_fingerprint",
+    "lineitem_fingerprint", "events_hist_quantiles",
+    "purchase_attribution", "docs_split_assign", "docs_mixture_sample",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
