@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_shipmode_priority": joins.q12_shipmode_priority,
         "lineitem_fingerprint": analytics.lineitem_fingerprint,
         "events_hist_quantiles": analytics.events_hist_quantiles,
+        "events_ntile": analytics.events_ntile,
+        "user_active_seconds": analytics.user_active_seconds,
+        "user_first_last": analytics.user_first_last,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -963,6 +966,47 @@ def oracle_sql() -> dict[str, str]:
                                         AS BIGINT) FROM c
               UNION ALL SELECT 99, CAST(quantile_disc(cents, 0.99)
                                         AS BIGINT) FROM c)
+        """,
+        "events_ntile": """
+            SELECT event_id,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY CAST(FLOOR(value*100) AS BIGINT),
+                                event_id) AS BIGINT) AS ntile
+            FROM events ORDER BY event_id
+        """,
+        "user_active_seconds": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                     + CAST(FLOOR(value*100) AS BIGINT) * 1000000 AS e
+              FROM events),
+            m AS (
+              SELECT user_id, s, e,
+                     MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM iv),
+            isl AS (
+              SELECT user_id, s, e,
+                     SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s, e) AS isle
+              FROM m)
+            SELECT user_id,
+                   CAST(SUM(cov) AS BIGINT) AS active_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_islands
+            FROM (SELECT user_id, isle, MAX(e) - MIN(s) AS cov
+                  FROM isl GROUP BY user_id, isle)
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "user_first_last": """
+            SELECT user_id,
+                   first(event_type ORDER BY ts, event_id) AS first_type,
+                   last(event_type ORDER BY ts, event_id) AS last_type,
+                   CAST(CAST(FLOOR(last(value ORDER BY ts, event_id)*100)
+                             AS BIGINT)
+                        - CAST(FLOOR(first(value ORDER BY ts, event_id)*100)
+                               AS BIGINT) AS BIGINT) AS delta_cents
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q12_shipmode_priority", "lineitem_fingerprint",
     "events_hist_quantiles", "purchase_attribution",
     "docs_split_assign", "docs_mixture_sample",
+    "events_ntile", "user_active_seconds", "user_first_last",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

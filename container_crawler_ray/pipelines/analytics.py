@@ -2361,3 +2361,208 @@ def events_hist_quantiles(sf_dir: str) -> pd.DataFrame:
              for q in qs]
     return pd.DataFrame({"q_pct": pd.array(qs, dtype="int64"),
                          "cents": pd.array(cents, dtype="int64")})
+
+
+def events_ntile(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """Exact global NTILE(k) over the total order (value-cents,
+    event_id) — the equal-frequency binning primitive under calibration
+    buckets and quantile features. Same two-pass broadcast shape as
+    ``events_percentile_rank``: pass 1 folds per-block ``np.unique``
+    partials into the distinct-value CDF (driver-side, distinct-value
+    sized — broadcastable); pass 2 is ONE ``groupby(cents % B)``
+    exchange of (cents, event_id) pairs where each bucket resolves the
+    intra-tie order by event_id vectorized (sort + segment-start
+    subtraction), so every row gets its exact 0-based global row number
+    r = n_less(cents) + intra_rank. The tile follows SQL NTILE
+    semantics exactly — the first (N mod k) tiles hold ceil(N/k) rows:
+    tile = r // (base+1) while r < rem·(base+1), else
+    rem + (r − rem·(base+1)) // base. All integer, bit-exact vs the
+    DuckDB window twin; no global sort anywhere."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "vbucket": pa.array((u % 64).astype(np.int32))})
+
+    def vc_reduce(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("cents", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vc = (ds.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby("vbucket").map_groups(vc_reduce, batch_format="pandas")
+          .to_pandas().sort_values("cents", kind="mergesort"))
+    vals = vc["cents"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(vc["n"].to_numpy(np.int64))))
+    n_total = int(cum[-1])
+    base, rem = n_total // k, n_total % k
+    cut = rem * (base + 1)
+    import ray
+    vals_ref = ray.put(vals)
+    cum_ref = ray.put(cum[:-1])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "cents": pa.array(v),
+                         "bucket": pa.array((v % 64).astype(np.int32))})
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        va = ray.get(vals_ref)
+        cu = ray.get(cum_ref)
+        c = g["cents"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, c))
+        cs, es = c[order], eid[order]
+        seg = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            seg[0] = True
+            seg[1:] = cs[1:] != cs[:-1]
+        idx = np.arange(len(cs))
+        seg_start = np.maximum.accumulate(np.where(seg, idx, -1))
+        intra = idx - seg_start
+        r = cu[np.searchsorted(va, cs)] + intra
+        tile = np.where(r < cut, r // (base + 1),
+                        rem + (r - cut) // max(base, 1)) + 1
+        return pd.DataFrame({"event_id": es, "ntile": tile.astype(np.int64)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(assign, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "ntile": "int64"}))
+
+
+def user_active_seconds(sf_dir: str) -> pd.DataFrame:
+    """Interval-union coverage per user (gaps-and-islands): each event
+    opens an activity interval [ts, ts + value-cents seconds]; the
+    operator merges overlapping intervals per user and reports total
+    covered time and the number of maximal islands — the
+    session-coverage primitive under engagement metrics and SLA uptime.
+    ONE ``groupby(user % B)`` exchange of fixed-width (user, start, end)
+    triples; inside each bucket the sweep is fully vectorized: lexsort
+    by (user, start, end), a segment-reset running max of interval ends
+    (the offset trick — add per-user offsets larger than any end so the
+    cummax never carries across users), island starts where
+    start > previous running max, and per-island coverage by indexed
+    gather — no Python row loop. All integer microseconds; bit-exact vs
+    the DuckDB islands window twin."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        s = t.column("ts").cast(pa.int64()).to_numpy()
+        dur = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "s": pa.array(s),
+            "e": pa.array(s + dur * 1_000_000),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((e, s, u))
+        u, s, e = u[order], s[order], e[order]
+        newu = np.empty(len(u), dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        seg_id = np.cumsum(newu) - 1
+        off = int(e.max()) + 1          # ends are positive epoch micros
+        rm = np.maximum.accumulate(e + seg_id * off) - seg_id * off
+        prev_rm = np.empty_like(rm)
+        prev_rm[0] = 0
+        prev_rm[1:] = rm[:-1]
+        start = newu | (s > prev_rm)
+        last = np.empty(len(u), dtype=bool)
+        last[:-1] = start[1:]
+        last[-1] = True
+        cover = rm[last] - s[start]     # islands in order
+        iu = u[start]
+        uniq, inv = np.unique(iu, return_inverse=True)
+        active = np.bincount(inv, weights=cover).astype(np.int64)
+        n_isl = np.bincount(inv).astype(np.int64)
+        return pd.DataFrame({"user_id": uniq, "active_us": active,
+                             "n_islands": n_isl})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "active_us": "int64",
+                     "n_islands": "int64"}))
+
+
+def user_first_last(sf_dir: str) -> pd.DataFrame:
+    """Ordered first/last aggregate per user: the type of each user's
+    first and last event under the total order (ts, event_id), plus the
+    last-minus-first value delta in cents — the entry/exit-state scan
+    of funnel and churn features. Two-phase candidate shape: each block
+    emits at most TWO rows per user it sees (block-local first and
+    last, picked by one vectorized lexsort + segment boundaries), so
+    the ``groupby(user % B)`` exchange carries ~2·|users|·|blocks| rows
+    no matter the input size; the bucket fold re-runs the identical
+    boundary pick over candidates. No Python row loop anywhere."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+
+    def _pick(u, ts, eid):
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        first = np.empty(len(us), dtype=bool)
+        if len(us):
+            first[0] = True
+            first[1:] = us[1:] != us[:-1]
+        last = np.empty(len(us), dtype=bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        return order, first, last
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        if not len(u):
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "ts_us": pa.array([], type=pa.int64()),
+                             "event_id": pa.array([], type=pa.int64()),
+                             "event_type": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        order, first, last = _pick(u, ts, eid)
+        keep = order[first | last]
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u[keep]),
+            "ts_us": pa.array(ts[keep]),
+            "event_id": pa.array(eid[keep]),
+            "event_type": t.column("event_type").take(pa.array(keep)),
+            "cents": pa.array(cents[keep]),
+            "bucket": pa.array((u[keep] % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order, first, last = _pick(u, ts, eid)
+        et = g["event_type"].to_numpy()[order]
+        cents = g["cents"].to_numpy(np.int64)[order]
+        us = u[order]
+        return pd.DataFrame({
+            "user_id": us[first],
+            "first_type": et[first],
+            "last_type": et[last],
+            "delta_cents": cents[last] - cents[first]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "delta_cents": "int64"}))
