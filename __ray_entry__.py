@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": analytics.events_ntile,
         "user_active_seconds": analytics.user_active_seconds,
         "user_first_last": analytics.user_first_last,
+        "lineitem_regr": analytics.lineitem_regr,
+        "events_ohlc": analytics.events_ohlc,
+        "user_band_runs": analytics.user_band_runs,
+        "docs_chunk_windows": curate.docs_chunk_windows,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1007,6 +1011,98 @@ def oracle_sql() -> dict[str, str]:
                         - CAST(FLOOR(first(value ORDER BY ts, event_id)*100)
                                AS BIGINT) AS BIGINT) AS delta_cents
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_regr": """
+            WITH m AS (
+              SELECT l_returnflag AS flag,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sx,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS sy,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                              * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS sxy,
+                     CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                              * CAST(FLOOR(l_quantity) AS BIGINT))
+                          AS BIGINT) AS sxx,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                              * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                          AS BIGINT) AS syy
+              FROM lineitem GROUP BY 1),
+            d AS (
+              SELECT flag, n,
+                     CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+                     CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+                     CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vb,
+                     CAST(sy AS DOUBLE)*CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sxy AS DOUBLE) AS inum
+              FROM m)
+            SELECT flag AS l_returnflag, n,
+                   CAST(FLOOR((num/den)*1000000.0) AS BIGINT)
+                       AS slope_micro,
+                   CAST(FLOOR((inum/den)*1000000.0) AS BIGINT)
+                       AS intercept_micro,
+                   CAST(FLOOR(((num*num)/(den*vb))*1000.0) AS BIGINT)
+                       AS r2_milli
+            FROM d ORDER BY l_returnflag
+        """,
+        "events_ohlc": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT user_id,
+                   CAST(ts_us//3600000000 AS BIGINT) AS hour_id,
+                   first(cents ORDER BY ts_us, event_id) AS open_cents,
+                   CAST(MAX(cents) AS BIGINT) AS high_cents,
+                   CAST(MIN(cents) AS BIGINT) AS low_cents,
+                   last(cents ORDER BY ts_us, event_id) AS close_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY user_id, ts_us//3600000000
+            ORDER BY user_id, hour_id
+        """,
+        "user_band_runs": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(FLOOR(value*100) AS BIGINT)//2000
+                                  AS band
+                       FROM events),
+            m AS (SELECT *,
+                         CASE WHEN LAG(band) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts_us, event_id)
+                              IS DISTINCT FROM band
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e),
+            r AS (SELECT *,
+                         SUM(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS run_idx
+                  FROM m)
+            SELECT user_id, CAST(run_idx AS BIGINT) AS run_idx, band,
+                   CAST(MIN(ts_us) AS BIGINT) AS from_us,
+                   CAST(MAX(ts_us) AS BIGINT) AS to_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM r GROUP BY user_id, run_idx, band
+            ORDER BY user_id, run_idx
+        """,
+        "docs_chunk_windows": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, CAST(n_chars AS BIGINT),
+                                            80)) AS s
+              FROM documents)
+            SELECT doc_id,
+                   CAST((s-1)//80 AS BIGINT) AS chunk_idx,
+                   CAST(s AS BIGINT) AS start,
+                   CAST(length(substring(text, CAST(s AS INTEGER), 120))
+                        AS BIGINT) AS chunk_len,
+                   md5(substring(text, CAST(s AS INTEGER), 120))
+                       AS chunk_md5
+            FROM s ORDER BY doc_id, start
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

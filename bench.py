@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "events_hist_quantiles", "purchase_attribution",
     "docs_split_assign", "docs_mixture_sample",
     "events_ntile", "user_active_seconds", "user_first_last",
+    "lineitem_regr", "events_ohlc", "user_band_runs",
+    "docs_chunk_windows",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

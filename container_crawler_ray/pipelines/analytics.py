@@ -2566,3 +2566,209 @@ def user_first_last(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({"user_id": "int64", "delta_cents": "int64"}))
+
+
+def lineitem_regr(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS fit (price dollars on quantity) from EXACT integer
+    moment sums — the distributed linear-regression / trend-feature
+    primitive. Same constant-size mergeable-moments shape as
+    ``lineitem_corr``: each block emits one (flag, n, Σx, Σy, Σxy, Σx²,
+    Σy²) row per group, the exchange is |groups|×|blocks| rows no
+    matter the input size, and the driver evaluates the closed forms
+    slope = (nΣxy−ΣxΣy)/(nΣxx−Σx²),
+    intercept = (ΣyΣxx−ΣxΣxy)/(nΣxx−Σx²),
+    r² = (nΣxy−ΣxΣy)²/((nΣxx−Σx²)(nΣyy−Σy²))
+    in float64 with the SAME IEEE operation order as the SQL twin —
+    bit-equal fixed-point outputs. int64 moment sums hold to ~1e9 rows
+    at these magnitudes; beyond that the partials widen to float64
+    (Kahan) or int128 without changing the exchange shape."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "flag": t.column("l_returnflag").to_pylist(),
+            "x": np.floor(t.column("l_quantity").to_numpy())
+            .astype(np.int64),
+            "y": np.floor(t.column("l_extendedprice").to_numpy())
+            .astype(np.int64)})
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["n"] = 1
+        g = df.groupby("flag", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .groupby("flag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("x", alias_name="sx"),
+                      Sum("y", alias_name="sy"),
+                      Sum("xy", alias_name="sxy"),
+                      Sum("xx", alias_name="sxx"),
+                      Sum("yy", alias_name="syy"))
+           .to_pandas())
+    dn = agg["n"].to_numpy(np.int64).astype(np.float64)
+    dsx = agg["sx"].to_numpy(np.int64).astype(np.float64)
+    dsy = agg["sy"].to_numpy(np.int64).astype(np.float64)
+    dsxy = agg["sxy"].to_numpy(np.int64).astype(np.float64)
+    dsxx = agg["sxx"].to_numpy(np.int64).astype(np.float64)
+    dsyy = agg["syy"].to_numpy(np.int64).astype(np.float64)
+    num = dn * dsxy - dsx * dsy
+    den = dn * dsxx - dsx * dsx
+    vb = dn * dsyy - dsy * dsy
+    slope_micro = np.floor((num / den) * 1000000.0).astype(np.int64)
+    inum = dsy * dsxx - dsx * dsxy
+    intercept_micro = np.floor((inum / den) * 1000000.0).astype(np.int64)
+    r2_milli = np.floor(((num * num) / (den * vb)) * 1000.0) \
+        .astype(np.int64)
+    out = pd.DataFrame({"l_returnflag": agg["flag"],
+                        "n": agg["n"].to_numpy(np.int64),
+                        "slope_micro": slope_micro,
+                        "intercept_micro": intercept_micro,
+                        "r2_milli": r2_milli})
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+_HOUR_US = 3_600_000_000
+
+
+def events_ohlc(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, hour) OHLC bars: open/close are the first/last
+    value-cents under the total order (ts, event_id), high/low the
+    extremes — the time-series resampling (downsample-to-bars)
+    primitive. Mergeable-aggregate shape: each block emits ONE partial
+    row per (user, hour) it sees (block-local open/close candidates
+    with their order keys, plus high/low/n), picked by one vectorized
+    lexsort + reduceat; the ``groupby(user % B)`` exchange then carries
+    ~|user·hour groups|×|blocks| fixed-width rows, and the bucket fold
+    re-runs the identical candidate pick over partials. No Python row
+    loop anywhere."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        if not len(u):
+            e64 = pa.array([], type=pa.int64())
+            return pa.table({"user_id": e64, "hour_id": e64,
+                             "f_ts": e64, "f_eid": e64, "open_cents": e64,
+                             "l_ts": e64, "l_eid": e64, "close_cents": e64,
+                             "high_cents": e64, "low_cents": e64, "n": e64,
+                             "bucket": pa.array([], type=pa.int32())})
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        hour = ts // _HOUR_US
+        pack = u * (1 << 32) + hour
+        order = np.lexsort((eid, ts, pack))
+        pk, tss, eids, cs = pack[order], ts[order], eid[order], cents[order]
+        first = np.empty(len(pk), dtype=bool)
+        first[0] = True
+        first[1:] = pk[1:] != pk[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(pk)) - 1
+        return pa.table({
+            "user_id": pa.array(pk[starts] >> 32),
+            "hour_id": pa.array(pk[starts] & ((1 << 32) - 1)),
+            "f_ts": pa.array(tss[starts]), "f_eid": pa.array(eids[starts]),
+            "open_cents": pa.array(cs[starts]),
+            "l_ts": pa.array(tss[ends]), "l_eid": pa.array(eids[ends]),
+            "close_cents": pa.array(cs[ends]),
+            "high_cents": pa.array(np.maximum.reduceat(cs, starts)),
+            "low_cents": pa.array(np.minimum.reduceat(cs, starts)),
+            "n": pa.array(ends - starts + 1),
+            "bucket": pa.array(((pk[starts] >> 32) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        h = g["hour_id"].to_numpy(np.int64)
+        pack = u * (1 << 32) + h
+        fo = np.lexsort((g["f_eid"].to_numpy(np.int64),
+                         g["f_ts"].to_numpy(np.int64), pack))
+        pf = pack[fo]
+        first = np.empty(len(pf), dtype=bool)
+        first[0] = True
+        first[1:] = pf[1:] != pf[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(pf)) - 1
+        lo = np.lexsort((g["l_eid"].to_numpy(np.int64),
+                         g["l_ts"].to_numpy(np.int64), pack))
+        hi_s = g["high_cents"].to_numpy(np.int64)[fo]
+        lo_s = g["low_cents"].to_numpy(np.int64)[fo]
+        n_s = g["n"].to_numpy(np.int64)[fo]
+        csum = np.concatenate(([0], np.cumsum(n_s)))
+        return pd.DataFrame({
+            "user_id": pf[starts] >> 32,
+            "hour_id": pf[starts] & ((1 << 32) - 1),
+            "open_cents": g["open_cents"].to_numpy(np.int64)[fo][starts],
+            "high_cents": np.maximum.reduceat(hi_s, starts),
+            "low_cents": np.minimum.reduceat(lo_s, starts),
+            "close_cents": g["close_cents"].to_numpy(np.int64)[lo][ends],
+            "n": csum[np.append(starts[1:], len(pf))] - csum[starts]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "hour_id"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def user_band_runs(sf_dir: str, band_cents: int = 2000) -> pd.DataFrame:
+    """SCD2-style change tracking (gaps-and-islands over an attribute):
+    each user's value-band (cents // band_cents) history is collapsed
+    into maximal runs of consecutive equal band under the total order
+    (ts, event_id), emitting one validity row per run — the
+    slowly-changing-dimension interval builder. ONE ``groupby(user %
+    B)`` exchange of fixed-width rows co-locates each user's history;
+    the in-bucket sweep is fully vectorized (lexsort, boundary masks,
+    cumsum run ids, flatnonzero gather — no Python row loop).
+    Partitioning assumption (shared with the other per-user ops): one
+    user's history fits a bucket."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "band": pa.array(cents // band_cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        band = g["band"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, band = u[order], ts[order], band[order]
+        newu = np.empty(len(u), dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        brk = newu.copy()
+        brk[1:] |= band[1:] != band[:-1]
+        runid = np.cumsum(brk)                      # 1-based global run id
+        ustart = np.maximum.accumulate(np.where(newu, runid, 0))
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "run_idx": (runid - ustart + 1)[starts],
+            "band": band[starts],
+            "from_us": ts[starts],
+            "to_us": ts[ends],
+            "n_events": ends - starts + 1})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "run_idx"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

@@ -335,3 +335,49 @@ def docs_mixture_sample(sf_dir: str, budget_chars: int = 4000) -> pd.DataFrame:
             .reset_index(drop=True)
             .astype({"n_docs_kept": "int64", "chars_kept": "int64",
                      "n_docs_total": "int64", "chars_total": "int64"}))
+
+
+def docs_chunk_windows(sf_dir: str, window: int = 120,
+                       stride: int = 80) -> pd.DataFrame:
+    """Overlapping fixed-size character windows per document (the RAG /
+    context-window chunking primitive): starts 1, 1+stride, … while
+    start ≤ n_chars; each chunk keeps its 1-based start, actual length
+    (the tail chunk is shorter) and content md5 for downstream
+    chunk-level dedup. Pure map — NO shuffle, no state: the operator
+    streams block-by-block at any scale, and output is naturally
+    partitioned by the input's doc ranges. Chunk starts are computed
+    vectorized (np.arange per repeat-expanded doc index); the md5 per
+    chunk is hashlib's C loop, same per-row-digest pattern as
+    ``docs_mixture_sample``. Text here is ASCII so Python slicing and
+    the SQL twin's character ``substring`` agree; non-ASCII corpora
+    would pin both sides to code-point semantics (documented)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def chunk(t: pa.Table) -> pa.Table:
+        import numpy as np
+        texts = t.column("text").to_pylist()
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        nch = np.array([len(s) for s in texts], dtype=np.int64)
+        n_chunks = (nch - 1) // stride + 1          # starts 0..<nch step S
+        doc_idx = np.repeat(np.arange(len(texts)), n_chunks)
+        offs = np.concatenate(([0], np.cumsum(n_chunks)))[:-1]
+        st = (np.arange(len(doc_idx)) - offs[doc_idx]) * stride
+        chunks = [texts[d][s:s + window]
+                  for d, s in zip(doc_idx.tolist(), st.tolist())]
+        return pa.table({
+            "doc_id": pa.array(did[doc_idx]),
+            "chunk_idx": pa.array(st // stride),
+            "start": pa.array(st + 1),
+            "chunk_len": pa.array(
+                np.minimum(nch[doc_idx] - st, window)),
+            "chunk_md5": pa.array(
+                [hashlib.md5(c.encode()).hexdigest() for c in chunks])})
+
+    out = ds.map_batches(chunk, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["doc_id", "start"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "chunk_idx": "int64",
+                     "start": "int64", "chunk_len": "int64"}))
