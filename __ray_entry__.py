@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ohlc": analytics.events_ohlc,
         "user_band_runs": analytics.user_band_runs,
         "docs_chunk_windows": curate.docs_chunk_windows,
+        "event_transitions": analytics.event_transitions,
+        "embedding_dim_stats": analytics.embedding_dim_stats,
+        "events_value_winsorized": analytics.events_value_winsorized,
+        "events_chi2_cells": analytics.events_chi2_cells,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1103,6 +1107,69 @@ def oracle_sql() -> dict[str, str]:
                    md5(substring(text, CAST(s AS INTEGER), 120))
                        AS chunk_md5
             FROM s ORDER BY doc_id, start
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events)
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+            ORDER BY from_type, to_type
+        """,
+        "embedding_dim_stats": """
+            WITH u AS (
+              SELECT unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*1000000.0)
+                                 AS BIGINT)) AS BIGINT) AS sum_fp,
+                   CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)*1000000.0)
+                                 AS BIGINT)
+                            * CAST(FLOOR(CAST(v AS DOUBLE)*1000000.0)
+                                   AS BIGINT)) AS BIGINT) AS sumsq_fp
+            FROM u GROUP BY dim ORDER BY dim
+        """,
+        "events_value_winsorized": """
+            WITH c AS (SELECT event_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events),
+            q AS (SELECT quantile_disc(cents, 0.05) AS lo,
+                         quantile_disc(cents, 0.95) AS hi FROM c)
+            SELECT event_id,
+                   CAST(LEAST(GREATEST(cents, lo), hi) AS BIGINT)
+                       AS w_cents
+            FROM c, q ORDER BY event_id
+        """,
+        "events_chi2_cells": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value*100) AS BIGINT)//10000
+                                  AS band
+                       FROM events),
+            o AS (SELECT event_type, band,
+                         CAST(COUNT(*) AS BIGINT) AS observed
+                  FROM c GROUP BY 1, 2),
+            r AS (SELECT event_type, SUM(observed) AS rt
+                  FROM o GROUP BY 1),
+            col AS (SELECT band, SUM(observed) AS ct FROM o GROUP BY 1),
+            tot AS (SELECT SUM(observed) AS big_n FROM o)
+            SELECT o.event_type, o.band, o.observed,
+                   CAST(((CAST(big_n AS HUGEINT)*observed
+                          - CAST(rt AS HUGEINT)*ct)
+                         * (CAST(big_n AS HUGEINT)*observed
+                            - CAST(rt AS HUGEINT)*ct)
+                         * 1000000)
+                        // (CAST(big_n AS HUGEINT)*rt*ct) AS BIGINT)
+                       AS chi2_micro
+            FROM o
+            JOIN r USING (event_type) JOIN col USING (band), tot
+            ORDER BY event_type, band
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -86,7 +86,8 @@ BENCH_QUERIES = [
     "docs_split_assign", "docs_mixture_sample",
     "events_ntile", "user_active_seconds", "user_first_last",
     "lineitem_regr", "events_ohlc", "user_band_runs",
-    "docs_chunk_windows",
+    "docs_chunk_windows", "event_transitions", "embedding_dim_stats",
+    "events_value_winsorized", "events_chi2_cells",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -2772,3 +2772,187 @@ def user_band_runs(sf_dir: str, band_cents: int = 2000) -> pd.DataFrame:
     return (out.sort_values(["user_id", "run_idx"], kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Global Markov transition counts over per-user event sequences
+    (the order-2 sequence-mining / session-model primitive): each
+    consecutive pair of a user's events under the total order (ts,
+    event_id) contributes one (from_type, to_type) observation. ONE
+    ``groupby(user % B)`` exchange co-locates each user's history; the
+    in-bucket pairing is a vectorized shift (lexsort + same-user mask),
+    and each bucket emits |types|² partial counts that the driver folds
+    — the exchange carries the events once, the fold output is
+    transition-matrix-sized."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        same = np.empty(len(us), dtype=bool)
+        same[0] = False
+        same[1:] = us[1:] == us[:-1]
+        idx = np.flatnonzero(same)
+        pairs = pd.DataFrame({"from_type": et[idx - 1],
+                              "to_type": et[idx]})
+        out = pairs.groupby(["from_type", "to_type"],
+                            as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"] \
+        .sum()
+    return (out.sort_values(["from_type", "to_type"], kind="mergesort")
+            .reset_index(drop=True).astype({"n": "int64"}))
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension corpus statistics of the embedding column (the
+    feature-drift / normalization-constant monitor): exact fixed-point
+    (1e-6) sums and sum-of-squares per dimension. Each block emits ONE
+    fixed-size partial (two dim-length int64 vectors packed as binary,
+    like the histogram folds) — ZERO shuffle, driver folds block
+    partials like a gradient all-reduce; the reduction is
+    dimension-sized regardless of row count. Arrow list values are
+    flattened zero-copy and reshaped (fixed-length vectors), floored in
+    float64 so the SQL twin's DOUBLE arithmetic is bit-identical."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1000000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        return pa.table({
+            "n": pa.array([fp.shape[0]], type=pa.int64()),
+            "s": pa.array([fp.sum(axis=0).tobytes()],
+                          type=pa.large_binary()),
+            "sq": pa.array([(fp * fp).sum(axis=0).tobytes()],
+                           type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.frombuffer(r["s"], dtype=np.int64) for r in rows],
+               axis=0)
+    sq = np.sum([np.frombuffer(r["sq"], dtype=np.int64) for r in rows],
+                axis=0)
+    return pd.DataFrame({
+        "dim": np.arange(1, len(s) + 1, dtype=np.int64),
+        "n": np.full(len(s), n, dtype=np.int64),
+        "sum_fp": s.astype(np.int64),
+        "sumsq_fp": sq.astype(np.int64)})
+
+
+def events_value_winsorized(sf_dir: str, lo_pct: int = 5,
+                            hi_pct: int = 95) -> pd.DataFrame:
+    """Winsorization (percentile clipping) of the value column — the
+    outlier-robust feature-cleaning transform: values below the exact
+    p05 / above the exact p95 are clamped to those quantiles. The
+    quantiles come from the same ZERO-shuffle dense-histogram fold as
+    ``events_hist_quantiles`` (per-block int64 count vectors summed on
+    the driver, ``sorted[ceil(q·n)-1]`` discrete convention matching
+    ``quantile_disc``); the clip itself is one stateless vectorized map
+    pass — the whole operator streams with no exchange at any scale."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "cents": pa.array(v)})
+
+    cds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t.column("cents").to_numpy()
+        return pa.table({"lo": pa.array([int(v.min())], type=pa.int64()),
+                         "hi": pa.array([int(v.max())], type=pa.int64()),
+                         "n": pa.array([len(v)], type=pa.int64())})
+
+    mm = cds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    n = int(mm["n"].sum())
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t.column("cents").to_numpy()
+        cnt = np.bincount(v - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pa.table({"v": pa.array([cnt.tobytes()],
+                                       type=pa.large_binary())})
+
+    total = np.zeros(hi - lo + 1, dtype=np.int64)
+    for row in (cds.map_batches(hist_partial, batch_format="pyarrow")
+                .take_all()):
+        total += np.frombuffer(row["v"], dtype=np.int64)
+    cum = np.cumsum(total)
+    p_lo = lo + int(np.searchsorted(cum, -(-lo_pct * n // 100)))
+    p_hi = lo + int(np.searchsorted(cum, -(-hi_pct * n // 100)))
+
+    def clip(t: pa.Table) -> pa.Table:
+        c = t.column("cents").to_numpy()
+        return pa.table({"event_id": t.column("event_id"),
+                         "w_cents": pa.array(np.clip(c, p_lo, p_hi))})
+
+    out = cds.map_batches(clip, batch_format="pyarrow").to_pandas()
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "w_cents": "int64"}))
+
+
+def events_chi2_cells(sf_dir: str, band_cents: int = 10000) -> pd.DataFrame:
+    """Chi-square independence test cells between event_type and the
+    value band (cents // band_cents) — the categorical-association
+    screen of feature audits. Contingency counts come from per-block
+    (type, band, n) partials folded on the driver (cell-count-sized,
+    |types|×|bands|, regardless of rows — zero Ray shuffle); each
+    OBSERVED cell's chi-square contribution (N·O − r·c)²/(N·r·c) is
+    then evaluated in EXACT arbitrary-precision integer arithmetic
+    (micro fixed-point), mirrored by HUGEINT arithmetic in the SQL
+    twin — no float summation order to disagree on. Zero-observed
+    cells are omitted on both sides (documented: contributions of
+    structural zeros are not part of this operator's contract)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"event_type": t.column("event_type")
+                           .to_pylist(),
+                           "band": cents // band_cents})
+        g = df.groupby(["event_type", "band"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    obs = parts.groupby(["event_type", "band"], as_index=False)["n"].sum()
+    rt = obs.groupby("event_type")["n"].sum()
+    ct = obs.groupby("band")["n"].sum()
+    big_n = int(obs["n"].sum())
+    contrib = []
+    for et, band, o in obs.itertuples(index=False):   # |cells| rows only
+        r, c, oo = int(rt[et]), int(ct[band]), int(o)
+        d = big_n * oo - r * c
+        contrib.append((d * d * 1000000) // (big_n * r * c))
+    out = pd.DataFrame({"event_type": obs["event_type"],
+                        "band": obs["band"].astype("int64"),
+                        "observed": obs["n"].astype("int64"),
+                        "chi2_micro": pd.array(contrib, dtype="int64")})
+    return (out.sort_values(["event_type", "band"], kind="mergesort")
+            .reset_index(drop=True))
