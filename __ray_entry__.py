@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": analytics.embedding_dim_stats,
         "events_value_winsorized": analytics.events_value_winsorized,
         "events_chi2_cells": analytics.events_chi2_cells,
+        "user_twap": analytics.user_twap,
+        "embedding_quantize": ann.embedding_quantize,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1170,6 +1172,42 @@ def oracle_sql() -> dict[str, str]:
             FROM o
             JOIN r USING (event_type) JOIN col USING (band), tot
             ORDER BY event_type, band
+        """,
+        "user_twap": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events),
+            l AS (SELECT *,
+                         LEAD(ts_us) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id)
+                             AS nxt
+                  FROM e)
+            SELECT user_id,
+                   CAST(SUM(cents * ((nxt - ts_us)//1000000))
+                        AS BIGINT) AS twap_num,
+                   CAST(SUM((nxt - ts_us)//1000000) AS BIGINT)
+                       AS twap_den,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM l WHERE nxt IS NOT NULL
+            GROUP BY user_id ORDER BY user_id
+        """,
+        "embedding_quantize": """
+            WITH u AS (
+              SELECT vec_id, unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+            mm AS (SELECT dim, MIN(CAST(v AS DOUBLE)) AS dmin,
+                          MAX(CAST(v AS DOUBLE)) AS dmax
+                   FROM u GROUP BY dim)
+            SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+                   CASE WHEN dmax <= dmin THEN CAST(0 AS BIGINT)
+                        ELSE CAST(LEAST(GREATEST(
+                                 CAST(FLOOR((CAST(v AS DOUBLE) - dmin)
+                                            / (dmax - dmin) * 255.0)
+                                      AS BIGINT), 0), 255) AS BIGINT)
+                   END AS code
+            FROM u JOIN mm USING (dim)
+            ORDER BY vec_id, dim
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "lineitem_regr", "events_ohlc", "user_band_runs",
     "docs_chunk_windows", "event_transitions", "embedding_dim_stats",
     "events_value_winsorized", "events_chi2_cells",
+    "user_twap", "embedding_quantize",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

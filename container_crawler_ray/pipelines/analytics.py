@@ -2956,3 +2956,56 @@ def events_chi2_cells(sf_dir: str, band_cents: int = 10000) -> pd.DataFrame:
                         "chi2_micro": pd.array(contrib, dtype="int64")})
     return (out.sort_values(["event_type", "band"], kind="mergesort")
             .reset_index(drop=True))
+
+
+def user_twap(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted average partials per user (the TWAP / financial
+    last-observation-carried-forward integral): each consecutive event
+    pair under (ts, event_id) contributes cents·gap_seconds; the
+    operator reports the exact integer numerator and denominator so the
+    caller divides at whatever precision it wants (keeping both sides
+    of the oracle in int64). ONE ``groupby(user % B)`` exchange; the
+    in-bucket LEAD is a vectorized shift over the lexsorted rows; users
+    with a single event have no gap and are absent on both sides by
+    definition. Gap flooring to whole seconds bounds the products well
+    inside int64 (5e4 cents × 3e7 s × 1e2 events/user ≈ 1e14)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss, cs = u[order], ts[order], c[order]
+        same = np.empty(len(us), dtype=bool)
+        if len(us):
+            same[:-1] = us[1:] == us[:-1]
+            same[-1] = False
+        idx = np.flatnonzero(same)                 # row has a successor
+        gap = (tss[idx + 1] - tss[idx]) // 1_000_000
+        df = pd.DataFrame({"user_id": us[idx],
+                           "num": cs[idx] * gap, "den": gap})
+        out = df.groupby("user_id", as_index=False).agg(
+            twap_num=("num", "sum"), twap_den=("den", "sum"),
+            n_gaps=("num", "size"))
+        return out
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

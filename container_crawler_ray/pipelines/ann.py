@@ -434,3 +434,53 @@ def embedding_rp(sf_dir: str, d_out: int = 16) -> pd.DataFrame:
 
     return _read_embeddings(sf_dir).map_batches(
         project, batch_format="pyarrow").to_pandas()
+
+
+def embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension int8-style scalar quantization of the embedding
+    column (the vector-store compression primitive): code =
+    clip(floor((v − dmin)/(dmax − dmin)·255), 0, 255) with dmin/dmax
+    the corpus-wide per-dimension extremes. Pass 1 folds per-block
+    binary-packed min/max vectors on the driver (dimension-sized, ZERO
+    shuffle — the same all-reduce shape as ``embedding_dim_stats``);
+    pass 2 broadcasts the two dim-length vectors in the task closure
+    and emits (vec_id, dim, code) rows fully vectorized
+    (repeat/tile + one clip). All float math is float64 from the exact
+    float32 upcast in the SAME IEEE order as the SQL twin; a constant
+    dimension (dmax == dmin) codes to 0 on both sides."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(t.column("embedding"))
+        return pa.table({
+            "lo": pa.array([m.min(axis=0).tobytes()],
+                           type=pa.large_binary()),
+            "hi": pa.array([m.max(axis=0).tobytes()],
+                           type=pa.large_binary())})
+
+    rows = ds.map_batches(mm_partial, batch_format="pyarrow").take_all()
+    dmin = np.min([np.frombuffer(r["lo"], dtype=np.float64)
+                   for r in rows], axis=0)
+    dmax = np.max([np.frombuffer(r["hi"], dtype=np.float64)
+                   for r in rows], axis=0)
+    rng = dmax - dmin
+    safe = np.where(rng > 0, rng, 1.0)
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(t.column("embedding"))
+        code = np.clip(np.floor((m - dmin) / safe * 255.0), 0, 255) \
+            .astype(np.int64)
+        code[:, rng <= 0] = 0
+        n, d = m.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(
+                t.column("vec_id").to_numpy().astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n)),
+            "code": pa.array(code.reshape(-1))})
+
+    out = ds.map_batches(quant, batch_format="pyarrow").to_pandas()
+    return (out.sort_values(["vec_id", "dim"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"vec_id": "int64", "dim": "int64", "code": "int64"}))
