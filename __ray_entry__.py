@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_chi2_cells": analytics.events_chi2_cells,
         "user_twap": analytics.user_twap,
         "embedding_quantize": ann.embedding_quantize,
+        "events_rolling_outliers": analytics.events_rolling_outliers,
+        "user_path_freq": analytics.user_path_freq,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1208,6 +1210,38 @@ def oracle_sql() -> dict[str, str]:
                    END AS code
             FROM u JOIN mm USING (dim)
             ORDER BY vec_id, dim
+        """,
+        "events_rolling_outliers": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(FLOOR(value*100) AS BIGINT) AS c
+                       FROM events),
+            r AS (SELECT event_id, c,
+                         COUNT(*) OVER w AS n,
+                         SUM(c) OVER w AS s,
+                         SUM(c*c) OVER w AS sq
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS BETWEEN 20 PRECEDING
+                                        AND 1 PRECEDING))
+            SELECT event_id,
+                   CAST(CASE WHEN n >= 2
+                             AND (n*c - s)*(n*c - s) > 9*(n*sq - s*s)
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+            FROM r ORDER BY event_id
+        """,
+        "user_path_freq": """
+            WITH r AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                  AS rn
+                       FROM events),
+            p AS (SELECT user_id,
+                         string_agg(event_type, '>' ORDER BY rn)
+                             AS path
+                  FROM r WHERE rn <= 5 GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path ORDER BY path
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "docs_chunk_windows", "event_transitions", "embedding_dim_stats",
     "events_value_winsorized", "events_chi2_cells",
     "user_twap", "embedding_quantize",
+    "events_rolling_outliers", "user_path_freq",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -3009,3 +3009,111 @@ def user_twap(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def events_rolling_outliers(sf_dir: str, w: int = 20,
+                            k: int = 3) -> pd.DataFrame:
+    """Rolling z-score anomaly flags per user (the streaming
+    anomaly-detection primitive): an event is an outlier when its
+    value deviates from the mean of the user's previous ≤w events by
+    more than k standard deviations. The test is evaluated ENTIRELY in
+    integers — (n·c − s)² > k²·n·(n·sq − s²)/n² rearranged to
+    (n·c − s)² > k²·(n·sq − s²) — so there is no float variance to
+    disagree on with the SQL window twin. ONE ``groupby(user % B)``
+    exchange; in-bucket rolling sums are per-user-reset prefix-sum
+    differences (cumsum + clamped window starts), fully vectorized.
+    Events with fewer than 2 prior observations are reported
+    is_outlier = 0 (flat rule on both sides)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs, eids = u[order], c[order], eid[order]
+        newu = np.empty(len(us), dtype=bool)
+        newu[0] = True
+        newu[1:] = us[1:] != us[:-1]
+        idx = np.arange(len(us))
+        ustart = np.maximum.accumulate(np.where(newu, idx, -1))
+        lo = np.maximum(ustart, idx - w)            # window [lo, i)
+        pre = np.concatenate(([0], np.cumsum(cs)))
+        pre2 = np.concatenate(([0], np.cumsum(cs * cs)))
+        n = idx - lo
+        s = pre[idx] - pre[lo]
+        sq = pre2[idx] - pre2[lo]
+        lhs = (n * cs - s) ** 2
+        rhs = k * k * (n * sq - s * s)
+        flag = np.where(n >= 2, (lhs > rhs).astype(np.int64), 0)
+        return pd.DataFrame({"event_id": eids, "is_outlier": flag})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"event_id": "int64", "is_outlier": "int64"}))
+
+
+def user_path_freq(sf_dir: str, depth: int = 5) -> pd.DataFrame:
+    """Funnel-path frequency mining: each user's first ``depth`` event
+    types (under (ts, event_id)) are joined into a '>'-separated path
+    string, then paths are counted across users — the entry-journey
+    distribution of product analytics. ONE ``groupby(user % B)``
+    exchange; the per-user rank mask is vectorized (index minus
+    propagated segment start), the string join is a C-level pandas
+    groupby-agg over the ≤depth·|bucket users| surviving rows, and the
+    bucket emits path partial counts the driver folds (path-cardinality
+    sized). Path-count output is bounded by |types|^depth regardless of
+    input rows."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        newu = np.empty(len(us), dtype=bool)
+        newu[0] = True
+        newu[1:] = us[1:] != us[:-1]
+        idx = np.arange(len(us))
+        ustart = np.maximum.accumulate(np.where(newu, idx, -1))
+        keep = (idx - ustart) < depth
+        df = pd.DataFrame({"user_id": us[keep], "t": et[keep]})
+        paths = df.groupby("user_id", sort=True)["t"] \
+            .agg(lambda x: ">".join(x))
+        return paths.value_counts().rename_axis("path") \
+            .reset_index(name="n_users")
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("path", as_index=False)["n_users"].sum()
+    return (out.sort_values("path", kind="mergesort")
+            .reset_index(drop=True).astype({"n_users": "int64"}))
