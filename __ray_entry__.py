@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": ann.embedding_quantize,
         "events_rolling_outliers": analytics.events_rolling_outliers,
         "user_path_freq": analytics.user_path_freq,
+        "events_dow_hour_heatmap": analytics.events_dow_hour_heatmap,
+        "part_abc": analytics.part_abc,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1242,6 +1244,35 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rn <= 5 GROUP BY user_id)
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM p GROUP BY path ORDER BY path
+        """,
+        "events_dow_hour_heatmap": """
+            SELECT CAST((epoch_us(ts)//86400000000 + 4) % 7 AS BIGINT)
+                       AS dow,
+                   CAST((epoch_us(ts)//3600000000) % 24 AS BIGINT)
+                       AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(value*100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2 ORDER BY dow, hour
+        """,
+        "part_abc": """
+            WITH r AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice
+                                         *(1-l_discount)*100)
+                                   AS BIGINT)) AS BIGINT) AS rev
+              FROM lineitem GROUP BY 1),
+            c AS (SELECT *,
+                         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(rev) OVER () AS tot
+                  FROM r)
+            SELECT l_partkey, rev,
+                   CASE WHEN cum*5 <= tot*4 THEN 'A'
+                        WHEN cum*20 <= tot*19 THEN 'B'
+                        ELSE 'C' END AS cls
+            FROM c ORDER BY l_partkey
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "events_value_winsorized", "events_chi2_cells",
     "user_twap", "embedding_quantize",
     "events_rolling_outliers", "user_path_freq",
+    "events_dow_hour_heatmap", "part_abc",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

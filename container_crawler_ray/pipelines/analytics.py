@@ -3117,3 +3117,83 @@ def user_path_freq(sf_dir: str, depth: int = 5) -> pd.DataFrame:
     out = parts.groupby("path", as_index=False)["n_users"].sum()
     return (out.sort_values("path", kind="mergesort")
             .reset_index(drop=True).astype({"n_users": "int64"}))
+
+
+def events_dow_hour_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Seasonality heatmap: event count and cents volume per
+    (day-of-week, hour-of-day) cell — the traffic-profile rollup behind
+    capacity planning and politeness-budget shaping. Day-of-week is
+    derived in pure integer arithmetic from epoch microseconds
+    ((days + 4) % 7, DuckDB's 0=Sunday convention — 1970-01-01 was a
+    Thursday) so there is no calendar library to disagree with the SQL
+    twin. 168 output cells: one direct Ray aggregate (map-side combine
+    makes the exchange |cells|×|blocks|)."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        days = us // 86_400_000_000
+        return pa.table({
+            "dow": pa.array((days + 4) % 7),
+            "hour": pa.array((us // _HOUR_US) % 24),
+            "cents": pa.array(cents),
+            "one": pa.array(np.ones(len(us), dtype=np.int64))})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby(["dow", "hour"])
+           .aggregate(Sum("one", alias_name="n"),
+                      Sum("cents", alias_name="sum_cents"))
+           .to_pandas())
+    return (out.sort_values(["dow", "hour"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def part_abc(sf_dir: str) -> pd.DataFrame:
+    """ABC / Pareto classification of parts by discounted revenue: 'A'
+    while the cumulative share (ordered by revenue desc, partkey asc)
+    stays ≤80%, 'B' to ≤95%, else 'C' — the inventory-prioritization
+    primitive. The heavy input collapses to a part-cardinality rollup
+    via per-block packed-key partials + one bucketed reduce (the same
+    shape as the other high-cardinality folds); the cumulative-share
+    sweep then runs on the ROLLUP (|parts| rows, orders of magnitude
+    below the fact table — the documented driver-size assumption, same
+    as the skyline/top-k finishes), with the share test in exact
+    integer cross-multiplication (cum·5 ≤ tot·4), never a float
+    percentage."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=rev).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(u),
+                         "rev": pa.array(s),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("l_partkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    roll = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    pk = roll["l_partkey"].to_numpy(np.int64)
+    rev = roll["rev"].to_numpy(np.int64)
+    order = np.lexsort((pk, -rev))
+    cum = np.cumsum(rev[order])
+    tot = int(cum[-1])
+    cls = np.where(cum * 5 <= tot * 4, "A",
+                   np.where(cum * 20 <= tot * 19, "B", "C"))
+    out = pd.DataFrame({"l_partkey": pk[order], "rev": rev[order],
+                        "cls": cls})
+    return (out.sort_values("l_partkey", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"l_partkey": "int64", "rev": "int64"}))
