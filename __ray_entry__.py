@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_path_freq": analytics.user_path_freq,
         "events_dow_hour_heatmap": analytics.events_dow_hour_heatmap,
         "part_abc": analytics.part_abc,
+        "user_daily_locf": analytics.user_daily_locf,
+        "order_concentration": analytics.order_concentration,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1273,6 +1275,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN cum*20 <= tot*19 THEN 'B'
                         ELSE 'C' END AS cls
             FROM c ORDER BY l_partkey
+        """,
+        "user_daily_locf": """
+            WITH e0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                               CAST(FLOOR(value*100) AS BIGINT) AS cents
+                        FROM events),
+            e AS (SELECT user_id, ts_us,
+                         arg_max(cents, event_id) AS cents
+                  FROM e0 GROUP BY 1, 2),
+            rng AS (SELECT MIN(ts_us)//86400000000 AS mn,
+                           MAX(ts_us)//86400000000 AS mx FROM e0),
+            days AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            u AS (SELECT DISTINCT user_id FROM e0),
+            g AS (SELECT user_id, day_id,
+                         (day_id+1)*86400000000 AS de
+                  FROM u CROSS JOIN days)
+            SELECT g.user_id, CAST(g.day_id AS BIGINT) AS day_id,
+                   CAST(e.cents AS BIGINT) AS cents_locf
+            FROM g ASOF JOIN e
+              ON g.user_id = e.user_id AND e.ts_us < g.de
+            ORDER BY g.user_id, g.day_id
+        """,
+        "order_concentration": """
+            WITH l AS (SELECT l_orderkey,
+                              CAST(FLOOR(l_extendedprice
+                                         *(1-l_discount)*100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem),
+            o AS (SELECT l_orderkey, SUM(rev) AS tot, MAX(rev) AS mx
+                  FROM l GROUP BY 1)
+            SELECT CAST(((mx*10000)//tot)//1000 AS BIGINT)
+                       AS bps_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o GROUP BY 1 ORDER BY 1
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

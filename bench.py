@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "user_twap", "embedding_quantize",
     "events_rolling_outliers", "user_path_freq",
     "events_dow_hour_heatmap", "part_abc",
+    "user_daily_locf", "order_concentration",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -3197,3 +3197,125 @@ def part_abc(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("l_partkey", kind="mergesort")
             .reset_index(drop=True)
             .astype({"l_partkey": "int64", "rev": "int64"}))
+
+
+_DAY_US = 86_400_000_000
+
+
+def user_daily_locf(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time daily feature grid with last-observation-carried-
+    forward (the leakage-safe feature-store primitive): for every user
+    and every day in the corpus range, the value-cents of that user's
+    latest event strictly before the day's end; (user, day) cells
+    before the user's first event are absent (inner as-of semantics on
+    both sides). Ties at one timestamp resolve to the largest event_id
+    (a per-(user, ts) keep-latest dedup first). Global day range comes
+    from a zero-shuffle min/max fold; then ONE ``groupby(user % B)``
+    exchange and a fully vectorized in-bucket as-of: bucket-local DENSE
+    user codes are packed into the high bits above the 52-bit
+    microsecond timestamps so one ``np.searchsorted`` resolves every
+    (user, day-end) probe at once — no per-user loop. Dense codes keep
+    the packing safe at any global user cardinality provided B scales
+    with users (≤2^11 users per bucket), the same partitioning
+    assumption the other per-user ops document."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    eds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts_us").to_numpy()
+        return pa.table({"lo": pa.array([int(ts.min())], type=pa.int64()),
+                         "hi": pa.array([int(ts.max())], type=pa.int64())})
+
+    mm = eds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    day_lo = int(mm["lo"].min()) // _DAY_US
+    day_hi = int(mm["hi"].max()) // _DAY_US
+    days = np.arange(day_lo, day_hi + 1, dtype=np.int64)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, tss, cs = u[order], ts[order], c[order]
+        lastdup = np.empty(len(us), dtype=bool)      # keep-latest per (u,ts)
+        lastdup[:-1] = (us[1:] != us[:-1]) | (tss[1:] != tss[:-1])
+        lastdup[-1] = True
+        us, tss, cs = us[lastdup], tss[lastdup], cs[lastdup]
+        uniq, inv = np.unique(us, return_inverse=True)
+        k, d = len(uniq), len(days)
+        pe = inv * (1 << 52) + tss
+        pg = np.repeat(np.arange(k, dtype=np.int64), d) * (1 << 52) \
+            + np.tile((days + 1) * _DAY_US, k)
+        idx = np.searchsorted(pe, pg, side="left") - 1
+        gu_dense = np.repeat(np.arange(k, dtype=np.int64), d)
+        valid = (idx >= 0)
+        safe_idx = np.maximum(idx, 0)
+        valid &= (pe[safe_idx] >> 52) == gu_dense
+        return pd.DataFrame({
+            "user_id": np.repeat(uniq, d)[valid],
+            "day_id": np.tile(days, k)[valid],
+            "cents_locf": cs[safe_idx][valid]})
+
+    out = (eds.groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "day_id"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def order_concentration(sf_dir: str) -> pd.DataFrame:
+    """Order revenue-concentration distribution: for each order, the
+    share of its largest line in basis points ((max·10000)//total,
+    exact integer), bucketed by thousands — the skew-diagnostic
+    histogram of basket composition. Per-block packed-key partials
+    (order, Σrev, max rev) pre-collapse the exchange; one
+    ``groupby(order % B)`` reduce finishes per-order totals and each
+    bucket emits an 11-cell histogram partial the driver folds —
+    output is constant-size regardless of rows."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        tot = np.bincount(inv, weights=rev).astype(np.int64)
+        mx = np.full(len(u), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, rev)
+        return pa.table({"l_orderkey": pa.array(u),
+                         "tot": pa.array(tot), "mx": pa.array(mx),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("l_orderkey").agg(tot=("tot", "sum"),
+                                        mx=("mx", "max"))
+        bkt = ((r["mx"].to_numpy(np.int64) * 10000)
+               // r["tot"].to_numpy(np.int64)) // 1000
+        cnt = np.bincount(bkt, minlength=11).astype(np.int64)
+        return pd.DataFrame({"bps_bucket": np.arange(11, dtype=np.int64),
+                             "n_orders": cnt})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("bps_bucket", as_index=False)["n_orders"].sum()
+    out = out[out["n_orders"] > 0]
+    return (out.sort_values("bps_bucket", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"bps_bucket": "int64", "n_orders": "int64"}))
