@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_abc": analytics.part_abc,
         "user_daily_locf": analytics.user_daily_locf,
         "order_concentration": analytics.order_concentration,
+        "events_quantiles_by_type": analytics.events_quantiles_by_type,
+        "customer_order_gap_median":
+            analytics.customer_order_gap_median,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1309,6 +1312,37 @@ def oracle_sql() -> dict[str, str]:
                        AS bps_bucket,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM o GROUP BY 1 ORDER BY 1
+        """,
+        "events_quantiles_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type,
+                   CAST(quantile_disc(cents, 0.25) AS BIGINT)
+                       AS p25_cents,
+                   CAST(quantile_disc(cents, 0.50) AS BIGINT)
+                       AS p50_cents,
+                   CAST(quantile_disc(cents, 0.75) AS BIGINT)
+                       AS p75_cents,
+                   CAST(quantile_disc(cents, 0.90) AS BIGINT)
+                       AS p90_cents
+            FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "customer_order_gap_median": """
+            WITH o AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) AS d, o_orderkey
+                       FROM orders),
+            l AS (SELECT o_custkey,
+                         (LEAD(d) OVER (PARTITION BY o_custkey
+                                        ORDER BY d, o_orderkey)
+                          - d)//86400000000 AS gap
+                  FROM o)
+            SELECT o_custkey,
+                   CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                       AS median_gap_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM l WHERE gap IS NOT NULL
+            GROUP BY o_custkey ORDER BY o_custkey
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

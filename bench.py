@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "events_rolling_outliers", "user_path_freq",
     "events_dow_hour_heatmap", "part_abc",
     "user_daily_locf", "order_concentration",
+    "events_quantiles_by_type", "customer_order_gap_median",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

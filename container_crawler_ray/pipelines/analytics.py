@@ -3319,3 +3319,121 @@ def order_concentration(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("bps_bucket", kind="mergesort")
             .reset_index(drop=True)
             .astype({"bps_bucket": "int64", "n_orders": "int64"}))
+
+
+def events_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group EXACT quantiles (p25/p50/p75/p90 of value-cents per
+    event_type) — the grouped flavor of ``events_hist_quantiles`` and
+    the calibration-table primitive: per-block partials are one dense
+    int64 histogram per (block, type) packed as binary over the global
+    [min, max] cent range, the driver folds |types| histograms
+    (value-range-sized, never row-sized — ZERO Ray shuffle), and every
+    quantile is answered from the cumulative histogram with the same
+    ``sorted[ceil(q·n)-1]`` convention as ``quantile_disc``. Works at
+    any row count while |types|×range stays driver-sized; a wider
+    range would switch to radix-style coarse-band refinement like the
+    global version documents."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": pa.array(v)})
+
+    cds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = t.column("cents").to_numpy()
+        return pa.table({"lo": pa.array([int(v.min())], type=pa.int64()),
+                         "hi": pa.array([int(v.max())], type=pa.int64())})
+
+    mm = cds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width = hi - lo + 1
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        v = t.column("cents").to_numpy()
+        types, inv = np.unique(et, return_inverse=True)
+        blobs = []
+        for i in range(len(types)):               # |types| per block only
+            cnt = np.bincount(v[inv == i] - lo,
+                              minlength=width).astype(np.int64)
+            blobs.append(cnt.tobytes())
+        return pa.table({"event_type": pa.array(types),
+                         "h": pa.array(blobs, type=pa.large_binary())})
+
+    acc: dict = {}
+    for row in (cds.map_batches(hist_partial, batch_format="pyarrow")
+                .take_all()):
+        h = np.frombuffer(row["h"], dtype=np.int64)
+        k = row["event_type"]
+        acc[k] = acc[k] + h if k in acc else h.copy()
+    rows = []
+    for k in sorted(acc):
+        cum = np.cumsum(acc[k])
+        n = int(cum[-1])
+        qs = [lo + int(np.searchsorted(cum, -(-q * n // 100)))
+              for q in (25, 50, 75, 90)]
+        rows.append((k, *qs))
+    return pd.DataFrame(rows, columns=["event_type", "p25_cents",
+                                       "p50_cents", "p75_cents",
+                                       "p90_cents"]) \
+        .astype({c: "int64" for c in ["p25_cents", "p50_cents",
+                                      "p75_cents", "p90_cents"]})
+
+
+def customer_order_gap_median(sf_dir: str) -> pd.DataFrame:
+    """Per-customer median inter-order gap in whole days (the
+    purchase-cadence / churn-risk feature): consecutive orders under
+    (o_orderdate, o_orderkey) yield day gaps; the reported median is
+    the exact discrete ``quantile_disc(0.5)`` (lower median,
+    ``sorted[ceil(n/2)-1]``). ONE ``groupby(cust % B)`` exchange; the
+    in-bucket sweep is two lexsorts — one to form per-customer gaps by
+    vectorized shift, one to order gaps per customer so every
+    customer's median is a single indexed gather off segment offsets —
+    no Python per-customer loop. Customers with one order have no gap
+    and are absent on both sides."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "o_custkey": pa.array(c),
+            "d_us": t.column("o_orderdate").cast(pa.int64()),
+            "o_orderkey": t.column("o_orderkey"),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["o_custkey"].to_numpy(np.int64)
+        d = g["d_us"].to_numpy(np.int64)
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((ok, d, c))
+        cs, dsd = c[order], d[order]
+        same = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            same[:-1] = cs[1:] == cs[:-1]
+            same[-1] = False
+        idx = np.flatnonzero(same)
+        gc = cs[idx]
+        gap = (dsd[idx + 1] - dsd[idx]) // _DAY_US
+        o2 = np.lexsort((gap, gc))
+        gc, gap = gc[o2], gap[o2]
+        first = np.empty(len(gc), dtype=bool)
+        if len(gc):
+            first[0] = True
+            first[1:] = gc[1:] != gc[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(gc))
+        n = ends - starts
+        med = gap[starts + (n + 1) // 2 - 1]
+        return pd.DataFrame({"o_custkey": gc[starts],
+                             "median_gap_days": med, "n_gaps": n})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("o_custkey", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
