@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_by_type": analytics.events_quantiles_by_type,
         "customer_order_gap_median":
             analytics.customer_order_gap_median,
+        "events_burst_max": analytics.events_burst_max,
+        "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1343,6 +1345,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_gaps
             FROM l WHERE gap IS NOT NULL
             GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "events_burst_max": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us
+                       FROM events),
+            w AS (SELECT user_id,
+                         COUNT(*) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us
+                                        RANGE BETWEEN CURRENT ROW
+                                        AND 3600000000 FOLLOWING)
+                             AS cnt
+                  FROM e)
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_burst,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id ORDER BY user_id
+        """,
+        "events_autocorr_lag1": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS c
+                       FROM events),
+            p AS (SELECT user_id, c AS x,
+                         LEAD(c) OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id) AS y
+                  FROM e),
+            m AS (SELECT user_id,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x*y) AS BIGINT) AS sxy,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx,
+                         CAST(SUM(y*y) AS BIGINT) AS syy
+                  FROM p WHERE y IS NOT NULL GROUP BY user_id)
+            SELECT user_id, n AS n_pairs,
+                   CAST(FLOOR(
+                     (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     * 1000.0) AS BIGINT) AS ac1_milli
+            FROM m
+            WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+            ORDER BY user_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "events_dow_hour_heatmap", "part_abc",
     "user_daily_locf", "order_concentration",
     "events_quantiles_by_type", "customer_order_gap_median",
+    "events_burst_max", "events_autocorr_lag1",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

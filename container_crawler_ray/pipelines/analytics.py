@@ -3437,3 +3437,119 @@ def customer_order_gap_median(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("o_custkey", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def events_burst_max(sf_dir: str) -> pd.DataFrame:
+    """Peak burst per user: the maximum number of the user's events in
+    any value-anchored sliding hour [ts_i, ts_i + 1h] — the rate-spike
+    / abuse-detection primitive. ONE ``groupby(user % B)`` exchange;
+    in-bucket, both window edges resolve with global searchsorted over
+    the (user·2^52 + ts) packed order (the same dense-safe packing as
+    ``user_daily_locf``: counts never cross users because the probe
+    keys carry the user in the high bits), then a per-user max by
+    ``np.maximum.reduceat`` — no Python loop. Matches the SQL RANGE
+    window (value-range frames include timestamp ties on both
+    sides)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        order = np.lexsort((ts, u))
+        us, tss = u[order], ts[order]
+        uniq, inv = np.unique(us, return_inverse=True)
+        pk = inv * (1 << 52) + tss
+        left = np.searchsorted(pk, pk, side="left")
+        right = np.searchsorted(pk, inv * (1 << 52) + tss + _HOUR_US,
+                                side="right")
+        cnt = right - left
+        starts = np.flatnonzero(np.concatenate(
+            ([True], inv[1:] != inv[:-1])))
+        return pd.DataFrame({
+            "user_id": uniq,
+            "max_burst": np.maximum.reduceat(cnt, starts),
+            "n_events": np.bincount(inv).astype(np.int64)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def events_autocorr_lag1(sf_dir: str) -> pd.DataFrame:
+    """Per-user lag-1 autocorrelation of the value sequence (the
+    burstiness / momentum feature of behavioral modeling): Pearson
+    correlation between consecutive cents pairs under (ts, event_id),
+    from EXACT integer moment sums over the pairs — the sequential twin
+    of ``lineitem_corr``. ONE ``groupby(user % B)`` exchange; pairs are
+    a vectorized same-user shift; per-user moments are C-level grouped
+    sums; the closed form is evaluated in float64 with the SAME IEEE
+    operation order as the SQL twin (bit-equal milli fixed-point).
+    Users whose pair variance is zero on either side are excluded by an
+    exact INTEGER predicate (va > 0 AND vb > 0), so no NaN ever crosses
+    the oracle."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs = u[order], c[order]
+        same = np.empty(len(us), dtype=bool)
+        if len(us):
+            same[:-1] = us[1:] == us[:-1]
+            same[-1] = False
+        i = np.flatnonzero(same)
+        x, y, uu = cs[i], cs[i + 1], us[i]
+        df = pd.DataFrame({"user_id": uu, "n": 1, "sx": x, "sy": y,
+                           "sxy": x * y, "sxx": x * x, "syy": y * y})
+        m = df.groupby("user_id", as_index=False).sum()
+        dn = m["n"].to_numpy(np.int64)
+        sx, sy = m["sx"].to_numpy(np.int64), m["sy"].to_numpy(np.int64)
+        sxy = m["sxy"].to_numpy(np.int64)
+        sxx, syy = m["sxx"].to_numpy(np.int64), m["syy"].to_numpy(np.int64)
+        va = dn * sxx - sx * sx
+        vb = dn * syy - sy * sy
+        keep = (va > 0) & (vb > 0)
+        fn = dn.astype(np.float64)
+        fsx, fsy = sx.astype(np.float64), sy.astype(np.float64)
+        num = fn * sxy.astype(np.float64) - fsx * fsy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ac1 = np.floor(
+                num / (np.sqrt(fn * sxx.astype(np.float64) - fsx * fsx)
+                       * np.sqrt(fn * syy.astype(np.float64)
+                                 - fsy * fsy)) * 1000.0)
+        return pd.DataFrame({"user_id": m["user_id"].to_numpy(np.int64),
+                             "n_pairs": dn,
+                             "ac1_milli": np.where(keep, ac1, 0)
+                             .astype(np.int64)})[keep]
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
