@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_order_gap_median,
         "events_burst_max": analytics.events_burst_max,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
+        "fk_orphan_audit": analytics.fk_orphan_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1388,6 +1389,59 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
             ORDER BY user_id
+        """,
+        "fk_orphan_audit": """
+            WITH e AS (
+              SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS edge,
+                     CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_orphans,
+                     CAST(COUNT(*) AS BIGINT) AS n_child
+              FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              UNION ALL
+              SELECT 'lineitem.l_partkey->part.p_partkey',
+                     CAST(SUM(CASE WHEN p.p_partkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM lineitem l LEFT JOIN part p
+                ON l.l_partkey = p.p_partkey
+              UNION ALL
+              SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                     CAST(SUM(CASE WHEN s.s_suppkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM lineitem l LEFT JOIN supplier s
+                ON l.l_suppkey = s.s_suppkey
+              UNION ALL
+              SELECT 'orders.o_custkey->customer.c_custkey',
+                     CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM orders o LEFT JOIN customer c
+                ON o.o_custkey = c.c_custkey
+              UNION ALL
+              SELECT 'customer.c_nationkey->nation.n_nationkey',
+                     CAST(SUM(CASE WHEN n.n_nationkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM customer c LEFT JOIN nation n
+                ON c.c_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'supplier.s_nationkey->nation.n_nationkey',
+                     CAST(SUM(CASE WHEN n.n_nationkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM supplier s LEFT JOIN nation n
+                ON s.s_nationkey = n.n_nationkey
+              UNION ALL
+              SELECT 'nation.n_regionkey->region.r_regionkey',
+                     CAST(SUM(CASE WHEN r.r_regionkey IS NULL
+                                   THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(COUNT(*) AS BIGINT)
+              FROM nation n LEFT JOIN region r
+                ON n.n_regionkey = r.r_regionkey)
+            SELECT * FROM e ORDER BY edge
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

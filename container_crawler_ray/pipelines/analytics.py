@@ -3553,3 +3553,69 @@ def events_autocorr_lag1(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_orphan_audit(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across every foreign-key edge of the
+    schema: per edge, the number of child rows whose key has no parent
+    (the ingestion / replication health check run before anything
+    joins). Per edge: parent keys fold from per-block ``np.unique``
+    partials (the concatenated partials are |keys|×|blocks| ints, then
+    one driver unique — key-cardinality-sized and broadcastable for
+    every parent here; a fact-sized parent would swap in the Bloom
+    prefilter ``big_order_lines_bloom`` already implements), broadcast
+    ONCE via ``ray.put``; the child column then streams through a
+    vectorized searchsorted membership probe emitting one int per
+    block — ZERO shuffle, |edges| output rows."""
+    import ray
+
+    rows = []
+    for name, child, ck, parent, pk in _FK_EDGES:
+        pds = ray.data.read_parquet(f"{sf_dir}/{parent}.parquet",
+                                    columns=[pk])
+
+        def puniq(t: pa.Table, pk=pk) -> pa.Table:
+            u = np.unique(t.column(pk).to_numpy().astype(np.int64))
+            return pa.table({"k": pa.array(u)})
+
+        keys = np.unique(
+            pds.map_batches(puniq, batch_format="pyarrow")
+            .to_pandas()["k"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def misses(t: pa.Table, ck=ck, kref=kref) -> pa.Table:
+            ks = ray.get(kref)
+            v = t.column(ck).to_numpy().astype(np.int64)
+            pos = np.searchsorted(ks, v)
+            pos = np.minimum(pos, len(ks) - 1)
+            bad = int(np.count_nonzero(ks[pos] != v)) if len(ks) \
+                else len(v)
+            return pa.table({"n": pa.array([bad], type=pa.int64()),
+                             "tot": pa.array([len(v)], type=pa.int64())})
+
+        cds = ray.data.read_parquet(f"{sf_dir}/{child}.parquet",
+                                    columns=[ck])
+        agg = cds.map_batches(misses, batch_format="pyarrow").to_pandas()
+        rows.append((name, int(agg["n"].sum()), int(agg["tot"].sum())))
+    out = pd.DataFrame(rows, columns=["edge", "n_orphans", "n_child"])
+    return (out.sort_values("edge", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_orphans": "int64", "n_child": "int64"}))

@@ -1,0 +1,146 @@
+"""Brute-force regression tests for the vectorized sequence kernels.
+
+The driver's DuckDB oracle checks these operators on the standard
+testdata; this module re-checks the trickiest vectorized kernels
+against naive pure-Python reference implementations on ADVERSARIAL
+synthetic inputs — timestamp ties, single-event users, constant-value
+users, users spanning many blocks — that the benchmark tables do not
+guarantee to contain. Deterministic seeded data; no DuckDB involved.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _make_events_dir(tmp_path, n=400, users=7, ts_mod=50, seed=7):
+    """Tiny events table with heavy ts collisions (ts_mod distinct
+    timestamps) and a single-event user and a constant-value user."""
+    rng = np.random.RandomState(seed)
+    uid = rng.randint(0, users, n).astype(np.int64)
+    uid[0] = 990                              # single-event user
+    const_u = 991                             # constant-value user
+    uid[1:6] = const_u
+    ts_us = (rng.randint(0, ts_mod, n).astype(np.int64)
+             * 1_800_000_000 + 1_600_000_000_000_000)
+    val = np.round(rng.uniform(0.01, 400.0, n), 2)
+    val[1:6] = 42.0
+    et = np.array(["click", "view", "purchase"])[rng.randint(0, 3, n)]
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(uid),
+        "event_type": pa.array(et),
+        "value": pa.array(val),
+        "props": pa.array(["{}"] * n)})
+    d = tmp_path / "sf_brute"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+    df = tbl.to_pandas()
+    df["ts_us"] = ts_us
+    df["cents"] = np.floor(val * 100).astype(np.int64)
+    return str(d), df
+
+
+@pytest.fixture(scope="module")
+def events_case(tmp_path_factory):
+    return _make_events_dir(tmp_path_factory.mktemp("brute"))
+
+
+def _ordered(df):
+    return df.sort_values(["user_id", "ts_us", "event_id"])
+
+
+def test_user_first_last_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import user_first_last
+    d, df = events_case
+    got = user_first_last(d)
+    for _, row in got.iterrows():
+        g = _ordered(df[df.user_id == row.user_id])
+        assert row.first_type == g.iloc[0].event_type
+        assert row.last_type == g.iloc[-1].event_type
+        assert row.delta_cents == g.iloc[-1].cents - g.iloc[0].cents
+    assert set(got.user_id) == set(df.user_id)
+
+
+def test_events_burst_max_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import events_burst_max
+    d, df = events_case
+    got = events_burst_max(d).set_index("user_id")
+    hour = 3_600_000_000
+    for u, g in df.groupby("user_id"):
+        ts = np.sort(g.ts_us.to_numpy())
+        best = max(int(((ts >= t) & (ts <= t + hour)).sum()) for t in ts)
+        assert got.loc[u, "max_burst"] == best
+        assert got.loc[u, "n_events"] == len(ts)
+
+
+def test_events_ntile_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import events_ntile
+    d, df = events_case
+    got = events_ntile(d)
+    order = df.sort_values(["cents", "event_id"]).reset_index(drop=True)
+    n, k = len(order), 4
+    base, rem = n // k, n % k
+    expect = {}
+    r = 0
+    for t in range(1, k + 1):
+        size = base + (1 if t <= rem else 0)
+        for _ in range(size):
+            expect[int(order.iloc[r].event_id)] = t
+            r += 1
+    for _, row in got.iterrows():
+        assert row.ntile == expect[row.event_id]
+
+
+def test_user_daily_locf_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import (
+        user_daily_locf, _DAY_US)
+    d, df = events_case
+    got = user_daily_locf(d)
+    day_lo = int(df.ts_us.min()) // _DAY_US
+    day_hi = int(df.ts_us.max()) // _DAY_US
+    expect = []
+    for u, g in df.groupby("user_id"):
+        g = _ordered(g)
+        for day in range(day_lo, day_hi + 1):
+            de = (day + 1) * _DAY_US
+            prior = g[g.ts_us < de]
+            if len(prior):
+                expect.append((u, day, int(prior.iloc[-1].cents)))
+    exp = pd.DataFrame(expect, columns=["user_id", "day_id",
+                                        "cents_locf"])
+    exp = exp.sort_values(["user_id", "day_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), exp.astype("int64"))
+
+
+def test_events_autocorr_variance_gate(events_case):
+    """Constant-value and single-event users must be absent (no NaN)."""
+    from container_crawler_ray.pipelines.analytics import (
+        events_autocorr_lag1)
+    d, df = events_case
+    got = events_autocorr_lag1(d)
+    assert 990 not in set(got.user_id)          # no pairs
+    assert 991 not in set(got.user_id)          # zero variance
+    assert got.ac1_milli.between(-1000, 1000).all()
+
+
+def test_user_band_runs_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import user_band_runs
+    d, df = events_case
+    got = user_band_runs(d)
+    for u, g in df.groupby("user_id"):
+        g = _ordered(g)
+        bands = (g.cents // 2000).to_numpy()
+        runs = []
+        for b in bands:
+            if not runs or runs[-1][0] != b:
+                runs.append([b, 0])
+            runs[-1][1] += 1
+        mine = got[got.user_id == u]
+        assert list(mine.band) == [r[0] for r in runs]
+        assert list(mine.n_events) == [r[1] for r in runs]
+        assert list(mine.run_idx) == list(range(1, len(runs) + 1))
