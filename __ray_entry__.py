@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_max": analytics.events_burst_max,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "fk_orphan_audit": analytics.fk_orphan_audit,
+        "docs_trigram_novelty": dedup.docs_trigram_novelty,
+        "part_substitutes": joins.part_substitutes,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1442,6 +1444,37 @@ def oracle_sql() -> dict[str, str]:
               FROM nation n LEFT JOIN region r
                 ON n.n_regionkey = r.r_regionkey)
             SELECT * FROM e ORDER BY edge
+        """,
+        "docs_trigram_novelty": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     substring(text, CAST(s AS INTEGER), 3) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(
+                               1, CAST(n_chars-2 AS BIGINT))) AS s
+                    FROM documents)),
+            m AS (SELECT gram, MIN(doc_id) AS first_doc
+                  FROM g GROUP BY gram)
+            SELECT g.doc_id,
+                   CAST(SUM(CASE WHEN m.first_doc = g.doc_id
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS novel_grams,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_grams
+            FROM g JOIN m USING (gram)
+            GROUP BY g.doc_id ORDER BY g.doc_id
+        """,
+        "part_substitutes": """
+            WITH p AS (SELECT p_partkey, p_type, p_size,
+                              CAST(FLOOR(p_retailprice*100) AS BIGINT)
+                                  AS cents
+                       FROM part)
+            SELECT a.p_partkey AS p1, b.p_partkey AS p2,
+                   a.cents AS c1, b.cents AS c2
+            FROM p a JOIN p b
+              ON a.p_type = b.p_type AND a.p_size = b.p_size
+             AND a.p_partkey < b.p_partkey
+             AND ABS(a.cents - b.cents)*10 <= LEAST(a.cents, b.cents)
+            ORDER BY p1, p2
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

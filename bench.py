@@ -94,7 +94,7 @@ BENCH_QUERIES = [
     "user_daily_locf", "order_concentration",
     "events_quantiles_by_type", "customer_order_gap_median",
     "events_burst_max", "events_autocorr_lag1",
-    "fk_orphan_audit",
+    "fk_orphan_audit", "docs_trigram_novelty", "part_substitutes",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1029,3 +1029,65 @@ def strip_dup_windows(sf_dir: str, k: int = 3) -> pd.DataFrame:
     out = (docs.map_batches(mask, batch_format="pyarrow")
            .sort("doc_id").to_pandas())
     return out.astype({c: "int64" for c in out.columns})
+
+
+def docs_trigram_novelty(sf_dir: str) -> pd.DataFrame:
+    """First-occurrence novelty score per document (the Lee-et-al-style
+    "how much of this doc is new to the corpus" dedup signal): over the
+    corpus's distinct (doc, char-trigram) pairs, a trigram belongs to
+    the document with the smallest doc_id that contains it; each doc
+    reports how many of its distinct trigrams it owns vs carries.
+    Pipeline: distinct-trigram explode per doc (set-per-doc, the same
+    shingle idiom as MinHash), ONE ``groupby(gram_hash % B)`` exchange
+    co-locating every occurrence of a gram; in-bucket a vectorized sort
+    resolves min-doc per gram AND folds per-doc (novel, total) partials
+    in the same pass — no join back, no second exchange over the pairs;
+    a final doc-keyed fold of bucket partials is |docs|×|buckets|
+    rows. Grams are exchanged as 64-bit hashes (fixed-width keys;
+    collision probability documented as the same md5-low64 contract
+    the other dedup ops use)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        dids, hs = [], []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            grams = {text[i:i + 3] for i in range(len(text) - 2)}
+            for g in grams:
+                hs.append(int.from_bytes(
+                    hashlib.md5(g.encode()).digest()[:8], "little"))
+            dids.extend([did] * len(grams))
+        h = np.array(hs, dtype=np.uint64).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.array(dids, dtype=np.int64)),
+            "gh": pa.array(h),
+            "bucket": pa.array((h % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gh = g["gh"].to_numpy(np.int64)
+        did = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((did, gh))
+        ghs, dids = gh[order], did[order]
+        first = np.empty(len(ghs), dtype=bool)
+        first[0] = True
+        first[1:] = ghs[1:] != ghs[:-1]
+        owner = dids[np.maximum.accumulate(
+            np.where(first, np.arange(len(ghs)), 0))]
+        novel = (dids == owner)
+        uniq, inv = np.unique(dids, return_inverse=True)
+        return pd.DataFrame({
+            "doc_id": uniq,
+            "novel_grams": np.bincount(inv, weights=novel)
+            .astype(np.int64),
+            "distinct_grams": np.bincount(inv).astype(np.int64)})
+
+    parts = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby("doc_id", as_index=False).sum()
+    return (out.sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

@@ -2525,3 +2525,76 @@ def purchase_attribution(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
             .reset_index(drop=True)
             .astype({"click_id": "int64", "user_id": "int64",
                      "attributed_micros": "int64"}))
+
+
+def part_substitutes(sf_dir: str) -> pd.DataFrame:
+    """Structured-blocking similarity self-join: candidate substitute
+    part pairs share (p_type, p_size) and have retail prices within 10%
+    of the cheaper one (exact integer cross-multiplication — ten times
+    the absolute cent gap at most the smaller price). The blocking key
+    bounds the quadratic step: ONE ``groupby(md5(type|size) % B)``
+    exchange co-locates each block (deterministic digest — never
+    Python's per-process ``hash``), and the in-bucket all-pairs
+    expansion is a vectorized repeat kernel (each row pairs with every
+    later row of its segment; pair count is Σ group², profiled max
+    group ~88 rows here; a skewed block would salt or cap like the
+    other self-joins document). Output: ordered pairs (p1 < p2 by
+    partkey within the sorted segment) with both prices."""
+    import hashlib
+
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_type", "p_size",
+                        "p_retailprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        types = t.column("p_type").to_pylist()
+        sizes = t.column("p_size").to_numpy(zero_copy_only=False)
+        blk = [f"{a}|{int(b)}" for a, b in zip(types, sizes)]
+        kh = np.array([int.from_bytes(
+            hashlib.md5(k.encode()).digest()[:8], "little") & ((1 << 62) - 1)
+            for k in blk], dtype=np.int64)
+        cents = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "blk": pa.array(blk),
+            "cents": pa.array(cents),
+            "bucket": pa.array((kh % 64).astype(np.int32))})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"p1": pd.array([], dtype="int64"),
+                              "p2": pd.array([], dtype="int64"),
+                              "c1": pd.array([], dtype="int64"),
+                              "c2": pd.array([], dtype="int64")})
+        if not len(g):
+            return empty
+        codes, _ = pd.factorize(g["blk"].to_numpy(), sort=True)
+        pk = g["p_partkey"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((pk, codes))
+        codes, pk, c = codes[order], pk[order], c[order]
+        first = np.empty(len(codes), dtype=bool)
+        first[0] = True
+        first[1:] = codes[1:] != codes[:-1]
+        idx = np.arange(len(codes))
+        starts = np.flatnonzero(first)
+        seg_len = np.diff(np.append(starts, len(codes)))
+        seg_end = np.repeat(starts + seg_len, seg_len)  # exclusive
+        rep = seg_end - idx - 1                          # pairs per row
+        if int(rep.sum()) == 0:
+            return empty
+        a = np.repeat(idx, rep)
+        run_off = np.concatenate(([0], np.cumsum(rep)))[:-1]
+        b = np.arange(int(rep.sum())) - np.repeat(run_off, rep) \
+            + a + 1
+        ca, cb = c[a], c[b]
+        keep = np.abs(ca - cb) * 10 <= np.minimum(ca, cb)
+        return pd.DataFrame({"p1": pk[a][keep], "p2": pk[b][keep],
+                             "c1": ca[keep], "c2": cb[keep]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(pairs, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["p1", "p2"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
