@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_audit": analytics.fk_orphan_audit,
         "docs_trigram_novelty": dedup.docs_trigram_novelty,
         "part_substitutes": joins.part_substitutes,
+        "dau_wau": analytics.dau_wau,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1475,6 +1476,32 @@ def oracle_sql() -> dict[str, str]:
              AND a.p_partkey < b.p_partkey
              AND ABS(a.cents - b.cents)*10 <= LEAST(a.cents, b.cents)
             ORDER BY p1, p2
+        """,
+        "dau_wau": """
+            WITH e AS (SELECT DISTINCT user_id,
+                              epoch_us(ts)//86400000000 AS day
+                       FROM events),
+            rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM e),
+            days AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            dau AS (SELECT day AS day_id,
+                           COUNT(DISTINCT user_id) AS dau
+                    FROM e GROUP BY 1),
+            wau AS (SELECT d.day_id, COUNT(DISTINCT e.user_id) AS wau
+                    FROM days d JOIN e
+                      ON e.day BETWEEN d.day_id - 6 AND d.day_id
+                    GROUP BY 1)
+            SELECT CAST(d.day_id AS BIGINT) AS day_id,
+                   CAST(COALESCE(dau.dau, 0) AS BIGINT) AS dau,
+                   CAST(COALESCE(wau.wau, 0) AS BIGINT) AS wau,
+                   CAST(CASE WHEN COALESCE(wau.wau, 0) > 0
+                             THEN (COALESCE(dau.dau, 0)*1000)
+                                  //wau.wau
+                             ELSE 0 END AS BIGINT)
+                       AS stickiness_milli
+            FROM days d
+            LEFT JOIN dau USING (day_id) LEFT JOIN wau USING (day_id)
+            ORDER BY day_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

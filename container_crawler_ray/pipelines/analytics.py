@@ -3619,3 +3619,72 @@ def fk_orphan_audit(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("edge", kind="mergesort")
             .reset_index(drop=True)
             .astype({"n_orphans": "int64", "n_child": "int64"}))
+
+
+def dau_wau(sf_dir: str) -> pd.DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    dashboard triple. Everything reduces over DISTINCT (user, day)
+    pairs (collapsed per block first, so the ONE ``groupby(user % B)``
+    exchange carries at most |users|×|days| rows): in-bucket, DAU
+    partials are a day bincount of the deduped pairs, and WAU partials
+    come from each user's 7-day coverage WINDOWS — merge the per-user
+    intervals [day, day+6] (gaps-and-islands over deduped days, fully
+    vectorized) and add ±1 marks to a difference array over the day
+    grid, so a user counts once toward every window they touch and
+    never twice. The driver folds two fixed-width day vectors;
+    stickiness = DAU·1000 // WAU in exact integers (0 when WAU=0)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        pk = np.unique(u * (1 << 22) + day)       # day < 2^22 epoch days
+        uu, dd = pk >> 22, pk & ((1 << 22) - 1)
+        return pa.table({
+            "user_id": pa.array(uu), "day": pa.array(dd),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    eds = ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    mm = eds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(t.column("day").to_numpy().min())],
+                           type=pa.int64()),
+            "hi": pa.array([int(t.column("day").to_numpy().max())],
+                           type=pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    day_lo, day_hi = int(mm["lo"].min()), int(mm["hi"].max())
+    nd = day_hi - day_lo + 1
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        pk = np.unique(u * (1 << 22) + d)          # cross-block dedup
+        uu, dd = pk >> 22, (pk & ((1 << 22) - 1)) - day_lo
+        dau = np.bincount(dd, minlength=nd).astype(np.int64)
+        # per-user merged window coverage [day, day+6] via islands
+        newu = np.empty(len(uu), dtype=bool)
+        newu[0] = True
+        newu[1:] = uu[1:] != uu[:-1]
+        gap = np.empty(len(uu), dtype=bool)
+        gap[0] = True
+        gap[1:] = newu[1:] | (dd[1:] - dd[:-1] > 6)
+        starts = np.flatnonzero(gap)
+        ends = np.append(starts[1:], len(uu)) - 1
+        diff = np.zeros(nd + 8, dtype=np.int64)
+        np.add.at(diff, dd[starts], 1)
+        np.add.at(diff, np.minimum(dd[ends] + 7, nd), -1)
+        wau = np.cumsum(diff)[:nd]
+        return pd.DataFrame({"day_off": np.arange(nd, dtype=np.int64),
+                             "dau": dau, "wau": wau})
+
+    parts = (eds.groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("day_off", as_index=False).sum()
+    dau = agg["dau"].to_numpy(np.int64)
+    wau = agg["wau"].to_numpy(np.int64)
+    stick = np.where(wau > 0, dau * 1000 // np.maximum(wau, 1), 0)
+    return pd.DataFrame({
+        "day_id": agg["day_off"].to_numpy(np.int64) + day_lo,
+        "dau": dau, "wau": wau,
+        "stickiness_milli": stick.astype(np.int64)})
