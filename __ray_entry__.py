@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trigram_novelty": dedup.docs_trigram_novelty,
         "part_substitutes": joins.part_substitutes,
         "dau_wau": analytics.dau_wau,
+        "user_feature_matrix": analytics.user_feature_matrix,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1502,6 +1503,95 @@ def oracle_sql() -> dict[str, str]:
             FROM days d
             LEFT JOIN dau USING (day_id) LEFT JOIN wau USING (day_id)
             ORDER BY day_id
+        """,
+        "user_feature_matrix": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events),
+            base AS (SELECT user_id,
+                            CAST(COUNT(*) AS BIGINT) AS n_events,
+                            CAST(SUM(cents) AS BIGINT) AS sum_cents,
+                            CAST(last(cents ORDER BY ts_us, event_id)
+                                 - first(cents ORDER BY ts_us, event_id)
+                                 AS BIGINT) AS delta_cents
+                     FROM e GROUP BY user_id),
+            iv AS (SELECT user_id, ts_us AS s,
+                          ts_us + cents*1000000 AS en FROM e),
+            mx AS (SELECT user_id, s, en,
+                          MAX(en) OVER (PARTITION BY user_id
+                                        ORDER BY s, en
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND 1 PRECEDING) AS pm
+                   FROM iv),
+            isl AS (SELECT user_id, s, en,
+                           SUM(CASE WHEN pm IS NULL OR s > pm
+                                    THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY user_id
+                                     ORDER BY s, en
+                                     ROWS UNBOUNDED PRECEDING) AS isle
+                    FROM mx),
+            act AS (SELECT user_id,
+                           CAST(SUM(cov) AS BIGINT) AS active_us,
+                           CAST(COUNT(*) AS BIGINT) AS n_islands
+                    FROM (SELECT user_id, isle,
+                                 MAX(en) - MIN(s) AS cov
+                          FROM isl GROUP BY user_id, isle)
+                    GROUP BY user_id),
+            bw AS (SELECT user_id,
+                          COUNT(*) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us
+                                         RANGE BETWEEN CURRENT ROW
+                                         AND 3600000000 FOLLOWING)
+                              AS cnt
+                   FROM e),
+            burst AS (SELECT user_id,
+                             CAST(MAX(cnt) AS BIGINT) AS max_burst
+                      FROM bw GROUP BY user_id),
+            gp AS (SELECT user_id,
+                          (ts_us - LAG(ts_us) OVER w)//1000000 AS gap,
+                          cents, LAG(cents) OVER w AS pc
+                   FROM e
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts_us, event_id)),
+            med AS (SELECT user_id,
+                           CAST(quantile_disc(gap, 0.5) AS BIGINT)
+                               AS median_gap_sec
+                    FROM gp WHERE gap IS NOT NULL GROUP BY user_id),
+            mom AS (SELECT user_id,
+                           CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(pc) AS BIGINT) AS sx,
+                           CAST(SUM(cents) AS BIGINT) AS sy,
+                           CAST(SUM(pc*cents) AS BIGINT) AS sxy,
+                           CAST(SUM(pc*pc) AS BIGINT) AS sxx,
+                           CAST(SUM(cents*cents) AS BIGINT) AS syy
+                    FROM gp WHERE pc IS NOT NULL GROUP BY user_id),
+            ac AS (SELECT user_id,
+                          CASE WHEN n*sxx - sx*sx > 0
+                               AND n*syy - sy*sy > 0 THEN
+                            CAST(FLOOR(
+                              (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                              / (sqrt(CAST(n AS DOUBLE)
+                                      *CAST(sxx AS DOUBLE)
+                                      - CAST(sx AS DOUBLE)
+                                        *CAST(sx AS DOUBLE))
+                                 * sqrt(CAST(n AS DOUBLE)
+                                        *CAST(syy AS DOUBLE)
+                                        - CAST(sy AS DOUBLE)
+                                          *CAST(sy AS DOUBLE)))
+                              * 1000.0) AS BIGINT)
+                          ELSE 0 END AS ac1_milli
+                   FROM mom)
+            SELECT b.user_id, n_events, sum_cents, delta_cents,
+                   active_us, n_islands, max_burst,
+                   CAST(COALESCE(med.median_gap_sec, 0) AS BIGINT)
+                       AS median_gap_sec,
+                   CAST(COALESCE(ac.ac1_milli, 0) AS BIGINT)
+                       AS ac1_milli
+            FROM base b
+            JOIN act USING (user_id) JOIN burst USING (user_id)
+            LEFT JOIN med USING (user_id) LEFT JOIN ac USING (user_id)
+            ORDER BY b.user_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -95,7 +95,7 @@ BENCH_QUERIES = [
     "events_quantiles_by_type", "customer_order_gap_median",
     "events_burst_max", "events_autocorr_lag1",
     "fk_orphan_audit", "docs_trigram_novelty", "part_substitutes",
-    "dau_wau",
+    "dau_wau", "user_feature_matrix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -3688,3 +3688,121 @@ def dau_wau(sf_dir: str) -> pd.DataFrame:
         "day_id": agg["day_off"].to_numpy(np.int64) + day_lo,
         "dau": dau, "wau": wau,
         "stickiness_milli": stick.astype(np.int64)})
+
+
+def user_feature_matrix(sf_dir: str) -> pd.DataFrame:
+    """Operator FUSION capstone of the per-user family: one bucket
+    exchange materializes the whole behavioral feature vector —
+    n_events, sum_cents, entry/exit delta, interval-union activity
+    (active_us, n_islands), peak 1-hour burst, median inter-event gap
+    seconds, and lag-1 autocorrelation (0 when its variance gate
+    fails, so every user stays present) — where running the individual
+    operators would pay ~7 exchanges over the same rows. Inside the
+    fold each feature reuses the already-oracled kernel verbatim
+    (lexsort boundaries, cummax islands, packed-key burst searchsorted,
+    grouped-median gather, integer moment sums); the SQL twin joins the
+    same seven window subqueries on user_id. The fused shape is what a
+    feature-store materialization job actually ships."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, ts, c = u[order], ts[order], c[order]
+        n = len(u)
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        ustarts = np.flatnonzero(newu)
+        uends = np.append(ustarts[1:], n) - 1
+        uniq = u[ustarts]
+        k = len(uniq)
+        inv = np.cumsum(newu) - 1
+        n_events = (uends - ustarts + 1).astype(np.int64)
+        sum_cents = np.bincount(inv, weights=c).astype(np.int64)
+        delta_cents = c[uends] - c[ustarts]
+        # interval union [ts, ts + cents seconds] (user_active_seconds)
+        e = ts + c * 1_000_000
+        off = int(e.max()) + 1
+        rm = np.maximum.accumulate(e + inv * off) - inv * off
+        prev_rm = np.empty_like(rm)
+        prev_rm[0] = 0
+        prev_rm[1:] = rm[:-1]
+        isl_start = newu | (ts > prev_rm)
+        isl_last = np.empty(n, dtype=bool)
+        isl_last[:-1] = isl_start[1:]
+        isl_last[-1] = True
+        cover = rm[isl_last] - ts[isl_start]
+        iu_inv = inv[isl_start]
+        active_us = np.bincount(iu_inv, weights=cover,
+                                minlength=k).astype(np.int64)
+        n_islands = np.bincount(iu_inv, minlength=k).astype(np.int64)
+        # peak 1h burst (events_burst_max)
+        pk = inv * (1 << 52) + ts
+        cnt = np.searchsorted(pk, inv * (1 << 52) + ts + _HOUR_US,
+                              side="right") \
+            - np.searchsorted(pk, pk, side="left")
+        max_burst = np.maximum.reduceat(cnt, ustarts)
+        # median inter-event gap seconds (customer_order_gap_median)
+        same = ~newu
+        gi = np.flatnonzero(same)
+        gap = (ts[gi] - ts[gi - 1]) // 1_000_000
+        gu = inv[gi]
+        o2 = np.lexsort((gap, gu))
+        gus, gaps = gu[o2], gap[o2]
+        gfirst = np.empty(len(gus), dtype=bool)
+        med_gap = np.zeros(k, dtype=np.int64)
+        if len(gus):
+            gfirst[0] = True
+            gfirst[1:] = gus[1:] != gus[:-1]
+            gstarts = np.flatnonzero(gfirst)
+            glens = np.diff(np.append(gstarts, len(gus)))
+            med_gap[gus[gstarts]] = gaps[gstarts + (glens + 1) // 2 - 1]
+        # lag-1 autocorrelation, 0 when variance gate fails
+        x, y = c[gi - 1], c[gi]
+        sn = np.bincount(gu, minlength=k).astype(np.int64)
+        sx = np.bincount(gu, weights=x, minlength=k).astype(np.int64)
+        sy = np.bincount(gu, weights=y, minlength=k).astype(np.int64)
+        sxy = np.bincount(gu, weights=x * y, minlength=k).astype(np.int64)
+        sxx = np.bincount(gu, weights=x * x, minlength=k).astype(np.int64)
+        syy = np.bincount(gu, weights=y * y, minlength=k).astype(np.int64)
+        va = sn * sxx - sx * sx
+        vb = sn * syy - sy * sy
+        gate = (va > 0) & (vb > 0)
+        fn = sn.astype(np.float64)
+        fsx, fsy = sx.astype(np.float64), sy.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ac1 = np.floor(
+                (fn * sxy.astype(np.float64) - fsx * fsy)
+                / (np.sqrt(fn * sxx.astype(np.float64) - fsx * fsx)
+                   * np.sqrt(fn * syy.astype(np.float64) - fsy * fsy))
+                * 1000.0)
+        ac1_milli = np.where(gate, ac1, 0.0).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": uniq, "n_events": n_events,
+            "sum_cents": sum_cents, "delta_cents": delta_cents,
+            "active_us": active_us, "n_islands": n_islands,
+            "max_burst": max_burst.astype(np.int64),
+            "median_gap_sec": med_gap, "ac1_milli": ac1_milli})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

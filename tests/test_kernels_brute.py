@@ -144,3 +144,25 @@ def test_user_band_runs_brute(events_case):
         assert list(mine.band) == [r[0] for r in runs]
         assert list(mine.n_events) == [r[1] for r in runs]
         assert list(mine.run_idx) == list(range(1, len(runs) + 1))
+
+
+def test_user_feature_matrix_consistency(events_case):
+    """The fused single-exchange feature matrix must equal the
+    standalone oracled operators column-for-column."""
+    from container_crawler_ray.pipelines.analytics import (
+        user_feature_matrix, user_first_last, user_active_seconds,
+        events_burst_max, events_autocorr_lag1)
+    d, _ = events_case
+    fm = user_feature_matrix(d).set_index("user_id")
+    fl = user_first_last(d).set_index("user_id")
+    assert (fm["delta_cents"] == fl["delta_cents"]).all()
+    ac = user_active_seconds(d).set_index("user_id")
+    assert (fm.loc[ac.index, "active_us"] == ac["active_us"]).all()
+    assert (fm.loc[ac.index, "n_islands"] == ac["n_islands"]).all()
+    bm = events_burst_max(d).set_index("user_id")
+    assert (fm["max_burst"] == bm["max_burst"]).all()
+    assert (fm["n_events"] == bm["n_events"]).all()
+    a1 = events_autocorr_lag1(d).set_index("user_id")
+    assert (fm.loc[a1.index, "ac1_milli"] == a1["ac1_milli"]).all()
+    gated = fm.index.difference(a1.index)
+    assert (fm.loc[gated, "ac1_milli"] == 0).all()
