@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_substitutes": joins.part_substitutes,
         "dau_wau": analytics.dau_wau,
         "user_feature_matrix": analytics.user_feature_matrix,
+        "orders_daily_trend": analytics.orders_daily_trend,
+        "order_ship_lag_hist": analytics.order_ship_lag_hist,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1592,6 +1594,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN act USING (user_id) JOIN burst USING (user_id)
             LEFT JOIN med USING (user_id) LEFT JOIN ac USING (user_id)
             ORDER BY b.user_id
+        """,
+        "orders_daily_trend": """
+            WITH d AS (SELECT epoch_us(o_orderdate)//86400000000
+                                  AS day_id,
+                              CAST(FLOOR(o_totalprice*100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            r AS (SELECT day_id,
+                         CAST(SUM(cents) AS BIGINT) AS total_cents,
+                         CAST(COUNT(*) AS BIGINT) AS n_orders
+                  FROM d GROUP BY 1),
+            rng AS (SELECT MIN(day_id) AS mn, MAX(day_id) AS mx FROM r),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id,
+                         COALESCE(total_cents, 0) AS total_cents,
+                         COALESCE(n_orders, 0) AS n_orders
+                  FROM grid LEFT JOIN r USING (day_id))
+            SELECT CAST(day_id AS BIGINT) AS day_id,
+                   CAST(total_cents AS BIGINT) AS total_cents,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(SUM(total_cents) OVER w AS BIGINT)
+                       AS win7_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS win7_days
+            FROM g
+            WINDOW w AS (ORDER BY day_id
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+            ORDER BY day_id
+        """,
+        "order_ship_lag_hist": """
+            WITH l AS (SELECT l_orderkey,
+                              MIN(epoch_us(l_shipdate)) AS ship_us
+                       FROM lineitem GROUP BY 1),
+            o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_us,
+                         o_orderpriority
+                  FROM orders)
+            SELECT o_orderpriority,
+                   CAST(GREATEST((ship_us - o_us)//86400000000, 0)//7
+                        AS BIGINT) AS lag_week,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "events_burst_max", "events_autocorr_lag1",
     "fk_orphan_audit", "docs_trigram_novelty", "part_substitutes",
     "dau_wau", "user_feature_matrix",
+    "orders_daily_trend", "order_ship_lag_hist",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -3806,3 +3806,111 @@ def user_feature_matrix(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def orders_daily_trend(sf_dir: str) -> pd.DataFrame:
+    """Centered 7-day smoothing decomposition of daily order volume
+    (the classic trend/residual split, kept EXACT by reporting the
+    window sum and count instead of a float average: residual·7 =
+    7·total − win7_sum when the window is full). The heavy input
+    collapses to a day-cardinality rollup via one small Ray aggregate
+    (map-side combined); the centered window sweep runs on the
+    gapfilled day vector (driver-sized — days, not rows, same
+    assumption as the other calendar rollups). Edge days report their
+    partial window count so the consumer can normalize honestly."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() // _DAY_US
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"day_id": pa.array(d), "cents": pa.array(cents),
+                         "one": pa.array(np.ones(len(d), dtype=np.int64))})
+
+    roll = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("day_id")
+            .aggregate(Sum("cents", alias_name="total_cents"),
+                       Sum("one", alias_name="n_orders"))
+            .to_pandas().sort_values("day_id"))
+    days = roll["day_id"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    grid = np.arange(lo, hi + 1, dtype=np.int64)
+    tot = np.zeros(len(grid), dtype=np.int64)
+    cnt = np.zeros(len(grid), dtype=np.int64)
+    tot[days - lo] = roll["total_cents"].to_numpy(np.int64)
+    cnt[days - lo] = roll["n_orders"].to_numpy(np.int64)
+    pre = np.concatenate(([0], np.cumsum(tot)))
+    pre1 = np.concatenate(([0], np.cumsum(np.ones_like(tot))))
+    i = np.arange(len(grid))
+    a = np.maximum(i - 3, 0)
+    b = np.minimum(i + 3, len(grid) - 1) + 1
+    return pd.DataFrame({
+        "day_id": grid, "total_cents": tot, "n_orders": cnt,
+        "win7_cents": pre[b] - pre[a],
+        "win7_days": (pre1[b] - pre1[a]).astype(np.int64)})
+
+
+def order_ship_lag_hist(sf_dir: str) -> pd.DataFrame:
+    """Order-to-first-shipment latency distribution per order priority
+    (the fulfillment-SLA histogram): per order, whole days from
+    o_orderdate to the EARLIEST lineitem shipdate, bucketed by week.
+    Per-block packed-key min partials pre-collapse the lineitem side so
+    the ONE ``groupby(order % B)`` co-partition join carries |orders|
+    rows per side; each bucket joins vectorized and emits per-(priority,
+    week-bucket) partial counts that the driver folds —
+    constant-cardinality output. Orders with no lineitems are absent on
+    both sides (inner join)."""
+    lds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    ods = _read(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def lpart(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy()
+        u, inv = np.unique(ok, return_inverse=True)
+        mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(mn, inv, sd)
+        return pa.table({"k": pa.array(u), "ship_us": pa.array(mn),
+                         "side": pa.array(np.zeros(len(u),
+                                                   dtype=np.int8)),
+                         "o_us": pa.array(np.zeros(len(u),
+                                                   dtype=np.int64)),
+                         "prio": pa.array([""] * len(u)),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def opart(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(ok),
+                         "ship_us": pa.array(np.zeros(len(ok),
+                                                      dtype=np.int64)),
+                         "side": pa.array(np.ones(len(ok),
+                                                  dtype=np.int8)),
+                         "o_us": t.column("o_orderdate").cast(pa.int64()),
+                         "prio": t.column("o_orderpriority"),
+                         "bucket": pa.array((ok % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["side"] == 0]
+        l2 = lhs.groupby("k")["ship_us"].min()
+        rhs = g[g["side"] == 1].set_index("k")
+        both = rhs.join(l2, how="inner", lsuffix="_o")
+        lag_days = (both["ship_us"].to_numpy(np.int64)
+                    - both["o_us"].to_numpy(np.int64)) // _DAY_US
+        wk = np.maximum(lag_days, 0) // 7
+        df = pd.DataFrame({"o_orderpriority": both["prio"].to_numpy(),
+                           "lag_week": wk})
+        out = df.groupby(["o_orderpriority", "lag_week"],
+                         as_index=False).size()
+        return out.rename(columns={"size": "n_orders"})
+
+    joined = (lds.map_batches(lpart, batch_format="pyarrow")
+              .union(ods.map_batches(opart, batch_format="pyarrow"))
+              .groupby("bucket")
+              .map_groups(fold, batch_format="pandas")
+              .to_pandas())
+    out = joined.groupby(["o_orderpriority", "lag_week"],
+                         as_index=False)["n_orders"].sum()
+    return (out.sort_values(["o_orderpriority", "lag_week"],
+                            kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"lag_week": "int64", "n_orders": "int64"}))
