@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_feature_matrix": analytics.user_feature_matrix,
         "orders_daily_trend": analytics.orders_daily_trend,
         "order_ship_lag_hist": analytics.order_ship_lag_hist,
+        "embedding_sim_hist": ann.embedding_sim_hist,
+        "lineitem_benford": analytics.lineitem_benford,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1636,6 +1638,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM o JOIN l ON o.o_orderkey = l.l_orderkey
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "embedding_sim_hist": """
+            WITH s AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 17 = 0),
+            e AS (SELECT vec_id,
+                         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                    *1000.0) AS BIGINT) AS iv,
+                         unnest(generate_series(1, len(embedding)))
+                             AS dim
+                  FROM s),
+            n AS (SELECT vec_id, SUM(iv*iv) AS nrm FROM e GROUP BY 1),
+            d AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         CAST(SUM(a.iv*b.iv) AS BIGINT) AS dot
+                  FROM e a JOIN e b
+                    ON a.dim = b.dim AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2)
+            SELECT va, vb,
+                   CAST(FLOOR(CAST(dot AS DOUBLE)
+                              / (sqrt(CAST(na.nrm AS DOUBLE))
+                                 * sqrt(CAST(nb.nrm AS DOUBLE)))
+                              * 10000.0) AS BIGINT) AS sim_bps
+            FROM d
+            JOIN n na ON na.vec_id = d.va
+            JOIN n nb ON nb.vec_id = d.vb
+            ORDER BY va, vb
+        """,
+        "lineitem_benford": """
+            WITH r AS (SELECT CAST(FLOOR(l_extendedprice
+                                         *(1-l_discount)*100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem),
+            d AS (SELECT CAST(substring(CAST(rev AS VARCHAR), 1, 1)
+                              AS BIGINT) AS digit
+                  FROM r WHERE rev > 0)
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY digit ORDER BY digit
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "fk_orphan_audit", "docs_trigram_novelty", "part_substitutes",
     "dau_wau", "user_feature_matrix",
     "orders_daily_trend", "order_ship_lag_hist",
+    "embedding_sim_hist", "lineitem_benford",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

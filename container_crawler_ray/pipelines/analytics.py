@@ -3914,3 +3914,39 @@ def order_ship_lag_hist(sf_dir: str) -> pd.DataFrame:
                             kind="mergesort")
             .reset_index(drop=True)
             .astype({"lag_week": "int64", "n_orders": "int64"}))
+
+
+def lineitem_benford(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of line revenues (the fraud /
+    synthetic-data smoke test): distribution of the leading digit of
+    the discounted revenue cents. The leading digit is extracted in
+    PURE integer arithmetic (repeated //10 until one digit — at most 18
+    halvings of magnitude, each a vectorized whole-array op; no log10
+    float edge cases at powers of ten); per-block 9-cell partials fold
+    through one tiny aggregate. Zero-cent rows are excluded on both
+    sides (no leading digit)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        d = rev[rev > 0]
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d = np.where(big, d // 10, d)
+        cnt = np.bincount(d, minlength=10)[1:].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10,
+                                                     dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = agg[agg["n"] > 0]
+    return (out.sort_values("digit", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"digit": "int64", "n": "int64"}))

@@ -484,3 +484,42 @@ def embedding_quantize(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["vec_id", "dim"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"vec_id": "int64", "dim": "int64", "code": "int64"}))
+
+
+def embedding_sim_hist(sf_dir: str, mod: int = 17) -> pd.DataFrame:
+    """Pairwise cosine similarities over a DETERMINISTIC sample of the
+    embedding corpus (vec_id % mod == 0) — the threshold-calibration
+    diagnostic every near-dup pipeline needs before picking its cosine
+    cutoff. Components quantize to 1e-3 fixed point so dot products and
+    norms are EXACT integers; the only float step is the final
+    dot/(√na·√nb) in the SAME IEEE order as the SQL twin → bit-equal
+    basis points. The sample filter is a pushed-down stateless map (the
+    full corpus never leaves the scan); the sampled matrix is tiny by
+    construction (documented contract: mod scales with corpus so the
+    sample stays broadcast-sized), pairs come from one upper-triangle
+    integer matmul. Output: one row per sampled pair."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        mask = (vid % mod) == 0
+        m = list_col_to_matrix(t.column("embedding"))
+        fp = np.floor(m[mask] * 1000.0).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(vid[mask]),
+            "fp": pa.array(list(fp), type=pa.list_(pa.int64()))})
+
+    rows = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    order = np.argsort(rows["vec_id"].to_numpy(np.int64))
+    vid = rows["vec_id"].to_numpy(np.int64)[order]
+    fp = np.stack(rows["fp"].to_numpy()[order]).astype(np.int64)
+    dots = fp @ fp.T
+    nrm = np.sqrt(np.diag(dots).astype(np.float64))
+    iu, ju = np.triu_indices(len(vid), k=1)
+    bps = np.floor(dots[iu, ju].astype(np.float64)
+                   / (nrm[iu] * nrm[ju]) * 10000.0).astype(np.int64)
+    out = pd.DataFrame({"va": vid[iu], "vb": vid[ju], "sim_bps": bps})
+    return (out.sort_values(["va", "vb"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
