@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_lag_hist": analytics.order_ship_lag_hist,
         "embedding_sim_hist": ann.embedding_sim_hist,
         "lineitem_benford": analytics.lineitem_benford,
+        "customer_revenue_inequality":
+            analytics.customer_revenue_inequality,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1674,6 +1676,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM r WHERE rev > 0)
             SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
             FROM d GROUP BY digit ORDER BY digit
+        """,
+        "customer_revenue_inequality": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(SUM(CAST(FLOOR(o_totalprice*100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS rev
+                       FROM orders GROUP BY 1),
+            s AS (SELECT rev,
+                         ROW_NUMBER() OVER (ORDER BY rev, o_custkey)
+                             AS i,
+                         COUNT(*) OVER () AS n,
+                         SUM(rev) OVER () AS tot
+                  FROM r),
+            g AS (SELECT MAX(n) AS n, MAX(tot) AS tot,
+                         SUM(CAST(i AS HUGEINT)*rev) AS srx
+                  FROM s)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   CAST(tot AS BIGINT) AS total_cents,
+                   CAST((2*srx - (CAST(n AS HUGEINT)+1)*tot) * 1000000
+                        // (CAST(n AS HUGEINT)*tot) AS BIGINT)
+                       AS gini_e6,
+                   (SELECT CAST(SUM(CAST(rev AS HUGEINT))*10000
+                                // MAX(CAST(tot AS HUGEINT)) AS BIGINT)
+                    FROM s WHERE i > n - (n+9)//10) AS top10_share_bps
+            FROM g
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "dau_wau", "user_feature_matrix",
     "orders_daily_trend", "order_ship_lag_hist",
     "embedding_sim_hist", "lineitem_benford",
+    "customer_revenue_inequality",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

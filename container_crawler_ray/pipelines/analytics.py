@@ -3950,3 +3950,50 @@ def lineitem_benford(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("digit", kind="mergesort")
             .reset_index(drop=True)
             .astype({"digit": "int64", "n": "int64"}))
+
+
+def customer_revenue_inequality(sf_dir: str) -> pd.DataFrame:
+    """Revenue-concentration metrics over the customer base: the exact
+    Gini coefficient (the i-weighted closed form over ascending
+    revenues, G = (2Σi·xᵢ − (n+1)Σx)/(nΣx)) and the top-decile share —
+    both in EXACT arbitrary-precision integer arithmetic (1e-6 / basis
+    points), mirrored by HUGEINT window math in the SQL twin. The fact
+    table collapses to a customer-cardinality rollup via per-block
+    packed-key partials + one bucketed reduce; the ranked sweep runs on
+    the ROLLUP (driver-sized, the same documented assumption as
+    ``part_abc``), tie-broken by (revenue, custkey) so the decile
+    boundary is deterministic on both sides. Output: ONE row."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        s = np.bincount(inv, weights=cents).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(u), "rev": pa.array(s),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("o_custkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    roll = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    ck = roll["o_custkey"].to_numpy(np.int64)
+    rev = roll["rev"].to_numpy(np.int64)
+    order = np.lexsort((ck, rev))                 # ascending (rev, key)
+    x = rev[order]
+    n = len(x)
+    tot = int(x.sum())
+    srx = sum(int(i + 1) * int(v) for i, v in enumerate(x))  # exact ints
+    gini_e6 = (2 * srx - (n + 1) * tot) * 1000000 // (n * tot)
+    k10 = (n + 9) // 10
+    top_share_bps = int(x[n - k10:].sum()) * 10000 // tot
+    return pd.DataFrame({
+        "n_customers": pd.array([n], dtype="int64"),
+        "total_cents": pd.array([tot], dtype="int64"),
+        "gini_e6": pd.array([gini_e6], dtype="int64"),
+        "top10_share_bps": pd.array([top_share_bps], dtype="int64")})
