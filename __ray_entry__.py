@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_benford": analytics.lineitem_benford,
         "customer_revenue_inequality":
             analytics.customer_revenue_inequality,
+        "orders_priority_drift": analytics.orders_priority_drift,
+        "supplier_hhi": analytics.supplier_hhi,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1701,6 +1703,47 @@ def oracle_sql() -> dict[str, str]:
                                 // MAX(CAST(tot AS HUGEINT)) AS BIGINT)
                     FROM s WHERE i > n - (n+9)//10) AS top10_share_bps
             FROM g
+        """,
+        "orders_priority_drift": """
+            WITH c AS (SELECT epoch_us(o_orderdate)//86400000000//30
+                                  AS month_id,
+                              o_orderpriority AS prio
+                       FROM orders),
+            o AS (SELECT month_id, prio,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM c GROUP BY 1, 2),
+            nm AS (SELECT month_id, SUM(n) AS n_m FROM o GROUP BY 1),
+            cp AS (SELECT prio, SUM(n) AS c_p FROM o GROUP BY 1),
+            tot AS (SELECT SUM(n) AS big_n FROM o),
+            cell AS (SELECT o.month_id,
+                            ((CAST(big_n AS HUGEINT)*n
+                              - CAST(n_m AS HUGEINT)*c_p)
+                             * (CAST(big_n AS HUGEINT)*n
+                                - CAST(n_m AS HUGEINT)*c_p)
+                             * 1000000)
+                            // (CAST(big_n AS HUGEINT)*n_m*c_p)
+                                AS contrib
+                     FROM o JOIN nm USING (month_id)
+                     JOIN cp USING (prio), tot)
+            SELECT CAST(cell.month_id AS BIGINT) AS month_id,
+                   CAST(SUM(contrib) AS BIGINT) AS chi2_micro,
+                   CAST(MAX(n_m) AS BIGINT) AS n_orders
+            FROM cell JOIN nm USING (month_id)
+            GROUP BY cell.month_id ORDER BY month_id
+        """,
+        "supplier_hhi": """
+            WITH b AS (SELECT s_nationkey AS nation,
+                              GREATEST(CAST(FLOOR(s_acctbal*100)
+                                            AS BIGINT), 0) AS bal
+                       FROM supplier)
+            SELECT CAST(nation AS BIGINT) AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(CASE WHEN SUM(bal) > 0 THEN
+                          SUM(CAST(bal AS HUGEINT)*bal)*100000000
+                          // (SUM(CAST(bal AS HUGEINT))
+                              * SUM(CAST(bal AS HUGEINT)))
+                        ELSE 0 END AS BIGINT) AS hhi_e8
+            FROM b GROUP BY nation ORDER BY nation
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

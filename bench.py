@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "orders_daily_trend", "order_ship_lag_hist",
     "embedding_sim_hist", "lineitem_benford",
     "customer_revenue_inequality",
+    "orders_priority_drift", "supplier_hhi",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

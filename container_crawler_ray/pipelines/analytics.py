@@ -3997,3 +3997,77 @@ def customer_revenue_inequality(sf_dir: str) -> pd.DataFrame:
         "total_cents": pd.array([tot], dtype="int64"),
         "gini_e6": pd.array([gini_e6], dtype="int64"),
         "top10_share_bps": pd.array([top_share_bps], dtype="int64")})
+
+
+def orders_priority_drift(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: per month, the chi-square distance
+    of that month's order-priority mix against the GLOBAL mix —
+    month m's statistic is Σ_p (N·O_mp − N_m·C_p)² / (N·N_m·C_p),
+    reported as the sum of per-cell micro contributions, each floored
+    in EXACT arbitrary-precision integers (HUGEINT in the twin; the
+    metric is defined as the sum of floored cells so both sides stay
+    bit-equal — no float summation anywhere). Contingency counts come
+    from per-block (month, priority) partials folded on the driver
+    (cell-count-sized, zero Ray shuffle)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        month = d // _DAY_US // 30
+        df = pd.DataFrame({"month_id": month,
+                           "prio": t.column("o_orderpriority")
+                           .to_pylist()})
+        g = df.groupby(["month_id", "prio"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    obs = parts.groupby(["month_id", "prio"], as_index=False)["n"].sum()
+    nm = obs.groupby("month_id")["n"].sum()
+    cp = obs.groupby("prio")["n"].sum()
+    big_n = int(obs["n"].sum())
+    acc: dict = {}
+    for m, p, o in obs.itertuples(index=False):    # |cells| rows only
+        num = big_n * int(o) - int(nm[m]) * int(cp[p])
+        den = big_n * int(nm[m]) * int(cp[p])
+        acc[m] = acc.get(m, 0) + (num * num * 1000000) // den
+    out = pd.DataFrame(
+        {"month_id": list(acc.keys()),
+         "chi2_micro": list(acc.values()),
+         "n_orders": [int(nm[m]) for m in acc]})
+    return (out.sort_values("month_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
+
+
+def supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl–Hirschman market-concentration index per nation over
+    supplier account balances scaled to cents (the market-structure
+    screen): HHI·1e8 = (Σᵢ balᵢ²)·1e8 // (Σᵢ balᵢ)² in EXACT
+    arbitrary-precision integers (HUGEINT twin). Suppliers collapse to
+    a per-(nation, supplier) rollup first; negative balances clamp to
+    zero on both sides (shares must be non-negative). Output is
+    |nations| rows from a driver fold of per-block partials — zero Ray
+    shuffle."""
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nk = t.column("s_nationkey").to_numpy().astype(np.int64)
+        bal = np.maximum(
+            np.floor(t.column("s_acctbal").to_numpy() * 100), 0) \
+            .astype(np.int64)
+        df = pd.DataFrame({"nation": nk, "s": bal, "sq": bal * bal})
+        g = df.groupby("nation", as_index=False).sum()
+        g["n"] = df.groupby("nation").size().to_numpy()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("nation", as_index=False).sum()
+    hhi = [(int(sq) * 100000000) // (int(s) * int(s)) if s > 0 else 0
+           for s, sq in zip(agg["s"], agg["sq"])]
+    out = pd.DataFrame({"nation": agg["nation"].astype("int64"),
+                        "n_suppliers": agg["n"].astype("int64"),
+                        "hhi_e8": pd.array(hhi, dtype="int64")})
+    return (out.sort_values("nation", kind="mergesort")
+            .reset_index(drop=True))
