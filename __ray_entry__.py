@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_revenue_inequality,
         "orders_priority_drift": analytics.orders_priority_drift,
         "supplier_hhi": analytics.supplier_hhi,
+        "click_to_purchase_latency":
+            analytics.click_to_purchase_latency,
+        "event_type_overlap": analytics.event_type_overlap,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1744,6 +1747,28 @@ def oracle_sql() -> dict[str, str]:
                               * SUM(CAST(bal AS HUGEINT)))
                         ELSE 0 END AS BIGINT) AS hhi_e8
             FROM b GROUP BY nation ORDER BY nation
+        """,
+        "click_to_purchase_latency": """
+            WITH c AS (SELECT user_id, MIN(epoch_us(ts)) AS cts
+                       FROM events WHERE event_type = 'click'
+                       GROUP BY 1),
+            p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS pts
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase'
+                    AND epoch_us(e.ts) >= c.cts
+                  GROUP BY 1)
+            SELECT c.user_id,
+                   CAST((pts - cts)//1000000 AS BIGINT) AS latency_sec
+            FROM c JOIN p USING (user_id) ORDER BY user_id
+        """,
+        "event_type_overlap": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id
+             AND a.event_type <= b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

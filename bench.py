@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "embedding_sim_hist", "lineitem_benford",
     "customer_revenue_inequality",
     "orders_priority_drift", "supplier_hhi",
+    "click_to_purchase_latency", "event_type_overlap",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4071,3 +4071,114 @@ def supplier_hhi(sf_dir: str) -> pd.DataFrame:
                         "hhi_e8": pd.array(hhi, dtype="int64")})
     return (out.sort_values("nation", kind="mergesort")
             .reset_index(drop=True))
+
+
+def click_to_purchase_latency(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency: per user, whole seconds from the FIRST click to
+    the first purchase AT OR AFTER it (the conversion-time metric
+    behind funnel health). ONE ``groupby(user % B)`` exchange; inside
+    the bucket both "first"s resolve from one lexsort — first click =
+    segment head of the click subset, first purchase ≥ that ts via a
+    packed-key searchsorted over the purchase subset (user in the high
+    bits, so probes never cross users). Users without a click, or
+    without a purchase at/after their first click, are absent on both
+    sides."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        u = t.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = t.column("ts").cast(pa.int64()).to_numpy()[keep]
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": pa.array(ts),
+            "is_click": pa.array(et[keep] == "click"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        ic = g["is_click"].to_numpy(bool)
+        cu, cts = u[ic], ts[ic]
+        order = np.lexsort((cts, cu))
+        cu, cts = cu[order], cts[order]
+        firstc = np.empty(len(cu), dtype=bool)
+        if not len(cu):
+            return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                                 "latency_sec": pd.array([],
+                                                         dtype="int64")})
+        firstc[0] = True
+        firstc[1:] = cu[1:] != cu[:-1]
+        fu, fts = cu[firstc], cts[firstc]          # first click per user
+        pu, pts = u[~ic], ts[~ic]
+        if not len(pu):
+            return pd.DataFrame({"user_id": pd.array([], dtype="int64"),
+                                 "latency_sec": pd.array([],
+                                                         dtype="int64")})
+        po = np.lexsort((pts, pu))
+        pk = pu[po] * (1 << 52) + pts[po]
+        idx = np.searchsorted(pk, fu * (1 << 52) + fts, side="left")
+        valid = idx < len(pk)
+        safe = np.minimum(idx, len(pk) - 1)
+        valid &= (pk[safe] >> 52) == fu
+        lat = (pk[safe] - (fu * (1 << 52))) - fts
+        return pd.DataFrame({"user_id": fu[valid],
+                             "latency_sec": lat[valid] // 1_000_000})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "latency_sec": "int64"}))
+
+
+def event_type_overlap(sf_dir: str) -> pd.DataFrame:
+    """User-level co-occurrence matrix of event types: for each ordered
+    type pair (a ≤ b), how many users performed BOTH — the audience
+    overlap table behind segment sizing. Each block collapses to
+    distinct (user, type) pairs; ONE ``groupby(user % B)`` exchange
+    folds each user's types into a ≤2^|types| BITMASK, and each bucket
+    emits mask counts (constant cardinality) that the driver expands
+    into pair counts by popcount combinatorics — the quadratic step
+    runs over 2^|types| masks, never over users."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": u, "event_type": et}) \
+            .drop_duplicates()
+        uu = df["user_id"].to_numpy(np.int64)
+        return pa.table({
+            "user_id": pa.array(uu),
+            "event_type": pa.array(df["event_type"].to_numpy()),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        types, codes = np.unique(g["event_type"].to_numpy(),
+                                 return_inverse=True)
+        u = g["user_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(u, return_inverse=True)
+        masks = np.zeros(len(uniq), dtype=np.int64)
+        np.bitwise_or.at(masks, inv, np.int64(1) << codes)
+        mv, mc = np.unique(masks, return_counts=True)
+        rows = []
+        for m, cnt in zip(mv, mc):                # ≤2^|types| masks
+            present = [i for i in range(len(types)) if m >> i & 1]
+            for i in present:
+                for j in present:
+                    if types[i] <= types[j]:
+                        rows.append((types[i], types[j], int(cnt)))
+        return pd.DataFrame(rows, columns=["type_a", "type_b",
+                                           "n_users"])
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["type_a", "type_b"], as_index=False)["n_users"] \
+        .sum()
+    return (out.sort_values(["type_a", "type_b"], kind="mergesort")
+            .reset_index(drop=True).astype({"n_users": "int64"}))
