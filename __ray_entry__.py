@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_to_purchase_latency":
             analytics.click_to_purchase_latency,
         "event_type_overlap": analytics.event_type_overlap,
+        "events_daily_acf": analytics.events_daily_acf,
+        "source_vocab_overlap": curate.source_vocab_overlap,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1768,6 +1770,56 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.user_id = b.user_id
              AND a.event_type <= b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_daily_acf": """
+            WITH d AS (SELECT epoch_us(ts)//86400000000 AS day_id,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT day_id, CAST(SUM(cents) AS BIGINT) AS tot
+                  FROM d GROUP BY 1),
+            rng AS (SELECT MIN(day_id) AS mn, MAX(day_id) AS mx FROM r),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id, COALESCE(tot, 0) AS tot
+                  FROM grid LEFT JOIN r USING (day_id)),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+            p AS (SELECT l.lag, a.tot AS x, b.tot AS y
+                  FROM lags l
+                  JOIN g a ON true
+                  JOIN g b ON b.day_id = a.day_id + l.lag),
+            m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x*y) AS BIGINT) AS sxy,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx,
+                         CAST(SUM(y*y) AS BIGINT) AS syy
+                  FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+                   CAST(CASE WHEN n*sxx - sx*sx > 0
+                             AND n*syy - sy*sy > 0 THEN
+                     FLOOR((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                           / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE)
+                                     *CAST(sx AS DOUBLE))
+                              * sqrt(CAST(n AS DOUBLE)
+                                     *CAST(syy AS DOUBLE)
+                                     - CAST(sy AS DOUBLE)
+                                       *CAST(sy AS DOUBLE)))
+                           * 1000.0)
+                   ELSE 0 END AS BIGINT) AS acf_milli
+            FROM m ORDER BY lag
+        """,
+        "source_vocab_overlap": """
+            WITH u AS (SELECT source,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            d AS (SELECT DISTINCT source, tok FROM u WHERE tok <> '')
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM d a JOIN d b
+              ON a.tok = b.tok AND a.source <= b.source
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "purchase_attribution": """

@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "customer_revenue_inequality",
     "orders_priority_drift", "supplier_hhi",
     "click_to_purchase_latency", "event_type_overlap",
+    "events_daily_acf", "source_vocab_overlap",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

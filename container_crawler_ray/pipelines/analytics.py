@@ -4182,3 +4182,50 @@ def event_type_overlap(sf_dir: str) -> pd.DataFrame:
         .sum()
     return (out.sort_values(["type_a", "type_b"], kind="mergesort")
             .reset_index(drop=True).astype({"n_users": "int64"}))
+
+
+def events_daily_acf(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Autocorrelation function of the DAILY volume series at lags
+    1..max_lag (the periodicity detector: a weekly cycle shows as a
+    lag-7 peak): Pearson correlation of (T_d, T_{d+L}) pairs over the
+    gapfilled day grid, from exact integer moments with the SAME IEEE
+    closed-form order as the SQL twin. The heavy input collapses to
+    the day-cardinality rollup via one small Ray aggregate; the lag
+    sweep runs on the day VECTOR (driver-sized — the calendar, not the
+    rows). Lags whose pair variance is zero report 0 via the integer
+    gate."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"day_id": pa.array(d), "cents": pa.array(cents)})
+
+    roll = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("day_id").aggregate(Sum("cents", alias_name="tot"))
+            .to_pandas().sort_values("day_id"))
+    days = roll["day_id"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    tvec = np.zeros(hi - lo + 1, dtype=np.int64)
+    tvec[days - lo] = roll["tot"].to_numpy(np.int64)
+    rows = []
+    for lag in range(1, max_lag + 1):
+        x = tvec[:-lag]
+        y = tvec[lag:]
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        va, vb = n * sxx - sx * sx, n * syy - sy * sy
+        if va > 0 and vb > 0:
+            num = float(n) * float(sxy) - float(sx) * float(sy)
+            den = np.sqrt(float(n) * float(sxx) - float(sx) * float(sx)) \
+                * np.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+            acf = int(np.floor(num / den * 1000.0))
+        else:
+            acf = 0
+        rows.append((lag, n, acf))
+    return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf_milli"]) \
+        .astype({"lag": "int64", "n_pairs": "int64",
+                 "acf_milli": "int64"})

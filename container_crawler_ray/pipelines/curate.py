@@ -6,6 +6,7 @@ already-tested operators; this module is the end-to-end composition a
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -381,3 +382,67 @@ def docs_chunk_windows(sf_dir: str, window: int = 120,
             .reset_index(drop=True)
             .astype({"doc_id": "int64", "chunk_idx": "int64",
                      "start": "int64", "chunk_len": "int64"}))
+
+
+def source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary overlap matrix between document sources (the
+    corpus-comparison table behind mixture design): for each ordered
+    source pair (a ≤ b), how many distinct space-separated tokens
+    appear in BOTH sources. Each block collapses to distinct
+    (source, token) pairs; ONE ``groupby(token_hash % B)`` exchange
+    folds each token's SOURCES into a bitmask over the (small,
+    broadcast) global source list, and buckets emit mask counts —
+    the pair expansion runs over 2^|sources| observed masks, never
+    over tokens or documents (same popcount-combinatorics shape as
+    ``event_type_overlap``). Empty tokens are dropped on both sides."""
+    import hashlib
+
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    srcs = sorted(
+        ds.groupby("source").count().to_pandas()["source"].tolist())
+    code = {s: i for i, s in enumerate(srcs)}
+
+    def derive(t: pa.Table) -> pa.Table:
+        pairs = set()
+        for src, text in zip(t.column("source").to_pylist(),
+                             t.column("text").to_pylist()):
+            for tok in text.split(" "):
+                if tok:
+                    pairs.add((src, tok))
+        toks, codes_l, hs = [], [], []
+        for src, tok in pairs:
+            toks.append(tok)
+            codes_l.append(code[src])
+            hs.append(int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "little"))
+        h = np.array(hs, dtype=np.uint64).astype(np.int64)
+        return pa.table({
+            "tok": pa.array(toks, type=pa.string()),
+            "src_code": pa.array(np.array(codes_l, dtype=np.int64)),
+            "bucket": pa.array((h % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        toks, inv = np.unique(g["tok"].to_numpy(), return_inverse=True)
+        masks = np.zeros(len(toks), dtype=np.int64)
+        np.bitwise_or.at(masks, inv,
+                         np.int64(1) << g["src_code"].to_numpy(np.int64))
+        mv, mc = np.unique(masks, return_counts=True)
+        rows = []
+        for m, cnt in zip(mv, mc):               # ≤2^|sources| masks
+            present = [i for i in range(len(srcs)) if m >> i & 1]
+            for i in present:
+                for j in present:
+                    if i <= j:
+                        rows.append((srcs[i], srcs[j], int(cnt)))
+        return pd.DataFrame(rows, columns=["src_a", "src_b", "n_common"])
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = parts.groupby(["src_a", "src_b"], as_index=False)["n_common"] \
+        .sum()
+    return (out.sort_values(["src_a", "src_b"], kind="mergesort")
+            .reset_index(drop=True).astype({"n_common": "int64"}))
