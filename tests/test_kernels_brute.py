@@ -166,3 +166,74 @@ def test_user_feature_matrix_consistency(events_case):
     assert (fm.loc[a1.index, "ac1_milli"] == a1["ac1_milli"]).all()
     gated = fm.index.difference(a1.index)
     assert (fm.loc[gated, "ac1_milli"] == 0).all()
+
+
+def test_events_ohlc_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import events_ohlc
+    d, df = events_case
+    got = events_ohlc(d)
+    hour = 3_600_000_000
+    exp = {}
+    for (u, h), g in df.assign(hour_id=df.ts_us // hour) \
+            .groupby(["user_id", "hour_id"]):
+        g = g.sort_values(["ts_us", "event_id"])
+        exp[(u, h)] = (int(g.iloc[0].cents), int(g.cents.max()),
+                       int(g.cents.min()), int(g.iloc[-1].cents),
+                       len(g))
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r.user_id, r.hour_id)] == (
+            r.open_cents, r.high_cents, r.low_cents, r.close_cents, r.n)
+
+
+def test_user_twap_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import user_twap
+    d, df = events_case
+    got = user_twap(d).set_index("user_id")
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g.ts_us.to_numpy()
+        c = g.cents.to_numpy()
+        if len(g) < 2:
+            assert u not in got.index
+            continue
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000
+        assert got.loc[u, "twap_num"] == int((c[:-1] * gaps).sum())
+        assert got.loc[u, "twap_den"] == int(gaps.sum())
+        assert got.loc[u, "n_gaps"] == len(gaps)
+
+
+def test_events_rolling_outliers_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import (
+        events_rolling_outliers)
+    d, df = events_case
+    got = events_rolling_outliers(d).set_index("event_id")
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        c = g.cents.to_numpy()
+        for i in range(len(g)):
+            w = c[max(0, i - 20):i]
+            n = len(w)
+            if n < 2:
+                expect = 0
+            else:
+                s, sq = int(w.sum()), int((w * w).sum())
+                expect = int((n * int(c[i]) - s) ** 2
+                             > 9 * (n * sq - s * s))
+            assert got.loc[int(g.iloc[i].event_id),
+                           "is_outlier"] == expect
+
+
+def test_dau_wau_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import dau_wau
+    d, df = events_case
+    got = dau_wau(d).set_index("day_id")
+    day = df.ts_us // 86_400_000_000
+    lo, hi = int(day.min()), int(day.max())
+    for dd in range(lo, hi + 1):
+        dau = df[day == dd].user_id.nunique()
+        wau = df[(day >= dd - 6) & (day <= dd)].user_id.nunique()
+        assert got.loc[dd, "dau"] == dau
+        assert got.loc[dd, "wau"] == wau
+        stick = dau * 1000 // wau if wau else 0
+        assert got.loc[dd, "stickiness_milli"] == stick
