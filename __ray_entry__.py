@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_overlap": analytics.event_type_overlap,
         "events_daily_acf": analytics.events_daily_acf,
         "source_vocab_overlap": curate.source_vocab_overlap,
+        "event_transition_probs": analytics.event_transition_probs,
+        "events_systematic_sample":
+            analytics.events_systematic_sample,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1821,6 +1824,34 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b
               ON a.tok = b.tok AND a.source <= b.source
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "event_transition_probs": """
+            WITH s AS (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                         AS prev_type
+              FROM events),
+            c AS (SELECT prev_type AS from_type, event_type AS to_type,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM s WHERE prev_type IS NOT NULL
+                  GROUP BY 1, 2)
+            SELECT from_type, to_type, n,
+                   CAST(n*10000 // SUM(n) OVER (PARTITION BY from_type)
+                        AS BIGINT) AS p_bps
+            FROM c ORDER BY from_type, to_type
+        """,
+        "events_systematic_sample": """
+            WITH r AS (
+              SELECT event_id,
+                     CAST(FLOOR(value*100) AS BIGINT) AS cents,
+                     ROW_NUMBER() OVER (
+                         ORDER BY CAST(FLOOR(value*100) AS BIGINT),
+                                  event_id) - 1 AS global_rank
+              FROM events)
+            SELECT event_id, cents,
+                   CAST(global_rank AS BIGINT) AS global_rank
+            FROM r WHERE global_rank % 97 = 0 ORDER BY global_rank
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

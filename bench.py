@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "orders_priority_drift", "supplier_hhi",
     "click_to_purchase_latency", "event_type_overlap",
     "events_daily_acf", "source_vocab_overlap",
+    "event_transition_probs", "events_systematic_sample",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4229,3 +4229,82 @@ def events_daily_acf(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lag", "n_pairs", "acf_milli"]) \
         .astype({"lag": "int64", "n_pairs": "int64",
                  "acf_milli": "int64"})
+
+
+def event_transition_probs(sf_dir: str) -> pd.DataFrame:
+    """Row-stochastic Markov transition matrix in exact basis points:
+    P(next=to | prev=from) = (n_pair·10000) // n_from_total — the
+    normalized form of ``event_transitions`` that a sequence model
+    actually consumes. Same single exchange as the count op (the fold
+    output is transition-matrix-sized); normalization happens on the
+    matrix, in integer division (HUGEINT-free: counts fit easily)."""
+    counts = event_transitions(sf_dir)
+    row_tot = counts.groupby("from_type")["n"].transform("sum")
+    out = counts.assign(
+        p_bps=(counts["n"] * 10000 // row_tot).astype("int64"))
+    return (out.sort_values(["from_type", "to_type"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "p_bps": "int64"}))
+
+
+def events_systematic_sample(sf_dir: str, k: int = 97) -> pd.DataFrame:
+    """Deterministic systematic sampling: keep exactly the rows whose
+    0-based GLOBAL rank under the total order (value-cents, event_id)
+    is divisible by k — the reproducible every-k-th audit sample that,
+    unlike hash sampling, is perfectly stratified along the sort key.
+    Reuses the exact-global-rank machinery of ``events_ntile``
+    verbatim: one broadcast distinct-value CDF + one intra-tie bucket
+    exchange — no global sort."""
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def vc_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "vbucket": pa.array((u % 64).astype(np.int32))})
+
+    def vc_reduce(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("cents", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    vc = (ds.map_batches(vc_partial, batch_format="pyarrow")
+          .groupby("vbucket").map_groups(vc_reduce, batch_format="pandas")
+          .to_pandas().sort_values("cents", kind="mergesort"))
+    vals = vc["cents"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(vc["n"].to_numpy(np.int64))))
+    import ray
+    vals_ref = ray.put(vals)
+    cum_ref = ray.put(cum[:-1])
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"),
+                         "cents": pa.array(v),
+                         "bucket": pa.array((v % 64).astype(np.int32))})
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        va = ray.get(vals_ref)
+        cu = ray.get(cum_ref)
+        c = g["cents"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, c))
+        cs, es = c[order], eid[order]
+        seg = np.empty(len(cs), dtype=bool)
+        if len(cs):
+            seg[0] = True
+            seg[1:] = cs[1:] != cs[:-1]
+        idx = np.arange(len(cs))
+        seg_start = np.maximum.accumulate(np.where(seg, idx, -1))
+        r = cu[np.searchsorted(va, cs)] + (idx - seg_start)
+        keep = (r % k) == 0
+        return pd.DataFrame({"event_id": es[keep],
+                             "cents": cs[keep],
+                             "global_rank": r[keep]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(pick, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("global_rank", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))
