@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_probs": analytics.event_transition_probs,
         "events_systematic_sample":
             analytics.events_systematic_sample,
+        "user_value_cusum": analytics.user_value_cusum,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -1852,6 +1853,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, cents,
                    CAST(global_rank AS BIGINT) AS global_rank
             FROM r WHERE global_rank % 97 = 0 ORDER BY global_rank
+        """,
+        "user_value_cusum": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events),
+            p AS (SELECT event_id, user_id, ts_us,
+                         SUM(cents - 2500) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS p
+                  FROM e),
+            m AS (SELECT event_id,
+                         p - LEAST(MIN(p) OVER (
+                                 PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING), 0) AS s
+                  FROM p)
+            SELECT event_id, CAST(s AS BIGINT) AS cusum_cents,
+                   CAST(CASE WHEN s > 50000 THEN 1 ELSE 0 END
+                        AS BIGINT) AS alarm
+            FROM m ORDER BY event_id
         """,
         "purchase_attribution": """
             WITH p AS (SELECT event_id AS pid, user_id, ts,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "click_to_purchase_latency", "event_type_overlap",
     "events_daily_acf", "source_vocab_overlap",
     "event_transition_probs", "events_systematic_sample",
+    "user_value_cusum",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4308,3 +4308,59 @@ def events_systematic_sample(sf_dir: str, k: int = 97) -> pd.DataFrame:
     return (out.sort_values("global_rank", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def user_value_cusum(sf_dir: str, k_cents: int = 2500,
+                     h_cents: int = 50000) -> pd.DataFrame:
+    """CUSUM change-point detector per user — the textbook SEQUENTIAL
+    recurrence s_i = max(0, s_{i-1} + (x_i − k)) made data-parallel via
+    its prefix-scan closed form s_i = p_i − min(0, min_{j≤i} p_j) with
+    p the running sum of (x − k): one cumsum and one segment-reset
+    running min replace the loop, all in exact integers. ONE
+    ``groupby(user % B)`` exchange; the SQL twin is two stacked
+    UNBOUNDED-PRECEDING windows. Output: every event's cusum level and
+    the alarm flag (level > h)."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us, cs, es = u[order], c[order], eid[order]
+        newu = np.empty(len(us), dtype=bool)
+        newu[0] = True
+        newu[1:] = us[1:] != us[:-1]
+        seg = np.cumsum(newu) - 1
+        d = cs - k_cents
+        p = np.cumsum(d)
+        idx = np.arange(len(p))
+        start_at = np.maximum.accumulate(np.where(newu, idx, -1))
+        p = p - (p - d)[start_at]                  # per-user running sum
+        # segment-reset running min: earlier segments can never win the
+        # min once each segment is shifted down by seg·BIG
+        big = int(p.max()) - int(p.min()) + 1 if len(p) else 1
+        cmin = np.minimum.accumulate(p - seg * big) + seg * big
+        s = p - np.minimum(cmin, 0)
+        return pd.DataFrame({"event_id": es, "cusum_cents": s,
+                             "alarm": (s > h_cents).astype(np.int64)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

@@ -237,3 +237,18 @@ def test_dau_wau_brute(events_case):
         assert got.loc[dd, "wau"] == wau
         stick = dau * 1000 // wau if wau else 0
         assert got.loc[dd, "stickiness_milli"] == stick
+
+
+def test_user_value_cusum_brute(events_case):
+    """The prefix-scan closed form must equal the textbook sequential
+    recurrence s_i = max(0, s_(i-1) + (x_i - k))."""
+    from container_crawler_ray.pipelines.analytics import user_value_cusum
+    d, df = events_case
+    got = user_value_cusum(d).set_index("event_id")
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        s = 0
+        for _, row in g.iterrows():
+            s = max(0, s + int(row.cents) - 2500)
+            assert got.loc[int(row.event_id), "cusum_cents"] == s
+            assert got.loc[int(row.event_id), "alarm"] == int(s > 50000)
