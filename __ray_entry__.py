@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_systematic_sample":
             analytics.events_systematic_sample,
         "user_value_cusum": analytics.user_value_cusum,
+        "user_streak_max": analytics.user_streak_max,
+        "lineitem_weighted_median": analytics.lineitem_weighted_median,
+        "part_triple_support": joins.part_triple_support,
+        "orders_open_backlog": joins.orders_open_backlog,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2605,6 +2609,73 @@ def oracle_sql() -> dict[str, str]:
                              ELSE height * 256 // mx END)
                         // (width * height) AS BIGINT) AS n_bytes_est
             FROM s
+        """,
+        "user_streak_max": """
+            WITH e AS (SELECT DISTINCT user_id,
+                              epoch_us(ts)//86400000000 AS day
+                       FROM events),
+            r AS (SELECT user_id, day,
+                         day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                  ORDER BY day) AS isl
+                  FROM e),
+            runs AS (SELECT user_id, COUNT(*) AS len
+                     FROM r GROUP BY user_id, isl)
+            SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_days,
+                   CAST(MAX(len) AS BIGINT) AS max_streak
+            FROM runs GROUP BY user_id ORDER BY user_id
+        """,
+        "lineitem_weighted_median": """
+            WITH l AS (SELECT l_returnflag,
+                              CAST(FLOOR(l_extendedprice*100) AS BIGINT)
+                                  AS cents,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS qty
+                       FROM lineitem),
+            g AS (SELECT l_returnflag, cents, SUM(qty) AS w
+                  FROM l GROUP BY 1, 2),
+            c AS (SELECT l_returnflag, cents,
+                         SUM(w) OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents) AS cw,
+                         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                  FROM g)
+            SELECT l_returnflag,
+                   CAST(MIN(cents) FILTER (WHERE 2*cw >= tot) AS BIGINT)
+                       AS wmedian_cents,
+                   CAST(ANY_VALUE(tot) AS BIGINT) AS total_qty
+            FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "part_triple_support": """
+            WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                        FROM lineitem),
+            t AS (SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3
+                  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk < b.pk
+                            JOIN lp c ON b.ok = c.ok AND b.pk < c.pk),
+            s AS (SELECT p1, p2, p3, COUNT(*) AS support
+                  FROM t GROUP BY 1, 2, 3)
+            SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+                   CAST(p3 AS BIGINT) AS p3,
+                   CAST(support AS BIGINT) AS support
+            FROM s ORDER BY support DESC, p1, p2, p3 LIMIT 100
+        """,
+        "orders_open_backlog": """
+            WITH ls AS (SELECT l_orderkey AS ok,
+                               MAX(epoch_us(l_shipdate)//86400000000)
+                                   AS ed
+                        FROM lineitem GROUP BY 1),
+            o AS (SELECT o_orderkey AS ok,
+                         epoch_us(o_orderdate)//86400000000 AS sd
+                  FROM orders),
+            rng AS (SELECT LEAST((SELECT MIN(sd) FROM o),
+                                 (SELECT MIN(ed) FROM ls)) AS mn,
+                           GREATEST((SELECT MAX(sd) FROM o),
+                                    (SELECT MAX(ed) FROM ls)) AS mx),
+            days AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            iv AS (SELECT o.sd, ls.ed FROM o JOIN ls USING (ok))
+            SELECT CAST(d.day_id AS BIGINT) AS day_id,
+                   CAST(COUNT(iv.sd) AS BIGINT) AS open_orders
+            FROM days d
+            LEFT JOIN iv ON d.day_id BETWEEN iv.sd AND iv.ed
+            GROUP BY 1 ORDER BY 1
         """,
         "media_frames": f"""
             WITH m AS (

@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "events_daily_acf", "source_vocab_overlap",
     "event_transition_probs", "events_systematic_sample",
     "user_value_cusum",
+    "user_streak_max", "lineitem_weighted_median",
+    "part_triple_support", "orders_open_backlog",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4364,3 +4364,107 @@ def user_value_cusum(sf_dir: str, k_cents: int = 2500,
     return (out.sort_values("event_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def user_streak_max(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-active-day streak per user (the engagement
+    "streak" badge — classic gaps-and-islands over DISTINCT days).
+    Ray shape mirrors dau_wau: dedupe (user, day) packed int64 pairs
+    per block so the ONE ``groupby(user % 64)`` exchange moves at most
+    |users|×|days| rows, then a fully vectorized bucket fold —
+    np.unique on the packed key re-dedupes across blocks AND delivers
+    (user, day) pre-sorted, consecutive runs are the segments where
+    the day delta is exactly 1 within one user, and the per-user max
+    run comes from one ``np.maximum.reduceat``. No per-user loop, no
+    global sort. SQL twin: the textbook day − ROW_NUMBER() island key."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        pk = np.unique(u * (1 << 22) + day)       # day < 2^22 epoch days
+        uu = pk >> 22
+        return pa.table({
+            "pk": pa.array(pk),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pk"].to_numpy(np.int64))  # cross-block dedup
+        uu, dd = pk >> 22, pk & ((1 << 22) - 1)
+        run_start = np.empty(len(pk), dtype=bool)
+        run_start[0] = True
+        # a new run wherever the user changes or the day gap is not 1
+        # (packed-key delta of 1 == same user, consecutive day)
+        run_start[1:] = pk[1:] - pk[:-1] != 1
+        starts = np.flatnonzero(run_start)
+        run_len = np.append(starts[1:], len(pk)) - starts
+        newu = np.empty(len(starts), dtype=bool)
+        newu[0] = True
+        newu[1:] = uu[starts][1:] != uu[starts][:-1]
+        ustarts = np.flatnonzero(newu)
+        return pd.DataFrame({
+            "user_id": uu[starts][ustarts],
+            "n_days": np.add.reduceat(run_len, ustarts).astype(np.int64),
+            "max_streak": np.maximum.reduceat(run_len, ustarts)
+            .astype(np.int64)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "n_days": "int64",
+                     "max_streak": "int64"}))
+
+
+def lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median price per return flag — the robust
+    "typical unit price" statistic (lower weighted median: the smallest
+    price whose cumulative weight reaches half the total, discrete and
+    tie-exact in integers: first cents with 2·cumw ≥ total). Ray shape:
+    per-block partials collapse (flag, cents) → Σqty on a packed int64
+    key, so the ONE exchange on the 3-value flag moves |distinct
+    prices| partial rows, never lines; the per-flag fold re-collapses,
+    and the packed key sorts by cents for free, so the crossing is one
+    searchsorted on 2·cumsum. SQL twin: windowed cumulative weight with
+    MIN(cents) FILTER (WHERE 2·cw ≥ tot)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    FLAGS = 4                                      # R/A/N fit in 2 bits
+
+    def derive(t: pa.Table) -> pa.Table:
+        flag = pc.index_in(
+            t.column("l_returnflag"),
+            value_set=pa.array(["A", "N", "R"])).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()).astype(np.int64)
+        pk = flag * (1 << 40) + cents              # cents < 2^40
+        uk, inv = np.unique(pk, return_inverse=True)
+        w = np.bincount(inv, weights=qty).astype(np.int64)
+        return pa.table({"pk": pa.array(uk), "w": pa.array(w),
+                         "flag": pa.array(uk >> 40)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)  # sorted by cents
+        ww = np.bincount(inv, weights=w).astype(np.int64)
+        cw = 2 * np.cumsum(ww)
+        tot = int(cw[-1]) // 2
+        at = int(np.searchsorted(cw, tot))         # first 2·cumw ≥ tot
+        return pd.DataFrame({
+            "flag_code": [int(uk[0] >> 40)],
+            "wmedian_cents": [int(uk[at] & ((1 << 40) - 1))],
+            "total_qty": [tot]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("flag").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    out["l_returnflag"] = np.array(["A", "N", "R", "?"])[
+        out["flag_code"].to_numpy(np.int64) % FLAGS]
+    out = out[["l_returnflag", "wmedian_cents", "total_qty"]]
+    return (out.sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"wmedian_cents": "int64", "total_qty": "int64"}))

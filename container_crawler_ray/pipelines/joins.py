@@ -2598,3 +2598,160 @@ def part_substitutes(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["p1", "p2"], kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def part_triple_support(sf_dir: str, topn: int = 100) -> pd.DataFrame:
+    """Frequent 3-itemsets (the A-priori step after
+    ``part_pair_support``): the ``topn`` part triples co-occurring in
+    the most orders, fully tie-broken by (support DESC, p1, p2, p3).
+    Ray shape: dedupe (order, part) per block, ONE ``groupby(order %
+    B)`` exchange co-locates each basket, then the triple expansion is
+    vectorized over BASKET SIZES, not rows — np.unique on the packed
+    (order, part) key delivers per-order sorted parts, and for each
+    distinct basket size n (≤ ~17 here) one gather builds an (orders_n
+    × n) matrix and one fancy-index applies the C(n,3) combination
+    template to all of them at once. Triples pack into one int64
+    (partkey < 2^21 per 21-bit lane — at larger key ranges widen to two
+    lanes), are pre-counted per bucket, re-bucketed by triple hash for
+    the exact count, and each reduce bucket ships only its local top-N
+    under the FULL output order, so the driver merges ≤ B·topn rows.
+    The k-basket bound keeps the blow-up linear: n lines → C(n,3) ≤ 680
+    triples; a pathological mega-basket would be capped before
+    expansion. SQL twin: distinct triple self-join, GROUP BY, LIMIT."""
+    from itertools import combinations
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        pk = np.unique(o * (1 << 21) + p)
+        return pa.table({
+            "pk": pa.array(pk),
+            "bucket": pa.array(((pk >> 21) % _JOIN_BUCKETS)
+                               .astype(np.int32))})
+
+    def triples(g: pd.DataFrame) -> pa.Table:
+        pk = np.unique(g["pk"].to_numpy(np.int64))  # cross-block dedup
+        oo, pp = pk >> 21, pk & ((1 << 21) - 1)
+        new = np.empty(len(pk), dtype=bool)
+        new[0] = True
+        new[1:] = oo[1:] != oo[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.append(starts[1:], len(pk)) - starts
+        outs = []
+        for n in np.unique(lens[lens >= 3]):
+            sel = starts[lens == n]
+            mat = pp[sel[:, None] + np.arange(int(n))]
+            comb = np.array(list(combinations(range(int(n)), 3)))
+            outs.append((mat[:, comb[:, 0]] * (1 << 42)
+                         + mat[:, comb[:, 1]] * (1 << 21)
+                         + mat[:, comb[:, 2]]).ravel())
+        if not outs:
+            return pa.table({"triple": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "rbucket": pa.array([], type=pa.int32())})
+        tri, cnt = np.unique(np.concatenate(outs), return_counts=True)
+        return pa.table({
+            "triple": pa.array(tri), "n": pa.array(cnt.astype(np.int64)),
+            "rbucket": pa.array((tri % _JOIN_BUCKETS).astype(np.int32))})
+
+    def reduce_top(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("triple", as_index=False)["n"].sum()
+        # local top-N under the EXACT global order (support desc, then
+        # packed triple asc — the pack preserves (p1, p2, p3) order), so
+        # the driver merge sees ≤ B·topn rows
+        out = out.sort_values(["n", "triple"], ascending=[False, True],
+                              kind="mergesort").head(topn)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(triples, batch_format="pandas")
+           .groupby("rbucket").map_groups(reduce_top,
+                                          batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["n", "triple"], ascending=[False, True],
+                          kind="mergesort").head(topn)
+    tri = out["triple"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "p1": tri >> 42, "p2": (tri >> 21) & ((1 << 21) - 1),
+        "p3": tri & ((1 << 21) - 1),
+        "support": out["n"].to_numpy(np.int64)}).astype("int64")
+
+
+def orders_open_backlog(sf_dir: str) -> pd.DataFrame:
+    """Daily open-order backlog: for every day in the horizon, how many
+    orders were placed but not yet fully shipped (orderdate ≤ day ≤
+    last lineitem shipdate) — the operations-dashboard WIP curve, and
+    an interval-overlap count that would be a quadratic day×order join
+    done naively. Ray shape: per-block candidate partials collapse
+    lineitem to (orderkey, max shipdate) — ≤1 row per order per block —
+    then orders and the shipdate partials co-partition on ONE
+    ``groupby(orderkey % B)`` exchange (side tag distinguishes them);
+    each bucket resolves exact per-order [start_day, end_day] intervals
+    with a packed-key unique + reduceat, and folds them into ±1 marks
+    on a difference array over the global day grid, so the driver sums
+    B fixed-width day vectors and one cumsum yields the curve. Day
+    bounds come from a tiny metadata-sized partial pass. SQL twin:
+    generate_series day spine LEFT JOIN BETWEEN."""
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    DAY_US = 86_400_000_000
+
+    def ship_part(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() // DAY_US
+        uk, inv = np.unique(o, return_inverse=True)
+        mx = np.full(len(uk), -1, dtype=np.int64)
+        np.maximum.at(mx, inv, d)
+        return pa.table({
+            "ok": pa.array(uk), "day": pa.array(mx),
+            "side": pa.array(np.zeros(len(uk), dtype=np.int8)),
+            "bucket": pa.array((uk % _JOIN_BUCKETS).astype(np.int32))})
+
+    def order_part(t: pa.Table) -> pa.Table:
+        o = t.column("o_orderkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        return pa.table({
+            "ok": pa.array(o), "day": pa.array(d),
+            "side": pa.array(np.ones(len(o), dtype=np.int8)),
+            "bucket": pa.array((o % _JOIN_BUCKETS).astype(np.int32))})
+
+    both = (items.map_batches(ship_part, batch_format="pyarrow")
+            .union(orders.map_batches(order_part, batch_format="pyarrow"))
+            .materialize())
+
+    mm = both.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(t.column("day").to_numpy().min())]),
+            "hi": pa.array([int(t.column("day").to_numpy().max())])}),
+        batch_format="pyarrow").to_pandas()
+    day_lo, day_hi = int(mm["lo"].min()), int(mm["hi"].max())
+    nd = day_hi - day_lo + 1
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        side = g["side"].to_numpy(np.int8)
+        # exact per-order end = max over ship partials; start from the
+        # (unique) orders row — orders without lines contribute no end
+        # and are dropped (inner-join semantics, matches the SQL twin)
+        uk, inv = np.unique(ok, return_inverse=True)
+        end = np.full(len(uk), -1, dtype=np.int64)
+        np.maximum.at(end, inv[side == 0], day[side == 0])
+        start = np.full(len(uk), -1, dtype=np.int64)
+        start[inv[side == 1]] = day[side == 1]
+        m = (end >= 0) & (start >= 0) & (end >= start)
+        diff = np.zeros(nd + 1, dtype=np.int64)
+        np.add.at(diff, start[m] - day_lo, 1)
+        np.add.at(diff, end[m] - day_lo + 1, -1)
+        return pd.DataFrame({"day_off": np.arange(nd, dtype=np.int64),
+                             "d": diff[:nd]})
+
+    parts = (both.groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("day_off", as_index=False)["d"].sum()
+    return pd.DataFrame({
+        "day_id": agg["day_off"].to_numpy(np.int64) + day_lo,
+        "open_orders": np.cumsum(agg["d"].to_numpy(np.int64))
+    }).astype("int64")

@@ -80,6 +80,8 @@ def test_entry_smoke(entrymod):
     "events_nearby_count", "q12_shipmode_priority",
     "lineitem_fingerprint", "events_hist_quantiles",
     "purchase_attribution", "docs_split_assign", "docs_mixture_sample",
+    "user_streak_max", "lineitem_weighted_median",
+    "part_triple_support", "orders_open_backlog",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
