@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": analytics.lineitem_weighted_median,
         "part_triple_support": joins.part_triple_support,
         "orders_open_backlog": joins.orders_open_backlog,
+        "events_ks_test": analytics.events_ks_test,
+        "events_mwu": analytics.events_mwu,
+        "key_skew_report": analytics.key_skew_report,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2676,6 +2679,68 @@ def oracle_sql() -> dict[str, str]:
             FROM days d
             LEFT JOIN iv ON d.day_id BETWEEN iv.sd AND iv.ed
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_ks_test": """
+            WITH e AS (SELECT CAST(FLOOR(value*100) AS BIGINT) AS v,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS a,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS b
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            g AS (SELECT v, SUM(a) AS c1, SUM(b) AS c2
+                  FROM e GROUP BY v),
+            c AS (SELECT v, SUM(c1) OVER (ORDER BY v) AS cum1,
+                         SUM(c2) OVER (ORDER BY v) AS cum2
+                  FROM g),
+            n AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM e)
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(MAX(ABS(cum1*n2 - cum2*n1)) AS BIGINT) AS ks_num,
+                   CAST(MAX(ABS(cum1*n2 - cum2*n1))*1000 // (n1*n2)
+                        AS BIGINT) AS ks_milli
+            FROM c, n GROUP BY n1, n2
+        """,
+        "events_mwu": """
+            WITH e AS (SELECT CAST(FLOOR(value*100) AS BIGINT) AS v,
+                              CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END AS a,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS b
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')),
+            g AS (SELECT v, SUM(a) AS c1, SUM(b) AS c2
+                  FROM e GROUP BY v),
+            c AS (SELECT v, c1, c2,
+                         COALESCE(SUM(c2) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cl
+                  FROM g),
+            n AS (SELECT SUM(a) AS n1, SUM(b) AS n2 FROM e),
+            u AS (SELECT SUM(c1*(2*cl + c2)) AS u1 FROM c)
+            SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(u1 AS BIGINT) AS u1_x2,
+                   CAST(2*n1*n2 - u1 AS BIGINT) AS u2_x2,
+                   CAST(u1*1000 // (2*n1*n2) AS BIGINT) AS auc_milli
+            FROM n, u
+        """,
+        "key_skew_report": """
+            WITH g AS (SELECT user_id, COUNT(*) AS n
+                       FROM events GROUP BY user_id),
+            t AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC) AS rk
+                  FROM g)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MIN(n) AS BIGINT) AS min_cnt,
+                   CAST(MAX(n) AS BIGINT) AS max_cnt,
+                   CAST(SUM(n)*1000 // COUNT(*) AS BIGINT) AS mean_milli,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_cnt,
+                   CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90_cnt,
+                   CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_cnt,
+                   CAST(MAX(n)*10000 // SUM(n) AS BIGINT)
+                       AS top1_share_bps,
+                   CAST((SELECT SUM(n) FROM t WHERE rk <= 10)*10000
+                        // SUM(n) AS BIGINT) AS top10_share_bps
+            FROM g
         """,
         "media_frames": f"""
             WITH m AS (

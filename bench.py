@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "user_value_cusum",
     "user_streak_max", "lineitem_weighted_median",
     "part_triple_support", "orders_open_backlog",
+    "events_ks_test", "events_mwu", "key_skew_report",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4468,3 +4468,153 @@ def lineitem_weighted_median(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("l_returnflag", kind="mergesort")
             .reset_index(drop=True)
             .astype({"wmedian_cents": "int64", "total_qty": "int64"}))
+
+
+def events_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the value
+    distributions of 'click' and 'purchase' events — the drift /
+    A-B-difference test, EXACT: the statistic is reported as the
+    cross-multiplied integer numerator max|cum₁·n₂ − cum₂·n₁| (never
+    a float CDF), plus its floor-milli quotient. Ray shape: zero
+    shuffle — per-block (cents, side) count partials on a packed key
+    (the histogram-fold idiom), driver folds |distinct cents| rows and
+    one cumsum sweep per side yields both CDFs already value-sorted by
+    the pack. SQL twin: windowed cumulative counts over the distinct
+    grid, HUGEINT cross-products."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        a = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        pk = cents * 2 + (~a).astype(np.int64)     # side in the low bit
+        uk, inv = np.unique(pk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"pk": pa.array(uk), "n": pa.array(n)})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("pk", as_index=False)["n"].sum()
+    pk = agg["pk"].to_numpy(np.int64)              # sorted by (cents, side)
+    n = agg["n"].to_numpy(np.int64)
+    v = pk >> 1
+    side = pk & 1
+    grid = np.unique(v)
+    c1 = np.zeros(len(grid), dtype=np.int64)
+    c2 = np.zeros(len(grid), dtype=np.int64)
+    pos = np.searchsorted(grid, v)
+    np.add.at(c1, pos[side == 0], n[side == 0])
+    np.add.at(c2, pos[side == 1], n[side == 1])
+    cum1 = np.cumsum(c1, dtype=np.int64)
+    cum2 = np.cumsum(c2, dtype=np.int64)
+    n1, n2 = int(cum1[-1]), int(cum2[-1])
+    diff = np.abs(cum1 * n2 - cum2 * n1)           # < 2^62 at any sf here
+    ks_num = int(diff.max())
+    return pd.DataFrame({
+        "n1": pd.array([n1], dtype="int64"),
+        "n2": pd.array([n2], dtype="int64"),
+        "ks_num": pd.array([ks_num], dtype="int64"),
+        "ks_milli": pd.array([ks_num * 1000 // (n1 * n2)],
+                             dtype="int64")})
+
+
+def events_mwu(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney U rank-sum test (tie-exact) between 'click' and
+    'purchase' value distributions, with the AUC effect size — the
+    nonparametric A/B readout. Tie handling is EXACT in doubled
+    integers: over the distinct-value grid, 2·U₁ = Σ c₁·(2·cum₂(<v) +
+    c₂) (each tie contributes ½·c₁·c₂, never a float rank). Same
+    zero-shuffle histogram-fold shape as ``events_ks_test``; the AUC
+    ships as floor(U₁·1000 / (n₁·n₂)) = u1_x2·1000 // (2·n₁·n₂). SQL
+    twin: exclusive-window cumulative counts, HUGEINT products."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        a = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        pk = cents * 2 + (~a).astype(np.int64)
+        uk, inv = np.unique(pk, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({"pk": pa.array(uk), "n": pa.array(n)})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("pk", as_index=False)["n"].sum()
+    pk = agg["pk"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    v = pk >> 1
+    side = pk & 1
+    grid = np.unique(v)
+    c1 = np.zeros(len(grid), dtype=np.int64)
+    c2 = np.zeros(len(grid), dtype=np.int64)
+    pos = np.searchsorted(grid, v)
+    np.add.at(c1, pos[side == 0], n[side == 0])
+    np.add.at(c2, pos[side == 1], n[side == 1])
+    cum2_less = np.concatenate(([0], np.cumsum(c2)[:-1]))
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    u1_x2 = int((c1 * (2 * cum2_less + c2)).sum())
+    return pd.DataFrame({
+        "n1": pd.array([n1], dtype="int64"),
+        "n2": pd.array([n2], dtype="int64"),
+        "u1_x2": pd.array([u1_x2], dtype="int64"),
+        "u2_x2": pd.array([2 * n1 * n2 - u1_x2], dtype="int64"),
+        "auc_milli": pd.array([u1_x2 * 1000 // (2 * n1 * n2)],
+                              dtype="int64")})
+
+
+def key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-key skew diagnostics for events.user_id — the "pipeline
+    doctor" report you run BEFORE picking a partitioning key at 100 TB:
+    key cardinality, per-key count extremes, exact disc quantiles of
+    the count distribution (p50/p90/p99, quantile_disc convention
+    sorted[ceil(q·n)−1]), the heaviest key's share and the top-10-key
+    share in basis points. Ray shape: per-block packed np.unique count
+    partials, ONE bucketed reduce to exact per-key counts, and the
+    ranked sweep runs on the count-of-counts rollup (key-cardinality-
+    sized, same documented driver-side assumption as ``part_abc``).
+    SQL twin: GROUP BY + quantile_disc + window shares."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, cnt = np.unique(
+            t.column("user_id").to_numpy().astype(np.int64),
+            return_counts=True)
+        return pa.table({
+            "user_id": pa.array(u), "n": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("user_id", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    roll = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(reduce_bucket,
+                                          batch_format="pandas")
+            .to_pandas())
+    cnt = np.sort(roll["n"].to_numpy(np.int64))    # ascending
+    k = len(cnt)
+    rows = int(cnt.sum())
+    p = lambda q_num, q_den: int(cnt[-(-q_num * k // q_den) - 1])
+    top10 = int(cnt[max(0, k - 10):].sum())
+    return pd.DataFrame({
+        "n_keys": pd.array([k], dtype="int64"),
+        "n_rows": pd.array([rows], dtype="int64"),
+        "min_cnt": pd.array([int(cnt[0])], dtype="int64"),
+        "max_cnt": pd.array([int(cnt[-1])], dtype="int64"),
+        "mean_milli": pd.array([rows * 1000 // k], dtype="int64"),
+        "p50_cnt": pd.array([p(1, 2)], dtype="int64"),
+        "p90_cnt": pd.array([p(9, 10)], dtype="int64"),
+        "p99_cnt": pd.array([p(99, 100)], dtype="int64"),
+        "top1_share_bps": pd.array([int(cnt[-1]) * 10000 // rows],
+                                   dtype="int64"),
+        "top10_share_bps": pd.array([top10 * 10000 // rows],
+                                    dtype="int64")})

@@ -252,3 +252,44 @@ def test_user_value_cusum_brute(events_case):
             s = max(0, s + int(row.cents) - 2500)
             assert got.loc[int(row.event_id), "cusum_cents"] == s
             assert got.loc[int(row.event_id), "alarm"] == int(s > 50000)
+
+
+def test_ks_and_mwu_match_pairwise_brute(events_case):
+    """KS and MWU numerators re-derived by naive O(n·grid) / O(n²)
+    loops — exercises the tie handling (2dp cents collide heavily)."""
+    d, df = events_case
+    from container_crawler_ray.pipelines.analytics import (
+        events_ks_test, events_mwu)
+    a = sorted(df.loc[df.event_type == "click", "cents"])
+    b = sorted(df.loc[df.event_type == "purchase", "cents"])
+    n1, n2 = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    ks = max(abs(sum(1 for x in a if x <= v) * n2
+                 - sum(1 for x in b if x <= v) * n1) for v in grid)
+    out = events_ks_test(d).iloc[0]
+    assert (int(out["n1"]), int(out["n2"])) == (n1, n2)
+    assert int(out["ks_num"]) == ks
+    assert int(out["ks_milli"]) == ks * 1000 // (n1 * n2)
+    u1x2 = sum(2 for x in a for y in b if x > y) \
+        + sum(1 for x in a for y in b if x == y)
+    m = events_mwu(d).iloc[0]
+    assert int(m["u1_x2"]) == u1x2
+    assert int(m["u2_x2"]) == 2 * n1 * n2 - u1x2
+    assert int(m["auc_milli"]) == u1x2 * 1000 // (2 * n1 * n2)
+
+
+def test_user_streak_max_brute(events_case):
+    """Streaks re-derived by a per-user day loop (duplicate days and
+    single-event users included)."""
+    d, df = events_case
+    from container_crawler_ray.pipelines.analytics import user_streak_max
+    out = user_streak_max(d).set_index("user_id")
+    DAY = 86_400_000_000
+    for u, g in df.groupby("user_id"):
+        days = sorted(set(int(t) // DAY for t in g["ts_us"]))
+        best = run = 1
+        for i in range(1, len(days)):
+            run = run + 1 if days[i] == days[i - 1] + 1 else 1
+            best = max(best, run)
+        assert int(out.loc[u, "n_days"]) == len(days)
+        assert int(out.loc[u, "max_streak"]) == best

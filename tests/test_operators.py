@@ -82,6 +82,7 @@ def test_entry_smoke(entrymod):
     "purchase_attribution", "docs_split_assign", "docs_mixture_sample",
     "user_streak_max", "lineitem_weighted_median",
     "part_triple_support", "orders_open_backlog",
+    "events_ks_test", "events_mwu", "key_skew_report",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
