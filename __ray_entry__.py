@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_test": analytics.events_ks_test,
         "events_mwu": analytics.events_mwu,
         "key_skew_report": analytics.key_skew_report,
+        "events_seasonal_backtest": analytics.events_seasonal_backtest,
+        "session_funnel_strict": analytics.session_funnel_strict,
+        "part_link_prediction": graph.part_link_prediction,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2722,6 +2725,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2*n1*n2 - u1 AS BIGINT) AS u2_x2,
                    CAST(u1*1000 // (2*n1*n2) AS BIGINT) AS auc_milli
             FROM n, u
+        """,
+        "events_seasonal_backtest": """
+            WITH d AS (SELECT epoch_us(ts)//86400000000 AS day_id
+                       FROM events),
+            r AS (SELECT day_id, COUNT(*) AS n FROM d GROUP BY 1),
+            rng AS (SELECT MIN(day_id) AS mn, MAX(day_id) AS mx FROM r),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id, COALESCE(n, 0) AS n
+                  FROM grid LEFT JOIN r USING (day_id)),
+            l AS (SELECT day_id, n AS actual,
+                         lag(n, 7) OVER (ORDER BY day_id) AS forecast
+                  FROM g)
+            SELECT CAST(day_id AS BIGINT) AS day_id,
+                   CAST(actual AS BIGINT) AS actual,
+                   CAST(forecast AS BIGINT) AS forecast,
+                   CAST(abs(actual - forecast) AS BIGINT) AS abs_err
+            FROM l WHERE forecast IS NOT NULL ORDER BY day_id
+        """,
+        "session_funnel_strict": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type
+                       FROM events),
+            lagd AS (SELECT user_id, t, event_type,
+                            lag(t) OVER (PARTITION BY user_id
+                                         ORDER BY t) AS pt
+                     FROM e),
+            brk AS (SELECT user_id, t, event_type,
+                           CASE WHEN pt IS NULL OR t - pt > 1800000000
+                                THEN 1 ELSE 0 END AS news FROM lagd),
+            sess AS (SELECT user_id, t, event_type,
+                            SUM(news) OVER (PARTITION BY user_id
+                                ORDER BY t ROWS UNBOUNDED PRECEDING)
+                                AS sid FROM brk),
+            t1 AS (SELECT user_id, sid, MIN(t) AS t1 FROM sess
+                   WHERE event_type = 'click' GROUP BY 1, 2),
+            t2 AS (SELECT s.user_id, s.sid, MIN(s.t) AS t2
+                   FROM sess s JOIN t1 ON s.user_id = t1.user_id
+                                      AND s.sid = t1.sid
+                   WHERE s.event_type = 'view' AND s.t > t1.t1
+                   GROUP BY 1, 2),
+            t3 AS (SELECT s.user_id, s.sid, MIN(s.t) AS t3
+                   FROM sess s JOIN t2 ON s.user_id = t2.user_id
+                                      AND s.sid = t2.sid
+                   WHERE s.event_type = 'purchase' AND s.t > t2.t2
+                   GROUP BY 1, 2),
+            per AS (SELECT user_id, sid FROM sess GROUP BY 1, 2)
+            SELECT CAST(per.user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(t3.t3) AS BIGINT) AS n_funnel_sessions
+            FROM per LEFT JOIN t3 ON per.user_id = t3.user_id
+                                  AND per.sid = t3.sid
+            GROUP BY 1 ORDER BY 1
+        """,
+        "part_link_prediction": """
+            WITH L AS (
+              SELECT l_partkey,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) AS nxt
+              FROM lineitem),
+            e0 AS (SELECT DISTINCT least(l_partkey, nxt) AS a,
+                          greatest(l_partkey, nxt) AS b
+                   FROM L WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+            adj AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            w AS (SELECT a1.v AS p1, a2.v AS p2, COUNT(*) AS cn
+                  FROM adj a1 JOIN adj a2
+                       ON a1.u = a2.u AND a1.v < a2.v
+                  GROUP BY 1, 2),
+            ne AS (SELECT w.* FROM w LEFT JOIN e0
+                       ON e0.a = w.p1 AND e0.b = w.p2
+                   WHERE e0.a IS NULL)
+            SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+                   CAST(cn AS BIGINT) AS cn
+            FROM ne ORDER BY cn DESC, p1, p2 LIMIT 100
         """,
         "key_skew_report": """
             WITH g AS (SELECT user_id, COUNT(*) AS n

@@ -4618,3 +4618,136 @@ def key_skew_report(sf_dir: str) -> pd.DataFrame:
                                    dtype="int64"),
         "top10_share_bps": pd.array([top10 * 10000 // rows],
                                     dtype="int64")})
+
+
+def events_seasonal_backtest(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's event
+    volume as the volume seven days earlier and score the horizon —
+    the baseline every real forecaster must beat, and the eval-harness
+    shape (point-in-time forecast vs actual, no leakage) a training
+    pipeline runs on its own telemetry. Zero shuffle: per-block day
+    bincount partials (the gapfilled-day-vector idiom of
+    ``orders_daily_trend``) fold into ONE day-grid vector on the
+    driver; the lag-7 shift and absolute errors are one vectorized
+    subtraction. Scored days are those with a full 7-day history.
+    SQL twin: gapfilled day spine + LAG(7) window."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby("day", as_index=False)["n"].sum()
+    day_lo = int(agg["day"].min())
+    nd = int(agg["day"].max()) - day_lo + 1
+    vec = np.zeros(nd, dtype=np.int64)             # gapfilled: 0 on gaps
+    vec[agg["day"].to_numpy(np.int64) - day_lo] = agg["n"].to_numpy(
+        np.int64)
+    if nd <= 7:
+        return pd.DataFrame({"day_id": pd.array([], dtype="int64"),
+                             "actual": pd.array([], dtype="int64"),
+                             "forecast": pd.array([], dtype="int64"),
+                             "abs_err": pd.array([], dtype="int64")})
+    actual = vec[7:]
+    forecast = vec[:-7]
+    return pd.DataFrame({
+        "day_id": np.arange(7, nd, dtype=np.int64) + day_lo,
+        "actual": actual, "forecast": forecast,
+        "abs_err": np.abs(actual - forecast)}).astype("int64")
+
+
+def session_funnel_strict(sf_dir: str,
+                          gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """MATCH_RECOGNIZE-lite: per user, how many 30-min sessions contain
+    the STRICTLY ordered subsequence click → view → purchase (each step
+    at a strictly later timestamp, so the answer is independent of the
+    order ties arrive in). Ray shape: one ``groupby(user % 64)``
+    exchange; inside a bucket the session ids come from the same
+    sort/diff/cumsum break scan as ``user_sessions``, and the
+    subsequence probe is CHAINED searchsorted over packed
+    (session, ts) keys — t₁ = first click per session (reduceat min),
+    t₂ = first view with ts > t₁ (one searchsorted into the session's
+    view rows), t₃ = first purchase with ts > t₂ — no per-session
+    loop. SQL twin: window-function sessionization + two
+    min-after-join steps."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        code = pc.index_in(
+            t.column("event_type"),
+            value_set=pa.array(["click", "view", "purchase"])) \
+            .fill_null(-1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "code": pa.array(code),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        code = g["code"].to_numpy(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts, code = u[order], ts[order], code[order]
+        n = len(u)
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        brk = newu.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1                   # bucket-local id
+        # packed (session, ts) probes; ts_us < 2^52
+        pk = sid * (1 << 52) + ts
+        sstarts = np.flatnonzero(brk)
+        ns = len(sstarts)
+        # t1: first click per session (+inf sentinel so min is exact)
+        t1 = np.full(ns, np.iinfo(np.int64).max, dtype=np.int64)
+        clk = code == 0
+        np.minimum.at(t1, sid[clk], ts[clk])
+        have1 = t1 < np.iinfo(np.int64).max
+
+        def first_after(code_val: int, tprev: np.ndarray,
+                        have: np.ndarray) -> tuple:
+            m = code == code_val
+            pkm = pk[m]
+            sidm = sid[m]
+            t = np.full(ns, np.iinfo(np.int64).max, dtype=np.int64)
+            if len(pkm) == 0:
+                return t, np.zeros(ns, dtype=bool)
+            ends = np.searchsorted(sidm, np.arange(ns), side="right")
+            probe = np.searchsorted(
+                pkm, np.arange(ns, dtype=np.int64) * (1 << 52)
+                + np.minimum(tprev, (1 << 52) - 1), side="right")
+            ok = have & (probe < ends)
+            t[ok] = pkm[np.minimum(probe, len(pkm) - 1)][ok] \
+                & ((1 << 52) - 1)
+            return t, ok
+
+        t2, have2 = first_after(1, t1, have1)
+        t3, have3 = first_after(2, t2, have2)
+        # per-user rollup: sessions are contiguous in user order
+        user_of_sid = u[sstarts]
+        nu = np.empty(ns, dtype=bool)
+        nu[0] = True
+        nu[1:] = user_of_sid[1:] != user_of_sid[:-1]
+        ust = np.flatnonzero(nu)
+        return pd.DataFrame({
+            "user_id": user_of_sid[ust],
+            "n_sessions": np.add.reduceat(
+                np.ones(ns, dtype=np.int64), ust),
+            "n_funnel_sessions": np.add.reduceat(
+                have3.astype(np.int64), ust)})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"user_id": "int64", "n_sessions": "int64",
+                     "n_funnel_sessions": "int64"}))
