@@ -158,6 +158,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_seasonal_backtest": analytics.events_seasonal_backtest,
         "session_funnel_strict": analytics.session_funnel_strict,
         "part_link_prediction": graph.part_link_prediction,
+        "lineitem_cube": analytics.lineitem_cube,
+        "user_ab_test": analytics.user_ab_test,
+        "user_churn_labels": analytics.user_churn_labels,
+        "events_cumulative_users": analytics.events_cumulative_users,
+        "orders_pivot_priority": joins.orders_pivot_priority,
+        "part_neighbor_jaccard": graph.part_neighbor_jaccard,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2777,6 +2783,153 @@ def oracle_sql() -> dict[str, str]:
             FROM per LEFT JOIN t3 ON per.user_id = t3.user_id
                                   AND per.sid = t3.sid
             GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_cube": """
+            WITH b AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(EXTRACT(year FROM l_shipdate) AS VARCHAR)
+                         AS ship_year,
+                     CAST(l_quantity AS BIGINT) AS qty,
+                     CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                * 100) AS BIGINT) AS rev
+              FROM lineitem)
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   COALESCE(ship_year, 'ALL') AS ship_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_cents
+            FROM b
+            GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+            ORDER BY 1, 2, 3
+        """,
+        "user_ab_test": """
+            WITH u AS (SELECT user_id,
+                              MAX(CASE WHEN event_type = 'purchase'
+                                       THEN 1 ELSE 0 END) AS conv
+                       FROM events GROUP BY 1),
+            t AS (SELECT
+                    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS n_a,
+                    SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+                        AS conv_a,
+                    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS n_b,
+                    SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+                        AS conv_b
+                  FROM u)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(conv_a AS BIGINT) AS conv_a,
+                   CAST(conv_a * 10000 // n_a AS BIGINT) AS rate_a_bps,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(conv_b AS BIGINT) AS conv_b,
+                   CAST(conv_b * 10000 // n_b AS BIGINT) AS rate_b_bps,
+                   CAST(CASE WHEN n_a = 0 OR n_b = 0
+                             OR conv_a + conv_b = 0
+                             OR n_a + n_b - conv_a - conv_b = 0
+                        THEN 0
+                        ELSE (n_a + n_b)
+                             * CAST(conv_a * (n_b - conv_b)
+                                    - (n_a - conv_a) * conv_b
+                                    AS HUGEINT)
+                             * CAST(conv_a * (n_b - conv_b)
+                                    - (n_a - conv_a) * conv_b
+                                    AS HUGEINT)
+                             * 1000000
+                             // (CAST(n_a AS HUGEINT) * n_b
+                                 * (conv_a + conv_b)
+                                 * (n_a + n_b - conv_a - conv_b))
+                        END AS BIGINT) AS chi2_micro
+            FROM t
+        """,
+        "user_churn_labels": """
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts)//86400000000 AS day
+                       FROM events),
+            t AS (SELECT MAX(day) + 1 AS t_end FROM d),
+            g AS (SELECT user_id,
+                         SUM(CASE WHEN day >= t_end - 28
+                                   AND day < t_end - 14
+                                  THEN 1 ELSE 0 END) AS n_feat,
+                         SUM(CASE WHEN day >= t_end - 14
+                                  THEN 1 ELSE 0 END) AS n_lab
+                  FROM d, t GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n_feat AS BIGINT) AS n_events_feat,
+                   CAST(CASE WHEN n_lab = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS churned
+            FROM g WHERE n_feat > 0 ORDER BY 1
+        """,
+        "events_cumulative_users": """
+            WITH d AS (SELECT user_id,
+                              epoch_us(ts)//86400000000 AS day
+                       FROM events),
+            f AS (SELECT user_id, MIN(day) AS first_day
+                  FROM d GROUP BY 1),
+            n AS (SELECT first_day AS day_id, COUNT(*) AS new_users
+                  FROM f GROUP BY 1),
+            rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id,
+                         COALESCE(new_users, 0) AS new_users
+                  FROM grid LEFT JOIN n USING (day_id))
+            SELECT CAST(day_id AS BIGINT) AS day_id,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(SUM(new_users) OVER (ORDER BY day_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_users
+            FROM g ORDER BY day_id
+        """,
+        "orders_pivot_priority": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                       AS year,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT)
+                       AS month,
+                   CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_p1,
+                   CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_p2,
+                   CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_p3,
+                   CAST(SUM(CASE WHEN o_orderpriority =
+                                 '4-NOT SPECIFIED'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_p4,
+                   CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_p5,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_neighbor_jaccard": """
+            WITH L AS (
+              SELECT l_partkey,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) AS nxt
+              FROM lineitem),
+            e0 AS (SELECT DISTINCT least(l_partkey, nxt) AS a,
+                          greatest(l_partkey, nxt) AS b
+                   FROM L WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+            adj AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+            w AS (SELECT a1.v AS p1, a2.v AS p2, COUNT(*) AS cn
+                  FROM adj a1 JOIN adj a2
+                       ON a1.u = a2.u AND a1.v < a2.v
+                  GROUP BY 1, 2),
+            e AS (SELECT w.p1, w.p2, w.cn FROM w
+                  JOIN e0 ON e0.a = w.p1 AND e0.b = w.p2),
+            j AS (SELECT p1, p2, cn, d1.d AS deg_a, d2.d AS deg_b,
+                         cn * 10000 // (d1.d + d2.d - cn) AS jacc_bps
+                  FROM e JOIN deg d1 ON d1.u = e.p1
+                         JOIN deg d2 ON d2.u = e.p2)
+            SELECT CAST(p1 AS BIGINT) AS p1, CAST(p2 AS BIGINT) AS p2,
+                   CAST(cn AS BIGINT) AS cn,
+                   CAST(deg_a AS BIGINT) AS deg_a,
+                   CAST(deg_b AS BIGINT) AS deg_b,
+                   CAST(jacc_bps AS BIGINT) AS jacc_bps
+            FROM j ORDER BY jacc_bps DESC, p1, p2 LIMIT 100
         """,
         "part_link_prediction": """
             WITH L AS (

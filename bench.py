@@ -107,6 +107,11 @@ BENCH_QUERIES = [
     "user_streak_max", "lineitem_weighted_median",
     "part_triple_support", "orders_open_backlog",
     "events_ks_test", "events_mwu", "key_skew_report",
+    "events_seasonal_backtest", "session_funnel_strict",
+    "part_link_prediction",
+    "lineitem_cube", "user_ab_test", "user_churn_labels",
+    "events_cumulative_users", "orders_pivot_priority",
+    "part_neighbor_jaccard",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -4751,3 +4751,237 @@ def session_funnel_strict(sf_dir: str,
             .reset_index(drop=True)
             .astype({"user_id": "int64", "n_sessions": "int64",
                      "n_funnel_sessions": "int64"}))
+
+
+def lineitem_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE grouping-sets rollup over (returnflag, linestatus,
+    ship_year): all 8 subtotal levels in one pass — the OLAP shape BI
+    layers push at a fact table. Zero shuffle: the finest-grain key has
+    ~42 distinct cells, so per-block partials fold on the driver and
+    every coarser grouping set is derived from the finest cells by
+    re-aggregation (constant work) — a Ray CUBE would shuffle the whole
+    fact table eight times for 100-odd output rows. Rolled-up
+    dimensions render as the literal ``'ALL'`` (the key columns are
+    non-null in this schema). SQL twin: GROUP BY CUBE + COALESCE."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                        "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        yr = (t.column("l_shipdate").to_numpy()
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas(),
+            "l_linestatus": t.column("l_linestatus").to_pandas(),
+            "ship_year": yr.astype(str),
+            "qty": t.column("l_quantity").to_numpy().astype(np.int64),
+            "rev": np.floor(price * (1 - disc) * 100).astype(np.int64)})
+        out = (df.groupby(["l_returnflag", "l_linestatus", "ship_year"],
+                          as_index=False)
+               .agg(n_rows=("qty", "size"), sum_qty=("qty", "sum"),
+                    revenue_cents=("rev", "sum")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["l_returnflag", "l_linestatus", "ship_year"],
+                      as_index=False)
+             .agg(n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum"),
+                  revenue_cents=("revenue_cents", "sum")))
+    dims = ["l_returnflag", "l_linestatus", "ship_year"]
+    frames = []
+    for mask in range(8):                       # all grouping sets
+        keep = [d for i, d in enumerate(dims) if mask & (1 << i)]
+        g = (cells.groupby(keep, as_index=False)[
+                 ["n_rows", "sum_qty", "revenue_cents"]].sum()
+             if keep else
+             cells[["n_rows", "sum_qty", "revenue_cents"]].sum()
+             .to_frame().T)
+        for d in dims:
+            if d not in keep:
+                g[d] = "ALL"
+        frames.append(g[dims + ["n_rows", "sum_qty", "revenue_cents"]])
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(dims, kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_rows": "int64", "sum_qty": "int64",
+                     "revenue_cents": "int64"}))
+
+
+def user_ab_test(sf_dir: str) -> pd.DataFrame:
+    """A/B experiment harness: users split by ``user_id % 2``,
+    conversion = "has at least one purchase event", scored as the exact
+    2×2 chi-square statistic χ²·1e6 = N·(ad−bc)²·10⁶ // (row·col
+    products) in arbitrary-precision integers (HUGEINT twin) — the
+    leakage-free eval readout an experimentation platform computes
+    per metric. Shape: per-block (user, any-purchase) partials collapse
+    each block to ≤1 row per user, one ``user % 64`` bucket exchange
+    folds them exactly, and each bucket ships only four counters."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        conv = pc.equal(t.column("event_type"),
+                        "purchase").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="mergesort")
+        u, conv = u[order], conv[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        anyc = np.logical_or.reduceat(conv, starts)
+        uu = u[starts]
+        return pa.table({
+            "user_id": pa.array(uu), "conv": pa.array(anyc),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        c = g["conv"].to_numpy(bool)
+        order = np.argsort(u, kind="mergesort")
+        u, c = u[order], c[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        anyc = np.logical_or.reduceat(c, starts)
+        var = (u[starts] % 2).astype(np.int64)
+        return pd.DataFrame({
+            "n_a": [int(np.sum(var == 0))],
+            "conv_a": [int(np.sum(anyc[var == 0]))],
+            "n_b": [int(np.sum(var == 1))],
+            "conv_b": [int(np.sum(anyc[var == 1]))]})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    n_a, conv_a = int(parts["n_a"].sum()), int(parts["conv_a"].sum())
+    n_b, conv_b = int(parts["n_b"].sum()), int(parts["conv_b"].sum())
+    a, b = conv_a, n_a - conv_a                 # 2×2 contingency
+    c, d = conv_b, n_b - conv_b
+    n = a + b + c + d
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2_micro = (n * (a * d - b * c) ** 2 * 1_000_000 // denom
+                  if denom else 0)
+    return pd.DataFrame({
+        "n_a": [n_a], "conv_a": [conv_a],
+        "rate_a_bps": [conv_a * 10000 // n_a if n_a else 0],
+        "n_b": [n_b], "conv_b": [conv_b],
+        "rate_b_bps": [conv_b * 10000 // n_b if n_b else 0],
+        "chi2_micro": [chi2_micro]}).astype("int64")
+
+
+def user_churn_labels(sf_dir: str) -> pd.DataFrame:
+    """Point-in-time churn-label generation (the supervised-training
+    shape: features STRICTLY before the cutoff, label strictly after,
+    no leakage): with T = max event day + 1, users active in the
+    feature window [T−28, T−14) get ``n_events_feat`` and
+    ``churned`` = 1 iff they have NO event in the label window
+    [T−14, T). Two pruned passes: a per-block max-day fold fixes T
+    (driver folds one int per block), then per-block (user,
+    n_feat, n_label) partials collapse through one ``user % 64``
+    bucket exchange. SQL twin: two conditional aggregates against the
+    same windows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def maxday(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({"mx": pa.array([int(day.max())])})
+
+    t_end = int(_read(sf_dir, "events", columns=["ts"])
+                .map_batches(maxday, batch_format="pyarrow")
+                .to_pandas()["mx"].max()) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        feat = (day >= t_end - 28) & (day < t_end - 14)
+        lab = day >= t_end - 14                  # day < t_end always
+        m = feat | lab
+        u, feat, lab = u[m], feat[m], lab[m]
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "n_feat": pa.array([], type=pa.int64()),
+                             "n_lab": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        order = np.argsort(u, kind="mergesort")
+        u, feat, lab = u[order], feat[order], lab[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        uu = u[starts]
+        return pa.table({
+            "user_id": pa.array(uu),
+            "n_feat": pa.array(np.add.reduceat(
+                feat.astype(np.int64), starts)),
+            "n_lab": pa.array(np.add.reduceat(
+                lab.astype(np.int64), starts)),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[
+            ["n_feat", "n_lab"]].sum()
+        out = out[out["n_feat"] > 0]
+        return pd.DataFrame({
+            "user_id": out["user_id"].to_numpy(np.int64),
+            "n_events_feat": out["n_feat"].to_numpy(np.int64),
+            "churned": (out["n_lab"].to_numpy(np.int64) == 0)
+            .astype(np.int64)})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))
+
+
+def events_cumulative_users(sf_dir: str) -> pd.DataFrame:
+    """Cumulative-adoption curve: per day, how many NEW users appear
+    (first-ever event) and the running total of users seen so far,
+    gapfilled to the full event-day range. Shape: per-block (user,
+    min_day) partials (≤1 row per user per block) fold through one
+    ``user % 64`` bucket exchange; each bucket then collapses to a
+    constant-size day-grid bincount partial, and the driver folds
+    |days|-sized vectors and takes one cumsum — never a per-user
+    structure on the driver. SQL twin: MIN(day) per user + grid join +
+    running SUM window."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        order = np.argsort(u, kind="mergesort")
+        u, day = u[order], day[order]
+        first = np.empty(len(u), dtype=bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        uu = u[starts]
+        return pa.table({
+            "user_id": pa.array(uu),
+            "min_day": pa.array(np.minimum.reduceat(day, starts)),
+            "lo": pa.array(np.full(len(uu), int(day.min()))),
+            "hi": pa.array(np.full(len(uu), int(day.max()))),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        f = g.groupby("user_id", as_index=False)["min_day"].min()
+        d, n = np.unique(f["min_day"].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"day_id": d, "new_users": n.astype(np.int64),
+                             "lo": int(g["lo"].min()),
+                             "hi": int(g["hi"].max())})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    lo, hi = int(parts["lo"].min()), int(parts["hi"].max())
+    vec = np.zeros(hi - lo + 1, dtype=np.int64)
+    agg = parts.groupby("day_id")["new_users"].sum()
+    vec[agg.index.to_numpy(np.int64) - lo] = agg.to_numpy(np.int64)
+    return pd.DataFrame({
+        "day_id": np.arange(lo, hi + 1, dtype=np.int64),
+        "new_users": vec,
+        "cum_users": np.cumsum(vec)}).astype("int64")

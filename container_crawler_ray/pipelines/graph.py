@@ -593,3 +593,128 @@ def part_link_prediction(sf_dir: str, topn: int = 100) -> pd.DataFrame:
     return pd.DataFrame({
         "p1": pk >> 21, "p2": pk & ((1 << 21) - 1),
         "cn": out["n"].to_numpy(np.int64)}).astype("int64")
+
+
+def part_neighbor_jaccard(sf_dir: str, topn: int = 100) -> pd.DataFrame:
+    """Edge-level neighborhood similarity: for each EXISTING edge
+    (a, b) of the undirected part co-occurrence graph, the Jaccard
+    similarity of the two endpoints' neighbor sets in exact basis
+    points — cn·10⁴ // (deg_a + deg_b − cn) — ranked (jacc DESC, a, b),
+    top ``topn``. The local-structure score tiered crawlers use to
+    find redundant link neighborhoods. Same wedge enumeration as
+    :func:`part_link_prediction` (an edge's common-neighbor count is
+    its triangle count), but the anti-filter flips: only pairs that
+    ARE edges survive. Degrees come from one dense bincount over the
+    distinct edge set and are broadcast once (part-dimension-sized; at
+    web scale the deg lookup co-partitions by node on the same hash
+    instead). Edges with zero common neighbors score 0 and are
+    excluded on both sides (the wedge join never produces them).
+    SQL twin: adjacency self-join + degree join."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .materialize())
+
+    def pack_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"pk": pa.array(a * (1 << 21) + b)})
+
+    epk = np.sort(np.concatenate(
+        [blk.column("pk").to_numpy() for blk in
+         und.map_batches(pack_edges, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([], dtype=np.int64)]))
+    nodes = np.concatenate([epk >> 21, epk & ((1 << 21) - 1)])
+    deg = np.bincount(nodes) if len(nodes) else np.zeros(1, np.int64)
+    eref = ray.put(epk)
+    dref = ray.put(deg.astype(np.int64))
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "wk": pa.array((u % _BUCKETS).astype(np.int32))})
+
+    def wedge_counts(g: pd.DataFrame) -> pa.Table:
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        empty = pa.table({"pair": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64()),
+                          "rb": pa.array([], type=pa.int32())})
+        if len(u) < 2:
+            return empty
+        change = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        counts = np.concatenate((change, [len(u)])) - starts
+        gi = np.repeat(np.arange(len(starts)), counts)
+        rem = counts[gi] - (np.arange(len(u)) - starts[gi]) - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        A = np.repeat(np.arange(len(u)), rem)
+        offs = np.concatenate(([0], np.cumsum(rem)))
+        B = A + 1 + (np.arange(total) - offs[A])
+        pk = v[A] * (1 << 21) + v[B]
+        uk, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pair": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "rb": pa.array((uk % _BUCKETS).astype(np.int32))})
+
+    def reduce_top(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("pair", as_index=False)["n"].sum()
+        pk = out["pair"].to_numpy(np.int64)
+        ed = ray.get(eref)
+        pos = np.searchsorted(ed, pk)
+        is_edge = (pos < len(ed)) & (ed[np.minimum(pos, len(ed) - 1)]
+                                     == pk)
+        out = out[is_edge]
+        if not len(out):
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "cn": pa.array([], type=pa.int64()),
+                             "deg_a": pa.array([], type=pa.int64()),
+                             "deg_b": pa.array([], type=pa.int64()),
+                             "jacc_bps": pa.array([], type=pa.int64())})
+        dg = ray.get(dref)
+        pk = out["pair"].to_numpy(np.int64)
+        cn = out["n"].to_numpy(np.int64)
+        da = dg[pk >> 21]
+        db = dg[pk & ((1 << 21) - 1)]
+        jb = cn * 10000 // (da + db - cn)
+        loc = pd.DataFrame({"pair": pk, "cn": cn, "deg_a": da,
+                            "deg_b": db, "jacc_bps": jb})
+        loc = loc.sort_values(["jacc_bps", "pair"],
+                              ascending=[False, True],
+                              kind="mergesort").head(topn)
+        return pa.Table.from_pandas(loc, preserve_index=False)
+
+    out = (und.map_batches(adjacency, batch_format="pyarrow")
+           .groupby("wk").map_groups(wedge_counts, batch_format="pandas")
+           .groupby("rb").map_groups(reduce_top, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values(["jacc_bps", "pair"], ascending=[False, True],
+                          kind="mergesort").head(topn)
+    pk = out["pair"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "p1": pk >> 21, "p2": pk & ((1 << 21) - 1),
+        "cn": out["cn"].to_numpy(np.int64),
+        "deg_a": out["deg_a"].to_numpy(np.int64),
+        "deg_b": out["deg_b"].to_numpy(np.int64),
+        "jacc_bps": out["jacc_bps"].to_numpy(np.int64)}).astype("int64")

@@ -2755,3 +2755,46 @@ def orders_open_backlog(sf_dir: str) -> pd.DataFrame:
         "day_id": agg["day_off"].to_numpy(np.int64) + day_lo,
         "open_orders": np.cumsum(agg["d"].to_numpy(np.int64))
     }).astype("int64")
+
+
+def orders_pivot_priority(sf_dir: str) -> pd.DataFrame:
+    """Long→wide pivot (the inverse of ``lineitem_unpivot``): monthly
+    order counts spread into one column per priority class plus the
+    month's total revenue. The finest grain (year, month, priority) is
+    ~60×5 cells, so per-block partials fold on the driver and the
+    pivot itself is a constant-size reshape — no shuffle, no pivot
+    operator needed at any scale because the OUTPUT is small by
+    construction. SQL twin: conditional aggregation (the portable
+    PIVOT encoding)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority",
+                        "o_totalprice"])
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        od = t.column("o_orderdate").to_numpy().astype("datetime64[M]")
+        y = od.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = od.astype(np.int64) % 12 + 1
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "year": y, "month": m,
+            "prio": t.column("o_orderpriority").to_pandas(),
+            "cents": cents})
+        out = (df.groupby(["year", "month", "prio"], as_index=False)
+               .agg(n=("cents", "size"), rev=("cents", "sum")))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["year", "month", "prio"], as_index=False)
+             .agg(n=("n", "sum"), rev=("rev", "sum")))
+    wide = (cells.pivot_table(index=["year", "month"], columns="prio",
+                              values="n", aggfunc="sum", fill_value=0)
+            .reindex(columns=prios, fill_value=0))
+    wide.columns = [f"n_p{i + 1}" for i in range(len(prios))]
+    rev = cells.groupby(["year", "month"])["rev"].sum()
+    wide["revenue_cents"] = rev
+    return (wide.reset_index()
+            .sort_values(["year", "month"], kind="mergesort")
+            .reset_index(drop=True).astype("int64"))
