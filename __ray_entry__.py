@@ -164,6 +164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative_users": analytics.events_cumulative_users,
         "orders_pivot_priority": joins.orders_pivot_priority,
         "part_neighbor_jaccard": graph.part_neighbor_jaccard,
+        "part_clustering_coeff": graph.part_clustering_coeff,
+        "part_assortativity": graph.part_assortativity,
+        "purchase_delta": analytics.purchase_delta,
+        "region_nation_rollup": joins.region_nation_rollup,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2930,6 +2934,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(deg_b AS BIGINT) AS deg_b,
                    CAST(jacc_bps AS BIGINT) AS jacc_bps
             FROM j ORDER BY jacc_bps DESC, p1, p2 LIMIT 100
+        """,
+        "part_clustering_coeff": """
+            WITH L AS (
+              SELECT l_partkey,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) AS nxt
+              FROM lineitem),
+            e0 AS (SELECT DISTINCT least(l_partkey, nxt) AS a,
+                          greatest(l_partkey, nxt) AS b
+                   FROM L WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+            adj AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+            closed AS (
+              SELECT a1.u AS u, COUNT(*) AS n_closed
+              FROM adj a1 JOIN adj a2
+                   ON a1.u = a2.u AND a1.v < a2.v
+              JOIN e0 ON e0.a = a1.v AND e0.b = a2.v
+              GROUP BY 1)
+            SELECT CAST(deg.u AS BIGINT) AS p_partkey,
+                   CAST(deg.d AS BIGINT) AS deg,
+                   CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed,
+                   CAST(COALESCE(n_closed, 0) * 10000
+                        // (deg.d * (deg.d - 1) // 2) AS BIGINT)
+                       AS cc_bps
+            FROM deg LEFT JOIN closed ON closed.u = deg.u
+            WHERE deg.d >= 2 ORDER BY 1
+        """,
+        "part_assortativity": """
+            WITH L AS (
+              SELECT l_partkey,
+                     lead(l_partkey) OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) AS nxt
+              FROM lineitem),
+            e0 AS (SELECT DISTINCT least(l_partkey, nxt) AS a,
+                          greatest(l_partkey, nxt) AS b
+                   FROM L WHERE nxt IS NOT NULL AND l_partkey <> nxt),
+            adj AS (SELECT a AS u, b AS v FROM e0
+                    UNION ALL SELECT b, a FROM e0),
+            deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY 1),
+            xy AS (SELECT d1.d AS x, d2.d AS y
+                   FROM adj JOIN deg d1 ON d1.u = adj.u
+                            JOIN deg d2 ON d2.u = adj.v),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x*y) AS BIGINT) AS sxy,
+                         CAST(SUM(x*x) AS BIGINT) AS sxx,
+                         CAST(SUM(y*y) AS BIGINT) AS syy
+                  FROM xy)
+            SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT)
+                       AS n_edges,
+                   m AS m_oriented,
+                   CAST(FLOOR(
+                     (CAST(m AS DOUBLE)*CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(m AS DOUBLE)*CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                        * sqrt(CAST(m AS DOUBLE)*CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+                     * 1000.0) AS BIGINT) AS r_milli
+            FROM m
+        """,
+        "purchase_delta": """
+            WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+                              CAST(FLOOR(value*100) AS BIGINT) AS cents
+                       FROM events WHERE event_type = 'purchase'),
+            l AS (SELECT user_id, event_id,
+                         cents - lag(cents) OVER (
+                             PARTITION BY user_id
+                             ORDER BY t, event_id) AS delta
+                  FROM p)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id,
+                   CAST(delta AS BIGINT) AS delta_cents
+            FROM l WHERE delta IS NOT NULL ORDER BY 1, 2
+        """,
+        "region_nation_rollup": """
+            WITH j AS (
+              SELECT r.r_name AS region, n.n_name AS nation,
+                     CAST(FLOOR(o.o_totalprice*100) AS BIGINT) AS cents
+              FROM orders o
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n ON n.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n.n_regionkey)
+            SELECT COALESCE(region, 'ALL') AS region,
+                   COALESCE(nation, 'ALL') AS nation,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM j GROUP BY ROLLUP (region, nation)
+            ORDER BY 1, 2
         """,
         "part_link_prediction": """
             WITH L AS (

@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "lineitem_cube", "user_ab_test", "user_churn_labels",
     "events_cumulative_users", "orders_pivot_priority",
     "part_neighbor_jaccard",
+    "part_clustering_coeff", "part_assortativity",
+    "purchase_delta", "region_nation_rollup",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

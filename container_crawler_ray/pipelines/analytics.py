@@ -4985,3 +4985,51 @@ def events_cumulative_users(sf_dir: str) -> pd.DataFrame:
         "day_id": np.arange(lo, hi + 1, dtype=np.int64),
         "new_users": vec,
         "cum_users": np.cumsum(vec)}).astype("int64")
+
+
+def purchase_delta(sf_dir: str) -> pd.DataFrame:
+    """Per-user LAG navigation: for every purchase with a predecessor,
+    the value change (cents) since the user's previous purchase under
+    the total order (ts, event_id) — the row-level lead/lag transform
+    feature pipelines run before sequence models. Shape: filter to
+    purchases AT THE READ (one pruned map), one ``user % 64`` bucket
+    exchange, and the per-bucket kernel is a single lexsort + shifted
+    subtraction where the first row of each user is masked out. SQL
+    twin: LAG() OVER (PARTITION BY user ORDER BY t, event_id)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type",
+                        "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("event_type"), "purchase")
+        t = t.filter(m)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "cents": pa.array(np.floor(t.column("value").to_numpy()
+                                       * 100).astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        u, e, c = u[order], e[order], c[order]
+        same = np.empty(len(u), dtype=bool)
+        same[0] = False
+        same[1:] = u[1:] == u[:-1]
+        delta = np.empty(len(c), dtype=np.int64)
+        delta[1:] = c[1:] - c[:-1]
+        return pd.DataFrame({"user_id": u[same],
+                             "event_id": e[same],
+                             "delta_cents": delta[same]})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values(["user_id", "event_id"], kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

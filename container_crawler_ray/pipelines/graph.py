@@ -718,3 +718,174 @@ def part_neighbor_jaccard(sf_dir: str, topn: int = 100) -> pd.DataFrame:
         "deg_a": out["deg_a"].to_numpy(np.int64),
         "deg_b": out["deg_b"].to_numpy(np.int64),
         "jacc_bps": out["jacc_bps"].to_numpy(np.int64)}).astype("int64")
+
+
+def part_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Local clustering coefficient per node in exact basis points:
+    cc_bps = closed_wedges·10⁴ // C(deg, 2) for every part with
+    degree ≥ 2 — the how-clique-is-my-neighborhood score. One bucketed
+    exchange: adjacency groups by center, each bucket enumerates the
+    center's neighbor pairs (the :func:`part_link_prediction` repeat +
+    running-index expansion), tests closure against the broadcast
+    sorted edge array with ONE searchsorted, and reduceats closed
+    counts per center — per-center results never leave their bucket,
+    so no second exchange. Degrees come from the dense bincount over
+    the distinct edge set (part-dimension-sized on the driver; at web
+    scale the zero-closed tail would be emitted from a co-partitioned
+    degree table instead). SQL twin: wedge join + edge join + degree
+    anti-fill."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .materialize())
+
+    def pack_edges(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        return pa.table({"pk": pa.array(a * (1 << 21) + b)})
+
+    epk = np.sort(np.concatenate(
+        [blk.column("pk").to_numpy() for blk in
+         und.map_batches(pack_edges, batch_format="pyarrow")
+         .iter_batches(batch_format="pyarrow", batch_size=None)]
+        or [np.array([], dtype=np.int64)]))
+    nodes = np.concatenate([epk >> 21, epk & ((1 << 21) - 1)])
+    deg = (np.bincount(nodes).astype(np.int64) if len(nodes)
+           else np.zeros(1, np.int64))
+    eref = ray.put(epk)
+
+    def adjacency(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy().astype(np.int64)
+        b = t.column("b").to_numpy().astype(np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "wk": pa.array((u % _BUCKETS).astype(np.int32))})
+
+    def closed_per_center(g: pd.DataFrame) -> pa.Table:
+        u = g["u"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        empty = pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                          "n_closed": pa.array([], type=pa.int64())})
+        if len(u) < 2:
+            return empty
+        change = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        counts = np.concatenate((change, [len(u)])) - starts
+        gi = np.repeat(np.arange(len(starts)), counts)
+        rem = counts[gi] - (np.arange(len(u)) - starts[gi]) - 1
+        total = int(rem.sum())
+        if total == 0:
+            return empty
+        A = np.repeat(np.arange(len(u)), rem)
+        offs = np.concatenate(([0], np.cumsum(rem)))
+        B = A + 1 + (np.arange(total) - offs[A])
+        pk = v[A] * (1 << 21) + v[B]       # v sorted per center → a < b
+        ed = ray.get(eref)
+        pos = np.searchsorted(ed, pk)
+        closed = ((pos < len(ed))
+                  & (ed[np.minimum(pos, len(ed) - 1)] == pk))
+        # wedges of one center are contiguous in A's ascending order;
+        # center g owns exactly C(counts[g], 2) of them starting at the
+        # cumsum of the previous centers' wedge counts (centers with
+        # zero wedges must be EXCLUDED from the reduceat index list —
+        # a duplicated index would hand them the next center's first
+        # wedge)
+        wc = counts * (counts - 1) // 2
+        wstart = np.concatenate(([0], np.cumsum(wc)))[:-1]
+        keep = wc > 0
+        cnt = np.add.reduceat(closed.astype(np.int64), wstart[keep])
+        return pa.table({"p_partkey": pa.array(u[starts[keep]]),
+                         "n_closed": pa.array(cnt)})
+
+    got = (und.map_batches(adjacency, batch_format="pyarrow")
+           .groupby("wk").map_groups(closed_per_center,
+                                     batch_format="pandas")
+           .to_pandas())
+    # every node with deg >= 2, zero-filled where no wedge closed
+    keys = np.flatnonzero(deg >= 2).astype(np.int64)
+    closed = np.zeros(len(deg), dtype=np.int64)
+    if len(got):
+        closed[got["p_partkey"].to_numpy(np.int64)] = \
+            got["n_closed"].to_numpy(np.int64)
+    d = deg[keys]
+    return pd.DataFrame({
+        "p_partkey": keys, "deg": d, "n_closed": closed[keys],
+        "cc_bps": closed[keys] * 10000 // (d * (d - 1) // 2)}) \
+        .astype("int64")
+
+
+def part_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the part graph: Pearson correlation of
+    endpoint degrees over all directed edge orientations (the Newman
+    2002 convention) — positive means hubs link to hubs. Exact int64
+    moment sums (m, Σx, Σy, Σxy, Σx², Σy²) accumulate per block
+    against the broadcast degree array (zero shuffle — the edge set is
+    already distinct), and the closed form is evaluated in float64
+    with the SAME operation order as the SQL twin (the
+    ``lineitem_corr`` IEEE-matching discipline). r_milli =
+    floor(1000·r)."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .materialize())
+    ab = und.to_pandas()
+    a = ab["a"].to_numpy(np.int64)
+    b = ab["b"].to_numpy(np.int64)
+    deg = np.bincount(np.concatenate([a, b])).astype(np.int64)
+    dref = ray.put(deg)
+
+    def moments(t: pa.Table) -> pa.Table:
+        dg = ray.get(dref)
+        aa = t.column("a").to_numpy().astype(np.int64)
+        bb = t.column("b").to_numpy().astype(np.int64)
+        x = np.concatenate([dg[aa], dg[bb]])    # both orientations
+        y = np.concatenate([dg[bb], dg[aa]])
+        return pa.table({
+            "m": pa.array([len(x)]),
+            "sx": pa.array([int(x.sum())]),
+            "sy": pa.array([int(y.sum())]),
+            "sxy": pa.array([int((x * y).sum())]),
+            "sxx": pa.array([int((x * x).sum())]),
+            "syy": pa.array([int((y * y).sum())])})
+
+    p = und.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = float(p["m"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxy = float(p["sxy"].sum())
+    sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())
+    num = m * sxy - sx * sy
+    r_milli = int(np.floor(num / (np.sqrt(m * sxx - sx * sx)
+                                  * np.sqrt(m * syy - sy * sy))
+                           * 1000.0))
+    return pd.DataFrame({"n_edges": [len(a)],
+                         "m_oriented": [int(p["m"].sum())],
+                         "r_milli": [r_milli]}).astype("int64")

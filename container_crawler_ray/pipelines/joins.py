@@ -2798,3 +2798,79 @@ def orders_pivot_priority(sf_dir: str) -> pd.DataFrame:
     return (wide.reset_index()
             .sort_values(["year", "month"], kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def region_nation_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical ROLLUP grouping sets over the dimension chain
+    region → nation: order revenue at (region, nation), (region, ALL)
+    and (ALL, ALL) levels — the drill-down readout under every BI
+    hierarchy. ONE co-partition exchange: orders ⨝ customer on
+    ``custkey % B`` (both fact-shaped), with the bucket kernel
+    pre-aggregating to (nationkey, cents) partials so the driver folds
+    |nations|×|buckets| rows; the nation→region map is dimension-sized
+    and the subtotal levels are derived from the 25-cell finest grain
+    (same never-shuffle-for-subtotals rule as ``lineitem_cube``).
+    SQL twin: GROUP BY ROLLUP + COALESCE."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rmap = dict(zip(reg.column("r_regionkey").to_numpy().tolist(),
+                    reg.column("r_name").to_pylist()))
+    nmap = {int(k): (rmap[int(rk)], nm)
+            for k, rk, nm in zip(nat.column("n_nationkey").to_numpy(),
+                                 nat.column("n_regionkey").to_numpy(),
+                                 nat.column("n_name").to_pylist())}
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "val": pa.array(t.column("c_nationkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "val": pa.array(cents),
+            "side": pa.array(np.ones(len(t), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def join_fold(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "val"]].rename(
+            columns={"val": "nat"})
+        right = g[g["side"] == 1][["key", "val"]].rename(
+            columns={"val": "cents"})
+        m = right.merge(left, on="key")
+        return (m.groupby("nat", as_index=False)
+                .agg(revenue_cents=("cents", "sum"),
+                     n_orders=("cents", "size")))
+
+    parts = (cust.map_batches(tag_cust, batch_format="pyarrow")
+             .union(orders.map_batches(tag_orders,
+                                       batch_format="pyarrow"))
+             .groupby("bucket").map_groups(join_fold,
+                                           batch_format="pandas")
+             .to_pandas())
+    fine = parts.groupby("nat", as_index=False).sum()
+    fine["region"] = [nmap[int(k)][0] for k in fine["nat"]]
+    fine["nation"] = [nmap[int(k)][1] for k in fine["nat"]]
+    lvl0 = fine[["region", "nation", "revenue_cents", "n_orders"]]
+    lvl1 = (fine.groupby("region", as_index=False)[
+                ["revenue_cents", "n_orders"]].sum()
+            .assign(nation="ALL"))
+    lvl2 = (fine[["revenue_cents", "n_orders"]].sum().to_frame().T
+            .assign(region="ALL", nation="ALL"))
+    out = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
+        ["region", "nation", "revenue_cents", "n_orders"]]
+    return (out.sort_values(["region", "nation"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"revenue_cents": "int64", "n_orders": "int64"}))
