@@ -293,3 +293,150 @@ def test_user_streak_max_brute(events_case):
             best = max(best, run)
         assert int(out.loc[u, "n_days"]) == len(days)
         assert int(out.loc[u, "max_streak"]) == best
+
+
+def test_session_funnel_strict_brute(events_case):
+    from container_crawler_ray.pipelines.analytics import (
+        session_funnel_strict)
+    d, df = events_case
+    gap = 1_800_000_000
+    got = session_funnel_strict(d).set_index("user_id")
+    for u, g in df.groupby("user_id"):
+        g = g.sort_values("ts_us")
+        ts = g.ts_us.to_numpy()
+        et = g.event_type.to_numpy()
+        brk = np.ones(len(ts), dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap
+        sid = np.cumsum(brk) - 1
+        n_funnel = 0
+        for s in range(sid.max() + 1):
+            m = sid == s
+            st, se = ts[m], et[m]
+            # exists click < view < purchase, strictly increasing ts
+            ok = any(t1 < t2 < t3
+                     for t1 in st[se == "click"]
+                     for t2 in st[se == "view"]
+                     for t3 in st[se == "purchase"])
+            n_funnel += int(ok)
+        assert got.loc[u, "n_sessions"] == sid.max() + 1
+        assert got.loc[u, "n_funnel_sessions"] == n_funnel
+
+
+def _make_lineitem_dir(tmp_path, n_orders=60, seed=3):
+    """Tiny lineitem table with duplicate (orderkey, linenumber) rows
+    (the tiebreak case), repeated partkeys inside an order (self-edge
+    case) and a dense enough graph that wedges and triangles exist."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for ok in range(n_orders):
+        n_lines = rng.randint(1, 7)
+        for ln in range(n_lines):
+            rows.append((ok, ln, int(rng.randint(0, 18))))
+        if n_lines > 2 and ok % 5 == 0:      # duplicate linenumber
+            rows.append((ok, 1, int(rng.randint(0, 18))))
+    ok, ln, pk = map(np.array, zip(*rows))
+    tbl = pa.table({
+        "l_orderkey": pa.array(ok.astype(np.int64)),
+        "l_linenumber": pa.array(ln.astype(np.int64)),
+        "l_partkey": pa.array(pk.astype(np.int64)),
+        "l_quantity": pa.array(np.ones(len(ok))),
+        "l_extendedprice": pa.array(np.ones(len(ok))),
+        "l_discount": pa.array(np.zeros(len(ok)))})
+    d = tmp_path / "sf_graph"
+    d.mkdir()
+    pq.write_table(tbl, d / "lineitem.parquet")
+    # brute undirected distinct edge set under the engine's total order
+    df = tbl.to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber", "l_partkey"])
+    edges = set()
+    for _, g in df.groupby("l_orderkey"):
+        p = g.l_partkey.to_numpy()
+        for i in range(len(p) - 1):
+            a, b = int(p[i]), int(p[i + 1])
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    return str(d), edges
+
+
+@pytest.fixture(scope="module")
+def graph_case(tmp_path_factory):
+    return _make_lineitem_dir(tmp_path_factory.mktemp("graphbrute"))
+
+
+def _adj(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_part_link_prediction_brute(graph_case):
+    from container_crawler_ray.pipelines.graph import part_link_prediction
+    d, edges = graph_case
+    adj = _adj(edges)
+    nodes = sorted(adj)
+    cn = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) in edges:
+                continue
+            k = len(adj[a] & adj[b])
+            if k:
+                cn[(a, b)] = k
+    want = sorted(cn.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = part_link_prediction(d)
+    assert [((r.p1, r.p2), r.cn) for r in got.itertuples()] == want
+
+
+def test_part_clustering_coeff_brute(graph_case):
+    from container_crawler_ray.pipelines.graph import part_clustering_coeff
+    d, edges = graph_case
+    adj = _adj(edges)
+    got = part_clustering_coeff(d).set_index("p_partkey")
+    expect_nodes = sorted(v for v in adj if len(adj[v]) >= 2)
+    assert list(got.index) == expect_nodes
+    for v in expect_nodes:
+        nb = sorted(adj[v])
+        closed = sum(1 for i in range(len(nb)) for j in range(i + 1, len(nb))
+                     if (nb[i], nb[j]) in edges)
+        deg = len(nb)
+        assert got.loc[v, "deg"] == deg
+        assert got.loc[v, "n_closed"] == closed
+        assert got.loc[v, "cc_bps"] == closed * 10000 // (deg * (deg - 1) // 2)
+
+
+def test_part_neighbor_jaccard_brute(graph_case):
+    from container_crawler_ray.pipelines.graph import part_neighbor_jaccard
+    d, edges = graph_case
+    adj = _adj(edges)
+    rows = []
+    for a, b in sorted(edges):
+        k = len(adj[a] & adj[b])
+        if k:
+            rows.append(((a, b), k, len(adj[a]), len(adj[b]),
+                         k * 10000 // (len(adj[a]) + len(adj[b]) - k)))
+    want = sorted(rows, key=lambda r: (-r[4], r[0]))[:100]
+    got = part_neighbor_jaccard(d)
+    assert [((r.p1, r.p2), r.cn, r.deg_a, r.deg_b, r.jacc_bps)
+            for r in got.itertuples()] == want
+
+
+def test_part_assortativity_brute(graph_case):
+    from container_crawler_ray.pipelines.graph import part_assortativity
+    d, edges = graph_case
+    adj = _adj(edges)
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [len(adj[a]), len(adj[b])]
+        ys += [len(adj[b]), len(adj[a])]
+    x = np.array(xs, dtype=np.float64)
+    y = np.array(ys, dtype=np.float64)
+    m = float(len(x))
+    num = m * float((x * y).sum()) - x.sum() * y.sum()
+    den = (np.sqrt(m * float((x * x).sum()) - x.sum() ** 2)
+           * np.sqrt(m * float((y * y).sum()) - y.sum() ** 2))
+    got = part_assortativity(d)
+    assert int(got.n_edges.iloc[0]) == len(edges)
+    assert int(got.m_oriented.iloc[0]) == len(x)
+    assert abs(int(got.r_milli.iloc[0]) - int(np.floor(num / den * 1000))) <= 1
