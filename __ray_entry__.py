@@ -168,6 +168,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_assortativity": graph.part_assortativity,
         "purchase_delta": analytics.purchase_delta,
         "region_nation_rollup": joins.region_nation_rollup,
+        "events_ttest": analytics.events_ttest,
+        "events_trend_forecast": analytics.events_trend_forecast,
+        "session_bounce_rate": analytics.session_bounce_rate,
+        "source_mixture_weights": curate.source_mixture_weights,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2934,6 +2938,122 @@ def oracle_sql() -> dict[str, str]:
                    CAST(deg_b AS BIGINT) AS deg_b,
                    CAST(jacc_bps AS BIGINT) AS jacc_bps
             FROM j ORDER BY jacc_bps DESC, p1, p2 LIMIT 100
+        """,
+        "events_ttest": """
+            WITH m AS (
+              SELECT
+                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS n_a,
+                SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value*100) AS BIGINT)
+                    ELSE 0 END) AS s_a,
+                SUM(CASE WHEN event_type = 'click'
+                    THEN CAST(FLOOR(value*100) AS BIGINT)
+                         * CAST(FLOOR(value*100) AS BIGINT)
+                    ELSE 0 END) AS ss_a,
+                SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS n_b,
+                SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value*100) AS BIGINT)
+                    ELSE 0 END) AS s_b,
+                SUM(CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value*100) AS BIGINT)
+                         * CAST(FLOOR(value*100) AS BIGINT)
+                    ELSE 0 END) AS ss_b
+              FROM events),
+            f AS (
+              SELECT n_a, n_b,
+                     (CAST(n_a AS DOUBLE)*CAST(ss_a AS DOUBLE)
+                      - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1.0))
+                     / CAST(n_a AS DOUBLE) AS sea,
+                     (CAST(n_b AS DOUBLE)*CAST(ss_b AS DOUBLE)
+                      - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0))
+                     / CAST(n_b AS DOUBLE) AS seb,
+                     CAST(s_a AS DOUBLE)/CAST(n_a AS DOUBLE)
+                     - CAST(s_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS md
+              FROM m)
+            SELECT CAST(n_a AS BIGINT) AS n_a,
+                   CAST(n_b AS BIGINT) AS n_b,
+                   CAST(FLOOR(md / sqrt(sea + seb) * 1000.0)
+                        AS BIGINT) AS t_milli,
+                   CAST(FLOOR((sea + seb) * (sea + seb)
+                        / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                           + seb * seb / (CAST(n_b AS DOUBLE) - 1.0))
+                        * 1000.0) AS BIGINT) AS df_milli
+            FROM f
+        """,
+        "events_trend_forecast": """
+            WITH d AS (SELECT epoch_us(ts)//86400000000 AS day
+                       FROM events),
+            r AS (SELECT day, COUNT(*) AS n FROM d GROUP BY 1),
+            rng AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM r),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day
+                     FROM rng),
+            gx AS (SELECT grid.day, COALESCE(n, 0) AS y
+                   FROM grid LEFT JOIN r USING (day)),
+            g AS (SELECT gx.day - rng.mn AS x, y, rng.mn AS lo
+                  FROM gx, rng),
+            m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x*y) AS sxy, SUM(x*x) AS sxx,
+                         MIN(lo) AS lo
+                  FROM g),
+            c AS (SELECT n, lo,
+                         n*sxy - sx*sy AS num,
+                         n*sxx - sx*sx AS den,
+                         sy*(n*sxx - sx*sx)
+                         - (n*sxy - sx*sy)*sx AS inum
+                  FROM m)
+            SELECT CAST(num * 1000000 // den AS BIGINT)
+                       AS slope_micro,
+                   CAST(inum * 1000000 // (n * den) AS BIGINT)
+                       AS icept_micro,
+                   CAST(lo + n - 1 + h.h AS BIGINT) AS day_id,
+                   CAST((inum + num * (n - 1 + h.h) * n) // (n * den)
+                        AS BIGINT) AS forecast
+            FROM c, (SELECT unnest(generate_series(1, 7)) AS h) h
+            ORDER BY day_id
+        """,
+        "session_bounce_rate": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+            lagd AS (SELECT user_id, t,
+                            lag(t) OVER (PARTITION BY user_id
+                                         ORDER BY t) AS pt FROM e),
+            brk AS (SELECT user_id, t,
+                           CASE WHEN pt IS NULL OR t - pt > 1800000000
+                                THEN 1 ELSE 0 END AS news FROM lagd),
+            sess AS (SELECT user_id, t,
+                            SUM(news) OVER (PARTITION BY user_id
+                                ORDER BY t ROWS UNBOUNDED PRECEDING)
+                                AS sid FROM brk),
+            per AS (SELECT user_id, sid, COUNT(*) AS n
+                    FROM sess GROUP BY 1, 2)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        * 10000 // COUNT(*) AS BIGINT) AS bounce_bps
+            FROM per GROUP BY 1 ORDER BY 1
+        """,
+        "source_mixture_weights": r"""
+            WITH t AS (
+              SELECT source,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS nt
+              FROM documents),
+            g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(nt) AS BIGINT) AS n_tokens
+                  FROM t GROUP BY 1),
+            tot AS (SELECT SUM(n_tokens) AS total,
+                           COUNT(*) AS k FROM g)
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens * 10000 // total AS BIGINT)
+                       AS share_bps,
+                   CAST(total * 10000 // (k * n_tokens) AS BIGINT)
+                       AS weight_bps
+            FROM g, tot ORDER BY source
         """,
         "part_clustering_coeff": """
             WITH L AS (

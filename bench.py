@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "part_neighbor_jaccard",
     "part_clustering_coeff", "part_assortativity",
     "purchase_delta", "region_nation_rollup",
+    "events_ttest", "events_trend_forecast",
+    "session_bounce_rate", "source_mixture_weights",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -5033,3 +5033,154 @@ def purchase_delta(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     return (out.sort_values(["user_id", "event_id"], kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def events_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch two-sample t-test (click vs purchase values) from EXACT
+    int64 moment partials — the unequal-variance companion to
+    ``events_mwu``: each block ships six integers, the driver folds
+    them and evaluates Welch's t and the Welch–Satterthwaite df in
+    float64 with the SAME operation order as the SQL twin (the
+    ``lineitem_corr`` IEEE-matching discipline; sample variance via
+    the n·Σx²−(Σx)² integer form). t_milli = floor(1000·t),
+    df_milli = floor(1000·df)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        out = {}
+        for name, lab in (("a", "click"), ("b", "purchase")):
+            m = pc.equal(et, lab).to_numpy(zero_copy_only=False)
+            x = v[m]
+            out[f"n_{name}"] = [len(x)]
+            out[f"s_{name}"] = [int(x.sum())]
+            out[f"ss_{name}"] = [int((x * x).sum())]
+        return pa.table(out)
+
+    p = (ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+         .sum())
+    na, sa, ssa = int(p["n_a"]), int(p["s_a"]), int(p["ss_a"])
+    nb, sb, ssb = int(p["n_b"]), int(p["s_b"]), int(p["ss_b"])
+    # IEEE closed form, mirrored term-for-term in the SQL twin
+    va = (float(na) * float(ssa) - float(sa) * float(sa)) \
+        / (float(na) * (float(na) - 1.0))
+    vb = (float(nb) * float(ssb) - float(sb) * float(sb)) \
+        / (float(nb) * (float(nb) - 1.0))
+    sea = va / float(na)
+    seb = vb / float(nb)
+    t_stat = (float(sa) / float(na) - float(sb) / float(nb)) \
+        / np.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) \
+        / (sea * sea / (float(na) - 1.0)
+           + seb * seb / (float(nb) - 1.0))
+    return pd.DataFrame({
+        "n_a": [na], "n_b": [nb],
+        "t_milli": [int(np.floor(t_stat * 1000.0))],
+        "df_milli": [int(np.floor(df * 1000.0))]}).astype("int64")
+
+
+def events_trend_forecast(sf_dir: str, horizon: int = 7) -> pd.DataFrame:
+    """Linear-trend forecast over the gapfilled daily-volume series in
+    EXACT integers end to end: OLS slope/intercept on (day index,
+    count) have integer numerators and denominators, so the fitted
+    line and the ``horizon`` forecast days are exact rational
+    arithmetic — slope_micro = num·10⁶ // den, forecasts floor-rounded
+    from the same integers. Per-block day-bincount partials fold into
+    one |days| vector on the driver (zero shuffle, the
+    ``events_seasonal_backtest`` idiom). SQL twin: the same integer
+    sums via aggregates over the day grid."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("day", as_index=False)["n"].sum())
+    lo = int(parts["day"].min())
+    nd = int(parts["day"].max()) - lo + 1
+    y = np.zeros(nd, dtype=np.int64)
+    y[parts["day"].to_numpy(np.int64) - lo] = parts["n"].to_numpy(
+        np.int64)
+    x = np.arange(nd, dtype=np.int64)           # day index 0..nd-1
+    n = nd
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    # floor-division semantics must match DuckDB's `//` (truncation):
+    # num can be negative, so compute both sides with explicit
+    # sign-safe floor (DuckDB x//y truncates toward zero — mirror by
+    # dividing magnitudes and re-applying the sign)
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    slope_micro = _tdiv(num * 1_000_000, den)
+    icept_num = sy * den - num * sx             # intercept = this/(n*den)
+    icept_micro = _tdiv(icept_num * 1_000_000, n * den)
+    rows = []
+    for h in range(1, horizon + 1):
+        xf = nd - 1 + h
+        # forecast = (icept_num + num*xf) / (n*den), floored the same way
+        fnum = icept_num + num * xf * n
+        rows.append((xf + lo, _tdiv(fnum, n * den)))
+    out = pd.DataFrame(rows, columns=["day_id", "forecast"])
+    out.insert(0, "slope_micro", slope_micro)
+    out.insert(1, "icept_micro", icept_micro)
+    return out.astype("int64")
+
+
+def session_bounce_rate(sf_dir: str,
+                        gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Bounce rate per user: share of 30-minute sessions containing a
+    SINGLE event, in exact basis points — the engagement-quality cut
+    every product-analytics stack reports. Same one-exchange
+    sessionization as :func:`session_funnel_strict` (sort, gap-break
+    cumsum); session sizes come from one reduceat and the per-user
+    rollup never leaves the bucket. SQL twin: window sessionization +
+    per-session counts."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        newu = np.empty(n, dtype=bool)
+        newu[0] = True
+        newu[1:] = u[1:] != u[:-1]
+        brk = newu.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sstarts = np.flatnonzero(brk)
+        sizes = np.diff(np.append(sstarts, n))
+        user_of_sid = u[sstarts]
+        nu = np.empty(len(sstarts), dtype=bool)
+        nu[0] = True
+        nu[1:] = user_of_sid[1:] != user_of_sid[:-1]
+        ust = np.flatnonzero(nu)
+        n_sessions = np.add.reduceat(
+            np.ones(len(sizes), dtype=np.int64), ust)
+        n_bounce = np.add.reduceat(
+            (sizes == 1).astype(np.int64), ust)
+        return pd.DataFrame({
+            "user_id": user_of_sid[ust],
+            "n_sessions": n_sessions, "n_bounce": n_bounce,
+            "bounce_bps": n_bounce * 10000 // n_sessions})
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    return (out.sort_values("user_id", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

@@ -446,3 +446,45 @@ def source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
         .sum()
     return (out.sort_values(["src_a", "src_b"], kind="mergesort")
             .reset_index(drop=True).astype({"n_common": "int64"}))
+
+
+def source_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Training-mixture planner: per source, its document/token counts,
+    its share of the corpus, and the repeat factor (in exact basis
+    points) that would equalize token contributions across sources —
+    the table a data-mixing stage reads to upsample rare sources
+    toward a uniform target. One streaming pass (token counts are one
+    vectorized RE2 scan per block; partials are |sources|-sized), no
+    shuffle. weight_bps = total_tokens·10⁴ // (n_sources·tokens_s).
+    SQL twin: regexp token counts + share arithmetic."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    from ..functions.text import token_counts
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = token_counts(t.column("text"))
+        df = pd.DataFrame({
+            "source": t.column("source").to_pandas(),
+            "n_tokens": nt.to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = (df.groupby("source", as_index=False)
+             .agg(n_docs=("n_tokens", "size"),
+                  n_tokens=("n_tokens", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("source", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum")))
+    total = int(agg["n_tokens"].sum())
+    k = len(agg)
+    toks = agg["n_tokens"].to_numpy(np.int64)
+    return (pd.DataFrame({
+        "source": agg["source"],
+        "n_docs": agg["n_docs"].to_numpy(np.int64),
+        "n_tokens": toks,
+        "share_bps": toks * 10000 // total,
+        "weight_bps": total * 10000 // (k * toks)})
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_docs": "int64", "n_tokens": "int64",
+                 "share_bps": "int64", "weight_bps": "int64"}))
