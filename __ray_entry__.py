@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_forecast": analytics.events_trend_forecast,
         "session_bounce_rate": analytics.session_bounce_rate,
         "source_mixture_weights": curate.source_mixture_weights,
+        "events_props_stats": analytics.events_props_stats,
+        "events_survival_curve": analytics.events_survival_curve,
+        "events_calibration_bins": analytics.events_calibration_bins,
+        "orders_dow_effect": joins.orders_dow_effect,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -2938,6 +2942,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(deg_b AS BIGINT) AS deg_b,
                    CAST(jacc_bps AS BIGINT) AS jacc_bps
             FROM j ORDER BY jacc_bps DESC, p1, p2 LIMIT 100
+        """,
+        "events_props_stats": """
+            WITH k AS (SELECT event_type,
+                              CAST(props->>'k' AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   CAST(quantile_disc(k, 0.5) AS BIGINT) AS k_p50,
+                   CAST(quantile_disc(k, 0.9) AS BIGINT) AS k_p90
+            FROM k GROUP BY 1 ORDER BY 1
+        """,
+        "events_survival_curve": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id
+                       FROM events),
+            l AS (SELECT t - lag(t) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id) AS gap
+                  FROM e),
+            g AS (SELECT gap FROM l WHERE gap IS NOT NULL),
+            grid AS (SELECT CAST(unnest(
+                         [1,2,5,10,15,30,60,120,240,480]) AS BIGINT)
+                         AS k_min),
+            tot AS (SELECT COUNT(*) AS n_gaps FROM g)
+            SELECT CAST(k_min AS BIGINT) AS k_min,
+                   CAST(SUM(CASE WHEN gap > k_min * 60000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+                   CAST(SUM(CASE WHEN gap > k_min * 60000000
+                            THEN 1 ELSE 0 END) * 10000
+                        // GREATEST(tot.n_gaps, 1) AS BIGINT)
+                       AS survival_bps,
+                   CAST(tot.n_gaps AS BIGINT) AS n_gaps
+            FROM grid, tot, g
+            GROUP BY k_min, tot.n_gaps ORDER BY k_min
+        """,
+        "events_calibration_bins": """
+            WITH b AS (SELECT LEAST(CAST(FLOOR(value*100) AS BIGINT)
+                                    // 1000, 40) AS bin,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS p
+                       FROM events)
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(p) AS BIGINT) AS n_purchase,
+                   CAST(SUM(p) * 10000 // COUNT(*) AS BIGINT)
+                       AS purchase_bps
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "orders_dow_effect": """
+            WITH d AS (SELECT (epoch_us(o_orderdate)//86400000000 + 3)
+                                  % 7 AS dow,
+                              CAST(FLOOR(o_totalprice*100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            g AS (SELECT dow, COUNT(*) AS n_orders,
+                         SUM(cents) AS revenue_cents
+                  FROM d GROUP BY 1),
+            t AS (SELECT SUM(revenue_cents) AS tot FROM g)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(n_orders AS BIGINT) AS n_orders,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(revenue_cents * 10000 // tot AS BIGINT)
+                       AS share_bps,
+                   CAST(revenue_cents * 7 * 10000 // tot AS BIGINT)
+                       AS lift_bps
+            FROM g, t ORDER BY 1
         """,
         "events_ttest": """
             WITH m AS (

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "purchase_delta", "region_nation_rollup",
     "events_ttest", "events_trend_forecast",
     "session_bounce_rate", "source_mixture_weights",
+    "events_props_stats", "events_survival_curve",
+    "events_calibration_bins", "orders_dow_effect",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

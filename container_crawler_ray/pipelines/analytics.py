@@ -5184,3 +5184,133 @@ def session_bounce_rate(sf_dir: str,
            .to_pandas())
     return (out.sort_values("user_id", kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload extraction: pull the integer ``k`` out
+    of the JSON ``props`` column and profile it per event type — n,
+    sum, and EXACT p50/p90 from a dense 100-cell bincount (k is
+    bounded 0..99, so quantiles are a constant-size histogram fold,
+    never a sort). The extraction is one vectorized RE2
+    ``extract_regex`` per block (Arrow has no JSON kernel; the payload
+    grammar here is single-key so first-integer extraction IS the JSON
+    value — the SQL twin reads it through DuckDB's native ``->>`` to
+    prove the two parses agree). Partials are |types|×100 cells."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column("props"), r"(?P<k>\d+)")
+        k = pc.struct_field(ex, "k").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(), "k": k})
+        g = (df.groupby(["event_type", "k"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby(["event_type", "k"], as_index=False)["n"].sum())
+    rows = []
+    for et, g in cells.groupby("event_type"):
+        k = g["k"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(k)
+        k, n = k[order], n[order]
+        tot = int(n.sum())
+        cum = np.cumsum(n)
+        # discrete lower quantile: smallest k with cum*q_den >= tot*q_num
+        p50 = int(k[np.searchsorted(cum * 2, tot, side="left")])
+        p90 = int(k[np.searchsorted(cum * 10, tot * 9, side="left")])
+        rows.append((et, tot, int((k * n).sum()), p50, p90))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "sum_k",
+                                      "k_p50", "k_p90"])
+    return (out.sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "sum_k": "int64",
+                     "k_p50": "int64", "k_p90": "int64"}))
+
+
+_SURVIVAL_GRID_MIN = (1, 2, 5, 10, 15, 30, 60, 120, 240, 480)
+
+
+def events_survival_curve(sf_dir: str) -> pd.DataFrame:
+    """Inter-event survival function: for each horizon k on a fixed
+    minutes grid, the share of per-user consecutive-event gaps
+    STRICTLY longer than k, in exact basis points — the hazard curve
+    that tells a scheduler how long a user is likely to stay away.
+    Gaps are derived per ``user % 64`` bucket under the total
+    (ts, event_id) order; each bucket folds to an 11-counter partial
+    (grid cells + total), so the exchange moves constant-size rows.
+    SQL twin: LAG gaps × grid cross join."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    grid_us = np.array(_SURVIVAL_GRID_MIN, dtype=np.int64) * 60_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_id": t.column("event_id"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        u, ts = u[order], ts[order]
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        counts = (gaps[None, :] > grid_us[:, None]).sum(axis=1) \
+            if len(gaps) else np.zeros(len(grid_us), dtype=np.int64)
+        return pd.DataFrame({
+            "k_min": np.asarray(_SURVIVAL_GRID_MIN, dtype=np.int64),
+            "n_gt": counts.astype(np.int64),
+            "n_gaps": np.int64(len(gaps))})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("k_min", as_index=False).sum()
+    # each bucket repeats its n_gaps on all |grid| rows → sum/|grid|
+    tot = int(agg["n_gaps"].sum()) // len(_SURVIVAL_GRID_MIN)
+    return pd.DataFrame({
+        "k_min": agg["k_min"].to_numpy(np.int64),
+        "n_gt": agg["n_gt"].to_numpy(np.int64),
+        "survival_bps": agg["n_gt"].to_numpy(np.int64) * 10000
+        // max(tot, 1),
+        "n_gaps": tot}).astype("int64")
+
+
+def events_calibration_bins(sf_dir: str) -> pd.DataFrame:
+    """Reliability-diagram binning: events bucketed into fixed
+    $10-wide value bins (capped at bin 40) and scored by the exact
+    purchase share per bin in basis points — the calibration readout
+    an eval harness produces for a propensity score. Constant-size
+    per-block partials (≤41 bins × 2 counters), zero shuffle. SQL
+    twin: integer bin arithmetic + conditional aggregate."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        b = np.minimum(cents // 1000, 40)
+        purch = pc.equal(t.column("event_type"), "purchase") \
+            .to_numpy(zero_copy_only=False)
+        nb = np.bincount(b, minlength=41).astype(np.int64)
+        np_ = np.bincount(b[purch], minlength=41).astype(np.int64)
+        keep = nb > 0
+        return pa.table({
+            "bin": pa.array(np.flatnonzero(keep).astype(np.int64)),
+            "n": pa.array(nb[keep]),
+            "n_purchase": pa.array(np_[keep])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("bin", as_index=False).sum())
+    n = agg["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "bin": agg["bin"].to_numpy(np.int64),
+        "n": n,
+        "n_purchase": agg["n_purchase"].to_numpy(np.int64),
+        "purchase_bps": agg["n_purchase"].to_numpy(np.int64)
+        * 10000 // n}).astype("int64")

@@ -2874,3 +2874,37 @@ def region_nation_rollup(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["region", "nation"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"revenue_cents": "int64", "n_orders": "int64"}))
+
+
+def orders_dow_effect(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality effect on order revenue: per weekday
+    (0 = Monday via the pure-integer ``(epoch_days + 3) % 7``
+    arithmetic — no calendar library on either side), order count,
+    revenue, revenue share and the lift vs a uniform week in exact
+    basis points. Constant-size per-block partials (7 cells), zero
+    shuffle. SQL twin: the same integer dow expression."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (t.column("o_orderdate").cast(pa.int64()).to_numpy()
+                // 86_400_000_000)
+        dow = (days + 3) % 7
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100).astype(np.int64)
+        n = np.bincount(dow, minlength=7).astype(np.int64)
+        rev = np.bincount(dow, weights=cents, minlength=7) \
+            .astype(np.int64)
+        return pa.table({"dow": pa.array(np.arange(7, dtype=np.int64)),
+                         "n_orders": pa.array(n),
+                         "revenue_cents": pa.array(rev)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+           .groupby("dow", as_index=False).sum())
+    rev = agg["revenue_cents"].to_numpy(np.int64)
+    tot = int(rev.sum())
+    return pd.DataFrame({
+        "dow": agg["dow"].to_numpy(np.int64),
+        "n_orders": agg["n_orders"].to_numpy(np.int64),
+        "revenue_cents": rev,
+        "share_bps": rev * 10000 // tot,
+        "lift_bps": rev * 7 * 10000 // tot}).astype("int64")
