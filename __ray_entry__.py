@@ -176,6 +176,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_survival_curve": analytics.events_survival_curve,
         "events_calibration_bins": analytics.events_calibration_bins,
         "orders_dow_effect": joins.orders_dow_effect,
+        "user_distinct_kmv": analytics.user_distinct_kmv,
+        "events_dedup_burst": analytics.events_dedup_burst,
+        "embedding_norm_outliers": analytics.embedding_norm_outliers,
+        "order_flag_signature": joins.order_flag_signature,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3006,6 +3010,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(revenue_cents * 7 * 10000 // tot AS BIGINT)
                        AS lift_bps
             FROM g, t ORDER BY 1
+        """,
+        "user_distinct_kmv": """
+            WITH h AS (SELECT DISTINCT event_type,
+                              CAST(('0x' || substr(md5(CAST(user_id
+                                       AS VARCHAR)), 1, 15)) AS UBIGINT)
+                                  AS h
+                       FROM events),
+            r AS (SELECT event_type, h,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                                            ORDER BY h) AS rk,
+                         COUNT(*) OVER (PARTITION BY event_type) AS nd
+                  FROM h),
+            g AS (SELECT event_type, MAX(nd) AS nd,
+                         MAX(CASE WHEN rk = LEAST(nd, 64)
+                             THEN h END) AS kth
+                  FROM r GROUP BY 1)
+            SELECT event_type,
+                   CAST(LEAST(nd, 64) AS BIGINT) AS k_used,
+                   CAST(kth AS BIGINT) AS kth_hash,
+                   CAST(CASE WHEN nd >= 64
+                        THEN CAST(63 AS HUGEINT)
+                             * CAST(1152921504606846976 AS HUGEINT)
+                             // CAST(kth AS HUGEINT)
+                        ELSE nd END AS BIGINT) AS est_distinct
+            FROM g ORDER BY event_type
+        """,
+        "events_dedup_burst": """
+            WITH l AS (SELECT event_type,
+                              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS gap
+                       FROM events)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN gap <= 60000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                   CAST(COUNT(*) - SUM(CASE WHEN gap <= 60000000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN gap <= 60000000
+                            THEN 1 ELSE 0 END) * 10000
+                        // COUNT(*) AS BIGINT) AS dup_bps
+            FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_norm_outliers": """
+            WITH e AS (SELECT vec_id,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                       AS DOUBLE)*1000.0) AS BIGINT)
+                                  AS iv
+                       FROM embeddings),
+            n AS (SELECT vec_id, CAST(SUM(iv*iv) AS BIGINT) AS sq
+                  FROM e GROUP BY 1),
+            hi AS (SELECT 'high' AS side,
+                          ROW_NUMBER() OVER (ORDER BY sq DESC, vec_id)
+                              AS rk, vec_id, sq
+                   FROM n QUALIFY rk <= 10),
+            lo AS (SELECT 'low' AS side,
+                          ROW_NUMBER() OVER (ORDER BY sq, vec_id)
+                              AS rk, vec_id, sq
+                   FROM n QUALIFY rk <= 10)
+            SELECT side, CAST(rk AS BIGINT) AS rk,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   sq AS sq_norm_fp
+            FROM (SELECT * FROM hi UNION ALL SELECT * FROM lo)
+            ORDER BY side, rk
+        """,
+        "order_flag_signature": """
+            WITH s AS (SELECT l_orderkey,
+                              STRING_AGG(l_returnflag, ''
+                                  ORDER BY l_linenumber, l_returnflag)
+                                  AS sig
+                       FROM lineitem GROUP BY 1)
+            SELECT sig, CAST(length(sig) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         "events_ttest": """
             WITH m AS (

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "session_bounce_rate", "source_mixture_weights",
     "events_props_stats", "events_survival_curve",
     "events_calibration_bins", "orders_dow_effect",
+    "user_distinct_kmv", "events_dedup_burst",
+    "embedding_norm_outliers", "order_flag_signature",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -5314,3 +5314,146 @@ def events_calibration_bins(sf_dir: str) -> pd.DataFrame:
         "n_purchase": agg["n_purchase"].to_numpy(np.int64),
         "purchase_bps": agg["n_purchase"].to_numpy(np.int64)
         * 10000 // n}).astype("int64")
+
+
+def user_distinct_kmv(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """KMV (k-minimum-values) bottom-k distinct-count sketch per event
+    type — the mergeable cardinality sketch whose state is k hashes
+    regardless of input size (the 100-TB answer to COUNT(DISTINCT)).
+    Each block keeps the k smallest DISTINCT 60-bit md5 hashes of the
+    user ids it saw (≤ k rows per type per block leave the map stage);
+    the driver merge is the KMV union: merge-dedup-truncate. The
+    estimator ``(k-1)·2^60 // kth_min`` is exact integer arithmetic,
+    and when fewer than k distinct hashes exist the sketch degrades to
+    the EXACT distinct count — so the SQL twin (same md5 top-60-bit
+    parse, window-ranked kth hash, HUGEINT estimator) matches
+    bit-for-bit on both branches."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy()
+        types, hs = [], []
+        for ty in np.unique(et):
+            u = np.unique(uid[et == ty])
+            h = np.unique(hash64_many([str(x) for x in u])
+                          >> np.uint64(4))
+            keep = h if len(h) <= k else np.partition(h, k - 1)[:k]
+            types.extend([str(ty)] * len(keep))
+            hs.append(np.sort(keep).astype(np.int64))
+        flat = np.concatenate(hs) if hs else np.array([], dtype=np.int64)
+        return pa.table({"event_type": pa.array(types, type=pa.string()),
+                         "h": pa.array(flat)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for ty, g in parts.groupby("event_type"):
+        h = np.unique(g["h"].to_numpy(np.int64))
+        k_used = min(len(h), k)
+        kth = int(h[k_used - 1])
+        est = ((k - 1) * (1 << 60)) // kth if len(h) >= k else len(h)
+        rows.append((ty, k_used, kth, est))
+    out = pd.DataFrame(rows, columns=["event_type", "k_used",
+                                      "kth_hash", "est_distinct"])
+    return (out.sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"k_used": "int64", "kth_hash": "int64",
+                     "est_distinct": "int64"}))
+
+
+def events_dedup_burst(sf_dir: str, window_s: int = 60) -> pd.DataFrame:
+    """Telemetry burst-duplicate suppression readout: an event is a
+    burst duplicate when the PREVIOUS event of the same (user, type) —
+    under the total (ts, event_id) order — is within ``window_s``
+    seconds; per type we report total, duplicate and kept counts plus
+    the duplicate share in exact basis points. The LAG-gap rule (vs
+    previous ROW, not previous kept row) is what keeps the operator
+    one vectorized shifted compare per bucket instead of a sequential
+    recurrence. One ``user % 64`` bucket exchange; each bucket folds
+    to a |types|-row partial."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "event_type": t.column("event_type"),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    win_us = window_s * 1_000_000
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        codes, uniq = pd.factorize(g["event_type"].to_numpy())
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, codes, u))
+        us, cs, tss = u[order], codes[order], ts[order]
+        dup = np.zeros(len(us), dtype=bool)
+        dup[1:] = ((us[1:] == us[:-1]) & (cs[1:] == cs[:-1])
+                   & (tss[1:] - tss[:-1] <= win_us))
+        n = np.bincount(cs, minlength=len(uniq)).astype(np.int64)
+        ndup = np.bincount(cs[dup], minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"event_type": uniq.astype(str),
+                             "n": n, "n_dup": ndup})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("event_type", as_index=False).sum()
+    n = agg["n"].to_numpy(np.int64)
+    ndup = agg["n_dup"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": n, "n_dup": ndup, "n_kept": n - ndup,
+        "dup_bps": ndup * 10000 // n})
+    return (out.sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "n_dup": "int64",
+                     "n_kept": "int64", "dup_bps": "int64"}))
+
+
+def embedding_norm_outliers(sf_dir: str, topk: int = 10) -> pd.DataFrame:
+    """Embedding-corpus norm outliers — the degenerate-vector audit a
+    retrieval index build runs first (all-zero, truncated or blown-up
+    vectors surface at the extremes of the norm distribution). Squared
+    L2 norms in exact 1e-3 fixed point (``floor(v·1000)`` per element,
+    int64 sum of squares — same parse as ``embedding_sim_hist``); each
+    block emits only its ``topk`` highest / lowest candidate rows under
+    the deterministic (sq_norm, vec_id) tie order, so the driver merge
+    is candidate-sized. Output: both extremes with ranks."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        iv = np.floor(flat.astype(np.float64) * 1000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        sq = (iv * iv).sum(axis=1)
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        lo_c = np.lexsort((vid, sq))[:topk]
+        hi_c = np.lexsort((vid, -sq))[:topk]
+        keep = np.unique(np.concatenate([lo_c, hi_c]))
+        return pa.table({"vec_id": pa.array(vid[keep]),
+                         "sq": pa.array(sq[keep])})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    vid = cand["vec_id"].to_numpy(np.int64)
+    sq = cand["sq"].to_numpy(np.int64)
+    hi = np.lexsort((vid, -sq))[:topk]
+    lo = np.lexsort((vid, sq))[:topk]
+    out = pd.DataFrame({
+        "side": ["high"] * len(hi) + ["low"] * len(lo),
+        "rk": np.concatenate([np.arange(1, len(hi) + 1),
+                              np.arange(1, len(lo) + 1)]),
+        "vec_id": np.concatenate([vid[hi], vid[lo]]),
+        "sq_norm_fp": np.concatenate([sq[hi], sq[lo]])})
+    return out.astype({"rk": "int64", "vec_id": "int64",
+                       "sq_norm_fp": "int64"})

@@ -2908,3 +2908,66 @@ def orders_dow_effect(sf_dir: str) -> pd.DataFrame:
         "revenue_cents": rev,
         "share_bps": rev * 10000 // tot,
         "lift_bps": rev * 7 * 10000 // tot}).astype("int64")
+
+
+def order_flag_signature(sf_dir: str) -> pd.DataFrame:
+    """Order shape mining: each order's return-flag SIGNATURE — the
+    concatenation of its lines' ``l_returnflag`` chars under the
+    deterministic (l_linenumber, l_returnflag) order — histogrammed
+    across the table (the pattern-frequency readout sequence-mining
+    jobs start from). The per-order string is never built row-wise:
+    within each ``orderkey % 64`` bucket the flags are base-4 packed
+    (digit 0 terminates, so no length ambiguity) into ONE int64 per
+    order via segment-position arithmetic, uniqued to a
+    pattern-cardinality partial (≤ 3^max_lines distinct), and only the
+    driver decodes the bounded set of packed values back to strings.
+    SQL twin: STRING_AGG(ORDER BY) + GROUP BY."""
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+    flags = np.array(["A", "N", "R"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "ok": pa.array(ok),
+            "ln": t.column("l_linenumber").cast(pa.int64()),
+            "fl": t.column("l_returnflag"),
+            "bucket": pa.array((ok % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        ln = g["ln"].to_numpy(np.int64)
+        fl = np.asarray(g["fl"].to_numpy(), dtype="U1")
+        codes = np.searchsorted(flags, fl).astype(np.int64)
+        order = np.lexsort((codes, ln, ok))
+        oks, cs = ok[order], codes[order]
+        new = np.empty(len(oks), dtype=bool)
+        new[0] = True
+        new[1:] = oks[1:] != oks[:-1]
+        seg = np.cumsum(new) - 1
+        idx = np.arange(len(oks), dtype=np.int64)
+        pos = idx - idx[new][seg]
+        packed = np.zeros(int(seg[-1]) + 1, dtype=np.int64)
+        np.add.at(packed, seg, (cs + 1) * (4 ** pos))
+        u, c = np.unique(packed, return_counts=True)
+        return pd.DataFrame({"packed": u, "n_orders": c.astype(np.int64)})
+
+    parts = (items.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("packed", as_index=False)["n_orders"].sum()
+
+    def decode(p: int) -> str:
+        out = []
+        while p:
+            out.append("ANR"[p % 4 - 1])
+            p //= 4
+        return "".join(out)
+
+    sig = agg["packed"].map(decode)
+    out = pd.DataFrame({
+        "sig": sig,
+        "n_lines": sig.str.len().astype("int64"),
+        "n_orders": agg["n_orders"].astype("int64")})
+    return (out.sort_values("sig", kind="mergesort")
+            .reset_index(drop=True))
