@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified sampling, histogram-sketch quantiles
         "events_ranked": analytics.events_ranked,
         "events_lag_delta": analytics.events_lag_delta,
-        "events_props_stats": analytics.events_props_stats,
+        "events_props_deciles": analytics.events_props_deciles,
         "events_stratified_sample": analytics.events_stratified_sample,
         "events_value_histogram": analytics.events_value_histogram,
         "q5_region_supplier_volume": joins.q5_region_supplier_volume,
@@ -666,7 +666,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events)
             WHERE prev IS NOT NULL
         """,
-        "events_props_stats": """
+        "events_props_deciles": """
             SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
                         // 10 AS BIGINT) AS k_decile,
                    CAST(COUNT(*) AS BIGINT) AS n,

@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "curate_pack", "part_supplier_revenue", "decontaminate_docs",
     "events_grouping_sets", "events_latest_per_key",
     "users_click_and_purchase",
-    "events_ranked", "events_lag_delta", "events_props_stats",
+    "events_ranked", "events_lag_delta", "events_props_deciles",
     "events_stratified_sample", "events_value_histogram",
     "q5_region_supplier_volume", "big_order_lines_bloom",
     "q18_large_orders", "q17_small_qty_revenue",

@@ -879,7 +879,7 @@ def events_lag_delta(sf_dir: str) -> pd.DataFrame:
             .to_pandas())
 
 
-def events_props_stats(sf_dir: str) -> pd.DataFrame:
+def events_props_deciles(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction (SURVEY §2.8 json fn, exercised as a
     pipeline): pull the integer ``k`` field out of the ``props`` JSON
     string column, then aggregate value-cents per k-decile. The extract
