@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_burst": analytics.events_dedup_burst,
         "embedding_norm_outliers": analytics.embedding_norm_outliers,
         "order_flag_signature": joins.order_flag_signature,
+        "user_growth_accounting": analytics.user_growth_accounting,
+        "events_target_encode": analytics.events_target_encode,
+        "events_randomization_test": analytics.events_randomization_test,
+        "lineitem_zorder_layout": analytics.lineitem_zorder_layout,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3051,6 +3055,127 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) * 10000
                         // COUNT(*) AS BIGINT) AS dup_bps
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "user_growth_accounting": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               datediff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) // 7 AS week
+                        FROM events),
+            lagd AS (SELECT user_id, week,
+                            LAG(week) OVER (PARTITION BY user_id
+                                            ORDER BY week) AS pw,
+                            LEAD(week) OVER (PARTITION BY user_id
+                                             ORDER BY week) AS nw
+                     FROM uw),
+            stat AS (SELECT week, COUNT(*) AS n_active,
+                            SUM(CASE WHEN pw IS NULL
+                                THEN 1 ELSE 0 END) AS n_new,
+                            SUM(CASE WHEN pw = week - 1
+                                THEN 1 ELSE 0 END) AS n_retained,
+                            SUM(CASE WHEN pw IS NOT NULL AND pw < week - 1
+                                THEN 1 ELSE 0 END) AS n_resurrected
+                     FROM lagd GROUP BY week),
+            churn AS (SELECT week + 1 AS week, COUNT(*) AS n_churned
+                      FROM lagd
+                      WHERE (nw IS NULL OR nw > week + 1)
+                        AND week + 1 <= (SELECT MAX(week) FROM uw)
+                      GROUP BY week + 1)
+            SELECT CAST(s.week AS BIGINT) AS week,
+                   CAST(s.week * 7 AS BIGINT) AS week_start_day,
+                   CAST(s.n_active AS BIGINT) AS n_active,
+                   CAST(s.n_new AS BIGINT) AS n_new,
+                   CAST(s.n_retained AS BIGINT) AS n_retained,
+                   CAST(s.n_resurrected AS BIGINT) AS n_resurrected,
+                   CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+            FROM stat s LEFT JOIN churn c ON s.week = c.week
+            ORDER BY s.week
+        """,
+        "events_target_encode": """
+            WITH c AS (SELECT event_id, event_type,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            w AS (SELECT event_id, event_type, cents,
+                         SUM(cents) OVER (PARTITION BY event_type) AS s,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM c)
+            SELECT event_id, event_type, cents AS value_cents,
+                   CAST(CASE WHEN n = 1 THEN -1
+                        ELSE (s - cents) // (n - 1)
+                        END AS BIGINT) AS loo_enc_cents
+            FROM w WHERE event_id % 97 = 0 ORDER BY event_id
+        """,
+        "events_randomization_test": """
+            WITH pool AS (
+                SELECT CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS obs_side,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 16)) AS UBIGINT) AS h
+                FROM events WHERE event_type IN ('purchase', 'click')),
+            tot AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM pool),
+            obs AS (SELECT COUNT(*) AS n1, SUM(cents) AS s1
+                    FROM pool WHERE obs_side = 1),
+            ostat AS (SELECT o.n1, ABS(CAST(o.s1 AS HUGEINT)
+                                       * (t.n - o.n1)
+                                       - CAST(t.s - o.s1 AS HUGEINT)
+                                       * o.n1) AS stat
+                      FROM obs o, tot t),
+            reps AS (SELECT r.rep,
+                            SUM(CAST((p.h >> r.rep) & 1 AS BIGINT)) AS n1,
+                            SUM(CASE WHEN (p.h >> r.rep) & 1 = 1
+                                THEN p.cents ELSE 0 END) AS s1
+                     FROM pool p CROSS JOIN
+                          (SELECT unnest(generate_series(0, 63)) AS rep) r
+                     GROUP BY r.rep),
+            rstat AS (SELECT r.rep, r.n1,
+                             ABS(CAST(r.s1 AS HUGEINT) * (t.n - r.n1)
+                                 - CAST(t.s - r.s1 AS HUGEINT) * r.n1)
+                                 AS stat
+                      FROM reps r, tot t)
+            SELECT CAST(-1 AS BIGINT) AS rep,
+                   CAST(n1 AS BIGINT) AS n_side1,
+                   CAST(stat AS BIGINT) AS stat,
+                   CAST(1 AS BIGINT) AS ge_obs
+            FROM ostat
+            UNION ALL
+            SELECT CAST(r.rep AS BIGINT), CAST(r.n1 AS BIGINT),
+                   CAST(r.stat AS BIGINT),
+                   CAST(CASE WHEN r.stat >= o.stat
+                        THEN 1 ELSE 0 END AS BIGINT)
+            FROM rstat r, ostat o
+            ORDER BY rep
+        """,
+        "lineitem_zorder_layout": """
+            WITH base AS (SELECT l_partkey & 65535 AS a0,
+                                 l_suppkey & 65535 AS b0, 0 AS is_max
+                          FROM lineitem
+                          UNION ALL
+                          SELECT MAX(l_partkey & 65535),
+                                 MAX(l_suppkey & 65535), 1
+                          FROM lineitem),
+            s1 AS (SELECT a0, b0, is_max,
+                          (a0 | (a0 << 8)) & 16711935 AS a,
+                          (b0 | (b0 << 8)) & 16711935 AS b FROM base),
+            s2 AS (SELECT a0, b0, is_max,
+                          (a | (a << 4)) & 252645135 AS a,
+                          (b | (b << 4)) & 252645135 AS b FROM s1),
+            s3 AS (SELECT a0, b0, is_max,
+                          (a | (a << 2)) & 858993459 AS a,
+                          (b | (b << 2)) & 858993459 AS b FROM s2),
+            s4 AS (SELECT a0, b0, is_max,
+                          (a | (a << 1)) & 1431655765 AS a,
+                          (b | (b << 1)) & 1431655765 AS b FROM s3),
+            zt AS (SELECT a0, b0, is_max, a | (b << 1) AS z FROM s4),
+            dv AS (SELECT MAX(CASE WHEN is_max = 1 THEN z END) // 256 + 1
+                          AS zdiv FROM zt)
+            SELECT CAST(z // zdiv AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(MIN(a0) AS BIGINT) AS min_part,
+                   CAST(MAX(a0) AS BIGINT) AS max_part,
+                   CAST(MIN(b0) AS BIGINT) AS min_supp,
+                   CAST(MAX(b0) AS BIGINT) AS max_supp
+            FROM zt, dv WHERE is_max = 0
+            GROUP BY z // zdiv ORDER BY bucket
         """,
         "embedding_norm_outliers": """
             WITH e AS (SELECT vec_id,

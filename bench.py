@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "events_calibration_bins", "orders_dow_effect",
     "user_distinct_kmv", "events_dedup_burst",
     "embedding_norm_outliers", "order_flag_signature",
+    "user_growth_accounting", "events_target_encode",
+    "events_randomization_test", "lineitem_zorder_layout",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

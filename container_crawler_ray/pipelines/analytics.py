@@ -5457,3 +5457,235 @@ def embedding_norm_outliers(sf_dir: str, topk: int = 10) -> pd.DataFrame:
         "sq_norm_fp": np.concatenate([sq[hi], sq[lo]])})
     return out.astype({"rk": "int64", "vec_id": "int64",
                        "sq_norm_fp": "int64"})
+
+
+def user_growth_accounting(sf_dir: str) -> pd.DataFrame:
+    """Growth-accounting waterfall (the product-analytics decomposition
+    of weekly active users): every active (user, week) pair is classified
+    NEW (no earlier active week), RETAINED (active the immediately
+    preceding week) or RESURRECTED (returning after a gap), and CHURNED
+    at week w counts users active in some week < w whose next activity
+    is not w-1's successor (i.e. active at w-1, silent at w). Weeks are
+    pure-integer ``epoch_days // 7`` — no calendar library on either
+    side. One ``user % 64`` bucket exchange over DEDUPED (user, week)
+    pairs; each bucket folds to per-week counters via np.unique on a
+    packed ``user·2^32 + week`` key, so the driver merge is
+    week-cardinality. Churn rows past the last globally active week are
+    dropped after the merge (the data simply ends there)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        days = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"pack": pa.array(u * (1 << 32) + days // 7),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = np.unique(g["pack"].to_numpy(np.int64))
+        uu, ww = pairs >> 32, pairs & 0xFFFFFFFF
+        same_prev = np.zeros(len(pairs), dtype=bool)
+        same_prev[1:] = uu[1:] == uu[:-1]
+        gap = np.zeros(len(pairs), dtype=np.int64)
+        gap[1:] = ww[1:] - ww[:-1]
+        new = ~same_prev
+        ret = same_prev & (gap == 1)
+        res = same_prev & (gap > 1)
+        # churn attributed at w+1 when the user's NEXT pair is not w+1
+        last_of_user = np.ones(len(pairs), dtype=bool)
+        last_of_user[:-1] = uu[:-1] != uu[1:]
+        next_gap = np.zeros(len(pairs), dtype=np.int64)
+        next_gap[:-1] = ww[1:] - ww[:-1]
+        churn = last_of_user | (next_gap > 1)
+        weeks = np.unique(np.concatenate([ww, ww[churn] + 1]))
+        idx = np.searchsorted(weeks, ww)
+
+        def cnt(mask):
+            return np.bincount(idx[mask], minlength=len(weeks))
+
+        cidx = np.searchsorted(weeks, ww[churn] + 1)
+        return pd.DataFrame({
+            "week": weeks,
+            "n_active": cnt(np.ones(len(pairs), dtype=bool)),
+            "n_new": cnt(new), "n_retained": cnt(ret),
+            "n_resurrected": cnt(res),
+            "n_churned": np.bincount(cidx, minlength=len(weeks))})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("week", as_index=False).sum()
+    max_active = int(agg.loc[agg["n_active"] > 0, "week"].max())
+    agg = agg[agg["week"] <= max_active].copy()
+    agg.insert(1, "week_start_day", agg["week"] * 7)
+    return (agg.sort_values("week", kind="mergesort").reset_index(drop=True)
+            .astype({c: "int64" for c in agg.columns}))
+
+
+def events_target_encode(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe leave-one-out target encoding — the ML feature-prep
+    staple: each event's category (event_type) is replaced by the mean
+    target (value cents) of all OTHER rows of that category, so the
+    row's own label never leaks into its feature. Exact integers:
+    ``(sum_cents[type] − own_cents) // (n[type] − 1)`` (numerator is
+    non-negative, so floor == truncate on both sides). Pass 1 folds
+    |types|-row (n, sum) partials per block (zero shuffle); pass 2
+    broadcasts the 5-row map and emits the deterministic
+    ``event_id % 97`` sample of encoded rows."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "event_type": pa.array(uniq.astype(str)),
+            "n": pa.array(np.bincount(codes, minlength=len(uniq))
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(codes, weights=cents,
+                                      minlength=len(uniq))
+                          .astype(np.int64))})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("event_type", as_index=False).sum())
+    n_map = dict(zip(stats["event_type"], stats["n"].astype(np.int64)))
+    s_map = dict(zip(stats["event_type"], stats["s"].astype(np.int64)))
+
+    ds2 = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                           "value"])
+
+    def encode(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        keep = eid % 97 == 0
+        eid = eid[keep]
+        et = t.column("event_type").to_pandas().to_numpy()[keep]
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)[keep]
+        codes, uniq = pd.factorize(et)
+        n = np.array([n_map[x] for x in uniq], dtype=np.int64)[codes]
+        s = np.array([s_map[x] for x in uniq], dtype=np.int64)[codes]
+        enc = np.where(n > 1, (s - cents) // np.maximum(n - 1, 1), -1)
+        return pa.table({"event_id": pa.array(eid),
+                         "event_type": pa.array(et.astype(str)),
+                         "value_cents": pa.array(cents),
+                         "loo_enc_cents": pa.array(enc)})
+
+    out = (ds2.map_batches(encode, batch_format="pyarrow").to_pandas()
+           .sort_values("event_id", kind="mergesort")
+           .reset_index(drop=True))
+    return out.astype({"event_id": "int64", "value_cents": "int64",
+                       "loo_enc_cents": "int64"})
+
+
+def events_randomization_test(sf_dir: str, n_reps: int = 64) -> pd.DataFrame:
+    """Deterministic randomization (random-relabel) test for the
+    purchase-vs-click value difference. The observed statistic is the
+    cross-multiplied mean gap ``|s1·n0 − s0·n1|`` in exact integers (no
+    float means); each of the 64 replicates relabels every pooled row by
+    one BIT-PLANE of the row's md5: bit r of ``hash64(str(event_id))``
+    — one hash per row yields all 64 independent relabelings, and the
+    SQL twin extracts the identical bits from
+    ``('0x' || substr(md5(id), 1, 16))::UBIGINT``. Per-block partials
+    are a fixed 65×(n, s) counter block (zero shuffle); p-value in basis
+    points is ``10000·#{stat_r ≥ obs} // reps``. Replicates split
+    binomially rather than at fixed group sizes — a randomization test,
+    documented, not an exact permutation."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    shifts = np.arange(n_reps, dtype=np.uint64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_pandas().to_numpy()
+        keep = (et == "purchase") | (et == "click")
+        if not keep.any():
+            return pa.table({"rep": pa.array([], pa.int64()),
+                             "n1": pa.array([], pa.int64()),
+                             "s1": pa.array([], pa.int64())})
+        eid = t.column("event_id").to_numpy().astype(np.int64)[keep]
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)[keep]
+        is_p = et[keep] == "purchase"
+        h = hash64_many(str(x) for x in eid)
+        bits = ((h[:, None] >> shifts[None, :])
+                & np.uint64(1)).astype(np.int64)
+        n1 = bits.sum(axis=0)
+        s1 = (bits * cents[:, None]).sum(axis=0)
+        rep = np.arange(n_reps, dtype=np.int64)
+        return pa.table({
+            "rep": pa.array(np.concatenate([rep, [-1, -2]])),
+            "n1": pa.array(np.concatenate(
+                [n1, [int(is_p.sum()), len(eid)]])),
+            "s1": pa.array(np.concatenate(
+                [s1, [int(cents[is_p].sum()), int(cents.sum())]]))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+             .groupby("rep", as_index=False).sum())
+    by = {int(r): (int(n), int(s))
+          for r, n, s in zip(parts["rep"], parts["n1"], parts["s1"])}
+    n_tot, s_tot = by[-2]
+    n1o, s1o = by[-1]
+    obs = abs(s1o * (n_tot - n1o) - (s_tot - s1o) * n1o)
+    rows = [(-1, n1o, obs, 1)]
+    for r in range(n_reps):
+        n1, s1 = by[r]
+        stat = abs(s1 * (n_tot - n1) - (s_tot - s1) * n1)
+        rows.append((r, n1, stat, int(stat >= obs)))
+    return pd.DataFrame(rows, columns=["rep", "n_side1", "stat", "ge_obs"]) \
+        .astype("int64")
+
+
+def lineitem_zorder_layout(sf_dir: str) -> pd.DataFrame:
+    """Z-order (Morton-curve) storage-layout audit — the clustering key
+    a lakehouse compaction job would sort on to get 2-D data-skipping
+    on (partkey, suppkey). Both 16-bit dims are bit-interleaved with
+    the classic shift-and-mask expansion (identical integer expression
+    chain in numpy and in the SQL twin, where the scalar max row is
+    UNION-ALLed through the same chain so the interleave is written
+    once); rows land in 256 z-ranges via ``z // zdiv`` with
+    ``zdiv = z(max_a, max_b) // 256 + 1`` — scale-adaptive with no data
+    sample. Output per occupied z-range: row count plus each dim's
+    min/max, the exact min/max the reader's data-skipping index would
+    store per file. Pass 1 is a 1-row-per-block max fold; pass 2 folds
+    ≤256-row partials; zero shuffle."""
+    def ileave(x: np.ndarray | int):
+        x = x & 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        return (x | (x << 1)) & 0x55555555
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def maxes(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy().astype(np.int64) & 0xFFFF
+        b = t.column("l_suppkey").to_numpy().astype(np.int64) & 0xFFFF
+        return pa.table({"ma": pa.array([int(a.max())]),
+                         "mb": pa.array([int(b.max())])})
+
+    mx = ds.map_batches(maxes, batch_format="pyarrow").to_pandas()
+    zdiv = (ileave(int(mx["ma"].max())) | (ileave(int(mx["mb"].max())) << 1)
+            ) // 256 + 1
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        a = t.column("l_partkey").to_numpy().astype(np.int64) & 0xFFFF
+        b = t.column("l_suppkey").to_numpy().astype(np.int64) & 0xFFFF
+        bucket = (ileave(a) | (ileave(b) << 1)) // zdiv
+        order = np.lexsort((b, a, bucket))
+        bs, as_, bs2 = bucket[order], a[order], b[order]
+        starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        ends = np.r_[starts[1:], len(bs)]
+        return pd.DataFrame({
+            "bucket": bs[starts],
+            "n": ends - starts,
+            "min_part": np.minimum.reduceat(as_, starts),
+            "max_part": np.maximum.reduceat(as_, starts),
+            "min_supp": np.minimum.reduceat(bs2, starts),
+            "max_supp": np.maximum.reduceat(bs2, starts)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("bucket", as_index=False).agg(
+        n=("n", "sum"), min_part=("min_part", "min"),
+        max_part=("max_part", "max"), min_supp=("min_supp", "min"),
+        max_supp=("max_supp", "max"))
+    return (agg.sort_values("bucket", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

@@ -83,6 +83,8 @@ def test_entry_smoke(entrymod):
     "user_streak_max", "lineitem_weighted_median",
     "part_triple_support", "orders_open_backlog",
     "events_ks_test", "events_mwu", "key_skew_report",
+    "user_growth_accounting", "events_target_encode",
+    "events_randomization_test", "lineitem_zorder_layout",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
