@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_target_encode": analytics.events_target_encode,
         "events_randomization_test": analytics.events_randomization_test,
         "lineitem_zorder_layout": analytics.lineitem_zorder_layout,
+        "user_lifetime_km": analytics.user_lifetime_km,
+        "lineitem_revenue_bridge": analytics.lineitem_revenue_bridge,
+        "events_peak_concurrency": analytics.events_peak_concurrency,
+        "docs_kfold_assign": curate.docs_kfold_assign,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3144,6 +3148,136 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS BIGINT)
             FROM rstat r, ostat o
             ORDER BY rep
+        """,
+        "user_lifetime_km": """
+            WITH RECURSIVE ul AS (
+                SELECT user_id,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(MIN(ts) AS DATE)) AS f,
+                       datediff('day', DATE '1970-01-01',
+                                CAST(MAX(ts) AS DATE)) AS l
+                FROM events GROUP BY 1),
+            mx AS (SELECT MAX(l) AS mxd FROM ul),
+            u AS (SELECT l - f AS dur,
+                         CASE WHEN l >= mxd - 2 THEN 1 ELSE 0 END AS cens
+                  FROM ul, mx),
+            g AS (SELECT dur, COUNT(*) AS n_tot, SUM(1 - cens) AS n_event,
+                         SUM(cens) AS n_cens
+                  FROM u GROUP BY dur),
+            o AS (SELECT dur, n_tot, n_event, n_cens,
+                         ROW_NUMBER() OVER (ORDER BY dur) AS i,
+                         CAST((SELECT COUNT(*) FROM u) AS BIGINT)
+                             - COALESCE(SUM(n_tot) OVER (ORDER BY dur
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS n_risk
+                  FROM g),
+            km(i, s) AS (
+                SELECT CAST(0 AS BIGINT), CAST(10000 AS HUGEINT)
+                UNION ALL
+                SELECT km.i + 1,
+                       km.s * (o.n_risk - o.n_event) // o.n_risk
+                FROM km JOIN o ON o.i = km.i + 1)
+            SELECT CAST(o.dur AS BIGINT) AS duration_days,
+                   CAST(o.n_risk AS BIGINT) AS n_risk,
+                   CAST(o.n_event AS BIGINT) AS n_event,
+                   CAST(o.n_cens AS BIGINT) AS n_censored,
+                   CAST(km.s AS BIGINT) AS s_bps
+            FROM o JOIN km ON km.i = o.i ORDER BY o.dur
+        """,
+        "lineitem_revenue_bridge": """
+            WITH pm AS (SELECT l_partkey AS k,
+                               (year(l_shipdate) - 1970) * 12
+                                   + month(l_shipdate) - 1 AS m,
+                               SUM(CAST(FLOOR(l_extendedprice * 100)
+                                        AS BIGINT)) AS rev,
+                               SUM(CAST(l_quantity AS BIGINT)) AS q
+                        FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT MIN(m) AS mn, MAX(m) AS mx FROM pm),
+            l AS (SELECT k, m, rev, q,
+                         LAG(m) OVER w AS pm_, LAG(rev) OVER w AS prev,
+                         LAG(q) OVER w AS pq, LEAD(m) OVER w AS nm
+                  FROM pm WINDOW w AS (PARTITION BY k ORDER BY m)),
+            cont AS (SELECT m, SUM(rev - prev) AS dc,
+                            SUM(CAST(CAST(rev AS HUGEINT) * pq // q
+                                     AS BIGINT) - prev) AS pe,
+                            SUM(CAST(CAST(prev AS HUGEINT) * q // pq
+                                     AS BIGINT) - prev) AS ve
+                     FROM l WHERE pm_ = m - 1 GROUP BY m),
+            newp AS (SELECT m, SUM(rev) AS new_rev FROM l
+                     WHERE pm_ IS NULL OR pm_ < m - 1 GROUP BY m),
+            exitp AS (SELECT m + 1 AS m, SUM(rev) AS exit_rev
+                      FROM l, b
+                      WHERE (nm IS NULL OR nm > m + 1) AND m + 1 <= b.mx
+                      GROUP BY m + 1),
+            tot AS (SELECT m, SUM(rev) AS rev FROM pm GROUP BY m),
+            grid AS (SELECT unnest(generate_series(
+                         (SELECT mn + 1 FROM b),
+                         (SELECT mx FROM b))) AS m)
+            SELECT CAST(g.m AS BIGINT) AS month_index,
+                   CAST(COALESCE(t.rev, 0) AS BIGINT) AS rev_cents,
+                   CAST(COALESCE(t.rev, 0) - COALESCE(tp.rev, 0)
+                        AS BIGINT) AS d_rev,
+                   CAST(COALESCE(c.pe, 0) AS BIGINT) AS price_eff,
+                   CAST(COALESCE(c.ve, 0) AS BIGINT) AS volume_eff,
+                   CAST(COALESCE(c.dc, 0) - COALESCE(c.pe, 0)
+                        - COALESCE(c.ve, 0) AS BIGINT) AS residual,
+                   CAST(COALESCE(n.new_rev, 0) AS BIGINT) AS new_rev,
+                   CAST(COALESCE(x.exit_rev, 0) AS BIGINT) AS exit_rev
+            FROM grid g
+            LEFT JOIN tot t ON t.m = g.m
+            LEFT JOIN tot tp ON tp.m = g.m - 1
+            LEFT JOIN cont c ON c.m = g.m
+            LEFT JOIN newp n ON n.m = g.m
+            LEFT JOIN exitp x ON x.m = g.m
+            ORDER BY g.m
+        """,
+        "events_peak_concurrency": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+                       FROM events),
+            l AS (SELECT user_id, event_id, us,
+                         LAG(us) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS pus
+                  FROM e),
+            s AS (SELECT user_id, event_id, us,
+                         CASE WHEN pus IS NULL OR us - pus > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM l),
+            sid AS (SELECT user_id, us,
+                           SUM(brk) OVER (PARTITION BY user_id
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            iv AS (SELECT user_id, sid, MIN(us) // 60000000 AS m0,
+                          (MAX(us) + 1800000000) // 60000000 AS m1
+                   FROM sid GROUP BY 1, 2),
+            d AS (SELECT m0 AS minute, 1 AS delta FROM iv
+                  UNION ALL SELECT m1 + 1, -1 FROM iv),
+            c AS (SELECT minute,
+                         SUM(SUM(delta)) OVER (ORDER BY minute
+                             ROWS UNBOUNDED PRECEDING) AS conc
+                  FROM d GROUP BY minute)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY conc DESC, minute)
+                        AS BIGINT) AS rk,
+                   CAST(minute AS BIGINT) AS minute,
+                   CAST(conc AS BIGINT) AS concurrency
+            FROM c QUALIFY rk <= 10 ORDER BY rk
+        """,
+        "docs_kfold_assign": """
+            WITH h AS (SELECT doc_id, lang, n_chars,
+                              CAST(('0x' || substr(md5(CAST(doc_id
+                                       AS VARCHAR)), 1, 16)) AS UBIGINT)
+                                  AS h
+                       FROM documents),
+            r AS (SELECT lang, doc_id, n_chars,
+                         (ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY h, doc_id) - 1) % 5
+                             AS fold
+                  FROM h)
+            SELECT lang, CAST(fold AS BIGINT) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "embedding_norm_outliers", "order_flag_signature",
     "user_growth_accounting", "events_target_encode",
     "events_randomization_test", "lineitem_zorder_layout",
+    "user_lifetime_km", "lineitem_revenue_bridge",
+    "events_peak_concurrency", "docs_kfold_assign",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

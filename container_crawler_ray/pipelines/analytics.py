@@ -5689,3 +5689,231 @@ def lineitem_zorder_layout(sf_dir: str) -> pd.DataFrame:
         max_supp=("max_supp", "max"))
     return (agg.sort_values("bucket", kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def user_lifetime_km(sf_dir: str, censor_days: int = 3) -> pd.DataFrame:
+    """Kaplan–Meier survival curve over user LIFETIMES (days between a
+    user's first and last activity), with right-censoring for users
+    still active in the final ``censor_days`` of the observation window
+    — the retention analysis that naive "average lifetime" gets wrong
+    because it treats still-active users as dead. The survival estimate
+    is the sequential integer recurrence
+    ``s_i = s_{i-1} · (n_risk − n_event) // n_risk`` in basis points,
+    reproduced exactly by the SQL twin's RECURSIVE CTE — the product
+    form never touches floats on either side. Pass 1 is a 1-row-per-
+    block max-day fold (zero shuffle, sets the censoring horizon);
+    pass 2 is one ``user % 64`` bucket exchange folding per-user
+    (first, last) via lexsort+reduceat into per-duration counters, so
+    the driver recursion runs on the duration grid (≤ observation-span
+    rows at any data scale)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def maxday(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mx": pa.array([int(d.max())])})
+
+    horizon = int(ds.map_batches(maxday, batch_format="pyarrow")
+                  .to_pandas()["mx"].max()) - (censor_days - 1)
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"user_id": pa.array(u), "day": pa.array(d),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        order = np.lexsort((d, u))
+        us, dsrt = u[order], d[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        ends = np.r_[starts[1:], len(us)]
+        first, last = dsrt[starts], dsrt[ends - 1]
+        dur = last - first
+        cens = (last >= horizon).astype(np.int64)
+        grid = np.unique(dur)
+        idx = np.searchsorted(grid, dur)
+        return pd.DataFrame({
+            "dur": grid,
+            "n_tot": np.bincount(idx, minlength=len(grid)),
+            "n_event": np.bincount(idx[cens == 0], minlength=len(grid)),
+            "n_cens": np.bincount(idx[cens == 1], minlength=len(grid))})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("dur", as_index=False).sum()
+           .sort_values("dur", kind="mergesort").reset_index(drop=True))
+    n_tot = agg["n_tot"].to_numpy(np.int64)
+    n_event = agg["n_event"].to_numpy(np.int64)
+    n_risk = int(n_tot.sum()) - np.concatenate(([0], n_tot.cumsum()[:-1]))
+    s = 10_000
+    s_bps = []
+    for r, e in zip(n_risk, n_event):
+        s = s * (int(r) - int(e)) // int(r)
+        s_bps.append(s)
+    return pd.DataFrame({
+        "duration_days": agg["dur"], "n_risk": n_risk,
+        "n_event": n_event, "n_censored": agg["n_cens"],
+        "s_bps": np.array(s_bps, dtype=np.int64)}).astype("int64")
+
+
+def lineitem_revenue_bridge(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue bridge (the finance waterfall): each
+    month's revenue delta decomposed into PRICE effect, VOLUME effect,
+    residual (joint) effect, NEW-part revenue and EXITED-part drag, per
+    part and then rolled up — the identity
+    ``d_rev = price + volume + residual + new − exit`` holds EXACTLY
+    because every term is integer cents with the same truncating
+    division on both sides (``rev2·q1 // q2 − rev1`` etc., nonnegative
+    operands so floor == truncate). One ``part % 64`` bucket exchange
+    over the (part, month) rollup; per-part LAG classification is a
+    vectorized consecutive-diff inside the bucket; the driver fold is
+    month-grid-sized. Gap months: a part absent for k months exits at
+    silence start and re-enters as NEW, keeping the identity through
+    zero-revenue months."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = t.column("l_shipdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(k), "m": pa.array(m),
+                         "rev": pa.array(rev), "q": pa.array(q),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # collapse to per-(part, month) rollup inside the bucket
+        pack = g["k"].to_numpy(np.int64) * (1 << 20) + g["m"].to_numpy(
+            np.int64)
+        uniq, inv = np.unique(pack, return_inverse=True)
+        rev = np.bincount(inv, weights=g["rev"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        q = np.bincount(inv, weights=g["q"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        k, m = uniq >> 20, uniq & ((1 << 20) - 1)
+        same = np.zeros(len(uniq), dtype=bool)
+        same[1:] = k[1:] == k[:-1]
+        gap = np.zeros(len(uniq), dtype=np.int64)
+        gap[1:] = m[1:] - m[:-1]
+        cont = same & (gap == 1)
+        new = ~cont
+        # exit at m+1 when the part's next month is not m+1
+        last = np.ones(len(uniq), dtype=bool)
+        last[:-1] = k[:-1] != k[1:]
+        ngap = np.zeros(len(uniq), dtype=np.int64)
+        ngap[:-1] = m[1:] - m[:-1]
+        exit_ = last | (ngap > 1)
+        prev_rev = np.concatenate(([0], rev[:-1]))
+        prev_q = np.concatenate(([0], q[:-1]))
+        pe = np.where(cont, rev * prev_q // np.maximum(q, 1) - prev_rev, 0)
+        ve = np.where(cont,
+                      prev_rev * q // np.maximum(prev_q, 1) - prev_rev, 0)
+        dc = np.where(cont, rev - prev_rev, 0)
+        months = np.unique(np.concatenate([m, m[exit_] + 1]))
+        mi = np.searchsorted(months, m)
+        xe = np.searchsorted(months, m[exit_] + 1)
+
+        def agg(v, where=None):
+            src = mi if where is None else mi[where]
+            vv = v if where is None else v[where]
+            return np.bincount(src, weights=vv, minlength=len(months)) \
+                .astype(np.int64)
+
+        return pd.DataFrame({
+            "m": months, "rev": agg(rev), "pe": agg(pe), "ve": agg(ve),
+            "dc": agg(dc), "new_rev": agg(rev, new),
+            "exit_rev": np.bincount(xe, weights=rev[exit_],
+                                    minlength=len(months))
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("m", as_index=False).sum()
+           .sort_values("m", kind="mergesort").reset_index(drop=True))
+    # real data months only: exit rows extend one month past the last
+    # revenue month (every month with rows has rev >= 1 cent)
+    has_rev = agg.loc[agg["rev"] > 0, "m"]
+    mn, mx = int(has_rev.min()), int(has_rev.max())
+    agg = agg[(agg["m"] >= mn) & (agg["m"] <= mx)]
+    grid = pd.DataFrame({"m": np.arange(mn, mx + 1, dtype=np.int64)})
+    agg = grid.merge(agg, on="m", how="left").fillna(0)
+    rev = agg["rev"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "month_index": agg["m"].to_numpy(np.int64),
+        "rev_cents": rev,
+        "d_rev": rev - np.concatenate(([0], rev[:-1])),
+        "price_eff": agg["pe"].to_numpy(np.int64),
+        "volume_eff": agg["ve"].to_numpy(np.int64),
+        "residual": (agg["dc"].to_numpy(np.int64)
+                     - agg["pe"].to_numpy(np.int64)
+                     - agg["ve"].to_numpy(np.int64)),
+        "new_rev": agg["new_rev"].to_numpy(np.int64),
+        "exit_rev": agg["exit_rev"].to_numpy(np.int64)})
+    return out.iloc[1:].reset_index(drop=True).astype("int64")
+
+
+def events_peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000,
+                            topk: int = 10) -> pd.DataFrame:
+    """Peak-concurrency sweep: sessionize per user (same >30-min-gap
+    rule as ``user_sessions``), extend each session ``gap_us`` past its
+    last event, and find the minutes with the most concurrently active
+    sessions — the capacity-planning number. The sweep is the classic
+    +1/−1 difference trick, but DISTRIBUTED: each bucket emits only
+    per-minute delta partials (+1 at session start minute, −1 after its
+    end), the driver folds deltas → running sum → top-k breakpoints
+    under the (concurrency desc, minute asc) tie order. Concurrency is
+    a step function, so every local max occurs at a delta breakpoint —
+    evaluating only those minutes is exact, and the driver holds
+    distinct-breakpoint rows, not the timeline (at 100-TB scale the
+    cumsum would shard by time range with carry-in partials, same
+    partials)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        brk = np.ones(len(us), dtype=bool)
+        brk[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(us)]
+        m0 = tss[starts] // 60_000_000
+        m1 = (tss[ends - 1] + gap_us) // 60_000_000
+        deltas = np.concatenate([m0, m1 + 1])
+        sign = np.concatenate([np.ones(len(m0), dtype=np.int64),
+                               -np.ones(len(m0), dtype=np.int64)])
+        uniq, inv = np.unique(deltas, return_inverse=True)
+        return pd.DataFrame({
+            "minute": uniq,
+            "delta": np.bincount(inv, weights=sign, minlength=len(uniq))
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    d = (parts.groupby("minute", as_index=False)["delta"].sum()
+         .sort_values("minute", kind="mergesort").reset_index(drop=True))
+    conc = d["delta"].to_numpy(np.int64).cumsum()
+    minutes = d["minute"].to_numpy(np.int64)
+    order = np.lexsort((minutes, -conc))[:topk]
+    return pd.DataFrame({
+        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+        "minute": minutes[order],
+        "concurrency": conc[order]}).astype("int64")

@@ -488,3 +488,53 @@ def source_mixture_weights(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
         .astype({"n_docs": "int64", "n_tokens": "int64",
                  "share_bps": "int64", "weight_bps": "int64"}))
+
+
+def docs_kfold_assign(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic stratified K-FOLD cross-validation assignment:
+    within each language stratum, documents are ranked by
+    ``(hash64(doc_id), doc_id)`` and dealt round-robin into k folds —
+    EXACTLY balanced per stratum (fold sizes differ by ≤ 1, the property
+    the threshold split ``docs_split_assign`` deliberately trades away
+    for append-stability; this op is the complement for fixed-corpus
+    eval). One groupby(lang) exchange (strata are few; at 100-TB a hot
+    stratum would pre-rank via distributed sort and deal by global
+    rank); output is the (lang × fold) audit: counts + id/char
+    checksums, which pin every assignment because the rank order is a
+    pure function of the ids."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        h = hash64_many(str(x) for x in ids)
+        return pa.table({"doc_id": pa.array(ids),
+                         "lang": t.column("lang"),
+                         "n_chars": t.column("n_chars"),
+                         "h": pa.array(h.astype(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int64).view(np.uint64)
+        nch = g["n_chars"].to_numpy(np.int64)
+        order = np.lexsort((ids, h))
+        f = np.empty(len(ids), dtype=np.int64)
+        f[order] = np.arange(len(ids), dtype=np.int64) % k
+        out = pd.DataFrame({
+            "lang": g["lang"].iloc[0], "fold": np.arange(k),
+            "n_docs": np.bincount(f, minlength=k).astype(np.int64),
+            "sum_doc_id": np.bincount(f, weights=ids, minlength=k)
+            .astype(np.int64),
+            "sum_chars": np.bincount(f, weights=nch, minlength=k)
+            .astype(np.int64)})
+        return out[out["n_docs"] > 0]  # tiny stratum: SQL emits no row
+
+    out = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("lang").map_groups(fold, batch_format="pandas")
+           .to_pandas()
+           .sort_values(["lang", "fold"], kind="mergesort")
+           .reset_index(drop=True))
+    return out.astype({"fold": "int64", "n_docs": "int64",
+                       "sum_doc_id": "int64", "sum_chars": "int64"})

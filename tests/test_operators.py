@@ -85,6 +85,8 @@ def test_entry_smoke(entrymod):
     "events_ks_test", "events_mwu", "key_skew_report",
     "user_growth_accounting", "events_target_encode",
     "events_randomization_test", "lineitem_zorder_layout",
+    "user_lifetime_km", "lineitem_revenue_bridge",
+    "events_peak_concurrency", "docs_kfold_assign",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
