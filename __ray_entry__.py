@@ -188,6 +188,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_revenue_bridge": analytics.lineitem_revenue_bridge,
         "events_peak_concurrency": analytics.events_peak_concurrency,
         "docs_kfold_assign": curate.docs_kfold_assign,
+        "part_price_index": analytics.part_price_index,
+        "lineitem_pchart": analytics.lineitem_pchart,
+        "cohort_ltv_curve": analytics.cohort_ltv_curve,
+        "events_drift_tv": analytics.events_drift_tv,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3278,6 +3282,112 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM r GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_price_index": """
+            WITH pm AS (SELECT l_partkey AS k,
+                               (year(l_shipdate) - 1970) * 12
+                                   + month(l_shipdate) - 1 AS m,
+                               SUM(CAST(FLOOR(l_extendedprice * 100)
+                                        AS BIGINT)) AS rev,
+                               SUM(CAST(l_quantity AS BIGINT)) AS q
+                        FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT MIN(m) AS m0 FROM pm),
+            base AS (SELECT k, rev AS rev0, q AS q0
+                     FROM pm, b WHERE m = b.m0),
+            j AS (SELECT pm.m, pm.rev, pm.q, base.rev0, base.q0
+                  FROM pm JOIN base ON pm.k = base.k, b
+                  WHERE pm.m > b.m0),
+            s AS (SELECT m, COUNT(*) AS n_parts,
+                         SUM(CAST(rev AS HUGEINT) * q0 // q) AS numl,
+                         SUM(CAST(rev0 AS HUGEINT)) AS denl,
+                         SUM(CAST(rev AS HUGEINT)) AS nump,
+                         SUM(CAST(rev0 AS HUGEINT) * q // q0) AS denp
+                  FROM j GROUP BY m)
+            SELECT CAST(m AS BIGINT) AS month_index,
+                   CAST(n_parts AS BIGINT) AS n_parts,
+                   CAST(10000 * numl // denl AS BIGINT)
+                       AS laspeyres_bps,
+                   CAST(10000 * nump // denp AS BIGINT) AS paasche_bps
+            FROM s ORDER BY m
+        """,
+        "lineitem_pchart": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE)) AS dy,
+                              COUNT(*) AS n,
+                              SUM(CASE WHEN l_returnflag = 'R'
+                                  THEN 1 ELSE 0 END) AS x
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT SUM(n) AS nn, SUM(x) AS pp FROM d)
+            SELECT CAST(dy AS BIGINT) AS day_index,
+                   CAST(n AS BIGINT) AS n_lines,
+                   CAST(x AS BIGINT) AS n_returned,
+                   CAST(10000 * x // n AS BIGINT) AS share_bps,
+                   CAST(CASE WHEN CAST(x * t.nn - n * t.pp AS HUGEINT)
+                                  * (x * t.nn - n * t.pp)
+                                  > CAST(9 AS HUGEINT) * n * t.pp
+                                    * (t.nn - t.pp)
+                             THEN CASE WHEN x * t.nn > n * t.pp
+                                  THEN 1 ELSE -1 END
+                             ELSE 0 END AS BIGINT) AS sigma3_flag
+            FROM d, t ORDER BY dy
+        """,
+        "cohort_ltv_curve": """
+            WITH o AS (SELECT o_custkey AS c,
+                              (year(o_orderdate) - 1970) * 12
+                                  + month(o_orderdate) - 1 AS m,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS rev
+                       FROM orders),
+            f AS (SELECT c, MIN(m) AS m0 FROM o GROUP BY 1),
+            mx AS (SELECT MAX(m) AS mxm FROM o),
+            co AS (SELECT m0, COUNT(*) AS n_cust FROM f GROUP BY 1),
+            r AS (SELECT f.m0, o.m - f.m0 AS off, SUM(o.rev) AS rev
+                  FROM o JOIN f ON o.c = f.c GROUP BY 1, 2),
+            grid AS (SELECT m0, unnest(generate_series(0, mxm - m0))
+                                AS off
+                     FROM co, mx),
+            cum AS (SELECT g.m0, g.off,
+                           SUM(COALESCE(r.rev, 0)) OVER (
+                               PARTITION BY g.m0 ORDER BY g.off
+                               ROWS UNBOUNDED PRECEDING) AS cum_rev
+                    FROM grid g LEFT JOIN r
+                        ON r.m0 = g.m0 AND r.off = g.off)
+            SELECT CAST(cum.m0 AS BIGINT) AS cohort_month,
+                   CAST(cum.off AS BIGINT) AS month_offset,
+                   CAST(co.n_cust AS BIGINT) AS n_customers,
+                   CAST(cum.cum_rev AS BIGINT) AS cum_rev_cents
+            FROM cum JOIN co ON co.m0 = cum.m0
+            ORDER BY 1, 2
+        """,
+        "events_drift_tv": """
+            WITH e AS (SELECT event_type AS ty,
+                              CAST(FLOOR(value * 100) AS BIGINT) // 1000
+                                  AS bin,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS dy
+                       FROM events),
+            w AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM e),
+            h AS (SELECT ty, bin,
+                         CASE WHEN dy < (mn + mx + 1) // 2
+                              THEN 0 ELSE 1 END AS half
+                  FROM e, w),
+            c AS (SELECT ty, bin,
+                         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS a,
+                         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS b2
+                  FROM h GROUP BY 1, 2),
+            t AS (SELECT ty, SUM(a) AS ta, SUM(b2) AS tb
+                  FROM c GROUP BY 1),
+            n AS (SELECT c.ty,
+                         SUM(ABS(CAST(c.a AS HUGEINT) * t.tb
+                                 - CAST(c.b2 AS HUGEINT) * t.ta)) AS num
+                  FROM c JOIN t ON c.ty = t.ty GROUP BY 1)
+            SELECT n.ty AS event_type,
+                   CAST(t.ta AS BIGINT) AS n_first,
+                   CAST(t.tb AS BIGINT) AS n_second,
+                   CAST(10000 * n.num
+                        // (2 * CAST(t.ta AS HUGEINT) * t.tb)
+                        AS BIGINT) AS tv_bps
+            FROM n JOIN t ON n.ty = t.ty ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "events_randomization_test", "lineitem_zorder_layout",
     "user_lifetime_km", "lineitem_revenue_bridge",
     "events_peak_concurrency", "docs_kfold_assign",
+    "part_price_index", "lineitem_pchart",
+    "cohort_ltv_curve", "events_drift_tv",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

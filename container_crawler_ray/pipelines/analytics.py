@@ -5917,3 +5917,267 @@ def events_peak_concurrency(sf_dir: str, gap_us: int = 1_800_000_000,
         "rk": np.arange(1, len(order) + 1, dtype=np.int64),
         "minute": minutes[order],
         "concurrency": conc[order]}).astype("int64")
+
+
+def part_price_index(sf_dir: str) -> pd.DataFrame:
+    """Matched-basket Laspeyres and Paasche PRICE INDICES per month vs
+    the first traded month — the inflation-audit readout over the fact
+    table. For each month t, the basket is the parts traded in BOTH the
+    base month and t; unit prices never materialize: the per-part terms
+    are ``rev_t·q_0 // q_t`` (Laspeyres numerator) and
+    ``rev_0·q_t // q_0`` (Paasche denominator), exact nonnegative
+    integer cents with truncating division mirrored by the HUGEINT SQL
+    twin. Pass 1 is a 1-row-per-block min-month fold (sets the global
+    base month); pass 2 is one ``part % 64`` bucket exchange whose fold
+    rolls up per-(part, month), joins each part's base row INSIDE the
+    bucket (co-partitioned by construction), and emits per-month sum
+    partials — the driver fold is month-grid-sized and does the single
+    10000·num // den division in arbitrary-precision Python ints."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_quantity"])
+
+    def minmonth(t: pa.Table) -> pa.Table:
+        m = t.column("l_shipdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        return pa.table({"mn": pa.array([int(m.min())])})
+
+    base_m = int(ds.map_batches(minmonth, batch_format="pyarrow")
+                 .to_pandas()["mn"].min())
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = t.column("l_shipdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(k), "m": pa.array(m),
+                         "rev": pa.array(rev), "q": pa.array(q),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pack = g["k"].to_numpy(np.int64) * (1 << 20) + g["m"].to_numpy(
+            np.int64)
+        uniq, inv = np.unique(pack, return_inverse=True)
+        rev = np.bincount(inv, weights=g["rev"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        q = np.bincount(inv, weights=g["q"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        k, m = uniq >> 20, uniq & ((1 << 20) - 1)
+        isb = m == base_m
+        bk, brev, bq = k[isb], rev[isb], q[isb]
+        # join each later row to its part's base row inside the bucket
+        pos = np.searchsorted(bk, k)
+        pos_c = np.minimum(pos, max(len(bk) - 1, 0))
+        matched = (m > base_m) & (len(bk) > 0)
+        if len(bk):
+            matched &= bk[pos_c] == k
+        if not matched.any():
+            return pd.DataFrame({
+                "m": np.empty(0, np.int64), "n_parts": [], "numL": [],
+                "denL": [], "numP": [], "denP": []}).astype("int64")
+        mm = m[matched]
+        rv, qq = rev[matched], q[matched]
+        r0, q0 = brev[pos_c[matched]], bq[pos_c[matched]]
+        numL = rv * q0 // qq
+        denP = r0 * qq // q0
+        months = np.unique(mm)
+        mi = np.searchsorted(months, mm)
+
+        def agg(v):
+            return np.bincount(mi, weights=v, minlength=len(months)) \
+                .astype(np.int64)
+
+        return pd.DataFrame({
+            "m": months, "n_parts": np.bincount(mi, minlength=len(months))
+            .astype(np.int64), "numL": agg(numL), "denL": agg(r0),
+            "numP": agg(rv), "denP": agg(denP)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("m", as_index=False).sum()
+           .sort_values("m", kind="mergesort").reset_index(drop=True))
+    las = [10_000 * int(n) // int(d)
+           for n, d in zip(agg["numL"], agg["denL"])]
+    paa = [10_000 * int(n) // int(d)
+           for n, d in zip(agg["numP"], agg["denP"])]
+    return pd.DataFrame({
+        "month_index": agg["m"], "n_parts": agg["n_parts"],
+        "laspeyres_bps": np.array(las, dtype=np.int64),
+        "paasche_bps": np.array(paa, dtype=np.int64)}).astype("int64")
+
+
+def lineitem_pchart(sf_dir: str) -> pd.DataFrame:
+    """Statistical-process-control p-chart over the daily returned-line
+    share: a day breaches when its share sits more than 3 binomial
+    sigmas from the global rate — the classic data-quality tripwire for
+    'did returns spike today'. The 3σ test never touches floats: with
+    global totals (P, N) and daily (x, n), breach ⇔
+    ``(x·N − n·P)² > 9·n·P·(N−P)`` — one cross-multiplied integer
+    compare, evaluated in arbitrary-precision Python ints on the driver
+    and in HUGEINT by the SQL twin. Partials are per-block (day, n, x)
+    counts from one np.unique — ZERO shuffle; the driver fold is
+    day-grid-sized at any data scale."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        r = (np.asarray(t.column("l_returnflag")) == "R")
+        days, inv = np.unique(d, return_inverse=True)
+        return pa.table({
+            "day": pa.array(days),
+            "n": pa.array(np.bincount(inv, minlength=len(days))
+                          .astype(np.int64)),
+            "x": pa.array(np.bincount(inv, weights=r, minlength=len(days))
+                          .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("day", as_index=False).sum()
+           .sort_values("day", kind="mergesort").reset_index(drop=True))
+    n = agg["n"].to_numpy(np.int64)
+    x = agg["x"].to_numpy(np.int64)
+    N, P = int(n.sum()), int(x.sum())
+    flag = []
+    for xi, ni in zip(x, n):
+        d = int(xi) * N - int(ni) * P
+        if d * d > 9 * int(ni) * P * (N - P):
+            flag.append(1 if d > 0 else -1)
+        else:
+            flag.append(0)
+    return pd.DataFrame({
+        "day_index": agg["day"], "n_lines": n, "n_returned": x,
+        "share_bps": 10_000 * x // n,
+        "sigma3_flag": np.array(flag, dtype=np.int64)}).astype("int64")
+
+
+def cohort_ltv_curve(sf_dir: str) -> pd.DataFrame:
+    """Cohort LIFETIME-VALUE curves: customers are cohorted by their
+    first order month and each cohort's CUMULATIVE revenue is tracked
+    by month offset — the complement of the retention-count triangle
+    (``orders_retention_cohort``) that answers 'how much is a cohort
+    worth by age k', in exact cents. One ``customer % 64`` bucket
+    exchange; the fold finds each customer's cohort via lexsort firsts,
+    rolls revenue up to (cohort, offset) and attaches the cohort-size
+    partial to the offset-0 row (which always exists — a customer's
+    first month IS offset 0); the driver fold runs on the
+    cohorts × offsets grid (months², data-scale-free) and does the
+    zero-filled cumsum there."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        m = t.column("o_orderdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array(c), "m": pa.array(m),
+                         "rev": pa.array(rev),
+                         "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        m = g["m"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        order = np.lexsort((m, c))
+        cs, ms = c[order], m[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        m0_per_cust = ms[starts]  # first month per customer
+        cust_ids = cs[starts]
+        m0 = m0_per_cust[np.searchsorted(cust_ids, c)]
+        off = m - m0
+        pack = m0 * (1 << 20) + off
+        uniq, inv = np.unique(pack, return_inverse=True)
+        revs = np.bincount(inv, weights=rev, minlength=len(uniq)) \
+            .astype(np.int64)
+        co, of = uniq >> 20, uniq & ((1 << 20) - 1)
+        ncust = np.zeros(len(uniq), dtype=np.int64)
+        cm0, ccnt = np.unique(m0_per_cust, return_counts=True)
+        zero_rows = np.searchsorted(uniq, cm0 * (1 << 20))
+        ncust[zero_rows] = ccnt
+        return pd.DataFrame({"m0": co, "off": of, "rev": revs,
+                             "ncust": ncust})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby(["m0", "off"], as_index=False).sum()
+    mx = int((agg["m0"] + agg["off"]).max())
+    rows = []
+    for m0, grp in agg.groupby("m0"):
+        span = mx - int(m0) + 1
+        rev = np.zeros(span, dtype=np.int64)
+        rev[grp["off"].to_numpy(np.int64)] = grp["rev"].to_numpy(np.int64)
+        rows.append(pd.DataFrame({
+            "cohort_month": np.full(span, int(m0), dtype=np.int64),
+            "month_offset": np.arange(span, dtype=np.int64),
+            "n_customers": np.full(span, int(grp["ncust"].sum()),
+                                   dtype=np.int64),
+            "cum_rev_cents": rev.cumsum()}))
+    return pd.concat(rows, ignore_index=True).astype("int64")
+
+
+def events_drift_tv(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: per event type, the TOTAL-VARIATION
+    distance (in basis points) between the value distributions of the
+    first and second halves of the observation window — the exact,
+    bin-free-denominator alternative to PSI/KL that needs no logarithm
+    and so stays in integer arithmetic end to end:
+    ``tv_bps = 10000·Σ|aᵢ·B − bᵢ·A| // (2·A·B)`` over 10-unit value
+    bins. Pass 1 is a 1-row-per-block (min, max) day fold; pass 2 emits
+    per-block (type, half, bin, count) partials from one np.unique —
+    ZERO shuffle, and the driver fold is (types × bins)-sized in
+    arbitrary-precision Python ints."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max()) + 1) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        bins = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64) // 1000
+        half = (d >= mid).astype(np.int64)
+        types, o_half, o_bin, o_n = [], [], [], []
+        for ty in np.unique(et):
+            msk = et == ty
+            pack = half[msk] * (1 << 40) + bins[msk]
+            u, cnt = np.unique(pack, return_counts=True)
+            types.extend([str(ty)] * len(u))
+            o_half.append(u >> 40)
+            o_bin.append(u & ((1 << 40) - 1))
+            o_n.append(cnt)
+        return pa.table({
+            "event_type": pa.array(types, type=pa.string()),
+            "half": pa.array(np.concatenate(o_half).astype(np.int64)),
+            "bin": pa.array(np.concatenate(o_bin).astype(np.int64)),
+            "n": pa.array(np.concatenate(o_n).astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["event_type", "half", "bin"], as_index=False) \
+        .sum()
+    out = []
+    for ty, grp in agg.groupby("event_type"):
+        piv = grp.pivot_table(index="bin", columns="half", values="n",
+                              fill_value=0, aggfunc="sum")
+        a = piv[0].to_numpy(np.int64) if 0 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        b = piv[1].to_numpy(np.int64) if 1 in piv.columns \
+            else np.zeros(len(piv), np.int64)
+        A, B = int(a.sum()), int(b.sum())
+        num = sum(abs(int(ai) * B - int(bi) * A) for ai, bi in zip(a, b))
+        out.append((str(ty), A, B, 10_000 * num // (2 * A * B)))
+    out.sort()
+    return pd.DataFrame(out, columns=["event_type", "n_first",
+                                      "n_second", "tv_bps"]) \
+        .astype({"n_first": "int64", "n_second": "int64",
+                 "tv_bps": "int64"})

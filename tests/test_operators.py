@@ -87,6 +87,8 @@ def test_entry_smoke(entrymod):
     "events_randomization_test", "lineitem_zorder_layout",
     "user_lifetime_km", "lineitem_revenue_bridge",
     "events_peak_concurrency", "docs_kfold_assign",
+    "part_price_index", "lineitem_pchart",
+    "cohort_ltv_curve", "events_drift_tv",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
