@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pchart": analytics.lineitem_pchart,
         "cohort_ltv_curve": analytics.cohort_ltv_curve,
         "events_drift_tv": analytics.events_drift_tv,
+        "lineitem_ols2": analytics.lineitem_ols2,
+        "session_step_transitions": analytics.session_step_transitions,
+        "events_quiet_windows": analytics.events_quiet_windows,
+        "docs_boilerplate_prefix": curate.docs_boilerplate_prefix,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3388,6 +3392,106 @@ def oracle_sql() -> dict[str, str]:
                         // (2 * CAST(t.ta AS HUGEINT) * t.tb)
                         AS BIGINT) AS tv_bps
             FROM n JOIN t ON n.ty = t.ty ORDER BY 1
+        """,
+        "lineitem_ols2": """
+            WITH m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                              SUM(CAST(l_quantity AS HUGEINT)) AS s1,
+                              SUM(CAST(FLOOR(l_discount * 100)
+                                       AS HUGEINT)) AS s2,
+                              SUM(CAST(l_quantity AS HUGEINT)
+                                  * CAST(l_quantity AS HUGEINT)) AS s11,
+                              SUM(CAST(l_quantity AS HUGEINT)
+                                  * CAST(FLOOR(l_discount * 100)
+                                         AS HUGEINT)) AS s12,
+                              SUM(CAST(FLOOR(l_discount * 100)
+                                       AS HUGEINT)
+                                  * CAST(FLOOR(l_discount * 100)
+                                         AS HUGEINT)) AS s22,
+                              SUM(CAST(FLOOR(l_extendedprice)
+                                       AS HUGEINT)) AS sy,
+                              SUM(CAST(l_quantity AS HUGEINT)
+                                  * CAST(FLOOR(l_extendedprice)
+                                         AS HUGEINT)) AS s1y,
+                              SUM(CAST(FLOOR(l_discount * 100)
+                                       AS HUGEINT)
+                                  * CAST(FLOOR(l_extendedprice)
+                                         AS HUGEINT)) AS s2y
+                       FROM lineitem),
+            d AS (SELECT n * (s11 * s22 - s12 * s12)
+                         - s1 * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s12 - s11 * s2) AS det,
+                         sy * (s11 * s22 - s12 * s12)
+                         - s1 * (s1y * s22 - s12 * s2y)
+                         + s2 * (s1y * s12 - s11 * s2y) AS d0,
+                         n * (s1y * s22 - s12 * s2y)
+                         - sy * (s1 * s22 - s12 * s2)
+                         + s2 * (s1 * s2y - s1y * s2) AS d1,
+                         n * (s11 * s2y - s1y * s12)
+                         - s1 * (s1 * s2y - s1y * s2)
+                         + sy * (s1 * s12 - s11 * s2) AS d2
+                  FROM m),
+            c(coef, num) AS (
+                SELECT 'intercept', d0 FROM d UNION ALL
+                SELECT 'qty', d1 FROM d UNION ALL
+                SELECT 'disc_pct', d2 FROM d)
+            SELECT c.coef,
+                   CAST(CASE WHEN (c.num < 0) != (d.det < 0)
+                        THEN -(ABS(c.num) * 1000000 // ABS(d.det))
+                        ELSE ABS(c.num) * 1000000 // ABS(d.det)
+                        END AS BIGINT) AS value_micro
+            FROM c, d ORDER BY c.coef
+        """,
+        "session_step_transitions": """
+            WITH e AS (SELECT user_id AS u, event_id, epoch_us(ts) AS us,
+                              event_type AS ty
+                       FROM events),
+            l AS (SELECT u, event_id, us, ty,
+                         LAG(us) OVER w AS pus, LAG(ty) OVER w AS pty
+                  FROM e
+                  WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+            s AS (SELECT *, CASE WHEN pus IS NULL
+                                      OR us - pus > 1800000000
+                                 THEN 1 ELSE 0 END AS brk
+                  FROM l),
+            sid AS (SELECT u, us, event_id, ty, pty, brk,
+                           SUM(brk) OVER (PARTITION BY u
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            r AS (SELECT ty, pty, brk,
+                         ROW_NUMBER() OVER (PARTITION BY u, sid
+                             ORDER BY us, event_id) - 2 AS step
+                  FROM sid)
+            SELECT CAST(step AS BIGINT) AS step, pty AS from_type,
+                   ty AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM r WHERE brk = 0 AND step < 8
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "events_quiet_windows": """
+            WITH m AS (SELECT DISTINCT epoch_us(ts) // 60000000 AS mi
+                       FROM events),
+            l AS (SELECT mi, LAG(mi) OVER (ORDER BY mi) AS pm FROM m),
+            g AS (SELECT pm, mi, mi - pm AS gap FROM l
+                  WHERE pm IS NOT NULL)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY gap DESC, pm)
+                        AS BIGINT) AS rk,
+                   CAST(pm AS BIGINT) AS last_active_minute,
+                   CAST(mi AS BIGINT) AS next_active_minute,
+                   CAST(gap AS BIGINT) AS gap_minutes
+            FROM g QUALIFY rk <= 10 ORDER BY rk
+        """,
+        "docs_boilerplate_prefix": """
+            WITH p AS (SELECT doc_id, substr(text, 1, 60) AS pre
+                       FROM documents),
+            g AS (SELECT pre, COUNT(*) AS n, MIN(doc_id) AS mid,
+                         SUM(doc_id) AS sid
+                  FROM p GROUP BY 1 HAVING COUNT(*) > 1)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, mid)
+                        AS BIGINT) AS rk,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(mid AS BIGINT) AS min_doc_id,
+                   CAST(sid AS BIGINT) AS sum_doc_id
+            FROM g QUALIFY rk <= 20 ORDER BY rk
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "events_peak_concurrency", "docs_kfold_assign",
     "part_price_index", "lineitem_pchart",
     "cohort_ltv_curve", "events_drift_tv",
+    "lineitem_ols2", "session_step_transitions",
+    "events_quiet_windows", "docs_boilerplate_prefix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -6181,3 +6181,141 @@ def events_drift_tv(sf_dir: str) -> pd.DataFrame:
                                       "n_second", "tv_bps"]) \
         .astype({"n_first": "int64", "n_second": "int64",
                  "tv_bps": "int64"})
+
+
+def lineitem_ols2(sf_dir: str) -> pd.DataFrame:
+    """TWO-feature ordinary least squares — price ~ quantity +
+    discount_pct — solved EXACTLY: the nine raw moments (n, Σx₁, Σx₂,
+    Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y) are integer per-block partials
+    (ONE row per block, zero shuffle — the moments ARE the sufficient
+    statistic, which is why OLS distributes perfectly), and the driver
+    solves the 3×3 normal equations by Cramer determinants in
+    arbitrary-precision Python ints. Coefficients are emitted in
+    sign-normalized fixed point ``sign · (10⁶·|det_j| // |det|)`` —
+    toward-zero truncation matching DuckDB's `//` exactly (never a
+    float, never a floor/trunc mismatch on negatives). Units: y in
+    whole dollars, x₂ in whole discount percent, keeping every
+    determinant far inside HUGEINT for the SQL twin."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x1 = t.column("l_quantity").to_numpy().astype(np.int64)
+        x2 = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy()) \
+            .astype(np.int64)
+        return pa.table({k: pa.array([int(v)]) for k, v in {
+            "n": len(x1), "s1": x1.sum(), "s2": x2.sum(),
+            "s11": (x1 * x1).sum(), "s12": (x1 * x2).sum(),
+            "s22": (x2 * x2).sum(), "sy": y.sum(),
+            "s1y": (x1 * y).sum(), "s2y": (x2 * y).sum()}.items()})
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, s1, s2 = int(m["n"]), int(m["s1"]), int(m["s2"])
+    s11, s12, s22 = int(m["s11"]), int(m["s12"]), int(m["s22"])
+    sy, s1y, s2y = int(m["sy"]), int(m["s1y"]), int(m["s2y"])
+
+    def det3(a):
+        return (a[0][0] * (a[1][1] * a[2][2] - a[1][2] * a[2][1])
+                - a[0][1] * (a[1][0] * a[2][2] - a[1][2] * a[2][0])
+                + a[0][2] * (a[1][0] * a[2][1] - a[1][1] * a[2][0]))
+
+    A = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    det = det3(A)
+    out = []
+    for j, name in enumerate(["intercept", "qty", "disc_pct"]):
+        Aj = [row[:] for row in A]
+        for r in range(3):
+            Aj[r][j] = b[r]
+        num = det3(Aj)
+        sgn = -1 if (num < 0) != (det < 0) else 1
+        out.append((name, sgn * ((10**6 * abs(num)) // abs(det))))
+    return pd.DataFrame(out, columns=["coef", "value_micro"]) \
+        .astype({"value_micro": "int64"})
+
+
+def session_step_transitions(sf_dir: str, gap_us: int = 1_800_000_000,
+                             max_step: int = 8) -> pd.DataFrame:
+    """WHERE in the session do users do what: transition counts
+    (from_type → to_type) broken out by the transition's STEP INDEX
+    within the session — the position-aware refinement of the global
+    Markov matrix (``event_transitions``) that shows e.g. purchases
+    concentrating at step 3+. One ``user % 64`` bucket exchange; the
+    fold sessionizes via vectorized gap breaks, derives each row's step
+    as ``i − session_start(i)`` from a running maximum over break
+    indices (no per-session loop), and bin-counts packed
+    (step, from, to) codes; output is (steps × types²)-bounded."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "ty": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        ty, codes = pd.factorize(g["ty"].to_numpy(object)[order])
+        nrow = len(us)
+        brk = np.ones(nrow, dtype=bool)
+        brk[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        sess_start = np.maximum.accumulate(
+            np.where(brk, np.arange(nrow), 0))
+        step = np.arange(nrow) - sess_start - 1  # transition index
+        keep = (~brk) & (step < max_step)
+        frm = ty[np.flatnonzero(keep) - 1]
+        to = ty[keep]
+        k = len(codes)
+        pack = step[keep] * k * k + frm * k + to
+        uniq, cnt = np.unique(pack, return_counts=True)
+        return pd.DataFrame({
+            "step": uniq // (k * k),
+            "from_type": codes[(uniq // k) % k].astype(object),
+            "to_type": codes[uniq % k].astype(object),
+            "n": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby(["step", "from_type", "to_type"],
+                          as_index=False)["n"].sum()
+            .sort_values(["step", "from_type", "to_type"],
+                         kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"step": "int64", "n": "int64"}))
+
+
+def events_quiet_windows(sf_dir: str, topk: int = 10) -> pd.DataFrame:
+    """Outage/quiet-period audit: the top-k LONGEST gaps between
+    consecutive globally-active minutes — 'when did the firehose go
+    silent, and for how long'. Per-block partials are the block's
+    DISTINCT active minutes (already deduped, so what flows is bounded
+    by the calendar-minute grid, never by row count); the driver unions
+    them, diffs the sorted grid and ranks gaps under the deterministic
+    (gap desc, start asc) tie order — ZERO shuffle at any data scale."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mi = np.unique(t.column("ts").cast(pa.int64()).to_numpy()
+                       // 60_000_000)
+        return pa.table({"mi": pa.array(mi)})
+
+    mins = np.unique(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["mi"].to_numpy(np.int64))
+    gaps = np.diff(mins)
+    order = np.lexsort((mins[:-1], -gaps))[:topk]
+    return pd.DataFrame({
+        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+        "last_active_minute": mins[:-1][order],
+        "next_active_minute": mins[1:][order],
+        "gap_minutes": gaps[order]}).astype("int64")

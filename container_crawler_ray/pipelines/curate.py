@@ -9,6 +9,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.text import text_stats_batch
@@ -538,3 +539,47 @@ def docs_kfold_assign(sf_dir: str, k: int = 5) -> pd.DataFrame:
            .reset_index(drop=True))
     return out.astype({"fold": "int64", "n_docs": "int64",
                        "sum_doc_id": "int64", "sum_chars": "int64"})
+
+
+def docs_boilerplate_prefix(sf_dir: str, prefix_len: int = 60,
+                            topk: int = 20) -> pd.DataFrame:
+    """Boilerplate/template detection: groups of documents that share
+    the same first ``prefix_len`` characters — the cheap tripwire for
+    scraped template farms and mirrored headers that full-text exact
+    dedup misses (bodies differ, intros don't). One prefix-hash bucket
+    exchange co-locates each prefix group, the fold aggregates
+    (count, min_id, id-checksum) per prefix STRING (hash only routes —
+    group identity is the exact prefix, so hash collisions cannot merge
+    groups), and the driver ranks the n>1 groups under the
+    deterministic (size desc, min_id asc) order. What flows is one row
+    per distinct prefix per block — boilerplate-group-sized, not
+    corpus-sized."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(t.column("text"), 0, prefix_len)
+        h = hash64_many(pre.to_pylist())
+        return pa.table({"doc_id": t.column("doc_id"), "pre": pre,
+                         "bucket": pa.array((h % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("pre", sort=False).agg(
+            n=("doc_id", "size"), mid=("doc_id", "min"),
+            sid=("doc_id", "sum"))
+        agg = agg[agg["n"] > 1]
+        return pd.DataFrame({
+            "n_docs": agg["n"].to_numpy(np.int64),
+            "min_doc_id": agg["mid"].to_numpy(np.int64),
+            "sum_doc_id": agg["sid"].to_numpy(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    order = np.lexsort((parts["min_doc_id"].to_numpy(np.int64),
+                        -parts["n_docs"].to_numpy(np.int64)))[:topk]
+    out = parts.iloc[order].reset_index(drop=True)
+    out.insert(0, "rk", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out.astype("int64")

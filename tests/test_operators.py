@@ -89,6 +89,8 @@ def test_entry_smoke(entrymod):
     "events_peak_concurrency", "docs_kfold_assign",
     "part_price_index", "lineitem_pchart",
     "cohort_ltv_curve", "events_drift_tv",
+    "lineitem_ols2", "session_step_transitions",
+    "events_quiet_windows", "docs_boilerplate_prefix",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
