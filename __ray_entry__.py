@@ -196,6 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_step_transitions": analytics.session_step_transitions,
         "events_quiet_windows": analytics.events_quiet_windows,
         "docs_boilerplate_prefix": curate.docs_boilerplate_prefix,
+        "events_interarrival_fano": analytics.events_interarrival_fano,
+        "embedding_label_centroids": analytics.embedding_label_centroids,
+        "lineitem_price_surface": analytics.lineitem_price_surface,
+        "nation_trade_balance": joins.nation_trade_balance,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3492,6 +3496,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mid AS BIGINT) AS min_doc_id,
                    CAST(sid AS BIGINT) AS sum_doc_id
             FROM g QUALIFY rk <= 20 ORDER BY rk
+        """,
+        "events_interarrival_fano": """
+            WITH e AS (SELECT event_type AS ty,
+                              epoch_us(ts) // 60000000 AS mi
+                       FROM events),
+            w AS (SELECT MAX(mi) - MIN(mi) + 1 AS g FROM e),
+            c AS (SELECT ty, mi, COUNT(*) AS c FROM e GROUP BY 1, 2),
+            s AS (SELECT ty, SUM(c) AS s, SUM(c * c) AS q
+                  FROM c GROUP BY 1)
+            SELECT s.ty AS event_type,
+                   CAST(w.g AS BIGINT) AS n_minutes,
+                   CAST(s.s AS BIGINT) AS n_events,
+                   CAST(1000 * s.s // w.g AS BIGINT) AS mean_milli,
+                   CAST(CAST(1000000 AS HUGEINT)
+                        * (w.g * s.q - s.s * s.s)
+                        // (CAST(w.g AS HUGEINT) * s.s) AS BIGINT)
+                       AS fano_micro
+            FROM s, w ORDER BY 1
+        """,
+        "embedding_label_centroids": """
+            WITH u AS (SELECT label,
+                              unnest(generate_series(
+                                  1, len(embedding))) AS dim,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE) * 1000000.0)
+                                   AS BIGINT) AS vf
+                       FROM embeddings),
+            s AS (SELECT label, dim, COUNT(*) AS n, SUM(vf) AS s
+                  FROM u GROUP BY 1, 2)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(n AS BIGINT) AS n_vecs,
+                   CAST(CASE WHEN s < 0 THEN -((-s) // n)
+                        ELSE s // n END AS BIGINT) AS centroid_micro
+            FROM s ORDER BY 1, 2
+        """,
+        "lineitem_price_surface": """
+            WITH c AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                                  AS disc_pct,
+                              CAST(FLOOR(l_tax * 100) AS BIGINT)
+                                  AS tax_pct,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem)
+            SELECT disc_pct, tax_pct,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(cents) // COUNT(*) AS BIGINT)
+                       AS mean_price_cents,
+                   CAST(SUM(cents) AS BIGINT) AS sum_price_cents
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "nation_trade_balance": """
+            WITH f AS (SELECT CAST(FLOOR(l.l_extendedprice * 100)
+                                   AS BIGINT) AS rev,
+                              s.s_nationkey AS sn, c.c_nationkey AS cn
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey),
+            e AS (SELECT sn AS nk, SUM(rev) AS ex FROM f GROUP BY 1),
+            i AS (SELECT cn AS nk, SUM(rev) AS im FROM f GROUP BY 1)
+            SELECT n.n_name AS nation,
+                   CAST(COALESCE(e.ex, 0) AS BIGINT) AS export_cents,
+                   CAST(COALESCE(i.im, 0) AS BIGINT) AS import_cents,
+                   CAST(COALESCE(e.ex, 0) - COALESCE(i.im, 0)
+                        AS BIGINT) AS balance_cents
+            FROM nation n
+            LEFT JOIN e ON e.nk = n.n_nationkey
+            LEFT JOIN i ON i.nk = n.n_nationkey
+            ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

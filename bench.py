@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "cohort_ltv_curve", "events_drift_tv",
     "lineitem_ols2", "session_step_transitions",
     "events_quiet_windows", "docs_boilerplate_prefix",
+    "events_interarrival_fano", "embedding_label_centroids",
+    "lineitem_price_surface", "nation_trade_balance",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -6319,3 +6319,167 @@ def events_quiet_windows(sf_dir: str, topk: int = 10) -> pd.DataFrame:
         "last_active_minute": mins[:-1][order],
         "next_active_minute": mins[1:][order],
         "gap_minutes": gaps[order]}).astype("int64")
+
+
+def events_interarrival_fano(sf_dir: str) -> pd.DataFrame:
+    """Burstiness audit: the FANO FACTOR (variance-to-mean ratio of
+    per-minute event counts over the full calendar-minute grid) per
+    event type — 1.0 for a Poisson stream, >1 for bursty arrivals; the
+    number capacity models need. Exactly integer end to end:
+    ``fano_micro = 10⁶·(G·Q − S²) // (G·S)`` with G the grid size, S
+    the event count and Q the sum of squared per-minute counts —
+    nonnegative by Cauchy–Schwarz, so the truncating division agrees
+    on both sides. Q needs per-minute totals merged across blocks, so
+    there is ONE ``minute % 64`` bucket exchange (calendar-grid-bounded
+    rows, never event-bounded); the grid bounds come from the same
+    partials — no second pass."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        mi = t.column("ts").cast(pa.int64()).to_numpy() // 60_000_000
+        types, o_mi, o_n = [], [], []
+        for ty in np.unique(et):
+            m = et == ty
+            u, c = np.unique(mi[m], return_counts=True)
+            types.extend([str(ty)] * len(u))
+            o_mi.append(u)
+            o_n.append(c)
+        mi_all = np.concatenate(o_mi)
+        return pa.table({
+            "ty": pa.array(types, type=pa.string()),
+            "mi": pa.array(mi_all),
+            "c": pa.array(np.concatenate(o_n).astype(np.int64)),
+            "bucket": pa.array((mi_all % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ty, codes = pd.factorize(g["ty"].to_numpy(object))
+        mi = g["mi"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        k = len(codes)
+        pack = mi * k + ty
+        uniq, inv = np.unique(pack, return_inverse=True)
+        tot = np.bincount(inv, weights=c, minlength=len(uniq)) \
+            .astype(np.int64)
+        tyu = (uniq % k).astype(np.int64)
+        res = pd.DataFrame({
+            "ty": codes.take(tyu).astype(object),
+            "s": np.bincount(tyu, weights=tot, minlength=k)
+            .astype(np.int64)[tyu],
+            "q": np.bincount(tyu, weights=tot * tot, minlength=k)
+            .astype(np.int64)[tyu]}).drop_duplicates("ty")
+        res["mn"] = mi.min()
+        res["mx"] = mi.max()
+        return res
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    mn, mx = int(parts["mn"].min()), int(parts["mx"].max())
+    grid = mx - mn + 1
+    agg = parts.groupby("ty", as_index=False).agg(
+        s=("s", "sum"), q=("q", "sum"))
+    rows = []
+    for _, r in agg.iterrows():
+        S, Q = int(r["s"]), int(r["q"])
+        rows.append((str(r["ty"]), grid, S, 1000 * S // grid,
+                     10**6 * (grid * Q - S * S) // (grid * S)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_minutes", "n_events", "mean_milli",
+        "fano_micro"]).astype({
+            "n_minutes": "int64", "n_events": "int64",
+            "mean_milli": "int64", "fano_micro": "int64"})
+
+
+def embedding_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-LABEL centroid of the embedding column in exact 1e-6 fixed
+    point — the supervised-signal audit (are class centroids separated,
+    did a label's centroid drift after a data refresh). Each block
+    emits one (label, n, packed-dim-sum) partial per label present
+    (labels × blocks rows, ZERO shuffle — the same gradient-all-reduce
+    shape as ``embedding_dim_stats``); the driver folds and divides
+    sign-normalized (toward zero, matching DuckDB ``//`` on the
+    negative coordinates). Arrow list values flatten zero-copy."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1_000_000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        labs, o_n, o_s = [], [], []
+        for lb in np.unique(lab):
+            m = lab == lb
+            labs.append(int(lb))
+            o_n.append(int(m.sum()))
+            o_s.append(fp[m].sum(axis=0).tobytes())
+        return pa.table({
+            "label": pa.array(labs, type=pa.int64()),
+            "n": pa.array(o_n, type=pa.int64()),
+            "s": pa.array(o_s, type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list] = {}
+    for r in rows:
+        s = np.frombuffer(r["s"], dtype=np.int64)
+        if r["label"] in acc:
+            acc[r["label"]][0] += int(r["n"])
+            acc[r["label"]][1] = acc[r["label"]][1] + s
+        else:
+            acc[r["label"]] = [int(r["n"]), s.copy()]
+    out_lab, out_dim, out_n, out_c = [], [], [], []
+    for lb in sorted(acc):
+        n, s = acc[lb]
+        d = len(s)
+        out_lab.append(np.full(d, lb, dtype=np.int64))
+        out_dim.append(np.arange(1, d + 1, dtype=np.int64))
+        out_n.append(np.full(d, n, dtype=np.int64))
+        mag = np.abs(s) // n
+        out_c.append(np.where(s < 0, -mag, mag))
+    return pd.DataFrame({
+        "label": np.concatenate(out_lab),
+        "dim": np.concatenate(out_dim),
+        "n_vecs": np.concatenate(out_n),
+        "centroid_micro": np.concatenate(out_c)}).astype("int64")
+
+
+def lineitem_price_surface(sf_dir: str) -> pd.DataFrame:
+    """Price interaction surface: mean extended price (exact cents,
+    truncating mean) per (discount %, tax %) cell — the 2-D readout
+    that shows whether discounts and tax bands interact in pricing.
+    Cells are a ≤ 11×9 grid, so each block emits one fixed-size packed
+    bincount partial — ZERO shuffle, driver fold is grid-sized."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_tax", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        x = np.floor(t.column("l_tax").to_numpy() * 100).astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        cell = d * 16 + x
+        size = 16 * 16
+        return pa.table({
+            "n": pa.array([np.bincount(cell, minlength=size)
+                           .astype(np.int64).tobytes()],
+                          type=pa.large_binary()),
+            "s": pa.array([np.bincount(cell, weights=cents,
+                                       minlength=size)
+                           .astype(np.int64).tobytes()],
+                          type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = np.sum([np.frombuffer(r["n"], dtype=np.int64) for r in rows],
+               axis=0).astype(np.int64)
+    s = np.sum([np.frombuffer(r["s"], dtype=np.int64) for r in rows],
+               axis=0).astype(np.int64)
+    keep = np.flatnonzero(n > 0)
+    return pd.DataFrame({
+        "disc_pct": keep // 16, "tax_pct": keep % 16,
+        "n_lines": n[keep], "mean_price_cents": s[keep] // n[keep],
+        "sum_price_cents": s[keep]}).astype("int64")

@@ -2971,3 +2971,102 @@ def order_flag_signature(sf_dir: str) -> pd.DataFrame:
         "n_orders": agg["n_orders"].astype("int64")})
     return (out.sort_values("sig", kind="mergesort")
             .reset_index(drop=True))
+
+
+def nation_trade_balance(sf_dir: str) -> pd.DataFrame:
+    """Trade-balance matrix rollup: per nation, EXPORT revenue (its
+    suppliers' line revenue), IMPORT revenue (its customers' order-line
+    revenue) and the net balance, exact cents — the economics readout
+    over the full fact table (domestic flows count on both sides and
+    cancel in the balance). Same scale shape as ``q7_nation_volume``:
+    ONE lineitem⋈orders fact-fact exchange co-partitioned on
+    ``orderkey % 64``; supplier→nation / customer→nation are
+    dimension-sized dense LUTs broadcast once via ``ray.put``; each
+    bucket emits ≤ 2·|nations| partial rows. Every nation appears
+    (zero-filled), mirroring the twin's LEFT JOIN from the dimension."""
+    import ray
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = nation["n_nationkey"].to_numpy(np.int64)
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+
+    ref = ray.put((s_nat, c_nat))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_suppkey").to_numpy()
+                            .astype(np.int64)),
+            "cents": pa.array(
+                np.floor(t.column("l_extendedprice").to_numpy() * 100)
+                .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "cents": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    nmax = int(nk.max()) + 1
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        s_nat_, c_nat_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "custkey"})
+        right = g[g["side"] == 1][["key", "aux", "cents"]] \
+            .rename(columns={"aux": "suppkey"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"nk": pd.Series([], dtype=np.int64),
+                                 "ex": pd.Series([], dtype=np.int64),
+                                 "im": pd.Series([], dtype=np.int64)})
+        cents = m["cents"].to_numpy(np.int64)
+        sn = s_nat_[m["suppkey"].to_numpy(np.int64)]
+        cn = c_nat_[m["custkey"].to_numpy(np.int64)]
+        return pd.DataFrame({
+            "nk": np.arange(nmax, dtype=np.int64),
+            "ex": np.bincount(sn, weights=cents, minlength=nmax)
+            .astype(np.int64),
+            "im": np.bincount(cn, weights=cents, minlength=nmax)
+            .astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    agg = part.groupby("nk", as_index=False).sum()
+    ex = np.zeros(nmax, dtype=np.int64)
+    im = np.zeros(nmax, dtype=np.int64)
+    ex[agg["nk"].to_numpy(np.int64)] = agg["ex"].to_numpy(np.int64)
+    im[agg["nk"].to_numpy(np.int64)] = agg["im"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "nation": nation["n_name"].to_numpy(object),
+        "export_cents": ex[nk], "import_cents": im[nk],
+        "balance_cents": ex[nk] - im[nk]})
+    return (out.sort_values("nation", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"export_cents": "int64", "import_cents": "int64",
+                     "balance_cents": "int64"}))

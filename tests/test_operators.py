@@ -91,6 +91,8 @@ def test_entry_smoke(entrymod):
     "cohort_ltv_curve", "events_drift_tv",
     "lineitem_ols2", "session_step_transitions",
     "events_quiet_windows", "docs_boilerplate_prefix",
+    "events_interarrival_fano", "embedding_label_centroids",
+    "lineitem_price_surface", "nation_trade_balance",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
