@@ -200,6 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": analytics.embedding_label_centroids,
         "lineitem_price_surface": analytics.lineitem_price_surface,
         "nation_trade_balance": joins.nation_trade_balance,
+        "user_retention_triangle": analytics.user_retention_triangle,
+        "customer_balance_deciles": joins.customer_balance_deciles,
+        "docs_source_simpson": curate.docs_source_simpson,
+        "docs_punct_profile": curate.docs_punct_profile,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3566,6 +3570,82 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN e ON e.nk = n.n_nationkey
             LEFT JOIN i ON i.nk = n.n_nationkey
             ORDER BY 1
+        """,
+        "user_retention_triangle": """
+            WITH uw AS (SELECT DISTINCT user_id AS u,
+                               datediff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) // 7 AS w
+                        FROM events),
+            f AS (SELECT u, MIN(w) AS w0 FROM uw GROUP BY 1)
+            SELECT CAST(f.w0 AS BIGINT) AS cohort_week,
+                   CAST(uw.w - f.w0 AS BIGINT) AS week_offset,
+                   CAST(COUNT(*) AS BIGINT) AS n_active
+            FROM uw JOIN f ON uw.u = f.u
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customer_balance_deciles": """
+            WITH cb AS (SELECT c_custkey,
+                               CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                                   AS cents
+                        FROM customer),
+            r AS (SELECT c_custkey,
+                         10 * (ROW_NUMBER() OVER (
+                             ORDER BY cents, c_custkey) - 1)
+                             // (SELECT COUNT(*) FROM cb) AS dec
+                  FROM cb),
+            rev AS (SELECT o_custkey,
+                           CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                               AS rv
+                    FROM orders),
+            s AS (SELECT r.dec, COUNT(DISTINCT r.c_custkey) AS nc,
+                         COALESCE(SUM(rev.rv), 0) AS rv
+                  FROM r LEFT JOIN rev ON rev.o_custkey = r.c_custkey
+                  GROUP BY 1),
+            t AS (SELECT SUM(rv) AS tot FROM s)
+            SELECT CAST(s.dec AS BIGINT) AS decile,
+                   CAST(s.nc AS BIGINT) AS n_customers,
+                   CAST(s.rv AS BIGINT) AS revenue_cents,
+                   CAST(10000 * s.rv // t.tot AS BIGINT) AS share_bps
+            FROM s, t ORDER BY 1
+        """,
+        "docs_source_simpson": """
+            WITH c AS (SELECT lang, source, COUNT(*) AS n
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT lang, COUNT(*) AS ns, SUM(n) AS nn,
+                         SUM(n * (n - 1)) AS num
+                  FROM c GROUP BY 1)
+            SELECT lang, CAST(ns AS BIGINT) AS n_sources,
+                   CAST(nn AS BIGINT) AS n_docs,
+                   CAST(CAST(1000000 AS HUGEINT) * num
+                        // (CAST(nn AS HUGEINT) * (nn - 1)) AS BIGINT)
+                       AS simpson_ppm
+            FROM s ORDER BY 1
+        """,
+        "docs_punct_profile": """
+            WITH p AS (SELECT lang, length(text) AS ch,
+                              len(regexp_extract_all(text, '[.!?]+'))
+                                  AS runs,
+                              length(text)
+                                  - length(replace(text, '!', ''))
+                                  AS ex,
+                              length(text)
+                                  - length(replace(text, '?', ''))
+                                  AS qu
+                       FROM documents),
+            a AS (SELECT lang, COUNT(*) AS n_docs, SUM(ch) AS n_chars,
+                         SUM(runs) AS sent_runs, SUM(ex) AS n_exclaim,
+                         SUM(qu) AS n_question
+                  FROM p GROUP BY 1)
+            SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(sent_runs AS BIGINT) AS sent_runs,
+                   CAST(n_exclaim AS BIGINT) AS n_exclaim,
+                   CAST(n_question AS BIGINT) AS n_question,
+                   CAST(1000 * n_exclaim // n_chars AS BIGINT)
+                       AS exclaim_permille,
+                   CAST(1000 * n_question // n_chars AS BIGINT)
+                       AS question_permille
+            FROM a ORDER BY lang
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

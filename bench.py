@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "events_quiet_windows", "docs_boilerplate_prefix",
     "events_interarrival_fano", "embedding_label_centroids",
     "lineitem_price_surface", "nation_trade_balance",
+    "user_retention_triangle", "customer_balance_deciles",
+    "docs_source_simpson", "docs_punct_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

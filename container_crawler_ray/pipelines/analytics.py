@@ -6483,3 +6483,47 @@ def lineitem_price_surface(sf_dir: str) -> pd.DataFrame:
         "disc_pct": keep // 16, "tax_pct": keep % 16,
         "n_lines": n[keep], "mean_price_cents": s[keep] // n[keep],
         "sum_price_cents": s[keep]}).astype("int64")
+
+
+def user_retention_triangle(sf_dir: str) -> pd.DataFrame:
+    """The classic cohort RETENTION TRIANGLE: users cohorted by first
+    active week, and for each (cohort, week offset) the count of
+    cohort members active that week — the cohort-resolved complement
+    of the global ``user_growth_accounting`` waterfall. Weeks are pure
+    integer epoch-day // 7 (no calendar library on either side). One
+    ``user % 64`` bucket exchange; the fold dedupes (user, week) pairs
+    by lexsort, takes cohorts from segment firsts and bin-counts
+    packed (cohort, offset) codes — what flows per bucket is
+    weeks²-bounded, never event- or user-bounded."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        w = (t.column("ts").cast(pa.int64()).to_numpy()
+             // 86_400_000_000) // 7
+        return pa.table({"u": pa.array(u), "w": pa.array(w),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        pair = np.unique(u * (1 << 20) + w)
+        uu, ww = pair >> 20, pair & ((1 << 20) - 1)
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        w0 = ww[starts]  # cohort week per user (pairs sorted by u, w)
+        cohort = np.repeat(w0, np.diff(np.r_[starts, len(uu)]))
+        pack = cohort * (1 << 20) + (ww - cohort)
+        uniq, cnt = np.unique(pack, return_counts=True)
+        return pd.DataFrame({"cohort": uniq >> 20,
+                             "off": uniq & ((1 << 20) - 1),
+                             "n": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby(["cohort", "off"], as_index=False)["n"].sum()
+            .sort_values(["cohort", "off"], kind="mergesort")
+            .reset_index(drop=True)
+            .rename(columns={"cohort": "cohort_week",
+                             "off": "week_offset", "n": "n_active"})
+            .astype("int64"))

@@ -583,3 +583,93 @@ def docs_boilerplate_prefix(sf_dir: str, prefix_len: int = 60,
     out = parts.iloc[order].reset_index(drop=True)
     out.insert(0, "rk", np.arange(1, len(out) + 1, dtype=np.int64))
     return out.astype("int64")
+
+
+def docs_source_simpson(sf_dir: str) -> pd.DataFrame:
+    """Corpus-diversity audit: SIMPSON'S INDEX of source concentration
+    per language, ``λ = Σ nᵢ(nᵢ−1) / (N(N−1))`` in exact parts-per-
+    million — the probability two random docs of a language share a
+    source (1e6 = monoculture; the training-mixture red flag). Per-
+    block (lang, source, n) unique partials — ZERO shuffle, the driver
+    fold is (langs × sources)-sized at any corpus size."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang")).astype(object)
+        src = np.asarray(t.column("source")).astype(object)
+        lc, l_uniq = pd.factorize(lang)
+        sc, s_uniq = pd.factorize(src)
+        pack = lc.astype(np.int64) * len(s_uniq) + sc
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "lang": pa.array(l_uniq.take(u // len(s_uniq)).astype(str),
+                             type=pa.string()),
+            "source": pa.array(s_uniq.take(u % len(s_uniq)).astype(str),
+                               type=pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["lang", "source"], as_index=False)["n"].sum()
+    out = []
+    for lang, grp in agg.groupby("lang"):
+        ns = grp["n"].to_numpy(np.int64)
+        N = int(ns.sum())
+        num = int((ns * (ns - 1)).sum())
+        out.append((str(lang), len(ns), N,
+                    10**6 * num // (N * (N - 1))))
+    out.sort()
+    return pd.DataFrame(out, columns=["lang", "n_sources", "n_docs",
+                                      "simpson_ppm"]) \
+        .astype({"n_sources": "int64", "n_docs": "int64",
+                 "simpson_ppm": "int64"})
+
+
+def docs_punct_profile(sf_dir: str) -> pd.DataFrame:
+    """Punctuation profile per language — sentence-terminator runs
+    (``[.!?]+`` matches, the cheap sentence-count proxy), exclamation
+    and question marks, and their per-kilochar densities — the text-
+    quality signal set that feeds heuristic filters. Counting runs on
+    RE2 on BOTH sides (pyarrow ``count_substring_regex`` here,
+    ``regexp_extract_all`` in the twin) so the regex semantics match
+    exactly; densities are integer permille. Per-block partials are
+    one row per language — ZERO shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang")).astype(object)
+        txt = t.column("text")
+        runs = pc.count_substring_regex(txt, r"[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = pc.count_substring(txt, "!") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ques = pc.count_substring(txt, "?") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = pc.utf8_length(txt) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        langs, o = [], []
+        for lg in np.unique(lang.astype(str)):
+            m = lang == lg
+            langs.append(str(lg))
+            o.append((int(m.sum()), int(chars[m].sum()),
+                      int(runs[m].sum()), int(excl[m].sum()),
+                      int(ques[m].sum())))
+        arr = np.array(o, dtype=np.int64).reshape(len(langs), 5)
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "n_docs": pa.array(arr[:, 0]),
+            "n_chars": pa.array(arr[:, 1]),
+            "sent_runs": pa.array(arr[:, 2]),
+            "n_exclaim": pa.array(arr[:, 3]),
+            "n_question": pa.array(arr[:, 4])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("lang", as_index=False).sum()
+           .sort_values("lang", kind="mergesort").reset_index(drop=True))
+    ch = agg["n_chars"].to_numpy(np.int64)
+    agg["exclaim_permille"] = 1000 * agg["n_exclaim"].to_numpy(
+        np.int64) // ch
+    agg["question_permille"] = 1000 * agg["n_question"].to_numpy(
+        np.int64) // ch
+    return agg.astype({c: "int64" for c in agg.columns if c != "lang"})

@@ -93,6 +93,8 @@ def test_entry_smoke(entrymod):
     "events_quiet_windows", "docs_boilerplate_prefix",
     "events_interarrival_fano", "embedding_label_centroids",
     "lineitem_price_surface", "nation_trade_balance",
+    "user_retention_triangle", "customer_balance_deciles",
+    "docs_source_simpson", "docs_punct_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
