@@ -204,6 +204,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_balance_deciles": joins.customer_balance_deciles,
         "docs_source_simpson": curate.docs_source_simpson,
         "docs_punct_profile": curate.docs_punct_profile,
+        "embedding_label_margin": analytics.embedding_label_margin,
+        "part_price_ols_by_brand": analytics.part_price_ols_by_brand,
+        "session_length_hist": analytics.session_length_hist,
+        "returns_by_ship_lag": joins.returns_by_ship_lag,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3646,6 +3650,99 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * n_question // n_chars AS BIGINT)
                        AS question_permille
             FROM a ORDER BY lang
+        """,
+        "embedding_label_margin": """
+            WITH u AS (SELECT label,
+                              unnest(generate_series(
+                                  1, len(embedding))) AS dim,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE) * 1000000.0)
+                                   AS BIGINT) AS vf
+                       FROM embeddings),
+            s AS (SELECT label, dim, COUNT(*) AS n, SUM(vf) AS s
+                  FROM u GROUP BY 1, 2),
+            c AS (SELECT label, dim,
+                         CASE WHEN s < 0 THEN -((-s) // n)
+                         ELSE s // n END AS cm
+                  FROM s)
+            SELECT CAST(a.label AS BIGINT) AS label_a,
+                   CAST(b.label AS BIGINT) AS label_b,
+                   CAST(SUM((a.cm - b.cm) * (a.cm - b.cm)) AS BIGINT)
+                       AS dist2_micro2
+            FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_price_ols_by_brand": """
+            WITH m AS (SELECT p_brand AS brand,
+                              CAST(COUNT(*) AS HUGEINT) AS n,
+                              SUM(CAST(p_size AS HUGEINT)) AS sx,
+                              SUM(CAST(p_size AS HUGEINT) * p_size)
+                                  AS sxx,
+                              SUM(CAST(FLOOR(p_retailprice * 100)
+                                       AS HUGEINT)) AS sy,
+                              SUM(CAST(p_size AS HUGEINT)
+                                  * CAST(FLOOR(p_retailprice * 100)
+                                         AS HUGEINT)) AS sxy
+                       FROM part GROUP BY 1),
+            d AS (SELECT brand, n, n * sxy - sx * sy AS ns,
+                         sy * sxx - sx * sxy AS ni,
+                         n * sxx - sx * sx AS den
+                  FROM m WHERE n * sxx - sx * sx != 0)
+            SELECT brand, CAST(n AS BIGINT) AS n_parts,
+                   CAST(CASE WHEN (ns < 0) != (den < 0)
+                        THEN -(ABS(ns) * 1000000 // ABS(den))
+                        ELSE ABS(ns) * 1000000 // ABS(den)
+                        END AS BIGINT) AS slope_micro,
+                   CAST(CASE WHEN (ni < 0) != (den < 0)
+                        THEN -(ABS(ni) * 1000000 // ABS(den))
+                        ELSE ABS(ni) * 1000000 // ABS(den)
+                        END AS BIGINT) AS intercept_micro
+            FROM d ORDER BY brand
+        """,
+        "session_length_hist": """
+            WITH e AS (SELECT user_id AS u, event_id,
+                              epoch_us(ts) AS us
+                       FROM events),
+            l AS (SELECT u, event_id, us, LAG(us) OVER w AS pus
+                  FROM e
+                  WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+            s AS (SELECT u, us, event_id,
+                         CASE WHEN pus IS NULL
+                                   OR us - pus > 1800000000
+                              THEN 1 ELSE 0 END AS brk
+                  FROM l),
+            sid AS (SELECT u, us,
+                           SUM(brk) OVER (PARTITION BY u
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            g AS (SELECT u, sid, COUNT(*) AS cnt,
+                         MAX(us) - MIN(us) AS dur
+                  FROM sid GROUP BY 1, 2),
+            h AS (SELECT LEAST(cnt, 20) AS lb, COUNT(*) AS ns,
+                         SUM(dur) AS sd
+                  FROM g GROUP BY 1)
+            SELECT CAST(lb AS BIGINT) AS len_bucket,
+                   CAST(ns AS BIGINT) AS n_sessions,
+                   CAST(sd AS BIGINT) AS sum_duration_us
+            FROM h ORDER BY 1
+        """,
+        "returns_by_ship_lag": """
+            WITH j AS (SELECT datediff('day',
+                                       CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                                  AS lag,
+                              CASE WHEN l.l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            a AS (SELECT lag, COUNT(*) AS n, SUM(r) AS x
+                  FROM j GROUP BY 1)
+            SELECT CAST(lag AS BIGINT) AS lag_days,
+                   CAST(n AS BIGINT) AS n_lines,
+                   CAST(x AS BIGINT) AS n_returned,
+                   CAST(10000 * x // n AS BIGINT) AS return_bps
+            FROM a ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "lineitem_price_surface", "nation_trade_balance",
     "user_retention_triangle", "customer_balance_deciles",
     "docs_source_simpson", "docs_punct_profile",
+    "embedding_label_margin", "part_price_ols_by_brand",
+    "session_length_hist", "returns_by_ship_lag",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -6527,3 +6527,131 @@ def user_retention_triangle(sf_dir: str) -> pd.DataFrame:
             .rename(columns={"cohort": "cohort_week",
                              "off": "week_offset", "n": "n_active"})
             .astype("int64"))
+
+
+def embedding_label_margin(sf_dir: str) -> pd.DataFrame:
+    """Class-separability audit: squared L2 distance between every
+    pair of LABEL CENTROIDS in the fixed-point (1e-6) coordinate
+    system — the margin matrix that says whether labels are actually
+    separated before anyone trains on them. Centroids come from the
+    same zero-shuffle binary-packed partials as
+    ``embedding_label_centroids``; distances are computed on the
+    driver over the (labels × labels) grid from the already-divided
+    integer centroids, so both sides square identical ints."""
+    cent = embedding_label_centroids(sf_dir)
+    labs = cent["label"].unique()
+    d = int(cent["dim"].max())
+    mat = (cent.sort_values(["label", "dim"])["centroid_micro"]
+           .to_numpy(np.int64).reshape(len(labs), d))
+    rows = []
+    for i in range(len(labs)):
+        for j in range(i + 1, len(labs)):
+            diff = mat[i] - mat[j]
+            rows.append((int(labs[i]), int(labs[j]),
+                         int((diff * diff).sum())))
+    return pd.DataFrame(rows, columns=["label_a", "label_b",
+                                       "dist2_micro2"]) \
+        .astype("int64")
+
+
+def part_price_ols_by_brand(sf_dir: str) -> pd.DataFrame:
+    """GROUPED simple regression: per brand, the OLS slope and
+    intercept of retail price (cents) against part size — 'does this
+    brand charge for size' — in exact sign-normalized fixed point. The
+    five raw moments per brand are per-block partials (brands ×
+    blocks rows, ZERO shuffle); the driver solves the closed form in
+    arbitrary-precision ints with toward-zero division matching DuckDB
+    ``//`` on negative numerators."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        br = np.asarray(t.column("p_brand")).astype(object)
+        x = t.column("p_size").to_numpy().astype(np.int64)
+        y = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(br)
+        k = len(uniq)
+        return pa.table({
+            "brand": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "sx": pa.array(np.bincount(code, weights=x, minlength=k)
+                           .astype(np.int64)),
+            "sxx": pa.array(np.bincount(code, weights=x * x,
+                                        minlength=k).astype(np.int64)),
+            "sy": pa.array(np.bincount(code, weights=y, minlength=k)
+                           .astype(np.int64)),
+            "sxy": pa.array(np.bincount(code, weights=x * y,
+                                        minlength=k).astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("brand", as_index=False).sum()
+
+    def sdiv(num: int, den: int, scale: int = 10**6) -> int:
+        sgn = -1 if (num < 0) != (den < 0) else 1
+        return sgn * ((scale * abs(num)) // abs(den))
+
+    rows = []
+    for _, r in agg.iterrows():
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        sy, sxy = int(r["sy"]), int(r["sxy"])
+        den = n * sxx - sx * sx
+        if den == 0:  # degenerate stratum (constant size); twin skips too
+            continue
+        rows.append((str(r["brand"]), n,
+                     sdiv(n * sxy - sx * sy, den),
+                     sdiv(sy * sxx - sx * sxy, den)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "brand", "n_parts", "slope_micro", "intercept_micro"]) \
+        .astype({"n_parts": "int64", "slope_micro": "int64",
+                 "intercept_micro": "int64"})
+
+
+def session_length_hist(sf_dir: str, gap_us: int = 1_800_000_000,
+                        cap: int = 20) -> pd.DataFrame:
+    """Session SHAPE distribution: how many sessions have 1, 2, …,
+    20+ events, and the total wall duration at each length — the full
+    histogram behind the single-number ``session_bounce_rate``. One
+    ``user % 64`` bucket exchange; the fold sessionizes by vectorized
+    gap breaks and reduces per-session (count, duration) via segment
+    boundaries — partials are ≤ ``cap`` rows per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        brk = np.ones(len(us), dtype=bool)
+        brk[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(us)]
+        cnt = ends - starts
+        dur = tss[ends - 1] - tss[starts]
+        lb = np.minimum(cnt, cap)
+        return pd.DataFrame({
+            "len_bucket": np.arange(1, cap + 1, dtype=np.int64),
+            "n_sessions": np.bincount(lb, minlength=cap + 1)[1:]
+            .astype(np.int64),
+            "sum_duration_us": np.bincount(lb, weights=dur,
+                                           minlength=cap + 1)[1:]
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("len_bucket", as_index=False).sum()
+           .sort_values("len_bucket", kind="mergesort")
+           .reset_index(drop=True))
+    return out[out["n_sessions"] > 0].reset_index(drop=True) \
+        .astype("int64")

@@ -3119,3 +3119,73 @@ def customer_balance_deciles(sf_dir: str) -> pd.DataFrame:
         "revenue_cents": rv,
         "share_bps": np.array([10_000 * int(v) // tot for v in rv],
                               dtype=np.int64)}).astype("int64")
+
+
+def returns_by_ship_lag(sf_dir: str) -> pd.DataFrame:
+    """Does slow fulfilment cause returns: returned-line share (bps)
+    per ORDER-TO-SHIP lag day. Same scale shape as
+    ``nation_trade_balance``: ONE lineitem⋈orders exchange
+    co-partitioned on ``orderkey % 64``; each bucket emits per-lag
+    (n, returned) partials — the lag grid is contract-bounded
+    (~4 months in TPC-H-shaped data), so the driver fold is
+    grid-sized at any volume."""
+    import ray as _ray  # noqa: F401  (kept for parity with siblings)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate", "l_returnflag"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        r = (np.asarray(t.column("l_returnflag")) == "R") \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(key), "aux": pa.array(sd),
+            "ret": pa.array(r),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "key": pa.array(key), "aux": pa.array(od),
+            "ret": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "od"})
+        right = g[g["side"] == 1][["key", "aux", "ret"]] \
+            .rename(columns={"aux": "sd"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"lag": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "x": pd.Series([], dtype=np.int64)})
+        lag = m["sd"].to_numpy(np.int64) - m["od"].to_numpy(np.int64)
+        ret = m["ret"].to_numpy(np.int64)
+        u, inv = np.unique(lag, return_inverse=True)
+        return pd.DataFrame({
+            "lag": u,
+            "n": np.bincount(inv, minlength=len(u)).astype(np.int64),
+            "x": np.bincount(inv, weights=ret, minlength=len(u))
+            .astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    agg = (part.groupby("lag", as_index=False).sum()
+           .sort_values("lag", kind="mergesort").reset_index(drop=True))
+    return pd.DataFrame({
+        "lag_days": agg["lag"].to_numpy(np.int64),
+        "n_lines": agg["n"].to_numpy(np.int64),
+        "n_returned": agg["x"].to_numpy(np.int64),
+        "return_bps": 10_000 * agg["x"].to_numpy(np.int64)
+        // agg["n"].to_numpy(np.int64)}).astype("int64")

@@ -95,6 +95,8 @@ def test_entry_smoke(entrymod):
     "lineitem_price_surface", "nation_trade_balance",
     "user_retention_triangle", "customer_balance_deciles",
     "docs_source_simpson", "docs_punct_profile",
+    "embedding_label_margin", "part_price_ols_by_brand",
+    "session_length_hist", "returns_by_ship_lag",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
