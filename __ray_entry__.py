@@ -208,6 +208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_ols_by_brand": analytics.part_price_ols_by_brand,
         "session_length_hist": analytics.session_length_hist,
         "returns_by_ship_lag": joins.returns_by_ship_lag,
+        "days_to_first_purchase": analytics.days_to_first_purchase,
+        "user_activity_hist": analytics.user_activity_hist,
+        "order_line_count_hist": analytics.order_line_count_hist,
+        "media_phash_bands": media.media_phash_bands,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3743,6 +3747,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(x AS BIGINT) AS n_returned,
                    CAST(10000 * x // n AS BIGINT) AS return_bps
             FROM a ORDER BY 1
+        """,
+        "days_to_first_purchase": """
+            WITH f AS (SELECT user_id,
+                              MIN(epoch_us(ts)) // 86400000000 AS f0,
+                              MIN(CASE WHEN event_type = 'purchase'
+                                  THEN epoch_us(ts) END)
+                                  // 86400000000 AS p0
+                       FROM events GROUP BY 1)
+            SELECT CAST(p0 - f0 AS BIGINT) AS gap_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM f WHERE p0 IS NOT NULL GROUP BY 1 ORDER BY 1
+        """,
+        "user_activity_hist": """
+            WITH c AS (SELECT user_id, COUNT(*) AS cnt
+                       FROM events GROUP BY 1)
+            SELECT CAST(LEAST(cnt, 50) AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "order_line_count_hist": """
+            WITH o AS (SELECT l_orderkey, COUNT(*) AS cnt,
+                              SUM(CAST(FLOOR(l_extendedprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(LEAST(cnt, 10) AS BIGINT) AS n_lines,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_cents
+            FROM o GROUP BY 1 ORDER BY 1
+        """,
+        "media_phash_bands": """
+            WITH b AS (SELECT doc_id,
+                              unnest([0, 1, 2, 3]) AS band,
+                              unnest([
+                                  CAST(('0x' || substr(md5(text), 17, 4))
+                                       AS BIGINT),
+                                  CAST(('0x' || substr(md5(text), 21, 4))
+                                       AS BIGINT),
+                                  CAST(('0x' || substr(md5(text), 25, 4))
+                                       AS BIGINT),
+                                  CAST(('0x' || substr(md5(text), 29, 4))
+                                       AS BIGINT)]) AS val
+                       FROM documents),
+            c AS (SELECT band, val, COUNT(*) AS n FROM b GROUP BY 1, 2),
+            s AS (SELECT band, COUNT(*) AS nb,
+                         SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS coll,
+                         SUM(n * (n - 1) // 2) AS pairs
+                  FROM c GROUP BY 1)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(nb AS BIGINT) AS n_buckets,
+                   CAST(coll AS BIGINT) AS n_docs_colliding,
+                   CAST(pairs AS BIGINT) AS n_candidate_pairs
+            FROM s ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "docs_source_simpson", "docs_punct_profile",
     "embedding_label_margin", "part_price_ols_by_brand",
     "session_length_hist", "returns_by_ship_lag",
+    "days_to_first_purchase", "user_activity_hist",
+    "order_line_count_hist", "media_phash_bands",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -6655,3 +6655,119 @@ def session_length_hist(sf_dir: str, gap_us: int = 1_800_000_000,
            .reset_index(drop=True))
     return out[out["n_sessions"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def days_to_first_purchase(sf_dir: str) -> pd.DataFrame:
+    """Funnel latency distribution: for every converting user, the
+    days between their FIRST event and their FIRST purchase — the
+    time-to-value histogram growth teams watch. One ``user % 64``
+    bucket exchange; the fold takes both firsts in a single lexsort
+    pass (the purchase first via a +inf-masked segment minimum — no
+    second sort) and emits per-gap-day count partials, so the driver
+    fold is gap-grid-sized."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "isp": pa.array((np.asarray(t.column("event_type"))
+                             == "purchase").astype(np.int8)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    BIG = np.int64(2**62)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        isp = g["isp"].to_numpy(np.int8).astype(bool)
+        order = np.lexsort((ts, u))
+        us, tss, ps = u[order], ts[order], isp[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        f0 = tss[starts] // 86_400_000_000
+        masked = np.where(ps, tss, BIG)
+        p0 = np.minimum.reduceat(masked, starts)
+        conv = p0 < BIG
+        gap = p0[conv] // 86_400_000_000 - f0[conv]
+        ug, cnt = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap_days": ug,
+                             "n_users": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby("gap_days", as_index=False)["n_users"].sum()
+            .sort_values("gap_days", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))
+
+
+def user_activity_hist(sf_dir: str, cap: int = 50) -> pd.DataFrame:
+    """The user POWER CURVE: how many users produced exactly k events
+    (k capped at 50, the long tail lumped) — the engagement-shape
+    histogram behind every 'power user' definition. One ``user % 64``
+    bucket exchange; per-bucket partials are ≤ ``cap`` rows."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"u": pa.array(u),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, cnt = np.unique(g["u"].to_numpy(np.int64),
+                           return_counts=True)
+        lb = np.minimum(cnt, cap)
+        return pd.DataFrame({
+            "n_events": np.arange(1, cap + 1, dtype=np.int64),
+            "n_users": np.bincount(lb, minlength=cap + 1)[1:]
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("n_events", as_index=False)["n_users"].sum()
+           .sort_values("n_events", kind="mergesort")
+           .reset_index(drop=True))
+    return out[out["n_users"] > 0].reset_index(drop=True) \
+        .astype("int64")
+
+
+def order_line_count_hist(sf_dir: str, cap: int = 10) -> pd.DataFrame:
+    """Order SHAPE histogram: orders by line count (capped), with the
+    total revenue at each shape — basket-size distribution for
+    fulfilment planning, exact cents. One ``orderkey % 64`` bucket
+    exchange; ≤ ``cap`` partial rows per bucket."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k), "rev": pa.array(rev),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        uk, inv, cnt = np.unique(k, return_inverse=True,
+                                 return_counts=True)
+        orev = np.bincount(inv, weights=rev, minlength=len(uk)) \
+            .astype(np.int64)
+        lb = np.minimum(cnt, cap)
+        return pd.DataFrame({
+            "n_lines": np.arange(1, cap + 1, dtype=np.int64),
+            "n_orders": np.bincount(lb, minlength=cap + 1)[1:]
+            .astype(np.int64),
+            "revenue_cents": np.bincount(lb, weights=orev,
+                                         minlength=cap + 1)[1:]
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("n_lines", as_index=False).sum()
+           .sort_values("n_lines", kind="mergesort")
+           .reset_index(drop=True))
+    return out[out["n_orders"] > 0].reset_index(drop=True) \
+        .astype("int64")

@@ -216,3 +216,79 @@ def media_resized(sf_dir: str) -> pd.DataFrame:
         MediaResizeStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 8))
     return out.to_pandas()
+
+
+class MediaPhashStage:
+    """Actor-pool perceptual-hash stage (image near-dup front end): a
+    real deployment decodes + DCT-hashes in ``__call__`` (imagehash /
+    pHash); here the 64-bit hash is md5-derived from the payload —
+    deterministic, SQL-reproducible — while the Ray plumbing (actor
+    pool, banding layout for LSH) is real. Emits the hash split into
+    four 16-bit BANDS, the standard banded-Hamming blocking layout."""
+
+    def __init__(self):
+        self._hasher_ready = True  # real impl: DCT tables / model init
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        n = len(payloads)
+        bands = np.empty((n, 4), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            hx = hashlib.md5(p).hexdigest()
+            for j in range(4):
+                bands[i, j] = int(hx[16 + 4 * j:20 + 4 * j], 16)
+        cols = {"doc_id": t.column("doc_id").cast(pa.int64())}
+        for j in range(4):
+            cols[f"band{j}"] = pa.array(bands[:, j])
+        return pa.table(cols)
+
+
+def media_phash_bands(sf_dir: str) -> pd.DataFrame:
+    """Banded-Hamming DEDUP INFRASTRUCTURE audit over the perceptual
+    hashes: per 16-bit band, the number of occupied buckets, docs in
+    collision buckets and candidate pairs the band would generate —
+    exactly the numbers that size an image near-dup pass (candidate
+    volume, skew) before running it. One packed (band, value) bucket
+    exchange (collision groups must merge across blocks before
+    c·(c−1)/2); partials per bucket are bounded by occupied buckets,
+    not docs."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    hashed = ds.map_batches(_to_payload, batch_format="pyarrow") \
+        .map_batches(MediaPhashStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8))
+
+    def derive(t: pa.Table) -> pa.Table:
+        vals = np.concatenate(
+            [t.column(f"band{j}").to_numpy().astype(np.int64)
+             for j in range(4)])
+        band = np.repeat(np.arange(4, dtype=np.int64),
+                         t.num_rows)
+        key = band * 65536 + vals
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=n, minlength=len(uk)) \
+            .astype(np.int64)
+        band = uk // 65536
+        out = pd.DataFrame({
+            "band": band, "one": np.ones(len(uk), dtype=np.int64),
+            "coll": np.where(tot > 1, tot, 0),
+            "pairs": tot * (tot - 1) // 2})
+        return out.groupby("band", as_index=False).sum()
+
+    parts = (hashed.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("band", as_index=False).sum()
+           .sort_values("band", kind="mergesort").reset_index(drop=True))
+    return pd.DataFrame({
+        "band": agg["band"], "n_buckets": agg["one"],
+        "n_docs_colliding": agg["coll"],
+        "n_candidate_pairs": agg["pairs"]}).astype("int64")

@@ -97,6 +97,8 @@ def test_entry_smoke(entrymod):
     "docs_source_simpson", "docs_punct_profile",
     "embedding_label_margin", "part_price_ols_by_brand",
     "session_length_hist", "returns_by_ship_lag",
+    "days_to_first_purchase", "user_activity_hist",
+    "order_line_count_hist", "media_phash_bands",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
