@@ -212,6 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_hist": analytics.user_activity_hist,
         "order_line_count_hist": analytics.order_line_count_hist,
         "media_phash_bands": media.media_phash_bands,
+        "orders_changepoint_scan": analytics.orders_changepoint_scan,
+        "customer_snm_pairs": analytics.customer_snm_pairs,
+        "part_abc_xyz": analytics.part_abc_xyz,
+        "user_burstiness_bands": analytics.user_burstiness_bands,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3799,6 +3803,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coll AS BIGINT) AS n_docs_colliding,
                    CAST(pairs AS BIGINT) AS n_candidate_pairs
             FROM s ORDER BY 1
+        """,
+        "orders_changepoint_scan": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            b AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS dy
+                     FROM b),
+            g AS (SELECT grid.dy, COALESCE(d.rev, 0) AS rev
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            p AS (SELECT dy,
+                         SUM(rev) OVER (ORDER BY dy
+                             ROWS UNBOUNDED PRECEDING) AS sl,
+                         ROW_NUMBER() OVER (ORDER BY dy) AS nl
+                  FROM g),
+            t AS (SELECT MAX(sl) AS s, MAX(nl) AS n FROM p),
+            sc AS (SELECT dy, nl,
+                          CAST(sl AS HUGEINT) * t.n
+                              - CAST(t.s AS HUGEINT) * nl AS dnum,
+                          nl * (t.n - nl) AS den
+                   FROM p, t WHERE nl < t.n),
+            q AS (SELECT dy, nl,
+                         dnum * dnum
+                             // (CAST(den AS HUGEINT) * t.s) AS score
+                  FROM sc, t)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, dy)
+                        AS BIGINT) AS rk,
+                   CAST(dy AS BIGINT) AS day_index,
+                   CAST(nl AS BIGINT) AS n_left_days,
+                   CAST(score AS BIGINT) AS score
+            FROM q QUALIFY rk <= 5 ORDER BY rk
+        """,
+        "customer_snm_pairs": """
+            WITH c AS (SELECT c_custkey, c_mktsegment AS seg,
+                              CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                                  AS cents
+                       FROM customer),
+            r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cents,
+                                               c_custkey) AS rn
+                  FROM c),
+            p AS (SELECT a.seg, b.cents - a.cents AS diff
+                  FROM r a JOIN r b
+                      ON b.rn - a.rn BETWEEN 1 AND 5
+                      AND a.seg = b.seg
+                      AND b.cents - a.cents <= 100)
+            SELECT seg AS mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(MIN(diff) AS BIGINT) AS min_diff_cents
+            FROM p GROUP BY 1 ORDER BY 1
+        """,
+        "part_abc_xyz": """
+            WITH pm AS (SELECT l_partkey AS k,
+                               (year(l_shipdate) - 1970) * 12
+                                   + month(l_shipdate) - 1 AS m,
+                               SUM(CAST(l_quantity AS BIGINT)) AS q,
+                               SUM(CAST(FLOOR(l_extendedprice * 100)
+                                        AS BIGINT)) AS rev
+                        FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT MAX(m) - MIN(m) + 1 AS mm FROM pm),
+            p AS (SELECT k, SUM(rev) AS rev, SUM(q) AS s,
+                         SUM(q * q) AS qq
+                  FROM pm GROUP BY 1),
+            r AS (SELECT k, rev, s, qq,
+                         SUM(rev) OVER (ORDER BY rev DESC, k
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+                         SUM(rev) OVER () AS tot
+                  FROM p),
+            c AS (SELECT rev,
+                         CASE WHEN cum * 5 <= tot * 4 THEN 'A'
+                              WHEN cum * 20 <= tot * 19 THEN 'B'
+                              ELSE 'C' END AS abc,
+                         CASE WHEN 4 * (b.mm * qq - s * s) <= s * s
+                                  THEN 'X'
+                              WHEN b.mm * qq - s * s <= s * s THEN 'Y'
+                              ELSE 'Z' END AS xyz
+                  FROM r, b)
+            SELECT abc, xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(rev) AS BIGINT) AS revenue_cents
+            FROM c GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "user_burstiness_bands": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                              event_id
+                       FROM events),
+            l AS (SELECT u, (us - LAG(us) OVER (PARTITION BY u
+                             ORDER BY us, event_id)) // 1000000 AS g
+                  FROM e),
+            s AS (SELECT u, CAST(COUNT(g) AS HUGEINT) AS n,
+                         SUM(CAST(g AS HUGEINT)) AS sg,
+                         SUM(CAST(g AS HUGEINT) * g) AS qg
+                  FROM l WHERE g IS NOT NULL GROUP BY u),
+            b AS (SELECT CASE
+                      WHEN 4 * (n * qg - sg * sg) <= sg * sg THEN 0
+                      WHEN n * qg - sg * sg <= sg * sg THEN 1
+                      WHEN n * qg - sg * sg <= 4 * sg * sg THEN 2
+                      ELSE 3 END AS band
+                  FROM s)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

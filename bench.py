@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "session_length_hist", "returns_by_ship_lag",
     "days_to_first_purchase", "user_activity_hist",
     "order_line_count_hist", "media_phash_bands",
+    "orders_changepoint_scan", "customer_snm_pairs",
+    "part_abc_xyz", "user_burstiness_bands",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

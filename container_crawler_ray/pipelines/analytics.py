@@ -6771,3 +6771,210 @@ def order_line_count_hist(sf_dir: str, cap: int = 10) -> pd.DataFrame:
            .reset_index(drop=True))
     return out[out["n_orders"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def orders_changepoint_scan(sf_dir: str, topk: int = 5) -> pd.DataFrame:
+    """Binary-segmentation CHANGE-POINT scan over the daily revenue
+    series: for every split day k, the between-segment contrast
+    ``(S_L·n − S·n_L)² // (n_L·n_R·S)`` — the first step of the classic
+    changepoint recursion, ranked to surface the top-k structural
+    breaks. The statistic is evaluated in arbitrary-precision Python
+    ints (HUGEINT in the twin) and the division truncates identically
+    on both sides (numerator squared → nonnegative). Per-block daily
+    partials — ZERO shuffle; the scan runs on the zero-filled day grid
+    (calendar-bounded at any volume)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    mn, mx = int(agg["dy"].min()), int(agg["dy"].max())
+    grid = np.zeros(mx - mn + 1, dtype=np.int64)
+    grid[agg["dy"].to_numpy(np.int64) - mn] = agg["rev"].to_numpy(
+        np.int64)
+    n = len(grid)
+    S = int(grid.sum())
+    sl = grid.cumsum()
+    scores = []
+    for k in range(n - 1):
+        n_l = k + 1
+        dnum = int(sl[k]) * n - S * n_l
+        scores.append(dnum * dnum // (n_l * (n - n_l) * S))
+    sc = np.array(scores, dtype=np.int64)
+    days = np.arange(mn, mx, dtype=np.int64)
+    order = np.lexsort((days, -sc))[:topk]
+    return pd.DataFrame({
+        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+        "day_index": days[order],
+        "n_left_days": days[order] - mn + 1,
+        "score": sc[order]}).astype("int64")
+
+
+def customer_snm_pairs(sf_dir: str, window: int = 5,
+                       tol_cents: int = 100) -> pd.DataFrame:
+    """SORTED-NEIGHBORHOOD record-linkage blocking (the third blocking
+    family next to structured blocking — ``part_substitutes`` — and
+    SymSpell — ``name_edit_near_pairs``): customers sorted by account
+    balance; candidate pairs are same-segment rows within a window of
+    5 positions and ≤ $1 apart — the duplicate-account tripwire.
+    Customer is the DIMENSION side, so the sort runs on the driver
+    (documented assumption, same as the other dimension finishes; at
+    100 TB the fact tables never enter this op) and the window compare
+    is ``window`` vectorized shifted comparisons, never a pair loop."""
+    ds = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    df = ds.to_pandas()
+    ck = df["c_custkey"].to_numpy(np.int64)
+    seg = df["c_mktsegment"].to_numpy(object)
+    cents = np.floor(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    order = np.lexsort((ck, cents))
+    seg_s, cents_s = seg[order], cents[order]
+    segs, diffs = [], []
+    for d in range(1, window + 1):
+        same = seg_s[:-d] == seg_s[d:]
+        diff = cents_s[d:] - cents_s[:-d]
+        keep = same & (diff <= tol_cents)
+        segs.append(seg_s[:-d][keep])
+        diffs.append(diff[keep])
+    seg_all = np.concatenate(segs)
+    diff_all = np.concatenate(diffs)
+    out = (pd.DataFrame({"mktsegment": seg_all, "diff": diff_all})
+           .groupby("mktsegment", as_index=False)
+           .agg(n_pairs=("diff", "size"),
+                min_diff_cents=("diff", "min")))
+    return (out.sort_values("mktsegment", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_pairs": "int64", "min_diff_cents": "int64"}))
+
+
+def part_abc_xyz(sf_dir: str) -> pd.DataFrame:
+    """The ABC×XYZ inventory matrix: parts classed by revenue Pareto
+    position (A ≤80% cumulative share, B ≤95%, else C — same
+    cross-multiplied integer rule as ``part_abc``) × demand
+    VARIABILITY (X/Y/Z by the CV² of monthly quantity over the global
+    month grid: 4·(M·Q−S²) ≤ S² → X, M·Q−S² ≤ S² → Y, else Z — all
+    integer, zero-demand months included via the grid size M). One
+    ``part % 64`` bucket exchange collapses the fact table to a
+    part-cardinality rollup carrying (rev, Σq, Σq²); the Pareto sweep
+    runs on the rollup (dimension-sized, the documented driver
+    assumption)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        m = t.column("l_shipdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(k), "m": pa.array(m),
+                         "rev": pa.array(rev), "q": pa.array(q),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pack = g["k"].to_numpy(np.int64) * (1 << 20) + g["m"].to_numpy(
+            np.int64)
+        uniq, inv = np.unique(pack, return_inverse=True)
+        q = np.bincount(inv, weights=g["q"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        rev = np.bincount(inv, weights=g["rev"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        k = uniq >> 20
+        m = uniq & ((1 << 20) - 1)
+        uk, kinv = np.unique(k, return_inverse=True)
+        return pd.DataFrame({
+            "k": uk,
+            "rev": np.bincount(kinv, weights=rev).astype(np.int64),
+            "s": np.bincount(kinv, weights=q).astype(np.int64),
+            "qq": np.bincount(kinv, weights=q * q).astype(np.int64),
+            "mn": np.full(len(uk), m.min(), dtype=np.int64),
+            "mx": np.full(len(uk), m.max(), dtype=np.int64)})
+
+    roll = (ds.map_batches(derive, batch_format="pyarrow")
+            .groupby("bucket").map_groups(fold, batch_format="pandas")
+            .to_pandas())
+    M = int(roll["mx"].max()) - int(roll["mn"].min()) + 1
+    k = roll["k"].to_numpy(np.int64)
+    rev = roll["rev"].to_numpy(np.int64)
+    s = roll["s"].to_numpy(np.int64)
+    qq = roll["qq"].to_numpy(np.int64)
+    order = np.lexsort((k, -rev))
+    cum = rev[order].cumsum()
+    tot = int(cum[-1])
+    abc = np.where(cum * 5 <= tot * 4, "A",
+                   np.where(cum * 20 <= tot * 19, "B", "C"))
+    abc_u = np.empty(len(k), dtype=object)
+    abc_u[order] = abc
+    d = M * qq - s * s
+    xyz = np.where(4 * d <= s * s, "X",
+                   np.where(d <= s * s, "Y", "Z"))
+    out = (pd.DataFrame({"abc": abc_u, "xyz": xyz, "rev": rev})
+           .groupby(["abc", "xyz"], as_index=False)
+           .agg(n_parts=("rev", "size"), revenue_cents=("rev", "sum")))
+    return (out.sort_values(["abc", "xyz"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_parts": "int64", "revenue_cents": "int64"}))
+
+
+def user_burstiness_bands(sf_dir: str) -> pd.DataFrame:
+    """Per-user BURSTINESS classification: the CV² of a user's
+    inter-event gaps (seconds) against the bands ≤0.25 (metronome),
+    ≤1 (Poisson-ish), ≤4 (bursty), >4 (extreme) — all comparisons
+    cross-multiplied integers, and Σgaps is bounded by the observation
+    SPAN (gaps telescope), so nothing approaches overflow at any
+    activity level. One ``user % 64`` bucket exchange; per-bucket
+    partials are 4 counter rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        gap = (tss[1:] - tss[:-1]) // 1_000_000
+        same = us[1:] == us[:-1]
+        uid = us[1:][same]
+        gp = gap[same]
+        uu, inv = np.unique(uid, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        sg = np.bincount(inv, weights=gp, minlength=len(uu)) \
+            .astype(np.int64)
+        qg = np.bincount(inv, weights=gp * gp, minlength=len(uu)) \
+            .astype(np.int64)
+        d = n * qg - sg * sg
+        band = np.where(4 * d <= sg * sg, 0,
+                        np.where(d <= sg * sg, 1,
+                                 np.where(d <= 4 * sg * sg, 2, 3)))
+        return pd.DataFrame({
+            "band": np.arange(4, dtype=np.int64),
+            "n_users": np.bincount(band, minlength=4)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("band", as_index=False)["n_users"].sum()
+           .sort_values("band", kind="mergesort").reset_index(drop=True))
+    return out[out["n_users"] > 0].reset_index(drop=True) \
+        .astype("int64")

@@ -99,6 +99,8 @@ def test_entry_smoke(entrymod):
     "session_length_hist", "returns_by_ship_lag",
     "days_to_first_purchase", "user_activity_hist",
     "order_line_count_hist", "media_phash_bands",
+    "orders_changepoint_scan", "customer_snm_pairs",
+    "part_abc_xyz", "user_burstiness_bands",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
