@@ -216,6 +216,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_snm_pairs": analytics.customer_snm_pairs,
         "part_abc_xyz": analytics.part_abc_xyz,
         "user_burstiness_bands": analytics.user_burstiness_bands,
+        "lineitem_margin_waterfall": analytics.lineitem_margin_waterfall,
+        "user_type_diversity_hist": analytics.user_type_diversity_hist,
+        "orders_monthly_zchart": analytics.orders_monthly_zchart,
+        "docs_token_len_profile": curate.docs_token_len_profile,
+        "events_type_share_series": analytics.events_type_share_series,
+        "brand_type_lift": analytics.brand_type_lift,
+        "orders_updown_runs": analytics.orders_updown_runs,
+        "events_lateness_hist": analytics.events_lateness_hist,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -3905,6 +3913,144 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(band AS BIGINT) AS band,
                    CAST(COUNT(*) AS BIGINT) AS n_users
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "lineitem_margin_waterfall": """
+            WITH c AS (SELECT l_returnflag AS returnflag,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS gross,
+                              CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount) * 100)
+                                   AS BIGINT) AS net,
+                              CAST(FLOOR(l_extendedprice
+                                         * (1 - l_discount)
+                                         * (1 + l_tax) * 100)
+                                   AS BIGINT) AS chg
+                       FROM lineitem)
+            SELECT returnflag,
+                   CAST(SUM(gross) AS BIGINT) AS gross_cents,
+                   CAST(SUM(gross) - SUM(net) AS BIGINT)
+                       AS discount_cents,
+                   CAST(SUM(net) AS BIGINT) AS net_cents,
+                   CAST(SUM(chg) - SUM(net) AS BIGINT) AS tax_cents,
+                   CAST(SUM(chg) AS BIGINT) AS charged_cents
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "user_type_diversity_hist": """
+            WITH c AS (SELECT user_id AS u, event_type AS ty,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT u, SUM(n) AS n, SUM(n * n) AS q
+                  FROM c GROUP BY 1),
+            d AS (SELECT 10000 * (n * n - q) // (n * n) AS bps FROM s)
+            SELECT CAST(bps // 250 AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "orders_monthly_zchart": """
+            WITH m AS (SELECT (year(o_orderdate) - 1970) * 12
+                                  + month(o_orderdate) - 1 AS mi,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            b AS (SELECT MIN(mi) AS mn, MAX(mi) AS mx FROM m),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS mi
+                     FROM b),
+            g AS (SELECT grid.mi, COALESCE(m.rev, 0) AS rev
+                  FROM grid LEFT JOIN m ON m.mi = grid.mi),
+            z AS (SELECT mi, rev,
+                         SUM(rev) OVER (PARTITION BY mi // 12
+                             ORDER BY mi ROWS UNBOUNDED PRECEDING)
+                             AS ytd,
+                         SUM(rev) OVER (ORDER BY mi
+                             ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                             AS mat
+                  FROM g)
+            SELECT CAST(mi AS BIGINT) AS month_index,
+                   CAST(rev AS BIGINT) AS rev_cents,
+                   CAST(ytd AS BIGINT) AS ytd_cents,
+                   CAST(mat AS BIGINT) AS mat_cents
+            FROM z ORDER BY 1
+        """,
+        "docs_token_len_profile": """
+            WITH t AS (SELECT lang,
+                              unnest(regexp_split_to_array(text,
+                                                           '\\s+'))
+                                  AS tok
+                       FROM documents),
+            f AS (SELECT lang, LEAST(length(tok), 20) AS l
+                  FROM t WHERE tok != '')
+            SELECT lang, CAST(l AS BIGINT) AS tok_len,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens
+            FROM f GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_type_share_series": """
+            WITH c AS (SELECT (year(ts) - 1970) * 12 + month(ts) - 1
+                                  AS mi,
+                              event_type AS ty, COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT mi, SUM(n) AS tot FROM c GROUP BY 1)
+            SELECT CAST(c.mi AS BIGINT) AS month_index,
+                   c.ty AS event_type, CAST(c.n AS BIGINT) AS n_events,
+                   CAST(10000 * c.n // t.tot AS BIGINT) AS share_bps
+            FROM c JOIN t ON c.mi = t.mi ORDER BY 1, 2
+        """,
+        "brand_type_lift": """
+            WITH c AS (SELECT p_brand AS brand, p_type AS ptype,
+                              COUNT(*) AS n
+                       FROM part GROUP BY 1, 2),
+            mb AS (SELECT brand, SUM(n) AS nb FROM c GROUP BY 1),
+            mt AS (SELECT ptype, SUM(n) AS nt FROM c GROUP BY 1),
+            tt AS (SELECT SUM(n) AS nn FROM c)
+            SELECT c.brand, c.ptype, CAST(c.n AS BIGINT) AS n,
+                   CAST(CAST(1000000 AS HUGEINT) * tt.nn * c.n
+                        // (CAST(mb.nb AS HUGEINT) * mt.nt) AS BIGINT)
+                       AS lift_micro
+            FROM c JOIN mb ON c.brand = mb.brand
+            JOIN mt ON c.ptype = mt.ptype, tt
+            ORDER BY 1, 2
+        """,
+        "orders_updown_runs": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            b AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS dy
+                     FROM b),
+            g AS (SELECT grid.dy, COALESCE(d.rev, 0) AS rev
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            s AS (SELECT dy,
+                         CASE WHEN rev > LAG(rev) OVER w THEN 1
+                              WHEN rev < LAG(rev) OVER w THEN -1
+                              ELSE 0 END AS sg,
+                         LAG(rev) OVER w AS pr
+                  FROM g WINDOW w AS (ORDER BY dy)),
+            f AS (SELECT dy, sg,
+                         ROW_NUMBER() OVER (ORDER BY dy)
+                             - ROW_NUMBER() OVER (PARTITION BY sg
+                                                  ORDER BY dy) AS rid
+                  FROM s WHERE pr IS NOT NULL),
+            r AS (SELECT sg, rid, COUNT(*) AS ln
+                  FROM f GROUP BY 1, 2)
+            SELECT CAST(sg AS BIGINT) AS direction,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(ln) AS BIGINT) AS longest_run,
+                   CAST(SUM(ln) AS BIGINT) AS n_days
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
+        "events_lateness_hist": """
+            WITH e AS (SELECT user_id AS u, event_id,
+                              epoch_us(ts) AS us
+                       FROM events),
+            m AS (SELECT u, us,
+                         MAX(us) OVER (PARTITION BY u ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS mx
+                  FROM e),
+            l AS (SELECT LEAST((mx - us) // 60000000, 60) AS lm FROM m)
+            SELECT CAST(lm AS BIGINT) AS late_min,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "order_line_count_hist", "media_phash_bands",
     "orders_changepoint_scan", "customer_snm_pairs",
     "part_abc_xyz", "user_burstiness_bands",
+    "lineitem_margin_waterfall", "user_type_diversity_hist",
+    "orders_monthly_zchart", "docs_token_len_profile",
+    "events_type_share_series", "brand_type_lift",
+    "orders_updown_runs", "events_lateness_hist",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -6978,3 +6978,286 @@ def user_burstiness_bands(sf_dir: str) -> pd.DataFrame:
            .sort_values("band", kind="mergesort").reset_index(drop=True))
     return out[out["n_users"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def lineitem_margin_waterfall(sf_dir: str) -> pd.DataFrame:
+    """Money WATERFALL per return flag: gross price → discount given →
+    net → tax collected → charged, all exact cents from the same
+    left-associated float expressions on both sides (identical float64
+    input → identical FLOOR), so
+    ``gross − discount = net`` and ``net + tax = charged`` hold
+    exactly. Per-block partials are 3 rows (one per flag) — ZERO
+    shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_discount",
+                        "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = np.asarray(t.column("l_returnflag")).astype(object)
+        ep = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        tx = t.column("l_tax").to_numpy()
+        gross = np.floor(ep * 100).astype(np.int64)
+        net = np.floor(ep * (1 - d) * 100).astype(np.int64)
+        chg = np.floor(ep * (1 - d) * (1 + tx) * 100).astype(np.int64)
+        code, uniq = pd.factorize(fl)
+        k = len(uniq)
+        return pa.table({
+            "returnflag": pa.array(uniq.astype(str), type=pa.string()),
+            "gross": pa.array(np.bincount(code, weights=gross,
+                                          minlength=k).astype(np.int64)),
+            "net": pa.array(np.bincount(code, weights=net, minlength=k)
+                            .astype(np.int64)),
+            "chg": pa.array(np.bincount(code, weights=chg, minlength=k)
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("returnflag", as_index=False).sum()
+           .sort_values("returnflag", kind="mergesort")
+           .reset_index(drop=True))
+    gross = agg["gross"].to_numpy(np.int64)
+    net = agg["net"].to_numpy(np.int64)
+    chg = agg["chg"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "returnflag": agg["returnflag"], "gross_cents": gross,
+        "discount_cents": gross - net, "net_cents": net,
+        "tax_cents": chg - net, "charged_cents": chg}) \
+        .astype({c: "int64" for c in
+                 ["gross_cents", "discount_cents", "net_cents",
+                  "tax_cents", "charged_cents"]})
+
+
+def user_type_diversity_hist(sf_dir: str) -> pd.DataFrame:
+    """Per-user behavioral DIVERSITY (Gini–Simpson index of the user's
+    event-type mix, ``1 − Σpᵢ²`` as the division-free integer
+    ``10000·(n² − Σnᵢ²) // n²``) histogrammed into 1000-bps bins — who
+    is a one-note user and who roams the product. One ``user % 64``
+    bucket exchange; per-bucket partials are ≤ 10 bin-counter rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"u": pa.array(u), "ty": t.column("event_type"),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        code, uniq = pd.factorize(g["ty"].to_numpy(object))
+        k = len(uniq)
+        pack = u * k + code
+        _, pinv, pc_ = np.unique(pack, return_inverse=True,
+                                 return_counts=True)
+        uu, uinv = np.unique(_ // k, return_inverse=True)
+        n = np.bincount(uinv, weights=pc_, minlength=len(uu)) \
+            .astype(np.int64)
+        q = np.bincount(uinv, weights=pc_ * pc_, minlength=len(uu)) \
+            .astype(np.int64)
+        bps = 10_000 * (n * n - q) // (n * n)
+        bins = bps // 250
+        return pd.DataFrame({
+            "bin": np.arange(40, dtype=np.int64),
+            "n_users": np.bincount(bins, minlength=40)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("bin", as_index=False)["n_users"].sum()
+           .sort_values("bin", kind="mergesort").reset_index(drop=True))
+    return out[out["n_users"] > 0].reset_index(drop=True) \
+        .astype("int64")
+
+
+def orders_monthly_zchart(sf_dir: str) -> pd.DataFrame:
+    """The classic Z-CHART: monthly revenue, calendar-year-to-date
+    cumulative, and 12-month moving annual total, exact cents on the
+    zero-filled month grid — three series managers read off one chart.
+    Per-block monthly partials — ZERO shuffle; the cumsum/MAT sweep is
+    month-grid-sized on the driver (at 100 TB the grid is still just
+    the calendar)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = t.column("o_orderdate").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(m, return_inverse=True)
+        return pa.table({
+            "m": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("m", as_index=False)["rev"].sum()
+    mn, mx = int(agg["m"].min()), int(agg["m"].max())
+    grid = np.zeros(mx - mn + 1, dtype=np.int64)
+    grid[agg["m"].to_numpy(np.int64) - mn] = agg["rev"].to_numpy(
+        np.int64)
+    mi = np.arange(mn, mx + 1, dtype=np.int64)
+    year = mi // 12
+    ytd = grid.cumsum()
+    # subtract the cumsum just before each year's first month
+    ystart = np.flatnonzero(np.r_[True, year[1:] != year[:-1]])
+    base = np.repeat(np.r_[0, ytd[ystart[1:] - 1]],
+                     np.diff(np.r_[ystart, len(mi)]))
+    ytd = ytd - base
+    csum = np.r_[0, grid.cumsum()]
+    lo = np.maximum(np.arange(len(grid)) - 11, 0)
+    mat = csum[np.arange(1, len(grid) + 1)] - csum[lo]
+    return pd.DataFrame({
+        "month_index": mi, "rev_cents": grid, "ytd_cents": ytd,
+        "mat_cents": mat}).astype("int64")
+
+
+def events_type_share_series(sf_dir: str) -> pd.DataFrame:
+    """Composition-over-time series: each event type's monthly share of
+    all events in exact basis points — the 100%-stacked-area data that
+    shows product mix shifting. Per-block (month, type, n) partials —
+    ZERO shuffle; the driver fold is (months × types)-sized."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        m = t.column("ts").to_numpy().astype("datetime64[M]") \
+            .astype(np.int64)
+        code, uniq = pd.factorize(et)
+        k = len(uniq)
+        pack = m * k + code
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "m": pa.array(u // k),
+            "ty": pa.array(uniq.take(u % k).astype(str),
+                           type=pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["m", "ty"], as_index=False)["n"].sum()
+    tot = agg.groupby("m")["n"].transform("sum").to_numpy(np.int64)
+    agg["share_bps"] = 10_000 * agg["n"].to_numpy(np.int64) // tot
+    return (agg.sort_values(["m", "ty"], kind="mergesort")
+            .reset_index(drop=True)
+            .rename(columns={"m": "month_index", "ty": "event_type",
+                             "n": "n_events"})
+            .astype({"month_index": "int64", "n_events": "int64",
+                     "share_bps": "int64"}))
+
+
+def brand_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Catalog attribute ASSOCIATION: observed/expected lift between
+    part brand and part type, ``10⁶·N·n_bt // (n_b·n_t)`` — PMI's
+    log-free sibling over the contingency table, exact integers
+    (1e6 = independent). Per-block (brand, type, n) partials — ZERO
+    shuffle; marginals and lift on the (brands × types) driver grid."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        b = np.asarray(t.column("p_brand")).astype(object)
+        ty = np.asarray(t.column("p_type")).astype(object)
+        bc, bu = pd.factorize(b)
+        tc, tu = pd.factorize(ty)
+        pack = bc.astype(np.int64) * len(tu) + tc
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "brand": pa.array(bu.take(u // len(tu)).astype(str),
+                              type=pa.string()),
+            "ptype": pa.array(tu.take(u % len(tu)).astype(str),
+                              type=pa.string()),
+            "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(["brand", "ptype"], as_index=False)["n"].sum()
+    nb = agg.groupby("brand")["n"].transform("sum").to_numpy(np.int64)
+    nt = agg.groupby("ptype")["n"].transform("sum").to_numpy(np.int64)
+    N = int(agg["n"].sum())
+    n = agg["n"].to_numpy(np.int64)
+    agg["lift_micro"] = np.array(
+        [10**6 * N * int(x) // (int(a) * int(b))
+         for x, a, b in zip(n, nb, nt)], dtype=np.int64)
+    return (agg.sort_values(["brand", "ptype"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n": "int64", "lift_micro": "int64"}))
+
+
+def orders_updown_runs(sf_dir: str) -> pd.DataFrame:
+    """Momentum/runs-test readout: the daily revenue series' UP/DOWN/
+    FLAT run structure (count of runs, longest run, total days per
+    direction) over the zero-filled day grid — the Wald–Wolfowitz-
+    style randomness check a revenue dashboard needs before anyone
+    claims a 'streak'. Per-block daily partials — ZERO shuffle; the
+    run scan is day-grid-sized on the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    mn, mx = int(agg["dy"].min()), int(agg["dy"].max())
+    grid = np.zeros(mx - mn + 1, dtype=np.int64)
+    grid[agg["dy"].to_numpy(np.int64) - mn] = agg["rev"].to_numpy(
+        np.int64)
+    s = np.sign(np.diff(grid)).astype(np.int64)
+    brk = np.r_[True, s[1:] != s[:-1]]
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.r_[starts, len(s)])
+    sign_of_run = s[starts]
+    rows = []
+    for d in (-1, 0, 1):
+        m = sign_of_run == d
+        if not m.any():
+            continue
+        rows.append((d, int(m.sum()), int(lens[m].max()),
+                     int(lens[m].sum())))
+    return pd.DataFrame(rows, columns=[
+        "direction", "n_runs", "longest_run", "n_days"]) \
+        .astype("int64")
+
+
+def events_lateness_hist(sf_dir: str, cap_min: int = 60) -> pd.DataFrame:
+    """STREAMING out-of-orderness audit: per user, events arrive in
+    ``event_id`` order but carry their own timestamps — the lateness
+    of each event versus the per-user running max-timestamp watermark
+    is exactly what sizes allowed-lateness in windowed streaming.
+    Histogram of lateness minutes (capped; bucket 0 = in order). One
+    ``user % 64`` bucket exchange; the per-user running max is a
+    C-level grouped cummax (no Python loop); partials are ≤ cap+1
+    counter rows per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "event_id"], kind="mergesort")
+        cm = g.groupby("u", sort=False)["ts_us"].cummax() \
+            .to_numpy(np.int64)
+        late = (cm - g["ts_us"].to_numpy(np.int64)) // 60_000_000
+        lb = np.minimum(late, cap_min)
+        return pd.DataFrame({
+            "late_min": np.arange(cap_min + 1, dtype=np.int64),
+            "n_events": np.bincount(lb, minlength=cap_min + 1)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("late_min", as_index=False)["n_events"].sum()
+           .sort_values("late_min", kind="mergesort")
+           .reset_index(drop=True))
+    return out[out["n_events"] > 0].reset_index(drop=True) \
+        .astype("int64")

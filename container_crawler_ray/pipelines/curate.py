@@ -673,3 +673,40 @@ def docs_punct_profile(sf_dir: str) -> pd.DataFrame:
     agg["question_permille"] = 1000 * agg["n_question"].to_numpy(
         np.int64) // ch
     return agg.astype({c: "int64" for c in agg.columns if c != "lang"})
+
+
+def docs_token_len_profile(sf_dir: str, cap: int = 20) -> pd.DataFrame:
+    """TOKEN-LENGTH distribution per language (capped tail) — the
+    tokenizer-sizing profile ('how long are words here, how much will
+    BPE fragment'). Whitespace splitting runs on RE2 on BOTH sides
+    (pyarrow ``split_pattern_regex`` vs ``regexp_split_to_array``) and
+    edge empties are filtered identically; per-block partials are
+    (langs × cap) count rows — ZERO shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang")).astype(object)
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+        lens = pc.utf8_length(toks.flatten()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lg = np.repeat(lang, counts)
+        keep = lens > 0
+        lg, lens = lg[keep], np.minimum(lens[keep], cap)
+        code, uniq = pd.factorize(lg)
+        pack = code.astype(np.int64) * (cap + 1) + lens
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "lang": pa.array(uniq.take(u // (cap + 1)).astype(str),
+                             type=pa.string()),
+            "tok_len": pa.array(u % (cap + 1)),
+            "n_tokens": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return (parts.groupby(["lang", "tok_len"], as_index=False)
+            ["n_tokens"].sum()
+            .sort_values(["lang", "tok_len"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"tok_len": "int64", "n_tokens": "int64"}))
