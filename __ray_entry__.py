@@ -224,6 +224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_lift": analytics.brand_type_lift,
         "orders_updown_runs": analytics.orders_updown_runs,
         "events_lateness_hist": analytics.events_lateness_hist,
+        "sample_error_audit": analytics.sample_error_audit,
+        "lineitem_spearman": analytics.lineitem_spearman,
+        "events_diurnal_concentration":
+            analytics.events_diurnal_concentration,
+        "trigram_spectrum": text_ops.trigram_spectrum,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4051,6 +4056,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(lm AS BIGINT) AS late_min,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM l GROUP BY 1 ORDER BY 1
+        """,
+        "sample_error_audit": """
+            WITH o AS (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey
+                                       AS VARCHAR)), 1, 16)) AS UBIGINT)
+                                  AS h,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS rev
+                       FROM orders),
+            t AS (SELECT SUM(rev) AS tot FROM o),
+            s AS (SELECT r,
+                         SUM(CASE WHEN h % r = 0 THEN rev ELSE 0 END)
+                             AS samp,
+                         SUM(CASE WHEN h % r = 0 THEN 1 ELSE 0 END)
+                             AS ns
+                  FROM o, (SELECT unnest([16, 64, 256]) AS r)
+                  GROUP BY r)
+            SELECT CAST(s.r AS BIGINT) AS sample_rate,
+                   CAST(s.ns AS BIGINT) AS n_sampled,
+                   CAST(s.r * s.samp AS BIGINT) AS est_cents,
+                   CAST(t.tot AS BIGINT) AS exact_cents,
+                   CAST(10000 * ABS(s.r * s.samp - t.tot) // t.tot
+                        AS BIGINT) AS err_bps
+            FROM s, t ORDER BY 1
+        """,
+        "lineitem_spearman": """
+            WITH h AS (SELECT l_returnflag AS flag,
+                              CAST(FLOOR(l_discount * 100) AS BIGINT)
+                                  AS x,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS y,
+                              COUNT(*) AS n
+                       FROM lineitem GROUP BY 1, 2, 3),
+            mx AS (SELECT flag, x, SUM(n) AS c FROM h GROUP BY 1, 2),
+            rx AS (SELECT flag, x,
+                          2 * SUM(c) OVER (PARTITION BY flag ORDER BY x
+                              ROWS UNBOUNDED PRECEDING) - c + 1 AS r
+                   FROM mx),
+            my AS (SELECT flag, y, SUM(n) AS c FROM h GROUP BY 1, 2),
+            ry AS (SELECT flag, y,
+                          2 * SUM(c) OVER (PARTITION BY flag ORDER BY y
+                              ROWS UNBOUNDED PRECEDING) - c + 1 AS r
+                   FROM my),
+            m AS (SELECT h.flag, CAST(SUM(h.n) AS HUGEINT) AS n,
+                         SUM(CAST(h.n AS HUGEINT) * rx.r) AS sx,
+                         SUM(CAST(h.n AS HUGEINT) * ry.r) AS sy,
+                         SUM(CAST(h.n AS HUGEINT) * rx.r * rx.r)
+                             AS sxx,
+                         SUM(CAST(h.n AS HUGEINT) * ry.r * ry.r)
+                             AS syy,
+                         SUM(CAST(h.n AS HUGEINT) * rx.r * ry.r)
+                             AS sxy
+                  FROM h
+                  JOIN rx ON h.flag = rx.flag AND h.x = rx.x
+                  JOIN ry ON h.flag = ry.flag AND h.y = ry.y
+                  GROUP BY 1)
+            SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        * 1000) AS BIGINT) AS spearman_milli
+            FROM m ORDER BY 1
+        """,
+        "events_diurnal_concentration": """
+            WITH h AS (SELECT event_type AS ty,
+                              (epoch_us(ts) // 3600000000) % 24 AS hr,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT ty, hr, n,
+                         ROW_NUMBER() OVER (PARTITION BY ty
+                             ORDER BY n DESC, hr) AS rk
+                  FROM h),
+            t AS (SELECT ty, SUM(n) AS tot FROM h GROUP BY 1),
+            s AS (SELECT ty,
+                         SUM(CASE WHEN rk <= 3 THEN n ELSE 0 END)
+                             AS top3,
+                         MAX(CASE WHEN rk = 1 THEN hr END) AS peak
+                  FROM r GROUP BY 1)
+            SELECT s.ty AS event_type,
+                   CAST(s.peak AS BIGINT) AS peak_hour,
+                   CAST(10000 * s.top3 // t.tot AS BIGINT)
+                       AS top3_share_bps,
+                   CAST(t.tot AS BIGINT) AS n_events
+            FROM s JOIN t ON s.ty = t.ty ORDER BY 1
+        """,
+        "trigram_spectrum": r"""
+            WITH d AS (SELECT doc_id AS did,
+                              regexp_extract_all(text, '\S+') AS l
+                       FROM documents),
+            t AS (SELECT did, unnest(l) AS tok,
+                         unnest(range(1, len(l) + 1)) AS i FROM d),
+            tri AS (SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                    FROM t a
+                    JOIN t b ON a.did = b.did AND b.i = a.i + 1
+                    JOIN t c ON a.did = c.did AND c.i = a.i + 2),
+            cnt AS (SELECT g, COUNT(*) AS n FROM tri GROUP BY 1)
+            SELECT CAST(LEAST(n, 10) AS BIGINT) AS occ,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM cnt GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

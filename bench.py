@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "orders_monthly_zchart", "docs_token_len_profile",
     "events_type_share_series", "brand_type_lift",
     "orders_updown_runs", "events_lateness_hist",
+    "sample_error_audit", "lineitem_spearman",
+    "events_diurnal_concentration", "trigram_spectrum",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

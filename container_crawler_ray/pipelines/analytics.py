@@ -7261,3 +7261,142 @@ def events_lateness_hist(sf_dir: str, cap_min: int = 60) -> pd.DataFrame:
            .reset_index(drop=True))
     return out[out["n_events"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def sample_error_audit(sf_dir: str) -> pd.DataFrame:
+    """ESTIMATOR-QUALITY audit: deterministic 1/16, 1/64 and 1/256
+    hash samples of orders, each scaled up and compared against the
+    exact revenue total — the error table that justifies (or kills)
+    sampling a 100-TB scan. Sampling is by md5(orderkey) — the
+    engine's one true hash, reproduced exactly by the twin — so the
+    'sample' is a pure function of the data. Per-block partials carry
+    four sums (exact + three sample legs) — ZERO shuffle."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    rates = (16, 64, 256)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        h = hash64_many(str(x) for x in ok)
+        cols = {"exact": pa.array([int(rev.sum())], type=pa.int64())}
+        for r in rates:
+            m = (h % r) == 0
+            cols[f"s{r}"] = pa.array([int(rev[m].sum())],
+                                     type=pa.int64())
+            cols[f"n{r}"] = pa.array([int(m.sum())], type=pa.int64())
+        return pa.table(cols)
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    tot = int(m["exact"])
+    rows = []
+    for r in rates:
+        est = r * int(m[f"s{r}"])
+        rows.append((r, int(m[f"n{r}"]), est, tot,
+                     10_000 * abs(est - tot) // tot))
+    return pd.DataFrame(rows, columns=[
+        "sample_rate", "n_sampled", "est_cents", "exact_cents",
+        "err_bps"]).astype("int64")
+
+
+def lineitem_spearman(sf_dir: str) -> pd.DataFrame:
+    """SPEARMAN rank correlation (tie-corrected, per return flag)
+    between discount and quantity — the monotonic-association check
+    Pearson misses. Both variables live on tiny discrete domains, so
+    the joint histogram IS the sufficient statistic: per-block
+    (flag, disc, qty, n) bincount partials (ZERO shuffle), doubled
+    midranks (exact ints) from the marginals, moment sums in
+    arbitrary-precision Python ints, and only the final ρ is a float —
+    in the same IEEE expression order as the twin
+    (num / (sqrt(d1)·sqrt(d2)) · 1000, floored)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = np.asarray(t.column("l_returnflag")).astype(object)
+        x = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_quantity").to_numpy()).astype(np.int64)
+        code, uniq = pd.factorize(fl)
+        pack = code.astype(np.int64) * (1 << 20) + x * (1 << 10) + y
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "flag": pa.array(uniq.take(u >> 20).astype(str),
+                             type=pa.string()),
+            "x": pa.array((u >> 10) & 1023),
+            "y": pa.array(u & 1023),
+            "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby(["flag", "x", "y"], as_index=False)["n"].sum()
+    rows = []
+    for flag, g in hist.groupby("flag"):
+        n_xy = g["n"].to_numpy(np.int64)
+        n = int(n_xy.sum())
+
+        def rank2(vals, w):
+            u, inv = np.unique(vals, return_inverse=True)
+            cnt = np.bincount(inv, weights=w).astype(np.int64)
+            cum = np.r_[0, cnt.cumsum()[:-1]]
+            return (2 * cum + cnt + 1)[inv]
+
+        rx = rank2(g["x"].to_numpy(np.int64), n_xy)
+        ry = rank2(g["y"].to_numpy(np.int64), n_xy)
+        sx = int((n_xy * rx).sum())
+        sy = int((n_xy * ry).sum())
+        sxx = int((n_xy * rx * rx).sum())
+        syy = int((n_xy * ry * ry).sum())
+        sxy = int((n_xy * rx * ry).sum())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        import math
+        val = math.floor(float(num)
+                         / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                         * 1000)
+        rows.append((str(flag), n, val))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["l_returnflag", "n",
+                                       "spearman_milli"]) \
+        .astype({"n": "int64", "spearman_milli": "int64"})
+
+
+def events_diurnal_concentration(sf_dir: str) -> pd.DataFrame:
+    """Diurnal CONCENTRATION per event type: the peak hour-of-day and
+    the share of all events landing in the top-3 hours (bps) — the
+    log-free time-of-day seasonality readout that sizes off-peak batch
+    windows. Per-block (type, hour, n) partials — ZERO shuffle; the
+    driver grid is types × 24."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        hr = (t.column("ts").cast(pa.int64()).to_numpy()
+              // 3_600_000_000) % 24
+        code, uniq = pd.factorize(et)
+        pack = code.astype(np.int64) * 24 + hr
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "ty": pa.array(uniq.take(u // 24).astype(str),
+                           type=pa.string()),
+            "hr": pa.array(u % 24),
+            "n": pa.array(c.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby(["ty", "hr"], as_index=False)["n"].sum()
+    rows = []
+    for ty, g in hist.groupby("ty"):
+        n = g["n"].to_numpy(np.int64)
+        hr = g["hr"].to_numpy(np.int64)
+        order = np.lexsort((hr, -n))
+        tot = int(n.sum())
+        top3 = int(n[order[:3]].sum())
+        rows.append((str(ty), int(hr[order[0]]),
+                     10_000 * top3 // tot, tot))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "event_type", "peak_hour", "top3_share_bps", "n_events"]) \
+        .astype({"peak_hour": "int64", "top3_share_bps": "int64",
+                 "n_events": "int64"})

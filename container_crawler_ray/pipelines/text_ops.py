@@ -607,3 +607,57 @@ def pmi_bigrams(sf_dir: str, min_count: int = 10,
                         ascending=[False, True, True], kind="mergesort")
            .head(topn).reset_index(drop=True))
     return out.astype({"n_pair": "int64"})
+
+
+def trigram_spectrum(sf_dir: str, cap: int = 10) -> pd.DataFrame:
+    """FREQUENCY-OF-FREQUENCIES spectrum of word trigrams (how many
+    distinct trigrams occur exactly k times, tail lumped at 10+) — the
+    Good–Turing input and the vocabulary-richness curve that predicts
+    dedup and compression behavior. Grams are 64-bit md5-hashed before
+    the exchange (the string never shuffles); ONE ``hash % 64`` bucket
+    exchange merges per-block gram counts, each bucket emits ≤ cap
+    spectrum counters. Same tokenizer as ``heavy_hitter_trigrams``
+    (whitespace split), so the twin's regexp token stream matches."""
+    import ray
+
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        grams = []
+        for s in t.column("text").to_pylist():
+            w = s.split()
+            grams.extend(" ".join(w[i:i + 3])
+                         for i in range(len(w) - 2))
+        if not grams:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        g, n = np.unique(np.array(grams, dtype=object),
+                         return_counts=True)
+        h = hash64_many(g).astype(np.int64)
+        return pa.table({"h": pa.array(h),
+                         "n": pa.array(n.astype(np.int64)),
+                         "bucket": pa.array(
+                             (h.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        _, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        k = np.minimum(tot, cap)
+        return pd.DataFrame({
+            "occ": np.arange(1, cap + 1, dtype=np.int64),
+            "n_grams": np.bincount(k, minlength=cap + 1)[1:]
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby("occ", as_index=False)["n_grams"].sum()
+           .sort_values("occ", kind="mergesort").reset_index(drop=True))
+    return out[out["n_grams"] > 0].reset_index(drop=True) \
+        .astype("int64")

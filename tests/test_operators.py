@@ -105,6 +105,8 @@ def test_entry_smoke(entrymod):
     "orders_monthly_zchart", "docs_token_len_profile",
     "events_type_share_series", "brand_type_lift",
     "orders_updown_runs", "events_lateness_hist",
+    "sample_error_audit", "lineitem_spearman",
+    "events_diurnal_concentration", "trigram_spectrum",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
