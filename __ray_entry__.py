@@ -229,6 +229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_diurnal_concentration":
             analytics.events_diurnal_concentration,
         "trigram_spectrum": text_ops.trigram_spectrum,
+        "order_total_reconciliation": joins.order_total_reconciliation,
+        "session_threshold_sensitivity":
+            analytics.session_threshold_sensitivity,
+        "events_type_xcorr": analytics.events_type_xcorr,
+        "user_lifecycle_census": analytics.user_lifecycle_census,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4153,6 +4158,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(LEAST(n, 10) AS BIGINT) AS occ,
                    CAST(COUNT(*) AS BIGINT) AS n_grams
             FROM cnt GROUP BY 1 ORDER BY 1
+        """,
+        "order_total_reconciliation": """
+            WITH c AS (SELECT l_orderkey AS k,
+                              SUM(CAST(FLOOR(l_extendedprice
+                                             * (1 - l_discount)
+                                             * (1 + l_tax) * 100)
+                                       AS BIGINT)) AS chg
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                             - c.chg AS diff
+                  FROM orders o JOIN c ON c.k = o.o_orderkey),
+            b AS (SELECT CASE WHEN diff = 0 THEN 0
+                         ELSE (CASE WHEN diff > 0 THEN 1 ELSE -1 END)
+                              * (CASE WHEN ABS(diff) <= 100 THEN 1
+                                 WHEN ABS(diff) <= 10000 THEN 2
+                                 ELSE 3 END) END AS cls,
+                         ABS(diff) AS mag
+                  FROM j)
+            SELECT CAST(cls AS BIGINT) AS mismatch_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(mag) AS BIGINT) AS sum_abs_diff_cents
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "session_threshold_sensitivity": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                              event_id
+                       FROM events),
+            l AS (SELECT u, us - LAG(us) OVER (PARTITION BY u
+                             ORDER BY us, event_id) AS g
+                  FROM e),
+            nu AS (SELECT COUNT(DISTINCT u) AS n FROM e),
+            t AS (SELECT unnest([5, 15, 30, 60, 120]) AS tm),
+            o AS (SELECT t.tm,
+                         COUNT(*) FILTER (WHERE l.g > CAST(t.tm AS BIGINT) * 60000000)
+                             AS n_over
+                  FROM l, t GROUP BY 1)
+            SELECT CAST(o.tm AS BIGINT) AS threshold_min,
+                   CAST(nu.n + o.n_over AS BIGINT) AS n_sessions
+            FROM o, nu ORDER BY 1
+        """,
+        "events_type_xcorr": """
+            WITH e AS (SELECT event_type AS ty,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS dy
+                       FROM events),
+            b AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM e),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS dy
+                     FROM b),
+            cx AS (SELECT dy, COUNT(*) AS n FROM e
+                   WHERE ty = 'click' GROUP BY 1),
+            cy AS (SELECT dy, COUNT(*) AS n FROM e
+                   WHERE ty = 'purchase' GROUP BY 1),
+            gx AS (SELECT g.dy, COALESCE(cx.n, 0) AS x
+                   FROM grid g LEFT JOIN cx ON cx.dy = g.dy),
+            gy AS (SELECT g.dy, COALESCE(cy.n, 0) AS y
+                   FROM grid g LEFT JOIN cy ON cy.dy = g.dy),
+            lg AS (SELECT unnest(range(0, 8)) AS k),
+            j AS (SELECT lg.k, a.x, bb.y
+                  FROM gx a CROSS JOIN lg
+                  JOIN gy bb ON bb.dy = a.dy + lg.k),
+            m AS (SELECT k, CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM j GROUP BY 1)
+            SELECT CAST(k AS BIGINT) AS lag_days,
+                   CAST(n AS BIGINT) AS n_days,
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        * 1000) AS BIGINT) AS xcorr_milli
+            FROM m ORDER BY 1
+        """,
+        "user_lifecycle_census": """
+            WITH e AS (SELECT user_id AS u,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS d
+                       FROM events),
+            f AS (SELECT u, MIN(d) AS f0, MAX(d) AS l0
+                  FROM e GROUP BY 1),
+            s AS (SELECT CASE WHEN f0 >= mend - 27 THEN 0
+                              WHEN l0 >= mend - 6 THEN 1
+                              WHEN l0 >= mend - 27 THEN 2
+                              ELSE 3 END AS stage
+                  FROM f, (SELECT MAX(d) AS mend FROM e)),
+            g AS (SELECT stage, COUNT(*) AS n FROM s GROUP BY 1)
+            SELECT CAST(stage AS BIGINT) AS stage,
+                   ['new', 'active', 'lapsed', 'dormant'][stage + 1]
+                       AS stage_name,
+                   CAST(n AS BIGINT) AS n_users
+            FROM g ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "orders_updown_runs", "events_lateness_hist",
     "sample_error_audit", "lineitem_spearman",
     "events_diurnal_concentration", "trigram_spectrum",
+    "order_total_reconciliation", "session_threshold_sensitivity",
+    "events_type_xcorr", "user_lifecycle_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

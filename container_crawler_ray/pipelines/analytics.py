@@ -7400,3 +7400,154 @@ def events_diurnal_concentration(sf_dir: str) -> pd.DataFrame:
         "event_type", "peak_hour", "top3_share_bps", "n_events"]) \
         .astype({"peak_hour": "int64", "top3_share_bps": "int64",
                  "n_events": "int64"})
+
+
+def session_threshold_sensitivity(sf_dir: str) -> pd.DataFrame:
+    """Sessionization PARAMETER-SENSITIVITY curve: total session count
+    at gap thresholds 5/15/30/60/120 minutes, from the identity
+    ``sessions(T) = users + #gaps>T`` — one pass over the gaps answers
+    every threshold, which is how you pick the 30-minute constant
+    instead of inheriting it. One ``user % 64`` bucket exchange;
+    per-bucket partials are 5 threshold counters + a user count."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    thresholds = np.array([5, 15, 30, 60, 120], dtype=np.int64)
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        same = us[1:] == us[:-1]
+        gap = (tss[1:] - tss[:-1])[same]
+        n_users = int((~np.r_[False, same]).sum())
+        over = np.array([(gap > t * 60_000_000).sum()
+                         for t in thresholds], dtype=np.int64)
+        return pd.DataFrame({"threshold_min": thresholds,
+                             "n_over": over,
+                             "n_users": np.full(len(thresholds), n_users,
+                                                dtype=np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("threshold_min", as_index=False).sum()
+           .sort_values("threshold_min", kind="mergesort")
+           .reset_index(drop=True))
+    return pd.DataFrame({
+        "threshold_min": agg["threshold_min"],
+        "n_sessions": agg["n_users"] + agg["n_over"]}).astype("int64")
+
+
+def events_type_xcorr(sf_dir: str, type_x: str = "click",
+                      type_y: str = "purchase",
+                      max_lag: int = 7) -> pd.DataFrame:
+    """CROSS-correlation between two event types' daily-volume series
+    at lags 0..7 — 'do clicks today predict purchases in k days'. The
+    lag-k moments run over the overlap window of the zero-filled day
+    grid; every moment is an exact integer and only the final
+    correlation is a float in the same IEEE expression order as the
+    twin (the ``lineitem_corr`` discipline). Per-block (type, day, n)
+    partials — ZERO shuffle; the lag sweep is grid-sized on the
+    driver."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        dy = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        keep = (et == type_x) | (et == type_y)
+        isx = (et[keep] == type_x).astype(np.int64)
+        d = dy[keep]
+        pack = d * 2 + isx
+        u, c = np.unique(pack, return_counts=True)
+        return pa.table({
+            "dy": pa.array(u // 2), "isx": pa.array(u % 2),
+            "n": pa.array(c.astype(np.int64)),
+            "mn": pa.array(np.full(len(u), dy.min(), dtype=np.int64)),
+            "mx": pa.array(np.full(len(u), dy.max(), dtype=np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    mn, mx = int(parts["mn"].min()), int(parts["mx"].max())
+    G = mx - mn + 1
+    x = np.zeros(G, dtype=np.int64)
+    y = np.zeros(G, dtype=np.int64)
+    agg = parts.groupby(["dy", "isx"], as_index=False)["n"].sum()
+    for _, r in agg.iterrows():
+        (x if int(r["isx"]) else y)[int(r["dy"]) - mn] += int(r["n"])
+    rows = []
+    for k in range(max_lag + 1):
+        xs, ys = x[:G - k], y[k:]
+        n = len(xs)
+        sx, sy = int(xs.sum()), int(ys.sum())
+        sxx = int((xs * xs).sum())
+        syy = int((ys * ys).sum())
+        sxy = int((xs * ys).sum())
+        num = n * sxy - sx * sy
+        d1 = n * sxx - sx * sx
+        d2 = n * syy - sy * sy
+        val = math.floor(float(num)
+                         / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                         * 1000)
+        rows.append((k, n, val))
+    return pd.DataFrame(rows, columns=["lag_days", "n_days",
+                                       "xcorr_milli"]).astype("int64")
+
+
+def user_lifecycle_census(sf_dir: str) -> pd.DataFrame:
+    """Lifecycle STAGE census at the dataset horizon: every user binned
+    as new (first seen in the last 28 days), active (event in the last
+    7), lapsed (8–28 days quiet) or dormant — the complement of the
+    training-oriented ``user_churn_labels`` point-in-time labels; this
+    is the population snapshot an ops dashboard shows. Pass 1 is a
+    1-row-per-block max-day fold; pass 2 is one ``user % 64`` bucket
+    exchange emitting 4 stage counters per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def maxday(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mx": pa.array([int(d.max())])})
+
+    end = int(ds.map_batches(maxday, batch_format="pyarrow")
+              .to_pandas()["mx"].max())
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"u": pa.array(u), "d": pa.array(d),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, u))
+        us, dsr = u[order], d[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        first = dsr[starts]
+        last = dsr[np.r_[starts[1:], len(us)] - 1]
+        stage = np.where(first >= end - 27, 0,
+                         np.where(last >= end - 6, 1,
+                                  np.where(last >= end - 27, 2, 3)))
+        return pd.DataFrame({
+            "stage": np.arange(4, dtype=np.int64),
+            "n_users": np.bincount(stage, minlength=4)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("stage", as_index=False)["n_users"].sum()
+           .sort_values("stage", kind="mergesort").reset_index(drop=True))
+    names = np.array(["new", "active", "lapsed", "dormant"],
+                     dtype=object)
+    agg.insert(1, "stage_name", names[agg["stage"].to_numpy(np.int64)])
+    agg = agg[agg["n_users"] > 0].reset_index(drop=True)
+    return agg.astype({"stage": "int64", "n_users": "int64"})

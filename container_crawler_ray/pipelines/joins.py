@@ -3189,3 +3189,75 @@ def returns_by_ship_lag(sf_dir: str) -> pd.DataFrame:
         "n_returned": agg["x"].to_numpy(np.int64),
         "return_bps": 10_000 * agg["x"].to_numpy(np.int64)
         // agg["n"].to_numpy(np.int64)}).astype("int64")
+
+
+def order_total_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """Referential MONEY reconciliation: each order's header total vs
+    the sum of its line charges (price·(1−disc)·(1+tax), exact cents),
+    bucketed by mismatch direction and magnitude — the books-balance
+    audit every warehouse runs nightly. Buckets: 0 exact, ±1 within
+    $1, ±2 within $100, ±3 beyond. ONE lineitem⋈orders exchange
+    co-partitioned on ``orderkey % 64``; per bucket the fold emits 7
+    counter rows."""
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_tax"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        ep = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        tx = t.column("l_tax").to_numpy()
+        chg = np.floor(ep * (1 - d) * (1 + tx) * 100).astype(np.int64)
+        return pa.table({
+            "key": pa.array(key), "amt": pa.array(chg),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        tp = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(key), "amt": pa.array(tp),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int8)
+        key = g["key"].to_numpy(np.int64)
+        amt = g["amt"].to_numpy(np.int64)
+        right = side == 1
+        uk, inv = np.unique(key[right], return_inverse=True)
+        chg = np.bincount(inv, weights=amt[right], minlength=len(uk)) \
+            .astype(np.int64)
+        lk = key[~right]
+        tp = amt[~right]
+        pos = np.searchsorted(uk, lk)
+        pos_c = np.minimum(pos, max(len(uk) - 1, 0))
+        has = (len(uk) > 0)
+        m = np.zeros(len(lk), dtype=bool) if not has else uk[pos_c] == lk
+        diff = tp[m] - chg[pos_c[m]]
+        mag = np.abs(diff)
+        cls = np.where(diff == 0, 0,
+                       np.sign(diff) * np.where(mag <= 100, 1,
+                                                np.where(mag <= 10_000,
+                                                         2, 3)))
+        u, inv2 = np.unique(cls, return_inverse=True)
+        return pd.DataFrame({
+            "mismatch_class": u.astype(np.int64),
+            "n_orders": np.bincount(inv2, minlength=len(u))
+            .astype(np.int64),
+            "sum_abs_diff_cents": np.bincount(inv2, weights=mag,
+                                              minlength=len(u))
+            .astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    part = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas").to_pandas())
+    return (part.groupby("mismatch_class", as_index=False).sum()
+            .sort_values("mismatch_class", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

@@ -107,6 +107,8 @@ def test_entry_smoke(entrymod):
     "orders_updown_runs", "events_lateness_hist",
     "sample_error_audit", "lineitem_spearman",
     "events_diurnal_concentration", "trigram_spectrum",
+    "order_total_reconciliation", "session_threshold_sensitivity",
+    "events_type_xcorr", "user_lifecycle_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
