@@ -234,6 +234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.session_threshold_sensitivity,
         "events_type_xcorr": analytics.events_type_xcorr,
         "user_lifecycle_census": analytics.user_lifecycle_census,
+        "events_kanon_audit": analytics.events_kanon_audit,
+        "quantile_sketch_error": analytics.quantile_sketch_error,
+        "purchase_latency_slo": analytics.purchase_latency_slo,
+        "source_yield_funnel": curate.source_yield_funnel,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4251,6 +4255,92 @@ def oracle_sql() -> dict[str, str]:
                        AS stage_name,
                    CAST(n AS BIGINT) AS n_users
             FROM g ORDER BY 1
+        """,
+        "events_kanon_audit": """
+            WITH c AS (SELECT event_type AS ty, user_id AS u,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT ty, CASE WHEN n = 1 THEN 0
+                                  WHEN n <= 4 THEN 1
+                                  WHEN n <= 19 THEN 2
+                                  ELSE 3 END AS cls
+                  FROM c),
+            s AS (SELECT ty, cls, COUNT(*) AS nu FROM b GROUP BY 1, 2),
+            t AS (SELECT ty, SUM(nu) AS tot,
+                         SUM(CASE WHEN cls <= 1 THEN nu ELSE 0 END)
+                             AS risk
+                  FROM s GROUP BY 1)
+            SELECT s.ty AS event_type, CAST(s.cls AS BIGINT)
+                       AS freq_class,
+                   CAST(s.nu AS BIGINT) AS n_users,
+                   CAST(10000 * t.risk // t.tot AS BIGINT)
+                       AS risk_share_bps
+            FROM s JOIN t ON s.ty = t.ty ORDER BY 1, 2
+        """,
+        "quantile_sketch_error": """
+            WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            nn AS (SELECT COUNT(*) AS n FROM c),
+            q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q),
+            h AS (SELECT cents, COUNT(*) AS cn FROM c GROUP BY 1),
+            cu AS (SELECT cents, SUM(cn) OVER (ORDER BY cents
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM h),
+            ex AS (SELECT q.q, MIN(cu.cents) AS cents
+                   FROM q, cu, nn
+                   WHERE cu.cum >= -(-q.q * nn.n // 100) GROUP BY 1),
+            hb AS (SELECT cents // 50 AS b, COUNT(*) AS cn
+                   FROM c GROUP BY 1),
+            cb AS (SELECT b, SUM(cn) OVER (ORDER BY b
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                   FROM hb),
+            sk AS (SELECT q.q, MIN(cb.b) * 50 AS est
+                   FROM q, cb, nn
+                   WHERE cb.cum >= -(-q.q * nn.n // 100) GROUP BY 1)
+            SELECT CAST(ex.q AS BIGINT) AS q_pct,
+                   CAST(ex.cents AS BIGINT) AS exact_cents,
+                   CAST(sk.est AS BIGINT) AS sketch_cents,
+                   CAST(ex.cents - sk.est AS BIGINT) AS err_cents
+            FROM ex JOIN sk ON ex.q = sk.q ORDER BY 1
+        """,
+        "purchase_latency_slo": """
+            WITH c AS (SELECT user_id AS u, epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'click'),
+            p AS (SELECT user_id AS u, event_id AS eid,
+                         epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'purchase'),
+            a AS (SELECT p.u, p.eid, p.us, MAX(c.us) AS cus
+                  FROM p JOIN c ON c.u = p.u AND c.us <= p.us
+                  GROUP BY 1, 2, 3),
+            w AS (SELECT us // 604800000000 AS wk,
+                         CASE WHEN us - cus > 1800000000
+                              THEN 1 ELSE 0 END AS slow
+                  FROM a)
+            SELECT CAST(wk AS BIGINT) AS week_index,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(slow) AS BIGINT) AS n_slow,
+                   CAST(10000 * SUM(slow) // COUNT(*) AS BIGINT)
+                       AS slow_share_bps
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "source_yield_funnel": r"""
+            WITH g AS (SELECT source,
+                              len(regexp_extract_all(text, '\S+'))
+                                  AS tok,
+                              len(regexp_extract_all(text,
+                                                     '[.!?,;:]'))
+                                  AS pu
+                       FROM documents),
+            s AS (SELECT source, COUNT(*) AS n_raw,
+                         SUM(CASE WHEN tok >= 10 AND pu <= 40
+                             THEN 1 ELSE 0 END) AS n_pass
+                  FROM g GROUP BY 1)
+            SELECT source, CAST(n_raw AS BIGINT) AS n_raw,
+                   CAST(n_pass AS BIGINT) AS n_pass,
+                   CAST(10000 * n_pass // n_raw AS BIGINT)
+                       AS yield_bps
+            FROM s ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

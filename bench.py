@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "events_diurnal_concentration", "trigram_spectrum",
     "order_total_reconciliation", "session_threshold_sensitivity",
     "events_type_xcorr", "user_lifecycle_census",
+    "events_kanon_audit", "quantile_sketch_error",
+    "purchase_latency_slo", "source_yield_funnel",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

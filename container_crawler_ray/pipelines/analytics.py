@@ -7551,3 +7551,163 @@ def user_lifecycle_census(sf_dir: str) -> pd.DataFrame:
     agg.insert(1, "stage_name", names[agg["stage"].to_numpy(np.int64)])
     agg = agg[agg["n_users"] > 0].reset_index(drop=True)
     return agg.astype({"stage": "int64", "n_users": "int64"})
+
+
+def events_kanon_audit(sf_dir: str) -> pd.DataFrame:
+    """K-ANONYMITY-style re-identification audit: per event type, users
+    binned by how often they appear (1 / 2–4 / 5–19 / 20+), with the
+    share of users below the k=5 line — the privacy-review table that
+    says which event streams would expose rare users if released. One
+    ``user % 64`` bucket exchange; per-bucket partials are
+    (types × 4) counters."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({"u": pa.array(u), "ty": t.column("event_type"),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        code, uniq = pd.factorize(g["ty"].to_numpy(object))
+        k = len(uniq)
+        pack = u * k + code
+        _, cnt = np.unique(pack, return_counts=True)
+        upart = np.unique(pack)
+        tcode = (upart % k).astype(np.int64)
+        cls = np.where(cnt == 1, 0,
+                       np.where(cnt <= 4, 1,
+                                np.where(cnt <= 19, 2, 3)))
+        out = np.zeros((k, 4), dtype=np.int64)
+        np.add.at(out, (tcode, cls), 1)
+        return pd.DataFrame({
+            "ty": np.repeat(np.asarray(uniq, dtype=object), 4),
+            "cls": np.tile(np.arange(4, dtype=np.int64), k),
+            "nu": out.ravel()})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby(["ty", "cls"], as_index=False)["nu"].sum()
+    agg = agg[agg["nu"] > 0]
+    tot = agg.groupby("ty")["nu"].transform("sum").to_numpy(np.int64)
+    risk = agg.assign(r=np.where(agg["cls"] <= 1, agg["nu"], 0)) \
+        .groupby("ty")["r"].transform("sum").to_numpy(np.int64)
+    agg["risk_share_bps"] = 10_000 * risk // tot
+    return (agg.sort_values(["ty", "cls"], kind="mergesort")
+            .reset_index(drop=True)
+            .rename(columns={"ty": "event_type", "cls": "freq_class",
+                             "nu": "n_users"})
+            .astype({"freq_class": "int64", "n_users": "int64",
+                     "risk_share_bps": "int64"}))
+
+
+def quantile_sketch_error(sf_dir: str) -> pd.DataFrame:
+    """Sketch-accuracy AUDIT: the 50-cent fixed-width histogram
+    quantile sketch (``events_value_histogram``'s rule) versus the
+    exact dense-histogram quantile, per percentile — the table that
+    certifies the cheap sketch's error bound before anyone trusts it
+    at 100 TB. Both estimates come from the SAME zero-shuffle dense
+    count vector (the bin view is a reshape), so the audit costs one
+    fold; error is exact cents and bounded by the bin width by
+    construction."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table({"lo": pa.array([int(v.min())]),
+                         "hi": pa.array([int(v.max())]),
+                         "n": pa.array([len(v)])})
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo, hi, n = (int(mm["lo"].min()), int(mm["hi"].max()),
+                 int(mm["n"].sum()))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+        cnt = np.bincount(v - lo, minlength=hi - lo + 1).astype(np.int64)
+        return pa.table({"v": pa.array([cnt.tobytes()],
+                                       type=pa.large_binary())})
+
+    total = np.zeros(hi - lo + 1, dtype=np.int64)
+    for row in (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .take_all()):
+        total += np.frombuffer(row["v"], dtype=np.int64)
+    cum = total.cumsum()
+    # 50-cent bin view of the SAME counts (bins are absolute cents//50)
+    b_lo, b_hi = lo // 50, hi // 50
+    bins = np.zeros(b_hi - b_lo + 1, dtype=np.int64)
+    np.add.at(bins, (np.arange(lo, hi + 1) // 50) - b_lo, total)
+    bcum = bins.cumsum()
+    rows = []
+    for q in (25, 50, 75, 90, 99):
+        rank = -(-q * n // 100)
+        exact = lo + int(np.searchsorted(cum, rank))
+        sketch = (b_lo + int(np.searchsorted(bcum, rank))) * 50
+        rows.append((q, exact, sketch, exact - sketch))
+    return pd.DataFrame(rows, columns=[
+        "q_pct", "exact_cents", "sketch_cents", "err_cents"]) \
+        .astype("int64")
+
+
+def purchase_latency_slo(sf_dir: str,
+                         slo_us: int = 1_800_000_000) -> pd.DataFrame:
+    """SLO BURN table: every purchase joined as-of to the user's latest
+    click at-or-before it; per week, the share of conversions slower
+    than the 30-minute SLO in exact bps — the SRE-style error-budget
+    series over the funnel. One ``user % 64`` bucket exchange; inside
+    the bucket the as-of probe is one searchsorted over dense-coded
+    (user, ts) keys (user in the high bits, so probes never cross
+    users); per-bucket partials are week-grid rows."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        keep = (et == "click") | (et == "purchase")
+        u = t.column("user_id").to_numpy().astype(np.int64)[keep]
+        ts = t.column("ts").cast(pa.int64()).to_numpy()[keep]
+        return pa.table({
+            "u": pa.array(u), "ts_us": pa.array(ts),
+            "is_click": pa.array(et[keep] == "click"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        ic = g["is_click"].to_numpy(bool)
+        uu = np.unique(u)
+        code = np.searchsorted(uu, u).astype(np.int64)
+        t0 = ts.min()
+        key = code * (1 << 52) + (ts - t0)
+        cmask = ic
+        ckey = np.sort(key[cmask])
+        pkey = key[~cmask]
+        pos = np.searchsorted(ckey, pkey, side="right") - 1
+        has = pos >= 0
+        # same-user guard: the found click must share the user code
+        cu = ckey[np.maximum(pos, 0)] >> 52
+        pu = pkey >> 52
+        has &= cu == pu
+        lat = (pkey[has] & ((1 << 52) - 1)) \
+            - (ckey[np.maximum(pos, 0)][has] & ((1 << 52) - 1))
+        wk = (ts[~cmask][has]) // 604_800_000_000
+        slow = (lat > slo_us).astype(np.int64)
+        uwk, inv = np.unique(wk, return_inverse=True)
+        return pd.DataFrame({
+            "wk": uwk,
+            "n": np.bincount(inv, minlength=len(uwk)).astype(np.int64),
+            "slow": np.bincount(inv, weights=slow, minlength=len(uwk))
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("wk", as_index=False).sum()
+           .sort_values("wk", kind="mergesort").reset_index(drop=True))
+    return pd.DataFrame({
+        "week_index": agg["wk"].to_numpy(np.int64),
+        "n_conversions": agg["n"].to_numpy(np.int64),
+        "n_slow": agg["slow"].to_numpy(np.int64),
+        "slow_share_bps": 10_000 * agg["slow"].to_numpy(np.int64)
+        // agg["n"].to_numpy(np.int64)}).astype("int64")

@@ -710,3 +710,42 @@ def docs_token_len_profile(sf_dir: str, cap: int = 20) -> pd.DataFrame:
             .sort_values(["lang", "tok_len"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"tok_len": "int64", "n_tokens": "int64"}))
+
+
+def source_yield_funnel(sf_dir: str, min_tokens: int = 10,
+                        max_punct: int = 40) -> pd.DataFrame:
+    """Curation YIELD funnel per source: raw docs → docs passing the
+    quality gate (the same token/punct rule as ``curate_docs``) →
+    yield in bps — the per-provider acceptance report a data-sourcing
+    team negotiates with. RE2 counts on both sides; per-block partials
+    are one row per source — ZERO shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source")).astype(object)
+        toks = pc.count_substring_regex(t.column("text"), r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        punct = pc.count_substring_regex(t.column("text"),
+                                         r"[.!?,;:]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = ((toks >= min_tokens) & (punct <= max_punct)) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(src)
+        k = len(uniq)
+        return pa.table({
+            "source": pa.array(uniq.astype(str), type=pa.string()),
+            "n_raw": pa.array(np.bincount(code, minlength=k)
+                              .astype(np.int64)),
+            "n_pass": pa.array(np.bincount(code, weights=ok,
+                                           minlength=k)
+                               .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("source", as_index=False).sum()
+           .sort_values("source", kind="mergesort")
+           .reset_index(drop=True))
+    agg["yield_bps"] = 10_000 * agg["n_pass"].to_numpy(np.int64) \
+        // agg["n_raw"].to_numpy(np.int64)
+    return agg.astype({"n_raw": "int64", "n_pass": "int64",
+                       "yield_bps": "int64"})

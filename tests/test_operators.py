@@ -109,6 +109,8 @@ def test_entry_smoke(entrymod):
     "events_diurnal_concentration", "trigram_spectrum",
     "order_total_reconciliation", "session_threshold_sensitivity",
     "events_type_xcorr", "user_lifecycle_census",
+    "events_kanon_audit", "quantile_sketch_error",
+    "purchase_latency_slo", "source_yield_funnel",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
