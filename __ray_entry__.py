@@ -238,6 +238,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_error": analytics.quantile_sketch_error,
         "purchase_latency_slo": analytics.purchase_latency_slo,
         "source_yield_funnel": curate.source_yield_funnel,
+        "orders_rescaled_range": analytics.orders_rescaled_range,
+        "orders_theil_sen": analytics.orders_theil_sen,
+        "user_part_negatives": joins.user_part_negatives,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4341,6 +4344,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * n_pass // n_raw AS BIGINT)
                        AS yield_bps
             FROM s ORDER BY 1
+        """,
+        "orders_rescaled_range": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            b AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS dy
+                     FROM b),
+            g AS (SELECT grid.dy, COALESCE(d.rev, 0) AS rev
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            ws AS (SELECT unnest([8, 16, 32, 64]) AS w),
+            x AS (SELECT ws.w, (g.dy - b.mn) // ws.w AS wid, g.dy,
+                         g.rev
+                  FROM g, b, ws),
+            fw AS (SELECT w, wid, COUNT(*) AS c, SUM(rev) AS s
+                   FROM x GROUP BY 1, 2 HAVING COUNT(*) = w),
+            cd AS (SELECT x.w, x.wid,
+                          SUM(x.w * x.rev - f.s) OVER (
+                              PARTITION BY x.w, x.wid ORDER BY x.dy
+                              ROWS UNBOUNDED PRECEDING) AS z
+                   FROM x JOIN fw f ON f.w = x.w AND f.wid = x.wid),
+            rng AS (SELECT w, wid, MAX(z) - MIN(z) AS r
+                    FROM cd GROUP BY 1, 2)
+            SELECT CAST(w AS BIGINT) AS window_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(SUM(r) AS BIGINT) AS sum_range_scaled
+            FROM rng GROUP BY 1 ORDER BY 1
+        """,
+        "orders_theil_sen": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            p AS (SELECT b.rev - a.rev AS dr, b.dy - a.dy AS dd
+                  FROM d a JOIN d b ON b.dy > a.dy),
+            s AS (SELECT CASE WHEN dr < 0
+                              THEN -((1000000 * (-dr)) // dd)
+                              ELSE (1000000 * dr) // dd END AS sl
+                  FROM p)
+            SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(quantile_disc(sl, 0.25) AS BIGINT)
+                       AS slope_p25_micro,
+                   CAST(quantile_disc(sl, 0.50) AS BIGINT)
+                       AS slope_median_micro,
+                   CAST(quantile_disc(sl, 0.75) AS BIGINT)
+                       AS slope_p75_micro
+            FROM s
+        """,
+        "user_part_negatives": """
+            WITH pos AS (SELECT DISTINCT o.o_custkey AS c,
+                                l.l_partkey AS p
+                         FROM orders o
+                         JOIN lineitem l
+                             ON l.l_orderkey = o.o_orderkey),
+            mx AS (SELECT MAX(p_partkey) AS mp FROM part),
+            cust AS (SELECT DISTINCT c FROM pos),
+            cand AS (SELECT c, unnest(generate_series(1, 12)) AS i
+                     FROM cust),
+            h AS (SELECT c, i,
+                         CAST(CAST(('0x' || substr(md5(
+                             CAST(c AS VARCHAR) || '_'
+                             || CAST(i AS VARCHAR)), 1, 16))
+                             AS UBIGINT) % mp AS BIGINT) + 1 AS pk
+                  FROM cand, mx),
+            f AS (SELECT h.c, h.i, h.pk
+                  FROM h LEFT JOIN pos
+                      ON pos.c = h.c AND pos.p = h.pk
+                  WHERE pos.p IS NULL),
+            r AS (SELECT c, pk,
+                         ROW_NUMBER() OVER (PARTITION BY c ORDER BY i)
+                             AS rk
+                  FROM f)
+            SELECT CAST(rk AS BIGINT) AS neg_rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(pk) AS BIGINT) AS sum_partkey
+            FROM r WHERE rk <= 4 GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "events_type_xcorr", "user_lifecycle_census",
     "events_kanon_audit", "quantile_sketch_error",
     "purchase_latency_slo", "source_yield_funnel",
+    "orders_rescaled_range", "orders_theil_sen",
+    "user_part_negatives",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -7711,3 +7711,95 @@ def purchase_latency_slo(sf_dir: str,
         "n_slow": agg["slow"].to_numpy(np.int64),
         "slow_share_bps": 10_000 * agg["slow"].to_numpy(np.int64)
         // agg["n"].to_numpy(np.int64)}).astype("int64")
+
+
+def orders_rescaled_range(sf_dir: str) -> pd.DataFrame:
+    """R/S (rescaled-range) RANGE table over the daily revenue series —
+    the long-range-dependence diagnostic behind the Hurst exponent,
+    kept fully integer by scaling deviations by the window size
+    (``dᵢ = w·revᵢ − Σw``, so the cumulative-deviation range is exact
+    cents·w with no division anywhere). For each window size
+    w ∈ {8, 16, 32, 64}: the number of full non-overlapping windows
+    and the summed range. Per-block daily partials — ZERO shuffle; the
+    sweep is day-grid-sized on the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    mn, mx = int(agg["dy"].min()), int(agg["dy"].max())
+    grid = np.zeros(mx - mn + 1, dtype=np.int64)
+    grid[agg["dy"].to_numpy(np.int64) - mn] = agg["rev"].to_numpy(
+        np.int64)
+    rows = []
+    for w in (8, 16, 32, 64):
+        nw = len(grid) // w
+        if nw == 0:
+            continue
+        blk = grid[:nw * w].reshape(nw, w)
+        dev = w * blk - blk.sum(axis=1, keepdims=True)
+        cum = dev.cumsum(axis=1)
+        rng = cum.max(axis=1) - cum.min(axis=1)
+        rows.append((w, nw, int(rng.sum())))
+    return pd.DataFrame(rows, columns=[
+        "window_days", "n_windows", "sum_range_scaled"]) \
+        .astype("int64")
+
+
+def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """THEIL–SEN robust trend of daily revenue: the median of all
+    pairwise day-slopes — the estimator that shrugs off the outlier
+    days OLS chases. Each pair's slope is the sign-normalized integer
+    ``sgn·(10⁶·|Δrev| // Δd)`` (toward-zero, matching DuckDB), and the
+    reported slope is the discrete lower median plus the quartiles of
+    the slope distribution. Per-block daily partials — ZERO shuffle;
+    the O(G²) pair sweep runs on the day GRID (calendar-bounded —
+    ~3M pairs for a decade — never on rows)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    d = agg["dy"].to_numpy(np.int64)
+    r = agg["rev"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(d), k=1)
+    dd = d[j] - d[i]
+    dr = r[j] - r[i]
+    mag = (10**6 * np.abs(dr)) // dd
+    slopes = np.where(dr < 0, -mag, mag)
+    slopes.sort()
+    n = len(slopes)
+
+    def disc_q(q_num: int, q_den: int) -> int:
+        # quantile_disc: element at rank ceil(q·n), 1-indexed
+        rank = -(-q_num * n // q_den)
+        return int(slopes[rank - 1])
+
+    return pd.DataFrame([(len(d), n, disc_q(1, 4), disc_q(1, 2),
+                          disc_q(3, 4))],
+                        columns=["n_days", "n_pairs", "slope_p25_micro",
+                                 "slope_median_micro",
+                                 "slope_p75_micro"]).astype("int64")

@@ -3261,3 +3261,102 @@ def order_total_reconciliation(sf_dir: str) -> pd.DataFrame:
     return (part.groupby("mismatch_class", as_index=False).sum()
             .sort_values("mismatch_class", kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def user_part_negatives(sf_dir: str, k: int = 4,
+                        buffer: int = 8) -> pd.DataFrame:
+    """NEGATIVE-SAMPLING generator (the recommender-training data op):
+    for every purchasing customer, ``k`` deterministic negative part
+    ids drawn as ``md5(cust_i) % max_part + 1`` with purchased parts
+    excluded — reproducible negatives with no RNG state, so a resumed
+    job regenerates identical training rows. Two exchanges: positives
+    come from the ``orderkey % 64`` fact-fact join, then re-key by
+    ``cust % 64`` so each bucket filters its customers' candidates
+    against their positives via ONE packed-key searchsorted (never a
+    per-customer loop). Duplicate candidates are kept by rule
+    (identical on both sides). Output pins every assignment: per
+    negative rank, the user count and partkey checksum."""
+    import ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey"]).to_pandas()
+    max_part = int(part["p_partkey"].max())
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_partkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def join_pos(g: pd.DataFrame) -> pa.Table:
+        # Arrow out: this stage feeds the second shuffle (pandas blocks
+        # would put the exchange on Ray's ~20x slower sort path)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "cust"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "pk"})
+        m = right.merge(left, on="key")
+        pair = np.unique(m["cust"].to_numpy(np.int64) * (1 << 24)
+                         + m["pk"].to_numpy(np.int64))
+        cust = pair >> 24
+        return pa.table({"cust": pa.array(cust),
+                         "pk": pa.array(pair & ((1 << 24) - 1)),
+                         "cbucket": pa.array((cust % 64)
+                                             .astype(np.int32))})
+
+    def sample_neg(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import hash64_many
+
+        pos = np.unique(g["cust"].to_numpy(np.int64) * (1 << 24)
+                        + g["pk"].to_numpy(np.int64))
+        custs = np.unique(g["cust"].to_numpy(np.int64))
+        nc = len(custs)
+        reps = np.repeat(custs, k + buffer)
+        idx = np.tile(np.arange(1, k + buffer + 1, dtype=np.int64), nc)
+        h = hash64_many(f"{c}_{i}" for c, i in zip(reps, idx))
+        cand = (h % np.uint64(max_part)).astype(np.int64) + 1
+        packed = reps * (1 << 24) + cand
+        pos_hit = np.searchsorted(pos, packed)
+        pos_hit = np.minimum(pos_hit, max(len(pos) - 1, 0))
+        is_pos = pos[pos_hit] == packed if len(pos) else \
+            np.zeros(len(packed), dtype=bool)
+        keep = ~is_pos
+        rc, ri, cd = reps[keep], idx[keep], cand[keep]
+        # rank within customer in candidate-index order (already sorted)
+        starts = np.flatnonzero(np.r_[True, rc[1:] != rc[:-1]])
+        rank = np.arange(len(rc)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(rc)])) + 1
+        km = rank <= k
+        u, inv = np.unique(rank[km], return_inverse=True)
+        return pd.DataFrame({
+            "neg_rank": u.astype(np.int64),
+            "n_users": np.bincount(inv, minlength=len(u))
+            .astype(np.int64),
+            "sum_partkey": np.bincount(inv, weights=cd[km],
+                                       minlength=len(u))
+            .astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    neg = (tagged.groupby("bucket")
+           .map_groups(join_pos, batch_format="pandas")
+           .groupby("cbucket")
+           .map_groups(sample_neg, batch_format="pandas")
+           .to_pandas())
+    return (neg.groupby("neg_rank", as_index=False).sum()
+            .sort_values("neg_rank", kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

@@ -111,6 +111,8 @@ def test_entry_smoke(entrymod):
     "events_type_xcorr", "user_lifecycle_census",
     "events_kanon_audit", "quantile_sketch_error",
     "purchase_latency_slo", "source_yield_funnel",
+    "orders_rescaled_range", "orders_theil_sen",
+    "user_part_negatives",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
