@@ -241,6 +241,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rescaled_range": analytics.orders_rescaled_range,
         "orders_theil_sen": analytics.orders_theil_sen,
         "user_part_negatives": joins.user_part_negatives,
+        "events_cuped_adjust": analytics.events_cuped_adjust,
+        "orders_seasonal_strength": analytics.orders_seasonal_strength,
+        "customer_order_class_migration":
+            analytics.customer_order_class_migration,
+        "part_supplier_redundancy": joins.part_supplier_redundancy,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4424,6 +4429,121 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users,
                    CAST(SUM(pk) AS BIGINT) AS sum_partkey
             FROM r WHERE rk <= 4 GROUP BY 1 ORDER BY 1
+        """,
+        "events_cuped_adjust": """
+            WITH w AS (SELECT (MIN(datediff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)))
+                               + MAX(datediff('day', DATE '1970-01-01',
+                                     CAST(ts AS DATE))) + 1) // 2
+                                  AS mid
+                       FROM events),
+            u AS (SELECT user_id AS u,
+                         SUM(CASE WHEN datediff('day',
+                                 DATE '1970-01-01', CAST(ts AS DATE))
+                                 < mid
+                             THEN CAST(FLOOR(value * 100) AS BIGINT)
+                             ELSE 0 END) AS x,
+                         SUM(CASE WHEN datediff('day',
+                                 DATE '1970-01-01', CAST(ts AS DATE))
+                                 >= mid
+                             THEN CAST(FLOOR(value * 100) AS BIGINT)
+                             ELSE 0 END) AS y
+                  FROM events, w GROUP BY 1, w.mid),
+            a AS (SELECT u % 2 AS arm, CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM u GROUP BY 1),
+            p AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+                         SUM(sxx) AS sxx, SUM(syy) AS syy,
+                         SUM(sxy) AS sxy
+                  FROM a),
+            t AS (SELECT n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS d1,
+                         n * syy - sy * sy AS d2
+                  FROM p)
+            SELECT CAST(a.arm AS BIGINT) AS arm,
+                   CAST(a.n AS BIGINT) AS n,
+                   CAST(a.sx AS BIGINT) AS sum_pre_cents,
+                   CAST(a.sy AS BIGINT) AS sum_post_cents,
+                   CAST(CASE WHEN (t.num < 0) != (t.d1 < 0)
+                        THEN -(ABS(t.num) * 1000000 // ABS(t.d1))
+                        ELSE ABS(t.num) * 1000000 // ABS(t.d1)
+                        END AS BIGINT) AS theta_micro,
+                   CAST(((10000 * ABS(t.num)) // t.d1) * ABS(t.num)
+                        // t.d2 AS BIGINT) AS varred_bps
+            FROM a, t ORDER BY 1
+        """,
+        "orders_seasonal_strength": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            b AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS dy
+                     FROM b),
+            g AS (SELECT grid.dy, COALESCE(d.rev, 0) AS rev
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            tt AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                          SUM(CAST(rev AS HUGEINT)) AS s,
+                          SUM(CAST(rev AS HUGEINT) * rev) AS q
+                   FROM g),
+            ps AS (SELECT unnest([7, 30]) AS p),
+            ph AS (SELECT ps.p, g.dy % ps.p AS phase,
+                          SUM(CAST(g.rev AS HUGEINT)) AS sg,
+                          CAST(COUNT(*) AS HUGEINT) AS ng
+                   FROM g, ps GROUP BY 1, 2),
+            sb AS (SELECT p, SUM(tt.n * sg * sg // ng) AS ssbn
+                   FROM ph, tt GROUP BY 1)
+            SELECT CAST(sb.p AS BIGINT) AS period_days,
+                   CAST(10000 * (sb.ssbn - tt.s * tt.s)
+                        // (tt.n * tt.q - tt.s * tt.s) AS BIGINT)
+                       AS strength_bps
+            FROM sb, tt ORDER BY 1
+        """,
+        "customer_order_class_migration": """
+            WITH w AS (SELECT (MIN(datediff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)))
+                               + MAX(datediff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE))) + 1)
+                              // 2 AS mid
+                       FROM orders),
+            u AS (SELECT o_custkey AS c,
+                         SUM(CASE WHEN datediff('day',
+                                 DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) < mid
+                             THEN 1 ELSE 0 END) AS n1,
+                         SUM(CASE WHEN datediff('day',
+                                 DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) >= mid
+                             THEN 1 ELSE 0 END) AS n2
+                  FROM orders, w GROUP BY 1, w.mid),
+            k AS (SELECT CASE WHEN n1 = 0 THEN 0 WHEN n1 = 1 THEN 1
+                              WHEN n1 <= 4 THEN 2 ELSE 3 END AS c1,
+                         CASE WHEN n2 = 0 THEN 0 WHEN n2 = 1 THEN 1
+                              WHEN n2 <= 4 THEN 2 ELSE 3 END AS c2
+                  FROM u)
+            SELECT CAST(c1 AS BIGINT) AS class_h1,
+                   CAST(c2 AS BIGINT) AS class_h2,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM k GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_supplier_redundancy": """
+            WITH pr AS (SELECT l_partkey AS k,
+                               SUM(CAST(FLOOR(l_extendedprice * 100)
+                                        AS BIGINT)) AS rev,
+                               COUNT(DISTINCT l_suppkey) AS ns
+                        FROM lineitem GROUP BY 1),
+            c AS (SELECT LEAST(ns, 4) AS cls, COUNT(*) AS n_parts,
+                         SUM(rev) AS revenue_cents
+                  FROM pr GROUP BY 1)
+            SELECT CAST(cls AS BIGINT) AS n_suppliers_class,
+                   CAST(n_parts AS BIGINT) AS n_parts,
+                   CAST(revenue_cents AS BIGINT) AS revenue_cents
+            FROM c ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

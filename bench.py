@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "purchase_latency_slo", "source_yield_funnel",
     "orders_rescaled_range", "orders_theil_sen",
     "user_part_negatives",
+    "events_cuped_adjust", "orders_seasonal_strength",
+    "customer_order_class_migration", "part_supplier_redundancy",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -7803,3 +7803,187 @@ def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days", "n_pairs", "slope_p25_micro",
                                  "slope_median_micro",
                                  "slope_p75_micro"]).astype("int64")
+
+
+def events_cuped_adjust(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance reduction (the experimentation-platform
+    workhorse): users mock-assigned to arms by id parity, value split
+    into PRE/POST halves of the window; θ = cov(pre,post)/var(pre) in
+    sign-normalized fixed point and the variance-reduction factor
+    ρ²·10⁴ as the staged division-exact
+    ``((10⁴·|num|)//d1)·|num| // d2`` — every moment an exact integer,
+    nothing random. Pass 1 bounds the window
+    (min/max day fold); pass 2 is one ``user % 64`` bucket exchange
+    emitting per-arm moment partials (2 rows per bucket)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max()) + 1) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "post": pa.array((d >= mid)
+                                               .astype(np.int8)),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        post = g["post"].to_numpy(np.int8).astype(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        pre_s = np.bincount(inv, weights=c * (1 - post),
+                            minlength=len(uu)).astype(np.int64)
+        post_s = np.bincount(inv, weights=c * post,
+                             minlength=len(uu)).astype(np.int64)
+        arm = (uu % 2).astype(np.int64)
+        out = []
+        for a in (0, 1):
+            m = arm == a
+            x, y = pre_s[m], post_s[m]
+            out.append((a, int(m.sum()), int(x.sum()), int(y.sum()),
+                        int((x * x).sum()), int((y * y).sum()),
+                        int((x * y).sum())))
+        return pd.DataFrame(out, columns=["arm", "n", "sx", "sy",
+                                          "sxx", "syy", "sxy"])
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("arm", as_index=False).sum()
+    # pooled theta / rho^2 over ALL users (both arms)
+    n = int(agg["n"].sum())
+    sx, sy = int(agg["sx"].sum()), int(agg["sy"].sum())
+    sxx, syy = int(agg["sxx"].sum()), int(agg["syy"].sum())
+    sxy = int(agg["sxy"].sum())
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    sgn = -1 if (num < 0) != (d1 < 0) else 1
+    theta_micro = sgn * ((10**6 * abs(num)) // abs(d1))
+    # staged division keeps every intermediate inside HUGEINT for the
+    # twin (10^4·num² would not); d1, d2 are variances, never negative
+    varred_bps = ((10**4 * abs(num)) // d1) * abs(num) // d2
+    out = agg.sort_values("arm").reset_index(drop=True)
+    out["theta_micro"] = np.int64(theta_micro)
+    out["varred_bps"] = np.int64(varred_bps)
+    return out[["arm", "n", "sx", "sy", "theta_micro",
+                "varred_bps"]].rename(columns={
+                    "sx": "sum_pre_cents", "sy": "sum_post_cents"}) \
+        .astype("int64")
+
+
+def orders_seasonal_strength(sf_dir: str) -> pd.DataFrame:
+    """SEASONALITY STRENGTH as an ANOVA variance share: for candidate
+    periods 7 and 30 days, the between-phase share of daily-revenue
+    variance in bps via the division-mirrored identity
+    ``(Σ_g N·S_g² // n_g − S²) / (N·Q − S²)`` (per-phase truncation
+    identical on both sides) — strong weekly seasonality ⇒ the p=7 row
+    ≈ its ceiling. Per-block daily partials — ZERO shuffle; the phase
+    fold is ≤ p rows per period on the driver."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    mn, mx = int(agg["dy"].min()), int(agg["dy"].max())
+    grid = np.zeros(mx - mn + 1, dtype=np.int64)
+    grid[agg["dy"].to_numpy(np.int64) - mn] = agg["rev"].to_numpy(
+        np.int64)
+    N = len(grid)
+    S = int(grid.sum())
+    # python-int squares: daily cents² overflows int64 at scale
+    Q = sum(int(v) * int(v) for v in grid)
+    days = np.arange(mn, mx + 1, dtype=np.int64)
+    rows = []
+    for p in (7, 30):
+        ph = days % p
+        sg = np.bincount(ph, weights=grid, minlength=p).astype(np.int64)
+        ng = np.bincount(ph, minlength=p).astype(np.int64)
+        ssbn = sum(N * int(s) * int(s) // int(c)
+                   for s, c in zip(sg, ng) if c > 0)
+        rows.append((p, 10**4 * (ssbn - S * S)
+                     // (N * Q - S * S)))
+    return pd.DataFrame(rows, columns=["period_days",
+                                       "strength_bps"]).astype("int64")
+
+
+def customer_order_class_migration(sf_dir: str) -> pd.DataFrame:
+    """Entity-level DRIFT matrix: customers classed by order count
+    (0 / 1 / 2–4 / 5+) in the first half of the window vs the second,
+    and the migration matrix between the classes — who ramped up, who
+    went quiet; the per-entity complement of the distribution-level
+    ``events_drift_tv``. Pass 1 bounds the window; pass 2 is one
+    ``customer % 64`` bucket exchange emitting 16 matrix-cell counters
+    per bucket (customers with no orders at all are absent on both
+    sides)."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max()) + 1) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "c": pa.array(c),
+            "h": pa.array((d >= mid).astype(np.int8)),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def cls(n: np.ndarray) -> np.ndarray:
+        return np.where(n == 0, 0,
+                        np.where(n == 1, 1,
+                                 np.where(n <= 4, 2, 3)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        h = g["h"].to_numpy(np.int8).astype(np.int64)
+        uu, inv = np.unique(c, return_inverse=True)
+        n1 = np.bincount(inv, weights=1 - h, minlength=len(uu)) \
+            .astype(np.int64)
+        n2 = np.bincount(inv, weights=h, minlength=len(uu)) \
+            .astype(np.int64)
+        cell = cls(n1) * 4 + cls(n2)
+        return pd.DataFrame({
+            "cell": np.arange(16, dtype=np.int64),
+            "n_customers": np.bincount(cell, minlength=16)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("cell", as_index=False)["n_customers"].sum())
+    agg = agg[agg["n_customers"] > 0]
+    out = pd.DataFrame({
+        "class_h1": agg["cell"].to_numpy(np.int64) // 4,
+        "class_h2": agg["cell"].to_numpy(np.int64) % 4,
+        "n_customers": agg["n_customers"].to_numpy(np.int64)})
+    return (out.sort_values(["class_h1", "class_h2"], kind="mergesort")
+            .reset_index(drop=True).astype("int64"))

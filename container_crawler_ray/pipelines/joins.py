@@ -3360,3 +3360,51 @@ def user_part_negatives(sf_dir: str, k: int = 4,
     return (neg.groupby("neg_rank", as_index=False).sum()
             .sort_values("neg_rank", kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def part_supplier_redundancy(sf_dir: str) -> pd.DataFrame:
+    """Supply-chain REDUNDANCY audit: parts binned by how many distinct
+    suppliers actually shipped them (1 / 2 / 3 / 4+), with revenue at
+    stake per class — the single-source-risk table. One
+    ``part % 64`` bucket exchange over deduped (part, supplier) pairs
+    plus per-part revenue; ≤ 4 partial rows per bucket."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array(k), "s": pa.array(s),
+                         "rev": pa.array(rev),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        uk, kinv = np.unique(k, return_inverse=True)
+        krev = np.bincount(kinv, weights=rev, minlength=len(uk)) \
+            .astype(np.int64)
+        pair = np.unique(k * (1 << 24) + s)
+        pk = pair >> 24
+        nsupp = np.bincount(np.searchsorted(uk, pk),
+                            minlength=len(uk)).astype(np.int64)
+        cls = np.minimum(nsupp, 4) - 1  # 0..3 for 1/2/3/4+
+        return pd.DataFrame({
+            "cls": np.arange(4, dtype=np.int64),
+            "n_parts": np.bincount(cls, minlength=4).astype(np.int64),
+            "revenue_cents": np.bincount(cls, weights=krev,
+                                         minlength=4)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("cls", as_index=False).sum()
+           .sort_values("cls", kind="mergesort").reset_index(drop=True))
+    agg = agg[agg["n_parts"] > 0].reset_index(drop=True)
+    agg.insert(0, "n_suppliers_class",
+               agg["cls"].to_numpy(np.int64) + 1)
+    return agg.drop(columns=["cls"]).astype("int64")

@@ -113,6 +113,8 @@ def test_entry_smoke(entrymod):
     "purchase_latency_slo", "source_yield_funnel",
     "orders_rescaled_range", "orders_theil_sen",
     "user_part_negatives",
+    "events_cuped_adjust", "orders_seasonal_strength",
+    "customer_order_class_migration", "part_supplier_redundancy",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
