@@ -246,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_class_migration":
             analytics.customer_order_class_migration,
         "part_supplier_redundancy": joins.part_supplier_redundancy,
+        "orders_month_end_effect": analytics.orders_month_end_effect,
+        "session_entry_conversion": analytics.session_entry_conversion,
+        "source_hapax_ratio": curate.source_hapax_ratio,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4544,6 +4547,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_parts AS BIGINT) AS n_parts,
                    CAST(revenue_cents AS BIGINT) AS revenue_cents
             FROM c ORDER BY 1
+        """,
+        "orders_month_end_effect": """
+            WITH o AS (SELECT (year(o_orderdate) - 1970) * 12
+                                  + month(o_orderdate) - 1 AS m,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS rev,
+                              CASE WHEN day(o_orderdate)
+                                   > day(last_day(o_orderdate)) - 3
+                                   THEN 1 ELSE 0 END AS l3
+                       FROM orders),
+            a AS (SELECT m, SUM(rev) AS rev, SUM(rev * l3) AS l3
+                  FROM o GROUP BY 1)
+            SELECT CAST(m AS BIGINT) AS month_index,
+                   CAST(rev AS BIGINT) AS rev_cents,
+                   CAST(l3 AS BIGINT) AS last3_cents,
+                   CAST(10000 * l3 // rev AS BIGINT)
+                       AS last3_share_bps
+            FROM a ORDER BY 1
+        """,
+        "session_entry_conversion": """
+            WITH e AS (SELECT user_id AS u, event_id,
+                              epoch_us(ts) AS us, event_type AS ty
+                       FROM events),
+            l AS (SELECT u, event_id, us, ty, LAG(us) OVER w AS pus
+                  FROM e
+                  WINDOW w AS (PARTITION BY u ORDER BY us, event_id)),
+            s AS (SELECT *, CASE WHEN pus IS NULL
+                                      OR us - pus > 1800000000
+                                 THEN 1 ELSE 0 END AS brk
+                  FROM l),
+            sid AS (SELECT u, us, event_id, ty,
+                           SUM(brk) OVER (PARTITION BY u
+                               ORDER BY us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                    FROM s),
+            g AS (SELECT u, sid,
+                         FIRST(ty ORDER BY us, event_id) AS entry,
+                         MAX(CASE WHEN ty = 'purchase'
+                             THEN 1 ELSE 0 END) AS conv
+                  FROM sid GROUP BY 1, 2),
+            a AS (SELECT entry, COUNT(*) AS ns, SUM(conv) AS nc
+                  FROM g GROUP BY 1)
+            SELECT entry AS entry_type,
+                   CAST(ns AS BIGINT) AS n_sessions,
+                   CAST(nc AS BIGINT) AS n_converted,
+                   CAST(10000 * nc // ns AS BIGINT) AS conv_bps
+            FROM a ORDER BY 1
+        """,
+        "source_hapax_ratio": r"""
+            WITH t AS (SELECT source,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            c AS (SELECT source, tok, COUNT(*) AS n
+                  FROM t GROUP BY 1, 2),
+            s AS (SELECT source, COUNT(*) AS nd,
+                         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS nh
+                  FROM c GROUP BY 1)
+            SELECT source,
+                   CAST(nd AS BIGINT) AS n_distinct_tokens,
+                   CAST(nh AS BIGINT) AS n_hapax,
+                   CAST(10000 * nh // nd AS BIGINT) AS hapax_bps
+            FROM s ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "user_part_negatives",
     "events_cuped_adjust", "orders_seasonal_strength",
     "customer_order_class_migration", "part_supplier_redundancy",
+    "orders_month_end_effect", "session_entry_conversion",
+    "source_hapax_ratio",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

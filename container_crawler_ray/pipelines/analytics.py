@@ -7987,3 +7987,95 @@ def customer_order_class_migration(sf_dir: str) -> pd.DataFrame:
         "n_customers": agg["n_customers"].to_numpy(np.int64)})
     return (out.sort_values(["class_h1", "class_h2"], kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def orders_month_end_effect(sf_dir: str) -> pd.DataFrame:
+    """Calendar-effect audit: the share of each month's revenue booked
+    in its LAST THREE days (bps) — the quota-stuffing / batch-posting
+    fingerprint. Month lengths come from pure datetime64 month
+    arithmetic here and ``last_day()`` in the twin — no calendar
+    tables. Per-block (month, total, last3) partials — ZERO shuffle;
+    the driver fold is month-grid-sized."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d64 = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[D]")
+        m64 = d64.astype("datetime64[M]")
+        m = m64.astype(np.int64)
+        dom = (d64 - m64.astype("datetime64[D]")).astype(np.int64) + 1
+        mlen = ((m64 + 1).astype("datetime64[D]")
+                - m64.astype("datetime64[D]")).astype(np.int64)
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        last3 = (dom > mlen - 3).astype(np.int64)
+        u, inv = np.unique(m, return_inverse=True)
+        return pa.table({
+            "m": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64)),
+            "l3": pa.array(np.bincount(inv, weights=rev * last3,
+                                       minlength=len(u))
+                           .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("m", as_index=False).sum()
+           .sort_values("m", kind="mergesort").reset_index(drop=True))
+    return pd.DataFrame({
+        "month_index": agg["m"].to_numpy(np.int64),
+        "rev_cents": agg["rev"].to_numpy(np.int64),
+        "last3_cents": agg["l3"].to_numpy(np.int64),
+        "last3_share_bps": 10_000 * agg["l3"].to_numpy(np.int64)
+        // agg["rev"].to_numpy(np.int64)}).astype("int64")
+
+
+def session_entry_conversion(sf_dir: str,
+                             gap_us: int = 1_800_000_000) -> \
+        pd.DataFrame:
+    """LANDING-PAGE analysis, sessionized: conversion share (session
+    contains a purchase) by the session's ENTRY event type — which
+    front door converts. One ``user % 64`` bucket exchange; the fold
+    sessionizes by vectorized gap breaks, reads entries at segment
+    heads and flags purchases via a segment-max reduceat — partials
+    are (types × 2) counters per bucket."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "ty": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        ty = g["ty"].to_numpy(object)[order]
+        brk = np.ones(len(us), dtype=bool)
+        brk[1:] = (us[1:] != us[:-1]) | (tss[1:] - tss[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        isp = (ty == "purchase").astype(np.int64)
+        conv = np.maximum.reduceat(isp, starts)
+        entry = ty[starts]
+        df = pd.DataFrame({"entry": entry, "conv": conv})
+        out = df.groupby("entry", as_index=False).agg(
+            n_sessions=("conv", "size"), n_converted=("conv", "sum"))
+        return out
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("entry", as_index=False).sum()
+           .sort_values("entry", kind="mergesort")
+           .reset_index(drop=True))
+    agg["conv_bps"] = 10_000 * agg["n_converted"].to_numpy(np.int64) \
+        // agg["n_sessions"].to_numpy(np.int64)
+    return agg.rename(columns={"entry": "entry_type"}) \
+        .astype({"n_sessions": "int64", "n_converted": "int64",
+                 "conv_bps": "int64"})

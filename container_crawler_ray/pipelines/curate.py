@@ -749,3 +749,63 @@ def source_yield_funnel(sf_dir: str, min_tokens: int = 10,
         // agg["n_raw"].to_numpy(np.int64)
     return agg.astype({"n_raw": "int64", "n_pass": "int64",
                        "yield_bps": "int64"})
+
+
+def source_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-richness audit per source: the HAPAX ratio (share of
+    the source's distinct tokens occurring exactly once, bps) — high
+    hapax = diverse/natural text, low = templated boilerplate; the
+    per-provider twin of ``trigram_spectrum``'s global curve. Tokens
+    are md5-hashed before the ONE (source, hash)-routed exchange
+    (strings never shuffle); per-bucket partials are one row per
+    source."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        for s_, txt in zip(np.asarray(t.column("source")).astype(object),
+                           t.column("text").to_pylist()):
+            w = txt.split()
+            srcs.extend([s_] * len(w))
+            toks.extend(w)
+        h = hash64_many(toks).astype(np.int64)
+        code, uniq = pd.factorize(np.array(srcs, dtype=object))
+        # pre-count within block to shrink the exchange
+        df = pd.DataFrame({"c": code.astype(np.int64), "h": h})
+        cnt = df.groupby(["c", "h"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(
+                np.asarray(uniq, dtype=object)
+                [cnt["c"].to_numpy(np.int64)].astype(str),
+                type=pa.string()),
+            "h": pa.array(cnt["h"].to_numpy(np.int64)),
+            "n": pa.array(cnt["size"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (cnt["h"].to_numpy(np.int64).view(np.uint64) % 64)
+                .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # two-key C-level groupby (packing source×hash into one int64
+        # would overflow: the hash already spans the full 64 bits)
+        tot = g.groupby(["source", "h"], as_index=False)["n"].sum()
+        out = tot.groupby("source", as_index=False).agg(
+            nd=("n", "size"))
+        out["nh"] = tot.assign(one=(tot["n"] == 1).astype(np.int64)) \
+            .groupby("source")["one"].sum().to_numpy(np.int64)
+        return out
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("source", as_index=False).sum()
+           .sort_values("source", kind="mergesort")
+           .reset_index(drop=True))
+    agg["hapax_bps"] = 10_000 * agg["nh"].to_numpy(np.int64) \
+        // agg["nd"].to_numpy(np.int64)
+    return agg.rename(columns={"nd": "n_distinct_tokens",
+                               "nh": "n_hapax"}) \
+        .astype({"n_distinct_tokens": "int64", "n_hapax": "int64",
+                 "hapax_bps": "int64"})

@@ -115,6 +115,8 @@ def test_entry_smoke(entrymod):
     "user_part_negatives",
     "events_cuped_adjust", "orders_seasonal_strength",
     "customer_order_class_migration", "part_supplier_redundancy",
+    "orders_month_end_effect", "session_entry_conversion",
+    "source_hapax_ratio",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
