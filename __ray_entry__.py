@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_month_end_effect": analytics.orders_month_end_effect,
         "session_entry_conversion": analytics.session_entry_conversion,
         "source_hapax_ratio": curate.source_hapax_ratio,
+        "tombstone_impact_audit": analytics.tombstone_impact_audit,
+        "catalog_profile": analytics.catalog_profile,
+        "events_gap_memory": analytics.events_gap_memory,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4610,6 +4613,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nh AS BIGINT) AS n_hapax,
                    CAST(10000 * nh // nd AS BIGINT) AS hapax_bps
             FROM s ORDER BY 1
+        """,
+        "tombstone_impact_audit": """
+            WITH hs AS (SELECT 'events' AS t, user_id AS id FROM events
+                        UNION ALL
+                        SELECT 'orders', o_custkey FROM orders
+                        UNION ALL
+                        SELECT 'customer', c_custkey FROM customer),
+            m AS (SELECT t, id,
+                         CASE WHEN CAST(('0x' || substr(md5(
+                                  CAST(id AS VARCHAR)), 1, 16))
+                                  AS UBIGINT) % 128 = 0
+                              THEN 1 ELSE 0 END AS hit
+                  FROM hs),
+            a AS (SELECT t, COUNT(*) AS n, SUM(hit) AS na,
+                         COUNT(DISTINCT CASE WHEN hit = 1
+                                        THEN id END) AS ne
+                  FROM m GROUP BY 1)
+            SELECT t AS table_name, CAST(n AS BIGINT) AS n_rows,
+                   CAST(na AS BIGINT) AS n_affected,
+                   CAST(10000 * na // n AS BIGINT) AS share_bps,
+                   CAST(ne AS BIGINT) AS n_entities
+            FROM a ORDER BY 1
+        """,
+        "catalog_profile": """
+            SELECT * FROM (
+                SELECT 'customer' AS table_name,
+                       CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer
+                UNION ALL SELECT 'documents', COUNT(*) FROM documents
+                UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+                UNION ALL SELECT 'events', COUNT(*) FROM events
+                UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+                UNION ALL SELECT 'nation', COUNT(*) FROM nation
+                UNION ALL SELECT 'orders', COUNT(*) FROM orders
+                UNION ALL SELECT 'part', COUNT(*) FROM part
+                UNION ALL SELECT 'region', COUNT(*) FROM region
+                UNION ALL SELECT 'supplier', COUNT(*) FROM supplier)
+            ORDER BY 1
+        """,
+        "events_gap_memory": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+                              event_id
+                       FROM events),
+            l1 AS (SELECT u, us, event_id,
+                          (us - LAG(us) OVER (PARTITION BY u
+                              ORDER BY us, event_id)) // 1000000 AS g
+                   FROM e),
+            l2 AS (SELECT g AS y,
+                          LAG(g) OVER (PARTITION BY u
+                              ORDER BY us, event_id) AS x
+                   FROM l1),
+            p AS (SELECT x, y FROM l2
+                  WHERE x IS NOT NULL AND y IS NOT NULL),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM p)
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        * 1000) AS BIGINT) AS gap_corr_milli
+            FROM m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "customer_order_class_migration", "part_supplier_redundancy",
     "orders_month_end_effect", "session_entry_conversion",
     "source_hapax_ratio",
+    "tombstone_impact_audit", "catalog_profile",
+    "events_gap_memory",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

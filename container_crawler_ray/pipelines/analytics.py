@@ -8079,3 +8079,118 @@ def session_entry_conversion(sf_dir: str,
     return agg.rename(columns={"entry": "entry_type"}) \
         .astype({"n_sessions": "int64", "n_converted": "int64",
                  "conv_bps": "int64"})
+
+
+def tombstone_impact_audit(sf_dir: str) -> pd.DataFrame:
+    """DELETION-PROPAGATION audit (the GDPR erasure dry-run): a
+    deterministic ~1/128 tombstone set of entity ids
+    (``md5(id) % 128 == 0``) and, per table, how many rows and
+    distinct entities it touches — the blast-radius table a privacy
+    review signs off before the actual delete. Zero shuffle: each
+    block emits (rows, affected-rows, affected-id uniques); only the
+    ~1% affected ids reach the driver."""
+    from ..functions.hashing import hash64_many
+
+    specs = [("events", "user_id"), ("orders", "o_custkey"),
+             ("customer", "c_custkey")]
+    rows = []
+    for table, col in specs:
+        ds = _read(sf_dir, table, columns=[col])
+
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            ids = t.column(col).to_numpy().astype(np.int64)
+            uids = np.unique(ids)
+            hit_u = uids[(hash64_many(str(x) for x in uids)
+                          % 128) == 0]
+            if len(hit_u):
+                pos = np.minimum(np.searchsorted(hit_u, ids),
+                                 len(hit_u) - 1)
+                hit = hit_u[pos] == ids
+            else:
+                hit = np.zeros(len(ids), dtype=bool)
+            return pa.table({
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "na": pa.array([int(hit.sum())], type=pa.int64()),
+                "ids": pa.array([hit_u.tobytes()],
+                                type=pa.large_binary())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .take_all()
+        n = sum(int(r["n"]) for r in parts)
+        na = sum(int(r["na"]) for r in parts)
+        ents = np.unique(np.concatenate(
+            [np.frombuffer(r["ids"], dtype=np.int64) for r in parts]))
+        rows.append((table, n, na, 10_000 * na // n, len(ents)))
+    return pd.DataFrame(rows, columns=[
+        "table_name", "n_rows", "n_affected", "share_bps",
+        "n_entities"]).astype({"n_rows": "int64", "n_affected": "int64",
+                               "share_bps": "int64",
+                               "n_entities": "int64"})
+
+
+def catalog_profile(sf_dir: str) -> pd.DataFrame:
+    """One-line CATALOG profile: row count per table — the cheapest
+    sanity gate a pipeline runs before anything else (a table that
+    shrank overnight fails here first). Counts come from parquet
+    metadata via Ray's zero-read count()."""
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    rows = []
+    for t in tables:
+        n = ray.data.read_parquet(f"{sf_dir}/{t}.parquet").count()
+        rows.append((t, int(n)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["table_name", "n_rows"]) \
+        .astype({"n_rows": "int64"})
+
+
+def events_gap_memory(sf_dir: str) -> pd.DataFrame:
+    """Renewal-process MEMORY: the correlation between consecutive
+    inter-event gaps pooled across users — positive means long waits
+    follow long waits (sticky sessions), ~0 means memoryless arrivals.
+    Gap pairs never leave the bucket: one ``user % 64`` exchange, each
+    fold emits a single 6-moment partial row over its (gᵢ, gᵢ₊₁)
+    pairs (seconds — Σgaps telescopes to the span, so moments stay in
+    int64); the final correlation is IEEE-order-matched."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        e = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us, tss = u[order], ts[order]
+        same = us[1:] == us[:-1]
+        gap = (tss[1:] - tss[:-1]) // 1_000_000
+        # consecutive gap pairs within the same user
+        pair_ok = same[1:] & same[:-1]
+        x = gap[:-1][pair_ok]
+        y = gap[1:][pair_ok]
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [int((x * x).sum())], "syy": [int((y * y).sum())],
+            "sxy": [int((x * y).sum())]})
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    val = math.floor(float(num)
+                     / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                     * 1000)
+    return pd.DataFrame([(n, val)],
+                        columns=["n_pairs", "gap_corr_milli"]) \
+        .astype("int64")

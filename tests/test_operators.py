@@ -117,6 +117,8 @@ def test_entry_smoke(entrymod):
     "customer_order_class_migration", "part_supplier_redundancy",
     "orders_month_end_effect", "session_entry_conversion",
     "source_hapax_ratio",
+    "tombstone_impact_audit", "catalog_profile",
+    "events_gap_memory",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
