@@ -673,6 +673,16 @@ def part_neighbor_jaccard(sf_dir: str, topn: int = 100) -> pd.DataFrame:
         offs = np.concatenate(([0], np.cumsum(rem)))
         B = A + 1 + (np.arange(total) - offs[A])
         pk = v[A] * (1 << 21) + v[B]
+        # only pairs that ARE edges can survive downstream — probe the
+        # broadcast sorted edge set BEFORE the unique+exchange (cuts the
+        # wedge stream by the non-edge share, typically ~100x)
+        ed = ray.get(eref)
+        if len(ed):
+            pos = np.searchsorted(ed, pk)
+            pk = pk[(pos < len(ed))
+                    & (ed[np.minimum(pos, len(ed) - 1)] == pk)]
+        if not len(pk):
+            return empty
         uk, cnt = np.unique(pk, return_counts=True)
         return pa.table({"pair": pa.array(uk),
                          "n": pa.array(cnt.astype(np.int64)),
