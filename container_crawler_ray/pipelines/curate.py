@@ -765,14 +765,18 @@ def source_hapax_ratio(sf_dir: str) -> pd.DataFrame:
                                columns=["source", "text"])
 
     def derive(t: pa.Table) -> pa.Table:
-        srcs, toks = [], []
-        for s_, txt in zip(np.asarray(t.column("source")).astype(object),
-                           t.column("text").to_pylist()):
-            w = txt.split()
-            srcs.extend([s_] * len(w))
-            toks.extend(w)
+        src = np.asarray(t.column("source")).astype(object)
+        # RE2-vectorized tokenization: split on whitespace runs, drop
+        # edge empties (same token stream as str.split())
+        parts_ = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        counts = np.asarray(parts_.value_lengths(), dtype=np.int64)
+        flat = parts_.flatten()
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = np.asarray(flat).astype(object)[keep]
+        srcs = np.repeat(src, counts)[keep]
         h = hash64_many(toks).astype(np.int64)
-        code, uniq = pd.factorize(np.array(srcs, dtype=object))
+        code, uniq = pd.factorize(srcs)
         # pre-count within block to shrink the exchange
         df = pd.DataFrame({"c": code.astype(np.int64), "h": h})
         cnt = df.groupby(["c", "h"], as_index=False).size()
