@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tombstone_impact_audit": analytics.tombstone_impact_audit,
         "catalog_profile": analytics.catalog_profile,
         "events_gap_memory": analytics.events_gap_memory,
+        "user_minute_burst_flags": analytics.user_minute_burst_flags,
+        "repeat_purchase_gaps": joins.repeat_purchase_gaps,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4678,6 +4680,39 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         * 1000) AS BIGINT) AS gap_corr_milli
             FROM m
+        """,
+        "user_minute_burst_flags": """
+            WITH c AS (SELECT user_id AS u,
+                              epoch_us(ts) // 60000000 AS mi,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            m AS (SELECT u, MAX(n) AS mx FROM c GROUP BY 1),
+            b AS (SELECT CASE WHEN mx = 1 THEN 0
+                              WHEN mx <= 4 THEN 1
+                              WHEN mx <= 9 THEN 2
+                              ELSE 3 END AS cls
+                  FROM m)
+            SELECT CAST(cls AS BIGINT) AS burst_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "repeat_purchase_gaps": """
+            WITH b AS (SELECT DISTINCT o.o_custkey AS c,
+                              l.l_partkey AS p,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(o.o_orderdate AS DATE))
+                                  AS d
+                       FROM orders o
+                       JOIN lineitem l
+                           ON l.l_orderkey = o.o_orderkey),
+            g AS (SELECT d - LAG(d) OVER (PARTITION BY c, p
+                          ORDER BY d) AS gp
+                  FROM b),
+            h AS (SELECT LEAST(gp // 7, 26) AS gw FROM g
+                  WHERE gp IS NOT NULL)
+            SELECT CAST(gw AS BIGINT) AS gap_week,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps
+            FROM h GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "source_hapax_ratio",
     "tombstone_impact_audit", "catalog_profile",
     "events_gap_memory",
+    "user_minute_burst_flags", "repeat_purchase_gaps",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

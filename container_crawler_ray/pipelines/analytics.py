@@ -8194,3 +8194,42 @@ def events_gap_memory(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(n, val)],
                         columns=["n_pairs", "gap_corr_milli"]) \
         .astype("int64")
+
+
+def user_minute_burst_flags(sf_dir: str) -> pd.DataFrame:
+    """BOT-DETECTION tripwire: users classed by their maximum events
+    in any single minute (1 / 2–4 / 5–9 / 10+) — humans cluster low,
+    scripted traffic saturates minutes. One ``user % 64`` bucket
+    exchange; the fold packs (user, minute), counts, and takes the
+    per-user max via one reduceat — 4 counter rows per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        mi = t.column("ts").cast(pa.int64()).to_numpy() // 60_000_000
+        return pa.table({"u": pa.array(u), "mi": pa.array(mi),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        mi = g["mi"].to_numpy(np.int64)
+        pack = u * (1 << 26) + (mi & ((1 << 26) - 1))
+        up, cnt = np.unique(pack, return_counts=True)
+        uu = up >> 26
+        starts = np.flatnonzero(np.r_[True, uu[1:] != uu[:-1]])
+        mx = np.maximum.reduceat(cnt, starts)
+        cls = np.where(mx == 1, 0,
+                       np.where(mx <= 4, 1,
+                                np.where(mx <= 9, 2, 3)))
+        return pd.DataFrame({
+            "cls": np.arange(4, dtype=np.int64),
+            "n_users": np.bincount(cls, minlength=4)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("cls", as_index=False)["n_users"].sum()
+           .sort_values("cls", kind="mergesort").reset_index(drop=True))
+    agg = agg[agg["n_users"] > 0].reset_index(drop=True)
+    return agg.rename(columns={"cls": "burst_class"}).astype("int64")

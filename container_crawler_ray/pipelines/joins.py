@@ -3408,3 +3408,85 @@ def part_supplier_redundancy(sf_dir: str) -> pd.DataFrame:
     agg.insert(0, "n_suppliers_class",
                agg["cls"].to_numpy(np.int64) + 1)
     return agg.drop(columns=["cls"]).astype("int64")
+
+
+def repeat_purchase_gaps(sf_dir: str, cap_weeks: int = 26) -> \
+        pd.DataFrame:
+    """REPLENISHMENT-CYCLE histogram: for every (customer, part) bought
+    on more than one day, the gaps between consecutive purchase days,
+    binned by week (capped) — the reorder-interval curve that drives
+    subscription nudges and demand forecasts. Two exchanges: the
+    ``orderkey % 64`` fact-fact join builds (cust, part, day) rows,
+    then a ``cust % 64`` re-key dedupes per (cust, part, day) and
+    takes consecutive-day gaps via lexsort + segment compares —
+    partials are ≤ cap+1 counter rows per bucket."""
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_partkey").to_numpy()
+                            .astype(np.int64)),
+            "dy": pa.array(np.zeros(len(key), dtype=np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "dy": pa.array(dy),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def join_cpd(g: pd.DataFrame) -> pa.Table:
+        left = g[g["side"] == 0][["key", "aux", "dy"]] \
+            .rename(columns={"aux": "cust"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "pk"})
+        m = right.merge(left, on="key")
+        cust = m["cust"].to_numpy(np.int64)
+        return pa.table({
+            "cust": pa.array(cust), "pk": pa.array(m["pk"].to_numpy(
+                np.int64)),
+            "dy": pa.array(m["dy"].to_numpy(np.int64)),
+            "cbucket": pa.array((cust % 64).astype(np.int32))})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cust"].to_numpy(np.int64)
+        p = g["pk"].to_numpy(np.int64)
+        d = g["dy"].to_numpy(np.int64)
+        # dense cust recode keeps the packed key inside int64 at any
+        # customer-id scale (code ≤ bucket custs, p < 2^25, day < 2^16)
+        code = np.searchsorted(np.unique(c), c).astype(np.int64)
+        pair = np.unique((code * (1 << 25) + p) * (1 << 16) + d)
+        cp = pair >> 16
+        dd = pair & ((1 << 16) - 1)
+        same = np.zeros(len(pair), dtype=bool)
+        same[1:] = cp[1:] == cp[:-1]
+        gp = (dd[1:] - dd[:-1])[same[1:]]
+        gw = np.minimum(gp // 7, cap_weeks)
+        return pd.DataFrame({
+            "gap_week": np.arange(cap_weeks + 1, dtype=np.int64),
+            "n_gaps": np.bincount(gw, minlength=cap_weeks + 1)
+            .astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    out = (tagged.groupby("bucket")
+           .map_groups(join_cpd, batch_format="pandas")
+           .groupby("cbucket")
+           .map_groups(gaps, batch_format="pandas")
+           .to_pandas())
+    agg = (out.groupby("gap_week", as_index=False)["n_gaps"].sum()
+           .sort_values("gap_week", kind="mergesort")
+           .reset_index(drop=True))
+    return agg[agg["n_gaps"] > 0].reset_index(drop=True) \
+        .astype("int64")

@@ -119,6 +119,7 @@ def test_entry_smoke(entrymod):
     "source_hapax_ratio",
     "tombstone_impact_audit", "catalog_profile",
     "events_gap_memory",
+    "user_minute_burst_flags", "repeat_purchase_gaps",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
