@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_memory": analytics.events_gap_memory,
         "user_minute_burst_flags": analytics.user_minute_burst_flags,
         "repeat_purchase_gaps": joins.repeat_purchase_gaps,
+        "ngram_containment_pairs": dedup.ngram_containment_pairs,
+        "events_round_number_bias": analytics.events_round_number_bias,
+        "user_tenure_value_curve": analytics.user_tenure_value_curve,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4713,6 +4716,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(gw AS BIGINT) AS gap_week,
                    CAST(COUNT(*) AS BIGINT) AS n_gaps
             FROM h GROUP BY 1 ORDER BY 1
+        """,
+        "ngram_containment_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text,
+                                                            '\S+'), 1)
+                         AS i
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     tok || ' ' || lead(tok,1) OVER w || ' ' ||
+                     lead(tok,2) OVER w AS shingle
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tok,2) OVER w IS NOT NULL
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+              FROM sh x JOIN sh y
+                ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id
+            )
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(inter AS BIGINT) AS inter,
+                   CAST(LEAST(sa.n, sb.n) AS BIGINT) AS min_n,
+                   CAST((inter * 10000) // LEAST(sa.n, sb.n)
+                        AS BIGINT) AS containment_bp
+            FROM pairs
+            JOIN sizes sa ON pairs.a = sa.doc_id
+            JOIN sizes sb ON pairs.b = sb.doc_id
+            ORDER BY containment_bp DESC, a, b LIMIT 20
+        """,
+        "events_round_number_bias": """
+            WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            m AS (SELECT COUNT(*) AS n,
+                         SUM(CASE WHEN cents % 100 = 0
+                             THEN 1 ELSE 0 END) AS whole,
+                         SUM(CASE WHEN cents % 50 = 0
+                             THEN 1 ELSE 0 END) AS half
+                  FROM c)
+            SELECT * FROM (
+                SELECT 'half_dollar' AS point,
+                       CAST(half AS BIGINT) AS n_hits,
+                       CAST(10000 * half // n AS BIGINT) AS share_bps,
+                       CAST(5000 * half // n AS BIGINT) AS lift_pct
+                FROM m
+                UNION ALL
+                SELECT 'whole_dollar', CAST(whole AS BIGINT),
+                       CAST(10000 * whole // n AS BIGINT),
+                       CAST(10000 * whole // n AS BIGINT)
+                FROM m)
+            ORDER BY 1
+        """,
+        "user_tenure_value_curve": """
+            WITH e AS (SELECT user_id AS u,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS d,
+                              CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            f AS (SELECT u, MIN(d) AS f0 FROM e GROUP BY 1),
+            t AS (SELECT e.u,
+                         LEAST((e.d - f.f0) // 7, 52) AS tw,
+                         e.cents
+                  FROM e JOIN f ON e.u = f.u),
+            uw AS (SELECT tw, COUNT(DISTINCT u) AS nu
+                   FROM t GROUP BY 1),
+            sc AS (SELECT tw, SUM(cents) AS s FROM t GROUP BY 1)
+            SELECT CAST(uw.tw AS BIGINT) AS tenure_week,
+                   CAST(uw.nu AS BIGINT) AS n_user_weeks,
+                   CAST(sc.s AS BIGINT) AS sum_cents
+            FROM uw JOIN sc ON uw.tw = sc.tw ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "tombstone_impact_audit", "catalog_profile",
     "events_gap_memory",
     "user_minute_burst_flags", "repeat_purchase_gaps",
+    "ngram_containment_pairs", "events_round_number_bias",
+    "user_tenure_value_curve",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

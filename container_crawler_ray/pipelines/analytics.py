@@ -8233,3 +8233,83 @@ def user_minute_burst_flags(sf_dir: str) -> pd.DataFrame:
            .sort_values("cls", kind="mergesort").reset_index(drop=True))
     agg = agg[agg["n_users"] > 0].reset_index(drop=True)
     return agg.rename(columns={"cls": "burst_class"}).astype("int64")
+
+
+def events_round_number_bias(sf_dir: str) -> pd.DataFrame:
+    """HEAPING detector: the share of values landing exactly on
+    whole-dollar and half-dollar points, with the lift over the 1%/2%
+    a cents-uniform process would produce — the manual-entry / fraud
+    fingerprint Benford's law misses. Pure per-block counters — ZERO
+    shuffle."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(cents)], type=pa.int64()),
+            "whole": pa.array([int((cents % 100 == 0).sum())],
+                              type=pa.int64()),
+            "half": pa.array([int((cents % 50 == 0).sum())],
+                             type=pa.int64())})
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, whole, half = int(m["n"]), int(m["whole"]), int(m["half"])
+    # lift = observed/expected as integer percent (expected: 1% of
+    # cents land on .00, 2% on .00/.50 under a cents-uniform process)
+    return pd.DataFrame(
+        [("half_dollar", half, 10_000 * half // n, 5_000 * half // n),
+         ("whole_dollar", whole, 10_000 * whole // n,
+          10_000 * whole // n)],
+        columns=["point", "n_hits", "share_bps", "lift_pct"]) \
+        .astype({"n_hits": "int64", "share_bps": "int64",
+                 "lift_pct": "int64"})
+
+
+def user_tenure_value_curve(sf_dir: str, cap_weeks: int = 52) -> \
+        pd.DataFrame:
+    """Value-by-TENURE curve: per user-tenure week (weeks since the
+    user's first event, capped), how many users were active and how
+    much value they produced — 'does spend grow as users age', exact
+    cents. One ``user % 64`` bucket exchange; the fold takes each
+    user's first day from segment heads and bins every event by its
+    tenure — ≤ cap+1 partial rows per bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(u), "d": pa.array(d),
+                         "cents": pa.array(cents),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        c = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((d, u))
+        us, dsr, cs = u[order], d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+        f0 = np.repeat(dsr[starts], np.diff(np.r_[starts, len(us)]))
+        tw = np.minimum((dsr - f0) // 7, cap_weeks)
+        # distinct active users per tenure week: dedupe (user, week)
+        pair = np.unique(us * (cap_weeks + 1) + tw)
+        return pd.DataFrame({
+            "tenure_week": np.arange(cap_weeks + 1, dtype=np.int64),
+            "n_user_weeks": np.bincount(
+                (pair % (cap_weeks + 1)).astype(np.int64),
+                minlength=cap_weeks + 1).astype(np.int64),
+            "sum_cents": np.bincount(tw, weights=cs,
+                                     minlength=cap_weeks + 1)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("tenure_week", as_index=False).sum()
+           .sort_values("tenure_week", kind="mergesort")
+           .reset_index(drop=True))
+    return agg[agg["n_user_weeks"] > 0].reset_index(drop=True) \
+        .astype("int64")

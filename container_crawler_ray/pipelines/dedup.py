@@ -1091,3 +1091,77 @@ def docs_trigram_novelty(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("doc_id", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def ngram_containment_pairs(sf_dir: str, k: int = 3,
+                            topn: int = 20) -> pd.DataFrame:
+    """Exact n-gram CONTAINMENT top pairs — Broder's asymmetric
+    companion to :func:`ngram_top_pairs`: score =
+    ``inter·10⁴ // min(|A|, |B|)``, which catches a small document
+    quoted INSIDE a large one that Jaccard dilutes away (the
+    quote/excerpt detector). Same cluster shape as the Jaccard op:
+    shingle explode → 256-way hash-bucket self-merge → bucketed pair
+    reduce; only the final score differs."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, shingles = [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            toks = text.split()
+            ss = {" ".join(toks[i:i + k])
+                  for i in range(len(toks) - k + 1)}
+            ids.extend([doc_id] * len(ss))
+            shingles.extend(sorted(ss))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "shingle": pa.array(shingles,
+                                             type=pa.string())})
+
+    sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
+    sizes = sh.groupby("doc_id").aggregate(
+        Count(alias_name="n_shingles")).to_pandas()
+    size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+        b = (hash64_many(t.column("shingle").to_pylist())
+             % np.uint64(256)).astype(np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_pair_counts(g: pd.DataFrame) -> pa.Table:
+        m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]],
+                                           on="shingle")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
+            name="inter_part")
+        out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        out["pbucket"] = ((out["a"] * 1000003 + out["b"]) % 64) \
+            .astype("int32")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False)["inter_part"].sum()
+        return out.rename(columns={"inter_part": "inter"})
+
+    pc_ = (sh.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket").map_groups(bucket_pair_counts,
+                                         batch_format="pandas")
+           .groupby("pbucket").map_groups(reduce_bucket,
+                                          batch_format="pandas")
+           .to_pandas())
+    if len(pc_) == 0:
+        return pd.DataFrame(
+            {"a": [], "b": [], "inter": [], "min_n": [],
+             "containment_bp": []}).astype(
+                 {"a": "int64", "b": "int64", "inter": "int64",
+                  "min_n": "int64", "containment_bp": "int64"})
+    pc_["min_n"] = [min(size_map[a], size_map[b])
+                    for a, b in zip(pc_["a"], pc_["b"])]
+    pc_["containment_bp"] = (pc_["inter"] * 10000
+                             // pc_["min_n"]).astype("int64")
+    pc_ = pc_.sort_values(["containment_bp", "a", "b"],
+                          ascending=[False, True, True]).head(topn)
+    return pc_.reset_index(drop=True).astype(
+        {"a": "int64", "b": "int64", "inter": "int64",
+         "min_n": "int64"})

@@ -120,6 +120,8 @@ def test_entry_smoke(entrymod):
     "tombstone_impact_audit", "catalog_profile",
     "events_gap_memory",
     "user_minute_burst_flags", "repeat_purchase_gaps",
+    "ngram_containment_pairs", "events_round_number_bias",
+    "user_tenure_value_curve",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
