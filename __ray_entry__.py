@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment_pairs": dedup.ngram_containment_pairs,
         "events_round_number_bias": analytics.events_round_number_bias,
         "user_tenure_value_curve": analytics.user_tenure_value_curve,
+        "embedding_triplet_audit": ann.embedding_triplet_audit,
+        "ship_lag_quantiles_by_priority":
+            joins.ship_lag_quantiles_by_priority,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4791,6 +4794,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(uw.nu AS BIGINT) AS n_user_weeks,
                    CAST(sc.s AS BIGINT) AS sum_cents
             FROM uw JOIN sc ON uw.tw = sc.tw ORDER BY 1
+        """,
+        "embedding_triplet_audit": """
+            WITH p AS (SELECT vec_id AS a,
+                              LEAD(vec_id) OVER (PARTITION BY label
+                                  ORDER BY vec_id) AS p
+                       FROM embeddings),
+            ng AS (SELECT vec_id AS a,
+                          LEAD(vec_id) OVER (ORDER BY vec_id) AS nx,
+                          LEAD(label) OVER (ORDER BY vec_id) AS nl,
+                          label AS al
+                   FROM embeddings),
+            t AS (SELECT p.a, p.p, ng.nx AS n
+                  FROM p JOIN ng ON ng.a = p.a
+                  WHERE p.p IS NOT NULL AND ng.nx IS NOT NULL
+                    AND ng.nl != ng.al),
+            u AS (SELECT vec_id,
+                         unnest(generate_series(1, len(embedding)))
+                             AS dim,
+                         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE)
+                                    * 1000.0) AS BIGINT) AS vf
+                  FROM embeddings),
+            dap AS (SELECT t.a,
+                           SUM((ua.vf - up.vf) * (ua.vf - up.vf))
+                               AS d2p
+                    FROM t
+                    JOIN u ua ON ua.vec_id = t.a
+                    JOIN u up ON up.vec_id = t.p AND up.dim = ua.dim
+                    GROUP BY 1),
+            dan AS (SELECT t.a,
+                           SUM((ua.vf - un.vf) * (ua.vf - un.vf))
+                               AS d2n
+                    FROM t
+                    JOIN u ua ON ua.vec_id = t.a
+                    JOIN u un ON un.vec_id = t.n AND un.dim = ua.dim
+                    GROUP BY 1),
+            r AS (SELECT CASE WHEN dap.d2p < dan.d2n
+                              THEN 1 ELSE 0 END AS ok
+                  FROM dap JOIN dan ON dap.a = dan.a)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triplets,
+                   CAST(SUM(ok) AS BIGINT) AS n_satisfied,
+                   CAST(10000 * SUM(ok) // COUNT(*) AS BIGINT)
+                       AS satisfied_bps
+            FROM r
+        """,
+        "ship_lag_quantiles_by_priority": """
+            WITH j AS (SELECT o.o_orderpriority AS pri,
+                              datediff('day',
+                                       CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                                  AS lag
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT pri AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(quantile_disc(lag, 0.25) AS BIGINT)
+                       AS lag_p25,
+                   CAST(quantile_disc(lag, 0.50) AS BIGINT)
+                       AS lag_p50,
+                   CAST(quantile_disc(lag, 0.75) AS BIGINT)
+                       AS lag_p75,
+                   CAST(quantile_disc(lag, 0.90) AS BIGINT)
+                       AS lag_p90
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

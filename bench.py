@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "user_minute_burst_flags", "repeat_purchase_gaps",
     "ngram_containment_pairs", "events_round_number_bias",
     "user_tenure_value_curve",
+    "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -523,3 +523,93 @@ def embedding_sim_hist(sf_dir: str, mod: int = 17) -> pd.DataFrame:
     return (out.sort_values(["va", "vb"], kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns}))
+
+
+def embedding_triplet_audit(sf_dir: str) -> pd.DataFrame:
+    """REPRESENTATION-QUALITY eval: deterministic triplets — anchor,
+    next same-label vector (positive), next vector overall if
+    differently-labeled (negative) — and the share where
+    d²(a,p) < d²(a,n) in exact 1e-3 fixed point; the metric-learning
+    'triplet accuracy' that says whether labels are even learnable
+    from these embeddings. Triplet IDS are built from the 2-column
+    (vec_id, label) projection (dimension-sized at any scale — the
+    VECTORS never visit the driver); each embedding block then tags
+    its vectors with their ≤3 triplet memberships via broadcast
+    searchsorted and ships (triplet, role, packed-vector) rows through
+    ONE ``triplet % 64`` exchange whose fold computes both distances."""
+    import ray
+
+    meta = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label"]).to_pandas()
+    ids = meta["vec_id"].to_numpy(np.int64)
+    lab = meta["label"].to_numpy(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids, lab = ids[order], lab[order]
+    # positive: next id within label; negative: next id overall when
+    # its label differs (triplets needing both survive)
+    pos = np.full(len(ids), -1, dtype=np.int64)
+    for lb in np.unique(lab):
+        m = np.flatnonzero(lab == lb)
+        pos[m[:-1]] = ids[m[1:]]
+    neg = np.full(len(ids), -1, dtype=np.int64)
+    diff = lab[1:] != lab[:-1]
+    neg[:-1][diff] = ids[1:][diff]
+    keep = (pos >= 0) & (neg >= 0)
+    a_ids, p_ids, n_ids = ids[keep], pos[keep], neg[keep]
+    tid = np.arange(len(a_ids), dtype=np.int64)
+    # membership lists per role, sorted by vec id for searchsorted
+    roles = []
+    for role, rid in enumerate((a_ids, p_ids, n_ids)):
+        o = np.argsort(rid, kind="mergesort")
+        roles.append((rid[o], tid[o]))
+    ref = ray.put(roles)
+
+    def tag(t: pa.Table) -> pa.Table:
+        roles_ = ray.get(ref)
+        vid = t.column("vec_id").to_numpy().astype(np.int64)
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        vf = np.floor(flat.astype(np.float64) * 1000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        out_tid, out_role, out_vec = [], [], []
+        for role, (rid, rtid) in enumerate(roles_):
+            pos_ = np.searchsorted(rid, vid)
+            pos_ = np.minimum(pos_, max(len(rid) - 1, 0))
+            hit = (len(rid) > 0) & (rid[pos_] == vid) \
+                if len(rid) else np.zeros(len(vid), dtype=bool)
+            for i in np.flatnonzero(hit):
+                out_tid.append(int(rtid[pos_[i]]))
+                out_role.append(role)
+                out_vec.append(vf[i].tobytes())
+        tids = np.array(out_tid, dtype=np.int64)
+        return pa.table({
+            "tid": pa.array(tids),
+            "role": pa.array(np.array(out_role, dtype=np.int8)),
+            "vec": pa.array(out_vec, type=pa.large_binary()),
+            "bucket": pa.array((tids % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = tot = 0
+        for _, grp in g.groupby("tid", sort=False):
+            if len(grp) != 3:
+                continue
+            by_role = {int(r): np.frombuffer(v, dtype=np.int64)
+                       for r, v in zip(grp["role"], grp["vec"])}
+            if set(by_role) != {0, 1, 2}:
+                continue
+            dp = by_role[0] - by_role[1]
+            dn = by_role[0] - by_role[2]
+            tot += 1
+            ok += int(int((dp * dp).sum()) < int((dn * dn).sum()))
+        return pd.DataFrame({"tot": [tot], "ok": [ok]})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    m = (ds.map_batches(tag, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    tot, ok = int(m["tot"]), int(m["ok"])
+    return pd.DataFrame([(tot, ok, 10_000 * ok // tot)],
+                        columns=["n_triplets", "n_satisfied",
+                                 "satisfied_bps"]).astype("int64")

@@ -3490,3 +3490,84 @@ def repeat_purchase_gaps(sf_dir: str, cap_weeks: int = 26) -> \
            .reset_index(drop=True))
     return agg[agg["n_gaps"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def ship_lag_quantiles_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Fulfilment-SLA percentiles: exact p25/p50/p75/p90 of the
+    order→ship lag (days) PER ORDER PRIORITY — the per-class SLA table
+    ops quotes. One ``orderkey % 64`` fact-fact exchange joins
+    priority+orderdate to shipdates; each bucket emits
+    (priority, lag, n) histogram partials (priority × lag-grid
+    bounded), and the exact ceil-rank quantile rule runs on the driver
+    grid — the same zero-sort discipline as ``events_hist_quantiles``."""
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sd = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "key": pa.array(key), "dy": pa.array(sd),
+            "pri": pa.array(np.empty(len(key), dtype=object),
+                            type=pa.string()),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        od = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "key": pa.array(key), "dy": pa.array(od),
+            "pri": t.column("o_orderpriority"),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "dy", "pri"]] \
+            .rename(columns={"dy": "od"})
+        right = g[g["side"] == 1][["key", "dy"]] \
+            .rename(columns={"dy": "sd"})
+        m = right.merge(left, on="key")
+        lag = m["sd"].to_numpy(np.int64) - m["od"].to_numpy(np.int64)
+        code, uniq = pd.factorize(m["pri"].to_numpy(object))
+        if not len(lag):
+            return pd.DataFrame({"pri": np.array([], dtype=object),
+                                 "lag": np.array([], dtype=np.int64),
+                                 "n": np.array([], dtype=np.int64)})
+        # lags can be NEGATIVE (early shipments) — offset before packing
+        lmin = int(lag.min())
+        span = int(lag.max()) - lmin + 1
+        pack = code.astype(np.int64) * span + (lag - lmin)
+        u, c = np.unique(pack, return_counts=True)
+        return pd.DataFrame({
+            "pri": np.asarray(uniq, dtype=object)[u // span],
+            "lag": (u % span) + lmin,
+            "n": c.astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    parts = (tagged.groupby("bucket")
+             .map_groups(bucket_join, batch_format="pandas")
+             .to_pandas())
+    hist = parts.groupby(["pri", "lag"], as_index=False)["n"].sum()
+    rows = []
+    for pri, g in hist.groupby("pri"):
+        g = g.sort_values("lag", kind="mergesort")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        lag = g["lag"].to_numpy(np.int64)
+        n = int(cum[-1])
+        qs = []
+        for qn, qd in ((1, 4), (1, 2), (3, 4), (9, 10)):
+            rank = -(-qn * n // qd)
+            qs.append(int(lag[np.searchsorted(cum, rank)]))
+        rows.append((str(pri), n, *qs))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "priority", "n_lines", "lag_p25", "lag_p50", "lag_p75",
+        "lag_p90"]).astype({c: "int64" for c in
+                            ["n_lines", "lag_p25", "lag_p50",
+                             "lag_p75", "lag_p90"]})

@@ -122,6 +122,7 @@ def test_entry_smoke(entrymod):
     "user_minute_burst_flags", "repeat_purchase_gaps",
     "ngram_containment_pairs", "events_round_number_bias",
     "user_tenure_value_curve",
+    "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
