@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_triplet_audit": ann.embedding_triplet_audit,
         "ship_lag_quantiles_by_priority":
             joins.ship_lag_quantiles_by_priority,
+        "bloom_fpr_audit": analytics.bloom_fpr_audit,
+        "part_price_dispersion": analytics.part_price_dispersion,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4857,6 +4859,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(lag, 0.90) AS BIGINT)
                        AS lag_p90
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "bloom_fpr_audit": """
+            WITH keys AS (SELECT DISTINCT p_partkey AS k FROM part),
+            nn AS (SELECT COUNT(*) AS nk, MAX(k) AS mk FROM keys),
+            par AS (SELECT unnest([8, 16]) AS bpk),
+            ii AS (SELECT CAST(unnest([0, 1, 2]) AS UBIGINT) AS i),
+            kh AS (SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                1, 16)) AS UBIGINT) AS h1,
+                          CAST(('0x' || substr(md5(CAST(k AS VARCHAR)),
+                                17, 16)) AS UBIGINT) AS h2
+                   FROM keys),
+            sp AS (SELECT DISTINCT par.bpk,
+                          ((kh.h1 % (par.bpk * nn.nk))
+                           + ii.i * (kh.h2 % (par.bpk * nn.nk)))
+                          % (par.bpk * nn.nk) AS pos
+                   FROM kh, nn, par, ii),
+            pr AS (SELECT unnest(generate_series(mk + 1, mk + nk))
+                              AS pk
+                   FROM nn),
+            ph AS (SELECT pk,
+                          CAST(('0x' || substr(md5(CAST(pk
+                               AS VARCHAR)), 1, 16)) AS UBIGINT)
+                              AS h1,
+                          CAST(('0x' || substr(md5(CAST(pk
+                               AS VARCHAR)), 17, 16)) AS UBIGINT)
+                              AS h2
+                   FROM pr),
+            pp AS (SELECT par.bpk, ph.pk,
+                          ((ph.h1 % (par.bpk * nn.nk))
+                           + ii.i * (ph.h2 % (par.bpk * nn.nk)))
+                          % (par.bpk * nn.nk) AS pos
+                   FROM ph, nn, par, ii),
+            hit AS (SELECT pp.bpk, pp.pk, COUNT(*) AS c
+                    FROM pp JOIN sp
+                        ON sp.bpk = pp.bpk AND sp.pos = pp.pos
+                    GROUP BY 1, 2),
+            fp AS (SELECT bpk, COUNT(*) AS nfp FROM hit
+                   WHERE c = 3 GROUP BY 1)
+            SELECT CAST(par.bpk AS BIGINT) AS bits_per_key,
+                   CAST(nn.nk AS BIGINT) AS n_keys,
+                   CAST(nn.nk AS BIGINT) AS n_probes,
+                   CAST(COALESCE(fp.nfp, 0) AS BIGINT)
+                       AS n_false_pos,
+                   CAST(10000 * COALESCE(fp.nfp, 0) // nn.nk
+                        AS BIGINT) AS fpr_bps
+            FROM par CROSS JOIN nn
+            LEFT JOIN fp ON fp.bpk = par.bpk
+            ORDER BY 1
+        """,
+        "part_price_dispersion": """
+            WITH u AS (SELECT l_partkey AS k,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                                  // CAST(l_quantity AS BIGINT) AS un
+                       FROM lineitem),
+            p AS (SELECT k, MAX(un) - MIN(un) AS disp
+                  FROM u GROUP BY 1),
+            b AS (SELECT CASE WHEN disp = 0 THEN 0
+                              WHEN disp < 100 THEN 1
+                              WHEN disp < 1000 THEN 2
+                              ELSE 3 END AS band,
+                         disp
+                  FROM p)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(disp) AS BIGINT) AS sum_disp_cents
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

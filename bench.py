@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "ngram_containment_pairs", "events_round_number_bias",
     "user_tenure_value_curve",
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
+    "bloom_fpr_audit", "part_price_dispersion",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

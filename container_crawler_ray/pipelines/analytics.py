@@ -8313,3 +8313,95 @@ def user_tenure_value_curve(sf_dir: str, cap_weeks: int = 52) -> \
            .reset_index(drop=True))
     return agg[agg["n_user_weeks"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def bloom_fpr_audit(sf_dir: str, n_hashes: int = 3) -> pd.DataFrame:
+    """BLOOM-FILTER calibration: build the double-hashing filter
+    (positions ``(h1 + i·h2) mod m``, md5 halves as the two hashes —
+    fully SQL-reproducible) over the part keys at 8 and 16 bits/key,
+    probe it with the deterministic non-member run
+    ``max_key+1 .. max_key+n`` and report the MEASURED false-positive
+    rate in bps — the table that says whether the semi-join prefilter
+    (``big_order_lines_bloom``) is sized right before 100 TB trusts
+    it. The key set is the dimension side (driver bitset build, the
+    documented finish); probes and members share one vectorized
+    position kernel."""
+    import hashlib
+
+    ds = _read(sf_dir, "part", columns=["p_partkey"])
+    keys = np.unique(ds.to_pandas()["p_partkey"].to_numpy(np.int64))
+    nk = len(keys)
+    mk = int(keys.max())
+    probes = np.arange(mk + 1, mk + nk + 1, dtype=np.int64)
+
+    def halves(vals: np.ndarray) -> tuple:
+        h1 = np.empty(len(vals), dtype=np.uint64)
+        h2 = np.empty(len(vals), dtype=np.uint64)
+        for i, v in enumerate(vals):
+            hx = hashlib.md5(str(int(v)).encode()).hexdigest()
+            h1[i] = int(hx[:16], 16)
+            h2[i] = int(hx[16:32], 16)
+        return h1, h2
+
+    k1, k2 = halves(keys)
+    p1, p2 = halves(probes)
+    rows = []
+    for bpk in (8, 16):
+        m = np.uint64(bpk * nk)
+        bits = np.zeros(int(m), dtype=bool)
+        for i in range(n_hashes):
+            bits[((k1 % m) + np.uint64(i) * (k2 % m)) % m] = True
+        fp = np.ones(len(probes), dtype=bool)
+        for i in range(n_hashes):
+            fp &= bits[((p1 % m) + np.uint64(i) * (p2 % m)) % m]
+        nfp = int(fp.sum())
+        rows.append((bpk, nk, len(probes), nfp,
+                     10_000 * nfp // len(probes)))
+    return pd.DataFrame(rows, columns=[
+        "bits_per_key", "n_keys", "n_probes", "n_false_pos",
+        "fpr_bps"]).astype("int64")
+
+
+def part_price_dispersion(sf_dir: str) -> pd.DataFrame:
+    """Procurement-arbitrage audit: per part, the spread between its
+    highest and lowest observed UNIT price (truncating
+    ``cents // qty`` on both sides), binned into dispersion bands —
+    parts in the top band are where a buyer renegotiates. One
+    ``part % 64`` bucket exchange; ≤ 4 band counters per bucket."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("l_partkey").to_numpy().astype(np.int64)
+        unit = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+                .astype(np.int64)
+                // t.column("l_quantity").to_numpy().astype(np.int64))
+        return pa.table({"k": pa.array(k), "u": pa.array(unit),
+                         "bucket": pa.array((k % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        u = g["u"].to_numpy(np.int64)
+        order = np.lexsort((u, k))
+        ks, us = k[order], u[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        ends = np.r_[starts[1:], len(ks)]
+        disp = us[ends - 1] - us[starts]
+        band = np.where(disp == 0, 0,
+                        np.where(disp < 100, 1,
+                                 np.where(disp < 1000, 2, 3)))
+        return pd.DataFrame({
+            "band": np.arange(4, dtype=np.int64),
+            "n_parts": np.bincount(band, minlength=4)
+            .astype(np.int64),
+            "sum_disp_cents": np.bincount(band, weights=disp,
+                                          minlength=4)
+            .astype(np.int64)})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("band", as_index=False).sum()
+           .sort_values("band", kind="mergesort").reset_index(drop=True))
+    return agg[agg["n_parts"] > 0].reset_index(drop=True) \
+        .astype("int64")

@@ -123,6 +123,7 @@ def test_entry_smoke(entrymod):
     "ngram_containment_pairs", "events_round_number_bias",
     "user_tenure_value_curve",
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
+    "bloom_fpr_audit", "part_price_dispersion",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
