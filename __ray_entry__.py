@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             joins.ship_lag_quantiles_by_priority,
         "bloom_fpr_audit": analytics.bloom_fpr_audit,
         "part_price_dispersion": analytics.part_price_dispersion,
+        "line_dedup_rate": curate.line_dedup_rate,
+        "first_order_ltv_corr": joins.first_order_ltv_corr,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4926,6 +4928,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_parts,
                    CAST(SUM(disp) AS BIGINT) AS sum_disp_cents
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "line_dedup_rate": r"""
+            WITH l AS (SELECT regexp_replace(regexp_replace(
+                           unnest(regexp_split_to_array(text,
+                                                        '[.!?]+')),
+                           '^\s+', ''), '\s+$', '') AS ln
+                       FROM documents),
+            f AS (SELECT ln FROM l WHERE ln != ''),
+            c AS (SELECT ln, COUNT(*) AS n FROM f GROUP BY 1),
+            s AS (SELECT SUM(n) AS inst, COUNT(*) AS dist,
+                         SUM(CASE WHEN n > 1 THEN n ELSE 0 END)
+                             AS dup
+                  FROM c)
+            SELECT CAST(inst AS BIGINT) AS n_lines,
+                   CAST(dist AS BIGINT) AS n_distinct,
+                   CAST(dup AS BIGINT) AS n_in_dup_groups,
+                   CAST(10000 * dup // inst AS BIGINT)
+                       AS dup_group_share_bps,
+                   CAST(10000 * (inst - dist) // inst AS BIGINT)
+                       AS removable_share_bps
+            FROM s
+        """,
+        "first_order_ltv_corr": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) AS d,
+                              o_orderkey AS k,
+                              CAST(FLOOR(o_totalprice) AS BIGINT)
+                                  AS rev
+                       FROM orders),
+            f AS (SELECT c, FIRST(rev ORDER BY d, k) AS x,
+                         SUM(rev) AS y
+                  FROM o GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM f)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                           * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        * 1000) AS BIGINT) AS corr_milli
+            FROM m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "user_tenure_value_curve",
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
     "bloom_fpr_audit", "part_price_dispersion",
+    "line_dedup_rate", "first_order_ltv_corr",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -813,3 +813,55 @@ def source_hapax_ratio(sf_dir: str) -> pd.DataFrame:
                                "nh": "n_hapax"}) \
         .astype({"n_distinct_tokens": "int64", "n_hapax": "int64",
                  "hapax_bps": "int64"})
+
+
+def line_dedup_rate(sf_dir: str) -> pd.DataFrame:
+    """C4-STYLE sub-document dedup audit: split every document into
+    sentence-ish lines (``[.!?]+`` terminators, RE2 both sides), hash
+    each trimmed non-empty line and measure how much of the corpus is
+    REPEATED lines — the number that decides whether line-level dedup
+    (the C4 cleanup) is worth a pass. Per-block (hash, n) partials →
+    ONE ``hash % 64`` exchange (strings never shuffle); the fold emits
+    instance/distinct/singleton counters, so the driver sees six ints
+    per bucket."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts_ = pc.split_pattern_regex(t.column("text"), r"[.!?]+") \
+            .combine_chunks()
+        flat = pc.utf8_trim_whitespace(parts_.flatten())
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        lines = np.asarray(flat).astype(object)[keep]
+        if not len(lines):
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        h, c = np.unique(hash64_many(lines).astype(np.int64),
+                         return_counts=True)
+        return pa.table({"h": pa.array(h),
+                         "n": pa.array(c.astype(np.int64)),
+                         "bucket": pa.array(
+                             (h.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        _, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=n).astype(np.int64)
+        return pd.DataFrame({
+            "inst": [int(tot.sum())], "dist": [len(tot)],
+            "dup_inst": [int(tot[tot > 1].sum())]})
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    inst, dist, dup = int(m["inst"]), int(m["dist"]), int(m["dup_inst"])
+    return pd.DataFrame(
+        [(inst, dist, dup, 10_000 * dup // inst,
+          10_000 * (inst - dist) // inst)],
+        columns=["n_lines", "n_distinct", "n_in_dup_groups",
+                 "dup_group_share_bps", "removable_share_bps"]) \
+        .astype("int64")

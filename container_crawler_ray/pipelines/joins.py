@@ -3571,3 +3571,63 @@ def ship_lag_quantiles_by_priority(sf_dir: str) -> pd.DataFrame:
         "lag_p90"]).astype({c: "int64" for c in
                             ["n_lines", "lag_p25", "lag_p50",
                              "lag_p75", "lag_p90"]})
+
+
+def first_order_ltv_corr(sf_dir: str) -> pd.DataFrame:
+    """Does the FIRST order predict lifetime value: per customer, the
+    first order's cents (earliest orderdate, orderkey tiebreak) vs the
+    customer's total cents, pooled into exact integer moments and one
+    IEEE-order-matched correlation — the acquisition-quality number.
+    One ``customer % 64`` bucket exchange; each fold resolves firsts
+    via lexsort segment heads and emits a single 6-moment partial."""
+    import math
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice",
+                        "o_orderkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": t.column("o_orderdate").cast(pa.int64()),
+            "k": t.column("o_orderkey"),
+            "rev": pa.array(np.floor(t.column("o_totalprice")
+                                     .to_numpy())
+                            .astype(np.int64)),  # whole DOLLARS:
+            # LTV² in cents overflows int64 moment partials
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        order = np.lexsort((k, d, c))
+        cs, rs = c[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        x = rs[starts]  # first-order dollars per customer
+        y = np.bincount(
+            np.searchsorted(cs[starts], c), weights=rev,
+            minlength=len(starts)).astype(np.int64)  # total dollars
+        # python-int squares: Σy² approaches int64 at scale
+        return pd.DataFrame({
+            "n": [len(x)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxx": [sum(int(v) * int(v) for v in x)],
+            "syy": [sum(int(v) * int(v) for v in y)],
+            "sxy": [sum(int(a) * int(b) for a, b in zip(x, y))]})
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    val = math.floor(float(num)
+                     / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+                     * 1000)
+    return pd.DataFrame([(n, val)],
+                        columns=["n_customers", "corr_milli"]) \
+        .astype("int64")

@@ -124,6 +124,7 @@ def test_entry_smoke(entrymod):
     "user_tenure_value_curve",
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
     "bloom_fpr_audit", "part_price_dispersion",
+    "line_dedup_rate", "first_order_ltv_corr",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
