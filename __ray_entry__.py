@@ -264,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_dispersion": analytics.part_price_dispersion,
         "line_dedup_rate": curate.line_dedup_rate,
         "first_order_ltv_corr": joins.first_order_ltv_corr,
+        "hte_by_decile": analytics.hte_by_decile,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -4973,6 +4974,47 @@ def oracle_sql() -> dict[str, str]:
                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
                         * 1000) AS BIGINT) AS corr_milli
             FROM m
+        """,
+        "hte_by_decile": """
+            WITH dd AS (SELECT user_id AS u, event_type AS ty,
+                               CAST(FLOOR(value * 100) AS BIGINT)
+                                   AS cents,
+                               datediff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) AS d
+                        FROM events),
+            w AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS mid FROM dd),
+            u AS (SELECT u,
+                         SUM(CASE WHEN d < mid THEN cents ELSE 0 END)
+                             AS pre,
+                         MAX(CASE WHEN ty = 'purchase' AND d >= mid
+                             THEN 1 ELSE 0 END) AS conv
+                  FROM dd, w GROUP BY 1, w.mid),
+            r AS (SELECT u, pre, conv,
+                         10 * (ROW_NUMBER() OVER (ORDER BY pre, u) - 1)
+                             // (SELECT COUNT(*) FROM u) AS dec
+                  FROM u),
+            a AS (SELECT dec,
+                         SUM(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END)
+                             AS n0,
+                         SUM(CASE WHEN u % 2 = 0 THEN conv
+                             ELSE 0 END) AS c0,
+                         SUM(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END)
+                             AS n1,
+                         SUM(CASE WHEN u % 2 = 1 THEN conv
+                             ELSE 0 END) AS c1
+                  FROM r GROUP BY 1)
+            SELECT CAST(dec AS BIGINT) AS decile,
+                   CAST(n0 AS BIGINT) AS n_arm0,
+                   CAST(CASE WHEN n0 > 0 THEN 10000 * c0 // n0
+                        ELSE 0 END AS BIGINT) AS conv0_bps,
+                   CAST(n1 AS BIGINT) AS n_arm1,
+                   CAST(CASE WHEN n1 > 0 THEN 10000 * c1 // n1
+                        ELSE 0 END AS BIGINT) AS conv1_bps,
+                   CAST((CASE WHEN n1 > 0 THEN 10000 * c1 // n1
+                         ELSE 0 END)
+                        - (CASE WHEN n0 > 0 THEN 10000 * c0 // n0
+                           ELSE 0 END) AS BIGINT) AS lift_bps
+            FROM a ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

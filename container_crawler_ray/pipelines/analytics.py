@@ -8405,3 +8405,77 @@ def part_price_dispersion(sf_dir: str) -> pd.DataFrame:
            .sort_values("band", kind="mergesort").reset_index(drop=True))
     return agg[agg["n_parts"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def hte_by_decile(sf_dir: str) -> pd.DataFrame:
+    """HETEROGENEOUS-treatment-effect harness: users mock-assigned to
+    arms by id parity (as in ``events_cuped_adjust``), sliced by their
+    PRE-period value decile (exact NTILE rule over per-user pre sums),
+    and per decile the two arms' post-period purchase-conversion rates
+    and their gap in bps — the segment-level readout an experimentation
+    platform prints under every A/B test. Pass 1 bounds the window;
+    pass 2 is one ``user % 64`` exchange folding per-user (pre-cents,
+    converted) rows; deciles rank the per-user table (user-cardinality,
+    the documented dimension-sized driver finish — at 100 TB the rank
+    becomes the distributed NTILE already implemented in
+    ``events_ntile``)."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "value", "event_type"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mid = (int(mm["mn"].min()) + int(mm["mx"].max()) + 1) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        isp = (np.asarray(t.column("event_type")) == "purchase")
+        return pa.table({
+            "u": pa.array(u),
+            "pre": pa.array(np.where(d < mid, cents, 0)),
+            "conv": pa.array((isp & (d >= mid)).astype(np.int8)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        return pd.DataFrame({
+            "u": uu,
+            "pre": np.bincount(inv, weights=g["pre"].to_numpy(np.int64),
+                               minlength=len(uu)).astype(np.int64),
+            "conv": (np.bincount(inv,
+                                 weights=g["conv"].to_numpy(np.int8),
+                                 minlength=len(uu)) > 0)
+            .astype(np.int64)})
+
+    per_user = (ds.map_batches(derive, batch_format="pyarrow")
+                .groupby("bucket").map_groups(fold,
+                                              batch_format="pandas")
+                .to_pandas())
+    u = per_user["u"].to_numpy(np.int64)
+    pre = per_user["pre"].to_numpy(np.int64)
+    conv = per_user["conv"].to_numpy(np.int64)
+    n = len(u)
+    order = np.lexsort((u, pre))
+    dec = np.empty(n, dtype=np.int64)
+    dec[order] = 10 * np.arange(n, dtype=np.int64) // n
+    arm = u % 2
+    rows = []
+    for d_ in range(10):
+        m = dec == d_
+        r = [d_]
+        for a in (0, 1):
+            ma = m & (arm == a)
+            na = int(ma.sum())
+            ca = int(conv[ma].sum())
+            r += [na, 10_000 * ca // na if na else 0]
+        rows.append((*r, r[4] - r[2]))
+    return pd.DataFrame(rows, columns=[
+        "decile", "n_arm0", "conv0_bps", "n_arm1", "conv1_bps",
+        "lift_bps"]).astype("int64")
