@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_rate": curate.line_dedup_rate,
         "first_order_ltv_corr": joins.first_order_ltv_corr,
         "hte_by_decile": analytics.hte_by_decile,
+        "part_stock_clamp": analytics.part_stock_clamp,
+        "score_auc_audit": analytics.score_auc_audit,
+        "vocab_growth_curve": curate.vocab_growth_curve,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5015,6 +5018,91 @@ def oracle_sql() -> dict[str, str]:
                         - (CASE WHEN n0 > 0 THEN 10000 * c0 // n0
                            ELSE 0 END) AS BIGINT) AS lift_bps
             FROM a ORDER BY 1
+        """,
+        "part_stock_clamp": """
+            WITH f AS (SELECT l_partkey AS p,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE)) AS dy,
+                              SUM(CASE WHEN l_returnflag = 'R'
+                                  THEN CAST(l_quantity AS BIGINT)
+                                  ELSE -CAST(l_quantity AS BIGINT)
+                                  END) AS net
+                       FROM lineitem GROUP BY 1, 2),
+            w AS (SELECT p, dy, net,
+                         SUM(net) OVER (PARTITION BY p ORDER BY dy)
+                             AS ps
+                  FROM f),
+            s AS (SELECT p, net, ps,
+                         MIN(ps) OVER (PARTITION BY p ORDER BY dy)
+                             AS mn
+                  FROM w),
+            a AS (SELECT p,
+                         SUM(CASE WHEN ps - LEAST(0, mn) = 0
+                             THEN 1 ELSE 0 END) AS zd,
+                         -LEAST(0, MIN(mn)) AS lost,
+                         SUM(net) - LEAST(0, MIN(mn)) AS fin
+                  FROM s GROUP BY 1),
+            b AS (SELECT CASE WHEN zd = 0 THEN 0
+                              WHEN zd <= 2 THEN 1
+                              WHEN zd <= 5 THEN 2 ELSE 3 END AS band,
+                         zd, lost, fin
+                  FROM a)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(zd) AS BIGINT) AS stockout_days,
+                   CAST(SUM(lost) AS BIGINT) AS lost_units,
+                   CAST(SUM(fin) AS BIGINT) AS end_units
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "score_auc_audit": """
+            WITH e AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) % 512
+                                  AS s,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS y
+                       FROM events),
+            g AS (SELECT s, SUM(y) AS p, SUM(1 - y) AS q
+                  FROM e GROUP BY 1),
+            c AS (SELECT s, p, q,
+                         COALESCE(SUM(q) OVER (ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS cq
+                  FROM g),
+            m AS (SELECT SUM(p * (2 * cq + q)) AS num2,
+                         SUM(p) AS np, SUM(q) AS nq
+                  FROM c)
+            SELECT CAST(np AS BIGINT) AS n_pos,
+                   CAST(nq AS BIGINT) AS n_neg,
+                   CAST(10000 * num2 // (2 * np * nq) AS BIGINT)
+                       AS auc_bps,
+                   CAST(20000 * num2 // (2 * np * nq) - 10000
+                        AS BIGINT) AS gini_bps
+            FROM m
+        """,
+        "vocab_growth_curve": r"""
+            WITH d AS (SELECT text,
+                              ROW_NUMBER() OVER (ORDER BY doc_id) AS r
+                       FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            t AS (SELECT r, unnest(regexp_extract_all(text, '\S+'))
+                             AS tok
+                  FROM d),
+            tm AS (SELECT CAST(('0x' || substr(md5(tok), 1, 16))
+                              AS UBIGINT) AS h,
+                          MIN(r) AS mr
+                   FROM t GROUP BY 1),
+            b AS (SELECT mr, COUNT(*) AS v FROM tm GROUP BY 1),
+            k AS (SELECT unnest(generate_series(1, 10)) AS ck),
+            c AS (SELECT ck, (ck * nn.n) // 10 AS cnt FROM k, nn),
+            v AS (SELECT ck, cnt,
+                         (SELECT CAST(COALESCE(SUM(v), 0) AS BIGINT)
+                          FROM b WHERE mr <= cnt) AS vocab
+                  FROM c)
+            SELECT CAST(ck AS BIGINT) AS checkpoint,
+                   CAST(cnt AS BIGINT) AS n_docs,
+                   vocab,
+                   CAST(vocab - COALESCE(LAG(vocab) OVER
+                        (ORDER BY ck), 0) AS BIGINT) AS new_tokens
+            FROM v ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -162,7 +162,8 @@ BENCH_QUERIES = [
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
     "bloom_fpr_audit", "part_price_dispersion",
     "line_dedup_rate", "first_order_ltv_corr",
-    "hte_by_decile",
+    "hte_by_decile", "part_stock_clamp", "score_auc_audit",
+    "vocab_growth_curve",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -8479,3 +8479,113 @@ def hte_by_decile(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "decile", "n_arm0", "conv0_bps", "n_arm1", "conv1_bps",
         "lift_bps"]).astype("int64")
+
+
+def part_stock_clamp(sf_dir: str) -> pd.DataFrame:
+    """CLAMPED-inventory fold: per part, returned lines (``l_returnflag
+    = 'R'``) are restocks (+qty) and all other lines are shipments
+    (−qty), netted per day; the stock level starting from 0 follows the
+    non-linear recurrence ``s_t = max(0, s_{t-1} + net_t)`` — which has
+    the exact closed form ``s_t = P_t − min(0, running_min(P_t))`` over
+    prefix sums, so a stateful simulator becomes one vectorized
+    segment pass AND an exact SQL window twin. Output: parts banded by
+    stockout-day count with lost (clamped-away) and ending units — the
+    inventory-health table a supply planner reads. One ``part % 64``
+    exchange; per-bucket fold is lexsort + pandas C-level grouped
+    cumsum/cummin; the driver sees 4-band partials per bucket."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_quantity",
+                        "l_returnflag"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy()
+        dy = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        r = np.asarray(t.column("l_returnflag")) == "R"
+        return pa.table({
+            "p": pa.array(p), "dy": pa.array(dy),
+            "net": pa.array(np.where(r, q, -q)),
+            "bucket": pa.array((p % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        p = g["p"].to_numpy(np.int64)
+        dy = g["dy"].to_numpy(np.int64)
+        net = g["net"].to_numpy(np.int64)
+        order = np.lexsort((dy, p))
+        p, dy, net = p[order], dy[order], net[order]
+        brk = np.empty(len(p), bool)
+        brk[0] = True
+        brk[1:] = (p[1:] != p[:-1]) | (dy[1:] != dy[:-1])
+        gid = np.cumsum(brk) - 1
+        net = np.bincount(gid, weights=net).astype(np.int64)
+        p = p[brk]
+        pser = pd.Series(p)
+        ps = pd.Series(net).groupby(pser, sort=False).cumsum() \
+            .to_numpy(np.int64)
+        mn = pd.Series(ps).groupby(pser, sort=False).cummin() \
+            .to_numpy(np.int64)
+        stock = ps - np.minimum(mn, 0)
+        pbrk = np.empty(len(p), bool)
+        pbrk[0] = True
+        pbrk[1:] = p[1:] != p[:-1]
+        pid = np.cumsum(pbrk) - 1
+        last = np.flatnonzero(np.append(pbrk[1:], True))
+        zd = np.bincount(pid, weights=(stock == 0)).astype(np.int64)
+        lost = -np.minimum(mn[last], 0)
+        fin = ps[last] - np.minimum(mn[last], 0)
+        band = np.searchsorted(np.array([1, 3, 6]), zd, side="right")
+        return pd.DataFrame({
+            "band": band.astype(np.int64),
+            "n_parts": np.ones(len(zd), np.int64),
+            "stockout_days": zd, "lost_units": lost,
+            "end_units": fin})
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("band", as_index=False)
+           .agg(n_parts=("n_parts", "sum"),
+                stockout_days=("stockout_days", "sum"),
+                lost_units=("lost_units", "sum"),
+                end_units=("end_units", "sum"))
+           .sort_values("band", kind="mergesort").reset_index(drop=True))
+    return agg[agg["n_parts"] > 0].reset_index(drop=True).astype("int64")
+
+
+def score_auc_audit(sf_dir: str) -> pd.DataFrame:
+    """EXACT tie-aware AUC / Gini for a mock scoring model: score =
+    value-cents mod 512 (512 discrete levels force heavy ties — the
+    hard case for rank-based AUC), label = purchase. AUC is computed
+    from the grouped rank-sum identity 2·AUC·n₊·n₋ = Σ_s p_s·(2·Q_<s +
+    q_s) over score levels — pure integers end to end, so the DuckDB
+    window twin matches bit-for-bit. Each block emits a fixed 512-level
+    (pos, neg) histogram partial; NO exchange at any scale — the driver
+    folds |blocks| × 512 counter rows."""
+    ds = _read(sf_dir, "events", columns=["value", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        s = cents % 512
+        y = np.asarray(t.column("event_type")) == "purchase"
+        return pa.table({
+            "s": pa.array(np.arange(512, dtype=np.int64)),
+            "p": pa.array(np.bincount(s[y], minlength=512)
+                          .astype(np.int64)),
+            "q": pa.array(np.bincount(s[~y], minlength=512)
+                          .astype(np.int64))})
+
+    h = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("s", as_index=False).sum().sort_values("s"))
+    p = h["p"].to_numpy(np.int64)
+    q = h["q"].to_numpy(np.int64)
+    cq = np.concatenate(([0], np.cumsum(q)[:-1]))
+    num2 = int((p * (2 * cq + q)).sum())
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    auc_bps = 10_000 * num2 // (2 * n_pos * n_neg)
+    gini_bps = 20_000 * num2 // (2 * n_pos * n_neg) - 10_000
+    return pd.DataFrame(
+        [(n_pos, n_neg, auc_bps, gini_bps)],
+        columns=["n_pos", "n_neg", "auc_bps", "gini_bps"]) \
+        .astype("int64")

@@ -865,3 +865,80 @@ def line_dedup_rate(sf_dir: str) -> pd.DataFrame:
         columns=["n_lines", "n_distinct", "n_in_dup_groups",
                  "dup_group_share_bps", "removable_share_bps"]) \
         .astype("int64")
+
+
+def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
+    """HEAPS-LAW vocabulary growth: how many DISTINCT tokens the corpus
+    has accumulated after 10%, 20%, …, 100% of the documents (in doc_id
+    order) — the curve that tells a tokenizer team whether more data
+    still buys new vocabulary. Tokens are whitespace runs (``str
+    .split()``, the ``\\S+`` twin) identified by md5-64 like every
+    hashing op here. Per batch: tokenize + per-token min doc_id partial;
+    ONE ``hash % 64`` exchange folds the global min doc_id per token
+    (strings never shuffle); each bucket then bins its tokens by the
+    first checkpoint that includes them (searchsorted against the 10
+    broadcast thresholds), so the driver sums 10 counters per bucket.
+    Checkpoint thresholds come from the sorted doc_id list (document
+    table is dimension-sized here; at 100 TB this becomes the
+    distributed NTILE rank already implemented in ``events_ntile``)."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ids = np.sort(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].to_numpy(np.int64))
+    n = len(ids)
+    cnts = np.array([(k * n) // 10 for k in range(1, 11)], np.int64)
+    thr = ids[cnts - 1]
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        toks, docs = [], []
+        for i, s in enumerate(texts):
+            w = s.split()
+            toks.extend(w)
+            docs.append(len(w))
+        if not toks:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        doc_of = np.repeat(did, docs)
+        h = hash64_many(np.array(toks, dtype=object)).astype(np.int64)
+        order = np.lexsort((doc_of, h))
+        h, doc_of = h[order], doc_of[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        return pa.table({
+            "h": pa.array(h[brk]), "mn": pa.array(doc_of[brk]),
+            "bucket": pa.array(
+                (h[brk].view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        mn = g["mn"].to_numpy(np.int64)
+        order = np.lexsort((mn, h))
+        h, mn = h[order], mn[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        first_bin = np.searchsorted(thr, mn[brk], side="left")
+        return pd.DataFrame({
+            "ck": np.arange(1, 11, dtype=np.int64),
+            "v": np.bincount(first_bin, minlength=10)
+            .astype(np.int64)})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("ck", as_index=False).sum()
+           .sort_values("ck"))
+    vocab = np.cumsum(per["v"].to_numpy(np.int64))
+    new = np.diff(np.concatenate(([0], vocab)))
+    return pd.DataFrame({
+        "checkpoint": np.arange(1, 11, dtype=np.int64),
+        "n_docs": cnts, "vocab": vocab.astype(np.int64),
+        "new_tokens": new.astype(np.int64)}).astype("int64")

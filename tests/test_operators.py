@@ -125,7 +125,8 @@ def test_entry_smoke(entrymod):
     "embedding_triplet_audit", "ship_lag_quantiles_by_priority",
     "bloom_fpr_audit", "part_price_dispersion",
     "line_dedup_rate", "first_order_ltv_corr",
-    "hte_by_decile",
+    "hte_by_decile", "part_stock_clamp", "score_auc_audit",
+    "vocab_growth_curve",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
