@@ -268,6 +268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_stock_clamp": analytics.part_stock_clamp,
         "score_auc_audit": analytics.score_auc_audit,
         "vocab_growth_curve": curate.vocab_growth_curve,
+        "minhash_error_audit": dedup.minhash_error_audit,
+        "blocking_key_audit": analytics.blocking_key_audit,
+        "ldiversity_audit": analytics.ldiversity_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5103,6 +5106,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(vocab - COALESCE(LAG(vocab) OVER
                         (ORDER BY ck), 0) AS BIGINT) AS new_tokens
             FROM v ORDER BY 1
+        """,
+        "minhash_error_audit": r"""
+            WITH el AS (SELECT doc_id, text,
+                               ROW_NUMBER() OVER (ORDER BY doc_id) - 1
+                                   AS j
+                        FROM documents WHERE doc_id % 5 = 0),
+            pr AS (SELECT a.j AS pid, a.doc_id AS da, b.doc_id AS db
+                   FROM el a JOIN el b ON b.j = a.j + 1),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+'))
+                               AS tok
+                    FROM el),
+            tk AS (SELECT DISTINCT doc_id,
+                          CAST(('0x' || substr(md5(tok), 1, 16))
+                               AS UBIGINT) AS h
+                   FROM tok),
+            ji AS (SELECT p.pid, COUNT(*) AS i
+                   FROM pr p JOIN tk x ON x.doc_id = p.da
+                             JOIN tk y ON y.doc_id = p.db
+                                      AND y.h = x.h
+                   GROUP BY 1),
+            ju AS (SELECT p.pid, COUNT(DISTINCT t.h) AS u
+                   FROM pr p JOIN tk t ON t.doc_id = p.da
+                                       OR t.doc_id = p.db
+                   GROUP BY 1),
+            mh AS (SELECT t.doc_id, k.k,
+                          MIN(CAST(('0x' || substr(md5(t.tok || '#' ||
+                              CAST(k.k AS VARCHAR)), 1, 16))
+                              AS UBIGINT)) AS mv
+                   FROM tok t,
+                        (SELECT unnest(generate_series(0, 63)) AS k) k
+                   GROUP BY 1, 2),
+            mm AS (SELECT p.pid,
+                          SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)
+                              AS m
+                   FROM pr p JOIN mh a ON a.doc_id = p.da
+                             JOIN mh b ON b.doc_id = p.db
+                                      AND b.k = a.k
+                   GROUP BY 1),
+            e AS (SELECT p.pid,
+                         10000 * mm.m // 64 AS est,
+                         10000 * COALESCE(ji.i, 0) // ju.u AS ex
+                  FROM pr p JOIN mm ON mm.pid = p.pid
+                            JOIN ju ON ju.pid = p.pid
+                            LEFT JOIN ji ON ji.pid = p.pid)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(est) // COUNT(*) AS BIGINT)
+                       AS mean_est_bps,
+                   CAST(SUM(ex) // COUNT(*) AS BIGINT)
+                       AS mean_exact_bps,
+                   CAST(SUM(ABS(est - ex)) // COUNT(*) AS BIGINT)
+                       AS mean_abs_err_bps,
+                   CAST(MAX(ABS(est - ex)) AS BIGINT)
+                       AS max_abs_err_bps
+            FROM e
+        """,
+        "blocking_key_audit": """
+            WITH c AS (SELECT c_nationkey AS nat,
+                              (CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                               + 100000) // 100000 AS band,
+                              c_mktsegment AS seg
+                       FROM customer),
+            nn AS (SELECT COUNT(*) AS n FROM customer),
+            u AS (SELECT 0 AS strat, COUNT(*) AS cnt
+                  FROM c GROUP BY strat, nat
+                  UNION ALL
+                  SELECT 1, COUNT(*) FROM c GROUP BY band
+                  UNION ALL
+                  SELECT 2, COUNT(*) FROM c GROUP BY seg, nat),
+            a AS (SELECT strat, COUNT(*) AS n_blocks,
+                         MAX(cnt) AS max_block,
+                         SUM(cnt * (cnt - 1) // 2) AS cand
+                  FROM u GROUP BY 1)
+            SELECT CAST(strat AS BIGINT) AS strategy,
+                   CAST(n_blocks AS BIGINT) AS n_blocks,
+                   CAST(max_block AS BIGINT) AS max_block,
+                   CAST(cand AS BIGINT) AS cand_pairs,
+                   CAST(10000 * (nn.n * (nn.n - 1) // 2 - cand)
+                        // (nn.n * (nn.n - 1) // 2) AS BIGINT)
+                       AS reduction_bps
+            FROM a, nn ORDER BY 1
+        """,
+        "ldiversity_audit": """
+            WITH g AS (SELECT o_orderpriority AS pr,
+                              (EXTRACT(year FROM o_orderdate) - 1970)
+                                  * 12
+                              + EXTRACT(month FROM o_orderdate) - 1
+                                  AS mo,
+                              o_orderstatus AS st, COUNT(*) AS n
+                       FROM orders GROUP BY 1, 2, 3),
+            q AS (SELECT pr, mo, COUNT(*) AS l, SUM(n) AS rws
+                  FROM g GROUP BY 1, 2),
+            t AS (SELECT SUM(rws) AS tot FROM q)
+            SELECT CAST(l AS BIGINT) AS l_distinct,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(rws) AS BIGINT) AS n_rows,
+                   CAST(10000 * SUM(rws) // t.tot AS BIGINT)
+                       AS rows_share_bps
+            FROM q, t GROUP BY 1, t.tot ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

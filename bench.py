@@ -163,7 +163,8 @@ BENCH_QUERIES = [
     "bloom_fpr_audit", "part_price_dispersion",
     "line_dedup_rate", "first_order_ltv_corr",
     "hte_by_decile", "part_stock_clamp", "score_auc_audit",
-    "vocab_growth_curve",
+    "vocab_growth_curve", "minhash_error_audit", "blocking_key_audit",
+    "ldiversity_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

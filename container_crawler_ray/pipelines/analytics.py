@@ -8589,3 +8589,88 @@ def score_auc_audit(sf_dir: str) -> pd.DataFrame:
         [(n_pos, n_neg, auc_bps, gini_bps)],
         columns=["n_pos", "n_neg", "auc_bps", "gini_bps"]) \
         .astype("int64")
+
+
+def blocking_key_audit(sf_dir: str) -> pd.DataFrame:
+    """RECORD-LINKAGE blocking quality: for three candidate blocking
+    strategies over customers — (0) nation, (1) account-balance band,
+    (2) segment × nation — measure block count, largest block, the
+    candidate-pair count Σ c·(c−1)/2 a pairwise matcher would score,
+    and the reduction ratio vs all-pairs in bps: the table that
+    decides which blocking key makes a dedup/linkage pass tractable.
+    Per-batch ``np.unique`` partials → one small grouped sum (block
+    cardinality ≤ a few hundred); the driver folds per-strategy
+    integers. Pair counts are exact integers at any scale."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_acctbal", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nat = t.column("c_nationkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        band = (cents + 100_000) // 100_000
+        seg = np.asarray(t.column("c_mktsegment"), dtype=object)
+        k2 = hash64_many(
+            [f"{s}|{n}" for s, n in zip(seg, nat)]).astype(np.int64)
+        strat = np.concatenate([
+            np.zeros(len(nat), np.int64),
+            np.ones(len(nat), np.int64),
+            np.full(len(nat), 2, np.int64)])
+        key = np.concatenate([nat, band, k2])
+        pk = np.stack([strat, key], axis=1)
+        uq, cnt = np.unique(pk, axis=0, return_counts=True)
+        return pa.table({"strat": pa.array(uq[:, 0]),
+                         "key": pa.array(uq[:, 1]),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    blocks = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["strat", "key"])
+              .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    n_tot = int(blocks[blocks["strat"] == 0]["n"].sum())
+    total_pairs = n_tot * (n_tot - 1) // 2
+    for s in (0, 1, 2):
+        c = blocks[blocks["strat"] == s]["n"].to_numpy(np.int64)
+        cand = int((c * (c - 1) // 2).sum())
+        rows.append((s, len(c), int(c.max()), cand,
+                     10_000 * (total_pairs - cand) // total_pairs))
+    return pd.DataFrame(rows, columns=[
+        "strategy", "n_blocks", "max_block", "cand_pairs",
+        "reduction_bps"]).astype("int64")
+
+
+def ldiversity_audit(sf_dir: str) -> pd.DataFrame:
+    """L-DIVERSITY privacy audit (the sibling of
+    ``events_kanon_audit``): quasi-identifier groups are (order
+    priority, order month); the sensitive attribute is order status.
+    For each group count the DISTINCT sensitive values l, then report
+    per l-class how many groups and rows sit there and each class's
+    row share in bps — groups with l = 1 leak their members' status
+    outright. One direct grouped count over (priority, month, status)
+    (cardinality ≤ |priorities|·|months|·|statuses|, dimension-sized
+    at any scale); the driver folds the distinct-status rollup."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderdate",
+                        "o_orderstatus"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        mo = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[M]").astype(np.int64)
+        return pa.table({"pr": t.column("o_orderpriority"),
+                         "mo": pa.array(mo),
+                         "st": t.column("o_orderstatus")})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby(["pr", "mo", "st"])
+         .aggregate(Count(alias_name="n")).to_pandas())
+    q = (g.groupby(["pr", "mo"], as_index=False)
+         .agg(ld=("st", "size"), rows=("n", "sum")))
+    tot = int(q["rows"].sum())
+    out = (q.groupby("ld", as_index=False)
+           .agg(n_groups=("ld", "size"), n_rows=("rows", "sum"))
+           .sort_values("ld").reset_index(drop=True))
+    out["rows_share_bps"] = (10_000 * out["n_rows"]) // tot
+    out = out.rename(columns={"ld": "l_distinct"})
+    return out.astype("int64")

@@ -1165,3 +1165,121 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
     return pc_.reset_index(drop=True).astype(
         {"a": "int64", "b": "int64", "inter": "int64",
          "min_n": "int64"})
+
+
+def minhash_error_audit(sf_dir: str) -> pd.DataFrame:
+    """MINHASH CALIBRATION audit — the number that justifies the LSH
+    dedup stack's band/row settings: over deterministic LEAD-rule doc
+    pairs (every 5th doc paired with the next eligible one), compare
+    the 64-seed MinHash Jaccard estimate m/64 against the EXACT
+    token-set Jaccard |A∩B|/|A∪B| and report mean/max absolute error
+    in bps. Seeded hashes are md5(token || '#' || k) so the DuckDB
+    twin reproduces every signature bit. One pass over the eligible
+    docs emits, per pair membership, the distinct token hashes (exact
+    leg) and the 64 signature values (estimate leg); ONE ``pair % 64``
+    exchange folds both legs vectorized (strings never shuffle); the
+    driver averages |pairs| integer rows. Eligible-id list is
+    dimension-sized (at 100 TB the pairing rule becomes the same
+    block-local LEAD used by ``embedding_triplet_audit``)."""
+    from ..functions.hashing import hash64, hash64_many
+    from .analytics import _read
+
+    ids = np.sort(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].to_numpy(np.int64))
+    el = ids[ids % 5 == 0]
+    n_pairs = len(el) - 1
+    el_ref = ray.put(el)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=512)
+
+    def derive(t: pa.Table) -> pa.Table:
+        elo = ray.get(el_ref)
+        did = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        pair, kind, kk, side, val = [], [], [], [], []
+        for i, s in enumerate(texts):
+            d = int(did[i])
+            if d % 5 != 0:
+                continue
+            j = int(np.searchsorted(elo, d))
+            members = []
+            if j < len(elo) - 1:
+                members.append((j, 0))
+            if j >= 1:
+                members.append((j - 1, 1))
+            if not members:
+                continue
+            toks = np.unique(np.array(s.split(), dtype=object))
+            if not len(toks):
+                continue
+            h = hash64_many(toks).astype(np.int64)
+            sig = np.empty(64, np.int64)
+            tl = list(toks)
+            for k in range(64):
+                suf = f"#{k}"
+                sig[k] = int(hash64_many(
+                    [w + suf for w in tl]).min().astype(np.int64))
+            for pj, sd in members:
+                pair.extend([pj] * (len(h) + 64))
+                kind.extend([0] * len(h) + [1] * 64)
+                kk.extend([-1] * len(h))
+                kk.extend(range(64))
+                side.extend([sd] * (len(h) + 64))
+                val.extend(h.tolist())
+                val.extend(sig.tolist())
+        return pa.table({
+            "pair": pa.array(pair, type=pa.int64()),
+            "kind": pa.array(kind, type=pa.int8()),
+            "k": pa.array(kk, type=pa.int32()),
+            "side": pa.array(side, type=pa.int8()),
+            "val": pa.array(val, type=pa.int64()),
+            "bucket": pa.array([p % 64 for p in pair],
+                               type=pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        kd = g["kind"].to_numpy(np.int8)
+        ex = g[kd == 0]
+        p0 = ex["pair"].to_numpy(np.int64)
+        v0 = ex["val"].to_numpy(np.int64)
+        order = np.lexsort((v0, p0))
+        p0, v0 = p0[order], v0[order]
+        brk = np.empty(len(p0), bool)
+        brk[0] = True
+        brk[1:] = (p0[1:] != p0[:-1]) | (v0[1:] != v0[:-1])
+        starts = np.flatnonzero(brk)
+        runs = np.diff(np.append(starts, len(p0)))
+        rp = p0[starts]
+        pu, inv = np.unique(rp, return_inverse=True)
+        u = np.bincount(inv).astype(np.int64)
+        i_ = np.bincount(inv, weights=(runs == 2)).astype(np.int64)
+        sg = g[kd == 1]
+        p1 = sg["pair"].to_numpy(np.int64)
+        k1 = sg["k"].to_numpy(np.int32)
+        s1 = sg["side"].to_numpy(np.int8)
+        v1 = sg["val"].to_numpy(np.int64)
+        order = np.lexsort((s1, k1, p1))
+        p1, v1 = p1[order], v1[order]
+        eq = v1[0::2] == v1[1::2]
+        pk = p1[0::2]
+        pu1, inv1 = np.unique(pk, return_inverse=True)
+        m = np.bincount(inv1, weights=eq).astype(np.int64)
+        assert np.array_equal(pu, pu1)
+        est = 10_000 * m // 64
+        exv = 10_000 * i_ // u
+        return pd.DataFrame({"pid": pu, "est": est, "ex": exv})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    est = per["est"].to_numpy(np.int64)
+    exv = per["ex"].to_numpy(np.int64)
+    err = np.abs(est - exv)
+    return pd.DataFrame(
+        [(n_pairs, int(est.sum()) // n_pairs,
+          int(exv.sum()) // n_pairs, int(err.sum()) // n_pairs,
+          int(err.max()))],
+        columns=["n_pairs", "mean_est_bps", "mean_exact_bps",
+                 "mean_abs_err_bps", "max_abs_err_bps"]) \
+        .astype("int64")
