@@ -271,6 +271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_error_audit": dedup.minhash_error_audit,
         "blocking_key_audit": analytics.blocking_key_audit,
         "ldiversity_audit": analytics.ldiversity_audit,
+        "fdr_bh_audit": analytics.fdr_bh_audit,
+        "discount_emd_by_year": analytics.discount_emd_by_year,
+        "fd_violation_audit": analytics.fd_violation_audit,
+        "user_decayed_value": analytics.user_decayed_value,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5205,6 +5209,128 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(rws) // t.tot AS BIGINT)
                        AS rows_share_bps
             FROM q, t GROUP BY 1, t.tot ORDER BY 1
+        """,
+        "fdr_bh_audit": """
+            WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+            p0 AS (SELECT uid,
+                          CAST(CAST(('0x' || substr(md5(CAST(uid AS
+                               VARCHAR)), 1, 16)) AS UBIGINT)
+                               % 1000000 AS BIGINT) AS h
+                   FROM u),
+            p AS (SELECT uid, CASE WHEN uid % 10 = 0 THEN h // 20
+                                   ELSE h END AS pm
+                  FROM p0),
+            r AS (SELECT pm, ROW_NUMBER() OVER (ORDER BY pm, uid)
+                             AS rk
+                  FROM p),
+            m AS (SELECT COUNT(*) AS m FROM p),
+            qs AS (SELECT unnest([10000, 50000, 100000]) AS q),
+            k AS (SELECT qs.q AS q,
+                         COALESCE(MAX(CASE WHEN r.pm * m.m
+                             <= r.rk * qs.q THEN r.rk END), 0) AS k
+                  FROM qs, r, m GROUP BY 1)
+            SELECT CAST(k.q AS BIGINT) AS q_ppm,
+                   CAST(m.m AS BIGINT) AS m_tests,
+                   CAST(k.k AS BIGINT) AS k_rejected,
+                   CAST(COALESCE((SELECT r2.pm FROM r r2
+                                  WHERE r2.rk = k.k), -1) AS BIGINT)
+                       AS p_thresh_micro
+            FROM k, m ORDER BY 1
+        """,
+        "discount_emd_by_year": """
+            WITH d AS (SELECT EXTRACT(year FROM l_shipdate) AS y,
+                              CAST(FLOOR(l_discount * 100 + 0.5)
+                                   AS BIGINT) AS lv
+                       FROM lineitem),
+            c AS (SELECT y, lv, COUNT(*) AS n FROM d GROUP BY 1, 2),
+            ys AS (SELECT DISTINCT y FROM d),
+            lvs AS (SELECT unnest(generate_series(0, 10)) AS lv),
+            grid AS (SELECT ys.y, lvs.lv, COALESCE(c.n, 0) AS n
+                     FROM ys CROSS JOIN lvs
+                     LEFT JOIN c ON c.y = ys.y AND c.lv = lvs.lv),
+            cum AS (SELECT y, lv,
+                           SUM(n) OVER (PARTITION BY y ORDER BY lv)
+                               AS cm
+                    FROM grid),
+            tot AS (SELECT y, SUM(n) AS n FROM grid GROUP BY 1),
+            pairs AS (SELECT y AS y1, LEAD(y) OVER (ORDER BY y) AS y2
+                      FROM ys QUALIFY y2 IS NOT NULL),
+            e AS (SELECT p.y1, p.y2, t1.n AS n1, t2.n AS n2,
+                         SUM(ABS(a.cm * t2.n - b.cm * t1.n)) AS s
+                  FROM pairs p
+                  JOIN cum a ON a.y = p.y1 AND a.lv < 10
+                  JOIN cum b ON b.y = p.y2 AND b.lv = a.lv
+                  JOIN tot t1 ON t1.y = p.y1
+                  JOIN tot t2 ON t2.y = p.y2
+                  GROUP BY 1, 2, 3, 4)
+            SELECT CAST(y1 AS BIGINT) AS y1, CAST(y2 AS BIGINT) AS y2,
+                   CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(1000 * s // (n1 * n2) AS BIGINT)
+                       AS emd_millipoints
+            FROM e ORDER BY 1
+        """,
+        "fd_violation_audit": """
+            WITH a0 AS (SELECT o_custkey AS l,
+                               COUNT(DISTINCT o_orderpriority) AS d
+                        FROM orders GROUP BY 1),
+            a1 AS (SELECT (EXTRACT(year FROM o_orderdate) - 1970) * 12
+                          + EXTRACT(month FROM o_orderdate) - 1 AS l,
+                          COUNT(DISTINCT o_orderstatus) AS d
+                   FROM orders GROUP BY 1),
+            a2 AS (SELECT l_orderkey AS l,
+                          COUNT(DISTINCT l_suppkey) AS d
+                   FROM lineitem GROUP BY 1),
+            a3 AS (SELECT l_partkey AS l,
+                          COUNT(DISTINCT l_suppkey) AS d
+                   FROM lineitem GROUP BY 1),
+            s AS (SELECT 0 AS fd_id, COUNT(*) AS nl,
+                         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS nv,
+                         SUM(d - 1) AS v
+                  FROM a0
+                  UNION ALL
+                  SELECT 1, COUNT(*),
+                         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END),
+                         SUM(d - 1)
+                  FROM a1
+                  UNION ALL
+                  SELECT 2, COUNT(*),
+                         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END),
+                         SUM(d - 1)
+                  FROM a2
+                  UNION ALL
+                  SELECT 3, COUNT(*),
+                         SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END),
+                         SUM(d - 1)
+                  FROM a3)
+            SELECT CAST(fd_id AS BIGINT) AS fd_id,
+                   CAST(nl AS BIGINT) AS n_lhs_groups,
+                   CAST(nv AS BIGINT) AS n_viol_groups,
+                   CAST(v AS BIGINT) AS violations,
+                   CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT)
+                       AS holds
+            FROM s ORDER BY 1
+        """,
+        "user_decayed_value": """
+            WITH dd AS (SELECT user_id AS u,
+                               CAST(FLOOR(value * 100) AS BIGINT)
+                                   AS cents,
+                               datediff('day', DATE '1970-01-01',
+                                        CAST(ts AS DATE)) AS d
+                        FROM events),
+            w AS (SELECT MAX(d) AS mx FROM dd),
+            pu AS (SELECT u,
+                          SUM(cents // (CAST(1 AS BIGINT)
+                              << LEAST((mx - d) // 4, 40))) AS dv
+                   FROM dd, w GROUP BY 1, w.mx),
+            b AS (SELECT CASE WHEN dv < 50000 THEN 0
+                              WHEN dv < 75000 THEN 1
+                              WHEN dv < 100000 THEN 2
+                              ELSE 3 END AS band, dv
+                  FROM pu)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(dv) AS BIGINT) AS sum_decayed_cents
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -164,7 +164,8 @@ BENCH_QUERIES = [
     "line_dedup_rate", "first_order_ltv_corr",
     "hte_by_decile", "part_stock_clamp", "score_auc_audit",
     "vocab_growth_curve", "minhash_error_audit", "blocking_key_audit",
-    "ldiversity_audit",
+    "ldiversity_audit", "fdr_bh_audit", "discount_emd_by_year",
+    "fd_violation_audit", "user_decayed_value",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

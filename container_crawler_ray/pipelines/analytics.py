@@ -8674,3 +8674,215 @@ def ldiversity_audit(sf_dir: str) -> pd.DataFrame:
     out["rows_share_bps"] = (10_000 * out["n_rows"]) // tot
     out = out.rename(columns={"ld": "l_distinct"})
     return out.astype("int64")
+
+
+def fdr_bh_audit(sf_dir: str) -> pd.DataFrame:
+    """BENJAMINI-HOCHBERG multiple-testing audit: one p-value per user
+    (md5-derived, uniform on [0,1e6) except every 10th user carries a
+    20× smaller "signal" p — the planted-discovery mix), then the BH
+    step-up rule at q = 1%/5%/10%: reject the largest rank r with
+    p_(r)·m ≤ r·q, all in integers (p in 1e-6 units, q in ppm) so the
+    SQL window twin matches exactly. Distinct users fold through one
+    ``user % 64`` exchange; the ranked BH scan runs on the
+    user-cardinality p list (the documented dimension-sized driver
+    finish — at 100 TB the scan becomes a distributed sort + segmented
+    max, same shape as ``events_ntile``)."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("user_id").to_numpy().astype(np.int64))
+        return pa.table({"u": pa.array(u),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": np.unique(g["u"].to_numpy(np.int64))})
+
+    users = (ds.map_batches(uniq, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas()["u"].to_numpy(np.int64))
+    h = (hash64_many([str(int(x)) for x in users]).astype(np.int64)
+         .view(np.uint64) % 1_000_000).astype(np.int64)
+    pm = np.where(users % 10 == 0, h // 20, h)
+    order = np.lexsort((users, pm))
+    pm_s = pm[order]
+    m = len(pm_s)
+    rk = np.arange(1, m + 1, dtype=np.int64)
+    rows = []
+    for q in (10_000, 50_000, 100_000):
+        ok = pm_s * m <= rk * q
+        k = int(rk[ok].max()) if ok.any() else 0
+        thr = int(pm_s[k - 1]) if k > 0 else -1
+        rows.append((q, m, k, thr))
+    return pd.DataFrame(rows, columns=[
+        "q_ppm", "m_tests", "k_rejected", "p_thresh_micro"]) \
+        .astype("int64")
+
+
+def discount_emd_by_year(sf_dir: str) -> pd.DataFrame:
+    """DISTRIBUTION-DRIFT in earth-mover units: the exact 1-D EMD
+    (Wasserstein-1) between consecutive ship-years' discount
+    distributions over the 11 discrete discount levels — Σ over the
+    level grid of |CDF₁ − CDF₂|, kept exact by cross-multiplying the
+    two years' counts (|cum₁·n₂ − cum₂·n₁| summed, then one floor
+    division), in milli-discount-points. The grouped (year, level)
+    counts are a ≤ |years|·11 table (a direct grouped count at any
+    scale); the CDF grid and pairing run on the driver."""
+    ds = _read(sf_dir, "lineitem", columns=["l_shipdate", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        y = t.column("l_shipdate").to_numpy() \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        lv = np.floor(t.column("l_discount").to_numpy() * 100 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"y": pa.array(y), "lv": pa.array(lv)})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby(["y", "lv"]).aggregate(Count(alias_name="n"))
+         .to_pandas())
+    years = np.sort(g["y"].unique())
+    grid = np.zeros((len(years), 11), np.int64)
+    yi = {int(y): i for i, y in enumerate(years)}
+    for _, r in g.iterrows():
+        grid[yi[int(r["y"])], int(r["lv"])] = int(r["n"])
+    cum = np.cumsum(grid, axis=1)
+    n = grid.sum(axis=1)
+    rows = []
+    for i in range(len(years) - 1):
+        diff = np.abs(cum[i].astype(object) * int(n[i + 1])
+                      - cum[i + 1].astype(object) * int(n[i]))[:-1]
+        emd = 1000 * int(diff.sum()) // (int(n[i]) * int(n[i + 1]))
+        rows.append((int(years[i]), int(years[i + 1]), int(n[i]),
+                     int(n[i + 1]), emd))
+    return pd.DataFrame(rows, columns=[
+        "y1", "y2", "n1", "n2", "emd_millipoints"]).astype("int64")
+
+
+def fd_violation_audit(sf_dir: str) -> pd.DataFrame:
+    """FUNCTIONAL-DEPENDENCY discovery audit (the schema-quality
+    sibling of ``fk_orphan_audit``): for four candidate FDs —
+    custkey→priority and month→status on orders, orderkey→suppkey and
+    partkey→suppkey on lineitem — count the left-hand-side groups, the
+    groups where the right side is NOT unique, and the total violation
+    mass Σ(distinct_rhs − 1); an FD "holds" iff that sum is 0. Each FD
+    is the two-stage distinct-pair shuffle from
+    ``users_per_event_type``: map-side ``np.unique`` on packed
+    (lhs, rhs) codes, one pair exchange, then a lhs-cardinality
+    rollup folded to four counters — no raw rows cross the wire."""
+    from ..functions.hashing import hash64_many
+
+    def fd_counts(ds, pack_fn) -> tuple[int, int, int]:
+        def pairs(t: pa.Table) -> pa.Table:
+            k = pack_fn(t)
+            k = np.unique(k, axis=0)
+            return pa.table({
+                "lhs": pa.array(k[:, 0]), "rhs": pa.array(k[:, 1]),
+                "bucket": pa.array((k[:, 0] % 64).astype(np.int32))})
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            k = np.stack([g["lhs"].to_numpy(np.int64),
+                          g["rhs"].to_numpy(np.int64)], axis=1)
+            k = np.unique(k, axis=0)
+            lhs, cnt = np.unique(k[:, 0], return_counts=True)
+            return pd.DataFrame({
+                "n_lhs": [len(lhs)],
+                "n_viol_groups": [int((cnt > 1).sum())],
+                "violations": [int((cnt - 1).sum())]})
+
+        m = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas().sum())
+        return (int(m["n_lhs"]), int(m["n_viol_groups"]),
+                int(m["violations"]))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority",
+                            "o_orderdate", "o_orderstatus"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def pk_cust_prio(t):
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        pr = hash64_many(np.asarray(t.column("o_orderpriority"),
+                                    dtype=object)).astype(np.int64)
+        return np.stack([c, pr], axis=1)
+
+    def pk_month_status(t):
+        mo = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[M]").astype(np.int64)
+        st = hash64_many(np.asarray(t.column("o_orderstatus"),
+                                    dtype=object)).astype(np.int64)
+        return np.stack([mo, st], axis=1)
+
+    def pk_order_supp(t):
+        return np.stack([t.column("l_orderkey").to_numpy()
+                         .astype(np.int64),
+                         t.column("l_suppkey").to_numpy()
+                         .astype(np.int64)], axis=1)
+
+    def pk_part_supp(t):
+        return np.stack([t.column("l_partkey").to_numpy()
+                         .astype(np.int64),
+                         t.column("l_suppkey").to_numpy()
+                         .astype(np.int64)], axis=1)
+
+    rows = []
+    for fid, (ds, fn) in enumerate([
+            (orders, pk_cust_prio), (orders, pk_month_status),
+            (li, pk_order_supp), (li, pk_part_supp)]):
+        n_lhs, nv, v = fd_counts(ds, fn)
+        rows.append((fid, n_lhs, nv, v, int(v == 0)))
+    return pd.DataFrame(rows, columns=[
+        "fd_id", "n_lhs_groups", "n_viol_groups", "violations",
+        "holds"]).astype("int64")
+
+
+def user_decayed_value(sf_dir: str) -> pd.DataFrame:
+    """RECENCY-DECAYED customer value: every event's cents are halved
+    for each 4 days of age relative to the corpus' last day (exact
+    power-of-two decay, ``cents // (1 << (days_ago // 4))`` — integer
+    on both sides, no float drift), summed per user, then users are
+    banded by decayed value — the freshness-weighted LTV a
+    re-engagement campaign ranks on. Pass 1 bounds the window (one
+    max per block); pass 2 folds per-user sums through one
+    ``user % 64`` exchange and emits 4-band partials."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def mx(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table({"mx": pa.array([int(d.max())])})
+
+    last = int(ds.map_batches(mx, batch_format="pyarrow")
+               .to_pandas()["mx"].max())
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        sh = np.minimum((last - d) // 4, 40)
+        dec = cents // (np.int64(1) << sh)
+        return pa.table({"u": pa.array(u), "dv": pa.array(dec),
+                         "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        dv = np.bincount(inv, weights=g["dv"].to_numpy(np.int64),
+                         minlength=len(uu)).astype(np.int64)
+        band = np.searchsorted(np.array([50_000, 75_000, 100_000]),
+                               dv, side="right")
+        return pd.DataFrame({
+            "band": band.astype(np.int64),
+            "n_users": np.ones(len(uu), np.int64),
+            "sum_decayed_cents": dv})
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("band", as_index=False)
+           .agg(n_users=("n_users", "sum"),
+                sum_decayed_cents=("sum_decayed_cents", "sum"))
+           .sort_values("band").reset_index(drop=True))
+    return agg[agg["n_users"] > 0].reset_index(drop=True) \
+        .astype("int64")

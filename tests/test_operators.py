@@ -127,7 +127,8 @@ def test_entry_smoke(entrymod):
     "line_dedup_rate", "first_order_ltv_corr",
     "hte_by_decile", "part_stock_clamp", "score_auc_audit",
     "vocab_growth_curve", "minhash_error_audit", "blocking_key_audit",
-    "ldiversity_audit",
+    "ldiversity_audit", "fdr_bh_audit", "discount_emd_by_year",
+    "fd_violation_audit", "user_decayed_value",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
