@@ -275,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_emd_by_year": analytics.discount_emd_by_year,
         "fd_violation_audit": analytics.fd_violation_audit,
         "user_decayed_value": analytics.user_decayed_value,
+        "part_name_collision_audit": analytics.part_name_collision_audit,
+        "supplier_return_wilson": analytics.supplier_return_wilson,
+        "docs_readability": curate.docs_readability,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5331,6 +5334,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_users,
                    CAST(SUM(dv) AS BIGINT) AS sum_decayed_cents
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "part_name_collision_audit": """
+            WITH c AS (SELECT COUNT(*) AS n FROM part GROUP BY p_name),
+            t AS (SELECT SUM(n) AS tot FROM c),
+            b AS (SELECT CASE WHEN n < 2 THEN 0
+                              WHEN n < 3 THEN 1
+                              WHEN n < 5 THEN 2
+                              ELSE 3 END AS band, n
+                  FROM c)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_names,
+                   CAST(SUM(n) AS BIGINT) AS n_parts,
+                   CAST(10000 * SUM(n) // tot AS BIGINT)
+                       AS parts_share_bps
+            FROM b, t GROUP BY 1, tot ORDER BY 1
+        """,
+        "supplier_return_wilson": """
+            WITH g AS (SELECT l_suppkey AS suppkey,
+                              COUNT(*) AS n_lines,
+                              SUM(CASE WHEN l_returnflag = 'R'
+                                  THEN 1 ELSE 0 END) AS n_returns
+                       FROM lineitem GROUP BY 1),
+            w AS (SELECT suppkey, n_lines, n_returns,
+                         10000 * n_returns // n_lines AS ret_bps,
+                         CAST(FLOOR(
+                           ((CAST(n_returns AS DOUBLE)
+                             / CAST(n_lines AS DOUBLE))
+                            + (1.96 * 1.96)
+                              / (2.0 * CAST(n_lines AS DOUBLE))
+                            - 1.96 * sqrt(
+                                ((CAST(n_returns AS DOUBLE)
+                                  / CAST(n_lines AS DOUBLE))
+                                 * (1.0 - CAST(n_returns AS DOUBLE)
+                                          / CAST(n_lines AS DOUBLE))
+                                 + (1.96 * 1.96)
+                                   / (4.0 * CAST(n_lines AS DOUBLE)))
+                                / CAST(n_lines AS DOUBLE)))
+                           / (1.0 + (1.96 * 1.96)
+                                    / CAST(n_lines AS DOUBLE))
+                           * 1000000.0) AS BIGINT) AS wilson_lb_micro
+                  FROM g)
+            SELECT CAST(suppkey AS BIGINT) AS suppkey,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_returns AS BIGINT) AS n_returns,
+                   CAST(ret_bps AS BIGINT) AS ret_bps,
+                   wilson_lb_micro
+            FROM w ORDER BY wilson_lb_micro DESC, suppkey LIMIT 20
+        """,
+        "docs_readability": r"""
+            WITH d AS (SELECT lang,
+                              len(list_filter(
+                                  regexp_split_to_array(text,
+                                                        '[.!?]+'),
+                                  x -> regexp_matches(x, '\S')))
+                                  AS n_sents,
+                              len(regexp_extract_all(text, '\S+'))
+                                  AS n_tokens,
+                              length(regexp_replace(text, '\s+', '',
+                                                    'g'))
+                                  AS n_token_chars
+                       FROM documents)
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_sents) AS BIGINT) AS n_sents,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_token_chars) AS BIGINT)
+                       AS n_token_chars,
+                   CAST(1000 * SUM(n_tokens) // SUM(n_sents)
+                        AS BIGINT) AS tokens_per_sent_milli,
+                   CAST(1000 * SUM(n_token_chars) // SUM(n_tokens)
+                        AS BIGINT) AS chars_per_token_milli
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

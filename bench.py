@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "vocab_growth_curve", "minhash_error_audit", "blocking_key_audit",
     "ldiversity_audit", "fdr_bh_audit", "discount_emd_by_year",
     "fd_violation_audit", "user_decayed_value",
+    "part_name_collision_audit", "supplier_return_wilson",
+    "docs_readability",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

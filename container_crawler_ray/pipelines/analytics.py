@@ -8886,3 +8886,86 @@ def user_decayed_value(sf_dir: str) -> pd.DataFrame:
            .sort_values("band").reset_index(drop=True))
     return agg[agg["n_users"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def part_name_collision_audit(sf_dir: str) -> pd.DataFrame:
+    """ENTITY-NAME ambiguity audit: parts sharing the same display name
+    are what a naive name-keyed entity resolution would wrongly merge —
+    count the collision-group sizes and the share of parts whose name
+    is ambiguous, banded by group size (1 / 2 / 3-4 / 5+). Map-side
+    ``np.unique`` per batch on md5 name codes → one grouped sum on the
+    name-cardinality table (names never shuffle as strings) → 4-band
+    rollup. The data-quality gate before ``name_edit_near_pairs``-style
+    fuzzy matching."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = hash64_many(np.asarray(t.column("p_name"), dtype=object)) \
+            .astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("h").aggregate(Sum("n", alias_name="n")).to_pandas())
+    c = g["n"].to_numpy(np.int64)
+    band = np.searchsorted(np.array([2, 3, 5]), c, side="right")
+    rows = []
+    tot = int(c.sum())
+    for b in range(4):
+        m = band == b
+        rows.append((b, int(m.sum()), int(c[m].sum()),
+                     10_000 * int(c[m].sum()) // tot))
+    out = pd.DataFrame(rows, columns=[
+        "band", "n_names", "n_parts", "parts_share_bps"])
+    return out[out["n_names"] > 0].reset_index(drop=True) \
+        .astype("int64")
+
+
+def supplier_return_wilson(sf_dir: str) -> pd.DataFrame:
+    """RETURN-RATE risk ranking with a Wilson 95% LOWER confidence
+    bound — the small-sample-safe way to rank suppliers by how bad
+    their return rate provably is (a raw rate ranks a 1-for-1 supplier
+    above a 99-for-200 one; Wilson does not). Counts fold in one
+    direct grouped aggregate (supplier-cardinality, dimension-sized);
+    the bound is the ONE final float expression, written with the
+    identical operation order in numpy and SQL (the house
+    IEEE-order-matching rule), floored to micro units. Top 20 by
+    bound, suppkey tie-break."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey",
+                                            "l_returnflag"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        r = (np.asarray(t.column("l_returnflag")) == "R") \
+            .astype(np.int64)
+        return pa.table({"s": pa.array(s), "r": pa.array(r)})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("s").aggregate(Count(alias_name="n"),
+                                 Sum("r", alias_name="k"))
+         .to_pandas())
+    n = g["n"].to_numpy(np.int64)
+    k = g["k"].to_numpy(np.int64)
+    wl = np.empty(len(n), np.int64)
+    for i in range(len(n)):
+        ni, ki = float(n[i]), float(k[i])
+        ph = ki / ni
+        z2 = 1.96 * 1.96
+        w = ((ph + z2 / (2.0 * ni)
+              - 1.96 * math.sqrt((ph * (1.0 - ph) + z2 / (4.0 * ni))
+                                 / ni))
+             / (1.0 + z2 / ni))
+        wl[i] = math.floor(w * 1000000.0)
+    g["ret_bps"] = (10_000 * g["k"]) // g["n"]
+    g["wilson_lb_micro"] = wl
+    out = (g.sort_values(["wilson_lb_micro", "s"],
+                         ascending=[False, True], kind="mergesort")
+           .head(20).reset_index(drop=True)
+           .rename(columns={"s": "suppkey", "n": "n_lines",
+                            "k": "n_returns"}))
+    return out.astype("int64")

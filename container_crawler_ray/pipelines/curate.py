@@ -11,6 +11,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Sum
 
 from ..functions.text import text_stats_batch
 
@@ -942,3 +943,56 @@ def vocab_growth_curve(sf_dir: str) -> pd.DataFrame:
         "checkpoint": np.arange(1, 11, dtype=np.int64),
         "n_docs": cnts, "vocab": vocab.astype(np.int64),
         "new_tokens": new.astype(np.int64)}).astype("int64")
+
+
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """READABILITY profile per language: average sentence length in
+    tokens and average token length in characters (milli-unit integer
+    ratios) — the two numbers behind every Flesch-style readability
+    screen a corpus-quality gate applies before training. Sentences
+    are the ``[.!?]+``-terminated, whitespace-trimmed non-empty spans
+    (same split the C4-style ``line_dedup_rate`` uses); tokens are
+    whitespace runs. Per-batch counters grouped by lang (a handful of
+    groups at any scale) → one tiny grouped sum; ratios on the
+    driver."""
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"],
+               rows_per_block=2048)
+
+    import re
+
+    sent_re = re.compile(r"[.!?]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(t.column("lang"), dtype=object)
+        texts = t.column("text").to_pylist()
+        per_doc = np.array(
+            [sum(1 for x in sent_re.split(s) if x.strip())
+             for s in texts], np.int64)
+        toks = np.array([len(s.split()) for s in texts], np.int64)
+        tchars = np.array([sum(len(w) for w in s.split())
+                           for s in texts], np.int64)
+        ul, inv = np.unique(lang, return_inverse=True)
+        return pa.table({
+            "lang": pa.array(list(ul), type=pa.string()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64)),
+            "n_sents": pa.array(np.bincount(inv, weights=per_doc)
+                                .astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(inv, weights=toks)
+                                 .astype(np.int64)),
+            "n_token_chars": pa.array(np.bincount(inv, weights=tchars)
+                                      .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("lang")
+         .aggregate(Sum("n_docs", alias_name="n_docs"),
+                    Sum("n_sents", alias_name="n_sents"),
+                    Sum("n_tokens", alias_name="n_tokens"),
+                    Sum("n_token_chars", alias_name="n_token_chars"))
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    g["tokens_per_sent_milli"] = \
+        (1000 * g["n_tokens"]) // g["n_sents"]
+    g["chars_per_token_milli"] = \
+        (1000 * g["n_token_chars"]) // g["n_tokens"]
+    return g.astype({c: "int64" for c in g.columns if c != "lang"})

@@ -129,6 +129,8 @@ def test_entry_smoke(entrymod):
     "vocab_growth_curve", "minhash_error_audit", "blocking_key_audit",
     "ldiversity_audit", "fdr_bh_audit", "discount_emd_by_year",
     "fd_violation_audit", "user_decayed_value",
+    "part_name_collision_audit", "supplier_return_wilson",
+    "docs_readability",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
