@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_collision_audit": analytics.part_name_collision_audit,
         "supplier_return_wilson": analytics.supplier_return_wilson,
         "docs_readability": curate.docs_readability,
+        "priority_transition_matrix":
+            analytics.priority_transition_matrix,
+        "boilerplate_overlap_matrix": curate.boilerplate_overlap_matrix,
+        "token_coverage_curve": curate.token_coverage_curve,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5406,6 +5410,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(n_token_chars) // SUM(n_tokens)
                         AS BIGINT) AS chars_per_token_milli
             FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "priority_transition_matrix": """
+            WITH o AS (SELECT o_custkey AS c, o_orderpriority AS p,
+                              epoch_us(o_orderdate) AS d,
+                              o_orderkey AS k
+                       FROM orders),
+            t AS (SELECT p AS fp,
+                         LEAD(p) OVER (PARTITION BY c
+                                       ORDER BY d, k) AS tp
+                  FROM o),
+            g AS (SELECT fp, tp, COUNT(*) AS n
+                  FROM t WHERE tp IS NOT NULL GROUP BY 1, 2),
+            r AS (SELECT fp, SUM(n) AS rt FROM g GROUP BY 1)
+            SELECT g.fp AS from_p, g.tp AS to_p,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(10000 * n // rt AS BIGINT) AS row_share_bps
+            FROM g JOIN r ON g.fp = r.fp ORDER BY 1, 2
+        """,
+        "boilerplate_overlap_matrix": """
+            WITH p AS (SELECT DISTINCT
+                           CAST(('0x' || substr(md5(substr(text, 1,
+                                40)), 1, 16)) AS UBIGINT) AS h,
+                           CAST(substr(source, 4) AS BIGINT) AS s
+                       FROM documents),
+            c AS (SELECT s, COUNT(*) AS n FROM p GROUP BY 1),
+            j AS (SELECT a.s AS src_a, b.s AS src_b,
+                         COUNT(*) AS shared
+                  FROM p a JOIN p b ON a.h = b.h AND a.s < b.s
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+                   CAST(ca.n AS BIGINT) AS a_prefixes,
+                   CAST(cb.n AS BIGINT) AS b_prefixes,
+                   CAST(10000 * shared // (ca.n + cb.n - shared)
+                        AS BIGINT) AS jaccard_bps
+            FROM j JOIN c ca ON ca.s = j.src_a
+                   JOIN c cb ON cb.s = j.src_b
+            ORDER BY 1, 2
+        """,
+        "token_coverage_curve": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            f AS (SELECT CAST(('0x' || substr(md5(tok), 1, 16))
+                              AS UBIGINT) AS h,
+                         COUNT(*) AS n
+                  FROM t GROUP BY 1),
+            tt AS (SELECT SUM(n) AS tot, COUNT(*) AS vocab FROM f),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC)
+                             AS rk
+                  FROM f),
+            cc AS (SELECT rk, SUM(n) OVER (ORDER BY rk) AS cum
+                   FROM r),
+            k AS (SELECT unnest([10, 100, 1000, 10000]) AS kk)
+            SELECT CAST(kk AS BIGINT) AS k_checkpoint,
+                   CAST(LEAST(kk, vocab) AS BIGINT) AS tokens_used,
+                   CAST((SELECT cum FROM cc
+                         WHERE rk = LEAST(kk, vocab)) AS BIGINT)
+                       AS covered_tokens,
+                   CAST(10000 * (SELECT cum FROM cc
+                                 WHERE rk = LEAST(kk, vocab)) // tot
+                        AS BIGINT) AS coverage_bps
+            FROM k, tt ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

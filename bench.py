@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "fd_violation_audit", "user_decayed_value",
     "part_name_collision_audit", "supplier_return_wilson",
     "docs_readability",
+    "priority_transition_matrix", "boilerplate_overlap_matrix",
+    "token_coverage_curve",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -8969,3 +8969,60 @@ def supplier_return_wilson(sf_dir: str) -> pd.DataFrame:
            .rename(columns={"s": "suppkey", "n": "n_lines",
                             "k": "n_returns"}))
     return out.astype("int64")
+
+
+def priority_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """ORDER-PRIORITY Markov matrix: for every customer's consecutive
+    order pair (ordered by orderdate, orderkey tiebreak), count the
+    from-priority → to-priority transitions and each row's share in
+    bps — the "does urgency persist per account" question behind
+    SLA staffing models. One ``custkey % 64`` exchange co-locates each
+    customer's orders; per bucket a single lexsort + adjacent-pair
+    mask emits a 25-cell bincount partial, so the driver only sums
+    tiny grids (LEAD-rule twin)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate",
+                        "o_orderpriority", "o_orderkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": t.column("o_orderdate").cast(pa.int64()),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "p": pa.array(np.array(
+                [int(s[0]) - 1 for s in
+                 np.asarray(t.column("o_orderpriority"),
+                            dtype=object)], np.int64)),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        order = np.lexsort((k, d, c))
+        c, p = c[order], p[order]
+        same = c[1:] == c[:-1]
+        cell = 5 * p[:-1][same] + p[1:][same]
+        return pd.DataFrame({
+            "cell": np.arange(25, dtype=np.int64),
+            "n": np.bincount(cell, minlength=25).astype(np.int64)})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("cell", as_index=False).sum())
+    grid = np.zeros(25, np.int64)
+    grid[per["cell"].to_numpy(np.int64)] = per["n"].to_numpy(np.int64)
+    names = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"]
+    rows = []
+    for i in range(5):
+        rt = int(grid[5 * i:5 * i + 5].sum())
+        for j in range(5):
+            n = int(grid[5 * i + j])
+            if n > 0:
+                rows.append((names[i], names[j], n, 10_000 * n // rt))
+    return pd.DataFrame(rows, columns=[
+        "from_p", "to_p", "n", "row_share_bps"]).astype(
+        {"n": "int64", "row_share_bps": "int64"})

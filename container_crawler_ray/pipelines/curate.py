@@ -996,3 +996,143 @@ def docs_readability(sf_dir: str) -> pd.DataFrame:
     g["chars_per_token_milli"] = \
         (1000 * g["n_token_chars"]) // g["n_tokens"]
     return g.astype({c: "int64" for c in g.columns if c != "lang"})
+
+
+def boilerplate_overlap_matrix(sf_dir: str,
+                               prefix_len: int = 40) -> pd.DataFrame:
+    """CROSS-SOURCE boilerplate overlap: which source pairs share the
+    same 40-char document prefixes (the planted-template signal a
+    boilerplate stripper keys on) — shared-prefix count and prefix
+    Jaccard per source pair. Per batch: distinct (md5-64 prefix hash,
+    source-bit) pairs with a segment OR; ONE ``hash % 64`` exchange
+    folds the global per-prefix source BITMASK (20 sources → one
+    int64; prefixes never shuffle as strings); each bucket emits
+    (mask, count) partials, so the driver expands only mask-cardinality
+    rows (≤ 2^n_sources, realistically thousands at any scale) into
+    the pair matrix."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"],
+               rows_per_block=2048)
+
+    def derive(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source"), dtype=object)
+        texts = t.column("text").to_pylist()
+        h = hash64_many(
+            np.array([s[:prefix_len] for s in texts], dtype=object)) \
+            .astype(np.int64)
+        bit = np.int64(1) << np.array([int(s[3:]) for s in src],
+                                      np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, bit = h[order], bit[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(brk)
+        m = np.bitwise_or.reduceat(bit, starts)
+        hu = h[brk]
+        return pa.table({
+            "h": pa.array(hu), "m": pa.array(m),
+            "bucket": pa.array(
+                (hu.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        m = g["m"].to_numpy(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, m = h[order], m[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        gm = np.bitwise_or.reduceat(m, np.flatnonzero(brk))
+        um, cnt = np.unique(gm, return_counts=True)
+        return pd.DataFrame({"mask": um.astype(np.int64),
+                             "n": cnt.astype(np.int64)})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("mask", as_index=False).sum())
+    masks = per["mask"].to_numpy(np.int64)
+    cnts = per["n"].to_numpy(np.int64)
+    n_src = 20
+    tot = np.zeros(n_src, np.int64)
+    pair = np.zeros((n_src, n_src), np.int64)
+    for mk, n in zip(masks, cnts):
+        bits = [b for b in range(n_src) if (int(mk) >> b) & 1]
+        for b in bits:
+            tot[b] += n
+        for x in range(len(bits)):
+            for y in range(x + 1, len(bits)):
+                pair[bits[x], bits[y]] += n
+    rows = []
+    for a in range(n_src):
+        for b in range(a + 1, n_src):
+            sh = int(pair[a, b])
+            if sh > 0:
+                union = int(tot[a]) + int(tot[b]) - sh
+                rows.append((a, b, sh, int(tot[a]), int(tot[b]),
+                             10_000 * sh // union))
+    return pd.DataFrame(rows, columns=[
+        "src_a", "src_b", "shared", "a_prefixes", "b_prefixes",
+        "jaccard_bps"]).astype("int64")
+
+
+def token_coverage_curve(sf_dir: str) -> pd.DataFrame:
+    """TOKENIZER coverage curve: what share of the corpus's token
+    instances the top-K vocabulary entries cover, at K = 10 / 100 /
+    1000 / 10000 — the number that decides a vocab-size budget.
+    Tokens are whitespace runs identified by md5-64 (strings never
+    shuffle); per-batch ``np.unique`` partials fold through ONE
+    ``hash % 64`` exchange into global per-token frequencies; each
+    bucket ships ONLY its frequency column (no hashes) to the driver,
+    which sorts the vocab-cardinality int vector and reads cumulative
+    sums at the checkpoints. Coverage at K is invariant to tie order
+    (tied frequencies contribute equally), so no tie-break is
+    needed on either side."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               rows_per_block=2048)
+
+    def derive(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t.column("text").to_pylist():
+            toks.extend(s.split())
+        if not toks:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        h = hash64_many(np.array(toks, dtype=object)).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u), "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array(
+                (u.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, n = h[order], n[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        f = np.add.reduceat(n, np.flatnonzero(brk))
+        return pd.DataFrame({"f": f.astype(np.int64)})
+
+    f = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas()["f"].to_numpy(np.int64))
+    f = np.sort(f)[::-1]
+    cum = np.cumsum(f)
+    tot, vocab = int(cum[-1]), len(f)
+    rows = []
+    for k in (10, 100, 1000, 10000):
+        used = min(k, vocab)
+        cov = int(cum[used - 1])
+        rows.append((k, used, cov, 10_000 * cov // tot))
+    return pd.DataFrame(rows, columns=[
+        "k_checkpoint", "tokens_used", "covered_tokens",
+        "coverage_bps"]).astype("int64")

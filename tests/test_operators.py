@@ -131,6 +131,8 @@ def test_entry_smoke(entrymod):
     "fd_violation_audit", "user_decayed_value",
     "part_name_collision_audit", "supplier_return_wilson",
     "docs_readability",
+    "priority_transition_matrix", "boilerplate_overlap_matrix",
+    "token_coverage_curve",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
