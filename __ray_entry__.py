@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.priority_transition_matrix,
         "boilerplate_overlap_matrix": curate.boilerplate_overlap_matrix,
         "token_coverage_curve": curate.token_coverage_curve,
+        "kmv_set_ops_audit": analytics.kmv_set_ops_audit,
+        "dedup_threshold_pr": dedup.dedup_threshold_pr,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5472,6 +5474,137 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE rk = LEAST(kk, vocab)) // tot
                         AS BIGINT) AS coverage_bps
             FROM k, tt ORDER BY 1
+        """,
+        "kmv_set_ops_audit": """
+            WITH ev AS (SELECT DISTINCT
+                            CAST(('0x' || substr(md5(CAST(user_id
+                                 AS VARCHAR)), 1, 15)) AS UBIGINT)
+                                AS h,
+                            event_type AS ty
+                        FROM events
+                        WHERE event_type IN ('click', 'purchase')),
+            f AS (SELECT h,
+                         MAX(CASE WHEN ty = 'click' THEN 1 ELSE 0
+                             END) AS a,
+                         MAX(CASE WHEN ty = 'purchase' THEN 1 ELSE 0
+                             END) AS b
+                  FROM ev GROUP BY 1),
+            x AS (SELECT SUM(a) AS na, SUM(b) AS nb,
+                         SUM(a * b) AS nab, COUNT(*) AS nu
+                  FROM f),
+            ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+                   FROM f WHERE a = 1),
+            rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS r
+                   FROM f WHERE b = 1),
+            ru AS (SELECT h, a, b,
+                          ROW_NUMBER() OVER (ORDER BY h) AS r
+                   FROM f),
+            th AS (SELECT (SELECT h FROM ra WHERE r = 128) AS ka,
+                          (SELECT h FROM rb WHERE r = 128) AS kb,
+                          (SELECT h FROM ru WHERE r = 128) AS ku,
+                          (SELECT SUM(a * b) FROM ru WHERE r <= 128)
+                              AS nboth),
+            est AS (SELECT
+                CASE WHEN x.na < 128 THEN x.na
+                     ELSE CAST(127 * CAST(1152921504606846976
+                          AS HUGEINT) // th.ka AS BIGINT) END AS ea,
+                CASE WHEN x.nb < 128 THEN x.nb
+                     ELSE CAST(127 * CAST(1152921504606846976
+                          AS HUGEINT) // th.kb AS BIGINT) END AS eb,
+                CASE WHEN x.nu < 128 THEN x.nu
+                     ELSE CAST(127 * CAST(1152921504606846976
+                          AS HUGEINT) // th.ku AS BIGINT) END AS eu,
+                x.na, x.nb, x.nab, x.nu, th.nboth
+                FROM x, th),
+            rows_ AS (
+                SELECT 'click_users' AS metric, na AS exact_count,
+                       ea AS est_count FROM est
+                UNION ALL
+                SELECT 'intersect_users', nab,
+                       CASE WHEN nu < 128 THEN nab
+                            ELSE CAST(CAST(nboth AS HUGEINT) * eu
+                                 // 128 AS BIGINT) END
+                FROM est
+                UNION ALL
+                SELECT 'purchase_users', nb, eb FROM est
+                UNION ALL
+                SELECT 'union_users', nu, eu FROM est)
+            SELECT metric,
+                   CAST(exact_count AS BIGINT) AS exact_count,
+                   CAST(est_count AS BIGINT) AS est_count,
+                   CAST(CASE WHEN exact_count > 0
+                        THEN 10000 * ABS(est_count - exact_count)
+                             // exact_count
+                        ELSE -1 END AS BIGINT) AS err_bps
+            FROM rows_ ORDER BY metric
+        """,
+        "dedup_threshold_pr": r"""
+            WITH el AS (SELECT doc_id, text,
+                               ROW_NUMBER() OVER (ORDER BY doc_id) - 1
+                                   AS j
+                        FROM documents WHERE doc_id % 5 = 0),
+            pr AS (SELECT a.j AS pid, a.doc_id AS da, b.doc_id AS db
+                   FROM el a JOIN el b ON b.j = a.j + 1),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+'))
+                               AS tok
+                    FROM el),
+            tk AS (SELECT DISTINCT doc_id,
+                          CAST(('0x' || substr(md5(tok), 1, 16))
+                               AS UBIGINT) AS h
+                   FROM tok),
+            ji AS (SELECT p.pid, COUNT(*) AS i
+                   FROM pr p JOIN tk x ON x.doc_id = p.da
+                             JOIN tk y ON y.doc_id = p.db
+                                      AND y.h = x.h
+                   GROUP BY 1),
+            ju AS (SELECT p.pid, COUNT(DISTINCT t.h) AS u
+                   FROM pr p JOIN tk t ON t.doc_id = p.da
+                                       OR t.doc_id = p.db
+                   GROUP BY 1),
+            mh AS (SELECT t.doc_id, k.k,
+                          MIN(CAST(('0x' || substr(md5(t.tok || '#' ||
+                              CAST(k.k AS VARCHAR)), 1, 16))
+                              AS UBIGINT)) AS mv
+                   FROM tok t,
+                        (SELECT unnest(generate_series(0, 63)) AS k) k
+                   GROUP BY 1, 2),
+            mm AS (SELECT p.pid,
+                          SUM(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END)
+                              AS m
+                   FROM pr p JOIN mh a ON a.doc_id = p.da
+                             JOIN mh b ON b.doc_id = p.db
+                                      AND b.k = a.k
+                   GROUP BY 1),
+            e AS (SELECT p.pid, mm.m, COALESCE(ji.i, 0) AS i, ju.u
+                  FROM pr p JOIN mm ON mm.pid = p.pid
+                            JOIN ju ON ju.pid = p.pid
+                            LEFT JOIN ji ON ji.pid = p.pid),
+            kt AS (SELECT unnest([3, 5, 7]) AS tau),
+            c AS (SELECT tau,
+                         SUM(CASE WHEN 10 * i >= tau * u
+                                   AND 10 * m >= 64 * tau
+                             THEN 1 ELSE 0 END) AS tp,
+                         SUM(CASE WHEN 10 * i < tau * u
+                                   AND 10 * m >= 64 * tau
+                             THEN 1 ELSE 0 END) AS fp,
+                         SUM(CASE WHEN 10 * i >= tau * u
+                                   AND 10 * m < 64 * tau
+                             THEN 1 ELSE 0 END) AS fn,
+                         SUM(CASE WHEN 10 * i < tau * u
+                                   AND 10 * m < 64 * tau
+                             THEN 1 ELSE 0 END) AS tn
+                  FROM e, kt GROUP BY 1)
+            SELECT CAST(tau AS BIGINT) AS thresh_decis,
+                   CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+                   CAST(CASE WHEN tp + fp > 0
+                        THEN 10000 * tp // (tp + fp) ELSE -1 END
+                        AS BIGINT) AS precision_bps,
+                   CAST(CASE WHEN tp + fn > 0
+                        THEN 10000 * tp // (tp + fn) ELSE -1 END
+                        AS BIGINT) AS recall_bps
+            FROM c ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

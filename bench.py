@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "docs_readability",
     "priority_transition_matrix", "boilerplate_overlap_matrix",
     "token_coverage_curve",
+    "kmv_set_ops_audit", "dedup_threshold_pr",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

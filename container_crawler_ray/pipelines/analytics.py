@@ -9026,3 +9026,107 @@ def priority_transition_matrix(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "from_p", "to_p", "n", "row_share_bps"]).astype(
         {"n": "int64", "row_share_bps": "int64"})
+
+
+def kmv_set_ops_audit(sf_dir: str, k: int = 128) -> pd.DataFrame:
+    """KMV SET-ALGEBRA audit — the sketch counterpart of
+    ``users_click_and_purchase``: estimate |click users|, |purchase
+    users|, their UNION and their INTERSECTION from bottom-k (k=128)
+    60-bit md5 sketches and report each against the exact count in
+    error bps. Union is the KMV merge (k smallest of the merged
+    stream); intersection is the theta-sketch rule (both-flags count
+    within the union's k smallest, scaled by the union estimate //
+    k) — all in exact integer arithmetic, with the <k branches
+    degrading to the exact counts so the SQL twin matches
+    bit-for-bit. One ``hash % 64`` exchange folds per-user flag ORs;
+    each bucket ships 4 count partials + ≤3k sketch rows."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        uid = t.column("user_id").to_numpy()
+        sel = (et == "click") | (et == "purchase")
+        uid, et = uid[sel], et[sel]
+        if not len(uid):
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "a": pa.array([], type=pa.int8()),
+                             "b": pa.array([], type=pa.int8()),
+                             "bucket": pa.array([], type=pa.int32())})
+        u, inv = np.unique(uid, return_inverse=True)
+        h = (hash64_many([str(x) for x in u])
+             >> np.uint64(4)).astype(np.int64)
+        a = np.zeros(len(u), np.int8)
+        b = np.zeros(len(u), np.int8)
+        np.maximum.at(a, inv, (et == "click").astype(np.int8))
+        np.maximum.at(b, inv, (et == "purchase").astype(np.int8))
+        return pa.table({
+            "h": pa.array(h), "a": pa.array(a), "b": pa.array(b),
+            "bucket": pa.array(
+                (h.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        a = g["a"].to_numpy(np.int8)
+        b = g["b"].to_numpy(np.int8)
+        order = np.argsort(h, kind="mergesort")
+        h, a, b = h[order], a[order], b[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(brk)
+        hu = h[brk]
+        au = np.maximum.reduceat(a, starts)
+        bu = np.maximum.reduceat(b, starts)
+        counts = pd.DataFrame({
+            "kind": np.zeros(4, np.int8),
+            "h": np.arange(4, dtype=np.int64),
+            "a": np.zeros(4, np.int8), "b": np.zeros(4, np.int8),
+            "v": np.array([au.sum(), bu.sum(),
+                           (au & bu).sum(), len(hu)], np.int64)})
+        keep = np.zeros(len(hu), bool)
+        keep[:k] = True                      # union bottom-k
+        keep[np.flatnonzero(au == 1)[:k]] = True
+        keep[np.flatnonzero(bu == 1)[:k]] = True
+        sk = pd.DataFrame({
+            "kind": np.ones(int(keep.sum()), np.int8),
+            "h": hu[keep], "a": au[keep], "b": bu[keep],
+            "v": np.zeros(int(keep.sum()), np.int64)})
+        return pd.concat([counts, sk], ignore_index=True)
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    cx = per[per["kind"] == 0].groupby("h")["v"].sum()
+    na, nb, nab, nu = (int(cx.get(i, 0)) for i in range(4))
+    sk = per[per["kind"] == 1].sort_values("h")
+    h = sk["h"].to_numpy(np.int64)
+    a = sk["a"].to_numpy(np.int8)
+    b = sk["b"].to_numpy(np.int8)
+
+    def kmv_est(hs: np.ndarray, exact: int) -> int:
+        if exact < k or len(hs) < k:
+            return exact
+        return ((k - 1) * (1 << 60)) // int(hs[k - 1])
+
+    est_a = kmv_est(h[a == 1], na)
+    est_b = kmv_est(h[b == 1], nb)
+    est_u = kmv_est(h, nu)
+    if nu < k:
+        est_i = nab
+    else:
+        n_both = int(((a == 1) & (b == 1))[:k].sum())
+        est_i = (n_both * est_u) // k
+    rows = []
+    for name, exact, est in (
+            ("click_users", na, est_a),
+            ("intersect_users", nab, est_i),
+            ("purchase_users", nb, est_b),
+            ("union_users", nu, est_u)):
+        err = 10_000 * abs(est - exact) // exact if exact > 0 else -1
+        rows.append((name, exact, est, err))
+    return pd.DataFrame(rows, columns=[
+        "metric", "exact_count", "est_count", "err_bps"]).astype(
+        {"exact_count": "int64", "est_count": "int64",
+         "err_bps": "int64"})

@@ -1167,6 +1167,91 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
          "min_n": "int64"})
 
 
+def _lead_pair_derive(t: pa.Table, elo: np.ndarray) -> pa.Table:
+    """Shared LEAD-rule pair-legs derive: for every eligible doc
+    (doc_id % 5 == 0) emit, per pair membership, the distinct token
+    hashes (exact-Jaccard leg, kind=0) and the 64 seeded MinHash
+    signature values (estimate leg, kind=1). Used by
+    ``minhash_error_audit`` and ``dedup_threshold_pr``."""
+    from ..functions.hashing import hash64_many
+
+    did = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    pair, kind, kk, side, val = [], [], [], [], []
+    for i, s in enumerate(texts):
+        d = int(did[i])
+        if d % 5 != 0:
+            continue
+        j = int(np.searchsorted(elo, d))
+        members = []
+        if j < len(elo) - 1:
+            members.append((j, 0))
+        if j >= 1:
+            members.append((j - 1, 1))
+        if not members:
+            continue
+        toks = np.unique(np.array(s.split(), dtype=object))
+        if not len(toks):
+            continue
+        h = hash64_many(toks).astype(np.int64)
+        sig = np.empty(64, np.int64)
+        tl = list(toks)
+        for k in range(64):
+            suf = f"#{k}"
+            sig[k] = int(hash64_many(
+                [w + suf for w in tl]).min().astype(np.int64))
+        for pj, sd in members:
+            pair.extend([pj] * (len(h) + 64))
+            kind.extend([0] * len(h) + [1] * 64)
+            kk.extend([-1] * len(h))
+            kk.extend(range(64))
+            side.extend([sd] * (len(h) + 64))
+            val.extend(h.tolist())
+            val.extend(sig.tolist())
+    return pa.table({
+        "pair": pa.array(pair, type=pa.int64()),
+        "kind": pa.array(kind, type=pa.int8()),
+        "k": pa.array(kk, type=pa.int32()),
+        "side": pa.array(side, type=pa.int8()),
+        "val": pa.array(val, type=pa.int64()),
+        "bucket": pa.array([p % 64 for p in pair],
+                           type=pa.int32())})
+
+
+def _lead_pair_miu(g: pd.DataFrame):
+    """Shared per-bucket fold for the LEAD-rule pair legs: returns
+    (pair_ids, minhash_matches_of_64, exact_intersection,
+    exact_union) as int64 arrays."""
+    kd = g["kind"].to_numpy(np.int8)
+    ex = g[kd == 0]
+    p0 = ex["pair"].to_numpy(np.int64)
+    v0 = ex["val"].to_numpy(np.int64)
+    order = np.lexsort((v0, p0))
+    p0, v0 = p0[order], v0[order]
+    brk = np.empty(len(p0), bool)
+    brk[0] = True
+    brk[1:] = (p0[1:] != p0[:-1]) | (v0[1:] != v0[:-1])
+    starts = np.flatnonzero(brk)
+    runs = np.diff(np.append(starts, len(p0)))
+    rp = p0[starts]
+    pu, inv = np.unique(rp, return_inverse=True)
+    u = np.bincount(inv).astype(np.int64)
+    i_ = np.bincount(inv, weights=(runs == 2)).astype(np.int64)
+    sg = g[kd == 1]
+    p1 = sg["pair"].to_numpy(np.int64)
+    k1 = sg["k"].to_numpy(np.int32)
+    s1 = sg["side"].to_numpy(np.int8)
+    v1 = sg["val"].to_numpy(np.int64)
+    order = np.lexsort((s1, k1, p1))
+    p1, v1 = p1[order], v1[order]
+    eq = v1[0::2] == v1[1::2]
+    pk = p1[0::2]
+    pu1, inv1 = np.unique(pk, return_inverse=True)
+    m = np.bincount(inv1, weights=eq).astype(np.int64)
+    assert np.array_equal(pu, pu1)
+    return pu, m, i_, u
+
+
 def minhash_error_audit(sf_dir: str) -> pd.DataFrame:
     """MINHASH CALIBRATION audit — the number that justifies the LSH
     dedup stack's band/row settings: over deterministic LEAD-rule doc
@@ -1195,77 +1280,10 @@ def minhash_error_audit(sf_dir: str) -> pd.DataFrame:
                rows_per_block=512)
 
     def derive(t: pa.Table) -> pa.Table:
-        elo = ray.get(el_ref)
-        did = t.column("doc_id").to_numpy()
-        texts = t.column("text").to_pylist()
-        pair, kind, kk, side, val = [], [], [], [], []
-        for i, s in enumerate(texts):
-            d = int(did[i])
-            if d % 5 != 0:
-                continue
-            j = int(np.searchsorted(elo, d))
-            members = []
-            if j < len(elo) - 1:
-                members.append((j, 0))
-            if j >= 1:
-                members.append((j - 1, 1))
-            if not members:
-                continue
-            toks = np.unique(np.array(s.split(), dtype=object))
-            if not len(toks):
-                continue
-            h = hash64_many(toks).astype(np.int64)
-            sig = np.empty(64, np.int64)
-            tl = list(toks)
-            for k in range(64):
-                suf = f"#{k}"
-                sig[k] = int(hash64_many(
-                    [w + suf for w in tl]).min().astype(np.int64))
-            for pj, sd in members:
-                pair.extend([pj] * (len(h) + 64))
-                kind.extend([0] * len(h) + [1] * 64)
-                kk.extend([-1] * len(h))
-                kk.extend(range(64))
-                side.extend([sd] * (len(h) + 64))
-                val.extend(h.tolist())
-                val.extend(sig.tolist())
-        return pa.table({
-            "pair": pa.array(pair, type=pa.int64()),
-            "kind": pa.array(kind, type=pa.int8()),
-            "k": pa.array(kk, type=pa.int32()),
-            "side": pa.array(side, type=pa.int8()),
-            "val": pa.array(val, type=pa.int64()),
-            "bucket": pa.array([p % 64 for p in pair],
-                               type=pa.int32())})
+        return _lead_pair_derive(t, ray.get(el_ref))
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        kd = g["kind"].to_numpy(np.int8)
-        ex = g[kd == 0]
-        p0 = ex["pair"].to_numpy(np.int64)
-        v0 = ex["val"].to_numpy(np.int64)
-        order = np.lexsort((v0, p0))
-        p0, v0 = p0[order], v0[order]
-        brk = np.empty(len(p0), bool)
-        brk[0] = True
-        brk[1:] = (p0[1:] != p0[:-1]) | (v0[1:] != v0[:-1])
-        starts = np.flatnonzero(brk)
-        runs = np.diff(np.append(starts, len(p0)))
-        rp = p0[starts]
-        pu, inv = np.unique(rp, return_inverse=True)
-        u = np.bincount(inv).astype(np.int64)
-        i_ = np.bincount(inv, weights=(runs == 2)).astype(np.int64)
-        sg = g[kd == 1]
-        p1 = sg["pair"].to_numpy(np.int64)
-        k1 = sg["k"].to_numpy(np.int32)
-        s1 = sg["side"].to_numpy(np.int8)
-        v1 = sg["val"].to_numpy(np.int64)
-        order = np.lexsort((s1, k1, p1))
-        p1, v1 = p1[order], v1[order]
-        eq = v1[0::2] == v1[1::2]
-        pk = p1[0::2]
-        pu1, inv1 = np.unique(pk, return_inverse=True)
-        m = np.bincount(inv1, weights=eq).astype(np.int64)
-        assert np.array_equal(pu, pu1)
+        pu, m, i_, u = _lead_pair_miu(g)
         est = 10_000 * m // 64
         exv = 10_000 * i_ // u
         return pd.DataFrame({"pid": pu, "est": est, "ex": exv})
@@ -1282,4 +1300,59 @@ def minhash_error_audit(sf_dir: str) -> pd.DataFrame:
           int(err.max()))],
         columns=["n_pairs", "mean_est_bps", "mean_exact_bps",
                  "mean_abs_err_bps", "max_abs_err_bps"]) \
+        .astype("int64")
+
+
+def dedup_threshold_pr(sf_dir: str) -> pd.DataFrame:
+    """DEDUP-THRESHOLD precision/recall — the operating-point table a
+    near-dup pass is tuned from: over the same deterministic LEAD-rule
+    doc pairs as ``minhash_error_audit``, treat exact token-set
+    Jaccard >= tau as ground truth and the 64-seed MinHash estimate
+    >= tau as the prediction, for tau = 0.3 / 0.5 / 0.7, and report
+    the confusion cells plus precision/recall in bps (-1 when a
+    denominator is empty). Both legs fold through ONE ``pair % 64``
+    exchange via the shared ``_lead_pair_miu`` kernel; thresholding is
+    pure integer cross-multiplication (10·i >= tau10·u, 10·m >=
+    64·tau10 — no float ever ranks a pair), so each bucket ships 3
+    rows of 4 counters and the driver sums tiny grids."""
+    from .analytics import _read
+
+    ids = np.sort(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].to_numpy(np.int64))
+    el = ids[ids % 5 == 0]
+    el_ref = ray.put(el)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=512)
+
+    def derive(t: pa.Table) -> pa.Table:
+        return _lead_pair_derive(t, ray.get(el_ref))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        _, m, i_, u = _lead_pair_miu(g)
+        rows = []
+        for tau10 in (3, 5, 7):
+            truth = 10 * i_ >= tau10 * u
+            pred = 10 * m >= 64 * tau10
+            rows.append((tau10,
+                         int((truth & pred).sum()),
+                         int((~truth & pred).sum()),
+                         int((truth & ~pred).sum()),
+                         int((~truth & ~pred).sum())))
+        return pd.DataFrame(rows, columns=[
+            "tau10", "tp", "fp", "fn", "tn"]).astype("int64")
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("tau10", as_index=False).sum()
+           .sort_values("tau10").reset_index(drop=True))
+    tp = per["tp"].to_numpy(np.int64)
+    fp = per["fp"].to_numpy(np.int64)
+    fn = per["fn"].to_numpy(np.int64)
+    per["precision_bps"] = np.where(
+        tp + fp > 0, 10_000 * tp // np.maximum(tp + fp, 1), -1)
+    per["recall_bps"] = np.where(
+        tp + fn > 0, 10_000 * tp // np.maximum(tp + fn, 1), -1)
+    return per.rename(columns={"tau10": "thresh_decis"}) \
         .astype("int64")
