@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_coverage_curve": curate.token_coverage_curve,
         "kmv_set_ops_audit": analytics.kmv_set_ops_audit,
         "dedup_threshold_pr": dedup.dedup_threshold_pr,
+        "simpson_paradox_audit": analytics.simpson_paradox_audit,
+        "zipf_slope_audit": curate.zipf_slope_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5605,6 +5607,77 @@ def oracle_sql() -> dict[str, str]:
                         THEN 10000 * tp // (tp + fn) ELSE -1 END
                         AS BIGINT) AS recall_bps
             FROM c ORDER BY 1
+        """,
+        "simpson_paradox_audit": """
+            WITH d AS (SELECT l_returnflag AS grp,
+                              CAST(FLOOR(l_discount * 100) AS BIGINT)
+                                  AS x,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS y
+                       FROM lineitem),
+            g AS (SELECT grp, COUNT(*) AS n, SUM(x) AS sx,
+                         SUM(y) AS sy, SUM(x * x) AS sxx,
+                         SUM(x * y) AS sxy
+                  FROM d GROUP BY 1
+                  UNION ALL
+                  SELECT 'ALL', COUNT(*), SUM(x), SUM(y),
+                         SUM(x * x), SUM(x * y)
+                  FROM d),
+            s AS (SELECT grp, n,
+                         CAST(n AS HUGEINT) * sxy
+                             - CAST(sx AS HUGEINT) * sy AS num,
+                         CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS den
+                  FROM g)
+            SELECT grp, CAST(n AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN den > 0 THEN
+                        (CASE WHEN num > 0 THEN 1
+                              WHEN num < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(num)) // den)
+                        ELSE 0 END AS BIGINT) AS slope_milli,
+                   CAST(CASE WHEN num > 0 THEN 1
+                             WHEN num < 0 THEN -1 ELSE 0 END
+                        AS BIGINT) AS slope_sign
+            FROM s ORDER BY grp
+        """,
+        "zipf_slope_audit": r"""
+            WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            f AS (SELECT CAST(('0x' || substr(md5(tok), 1, 16))
+                              AS UBIGINT) AS h,
+                         COUNT(*) AS n
+                  FROM t GROUP BY 1),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC)
+                             AS rk
+                  FROM f),
+            p AS (SELECT CAST(LENGTH(printf('%b', rk)) - 1
+                              AS BIGINT) AS x,
+                         CAST(LENGTH(printf('%b', n)) - 1
+                              AS BIGINT) AS y
+                  FROM r),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM p),
+            s AS (SELECT n, n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS den,
+                         n * syy - sy * sy AS syc,
+                         (SELECT SUM(n) FROM f) AS tot
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS vocab,
+                   CAST(tot AS BIGINT) AS total_tokens,
+                   CAST(CASE WHEN den > 0 THEN
+                        (CASE WHEN num > 0 THEN 1
+                              WHEN num < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(num)) // den)
+                        ELSE 0 END AS BIGINT) AS slope_milli,
+                   CAST(CASE WHEN den > 0 AND syc > 0
+                        THEN (10000 * num * num) // (den * syc)
+                        ELSE 10000 END AS BIGINT) AS r2_bps
+            FROM s
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

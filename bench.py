@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "priority_transition_matrix", "boilerplate_overlap_matrix",
     "token_coverage_curve",
     "kmv_set_ops_audit", "dedup_threshold_pr",
+    "simpson_paradox_audit", "zipf_slope_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

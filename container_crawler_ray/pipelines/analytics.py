@@ -9130,3 +9130,60 @@ def kmv_set_ops_audit(sf_dir: str, k: int = 128) -> pd.DataFrame:
         "metric", "exact_count", "est_count", "err_bps"]).astype(
         {"exact_count": "int64", "est_count": "int64",
          "err_bps": "int64"})
+
+
+def simpson_paradox_audit(sf_dir: str) -> pd.DataFrame:
+    """SIMPSON'S-PARADOX audit on the discount→quantity relationship:
+    the OLS slope over ALL lineitems vs within each returnflag
+    stratum — the aggregation trap every metrics dashboard needs a
+    tripwire for. Five integer moments (n, Sx, Sy, Sxx, Sxy) fold
+    map-side per flag (a 4-row grid at any scale, NO exchange beyond
+    the tiny grouped sum); the slope is the exact Cramer ratio
+    sign-normalized to milli units (sgn·(1000·|num| // |den|), the
+    house negative-division rule), so no float ever enters."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = np.asarray(t.column("l_returnflag"), dtype=object)
+        x = np.floor(t.column("l_discount").to_numpy()
+                     * 100.0).astype(np.int64)
+        y = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        uf, inv = np.unique(fl, return_inverse=True)
+        return pa.table({
+            "flag": pa.array(list(uf), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": pa.array(np.bincount(inv, weights=x)
+                           .astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=y)
+                           .astype(np.int64)),
+            "sxx": pa.array(np.bincount(inv, weights=x * x)
+                            .astype(np.int64)),
+            "sxy": pa.array(np.bincount(inv, weights=x * y)
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("flag")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sx", alias_name="sx"),
+                    Sum("sy", alias_name="sy"),
+                    Sum("sxx", alias_name="sxx"),
+                    Sum("sxy", alias_name="sxy"))
+         .to_pandas().sort_values("flag").reset_index(drop=True))
+    tot = g[["n", "sx", "sy", "sxx", "sxy"]].sum()
+    rows = []
+    for name, m in ([("ALL", tot)]
+                    + [(r["flag"], r) for _, r in g.iterrows()]):
+        n, sx, sy, sxx, sxy = (int(m[c]) for c in
+                               ("n", "sx", "sy", "sxx", "sxy"))
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        sgn = (num > 0) - (num < 0)
+        slope = sgn * ((1000 * abs(num)) // den) if den > 0 else 0
+        rows.append((name, n, slope, sgn))
+    return pd.DataFrame(rows, columns=[
+        "grp", "n_lines", "slope_milli", "slope_sign"]).astype(
+        {"n_lines": "int64", "slope_milli": "int64",
+         "slope_sign": "int64"}).sort_values("grp") \
+        .reset_index(drop=True)

@@ -1136,3 +1136,75 @@ def token_coverage_curve(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "k_checkpoint", "tokens_used", "covered_tokens",
         "coverage_bps"]).astype("int64")
+
+
+def zipf_slope_audit(sf_dir: str) -> pd.DataFrame:
+    """ZIPF-LAW fit over the token frequency spectrum: OLS slope of
+    ilog2(frequency) on ilog2(rank) across the whole vocabulary —
+    the sanity number (≈ -1 for natural text) a corpus-quality gate
+    reads before trusting token statistics. Frequencies fold through
+    the same ONE ``hash % 64`` exchange as ``token_coverage_curve``
+    (frequencies-only driver pull); ranks are dense 1..V on the
+    descending sort, and because tied frequencies occupy consecutive
+    ranks the (rank, freq) multiset — hence every moment — is
+    tie-order invariant. ilog2 via ``np.frexp`` (exact integer
+    exponents, no float-boundary risk); slope and r² are exact
+    integer Cramer ratios in Python bigints, sign-normalized to
+    milli/bps units."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               rows_per_block=2048)
+
+    def derive(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t.column("text").to_pylist():
+            toks.extend(s.split())
+        if not toks:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        h = hash64_many(np.array(toks, dtype=object)).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u), "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array(
+                (u.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        n = n[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        hs = h[order]
+        brk[1:] = hs[1:] != hs[:-1]
+        f = np.add.reduceat(n, np.flatnonzero(brk))
+        return pd.DataFrame({"f": f.astype(np.int64)})
+
+    f = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas()["f"].to_numpy(np.int64))
+    f = np.sort(f)[::-1]
+    v = len(f)
+    rank = np.arange(1, v + 1, dtype=np.int64)
+    x = (np.frexp(rank.astype(np.float64))[1] - 1).astype(np.int64)
+    y = (np.frexp(f.astype(np.float64))[1] - 1).astype(np.int64)
+    n = v
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = int((x * x).sum())
+    syy = int((y * y).sum())
+    sxy = int((x * y).sum())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    syy_c = n * syy - sy * sy
+    sgn = (num > 0) - (num < 0)
+    slope = sgn * ((1000 * abs(num)) // den) if den > 0 else 0
+    r2 = ((10_000 * num * num) // (den * syy_c)
+          if den > 0 and syy_c > 0 else 10_000)
+    return pd.DataFrame(
+        [(v, int(f.sum()), slope, r2)],
+        columns=["vocab", "total_tokens", "slope_milli",
+                 "r2_bps"]).astype("int64")

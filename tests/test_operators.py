@@ -134,6 +134,7 @@ def test_entry_smoke(entrymod):
     "priority_transition_matrix", "boilerplate_overlap_matrix",
     "token_coverage_curve",
     "kmv_set_ops_audit", "dedup_threshold_pr",
+    "simpson_paradox_audit", "zipf_slope_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
