@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_threshold_pr": dedup.dedup_threshold_pr,
         "simpson_paradox_audit": analytics.simpson_paradox_audit,
         "zipf_slope_audit": curate.zipf_slope_audit,
+        "embedding_isotropy_audit": analytics.embedding_isotropy_audit,
+        "kfold_balance_audit": curate.kfold_balance_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5678,6 +5680,93 @@ def oracle_sql() -> dict[str, str]:
                         THEN (10000 * num * num) // (den * syc)
                         ELSE 10000 END AS BIGINT) AS r2_bps
             FROM s
+        """,
+        "embedding_isotropy_audit": """
+            WITH u AS (SELECT vec_id,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                   AS DOUBLE) * 1000.0) AS BIGINT)
+                                  AS iv,
+                              unnest(generate_series(1,
+                                  len(embedding))) AS dim
+                       FROM embeddings),
+            m AS (SELECT dim, SUM(iv) AS s, SUM(iv * iv) AS sq,
+                         COUNT(*) AS n
+                  FROM u GROUP BY 1),
+            x AS (SELECT a.dim AS i, b.dim AS j,
+                         SUM(a.iv * b.iv) AS sij
+                  FROM u a JOIN u b ON a.vec_id = b.vec_id
+                                   AND a.dim < b.dim
+                  GROUP BY 1, 2),
+            p AS (SELECT
+                      CAST(ma.n AS HUGEINT) * x.sij
+                          - CAST(ma.s AS HUGEINT) * mb.s AS num,
+                      CAST(ma.n AS HUGEINT) * ma.sq
+                          - CAST(ma.s AS HUGEINT) * ma.s AS di,
+                      CAST(mb.n AS HUGEINT) * mb.sq
+                          - CAST(mb.s AS HUGEINT) * mb.s AS dj
+                  FROM x JOIN m ma ON ma.dim = x.i
+                         JOIN m mb ON mb.dim = x.j),
+            c AS (SELECT COUNT(*) AS np,
+                         SUM(CASE WHEN 10000 * num * num
+                                  >= 25 * di * dj
+                             THEN 1 ELSE 0 END) AS g5,
+                         SUM(CASE WHEN 10000 * num * num
+                                  >= 100 * di * dj
+                             THEN 1 ELSE 0 END) AS g10,
+                         SUM(CASE WHEN 10000 * num * num
+                                  >= 400 * di * dj
+                             THEN 1 ELSE 0 END) AS g20
+                  FROM p),
+            meta AS (SELECT MAX(dim) AS d, MAX(n) AS nv FROM m)
+            SELECT CAST(d AS BIGINT) AS d,
+                   CAST(nv AS BIGINT) AS n_vecs,
+                   CAST(np AS BIGINT) AS n_pairs,
+                   CAST(g5 AS BIGINT) AS ge5,
+                   CAST(g10 AS BIGINT) AS ge10,
+                   CAST(g20 AS BIGINT) AS ge20,
+                   CAST(10000 * g5 // np AS BIGINT) AS ge5_bps,
+                   CAST(10000 * g10 // np AS BIGINT) AS ge10_bps,
+                   CAST(10000 * g20 // np AS BIGINT) AS ge20_bps
+            FROM c, meta
+        """,
+        "kfold_balance_audit": """
+            WITH d AS (SELECT CAST(CAST(('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR)), 1, 16))
+                               AS UBIGINT) % 5 AS BIGINT) AS fold,
+                              source
+                       FROM documents),
+            o AS (SELECT fold, source, COUNT(*) AS o
+                  FROM d GROUP BY 1, 2),
+            r AS (SELECT fold, SUM(o) AS rt FROM o GROUP BY 1),
+            c AS (SELECT source, SUM(o) AS ct FROM o GROUP BY 1),
+            n AS (SELECT SUM(o) AS n FROM o),
+            cell AS (SELECT r.fold, c.source, r.rt, c.ct, n.n,
+                            COALESCE(o.o, 0) AS o
+                     FROM r CROSS JOIN c CROSS JOIN n
+                          LEFT JOIN o ON o.fold = r.fold
+                                     AND o.source = c.source),
+            ch AS (SELECT fold, source, rt,
+                          CAST((1000 * (CAST(n AS HUGEINT) * o
+                                        - CAST(rt AS HUGEINT) * ct)
+                                     * (CAST(n AS HUGEINT) * o
+                                        - CAST(rt AS HUGEINT) * ct))
+                               // (CAST(n AS HUGEINT) * rt * ct)
+                               AS BIGINT) AS contrib
+                   FROM cell),
+            w AS (SELECT fold, source, contrib,
+                         ROW_NUMBER() OVER (PARTITION BY fold
+                             ORDER BY contrib DESC, source) AS rk
+                  FROM ch)
+            SELECT ch.fold,
+                   CAST(MAX(ch.rt) AS BIGINT) AS n_docs,
+                   CAST(SUM(ch.contrib) AS BIGINT) AS chi2_milli,
+                   MAX(CASE WHEN w.rk = 1 THEN w.source END)
+                       AS worst_source,
+                   CAST(MAX(CASE WHEN w.rk = 1 THEN w.contrib END)
+                        AS BIGINT) AS worst_cell_milli
+            FROM ch JOIN w ON w.fold = ch.fold
+                          AND w.source = ch.source
+            GROUP BY ch.fold ORDER BY ch.fold
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "token_coverage_curve",
     "kmv_set_ops_audit", "dedup_threshold_pr",
     "simpson_paradox_audit", "zipf_slope_audit",
+    "embedding_isotropy_audit", "kfold_balance_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

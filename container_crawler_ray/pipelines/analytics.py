@@ -9187,3 +9187,58 @@ def simpson_paradox_audit(sf_dir: str) -> pd.DataFrame:
         {"n_lines": "int64", "slope_milli": "int64",
          "slope_sign": "int64"}).sort_values("grp") \
         .reset_index(drop=True)
+
+
+def embedding_isotropy_audit(sf_dir: str) -> pd.DataFrame:
+    """ISOTROPY audit of the embedding space: how many of the d·(d-1)/2
+    dimension pairs are correlated beyond |r| >= 0.05 / 0.10 / 0.20 —
+    the whitening-needed signal a retrieval stack checks before
+    trusting cosine distances. Each block emits ONE fixed-size partial
+    (the d×d int64 Gram of 1e-3 fixed-point values packed as binary,
+    plus column sums — ZERO shuffle, a gradient-style all-reduce like
+    ``embedding_dim_stats``); the driver thresholds every pair with
+    the exact integer cross-multiplication 10000·num² >= t²·den_i·
+    den_j, so no float or sqrt ever decides a pair."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        return pa.table({
+            "n": pa.array([fp.shape[0]], type=pa.int64()),
+            "d": pa.array([dim], type=pa.int64()),
+            "s": pa.array([fp.sum(axis=0).tobytes()],
+                          type=pa.large_binary()),
+            "g": pa.array([(fp.T @ fp).tobytes()],
+                          type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    d = int(rows[0]["d"])
+    s = np.sum([np.frombuffer(r["s"], dtype=np.int64) for r in rows],
+               axis=0)
+    gm = np.sum([np.frombuffer(r["g"], dtype=np.int64)
+                 .reshape(d, d) for r in rows], axis=0)
+    den = [n * int(gm[i, i]) - int(s[i]) * int(s[i])
+           for i in range(d)]
+    ge = [0, 0, 0]
+    n_pairs = 0
+    for i in range(d):
+        for j in range(i + 1, d):
+            n_pairs += 1
+            num = n * int(gm[i, j]) - int(s[i]) * int(s[j])
+            lhs = 10_000 * num * num
+            rhs = den[i] * den[j]
+            for t_, tsq in enumerate((25, 100, 400)):
+                if lhs >= tsq * rhs:
+                    ge[t_] += 1
+    return pd.DataFrame(
+        [(d, n, n_pairs, ge[0], ge[1], ge[2],
+          10_000 * ge[0] // n_pairs, 10_000 * ge[1] // n_pairs,
+          10_000 * ge[2] // n_pairs)],
+        columns=["d", "n_vecs", "n_pairs", "ge5", "ge10", "ge20",
+                 "ge5_bps", "ge10_bps", "ge20_bps"]).astype("int64")

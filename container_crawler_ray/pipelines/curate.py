@@ -1208,3 +1208,62 @@ def zipf_slope_audit(sf_dir: str) -> pd.DataFrame:
         [(v, int(f.sum()), slope, r2)],
         columns=["vocab", "total_tokens", "slope_milli",
                  "r2_bps"]).astype("int64")
+
+
+def kfold_balance_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """SPLIT-QUALITY audit for a pure hash k-fold assignment (fold =
+    md5-64(doc_id) % k, the map-side-only rule that scales to any
+    corpus): is each fold a fair sample of the source mix? Per fold we
+    report the doc count, the exact integer chi-square contribution
+    summed over sources (per-cell milli floor of (n·o − rt·ct)² /
+    (n·rt·ct)) and the worst-balanced source. Observed cells fold as
+    map-side bincounts over (fold, source) — a k×n_sources grid at
+    any scale, NO exchange beyond the tiny grouped sum."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy()
+        src = np.asarray(t.column("source"), dtype=object)
+        fold = (hash64_many([str(int(x)) for x in did])
+                % np.uint64(k)).astype(np.int64)
+        us, inv = np.unique(src, return_inverse=True)
+        cell = fold * len(us) + inv
+        cnt = np.bincount(cell, minlength=k * len(us)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "fold": pa.array((nz // len(us)).astype(np.int64)),
+            "source": pa.array([str(us[i]) for i in nz % len(us)],
+                               type=pa.string()),
+            "n": pa.array(cnt[nz])})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("fold").map_groups(
+             lambda df: df.groupby(["fold", "source"],
+                                   as_index=False)["n"].sum(),
+             batch_format="pandas")
+         .to_pandas())
+    n = int(g["n"].sum())
+    rt = g.groupby("fold")["n"].sum()
+    ct = g.groupby("source")["n"].sum()
+    rows = []
+    for fold in sorted(rt.index):
+        sub = g[g["fold"] == fold]
+        best_src, best_c, chi2 = "", -1, 0
+        for src in sorted(ct.index):
+            o = int(sub[sub["source"] == src]["n"].sum())
+            r_, c_ = int(rt[fold]), int(ct[src])
+            dev = n * o - r_ * c_
+            contrib = (1000 * dev * dev) // (n * r_ * c_)
+            chi2 += contrib
+            if contrib > best_c:
+                best_c, best_src = contrib, src
+        rows.append((int(fold), int(rt[fold]), chi2, best_src,
+                     best_c))
+    return pd.DataFrame(rows, columns=[
+        "fold", "n_docs", "chi2_milli", "worst_source",
+        "worst_cell_milli"]).astype(
+        {"fold": "int64", "n_docs": "int64", "chi2_milli": "int64",
+         "worst_cell_milli": "int64"})
