@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope_audit": curate.zipf_slope_audit,
         "embedding_isotropy_audit": analytics.embedding_isotropy_audit,
         "kfold_balance_audit": curate.kfold_balance_audit,
+        "tcloseness_audit": analytics.tcloseness_audit,
+        "ab_power_mde": analytics.ab_power_mde,
+        "token_burstiness": curate.token_burstiness,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5767,6 +5770,87 @@ def oracle_sql() -> dict[str, str]:
             FROM ch JOIN w ON w.fold = ch.fold
                           AND w.source = ch.source
             GROUP BY ch.fold ORDER BY ch.fold
+        """,
+        "tcloseness_audit": """
+            WITH d AS (SELECT o_orderpriority AS pr,
+                              date_trunc('month', o_orderdate) AS mo,
+                              o_orderstatus AS st
+                       FROM orders),
+            o AS (SELECT pr, mo, st, COUNT(*) AS n
+                  FROM d GROUP BY 1, 2, 3),
+            cs AS (SELECT st, SUM(n) AS c FROM o GROUP BY 1),
+            nn AS (SELECT SUM(n) AS big_n FROM o),
+            grp AS (SELECT pr, mo, SUM(n) AS g FROM o GROUP BY 1, 2),
+            cell AS (SELECT grp.pr, grp.mo, grp.g, cs.st, cs.c,
+                            COALESCE(o.n, 0) AS os
+                     FROM grp CROSS JOIN cs
+                          LEFT JOIN o ON o.pr = grp.pr
+                                     AND o.mo = grp.mo
+                                     AND o.st = cs.st),
+            tv AS (SELECT pr, mo, MAX(g) AS g,
+                          (10000 * SUM(ABS(CAST(os AS HUGEINT)
+                                           * big_n
+                                           - CAST(g AS HUGEINT)
+                                             * c)))
+                          // (2 * CAST(MAX(g) AS HUGEINT) * big_n)
+                              AS tvb
+                   FROM cell, nn GROUP BY pr, mo, big_n),
+            b AS (SELECT CASE WHEN tvb <= 1000 THEN 0
+                              WHEN tvb <= 2000 THEN 1
+                              WHEN tvb <= 3000 THEN 2
+                              ELSE 3 END AS band, g, tvb
+                  FROM tv)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   CAST(SUM(g) AS BIGINT) AS n_rows,
+                   CAST(MAX(tvb) AS BIGINT) AS max_tv_bps,
+                   CAST(10000 * SUM(g) // (SELECT big_n FROM nn)
+                        AS BIGINT) AS rows_share_bps
+            FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "ab_power_mde": """
+            WITH u AS (SELECT DISTINCT user_id, event_type
+                       FROM events),
+            nt AS (SELECT event_type, COUNT(*) AS n_with
+                   FROM u GROUP BY 1),
+            nn AS (SELECT COUNT(DISTINCT user_id) AS n_users
+                   FROM events)
+            SELECT event_type,
+                   CAST(n_users AS BIGINT) AS n_users,
+                   CAST(n_with AS BIGINT) AS n_with,
+                   CAST(10000 * n_with // n_users AS BIGINT)
+                       AS p_bps,
+                   CAST(FLOOR(10000.0 * (2.8 * sqrt(
+                        (2.0 * (CAST(n_with AS DOUBLE)
+                                / CAST(n_users AS DOUBLE))
+                         * (1.0 - CAST(n_with AS DOUBLE)
+                                  / CAST(n_users AS DOUBLE)))
+                        / (n_users // 2)))) AS BIGINT) AS mde_bps
+            FROM nt, nn ORDER BY event_type
+        """,
+        "token_burstiness": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 15))
+                              AS UBIGINT) AS h
+                  FROM t),
+            f AS (SELECT h, COUNT(*) AS cf,
+                         COUNT(DISTINCT doc_id) AS df
+                  FROM h GROUP BY 1),
+            r AS (SELECT h, cf, df,
+                         ROW_NUMBER() OVER (ORDER BY cf DESC, h)
+                             AS rk
+                  FROM f QUALIFY rk <= 20)
+            SELECT CAST(rk AS BIGINT) AS rk,
+                   CAST(h AS BIGINT) AS tok_hash,
+                   CAST(cf AS BIGINT) AS cf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(1000 * cf // df AS BIGINT)
+                       AS burstiness_milli
+            FROM r ORDER BY rk
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

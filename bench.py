@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "kmv_set_ops_audit", "dedup_threshold_pr",
     "simpson_paradox_audit", "zipf_slope_audit",
     "embedding_isotropy_audit", "kfold_balance_audit",
+    "tcloseness_audit", "ab_power_mde", "token_burstiness",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -9242,3 +9242,101 @@ def embedding_isotropy_audit(sf_dir: str) -> pd.DataFrame:
           10_000 * ge[2] // n_pairs)],
         columns=["d", "n_vecs", "n_pairs", "ge5", "ge10", "ge20",
                  "ge5_bps", "ge10_bps", "ge20_bps"]).astype("int64")
+
+
+def tcloseness_audit(sf_dir: str) -> pd.DataFrame:
+    """T-CLOSENESS privacy audit — the third leg of the k-anonymity /
+    l-diversity trio: for each quasi-identifier group (order priority,
+    order month), the total-variation distance between the group's
+    sensitive-attribute (order status) distribution and the GLOBAL
+    one, in exact integer bps: tv = (10^4·Σ_s|o_s·N − g·c_s|) //
+    (2·g·N). Groups band at t = 0.10 / 0.20 / 0.30; per band we report
+    group count, row count and row share. Same dimension-sized
+    (pr, mo, st) grouped count as ``ldiversity_audit`` — no exchange
+    a 100-TB run would feel."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_orderdate",
+                        "o_orderstatus"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        mo = t.column("o_orderdate").to_numpy() \
+            .astype("datetime64[M]").astype(np.int64)
+        return pa.table({"pr": t.column("o_orderpriority"),
+                         "mo": pa.array(mo),
+                         "st": t.column("o_orderstatus")})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby(["pr", "mo", "st"])
+         .aggregate(Count(alias_name="n")).to_pandas())
+    big_n = int(g["n"].sum())
+    cs = g.groupby("st")["n"].sum()
+    rows = []
+    for (pr, mo), sub in g.groupby(["pr", "mo"]):
+        gn = int(sub["n"].sum())
+        acc = 0
+        for st in cs.index:
+            o = int(sub[sub["st"] == st]["n"].sum())
+            acc += abs(o * big_n - gn * int(cs[st]))
+        tv = (10_000 * acc) // (2 * gn * big_n)
+        band = 0 if tv <= 1000 else 1 if tv <= 2000 \
+            else 2 if tv <= 3000 else 3
+        rows.append((band, gn, tv))
+    df = pd.DataFrame(rows, columns=["band", "g", "tv"])
+    out = (df.groupby("band", as_index=False)
+           .agg(n_groups=("g", "size"), n_rows=("g", "sum"),
+                max_tv_bps=("tv", "max")))
+    out["rows_share_bps"] = (10_000 * out["n_rows"]) // big_n
+    return out.sort_values("band").reset_index(drop=True) \
+        .astype("int64")
+
+
+def ab_power_mde(sf_dir: str) -> pd.DataFrame:
+    """EXPERIMENT-POWER readout: for each event type, the minimum
+    detectable absolute effect (80% power, alpha = 5%, z-sum 2.8) of
+    a 50/50 user split on the "has >= 1 event of this type" binary
+    metric — the table an experimentation platform shows before
+    anyone launches a test. Per-user type flags fold through one
+    ``user % 64`` exchange into exact integer (n_users, n_with)
+    counts; the MDE is the ONE final float expression, written with
+    the identical operation order in Python and SQL (the house
+    IEEE-order-matching rule), floored to bps."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        df = pd.DataFrame({"u": uid, "ty": et}).drop_duplicates()
+        u = df["u"].to_numpy(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "ty": pa.array(list(df["ty"]), type=pa.string()),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["u", "ty"])
+        nt = d.groupby("ty")["u"].nunique()
+        return pd.DataFrame({
+            "ty": list(nt.index) + ["__all__"],
+            "n": list(nt.to_numpy(np.int64))
+            + [d["u"].nunique()]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("ty", as_index=False)["n"].sum())
+    n_users = int(per[per["ty"] == "__all__"]["n"].iloc[0])
+    nh = n_users // 2
+    rows = []
+    for _, r in per[per["ty"] != "__all__"].iterrows():
+        nw = int(r["n"])
+        p = nw / n_users
+        mde = math.floor(10_000.0 * (2.8 * math.sqrt(
+            (2.0 * p * (1.0 - p)) / nh)))
+        rows.append((r["ty"], n_users, nw,
+                     10_000 * nw // n_users, mde))
+    return (pd.DataFrame(rows, columns=[
+        "event_type", "n_users", "n_with", "p_bps", "mde_bps"])
+        .sort_values("event_type").reset_index(drop=True)
+        .astype({c: "int64" for c in
+                 ("n_users", "n_with", "p_bps", "mde_bps")}))

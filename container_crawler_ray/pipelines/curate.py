@@ -1267,3 +1267,80 @@ def kfold_balance_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
         "worst_cell_milli"]).astype(
         {"fold": "int64", "n_docs": "int64", "chi2_milli": "int64",
          "worst_cell_milli": "int64"})
+
+
+def token_burstiness(sf_dir: str) -> pd.DataFrame:
+    """CHURCH-GALE token burstiness for the top-20 collection-frequency
+    tokens: cf / df (collection frequency over document frequency) in
+    milli units — near-1000 means evenly spread (stopword-like),
+    large means bursty/topical; the signal a stopword list or an IDF
+    floor is tuned from. Per batch both counters partial per 60-bit
+    md5 token hash (df adds once per containing doc, exact because a
+    doc is never split across batches); ONE ``hash % 64`` exchange
+    folds them, each bucket ships only its top-20 by (cf desc, hash
+    asc), and the driver merges 64 tiny lists with the same total
+    order the SQL window twin uses."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    ds = _read(sf_dir, "documents", columns=["text"],
+               rows_per_block=2048)
+
+    def derive(t: pa.Table) -> pa.Table:
+        hs, cfs, dfs = [], [], []
+        agg = {}
+        for s in t.column("text").to_pylist():
+            w = s.split()
+            if not w:
+                continue
+            h = (hash64_many(np.array(w, dtype=object))
+                 >> np.uint64(4)).astype(np.int64)
+            u, c = np.unique(h, return_counts=True)
+            for hh, cc in zip(u, c):
+                e = agg.get(hh)
+                if e is None:
+                    agg[hh] = [int(cc), 1]
+                else:
+                    e[0] += int(cc)
+                    e[1] += 1
+        if not agg:
+            return pa.table({"h": pa.array([], type=pa.int64()),
+                             "cf": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64()),
+                             "bucket": pa.array([], type=pa.int32())})
+        h = np.fromiter(agg.keys(), np.int64, len(agg))
+        cf = np.array([v[0] for v in agg.values()], np.int64)
+        df = np.array([v[1] for v in agg.values()], np.int64)
+        return pa.table({
+            "h": pa.array(h), "cf": pa.array(cf), "df": pa.array(df),
+            "bucket": pa.array(
+                (h.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy(np.int64)
+        cf = g["cf"].to_numpy(np.int64)
+        df = g["df"].to_numpy(np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, cf, df = h[order], cf[order], df[order]
+        brk = np.empty(len(h), bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(brk)
+        hu = h[brk]
+        cfu = np.add.reduceat(cf, starts)
+        dfu = np.add.reduceat(df, starts)
+        top = np.lexsort((hu, -cfu))[:20]
+        return pd.DataFrame({"h": hu[top], "cf": cfu[top],
+                             "df": dfu[top]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    order = np.lexsort((per["h"].to_numpy(np.int64),
+                        -per["cf"].to_numpy(np.int64)))[:20]
+    out = per.iloc[order].reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["burstiness_milli"] = (1000 * out["cf"]) // out["df"]
+    return out.rename(columns={"h": "tok_hash"})[
+        ["rk", "tok_hash", "cf", "df", "burstiness_milli"]] \
+        .astype("int64")

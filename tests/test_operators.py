@@ -136,6 +136,7 @@ def test_entry_smoke(entrymod):
     "kmv_set_ops_audit", "dedup_threshold_pr",
     "simpson_paradox_audit", "zipf_slope_audit",
     "embedding_isotropy_audit", "kfold_balance_audit",
+    "tcloseness_audit", "ab_power_mde", "token_burstiness",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
