@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tcloseness_audit": analytics.tcloseness_audit,
         "ab_power_mde": analytics.ab_power_mde,
         "token_burstiness": curate.token_burstiness,
+        "fold_leakage_audit": dedup.fold_leakage_audit,
+        "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5851,6 +5853,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * cf // df AS BIGINT)
                        AS burstiness_milli
             FROM r ORDER BY rk
+        """,
+        "fold_leakage_audit": r"""
+            WITH el AS (SELECT doc_id, text,
+                               ROW_NUMBER() OVER (ORDER BY doc_id) - 1
+                                   AS j
+                        FROM documents WHERE doc_id % 5 = 0),
+            pr AS (SELECT a.j AS pid, a.doc_id AS da, b.doc_id AS db,
+                          CAST(CAST(('0x' || substr(md5(CAST(a.doc_id
+                               AS VARCHAR)), 1, 16)) AS UBIGINT) % 5
+                               AS BIGINT) AS fa,
+                          CAST(CAST(('0x' || substr(md5(CAST(b.doc_id
+                               AS VARCHAR)), 1, 16)) AS UBIGINT) % 5
+                               AS BIGINT) AS fb
+                   FROM el a JOIN el b ON b.j = a.j + 1),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\S+'))
+                               AS tok
+                    FROM el),
+            tk AS (SELECT DISTINCT doc_id,
+                          CAST(('0x' || substr(md5(tok), 1, 16))
+                               AS UBIGINT) AS h
+                   FROM tok),
+            ji AS (SELECT p.pid, COUNT(*) AS i
+                   FROM pr p JOIN tk x ON x.doc_id = p.da
+                             JOIN tk y ON y.doc_id = p.db
+                                      AND y.h = x.h
+                   GROUP BY 1),
+            ju AS (SELECT p.pid, COUNT(DISTINCT t.h) AS u
+                   FROM pr p JOIN tk t ON t.doc_id = p.da
+                                       OR t.doc_id = p.db
+                   GROUP BY 1),
+            e AS (SELECT p.pid, p.fa, p.fb,
+                         COALESCE(ji.i, 0) AS i, ju.u
+                  FROM pr p JOIN ju ON ju.pid = p.pid
+                            LEFT JOIN ji ON ji.pid = p.pid),
+            d AS (SELECT fa, fb FROM e WHERE 2 * i >= u)
+            SELECT CAST((SELECT COUNT(*) FROM pr) AS BIGINT)
+                       AS n_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups,
+                   CAST(COALESCE(SUM(CASE WHEN fa = fb THEN 1
+                                     ELSE 0 END), 0) AS BIGINT)
+                       AS same_fold,
+                   CAST(COALESCE(SUM(CASE WHEN fa <> fb THEN 1
+                                     ELSE 0 END), 0) AS BIGINT)
+                       AS cross_fold,
+                   CAST(CASE WHEN COUNT(*) > 0
+                        THEN 10000 * COALESCE(SUM(CASE WHEN fa <> fb
+                                               THEN 1 ELSE 0 END), 0)
+                             // COUNT(*)
+                        ELSE 0 END AS BIGINT) AS leakage_bps
+            FROM d
+        """,
+        "poisson_bootstrap_ci": """
+            WITH w AS (SELECT b.b,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS cents,
+                              CASE WHEN m < 368 THEN 0
+                                   WHEN m < 736 THEN 1
+                                   WHEN m < 920 THEN 2
+                                   WHEN m < 981 THEN 3
+                                   WHEN m < 996 THEN 4
+                                   ELSE 5 END AS w
+                       FROM (SELECT o_orderkey, o_totalprice, b.b,
+                                    CAST(('0x' || substr(md5(
+                                        CAST(o_orderkey AS VARCHAR)
+                                        || '#' ||
+                                        CAST(b.b AS VARCHAR)), 1, 16))
+                                        AS UBIGINT) % 1000 AS m
+                             FROM orders,
+                                  (SELECT unnest(generate_series(0,
+                                       63)) AS b) b) b),
+            r AS (SELECT b, SUM(w * cents) AS s, SUM(w) AS c
+                  FROM w GROUP BY 1),
+            mm AS (SELECT s // GREATEST(c, 1) AS mean FROM r),
+            q AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean)
+                             AS rk
+                  FROM mm)
+            SELECT CAST(64 AS BIGINT) AS n_reps,
+                   CAST((SELECT SUM(mean) FROM mm) // 64 AS BIGINT)
+                       AS mean_of_means_cents,
+                   CAST(MAX(CASE WHEN rk = 4 THEN mean END)
+                        AS BIGINT) AS p5_cents,
+                   CAST(MAX(CASE WHEN rk = 33 THEN mean END)
+                        AS BIGINT) AS p50_cents,
+                   CAST(MAX(CASE WHEN rk = 61 THEN mean END)
+                        AS BIGINT) AS p95_cents,
+                   CAST(MAX(CASE WHEN rk = 61 THEN mean END)
+                        - MAX(CASE WHEN rk = 4 THEN mean END)
+                        AS BIGINT) AS ci_width_cents
+            FROM q
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

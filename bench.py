@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "simpson_paradox_audit", "zipf_slope_audit",
     "embedding_isotropy_audit", "kfold_balance_audit",
     "tcloseness_audit", "ab_power_mde", "token_burstiness",
+    "fold_leakage_audit", "poisson_bootstrap_ci",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

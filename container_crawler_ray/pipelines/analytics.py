@@ -9340,3 +9340,53 @@ def ab_power_mde(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
         .astype({c: "int64" for c in
                  ("n_users", "n_with", "p_bps", "mde_bps")}))
+
+
+def poisson_bootstrap_ci(sf_dir: str, reps: int = 64) -> pd.DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for the mean order value —
+    the streaming bootstrap (each row enters replicate b with a
+    Poisson(1) weight) that needs NO resampling pass and therefore
+    scales to any row count. Weights are DETERMINISTIC: md5(orderkey
+    '#' b) % 1000 cut at the Poisson(1) CDF thresholds [368, 736, 920,
+    981, 996], so the SQL twin reproduces every weight. Each batch
+    emits one fixed-size partial (64 weighted sums + 64 weight counts,
+    packed binary like the histogram folds — ZERO shuffle); replicate
+    means are exact integer floors and the driver reads p5/p50/p95
+    off the sorted 64-vector."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+    thr = np.array([368, 736, 920, 981, 996], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy()
+                         * 100.0).astype(np.int64)
+        s = np.zeros(reps, np.int64)
+        c = np.zeros(reps, np.int64)
+        ks = [str(int(x)) for x in key]
+        for b in range(reps):
+            suf = f"#{b}"
+            w = np.searchsorted(
+                thr, (hash64_many([x + suf for x in ks])
+                      % np.uint64(1000)).astype(np.int64),
+                side="right")
+            s[b] = int((w * cents).sum())
+            c[b] = int(w.sum())
+        return pa.table({
+            "s": pa.array([s.tobytes()], type=pa.large_binary()),
+            "c": pa.array([c.tobytes()], type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    s = np.sum([np.frombuffer(r["s"], dtype=np.int64) for r in rows],
+               axis=0)
+    c = np.sum([np.frombuffer(r["c"], dtype=np.int64) for r in rows],
+               axis=0)
+    means = np.sort(s // np.maximum(c, 1))
+    p5, p50, p95 = (int(means[(q * reps) // 100])
+                    for q in (5, 50, 95))
+    return pd.DataFrame(
+        [(reps, int(means.sum()) // reps, p5, p50, p95, p95 - p5)],
+        columns=["n_reps", "mean_of_means_cents", "p5_cents",
+                 "p50_cents", "p95_cents", "ci_width_cents"]) \
+        .astype("int64")

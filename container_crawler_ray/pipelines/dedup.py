@@ -1356,3 +1356,51 @@ def dedup_threshold_pr(sf_dir: str) -> pd.DataFrame:
         tp + fn > 0, 10_000 * tp // np.maximum(tp + fn, 1), -1)
     return per.rename(columns={"tau10": "thresh_decis"}) \
         .astype("int64")
+
+
+def fold_leakage_audit(sf_dir: str) -> pd.DataFrame:
+    """TRAIN/VAL LEAKAGE audit: of the LEAD-rule doc pairs whose exact
+    token-set Jaccard is >= 0.5 (true near-dups), how many SPAN k-fold
+    boundaries under the map-side hash assignment fold =
+    md5-64(doc_id) % 5 — a cross-fold near-dup is validation data the
+    model has effectively seen in training. Pair legs fold through the
+    shared ``_lead_pair_miu`` kernel (ONE pair exchange); fold ids are
+    recomputed per pair from the broadcast eligible-id list, so the
+    audit adds NO extra shuffle. Reports same-fold vs cross-fold dup
+    counts, total pairs, and the leakage share of dups in bps."""
+    from ..functions.hashing import hash64, hash64_many
+    from .analytics import _read
+
+    ids = np.sort(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].to_numpy(np.int64))
+    el = ids[ids % 5 == 0]
+    el_ref = ray.put(el)
+    folds = (hash64_many([str(int(x)) for x in el])
+             % np.uint64(5)).astype(np.int64)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=512)
+
+    def derive(t: pa.Table) -> pa.Table:
+        return _lead_pair_derive(t, ray.get(el_ref))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pu, _, i_, u = _lead_pair_miu(g)
+        dup = 2 * i_ >= u
+        return pd.DataFrame({"pid": pu[dup]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    pid = per["pid"].to_numpy(np.int64)
+    fa, fb = folds[pid], folds[pid + 1]
+    n_dup = len(pid)
+    cross = int((fa != fb).sum())
+    same = n_dup - cross
+    n_pairs = len(el) - 1
+    return pd.DataFrame(
+        [(n_pairs, n_dup, same, cross,
+          (10_000 * cross // n_dup) if n_dup else 0)],
+        columns=["n_pairs", "n_dups", "same_fold", "cross_fold",
+                 "leakage_bps"]).astype("int64")

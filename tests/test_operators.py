@@ -137,6 +137,7 @@ def test_entry_smoke(entrymod):
     "simpson_paradox_audit", "zipf_slope_audit",
     "embedding_isotropy_audit", "kfold_balance_audit",
     "tcloseness_audit", "ab_power_mde", "token_burstiness",
+    "fold_leakage_audit", "poisson_bootstrap_ci",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
