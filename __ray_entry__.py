@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_burstiness": curate.token_burstiness,
         "fold_leakage_audit": dedup.fold_leakage_audit,
         "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
+        "survivorship_bias_audit": analytics.survivorship_bias_audit,
+        "f2_ams_audit": analytics.f2_ams_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -5943,6 +5945,84 @@ def oracle_sql() -> dict[str, str]:
                         - MAX(CASE WHEN rk = 4 THEN mean END)
                         AS BIGINT) AS ci_width_cents
             FROM q
+        """,
+        "survivorship_bias_audit": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) AS d,
+                              o_orderkey AS k,
+                              EXTRACT(year FROM o_orderdate) AS yr,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            f AS (SELECT c, FIRST(yr ORDER BY d, k) AS fy,
+                         FIRST(cents ORDER BY d, k) AS fc,
+                         COUNT(*) AS cnt
+                  FROM o GROUP BY 1),
+            g AS (SELECT fy AS yr,
+                         CASE WHEN cnt >= 2 THEN 1 ELSE 0 END AS rep,
+                         COUNT(*) AS n, SUM(fc) AS s
+                  FROM f GROUP BY 1, 2),
+            p AS (SELECT yr,
+                         COALESCE(MAX(CASE WHEN rep = 0 THEN n END),
+                                  0) AS n1,
+                         COALESCE(MAX(CASE WHEN rep = 0 THEN s END),
+                                  0) AS s1,
+                         COALESCE(MAX(CASE WHEN rep = 1 THEN n END),
+                                  0) AS nr,
+                         COALESCE(MAX(CASE WHEN rep = 1 THEN s END),
+                                  0) AS sr
+                  FROM g GROUP BY 1)
+            SELECT CAST(yr AS BIGINT) AS cohort_year,
+                   CAST(n1 AS BIGINT) AS n_oneshot,
+                   CAST(nr AS BIGINT) AS n_repeat,
+                   CAST(CASE WHEN n1 > 0 THEN s1 // n1 ELSE 0 END
+                        AS BIGINT) AS avg_first_oneshot_cents,
+                   CAST(CASE WHEN nr > 0 THEN sr // nr ELSE 0 END
+                        AS BIGINT) AS avg_first_repeat_cents,
+                   CAST(CASE WHEN n1 = 0 OR nr = 0 OR s1 = 0 THEN 0
+                        ELSE (CASE WHEN CAST(sr AS HUGEINT) * n1
+                                        - CAST(s1 AS HUGEINT) * nr
+                                        > 0 THEN 1
+                                   WHEN CAST(sr AS HUGEINT) * n1
+                                        - CAST(s1 AS HUGEINT) * nr
+                                        < 0 THEN -1
+                                   ELSE 0 END)
+                             * ((10000 * ABS(CAST(sr AS HUGEINT) * n1
+                                             - CAST(s1 AS HUGEINT)
+                                               * nr))
+                                // (CAST(s1 AS HUGEINT) * nr))
+                        END AS BIGINT) AS uplift_bps
+            FROM p ORDER BY 1
+        """,
+        "f2_ams_audit": """
+            WITH sg AS (SELECT
+                            CASE WHEN CAST(('0x' || substr(md5(
+                                 CAST(l_partkey AS VARCHAR) || '#' ||
+                                 CAST(j.j AS VARCHAR)), 1, 16))
+                                 AS UBIGINT) % 2 = 1
+                            THEN 1 ELSE -1 END AS sgn,
+                            j.j AS j
+                        FROM lineitem,
+                             (SELECT unnest(generate_series(0, 15))
+                                  AS j) j),
+            es AS (SELECT j, SUM(sgn) AS ss FROM sg GROUP BY 1),
+            e2 AS (SELECT ss * ss AS e FROM es),
+            r AS (SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS rk
+                  FROM e2),
+            ex AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS f2,
+                          COUNT(*) AS nk, SUM(c) AS nr
+                   FROM (SELECT COUNT(*) AS c FROM lineitem
+                         GROUP BY l_partkey))
+            SELECT CAST(nr AS BIGINT) AS n_rows,
+                   CAST(nk AS BIGINT) AS n_keys,
+                   CAST(f2 AS BIGINT) AS f2_exact,
+                   CAST((SELECT e FROM r WHERE rk = 8) AS BIGINT)
+                       AS f2_est,
+                   CAST(CASE WHEN f2 > 0
+                        THEN 10000 * ABS((SELECT e FROM r
+                                          WHERE rk = 8) - f2) // f2
+                        ELSE 0 END AS BIGINT) AS err_bps
+            FROM ex
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "embedding_isotropy_audit", "kfold_balance_audit",
     "tcloseness_audit", "ab_power_mde", "token_burstiness",
     "fold_leakage_audit", "poisson_bootstrap_ci",
+    "survivorship_bias_audit", "f2_ams_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

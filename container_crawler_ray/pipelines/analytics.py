@@ -9390,3 +9390,130 @@ def poisson_bootstrap_ci(sf_dir: str, reps: int = 64) -> pd.DataFrame:
         columns=["n_reps", "mean_of_means_cents", "p5_cents",
                  "p50_cents", "p95_cents", "ci_width_cents"]) \
         .astype("int64")
+
+
+def survivorship_bias_audit(sf_dir: str) -> pd.DataFrame:
+    """SURVIVORSHIP-BIAS audit: per first-order cohort year, compare
+    the average FIRST-order value of customers who came back (>= 2
+    orders) vs one-shot customers — the bias every retention analysis
+    silently conditions on. One ``custkey % 64`` exchange; per bucket
+    a lexsort + segment-first emits each customer's (cohort year,
+    first cents, order count); per-cohort sums are a tiny grid and the
+    uplift is the exact cross-multiplied integer
+    sgn·(10^4·|s_rep·n_one − s_one·n_rep|) // (s_one·n_rep) in Python
+    bigints (HUGEINT in the twin)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": t.column("o_orderdate").cast(pa.int64()),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "yr": pa.array(t.column("o_orderdate").to_numpy()
+                           .astype("datetime64[Y]").astype(np.int64)
+                           + 1970),
+            "cents": pa.array(np.floor(
+                t.column("o_totalprice").to_numpy() * 100.0)
+                .astype(np.int64)),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        yr = g["yr"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((k, d, c))
+        c, yr, cents = c[order], yr[order], cents[order]
+        brk = np.empty(len(c), bool)
+        brk[0] = True
+        brk[1:] = c[1:] != c[:-1]
+        starts = np.flatnonzero(brk)
+        cnt = np.diff(np.append(starts, len(c)))
+        fy = yr[starts]
+        fc = cents[starts]
+        rep = (cnt >= 2).astype(np.int64)
+        df = pd.DataFrame({"yr": fy, "rep": rep, "fc": fc})
+        return (df.groupby(["yr", "rep"], as_index=False)
+                .agg(n=("fc", "size"), s=("fc", "sum")))
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby(["yr", "rep"], as_index=False).sum())
+    rows = []
+    for yr in sorted(g["yr"].unique()):
+        sub = g[g["yr"] == yr]
+        n1 = int(sub[sub["rep"] == 0]["n"].sum())
+        s1 = int(sub[sub["rep"] == 0]["s"].sum())
+        nr = int(sub[sub["rep"] == 1]["n"].sum())
+        sr = int(sub[sub["rep"] == 1]["s"].sum())
+        if n1 == 0 or nr == 0 or s1 == 0:
+            uplift = 0
+        else:
+            dnum = sr * n1 - s1 * nr
+            sgn = (dnum > 0) - (dnum < 0)
+            uplift = sgn * ((10_000 * abs(dnum)) // (s1 * nr))
+        rows.append((int(yr), n1, nr,
+                     s1 // n1 if n1 else 0,
+                     sr // nr if nr else 0, uplift))
+    return pd.DataFrame(rows, columns=[
+        "cohort_year", "n_oneshot", "n_repeat",
+        "avg_first_oneshot_cents", "avg_first_repeat_cents",
+        "uplift_bps"]).astype("int64")
+
+
+def f2_ams_audit(sf_dir: str, reps: int = 16) -> pd.DataFrame:
+    """AMS (Tug-of-War) second-frequency-moment sketch audit: estimate
+    the SELF-JOIN SIZE of lineitem on partkey (F2 = Σ_k c_k², the
+    number a join-order optimizer lives on) from 16 deterministic
+    ±1 md5 sign streams — each block emits one packed 16-vector of
+    sign sums (ZERO shuffle), each estimator is (Σ signs)², and the
+    reported estimate is the lower median of the 16, against the
+    exact F2 from a part-cardinality grouped count. Pure integers
+    end to end; every sign is md5(key '#' j) % 2 so the SQL twin
+    reproduces the whole sketch."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        u, c = np.unique(key, return_counts=True)
+        ks = [str(int(x)) for x in u]
+        s = np.zeros(reps, np.int64)
+        for j in range(reps):
+            suf = f"#{j}"
+            sign = 2 * (hash64_many([x + suf for x in ks])
+                        % np.uint64(2)).astype(np.int64) - 1
+            s[j] = int((sign * c).sum())
+        return pa.table({
+            "n": pa.array([len(key)], type=pa.int64()),
+            "s": pa.array([s.tobytes()], type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_rows = sum(int(r["n"]) for r in rows)
+    s = np.sum([np.frombuffer(r["s"], dtype=np.int64) for r in rows],
+               axis=0)
+
+    def counts(t: pa.Table) -> pa.Table:
+        key = t.column("l_partkey").to_numpy().astype(np.int64)
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    ex = (_read(sf_dir, "lineitem", columns=["l_partkey"])
+          .map_batches(counts, batch_format="pyarrow")
+          .groupby("k").aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    cs = ex["c"].to_numpy(np.int64)
+    f2 = int(np.dot(cs, cs))
+    est_all = np.sort(s * s)
+    est = int(est_all[(reps - 1) // 2])
+    err = 10_000 * abs(est - f2) // f2 if f2 else 0
+    return pd.DataFrame(
+        [(n_rows, len(cs), f2, est, err)],
+        columns=["n_rows", "n_keys", "f2_exact", "f2_est",
+                 "err_bps"]).astype("int64")
