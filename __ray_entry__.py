@@ -295,6 +295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poisson_bootstrap_ci": analytics.poisson_bootstrap_ci,
         "survivorship_bias_audit": analytics.survivorship_bias_audit,
         "f2_ams_audit": analytics.f2_ams_audit,
+        "frequency_cap_audit": analytics.frequency_cap_audit,
+        "cms_width_sweep": curate.cms_width_sweep,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6023,6 +6025,67 @@ def oracle_sql() -> dict[str, str]:
                                           WHERE rk = 8) - f2) // f2
                         ELSE 0 END AS BIGINT) AS err_bps
             FROM ex
+        """,
+        "frequency_cap_audit": """
+            WITH c AS (SELECT user_id, CAST(ts AS DATE) AS dy,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT SUM(n) AS ev, COUNT(*) AS ud FROM c),
+            k AS (SELECT unnest([5, 10, 20]) AS cap)
+            SELECT CAST(k.cap AS BIGINT) AS cap,
+                   CAST(MAX(t.ud) AS BIGINT) AS n_user_days,
+                   CAST(SUM(CASE WHEN c.n > k.cap THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_over,
+                   CAST(SUM(CASE WHEN c.n > k.cap THEN c.n - k.cap
+                            ELSE 0 END) AS BIGINT) AS excess,
+                   CAST(MAX(t.ev) AS BIGINT) AS n_events,
+                   CAST(10000 * SUM(CASE WHEN c.n > k.cap
+                                    THEN c.n - k.cap ELSE 0 END)
+                        // MAX(t.ev) AS BIGINT) AS excess_share_bps
+            FROM c, k, t GROUP BY k.cap ORDER BY 1
+        """,
+        "cms_width_sweep": r"""
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            pr AS (SELECT DISTINCT tok FROM t
+                   WHERE doc_id % 199 = 0),
+            ex AS (SELECT t.tok, COUNT(*) AS n
+                   FROM t JOIN pr ON pr.tok = t.tok GROUP BY 1),
+            wd AS (SELECT unnest([256, 1024, 4096]) AS w),
+            dp AS (SELECT unnest(generate_series(0, 3)) AS d),
+            sk AS (SELECT wd.w, dp.d,
+                          CAST(('0x' || substr(md5(t.tok || '#' ||
+                               CAST(dp.d AS VARCHAR)), 1, 15))
+                               AS UBIGINT) % wd.w AS cell,
+                          COUNT(*) AS n
+                   FROM t, wd, dp GROUP BY 1, 2, 3),
+            pe AS (SELECT wd.w, pr.tok, dp.d,
+                          CAST(('0x' || substr(md5(pr.tok || '#' ||
+                               CAST(dp.d AS VARCHAR)), 1, 15))
+                               AS UBIGINT) % wd.w AS cell
+                   FROM pr, wd, dp),
+            est AS (SELECT pe.w, pe.tok,
+                           MIN(COALESCE(sk.n, 0)) AS est
+                    FROM pe LEFT JOIN sk ON sk.w = pe.w
+                                        AND sk.d = pe.d
+                                        AND sk.cell = pe.cell
+                    GROUP BY 1, 2),
+            j AS (SELECT e.w, e.est, ex.n AS ex
+                  FROM est e JOIN ex ON ex.tok = e.tok)
+            SELECT CAST(w AS BIGINT) AS width,
+                   CAST(COUNT(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(ex) AS BIGINT) AS exact_total,
+                   CAST(SUM(est) AS BIGINT) AS est_total,
+                   CAST(10000 * (SUM(est) - SUM(ex)) // SUM(ex)
+                        AS BIGINT) AS mean_over_bps,
+                   CAST(MAX(10000 * (est - ex) // ex) AS BIGINT)
+                       AS max_over_bps,
+                   CAST(10000 * SUM(CASE WHEN est = ex THEN 1
+                                    ELSE 0 END) // COUNT(*)
+                        AS BIGINT) AS exact_hit_bps
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

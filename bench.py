@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "tcloseness_audit", "ab_power_mde", "token_burstiness",
     "fold_leakage_audit", "poisson_bootstrap_ci",
     "survivorship_bias_audit", "f2_ams_audit",
+    "frequency_cap_audit", "cms_width_sweep",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

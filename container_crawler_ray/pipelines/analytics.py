@@ -9517,3 +9517,53 @@ def f2_ams_audit(sf_dir: str, reps: int = 16) -> pd.DataFrame:
         [(n_rows, len(cs), f2, est, err)],
         columns=["n_rows", "n_keys", "f2_exact", "f2_est",
                  "err_bps"]).astype("int64")
+
+
+def frequency_cap_audit(sf_dir: str) -> pd.DataFrame:
+    """FREQUENCY-CAP audit: if per-user DAILY event caps of 5 / 10 /
+    20 were enforced, how many user-days trip each cap and how many
+    events would be dropped — the rate-limit sizing table for an
+    ingestion or ad-serving pipeline. Per batch, (user, day) counts
+    partial via a packed ``(user << 16) | day`` int64 key; ONE
+    ``key % 64`` exchange folds exact per-user-day counts; each
+    bucket emits a 3-row threshold partial, so the driver sums tiny
+    grids. Excess share is exact integer bps of total events."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        key = (u << 16) | day
+        uk, c = np.unique(key, return_counts=True)
+        return pa.table({
+            "k": pa.array(uk), "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array(
+                (uk.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(k, kind="mergesort")
+        k, n = k[order], n[order]
+        brk = np.empty(len(k), bool)
+        brk[0] = True
+        brk[1:] = k[1:] != k[:-1]
+        c = np.add.reduceat(n, np.flatnonzero(brk))
+        rows = []
+        for cap in (5, 10, 20):
+            over = c > cap
+            rows.append((cap, len(c), int(over.sum()),
+                         int((c[over] - cap).sum()), int(c.sum())))
+        return pd.DataFrame(rows, columns=[
+            "cap", "ud", "n_over", "excess", "ev"]).astype("int64")
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("cap", as_index=False).sum()
+           .sort_values("cap").reset_index(drop=True))
+    per["excess_share_bps"] = (10_000 * per["excess"]) // per["ev"]
+    return per.rename(columns={
+        "ud": "n_user_days", "ev": "n_events"})[[
+        "cap", "n_user_days", "n_over", "excess",
+        "n_events", "excess_share_bps"]].astype("int64")

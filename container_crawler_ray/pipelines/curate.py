@@ -1344,3 +1344,109 @@ def token_burstiness(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"h": "tok_hash"})[
         ["rk", "tok_hash", "cf", "df", "burstiness_milli"]] \
         .astype("int64")
+
+
+def cms_width_sweep(sf_dir: str) -> pd.DataFrame:
+    """COUNT-MIN WIDTH tuning curve: the same depth-4 CMS built at
+    widths 256 / 1024 / 4096 and probed with the distinct tokens of
+    every 199th document — mean/max one-sided overestimate in bps and
+    the share of probes answered exactly, per width. This is the
+    table that sizes ``token_freq_cms``'s width for a target error.
+    Cells are md5(tok '#' d) %% width (60-bit parse), so unlike the
+    splitmix64 production sketch every cell is reproducible in SQL.
+    Sketch build: per-batch bincount partials → ONE ``(width, cell)``
+    grouped sum (≤ 21504 cells total regardless of corpus size);
+    probe exact counts fold as probe-cardinality partials against the
+    broadcast probe list."""
+    from ..functions.hashing import hash64_many
+    from .analytics import _read
+
+    widths = (256, 1024, 4096)
+    depth = 4
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=2048)
+
+    def probe_toks(t: pa.Table) -> pa.Table:
+        keep = (t.column("doc_id").to_numpy() % 199) == 0
+        texts = np.asarray(t.column("text"), dtype=object)[keep]
+        toks = sorted({w for s in texts for w in s.split()})
+        return pa.table({"tok": pa.array(toks, type=pa.string())})
+
+    probes = sorted(set(
+        ds.map_batches(probe_toks, batch_format="pyarrow")
+        .to_pandas()["tok"]))
+    probe_ref = ray.put(probes)
+
+    def cells(t: pa.Table) -> pa.Table:
+        toks = np.array([w for s in t.column("text").to_pylist()
+                         for w in s.split()], dtype=object)
+        if not len(toks):
+            return pa.table({"w": pa.array([], type=pa.int64()),
+                             "cell": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        uniq, cnt = np.unique(toks, return_counts=True)
+        cnt = cnt.astype(np.int64)
+        ws, cs, ns = [], [], []
+        for d in range(depth):
+            suf = f"#{d}"
+            hd = (hash64_many([x + suf for x in uniq])
+                  >> np.uint64(4))
+            for w in widths:
+                cell = (hd % np.uint64(w)).astype(np.int64) + d * w
+                bc = np.bincount(cell, weights=cnt,
+                                 minlength=depth * w).astype(np.int64)
+                nz = np.flatnonzero(bc)
+                ws.extend([w] * len(nz))
+                cs.extend(nz.tolist())
+                ns.extend(bc[nz].tolist())
+        return pa.table({"w": pa.array(ws, type=pa.int64()),
+                         "cell": pa.array(cs, type=pa.int64()),
+                         "n": pa.array(ns, type=pa.int64())})
+
+    sk = (ds.map_batches(cells, batch_format="pyarrow")
+          .groupby(["w", "cell"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+
+    def exact(t: pa.Table) -> pa.Table:
+        pset = set(ray.get(probe_ref))
+        toks = [w for s in t.column("text").to_pylist()
+                for w in s.split() if w in pset]
+        if not toks:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.array(toks, dtype=object),
+                         return_counts=True)
+        return pa.table({"tok": pa.array(list(u), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    ex = (ds.map_batches(exact, batch_format="pyarrow")
+          .groupby("tok").aggregate(Sum("n", alias_name="n"))
+          .to_pandas().set_index("tok")["n"])
+
+    hd_all = {d: (hash64_many([x + f"#{d}" for x in probes])
+                  >> np.uint64(4)) for d in range(depth)}
+    rows = []
+    for w in widths:
+        tbl = np.zeros(depth * w, np.int64)
+        sub = sk[sk["w"] == w]
+        tbl[sub["cell"].to_numpy(np.int64)] = \
+            sub["n"].to_numpy(np.int64)
+        sum_ex, sum_est, mx, hits = 0, 0, 0, 0
+        for i, tok in enumerate(probes):
+            e = int(ex[tok])
+            est = min(int(tbl[d * w + int(hd_all[d][i]
+                                          % np.uint64(w))])
+                      for d in range(depth))
+            sum_ex += e
+            sum_est += est
+            ov = 10_000 * (est - e) // e
+            mx = max(mx, ov)
+            hits += est == e
+        rows.append((w, len(probes), sum_ex, sum_est,
+                     10_000 * (sum_est - sum_ex) // sum_ex, mx,
+                     10_000 * hits // len(probes)))
+    return pd.DataFrame(rows, columns=[
+        "width", "n_probes", "exact_total", "est_total",
+        "mean_over_bps", "max_over_bps", "exact_hit_bps"]) \
+        .astype("int64")

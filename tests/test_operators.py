@@ -139,6 +139,7 @@ def test_entry_smoke(entrymod):
     "tcloseness_audit", "ab_power_mde", "token_burstiness",
     "fold_leakage_audit", "poisson_bootstrap_ci",
     "survivorship_bias_audit", "f2_ams_audit",
+    "frequency_cap_audit", "cms_width_sweep",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
