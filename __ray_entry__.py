@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "f2_ams_audit": analytics.f2_ams_audit,
         "frequency_cap_audit": analytics.frequency_cap_audit,
         "cms_width_sweep": curate.cms_width_sweep,
+        "ratio_delta_method": analytics.ratio_delta_method,
+        "churn_rule_confusion": analytics.churn_rule_confusion,
+        "hdr_quantile_audit": analytics.hdr_quantile_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6086,6 +6089,128 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0 END) // COUNT(*)
                         AS BIGINT) AS exact_hit_bps
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "ratio_delta_method": """
+            WITH e AS (SELECT user_id AS u, CAST(ts AS DATE) AS dy,
+                              CASE WHEN event_type = 'purchase'
+                                   THEN CAST(FLOOR(value * 100)
+                                             AS BIGINT)
+                                   ELSE 0 END AS cents
+                       FROM events),
+            pu AS (SELECT u, SUM(cents) AS x,
+                          COUNT(DISTINCT dy) AS y
+                   FROM e GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(CAST(x AS HUGEINT)) AS sx,
+                         SUM(CAST(y AS HUGEINT)) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM pu),
+            v1 AS (SELECT n, sx, sy, sxx, syy, sxy,
+                          CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                              AS mx,
+                          CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                              AS my
+                   FROM m),
+            v2 AS (SELECT *,
+                          CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                              - mx * mx AS vx,
+                          CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                              - my * my AS vy,
+                          CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                              - mx * my AS cxy,
+                          mx / my AS r
+                   FROM v1),
+            v3 AS (SELECT *,
+                          (vx - 2.0 * r * cxy + r * r * vy)
+                          / (CAST(n AS DOUBLE) * my * my) AS var
+                   FROM v2)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(sx AS BIGINT) AS sum_cents,
+                   CAST(sy AS BIGINT) AS sum_days,
+                   CAST(1000 * sx // sy AS BIGINT) AS ratio_milli,
+                   CAST(CASE WHEN var > 0
+                        THEN FLOOR(1000000.0 * sqrt(var))
+                        ELSE 0 END AS BIGINT) AS se_micro
+            FROM v3
+        """,
+        "churn_rule_confusion": """
+            WITH d AS (SELECT user_id AS u,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(ts AS DATE)) AS dy
+                       FROM events),
+            w AS (SELECT (MIN(dy) + MAX(dy) + 1) // 2 AS mid FROM d),
+            pu AS (SELECT u, w.mid AS mid,
+                          MAX(CASE WHEN dy < mid THEN dy END)
+                              AS last1,
+                          MAX(CASE WHEN dy >= mid THEN 1 ELSE 0 END)
+                              AS any2
+                   FROM d, w GROUP BY 1, 2),
+            c AS (SELECT mid,
+                         CASE WHEN last1 IS NULL THEN NULL
+                              WHEN mid - last1 > 30 AND any2 = 0
+                                  THEN 'tp'
+                              WHEN mid - last1 > 30 AND any2 = 1
+                                  THEN 'fp'
+                              WHEN any2 = 0 THEN 'fn'
+                              ELSE 'tn' END AS cell
+                  FROM pu)
+            SELECT CAST(MAX(mid) AS BIGINT) AS mid_day,
+                   CAST(COUNT(cell) AS BIGINT) AS n_h1_users,
+                   CAST(SUM(CASE WHEN cell = 'tp' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN cell = 'fp' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fp,
+                   CAST(SUM(CASE WHEN cell = 'fn' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS fn,
+                   CAST(SUM(CASE WHEN cell = 'tn' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tn,
+                   CAST(CASE WHEN SUM(CASE WHEN cell IN ('tp', 'fp')
+                                    THEN 1 ELSE 0 END) > 0
+                        THEN 10000 * SUM(CASE WHEN cell = 'tp'
+                                         THEN 1 ELSE 0 END)
+                             // SUM(CASE WHEN cell IN ('tp', 'fp')
+                                    THEN 1 ELSE 0 END)
+                        ELSE -1 END AS BIGINT) AS precision_bps,
+                   CAST(CASE WHEN SUM(CASE WHEN cell IN ('tp', 'fn')
+                                    THEN 1 ELSE 0 END) > 0
+                        THEN 10000 * SUM(CASE WHEN cell = 'tp'
+                                         THEN 1 ELSE 0 END)
+                             // SUM(CASE WHEN cell IN ('tp', 'fn')
+                                    THEN 1 ELSE 0 END)
+                        ELSE -1 END AS BIGINT) AS recall_bps
+            FROM c
+        """,
+        "hdr_quantile_audit": """
+            WITH c AS (SELECT CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS v,
+                              COUNT(*) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT SUM(n) AS total FROM c),
+            r AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum FROM c),
+            b AS (SELECT LENGTH(printf('%b', v + 1)) - 1 AS bk,
+                         SUM(n) AS nb
+                  FROM c GROUP BY 1),
+            rb AS (SELECT bk, SUM(nb) OVER (ORDER BY bk) AS cumb
+                   FROM b),
+            k AS (SELECT unnest([50, 90, 99]) AS p),
+            kk AS (SELECT p, (p * (total - 1)) // 100 AS kix
+                   FROM k, t),
+            ex AS (SELECT p,
+                          (SELECT MIN(v) FROM r
+                           WHERE cum >= kix + 1) AS exact,
+                          (SELECT MIN(bk) FROM rb
+                           WHERE cumb >= kix + 1) AS bq
+                   FROM kk)
+            SELECT CAST(p AS BIGINT) AS p,
+                   CAST(exact AS BIGINT) AS exact_cents,
+                   CAST((CAST(1 AS BIGINT) << (bq + 1)) - 2
+                        AS BIGINT) AS hdr_est_cents,
+                   CAST(10000 * ((CAST(1 AS BIGINT) << (bq + 1)) - 2
+                                 - exact)
+                        // GREATEST(exact, 1) AS BIGINT) AS err_bps
+            FROM ex ORDER BY p
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

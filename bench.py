@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "fold_leakage_audit", "poisson_bootstrap_ci",
     "survivorship_bias_audit", "f2_ams_audit",
     "frequency_cap_audit", "cms_width_sweep",
+    "ratio_delta_method", "churn_rule_confusion",
+    "hdr_quantile_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

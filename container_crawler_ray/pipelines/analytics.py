@@ -9567,3 +9567,195 @@ def frequency_cap_audit(sf_dir: str) -> pd.DataFrame:
         "ud": "n_user_days", "ev": "n_events"})[[
         "cap", "n_user_days", "n_over", "excess",
         "n_events", "excess_share_bps"]].astype("int64")
+
+
+def ratio_delta_method(sf_dir: str) -> pd.DataFrame:
+    """RATIO-METRIC standard error via the DELTA METHOD — revenue per
+    active day is a ratio of two user-level random variables, and
+    naively treating it as a mean understates the variance; this op
+    computes the delta-method SE the way an experimentation platform
+    must. Per user: x = purchase cents, y = distinct active days;
+    six exact integer moments fold through ONE ``user % 64`` exchange
+    (bucket partials in int64, driver accumulation in Python ints —
+    the cents² overflow rule); the SE is the ONE final float block,
+    written with identical operation order in numpy/Python and SQL,
+    floored to micro units."""
+    import math
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        et = np.asarray(t.column("event_type"), dtype=object)
+        cents = np.floor(t.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        cents = np.where(et == "purchase", cents, 0)
+        return pa.table({
+            "u": pa.array(u), "day": pa.array(day),
+            "cents": pa.array(cents),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((day, u))
+        u, day, cents = u[order], day[order], cents[order]
+        ubrk = np.empty(len(u), bool)
+        ubrk[0] = True
+        ubrk[1:] = u[1:] != u[:-1]
+        newday = np.empty(len(u), bool)
+        newday[0] = True
+        newday[1:] = (u[1:] != u[:-1]) | (day[1:] != day[:-1])
+        uid = np.cumsum(ubrk) - 1
+        n_u = int(uid[-1]) + 1 if len(u) else 0
+        x = np.bincount(uid, weights=cents,
+                        minlength=n_u).astype(np.int64)
+        y = np.bincount(uid[newday], minlength=n_u).astype(np.int64)
+        return pd.DataFrame({
+            "m": ["n", "sx", "sy", "sxx", "syy", "sxy"],
+            "v": [n_u, int(x.sum()), int(y.sum()),
+                  int((x * x).sum()), int((y * y).sum()),
+                  int((x * y).sum())]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    agg = {k: 0 for k in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    for _, r in per.iterrows():
+        agg[r["m"]] += int(r["v"])
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    mx, my = sx / n, sy / n
+    vx = agg["sxx"] / n - mx * mx
+    vy = agg["syy"] / n - my * my
+    cxy = agg["sxy"] / n - mx * my
+    r_ = mx / my
+    var = (vx - 2.0 * r_ * cxy + r_ * r_ * vy) / (n * my * my)
+    se = math.floor(1_000_000.0 * math.sqrt(var)) if var > 0 else 0
+    return pd.DataFrame(
+        [(n, sx, sy, (1000 * sx) // sy, se)],
+        columns=["n_users", "sum_cents", "sum_days", "ratio_milli",
+                 "se_micro"]).astype("int64")
+
+
+def churn_rule_confusion(sf_dir: str) -> pd.DataFrame:
+    """CHURN-RULE backtest: predict "user will be inactive in the
+    second half" from "no activity in the last 30 days of the first
+    half", then score the rule against what actually happened — the
+    confusion matrix + precision/recall every retention model is
+    benchmarked against before anything fancier ships. Midpoint is
+    the exact integer (min_day + max_day + 1) // 2 (the ``hte`` rule);
+    per-user (last H1 day, any-H2 flag) folds through ONE ``user %
+    64`` exchange; the driver sums a 4-cell grid."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([int(t.column("ts").to_numpy()
+                                .astype("datetime64[D]")
+                                .astype(np.int64).min())]),
+            "hi": pa.array([int(t.column("ts").to_numpy()
+                                .astype("datetime64[D]")
+                                .astype(np.int64).max())])}),
+        batch_format="pyarrow").to_pandas()
+    mid = (int(lohi["lo"].min()) + int(lohi["hi"].max()) + 1) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").to_numpy() \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({
+            "u": pa.array(u), "day": pa.array(day),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        h1 = day < mid
+        lasth1 = pd.Series(np.where(h1, day, np.int64(-10**9))) \
+            .groupby(u).max()
+        anyh2 = pd.Series((~h1).astype(np.int64)).groupby(u).max()
+        act = lasth1 > -10**9
+        pred = act & (mid - lasth1 > 30)
+        actual = act & (anyh2 == 0)
+        tp = int((pred & actual).sum())
+        fp = int((pred & ~actual & act).sum())
+        fn = int((~pred & actual & act).sum())
+        tn = int((~pred & ~actual & act).sum())
+        return pd.DataFrame({
+            "cell": ["tp", "fp", "fn", "tn"],
+            "v": [tp, fp, fn, tn]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("cell")["v"].sum())
+    tp, fp, fn, tn = (int(per.get(k, 0))
+                      for k in ("tp", "fp", "fn", "tn"))
+    prec = 10_000 * tp // (tp + fp) if tp + fp else -1
+    rec = 10_000 * tp // (tp + fn) if tp + fn else -1
+    return pd.DataFrame(
+        [(mid, tp + fp + fn + tn, tp, fp, fn, tn, prec, rec)],
+        columns=["mid_day", "n_h1_users", "tp", "fp", "fn", "tn",
+                 "precision_bps", "recall_bps"]).astype("int64")
+
+
+def hdr_quantile_audit(sf_dir: str) -> pd.DataFrame:
+    """HDR-HISTOGRAM quantile audit: reconstruct p50/p90/p99 of the
+    event value (cents) from power-of-two (ilog2) buckets — the
+    fixed-size latency-histogram trick — and report each against the
+    EXACT nearest-rank quantile with the one-sided error in bps.
+    Exact quantiles come from a value-level count fold (the value
+    domain is bounded — cents — so the fold is dimension-sized at
+    any row count) through ONE ``value % 64`` exchange; the HDR
+    estimate is the bucket upper bound 2^(b+1) − 2, derived from the
+    same fold, so the audit costs ONE pass. Bucket index via
+    ``np.frexp`` (exact), printf('%b') in the twin."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy()
+                         * 100.0).astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({
+            "v": pa.array(u), "n": pa.array(c.astype(np.int64)),
+            "bucket": pa.array(
+                (u.view(np.uint64) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["v"].to_numpy(np.int64)
+        n = g["n"].to_numpy(np.int64)
+        order = np.argsort(v, kind="mergesort")
+        v, n = v[order], n[order]
+        brk = np.empty(len(v), bool)
+        brk[0] = True
+        brk[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(brk)
+        return pd.DataFrame({
+            "v": v[brk],
+            "n": np.add.reduceat(n, starts).astype(np.int64)})
+
+    vc = (ds.map_batches(derive, batch_format="pyarrow")
+          .groupby("bucket").map_groups(fold, batch_format="pandas")
+          .to_pandas().sort_values("v").reset_index(drop=True))
+    v = vc["v"].to_numpy(np.int64)
+    n = vc["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    cum = np.cumsum(n)
+    b = (np.frexp((v + 1).astype(np.float64))[1] - 1) \
+        .astype(np.int64)
+    nb = np.bincount(b, weights=n).astype(np.int64)
+    cumb = np.cumsum(nb)
+    rows = []
+    for p in (50, 90, 99):
+        k = (p * (total - 1)) // 100
+        exact = int(v[np.searchsorted(cum, k + 1)])
+        bq = int(np.searchsorted(cumb, k + 1))
+        est = (1 << (bq + 1)) - 2
+        rows.append((p, exact, est,
+                     10_000 * (est - exact) // max(exact, 1)))
+    return pd.DataFrame(rows, columns=[
+        "p", "exact_cents", "hdr_est_cents", "err_bps"]) \
+        .astype("int64")

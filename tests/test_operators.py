@@ -140,6 +140,8 @@ def test_entry_smoke(entrymod):
     "fold_leakage_audit", "poisson_bootstrap_ci",
     "survivorship_bias_audit", "f2_ams_audit",
     "frequency_cap_audit", "cms_width_sweep",
+    "ratio_delta_method", "churn_rule_confusion",
+    "hdr_quantile_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
