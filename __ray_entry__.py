@@ -300,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ratio_delta_method": analytics.ratio_delta_method,
         "churn_rule_confusion": analytics.churn_rule_confusion,
         "hdr_quantile_audit": analytics.hdr_quantile_audit,
+        "ab_srm_check": analytics.ab_srm_check,
+        "mta_linear_credit": analytics.mta_linear_credit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6211,6 +6213,56 @@ def oracle_sql() -> dict[str, str]:
                                  - exact)
                         // GREATEST(exact, 1) AS BIGINT) AS err_bps
             FROM ex ORDER BY p
+        """,
+        "ab_srm_check": """
+            WITH e AS (SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1
+                                  ELSE 0 END) AS a,
+                              SUM(CASE WHEN user_id % 2 = 1 THEN 1
+                                  ELSE 0 END) AS b
+                       FROM events),
+            u AS (SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1
+                             ELSE 0 END) AS a,
+                         SUM(CASE WHEN user_id % 2 = 1 THEN 1
+                             ELSE 0 END) AS b
+                  FROM (SELECT DISTINCT user_id FROM events)),
+            r AS (SELECT 'events' AS unit, a, b FROM e
+                  UNION ALL
+                  SELECT 'users', a, b FROM u)
+            SELECT unit, CAST(a AS BIGINT) AS n_a,
+                   CAST(b AS BIGINT) AS n_b,
+                   CAST(1000 * (a - b) * (a - b) // (a + b)
+                        AS BIGINT) AS chi2_milli,
+                   CAST(CASE WHEN 1000 * (a - b) * (a - b) // (a + b)
+                             > 3841 THEN 1 ELSE 0 END AS BIGINT)
+                       AS srm_flag
+            FROM r ORDER BY unit
+        """,
+        "mta_linear_credit": """
+            WITH p AS (SELECT event_id AS pid, user_id AS u,
+                              ts AS tp
+                       FROM events WHERE event_type = 'purchase'),
+            w AS (SELECT p.pid, e.event_type AS ty, COUNT(*) AS c
+                  FROM p JOIN events e
+                       ON e.user_id = p.u
+                      AND e.event_type <> 'purchase'
+                      AND e.ts < p.tp
+                      AND e.ts >= p.tp - INTERVAL 7 DAY
+                  GROUP BY 1, 2),
+            nt AS (SELECT pid, SUM(c) AS n FROM w GROUP BY 1),
+            cr AS (SELECT w.ty, SUM(w.c) AS touches,
+                          SUM(1000 * w.c // nt.n) AS credit
+                   FROM w JOIN nt USING (pid) GROUP BY 1),
+            tot AS (SELECT COUNT(*) AS np FROM p),
+            att AS (SELECT COUNT(*) AS na FROM nt),
+            sc AS (SELECT SUM(credit) AS s FROM cr)
+            SELECT ty AS event_type,
+                   CAST(touches AS BIGINT) AS touches,
+                   CAST(credit AS BIGINT) AS credit_milli,
+                   CAST(CASE WHEN s > 0 THEN 10000 * credit // s
+                        ELSE 0 END AS BIGINT) AS credit_share_bps,
+                   CAST(np AS BIGINT) AS n_purchases,
+                   CAST(na AS BIGINT) AS n_attributed
+            FROM cr, tot, att, sc ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

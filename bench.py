@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "frequency_cap_audit", "cms_width_sweep",
     "ratio_delta_method", "churn_rule_confusion",
     "hdr_quantile_audit",
+    "ab_srm_check", "mta_linear_credit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

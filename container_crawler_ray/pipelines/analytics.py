@@ -9759,3 +9759,134 @@ def hdr_quantile_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "p", "exact_cents", "hdr_est_cents", "err_bps"]) \
         .astype("int64")
+
+
+def ab_srm_check(sf_dir: str) -> pd.DataFrame:
+    """SAMPLE-RATIO-MISMATCH check — the first gate every A/B readout
+    must pass: under the id-parity mock arms (user_id % 2, the same
+    assignment ``hte_by_decile`` uses), is the observed arm split
+    consistent with 50/50? Chi-square with 1 df in exact integer
+    milli units (1000·(n_a − n_b)² // (n_a + n_b)), flagged at the
+    3.841 critical value, at BOTH granularities (distinct users and
+    raw events — an event-level-only pass hides user skew). Distinct
+    users fold through one ``user % 64`` exchange; event counts are
+    map-side bincounts."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        uu = np.unique(u)
+        return pa.table({
+            "u": pa.array(uu),
+            "ne_a": pa.array(np.full(len(uu), 0, np.int64)
+                             if not len(uu) else np.where(
+                np.arange(len(uu)) == 0,
+                int((u % 2 == 0).sum()), 0)),
+            "ne_b": pa.array(np.full(len(uu), 0, np.int64)
+                             if not len(uu) else np.where(
+                np.arange(len(uu)) == 0,
+                int((u % 2 == 1).sum()), 0)),
+            "bucket": pa.array((uu % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["u"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "m": ["ua", "ub", "ea", "eb"],
+            "v": [int((u % 2 == 0).sum()), int((u % 2 == 1).sum()),
+                  int(g["ne_a"].sum()), int(g["ne_b"].sum())]})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("m")["v"].sum())
+    rows = []
+    for unit, a, b in (("events", int(per["ea"]), int(per["eb"])),
+                       ("users", int(per["ua"]), int(per["ub"]))):
+        chi = 1000 * (a - b) * (a - b) // (a + b)
+        rows.append((unit, a, b, chi, int(chi > 3841)))
+    return pd.DataFrame(rows, columns=[
+        "unit", "n_a", "n_b", "chi2_milli", "srm_flag"]).astype(
+        {c: "int64" for c in ("n_a", "n_b", "chi2_milli",
+                              "srm_flag")})
+
+
+def mta_linear_credit(sf_dir: str) -> pd.DataFrame:
+    """MULTI-TOUCH ATTRIBUTION, linear model: every purchase splits
+    1000 milli-credits equally across the user's touches (any
+    non-purchase event) in the 7 days strictly before it — the
+    channel-credit table a marketing platform prints. One ``user %
+    64`` exchange; per bucket the per-purchase window counts resolve
+    with a packed-key (compact_user_idx·shift + rel_ts_us,
+    shift > max rel so keys never collide across users at ANY user-id
+    scale) double-searchsorted per channel — probes never cross users
+    and there is NO per-row loop. Credits are per-purchase integer
+    floors (1000·c_ch // n_touch) so the SQL join twin matches
+    exactly."""
+    win = 604_800_000_000
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    channels = ("click", "error", "signup", "view")
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "ts": t.column("ts").cast(pa.int64()),
+            "ty": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        ty = g["ty"].to_numpy(object)
+        isp = ty == "purchase"
+        n_purch = int(isp.sum())
+        if n_purch == 0:
+            return pd.DataFrame({"k": ["np", "na"],
+                                 "v": [0, 0]})
+        uu = np.unique(u)
+        t0 = int(ts.min())
+        rel = ts - t0
+        shift = int(rel.max()) + win + 2
+        idx = np.searchsorted(uu, u).astype(np.int64)
+        pidx, prel = idx[isp], rel[isp]
+        probe_hi = pidx * shift + prel
+        probe_lo = pidx * shift + np.maximum(prel - win, 0)
+        cnt = {}
+        for c in channels:
+            m = ty == c
+            pk = np.sort(idx[m] * shift + rel[m])
+            lo = np.searchsorted(pk, probe_lo, side="left")
+            hi = np.searchsorted(pk, probe_hi, side="left")
+            cnt[c] = (hi - lo).astype(np.int64)
+        ntouch = sum(cnt.values())
+        attr = ntouch > 0
+        ks, vs = ["np", "na"], [n_purch, int(attr.sum())]
+        nt_safe = np.maximum(ntouch, 1)
+        for c in channels:
+            ks.append(f"t_{c}")
+            vs.append(int(cnt[c].sum()))
+            ks.append(f"c_{c}")
+            vs.append(int(((1000 * cnt[c]) // nt_safe)[attr].sum()))
+        return pd.DataFrame({"k": ks, "v": vs})
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby("k")["v"].sum())
+    tot_credit = sum(int(per.get(f"c_{c}", 0)) for c in channels)
+    rows = []
+    for c in channels:
+        tch = int(per.get(f"t_{c}", 0))
+        cr = int(per.get(f"c_{c}", 0))
+        if tch == 0:
+            continue
+        rows.append((c, tch, cr,
+                     10_000 * cr // tot_credit if tot_credit else 0,
+                     int(per.get("np", 0)), int(per.get("na", 0))))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "touches", "credit_milli", "credit_share_bps",
+        "n_purchases", "n_attributed"]).astype(
+        {c: "int64" for c in ("touches", "credit_milli",
+                              "credit_share_bps", "n_purchases",
+                              "n_attributed")}) \
+        .sort_values("event_type").reset_index(drop=True)

@@ -142,6 +142,7 @@ def test_entry_smoke(entrymod):
     "frequency_cap_audit", "cms_width_sweep",
     "ratio_delta_method", "churn_rule_confusion",
     "hdr_quantile_audit",
+    "ab_srm_check", "mta_linear_credit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
