@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_month_end_effect": analytics.orders_month_end_effect,
         "session_entry_conversion": analytics.session_entry_conversion,
         "source_hapax_ratio": curate.source_hapax_ratio,
+        "vocab_richness_chao1": curate.vocab_richness_chao1,
         "tombstone_impact_audit": analytics.tombstone_impact_audit,
         "catalog_profile": analytics.catalog_profile,
         "events_gap_memory": analytics.events_gap_memory,
@@ -302,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hdr_quantile_audit": analytics.hdr_quantile_audit,
         "ab_srm_check": analytics.ab_srm_check,
         "mta_linear_credit": analytics.mta_linear_credit,
+        "mta_position_credit": analytics.mta_position_credit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6263,6 +6265,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(np AS BIGINT) AS n_purchases,
                    CAST(na AS BIGINT) AS n_attributed
             FROM cr, tot, att, sc ORDER BY 1
+        """,
+        "mta_position_credit": """
+            WITH p AS (SELECT event_id AS pid, user_id AS u, ts AS tp
+                       FROM events WHERE event_type = 'purchase'),
+            w AS (SELECT p.pid, e.event_type AS ty,
+                         ROW_NUMBER() OVER (PARTITION BY p.pid
+                             ORDER BY e.ts, e.event_id) AS rf,
+                         ROW_NUMBER() OVER (PARTITION BY p.pid
+                             ORDER BY e.ts DESC, e.event_id DESC)
+                             AS rl,
+                         COUNT(*) OVER (PARTITION BY p.pid) AS n
+                  FROM p JOIN events e
+                       ON e.user_id = p.u
+                      AND e.event_type <> 'purchase'
+                      AND e.ts < p.tp
+                      AND e.ts >= p.tp - INTERVAL 7 DAY),
+            g AS (SELECT pid, ty, MAX(n) AS n, COUNT(*) AS c,
+                         SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END)
+                             AS isf,
+                         SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END)
+                             AS isl,
+                         SUM(CASE WHEN rf > 1 AND rl > 1 THEN 1
+                             ELSE 0 END) AS mc
+                  FROM w GROUP BY 1, 2),
+            cr AS (SELECT ty, SUM(c) AS touches, SUM(isf) AS ft,
+                          SUM(isl) AS lt,
+                          SUM(CASE WHEN n = 1 THEN 1000 * isf
+                                   WHEN n = 2 THEN 500 * isf
+                                        + 500 * isl
+                                   ELSE 400 * isf + 400 * isl
+                                        + (200 * mc) // (n - 2)
+                              END) AS credit
+                   FROM g GROUP BY 1),
+            sc AS (SELECT SUM(credit) AS s FROM cr)
+            SELECT ty AS event_type,
+                   CAST(touches AS BIGINT) AS touches,
+                   CAST(ft AS BIGINT) AS first_touch,
+                   CAST(lt AS BIGINT) AS last_touch,
+                   CAST(credit AS BIGINT) AS credit_milli,
+                   CAST(CASE WHEN s > 0 THEN 10000 * credit // s
+                        ELSE 0 END AS BIGINT) AS credit_share_bps
+            FROM cr, sc ORDER BY 1
+        """,
+        "vocab_richness_chao1": r"""
+            WITH t AS (SELECT source,
+                              unnest(regexp_extract_all(text, '\S+'))
+                                  AS tok
+                       FROM documents),
+            c AS (SELECT source, tok, COUNT(*) AS n
+                  FROM t GROUP BY 1, 2),
+            s AS (SELECT source, COUNT(*) AS nd, SUM(n) AS nt,
+                         SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+                         SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2
+                  FROM c GROUP BY 1)
+            SELECT source, CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(nd AS BIGINT) AS n_distinct,
+                   CAST(f1 AS BIGINT) AS f1,
+                   CAST(f2 AS BIGINT) AS f2,
+                   CAST(1000 * nd + (1000 * f1 * (f1 - 1))
+                        // (2 * (f2 + 1)) AS BIGINT) AS chao1_milli,
+                   CAST(10000 * f1 // GREATEST(nt, 1) AS BIGINT)
+                       AS unseen_mass_bps
+            FROM s ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

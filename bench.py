@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "ratio_delta_method", "churn_rule_confusion",
     "hdr_quantile_audit",
     "ab_srm_check", "mta_linear_credit",
+    "mta_position_credit", "vocab_richness_chao1",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -1450,3 +1450,76 @@ def cms_width_sweep(sf_dir: str) -> pd.DataFrame:
         "width", "n_probes", "exact_total", "est_total",
         "mean_over_bps", "max_over_bps", "exact_hit_bps"]) \
         .astype("int64")
+
+
+def vocab_richness_chao1(sf_dir: str) -> pd.DataFrame:
+    """SPECIES-RICHNESS estimate of each source's vocabulary — the
+    "how much vocabulary have we NOT crawled yet" curve: Chao1
+    (bias-corrected, V + F1(F1-1)/(2(F2+1)) in exact integer milli
+    units) plus the Good-Turing unseen-probability mass (F1/N in
+    bps), from the counts-of-counts of the per-source token
+    frequency table. Same md5-hashed-token (source, hash)-routed
+    exchange as ``source_hapax_ratio`` — strings never shuffle,
+    per-bucket partials are one row per source, and every estimator
+    term (V, F1, F2, N) is an exact integer the SQL twin reproduces
+    verbatim."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source")).astype(object)
+        parts_ = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        counts = np.asarray(parts_.value_lengths(), dtype=np.int64)
+        flat = parts_.flatten()
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = np.asarray(flat).astype(object)[keep]
+        srcs = np.repeat(src, counts)[keep]
+        h = hash64_many(toks).astype(np.int64)
+        code, uniq = pd.factorize(srcs)
+        df = pd.DataFrame({"c": code.astype(np.int64), "h": h})
+        cnt = df.groupby(["c", "h"], as_index=False).size()
+        return pa.table({
+            "source": pa.array(
+                np.asarray(uniq, dtype=object)
+                [cnt["c"].to_numpy(np.int64)].astype(str),
+                type=pa.string()),
+            "h": pa.array(cnt["h"].to_numpy(np.int64)),
+            "n": pa.array(cnt["size"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (cnt["h"].to_numpy(np.int64).view(np.uint64) % 64)
+                .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["source", "h"], as_index=False)["n"].sum()
+        nv = tot["n"].to_numpy(np.int64)
+        out = tot.groupby("source", as_index=False).agg(
+            nd=("n", "size"), ntok=("n", "sum"))
+        grp = tot.assign(f1=(nv == 1).astype(np.int64),
+                         f2=(nv == 2).astype(np.int64)) \
+            .groupby("source")[["f1", "f2"]].sum()
+        out["f1"] = grp["f1"].to_numpy(np.int64)
+        out["f2"] = grp["f2"].to_numpy(np.int64)
+        return out
+
+    agg = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas()
+           .groupby("source", as_index=False).sum()
+           .sort_values("source", kind="mergesort")
+           .reset_index(drop=True))
+    nd = agg["nd"].to_numpy(np.int64)
+    nt = agg["ntok"].to_numpy(np.int64)
+    f1 = agg["f1"].to_numpy(np.int64)
+    f2 = agg["f2"].to_numpy(np.int64)
+    agg["chao1_milli"] = 1000 * nd + (1000 * f1 * (f1 - 1)) \
+        // (2 * (f2 + 1))
+    agg["unseen_mass_bps"] = 10_000 * f1 // np.maximum(nt, 1)
+    return agg.rename(columns={
+        "nd": "n_distinct", "ntok": "n_tokens"}).astype(
+        {c: "int64" for c in ("n_distinct", "n_tokens", "f1", "f2",
+                              "chao1_milli", "unseen_mass_bps")}) \
+        [["source", "n_tokens", "n_distinct", "f1", "f2",
+          "chao1_milli", "unseen_mass_bps"]]
