@@ -304,6 +304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_srm_check": analytics.ab_srm_check,
         "mta_linear_credit": analytics.mta_linear_credit,
         "mta_position_credit": analytics.mta_position_credit,
+        "jackknife_mean_se": analytics.jackknife_mean_se,
+        "randomized_response_audit": analytics.randomized_response_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6328,6 +6330,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * f1 // GREATEST(nt, 1) AS BIGINT)
                        AS unseen_mass_bps
             FROM s ORDER BY 1
+        """,
+        "jackknife_mean_se": """
+            WITH o AS (SELECT CAST(('0x' || substr(md5(
+                                  CAST(o_orderkey AS VARCHAR)), 1, 16))
+                                  AS UBIGINT) % 64 AS bk,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            b AS (SELECT bk, COUNT(*) AS n_i, SUM(cents) AS s_i
+                  FROM o GROUP BY 1),
+            t AS (SELECT SUM(n_i) AS n, SUM(s_i) AS s FROM b),
+            l AS (SELECT 1000 * (t.s - b.s_i)
+                         // GREATEST(t.n - b.n_i, 1) AS m_i
+                  FROM b, t),
+            mb AS (SELECT SUM(m_i) // COUNT(*) AS mbar,
+                          COUNT(*) AS g FROM l),
+            q AS (SELECT g, SUM(CAST(m_i - mbar AS HUGEINT)
+                               * CAST(m_i - mbar AS HUGEINT)) AS ssq
+                  FROM l, mb GROUP BY 1)
+            SELECT CAST(t.n AS BIGINT) AS n_orders,
+                   CAST(q.g AS BIGINT) AS n_buckets,
+                   CAST(1000 * t.s // t.n AS BIGINT) AS mean_milli,
+                   CAST(FLOOR(SQRT(CAST((q.g - 1) * q.ssq // q.g
+                        AS DOUBLE))) AS BIGINT) AS jk_se_milli,
+                   CAST(10000 * CAST(FLOOR(SQRT(CAST(
+                            (q.g - 1) * q.ssq // q.g AS DOUBLE)))
+                        AS BIGINT)
+                        // (1000 * t.s // t.n) AS BIGINT) AS rel_se_bps
+            FROM t, q
+        """,
+        "randomized_response_audit": """
+            WITH v(st) AS (VALUES ('F'), ('O'), ('P')),
+            m AS (SELECT v.st,
+                         CASE WHEN o.o_orderstatus = v.st THEN 1
+                              ELSE 0 END AS bit,
+                         CASE WHEN CAST(('0x' || substr(md5(
+                                  CAST(o.o_orderkey AS VARCHAR)
+                                  || '#' || v.st), 1, 16))
+                                  AS UBIGINT) % 4 = 0
+                              THEN 1 ELSE 0 END AS flip
+                  FROM orders o CROSS JOIN v),
+            a AS (SELECT st, COUNT(*) AS n, SUM(bit) AS tru,
+                         SUM(CASE WHEN flip = 1 THEN 1 - bit
+                             ELSE bit END) AS obs
+                  FROM m GROUP BY 1)
+            SELECT st AS o_orderstatus,
+                   CAST(n AS BIGINT) AS n_orders,
+                   CAST(tru AS BIGINT) AS true_cnt,
+                   CAST(obs AS BIGINT) AS reported_cnt,
+                   CAST(500 * (4 * obs - n) AS BIGINT) AS est_milli,
+                   CAST(10000 * ABS(500 * (4 * obs - n) - 1000 * tru)
+                        // GREATEST(1000 * tru, 1) AS BIGINT)
+                       AS err_bps
+            FROM a ORDER BY 1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

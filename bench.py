@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "hdr_quantile_audit",
     "ab_srm_check", "mta_linear_credit",
     "mta_position_credit", "vocab_richness_chao1",
+    "jackknife_mean_se", "randomized_response_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

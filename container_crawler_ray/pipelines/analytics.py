@@ -9995,3 +9995,99 @@ def mta_position_credit(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("touches", "first_touch", "last_touch",
                               "credit_milli", "credit_share_bps")}) \
         .sort_values("event_type").reset_index(drop=True)
+
+
+def jackknife_mean_se(sf_dir: str) -> pd.DataFrame:
+    """DELETE-ONE-BUCKET JACKKNIFE standard error of the mean order
+    value — the resampling-free uncertainty estimate a streaming
+    engine can afford: orders route to 64 deterministic
+    md5(o_orderkey) buckets, each block emits one 64-cell exact
+    integer (count, cents-sum) grid partial (ZERO shuffle), the
+    driver folds Python-int totals, forms every leave-one-out mean
+    in exact milli-cents, and the only float op on either side is
+    the final FLOOR(SQRT(CAST(int AS DOUBLE))) — the identical IEEE
+    round-to-nearest cast + correctly-rounded sqrt DuckDB runs, so
+    the twin matches bit-for-bit."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey",
+                                          "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy().astype(np.int64)
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        bk = (hash64_many([str(k) for k in ok]) % 64).astype(np.int64)
+        g = pd.DataFrame({"bk": bk, "c": cents}).groupby(
+            "bk", as_index=False).agg(n_i=("c", "size"),
+                                      s_i=("c", "sum"))
+        return pa.table({"bk": pa.array(g["bk"].to_numpy(np.int64)),
+                         "n_i": pa.array(g["n_i"].to_numpy(np.int64)),
+                         "s_i": pa.array(g["s_i"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("bk", as_index=False).sum())
+    n_i = [int(x) for x in parts["n_i"]]
+    s_i = [int(x) for x in parts["s_i"]]
+    n, s = sum(n_i), sum(s_i)
+    g = len(n_i)
+    m = [(1000 * (s - si)) // max(n - ni, 1)
+         for ni, si in zip(n_i, s_i)]
+    mbar = sum(m) // g
+    ssq = sum((mi - mbar) * (mi - mbar) for mi in m)
+    import math
+    se = int(math.floor(math.sqrt(float((g - 1) * ssq // g))))
+    mean_milli = 1000 * s // n
+    return pd.DataFrame([(n, g, mean_milli, se,
+                          10_000 * se // mean_milli)], columns=[
+        "n_orders", "n_buckets", "mean_milli", "jk_se_milli",
+        "rel_se_bps"]).astype("int64")
+
+
+def randomized_response_audit(sf_dir: str) -> pd.DataFrame:
+    """RANDOMIZED-RESPONSE privacy mechanism, end to end: each
+    order's per-status membership bit is reported FLIPPED when the
+    deterministic coin md5(orderkey#status) % 4 lands 0 (p_keep =
+    3/4 — classic Warner), and the debiased count estimate
+    (4·obs − n)/2 in exact milli units is audited against the true
+    count in bps. Completes the k-anonymity / l-diversity /
+    t-closeness privacy suite with the NOISE-side mechanism. Pure
+    per-block integer partials, zero shuffle; every coin is the
+    md5 expression the SQL twin reproduces."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey",
+                                          "o_orderstatus"])
+    statuses = ("F", "O", "P")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("o_orderkey").to_numpy().astype(np.int64)
+        st = np.asarray(t.column("o_orderstatus")).astype(object)
+        rows = []
+        for v in statuses:
+            bit = (st == v).astype(np.int64)
+            flip = (hash64_many(
+                [f"{k}#{v}" for k in ok]) % 4 == 0).astype(np.int64)
+            obs = np.where(flip == 1, 1 - bit, bit)
+            rows.append((v, len(ok), int(bit.sum()), int(obs.sum())))
+        return pa.table({
+            "st": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64()),
+            "tru": pa.array([r[2] for r in rows], type=pa.int64()),
+            "obs": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("st", as_index=False).sum()
+           .sort_values("st").reset_index(drop=True))
+    n = agg["n"].to_numpy(np.int64)
+    tru = agg["tru"].to_numpy(np.int64)
+    obs = agg["obs"].to_numpy(np.int64)
+    est = 500 * (4 * obs - n)
+    err = 10_000 * np.abs(est - 1000 * tru) \
+        // np.maximum(1000 * tru, 1)
+    return pd.DataFrame({
+        "o_orderstatus": agg["st"], "n_orders": n, "true_cnt": tru,
+        "reported_cnt": obs, "est_milli": est, "err_bps": err}) \
+        .astype({c: "int64" for c in ("n_orders", "true_cnt",
+                                      "reported_cnt", "est_milli",
+                                      "err_bps")})
