@@ -306,6 +306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mta_position_credit": analytics.mta_position_credit,
         "jackknife_mean_se": analytics.jackknife_mean_se,
         "randomized_response_audit": analytics.randomized_response_audit,
+        "orders_max_drawdown": analytics.orders_max_drawdown,
+        "orders_mann_kendall": analytics.orders_mann_kendall,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6384,6 +6386,76 @@ def oracle_sql() -> dict[str, str]:
                         // GREATEST(1000 * tru, 1) AS BIGINT)
                        AS err_bps
             FROM a ORDER BY 1
+        """,
+        "orders_max_drawdown": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            s AS (SELECT dy, SUM(rev) OVER (ORDER BY dy
+                          ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM d),
+            m AS (SELECT dy, cum, MAX(cum) OVER (ORDER BY dy
+                          ROWS UNBOUNDED PRECEDING) AS runmax,
+                         ROW_NUMBER() OVER (ORDER BY dy) AS rn
+                  FROM s),
+            dd AS (SELECT dy, cum, runmax, runmax - cum AS ddv, rn
+                   FROM m),
+            mx AS (SELECT MAX(ddv) AS mdd FROM dd),
+            tr AS (SELECT MIN(dy) AS trough FROM dd, mx
+                   WHERE ddv = mdd),
+            tv AS (SELECT runmax AS pkval FROM dd, tr
+                   WHERE dy = trough),
+            pk AS (SELECT MIN(dy) AS peak FROM dd, tr, tv
+                   WHERE dy <= trough AND cum = pkval),
+            uw AS (SELECT rn - ROW_NUMBER() OVER (ORDER BY rn) AS grp
+                   FROM dd WHERE ddv > 0),
+            st AS (SELECT COALESCE(MAX(c), 0) AS streak
+                   FROM (SELECT COUNT(*) AS c FROM uw GROUP BY grp))
+            SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+                   CAST(mx.mdd AS BIGINT) AS max_drawdown_cents,
+                   CAST(pk.peak AS BIGINT) AS peak_dy,
+                   CAST(tr.trough AS BIGINT) AS trough_dy,
+                   CAST(st.streak AS BIGINT)
+                       AS longest_underwater_days
+            FROM mx, tr, pk, st
+        """,
+        "orders_mann_kendall": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            p AS (SELECT CASE WHEN b.rev > a.rev THEN 1
+                              WHEN b.rev < a.rev THEN -1
+                              ELSE 0 END AS sg
+                  FROM d a JOIN d b ON b.dy > a.dy),
+            ss AS (SELECT COALESCE(SUM(sg), 0) AS s FROM p),
+            tt AS (SELECT COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+                          AS tie_term
+                   FROM (SELECT COUNT(*) AS c FROM d GROUP BY rev)
+                   WHERE c > 1),
+            nn AS (SELECT COUNT(*) AS n FROM d),
+            v AS (SELECT nn.n, ss.s, tt.tie_term,
+                         nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - tt.tie_term AS var18
+                  FROM nn, ss, tt)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(s AS BIGINT) AS s_stat,
+                   CAST(tie_term AS BIGINT) AS tie_term,
+                   CAST(var18 AS BIGINT) AS var_x18,
+                   CAST(CASE
+                        WHEN s > 0 THEN FLOOR(
+                            CAST(s - 1 AS DOUBLE)
+                            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                            * 1000.0)
+                        WHEN s < 0 THEN FLOOR(
+                            CAST(s + 1 AS DOUBLE)
+                            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                            * 1000.0)
+                        ELSE 0 END AS BIGINT) AS z_milli
+            FROM v
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "ab_srm_check", "mta_linear_credit",
     "mta_position_credit", "vocab_richness_chao1",
     "jackknife_mean_se", "randomized_response_audit",
+    "orders_max_drawdown", "orders_mann_kendall",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

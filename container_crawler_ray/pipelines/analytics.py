@@ -10091,3 +10091,105 @@ def randomized_response_audit(sf_dir: str) -> pd.DataFrame:
         .astype({c: "int64" for c in ("n_orders", "true_cnt",
                                       "reported_cnt", "est_milli",
                                       "err_bps")})
+
+
+def orders_max_drawdown(sf_dir: str) -> pd.DataFrame:
+    """MAX DRAWDOWN of the cumulative daily-revenue curve — the
+    risk-desk metric re-aimed at pipeline throughput: how far below
+    its best-ever running total the revenue stream sinks, in exact
+    cents. Peak day is the FIRST day attaining the running max that
+    the first-deepest trough hangs from; the underwater streak is the
+    longest run of consecutive OBSERVED days with positive drawdown
+    (gaps-and-islands on the row sequence, mirrored by the twin's
+    rn − ROW_NUMBER() grouping). Per-block daily partials — ZERO
+    shuffle; cumsum/cummax on the calendar-bounded day grid."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    d = agg["dy"].to_numpy(np.int64)
+    r = agg["rev"].to_numpy(np.int64)
+    cum = r.cumsum()
+    runmax = np.maximum.accumulate(cum)
+    dd = runmax - cum
+    mdd = int(dd.max())
+    trough_i = int(np.argmax(dd == mdd))
+    peak_i = int(np.argmax(cum == runmax[trough_i]))
+    under = dd > 0
+    # longest run of consecutive True rows
+    brk = np.concatenate(([True], ~under[:-1]))
+    run_id = np.cumsum(brk & under)
+    streak = 0
+    if under.any():
+        streak = int(np.bincount(run_id[under]).max())
+    return pd.DataFrame([(len(d), mdd, int(d[peak_i]),
+                          int(d[trough_i]), streak)],
+                        columns=["n_days", "max_drawdown_cents",
+                                 "peak_dy", "trough_dy",
+                                 "longest_underwater_days"]) \
+        .astype("int64")
+
+
+def orders_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """MANN–KENDALL trend test on the daily revenue series — the
+    nonparametric is-there-a-trend gate that pairs with the Theil–Sen
+    slope: S = Σ_{i<j} sgn(revⱼ − revᵢ) as an exact integer over the
+    O(G²) day-grid pair sweep (calendar-bounded, never on rows), the
+    tie-corrected variance kept as the exact integer 18·Var =
+    n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the continuity-corrected z
+    as ONE IEEE-order-matched float expression
+    (S∓1)/sqrt(var18/18.0)·1000 floored to milli units. Per-block
+    daily partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    r = agg["rev"].to_numpy(np.int64)
+    n = len(r)
+    i, j = np.triu_indices(n, k=1)
+    diff = r[j] - r[i]
+    s = int(np.sign(diff).sum())
+    _, counts = np.unique(r, return_counts=True)
+    t_ = counts[counts > 1].astype(np.int64)
+    tie_term = int((t_ * (t_ - 1) * (2 * t_ + 5)).sum())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if s > 0:
+        z_milli = math.floor(
+            float(s - 1) / math.sqrt(float(var18) / 18.0) * 1000.0)
+    elif s < 0:
+        z_milli = math.floor(
+            float(s + 1) / math.sqrt(float(var18) / 18.0) * 1000.0)
+    else:
+        z_milli = 0
+    return pd.DataFrame([(n, s, tie_term, var18, z_milli)],
+                        columns=["n_days", "s_stat", "tie_term",
+                                 "var_x18", "z_milli"]) \
+        .astype("int64")

@@ -145,6 +145,7 @@ def test_entry_smoke(entrymod):
     "ab_srm_check", "mta_linear_credit",
     "mta_position_credit", "vocab_richness_chao1",
     "jackknife_mean_se", "randomized_response_audit",
+    "orders_max_drawdown", "orders_mann_kendall",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
