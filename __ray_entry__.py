@@ -308,6 +308,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "randomized_response_audit": analytics.randomized_response_audit,
         "orders_max_drawdown": analytics.orders_max_drawdown,
         "orders_mann_kendall": analytics.orders_mann_kendall,
+        "orders_kendall_tau": analytics.orders_kendall_tau,
+        "events_turning_points": analytics.events_turning_points,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6456,6 +6458,69 @@ def oracle_sql() -> dict[str, str]:
                             * 1000.0)
                         ELSE 0 END AS BIGINT) AS z_milli
             FROM v
+        """,
+        "orders_kendall_tau": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              COUNT(*) AS cnt,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            p AS (SELECT CASE WHEN b.cnt > a.cnt THEN 1
+                              WHEN b.cnt < a.cnt THEN -1
+                              ELSE 0 END
+                         * CASE WHEN b.rev > a.rev THEN 1
+                                WHEN b.rev < a.rev THEN -1
+                                ELSE 0 END AS sg
+                  FROM d a JOIN d b ON b.dy > a.dy),
+            cd AS (SELECT COALESCE(COUNT(*) FILTER (sg > 0), 0) AS conc,
+                          COALESCE(COUNT(*) FILTER (sg < 0), 0) AS disc
+                   FROM p),
+            tx AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS tx_p
+                   FROM (SELECT COUNT(*) AS c FROM d GROUP BY cnt)),
+            ty AS (SELECT COALESCE(SUM(c * (c - 1) // 2), 0) AS ty_p
+                   FROM (SELECT COUNT(*) AS c FROM d GROUP BY rev)),
+            nn AS (SELECT COUNT(*) AS g,
+                          COUNT(*) * (COUNT(*) - 1) // 2 AS n0
+                   FROM d)
+            SELECT CAST(g AS BIGINT) AS n_days,
+                   CAST(conc AS BIGINT) AS concordant,
+                   CAST(disc AS BIGINT) AS discordant,
+                   CAST(conc - disc AS BIGINT) AS s_stat,
+                   CAST(tx_p AS BIGINT) AS tx_pairs,
+                   CAST(ty_p AS BIGINT) AS ty_pairs,
+                   CAST(CASE WHEN n0 - tx_p > 0 AND n0 - ty_p > 0 THEN
+                        FLOOR(CAST(conc - disc AS DOUBLE)
+                              / (SQRT(CAST(n0 - tx_p AS DOUBLE))
+                                 * SQRT(CAST(n0 - ty_p AS DOUBLE)))
+                              * 1000.0)
+                        ELSE 0 END AS BIGINT) AS tau_milli
+            FROM cd, tx, ty, nn
+        """,
+        "events_turning_points": """
+            WITH r AS (SELECT epoch_us(ts)//86400000000 AS day_id,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            s AS (SELECT c, LAG(c) OVER (ORDER BY day_id) AS pc,
+                         LEAD(c) OVER (ORDER BY day_id) AS nc
+                  FROM r),
+            t AS (SELECT COALESCE(COUNT(*) FILTER (
+                             (c - pc) * (nc - c) < 0), 0) AS tp,
+                         COALESCE(COUNT(*) FILTER (
+                             (c - pc) * (nc - c) = 0), 0) AS tz
+                  FROM s WHERE pc IS NOT NULL AND nc IS NOT NULL),
+            nn AS (SELECT COUNT(*) AS n FROM r)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(tp AS BIGINT) AS turning_points,
+                   CAST(tz AS BIGINT) AS flat_ties,
+                   CAST(2 * (n - 2) AS BIGINT) AS exp_x3,
+                   CAST(16 * n - 29 AS BIGINT) AS var_x90,
+                   CAST(FLOOR(CAST(3 * tp - 2 * (n - 2) AS DOUBLE)
+                              / 3.0
+                              / SQRT(CAST(16 * n - 29 AS DOUBLE)
+                                     / 90.0)
+                              * 1000.0) AS BIGINT) AS z_milli
+            FROM t, nn
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "mta_position_credit", "vocab_richness_chao1",
     "jackknife_mean_se", "randomized_response_audit",
     "orders_max_drawdown", "orders_mann_kendall",
+    "orders_kendall_tau", "events_turning_points",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

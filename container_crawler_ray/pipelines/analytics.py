@@ -10193,3 +10193,104 @@ def orders_mann_kendall(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days", "s_stat", "tie_term",
                                  "var_x18", "z_milli"]) \
         .astype("int64")
+
+
+def orders_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """KENDALL TAU-B between the daily ORDER-COUNT series and the
+    daily REVENUE series — the rank-association companion to the
+    Spearman/Mann-Kendall pair: do busier days also gross more, with
+    no linearity assumption? Concordant/discordant pair counts are
+    exact integers over the O(G^2) observed-day pair sweep (G is the
+    calendar, never the rows), tie corrections tx/ty are exact pair
+    counts from the value multiplicities, and the only float on
+    either side is the ONE IEEE-order-matched closing expression
+    S / (sqrt(n0-tx)*sqrt(n0-ty)) * 1000 floored to milli units.
+    Per-block daily partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "cnt": pa.array(np.bincount(inv, minlength=len(u))
+                            .astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)[["cnt", "rev"]].sum()
+           .sort_values("dy", kind="mergesort"))
+    x = agg["cnt"].to_numpy(np.int64)
+    y = agg["rev"].to_numpy(np.int64)
+    g = len(x)
+    i, j = np.triu_indices(g, k=1)
+    sx = np.sign(x[j] - x[i])
+    sy = np.sign(y[j] - y[i])
+    prod = sx * sy
+    conc = int((prod > 0).sum())
+    disc = int((prod < 0).sum())
+    s = conc - disc
+    n0 = g * (g - 1) // 2
+    _, cx = np.unique(x, return_counts=True)
+    tx = int((cx * (cx - 1) // 2).sum())
+    _, cy = np.unique(y, return_counts=True)
+    ty = int((cy * (cy - 1) // 2).sum())
+    if n0 - tx > 0 and n0 - ty > 0:
+        tau_milli = math.floor(
+            float(s) / (math.sqrt(float(n0 - tx))
+                        * math.sqrt(float(n0 - ty))) * 1000.0)
+    else:
+        tau_milli = 0
+    return pd.DataFrame([(g, conc, disc, s, tx, ty, tau_milli)],
+                        columns=["n_days", "concordant", "discordant",
+                                 "s_stat", "tx_pairs", "ty_pairs",
+                                 "tau_milli"]).astype("int64")
+
+
+def events_turning_points(sf_dir: str) -> pd.DataFrame:
+    """TURNING-POINT randomness test on the daily event-count series
+    — the third classic trend/randomness gate beside the up-down runs
+    and Mann-Kendall tests: count interior days that are a strict
+    local peak or trough of the observed-day sequence ((x_i - x_{i-1})
+    *(x_{i+1} - x_i) < 0; flat shoulders audit separately as ties),
+    compare against the i.i.d. expectation 2(n-2)/3 with variance
+    (16n-29)/90, both kept as exact scaled integers, and close with
+    ONE IEEE-order-matched float z = (T - E)/sqrt(V) floored to milli
+    units. Per-block daily count partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        u, cnt = np.unique(dy, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["cnt"].sum()
+           .sort_values("dy", kind="mergesort"))
+    c = agg["cnt"].to_numpy(np.int64)
+    n = len(c)
+    d1 = c[1:-1] - c[:-2]
+    d2 = c[2:] - c[1:-1]
+    prod = d1 * d2
+    tp = int((prod < 0).sum())
+    tz = int((prod == 0).sum())
+    exp_x3 = 2 * (n - 2)
+    var_x90 = 16 * n - 29
+    z_milli = math.floor(
+        float(3 * tp - exp_x3) / 3.0
+        / math.sqrt(float(var_x90) / 90.0) * 1000.0)
+    return pd.DataFrame([(n, tp, tz, exp_x3, var_x90, z_milli)],
+                        columns=["n_days", "turning_points",
+                                 "flat_ties", "exp_x3", "var_x90",
+                                 "z_milli"]).astype("int64")

@@ -146,6 +146,7 @@ def test_entry_smoke(entrymod):
     "mta_position_credit", "vocab_richness_chao1",
     "jackknife_mean_se", "randomized_response_audit",
     "orders_max_drawdown", "orders_mann_kendall",
+    "orders_kendall_tau", "events_turning_points",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
