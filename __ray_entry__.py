@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_mann_kendall": analytics.orders_mann_kendall,
         "orders_kendall_tau": analytics.orders_kendall_tau,
         "events_turning_points": analytics.events_turning_points,
+        "part_brand_type_cramer": analytics.part_brand_type_cramer,
+        "orders_dow_anova": analytics.orders_dow_anova,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6521,6 +6523,71 @@ def oracle_sql() -> dict[str, str]:
                                      / 90.0)
                               * 1000.0) AS BIGINT) AS z_milli
             FROM t, nn
+        """,
+        "part_brand_type_cramer": """
+            WITH o AS (SELECT p_brand AS b, p_type AS t,
+                              COUNT(*) AS o
+                       FROM part GROUP BY 1, 2),
+            rb AS (SELECT p_brand AS b, CAST(COUNT(*) AS HUGEINT) AS r
+                   FROM part GROUP BY 1),
+            ct AS (SELECT p_type AS t, CAST(COUNT(*) AS HUGEINT) AS c
+                   FROM part GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM part),
+            cells AS (SELECT rb.r, ct.c, COALESCE(o.o, 0) AS ob
+                      FROM rb CROSS JOIN ct
+                      LEFT JOIN o ON o.b = rb.b AND o.t = ct.t),
+            chi AS (SELECT SUM(1000 * (n * ob - r * c) * (n * ob - r * c)
+                               // (n * r * c)) AS chi2m
+                    FROM cells, nn),
+            dims AS (SELECT (SELECT COUNT(*) FROM rb) AS nb,
+                            (SELECT COUNT(*) FROM ct) AS nt)
+            SELECT CAST(n AS BIGINT) AS n_parts,
+                   CAST(nb AS BIGINT) AS n_brands,
+                   CAST(nt AS BIGINT) AS n_types,
+                   CAST((nb - 1) * (nt - 1) AS BIGINT) AS dof,
+                   CAST(chi2m AS BIGINT) AS chi2_milli,
+                   CAST(FLOOR(SQRT(CAST(chi2m AS DOUBLE) / 1000.0
+                                   / CAST(n * LEAST(nb - 1, nt - 1)
+                                          AS DOUBLE))
+                              * 1000.0) AS BIGINT) AS v_milli
+            FROM chi, dims, nn
+        """,
+        "orders_dow_anova": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            g AS (SELECT (dy + 3) % 7 AS dow,
+                         CAST(COUNT(*) AS HUGEINT) AS n_i,
+                         CAST(SUM(rev) AS HUGEINT) AS s_i,
+                         SUM(CAST(rev AS HUGEINT) * rev) AS q_i
+                  FROM d GROUP BY 1),
+            m AS (SELECT dow, n_i, s_i, q_i,
+                         (1000 * s_i) // n_i AS m_i
+                  FROM g),
+            tot AS (SELECT SUM(n_i) AS n, SUM(s_i) AS s,
+                           COUNT(*) AS k
+                    FROM m),
+            gm AS (SELECT (1000 * s) // n AS mbar, n, k FROM tot),
+            ss AS (SELECT SUM(n_i * (m_i - mbar) * (m_i - mbar)) AS ssb,
+                          SUM(1000000 * q_i - 2 * m_i * 1000 * s_i
+                              + n_i * m_i * m_i) AS ssw
+                   FROM m, gm),
+            bw AS (SELECT
+                     (SELECT dow FROM m
+                      ORDER BY m_i DESC, dow LIMIT 1) AS best_dow,
+                     (SELECT dow FROM m
+                      ORDER BY m_i ASC, dow LIMIT 1) AS worst_dow)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(k AS BIGINT) AS n_groups,
+                   CAST(1000 * ssb * (n - k)
+                        // (ssw * (k - 1)) AS BIGINT) AS f_milli,
+                   CAST(10000 * ssb // (ssb + ssw) AS BIGINT)
+                       AS eta2_bps,
+                   CAST(best_dow AS BIGINT) AS best_dow,
+                   CAST(worst_dow AS BIGINT) AS worst_dow
+            FROM ss, gm, bw
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

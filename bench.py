@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "jackknife_mean_se", "randomized_response_audit",
     "orders_max_drawdown", "orders_mann_kendall",
     "orders_kendall_tau", "events_turning_points",
+    "part_brand_type_cramer", "orders_dow_anova",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

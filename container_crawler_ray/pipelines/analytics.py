@@ -10294,3 +10294,112 @@ def events_turning_points(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days", "turning_points",
                                  "flat_ties", "exp_x3", "var_x90",
                                  "z_milli"]).astype("int64")
+
+
+def part_brand_type_cramer(sf_dir: str) -> pd.DataFrame:
+    """CRAMER'S V categorical association between part brand and
+    part type — the contingency-table independence gate for catalog
+    columns: chi-square accumulated as exact per-cell integer milli
+    contributions floor(1000*(N*O - r*c)^2 / (N*r*c)) over the FULL
+    brand x type grid (absent cells included via the margins cross
+    join, exactly as the twin's LEFT JOIN), so the sum is order-free
+    and bit-exact; the only float on either side is the ONE closing
+    IEEE-order-matched sqrt(chi2/1000/ (N*min(r-1,c-1)))*1000 floor.
+    Per-block (brand, type) count partials — the grid is 25 x 6, so
+    the exchange is constant-size; ZERO row shuffle."""
+    import math
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "b": np.asarray(t.column("p_brand")).astype(object),
+            "t": np.asarray(t.column("p_type")).astype(object)})
+        g = df.groupby(["b", "t"], as_index=False).size()
+        return pa.table({"b": pa.array(g["b"], type=pa.string()),
+                         "t": pa.array(g["t"], type=pa.string()),
+                         "o": pa.array(g["size"].to_numpy(np.int64))})
+
+    obs = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["b", "t"], as_index=False)["o"].sum())
+    rb = obs.groupby("b")["o"].sum().to_dict()
+    ct = obs.groupby("t")["o"].sum().to_dict()
+    omap = {(r["b"], r["t"]): int(r["o"]) for _, r in obs.iterrows()}
+    n = sum(int(v) for v in rb.values())
+    chi2m = 0
+    for b, r in rb.items():
+        for t, c in ct.items():
+            o = omap.get((b, t), 0)
+            num = n * o - int(r) * int(c)
+            chi2m += 1000 * num * num // (n * int(r) * int(c))
+    nb, nt = len(rb), len(ct)
+    dof = (nb - 1) * (nt - 1)
+    mind = min(nb - 1, nt - 1)
+    v_milli = math.floor(math.sqrt(
+        float(chi2m) / 1000.0 / float(n * mind)) * 1000.0)
+    return pd.DataFrame([(n, nb, nt, dof, chi2m, v_milli)],
+                        columns=["n_parts", "n_brands", "n_types",
+                                 "dof", "chi2_milli", "v_milli"]) \
+        .astype("int64")
+
+
+def orders_dow_anova(sf_dir: str) -> pd.DataFrame:
+    """INTEGER one-way ANOVA of the daily revenue series across the
+    seven weekdays — the significance side of the day-of-week effect:
+    each observed day's revenue (exact cents) is a sample, groups are
+    the pure-integer weekday (epoch_days+3)%7, group means are
+    FLOORED to milli-cents so between/within sums of squares stay
+    exact integers (SSW_i = 10^6*Q_i - 2*m_i*1000*S_i + n_i*m_i^2 per
+    group), and the F statistic closes fully inside integer
+    arithmetic: F_milli = 1000*SSB*(N-k) // (SSW*(k-1)) — NO float on
+    either side. Squares of daily cents exceed int64, so the driver
+    folds Python bigints and the twin rides HUGEINT. Per-block daily
+    partials — ZERO shuffle."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    dy = agg["dy"].to_numpy(np.int64)
+    rv = agg["rev"].to_numpy(np.int64)
+    dow = (dy + 3) % 7
+    stats = {}
+    for w in range(7):
+        sel = rv[dow == w]
+        if len(sel):
+            stats[w] = (len(sel), sum(int(x) for x in sel),
+                        sum(int(x) * int(x) for x in sel))
+    n = sum(s[0] for s in stats.values())
+    k = len(stats)
+    s_tot = sum(s[1] for s in stats.values())
+    mbar = 1000 * s_tot // n
+    ssb = 0
+    ssw = 0
+    best = worst = None
+    for w in sorted(stats):
+        n_i, s_i, q_i = stats[w]
+        m_i = 1000 * s_i // n_i
+        ssb += n_i * (m_i - mbar) * (m_i - mbar)
+        ssw += 1_000_000 * q_i - 2 * m_i * 1000 * s_i + n_i * m_i * m_i
+        if best is None or m_i > best[1]:
+            best = (w, m_i)
+        if worst is None or m_i < worst[1]:
+            worst = (w, m_i)
+    f_milli = 1000 * ssb * (n - k) // (ssw * (k - 1))
+    eta2_bps = 10_000 * ssb // (ssb + ssw)
+    return pd.DataFrame([(n, k, f_milli, eta2_bps,
+                          best[0], worst[0])],
+                        columns=["n_days", "n_groups", "f_milli",
+                                 "eta2_bps", "best_dow", "worst_dow"]) \
+        .astype("int64")
