@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_turning_points": analytics.events_turning_points,
         "part_brand_type_cramer": analytics.part_brand_type_cramer,
         "orders_dow_anova": analytics.orders_dow_anova,
+        "lineitem_quantity_ks_uniform":
+            analytics.lineitem_quantity_ks_uniform,
+        "customer_segment_kruskal": analytics.customer_segment_kruskal,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6588,6 +6591,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(best_dow AS BIGINT) AS best_dow,
                    CAST(worst_dow AS BIGINT) AS worst_dow
             FROM ss, gm, bw
+        """,
+        "lineitem_quantity_ks_uniform": """
+            WITH grid AS (SELECT unnest(generate_series(1, 50)) AS q),
+            cc AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            g AS (SELECT grid.q, COALESCE(cc.c, 0) AS c
+                  FROM grid LEFT JOIN cc USING (q)),
+            nn AS (SELECT SUM(c) AS n FROM g),
+            w AS (SELECT q, SUM(c) OVER (ORDER BY q) AS cum FROM g),
+            d AS (SELECT q, ABS(50 * cum - q * n) AS dv FROM w, nn),
+            mx AS (SELECT MAX(dv) AS d_num FROM d),
+            qa AS (SELECT MIN(q) AS q_at_max FROM d, mx
+                   WHERE dv = d_num)
+            SELECT CAST(n AS BIGINT) AS n_lines,
+                   CAST(d_num AS BIGINT) AS d_num,
+                   CAST(q_at_max AS BIGINT) AS q_at_max,
+                   CAST(1000 * d_num // (50 * n) AS BIGINT) AS d_milli,
+                   CAST(FLOOR(CAST(d_num AS DOUBLE)
+                              / (50.0 * CAST(n AS DOUBLE))
+                              * SQRT(CAST(n AS DOUBLE))
+                              * 1000.0) AS BIGINT) AS ks_lambda_milli
+            FROM nn, mx, qa
+        """,
+        "customer_segment_kruskal": """
+            WITH b AS (SELECT c_mktsegment AS seg,
+                              CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                                  AS v
+                       FROM customer),
+            vc AS (SELECT v, COUNT(*) AS cv FROM b GROUP BY 1),
+            w AS (SELECT v, cv,
+                         SUM(cv) OVER (ORDER BY v) - cv AS cumbef
+                  FROM vc),
+            gv AS (SELECT seg, v, COUNT(*) AS cgv FROM b GROUP BY 1, 2),
+            r AS (SELECT seg,
+                         CAST(SUM(cgv) AS HUGEINT) AS n_i,
+                         CAST(SUM(cgv * (2 * cumbef + cv + 1))
+                              AS HUGEINT) AS r2
+                  FROM gv JOIN w USING (v) GROUP BY 1),
+            nn AS (SELECT SUM(n_i) AS n FROM r),
+            s AS (SELECT SUM(3000 * r2 * r2 // n_i) AS s4 FROM r),
+            h AS (SELECT s4 // (n * (n + 1)) - 3000 * (n + 1)
+                         AS h_milli
+                  FROM s, nn)
+            SELECT seg AS c_mktsegment,
+                   CAST(n_i AS BIGINT) AS n_cust,
+                   CAST(r2 AS BIGINT) AS rank2_sum,
+                   CAST(1000 * r2 // (2 * n_i) AS BIGINT)
+                       AS mean_rank_milli,
+                   CAST(h_milli AS BIGINT) AS h_milli
+            FROM r, h ORDER BY c_mktsegment
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "orders_max_drawdown", "orders_mann_kendall",
     "orders_kendall_tau", "events_turning_points",
     "part_brand_type_cramer", "orders_dow_anova",
+    "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

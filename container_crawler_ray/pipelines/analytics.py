@@ -10403,3 +10403,92 @@ def orders_dow_anova(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days", "n_groups", "f_milli",
                                  "eta2_bps", "best_dow", "worst_dow"]) \
         .astype("int64")
+
+
+def lineitem_quantity_ks_uniform(sf_dir: str) -> pd.DataFrame:
+    """ONE-SAMPLE KOLMOGOROV-SMIRNOV test of the quantity column
+    against its nominal discrete Uniform{1..50} generator — the
+    does-the-data-match-spec gate run entirely in integers: the sup
+    gap is max over the FULL 1..50 grid (absent levels included) of
+    |50*cum_n(q) - q*N| in 1/(50N) units, its first-attaining level
+    is the argmax tie-broken low, d_milli = 1000*d // (50N) exactly,
+    and the only float is the ONE IEEE-order-matched closing
+    d/(50N)*sqrt(N)*1000 Kolmogorov lambda. Per-block 50-cell
+    bincount partials — constant-size exchange, ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy().astype(np.int64)
+        cnt = np.bincount(q, minlength=51)[1:51].astype(np.int64)
+        return pa.table({"q": pa.array(np.arange(1, 51, dtype=np.int64)),
+                         "c": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("q", as_index=False)["c"].sum()
+           .sort_values("q"))
+    c = agg["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    cum = c.cumsum()
+    q = np.arange(1, 51, dtype=np.int64)
+    dv = np.abs(50 * cum - q * n)
+    d_num = int(dv.max())
+    q_at_max = int(q[int(np.argmax(dv))])
+    d_milli = 1000 * d_num // (50 * n)
+    lam_milli = math.floor(
+        float(d_num) / (50.0 * float(n))
+        * math.sqrt(float(n)) * 1000.0)
+    return pd.DataFrame([(n, d_num, q_at_max, d_milli, lam_milli)],
+                        columns=["n_lines", "d_num", "q_at_max",
+                                 "d_milli", "ks_lambda_milli"]) \
+        .astype("int64")
+
+
+def customer_segment_kruskal(sf_dir: str) -> pd.DataFrame:
+    """KRUSKAL-WALLIS H across the five market segments on customer
+    account balance — the k-sample rank test completing the MWU /
+    ANOVA family, exact end to end: global midranks come from a
+    value-level count fold over the bounded cents domain (doubled
+    midrank 2*cum_before + cnt + 1 keeps them integer), per-segment
+    rank sums are exact integers, and H closes in pure integer
+    arithmetic via the documented per-group floor S = sum_g
+    3000*R2_g^2 // n_g then h_milli = S // (N(N+1)) - 3000(N+1)
+    (uncorrected for ties; squares exceed int64 so the driver holds
+    Python bigints and the twin rides HUGEINT). One (segment, value)
+    count exchange at customer cardinality; h_milli repeats on every
+    segment row by construction."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "seg": np.asarray(t.column("c_mktsegment")).astype(object),
+            "v": np.floor(t.column("c_acctbal").to_numpy() * 100)
+            .astype(np.int64)})
+        g = df.groupby(["seg", "v"], as_index=False).size()
+        return pa.table({"seg": pa.array(g["seg"], type=pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "cgv": pa.array(g["size"].to_numpy(np.int64))})
+
+    gv = (ds.map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby(["seg", "v"], as_index=False)["cgv"]
+          .sum())
+    vc = gv.groupby("v", as_index=False)["cgv"].sum() \
+        .rename(columns={"cgv": "cv"}).sort_values("v")
+    vc["cumbef"] = vc["cv"].cumsum() - vc["cv"]
+    gv = gv.merge(vc, on="v")
+    gv["term"] = gv["cgv"] * (2 * gv["cumbef"] + gv["cv"] + 1)
+    r = gv.groupby("seg").agg(n_i=("cgv", "sum"),
+                              r2=("term", "sum")).sort_index()
+    n = int(r["n_i"].sum())
+    s4 = sum(3000 * int(row.r2) * int(row.r2) // int(row.n_i)
+             for row in r.itertuples())
+    h_milli = s4 // (n * (n + 1)) - 3000 * (n + 1)
+    return pd.DataFrame({
+        "c_mktsegment": r.index.to_numpy(object),
+        "n_cust": r["n_i"].to_numpy(np.int64),
+        "rank2_sum": r["r2"].to_numpy(np.int64),
+        "mean_rank_milli": (1000 * r["r2"].to_numpy(np.int64))
+        // (2 * r["n_i"].to_numpy(np.int64)),
+        "h_milli": np.full(len(r), h_milli, dtype=np.int64)}) \
+        .reset_index(drop=True)
