@@ -315,6 +315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_quantity_ks_uniform":
             analytics.lineitem_quantity_ks_uniform,
         "customer_segment_kruskal": analytics.customer_segment_kruskal,
+        "supplier_grubbs_extremes": analytics.supplier_grubbs_extremes,
+        "nation_segment_stdres": analytics.nation_segment_stdres,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6642,6 +6644,85 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_rank_milli,
                    CAST(h_milli AS BIGINT) AS h_milli
             FROM r, h ORDER BY c_mktsegment
+        """,
+        "supplier_grubbs_extremes": """
+            WITH b AS (SELECT s_suppkey,
+                              CAST(FLOOR(s_acctbal * 100) AS BIGINT)
+                                  AS v
+                       FROM supplier),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM b),
+            hi AS (SELECT s_suppkey AS sk, v FROM b
+                   ORDER BY v DESC, s_suppkey LIMIT 1),
+            lo AS (SELECT s_suppkey AS sk, v FROM b
+                   ORDER BY v ASC, s_suppkey LIMIT 1)
+            SELECT * FROM (
+              SELECT 'high' AS side,
+                     CAST(n AS BIGINT) AS n_suppliers,
+                     CAST(sk AS BIGINT) AS s_suppkey,
+                     CAST(v AS BIGINT) AS bal_cents,
+                     CAST(n * v - s AS BIGINT) AS dev_num,
+                     CAST(FLOOR((CAST(n * v - s AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                                / SQRT(CAST(n * q - s * s AS DOUBLE)
+                                       / (CAST(n AS DOUBLE)
+                                          * CAST(n - 1 AS DOUBLE)))
+                                * 1000.0) AS BIGINT) AS g_milli
+              FROM hi, m
+              UNION ALL
+              SELECT 'low',
+                     CAST(n AS BIGINT),
+                     CAST(sk AS BIGINT),
+                     CAST(v AS BIGINT),
+                     CAST(s - n * v AS BIGINT),
+                     CAST(FLOOR((CAST(s - n * v AS DOUBLE)
+                                 / CAST(n AS DOUBLE))
+                                / SQRT(CAST(n * q - s * s AS DOUBLE)
+                                       / (CAST(n AS DOUBLE)
+                                          * CAST(n - 1 AS DOUBLE)))
+                                * 1000.0) AS BIGINT)
+              FROM lo, m)
+            ORDER BY side
+        """,
+        "nation_segment_stdres": """
+            WITH b AS (SELECT c_nationkey AS nk, c_mktsegment AS seg
+                       FROM customer),
+            o AS (SELECT nk, seg, COUNT(*) AS ob
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS r
+                  FROM b GROUP BY 1),
+            c AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM b GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+            g AS (SELECT r.nk, c.seg, r.r, c.c,
+                         COALESCE(o.ob, 0) AS ob
+                  FROM r CROSS JOIN c
+                  LEFT JOIN o ON o.nk = r.nk AND o.seg = c.seg),
+            e AS (SELECT nk, seg, ob, r, c,
+                         n * ob - r * c AS dev,
+                         CAST(FLOOR((CAST(n * ob - r * c AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                    / SQRT(CAST(r * c AS DOUBLE)
+                                           / CAST(n AS DOUBLE)
+                                           * (1.0 - CAST(r AS DOUBLE)
+                                              / CAST(n AS DOUBLE))
+                                           * (1.0 - CAST(c AS DOUBLE)
+                                              / CAST(n AS DOUBLE)))
+                                    * 1000.0) AS BIGINT) AS sr
+                  FROM g, nn),
+            t AS (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY ABS(sr) DESC, nk, seg) AS rk
+                  FROM e)
+            SELECT CAST(nk AS BIGINT) AS c_nationkey,
+                   seg AS c_mktsegment,
+                   CAST(ob AS BIGINT) AS obs,
+                   r AS r_tot, c AS c_tot,
+                   CAST(dev AS BIGINT) AS dev_num,
+                   sr AS stdres_milli,
+                   CAST(rk AS BIGINT) AS rk
+            FROM t WHERE rk <= 10 ORDER BY rk
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

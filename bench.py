@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "orders_kendall_tau", "events_turning_points",
     "part_brand_type_cramer", "orders_dow_anova",
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
+    "supplier_grubbs_extremes", "nation_segment_stdres",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

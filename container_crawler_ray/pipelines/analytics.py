@@ -10492,3 +10492,119 @@ def customer_segment_kruskal(sf_dir: str) -> pd.DataFrame:
         // (2 * r["n_i"].to_numpy(np.int64)),
         "h_milli": np.full(len(r), h_milli, dtype=np.int64)}) \
         .reset_index(drop=True)
+
+
+def supplier_grubbs_extremes(sf_dir: str) -> pd.DataFrame:
+    """GRUBBS extreme-value test on supplier account balances — the
+    single-most-suspicious-point gate on each tail: exact integer
+    moments (N, S, Q as Python bigints / HUGEINT) plus the two tail
+    candidates resolved distributively (each block emits its own
+    max/min value with the smallest suppkey attaining it; the driver
+    folds value-then-key, correct because every row holding the
+    global extreme is some block's extreme), deviations N*x - S kept
+    exact, and G on each side as ONE IEEE-order-matched float chain
+    (dev/N) / sqrt((NQ - S^2)/(N(N-1))) floored to milli. Constant
+    per-block partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t.column("s_suppkey").to_numpy().astype(np.int64)
+        v = np.floor(t.column("s_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        vmax, vmin = int(v.max()), int(v.min())
+        return pa.table({
+            "n": pa.array([np.int64(len(v))]),
+            "s": pa.array([np.int64(v.sum())]),
+            "q": pa.array([np.int64((v * v).sum())]),
+            "vmax": pa.array([np.int64(vmax)]),
+            "kmax": pa.array([np.int64(sk[v == vmax].min())]),
+            "vmin": pa.array([np.int64(vmin)]),
+            "kmin": pa.array([np.int64(sk[v == vmin].min())])})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    s = sum(int(x) for x in p["s"])
+    q = sum(int(x) for x in p["q"])
+    vmax = int(p["vmax"].max())
+    kmax = int(p.loc[p["vmax"] == vmax, "kmax"].min())
+    vmin = int(p["vmin"].min())
+    kmin = int(p.loc[p["vmin"] == vmin, "kmin"].min())
+    nq_s2 = n * q - s * s
+
+    def g_milli(dev: int) -> int:
+        return math.floor(
+            (float(dev) / float(n))
+            / math.sqrt(float(nq_s2) / (float(n) * float(n - 1)))
+            * 1000.0)
+
+    rows = [("high", n, kmax, vmax, n * vmax - s,
+             g_milli(n * vmax - s)),
+            ("low", n, kmin, vmin, s - n * vmin,
+             g_milli(s - n * vmin))]
+    return pd.DataFrame(rows, columns=[
+        "side", "n_suppliers", "s_suppkey", "bal_cents", "dev_num",
+        "g_milli"]).astype({c: "int64" for c in (
+            "n_suppliers", "s_suppkey", "bal_cents", "dev_num",
+            "g_milli")})
+
+
+def nation_segment_stdres(sf_dir: str) -> pd.DataFrame:
+    """STANDARDIZED-RESIDUAL diagnostics on the customer nation x
+    market-segment contingency grid — which specific cells drive the
+    association, not just whether one exists: the full margins grid
+    (absent cells included at O = 0), exact integer deviations
+    N*O - r*c, each cell's haberman residual (dev/N) /
+    sqrt(rc/N * (1 - r/N) * (1 - c/N)) as an independent
+    IEEE-order-matched float floored to milli (NO float ever summed),
+    ranked by |stdres_milli| desc with the (nation, segment) lexical
+    tie rule, top 10. Per-block (nation, segment) count partials —
+    the grid is 25 x 5; ZERO row shuffle."""
+    import math
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "nk": t.column("c_nationkey").to_numpy()
+            .astype(np.int64),
+            "seg": np.asarray(t.column("c_mktsegment"))
+            .astype(object)})
+        g = df.groupby(["nk", "seg"], as_index=False).size()
+        return pa.table({"nk": pa.array(g["nk"].to_numpy(np.int64)),
+                         "seg": pa.array(g["seg"], type=pa.string()),
+                         "o": pa.array(g["size"].to_numpy(np.int64))})
+
+    obs = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["nk", "seg"], as_index=False)["o"]
+           .sum())
+    rtot = obs.groupby("nk")["o"].sum().to_dict()
+    ctot = obs.groupby("seg")["o"].sum().to_dict()
+    omap = {(r["nk"], r["seg"]): int(r["o"])
+            for _, r in obs.iterrows()}
+    n = sum(int(v) for v in rtot.values())
+    cells = []
+    for nk in sorted(rtot):
+        r = int(rtot[nk])
+        for seg in sorted(ctot):
+            c = int(ctot[seg])
+            o = omap.get((nk, seg), 0)
+            dev = n * o - r * c
+            sr = math.floor(
+                (float(dev) / float(n))
+                / math.sqrt(float(r * c) / float(n)
+                            * (1.0 - float(r) / float(n))
+                            * (1.0 - float(c) / float(n)))
+                * 1000.0)
+            cells.append((nk, seg, o, r, c, dev, sr))
+    cells.sort(key=lambda x: (-abs(x[6]), x[0], x[1]))
+    top = cells[:10]
+    df = pd.DataFrame(top, columns=[
+        "c_nationkey", "c_mktsegment", "obs", "r_tot", "c_tot",
+        "dev_num", "stdres_milli"])
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df.astype({c: "int64" for c in (
+        "c_nationkey", "obs", "r_tot", "c_tot", "dev_num",
+        "stdres_milli", "rk")})

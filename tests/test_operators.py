@@ -149,6 +149,7 @@ def test_entry_smoke(entrymod):
     "orders_kendall_tau", "events_turning_points",
     "part_brand_type_cramer", "orders_dow_anova",
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
+    "supplier_grubbs_extremes", "nation_segment_stdres",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
