@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_kruskal": analytics.customer_segment_kruskal,
         "supplier_grubbs_extremes": analytics.supplier_grubbs_extremes,
         "nation_segment_stdres": analytics.nation_segment_stdres,
+        "part_price_tukey_fences": analytics.part_price_tukey_fences,
+        "orders_runs_median": analytics.orders_runs_median,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6723,6 +6725,73 @@ def oracle_sql() -> dict[str, str]:
                    sr AS stdres_milli,
                    CAST(rk AS BIGINT) AS rk
             FROM t WHERE rk <= 10 ORDER BY rk
+        """,
+        "part_price_tukey_fences": """
+            WITH b AS (SELECT p_brand AS br,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS v
+                       FROM part),
+            q AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(v, 0.25) AS BIGINT) AS q1,
+                         CAST(quantile_disc(v, 0.75) AS BIGINT) AS q3
+                  FROM b GROUP BY 1),
+            o AS (SELECT b.br,
+                         SUM(CASE WHEN 4 * b.v <
+                                  4 * q.q1 - 6 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS lo,
+                         SUM(CASE WHEN 4 * b.v >
+                                  4 * q.q3 + 6 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS hi
+                  FROM b JOIN q ON b.br = q.br GROUP BY 1)
+            SELECT q.br AS p_brand, n AS n_parts, q1 AS q1_cents,
+                   q3 AS q3_cents, q3 - q1 AS iqr_cents,
+                   CAST(o.lo AS BIGINT) AS lo_outliers,
+                   CAST(o.hi AS BIGINT) AS hi_outliers
+            FROM q JOIN o ON q.br = o.br ORDER BY p_brand
+        """,
+        "orders_runs_median": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            m AS (SELECT CAST(quantile_disc(rev, 0.50) AS BIGINT)
+                             AS med,
+                         COUNT(*) AS g
+                  FROM d),
+            s AS (SELECT dy, CASE WHEN rev > med THEN 1 ELSE 0 END
+                             AS a
+                  FROM d, m WHERE rev <> med),
+            l AS (SELECT a, LAG(a) OVER (ORDER BY dy) AS pa FROM s),
+            rr AS (SELECT COUNT(*) AS n,
+                          COALESCE(SUM(a), 0) AS n1,
+                          COUNT(*) - COALESCE(SUM(a), 0) AS n2,
+                          CASE WHEN COUNT(*) = 0 THEN 0
+                               ELSE 1 + COALESCE(SUM(
+                                   CASE WHEN pa IS NOT NULL
+                                        AND a <> pa
+                                   THEN 1 ELSE 0 END), 0) END AS runs
+                   FROM l)
+            SELECT CAST(n AS BIGINT) AS n_days_used,
+                   CAST(g - n AS BIGINT) AS n_equal_dropped,
+                   CAST(n1 AS BIGINT) AS n_above,
+                   CAST(n2 AS BIGINT) AS n_below,
+                   CAST(med AS BIGINT) AS median_cents,
+                   CAST(runs AS BIGINT) AS runs,
+                   CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n < 2
+                             OR 2 * n1 * n2 * (2 * n1 * n2 - n) <= 0
+                        THEN 0
+                        ELSE FLOOR(
+                            (CAST(n * runs - n - 2 * n1 * n2
+                                  AS DOUBLE) / CAST(n AS DOUBLE))
+                            / SQRT(CAST(2 * n1 * n2
+                                        * (2 * n1 * n2 - n)
+                                        AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * CAST(n AS DOUBLE)
+                                      * CAST(n - 1 AS DOUBLE)))
+                            * 1000.0) END AS BIGINT) AS z_milli
+            FROM rr, m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

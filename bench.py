@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "part_brand_type_cramer", "orders_dow_anova",
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
     "supplier_grubbs_extremes", "nation_segment_stdres",
+    "part_price_tukey_fences", "orders_runs_median",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

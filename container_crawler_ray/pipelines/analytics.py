@@ -10608,3 +10608,108 @@ def nation_segment_stdres(sf_dir: str) -> pd.DataFrame:
     return df.astype({c: "int64" for c in (
         "c_nationkey", "obs", "r_tot", "c_tot", "dev_num",
         "stdres_milli", "rk")})
+
+
+def part_price_tukey_fences(sf_dir: str) -> pd.DataFrame:
+    """TUKEY-FENCE outlier census of part retail prices WITHIN each
+    brand — the box-plot rule run exactly: per-brand Q1/Q3 via the
+    ceil-rank discrete quantile (the same rule quantile_disc
+    implements), fences kept integral by working in quarter-cents
+    (lo4 = 4*Q1 - 6*IQR, hi4 = 4*Q3 + 6*IQR, outlier iff 4*v strictly
+    outside), so the whole operator is pure integer arithmetic.
+    Per-block (brand, cents) count partials fold to a
+    brand-x-distinct-price grid at most part-cardinality wide; the
+    quantile scan runs per brand on the driver grid — ZERO row
+    shuffle, no sort of the raw table."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "br": np.asarray(t.column("p_brand")).astype(object),
+            "v": np.floor(t.column("p_retailprice").to_numpy() * 100)
+            .astype(np.int64)})
+        g = df.groupby(["br", "v"], as_index=False).size()
+        return pa.table({"br": pa.array(g["br"], type=pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas().groupby(["br", "v"], as_index=False)["c"]
+            .sum())
+    rows = []
+    for br, g in hist.groupby("br"):
+        g = g.sort_values("v", kind="mergesort")
+        v = g["v"].to_numpy(np.int64)
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        q1 = int(v[np.searchsorted(cum, -(-n // 4))])
+        q3 = int(v[np.searchsorted(cum, -(-3 * n // 4))])
+        iqr = q3 - q1
+        lo4, hi4 = 4 * q1 - 6 * iqr, 4 * q3 + 6 * iqr
+        lo_cnt = int(g["c"].to_numpy(np.int64)[4 * v < lo4].sum())
+        hi_cnt = int(g["c"].to_numpy(np.int64)[4 * v > hi4].sum())
+        rows.append((str(br), n, q1, q3, iqr, lo_cnt, hi_cnt))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "p_brand", "n_parts", "q1_cents", "q3_cents", "iqr_cents",
+        "lo_outliers", "hi_outliers"]).astype(
+        {c: "int64" for c in ("n_parts", "q1_cents", "q3_cents",
+                              "iqr_cents", "lo_outliers",
+                              "hi_outliers")})
+
+
+def orders_runs_median(sf_dir: str) -> pd.DataFrame:
+    """WALD-WOLFOWITZ runs test ABOUT THE MEDIAN on the daily revenue
+    series — the randomness gate that completes the runs family (the
+    up-down variant tests direction, this one tests level): the
+    median is the exact ceil-rank daily value, equal-to-median days
+    drop (the classic rule), runs count over the day-ordered binary
+    above/below sequence, expectation 1 + 2*n1*n2/n and variance
+    2n1n2(2n1n2-n)/(n^2(n-1)) kept as exact integer numerators, z as
+    ONE IEEE-order-matched float chain floored to milli (0 via the
+    integer gate when either side is empty). Per-block daily
+    partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    r = agg["rev"].to_numpy(np.int64)
+    g = len(r)
+    srt = np.sort(r)
+    med = int(srt[-(-g // 2) - 1])
+    keep = r[r != med]
+    dropped = g - len(keep)
+    a = (keep > med).astype(np.int64)
+    n1 = int(a.sum())
+    n2 = len(a) - n1
+    n = n1 + n2
+    runs = int(1 + (a[1:] != a[:-1]).sum()) if n else 0
+    p2 = 2 * n1 * n2
+    vnum = p2 * (p2 - n)
+    if n1 == 0 or n2 == 0 or n < 2 or vnum <= 0:
+        z_milli = 0
+    else:
+        z_milli = math.floor(
+            (float(n * runs - n - p2) / float(n))
+            / math.sqrt(float(vnum)
+                        / (float(n) * float(n) * float(n - 1)))
+            * 1000.0)
+    return pd.DataFrame([(n, dropped, n1, n2, med, runs, z_milli)],
+                        columns=["n_days_used", "n_equal_dropped",
+                                 "n_above", "n_below", "median_cents",
+                                 "runs", "z_milli"]).astype("int64")

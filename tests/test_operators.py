@@ -150,6 +150,7 @@ def test_entry_smoke(entrymod):
     "part_brand_type_cramer", "orders_dow_anova",
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
     "supplier_grubbs_extremes", "nation_segment_stdres",
+    "part_price_tukey_fences", "orders_runs_median",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
