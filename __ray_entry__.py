@@ -319,6 +319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segment_stdres": analytics.nation_segment_stdres,
         "part_price_tukey_fences": analytics.part_price_tukey_fences,
         "orders_runs_median": analytics.orders_runs_median,
+        "orders_friedman_dow": analytics.orders_friedman_dow,
+        "orders_variance_ratio": analytics.orders_variance_ratio,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6792,6 +6794,75 @@ def oracle_sql() -> dict[str, str]:
                                       * CAST(n - 1 AS DOUBLE)))
                             * 1000.0) END AS BIGINT) AS z_milli
             FROM rr, m
+        """,
+        "orders_friedman_dow": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT dy, rev, (dy + 3) // 7 AS wk,
+                         (dy + 3) % 7 AS dow
+                  FROM d),
+            cw AS (SELECT wk FROM w GROUP BY wk
+                   HAVING COUNT(*) = 7),
+            x AS (SELECT w.wk, w.dow, w.rev
+                  FROM w JOIN cw USING (wk)),
+            r AS (SELECT wk, dow,
+                         2 * RANK() OVER (PARTITION BY wk
+                                          ORDER BY rev)
+                         + COUNT(*) OVER (PARTITION BY wk, rev)
+                         - 1 AS r2
+                  FROM x),
+            j AS (SELECT dow, CAST(SUM(r2) AS HUGEINT) AS r2s
+                  FROM r GROUP BY 1),
+            s AS (SELECT SUM(r2s * r2s) AS s2, COUNT(*) AS k FROM j),
+            bb AS (SELECT COUNT(*) AS b FROM cw),
+            bw AS (SELECT
+                     (SELECT dow FROM j
+                      ORDER BY r2s DESC, dow LIMIT 1) AS best_dow,
+                     (SELECT dow FROM j
+                      ORDER BY r2s ASC, dow LIMIT 1) AS worst_dow)
+            SELECT CAST(b AS BIGINT) AS n_weeks,
+                   CAST(7 * b AS BIGINT) AS n_days_used,
+                   CAST(CASE WHEN b = 0 THEN 0
+                        ELSE 3000 * s2 // (b * k * (k + 1))
+                             - 3000 * b * (k + 1)
+                        END AS BIGINT) AS q_milli,
+                   CAST(CASE WHEN b = 0 THEN -1
+                        ELSE best_dow END AS BIGINT) AS best_dow,
+                   CAST(CASE WHEN b = 0 THEN -1
+                        ELSE worst_dow END AS BIGINT) AS worst_dow
+            FROM bb, s, bw
+        """,
+        "orders_variance_ratio": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT dy, rev, (dy + 3) // 7 AS wk FROM d),
+            cw AS (SELECT wk FROM w GROUP BY wk
+                   HAVING COUNT(*) = 7),
+            x AS (SELECT w.wk, w.rev FROM w JOIN cw USING (wk)),
+            wk_s AS (SELECT wk, CAST(SUM(rev) AS HUGEINT) AS ws
+                     FROM x GROUP BY 1),
+            mq AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nq,
+                          SUM(ws) AS sq,
+                          SUM(ws * ws) AS qq
+                   FROM wk_s),
+            m1 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n1,
+                          CAST(SUM(rev) AS HUGEINT) AS s1,
+                          SUM(CAST(rev AS HUGEINT) * rev) AS q1
+                   FROM x)
+            SELECT CAST(nq AS BIGINT) AS n_weeks,
+                   CAST(n1 AS BIGINT) AS n_days,
+                   CAST(CASE WHEN nq < 2
+                             OR n1 * q1 - s1 * s1 <= 0 THEN 0
+                        ELSE 1000 * (nq * qq - sq * sq) * n1 * n1
+                             // (7 * (n1 * q1 - s1 * s1) * nq * nq)
+                        END AS BIGINT) AS vr_milli
+            FROM mq, m1
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
     "supplier_grubbs_extremes", "nation_segment_stdres",
     "part_price_tukey_fences", "orders_runs_median",
+    "orders_friedman_dow", "orders_variance_ratio",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

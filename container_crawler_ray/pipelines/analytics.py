@@ -10713,3 +10713,121 @@ def orders_runs_median(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days_used", "n_equal_dropped",
                                  "n_above", "n_below", "median_cents",
                                  "runs", "z_milli"]).astype("int64")
+
+
+def orders_friedman_dow(sf_dir: str) -> pd.DataFrame:
+    """FRIEDMAN blocked rank test of the weekday effect — the
+    nonparametric two-way companion to the weekday ANOVA: each
+    COMPLETE calendar week (all 7 days observed; Monday-start via the
+    pure-integer (dy+3)//7 block id) is a block, daily revenues rank
+    within their week as exact DOUBLED midranks 2*rank_min + t - 1,
+    per-weekday rank sums fold across blocks, and Q closes in pure
+    integer arithmetic q_milli = 3000*S // (b*k*(k+1)) - 3000*b*(k+1)
+    with S = sum_j R2_j^2 (no float on either side; zero-block gate
+    reports -1 weekdays and 0). Per-block daily partials — ZERO
+    shuffle; ranking runs on the driver's week grid."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    dy = agg["dy"].to_numpy(np.int64)
+    rev = agg["rev"].to_numpy(np.int64)
+    wk = (dy + 3) // 7
+    dow = (dy + 3) % 7
+    uw, wcnt = np.unique(wk, return_counts=True)
+    complete = set(uw[wcnt == 7].tolist())
+    k = 7
+    r2s = {j: 0 for j in range(k)}
+    b = 0
+    for w in sorted(complete):
+        sel = wk == w
+        rv = rev[sel]
+        dw = dow[sel]
+        b += 1
+        for idx in range(7):
+            v = rv[idx]
+            rank_min = int((rv < v).sum()) + 1
+            t_ties = int((rv == v).sum())
+            r2s[int(dw[idx])] += 2 * rank_min + t_ties - 1
+    if b == 0:
+        return pd.DataFrame([(0, 0, 0, -1, -1)],
+                            columns=["n_weeks", "n_days_used",
+                                     "q_milli", "best_dow",
+                                     "worst_dow"]).astype("int64")
+    s2 = sum(v * v for v in r2s.values())
+    q_milli = 3000 * s2 // (b * k * (k + 1)) - 3000 * b * (k + 1)
+    best = max(range(k), key=lambda j: (r2s[j], -j))
+    worst = min(range(k), key=lambda j: (r2s[j], j))
+    return pd.DataFrame([(b, 7 * b, q_milli, best, worst)],
+                        columns=["n_weeks", "n_days_used", "q_milli",
+                                 "best_dow", "worst_dow"]) \
+        .astype("int64")
+
+
+def orders_variance_ratio(sf_dir: str) -> pd.DataFrame:
+    """LO-MACKINLAY VARIANCE RATIO VR(7) of the daily revenue series
+    — does weekly aggregation scale variance linearly (random-walk
+    increments) or reveal mean reversion/momentum: variance of the
+    complete-week sums against 7x the variance of the member days,
+    both as exact integer central-moment numerators n*Q - S^2 (weekly
+    sums square past int64, so the driver folds Python bigints and
+    the twin rides HUGEINT), closed by ONE exact cross-multiplied
+    integer division vr_milli = 1000*A*n1^2 // (7*B*nq^2) — NO float
+    on either side. Shares the complete-week block notion with the
+    Friedman gate; per-block daily partials, ZERO shuffle."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    dy = agg["dy"].to_numpy(np.int64)
+    rev = agg["rev"].to_numpy(np.int64)
+    wk = (dy + 3) // 7
+    uw, wcnt = np.unique(wk, return_counts=True)
+    keep = np.isin(wk, uw[wcnt == 7])
+    rv = rev[keep]
+    wkk = wk[keep]
+    uw2, inv2 = np.unique(wkk, return_inverse=True)
+    nq = len(uw2)
+    if nq < 2:
+        return pd.DataFrame([(nq, int(keep.sum()), 0)],
+                            columns=["n_weeks", "n_days",
+                                     "vr_milli"]).astype("int64")
+    wsum = [int(x) for x in
+            np.bincount(inv2, weights=rv, minlength=nq)
+            .astype(np.int64)]
+    sq = sum(wsum)
+    qq = sum(w * w for w in wsum)
+    n1 = len(rv)
+    s1 = sum(int(x) for x in rv)
+    q1 = sum(int(x) * int(x) for x in rv)
+    a = nq * qq - sq * sq
+    bb = n1 * q1 - s1 * s1
+    vr_milli = (1000 * a * n1 * n1 // (7 * bb * nq * nq)
+                if bb > 0 else 0)
+    return pd.DataFrame([(nq, n1, vr_milli)],
+                        columns=["n_weeks", "n_days", "vr_milli"]) \
+        .astype("int64")

@@ -151,6 +151,7 @@ def test_entry_smoke(entrymod):
     "lineitem_quantity_ks_uniform", "customer_segment_kruskal",
     "supplier_grubbs_extremes", "nation_segment_stdres",
     "part_price_tukey_fences", "orders_runs_median",
+    "orders_friedman_dow", "orders_variance_ratio",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
