@@ -321,6 +321,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_runs_median": analytics.orders_runs_median,
         "orders_friedman_dow": analytics.orders_friedman_dow,
         "orders_variance_ratio": analytics.orders_variance_ratio,
+        "lineitem_cohen_kappa": analytics.lineitem_cohen_kappa,
+        "events_mcnemar_halves": analytics.events_mcnemar_halves,
+        "part_price_skew_kurtosis": analytics.part_price_skew_kurtosis,
+        "lineitem_partial_corr": analytics.lineitem_partial_corr,
+        "lineitem_blomqvist_beta": analytics.lineitem_blomqvist_beta,
+        "event_transition_drift": analytics.event_transition_drift,
+        "lineitem_gamma_gk": analytics.lineitem_gamma_gk,
+        "orders_wilcoxon_weekend": analytics.orders_wilcoxon_weekend,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -6863,6 +6871,296 @@ def oracle_sql() -> dict[str, str]:
                              // (7 * (n1 * q1 - s1 * s1) * nq * nq)
                         END AS BIGINT) AS vr_milli
             FROM mq, m1
+        """,
+        "lineitem_cohen_kappa": """
+            WITH b AS (SELECT CASE WHEN CAST(FLOOR(l_discount * 10000)
+                                        AS BIGINT) >= 500
+                              THEN 1 ELSE 0 END AS a,
+                              CASE WHEN CAST(FLOOR(l_tax * 10000)
+                                        AS BIGINT) >= 400
+                              THEN 1 ELSE 0 END AS t
+                       FROM lineitem),
+            g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         COALESCE(SUM(CASE WHEN a = 1 AND t = 1
+                                      THEN 1 ELSE 0 END), 0) AS n11,
+                         COALESCE(SUM(CASE WHEN a = 1 AND t = 0
+                                      THEN 1 ELSE 0 END), 0) AS n10,
+                         COALESCE(SUM(CASE WHEN a = 0 AND t = 1
+                                      THEN 1 ELSE 0 END), 0) AS n01,
+                         COALESCE(SUM(CASE WHEN a = 0 AND t = 0
+                                      THEN 1 ELSE 0 END), 0) AS n00
+                  FROM b),
+            k AS (SELECT n, n11, n10, n01, n00,
+                         n * (n11 + n00)
+                         - (n10 + n11) * (n01 + n11)
+                         - (n00 + n01) * (n00 + n10) AS num,
+                         n * n - (n10 + n11) * (n01 + n11)
+                         - (n00 + n01) * (n00 + n10) AS den
+                  FROM g)
+            SELECT n AS n_lines,
+                   CAST(n11 AS BIGINT) AS n_both,
+                   CAST(n10 AS BIGINT) AS n_disc_only,
+                   CAST(n01 AS BIGINT) AS n_tax_only,
+                   CAST(n00 AS BIGINT) AS n_neither,
+                   CAST(10000 * (n11 + n00) // n AS BIGINT) AS po_bps,
+                   CAST(10000 * ((n10 + n11) * (n01 + n11)
+                                 + (n00 + n01) * (n00 + n10))
+                        // (n * n) AS BIGINT) AS pe_bps,
+                   CAST(CASE WHEN den <= 0 THEN 0
+                        ELSE (CASE WHEN num >= 0 THEN 1 ELSE -1 END)
+                             * (1000 * ABS(num) // den)
+                        END AS BIGINT) AS kappa_milli
+            FROM k
+        """,
+        "events_mcnemar_halves": """
+            WITH d AS (SELECT user_id AS u,
+                              epoch_us(ts)//86400000000 AS dy
+                       FROM events),
+            sp AS (SELECT MIN(dy) AS lo, MAX(dy) AS hi FROM d),
+            m AS (SELECT (lo + hi) // 2 AS mid FROM sp),
+            f AS (SELECT u,
+                         MAX(CASE WHEN dy <= mid THEN 1 ELSE 0 END)
+                             AS h1,
+                         MAX(CASE WHEN dy > mid THEN 1 ELSE 0 END)
+                             AS h2
+                  FROM d, m GROUP BY u),
+            g AS (SELECT COALESCE(SUM(CASE WHEN h1 = 1 AND h2 = 1
+                                       THEN 1 ELSE 0 END), 0) AS nb,
+                         COALESCE(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END), 0) AS b,
+                         COALESCE(SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                       THEN 1 ELSE 0 END), 0) AS c
+                  FROM f)
+            SELECT CAST(nb + b + c AS BIGINT) AS n_users,
+                   CAST(mid AS BIGINT) AS mid_day,
+                   CAST(nb AS BIGINT) AS n_both,
+                   CAST(b AS BIGINT) AS n_h1_only,
+                   CAST(c AS BIGINT) AS n_h2_only,
+                   CAST(CASE WHEN b + c = 0 THEN 0
+                        ELSE 1000 * (ABS(b - c) - 1)
+                             * (ABS(b - c) - 1) // (b + c)
+                        END AS BIGINT) AS chi2_milli
+            FROM g, m
+        """,
+        "part_price_skew_kurtosis": """
+            WITH b AS (SELECT p_brand AS br,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS v
+                       FROM part),
+            m AS (SELECT br, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q2,
+                         SUM(CAST(v AS HUGEINT) * v * v) AS q3,
+                         SUM(CAST(v AS HUGEINT) * v * v * v) AS q4
+                  FROM b GROUP BY 1),
+            c AS (SELECT br, n, s,
+                         n * q2 - s * s AS m2,
+                         n * n * q3 - 3 * n * q2 * s
+                             + 2 * s * s * s AS m3,
+                         n * n * n * q4 - 4 * n * n * q3 * s
+                             + 6 * n * q2 * s * s
+                             - 3 * s * s * s * s AS m4
+                  FROM m)
+            SELECT br AS p_brand,
+                   CAST(n AS BIGINT) AS n_parts,
+                   CAST(s // n AS BIGINT) AS mean_cents,
+                   CAST(m2 // (n * n) AS BIGINT) AS var_cents2,
+                   CAST(CASE WHEN m2 <= 0 THEN 0
+                        ELSE FLOOR(CAST(m3 AS DOUBLE)
+                                   / CAST(m2 AS DOUBLE)
+                                   / SQRT(CAST(m2 AS DOUBLE))
+                                   * 1000.0) END AS BIGINT)
+                       AS skew_milli,
+                   CAST(CASE WHEN m2 <= 0 THEN 0
+                        ELSE 1000 * m4 // (m2 * m2) - 3000
+                        END AS BIGINT) AS kurt_ex_milli
+            FROM c ORDER BY p_brand
+        """,
+        "lineitem_partial_corr": """
+            WITH b AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                  AS y,
+                              CAST(FLOOR(l_discount * 10000)
+                                   AS BIGINT) AS z
+                       FROM lineitem),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(z) AS HUGEINT) AS sz,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(z AS HUGEINT) * z) AS szz,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                         SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                         SUM(CAST(y AS HUGEINT) * z) AS syz
+                  FROM b),
+            v AS (SELECT n,
+                         n * sxx - sx * sx AS vx,
+                         n * syy - sy * sy AS vy,
+                         n * szz - sz * sz AS vz,
+                         n * sxy - sx * sy AS cxy,
+                         n * sxz - sx * sz AS cxz,
+                         n * syz - sy * sz AS cyz
+                  FROM m),
+            r AS (SELECT n, vx, vy, vz,
+                         CAST(cxy AS DOUBLE)
+                             / (SQRT(CAST(vx AS DOUBLE))
+                                * SQRT(CAST(vy AS DOUBLE))) AS rxy,
+                         CAST(cxz AS DOUBLE)
+                             / (SQRT(CAST(vx AS DOUBLE))
+                                * SQRT(CAST(vz AS DOUBLE))) AS rxz,
+                         CAST(cyz AS DOUBLE)
+                             / (SQRT(CAST(vy AS DOUBLE))
+                                * SQRT(CAST(vz AS DOUBLE))) AS ryz
+                  FROM v)
+            SELECT CAST(n AS BIGINT) AS n_lines,
+                   CAST(CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0
+                        THEN 0 ELSE FLOOR(rxy * 1000.0)
+                        END AS BIGINT) AS rxy_milli,
+                   CAST(CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0
+                        THEN 0 ELSE FLOOR(rxz * 1000.0)
+                        END AS BIGINT) AS rxz_milli,
+                   CAST(CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0
+                        THEN 0 ELSE FLOOR(ryz * 1000.0)
+                        END AS BIGINT) AS ryz_milli,
+                   CAST(CASE WHEN vx <= 0 OR vy <= 0 OR vz <= 0
+                        THEN 0 ELSE FLOOR(
+                            (rxy - rxz * ryz)
+                            / (SQRT(1.0 - rxz * rxz)
+                               * SQRT(1.0 - ryz * ryz))
+                            * 1000.0) END AS BIGINT) AS pc_milli
+            FROM r
+        """,
+        "lineitem_blomqvist_beta": """
+            WITH b AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            m AS (SELECT CAST(quantile_disc(x, 0.50) AS BIGINT) AS mx,
+                         CAST(quantile_disc(y, 0.50) AS BIGINT) AS my,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b),
+            q AS (SELECT
+                    COALESCE(SUM(CASE WHEN x > mx AND y > my
+                                 THEN 1 ELSE 0 END), 0) AS n_pp,
+                    COALESCE(SUM(CASE WHEN x > mx AND y < my
+                                 THEN 1 ELSE 0 END), 0) AS n_pm,
+                    COALESCE(SUM(CASE WHEN x < mx AND y > my
+                                 THEN 1 ELSE 0 END), 0) AS n_mp,
+                    COALESCE(SUM(CASE WHEN x < mx AND y < my
+                                 THEN 1 ELSE 0 END), 0) AS n_mm
+                  FROM b, m)
+            SELECT n AS n_lines,
+                   CAST(n - n_pp - n_pm - n_mp - n_mm AS BIGINT)
+                       AS n_dropped,
+                   mx AS med_qty, my AS med_price_dollars,
+                   CAST(n_pp AS BIGINT) AS n_pp,
+                   CAST(n_pm AS BIGINT) AS n_pm,
+                   CAST(n_mp AS BIGINT) AS n_mp,
+                   CAST(n_mm AS BIGINT) AS n_mm,
+                   CAST(CASE WHEN n_pp + n_pm + n_mp + n_mm = 0
+                        THEN 0
+                        ELSE (CASE WHEN n_pp + n_mm - n_pm - n_mp
+                                   >= 0 THEN 1 ELSE -1 END)
+                             * (1000 * ABS(n_pp + n_mm - n_pm - n_mp)
+                                // (n_pp + n_pm + n_mp + n_mm))
+                        END AS BIGINT) AS beta_milli
+            FROM q, m
+        """,
+        "event_transition_drift": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tsu,
+                              event_id AS eid, event_type AS et,
+                              epoch_us(ts)//86400000000 AS dy
+                       FROM events),
+            sp AS (SELECT (MIN(dy) + MAX(dy)) // 2 AS mid FROM e),
+            s AS (SELECT u, et, dy,
+                         LAG(et) OVER (PARTITION BY u
+                                       ORDER BY tsu, eid) AS pet
+                  FROM e),
+            p AS (SELECT pet AS ft, et AS tt,
+                         CASE WHEN dy > mid THEN 1 ELSE 0 END AS h2
+                  FROM s, sp WHERE pet IS NOT NULL),
+            c AS (SELECT ft, tt,
+                         CAST(SUM(1 - h2) AS BIGINT) AS n1,
+                         CAST(SUM(h2) AS BIGINT) AS n2
+                  FROM p GROUP BY 1, 2),
+            t AS (SELECT ft, SUM(n1) AS t1, SUM(n2) AS t2
+                  FROM c GROUP BY 1),
+            v AS (SELECT c.ft,
+                         SUM(ABS(n1 * t2 - n2 * t1)) AS sv
+                  FROM c JOIN t USING (ft) GROUP BY 1)
+            SELECT v.ft AS from_type,
+                   CAST(t.t1 AS BIGINT) AS n_h1,
+                   CAST(t.t2 AS BIGINT) AS n_h2,
+                   CAST(CASE WHEN t.t1 = 0 OR t.t2 = 0 THEN -1
+                        ELSE 10000 * v.sv // (2 * t.t1 * t.t2)
+                        END AS BIGINT) AS tv_bps
+            FROM v JOIN t ON v.ft = t.ft ORDER BY from_type
+        """,
+        "lineitem_gamma_gk": """
+            WITH b AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                              AS a,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            g AS (SELECT a, q, CAST(COUNT(*) AS HUGEINT) AS n
+                  FROM b GROUP BY 1, 2),
+            cc AS (SELECT COALESCE(SUM(x.n * y.n), 0) AS c
+                   FROM g x JOIN g y ON y.a > x.a AND y.q > x.q),
+            dd AS (SELECT COALESCE(SUM(x.n * y.n), 0) AS d
+                   FROM g x JOIN g y ON y.a > x.a AND y.q < x.q),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT n AS n_lines,
+                   CAST(c AS BIGINT) AS concordant_pairs,
+                   CAST(d AS BIGINT) AS discordant_pairs,
+                   CAST(CASE WHEN c + d = 0 THEN 0
+                        ELSE (CASE WHEN c >= d THEN 1 ELSE -1 END)
+                             * (1000 * ABS(c - d) // (c + d))
+                        END AS BIGINT) AS gamma_milli
+            FROM cc, dd, nn
+        """,
+        "orders_wilcoxon_weekend": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT dy, rev, (dy + 3) // 7 AS wk,
+                         (dy + 3) % 7 AS dow
+                  FROM d),
+            cw AS (SELECT wk FROM w GROUP BY wk
+                   HAVING COUNT(*) = 7),
+            x AS (SELECT w.wk,
+                         CASE WHEN w.dow IN (5, 6) THEN 1 ELSE 0 END
+                             AS we,
+                         w.rev
+                  FROM w JOIN cw USING (wk)),
+            p AS (SELECT wk,
+                         5 * SUM(CASE WHEN we = 1 THEN rev
+                                 ELSE 0 END)
+                         - 2 * SUM(CASE WHEN we = 0 THEN rev
+                                   ELSE 0 END) AS dd
+                  FROM x GROUP BY 1),
+            nz AS (SELECT COUNT(*) AS zeros FROM p WHERE dd = 0),
+            f AS (SELECT dd, ABS(dd) AS ad FROM p WHERE dd <> 0),
+            r AS (SELECT dd,
+                         2 * RANK() OVER (ORDER BY ad)
+                         + COUNT(*) OVER (PARTITION BY ad) - 1 AS r2
+                  FROM f),
+            s AS (SELECT COUNT(*) AS n,
+                         COALESCE(SUM(CASE WHEN dd > 0 THEN r2
+                                      ELSE 0 END), 0) AS w2p
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_weeks_used,
+                   CAST(zeros AS BIGINT) AS n_zero_dropped,
+                   CAST(w2p AS BIGINT) AS w2_plus,
+                   CAST(CASE WHEN n = 0 THEN 0
+                        ELSE FLOOR(
+                            (CAST(2 * w2p - n * (n + 1) AS DOUBLE)
+                             / 4.0)
+                            / SQRT(CAST(n * (n + 1) * (2 * n + 1)
+                                        AS DOUBLE) / 24.0)
+                            * 1000.0) END AS BIGINT) AS z_milli
+            FROM s, nz
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

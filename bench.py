@@ -189,6 +189,10 @@ BENCH_QUERIES = [
     "supplier_grubbs_extremes", "nation_segment_stdres",
     "part_price_tukey_fences", "orders_runs_median",
     "orders_friedman_dow", "orders_variance_ratio",
+    "lineitem_cohen_kappa", "events_mcnemar_halves",
+    "part_price_skew_kurtosis", "lineitem_partial_corr",
+    "lineitem_blomqvist_beta", "event_transition_drift",
+    "lineitem_gamma_gk", "orders_wilcoxon_weekend",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

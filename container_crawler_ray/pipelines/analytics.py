@@ -10831,3 +10831,515 @@ def orders_variance_ratio(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(nq, n1, vr_milli)],
                         columns=["n_weeks", "n_days", "vr_milli"]) \
         .astype("int64")
+
+
+def lineitem_cohen_kappa(sf_dir: str) -> pd.DataFrame:
+    """COHEN'S KAPPA agreement between two binary line "raters" — the
+    deep-discount flag (discount >= 5%) and the high-tax flag (tax >=
+    4%): beyond-chance agreement from the 2x2 confusion grid in PURE
+    integer arithmetic, kappa = (N*(n11+n00) - r1*c1 - r0*c0) /
+    (N^2 - r1*c1 - r0*c0) closed as a sign-normalized milli division
+    sgn * (1000*|num| // den) so the numpy-floor vs DuckDB-truncate
+    mismatch on negatives never bites. Integer-cents thresholds (bps
+    of the raw decimals), 4-cell per-block bincount partials — ZERO
+    shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = np.floor(t.column("l_discount").to_numpy() * 10000) \
+            .astype(np.int64)
+        tax = np.floor(t.column("l_tax").to_numpy() * 10000) \
+            .astype(np.int64)
+        a = (disc >= 500).astype(np.int64)
+        b = (tax >= 400).astype(np.int64)
+        cell = 2 * a + b
+        cnt = np.bincount(cell, minlength=4).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(4, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell", as_index=False)["n"].sum()
+           .sort_values("cell"))
+    c = agg["n"].to_numpy(np.int64)
+    n00, n01, n10, n11 = (int(c[0]), int(c[1]), int(c[2]), int(c[3]))
+    n = n00 + n01 + n10 + n11
+    r1, r0 = n10 + n11, n00 + n01
+    c1, c0 = n01 + n11, n00 + n10
+    num = n * (n11 + n00) - r1 * c1 - r0 * c0
+    den = n * n - r1 * c1 - r0 * c0
+    sgn = 1 if num >= 0 else -1
+    kappa_milli = sgn * (1000 * abs(num) // den) if den > 0 else 0
+    po_bps = 10_000 * (n11 + n00) // n
+    pe_bps = 10_000 * (r1 * c1 + r0 * c0) // (n * n)
+    return pd.DataFrame([(n, n11, n10, n01, n00, po_bps, pe_bps,
+                          kappa_milli)],
+                        columns=["n_lines", "n_both", "n_disc_only",
+                                 "n_tax_only", "n_neither", "po_bps",
+                                 "pe_bps", "kappa_milli"]) \
+        .astype("int64")
+
+
+def events_mcnemar_halves(sf_dir: str) -> pd.DataFrame:
+    """McNEMAR paired test of user activity flip between the two
+    calendar halves of the event stream — did the population's
+    active-set change more than symmetric churn would allow: each
+    user contributes one (active-in-H1, active-in-H2) pair (halves
+    split at the integer midpoint day of the observed span), the
+    test consumes only the DISCORDANT counts b (H1-only) and c
+    (H2-only), and the continuity-corrected statistic closes in pure
+    integers chi2_milli = 1000*(|b-c|-1)^2 // (b+c) with the b+c=0
+    gate. Global span from a constant min/max partial; per-user
+    OR-flags fold through one user%64-bucketed exchange."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    lo, hi = int(sp["lo"].min()), int(sp["hi"].max())
+    mid = (lo + hi) // 2
+
+    def flags(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        h2 = (d > mid).astype(np.int64)
+        df = pd.DataFrame({"u": u, "h1": 1 - h2, "h2": h2})
+        g = df.groupby("u", as_index=False).max()
+        g["bk"] = g["u"] % 64
+        return pa.table({"bk": pa.array(g["bk"].to_numpy(np.int64)),
+                         "u": pa.array(g["u"].to_numpy(np.int64)),
+                         "h1": pa.array(g["h1"].to_numpy(np.int64)),
+                         "h2": pa.array(g["h2"].to_numpy(np.int64))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("u", as_index=False)[["h1", "h2"]].max()
+        both = int(((gg["h1"] == 1) & (gg["h2"] == 1)).sum())
+        h1o = int(((gg["h1"] == 1) & (gg["h2"] == 0)).sum())
+        h2o = int(((gg["h1"] == 0) & (gg["h2"] == 1)).sum())
+        return pd.DataFrame({"both": [both], "h1o": [h1o],
+                             "h2o": [h2o]})
+
+    p = (ds.map_batches(flags, batch_format="pyarrow")
+         .groupby("bk").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    both = int(p["both"].sum())
+    b = int(p["h1o"].sum())
+    c = int(p["h2o"].sum())
+    n_users = both + b + c
+    if b + c == 0:
+        chi2_milli = 0
+    else:
+        d = abs(b - c) - 1
+        chi2_milli = 1000 * d * d // (b + c)
+    return pd.DataFrame([(n_users, mid, both, b, c, chi2_milli)],
+                        columns=["n_users", "mid_day", "n_both",
+                                 "n_h1_only", "n_h2_only",
+                                 "chi2_milli"]).astype("int64")
+
+
+def part_price_skew_kurtosis(sf_dir: str) -> pd.DataFrame:
+    """HIGHER-MOMENT shape profile of retail prices per brand —
+    skewness and excess kurtosis from EXACT integer raw moments: the
+    same (brand, cents) histogram fold as the Tukey fences feeds
+    Python-bigint sums S..Q4 (third/fourth powers of cents pass
+    int64, the twin rides HUGEINT), central-moment numerators close
+    exactly (M2 = N*Q2 - S^2, M3 = N^2*Q3 - 3N*Q2*S + 2S^3, M4 =
+    N^3*Q4 - 4N^2*Q3*S + 6N*Q2*S^2 - 3S^4, so skew = M3/M2^1.5 and
+    kurt = M4/M2^2 need no N factor), excess kurtosis is a PURE
+    integer 1000*M4 // M2^2 - 3000, and skewness is the ONE
+    IEEE-order-matched float chain (M3/M2)/sqrt(M2)*1000 floored.
+    ZERO row shuffle."""
+    import math
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "br": np.asarray(t.column("p_brand")).astype(object),
+            "v": np.floor(t.column("p_retailprice").to_numpy() * 100)
+            .astype(np.int64)})
+        g = df.groupby(["br", "v"], as_index=False).size()
+        return pa.table({"br": pa.array(g["br"], type=pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas().groupby(["br", "v"], as_index=False)["c"]
+            .sum())
+    rows = []
+    for br, g in hist.groupby("br"):
+        vals = [int(x) for x in g["v"]]
+        cnts = [int(x) for x in g["c"]]
+        n = sum(cnts)
+        s = sum(c * v for c, v in zip(cnts, vals))
+        q2 = sum(c * v * v for c, v in zip(cnts, vals))
+        q3 = sum(c * v ** 3 for c, v in zip(cnts, vals))
+        q4 = sum(c * v ** 4 for c, v in zip(cnts, vals))
+        m2 = n * q2 - s * s
+        m3 = n * n * q3 - 3 * n * q2 * s + 2 * s ** 3
+        m4 = (n ** 3 * q4 - 4 * n * n * q3 * s
+              + 6 * n * q2 * s * s - 3 * s ** 4)
+        if m2 > 0:
+            skew_milli = math.floor(
+                float(m3) / float(m2) / math.sqrt(float(m2))
+                * 1000.0)
+            kurt_ex_milli = 1000 * m4 // (m2 * m2) - 3000
+        else:
+            skew_milli = 0
+            kurt_ex_milli = 0
+        rows.append((str(br), n, s // n, m2 // (n * n),
+                     skew_milli, kurt_ex_milli))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "p_brand", "n_parts", "mean_cents", "var_cents2",
+        "skew_milli", "kurt_ex_milli"]).astype(
+        {c: "int64" for c in ("n_parts", "mean_cents", "var_cents2",
+                              "skew_milli", "kurt_ex_milli")})
+
+
+def lineitem_partial_corr(sf_dir: str) -> pd.DataFrame:
+    """PARTIAL CORRELATION of quantity and line price CONTROLLING
+    for discount — does the qty-price link survive once the discount
+    channel is removed: all ten raw moments fold as one constant
+    per-block partial (dollars for price, bps for discount, so every
+    per-block int64 sum is safe; the driver re-folds in Python
+    bigints), the three pairwise covariance/variance numerators stay
+    exact integers, and the closing r_xy.z = (rxy - rxz*ryz) /
+    (sqrt(1-rxz^2)*sqrt(1-ryz^2)) is evaluated in the SAME IEEE
+    operation order as the twin (each exact integer cast to double
+    once, then identical multiply/subtract/sqrt/divide). The three
+    pairwise r's also report as independently floored milli columns.
+    ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy()) \
+            .astype(np.int64)
+        z = np.floor(t.column("l_discount").to_numpy() * 10000) \
+            .astype(np.int64)
+        return pa.table({k: pa.array([np.int64(v)]) for k, v in (
+            ("n", len(x)), ("sx", x.sum()), ("sy", y.sum()),
+            ("sz", z.sum()), ("sxx", (x * x).sum()),
+            ("syy", (y * y).sum()), ("szz", (z * z).sum()),
+            ("sxy", (x * y).sum()), ("sxz", (x * z).sum()),
+            ("syz", (y * z).sum()))})
+
+    p = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy, sz = (sum(int(v) for v in p[c]) for c in ("sx", "sy",
+                                                      "sz"))
+    sxx, syy, szz = (sum(int(v) for v in p[c]) for c in ("sxx",
+                                                         "syy",
+                                                         "szz"))
+    sxy, sxz, syz = (sum(int(v) for v in p[c]) for c in ("sxy",
+                                                         "sxz",
+                                                         "syz"))
+    vx, vy, vz = (n * sxx - sx * sx, n * syy - sy * sy,
+                  n * szz - sz * sz)
+    cxy, cxz, cyz = (n * sxy - sx * sy, n * sxz - sx * sz,
+                     n * syz - sy * sz)
+    if vx <= 0 or vy <= 0 or vz <= 0:
+        rxy = rxz = ryz = pc = 0.0
+    else:
+        rxy = float(cxy) / (math.sqrt(float(vx))
+                            * math.sqrt(float(vy)))
+        rxz = float(cxz) / (math.sqrt(float(vx))
+                            * math.sqrt(float(vz)))
+        ryz = float(cyz) / (math.sqrt(float(vy))
+                            * math.sqrt(float(vz)))
+        pc = (rxy - rxz * ryz) / (math.sqrt(1.0 - rxz * rxz)
+                                  * math.sqrt(1.0 - ryz * ryz))
+    return pd.DataFrame([(n, math.floor(rxy * 1000.0),
+                          math.floor(rxz * 1000.0),
+                          math.floor(ryz * 1000.0),
+                          math.floor(pc * 1000.0))],
+                        columns=["n_lines", "rxy_milli", "rxz_milli",
+                                 "ryz_milli", "pc_milli"]) \
+        .astype("int64")
+
+
+def lineitem_blomqvist_beta(sf_dir: str) -> pd.DataFrame:
+    """BLOMQVIST'S BETA (median-quadrant test) between quantity and
+    line price — the cheapest robust association check there is, run
+    in two genuinely streaming phases: phase 1 folds BOTH value-level
+    histograms in one pass (quantity levels + price dollars, a
+    bounded grid) and takes exact ceil-rank medians; phase 2
+    re-streams the table counting the four strict quadrants around
+    (med_x, med_y), dropping on-median rows per the classic rule.
+    beta = (concordant - discordant quadrants)/kept closes as a
+    sign-normalized integer milli division — NO float anywhere.
+    Pure per-block bincount partials in both phases, ZERO shuffle;
+    the phase split is inherent (the quadrant predicate depends on
+    phase-1 output) and mirrors the twin's quantile_disc."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def hists(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy()) \
+            .astype(np.int64)
+        ux, cx = np.unique(x, return_counts=True)
+        uy, cy = np.unique(y, return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(ux), dtype=np.int64),
+                 np.ones(len(uy), dtype=np.int64)])),
+            "v": pa.array(np.concatenate([ux, uy])),
+            "c": pa.array(np.concatenate([cx, cy]).astype(np.int64))})
+
+    h = (ds.map_batches(hists, batch_format="pyarrow")
+         .to_pandas().groupby(["kind", "v"], as_index=False)["c"]
+         .sum())
+
+    def med(kind: int) -> int:
+        g = h[h["kind"] == kind].sort_values("v", kind="mergesort")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return int(g["v"].to_numpy(np.int64)[
+            np.searchsorted(cum, -(-n // 2))])
+
+    mx, my = med(0), med(1)
+
+    def quadrants(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_extendedprice").to_numpy()) \
+            .astype(np.int64)
+        keep = (x != mx) & (y != my)
+        cell = 2 * (x[keep] > mx) + (y[keep] > my)
+        cnt = np.bincount(cell, minlength=4).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(5, dtype=np.int64)),
+            "n": pa.array(np.concatenate(
+                [cnt, [np.int64(len(x) - int(keep.sum()))]]))})
+
+    agg = (ds.map_batches(quadrants, batch_format="pyarrow")
+           .to_pandas().groupby("cell", as_index=False)["n"].sum()
+           .sort_values("cell"))
+    c = agg["n"].to_numpy(np.int64)
+    n_mm, n_mp, n_pm, n_pp = (int(c[0]), int(c[1]), int(c[2]),
+                              int(c[3]))
+    dropped = int(c[4])
+    m = n_mm + n_mp + n_pm + n_pp
+    num = n_pp + n_mm - n_pm - n_mp
+    sgn = 1 if num >= 0 else -1
+    beta_milli = sgn * (1000 * abs(num) // m) if m > 0 else 0
+    return pd.DataFrame([(m + dropped, dropped, mx, my, n_pp, n_pm,
+                          n_mp, n_mm, beta_milli)],
+                        columns=["n_lines", "n_dropped", "med_qty",
+                                 "med_price_dollars", "n_pp", "n_pm",
+                                 "n_mp", "n_mm", "beta_milli"]) \
+        .astype("int64")
+
+
+def event_transition_drift(sf_dir: str) -> pd.DataFrame:
+    """CONDITIONAL-DISTRIBUTION drift of the user Markov chain: per
+    from_type, the total-variation distance between the next-type
+    distributions of the two calendar halves (pair assigned to the
+    half of its TO event's day; halves split at the integer midpoint
+    of the observed span) — the transition-level refinement of the
+    marginal drift gate: a chain can hold its type mix steady while
+    rewiring where users go NEXT. Pair derivation is the shared
+    (user, ts, event_id)-lexsort kernel of ``event_transitions``
+    (analytics.py:2777); TV closes exactly as 10000 *
+    sum_to |n1*T2 - n2*T1| // (2*T1*T2) with the one-sided-empty -1
+    sentinel. One user%64 exchange; matrix-sized fold output."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        dy = ts[order] // 86_400_000_000
+        same = np.empty(len(us), dtype=bool)
+        if len(us):
+            same[0] = False
+            same[1:] = us[1:] == us[:-1]
+        idx = np.flatnonzero(same)
+        pairs = pd.DataFrame({
+            "ft": et[idx - 1], "tt": et[idx],
+            "h2": (dy[idx] > mid).astype(np.int64)})
+        pairs["h1"] = 1 - pairs["h2"]
+        return pairs.groupby(["ft", "tt"], as_index=False)[
+            ["h1", "h2"]].sum()
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    c = parts.groupby(["ft", "tt"], as_index=False)[["h1", "h2"]].sum()
+    rows = []
+    for ft, g in c.groupby("ft"):
+        t1 = int(g["h1"].sum())
+        t2 = int(g["h2"].sum())
+        if t1 == 0 or t2 == 0:
+            rows.append((str(ft), t1, t2, -1))
+            continue
+        sv = sum(abs(int(r.h1) * t2 - int(r.h2) * t1)
+                 for r in g.itertuples())
+        rows.append((str(ft), t1, t2, 10_000 * sv // (2 * t1 * t2)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "from_type", "n_h1", "n_h2", "tv_bps"]).astype(
+        {c: "int64" for c in ("n_h1", "n_h2", "tv_bps")})
+
+
+def lineitem_gamma_gk(sf_dir: str) -> pd.DataFrame:
+    """GOODMAN-KRUSKAL GAMMA between the ordinal discount level
+    (whole percents 0..10) and quantity (1..50) — the ordinal
+    association measure that ignores ties entirely: concordant and
+    discordant pair MASSES come from exact 2D suffix sums over the
+    11 x 50 contingency grid (pair counts are O(N^2) numbers, never
+    enumerated — grid algebra only), and gamma closes as the
+    sign-normalized integer milli division sgn * (1000*|C-D| //
+    (C+D)). Per-block 550-cell bincount partials — constant-size
+    exchange, ZERO shuffle, NO float anywhere."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        b = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64) - 1
+        cell = a * 50 + b
+        cnt = np.bincount(cell, minlength=550).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(550, dtype=np.int64)),
+            "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell", as_index=False)["n"].sum()
+           .sort_values("cell"))
+    grid = agg["n"].to_numpy(np.int64).reshape(11, 50)
+    # suffix sums: S[a][b] = count of cells strictly greater in both
+    gt = np.zeros((12, 51), dtype=object)
+    for i in range(10, -1, -1):
+        for j in range(49, -1, -1):
+            gt[i][j] = (int(grid[i][j]) + gt[i + 1][j]
+                        + gt[i][j + 1] - gt[i + 1][j + 1])
+    conc = 0
+    disc = 0
+    for i in range(11):
+        for j in range(50):
+            nij = int(grid[i][j])
+            if nij == 0:
+                continue
+            conc += nij * int(gt[i + 1][j + 1])
+            lower = (gt[i + 1][0] - gt[i + 1][j]
+                     if j > 0 else 0)
+            disc += nij * int(lower)
+    n = int(grid.sum())
+    tot = conc + disc
+    sgn = 1 if conc >= disc else -1
+    gamma_milli = sgn * (1000 * abs(conc - disc) // tot) \
+        if tot > 0 else 0
+    return pd.DataFrame([(n, conc, disc, gamma_milli)],
+                        columns=["n_lines", "concordant_pairs",
+                                 "discordant_pairs", "gamma_milli"]) \
+        .astype("int64")
+
+
+def orders_wilcoxon_weekend(sf_dir: str) -> pd.DataFrame:
+    """WILCOXON SIGNED-RANK test of the weekend revenue effect —
+    each COMPLETE calendar week is one matched pair (mean weekend day
+    vs mean weekday, compared exactly via the cross-multiplied 10x
+    difference d = 5*(Sat+Sun) - 2*(Mon..Fri) in cents), zero-d weeks
+    drop per the classic rule, |d| ranks as exact doubled midranks,
+    W+ folds as a pure integer, and z closes as ONE IEEE-order-
+    matched float ((W4 - n(n+1))/4) / sqrt(n(n+1)(2n+1)/24) * 1000
+    floored (tie correction omitted, documented). Per-block daily
+    partials — ZERO shuffle; ranking runs on the driver's week
+    grid."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["rev"].sum()
+    dy = agg["dy"].to_numpy(np.int64)
+    rev = agg["rev"].to_numpy(np.int64)
+    wk = (dy + 3) // 7
+    dow = (dy + 3) % 7
+    uw, wcnt = np.unique(wk, return_counts=True)
+    complete = uw[wcnt == 7]
+    keep = np.isin(wk, complete)
+    wkk, dw, rv = wk[keep], dow[keep], rev[keep]
+    wkend = np.isin(dw, (5, 6))
+    d = []
+    for w in complete:
+        sel = wkk == w
+        we = int(rv[sel & wkend].sum())
+        wd = int(rv[sel & ~wkend].sum())
+        d.append(5 * we - 2 * wd)
+    d = np.array([x for x in d if x != 0], dtype=np.int64)
+    n_zero = len(complete) - len(d)
+    n = len(d)
+    if n == 0:
+        return pd.DataFrame([(0, n_zero, 0, 0)],
+                            columns=["n_weeks_used", "n_zero_dropped",
+                                     "w2_plus", "z_milli"]) \
+            .astype("int64")
+    ad = np.abs(d)
+    order = np.argsort(ad, kind="mergesort")
+    ads = ad[order]
+    # doubled midranks over |d|
+    w2p = 0
+    for i in range(n):
+        v = int(ad[i])
+        rank_min = int((ads < v).sum()) + 1
+        t_ties = int((ads == v).sum())
+        if d[i] > 0:
+            w2p += 2 * rank_min + t_ties - 1
+    w4 = 2 * w2p
+    e4 = n * (n + 1)
+    z_milli = math.floor(
+        (float(w4 - e4) / 4.0)
+        / math.sqrt(float(n * (n + 1) * (2 * n + 1)) / 24.0)
+        * 1000.0)
+    return pd.DataFrame([(n, n_zero, w2p, z_milli)],
+                        columns=["n_weeks_used", "n_zero_dropped",
+                                 "w2_plus", "z_milli"]) \
+        .astype("int64")

@@ -152,6 +152,10 @@ def test_entry_smoke(entrymod):
     "supplier_grubbs_extremes", "nation_segment_stdres",
     "part_price_tukey_fences", "orders_runs_median",
     "orders_friedman_dow", "orders_variance_ratio",
+    "lineitem_cohen_kappa", "events_mcnemar_halves",
+    "part_price_skew_kurtosis", "lineitem_partial_corr",
+    "lineitem_blomqvist_beta", "event_transition_drift",
+    "lineitem_gamma_gk", "orders_wilcoxon_weekend",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
