@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_drift": analytics.event_transition_drift,
         "lineitem_gamma_gk": analytics.lineitem_gamma_gk,
         "orders_wilcoxon_weekend": analytics.orders_wilcoxon_weekend,
+        "orders_revenue_milestones": analytics.orders_revenue_milestones,
+        "lineitem_position_profile": analytics.lineitem_position_profile,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7161,6 +7163,59 @@ def oracle_sql() -> dict[str, str]:
                                         AS DOUBLE) / 24.0)
                             * 1000.0) END AS BIGINT) AS z_milli
             FROM s, nz
+        """,
+        "orders_revenue_milestones": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            c AS (SELECT dy, SUM(rev) OVER (ORDER BY dy) AS cum
+                  FROM d),
+            t AS (SELECT MAX(cum) AS total, MIN(dy) AS d0 FROM c),
+            p AS (SELECT unnest(generate_series(10, 90, 10)) AS pct),
+            th AS (SELECT pct, (pct * total + 99) // 100 AS thr
+                   FROM p, t),
+            m AS (SELECT pct, thr, MIN(dy) AS cross_dy
+                  FROM c, th WHERE cum >= thr GROUP BY 1, 2),
+            f AS (SELECT m.pct, m.thr, m.cross_dy, c.cum
+                  FROM m JOIN c ON c.dy = m.cross_dy)
+            SELECT CAST(pct AS BIGINT) AS pct,
+                   CAST(thr AS BIGINT) AS threshold_cents,
+                   CAST(cross_dy AS BIGINT) AS cross_dy,
+                   CAST(cross_dy - d0 AS BIGINT) AS days_from_start,
+                   CAST(10000 * cum // total AS BIGINT)
+                       AS cum_share_bps
+            FROM f, t ORDER BY pct
+        """,
+        "lineitem_position_profile": """
+            WITH b AS (SELECT l_linenumber AS ln,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                              CAST(FLOOR(l_discount * 10000)
+                                   AS BIGINT) AS disc,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem),
+            g AS (SELECT ln, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(q) AS HUGEINT) AS sq,
+                         CAST(SUM(disc) AS HUGEINT) AS sd,
+                         CAST(SUM(rev) AS HUGEINT) AS sr
+                  FROM b GROUP BY 1),
+            t AS (SELECT SUM(n) AS n_tot, SUM(sq) AS sq_tot,
+                         SUM(sr) AS sr_tot
+                  FROM g)
+            SELECT CAST(ln AS BIGINT) AS l_linenumber,
+                   CAST(n AS BIGINT) AS n_lines,
+                   CAST(1000 * sq // n AS BIGINT) AS mean_qty_milli,
+                   CAST(sd // n AS BIGINT) AS mean_disc_bps,
+                   CAST(10000 * sr // sr_tot AS BIGINT)
+                       AS rev_share_bps,
+                   CAST((CASE WHEN sq * n_tot - sq_tot * n >= 0
+                         THEN 1 ELSE -1 END)
+                        * (10000 * ABS(sq * n_tot - sq_tot * n)
+                           // (sq_tot * n)) AS BIGINT)
+                       AS qty_lift_bps
+            FROM g, t ORDER BY l_linenumber
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "part_price_skew_kurtosis", "lineitem_partial_corr",
     "lineitem_blomqvist_beta", "event_transition_drift",
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
+    "orders_revenue_milestones", "lineitem_position_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

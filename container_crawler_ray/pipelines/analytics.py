@@ -11343,3 +11343,100 @@ def orders_wilcoxon_weekend(sf_dir: str) -> pd.DataFrame:
                         columns=["n_weeks_used", "n_zero_dropped",
                                  "w2_plus", "z_milli"]) \
         .astype("int64")
+
+
+def orders_revenue_milestones(sf_dir: str) -> pd.DataFrame:
+    """REVENUE MILESTONE CALENDAR — the first day the cumulative
+    revenue curve crosses each decile of the final total (the
+    time-to-X% planning table: is revenue front- or back-loaded?):
+    per-block daily partials fold to the observed-day grid, the
+    driver walks the exact integer cumsum once, and each milestone
+    p=10..90 reports its ceil-threshold ceil(p*T/100) in cents, the
+    first crossing day, and that day's exact cumulative share in bps.
+    Pure integers end to end — NO float; ZERO shuffle."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    dy = agg["dy"].to_numpy(np.int64)
+    cum = agg["rev"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    d0 = int(dy[0])
+    rows = []
+    for p in range(10, 100, 10):
+        thr = -(-p * total // 100)
+        i = int(np.searchsorted(cum, thr))
+        rows.append((p, thr, int(dy[i]), int(dy[i]) - d0,
+                     10_000 * int(cum[i]) // total))
+    return pd.DataFrame(rows, columns=[
+        "pct", "threshold_cents", "cross_dy", "days_from_start",
+        "cum_share_bps"]).astype("int64")
+
+
+def lineitem_position_profile(sf_dir: str) -> pd.DataFrame:
+    """LINE-POSITION effects — does the Nth line of an order behave
+    differently from the 1st (basket-composition bias that breaks
+    naive per-line samplers): per l_linenumber, line count, exact
+    mean quantity in milli units, mean discount in bps, revenue
+    share of the whole table in bps, and the quantity lift vs the
+    global mean as a cross-multiplied integer sign-normalized bps
+    ratio. Constant per-position per-block partials (the position
+    domain is 1..7) — pure integers, NO float, ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_linenumber", "l_quantity", "l_discount",
+                        "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = t.column("l_linenumber").to_numpy().astype(np.int64)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        disc = np.floor(t.column("l_discount").to_numpy() * 10000) \
+            .astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        mx = int(ln.max()) + 1
+        return pa.table({
+            "ln": pa.array(np.arange(1, mx, dtype=np.int64)),
+            "n": pa.array(np.bincount(ln, minlength=mx)[1:]
+                          .astype(np.int64)),
+            "sq": pa.array(np.bincount(ln, weights=q, minlength=mx)
+                           [1:].astype(np.int64)),
+            "sd": pa.array(np.bincount(ln, weights=disc,
+                                       minlength=mx)[1:]
+                           .astype(np.int64)),
+            "sr": pa.array(np.bincount(ln, weights=rev, minlength=mx)
+                           [1:].astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("ln", as_index=False).sum()
+           .sort_values("ln"))
+    agg = agg[agg["n"] > 0]
+    n_tot = int(agg["n"].sum())
+    sq_tot = int(agg["sq"].sum())
+    sr_tot = int(agg["sr"].sum())
+    rows = []
+    for r in agg.itertuples():
+        n_i, sq_i = int(r.n), int(r.sq)
+        num = sq_i * n_tot - sq_tot * n_i
+        sgn = 1 if num >= 0 else -1
+        lift = sgn * (10_000 * abs(num) // (sq_tot * n_i))
+        rows.append((int(r.ln), n_i, 1000 * sq_i // n_i,
+                     int(r.sd) // n_i,
+                     10_000 * int(r.sr) // sr_tot, lift))
+    return pd.DataFrame(rows, columns=[
+        "l_linenumber", "n_lines", "mean_qty_milli",
+        "mean_disc_bps", "rev_share_bps", "qty_lift_bps"]) \
+        .astype("int64")

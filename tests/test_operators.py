@@ -156,6 +156,7 @@ def test_entry_smoke(entrymod):
     "part_price_skew_kurtosis", "lineitem_partial_corr",
     "lineitem_blomqvist_beta", "event_transition_drift",
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
+    "orders_revenue_milestones", "lineitem_position_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
