@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_wilcoxon_weekend": analytics.orders_wilcoxon_weekend,
         "orders_revenue_milestones": analytics.orders_revenue_milestones,
         "lineitem_position_profile": analytics.lineitem_position_profile,
+        "lineitem_dose_response": analytics.lineitem_dose_response,
+        "events_daily_record_census":
+            analytics.events_daily_record_census,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7216,6 +7219,60 @@ def oracle_sql() -> dict[str, str]:
                            // (sq_tot * n)) AS BIGINT)
                        AS qty_lift_bps
             FROM g, t ORDER BY l_linenumber
+        """,
+        "lineitem_dose_response": """
+            WITH b AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                              AS lvl,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            g AS (SELECT lvl, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(q) AS BIGINT) AS sq
+                  FROM b GROUP BY 1),
+            w AS (SELECT lvl, n, sq,
+                         LEAD(n) OVER (ORDER BY lvl) AS n_j,
+                         LEAD(sq) OVER (ORDER BY lvl) AS sq_j
+                  FROM g)
+            SELECT lvl AS discount_pct, n AS n_lines,
+                   CAST(1000 * sq // n AS BIGINT) AS mean_qty_milli,
+                   CAST(CASE WHEN n_j IS NULL THEN -1
+                        WHEN sq_j * n < sq * n_j THEN 1
+                        ELSE 0 END AS BIGINT) AS viol_next
+            FROM w ORDER BY discount_pct
+        """,
+        "events_daily_record_census": """
+            WITH d AS (SELECT epoch_us(ts)//86400000000 AS dy,
+                              MAX(CAST(FLOOR(value * 100) AS BIGINT))
+                                  AS v
+                       FROM events GROUP BY 1),
+            r AS (SELECT dy, v,
+                         MAX(v) OVER (ORDER BY dy
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prevmax
+                  FROM d),
+            f AS (SELECT dy, v,
+                         CASE WHEN prevmax IS NULL OR v > prevmax
+                              THEN 1 ELSE 0 END AS rec
+                  FROM r),
+            rd AS (SELECT dy,
+                          LAG(dy) OVER (ORDER BY dy) AS pdy
+                   FROM f WHERE rec = 1),
+            gp AS (SELECT COALESCE(MAX(dy - pdy), 0) AS longest
+                   FROM rd WHERE pdy IS NOT NULL),
+            agg AS (SELECT COUNT(*) AS n_days,
+                           SUM(rec) AS n_records,
+                           MIN(CASE WHEN rec = 1 THEN dy END)
+                               AS first_rec,
+                           MAX(CASE WHEN rec = 1 THEN dy END)
+                               AS last_rec,
+                           MAX(v) AS final_rec
+                    FROM f)
+            SELECT CAST(n_days AS BIGINT) AS n_days,
+                   CAST(n_records AS BIGINT) AS n_records,
+                   CAST(first_rec AS BIGINT) AS first_record_dy,
+                   CAST(last_rec AS BIGINT) AS last_record_dy,
+                   CAST(longest AS BIGINT) AS longest_drought_days,
+                   CAST(final_rec AS BIGINT) AS final_record_cents
+            FROM agg, gp
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "lineitem_blomqvist_beta", "event_transition_drift",
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
     "orders_revenue_milestones", "lineitem_position_profile",
+    "lineitem_dose_response", "events_daily_record_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

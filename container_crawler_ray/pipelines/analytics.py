@@ -11440,3 +11440,92 @@ def lineitem_position_profile(sf_dir: str) -> pd.DataFrame:
         "l_linenumber", "n_lines", "mean_qty_milli",
         "mean_disc_bps", "rev_share_bps", "qty_lift_bps"]) \
         .astype("int64")
+
+
+def lineitem_dose_response(sf_dir: str) -> pd.DataFrame:
+    """DOSE-RESPONSE MONOTONICITY audit of the discount ladder — does
+    mean quantity actually climb with every extra percent of
+    discount, or does the curve kink: per whole-percent discount
+    level, line count and exact milli mean quantity, and a
+    violation marker against the NEXT present level decided by the
+    cross-multiplied integer compare sq_next*n_cur < sq_cur*n_next
+    (strict decrease = violation 1, non-decrease 0, last level -1) —
+    the isotonic-regression pre-check in pure integers, NO float.
+    Constant 11-cell per-block partials — ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        return pa.table({
+            "lvl": pa.array(np.arange(11, dtype=np.int64)),
+            "n": pa.array(np.bincount(a, minlength=11)
+                          .astype(np.int64)),
+            "sq": pa.array(np.bincount(a, weights=q, minlength=11)
+                           .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("lvl", as_index=False).sum()
+           .sort_values("lvl"))
+    agg = agg[agg["n"] > 0].reset_index(drop=True)
+    rows = []
+    for i in range(len(agg)):
+        lvl = int(agg.loc[i, "lvl"])
+        n_i = int(agg.loc[i, "n"])
+        sq_i = int(agg.loc[i, "sq"])
+        if i + 1 < len(agg):
+            n_j = int(agg.loc[i + 1, "n"])
+            sq_j = int(agg.loc[i + 1, "sq"])
+            viol = 1 if sq_j * n_i < sq_i * n_j else 0
+        else:
+            viol = -1
+        rows.append((lvl, n_i, 1000 * sq_i // n_i, viol))
+    return pd.DataFrame(rows, columns=[
+        "discount_pct", "n_lines", "mean_qty_milli", "viol_next"]) \
+        .astype("int64")
+
+
+def events_daily_record_census(sf_dir: str) -> pd.DataFrame:
+    """RECORD-BREAKING census of the daily maximum event value — how
+    often does the stream set a new all-time single-event high (the
+    extreme-value process a capacity planner watches; under i.i.d.
+    days the record count grows like ln n): daily max cents fold as
+    per-block partials (a max-mergeable grid), the driver walks the
+    day-ordered running max once, and the output is pure integers —
+    record days are STRICT increases of the running max (day one is
+    record #1), the longest drought is the max calendar-day gap
+    between consecutive record days, and the final record value
+    reports in exact cents. ZERO shuffle, NO float."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"dy": dy, "v": cents})
+        g = df.groupby("dy", as_index=False)["v"].max()
+        return pa.table({"dy": pa.array(g["dy"].to_numpy(np.int64)),
+                         "v": pa.array(g["v"].to_numpy(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("dy", as_index=False)["v"].max()
+             .sort_values("dy", kind="mergesort"))
+    dy = parts["dy"].to_numpy(np.int64)
+    v = parts["v"].to_numpy(np.int64)
+    run = np.maximum.accumulate(v)
+    rec = np.empty(len(v), dtype=bool)
+    rec[0] = True
+    rec[1:] = v[1:] > run[:-1]
+    rdays = dy[rec]
+    gaps = np.diff(rdays)
+    longest = int(gaps.max()) if len(gaps) else 0
+    return pd.DataFrame([(len(dy), int(rec.sum()), int(rdays[0]),
+                          int(rdays[-1]), longest, int(run[-1]))],
+                        columns=["n_days", "n_records",
+                                 "first_record_dy", "last_record_dy",
+                                 "longest_drought_days",
+                                 "final_record_cents"]) \
+        .astype("int64")

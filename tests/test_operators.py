@@ -157,6 +157,7 @@ def test_entry_smoke(entrymod):
     "lineitem_blomqvist_beta", "event_transition_drift",
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
     "orders_revenue_milestones", "lineitem_position_profile",
+    "lineitem_dose_response", "events_daily_record_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
