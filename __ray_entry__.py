@@ -334,6 +334,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_dose_response": analytics.lineitem_dose_response,
         "events_daily_record_census":
             analytics.events_daily_record_census,
+        "customer_cvm_segments": analytics.customer_cvm_segments,
+        "events_ljung_box": analytics.events_ljung_box,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7273,6 +7275,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(longest AS BIGINT) AS longest_drought_days,
                    CAST(final_rec AS BIGINT) AS final_record_cents
             FROM agg, gp
+        """,
+        "customer_cvm_segments": """
+            WITH b AS (SELECT c_mktsegment AS seg,
+                              CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                                  AS v
+                       FROM customer
+                       WHERE c_mktsegment IN ('BUILDING',
+                                              'AUTOMOBILE')),
+            g AS (SELECT v,
+                         SUM(CASE WHEN seg = 'BUILDING' THEN 1
+                             ELSE 0 END) AS a,
+                         SUM(CASE WHEN seg = 'AUTOMOBILE' THEN 1
+                             ELSE 0 END) AS bb
+                  FROM b GROUP BY 1),
+            c AS (SELECT v, a + bb AS cv,
+                         CAST(SUM(a) OVER (ORDER BY v) AS HUGEINT)
+                             AS ca,
+                         CAST(SUM(bb) OVER (ORDER BY v) AS HUGEINT)
+                             AS cb
+                  FROM g),
+            nn AS (SELECT CAST(SUM(a) AS HUGEINT) AS n,
+                          CAST(SUM(bb) AS HUGEINT) AS m
+                   FROM g),
+            ps AS (SELECT SUM(cv * (m * ca - n * cb)
+                              * (m * ca - n * cb)) AS psi
+                   FROM c, nn)
+            SELECT CAST(n AS BIGINT) AS n_building,
+                   CAST(m AS BIGINT) AS n_automobile,
+                   CAST(psi AS BIGINT) AS psi,
+                   CAST(CASE WHEN n > 0 AND m > 0 THEN
+                        1000 * psi // ((n + m) * n * n * m * m)
+                        ELSE 0 END AS BIGINT) AS cvm_milli
+            FROM ps, nn
+        """,
+        "events_ljung_box": """
+            WITH d AS (SELECT epoch_us(ts)//86400000000 AS day_id,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            rng AS (SELECT MIN(day_id) AS mn, MAX(day_id) AS mx
+                    FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id, COALESCE(c, 0) AS c
+                  FROM grid LEFT JOIN d USING (day_id)),
+            nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM g),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lg),
+            p AS (SELECT l.lg, a.c AS x, b.c AS y
+                  FROM lags l
+                  JOIN g a ON true
+                  JOIN g b ON b.day_id = a.day_id + l.lg),
+            m AS (SELECT lg, CAST(COUNT(*) AS HUGEINT) AS nk,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                         CAST(SUM(y * y) AS HUGEINT) AS syy
+                  FROM p GROUP BY lg),
+            t AS (SELECT lg,
+                         CASE WHEN nk * sxx - sx * sx > 0
+                              AND nk * syy - sy * sy > 0 THEN
+                           1000 * n * (n + 2)
+                           * (nk * sxy - sx * sy)
+                           * (nk * sxy - sx * sy)
+                           // ((n - lg)
+                               * (nk * sxx - sx * sx)
+                               * (nk * syy - sy * sy))
+                         ELSE 0 END AS term
+                  FROM m, nn)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(7 AS BIGINT) AS max_lag,
+                   CAST(SUM(term) AS BIGINT) AS q_milli
+            FROM t, nn GROUP BY n
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
     "orders_revenue_milestones", "lineitem_position_profile",
     "lineitem_dose_response", "events_daily_record_census",
+    "customer_cvm_segments", "events_ljung_box",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11529,3 +11529,99 @@ def events_daily_record_census(sf_dir: str) -> pd.DataFrame:
                                  "longest_drought_days",
                                  "final_record_cents"]) \
         .astype("int64")
+
+
+def customer_cvm_segments(sf_dir: str) -> pd.DataFrame:
+    """CRAMER-VON MISES-style INTEGRATED ECDF distance between the
+    BUILDING and AUTOMOBILE segments' account-balance distributions —
+    the whole-curve companion to the sup-gap KS test: over the pooled
+    value-level grid (one bounded-cents count fold), psi = sum_v
+    c_v * (m*A_v - n*B_v)^2 accumulates the squared cross-multiplied
+    ECDF gap at every pooled observation EXACTLY (A/B are cumulative
+    counts, so no rational ever appears), and the normalized score
+    closes as one integer division cvm_milli = 1000 * psi //
+    ((n+m) * n * n * m * m) — pure integers end to end, Python
+    bigints on the driver, HUGEINT in the twin. ZERO row shuffle."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+    segs = ("BUILDING", "AUTOMOBILE")
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = np.asarray(t.column("c_mktsegment")).astype(object)
+        v = np.floor(t.column("c_acctbal").to_numpy() * 100) \
+            .astype(np.int64)
+        keep = (seg == segs[0]) | (seg == segs[1])
+        sv = v[keep]
+        sa = (seg[keep] == segs[0]).astype(np.int64)
+        df = pd.DataFrame({"v": sv, "a": sa, "b": 1 - sa})
+        g = df.groupby("v", as_index=False)[["a", "b"]].sum()
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "a": pa.array(g["a"].to_numpy(np.int64)),
+                         "b": pa.array(g["b"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("v", as_index=False)[["a", "b"]].sum()
+         .sort_values("v", kind="mergesort"))
+    ca = g["a"].to_numpy(np.int64).cumsum()
+    cb = g["b"].to_numpy(np.int64).cumsum()
+    cv = (g["a"] + g["b"]).to_numpy(np.int64)
+    n = int(ca[-1])
+    m = int(cb[-1])
+    psi = sum(int(c) * (m * int(av) - n * int(bv)) ** 2
+              for c, av, bv in zip(cv, ca, cb))
+    cvm_milli = (1000 * psi // ((n + m) * n * n * m * m)
+                 if n > 0 and m > 0 else 0)
+    return pd.DataFrame([(n, m, psi, cvm_milli)],
+                        columns=["n_building", "n_automobile",
+                                 "psi", "cvm_milli"]).astype("int64")
+
+
+def events_ljung_box(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """LJUNG-BOX portmanteau test on the daily event-VOLUME series —
+    is the stream's day-to-day count white noise, judged JOINTLY over
+    lags 1..7 (the one-number gate on top of the per-lag ACF): each
+    lag's squared autocorrelation enters as the EXACT integer term
+    floor(1000*n*(n+2)*num_k^2 / ((n-k)*d1_k*d2_k)) built from the
+    gapfilled-grid pair moments (num = cross-covariance numerator,
+    d1/d2 the two leg variances — counts are small enough that every
+    product stays inside HUGEINT), and Q_milli is the plain integer
+    sum of the per-lag floors — documented per-term flooring, NO
+    float on either side. Day-cardinality rollup via one small
+    aggregate; the lag sweep runs on the calendar vector."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("ts").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        u, cnt = np.unique(dy, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("dy", as_index=False)["c"].sum()
+             .sort_values("dy"))
+    days = parts["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    tvec = np.zeros(hi - lo + 1, dtype=np.int64)
+    tvec[days - lo] = parts["c"].to_numpy(np.int64)
+    n = len(tvec)
+    q_milli = 0
+    for k in range(1, max_lag + 1):
+        x = tvec[:-k]
+        y = tvec[k:]
+        nk = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        syy = int((y * y).sum())
+        num = nk * sxy - sx * sy
+        d1 = nk * sxx - sx * sx
+        d2 = nk * syy - sy * sy
+        if d1 > 0 and d2 > 0:
+            term = (1000 * n * (n + 2) * num * num
+                    // ((n - k) * d1 * d2))
+        else:
+            term = 0
+        q_milli += term
+    return pd.DataFrame([(n, max_lag, q_milli)],
+                        columns=["n_days", "max_lag", "q_milli"]) \
+        .astype("int64")

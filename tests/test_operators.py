@@ -158,6 +158,7 @@ def test_entry_smoke(entrymod):
     "lineitem_gamma_gk", "orders_wilcoxon_weekend",
     "orders_revenue_milestones", "lineitem_position_profile",
     "lineitem_dose_response", "events_daily_record_census",
+    "customer_cvm_segments", "events_ljung_box",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
