@@ -336,6 +336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_daily_record_census,
         "customer_cvm_segments": analytics.customer_cvm_segments,
         "events_ljung_box": analytics.events_ljung_box,
+        "nation_flow_stdres": joins.nation_flow_stdres,
+        "events_brown_forsythe": analytics.events_brown_forsythe,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7347,6 +7349,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(7 AS BIGINT) AS max_lag,
                    CAST(SUM(term) AS BIGINT) AS q_milli
             FROM t, nn GROUP BY n
+        """,
+        "nation_flow_stdres": """
+            WITH f AS (SELECT s.s_nationkey AS sn,
+                              c.c_nationkey AS cn
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+            o AS (SELECT sn, cn, COUNT(*) AS ob FROM f GROUP BY 1, 2),
+            r AS (SELECT sn, CAST(COUNT(*) AS BIGINT) AS r
+                  FROM f GROUP BY 1),
+            c AS (SELECT cn, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM f GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f),
+            g AS (SELECT r.sn, c.cn, r.r, c.c,
+                         COALESCE(o.ob, 0) AS ob
+                  FROM r CROSS JOIN c
+                  LEFT JOIN o ON o.sn = r.sn AND o.cn = c.cn),
+            e AS (SELECT sn, cn, ob, r, c,
+                         n * ob - r * c AS dev,
+                         CAST(FLOOR((CAST(n * ob - r * c AS DOUBLE)
+                                     / CAST(n AS DOUBLE))
+                                    / SQRT(CAST(r * c AS DOUBLE)
+                                           / CAST(n AS DOUBLE)
+                                           * (1.0 - CAST(r AS DOUBLE)
+                                              / CAST(n AS DOUBLE))
+                                           * (1.0 - CAST(c AS DOUBLE)
+                                              / CAST(n AS DOUBLE)))
+                                    * 1000.0) AS BIGINT) AS sr
+                  FROM g, nn),
+            t AS (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY ABS(sr) DESC, sn, cn) AS rk
+                  FROM e)
+            SELECT CAST(sn AS BIGINT) AS s_nationkey,
+                   CAST(cn AS BIGINT) AS c_nationkey,
+                   CAST(ob AS BIGINT) AS obs,
+                   r AS r_tot, c AS c_tot,
+                   CAST(dev AS BIGINT) AS dev_num,
+                   sr AS stdres_milli,
+                   CAST(rk AS BIGINT) AS rk
+            FROM t WHERE rk <= 15 ORDER BY rk
+        """,
+        "events_brown_forsythe": """
+            WITH b AS (SELECT event_type AS et,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS v
+                       FROM events),
+            md AS (SELECT et, CAST(quantile_disc(v, 0.50) AS BIGINT)
+                              AS med
+                   FROM b GROUP BY 1),
+            z AS (SELECT b.et, ABS(b.v - md.med) AS z
+                  FROM b JOIN md ON b.et = md.et),
+            g AS (SELECT et, CAST(COUNT(*) AS HUGEINT) AS n_i,
+                         CAST(SUM(z) AS HUGEINT) AS s_i,
+                         SUM(CAST(z AS HUGEINT) * z) AS q_i
+                  FROM z GROUP BY 1),
+            m AS (SELECT et, n_i, s_i, q_i,
+                         (1000 * s_i) // n_i AS m_i
+                  FROM g),
+            tot AS (SELECT SUM(n_i) AS n, SUM(s_i) AS s,
+                           COUNT(*) AS k
+                    FROM m),
+            gm AS (SELECT (1000 * s) // n AS mbar, n, k FROM tot),
+            ss AS (SELECT SUM(n_i * (m_i - mbar) * (m_i - mbar))
+                              AS ssb,
+                          SUM(1000000 * q_i - 2 * m_i * 1000 * s_i
+                              + n_i * m_i * m_i) AS ssw
+                   FROM m, gm),
+            bw AS (SELECT
+                     (SELECT et FROM m
+                      ORDER BY m_i DESC, et LIMIT 1) AS widest,
+                     (SELECT et FROM m
+                      ORDER BY m_i ASC, et LIMIT 1) AS tightest)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST(k AS BIGINT) AS n_types,
+                   CAST(CASE WHEN ssw > 0 AND k > 1 THEN
+                        1000 * ssb * (n - k) // (ssw * (k - 1))
+                        ELSE 0 END AS BIGINT) AS f_milli,
+                   CAST(CASE WHEN ssb + ssw > 0 THEN
+                        10000 * ssb // (ssb + ssw)
+                        ELSE 0 END AS BIGINT) AS eta2_bps,
+                   widest AS widest_type,
+                   tightest AS tightest_type
+            FROM ss, gm, bw
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

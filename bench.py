@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "orders_revenue_milestones", "lineitem_position_profile",
     "lineitem_dose_response", "events_daily_record_census",
     "customer_cvm_segments", "events_ljung_box",
+    "nation_flow_stdres", "events_brown_forsythe",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

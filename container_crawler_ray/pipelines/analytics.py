@@ -11625,3 +11625,76 @@ def events_ljung_box(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     return pd.DataFrame([(n, max_lag, q_milli)],
                         columns=["n_days", "max_lag", "q_milli"]) \
         .astype("int64")
+
+
+def events_brown_forsythe(sf_dir: str) -> pd.DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test across event types —
+    the precondition gate the t/ANOVA family silently assumes: are
+    value spreads equal? Phase 1 folds per-type value-level counts
+    over the bounded cents domain and takes exact ceil-rank medians;
+    phase 2 re-streams the table and runs the INTEGER one-way ANOVA
+    (the ``orders_dow_anova`` discipline) on the absolute deviations
+    z = |cents - med_type|: group z-means floored to milli keep
+    SSB/SSW exact (Python bigints / HUGEINT), and F closes fully in
+    integer arithmetic — NO float on either side. The inherent
+    two-phase split mirrors the twin's quantile_disc."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"et": et, "v": v})
+        g = df.groupby(["et", "v"], as_index=False).size()
+        return pa.table({"et": pa.array(g["et"], type=pa.string()),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+         .to_pandas().groupby(["et", "v"], as_index=False)["c"].sum())
+    meds = {}
+    for et, g in h.groupby("et"):
+        g = g.sort_values("v", kind="mergesort")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        meds[str(et)] = int(g["v"].to_numpy(np.int64)[
+            np.searchsorted(cum, -(-n // 2))])
+
+    def moments(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        med = np.array([meds[x] for x in et], dtype=np.int64)
+        z = np.abs(v - med)
+        df = pd.DataFrame({"et": et, "n": 1, "s": z, "q": z * z})
+        g = df.groupby("et", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .to_pandas().groupby("et", as_index=False).sum()
+           .sort_values("et"))
+    n = int(agg["n"].sum())
+    k = len(agg)
+    s_tot = sum(int(x) for x in agg["s"])
+    mbar = 1000 * s_tot // n
+    ssb = ssw = 0
+    best = worst = None
+    for r in agg.itertuples():
+        n_i, s_i, q_i = int(r.n), int(r.s), int(r.q)
+        m_i = 1000 * s_i // n_i
+        ssb += n_i * (m_i - mbar) * (m_i - mbar)
+        ssw += 1_000_000 * q_i - 2 * m_i * 1000 * s_i + n_i * m_i * m_i
+        if best is None or m_i > best[1]:
+            best = (str(r.et), m_i)
+        if worst is None or m_i < worst[1]:
+            worst = (str(r.et), m_i)
+    f_milli = (1000 * ssb * (n - k) // (ssw * (k - 1))
+               if ssw > 0 and k > 1 else 0)
+    eta2_bps = 10_000 * ssb // (ssb + ssw) if ssb + ssw > 0 else 0
+    return pd.DataFrame([(n, k, f_milli, eta2_bps, best[0],
+                          worst[0])],
+                        columns=["n_events", "n_types", "f_milli",
+                                 "eta2_bps", "widest_type",
+                                 "tightest_type"]).astype(
+        {c: "int64" for c in ("n_events", "n_types", "f_milli",
+                              "eta2_bps")})

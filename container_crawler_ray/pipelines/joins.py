@@ -3631,3 +3631,106 @@ def first_order_ltv_corr(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(n, val)],
                         columns=["n_customers", "corr_milli"]) \
         .astype("int64")
+
+
+def nation_flow_stdres(sf_dir: str) -> pd.DataFrame:
+    """TRADE-FLOW residual diagnostics: which supplier-nation ->
+    customer-nation lanes carry MORE line items than independent
+    routing predicts — haberman standardized residuals over the full
+    25 x 25 flow matrix. Scale shape is the q7 kernel
+    (joins.py:795): ONE lineitem-x-orders fact-fact exchange on
+    ``orderkey % 64`` with supplier->nation / customer->nation
+    dimension LUTs broadcast once via ``ray.put``; each bucket emits
+    matrix-sized (sn, cn) count partials. The driver builds the full
+    margins grid (absent lanes at O = 0), keeps deviations
+    N*O - r*c exact, floors each cell's independent IEEE-matched
+    residual float to milli (never summed), and ranks top 15 by
+    |stdres| with the (sn, cn) numeric tie rule."""
+    import math
+
+    import ray
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+
+    ref = ray.put((s_nat, c_nat))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_suppkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        s_nat_, c_nat_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "custkey"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "suppkey"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"sn": pd.Series([], dtype=np.int64),
+                                 "cn": pd.Series([], dtype=np.int64),
+                                 "o": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({
+            "sn": s_nat_[m["suppkey"].to_numpy(np.int64)],
+            "cn": c_nat_[m["custkey"].to_numpy(np.int64)]})
+        return out.groupby(["sn", "cn"], as_index=False).size() \
+            .rename(columns={"size": "o"})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    obs = (tagged.groupby("bucket")
+           .map_groups(bucket_join, batch_format="pandas")
+           .to_pandas().groupby(["sn", "cn"], as_index=False)["o"]
+           .sum())
+    rtot = obs.groupby("sn")["o"].sum().to_dict()
+    ctot = obs.groupby("cn")["o"].sum().to_dict()
+    omap = {(int(r["sn"]), int(r["cn"])): int(r["o"])
+            for _, r in obs.iterrows()}
+    n = sum(int(v) for v in rtot.values())
+    cells = []
+    for sn in sorted(rtot):
+        r = int(rtot[sn])
+        for cn in sorted(ctot):
+            c = int(ctot[cn])
+            o = omap.get((int(sn), int(cn)), 0)
+            dev = n * o - r * c
+            sr = math.floor(
+                (float(dev) / float(n))
+                / math.sqrt(float(r * c) / float(n)
+                            * (1.0 - float(r) / float(n))
+                            * (1.0 - float(c) / float(n)))
+                * 1000.0)
+            cells.append((int(sn), int(cn), o, r, c, dev, sr))
+    cells.sort(key=lambda x: (-abs(x[6]), x[0], x[1]))
+    df = pd.DataFrame(cells[:15], columns=[
+        "s_nationkey", "c_nationkey", "obs", "r_tot", "c_tot",
+        "dev_num", "stdres_milli"])
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df.astype("int64")
