@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ljung_box": analytics.events_ljung_box,
         "nation_flow_stdres": joins.nation_flow_stdres,
         "events_brown_forsythe": analytics.events_brown_forsythe,
+        "media_phash_near_pairs": media.media_phash_near_pairs,
+        "lineitem_tail_dependence": analytics.lineitem_tail_dependence,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7432,6 +7434,91 @@ def oracle_sql() -> dict[str, str]:
                    widest AS widest_type,
                    tightest AS tightest_type
             FROM ss, gm, bw
+        """,
+        "media_phash_near_pairs": """
+            WITH h AS (SELECT doc_id,
+                              CAST(('0x' || substr(md5(text), 17, 16))
+                                   AS UBIGINT) AS h64
+                       FROM documents),
+            b AS (SELECT doc_id,
+                         unnest([0, 1, 2, 3]) AS band,
+                         unnest([
+                             CAST(('0x' || substr(md5(text), 17, 4))
+                                  AS BIGINT),
+                             CAST(('0x' || substr(md5(text), 21, 4))
+                                  AS BIGINT),
+                             CAST(('0x' || substr(md5(text), 25, 4))
+                                  AS BIGINT),
+                             CAST(('0x' || substr(md5(text), 29, 4))
+                                  AS BIGINT)]) AS val
+                  FROM documents),
+            p AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+                  FROM b a JOIN b b2
+                  ON a.band = b2.band AND a.val = b2.val
+                     AND a.doc_id < b2.doc_id),
+            j AS (SELECT p.d1, p.d2,
+                         bit_count(xor(h1.h64, h2.h64)) AS ham
+                  FROM p
+                  JOIN h h1 ON h1.doc_id = p.d1
+                  JOIN h h2 ON h2.doc_id = p.d2),
+            nn AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN ham <= 8 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT)
+                       AS n_ham_le8,
+                   CAST(COALESCE(SUM(CASE WHEN ham <= 16 THEN 1
+                                     ELSE 0 END), 0) AS BIGINT)
+                       AS n_ham_le16,
+                   CAST(COALESCE(MIN(ham), -1) AS BIGINT)
+                       AS min_hamming
+            FROM j, nn GROUP BY n_docs
+        """,
+        "lineitem_tail_dependence": """
+            WITH b AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                              CAST(FLOOR(l_discount * 100) AS BIGINT)
+                                  AS y
+                       FROM lineitem),
+            q AS (SELECT CAST(quantile_disc(x, 0.75) AS BIGINT)
+                             AS qx_hi,
+                         CAST(quantile_disc(x, 0.25) AS BIGINT)
+                             AS qx_lo,
+                         CAST(quantile_disc(y, 0.75) AS BIGINT)
+                             AS qy_hi,
+                         CAST(quantile_disc(y, 0.25) AS BIGINT)
+                             AS qy_lo,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM b),
+            t AS (SELECT
+                    COALESCE(SUM(CASE WHEN x > qx_hi THEN 1
+                                 ELSE 0 END), 0) AS nx_hi,
+                    COALESCE(SUM(CASE WHEN y > qy_hi THEN 1
+                                 ELSE 0 END), 0) AS ny_hi,
+                    COALESCE(SUM(CASE WHEN x > qx_hi AND y > qy_hi
+                                 THEN 1 ELSE 0 END), 0) AS nj_hi,
+                    COALESCE(SUM(CASE WHEN x < qx_lo THEN 1
+                                 ELSE 0 END), 0) AS nx_lo,
+                    COALESCE(SUM(CASE WHEN y < qy_lo THEN 1
+                                 ELSE 0 END), 0) AS ny_lo,
+                    COALESCE(SUM(CASE WHEN x < qx_lo AND y < qy_lo
+                                 THEN 1 ELSE 0 END), 0) AS nj_lo
+                  FROM b, q)
+            SELECT n AS n_lines,
+                   qx_hi, qy_hi,
+                   CAST(nx_hi AS BIGINT) AS nx_hi,
+                   CAST(ny_hi AS BIGINT) AS ny_hi,
+                   CAST(nj_hi AS BIGINT) AS n_joint_hi,
+                   CAST(CASE WHEN nx_hi > 0 AND ny_hi > 0 THEN
+                        10000 * nj_hi * n // (nx_hi * ny_hi)
+                        ELSE -1 END AS BIGINT) AS lift_hi_bps,
+                   qx_lo, qy_lo,
+                   CAST(nx_lo AS BIGINT) AS nx_lo,
+                   CAST(ny_lo AS BIGINT) AS ny_lo,
+                   CAST(nj_lo AS BIGINT) AS n_joint_lo,
+                   CAST(CASE WHEN nx_lo > 0 AND ny_lo > 0 THEN
+                        10000 * nj_lo * n // (nx_lo * ny_lo)
+                        ELSE -1 END AS BIGINT) AS lift_lo_bps
+            FROM t, q
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "lineitem_dose_response", "events_daily_record_census",
     "customer_cvm_segments", "events_ljung_box",
     "nation_flow_stdres", "events_brown_forsythe",
+    "media_phash_near_pairs", "lineitem_tail_dependence",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11698,3 +11698,77 @@ def events_brown_forsythe(sf_dir: str) -> pd.DataFrame:
                                  "tightest_type"]).astype(
         {c: "int64" for c in ("n_events", "n_types", "f_milli",
                               "eta2_bps")})
+
+
+def lineitem_tail_dependence(sf_dir: str) -> pd.DataFrame:
+    """JOINT TAIL DEPENDENCE between quantity and discount — do the
+    extremes co-occur (the copula question marginal correlations
+    can't answer): phase 1 folds both bounded value-level histograms
+    in one pass and takes exact ceil-rank upper/lower quartiles;
+    phase 2 re-streams counting the four joint-tail cells (strict
+    beyond-quartile on BOTH axes), and each tail's dependence lift
+    closes as the exact integer 10000 * n_joint * N // (n_x * n_y)
+    (independence = 10000 bps). Pure integers, constant per-block
+    partials, ZERO shuffle; the two-phase split mirrors the twin's
+    quantile_disc."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity", "l_discount"])
+
+    def hists(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        ux, cx = np.unique(x, return_counts=True)
+        uy, cy = np.unique(y, return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(len(ux), dtype=np.int64),
+                 np.ones(len(uy), dtype=np.int64)])),
+            "v": pa.array(np.concatenate([ux, uy])),
+            "c": pa.array(np.concatenate([cx, cy]).astype(np.int64))})
+
+    h = (ds.map_batches(hists, batch_format="pyarrow")
+         .to_pandas().groupby(["kind", "v"], as_index=False)["c"]
+         .sum())
+
+    def quart(kind: int, num: int, den: int) -> int:
+        g = h[h["kind"] == kind].sort_values("v", kind="mergesort")
+        cum = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return int(g["v"].to_numpy(np.int64)[
+            np.searchsorted(cum, -(-num * n // den))])
+
+    qx_hi, qx_lo = quart(0, 3, 4), quart(0, 1, 4)
+    qy_hi, qy_lo = quart(1, 3, 4), quart(1, 1, 4)
+
+    def tails(t: pa.Table) -> pa.Table:
+        x = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        y = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({k: pa.array([np.int64(v)]) for k, v in (
+            ("n", len(x)),
+            ("nx_hi", (x > qx_hi).sum()),
+            ("ny_hi", (y > qy_hi).sum()),
+            ("nj_hi", ((x > qx_hi) & (y > qy_hi)).sum()),
+            ("nx_lo", (x < qx_lo).sum()),
+            ("ny_lo", (y < qy_lo).sum()),
+            ("nj_lo", ((x < qx_lo) & (y < qy_lo)).sum()))})
+
+    p = ds.map_batches(tails, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    nx_hi, ny_hi, nj_hi, nx_lo, ny_lo, nj_lo = (
+        int(p[c].sum()) for c in ("nx_hi", "ny_hi", "nj_hi",
+                                  "nx_lo", "ny_lo", "nj_lo"))
+    lift_hi = (10_000 * nj_hi * n // (nx_hi * ny_hi)
+               if nx_hi and ny_hi else -1)
+    lift_lo = (10_000 * nj_lo * n // (nx_lo * ny_lo)
+               if nx_lo and ny_lo else -1)
+    return pd.DataFrame([(n, qx_hi, qy_hi, nx_hi, ny_hi, nj_hi,
+                          lift_hi, qx_lo, qy_lo, nx_lo, ny_lo,
+                          nj_lo, lift_lo)],
+                        columns=["n_lines", "qx_hi", "qy_hi",
+                                 "nx_hi", "ny_hi", "n_joint_hi",
+                                 "lift_hi_bps", "qx_lo", "qy_lo",
+                                 "nx_lo", "ny_lo", "n_joint_lo",
+                                 "lift_lo_bps"]).astype("int64")

@@ -292,3 +292,80 @@ def media_phash_bands(sf_dir: str) -> pd.DataFrame:
         "band": agg["band"], "n_buckets": agg["one"],
         "n_docs_colliding": agg["coll"],
         "n_candidate_pairs": agg["pairs"]}).astype("int64")
+
+
+
+def media_phash_near_pairs(sf_dir: str) -> pd.DataFrame:
+    """PHASH NEAR-DUPLICATE verification — the step AFTER banding
+    (``media_phash_bands``): candidate pairs colliding in ANY of the
+    four 16-bit bands of the 64-bit perceptual hash (the actor-pool
+    ``MediaPhashStage``, media.py:221 — deterministic md5 stand-in,
+    real Ray plumbing) are verified by their EXACT Hamming distance
+    on the full reassembled hash, deduped across bands, and the
+    census reports distinct candidates, matches at radius 8/16, and
+    the closest pair. Scale shape: one (band, bucket) exchange whose
+    fold emits PAIR rows only for colliding buckets (birthday-small),
+    then a driver dedupe on the (lo, hi) key. Pure integers; the
+    twin reproduces each md5 band and bit_count(xor) verbatim."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    hashed = ds.map_batches(_to_payload, batch_format="pyarrow") \
+        .map_batches(MediaPhashStage, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8))
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        b = [t.column(f"band{j}").to_numpy().astype(np.uint64)
+             for j in range(4)]
+        h64 = ((b[0] << np.uint64(48)) | (b[1] << np.uint64(32))
+               | (b[2] << np.uint64(16)) | b[3]).view(np.int64)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(4, dtype=np.int64),
+                                       len(did))),
+            "val": pa.array(np.concatenate(b).astype(np.int64)),
+            "doc_id": pa.array(np.tile(did, 4)),
+            "h64": pa.array(np.tile(h64, 4)),
+            "bucket": pa.array(
+                (np.concatenate(b).astype(np.int64) % 64)
+                .astype(np.int32))})
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"d1": [], "d2": [], "ham": []}
+        for _, grp in g.groupby(["band", "val"]):
+            if len(grp) < 2:
+                continue
+            ids = grp["doc_id"].to_numpy(np.int64)
+            hs = grp["h64"].to_numpy(np.int64).view(np.uint64)
+            order = np.argsort(ids, kind="mergesort")
+            ids, hs = ids[order], hs[order]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out["d1"].append(int(ids[i]))
+                    out["d2"].append(int(ids[j]))
+                    out["ham"].append(
+                        bin(int(hs[i]) ^ int(hs[j])).count("1"))
+        if not out["d1"]:
+            return pd.DataFrame({"d1": pd.Series([], dtype=np.int64),
+                                 "d2": pd.Series([], dtype=np.int64),
+                                 "ham": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(out).astype(np.int64)
+
+    pairs = (hashed.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(pair_fold,
+                                           batch_format="pandas")
+             .to_pandas())
+    n_docs = int(ds.count())
+    if len(pairs):
+        pairs = pairs.drop_duplicates(["d1", "d2"])
+        ham = pairs["ham"].to_numpy(np.int64)
+        n_pairs = len(pairs)
+        le8 = int((ham <= 8).sum())
+        le16 = int((ham <= 16).sum())
+        min_ham = int(ham.min())
+    else:
+        n_pairs = le8 = le16 = 0
+        min_ham = -1
+    return pd.DataFrame([(n_docs, n_pairs, le8, le16, min_ham)],
+                        columns=["n_docs", "n_candidate_pairs",
+                                 "n_ham_le8", "n_ham_le16",
+                                 "min_hamming"]).astype("int64")

@@ -160,6 +160,7 @@ def test_entry_smoke(entrymod):
     "lineitem_dose_response", "events_daily_record_census",
     "customer_cvm_segments", "events_ljung_box",
     "nation_flow_stdres", "events_brown_forsythe",
+    "media_phash_near_pairs", "lineitem_tail_dependence",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
