@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_brown_forsythe": analytics.events_brown_forsythe,
         "media_phash_near_pairs": media.media_phash_near_pairs,
         "lineitem_tail_dependence": analytics.lineitem_tail_dependence,
+        "events_rayleigh_hour": analytics.events_rayleigh_hour,
+        "events_hour_resultant_by_type":
+            analytics.events_hour_resultant_by_type,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7519,6 +7522,91 @@ def oracle_sql() -> dict[str, str]:
                         10000 * nj_lo * n // (nx_lo * ny_lo)
                         ELSE -1 END AS BIGINT) AS lift_lo_bps
             FROM t, q
+        """,
+        "events_rayleigh_hour": """
+            WITH lat AS (SELECT unnest(generate_series(0, 23)) AS hr,
+                                unnest([1000000, 965925, 866025,
+                                        707106, 500000, 258819, 0,
+                                        -258820, -500000, -707107,
+                                        -866026, -965926, -1000000,
+                                        -965926, -866026, -707107,
+                                        -500001, -258820, -1, 258819,
+                                        500000, 707106, 866025,
+                                        965925]) AS cs,
+                                unnest([0, 258819, 499999, 707106,
+                                        866025, 965925, 1000000,
+                                        965925, 866025, 707106,
+                                        499999, 258819, 0, -258820,
+                                        -500000, -707107, -866026,
+                                        -965926, -1000000, -965926,
+                                        -866026, -707107, -500001,
+                                        -258820]) AS sn),
+            h AS (SELECT (epoch_us(ts)//3600000000) % 24 AS hr,
+                         COUNT(*) AS n
+                  FROM events GROUP BY 1),
+            g AS (SELECT lat.hr, lat.cs, lat.sn,
+                         COALESCE(h.n, 0) AS n
+                  FROM lat LEFT JOIN h USING (hr)),
+            s AS (SELECT SUM(CAST(n AS HUGEINT) * cs) AS sx,
+                         SUM(CAST(n AS HUGEINT) * sn) AS sy,
+                         CAST(SUM(n) AS HUGEINT) AS n
+                  FROM g),
+            pk AS (SELECT lat.hr FROM lat, s
+                   ORDER BY CAST(lat.cs AS HUGEINT) * s.sx
+                            + CAST(lat.sn AS HUGEINT) * s.sy DESC,
+                            lat.hr
+                   LIMIT 1)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST(sx AS BIGINT) AS sx_fp,
+                   CAST(sy AS BIGINT) AS sy_fp,
+                   CAST(1000 * (sx * sx + sy * sy)
+                        // (n * 1000000000000) AS BIGINT) AS z_milli,
+                   CAST(pk.hr AS BIGINT) AS peak_hour
+            FROM s, pk
+        """,
+        "events_hour_resultant_by_type": """
+            WITH lat AS (SELECT unnest(generate_series(0, 23)) AS hr,
+                                unnest([1000000, 965925, 866025,
+                                        707106, 500000, 258819, 0,
+                                        -258820, -500000, -707107,
+                                        -866026, -965926, -1000000,
+                                        -965926, -866026, -707107,
+                                        -500001, -258820, -1, 258819,
+                                        500000, 707106, 866025,
+                                        965925]) AS cs,
+                                unnest([0, 258819, 499999, 707106,
+                                        866025, 965925, 1000000,
+                                        965925, 866025, 707106,
+                                        499999, 258819, 0, -258820,
+                                        -500000, -707107, -866026,
+                                        -965926, -1000000, -965926,
+                                        -866026, -707107, -500001,
+                                        -258820]) AS sn),
+            h AS (SELECT event_type AS et,
+                         (epoch_us(ts)//3600000000) % 24 AS hr,
+                         COUNT(*) AS n
+                  FROM events GROUP BY 1, 2),
+            ets AS (SELECT DISTINCT et FROM h),
+            g AS (SELECT ets.et, lat.hr, lat.cs, lat.sn,
+                         COALESCE(h.n, 0) AS n
+                  FROM ets CROSS JOIN lat
+                  LEFT JOIN h ON h.et = ets.et AND h.hr = lat.hr),
+            s AS (SELECT et, SUM(CAST(n AS HUGEINT) * cs) AS sx,
+                         SUM(CAST(n AS HUGEINT) * sn) AS sy,
+                         CAST(SUM(n) AS HUGEINT) AS n
+                  FROM g GROUP BY 1),
+            r AS (SELECT et, n,
+                         CAST(FLOOR(SQRT(CAST(sx * sx + sy * sy
+                                              AS DOUBLE))
+                                    / (CAST(n AS DOUBLE)
+                                       * 1000000.0)
+                                    * 10000.0) AS BIGINT) AS rbar
+                  FROM s)
+            SELECT et AS event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   rbar AS rbar_bps,
+                   10000 - rbar AS circ_var_bps
+            FROM r ORDER BY event_type
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "customer_cvm_segments", "events_ljung_box",
     "nation_flow_stdres", "events_brown_forsythe",
     "media_phash_near_pairs", "lineitem_tail_dependence",
+    "events_rayleigh_hour", "events_hour_resultant_by_type",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11772,3 +11772,101 @@ def lineitem_tail_dependence(sf_dir: str) -> pd.DataFrame:
                                  "lift_hi_bps", "qx_lo", "qy_lo",
                                  "nx_lo", "ny_lo", "n_joint_lo",
                                  "lift_lo_bps"]).astype("int64")
+
+
+_HOUR_COS = np.array([
+    1000000, 965925, 866025, 707106, 500000, 258819, 0, -258820,
+    -500000, -707107, -866026, -965926, -1000000, -965926, -866026,
+    -707107, -500001, -258820, -1, 258819, 500000, 707106, 866025,
+    965925], dtype=np.int64)
+_HOUR_SIN = np.array([
+    0, 258819, 499999, 707106, 866025, 965925, 1000000, 965925,
+    866025, 707106, 499999, 258819, 0, -258820, -500000, -707107,
+    -866026, -965926, -1000000, -965926, -866026, -707107, -500001,
+    -258820], dtype=np.int64)
+
+
+def events_rayleigh_hour(sf_dir: str) -> pd.DataFrame:
+    """RAYLEIGH circular-uniformity test of the hour-of-day load —
+    trig-free circular statistics: each of the 24 hours maps to a
+    FIXED integer lattice vector (floor(1e6*cos/sin), literal
+    constants shared verbatim with the twin, so no libm call ever
+    runs on either side), the resultant components Sx/Sy fold as
+    exact integers from per-block 24-cell hour bincounts, and the
+    Rayleigh statistic closes as the pure integer z_milli =
+    1000*(Sx^2+Sy^2) // (n*10^12) plus the peak-pull direction as
+    the argmax lattice hour of the dot product (tie -> smallest
+    hour). Python bigints / HUGEINT; ZERO shuffle, NO float."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hr = (t.column("ts").cast(pa.int64()).to_numpy()
+              // 3_600_000_000) % 24
+        cnt = np.bincount(hr, minlength=24).astype(np.int64)
+        return pa.table({"hr": pa.array(np.arange(24, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("hr", as_index=False)["n"].sum()
+           .sort_values("hr"))
+    c = agg["n"].to_numpy(np.int64)
+    n = int(c.sum())
+    sx = sum(int(a) * int(b) for a, b in zip(c, _HOUR_COS))
+    sy = sum(int(a) * int(b) for a, b in zip(c, _HOUR_SIN))
+    r2 = sx * sx + sy * sy
+    z_milli = 1000 * r2 // (n * 10 ** 12)
+    dots = [(int(_HOUR_COS[h]) * sx + int(_HOUR_SIN[h]) * sy, -h)
+            for h in range(24)]
+    peak_hour = -max(dots)[1]
+    return pd.DataFrame([(n, sx, sy, z_milli, peak_hour)],
+                        columns=["n_events", "sx_fp", "sy_fp",
+                                 "z_milli", "peak_hour"]) \
+        .astype("int64")
+
+
+def events_hour_resultant_by_type(sf_dir: str) -> pd.DataFrame:
+    """PER-TYPE circular concentration of the diurnal cycle — the
+    mean-resultant-length R-bar of each event type's hour-of-day
+    distribution on the same integer trig lattice as the Rayleigh
+    gate (methodologically circular, unlike top-k hour shares: a
+    type spread evenly across two opposite hours scores ZERO):
+    Sx/Sy exact integer folds from (type, hour) bincount partials,
+    rbar_bps = floor(sqrt(Sx^2+Sy^2)/(n*1e6)*10000) as the ONE
+    IEEE-order-matched float per type, circular variance
+    10000 - rbar_bps. Types x 24 grid — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        hr = (t.column("ts").cast(pa.int64()).to_numpy()
+              // 3_600_000_000) % 24
+        code, uniq = pd.factorize(et)
+        pack = code.astype(np.int64) * 24 + hr
+        u, cnt = np.unique(pack, return_counts=True)
+        return pa.table({
+            "et": pa.array(np.asarray(uniq, dtype=object)[u // 24],
+                           type=pa.string()),
+            "hr": pa.array((u % 24).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["et", "hr"], as_index=False)["n"]
+           .sum())
+    rows = []
+    for et, g in agg.groupby("et"):
+        cnt = np.zeros(24, dtype=np.int64)
+        cnt[g["hr"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        sx = sum(int(a) * int(b) for a, b in zip(cnt, _HOUR_COS))
+        sy = sum(int(a) * int(b) for a, b in zip(cnt, _HOUR_SIN))
+        rbar_bps = math.floor(
+            math.sqrt(float(sx * sx + sy * sy))
+            / (float(n) * 1e6) * 10000.0)
+        rows.append((str(et), n, rbar_bps, 10_000 - rbar_bps))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_events", "rbar_bps", "circ_var_bps"]) \
+        .astype({c: "int64" for c in ("n_events", "rbar_bps",
+                                      "circ_var_bps")})
