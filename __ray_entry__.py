@@ -343,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rayleigh_hour": analytics.events_rayleigh_hour,
         "events_hour_resultant_by_type":
             analytics.events_hour_resultant_by_type,
+        "embedding_hubness_audit": ann.embedding_hubness_audit,
+        "hash_partition_balance": analytics.hash_partition_balance,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7607,6 +7609,81 @@ def oracle_sql() -> dict[str, str]:
                    rbar AS rbar_bps,
                    10000 - rbar AS circ_var_bps
             FROM r ORDER BY event_type
+        """,
+        "embedding_hubness_audit": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 4 = 0),
+            top AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       CAST(FLOOR(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) * 10000)
+                           AS BIGINT) AS sim_bp
+                FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+              QUALIFY row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY sim_bp DESC, neighbor_id) <= 5),
+            occ AS (SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM top GROUP BY 1),
+            nn AS (SELECT (SELECT COUNT(*) FROM q) AS n_queries,
+                          (SELECT COUNT(*) FROM embeddings)
+                              AS n_vectors),
+            mx AS (SELECT COALESCE(MAX(c), 0) AS max_occ FROM occ),
+            hub AS (SELECT COALESCE(MIN(neighbor_id), -1) AS hub
+                    FROM occ, mx WHERE c = max_occ),
+            bands AS (SELECT COUNT(*) AS n_occ,
+                             COALESCE(SUM(CASE WHEN c BETWEEN 1 AND 4
+                                          THEN 1 ELSE 0 END), 0)
+                                 AS n_low,
+                             COALESCE(SUM(CASE WHEN c BETWEEN 5 AND 9
+                                          THEN 1 ELSE 0 END), 0)
+                                 AS n_mid,
+                             COALESCE(SUM(CASE WHEN c >= 10
+                                          THEN 1 ELSE 0 END), 0)
+                                 AS n_high
+                      FROM occ)
+            SELECT CAST(n_queries AS BIGINT) AS n_queries,
+                   CAST(n_vectors AS BIGINT) AS n_vectors,
+                   CAST(5 AS BIGINT) AS k,
+                   CAST(n_vectors - n_occ AS BIGINT) AS n_zero_occ,
+                   CAST(n_low AS BIGINT) AS n_occ_1_4,
+                   CAST(n_mid AS BIGINT) AS n_occ_5_9,
+                   CAST(n_high AS BIGINT) AS n_occ_10p,
+                   CAST(max_occ AS BIGINT) AS max_occ,
+                   CAST(hub AS BIGINT) AS hub_vec_id
+            FROM nn, mx, hub, bands
+        """,
+        "hash_partition_balance": """
+            WITH h AS (SELECT CAST(('0x' || substr(md5(
+                                  CAST(l_orderkey AS VARCHAR)), 1, 16))
+                                   AS UBIGINT) AS hv
+                       FROM lineitem),
+            w AS (SELECT unnest([16, 64, 256]) AS w),
+            b AS (SELECT w.w, CAST(h.hv % w.w AS BIGINT) AS p
+                  FROM h, w),
+            g AS (SELECT w, p, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM b GROUP BY 1, 2),
+            grid AS (SELECT w, unnest(generate_series(0, w - 1)) AS p
+                     FROM w),
+            f AS (SELECT grid.w, grid.p, COALESCE(g.c, 0) AS c
+                  FROM grid LEFT JOIN g
+                  ON g.w = grid.w AND g.p = grid.p),
+            s AS (SELECT w, CAST(SUM(c) AS HUGEINT) AS n
+                  FROM f GROUP BY 1),
+            r AS (SELECT f.w,
+                         MIN(f.c) AS mn, MAX(f.c) AS mx,
+                         SUM(1000 * (CAST(f.w AS HUGEINT) * f.c - s.n)
+                             * (CAST(f.w AS HUGEINT) * f.c - s.n)
+                             // (f.w * s.n)) AS chi2m
+                  FROM f JOIN s ON f.w = s.w GROUP BY f.w)
+            SELECT CAST(r.w AS BIGINT) AS n_partitions,
+                   CAST(s.n AS BIGINT) AS n_rows,
+                   CAST(mn AS BIGINT) AS min_load,
+                   CAST(mx AS BIGINT) AS max_load,
+                   CAST(10000 * (CAST(mx AS HUGEINT) * r.w - s.n)
+                        // s.n AS BIGINT) AS imbalance_bps,
+                   CAST(chi2m AS BIGINT) AS chi2_milli
+            FROM r JOIN s ON r.w = s.w ORDER BY n_partitions
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -199,6 +199,7 @@ BENCH_QUERIES = [
     "nation_flow_stdres", "events_brown_forsythe",
     "media_phash_near_pairs", "lineitem_tail_dependence",
     "events_rayleigh_hour", "events_hour_resultant_by_type",
+    "embedding_hubness_audit", "hash_partition_balance",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11870,3 +11870,50 @@ def events_hour_resultant_by_type(sf_dir: str) -> pd.DataFrame:
         "event_type", "n_events", "rbar_bps", "circ_var_bps"]) \
         .astype({c: "int64" for c in ("n_events", "rbar_bps",
                                       "circ_var_bps")})
+
+
+def hash_partition_balance(sf_dir: str) -> pd.DataFrame:
+    """HASH-PARTITION BALANCE planner — before trusting an
+    orderkey-hash shuffle at 100 TB, measure how evenly md5 actually
+    spreads THIS key population at the partition counts a cluster
+    would use (16 / 64 / 256): per width, the min/max partition
+    loads, the max-over-average imbalance in bps, and a uniformity
+    chi-square accumulated as exact per-cell integer milli floors
+    1000*(k*c - N)^2 // (k*N) (order-free sum). One md5 per row
+    shared across all three widths via nested moduli; constant
+    336-cell per-block partials — ZERO shuffle, NO float."""
+    from ..functions.hashing import hash64_many
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    widths = (16, 64, 256)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        h = hash64_many([str(x) for x in ok])
+        ws, ps, ns = [], [], []
+        for w in widths:
+            b = (h % np.uint64(w)).astype(np.int64)
+            cnt = np.bincount(b, minlength=w).astype(np.int64)
+            ws.append(np.full(w, w, dtype=np.int64))
+            ps.append(np.arange(w, dtype=np.int64))
+            ns.append(cnt)
+        return pa.table({"w": pa.array(np.concatenate(ws)),
+                         "p": pa.array(np.concatenate(ps)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["w", "p"], as_index=False)["n"]
+           .sum())
+    rows = []
+    for w in widths:
+        g = agg[agg["w"] == w].sort_values("p")
+        c = g["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        mx, mn = int(c.max()), int(c.min())
+        imb_bps = 10_000 * (mx * w - n) // n
+        chi2m = sum(1000 * (w * int(x) - n) ** 2 // (w * n)
+                    for x in c)
+        rows.append((w, n, mn, mx, imb_bps, chi2m))
+    return pd.DataFrame(rows, columns=[
+        "n_partitions", "n_rows", "min_load", "max_load",
+        "imbalance_bps", "chi2_milli"]).astype("int64")

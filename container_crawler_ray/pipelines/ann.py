@@ -613,3 +613,44 @@ def embedding_triplet_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(tot, ok, 10_000 * ok // tot)],
                         columns=["n_triplets", "n_satisfied",
                                  "satisfied_bps"]).astype("int64")
+
+
+def embedding_hubness_audit(sf_dir: str, k: int = 5,
+                            stride: int = 4) -> pd.DataFrame:
+    """HUBNESS audit of the kNN graph — the curse-of-dimensionality
+    diagnostic an ANN deployment needs before trusting recall
+    numbers: some vectors become "hubs" that appear in everyone's
+    top-k while others are never retrieved. Every ``stride``-th
+    vector queries the FULL corpus through the same broadcast
+    brute-force kernel as ``knn_bruteforce`` (ann.py:96 — one
+    matmul per block against the ray.put query matrix, identical
+    (sim desc, id asc) tie rule), and the k-occurrence distribution
+    reports as integer bands: never-retrieved count, 1-4, 5-9, 10+,
+    plus the biggest hub (tie -> smallest id). ZERO extra shuffle on
+    top of the scoring pass."""
+    ids_all, _ = _load_queries(sf_dir, 10 ** 18)
+    n_vectors = len(ids_all)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    mat = list_col_to_matrix(tbl.column("embedding"))
+    sel = vids % stride == 0
+    qref = ray.put((vids[sel], normalize_rows(mat[sel])))
+    local = _read_embeddings(sf_dir).map_batches(
+        make_bruteforce_fn(qref, k), batch_format="pyarrow").to_pandas()
+    top = _global_topk(local, k)
+    occ = top.groupby("neighbor_id").size()
+    n_queries = int(sel.sum())
+    counts = occ.to_numpy(np.int64)
+    n_zero = n_vectors - len(occ)
+    n_low = int(((counts >= 1) & (counts <= 4)).sum())
+    n_mid = int(((counts >= 5) & (counts <= 9)).sum())
+    n_high = int((counts >= 10).sum())
+    max_occ = int(counts.max()) if len(counts) else 0
+    hub_vec = int(occ[occ == max_occ].index.min()) if len(occ) else -1
+    return pd.DataFrame([(n_queries, n_vectors, k, n_zero, n_low,
+                          n_mid, n_high, max_occ, hub_vec)],
+                        columns=["n_queries", "n_vectors", "k",
+                                 "n_zero_occ", "n_occ_1_4",
+                                 "n_occ_5_9", "n_occ_10p", "max_occ",
+                                 "hub_vec_id"]).astype("int64")

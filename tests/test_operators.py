@@ -162,6 +162,7 @@ def test_entry_smoke(entrymod):
     "nation_flow_stdres", "events_brown_forsythe",
     "media_phash_near_pairs", "lineitem_tail_dependence",
     "events_rayleigh_hour", "events_hour_resultant_by_type",
+    "embedding_hubness_audit", "hash_partition_balance",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
