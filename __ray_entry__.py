@@ -345,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_hour_resultant_by_type,
         "embedding_hubness_audit": ann.embedding_hubness_audit,
         "hash_partition_balance": analytics.hash_partition_balance,
+        "simhash_bit_bias_audit": dedup.simhash_bit_bias_audit,
+        "token_head_tail_ladder": text_ops.token_head_tail_ladder,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7684,6 +7686,94 @@ def oracle_sql() -> dict[str, str]:
                         // s.n AS BIGINT) AS imbalance_bps,
                    CAST(chi2m AS BIGINT) AS chi2_milli
             FROM r JOIN s ON r.w = s.w ORDER BY n_partitions
+        """,
+        "simhash_bit_bias_audit": """
+            WITH tt AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            hv AS (SELECT doc_id,
+                          CAST(('0x' || substr(md5(tok), 1, 16))
+                               AS UBIGINT) AS h
+                   FROM tt WHERE tok <> ''),
+            bb AS (SELECT unnest(generate_series(0, 63)) AS b),
+            bits AS (SELECT doc_id, bb.b,
+                            CAST((h >> CAST(bb.b AS UBIGINT))
+                                 & 1 AS BIGINT) AS bit
+                     FROM hv, bb),
+            maj AS (SELECT doc_id, b,
+                           CASE WHEN 2 * SUM(bit) > COUNT(*)
+                                THEN 1 ELSE 0 END AS pos
+                    FROM bits GROUP BY 1, 2),
+            bias AS (SELECT b AS bit,
+                            CAST(COALESCE(SUM(pos), 0) AS BIGINT)
+                                AS n_set
+                     FROM bb LEFT JOIN maj USING (b) GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                   FROM documents)
+            SELECT bit, n_set,
+                   CAST(10000 * n_set // n AS BIGINT)
+                       AS set_share_bps,
+                   CAST(10000 * ABS(2 * n_set - n) // (2 * n)
+                        AS BIGINT) AS dev_bps
+            FROM bias, nn ORDER BY bit
+        """,
+        "token_head_tail_ladder": """
+            WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM t WHERE tok <> '' GROUP BY 1),
+            l1 AS (SELECT 1000 * SUM(f) // COUNT(*) AS thr,
+                          COUNT(*) AS cnt, SUM(f) AS mass
+                   FROM f),
+            h1 AS (SELECT f.tok, f.f FROM f, l1
+                   WHERE 1000 * f.f > l1.thr),
+            l2 AS (SELECT 1000 * SUM(f) // COUNT(*) AS thr,
+                          COUNT(*) AS cnt, SUM(f) AS mass
+                   FROM h1),
+            h2 AS (SELECT h1.tok, h1.f FROM h1, l2
+                   WHERE 1000 * h1.f > l2.thr),
+            l3 AS (SELECT 1000 * SUM(f) // COUNT(*) AS thr,
+                          COUNT(*) AS cnt, SUM(f) AS mass
+                   FROM h2),
+            h3 AS (SELECT h2.tok, h2.f FROM h2, l3
+                   WHERE 1000 * h2.f > l3.thr),
+            l4 AS (SELECT 1000 * SUM(f) // COUNT(*) AS thr,
+                          COUNT(*) AS cnt, SUM(f) AS mass
+                   FROM h3),
+            h4 AS (SELECT h3.tok, h3.f FROM h3, l4
+                   WHERE 1000 * h3.f > l4.thr),
+            ladder AS (
+              SELECT 1 AS level, l1.thr, l1.cnt, l1.mass,
+                     (SELECT COUNT(*) FROM h1) AS nh,
+                     (SELECT COALESCE(SUM(f), 0) FROM h1) AS mh
+              FROM l1
+              UNION ALL
+              SELECT 2, l2.thr, l2.cnt, l2.mass,
+                     (SELECT COUNT(*) FROM h2),
+                     (SELECT COALESCE(SUM(f), 0) FROM h2)
+              FROM l2
+              UNION ALL
+              SELECT 3, l3.thr, l3.cnt, l3.mass,
+                     (SELECT COUNT(*) FROM h3),
+                     (SELECT COALESCE(SUM(f), 0) FROM h3)
+              FROM l3
+              UNION ALL
+              SELECT 4, l4.thr, l4.cnt, l4.mass,
+                     (SELECT COUNT(*) FROM h4),
+                     (SELECT COALESCE(SUM(f), 0) FROM h4)
+              FROM l4)
+            SELECT CAST(level AS BIGINT) AS level,
+                   CAST(CASE WHEN cnt >= 2 THEN thr ELSE -1 END
+                        AS BIGINT) AS thr_milli,
+                   CAST(COALESCE(cnt, 0) AS BIGINT)
+                       AS n_tokens_level,
+                   CAST(CASE WHEN cnt >= 2 THEN nh ELSE -1 END
+                        AS BIGINT) AS n_head,
+                   CAST(CASE WHEN cnt >= 2 THEN 10000 * nh // cnt
+                        ELSE -1 END AS BIGINT) AS head_share_bps,
+                   CAST(CASE WHEN cnt >= 2 THEN 10000 * mh // mass
+                        ELSE -1 END AS BIGINT) AS mass_share_bps
+            FROM ladder ORDER BY level
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "media_phash_near_pairs", "lineitem_tail_dependence",
     "events_rayleigh_hour", "events_hour_resultant_by_type",
     "embedding_hubness_audit", "hash_partition_balance",
+    "simhash_bit_bias_audit", "token_head_tail_ladder",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

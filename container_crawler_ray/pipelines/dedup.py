@@ -1404,3 +1404,41 @@ def fold_leakage_audit(sf_dir: str) -> pd.DataFrame:
           (10_000 * cross // n_dup) if n_dup else 0)],
         columns=["n_pairs", "n_dups", "same_fold", "cross_fold",
                  "leakage_bps"]).astype("int64")
+
+
+def simhash_bit_bias_audit(sf_dir: str) -> pd.DataFrame:
+    """BIT-BIAS audit of the SimHash family — a fingerprint whose bits
+    drift from 50/50 wastes Hamming radius and skews every banded
+    near-dup pass downstream: per bit position 0..63, how many docs
+    set it (the batch-level majority vote of ``simhash_batch``,
+    dedup.py:405, re-used verbatim), the set share, and the absolute
+    deviation from a fair coin in exact bps 10000*|2*n_set - N| //
+    (2N). Empty docs count in N with all bits clear, exactly like
+    the kernel. Constant 64-cell per-block partials — ZERO shuffle,
+    NO float; the twin recomputes the full token-majority SimHash in
+    SQL from the same md5 bit lattice."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sh = simhash_batch(t).column("simhash").to_numpy() \
+            .astype(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((sh[:, None] >> shifts[None, :]) & np.uint64(1)) \
+            .astype(np.int64)
+        return pa.table({
+            "bit": pa.array(np.arange(64, dtype=np.int64)),
+            "n_set": pa.array(bits.sum(axis=0)),
+            "n_docs": pa.array(np.full(64, len(sh), dtype=np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("bit", as_index=False).sum()
+           .sort_values("bit"))
+    ns = agg["n_set"].to_numpy(np.int64)
+    n = int(agg["n_docs"].to_numpy(np.int64)[0])
+    return pd.DataFrame({
+        "bit": agg["bit"].to_numpy(np.int64),
+        "n_set": ns,
+        "set_share_bps": 10_000 * ns // n,
+        "dev_bps": 10_000 * np.abs(2 * ns - n) // (2 * n)}) \
+        .reset_index(drop=True).astype("int64")

@@ -661,3 +661,55 @@ def trigram_spectrum(sf_dir: str, cap: int = 10) -> pd.DataFrame:
            .sort_values("occ", kind="mergesort").reset_index(drop=True))
     return out[out["n_grams"] > 0].reset_index(drop=True) \
         .astype("int64")
+
+
+def token_head_tail_ladder(sf_dir: str, levels: int = 4) -> pd.DataFrame:
+    """HEAD/TAIL BREAKS ladder of the token frequency distribution —
+    the heavy-tail clustering rule (Jiang): split the vocabulary at
+    its mean frequency, keep the head, repeat. Four unrolled levels
+    report the integer milli mean threshold, vocabulary count
+    entering the level, head size, and the head's share of tokens
+    and of mass in exact bps — all pure integer arithmetic (strict
+    1000*f > thr cut so both sides agree on boundary tokens), with
+    -1 sentinels once the head degenerates below two tokens. One
+    frequencies-only vocabulary fold (the ``top_tokens`` exchange
+    shape) — the ladder runs on the driver's vocab grid."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t.column("text").to_pylist():
+            toks.extend(s.split())
+        u, c = np.unique(np.array(toks, dtype=object),
+                         return_counts=True)
+        return pa.table({"tok": pa.array(u, type=pa.string()),
+                         "f": pa.array(c.astype(np.int64))})
+
+    vocab = (ds.map_batches(counts, batch_format="pyarrow")
+             .to_pandas().groupby("tok", as_index=False)["f"].sum())
+    f = [int(x) for x in vocab["f"]]
+    rows = []
+    for lvl in range(1, levels + 1):
+        cnt = len(f)
+        if cnt == 0:
+            rows.append((lvl, -1, 0, -1, -1, -1))
+            continue
+        mass = sum(f)
+        thr = 1000 * mass // cnt
+        head = [x for x in f if 1000 * x > thr]
+        if cnt < 2:
+            rows.append((lvl, -1, cnt, -1, -1, -1))
+        else:
+            rows.append((lvl, thr, cnt, len(head),
+                         10_000 * len(head) // cnt,
+                         10_000 * sum(head) // mass))
+        f = head
+    return pd.DataFrame(rows, columns=[
+        "level", "thr_milli", "n_tokens_level", "n_head",
+        "head_share_bps", "mass_share_bps"]).astype("int64")

@@ -163,6 +163,7 @@ def test_entry_smoke(entrymod):
     "media_phash_near_pairs", "lineitem_tail_dependence",
     "events_rayleigh_hour", "events_hour_resultant_by_type",
     "embedding_hubness_audit", "hash_partition_balance",
+    "simhash_bit_bias_audit", "token_head_tail_ladder",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
