@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_partition_balance": analytics.hash_partition_balance,
         "simhash_bit_bias_audit": dedup.simhash_bit_bias_audit,
         "token_head_tail_ladder": text_ops.token_head_tail_ladder,
+        "part_rich_club": graph.part_rich_club,
+        "events_inspection_paradox": analytics.events_inspection_paradox,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7774,6 +7776,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN cnt >= 2 THEN 10000 * mh // mass
                         ELSE -1 END AS BIGINT) AS mass_share_bps
             FROM ladder ORDER BY level
+        """,
+        "part_rich_club": """
+            WITH s AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_partkey AS pk
+                       FROM lineitem),
+            o AS (SELECT ok, pk,
+                         LAG(pk) OVER (PARTITION BY ok
+                                       ORDER BY ln, pk) AS prev
+                  FROM s),
+            ed AS (SELECT DISTINCT LEAST(pk, prev) AS a,
+                          GREATEST(pk, prev) AS b
+                   FROM o WHERE prev IS NOT NULL AND pk <> prev),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS node FROM ed
+                          UNION ALL SELECT b FROM ed)
+                    GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+            rk AS (SELECT node, ROW_NUMBER() OVER (
+                       ORDER BY d DESC, node) AS r
+                   FROM deg),
+            den AS (SELECT unnest(['p90', 'p99']) AS club,
+                           unnest([10, 100]) AS dd),
+            cl AS (SELECT den.club, den.dd,
+                          (n + dd - 1) // dd AS nc
+                   FROM den, nn),
+            ce AS (SELECT cl.club, cl.nc,
+                          (SELECT COUNT(*) FROM ed
+                           JOIN rk r1 ON ed.a = r1.node
+                           JOIN rk r2 ON ed.b = r2.node
+                           WHERE r1.r <= cl.nc AND r2.r <= cl.nc)
+                              AS ec
+                   FROM cl),
+            gd AS (SELECT CASE WHEN n > 1 THEN
+                          10000 * 2 * m // (n * (n - 1))
+                          ELSE -1 END AS g_dens
+                   FROM nn, mm)
+            SELECT ce.club,
+                   CAST(n AS BIGINT) AS n_nodes,
+                   CAST(m AS BIGINT) AS n_edges,
+                   CAST(ce.nc AS BIGINT) AS club_size,
+                   CAST(ce.ec AS BIGINT) AS club_edges,
+                   CAST(CASE WHEN ce.nc > 1 THEN
+                        10000 * 2 * ce.ec // (ce.nc * (ce.nc - 1))
+                        ELSE -1 END AS BIGINT) AS phi_bps,
+                   CAST(g_dens AS BIGINT) AS graph_density_bps,
+                   CAST(CASE WHEN ce.nc > 1 AND g_dens > 0 THEN
+                        10000 * (10000 * 2 * ce.ec
+                                 // (ce.nc * (ce.nc - 1))) // g_dens
+                        ELSE -1 END AS BIGINT) AS lift_bps
+            FROM ce, nn, mm, gd ORDER BY ce.club
+        """,
+        "events_inspection_paradox": """
+            WITH e AS (SELECT user_id AS u, epoch_us(ts) AS tsu,
+                              event_id AS eid
+                       FROM events),
+            s AS (SELECT u, tsu,
+                         LAG(tsu) OVER (PARTITION BY u
+                                        ORDER BY tsu, eid) AS prev
+                  FROM e),
+            g AS (SELECT (tsu - prev) // 1000000 AS gap
+                  FROM s WHERE prev IS NOT NULL),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(COALESCE(SUM(gap), 0) AS HUGEINT) AS sg,
+                         COALESCE(SUM(CAST(gap AS HUGEINT) * gap), 0)
+                             AS sg2
+                  FROM g)
+            SELECT CAST(n AS BIGINT) AS n_gaps,
+                   CAST(sg AS BIGINT) AS sum_gap_s,
+                   CAST(CASE WHEN n = 0 OR sg = 0 THEN 0
+                        ELSE 1000 * sg // n END AS BIGINT)
+                       AS mean_gap_milli,
+                   CAST(CASE WHEN n = 0 OR sg = 0 THEN 0
+                        ELSE 1000 * sg2 // sg END AS BIGINT)
+                       AS biased_mean_milli,
+                   CAST(CASE WHEN n = 0 OR sg = 0 THEN 0
+                        ELSE 10000 * sg2 * n // (sg * sg)
+                        END AS BIGINT) AS paradox_ratio_bps
+            FROM m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "events_rayleigh_hour", "events_hour_resultant_by_type",
     "embedding_hubness_audit", "hash_partition_balance",
     "simhash_bit_bias_audit", "token_head_tail_ladder",
+    "part_rich_club", "events_inspection_paradox",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11917,3 +11917,65 @@ def hash_partition_balance(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "n_partitions", "n_rows", "min_load", "max_load",
         "imbalance_bps", "chi2_milli"]).astype("int64")
+
+
+def events_inspection_paradox(sf_dir: str) -> pd.DataFrame:
+    """INSPECTION PARADOX audit of user inter-event gaps — the mean
+    gap a RANDOM PROBE lands in is the length-biased E[g^2]/E[g],
+    not E[g]; their ratio is exactly 1 + CV^2 and tells an on-call
+    engineer how much worse a sampled wait looks than the average
+    wait. Gaps come from the shared (user, ts, event_id)-lexsort
+    consecutive-pair kernel in whole seconds; the three moments fold
+    as per-block exact integers (squares ride Python bigints /
+    HUGEINT), and every output closes in pure integer division:
+    mean_gap_milli, biased_mean_milli = 1000*Sg2//Sg, and
+    paradox_ratio_bps = 10000*Sg2*n // Sg^2. ZERO shuffle beyond
+    the one user-bucket exchange; NO float."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        tss = ts[order]
+        same = np.empty(len(us), dtype=bool)
+        if len(us):
+            same[0] = False
+            same[1:] = us[1:] == us[:-1]
+        idx = np.flatnonzero(same)
+        gap = (tss[idx] - tss[idx - 1]) // 1_000_000
+        return pd.DataFrame({
+            "n": [len(gap)],
+            "sg": [int(gap.sum())],
+            "sg2": [sum(int(x) * int(x) for x in gap)]})
+
+    p = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n = int(p["n"].sum())
+    sg = sum(int(x) for x in p["sg"])
+    sg2 = sum(int(x) for x in p["sg2"])
+    if n == 0 or sg == 0:
+        return pd.DataFrame([(n, sg, 0, 0, 0)],
+                            columns=["n_gaps", "sum_gap_s",
+                                     "mean_gap_milli",
+                                     "biased_mean_milli",
+                                     "paradox_ratio_bps"]) \
+            .astype("int64")
+    return pd.DataFrame([(n, sg, 1000 * sg // n, 1000 * sg2 // sg,
+                          10_000 * sg2 * n // (sg * sg))],
+                        columns=["n_gaps", "sum_gap_s",
+                                 "mean_gap_milli",
+                                 "biased_mean_milli",
+                                 "paradox_ratio_bps"]) \
+        .astype("int64")

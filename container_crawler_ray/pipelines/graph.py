@@ -899,3 +899,51 @@ def part_assortativity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_edges": [len(a)],
                          "m_oriented": [int(p["m"].sum())],
                          "r_milli": [r_milli]}).astype("int64")
+
+
+def part_rich_club(sf_dir: str) -> pd.DataFrame:
+    """RICH-CLUB coefficient of the part co-purchase graph — do the
+    highest-degree parts preferentially link to EACH OTHER (a hub
+    oligarchy the assortativity scalar can miss): the distributed
+    edge builder (`_build_edges`, graph.py:31) feeds an undirected
+    distinct edge set; the club at p90/p99 is the top ceil(N/10) /
+    ceil(N/100) nodes by the total order (degree desc, partkey), and
+    each club's internal density reports as the exact integer
+    phi_bps = 10000 * 2 * E_club // (Nc * (Nc - 1)) alongside the
+    whole-graph density and the rich-club lift in bps (cross-
+    multiplied, -1 when degenerate). The degree/rank sweep runs on
+    the catalog-sized driver grid — the same documented assumption
+    as every part-graph op. Pure integers; LIVE SQL twin via the
+    LAG-pair edge derivation."""
+    edges = _build_edges(sf_dir).to_pandas()
+    a = np.minimum(edges["src"].to_numpy(np.int64),
+                   edges["dst"].to_numpy(np.int64))
+    b = np.maximum(edges["src"].to_numpy(np.int64),
+                   edges["dst"].to_numpy(np.int64))
+    keep = a != b
+    und = pd.DataFrame({"a": a[keep], "b": b[keep]}) \
+        .drop_duplicates(["a", "b"])
+    deg = pd.concat([und["a"], und["b"]]).value_counts().sort_index()
+    nodes = deg.index.to_numpy(np.int64)
+    d = deg.to_numpy(np.int64)
+    n = len(nodes)
+    m = len(und)
+    order = np.lexsort((nodes, -d))
+    rows = []
+    g_dens = 10_000 * 2 * m // (n * (n - 1)) if n > 1 else -1
+    for label, den in (("p90", 10), ("p99", 100)):
+        nc = -(-n // den)
+        club = set(nodes[order[:nc]].tolist())
+        ec = int((und["a"].isin(club) & und["b"].isin(club)).sum())
+        if nc > 1:
+            phi = 10_000 * 2 * ec // (nc * (nc - 1))
+            lift = 10_000 * phi // g_dens if g_dens > 0 else -1
+        else:
+            phi, lift = -1, -1
+        rows.append((label, n, m, nc, ec, phi, g_dens, lift))
+    return pd.DataFrame(rows, columns=[
+        "club", "n_nodes", "n_edges", "club_size", "club_edges",
+        "phi_bps", "graph_density_bps", "lift_bps"]).astype(
+        {c: "int64" for c in ("n_nodes", "n_edges", "club_size",
+                              "club_edges", "phi_bps",
+                              "graph_density_bps", "lift_bps")})

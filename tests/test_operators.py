@@ -164,6 +164,7 @@ def test_entry_smoke(entrymod):
     "events_rayleigh_hour", "events_hour_resultant_by_type",
     "embedding_hubness_audit", "hash_partition_balance",
     "simhash_bit_bias_audit", "token_head_tail_ladder",
+    "part_rich_club", "events_inspection_paradox",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
