@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_head_tail_ladder": text_ops.token_head_tail_ladder,
         "part_rich_club": graph.part_rich_club,
         "events_inspection_paradox": analytics.events_inspection_paradox,
+        "orders_var_es": analytics.orders_var_es,
+        "nation_revenue_shift_share":
+            analytics.nation_revenue_shift_share,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7855,6 +7858,110 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 10000 * sg2 * n // (sg * sg)
                         END AS BIGINT) AS paradox_ratio_bps
             FROM m
+        """,
+        "orders_var_es": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT rev - LAG(rev) OVER (ORDER BY dy) AS delta
+                  FROM d),
+            dd AS (SELECT delta FROM w WHERE delta IS NOT NULL),
+            v1 AS (SELECT CAST(quantile_disc(delta, 0.01) AS BIGINT)
+                              AS var_c,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dd),
+            t1 AS (SELECT COUNT(*) AS cnt,
+                          COALESCE(SUM(delta), 0) AS ssum
+                   FROM dd, v1 WHERE delta <= var_c),
+            v5 AS (SELECT CAST(quantile_disc(delta, 0.05) AS BIGINT)
+                              AS var_c,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dd),
+            t5 AS (SELECT COUNT(*) AS cnt,
+                          COALESCE(SUM(delta), 0) AS ssum
+                   FROM dd, v5 WHERE delta <= var_c)
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS pct, n AS n_deltas,
+                     var_c AS var_cents,
+                     CAST(cnt AS BIGINT) AS n_tail,
+                     CAST(CASE WHEN cnt = 0 THEN 0
+                          ELSE (CASE WHEN ssum >= 0 THEN 1
+                                ELSE -1 END)
+                               * (ABS(ssum) // cnt)
+                          END AS BIGINT) AS es_cents
+              FROM v1, t1
+              UNION ALL
+              SELECT 5, n, var_c, CAST(cnt AS BIGINT),
+                     CAST(CASE WHEN cnt = 0 THEN 0
+                          ELSE (CASE WHEN ssum >= 0 THEN 1
+                                ELSE -1 END)
+                               * (ABS(ssum) // cnt)
+                          END AS BIGINT)
+              FROM v5, t5)
+            ORDER BY pct
+        """,
+        "nation_revenue_shift_share": """
+            WITH o AS (SELECT c.c_nationkey AS nk,
+                              o.o_orderpriority AS pri,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(o.o_orderdate AS DATE))
+                                  AS dy,
+                              CAST(FLOOR(o.o_totalprice * 100)
+                                   AS BIGINT) AS c
+                       FROM orders o
+                       JOIN customer c
+                       ON o.o_custkey = c.c_custkey),
+            sp AS (SELECT (MIN(dy) + MAX(dy)) // 2 AS mid FROM o),
+            b AS (SELECT nk, pri,
+                         CASE WHEN dy > mid THEN 1 ELSE 0 END AS h, c
+                  FROM o, sp),
+            n1 AS (SELECT nk,
+                          CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END)
+                               AS HUGEINT) AS r1,
+                          CAST(SUM(CASE WHEN h = 1 THEN c ELSE 0 END)
+                               AS HUGEINT) AS r2
+                   FROM b GROUP BY 1),
+            tt AS (SELECT CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END)
+                               AS HUGEINT) AS t1,
+                          CAST(SUM(CASE WHEN h = 1 THEN c ELSE 0 END)
+                               AS HUGEINT) AS t2
+                   FROM b),
+            tpp AS (SELECT pri,
+                           CAST(SUM(CASE WHEN h = 0 THEN c
+                                    ELSE 0 END) AS HUGEINT) AS t1p,
+                           CAST(SUM(CASE WHEN h = 1 THEN c
+                                    ELSE 0 END) AS HUGEINT) AS t2p
+                    FROM b GROUP BY 1),
+            np AS (SELECT nk, pri,
+                          CAST(SUM(CASE WHEN h = 0 THEN c ELSE 0 END)
+                               AS HUGEINT) AS r1p
+                   FROM b GROUP BY 1, 2),
+            mixb AS (SELECT np.nk,
+                            SUM(CASE WHEN t1p > 0
+                                THEN np.r1p * t2p // t1p
+                                ELSE 0 END) AS mb
+                     FROM np JOIN tpp USING (pri) GROUP BY 1)
+            SELECT CAST(n1.nk AS BIGINT) AS c_nationkey,
+                   CAST(r1 AS BIGINT) AS rev_h1_cents,
+                   CAST(r2 AS BIGINT) AS rev_h2_cents,
+                   CAST(r2 - r1 AS BIGINT) AS delta_cents,
+                   CAST(CASE WHEN t1 > 0 THEN r1 * t2 // t1 - r1
+                        ELSE 0 END AS BIGINT)
+                       AS national_effect_cents,
+                   CAST(mb - (CASE WHEN t1 > 0 THEN r1 * t2 // t1
+                              ELSE 0 END) AS BIGINT)
+                       AS mix_effect_cents,
+                   CAST((r2 - r1)
+                        - (CASE WHEN t1 > 0 THEN r1 * t2 // t1 - r1
+                           ELSE 0 END)
+                        - (mb - (CASE WHEN t1 > 0
+                                 THEN r1 * t2 // t1
+                                 ELSE 0 END)) AS BIGINT)
+                       AS residual_cents
+            FROM n1 JOIN mixb ON n1.nk = mixb.nk, tt
+            ORDER BY c_nationkey
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "embedding_hubness_audit", "hash_partition_balance",
     "simhash_bit_bias_audit", "token_head_tail_ladder",
     "part_rich_club", "events_inspection_paradox",
+    "orders_var_es", "nation_revenue_shift_share",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -11979,3 +11979,132 @@ def events_inspection_paradox(sf_dir: str) -> pd.DataFrame:
                                  "biased_mean_milli",
                                  "paradox_ratio_bps"]) \
         .astype("int64")
+
+
+def orders_var_es(sf_dir: str) -> pd.DataFrame:
+    """HISTORICAL VaR and EXPECTED SHORTFALL of the day-over-day
+    revenue change — the risk-desk tail pair aimed at pipeline
+    throughput: deltas between consecutive OBSERVED days, the p1/p5
+    Value-at-Risk as exact ceil-rank order statistics (the
+    quantile_disc rule), and each tail's Expected Shortfall as the
+    sign-normalized integer mean sgn*(|sum|//count) over deltas at
+    or below the VaR (so numpy-floor vs DuckDB-truncate on negative
+    means never bites). Per-block daily partials — ZERO shuffle, NO
+    float."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    r = agg["rev"].to_numpy(np.int64)
+    delta = r[1:] - r[:-1]
+    n = len(delta)
+    srt = np.sort(delta)
+    rows = []
+    for pct, qn, qd in ((1, 1, 100), (5, 1, 20)):
+        rank = -(-qn * n // qd)
+        var_c = int(srt[rank - 1])
+        tail = delta[delta <= var_c]
+        ssum = sum(int(x) for x in tail)
+        cnt = len(tail)
+        sgn = 1 if ssum >= 0 else -1
+        es_c = sgn * (abs(ssum) // cnt) if cnt else 0
+        rows.append((pct, n, var_c, cnt, es_c))
+    return pd.DataFrame(rows, columns=[
+        "pct", "n_deltas", "var_cents", "n_tail", "es_cents"]) \
+        .astype("int64")
+
+
+def nation_revenue_shift_share(sf_dir: str) -> pd.DataFrame:
+    """SHIFT-SHARE decomposition of each customer nation's revenue
+    growth between the two calendar halves — the economist's question
+    for a sales ledger: how much of a nation's change is the global
+    tide (national effect), how much is its PRIORITY MIX riding
+    faster-growing order classes (mix effect), and what residual is
+    genuinely competitive. Orders route to nations through a
+    broadcast custkey->nation LUT (``ray.put`` once); per-block
+    (nation, priority, half) cent partials fold on the driver, and
+    every effect closes in exact integer cents with documented
+    floors: nat = R1_i*T2//T1 - R1_i, mix = sum_p(R1_ip*T2_p//T1_p)
+    - R1_i*T2//T1 (empty-H1 priorities contribute 0), residual =
+    delta - nat - mix so the decomposition reconstructs EXACTLY.
+    Python bigints / HUGEINT; NO float."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    ref = ray.put(c_nat)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice",
+                        "o_orderpriority"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        lut = _ray.get(ref)
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        nk = lut[t.column("o_custkey").to_numpy().astype(np.int64)]
+        pri = np.asarray(t.column("o_orderpriority")).astype(object)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"nk": nk, "pri": pri,
+                           "h": (dy > mid).astype(np.int64),
+                           "c": cents})
+        g = df.groupby(["nk", "pri", "h"], as_index=False)["c"].sum()
+        return pa.table({"nk": pa.array(g["nk"].to_numpy(np.int64)),
+                         "pri": pa.array(g["pri"], type=pa.string()),
+                         "h": pa.array(g["h"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["nk", "pri", "h"], as_index=False)
+           ["c"].sum())
+    t1 = int(agg.loc[agg["h"] == 0, "c"].sum())
+    t2 = int(agg.loc[agg["h"] == 1, "c"].sum())
+    tp = {}
+    for pri, g in agg.groupby("pri"):
+        tp[str(pri)] = (int(g.loc[g["h"] == 0, "c"].sum()),
+                        int(g.loc[g["h"] == 1, "c"].sum()))
+    rows = []
+    for nk in sorted(agg["nk"].unique()):
+        g = agg[agg["nk"] == nk]
+        r1 = int(g.loc[g["h"] == 0, "c"].sum())
+        r2 = int(g.loc[g["h"] == 1, "c"].sum())
+        nat = r1 * t2 // t1 - r1 if t1 else 0
+        mix_base = 0
+        for pri, gg in g[g["h"] == 0].groupby("pri"):
+            r1p = int(gg["c"].sum())
+            t1p, t2p = tp[str(pri)]
+            mix_base += r1p * t2p // t1p if t1p else 0
+        mix = mix_base - (r1 * t2 // t1 if t1 else 0)
+        resid = (r2 - r1) - nat - mix
+        rows.append((int(nk), r1, r2, r2 - r1, nat, mix, resid))
+    return pd.DataFrame(rows, columns=[
+        "c_nationkey", "rev_h1_cents", "rev_h2_cents", "delta_cents",
+        "national_effect_cents", "mix_effect_cents",
+        "residual_cents"]).astype("int64")

@@ -165,6 +165,7 @@ def test_entry_smoke(entrymod):
     "embedding_hubness_audit", "hash_partition_balance",
     "simhash_bit_bias_audit", "token_head_tail_ladder",
     "part_rich_club", "events_inspection_paradox",
+    "orders_var_es", "nation_revenue_shift_share",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
