@@ -352,6 +352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_var_es": analytics.orders_var_es,
         "nation_revenue_shift_share":
             analytics.nation_revenue_shift_share,
+        "part_brand_hhi_decomposition":
+            analytics.part_brand_hhi_decomposition,
+        "customer_topk_stability": analytics.customer_topk_stability,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -7962,6 +7965,69 @@ def oracle_sql() -> dict[str, str]:
                        AS residual_cents
             FROM n1 JOIN mixb ON n1.nk = mixb.nk, tt
             ORDER BY c_nationkey
+        """,
+        "part_brand_hhi_decomposition": """
+            WITH pr AS (SELECT l_partkey AS pk,
+                               CAST(SUM(CAST(FLOOR(l_extendedprice
+                                                   * 100) AS BIGINT))
+                                    AS HUGEINT) AS c
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT pr.pk, pr.c, p.p_brand AS br
+                  FROM pr JOIN part p ON pr.pk = p.p_partkey),
+            tt AS (SELECT SUM(c) AS t, SUM(c * c) AS sq FROM j),
+            bb AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS np,
+                          SUM(c) AS s, SUM(c * c) AS sq
+                   FROM j GROUP BY 1),
+            bt AS (SELECT SUM(s * s) AS sbsq FROM bb)
+            SELECT br AS p_brand, np AS n_parts,
+                   CAST(s AS BIGINT) AS rev_cents,
+                   CAST(10000 * s // t AS BIGINT) AS w_bps,
+                   CAST(CASE WHEN s > 0 THEN 10000 * bb.sq // (s * s)
+                        ELSE 0 END AS BIGINT) AS hhi_within_bps,
+                   CAST(10000 * tt.sq // (t * t) AS BIGINT)
+                       AS hhi_total_bps,
+                   CAST(10000 * sbsq // (t * t) AS BIGINT)
+                       AS hhi_between_bps
+            FROM bb, tt, bt ORDER BY p_brand
+        """,
+        "customer_topk_stability": """
+            WITH o AS (SELECT o_custkey AS ck,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS c
+                       FROM orders),
+            sp AS (SELECT (MIN(dy) + MAX(dy)) // 2 AS mid FROM o),
+            g AS (SELECT ck,
+                         CASE WHEN dy > mid THEN 1 ELSE 0 END AS h,
+                         SUM(c) AS c
+                  FROM o, sp GROUP BY 1, 2),
+            r AS (SELECT ck, h, c,
+                         ROW_NUMBER() OVER (PARTITION BY h
+                                            ORDER BY c DESC, ck)
+                             AS rk
+                  FROM g),
+            t1 AS (SELECT ck, c FROM r WHERE h = 0 AND rk <= 100),
+            t2 AS (SELECT ck, c FROM r WHERE h = 1 AND rk <= 100),
+            st AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+                          (SELECT COUNT(*) FROM t2) AS n2,
+                          (SELECT COUNT(*) FROM t1
+                           JOIN t2 USING (ck)) AS inter,
+                          (SELECT COALESCE(MIN(c), -1) FROM t1)
+                              AS thr1,
+                          (SELECT COALESCE(MIN(c), -1) FROM t2)
+                              AS thr2)
+            SELECT CAST(100 AS BIGINT) AS k,
+                   CAST(n1 AS BIGINT) AS n_top_h1,
+                   CAST(n2 AS BIGINT) AS n_top_h2,
+                   CAST(inter AS BIGINT) AS overlap,
+                   CAST(CASE WHEN n1 + n2 - inter > 0 THEN
+                        10000 * inter // (n1 + n2 - inter)
+                        ELSE 0 END AS BIGINT) AS jaccard_bps,
+                   CAST(thr1 AS BIGINT) AS thr_h1_cents,
+                   CAST(thr2 AS BIGINT) AS thr_h2_cents
+            FROM st
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "simhash_bit_bias_audit", "token_head_tail_ladder",
     "part_rich_club", "events_inspection_paradox",
     "orders_var_es", "nation_revenue_shift_share",
+    "part_brand_hhi_decomposition", "customer_topk_stability",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12108,3 +12108,114 @@ def nation_revenue_shift_share(sf_dir: str) -> pd.DataFrame:
         "c_nationkey", "rev_h1_cents", "rev_h2_cents", "delta_cents",
         "national_effect_cents", "mix_effect_cents",
         "residual_cents"]).astype("int64")
+
+
+def part_brand_hhi_decomposition(sf_dir: str) -> pd.DataFrame:
+    """DECOMPOSABLE HHI of part-level revenue concentration — the
+    between/within split a category manager needs: is revenue
+    concentrated because a few BRANDS dominate, or because single
+    parts dominate INSIDE brands? Part revenues fold as per-block
+    (partkey, cents) partials (catalog-sized exchange), brands map
+    on the driver grid, and every index closes as an exact integer
+    bps division over Python-bigint squared sums (HUGEINT in the
+    twin): hhi_total = 10^4*Sum r_p^2 // T^2, hhi_between over brand
+    sums, per-brand weight and within-brand HHI (floors documented;
+    no float anywhere). Output: one row per brand plus the global
+    indices repeated as constant columns."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "pk": pa.array(u),
+            "c": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    rev = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("pk", as_index=False)["c"].sum())
+    brand = _read(sf_dir, "part",
+                  columns=["p_partkey", "p_brand"]).to_pandas()
+    rev = rev.merge(brand, left_on="pk", right_on="p_partkey")
+    t_tot = sum(int(x) for x in rev["c"])
+    sq_tot = sum(int(x) * int(x) for x in rev["c"])
+    hhi_total = 10_000 * sq_tot // (t_tot * t_tot)
+    rows = []
+    sb_sq = 0
+    for br, g in rev.groupby("p_brand"):
+        s_b = sum(int(x) for x in g["c"])
+        sq_b = sum(int(x) * int(x) for x in g["c"])
+        sb_sq += s_b * s_b
+        rows.append((str(br), len(g), s_b, 10_000 * s_b // t_tot,
+                     10_000 * sq_b // (s_b * s_b) if s_b else 0))
+    hhi_between = 10_000 * sb_sq // (t_tot * t_tot)
+    rows.sort()
+    df = pd.DataFrame(rows, columns=[
+        "p_brand", "n_parts", "rev_cents", "w_bps",
+        "hhi_within_bps"])
+    df["hhi_total_bps"] = hhi_total
+    df["hhi_between_bps"] = hhi_between
+    return df.astype({c: "int64" for c in (
+        "n_parts", "rev_cents", "w_bps", "hhi_within_bps",
+        "hhi_total_bps", "hhi_between_bps")})
+
+
+def customer_topk_stability(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """TOP-K LEADERBOARD STABILITY between the two calendar halves —
+    how much of the head of the customer-revenue ranking actually
+    persists (the churn-of-the-whales metric behind every "top
+    accounts" dashboard): per-half customer revenue folds through
+    per-block (custkey, half, cents) partials, each half's top-k
+    resolves under the exact (revenue desc, custkey) total order on
+    the driver rollup, and the stability reports as pure integers —
+    overlap count, Jaccard of the two sets in bps, and each half's
+    entry threshold in cents. NO float; ZERO extra shuffle."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"ck": ck, "h": (dy > mid).astype(np.int64),
+                           "c": cents})
+        g = df.groupby(["ck", "h"], as_index=False)["c"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["ck", "h"], as_index=False)["c"]
+           .sum())
+
+    def topk(h: int):
+        g = agg[agg["h"] == h]
+        g = g.sort_values(["c", "ck"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return set(int(x) for x in g["ck"]), \
+            int(g["c"].to_numpy(np.int64)[-1]) if len(g) else -1
+
+    s1, thr1 = topk(0)
+    s2, thr2 = topk(1)
+    inter = len(s1 & s2)
+    union = len(s1 | s2)
+    return pd.DataFrame([(k, len(s1), len(s2), inter,
+                          10_000 * inter // union if union else 0,
+                          thr1, thr2)],
+                        columns=["k", "n_top_h1", "n_top_h2",
+                                 "overlap", "jaccard_bps",
+                                 "thr_h1_cents", "thr_h2_cents"]) \
+        .astype("int64")
