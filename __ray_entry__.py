@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_hhi_decomposition":
             analytics.part_brand_hhi_decomposition,
         "customer_topk_stability": analytics.customer_topk_stability,
+        "orders_gain_loss_asymmetry":
+            analytics.orders_gain_loss_asymmetry,
+        "lineitem_arc_elasticity": analytics.lineitem_arc_elasticity,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8028,6 +8031,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(thr1 AS BIGINT) AS thr_h1_cents,
                    CAST(thr2 AS BIGINT) AS thr_h2_cents
             FROM st
+        """,
+        "orders_gain_loss_asymmetry": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT dy,
+                         rev - LAG(rev) OVER (ORDER BY dy) AS delta
+                  FROM d),
+            dd AS (SELECT dy, delta FROM w WHERE delta IS NOT NULL),
+            s AS (SELECT COUNT(*) AS n,
+                         COALESCE(SUM(CASE WHEN delta > 0 THEN 1
+                                      ELSE 0 END), 0) AS n_up,
+                         COALESCE(SUM(CASE WHEN delta < 0 THEN 1
+                                      ELSE 0 END), 0) AS n_dn,
+                         COALESCE(SUM(CASE WHEN delta > 0 THEN delta
+                                      ELSE 0 END), 0) AS s_up,
+                         COALESCE(SUM(CASE WHEN delta < 0 THEN -delta
+                                      ELSE 0 END), 0) AS s_dn
+                  FROM dd),
+            g AS (SELECT delta, dy FROM dd
+                  ORDER BY delta DESC, dy LIMIT 1),
+            l AS (SELECT delta, dy FROM dd
+                  ORDER BY delta ASC, dy LIMIT 1)
+            SELECT CAST(n AS BIGINT) AS n_deltas,
+                   CAST(n_up AS BIGINT) AS n_up,
+                   CAST(n_dn AS BIGINT) AS n_down,
+                   CAST(n - n_up - n_dn AS BIGINT) AS n_flat,
+                   CAST(CASE WHEN n_up > 0 THEN 1000 * s_up // n_up
+                        ELSE 0 END AS BIGINT) AS mean_up_milli,
+                   CAST(CASE WHEN n_dn > 0 THEN 1000 * s_dn // n_dn
+                        ELSE 0 END AS BIGINT) AS mean_down_milli,
+                   CAST(CASE WHEN n_up > 0 AND n_dn > 0 AND s_dn > 0
+                        THEN 10000 * s_up * n_dn // (s_dn * n_up)
+                        ELSE -1 END AS BIGINT) AS up_down_ratio_bps,
+                   CAST(g.delta AS BIGINT) AS max_gain_cents,
+                   CAST(g.dy AS BIGINT) AS max_gain_dy,
+                   CAST(l.delta AS BIGINT) AS max_loss_cents,
+                   CAST(l.dy AS BIGINT) AS max_loss_dy
+            FROM s, g, l
+        """,
+        "lineitem_arc_elasticity": """
+            WITH b AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                              AS lvl,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            g AS (SELECT lvl, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(q) AS HUGEINT) AS sq
+                  FROM b GROUP BY 1),
+            w AS (SELECT lvl AS l1, n AS n1, sq AS s1,
+                         LEAD(lvl) OVER (ORDER BY lvl) AS l2,
+                         LEAD(n) OVER (ORDER BY lvl) AS n2,
+                         LEAD(sq) OVER (ORDER BY lvl) AS s2
+                  FROM g),
+            e AS (SELECT l1, l2, n1, n2,
+                         (s2 * n1 - s1 * n2)
+                         * ((10000 - 100 * l2)
+                            + (10000 - 100 * l1)) AS num,
+                         (s2 * n1 + s1 * n2)
+                         * ((10000 - 100 * l2)
+                            - (10000 - 100 * l1)) AS den
+                  FROM w WHERE l2 IS NOT NULL)
+            SELECT CAST(l1 AS BIGINT) AS lvl_from,
+                   CAST(l2 AS BIGINT) AS lvl_to,
+                   CAST(n1 AS BIGINT) AS n_from,
+                   CAST(n2 AS BIGINT) AS n_to,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        ELSE (CASE WHEN (num >= 0) = (den > 0)
+                              THEN 1 ELSE -1 END)
+                             * (1000 * ABS(num) // ABS(den))
+                        END AS BIGINT) AS elasticity_milli
+            FROM e ORDER BY lvl_from
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

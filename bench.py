@@ -204,6 +204,7 @@ BENCH_QUERIES = [
     "part_rich_club", "events_inspection_paradox",
     "orders_var_es", "nation_revenue_shift_share",
     "part_brand_hhi_decomposition", "customer_topk_stability",
+    "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12219,3 +12219,105 @@ def customer_topk_stability(sf_dir: str, k: int = 100) -> pd.DataFrame:
                                  "overlap", "jaccard_bps",
                                  "thr_h1_cents", "thr_h2_cents"]) \
         .astype("int64")
+
+
+def orders_gain_loss_asymmetry(sf_dir: str) -> pd.DataFrame:
+    """GAIN/LOSS ASYMMETRY of the daily revenue stream — runs tests
+    ask how often it rises; this asks how HARD it rises vs falls:
+    over consecutive observed-day changes, the up/down/flat counts,
+    the mean up-move and mean down-move in exact milli-cents
+    (sign-normalized integer division), their cross-multiplied
+    magnitude ratio in bps, and the single largest gain and loss
+    with their days (first-day tie rule). Per-block daily partials —
+    ZERO shuffle, NO float."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    dy = agg["dy"].to_numpy(np.int64)
+    r = agg["rev"].to_numpy(np.int64)
+    d = r[1:] - r[:-1]
+    ddy = dy[1:]
+    up = d[d > 0]
+    dn = d[d < 0]
+    n_up, n_dn = len(up), len(dn)
+    n_flat = len(d) - n_up - n_dn
+    s_up = sum(int(x) for x in up)
+    s_dn = -sum(int(x) for x in dn)
+    mean_up = 1000 * s_up // n_up if n_up else 0
+    mean_dn = 1000 * s_dn // n_dn if n_dn else 0
+    ratio = (10_000 * s_up * n_dn // (s_dn * n_up)
+             if n_up and n_dn and s_dn else -1)
+    gi = int(np.argmax(d)) if len(d) else -1
+    li = int(np.argmin(d)) if len(d) else -1
+    return pd.DataFrame([(len(d), n_up, n_dn, n_flat, mean_up,
+                          mean_dn, ratio, int(d[gi]), int(ddy[gi]),
+                          int(d[li]), int(ddy[li]))],
+                        columns=["n_deltas", "n_up", "n_down",
+                                 "n_flat", "mean_up_milli",
+                                 "mean_down_milli",
+                                 "up_down_ratio_bps",
+                                 "max_gain_cents", "max_gain_dy",
+                                 "max_loss_cents", "max_loss_dy"]) \
+        .astype("int64")
+
+
+def lineitem_arc_elasticity(sf_dir: str) -> pd.DataFrame:
+    """ARC PRICE ELASTICITY along the discount ladder — the midpoint
+    elasticity between every pair of ADJACENT whole-percent levels,
+    treating (1 - discount) as the effective price in bps (p_a =
+    10000 - 100a, exactly known): E = ((q2-q1)/(q2+q1)) /
+    ((p2-p1)/(p2+p1)) cross-multiplies into the exact integer
+    sign-normalized division sgn * 1000*|(s2*n1 - s1*n2)*(p2+p1)| //
+    |(s2*n1 + s1*n2)*(p2-p1)| — NO rational mean is ever formed and
+    NO float runs on either side. Constant 11-cell per-block
+    partials — ZERO shuffle; the demand-curve companion to the
+    monotonicity audit."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        return pa.table({
+            "lvl": pa.array(np.arange(11, dtype=np.int64)),
+            "n": pa.array(np.bincount(a, minlength=11)
+                          .astype(np.int64)),
+            "sq": pa.array(np.bincount(a, weights=q, minlength=11)
+                           .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("lvl", as_index=False).sum()
+           .sort_values("lvl"))
+    agg = agg[agg["n"] > 0].reset_index(drop=True)
+    rows = []
+    for i in range(len(agg) - 1):
+        l1, n1, s1 = (int(agg.loc[i, c]) for c in ("lvl", "n", "sq"))
+        l2, n2, s2 = (int(agg.loc[i + 1, c])
+                      for c in ("lvl", "n", "sq"))
+        p1, p2 = 10_000 - 100 * l1, 10_000 - 100 * l2
+        num = (s2 * n1 - s1 * n2) * (p2 + p1)
+        den = (s2 * n1 + s1 * n2) * (p2 - p1)
+        if den == 0:
+            e = 0
+        else:
+            sgn = 1 if (num >= 0) == (den > 0) else -1
+            e = sgn * (1000 * abs(num) // abs(den))
+        rows.append((l1, l2, n1, n2, e))
+    return pd.DataFrame(rows, columns=[
+        "lvl_from", "lvl_to", "n_from", "n_to",
+        "elasticity_milli"]).astype("int64")
