@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gain_loss_asymmetry":
             analytics.orders_gain_loss_asymmetry,
         "lineitem_arc_elasticity": analytics.lineitem_arc_elasticity,
+        "lang_token_simpson": analytics.lang_token_simpson,
+        "orders_regression_to_mean":
+            analytics.orders_regression_to_mean,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8104,6 +8107,70 @@ def oracle_sql() -> dict[str, str]:
                              * (1000 * ABS(num) // ABS(den))
                         END AS BIGINT) AS elasticity_milli
             FROM e ORDER BY lvl_from
+        """,
+        "lang_token_simpson": """
+            WITH t AS (SELECT lang,
+                              unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            f AS (SELECT lang, tok, CAST(COUNT(*) AS HUGEINT) AS f
+                  FROM t WHERE tok <> '' GROUP BY 1, 2),
+            g AS (SELECT lang, SUM(f) AS t_tot,
+                         CAST(COUNT(*) AS BIGINT) AS vocab,
+                         SUM(f * f) AS sq
+                  FROM f GROUP BY 1)
+            SELECT lang,
+                   CAST(t_tot AS BIGINT) AS n_tokens,
+                   vocab,
+                   CAST(10000 * sq // (t_tot * t_tot) AS BIGINT)
+                       AS collision_bps,
+                   CAST(1000 * t_tot * t_tot // sq AS BIGINT)
+                       AS inv_simpson_milli
+            FROM g ORDER BY lang
+        """,
+        "orders_regression_to_mean": """
+            WITH o AS (SELECT o_custkey AS ck, o_orderkey AS ok,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v
+                       FROM orders),
+            m AS (SELECT CAST(quantile_disc(v, 0.50) AS BIGINT)
+                             AS med
+                  FROM o),
+            s AS (SELECT ck, v,
+                         LAG(v) OVER (PARTITION BY ck
+                                      ORDER BY dy, ok) AS pv
+                  FROM o),
+            p AS (SELECT pv, v FROM s, m
+                  WHERE pv IS NOT NULL AND pv <> med),
+            agg AS (SELECT
+                      COALESCE(SUM(CASE WHEN pv > med THEN 1
+                                   ELSE 0 END), 0) AS n_hi,
+                      CAST(COALESCE(SUM(CASE WHEN pv > med THEN v
+                                         ELSE 0 END), 0) AS HUGEINT)
+                          AS s_hi,
+                      COALESCE(SUM(CASE WHEN pv < med THEN 1
+                                   ELSE 0 END), 0) AS n_lo,
+                      CAST(COALESCE(SUM(CASE WHEN pv < med THEN v
+                                         ELSE 0 END), 0) AS HUGEINT)
+                          AS s_lo
+                    FROM p, m)
+            SELECT CAST(med AS BIGINT) AS median_cents,
+                   CAST(n_hi AS BIGINT) AS n_pairs_hi,
+                   CAST(n_lo AS BIGINT) AS n_pairs_lo,
+                   CAST(CASE WHEN n_hi > 0 THEN 1000 * s_hi // n_hi
+                        ELSE 0 END AS BIGINT) AS next_mean_hi_milli,
+                   CAST(CASE WHEN n_lo > 0 THEN 1000 * s_lo // n_lo
+                        ELSE 0 END AS BIGINT) AS next_mean_lo_milli,
+                   CAST(CASE WHEN n_hi > 0 AND n_lo > 0 AND s_lo > 0
+                        THEN (CASE WHEN s_hi * n_lo - s_lo * n_hi
+                                   >= 0 THEN 1 ELSE -1 END)
+                             * (10000 * ABS(s_hi * n_lo
+                                            - s_lo * n_hi)
+                                // (s_lo * n_hi))
+                        ELSE -1 END AS BIGINT) AS hi_over_lo_gap_bps
+            FROM agg, m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -205,6 +205,7 @@ BENCH_QUERIES = [
     "orders_var_es", "nation_revenue_shift_share",
     "part_brand_hhi_decomposition", "customer_topk_stability",
     "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
+    "lang_token_simpson", "orders_regression_to_mean",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12321,3 +12321,134 @@ def lineitem_arc_elasticity(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "lvl_from", "lvl_to", "n_from", "n_to",
         "elasticity_milli"]).astype("int64")
+
+
+def lang_token_simpson(sf_dir: str) -> pd.DataFrame:
+    """TOKEN-LEVEL SIMPSON concentration per language — the log-free
+    diversity reading on the vocabulary itself: the collision
+    probability (two random tokens of a language being the SAME
+    word) in exact bps from per-(lang, token) count folds, and the
+    inverse-Simpson effective vocabulary in milli units — both pure
+    integer divisions over Python-bigint / HUGEINT squared sums.
+    One hashed-token-sized exchange; NO float."""
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lg, s in zip(np.asarray(t.column("lang")).astype(object),
+                         t.column("text").to_pylist()):
+            ws = s.split()
+            langs.extend([lg] * len(ws))
+            toks.extend(ws)
+        df = pd.DataFrame({"lang": langs, "tok": toks})
+        g = df.groupby(["lang", "tok"], as_index=False).size()
+        return pa.table({"lang": pa.array(g["lang"],
+                                          type=pa.string()),
+                         "tok": pa.array(g["tok"], type=pa.string()),
+                         "f": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["lang", "tok"], as_index=False)["f"]
+           .sum())
+    rows = []
+    for lg, g in agg.groupby("lang"):
+        t_tot = sum(int(x) for x in g["f"])
+        sq = sum(int(x) * int(x) for x in g["f"])
+        rows.append((str(lg), t_tot, len(g),
+                     10_000 * sq // (t_tot * t_tot),
+                     1000 * t_tot * t_tot // sq))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "lang", "n_tokens", "vocab", "collision_bps",
+        "inv_simpson_milli"]).astype(
+        {c: "int64" for c in ("n_tokens", "vocab", "collision_bps",
+                              "inv_simpson_milli")})
+
+
+def orders_regression_to_mean(sf_dir: str) -> pd.DataFrame:
+    """REGRESSION TO THE MEAN in consecutive order values — after an
+    unusually large order, the next one is usually smaller, and a
+    naive "our big customers are shrinking" readout is pure
+    statistics: phase 1 takes the exact ceil-rank median order value
+    from a cents-level histogram fold; phase 2 routes each
+    customer's orders through one custkey%64 exchange, forms
+    consecutive pairs under the (custkey, day, orderkey) total
+    order, drops pairs whose FIRST value sits exactly on the median,
+    and folds per-class (above/below) exact integer sums of the NEXT
+    value. Output closes in pure integer milli/bps divisions — the
+    hi-starter vs lo-starter next-order means and the pull toward
+    each other. NO float."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    h = (ds.map_batches(hist, batch_format="pyarrow")
+         .to_pandas().groupby("v", as_index=False)["c"].sum()
+         .sort_values("v", kind="mergesort"))
+    cum = h["c"].to_numpy(np.int64).cumsum()
+    n_all = int(cum[-1])
+    med = int(h["v"].to_numpy(np.int64)[
+        np.searchsorted(cum, -(-n_all // 2))])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "ck": pa.array(ck),
+            "dy": pa.array(t.column("o_orderdate").cast(pa.int64())
+                           .to_numpy() // 86_400_000_000),
+            "ok": t.column("o_orderkey"),
+            "v": pa.array(np.floor(t.column("o_totalprice")
+                                   .to_numpy() * 100)
+                          .astype(np.int64)),
+            "bucket": pa.array((ck % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy(np.int64)
+        dy = g["dy"].to_numpy(np.int64)
+        ok = g["ok"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((ok, dy, ck))
+        cks, vs = ck[order], v[order]
+        same = np.empty(len(cks), dtype=bool)
+        if len(cks):
+            same[0] = False
+            same[1:] = cks[1:] == cks[:-1]
+        idx = np.flatnonzero(same)
+        first, nxt = vs[idx - 1], vs[idx]
+        hi = first > med
+        lo = first < med
+        return pd.DataFrame({
+            "n_hi": [int(hi.sum())],
+            "s_hi": [int(nxt[hi].sum())],
+            "n_lo": [int(lo.sum())],
+            "s_lo": [int(nxt[lo].sum())]})
+
+    p = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_hi = int(p["n_hi"].sum())
+    s_hi = sum(int(x) for x in p["s_hi"])
+    n_lo = int(p["n_lo"].sum())
+    s_lo = sum(int(x) for x in p["s_lo"])
+    mean_hi = 1000 * s_hi // n_hi if n_hi else 0
+    mean_lo = 1000 * s_lo // n_lo if n_lo else 0
+    if n_hi and n_lo and s_lo:
+        num = s_hi * n_lo - s_lo * n_hi
+        sgn = 1 if num >= 0 else -1
+        gap_bps = sgn * (10_000 * abs(num) // (s_lo * n_hi))
+    else:
+        gap_bps = -1
+    return pd.DataFrame([(med, n_hi, n_lo, mean_hi, mean_lo,
+                          gap_bps)],
+                        columns=["median_cents", "n_pairs_hi",
+                                 "n_pairs_lo", "next_mean_hi_milli",
+                                 "next_mean_lo_milli",
+                                 "hi_over_lo_gap_bps"]) \
+        .astype("int64")

@@ -168,6 +168,7 @@ def test_entry_smoke(entrymod):
     "orders_var_es", "nation_revenue_shift_share",
     "part_brand_hhi_decomposition", "customer_topk_stability",
     "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
+    "lang_token_simpson", "orders_regression_to_mean",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
