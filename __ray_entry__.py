@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_simpson": analytics.lang_token_simpson,
         "orders_regression_to_mean":
             analytics.orders_regression_to_mean,
+        "lineitem_did_discount": analytics.lineitem_did_discount,
+        "events_two_way_anova": analytics.events_two_way_anova,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8171,6 +8173,128 @@ def oracle_sql() -> dict[str, str]:
                                 // (s_lo * n_hi))
                         ELSE -1 END AS BIGINT) AS hi_over_lo_gap_bps
             FROM agg, m
+        """,
+        "lineitem_did_discount": """
+            WITH b AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE)) AS dy,
+                              CAST(FLOOR(l_discount * 10000)
+                                   AS BIGINT) AS disc,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            sp AS (SELECT (MIN(dy) + MAX(dy)) // 2 AS mid FROM b),
+            cells AS (SELECT CASE WHEN disc >= 500 THEN 1 ELSE 0 END
+                                 AS trt,
+                             CASE WHEN dy > mid THEN 1 ELSE 0 END
+                                 AS h, q
+                      FROM b, sp),
+            g AS (SELECT trt, h, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(q) AS HUGEINT) AS s
+                  FROM cells GROUP BY 1, 2),
+            w AS (SELECT
+                    MAX(CASE WHEN trt = 0 AND h = 0 THEN n END)
+                        AS nc1,
+                    MAX(CASE WHEN trt = 0 AND h = 0 THEN s END)
+                        AS sc1,
+                    MAX(CASE WHEN trt = 0 AND h = 1 THEN n END)
+                        AS nc2,
+                    MAX(CASE WHEN trt = 0 AND h = 1 THEN s END)
+                        AS sc2,
+                    MAX(CASE WHEN trt = 1 AND h = 0 THEN n END)
+                        AS nt1,
+                    MAX(CASE WHEN trt = 1 AND h = 0 THEN s END)
+                        AS st1,
+                    MAX(CASE WHEN trt = 1 AND h = 1 THEN n END)
+                        AS nt2,
+                    MAX(CASE WHEN trt = 1 AND h = 1 THEN s END)
+                        AS st2
+                  FROM g)
+            SELECT CAST(mid AS BIGINT) AS mid_day,
+                   CAST(nc1 AS BIGINT) AS n_ctl_h1,
+                   CAST(nc2 AS BIGINT) AS n_ctl_h2,
+                   CAST(nt1 AS BIGINT) AS n_trt_h1,
+                   CAST(nt2 AS BIGINT) AS n_trt_h2,
+                   CAST(CASE WHEN nc1 > 0 THEN 1000 * sc1 // nc1
+                        ELSE -1 END AS BIGINT) AS mean_ctl_h1_milli,
+                   CAST(CASE WHEN nc2 > 0 THEN 1000 * sc2 // nc2
+                        ELSE -1 END AS BIGINT) AS mean_ctl_h2_milli,
+                   CAST(CASE WHEN nt1 > 0 THEN 1000 * st1 // nt1
+                        ELSE -1 END AS BIGINT) AS mean_trt_h1_milli,
+                   CAST(CASE WHEN nt2 > 0 THEN 1000 * st2 // nt2
+                        ELSE -1 END AS BIGINT) AS mean_trt_h2_milli,
+                   CAST(CASE WHEN nc1 > 0 AND nc2 > 0 AND nt1 > 0
+                             AND nt2 > 0 THEN
+                        (CASE WHEN (st2 * nt1 - st1 * nt2)
+                                   * nc1 * nc2
+                                   - (sc2 * nc1 - sc1 * nc2)
+                                   * nt1 * nt2 >= 0
+                         THEN 1 ELSE -1 END)
+                        * (1000 * ABS((st2 * nt1 - st1 * nt2)
+                                      * nc1 * nc2
+                                      - (sc2 * nc1 - sc1 * nc2)
+                                      * nt1 * nt2)
+                           // (nt1 * nt2 * nc1 * nc2))
+                        ELSE -1 END AS BIGINT) AS did_milli
+            FROM w, sp
+        """,
+        "events_two_way_anova": """
+            WITH e AS (SELECT epoch_us(ts)//86400000000 AS dy,
+                              (epoch_us(ts)//3600000000) % 24 AS hr
+                       FROM events),
+            c AS (SELECT dy, hr, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            days AS (SELECT DISTINCT dy FROM c),
+            hrs AS (SELECT unnest(generate_series(0, 23)) AS hr),
+            grid AS (SELECT days.dy, hrs.hr, COALESCE(c.c, 0) AS c,
+                            (days.dy + 3) % 7 AS dow
+                     FROM days CROSS JOIN hrs
+                     LEFT JOIN c ON c.dy = days.dy
+                                AND c.hr = hrs.hr),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                           CAST(SUM(c) AS HUGEINT) AS s,
+                           SUM(CAST(c AS HUGEINT) * c) AS q
+                    FROM grid),
+            gg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS g FROM days),
+            gm AS (SELECT (1000 * s) // n AS m, n, s, q FROM tot),
+            st AS (SELECT 1000000 * q - 2 * m * 1000 * s + n * m * m
+                          AS sst
+                   FROM gm),
+            ra AS (SELECT dow, CAST(COUNT(*) AS HUGEINT) AS nd,
+                          CAST(SUM(c) AS HUGEINT) AS sd
+                   FROM grid GROUP BY 1),
+            sa AS (SELECT SUM(nd * ((1000 * sd) // nd - m)
+                              * ((1000 * sd) // nd - m)) AS ssa
+                   FROM ra, gm),
+            rb AS (SELECT hr, CAST(COUNT(*) AS HUGEINT) AS nh,
+                          CAST(SUM(c) AS HUGEINT) AS sh
+                   FROM grid GROUP BY 1),
+            sb AS (SELECT SUM(nh * ((1000 * sh) // nh - m)
+                              * ((1000 * sh) // nh - m)) AS ssb
+                   FROM rb, gm),
+            rc AS (SELECT dow, hr, CAST(COUNT(*) AS HUGEINT)
+                              AS ncell,
+                          CAST(SUM(c) AS HUGEINT) AS scell
+                   FROM grid GROUP BY 1, 2),
+            sc AS (SELECT SUM(ncell * ((1000 * scell) // ncell - m)
+                              * ((1000 * scell) // ncell - m))
+                          AS ssc
+                   FROM rc, gm)
+            SELECT CAST(n AS BIGINT) AS n_obs,
+                   CAST(g AS BIGINT) AS n_days,
+                   CAST(CASE WHEN sst > 0 THEN 10000 * ssa // sst
+                        ELSE 0 END AS BIGINT) AS eta_dow_bps,
+                   CAST(CASE WHEN sst > 0 THEN 10000 * ssb // sst
+                        ELSE 0 END AS BIGINT) AS eta_hour_bps,
+                   CAST(CASE WHEN sst <= 0 THEN 0
+                        WHEN ssc - ssa - ssb >= 0
+                        THEN 10000 * (ssc - ssa - ssb) // sst
+                        ELSE -(10000 * (ssa + ssb - ssc) // sst)
+                        END AS BIGINT) AS eta_inter_bps,
+                   CAST(CASE WHEN sst <= 0 THEN 0
+                        WHEN sst - ssc >= 0
+                        THEN 10000 * (sst - ssc) // sst
+                        ELSE -(10000 * (ssc - sst) // sst)
+                        END AS BIGINT) AS eta_resid_bps
+            FROM gm, gg, st, sa, sb, sc
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -206,6 +206,7 @@ BENCH_QUERIES = [
     "part_brand_hhi_decomposition", "customer_topk_stability",
     "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
     "lang_token_simpson", "orders_regression_to_mean",
+    "lineitem_did_discount", "events_two_way_anova",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12452,3 +12452,147 @@ def orders_regression_to_mean(sf_dir: str) -> pd.DataFrame:
                                  "next_mean_lo_milli",
                                  "hi_over_lo_gap_bps"]) \
         .astype("int64")
+
+
+def lineitem_did_discount(sf_dir: str) -> pd.DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES on the discount ladder — did deep
+    discounts (>= 5%) move quantity MORE than shallow ones between
+    the two calendar halves, netting out the common trend: the four
+    (treated, half) cells fold as exact integer (n, sum-quantity)
+    per-block partials, each cell's mean reports in floored milli,
+    and the DiD itself closes as ONE exact cross-multiplied
+    sign-normalized integer division over the common denominator
+    nT1*nT2*nC1*nC2 — no rational mean is ever formed, no float on
+    either side, Python bigints / HUGEINT. Halves split at the
+    integer midpoint of the observed ship-date span."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        disc = np.floor(t.column("l_discount").to_numpy() * 10000) \
+            .astype(np.int64)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        cell = 2 * (disc >= 500).astype(np.int64) \
+            + (d > mid).astype(np.int64)
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s = np.bincount(cell, weights=q, minlength=4) \
+            .astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(4,
+                                                    dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell", as_index=False).sum()
+           .sort_values("cell"))
+    n = [int(x) for x in agg["n"]]
+    s = [int(x) for x in agg["s"]]
+    nc1, nc2, nt1, nt2 = n
+    sc1, sc2, st1, st2 = s
+    means = [1000 * si // ni if ni else -1 for si, ni in zip(s, n)]
+    if all(n):
+        num = ((st2 * nt1 - st1 * nt2) * nc1 * nc2
+               - (sc2 * nc1 - sc1 * nc2) * nt1 * nt2)
+        den = nt1 * nt2 * nc1 * nc2
+        sgn = 1 if num >= 0 else -1
+        did_milli = sgn * (1000 * abs(num) // den)
+    else:
+        did_milli = -1
+    return pd.DataFrame([(mid, nc1, nc2, nt1, nt2, means[0],
+                          means[1], means[2], means[3], did_milli)],
+                        columns=["mid_day", "n_ctl_h1", "n_ctl_h2",
+                                 "n_trt_h1", "n_trt_h2",
+                                 "mean_ctl_h1_milli",
+                                 "mean_ctl_h2_milli",
+                                 "mean_trt_h1_milli",
+                                 "mean_trt_h2_milli", "did_milli"]) \
+        .astype("int64")
+
+
+def events_two_way_anova(sf_dir: str) -> pd.DataFrame:
+    """TWO-WAY integer ANOVA of event volume over weekday x hour —
+    how much of the load surface is the weekly cycle, how much the
+    diurnal cycle, and how much genuine INTERACTION (the effect
+    one-way scans cannot see): observations are the zero-filled
+    (observed-day, hour) count cells, means floor to milli (the
+    ``orders_dow_anova`` discipline) so grand/row/column/cell sums
+    of squares stay exact Python-bigint integers, and each factor's
+    share of total variation reports as a floored bps ratio with the
+    residual defined by exact subtraction. One (day, hour) count
+    exchange (calendar x 24 sized) — NO float on either side."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        dy = us // 86_400_000_000
+        hr = (us // 3_600_000_000) % 24
+        pack = dy * 24 + hr
+        u, cnt = np.unique(pack, return_counts=True)
+        return pa.table({"dy": pa.array(u // 24),
+                         "hr": pa.array(u % 24),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["dy", "hr"], as_index=False)["c"]
+           .sum())
+    days = np.sort(agg["dy"].unique())
+    g = len(days)
+    didx = {int(d): i for i, d in enumerate(days)}
+    grid = np.zeros((g, 24), dtype=np.int64)
+    for r in agg.itertuples():
+        grid[didx[int(r.dy)], int(r.hr)] = int(r.c)
+    dow = (days + 3) % 7
+    n_obs = g * 24
+    s_tot = int(grid.sum())
+    q_tot = sum(int(x) * int(x) for x in grid.ravel())
+    m = 1000 * s_tot // n_obs
+    sst = 1_000_000 * q_tot - 2 * m * 1000 * s_tot + n_obs * m * m
+    ssa = 0
+    for w in range(7):
+        sel = grid[dow == w]
+        n_d = sel.size
+        if n_d:
+            m_d = 1000 * int(sel.sum()) // n_d
+            ssa += n_d * (m_d - m) * (m_d - m)
+    ssb = 0
+    for h in range(24):
+        col = grid[:, h]
+        m_h = 1000 * int(col.sum()) // g
+        ssb += g * (m_h - m) * (m_h - m)
+    ss_cells = 0
+    for w in range(7):
+        sel = grid[dow == w]
+        if not sel.size:
+            continue
+        for h in range(24):
+            col = sel[:, h]
+            n_c = len(col)
+            m_c = 1000 * int(col.sum()) // n_c
+            ss_cells += n_c * (m_c - m) * (m_c - m)
+    ss_int = ss_cells - ssa - ssb
+    ss_err = sst - ss_cells
+    return pd.DataFrame([(n_obs, g,
+                          10_000 * ssa // sst if sst else 0,
+                          10_000 * ssb // sst if sst else 0,
+                          (10_000 * ss_int // sst
+                           if sst and ss_int >= 0 else
+                           (-(10_000 * (-ss_int) // sst)
+                            if sst else 0)),
+                          (10_000 * ss_err // sst
+                           if sst and ss_err >= 0 else
+                           (-(10_000 * (-ss_err) // sst)
+                            if sst else 0)))],
+                        columns=["n_obs", "n_days", "eta_dow_bps",
+                                 "eta_hour_bps", "eta_inter_bps",
+                                 "eta_resid_bps"]).astype("int64")

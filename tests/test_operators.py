@@ -169,6 +169,7 @@ def test_entry_smoke(entrymod):
     "part_brand_hhi_decomposition", "customer_topk_stability",
     "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
     "lang_token_simpson", "orders_regression_to_mean",
+    "lineitem_did_discount", "events_two_way_anova",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
