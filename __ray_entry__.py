@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.orders_regression_to_mean,
         "lineitem_did_discount": analytics.lineitem_did_discount,
         "events_two_way_anova": analytics.events_two_way_anova,
+        "lineitem_capability_index": analytics.lineitem_capability_index,
+        "orders_theil_u2": analytics.orders_theil_u2,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8295,6 +8297,68 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -(10000 * (ssc - sst) // sst)
                         END AS BIGINT) AS eta_resid_bps
             FROM gm, gg, st, sa, sb, sc
+        """,
+        "lineitem_capability_index": """
+            WITH b AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(q) AS HUGEINT) AS s,
+                         SUM(CAST(q AS HUGEINT) * q) AS qq
+                  FROM b),
+            v AS (SELECT n, s, n * qq - s * s AS vn FROM m)
+            SELECT CAST(n AS BIGINT) AS n_lines,
+                   CAST(s AS BIGINT) AS sum_qty,
+                   CAST(vn AS BIGINT) AS var_num,
+                   CAST(FLOOR(49.0
+                              / (6.0 * SQRT(CAST(vn AS DOUBLE)
+                                            / (CAST(n AS DOUBLE)
+                                               * CAST(n - 1
+                                                      AS DOUBLE))))
+                              * 1000.0) AS BIGINT) AS cp_milli,
+                   CAST(FLOOR((CAST(CASE WHEN 50 * n - s <= s - n
+                                    THEN 50 * n - s
+                                    ELSE s - n END AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                              / (3.0 * SQRT(CAST(vn AS DOUBLE)
+                                            / (CAST(n AS DOUBLE)
+                                               * CAST(n - 1
+                                                      AS DOUBLE))))
+                              * 1000.0) AS BIGINT) AS cpk_milli
+            FROM v
+        """,
+        "orders_theil_u2": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS day_id,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            rng AS (SELECT MIN(day_id) AS mn, MAX(day_id) AS mx
+                    FROM d),
+            grid AS (SELECT unnest(generate_series(mn, mx)) AS day_id
+                     FROM rng),
+            g AS (SELECT grid.day_id, COALESCE(rev, 0) AS c
+                  FROM grid LEFT JOIN d USING (day_id)),
+            p AS (SELECT a.c AS xt, b.c AS x1, c7.c AS x7
+                  FROM g a
+                  JOIN g b ON b.day_id = a.day_id - 1
+                  JOIN g c7 ON c7.day_id = a.day_id - 7),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         SUM(CAST(xt - x1 AS HUGEINT) * (xt - x1))
+                             AS s1,
+                         SUM(CAST(xt - x7 AS HUGEINT) * (xt - x7))
+                             AS s7
+                  FROM p)
+            SELECT n AS n_forecasts,
+                   CAST(CASE WHEN s1 = 0 THEN -1
+                        ELSE 10000 * s7 // s1 END AS BIGINT)
+                       AS u2sq_bps,
+                   CAST(CASE WHEN s1 = 0 THEN -1
+                        ELSE FLOOR(SQRT(CAST(s7 AS DOUBLE)
+                                        / CAST(s1 AS DOUBLE))
+                                   * 1000.0) END AS BIGINT)
+                       AS u2_milli
+            FROM m
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "orders_gain_loss_asymmetry", "lineitem_arc_elasticity",
     "lang_token_simpson", "orders_regression_to_mean",
     "lineitem_did_discount", "events_two_way_anova",
+    "lineitem_capability_index", "orders_theil_u2",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12596,3 +12596,90 @@ def events_two_way_anova(sf_dir: str) -> pd.DataFrame:
                         columns=["n_obs", "n_days", "eta_dow_bps",
                                  "eta_hour_bps", "eta_inter_bps",
                                  "eta_resid_bps"]).astype("int64")
+
+
+def lineitem_capability_index(sf_dir: str) -> pd.DataFrame:
+    """PROCESS CAPABILITY Cp/Cpk of the quantity column against its
+    design limits [1, 50] — the SPC gate beside the p-chart: exact
+    integer moments (N, S, Q) fold as constant per-block partials,
+    the nearer spec distance resolves by the exact integer compare
+    of USL*N - S vs S - LSL*N, and each index closes as ONE
+    IEEE-order-matched float chain over sigma =
+    sqrt((NQ - S^2)/(N(N-1))), floored to milli. Python bigints /
+    HUGEINT feed the casts; ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+    lsl, usl = 1, 50
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        return pa.table({"n": pa.array([np.int64(len(q))]),
+                         "s": pa.array([np.int64(q.sum())]),
+                         "q": pa.array([np.int64((q * q).sum())])})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum())
+    s = sum(int(x) for x in p["s"])
+    q = sum(int(x) for x in p["q"])
+    var_num = n * q - s * s
+    sigma = math.sqrt(float(var_num) / (float(n) * float(n - 1)))
+    cp_milli = math.floor(
+        float(usl - lsl) / (6.0 * sigma) * 1000.0)
+    hi = usl * n - s
+    lo = s - lsl * n
+    near = hi if hi <= lo else lo
+    cpk_milli = math.floor(
+        (float(near) / float(n)) / (3.0 * sigma) * 1000.0)
+    return pd.DataFrame([(n, s, var_num, cp_milli, cpk_milli)],
+                        columns=["n_lines", "sum_qty", "var_num",
+                                 "cp_milli", "cpk_milli"]) \
+        .astype("int64")
+
+
+def orders_theil_u2(sf_dir: str) -> pd.DataFrame:
+    """THEIL'S U2 forecast-accuracy ratio — does the weekly cycle
+    actually help prediction: seasonal-naive (use the revenue of 7
+    days ago) against plain naive (use yesterday) over the
+    zero-gapfilled calendar grid, squared-error masses as exact
+    Python-bigint / HUGEINT integers, the ratio U2^2 as a pure
+    integer bps division and U2 itself as the ONE IEEE-order-matched
+    sqrt floored to milli (U2 < 1000 milli means the seasonal model
+    wins). Per-block daily partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("dy", as_index=False)["rev"].sum())
+    days = parts["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[days - lo] = parts["rev"].to_numpy(np.int64)
+    e1 = x[7:] - x[6:-1]
+    e7 = x[7:] - x[:-7]
+    n = len(e1)
+    s1 = sum(int(v) * int(v) for v in e1)
+    s7 = sum(int(v) * int(v) for v in e7)
+    if s1 == 0:
+        u2sq_bps, u2_milli = -1, -1
+    else:
+        u2sq_bps = 10_000 * s7 // s1
+        u2_milli = math.floor(
+            math.sqrt(float(s7) / float(s1)) * 1000.0)
+    return pd.DataFrame([(n, u2sq_bps, u2_milli)],
+                        columns=["n_forecasts", "u2sq_bps",
+                                 "u2_milli"]).astype("int64")
