@@ -365,6 +365,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_two_way_anova": analytics.events_two_way_anova,
         "lineitem_capability_index": analytics.lineitem_capability_index,
         "orders_theil_u2": analytics.orders_theil_u2,
+        "orders_chow_break": analytics.orders_chow_break,
+        "keyspace_contiguity_audit":
+            analytics.keyspace_contiguity_audit,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8359,6 +8362,106 @@ def oracle_sql() -> dict[str, str]:
                                    * 1000.0) END AS BIGINT)
                        AS u2_milli
             FROM m
+        """,
+        "orders_chow_break": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) // 100000 AS y
+                       FROM orders GROUP BY 1),
+            sp AS (SELECT MIN(dy) AS d0,
+                          (MIN(dy) + MAX(dy)) // 2 AS mid
+                   FROM d),
+            b AS (SELECT CAST(dy - d0 AS HUGEINT) AS x,
+                         CAST(y AS HUGEINT) AS y,
+                         CASE WHEN dy - d0 <= mid - d0 THEN 1
+                              ELSE 2 END AS half
+                  FROM d, sp),
+            mo AS (SELECT 0 AS leg, CAST(COUNT(*) AS HUGEINT) AS n,
+                          SUM(x) AS sx, SUM(y) AS sy,
+                          SUM(x * x) AS sxx, SUM(y * y) AS syy,
+                          SUM(x * y) AS sxy
+                   FROM b
+                   UNION ALL
+                   SELECT half, CAST(COUNT(*) AS HUGEINT),
+                          SUM(x), SUM(y), SUM(x * x), SUM(y * y),
+                          SUM(x * y)
+                   FROM b GROUP BY half),
+            cr AS (SELECT leg, n,
+                          n * sxx - sx * sx AS bigx,
+                          (n * syy - sy * sy)
+                          * (n * sxx - sx * sx)
+                          - (n * sxy - sx * sy)
+                            * (n * sxy - sx * sy) AS r
+                   FROM mo),
+            w AS (SELECT
+                    MAX(CASE WHEN leg = 0 THEN n END) AS np,
+                    MAX(CASE WHEN leg = 0 THEN bigx END) AS xp,
+                    MAX(CASE WHEN leg = 0 THEN r END) AS rp,
+                    MAX(CASE WHEN leg = 1 THEN n END) AS n1,
+                    MAX(CASE WHEN leg = 1 THEN bigx END) AS x1,
+                    MAX(CASE WHEN leg = 1 THEN r END) AS r1,
+                    MAX(CASE WHEN leg = 2 THEN n END) AS n2,
+                    MAX(CASE WHEN leg = 2 THEN bigx END) AS x2,
+                    MAX(CASE WHEN leg = 2 THEN r END) AS r2
+                  FROM cr),
+            ss AS (SELECT np, n1, n2,
+                          CASE WHEN xp > 0 THEN rp // xp
+                               ELSE 0 END AS ssrp,
+                          CASE WHEN x1 > 0 THEN r1 // x1
+                               ELSE 0 END AS ssr1,
+                          CASE WHEN x2 > 0 THEN r2 // x2
+                               ELSE 0 END AS ssr2
+                   FROM w)
+            SELECT CAST(np AS BIGINT) AS n_days,
+                   CAST(n1 AS BIGINT) AS n_h1,
+                   CAST(n2 AS BIGINT) AS n_h2,
+                   CAST(mid AS BIGINT) AS break_dy,
+                   CAST(CASE WHEN (ssr1 + ssr2) * 2 > 0
+                        THEN (CASE WHEN (ssrp - ssr1 - ssr2)
+                                        * (np - 4) >= 0
+                              THEN 1 ELSE -1 END)
+                             * (1000 * ABS((ssrp - ssr1 - ssr2)
+                                           * (np - 4))
+                                // ((ssr1 + ssr2) * 2))
+                        ELSE -1 END AS BIGINT) AS f_milli
+            FROM ss, sp
+        """,
+        "keyspace_contiguity_audit": """
+            SELECT * FROM (
+              SELECT 'documents' AS tbl,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                         AS n_distinct,
+                     CAST(MIN(doc_id) AS BIGINT) AS min_id,
+                     CAST(MAX(doc_id) AS BIGINT) AS max_id,
+                     CAST(MAX(doc_id) - MIN(doc_id) + 1
+                          - COUNT(DISTINCT doc_id) AS BIGINT)
+                         AS n_holes,
+                     CAST(COUNT(*) - COUNT(DISTINCT doc_id)
+                          AS BIGINT) AS n_dups
+              FROM documents
+              UNION ALL
+              SELECT 'events', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(DISTINCT event_id) AS BIGINT),
+                     CAST(MIN(event_id) AS BIGINT),
+                     CAST(MAX(event_id) AS BIGINT),
+                     CAST(MAX(event_id) - MIN(event_id) + 1
+                          - COUNT(DISTINCT event_id) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(DISTINCT event_id)
+                          AS BIGINT)
+              FROM events
+              UNION ALL
+              SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+                     CAST(MIN(o_orderkey) AS BIGINT),
+                     CAST(MAX(o_orderkey) AS BIGINT),
+                     CAST(MAX(o_orderkey) - MIN(o_orderkey) + 1
+                          - COUNT(DISTINCT o_orderkey) AS BIGINT),
+                     CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                          AS BIGINT)
+              FROM orders)
+            ORDER BY tbl
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

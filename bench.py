@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "lang_token_simpson", "orders_regression_to_mean",
     "lineitem_did_discount", "events_two_way_anova",
     "lineitem_capability_index", "orders_theil_u2",
+    "orders_chow_break", "keyspace_contiguity_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

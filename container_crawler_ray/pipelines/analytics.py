@@ -12683,3 +12683,107 @@ def orders_theil_u2(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(n, u2sq_bps, u2_milli)],
                         columns=["n_forecasts", "u2sq_bps",
                                  "u2_milli"]).astype("int64")
+
+
+def orders_chow_break(sf_dir: str) -> pd.DataFrame:
+    """CHOW STRUCTURAL-BREAK TEST on the daily revenue trend — the
+    parametric companion to the changepoint scan: fit the simple
+    time-trend regression on the full span and on each calendar
+    half, and ask whether two lines beat one. Each leg's residual
+    mass enters as the exact Cramer numerator R = (n*Syy - Sy^2)*
+    (n*Sxx - Sx^2) - (n*Sxy - Sx*Sy)^2 FLOORED once through its own
+    denominator (ssr = R // BigX, documented), and F closes as the
+    sign-safe integer division 1000*|(ssrp - ssr1 - ssr2)*(n-4)| //
+    ((ssr1 + ssr2)*2). Daily revenue floors to KILO-DOLLAR units so
+    every product stays inside HUGEINT (Python bigints on the
+    driver). Day index is offset to the span start on both sides.
+    Per-block daily partials — ZERO shuffle, NO float."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("dy", as_index=False)["rev"].sum()
+             .sort_values("dy"))
+    dy = parts["dy"].to_numpy(np.int64)
+    d0 = int(dy.min())
+    x_all = [int(d) - d0 for d in dy]
+    y_all = [int(v) // 100_000 for v in parts["rev"]]
+    mid = (d0 + int(dy.max())) // 2 - d0
+
+    def moments(xs, ys):
+        n = len(xs)
+        sx = sum(xs)
+        sy = sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        bigx = n * sxx - sx * sx
+        r = (n * syy - sy * sy) * bigx - (n * sxy - sx * sy) ** 2
+        return n, bigx, r
+
+    np_, xp, rp = moments(x_all, y_all)
+    h1 = [(a, b) for a, b in zip(x_all, y_all) if a <= mid]
+    h2 = [(a, b) for a, b in zip(x_all, y_all) if a > mid]
+    n1, x1, r1 = moments([a for a, _ in h1], [b for _, b in h1])
+    n2, x2, r2 = moments([a for a, _ in h2], [b for _, b in h2])
+    ssrp = rp // xp if xp > 0 else 0
+    ssr1 = r1 // x1 if x1 > 0 else 0
+    ssr2 = r2 // x2 if x2 > 0 else 0
+    num = (ssrp - ssr1 - ssr2) * (np_ - 4)
+    den = (ssr1 + ssr2) * 2
+    if den > 0:
+        sgn = 1 if num >= 0 else -1
+        f_milli = sgn * (1000 * abs(num) // den)
+    else:
+        f_milli = -1
+    return pd.DataFrame([(np_, n1, n2, mid + d0, f_milli)],
+                        columns=["n_days", "n_h1", "n_h2",
+                                 "break_dy", "f_milli"]) \
+        .astype("int64")
+
+
+def keyspace_contiguity_audit(sf_dir: str) -> pd.DataFrame:
+    """KEYSPACE CONTIGUITY audit across the three event-sourced id
+    columns — the before-you-shard sanity check that catches silent
+    row loss and duplicate ingestion in one pass per table: rows,
+    distinct ids, min/max, the hole count (span minus distinct) and
+    the duplicate count (rows minus distinct), all exact integers
+    from per-block (count, distinct-via-unique, min, max) partials
+    merged on the driver (distinct folds exactly because each
+    block's unique set is re-deduped globally at id cardinality only
+    when blocks disagree — here via a value-level fold). NO float;
+    ZERO row shuffle beyond the id-level fold."""
+    rows = []
+    for table, col in (("documents", "doc_id"), ("events", "event_id"),
+                       ("orders", "o_orderkey")):
+        ds = _read(sf_dir, table, columns=[col])
+
+        def partial(t: pa.Table, c=col) -> pa.Table:
+            v = t.column(c).to_numpy().astype(np.int64)
+            u, cnt = np.unique(v, return_counts=True)
+            return pa.table({"id": pa.array(u),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        g = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby("id", as_index=False)["n"].sum())
+        n = int(g["n"].sum())
+        nd = len(g)
+        mn = int(g["id"].min())
+        mx = int(g["id"].max())
+        rows.append((table, n, nd, mn, mx, mx - mn + 1 - nd, n - nd))
+    return pd.DataFrame(rows, columns=[
+        "tbl", "n_rows", "n_distinct", "min_id", "max_id",
+        "n_holes", "n_dups"]).astype(
+        {c: "int64" for c in ("n_rows", "n_distinct", "min_id",
+                              "max_id", "n_holes", "n_dups")})

@@ -171,6 +171,7 @@ def test_entry_smoke(entrymod):
     "lang_token_simpson", "orders_regression_to_mean",
     "lineitem_did_discount", "events_two_way_anova",
     "lineitem_capability_index", "orders_theil_u2",
+    "orders_chow_break", "keyspace_contiguity_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
