@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_chow_break": analytics.orders_chow_break,
         "keyspace_contiguity_audit":
             analytics.keyspace_contiguity_audit,
+        "vocab_oov_transfer": text_ops.vocab_oov_transfer,
+        "media_frame_coverage": media.media_frame_coverage,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8462,6 +8464,57 @@ def oracle_sql() -> dict[str, str]:
                           AS BIGINT)
               FROM orders)
             ORDER BY tbl
+        """,
+        "vocab_oov_transfer": """
+            WITH tr AS (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents WHERE doc_id % 2 = 0),
+            tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+                   FROM tr WHERE tok <> '' GROUP BY 1),
+            v AS (SELECT tok, f FROM tf
+                  QUALIFY ROW_NUMBER() OVER (ORDER BY f DESC, tok)
+                          <= 1000),
+            te AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents WHERE doc_id % 2 = 1),
+            ef AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+                   FROM te WHERE tok <> '' GROUP BY 1),
+            st AS (SELECT
+                     (SELECT COUNT(*) FROM v) AS vocab_size,
+                     (SELECT COALESCE(SUM(f), 0) FROM v) AS n_train,
+                     (SELECT COALESCE(SUM(f), 0) FROM ef) AS n_test,
+                     (SELECT COALESCE(SUM(ef.f), 0) FROM ef
+                      JOIN v USING (tok)) AS covered,
+                     (SELECT COUNT(*) FROM ef) AS n_types,
+                     (SELECT COUNT(*) FROM ef JOIN v USING (tok))
+                         AS types_cov)
+            SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+                   CAST(n_train AS BIGINT) AS n_train_tokens,
+                   CAST(n_test AS BIGINT) AS n_test_tokens,
+                   CAST(covered AS BIGINT) AS covered_tokens,
+                   CAST(CASE WHEN n_test > 0 THEN
+                        10000 * (n_test - covered) // n_test
+                        ELSE 0 END AS BIGINT) AS token_oov_bps,
+                   CAST(n_types AS BIGINT) AS n_test_types,
+                   CAST(types_cov AS BIGINT) AS covered_types,
+                   CAST(CASE WHEN n_types > 0 THEN
+                        10000 * (n_types - types_cov) // n_types
+                        ELSE 0 END AS BIGINT) AS type_oov_bps
+            FROM st
+        """,
+        "media_frame_coverage": """
+            WITH h AS (SELECT 8 + CAST(('0x' || substr(md5(text),
+                                                       1, 15))
+                                       AS BIGINT) % 24 AS nf
+                       FROM documents),
+            g AS (SELECT nf, CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM h GROUP BY 1),
+            c AS (SELECT nf, n_docs, (nf + 3) // 4 AS step FROM g),
+            f AS (SELECT nf, n_docs,
+                         (nf + step - 1) // step AS spd
+                  FROM c)
+            SELECT CAST(nf AS BIGINT) AS n_frames, n_docs,
+                   CAST(spd AS BIGINT) AS sampled_per_doc,
+                   CAST(10000 * spd // nf AS BIGINT) AS coverage_bps
+            FROM f ORDER BY n_frames
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

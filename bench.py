@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "lineitem_did_discount", "events_two_way_anova",
     "lineitem_capability_index", "orders_theil_u2",
     "orders_chow_break", "keyspace_contiguity_audit",
+    "vocab_oov_transfer", "media_frame_coverage",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -369,3 +369,53 @@ def media_phash_near_pairs(sf_dir: str) -> pd.DataFrame:
                         columns=["n_docs", "n_candidate_pairs",
                                  "n_ham_le8", "n_ham_le16",
                                  "min_hamming"]).astype("int64")
+
+
+def media_frame_coverage(sf_dir: str) -> pd.DataFrame:
+    """FRAME-SAMPLING COVERAGE audit — what share of each video's
+    frames the every-ceil(n/4)-th sampler actually touches, grouped
+    by the clip's frame count: the sampled-frame counts come from
+    the REAL actor-pool ``MediaFrameSampler`` output (one row per
+    sampled frame), the per-doc frame totals re-derive from the same
+    deterministic md5 the stage uses, and the census reports docs,
+    per-doc sampled frames and coverage in exact bps per frame-count
+    level — pure integers; the twin reproduces the md5 arithmetic
+    verbatim."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    frames = ds.map_batches(_to_payload, batch_format="pyarrow") \
+        .map_batches(MediaFrameSampler, batch_format="pyarrow",
+                     batch_size=256, concurrency=(1, 8))
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        u, c = np.unique(did, return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "sampled": pa.array(c.astype(np.int64))})
+
+    samp = (frames.map_batches(count_rows, batch_format="pyarrow")
+            .to_pandas().groupby("doc_id", as_index=False)["sampled"]
+            .sum())
+
+    def nframes(t: pa.Table) -> pa.Table:
+        import hashlib
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        nf = np.array([8 + int(hashlib.md5(s.encode()).hexdigest()
+                               [:15], 16) % 24
+                       for s in t.column("text").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"doc_id": pa.array(did),
+                         "nf": pa.array(nf)})
+
+    tot = ds.map_batches(nframes, batch_format="pyarrow").to_pandas()
+    j = samp.merge(tot, on="doc_id")
+    rows = []
+    for nf, g in j.groupby("nf"):
+        n_docs = len(g)
+        spd = int(g["sampled"].to_numpy(np.int64)[0])
+        rows.append((int(nf), n_docs, spd,
+                     10_000 * spd // int(nf)))
+    rows.sort()
+    return pd.DataFrame(rows, columns=[
+        "n_frames", "n_docs", "sampled_per_doc", "coverage_bps"]) \
+        .astype("int64")

@@ -713,3 +713,65 @@ def token_head_tail_ladder(sf_dir: str, levels: int = 4) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "level", "thr_milli", "n_tokens_level", "n_head",
         "head_share_bps", "mass_share_bps"]).astype("int64")
+
+
+def vocab_oov_transfer(sf_dir: str, k: int = 1000) -> pd.DataFrame:
+    """HELD-OUT OOV TRANSFER audit — the question a tokenizer vocab
+    actually has to answer: does the top-k vocabulary built on HALF
+    the corpus (even doc_ids) still cover the other half? Phase 1
+    folds train-token frequencies and fixes the vocab under the
+    exact (freq desc, token asc) total order; phase 2 re-streams the
+    odd-doc tokens against the broadcast vocab set and reports token
+    and type coverage with OOV rates in exact bps — pure integers
+    end to end, the two-phase split inherent to the held-out
+    design."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def counts(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").to_numpy().astype(np.int64)
+            toks = []
+            for d, s in zip(did, t.column("text").to_pylist()):
+                if d % 2 == parity:
+                    toks.extend(s.split())
+            if not toks:
+                return pa.table({"tok": pa.array([], type=pa.string()),
+                                 "f": pa.array([], type=pa.int64())})
+            u, c = np.unique(np.array(toks, dtype=object),
+                             return_counts=True)
+            return pa.table({"tok": pa.array(u, type=pa.string()),
+                             "f": pa.array(c.astype(np.int64))})
+        return fn
+
+    train = (ds.map_batches(counts(0), batch_format="pyarrow")
+             .to_pandas().groupby("tok", as_index=False)["f"].sum())
+    train = train.sort_values(["f", "tok"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+    vocab = set(train["tok"])
+    n_train = int(train["f"].sum())
+
+    test = (ds.map_batches(counts(1), batch_format="pyarrow")
+            .to_pandas().groupby("tok", as_index=False)["f"].sum())
+    n_test = int(test["f"].sum())
+    in_v = test["tok"].isin(vocab)
+    covered = int(test.loc[in_v, "f"].sum())
+    n_types = len(test)
+    types_cov = int(in_v.sum())
+    return pd.DataFrame([(len(vocab), n_train, n_test, covered,
+                          10_000 * (n_test - covered) // n_test
+                          if n_test else 0,
+                          n_types, types_cov,
+                          10_000 * (n_types - types_cov) // n_types
+                          if n_types else 0)],
+                        columns=["vocab_size", "n_train_tokens",
+                                 "n_test_tokens", "covered_tokens",
+                                 "token_oov_bps", "n_test_types",
+                                 "covered_types", "type_oov_bps"]) \
+        .astype("int64")
