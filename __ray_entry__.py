@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.keyspace_contiguity_audit,
         "vocab_oov_transfer": text_ops.vocab_oov_transfer,
         "media_frame_coverage": media.media_frame_coverage,
+        "embedding_knn_loo_accuracy": ann.embedding_knn_loo_accuracy,
+        "q6_sensitivity_grid": joins.q6_sensitivity_grid,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
         "q20_dominant_suppliers": joins.q20_dominant_suppliers,
@@ -8515,6 +8517,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(spd AS BIGINT) AS sampled_per_doc,
                    CAST(10000 * spd // nf AS BIGINT) AS coverage_bps
             FROM f ORDER BY n_frames
+        """,
+        "embedding_knn_loo_accuracy": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 4 = 0),
+            top AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       CAST(FLOOR(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) * 10000)
+                           AS BIGINT) AS sim_bp
+                FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+              QUALIFY row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY sim_bp DESC, neighbor_id) <= 1),
+            j AS (SELECT ql.label AS qlab, nl.label AS nlab
+                  FROM top
+                  JOIN embeddings ql ON ql.vec_id = top.query_id
+                  JOIN embeddings nl ON nl.vec_id = top.neighbor_id),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq,
+                          COALESCE(SUM(CASE WHEN qlab = nlab THEN 1
+                                       ELSE 0 END), 0) AS corr
+                   FROM j),
+            mj AS (SELECT qlab AS lab, COUNT(*) AS c FROM j
+                   GROUP BY 1 ORDER BY c DESC, lab LIMIT 1)
+            SELECT nq AS n_queries,
+                   CAST(corr AS BIGINT) AS n_correct,
+                   CAST(10000 * corr // nq AS BIGINT) AS acc_bps,
+                   CAST(mj.lab AS BIGINT) AS majority_label,
+                   CAST(10000 * mj.c // nq AS BIGINT)
+                       AS majority_baseline_bps
+            FROM st, mj
+        """,
+        "q6_sensitivity_grid": """
+            WITH b AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                              AS d,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                              CAST(FLOOR(l_extendedprice * l_discount
+                                         * 100) AS BIGINT) AS rev
+                       FROM lineitem),
+            grid AS (SELECT unnest([4, 4, 4, 5, 5, 5, 6, 6, 6])
+                                AS lo,
+                            unnest([6, 6, 6, 7, 7, 7, 8, 8, 8])
+                                AS hi,
+                            unnest([24, 50, 300, 24, 50, 300,
+                                    24, 50, 300]) AS cap)
+            SELECT CAST(lo AS BIGINT) AS disc_lo_pct,
+                   CAST(hi AS BIGINT) AS disc_hi_pct,
+                   CAST(cap AS BIGINT) AS qty_cap,
+                   CAST(COALESCE(SUM(CASE WHEN d >= lo AND d <= hi
+                                          AND q < cap
+                                     THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_lines,
+                   CAST(COALESCE(SUM(CASE WHEN d >= lo AND d <= hi
+                                          AND q < cap
+                                     THEN rev ELSE 0 END), 0)
+                        AS BIGINT) AS revenue_cents
+            FROM grid, b GROUP BY lo, hi, cap
+            ORDER BY disc_lo_pct, qty_cap
         """,
         "lineitem_zorder_layout": """
             WITH base AS (SELECT l_partkey & 65535 AS a0,

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "lineitem_capability_index", "orders_theil_u2",
     "orders_chow_break", "keyspace_contiguity_audit",
     "vocab_oov_transfer", "media_frame_coverage",
+    "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

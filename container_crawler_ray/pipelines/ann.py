@@ -654,3 +654,42 @@ def embedding_hubness_audit(sf_dir: str, k: int = 5,
                                  "n_zero_occ", "n_occ_1_4",
                                  "n_occ_5_9", "n_occ_10p", "max_occ",
                                  "hub_vec_id"]).astype("int64")
+
+
+def embedding_knn_loo_accuracy(sf_dir: str, stride: int = 4) \
+        -> pd.DataFrame:
+    """1-NN LEAVE-ONE-OUT label accuracy — the oldest honest test of
+    whether an embedding space separates its classes: every
+    ``stride``-th vector queries the full corpus (self excluded)
+    through the shared broadcast brute-force kernel, its single
+    nearest neighbor under the exact (sim desc, id asc) tie rule
+    votes a label, and accuracy reports in exact bps against the
+    majority-class baseline (the lift a classifier must beat). Pure
+    integer closing arithmetic; labels ride a driver-side dimension
+    LUT, the scoring pass is the one documented matmul per block."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    vids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    labels = tbl.column("label").to_numpy().astype(np.int64)
+    lab = np.zeros(vids.max() + 1, dtype=np.int64)
+    lab[vids] = labels
+    mat = list_col_to_matrix(tbl.column("embedding"))
+    sel = vids % stride == 0
+    qref = ray.put((vids[sel], normalize_rows(mat[sel])))
+    local = _read_embeddings(sf_dir).map_batches(
+        make_bruteforce_fn(qref, 1), batch_format="pyarrow").to_pandas()
+    top = _global_topk(local, 1)
+    q_lab = lab[top["query_id"].to_numpy(np.int64)]
+    n_lab = lab[top["neighbor_id"].to_numpy(np.int64)]
+    n_q = len(top)
+    correct = int((q_lab == n_lab).sum())
+    u, c = np.unique(q_lab, return_counts=True)
+    order = np.lexsort((u, -c))
+    maj_label = int(u[order[0]])
+    maj = int(c[order[0]])
+    return pd.DataFrame([(n_q, correct, 10_000 * correct // n_q,
+                          maj_label, 10_000 * maj // n_q)],
+                        columns=["n_queries", "n_correct", "acc_bps",
+                                 "majority_label",
+                                 "majority_baseline_bps"]) \
+        .astype("int64")

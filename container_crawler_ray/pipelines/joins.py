@@ -3734,3 +3734,54 @@ def nation_flow_stdres(sf_dir: str) -> pd.DataFrame:
         "dev_num", "stdres_milli"])
     df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df.astype("int64")
+
+
+def q6_sensitivity_grid(sf_dir: str) -> pd.DataFrame:
+    """WHAT-IF GRID around the Q6 revenue predicate — the parameter
+    sensitivity sweep an analyst runs before trusting a single-point
+    answer: Q6-style discounted revenue over the 3x3 grid of
+    discount windows (4-6 / 5-7 / 6-8 percent) x quantity caps
+    (24 / 50 / 300), every cell an exact integer cents sum folded
+    from ONE pass over the fact table (each block evaluates all nine
+    vectorized predicates and emits one 9-cell partial — the grid
+    costs one scan, not nine). NO float, ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_quantity", "l_extendedprice"])
+    discs = ((4, 6), (5, 7), (6, 8))
+    caps = (24, 50, 300)
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        qty = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        cells, ns, sums = [], [], []
+        i = 0
+        for lo, hi in discs:
+            for cap in caps:
+                m = (disc >= lo) & (disc <= hi) & (qty < cap)
+                cells.append(i)
+                ns.append(int(m.sum()))
+                sums.append(int(rev[m].sum()))
+                i += 1
+        return pa.table({
+            "cell": pa.array(np.array(cells, dtype=np.int64)),
+            "n": pa.array(np.array(ns, dtype=np.int64)),
+            "s": pa.array(np.array(sums, dtype=np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell", as_index=False).sum()
+           .sort_values("cell"))
+    rows = []
+    for i in range(9):
+        lo, hi = discs[i // 3]
+        cap = caps[i % 3]
+        g = agg[agg["cell"] == i]
+        rows.append((lo, hi, cap, int(g["n"].iloc[0]),
+                     int(g["s"].iloc[0])))
+    return pd.DataFrame(rows, columns=[
+        "disc_lo_pct", "disc_hi_pct", "qty_cap", "n_lines",
+        "revenue_cents"]).astype("int64")

@@ -173,6 +173,7 @@ def test_entry_smoke(entrymod):
     "lineitem_capability_index", "orders_theil_u2",
     "orders_chow_break", "keyspace_contiguity_audit",
     "vocab_oov_transfer", "media_frame_coverage",
+    "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
