@@ -371,6 +371,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_transfer": text_ops.vocab_oov_transfer,
         "media_frame_coverage": media.media_frame_coverage,
         "embedding_knn_loo_accuracy": ann.embedding_knn_loo_accuracy,
+        "orders_weekly_periodogram":
+            analytics.orders_weekly_periodogram,
+        "lineitem_energy_distance":
+            analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
         "purchase_attribution": joins.purchase_attribution,
         "q16_supplier_breadth": joins.q16_supplier_breadth,
@@ -8517,6 +8521,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(spd AS BIGINT) AS sampled_per_doc,
                    CAST(10000 * spd // nf AS BIGINT) AS coverage_bps
             FROM f ORDER BY n_frames
+        """,
+        "orders_weekly_periodogram": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT MIN(dy) AS dmin,
+                         ((MAX(dy) - MIN(dy) + 1) // 7) * 7 AS n
+                  FROM d),
+            x AS (SELECT dy - dmin AS d0,
+                         CAST(rev // 100000 AS HUGEINT) AS xv
+                  FROM d, w WHERE dy - dmin < n),
+            tot AS (SELECT w.n AS n, w.n // 7 AS wk,
+                           (SELECT SUM(xv) FROM x) AS sx,
+                           (SELECT COUNT(*) FROM x) AS nobs
+                    FROM w),
+            ssy AS (SELECT (SELECT SUM((n * xv - sx) * (n * xv - sx))
+                            FROM x, tot) +
+                           (SELECT (n - nobs) * sx * sx FROM tot)
+                               AS ss),
+            lat AS (SELECT * FROM (VALUES
+                (1, 0, 1000000, 0), (1, 1, 623489, 781831),
+                (1, 2, -222521, 974927), (1, 3, -900969, 433883),
+                (1, 4, -900969, -433884), (1, 5, -222521, -974928),
+                (1, 6, 623489, -781832),
+                (2, 0, 1000000, 0), (2, 1, -222521, 974927),
+                (2, 2, -900969, -433884), (2, 3, 623489, -781832),
+                (2, 4, 623489, 781831), (2, 5, -900969, 433883),
+                (2, 6, -222521, -974928),
+                (3, 0, 1000000, 0), (3, 1, -900969, 433883),
+                (3, 2, 623489, -781832), (3, 3, -222521, 974927),
+                (3, 4, -222521, -974928), (3, 5, 623489, 781831),
+                (3, 6, -900969, -433884)) AS t(k, j, cl, sl)),
+            res AS (SELECT d0 % 7 AS j, SUM(xv) AS xj FROM x
+                    GROUP BY 1),
+            rj AS (SELECT g.j,
+                          tot.n * COALESCE(res.xj, 0)
+                              - tot.wk * tot.sx AS r
+                   FROM (SELECT DISTINCT j FROM lat) g
+                   LEFT JOIN res ON res.j = g.j, tot),
+            ck AS (SELECT lat.k,
+                          SUM(rj.r * lat.cl) AS c,
+                          SUM(rj.r * lat.sl) AS s
+                   FROM lat JOIN rj ON rj.j = lat.j GROUP BY 1),
+            pk AS (SELECT k, c * c + s * s AS p FROM ck),
+            fin AS (SELECT
+                (SELECT p FROM pk WHERE k = 1) AS p1,
+                (SELECT p FROM pk WHERE k = 2) AS p2,
+                (SELECT p FROM pk WHERE k = 3) AS p3,
+                (SELECT k FROM pk ORDER BY p DESC, k LIMIT 1)
+                    AS peak,
+                CAST(1000000000000 AS HUGEINT) * n * ss AS den,
+                n, wk
+                FROM tot, ssy)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(wk AS BIGINT) AS n_weeks,
+                   CAST(10000 * 2 * p1 // den AS BIGINT) AS p1_bps,
+                   CAST(10000 * 2 * p2 // den AS BIGINT) AS p2_bps,
+                   CAST(10000 * 2 * p3 // den AS BIGINT) AS p3_bps,
+                   CAST(10000 * 2 * (p1 + p2 + p3) // den AS BIGINT)
+                       AS weekly_share_bps,
+                   CAST(peak AS BIGINT) AS peak_k
+            FROM fin
+        """,
+        "lineitem_energy_distance": """
+            WITH h AS (SELECT l_returnflag AS f,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                              CAST(COUNT(*) AS HUGEINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            nn AS (SELECT f, SUM(c) AS n FROM h GROUP BY 1),
+            w AS (SELECT a.f AS fa, b.f AS fb,
+                         SUM(a.c * b.c * ABS(a.q - b.q)) AS s
+                  FROM h a, h b GROUP BY 1, 2),
+            pr AS (SELECT x.fa, x.fb, x.s AS a2,
+                          (SELECT s FROM w
+                           WHERE fa = x.fa AND fb = x.fa) AS b2,
+                          (SELECT s FROM w
+                           WHERE fa = x.fb AND fb = x.fb) AS c2,
+                          na.n AS n1, nb.n AS n2
+                   FROM w x
+                   JOIN nn na ON na.f = x.fa
+                   JOIN nn nb ON nb.f = x.fb
+                   WHERE x.fa < x.fb),
+            fin AS (SELECT fa, fb, n1, n2, a2,
+                           2 * a2 * n1 * n2 - b2 * n2 * n2
+                               - c2 * n1 * n1 AS num
+                    FROM pr)
+            SELECT fa AS flag_a, fb AS flag_b,
+                   CAST(n1 AS BIGINT) AS n_a,
+                   CAST(n2 AS BIGINT) AS n_b,
+                   CAST(1000 * num // (n1 * n1 * n2 * n2) AS BIGINT)
+                       AS e_milli,
+                   CAST(1000 * n1 * n2 * num
+                        // ((n1 + n2) * n1 * n1 * n2 * n2) AS BIGINT)
+                       AS t_milli,
+                   CAST(10000 * num // (2 * a2 * n1 * n2) AS BIGINT)
+                       AS ecoef_bps
+            FROM fin ORDER BY flag_a, flag_b
         """,
         "embedding_knn_loo_accuracy": """
             WITH q AS (SELECT vec_id, embedding FROM embeddings

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "orders_chow_break", "keyspace_contiguity_audit",
     "vocab_oov_transfer", "media_frame_coverage",
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
+    "orders_weekly_periodogram", "lineitem_energy_distance",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

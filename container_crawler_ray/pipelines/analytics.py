@@ -12787,3 +12787,141 @@ def keyspace_contiguity_audit(sf_dir: str) -> pd.DataFrame:
         "n_holes", "n_dups"]).astype(
         {c: "int64" for c in ("n_rows", "n_distinct", "min_id",
                               "max_id", "n_holes", "n_dups")})
+
+
+_WK_COS = np.array([1000000, 623489, -222521, -900969, -900969,
+                    -222521, 623489], dtype=np.int64)
+_WK_SIN = np.array([0, 781831, 974927, 433883, -433884, -974928,
+                    -781832], dtype=np.int64)
+
+
+def orders_weekly_periodogram(sf_dir: str) -> pd.DataFrame:
+    """WEEKLY PERIODOGRAM of the daily revenue series — spectral
+    seasonality on an integer trig lattice: over the longest
+    complete-week window of the zero-gapfilled calendar, each day's
+    kilo-dollar revenue x_d is demeaned EXACTLY as y_d = n*x_d - S
+    (so sum(y)=0 holds in integers, no rational mean is ever
+    formed), residue sums R_j = n*X_j - W*S collapse the DFT at the
+    weekly harmonics k=1..3 to seven terms each, and the power
+    P_k = C_k^2 + S_k^2 folds through the FIXED 7-point lattice
+    floor(1e6*cos/sin(2*pi*j/7)) shared verbatim with the twin so no
+    libm call runs on either side. Per-harmonic and total weekly
+    energy shares close as pure integer bps against the exact
+    Parseval mass n*SS_y*1e12 (SS_y counts every zero-gap day as
+    y=-S, computed without materializing the grid). Kilo-dollar
+    units keep every square inside HUGEINT; Python bigints on the
+    driver. Per-block daily partials — ZERO shuffle, NO float."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("dy", as_index=False)["rev"].sum())
+    dy = agg["dy"].to_numpy(np.int64)
+    rv = agg["rev"].to_numpy(np.int64)
+    dmin = int(dy.min())
+    weeks = (int(dy.max()) - dmin + 1) // 7
+    n = 7 * weeks
+    sel = (dy - dmin) < n
+    d0 = (dy[sel] - dmin).astype(np.int64)
+    xv = (rv[sel] // 100_000).astype(np.int64)      # kilo-dollars
+    s = int(xv.sum())
+    n_obs = len(xv)
+    ssy = sum((n * int(x) - s) ** 2 for x in xv) \
+        + (n - n_obs) * s * s
+    xj = np.zeros(7, dtype=object)
+    for j, x in zip(d0 % 7, xv):
+        xj[j] += int(x)
+    r = [n * int(xj[j]) - weeks * s for j in range(7)]
+    p = {}
+    for k in (1, 2, 3):
+        ck = sum(r[j] * int(_WK_COS[(k * j) % 7]) for j in range(7))
+        sk = sum(r[j] * int(_WK_SIN[(k * j) % 7]) for j in range(7))
+        p[k] = ck * ck + sk * sk
+    den = 10 ** 12 * n * ssy
+    p_bps = {k: 10_000 * 2 * p[k] // den for k in p}
+    share = 10_000 * 2 * (p[1] + p[2] + p[3]) // den
+    peak = max((1, 2, 3), key=lambda k: (p[k], -k))
+    return pd.DataFrame([(n, weeks, p_bps[1], p_bps[2], p_bps[3],
+                          share, peak)],
+                        columns=["n_days", "n_weeks", "p1_bps",
+                                 "p2_bps", "p3_bps",
+                                 "weekly_share_bps", "peak_k"]) \
+        .astype("int64")
+
+
+def lineitem_energy_distance(sf_dir: str) -> pd.DataFrame:
+    """ENERGY-DISTANCE two-sample tests between every pair of return
+    flags on the quantity column — the modern all-moments
+    distribution test (Szekely-Rizzo), run EXACTLY: the bounded
+    1..50 quantity domain turns every pairwise-|X-Y| expectation
+    into a 50x50 histogram cross sum (per-block (flag, qty) bincount
+    partials, constant exchange), so A = sum c1[u]c2[v]|u-v| and the
+    within masses B, C are exact Python bigints, D = 2A/(n1n2) -
+    B/n1^2 - C/n2^2 closes over the single common denominator
+    n1^2*n2^2 with no rational mean ever formed, the Szekely T =
+    n1n2/(n1+n2)*D stays one staged integer division, and the
+    E-coefficient D/(2A/(n1n2)) reports in bps. HUGEINT-safe at
+    bench scale; ZERO shuffle, NO float anywhere."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = np.asarray(t.column("l_returnflag")).astype(object)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(f)
+        pack = code.astype(np.int64) * 64 + q
+        u, cnt = np.unique(pack, return_counts=True)
+        return pa.table({
+            "f": pa.array(np.asarray(uniq, dtype=object)[u // 64],
+                          type=pa.string()),
+            "q": pa.array((u % 64).astype(np.int64)),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["f", "q"], as_index=False)["c"]
+           .sum())
+    flags = sorted(agg["f"].unique())
+    hist = {}
+    for fl in flags:
+        g = agg[agg["f"] == fl]
+        h = np.zeros(51, dtype=np.int64)
+        h[g["q"].to_numpy(np.int64)] = g["c"].to_numpy(np.int64)
+        hist[fl] = h
+
+    def cross(h1, h2):
+        return sum(int(h1[u]) * int(h2[v]) * abs(u - v)
+                   for u in range(51) for v in range(51)
+                   if h1[u] and h2[v])
+
+    rows = []
+    for i in range(len(flags)):
+        for j in range(i + 1, len(flags)):
+            fa, fb = flags[i], flags[j]
+            n1 = int(hist[fa].sum())
+            n2 = int(hist[fb].sum())
+            a2 = cross(hist[fa], hist[fb])
+            b2 = cross(hist[fa], hist[fa])
+            c2 = cross(hist[fb], hist[fb])
+            num = 2 * a2 * n1 * n2 - b2 * n2 * n2 - c2 * n1 * n1
+            den = n1 * n1 * n2 * n2
+            rows.append((fa, fb, n1, n2,
+                         1000 * num // den,
+                         1000 * n1 * n2 * num // ((n1 + n2) * den),
+                         10_000 * num // (2 * a2 * n1 * n2)))
+    return pd.DataFrame(rows, columns=[
+        "flag_a", "flag_b", "n_a", "n_b", "e_milli", "t_milli",
+        "ecoef_bps"]).astype(
+        {c: "int64" for c in ("n_a", "n_b", "e_milli", "t_milli",
+                              "ecoef_bps")})

@@ -174,6 +174,7 @@ def test_entry_smoke(entrymod):
     "orders_chow_break", "keyspace_contiguity_audit",
     "vocab_oov_transfer", "media_frame_coverage",
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
+    "orders_weekly_periodogram", "lineitem_energy_distance",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
