@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_knn_loo_accuracy": ann.embedding_knn_loo_accuracy,
         "orders_weekly_periodogram":
             analytics.orders_weekly_periodogram,
+        "events_cochran_q": analytics.events_cochran_q,
+        "lineitem_hilbert_locality":
+            analytics.lineitem_hilbert_locality,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -8521,6 +8524,157 @@ def oracle_sql() -> dict[str, str]:
                    CAST(spd AS BIGINT) AS sampled_per_doc,
                    CAST(10000 * spd // nf AS BIGINT) AS coverage_bps
             FROM f ORDER BY n_frames
+        """,
+        "events_cochran_q": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(COUNT(*) AS HUGEINT) AS cc
+                       FROM events GROUP BY 1, 2),
+            tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS p,
+                           SUM(cc) AS te FROM c),
+            ut AS (SELECT user_id, event_type FROM c, tot
+                   WHERE cc * p > te),
+            l AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS li
+                  FROM ut GROUP BY 1),
+            g AS (SELECT event_type,
+                         CAST(COUNT(*) AS HUGEINT) AS gj
+                  FROM ut GROUP BY 1),
+            st AS (SELECT (SELECT COUNT(*) FROM l) AS nu,
+                          (SELECT CAST(COUNT(*) AS HUGEINT)
+                           FROM g) AS k,
+                          (SELECT SUM(li) FROM l) AS t,
+                          (SELECT SUM(li * li) FROM l) AS sl2,
+                          (SELECT SUM(gj * gj) FROM g) AS sg2)
+            SELECT CAST(nu AS BIGINT) AS n_users,
+                   CAST(k AS BIGINT) AS n_types,
+                   CAST(t AS BIGINT) AS t_total,
+                   CAST(1000 * (k - 1) * (k * sg2 - t * t)
+                        // (k * t - sl2) AS BIGINT) AS q_milli,
+                   CAST(k - 1 AS BIGINT) AS df
+            FROM st
+        """,
+        "lineitem_hilbert_locality": """
+            WITH cells AS (SELECT DISTINCT
+                               CAST(l_partkey AS BIGINT) % 256 AS a,
+                               CAST(l_suppkey AS BIGINT) % 256 AS b
+                           FROM lineitem),
+            c0 AS (SELECT a, b, a AS x, b AS y, 0 AS d FROM cells),
+
+            h0 AS (SELECT a, b,
+                d + 16384 * xor(3 * ((x // 128) % 2),
+                                (y // 128) % 2) AS d,
+                CASE WHEN (y // 128) % 2 = 0 THEN
+                     CASE WHEN (x // 128) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 128) % 2 = 0 THEN
+                     CASE WHEN (x // 128) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM c0),
+            h1 AS (SELECT a, b,
+                d + 4096 * xor(3 * ((x // 64) % 2),
+                                (y // 64) % 2) AS d,
+                CASE WHEN (y // 64) % 2 = 0 THEN
+                     CASE WHEN (x // 64) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 64) % 2 = 0 THEN
+                     CASE WHEN (x // 64) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h0),
+            h2 AS (SELECT a, b,
+                d + 1024 * xor(3 * ((x // 32) % 2),
+                                (y // 32) % 2) AS d,
+                CASE WHEN (y // 32) % 2 = 0 THEN
+                     CASE WHEN (x // 32) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 32) % 2 = 0 THEN
+                     CASE WHEN (x // 32) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h1),
+            h3 AS (SELECT a, b,
+                d + 256 * xor(3 * ((x // 16) % 2),
+                                (y // 16) % 2) AS d,
+                CASE WHEN (y // 16) % 2 = 0 THEN
+                     CASE WHEN (x // 16) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 16) % 2 = 0 THEN
+                     CASE WHEN (x // 16) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h2),
+            h4 AS (SELECT a, b,
+                d + 64 * xor(3 * ((x // 8) % 2),
+                                (y // 8) % 2) AS d,
+                CASE WHEN (y // 8) % 2 = 0 THEN
+                     CASE WHEN (x // 8) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 8) % 2 = 0 THEN
+                     CASE WHEN (x // 8) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h3),
+            h5 AS (SELECT a, b,
+                d + 16 * xor(3 * ((x // 4) % 2),
+                                (y // 4) % 2) AS d,
+                CASE WHEN (y // 4) % 2 = 0 THEN
+                     CASE WHEN (x // 4) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 4) % 2 = 0 THEN
+                     CASE WHEN (x // 4) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h4),
+            h6 AS (SELECT a, b,
+                d + 4 * xor(3 * ((x // 2) % 2),
+                                (y // 2) % 2) AS d,
+                CASE WHEN (y // 2) % 2 = 0 THEN
+                     CASE WHEN (x // 2) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 2) % 2 = 0 THEN
+                     CASE WHEN (x // 2) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h5),
+            h7 AS (SELECT a, b,
+                d + 1 * xor(3 * ((x // 1) % 2),
+                                (y // 1) % 2) AS d,
+                CASE WHEN (y // 1) % 2 = 0 THEN
+                     CASE WHEN (x // 1) % 2 = 1
+                          THEN 255 - y ELSE y END
+                     ELSE x END AS x,
+                CASE WHEN (y // 1) % 2 = 0 THEN
+                     CASE WHEN (x // 1) % 2 = 1
+                          THEN 255 - x ELSE x END
+                     ELSE y END AS y
+                FROM h6),
+            idx AS (SELECT a, b, d AS hd, a * 256 + b AS rm,
+                           ((a // 1) % 2) * 1 + ((b // 1) % 2) * 2 + ((a // 2) % 2) * 4 + ((b // 2) % 2) * 8 + ((a // 4) % 2) * 16 + ((b // 4) % 2) * 32 + ((a // 8) % 2) * 64 + ((b // 8) % 2) * 128 + ((a // 16) % 2) * 256 + ((b // 16) % 2) * 512 + ((a // 32) % 2) * 1024 + ((b // 32) % 2) * 2048 + ((a // 64) % 2) * 4096 + ((b // 64) % 2) * 8192 + ((a // 128) % 2) * 16384 + ((b // 128) % 2) * 32768 AS zd
+                    FROM h7),
+            u AS (SELECT 'hilbert' AS layout, a, b, hd AS k FROM idx
+                  UNION ALL
+                  SELECT 'rowmajor', a, b, rm FROM idx
+                  UNION ALL
+                  SELECT 'zorder', a, b, zd FROM idx),
+            dd AS (SELECT layout,
+                          ABS(a - LAG(a) OVER w)
+                              + ABS(b - LAG(b) OVER w) AS st
+                   FROM u WINDOW w AS (PARTITION BY layout
+                                       ORDER BY k))
+            SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(COALESCE(SUM(st), 0) AS BIGINT)
+                       AS dilation_total,
+                   CAST(1000 * COALESCE(SUM(st), 0)
+                        // (COUNT(*) - 1) AS BIGINT)
+                       AS dilation_avg_milli
+            FROM dd GROUP BY layout ORDER BY layout
         """,
         "orders_weekly_periodogram": """
             WITH d AS (SELECT datediff('day', DATE '1970-01-01',

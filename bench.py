@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "vocab_oov_transfer", "media_frame_coverage",
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
     "orders_weekly_periodogram", "lineitem_energy_distance",
+    "events_cochran_q", "lineitem_hilbert_locality",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -12925,3 +12925,112 @@ def lineitem_energy_distance(sf_dir: str) -> pd.DataFrame:
         "ecoef_bps"]).astype(
         {c: "int64" for c in ("n_a", "n_b", "e_milli", "t_milli",
                               "ecoef_bps")})
+
+
+def events_cochran_q(sf_dir: str) -> pd.DataFrame:
+    """COCHRAN'S Q — the k-treatment generalization of McNemar on
+    binary outcomes with users as blocks: treatment j is "did this
+    user's (i, j) event count exceed the global mean (user, type)
+    intensity" — decided by the exact cross-multiplied integer
+    compare c_ij * P > T_e (P observed pairs, T_e total events), a
+    bar that stays heterogeneous at every scale where plain
+    incidence saturates — so the blocked design asks whether HEAVY
+    engagement concentrates in some types beyond per-user
+    propensity. Per-block (user, type) count
+    partials collapse the stream through one exchange before the
+    >=2 threshold; with L_i the per-user
+    type count and G_j the per-type user count, Q closes in PURE
+    integers as q_milli = 1000*(k-1)*(k*sum(G^2) - T^2) //
+    (k*T - sum(L^2)) (the identity k*sum((G-T/k)^2) =
+    (k*sum(G^2)-T^2)/k clears the rational mean; all-equal blocks
+    cancel from both sides of the statistic, the classical rule,
+    so no filter is needed). NO float on either side."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "u": t.column("user_id").to_numpy().astype(np.int64),
+            "et": np.asarray(t.column("event_type")).astype(object)})
+        g = df.groupby(["u", "et"], as_index=False).size()
+        return pa.table({"u": pa.array(g["u"].to_numpy(np.int64)),
+                         "et": pa.array(g["et"].to_numpy(object),
+                                        type=pa.string()),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    cnt = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["u", "et"], as_index=False)["c"]
+           .sum())
+    p_obs = len(cnt)
+    t_e = int(cnt["c"].sum())
+    inc = cnt[cnt["c"].to_numpy(np.int64) * p_obs > t_e]
+    li = inc.groupby("u").size().to_numpy(np.int64)
+    gj = inc.groupby("et").size().to_numpy(np.int64)
+    nu = len(li)
+    k = len(gj)
+    t_tot = int(li.sum())
+    sl2 = sum(int(x) * int(x) for x in li)
+    sg2 = sum(int(x) * int(x) for x in gj)
+    q_milli = 1000 * (k - 1) * (k * sg2 - t_tot * t_tot) \
+        // (k * t_tot - sl2)
+    return pd.DataFrame([(nu, k, t_tot, q_milli, k - 1)],
+                        columns=["n_users", "n_types", "t_total",
+                                 "q_milli", "df"]).astype("int64")
+
+
+def lineitem_hilbert_locality(sf_dir: str) -> pd.DataFrame:
+    """SPACE-FILLING-CURVE LAYOUT audit — Hilbert vs Z-order vs
+    row-major clustering of the occupied (partkey & 255,
+    suppkey & 255) cell population: each layout linearizes the
+    256x256 key grid, and its DILATION (total Manhattan distance
+    between consecutive cells in index order; on the full grid the
+    Hilbert curve attains the n-1 optimum, row-major pays the row
+    wrap, Z-order pays the quadrant jumps) measures how well a
+    range scan of the sorted file preserves 2-D key locality — the
+    decision metric for choosing a sort key at 100 TB. Occupied
+    cells arrive as per-block distinct partials (<= 65536 rows
+    total); the full 8-step Hilbert xy->d bit algorithm runs
+    vectorized here and is reproduced step-for-step by the twin's
+    unrolled CTE chain. Pure integers end to end."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("l_partkey").to_numpy().astype(np.int64) & 255
+        b = t.column("l_suppkey").to_numpy().astype(np.int64) & 255
+        u = np.unique(a * 256 + b)
+        return pa.table({"cell": pa.array(u)})
+
+    cells = np.unique(ds.map_batches(partial, batch_format="pyarrow")
+                      .to_pandas()["cell"].to_numpy(np.int64))
+    a = cells // 256
+    b = cells % 256
+    x = a.copy()
+    y = b.copy()
+    hd = np.zeros_like(x)
+    s = 128
+    while s > 0:
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        hd += s * s * ((3 * rx) ^ ry)
+        m0 = ry == 0
+        m1 = m0 & (rx == 1)
+        x2 = np.where(m1, 255 - x, x)
+        y2 = np.where(m1, 255 - y, y)
+        x, y = np.where(m0, y2, x2), np.where(m0, x2, y2)
+        s //= 2
+    zd = np.zeros_like(a)
+    for k in range(8):
+        zd += ((a // (1 << k)) % 2) * (1 << (2 * k)) \
+            + ((b // (1 << k)) % 2) * (1 << (2 * k + 1))
+    rows = []
+    for name, idx in (("hilbert", hd), ("rowmajor", a * 256 + b),
+                      ("zorder", zd)):
+        o = np.argsort(idx)
+        tot = int(np.abs(np.diff(a[o])).sum()
+                  + np.abs(np.diff(b[o])).sum())
+        rows.append((name, len(cells), tot,
+                     1000 * tot // (len(cells) - 1)))
+    return pd.DataFrame(rows, columns=[
+        "layout", "n_cells", "dilation_total",
+        "dilation_avg_milli"]).astype(
+        {c: "int64" for c in ("n_cells", "dilation_total",
+                              "dilation_avg_milli")})

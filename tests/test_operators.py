@@ -175,6 +175,7 @@ def test_entry_smoke(entrymod):
     "vocab_oov_transfer", "media_frame_coverage",
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
     "orders_weekly_periodogram", "lineitem_energy_distance",
+    "events_cochran_q", "lineitem_hilbert_locality",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
