@@ -376,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cochran_q": analytics.events_cochran_q,
         "lineitem_hilbert_locality":
             analytics.lineitem_hilbert_locality,
+        "orders_pettitt_test": analytics.orders_pettitt_test,
+        "events_bowker_symmetry": analytics.events_bowker_symmetry,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9164,5 +9166,53 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_off
             FROM s, UNNEST(range(0, CAST(n_frames AS BIGINT), step))
                  AS u(frame_idx)
+        """,
+        "orders_pettitt_test": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            r AS (SELECT dy,
+                         2 * (RANK() OVER (ORDER BY rev))
+                             + (COUNT(*) OVER (PARTITION BY rev)) - 1
+                             AS r2
+                  FROM d),
+            u AS (SELECT ROW_NUMBER() OVER (ORDER BY dy) AS t, dy,
+                         SUM(r2) OVER (ORDER BY dy
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM r),
+            nn AS (SELECT COUNT(*) AS n FROM d),
+            uv AS (SELECT u.t, u.dy,
+                          ABS(u.cum - u.t * (nn.n + 1)) AS au, nn.n
+                   FROM u, nn WHERE u.t < nn.n),
+            k AS (SELECT n, au, t, dy FROM uv
+                  ORDER BY au DESC, t ASC LIMIT 1)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(au AS BIGINT) AS k_stat,
+                   CAST(t AS BIGINT) AS t_hat,
+                   CAST(dy AS BIGINT) AS dy_hat,
+                   CAST(FLOOR(2.0 * EXP(-(CAST(6 * au * au AS DOUBLE)
+                                / CAST(n * n * n + n * n AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS p_micro
+            FROM k
+        """,
+        "events_bowker_symmetry": """
+            WITH s AS (SELECT event_type AS t,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS f
+                       FROM events),
+            c AS (SELECT f, t, COUNT(*) AS n FROM s
+                  WHERE f IS NOT NULL AND f <> t GROUP BY f, t),
+            p AS (SELECT LEAST(f, t) AS i, GREATEST(f, t) AS j,
+                         SUM(CASE WHEN f < t THEN n ELSE 0 END) AS nij,
+                         SUM(CASE WHEN f > t THEN n ELSE 0 END) AS nji
+                  FROM c GROUP BY 1, 2)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(nij + nji) AS BIGINT) AS n_offdiag,
+                   CAST(SUM(1000 * (nij - nji) * (nij - nji)
+                            // (nij + nji)) AS BIGINT) AS chi2_milli
+            FROM p
         """,
     }

@@ -213,6 +213,7 @@ BENCH_QUERIES = [
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
     "orders_weekly_periodogram", "lineitem_energy_distance",
     "events_cochran_q", "lineitem_hilbert_locality",
+    "orders_pettitt_test", "events_bowker_symmetry",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

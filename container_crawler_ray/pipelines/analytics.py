@@ -13034,3 +13034,83 @@ def lineitem_hilbert_locality(sf_dir: str) -> pd.DataFrame:
         "dilation_avg_milli"]).astype(
         {c: "int64" for c in ("n_cells", "dilation_total",
                               "dilation_avg_milli")})
+
+
+def orders_pettitt_test(sf_dir: str) -> pd.DataFrame:
+    """PETTITT single-changepoint test on the daily revenue series —
+    the rank-based (distribution-free) companion to the Chow break:
+    U_t = sum_{i<=t} 2*midrank_i - t*(n+1) stays a PURE integer by
+    carrying DOUBLED mid-ranks (2*mid = 2*smaller + ties + 1, exact
+    under ties), K = max_{t<n} |U_t| locates the most likely break at
+    the EARLIEST argmax, and the classical significance approximation
+    p ~ 2*exp(-6K^2/(n^3+n^2)) is the single IEEE-order-matched float
+    expression on both sides (integer num/den built first, one
+    divide, one exp, floored to micro units). Per-block daily-revenue
+    partials collapse the stream — ZERO shuffle; the O(n)-day rank
+    pass runs on the calendar-bounded grid, never on rows."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    r = agg["rev"].to_numpy(np.int64)
+    dy = agg["dy"].to_numpy(np.int64)
+    n = len(r)
+    _, inv, counts = np.unique(r, return_inverse=True,
+                               return_counts=True)
+    smaller = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    r2 = 2 * smaller[inv] + counts[inv] + 1
+    u = np.cumsum(r2) - np.arange(1, n + 1, dtype=np.int64) * (n + 1)
+    au = np.abs(u[:-1])
+    k_stat = int(au.max())
+    t_hat = int(np.argmax(au)) + 1
+    num = 6 * k_stat * k_stat
+    den = n ** 3 + n ** 2
+    p_micro = math.floor(
+        2.0 * math.exp(-(float(num) / float(den))) * 1000000.0)
+    return pd.DataFrame(
+        [(n, k_stat, t_hat, int(dy[t_hat - 1]), p_micro)],
+        columns=["n_days", "k_stat", "t_hat", "dy_hat", "p_micro"]) \
+        .astype("int64")
+
+
+def events_bowker_symmetry(sf_dir: str) -> pd.DataFrame:
+    """BOWKER symmetry test on the user-sequence transition matrix —
+    the k-type generalization of McNemar: is traffic between every
+    pair of event types BALANCED (n_ij vs n_ji), or does the session
+    graph have preferred directions? Off-diagonal transition counts
+    come from the shared one-exchange transition kernel
+    (``event_transitions``); each unordered pair folds to chi2's term
+    1000*(n_ij-n_ji)^2 // (n_ij+n_ji) — the numerator is a square so
+    the floor-division is sign-safe and BOTH sides floor per pair
+    before the order-independent integer sum. df = number of occupied
+    unordered pairs. NO float anywhere."""
+    cnt = event_transitions(sf_dir)
+    c = cnt[cnt["from_type"] != cnt["to_type"]].copy()
+    fw = (c["from_type"] < c["to_type"]).to_numpy()
+    c["i"] = np.where(fw, c["from_type"], c["to_type"])
+    c["j"] = np.where(fw, c["to_type"], c["from_type"])
+    nn = c["n"].to_numpy(np.int64)
+    c["nij"] = np.where(fw, nn, 0)
+    c["nji"] = np.where(fw, 0, nn)
+    p = c.groupby(["i", "j"], as_index=False)[["nij", "nji"]].sum()
+    d = p["nij"].to_numpy(np.int64) - p["nji"].to_numpy(np.int64)
+    s = p["nij"].to_numpy(np.int64) + p["nji"].to_numpy(np.int64)
+    chi2_milli = int((1000 * d * d // s).sum())
+    return pd.DataFrame([(len(p), int(s.sum()), chi2_milli)],
+                        columns=["n_pairs", "n_offdiag",
+                                 "chi2_milli"]).astype("int64")

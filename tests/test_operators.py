@@ -176,6 +176,7 @@ def test_entry_smoke(entrymod):
     "embedding_knn_loo_accuracy", "q6_sensitivity_grid",
     "orders_weekly_periodogram", "lineitem_energy_distance",
     "events_cochran_q", "lineitem_hilbert_locality",
+    "orders_pettitt_test", "events_bowker_symmetry",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
