@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.lineitem_hilbert_locality,
         "orders_pettitt_test": analytics.orders_pettitt_test,
         "events_bowker_symmetry": analytics.events_bowker_symmetry,
+        "part_graph_modularity": graph.part_graph_modularity,
+        "events_permutation_entropy":
+            analytics.events_permutation_entropy,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9214,5 +9217,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(1000 * (nij - nji) * (nij - nji)
                             // (nij + nji)) AS BIGINT) AS chi2_milli
             FROM p
+        """,
+        "part_graph_modularity": """
+            WITH s AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_partkey AS pk
+                       FROM lineitem),
+            o AS (SELECT ok, pk,
+                         LAG(pk) OVER (PARTITION BY ok
+                                       ORDER BY ln, pk) AS prev
+                  FROM s),
+            ed AS (SELECT DISTINCT LEAST(pk, prev) AS a,
+                          GREATEST(pk, prev) AS b
+                   FROM o WHERE prev IS NOT NULL AND pk <> prev),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS node FROM ed
+                          UNION ALL SELECT b FROM ed)
+                    GROUP BY 1),
+            nb AS (SELECT p_partkey AS node, p_brand AS brand
+                   FROM part),
+            nd AS (SELECT deg.node, deg.d, nb.brand
+                   FROM deg JOIN nb ON deg.node = nb.node),
+            li AS (SELECT b1.brand, CAST(COUNT(*) AS BIGINT) AS l_in
+                   FROM ed JOIN nb b1 ON ed.a = b1.node
+                           JOIN nb b2 ON ed.b = b2.node
+                   WHERE b1.brand = b2.brand GROUP BY 1),
+            g AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                         CAST(SUM(d) AS BIGINT) AS d_sum
+                  FROM nd GROUP BY 1)
+            SELECT g.brand,
+                   g.n_nodes,
+                   CAST(COALESCE(li.l_in, 0) AS BIGINT) AS l_in,
+                   g.d_sum,
+                   CAST(4 * mm.m * COALESCE(li.l_in, 0)
+                        - g.d_sum * g.d_sum AS BIGINT) AS contrib,
+                   CAST(mm.m AS BIGINT) AS m_edges
+            FROM g LEFT JOIN li ON g.brand = li.brand, mm
+            ORDER BY g.brand
+        """,
+        "events_permutation_entropy": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              COUNT(*) AS c
+                       FROM events GROUP BY 1),
+            w AS (SELECT c AS x1,
+                         LEAD(c, 1) OVER (ORDER BY dy) AS x2,
+                         LEAD(c, 2) OVER (ORDER BY dy) AS x3
+                  FROM d),
+            t AS (SELECT ((CASE WHEN x2 < x1 THEN 1 ELSE 0 END)
+                          + (CASE WHEN x3 < x1 THEN 1 ELSE 0 END)) * 9
+                       + ((CASE WHEN x1 <= x2 THEN 1 ELSE 0 END)
+                          + (CASE WHEN x3 < x2 THEN 1 ELSE 0 END)) * 3
+                       + (CASE WHEN x1 <= x3 THEN 1 ELSE 0 END)
+                       + (CASE WHEN x2 <= x3 THEN 1 ELSE 0 END) AS pat
+                  FROM w WHERE x3 IS NOT NULL),
+            c AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1),
+            grid AS (SELECT unnest([5, 7, 11, 15, 19, 21]) AS pat),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM t)
+            SELECT CAST(grid.pat AS BIGINT) AS pat_code,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                   CAST(10000 * COALESCE(c.n, 0) // tot.t AS BIGINT)
+                       AS share_bps
+            FROM grid LEFT JOIN c ON c.pat = grid.pat, tot
+            ORDER BY pat_code
         """,
     }

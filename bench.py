@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "orders_weekly_periodogram", "lineitem_energy_distance",
     "events_cochran_q", "lineitem_hilbert_locality",
     "orders_pettitt_test", "events_bowker_symmetry",
+    "part_graph_modularity", "events_permutation_entropy",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13114,3 +13114,43 @@ def events_bowker_symmetry(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(len(p), int(s.sum()), chi2_milli)],
                         columns=["n_pairs", "n_offdiag",
                                  "chi2_milli"]).astype("int64")
+
+
+def events_permutation_entropy(sf_dir: str) -> pd.DataFrame:
+    """BANDT-POMPE ordinal-pattern census of the daily event-count
+    series (order 3): each consecutive day triple (x1,x2,x3) over the
+    observed-day sequence is classified into one of the 6 permutation
+    patterns with the STABLE tie rule (equal values rank by time
+    order, i.e. rank_i counts earlier-j ties as smaller) — encoded
+    EXPLICITLY as r1*9+r2*3+r3 with r1=[x2<x1]+[x3<x1],
+    r2=[x1<=x2]+[x3<x2], r3=[x1<=x3]+[x2<=x3], so both sides apply
+    the identical comparison lattice and no sort/argsort semantics
+    can diverge. The 6 valid codes {5,7,11,15,19,21} are gridded in
+    with zero fill; shares in exact integer bps. Monotone-heavy
+    census (codes 5/21) = trending regime; balanced = complex. Daily
+    partials collapse the stream per block — ZERO shuffle; the
+    triple sweep runs on the calendar-sized vector. NO float."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["c"].sum()
+           .sort_values("dy", kind="mergesort"))
+    x = agg["c"].to_numpy(np.int64)
+    x1, x2, x3 = x[:-2], x[1:-1], x[2:]
+    r1 = (x2 < x1).astype(np.int64) + (x3 < x1)
+    r2 = (x1 <= x2).astype(np.int64) + (x3 < x2)
+    r3 = (x1 <= x3).astype(np.int64) + (x2 <= x3)
+    pat = r1 * 9 + r2 * 3 + r3
+    tot = len(pat)
+    cnt = np.bincount(pat, minlength=22).astype(np.int64)
+    codes = np.array([5, 7, 11, 15, 19, 21], dtype=np.int64)
+    n = cnt[codes]
+    return pd.DataFrame({"pat_code": codes, "n": n,
+                         "share_bps": 10000 * n // tot}) \
+        .astype("int64")

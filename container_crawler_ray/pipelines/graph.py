@@ -947,3 +947,62 @@ def part_rich_club(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("n_nodes", "n_edges", "club_size",
                               "club_edges", "phi_bps",
                               "graph_density_bps", "lift_bps")})
+
+
+def part_graph_modularity(sf_dir: str) -> pd.DataFrame:
+    """NEWMAN MODULARITY of the brand partition on the co-purchase
+    graph — "do parts of the same brand ride in the same orders?" —
+    kept EXACT by the cleared-denominator identity 4m^2*Q =
+    sum_c (4m*L_c - D_c^2): per-brand within-community edges L_c and
+    degree mass D_c are plain integers, so each community's signed
+    contribution (positive = denser than the configuration-model
+    expectation) closes with NO float and NO rational ever formed.
+    Edges come from the shared distributed builder
+    (:func:`_build_edges`, one orderkey exchange) + the undirect/
+    distinct exchange; brands are a broadcast part-dimension lookup.
+    The per-brand fold is community-cardinality-sized (25 brands)."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .to_pandas())
+    a = und["a"].to_numpy(np.int64)
+    b = und["b"].to_numpy(np.int64)
+    m = len(a)
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    codes, uniq = pd.factorize(pt["p_brand"], sort=True)
+    lut = np.full(int(pt["p_partkey"].max()) + 1, -1, np.int64)
+    lut[pt["p_partkey"].to_numpy(np.int64)] = codes
+    k = len(uniq)
+    ca, cb = lut[a], lut[b]
+    l_in = np.bincount(ca[ca == cb], minlength=k).astype(np.int64)
+    deg = np.bincount(np.concatenate([a, b]),
+                      minlength=len(lut)).astype(np.int64)
+    nodes = np.flatnonzero(deg > 0)
+    cn = lut[nodes]
+    n_nodes = np.bincount(cn, minlength=k).astype(np.int64)
+    d_sum = np.bincount(cn, weights=deg[nodes],
+                        minlength=k).astype(np.int64)
+    keep = np.flatnonzero(n_nodes > 0)
+    contrib = [4 * m * int(l_in[c]) - int(d_sum[c]) ** 2 for c in keep]
+    return pd.DataFrame({
+        "brand": [str(uniq[c]) for c in keep],
+        "n_nodes": n_nodes[keep], "l_in": l_in[keep],
+        "d_sum": d_sum[keep], "contrib": contrib,
+        "m_edges": m}).astype(
+        {c: "int64" for c in ("n_nodes", "l_in", "d_sum", "contrib",
+                              "m_edges")}) \
+        .sort_values("brand", kind="mergesort").reset_index(drop=True)

@@ -177,6 +177,7 @@ def test_entry_smoke(entrymod):
     "orders_weekly_periodogram", "lineitem_energy_distance",
     "events_cochran_q", "lineitem_hilbert_locality",
     "orders_pettitt_test", "events_bowker_symmetry",
+    "part_graph_modularity", "events_permutation_entropy",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
