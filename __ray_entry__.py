@@ -381,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_graph_modularity": graph.part_graph_modularity,
         "events_permutation_entropy":
             analytics.events_permutation_entropy,
+        "orders_newey_west": analytics.orders_newey_west,
+        "lineitem_discount_rdd": analytics.lineitem_discount_rdd,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9280,5 +9282,103 @@ def oracle_sql() -> dict[str, str]:
                        AS share_bps
             FROM grid LEFT JOIN c ON c.pat = grid.pat, tot
             ORDER BY pat_code
+        """,
+        "orders_newey_west": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE)) AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy,
+                         COALESCE(d.cents, 0) // 100000000 AS x
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS s FROM v),
+            y AS (SELECT dy,
+                         CAST(st.n * x - st.s AS HUGEINT) AS yv
+                  FROM v, st),
+            w AS (SELECT yv,
+                         LEAD(yv, 1) OVER (ORDER BY dy) AS y1,
+                         LEAD(yv, 2) OVER (ORDER BY dy) AS y2,
+                         LEAD(yv, 3) OVER (ORDER BY dy) AS y3,
+                         LEAD(yv, 4) OVER (ORDER BY dy) AS y4,
+                         LEAD(yv, 5) OVER (ORDER BY dy) AS y5,
+                         LEAD(yv, 6) OVER (ORDER BY dy) AS y6,
+                         LEAD(yv, 7) OVER (ORDER BY dy) AS y7
+                  FROM y),
+            gam AS (SELECT SUM(yv * yv) AS g0, SUM(yv * y1) AS g1,
+                           SUM(yv * y2) AS g2, SUM(yv * y3) AS g3,
+                           SUM(yv * y4) AS g4, SUM(yv * y5) AS g5,
+                           SUM(yv * y6) AS g6, SUM(yv * y7) AS g7
+                    FROM w),
+            f AS (SELECT st.n, g0, g1, g2, g3, g4, g5, g6, g7,
+                         8 * g0 + 2 * (7 * g1 + 6 * g2 + 5 * g3
+                                       + 4 * g4 + 3 * g5 + 2 * g6
+                                       + g7) AS lrv,
+                         8 * g0 AS den
+                  FROM gam, st)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(g0 AS BIGINT) AS g0, CAST(g1 AS BIGINT) AS g1,
+                   CAST(g2 AS BIGINT) AS g2, CAST(g3 AS BIGINT) AS g3,
+                   CAST(g4 AS BIGINT) AS g4, CAST(g5 AS BIGINT) AS g5,
+                   CAST(g6 AS BIGINT) AS g6, CAST(g7 AS BIGINT) AS g7,
+                   CAST(lrv AS BIGINT) AS lrv_num,
+                   CAST((CASE WHEN lrv > 0 THEN 1 WHEN lrv < 0 THEN -1
+                         ELSE 0 END) * ((1000 * ABS(lrv)) // den)
+                        AS BIGINT) AS ratio_milli,
+                   CAST(CASE WHEN lrv > 0 THEN
+                        (1000 * CAST(n AS HUGEINT) * den) // lrv
+                        ELSE -1 END AS BIGINT) AS ess_milli
+            FROM f
+        """,
+        "lineitem_discount_rdd": """
+            WITH d AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) // 100 AS y
+                       FROM lineitem
+                       WHERE FLOOR(l_quantity) BETWEEN 15 AND 34),
+            g AS (SELECT (x >= 25) AS side,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                         CAST(SUM(x * y) AS HUGEINT) AS sxy
+                  FROM d GROUP BY 1),
+            s AS (SELECT side, n,
+                         n * sxx - sx * sx AS den,
+                         n * sxy - sx * sy AS nums,
+                         sy * sxx - sx * sxy
+                             + 25 * (n * sxy - sx * sy) AS numv
+                  FROM g),
+            l AS (SELECT * FROM s WHERE NOT side),
+            r AS (SELECT * FROM s WHERE side)
+            SELECT CAST(l.n AS BIGINT) AS n_left,
+                   CAST(r.n AS BIGINT) AS n_right,
+                   CAST((CASE WHEN l.nums > 0 THEN 1
+                         WHEN l.nums < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(l.nums)) // l.den) AS BIGINT)
+                       AS slope_l_milli,
+                   CAST((CASE WHEN r.nums > 0 THEN 1
+                         WHEN r.nums < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(r.nums)) // r.den) AS BIGINT)
+                       AS slope_r_milli,
+                   CAST((CASE WHEN l.numv > 0 THEN 1
+                         WHEN l.numv < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(l.numv)) // l.den) AS BIGINT)
+                       AS v_l_milli,
+                   CAST((CASE WHEN r.numv > 0 THEN 1
+                         WHEN r.numv < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(r.numv)) // r.den) AS BIGINT)
+                       AS v_r_milli,
+                   CAST((CASE WHEN r.numv * l.den - l.numv * r.den > 0
+                         THEN 1
+                         WHEN r.numv * l.den - l.numv * r.den < 0
+                         THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(r.numv * l.den - l.numv * r.den))
+                           // (r.den * l.den)) AS BIGINT) AS jump_milli
+            FROM l, r
         """,
     }

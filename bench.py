@@ -215,6 +215,7 @@ BENCH_QUERIES = [
     "events_cochran_q", "lineitem_hilbert_locality",
     "orders_pettitt_test", "events_bowker_symmetry",
     "part_graph_modularity", "events_permutation_entropy",
+    "orders_newey_west", "lineitem_discount_rdd",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13154,3 +13154,116 @@ def events_permutation_entropy(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"pat_code": codes, "n": n,
                          "share_bps": 10000 * n // tot}) \
         .astype("int64")
+
+
+def orders_newey_west(sf_dir: str) -> pd.DataFrame:
+    """NEWEY-WEST (HAC) long-run variance of the gapfilled daily
+    revenue series at Bartlett bandwidth L=7 — "how much does serial
+    correlation inflate the variance of the daily mean?" — kept EXACT
+    by clearing both rationals: demeaning as y_t = n*x_t - S (so
+    sum(y)=0 with no mean ever formed) and the Bartlett weights
+    1-k/(L+1) cleared by (L+1), giving the pure integer
+    lrv_num = (L+1)*g0 + 2*sum_k (L+1-k)*g_k over the exact
+    autocovariance numerators g_k = sum y_t*y_{t+k}. The inflation
+    ratio and the effective-sample-size ESS = n*(L+1)*g0/lrv_num
+    close as sign-safe integer milli divisions. Revenue folds to
+    mega-dollar units (cents // 10^8) so every square stays far
+    inside int64/HUGEINT at any SF. Per-block daily partials — ZERO
+    shuffle; the lag sweep runs on the calendar-sized vector."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=rev,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["cents"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    vec = np.zeros(hi - lo + 1, dtype=np.int64)
+    vec[days - lo] = agg["cents"].to_numpy(np.int64)
+    x = vec // 100_000_000
+    n = len(x)
+    s = int(x.sum())
+    y = n * x - s
+    big = 8
+    g = [int(np.dot(y, y))] + [int(np.dot(y[:-k], y[k:]))
+                               for k in range(1, big)]
+    lrv_num = big * g[0] + 2 * sum((big - k) * g[k]
+                                   for k in range(1, big))
+    den = big * g[0]
+    sgn = 1 if lrv_num > 0 else (-1 if lrv_num < 0 else 0)
+    ratio_milli = sgn * (1000 * abs(lrv_num) // den)
+    ess_milli = 1000 * n * den // lrv_num if lrv_num > 0 else -1
+    row = [n] + g + [lrv_num, ratio_milli, ess_milli]
+    return pd.DataFrame([row], columns=(
+        ["n_days"] + [f"g{k}" for k in range(big)]
+        + ["lrv_num", "ratio_milli", "ess_milli"])).astype("int64")
+
+
+def lineitem_discount_rdd(sf_dir: str) -> pd.DataFrame:
+    """REGRESSION DISCONTINUITY at the quantity cutoff c=25 with
+    bandwidth 10 (qty in [15,34]) — does line revenue JUMP at the
+    bulk threshold beyond what the local linear trend explains? Two
+    exact Cramer OLS fits of dollar revenue on quantity, one per
+    side; the fitted value AT the cutoff per side is the single
+    rational (Sy*Sxx - Sx*Sxy + c*(n*Sxy - Sx*Sy)) / (n*Sxx - Sx^2)
+    and the jump closes fully cross-multiplied over the product
+    denominator — Python bigints here, HUGEINT in the twin, every
+    division a sign-normalized integer floor. Five constant moment
+    cells per side per block — ZERO shuffle, no float anywhere."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()).astype(np.int64)
+        yd = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64) // 100
+        m = (q >= 15) & (q <= 34)
+        q, yd = q[m], yd[m]
+        side = (q >= 25).astype(np.int64)
+        out = np.zeros((2, 5), dtype=np.int64)
+        for sd in (0, 1):
+            mm = side == sd
+            qq, yy = q[mm], yd[mm]
+            out[sd] = (len(qq), qq.sum(), yy.sum(),
+                       int((qq * qq).sum()), int((qq * yy).sum()))
+        return pa.table({"side": pa.array(np.arange(2, dtype=np.int64)),
+                         "n": pa.array(out[:, 0]),
+                         "sx": pa.array(out[:, 1]),
+                         "sy": pa.array(out[:, 2]),
+                         "sxx": pa.array(out[:, 3]),
+                         "sxy": pa.array(out[:, 4])})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("side").sum())
+
+    def fit(sd):
+        n, sx, sy, sxx, sxy = (int(agg.loc[sd, c]) for c in
+                               ("n", "sx", "sy", "sxx", "sxy"))
+        den = n * sxx - sx * sx
+        nums = n * sxy - sx * sy
+        numv = sy * sxx - sx * sxy + 25 * nums
+        return n, den, nums, numv
+
+    def sdiv(num, den, scale=1000):
+        sgn = 1 if num > 0 else (-1 if num < 0 else 0)
+        return sgn * (scale * abs(num) // den)
+
+    nl, denl, numsl, numvl = fit(0)
+    nr, denr, numsr, numvr = fit(1)
+    jump = sdiv(numvr * denl - numvl * denr, denr * denl)
+    return pd.DataFrame([(nl, nr, sdiv(numsl, denl), sdiv(numsr, denr),
+                          sdiv(numvl, denl), sdiv(numvr, denr), jump)],
+                        columns=["n_left", "n_right", "slope_l_milli",
+                                 "slope_r_milli", "v_l_milli",
+                                 "v_r_milli", "jump_milli"]) \
+        .astype("int64")

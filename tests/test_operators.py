@@ -178,6 +178,7 @@ def test_entry_smoke(entrymod):
     "events_cochran_q", "lineitem_hilbert_locality",
     "orders_pettitt_test", "events_bowker_symmetry",
     "part_graph_modularity", "events_permutation_entropy",
+    "orders_newey_west", "lineitem_discount_rdd",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
