@@ -383,6 +383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_permutation_entropy,
         "orders_newey_west": analytics.orders_newey_west,
         "lineitem_discount_rdd": analytics.lineitem_discount_rdd,
+        "events_allan_variance": analytics.events_allan_variance,
+        "lineitem_zonemap_pruning":
+            analytics.lineitem_zonemap_pruning,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9380,5 +9383,93 @@ def oracle_sql() -> dict[str, str]:
                         * ((1000 * ABS(r.numv * l.den - l.numv * r.den))
                            // (r.den * l.den)) AS BIGINT) AS jump_milli
             FROM l, r
+        """,
+        "events_allan_variance": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy - rng.mn AS i, COALESCE(d.c, 0) AS c
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy, rng),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            taus AS (SELECT unnest([1, 2, 4, 8]) AS tau),
+            w AS (SELECT taus.tau, v.i // taus.tau AS wi,
+                         SUM(v.c) AS wsum
+                  FROM v, taus, nn
+                  WHERE v.i // taus.tau < nn.n // taus.tau
+                  GROUP BY 1, 2),
+            dd AS (SELECT tau,
+                          wsum - LAG(wsum) OVER (PARTITION BY tau
+                                                 ORDER BY wi) AS dw
+                   FROM w),
+            agg AS (SELECT tau,
+                           CAST(SUM(CAST(dw AS HUGEINT) * dw)
+                                AS BIGINT) AS num
+                    FROM dd WHERE dw IS NOT NULL GROUP BY 1)
+            SELECT CAST(taus.tau AS BIGINT) AS tau,
+                   CAST(nn.n // taus.tau AS BIGINT) AS m_windows,
+                   CAST(CASE WHEN nn.n // taus.tau >= 2
+                        THEN agg.num ELSE 0 END AS BIGINT)
+                       AS sum_sq_diff,
+                   CAST(CASE WHEN nn.n // taus.tau >= 2 THEN
+                        1000 * agg.num
+                        // (2 * (nn.n // taus.tau - 1)
+                            * taus.tau * taus.tau)
+                        ELSE -1 END AS BIGINT) AS avar_milli
+            FROM taus LEFT JOIN agg ON agg.tau = taus.tau, nn
+            ORDER BY tau
+        """,
+        "lineitem_zonemap_pruning": """
+            WITH s AS (SELECT l_orderkey // 2048 AS seg,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE)) AS d
+                       FROM lineitem),
+            rng AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM s),
+            pr AS (SELECT unnest(['p25_week', 'p50_month', 'p75_tail'])
+                              AS pred,
+                          unnest([mn + (mx - mn) // 4,
+                                  mn + (mx - mn) // 2,
+                                  mn + (3 * (mx - mn)) // 4]) AS plo,
+                          unnest([mn + (mx - mn) // 4 + 6,
+                                  mn + (mx - mn) // 2 + 29,
+                                  mx]) AS phi
+                   FROM rng),
+            g AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                         MIN(d) AS smn, MAX(d) AS smx
+                  FROM s GROUP BY 1),
+            cls AS (SELECT pr.pred, pr.plo, pr.phi, g.n,
+                           CASE WHEN g.smx < pr.plo OR g.smn > pr.phi
+                                THEN 1 ELSE 0 END AS pruned,
+                           CASE WHEN g.smx >= pr.plo
+                                AND g.smn <= pr.phi
+                                AND g.smn >= pr.plo
+                                AND g.smx <= pr.phi
+                                THEN 1 ELSE 0 END AS fl
+                    FROM g, pr),
+            m AS (SELECT pr.pred,
+                         CAST(COUNT(*) FILTER (s.d >= pr.plo
+                                               AND s.d <= pr.phi)
+                              AS BIGINT) AS matched
+                  FROM s, pr GROUP BY 1),
+            a AS (SELECT pred, plo, phi,
+                         CAST(COUNT(*) AS BIGINT) AS n_segments,
+                         CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+                         CAST(SUM(fl) AS BIGINT) AS n_full,
+                         CAST(COUNT(*) - SUM(pruned) - SUM(fl)
+                              AS BIGINT) AS n_straddle,
+                         CAST(SUM(CASE WHEN pruned = 0 THEN n
+                                  ELSE 0 END) AS BIGINT)
+                             AS rows_scanned
+                  FROM cls GROUP BY 1, 2, 3)
+            SELECT a.pred, CAST(a.plo AS BIGINT) AS plo,
+                   CAST(a.phi AS BIGINT) AS phi,
+                   a.n_segments, a.n_pruned, a.n_full, a.n_straddle,
+                   a.rows_scanned, m.matched AS rows_match,
+                   CAST(CASE WHEN m.matched > 0 THEN
+                        1000 * a.rows_scanned // m.matched
+                        ELSE -1 END AS BIGINT) AS scan_amp_milli
+            FROM a JOIN m ON a.pred = m.pred ORDER BY a.pred
         """,
     }

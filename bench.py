@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "orders_pettitt_test", "events_bowker_symmetry",
     "part_graph_modularity", "events_permutation_entropy",
     "orders_newey_west", "lineitem_discount_rdd",
+    "events_allan_variance", "lineitem_zonemap_pruning",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

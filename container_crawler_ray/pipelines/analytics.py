@@ -13267,3 +13267,117 @@ def lineitem_discount_rdd(sf_dir: str) -> pd.DataFrame:
                                  "slope_r_milli", "v_l_milli",
                                  "v_r_milli", "jump_milli"]) \
         .astype("int64")
+
+
+def events_allan_variance(sf_dir: str) -> pd.DataFrame:
+    """ALLAN VARIANCE of the gapfilled daily event-count series at
+    averaging scales tau = 1/2/4/8 days — the clock-stability
+    diagnostic that separates white noise (AVAR ~ 1/tau) from random
+    walk / drift (AVAR flat or growing): complete non-overlapping
+    tau-day windows W_i, numerator sum((W_{i+1}-W_i)^2) EXACT, and
+    the classical normalization 2*(m-1)*tau^2 applied as one integer
+    milli floor per scale (m<2 scales report the -1 sentinel). Daily
+    partials collapse the stream per block — ZERO shuffle; the scale
+    sweep runs on the calendar-sized vector. NO float anywhere."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["c"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    vec = np.zeros(hi - lo + 1, dtype=np.int64)
+    vec[days - lo] = agg["c"].to_numpy(np.int64)
+    n = len(vec)
+    rows = []
+    for tau in (1, 2, 4, 8):
+        m = n // tau
+        if m < 2:
+            rows.append((tau, m, 0, -1))
+            continue
+        w = vec[:m * tau].reshape(m, tau).sum(axis=1)
+        dw = np.diff(w)
+        num = int((dw * dw).sum())
+        rows.append((tau, m, num,
+                     1000 * num // (2 * (m - 1) * tau * tau)))
+    return pd.DataFrame(rows, columns=["tau", "m_windows",
+                                       "sum_sq_diff", "avar_milli"]) \
+        .astype("int64")
+
+
+def lineitem_zonemap_pruning(sf_dir: str) -> pd.DataFrame:
+    """ZONE-MAP (row-group min/max) PRUNING audit — the storage-layout
+    question that decides 100 TB scan cost: with lineitem segmented in
+    insertion-key order (l_orderkey // 2048, the row-group proxy), how
+    many segments does a ship-date range predicate actually prune via
+    min/max metadata, and what is the SCAN AMPLIFICATION (rows touched
+    per row matched)? Three deterministic predicate windows anchored to
+    the observed span (a week at the 1/4 point, a month at midspan, the
+    top quarter); per-segment (count, min, max, per-predicate match
+    counts) fold as ONE partial per block through a driver fold that is
+    segment-cardinality-sized, never row-sized. Classification
+    pruned/full/straddle and amp_milli = 1000*scanned//matched are pure
+    integers. A tiny span pre-pass anchors the windows — the only
+    second scan; ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mn, mx = int(sp["lo"].min()), int(sp["hi"].max())
+    spn = mx - mn
+    preds = [("p25_week", mn + spn // 4, mn + spn // 4 + 6),
+             ("p50_month", mn + spn // 2, mn + spn // 2 + 29),
+             ("p75_tail", mn + (3 * spn) // 4, mx)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        seg = t.column("l_orderkey").to_numpy().astype(np.int64) // 2048
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        u, inv = np.unique(seg, return_inverse=True)
+        k = len(u)
+        nn = np.bincount(inv, minlength=k).astype(np.int64)
+        smn = np.full(k, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(smn, inv, d)
+        smx = np.full(k, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(smx, inv, d)
+        cols = {"seg": pa.array(u), "n": pa.array(nn),
+                "smn": pa.array(smn), "smx": pa.array(smx)}
+        for name, plo, phi in preds:
+            mt = ((d >= plo) & (d <= phi)).astype(np.int64)
+            cols["m_" + name] = pa.array(
+                np.bincount(inv, weights=mt, minlength=k)
+                .astype(np.int64))
+        return pa.table(cols)
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = raw.groupby("seg").agg(
+        n=("n", "sum"), smn=("smn", "min"), smx=("smx", "max"),
+        **{"m_" + p: ("m_" + p, "sum") for p, _, _ in preds})
+    rows = []
+    for name, plo, phi in preds:
+        pruned = (g["smx"] < plo) | (g["smn"] > phi)
+        full = (~pruned) & (g["smn"] >= plo) & (g["smx"] <= phi)
+        straddle = ~(pruned | full)
+        scanned = int(g.loc[~pruned, "n"].sum())
+        matched = int(g["m_" + name].sum())
+        rows.append((name, plo, phi, len(g), int(pruned.sum()),
+                     int(full.sum()), int(straddle.sum()), scanned,
+                     matched,
+                     1000 * scanned // matched if matched > 0 else -1))
+    return pd.DataFrame(rows, columns=[
+        "pred", "plo", "phi", "n_segments", "n_pruned", "n_full",
+        "n_straddle", "rows_scanned", "rows_match",
+        "scan_amp_milli"]).astype(
+        {c: "int64" for c in ("plo", "phi", "n_segments", "n_pruned",
+                              "n_full", "n_straddle", "rows_scanned",
+                              "rows_match", "scan_amp_milli")})

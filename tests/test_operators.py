@@ -179,6 +179,7 @@ def test_entry_smoke(entrymod):
     "orders_pettitt_test", "events_bowker_symmetry",
     "part_graph_modularity", "events_permutation_entropy",
     "orders_newey_west", "lineitem_discount_rdd",
+    "events_allan_variance", "lineitem_zonemap_pruning",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
