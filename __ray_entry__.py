@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_allan_variance": analytics.events_allan_variance,
         "lineitem_zonemap_pruning":
             analytics.lineitem_zonemap_pruning,
+        "events_sax_motifs": analytics.events_sax_motifs,
+        "docs_menzerath": curate.docs_menzerath,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9471,5 +9473,54 @@ def oracle_sql() -> dict[str, str]:
                         1000 * a.rows_scanned // m.matched
                         ELSE -1 END AS BIGINT) AS scan_amp_milli
             FROM a JOIN m ON a.pred = m.pred ORDER BY a.pred
+        """,
+        "events_sax_motifs": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk
+                  FROM d),
+            b AS (SELECT MAX(CASE WHEN rk <= (n + 2) // 3
+                              THEN c END) AS b1,
+                         MAX(CASE WHEN rk <= (2 * n + 2) // 3
+                              THEN c END) AS b2
+                  FROM r, nn),
+            s AS (SELECT dy, CASE WHEN c <= b1 THEN 'a'
+                                  WHEN c <= b2 THEN 'b'
+                                  ELSE 'c' END AS sym
+                  FROM d, b),
+            w AS (SELECT sym
+                         || LEAD(sym, 1) OVER (ORDER BY dy)
+                         || LEAD(sym, 2) OVER (ORDER BY dy) AS word
+                  FROM s),
+            c2 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM w WHERE word IS NOT NULL GROUP BY 1),
+            tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c2)
+            SELECT word, n,
+                   CAST(10000 * n // t AS BIGINT) AS share_bps
+            FROM c2, tot ORDER BY n DESC, word LIMIT 10
+        """,
+        "docs_menzerath": """
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(text,
+                                                           '\\s+'))
+                                  AS tok
+                       FROM documents),
+            f AS (SELECT doc_id, length(tok) AS l
+                  FROM t WHERE tok != ''),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+                         CAST(SUM(l) AS BIGINT) AS chars
+                  FROM f GROUP BY 1),
+            b AS (SELECT CAST(length(printf('%b', ntok)) AS BIGINT)
+                             AS band,
+                         ntok, chars
+                  FROM d WHERE ntok > 0)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS sum_chars,
+                   CAST(1000 * SUM(chars) // SUM(ntok) AS BIGINT)
+                       AS mean_tok_len_milli
+            FROM b GROUP BY 1 ORDER BY 1
         """,
     }

@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "part_graph_modularity", "events_permutation_entropy",
     "orders_newey_west", "lineitem_discount_rdd",
     "events_allan_variance", "lineitem_zonemap_pruning",
+    "events_sax_motifs", "docs_menzerath",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13381,3 +13381,44 @@ def lineitem_zonemap_pruning(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("plo", "phi", "n_segments", "n_pruned",
                               "n_full", "n_straddle", "rows_scanned",
                               "rows_match", "scan_amp_milli")})
+
+
+def events_sax_motifs(sf_dir: str) -> pd.DataFrame:
+    """SAX MOTIF census of the daily event-count series — symbolic
+    discretization into a 3-letter alphabet at the EXACT tercile
+    breakpoints (nearest-rank order statistics k = ceil(n/3) and
+    ceil(2n/3), so both sides cut on the identical integer values)
+    followed by a 3-day sliding-word count: the top-10 words under
+    the (count desc, word asc) total order are the recurring weekly
+    micro-shapes ('aab' = two quiet days then a spike) that motif
+    discovery at 100 TB would index. Daily partials collapse the
+    stream per block — ZERO shuffle; the word sweep runs on the
+    calendar-sized vector. Pure integers, shares in exact bps."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["c"].sum()
+           .sort_values("dy", kind="mergesort"))
+    c = agg["c"].to_numpy(np.int64)
+    n = len(c)
+    srt = np.sort(c)
+    b1 = int(srt[(n + 2) // 3 - 1])
+    b2 = int(srt[(2 * n + 2) // 3 - 1])
+    sym = np.where(c <= b1, 0, np.where(c <= b2, 1, 2)).astype(np.int64)
+    w = sym[:-2] * 9 + sym[1:-1] * 3 + sym[2:]
+    cnt = np.bincount(w, minlength=27).astype(np.int64)
+    tot = n - 2
+    words = ["".join(chr(97 + d) for d in (k // 9, (k // 3) % 3, k % 3))
+             for k in range(27)]
+    df = pd.DataFrame({"word": words, "n": cnt})
+    df = df[df["n"] > 0].sort_values(
+        ["n", "word"], ascending=[False, True], kind="mergesort") \
+        .head(10).reset_index(drop=True)
+    df["share_bps"] = 10000 * df["n"].to_numpy(np.int64) // tot
+    return df.astype({"n": "int64", "share_bps": "int64"})

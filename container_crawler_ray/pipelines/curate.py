@@ -1523,3 +1523,53 @@ def vocab_richness_chao1(sf_dir: str) -> pd.DataFrame:
                               "chao1_milli", "unseen_mass_bps")}) \
         [["source", "n_tokens", "n_distinct", "f1", "f2",
           "chao1_milli", "unseen_mass_bps"]]
+
+
+def docs_menzerath(sf_dir: str) -> pd.DataFrame:
+    """MENZERATH-ALTMANN profile — do longer documents use SHORTER
+    words? Docs band by the EXACT bit-length of their token count
+    (the frexp exponent here, length(printf('%b', n)) in the twin —
+    the same integer-log2 lattice as the Zipf fit), and each band
+    reports docs, tokens, characters and the mean token length as one
+    integer milli floor. The corpus-linguistics law check doubles as
+    a tokenizer-cost model (chars per token by document size class).
+    RE2 whitespace splitting on BOTH sides, edge empties filtered
+    identically; per-block partials are band-cardinality rows (~12) —
+    ZERO shuffle, no float."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        per_doc = np.asarray(toks.value_lengths(), dtype=np.int64)
+        lens = pc.utf8_length(toks.flatten()) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(len(per_doc)), per_doc)
+        keep = lens > 0
+        ntok = np.bincount(didx[keep], minlength=len(per_doc)) \
+            .astype(np.int64)
+        chars = np.bincount(didx[keep], weights=lens[keep],
+                            minlength=len(per_doc)).astype(np.int64)
+        pos = ntok > 0
+        band = np.frexp(ntok[pos].astype(np.float64))[1] \
+            .astype(np.int64)
+        k = int(band.max()) + 1 if len(band) else 1
+        return pa.table({
+            "band": pa.array(np.arange(k, dtype=np.int64)),
+            "n_docs": pa.array(np.bincount(band, minlength=k)
+                               .astype(np.int64)),
+            "n_tokens": pa.array(np.bincount(band, weights=ntok[pos],
+                                             minlength=k)
+                                 .astype(np.int64)),
+            "sum_chars": pa.array(np.bincount(band, weights=chars[pos],
+                                              minlength=k)
+                                  .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("band", as_index=False).sum()
+    g = g[g["n_docs"] > 0].sort_values("band", kind="mergesort") \
+        .reset_index(drop=True)
+    g["mean_tok_len_milli"] = 1000 * g["sum_chars"].to_numpy(np.int64) \
+        // g["n_tokens"].to_numpy(np.int64)
+    return g.astype("int64")

@@ -180,6 +180,7 @@ def test_entry_smoke(entrymod):
     "part_graph_modularity", "events_permutation_entropy",
     "orders_newey_west", "lineitem_discount_rdd",
     "events_allan_variance", "lineitem_zonemap_pruning",
+    "events_sax_motifs", "docs_menzerath",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
