@@ -388,6 +388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.lineitem_zonemap_pruning,
         "events_sax_motifs": analytics.events_sax_motifs,
         "docs_menzerath": curate.docs_menzerath,
+        "docs_rouge_pairs": dedup.docs_rouge_pairs,
+        "lineitem_bucket_semijoin_audit":
+            analytics.lineitem_bucket_semijoin_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9522,5 +9525,89 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(chars) // SUM(ntok) AS BIGINT)
                        AS mean_tok_len_milli
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "docs_rouge_pairs": """
+            WITH el AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 5 = 0),
+            ordp AS (SELECT doc_id, text,
+                            LEAD(doc_id) OVER (ORDER BY doc_id)
+                                AS nxt,
+                            LEAD(text) OVER (ORDER BY doc_id)
+                                AS ntext
+                     FROM el),
+            pr AS (SELECT doc_id AS pid, text AS t1, ntext AS t2
+                   FROM ordp WHERE nxt IS NOT NULL),
+            tk1 AS (SELECT pid,
+                           unnest(regexp_split_to_array(t1, '\\s+'))
+                               AS tok
+                    FROM pr),
+            tk2 AS (SELECT pid,
+                           unnest(regexp_split_to_array(t2, '\\s+'))
+                               AS tok
+                    FROM pr),
+            c1 AS (SELECT pid, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tk1 WHERE tok != '' GROUP BY 1, 2),
+            c2 AS (SELECT pid, tok, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tk2 WHERE tok != '' GROUP BY 1, 2),
+            ov AS (SELECT c1.pid,
+                          CAST(SUM(LEAST(c1.c, c2.c)) AS BIGINT)
+                              AS ov
+                   FROM c1 JOIN c2 ON c1.pid = c2.pid
+                                  AND c1.tok = c2.tok
+                   GROUP BY 1),
+            ln AS (SELECT pr.pid,
+                          COALESCE(l1.s, 0) + COALESCE(l2.s, 0)
+                              AS tot,
+                          COALESCE(ov.ov, 0) AS ov
+                   FROM pr
+                   LEFT JOIN (SELECT pid, SUM(c) AS s FROM c1
+                              GROUP BY 1) l1 ON l1.pid = pr.pid
+                   LEFT JOIN (SELECT pid, SUM(c) AS s FROM c2
+                              GROUP BY 1) l2 ON l2.pid = pr.pid
+                   LEFT JOIN ov ON ov.pid = pr.pid),
+            f AS (SELECT pid, ov,
+                         CASE WHEN tot > 0 THEN 2000 * ov // tot
+                              ELSE -1 END AS fm
+                  FROM ln)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(ov) AS BIGINT) AS sum_overlap,
+                   CAST(SUM(fm) // COUNT(*) AS BIGINT)
+                       AS mean_f_milli,
+                   CAST(MAX(fm) AS BIGINT) AS max_f_milli,
+                   CAST(COUNT(*) FILTER (fm >= 500) AS BIGINT)
+                       AS hi500
+            FROM f
+        """,
+        "lineitem_bucket_semijoin_audit": """
+            WITH pr AS (SELECT l_partkey AS pk,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               SUM(CAST(FLOOR(l_extendedprice
+                                        * (1 - l_discount) * 100)
+                                        AS BIGINT)) AS rev
+                        FROM lineitem GROUP BY 1),
+            hot AS (SELECT pk FROM pr
+                    ORDER BY rev DESC, pk LIMIT 100),
+            mt AS (SELECT CAST(SUM(n) AS BIGINT) AS matched
+                   FROM pr JOIN hot ON pr.pk = hot.pk),
+            tt AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM pr),
+            grains AS (SELECT unnest([64, 256, 1024]) AS g),
+            hb AS (SELECT DISTINCT grains.g, hot.pk % grains.g AS b
+                   FROM hot, grains),
+            nh AS (SELECT g, CAST(COUNT(*) AS BIGINT)
+                              AS n_hot_buckets
+                   FROM hb GROUP BY 1),
+            sc AS (SELECT hb.g, CAST(SUM(pr.n) AS BIGINT)
+                              AS rows_scanned
+                   FROM pr JOIN hb ON pr.pk % hb.g = hb.b
+                   GROUP BY 1)
+            SELECT CAST(nh.g AS BIGINT) AS grain,
+                   nh.n_hot_buckets,
+                   sc.rows_scanned,
+                   mt.matched AS rows_match,
+                   CAST(1000 * sc.rows_scanned // mt.matched
+                        AS BIGINT) AS amp_milli,
+                   tt.total AS total_rows
+            FROM nh JOIN sc ON nh.g = sc.g, mt, tt
+            ORDER BY grain
         """,
     }

@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "orders_newey_west", "lineitem_discount_rdd",
     "events_allan_variance", "lineitem_zonemap_pruning",
     "events_sax_motifs", "docs_menzerath",
+    "docs_rouge_pairs", "lineitem_bucket_semijoin_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13422,3 +13422,52 @@ def events_sax_motifs(sf_dir: str) -> pd.DataFrame:
         .head(10).reset_index(drop=True)
     df["share_bps"] = 10000 * df["n"].to_numpy(np.int64) // tot
     return df.astype({"n": "int64", "share_bps": "int64"})
+
+
+def lineitem_bucket_semijoin_audit(sf_dir: str) -> pd.DataFrame:
+    """HASH-BUCKET SEMIJOIN pruning audit — completes the layout trio
+    (zone maps, space-filling curves, hash buckets): if lineitem were
+    bucketed by l_partkey % G, how many buckets would a semijoin
+    against the top-100 revenue parts (the exact (rev desc, partkey)
+    order) actually touch, and at what scan amplification? ONE scan:
+    the per-part (rows, revenue-cents) fold is part-cardinality-sized
+    on the driver, and every grain G in {64, 256, 1024} is then pure
+    driver arithmetic over that table — hot buckets = distinct
+    h % G, rows_scanned = rows of parts sharing a hot bucket,
+    amp_milli = 1000*scanned//matched. Pure integers; the
+    bucket-count-vs-amplification curve is the 100 TB co-location
+    design table."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "pk": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    pr = (ds.map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby("pk", as_index=False).sum())
+    pk = pr["pk"].to_numpy(np.int64)
+    n = pr["n"].to_numpy(np.int64)
+    order = np.lexsort((pk, -pr["rev"].to_numpy(np.int64)))
+    hot = pk[order[:100]]
+    matched = int(n[order[:100]].sum())
+    total = int(n.sum())
+    rows = []
+    for g in (64, 256, 1024):
+        hb = np.unique(hot % g)
+        scanned = int(n[np.isin(pk % g, hb)].sum())
+        rows.append((g, len(hb), scanned, matched,
+                     1000 * scanned // matched, total))
+    return pd.DataFrame(rows, columns=[
+        "grain", "n_hot_buckets", "rows_scanned", "rows_match",
+        "amp_milli", "total_rows"]).astype("int64")

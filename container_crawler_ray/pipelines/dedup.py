@@ -1442,3 +1442,92 @@ def simhash_bit_bias_audit(sf_dir: str) -> pd.DataFrame:
         "set_share_bps": 10_000 * ns // n,
         "dev_bps": 10_000 * np.abs(2 * ns - n) // (2 * n)}) \
         .reset_index(drop=True).astype("int64")
+
+
+def docs_rouge_pairs(sf_dir: str) -> pd.DataFrame:
+    """ROUGE-1 overlap over the LEAD-rule doc pairs — the
+    summarization-eval / near-dup metric the Jaccard kernels don't
+    cover because it is MULTISET (clipped counts) and length-aware:
+    for every 5th doc paired with the next eligible one, overlap =
+    sum_tok min(c1, c2) and F1 closes EXACTLY as 2*ov/(l1+l2) — one
+    integer milli floor per pair, no P/R rationals ever formed. One
+    ``pair % 64`` exchange carries (pair, side, token, count) rows;
+    the per-bucket fold is one hash merge per bucket; the driver
+    reduces |pairs| integer rows to the one-row summary (pair count,
+    total clipped overlap, mean/max F1 milli with per-pair floors,
+    pairs above 0.5). Python-split tokenization == the twin's
+    regexp_split + empty filter. Eligible-id list is dimension-sized
+    (the 100 TB pairing rule becomes block-local LEAD)."""
+    from .analytics import _read
+
+    ids = np.sort(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .to_pandas()["doc_id"].to_numpy(np.int64))
+    el = ids[ids % 5 == 0]
+    n_pairs = len(el) - 1
+    el_ref = ray.put(el)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               rows_per_block=512)
+
+    def derive(t: pa.Table) -> pa.Table:
+        elo = ray.get(el_ref)
+        did = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        pair, side, tok, cnt = [], [], [], []
+        for i, s in enumerate(texts):
+            d = int(did[i])
+            if d % 5 != 0:
+                continue
+            j = int(np.searchsorted(elo, d))
+            members = []
+            if j < len(elo) - 1:
+                members.append((j, 0))
+            if j >= 1:
+                members.append((j - 1, 1))
+            if not members:
+                continue
+            toks, cs = np.unique(np.array(s.split(), dtype=object),
+                                 return_counts=True)
+            for pj, sd in members:
+                pair.extend([pj] * len(toks))
+                side.extend([sd] * len(toks))
+                tok.extend(toks.tolist())
+                cnt.extend(cs.tolist())
+        return pa.table({
+            "pair": pa.array(pair, type=pa.int64()),
+            "side": pa.array(side, type=pa.int8()),
+            "tok": pa.array(tok, type=pa.string()),
+            "cnt": pa.array(cnt, type=pa.int64()),
+            "bucket": pa.array([p % 64 for p in pair],
+                               type=pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sd = g["side"].to_numpy(np.int8)
+        d0 = g[sd == 0][["pair", "tok", "cnt"]]
+        d1 = g[sd == 1][["pair", "tok", "cnt"]]
+        l1 = d0.groupby("pair")["cnt"].sum()
+        l2 = d1.groupby("pair")["cnt"].sum()
+        mg = d0.merge(d1, on=["pair", "tok"])
+        ov = (mg.assign(m=np.minimum(mg["cnt_x"], mg["cnt_y"]))
+              .groupby("pair")["m"].sum())
+        out = pd.DataFrame({"pair": sorted(set(l1.index)
+                                           | set(l2.index))})
+        out["ov"] = out["pair"].map(ov).fillna(0).astype(np.int64)
+        out["l1"] = out["pair"].map(l1).fillna(0).astype(np.int64)
+        out["l2"] = out["pair"].map(l2).fillna(0).astype(np.int64)
+        return out
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    tot = per["l1"].to_numpy(np.int64) + per["l2"].to_numpy(np.int64)
+    f = np.where(tot > 0,
+                 2000 * per["ov"].to_numpy(np.int64)
+                 // np.maximum(tot, 1), -1)
+    return pd.DataFrame([(n_pairs, int(per["ov"].sum()),
+                          int(f.sum()) // n_pairs, int(f.max()),
+                          int((f >= 500).sum()))],
+                        columns=["n_pairs", "sum_overlap",
+                                 "mean_f_milli", "max_f_milli",
+                                 "hi500"]).astype("int64")

@@ -181,6 +181,7 @@ def test_entry_smoke(entrymod):
     "orders_newey_west", "lineitem_discount_rdd",
     "events_allan_variance", "lineitem_zonemap_pruning",
     "events_sax_motifs", "docs_menzerath",
+    "docs_rouge_pairs", "lineitem_bucket_semijoin_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
