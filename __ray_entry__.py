@@ -391,6 +391,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rouge_pairs": dedup.docs_rouge_pairs,
         "lineitem_bucket_semijoin_audit":
             analytics.lineitem_bucket_semijoin_audit,
+        "events_recurrence_quantification":
+            analytics.events_recurrence_quantification,
+        "orders_bullwhip_ratio": analytics.orders_bullwhip_ratio,
+        "user_split_half_reliability":
+            analytics.user_split_half_reliability,
+        "part_knapsack_greedy": joins.part_knapsack_greedy,
+        "events_peak_over_threshold":
+            analytics.events_peak_over_threshold,
+        "embedding_centroid_drift": analytics.embedding_centroid_drift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9609,5 +9618,230 @@ def oracle_sql() -> dict[str, str]:
                    tt.total AS total_rows
             FROM nh JOIN sc ON nh.g = sc.g, mt, tt
             ORDER BY grain
+        """,
+        "events_recurrence_quantification": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy AS i, COALESCE(d.c, 0) AS c
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            ee AS (SELECT (MAX(c) - MIN(c)) // 20 AS eps FROM v),
+            vv AS (SELECT i, c, LEAD(c) OVER (ORDER BY i) AS c1
+                   FROM v),
+            p AS (SELECT CASE WHEN ABS(a.c - b.c) <= ee.eps
+                              THEN 1 ELSE 0 END AS r,
+                         CASE WHEN b.c1 IS NOT NULL
+                              AND ABS(a.c1 - b.c1) <= ee.eps
+                              THEN 1 ELSE 0 END AS r2
+                  FROM vv a JOIN vv b ON b.i > a.i, ee)
+            SELECT CAST(nn.n AS BIGINT) AS n_days,
+                   CAST(ee.eps AS BIGINT) AS eps,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(r) AS BIGINT) AS n_rec,
+                   CAST(10000 * SUM(r) // COUNT(*) AS BIGINT)
+                       AS rr_bps,
+                   CAST(SUM(r * r2) AS BIGINT) AS n_det,
+                   CAST(CASE WHEN SUM(r) > 0 THEN
+                        10000 * SUM(r * r2) // SUM(r)
+                        ELSE -1 END AS BIGINT) AS det_bps
+            FROM p, nn, ee GROUP BY nn.n, ee.eps
+        """,
+        "orders_bullwhip_ratio": """
+            WITH ud AS (SELECT datediff('day', DATE '1970-01-01',
+                                        CAST(o_orderdate AS DATE))
+                                   AS dy,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM orders GROUP BY 1),
+            ur AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM ud),
+            uv AS (SELECT COALESCE(ud.c, 0) AS c
+                   FROM ur, UNNEST(generate_series(ur.mn, ur.mx))
+                        AS g(dy)
+                   LEFT JOIN ud ON ud.dy = g.dy),
+            us AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                          CAST(SUM(c) AS HUGEINT) AS s,
+                          SUM(CAST(c AS HUGEINT) * c) AS ss
+                   FROM uv),
+            dd AS (SELECT datediff('day', DATE '1970-01-01',
+                                   CAST(l_shipdate AS DATE)) AS dy,
+                          CAST(COUNT(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY 1),
+            dr AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM dd),
+            dv AS (SELECT COALESCE(dd.c, 0) AS c
+                   FROM dr, UNNEST(generate_series(dr.mn, dr.mx))
+                        AS g(dy)
+                   LEFT JOIN dd ON dd.dy = g.dy),
+            ds_ AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                           CAST(SUM(c) AS HUGEINT) AS s,
+                           SUM(CAST(c AS HUGEINT) * c) AS ss
+                    FROM dv)
+            SELECT CAST(us.n AS BIGINT) AS n_days_up,
+                   CAST(us.s AS BIGINT) AS n_orders,
+                   CAST(us.n * us.ss - us.s * us.s AS BIGINT)
+                       AS var_num_up,
+                   CAST(ds_.n AS BIGINT) AS n_days_down,
+                   CAST(ds_.s AS BIGINT) AS n_ships,
+                   CAST(ds_.n * ds_.ss - ds_.s * ds_.s AS BIGINT)
+                       AS var_num_down,
+                   CAST(1000 * (ds_.n * ds_.ss - ds_.s * ds_.s)
+                        * us.n * us.n
+                        // ((us.n * us.ss - us.s * us.s)
+                            * ds_.n * ds_.n) AS BIGINT)
+                       AS ratio_milli
+            FROM us, ds_
+        """,
+        "user_split_half_reliability": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS dy
+                       FROM events),
+            c AS (SELECT user_id,
+                         CAST(SUM(CASE WHEN dy % 2 = 1 THEN 1
+                                  ELSE 0 END) AS BIGINT) AS co,
+                         CAST(SUM(CASE WHEN dy % 2 = 0 THEN 1
+                                  ELSE 0 END) AS BIGINT) AS ce
+                  FROM e GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(co) AS HUGEINT) AS sx,
+                         CAST(SUM(ce) AS HUGEINT) AS sy,
+                         SUM(CAST(co AS HUGEINT) * co) AS sxx,
+                         SUM(CAST(ce AS HUGEINT) * ce) AS syy,
+                         SUM(CAST(co AS HUGEINT) * ce) AS sxy
+                  FROM c),
+            f AS (SELECT n, n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS va,
+                         n * syy - sy * sy AS vb
+                  FROM m),
+            g AS (SELECT n, num, va, vb,
+                         CASE WHEN va > 0 AND vb > 0 THEN
+                              CAST(num AS DOUBLE)
+                              / (SQRT(CAST(va AS DOUBLE))
+                                 * SQRT(CAST(vb AS DOUBLE)))
+                         ELSE NULL END AS rf
+                  FROM f)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(num AS BIGINT) AS cov_num,
+                   CAST(va AS BIGINT) AS var_odd,
+                   CAST(vb AS BIGINT) AS var_even,
+                   CAST(CASE WHEN rf IS NULL THEN 0
+                        ELSE FLOOR(rf * 1000.0) END AS BIGINT)
+                       AS r_milli,
+                   CAST(CASE WHEN rf IS NULL THEN 0
+                        ELSE FLOOR(2.0 * rf / (1.0 + rf) * 1000.0)
+                        END AS BIGINT) AS sb_milli
+            FROM g
+        """,
+        "part_knapsack_greedy": """
+            WITH rv AS (SELECT l_partkey AS pk,
+                               SUM(CAST(FLOOR(l_extendedprice
+                                        * (1 - l_discount) * 100)
+                                        AS BIGINT)) AS rev
+                        FROM lineitem GROUP BY 1),
+            p AS (SELECT p_partkey AS pk,
+                         CAST(p_size AS BIGINT) AS sz,
+                         COALESCE(rv.rev, 0) AS rev
+                  FROM part LEFT JOIN rv ON p_partkey = rv.pk),
+            tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS ts,
+                           CAST(SUM(rev) AS BIGINT) AS tr,
+                           CAST(COUNT(*) AS BIGINT) AS np
+                    FROM p),
+            k AS (SELECT pk, sz, rev,
+                         (1000000 * rev) // sz AS key
+                  FROM p),
+            o AS (SELECT *, SUM(sz) OVER (ORDER BY key DESC, pk
+                                          ROWS UNBOUNDED PRECEDING)
+                             AS cum
+                  FROM k),
+            pick AS (SELECT o.* FROM o, tot WHERE cum <= ts // 10)
+            SELECT tot.np AS n_parts,
+                   CAST(tot.ts // 10 AS BIGINT) AS capacity,
+                   CAST(COUNT(*) AS BIGINT) AS n_picked,
+                   CAST(SUM(pick.sz) AS BIGINT) AS picked_size,
+                   CAST(SUM(pick.rev) AS BIGINT) AS picked_rev,
+                   CAST(10000 * SUM(pick.rev) // tot.tr AS BIGINT)
+                       AS rev_share_bps,
+                   CAST(MIN(pick.key) AS BIGINT) AS last_key
+            FROM pick, tot GROUP BY tot.np, tot.ts, tot.tr
+        """,
+        "events_peak_over_threshold": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy AS i, COALESCE(d.c, 0) AS c
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            th AS (SELECT unnest([90, 95, 99]) AS q),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk
+                  FROM v),
+            uq AS (SELECT th.q,
+                          MAX(CASE WHEN rk <= (th.q * nn.n + 99)
+                                            // 100
+                               THEN c END) AS u
+                   FROM r, nn, th GROUP BY th.q),
+            ex AS (SELECT uq.q, uq.u, v.i, v.c,
+                          ROW_NUMBER() OVER (PARTITION BY uq.q
+                                             ORDER BY v.i) AS rn
+                   FROM v JOIN uq ON v.c > uq.u),
+            ag AS (SELECT q, u,
+                          CAST(COUNT(*) AS BIGINT) AS n_exceed,
+                          CAST(COUNT(DISTINCT i - rn) AS BIGINT)
+                              AS n_clusters,
+                          CAST(SUM(c - u) AS BIGINT) AS sum_excess,
+                          CAST(MAX(c - u) AS BIGINT) AS max_excess
+                   FROM ex GROUP BY 1, 2)
+            SELECT CAST(th.q AS BIGINT) AS q,
+                   CAST(uq.u AS BIGINT) AS u,
+                   COALESCE(ag.n_exceed, 0) AS n_exceed,
+                   COALESCE(ag.n_clusters, 0) AS n_clusters,
+                   COALESCE(ag.sum_excess, 0) AS sum_excess,
+                   CAST(CASE WHEN ag.n_exceed > 0 THEN
+                        1000 * ag.sum_excess // ag.n_exceed
+                        ELSE -1 END AS BIGINT) AS mean_excess_milli,
+                   CAST(COALESCE(ag.max_excess, -1) AS BIGINT)
+                       AS max_excess
+            FROM th JOIN uq ON th.q = uq.q
+                 LEFT JOIN ag ON ag.q = th.q
+            ORDER BY q
+        """,
+        "embedding_centroid_drift": """
+            WITH u AS (SELECT CAST(label AS BIGINT) AS label,
+                              vec_id % 2 AS half,
+                              unnest(embedding) AS v,
+                              unnest(generate_series(
+                                  1, len(embedding))) AS dim
+                       FROM embeddings),
+            s AS (SELECT label, half, dim,
+                         SUM(CAST(FLOOR(CAST(v AS DOUBLE)
+                                        * 1000000.0) AS BIGINT))
+                             AS sv
+                  FROM u GROUP BY 1, 2, 3),
+            p AS (SELECT a.label,
+                         SUM(CAST(a.sv AS HUGEINT) * b.sv) AS num,
+                         SUM(CAST(a.sv AS HUGEINT) * a.sv) AS d0,
+                         SUM(CAST(b.sv AS HUGEINT) * b.sv) AS d1
+                  FROM s a JOIN s b ON a.label = b.label
+                                   AND a.dim = b.dim
+                  WHERE a.half = 0 AND b.half = 1
+                  GROUP BY 1),
+            n AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(COUNT(*) FILTER (vec_id % 2 = 0)
+                              AS BIGINT) AS n_even,
+                         CAST(COUNT(*) FILTER (vec_id % 2 = 1)
+                              AS BIGINT) AS n_odd
+                  FROM embeddings GROUP BY 1)
+            SELECT n.label, n.n_even, n.n_odd,
+                   CAST(CASE WHEN n.n_even > 0 AND n.n_odd > 0 THEN
+                        FLOOR(CAST(p.num AS DOUBLE)
+                              / (SQRT(CAST(p.d0 AS DOUBLE))
+                                 * SQRT(CAST(p.d1 AS DOUBLE)))
+                              * 1000.0)
+                        ELSE -2000 END AS BIGINT) AS cos_milli
+            FROM n LEFT JOIN p ON n.label = p.label
+            ORDER BY n.label
         """,
     }

@@ -219,6 +219,9 @@ BENCH_QUERIES = [
     "events_allan_variance", "lineitem_zonemap_pruning",
     "events_sax_motifs", "docs_menzerath",
     "docs_rouge_pairs", "lineitem_bucket_semijoin_audit",
+    "events_recurrence_quantification", "orders_bullwhip_ratio",
+    "user_split_half_reliability", "part_knapsack_greedy",
+    "events_peak_over_threshold", "embedding_centroid_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13471,3 +13471,256 @@ def lineitem_bucket_semijoin_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "grain", "n_hot_buckets", "rows_scanned", "rows_match",
         "amp_milli", "total_rows"]).astype("int64")
+
+
+def events_recurrence_quantification(sf_dir: str) -> pd.DataFrame:
+    """RECURRENCE QUANTIFICATION (RQA) of the gapfilled daily
+    event-count series — the nonlinear-dynamics census: a day pair
+    (i < j) RECURS when |x_i - x_j| <= eps with the integer radius
+    eps = (max-min)//20, the recurrence rate is the share of
+    recurrent pairs in bps, and DETERMINISM is the share of recurrent
+    pairs that sit on a diagonal line (the (i+1, j+1) pair also
+    recurs — trajectories that stay parallel, the signature of
+    deterministic structure vs isolated coincidence). The O(n^2) pair
+    sweep runs on the calendar-bounded grid, never on rows (the same
+    budget as the Mann-Kendall pair sweep); daily partials collapse
+    the stream — ZERO shuffle. Pure integers end to end."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["c"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[days - lo] = agg["c"].to_numpy(np.int64)
+    n = len(x)
+    eps = (int(x.max()) - int(x.min())) // 20
+    i, j = np.triu_indices(n, k=1)
+    rec = np.abs(x[i] - x[j]) <= eps
+    n_pairs = len(i)
+    n_rec = int(rec.sum())
+    # diagonal persistence: both (i,j) and (i+1,j+1) recurrent
+    keep = j < n - 1
+    nxt = np.zeros(len(i), dtype=bool)
+    # (i+1, j+1) recurrence computed directly from the value vector
+    nxt[keep] = np.abs(x[i[keep] + 1] - x[j[keep] + 1]) <= eps
+    n_det = int((rec & nxt).sum())
+    return pd.DataFrame([(n, eps, n_pairs, n_rec,
+                          10000 * n_rec // n_pairs, n_det,
+                          10000 * n_det // n_rec if n_rec else -1)],
+                        columns=["n_days", "eps", "n_pairs", "n_rec",
+                                 "rr_bps", "n_det", "det_bps"]) \
+        .astype("int64")
+
+
+def orders_bullwhip_ratio(sf_dir: str) -> pd.DataFrame:
+    """BULLWHIP variance-amplification audit — does the shipment
+    stream (lineitems shipped per day) swing HARDER than the demand
+    stream that drives it (orders placed per day)? The supply-chain
+    instability number, exact end to end: each stream's variance
+    stays the cleared rational (n*sum(x^2) - S^2) / n^2 and the
+    amplification ratio closes fully cross-multiplied as
+    1000 * (nD*SSD - SD^2) * nU^2 // ((nU*SSU - SU^2) * nD^2) — no
+    rational mean, no float, Python bigints here / HUGEINT in the
+    twin. Two independent daily-count folds over their own gapfilled
+    calendars, ZERO shuffle and ZERO joins."""
+    def daily_var(table: str, col: str):
+        ds = _read(sf_dir, table, columns=[col])
+
+        def partial(t: pa.Table) -> pa.Table:
+            d = t.column(col).cast(pa.int64()).to_numpy() // _DAY_US
+            u, cnt = np.unique(d, return_counts=True)
+            return pa.table({"dy": pa.array(u),
+                             "c": pa.array(cnt.astype(np.int64))})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        agg = parts.groupby("dy", as_index=False)["c"].sum()
+        days = agg["dy"].to_numpy(np.int64)
+        lo, hi = int(days.min()), int(days.max())
+        vec = np.zeros(hi - lo + 1, dtype=np.int64)
+        vec[days - lo] = agg["c"].to_numpy(np.int64)
+        n = len(vec)
+        s = int(vec.sum())
+        ss = int((vec * vec).sum())
+        return n, s, n * ss - s * s
+
+    nu, su, vu = daily_var("orders", "o_orderdate")
+    nd, sd, vd = daily_var("lineitem", "l_shipdate")
+    ratio_milli = 1000 * vd * nu * nu // (vu * nd * nd)
+    return pd.DataFrame([(nu, su, vu, nd, sd, vd, ratio_milli)],
+                        columns=["n_days_up", "n_orders", "var_num_up",
+                                 "n_days_down", "n_ships",
+                                 "var_num_down", "ratio_milli"]) \
+        .astype("int64")
+
+
+def user_split_half_reliability(sf_dir: str) -> pd.DataFrame:
+    """SPLIT-HALF RELIABILITY of the per-user activity measure — the
+    psychometric "is one half of the data enough to rank users"
+    check: each user's event count splits by DAY PARITY into
+    (odd-days, even-days) halves, the Pearson r between the halves
+    comes from six exact integer moments (no rational mean), and the
+    Spearman-Brown full-length projection 2r/(1+r) closes in the SAME
+    IEEE float order as the twin (one CAST-divide-sqrt chain, both
+    floored to milli). ONE user-bucket exchange; each bucket folds
+    its users to a single 6-moment partial row, so the driver sums
+    bucket-cardinality rows. High r = half the data ranks users the
+    same; low r = per-user metrics need the full window."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({
+            "u": pa.array(u),
+            "par": pa.array((d % 2).astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        par = g["par"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        k = len(uu)
+        co = np.bincount(inv, weights=par, minlength=k) \
+            .astype(np.int64)
+        ce = np.bincount(inv, minlength=k).astype(np.int64) - co
+        return pd.DataFrame([{
+            "n": k, "sx": int(co.sum()), "sy": int(ce.sum()),
+            "sxx": int((co * co).sum()), "syy": int((ce * ce).sum()),
+            "sxy": int((co * ce).sum())}])
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    if va > 0 and vb > 0:
+        rf = float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+        r_milli = math.floor(rf * 1000.0)
+        sb_milli = math.floor(2.0 * rf / (1.0 + rf) * 1000.0)
+    else:
+        r_milli, sb_milli = 0, 0
+    return pd.DataFrame([(n, num, va, vb, r_milli, sb_milli)],
+                        columns=["n_users", "cov_num", "var_odd",
+                                 "var_even", "r_milli", "sb_milli"]) \
+        .astype("int64")
+
+
+def events_peak_over_threshold(sf_dir: str) -> pd.DataFrame:
+    """PEAKS-OVER-THRESHOLD census of the gapfilled daily count
+    series — the extreme-value-theory intake: at the exact
+    nearest-rank p90/p95/p99 thresholds u (ceil-rank order statistics
+    so both sides cut on identical integers), report exceedances
+    (x > u strictly), DECLUSTERED event count (runs of consecutive
+    exceed days collapse to one cluster — the gaps-and-islands
+    i - row_number key), total and mean excess (one integer milli
+    floor) and the max excess — the mean-excess ladder is the GPD
+    tail-heaviness diagnostic. Daily partials collapse the stream —
+    ZERO shuffle; the threshold sweep runs on the calendar-sized
+    vector. Pure integers end to end."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["c"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[days - lo] = agg["c"].to_numpy(np.int64)
+    n = len(x)
+    srt = np.sort(x)
+    rows = []
+    for q in (90, 95, 99):
+        u = int(srt[(q * n + 99) // 100 - 1])
+        m = x > u
+        n_exc = int(m.sum())
+        if n_exc == 0:
+            rows.append((q, u, 0, 0, 0, -1, -1))
+            continue
+        starts = int((m & ~np.concatenate(([False], m[:-1]))).sum())
+        exc = x[m] - u
+        rows.append((q, u, n_exc, starts, int(exc.sum()),
+                     1000 * int(exc.sum()) // n_exc, int(exc.max())))
+    return pd.DataFrame(rows, columns=[
+        "q", "u", "n_exceed", "n_clusters", "sum_excess",
+        "mean_excess_milli", "max_excess"]).astype("int64")
+
+
+def embedding_centroid_drift(sf_dir: str) -> pd.DataFrame:
+    """CENTROID DRIFT monitor — for every label, the cosine between
+    the even-vec_id half's centroid and the odd half's (the
+    refresh-stability audit: a healthy class reads ~1000 milli, a
+    drifting or heterogeneous one sags). Scale-invariance makes the
+    centroid division unnecessary: cos(mean0, mean1) = cos(sum0,
+    sum1), so the op needs only per-(label, half) DIM-SUM vectors of
+    the exact 1e-6 fixed-point coordinates (the same packed
+    all-reduce partial as ``embedding_label_centroids``, ZERO
+    shuffle) and ONE IEEE-order-matched float chain per label at the
+    very end. Arrow list values flatten zero-copy."""
+    import math
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy().astype(np.int64)
+        half = t.column("vec_id").to_numpy().astype(np.int64) % 2
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1_000_000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        key = lab * 2 + half
+        ks, o_n, o_s = [], [], []
+        for k in np.unique(key):
+            m = key == k
+            ks.append(int(k))
+            o_n.append(int(m.sum()))
+            o_s.append(fp[m].sum(axis=0).tobytes())
+        return pa.table({
+            "k": pa.array(ks, type=pa.int64()),
+            "n": pa.array(o_n, type=pa.int64()),
+            "s": pa.array(o_s, type=pa.large_binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list] = {}
+    for r in rows:
+        s = np.frombuffer(r["s"], dtype=np.int64)
+        if r["k"] in acc:
+            acc[r["k"]][0] += int(r["n"])
+            acc[r["k"]][1] = acc[r["k"]][1] + s
+        else:
+            acc[r["k"]] = [int(r["n"]), s.copy()]
+    out = []
+    for lb in sorted({k // 2 for k in acc}):
+        n0, s0 = acc.get(lb * 2, [0, None])
+        n1, s1 = acc.get(lb * 2 + 1, [0, None])
+        if not n0 or not n1:
+            out.append((lb, n0, n1, -2000))
+            continue
+        num = sum(int(a) * int(b) for a, b in zip(s0, s1))
+        d0 = sum(int(a) * int(a) for a in s0)
+        d1 = sum(int(b) * int(b) for b in s1)
+        cm = math.floor(float(num)
+                        / (math.sqrt(float(d0)) * math.sqrt(float(d1)))
+                        * 1000.0)
+        out.append((lb, n0, n1, cm))
+    return pd.DataFrame(out, columns=["label", "n_even", "n_odd",
+                                      "cos_milli"]).astype("int64")

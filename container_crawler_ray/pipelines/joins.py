@@ -3785,3 +3785,56 @@ def q6_sensitivity_grid(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "disc_lo_pct", "disc_hi_pct", "qty_cap", "n_lines",
         "revenue_cents"]).astype("int64")
+
+
+def part_knapsack_greedy(sf_dir: str) -> pd.DataFrame:
+    """GREEDY KNAPSACK assortment — fill 10% of the total shelf
+    (sum of p_size) with parts in exact revenue-DENSITY order
+    (integer key 10^6*rev//size, ties by partkey) and report how much
+    revenue the prefix captures: the classic optimization primitive a
+    curation engine reuses for budget-capped selection (pick docs by
+    quality-per-token until the token budget). Per-part revenue folds
+    map-side to a part-cardinality table; the greedy sweep is a
+    driver sort + prefix cumsum (dimension-sized, never row-sized).
+    The maximal-prefix rule (cumulative size <= capacity) is mirrored
+    by the twin's window cumsum. Pure integers end to end."""
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice",
+                           "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        u, inv = np.unique(pk, return_inverse=True)
+        return pa.table({
+            "pk": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    rv = (items.map_batches(partial, batch_format="pyarrow")
+          .to_pandas().groupby("pk", as_index=False).sum())
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_size"]) \
+        .to_pandas().rename(columns={"p_partkey": "pk"})
+    mg = pt.merge(rv, on="pk", how="left")
+    rev = mg["rev"].fillna(0).to_numpy(np.int64)
+    sz = mg["p_size"].to_numpy(np.int64)
+    pk = mg["pk"].to_numpy(np.int64)
+    key = 1_000_000 * rev // sz
+    order = np.lexsort((pk, -key))
+    cum = np.cumsum(sz[order])
+    total_sz = int(sz.sum())
+    total_rev = int(rev.sum())
+    cap = total_sz // 10
+    npick = int(np.searchsorted(cum, cap, side="right"))
+    psz = int(cum[npick - 1]) if npick else 0
+    prev = int(rev[order[:npick]].sum())
+    last_key = int(key[order[npick - 1]]) if npick else -1
+    return pd.DataFrame([(len(mg), cap, npick, psz, prev,
+                          10000 * prev // total_rev, last_key)],
+                        columns=["n_parts", "capacity", "n_picked",
+                                 "picked_size", "picked_rev",
+                                 "rev_share_bps", "last_key"]) \
+        .astype("int64")

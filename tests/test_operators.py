@@ -182,6 +182,9 @@ def test_entry_smoke(entrymod):
     "events_allan_variance", "lineitem_zonemap_pruning",
     "events_sax_motifs", "docs_menzerath",
     "docs_rouge_pairs", "lineitem_bucket_semijoin_audit",
+    "events_recurrence_quantification", "orders_bullwhip_ratio",
+    "user_split_half_reliability", "part_knapsack_greedy",
+    "events_peak_over_threshold", "embedding_centroid_drift",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
