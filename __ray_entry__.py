@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_peak_over_threshold":
             analytics.events_peak_over_threshold,
         "embedding_centroid_drift": analytics.embedding_centroid_drift,
+        "orders_epoch_folding": analytics.orders_epoch_folding,
+        "part_degree_ccdf": graph.part_degree_ccdf,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9843,5 +9845,83 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -2000 END AS BIGINT) AS cos_milli
             FROM n LEFT JOIN p ON n.label = p.label
             ORDER BY n.label
+        """,
+        "orders_epoch_folding": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy - rng.mn AS i, COALESCE(d.c, 0) AS c
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy, rng),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+            pp AS (SELECT unnest([5, 6, 7, 8, 30]) AS p),
+            w AS (SELECT pp.p, v.i % pp.p AS k,
+                         CAST(SUM(v.c) AS BIGINT) AS o
+                  FROM v, pp, nn
+                  WHERE v.i < (nn.n // pp.p) * pp.p
+                  GROUP BY 1, 2),
+            t0 AS (SELECT p, CAST(SUM(o) AS BIGINT) AS tt
+                   FROM w GROUP BY 1),
+            chi AS (SELECT w.p,
+                           SUM(CAST(w.p * w.o - t0.tt AS HUGEINT)
+                               * (w.p * w.o - t0.tt)) AS num
+                    FROM w JOIN t0 ON w.p = t0.p GROUP BY 1),
+            pk AS (SELECT p, k, o,
+                          ROW_NUMBER() OVER (PARTITION BY p
+                                             ORDER BY o DESC, k)
+                              AS rn
+                   FROM w)
+            SELECT CAST(pp.p AS BIGINT) AS p,
+                   CAST((nn.n // pp.p) * pp.p AS BIGINT)
+                       AS n_days_used,
+                   t0.tt AS total,
+                   CAST(1000 * chi.num // (pp.p * t0.tt) AS BIGINT)
+                       AS chi2_milli,
+                   CAST(pp.p - 1 AS BIGINT) AS df,
+                   CAST(pk.k AS BIGINT) AS peak_k,
+                   CAST(10000 * pk.o // t0.tt AS BIGINT)
+                       AS peak_share_bps
+            FROM pp JOIN t0 ON pp.p = t0.p
+                 JOIN chi ON chi.p = pp.p
+                 JOIN pk ON pk.p = pp.p AND pk.rn = 1, nn
+            ORDER BY p
+        """,
+        "part_degree_ccdf": """
+            WITH s AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_partkey AS pk
+                       FROM lineitem),
+            o AS (SELECT ok, pk,
+                         LAG(pk) OVER (PARTITION BY ok
+                                       ORDER BY ln, pk) AS prev
+                  FROM s),
+            ed AS (SELECT DISTINCT LEAST(pk, prev) AS a,
+                          GREATEST(pk, prev) AS b
+                   FROM o WHERE prev IS NOT NULL AND pk <> prev),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS node FROM ed
+                          UNION ALL SELECT b FROM ed)
+                    GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+            b AS (SELECT CAST(length(printf('%b', d)) AS BIGINT)
+                             AS band,
+                         d
+                  FROM deg),
+            g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                         CAST(SUM(d) AS BIGINT) AS deg_mass
+                  FROM b GROUP BY 1),
+            c AS (SELECT band, n_nodes, deg_mass,
+                         CAST(SUM(n_nodes) OVER (
+                             ORDER BY band DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS ccdf_nodes
+                  FROM g)
+            SELECT band, n_nodes, deg_mass, ccdf_nodes,
+                   CAST(10000 * ccdf_nodes // nn.n AS BIGINT)
+                       AS ccdf_bps
+            FROM c, nn ORDER BY band
         """,
     }

@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "events_recurrence_quantification", "orders_bullwhip_ratio",
     "user_split_half_reliability", "part_knapsack_greedy",
     "events_peak_over_threshold", "embedding_centroid_drift",
+    "orders_epoch_folding", "part_degree_ccdf",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13724,3 +13724,45 @@ def embedding_centroid_drift(sf_dir: str) -> pd.DataFrame:
         out.append((lb, n0, n1, cm))
     return pd.DataFrame(out, columns=["label", "n_even", "n_odd",
                                       "cos_milli"]).astype("int64")
+
+
+def orders_epoch_folding(sf_dir: str) -> pd.DataFrame:
+    """EPOCH-FOLDING period scan of the daily order-count series —
+    the chi-square complement to the DFT periodogram (it finds
+    NON-SINUSOIDAL periodicity too): for each candidate period p in
+    {5,6,7,8,30}, the grid truncates to complete cycles
+    n0 = (n//p)*p so every phase bin covers the same number of days,
+    the bins fold as O_k = sum of counts at phase k, and the uniform
+    fit closes EXACTLY as chi2_milli = 1000*sum((p*O_k - T0)^2) //
+    (p*T0) — the cleared-expectation identity, no rational mean. The
+    peak phase resolves under the (count desc, phase asc) rule.
+    Daily partials — ZERO shuffle; the fold runs on the
+    calendar-sized vector. Pure integers end to end."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        u, cnt = np.unique(d, return_counts=True)
+        return pa.table({"dy": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["c"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[days - lo] = agg["c"].to_numpy(np.int64)
+    n = len(x)
+    rows = []
+    for p in (5, 6, 7, 8, 30):
+        n0 = (n // p) * p
+        o = x[:n0].reshape(-1, p).sum(axis=0)
+        t0 = int(o.sum())
+        num = int(((p * o - t0) ** 2).sum())
+        peak = int(np.argmax(o))
+        rows.append((p, n0, t0, 1000 * num // (p * t0), p - 1, peak,
+                     10000 * int(o[peak]) // t0))
+    return pd.DataFrame(rows, columns=[
+        "p", "n_days_used", "total", "chi2_milli", "df", "peak_k",
+        "peak_share_bps"]).astype("int64")

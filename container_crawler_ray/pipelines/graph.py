@@ -1006,3 +1006,49 @@ def part_graph_modularity(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("n_nodes", "l_in", "d_sum", "contrib",
                               "m_edges")}) \
         .sort_values("brand", kind="mergesort").reset_index(drop=True)
+
+
+def part_degree_ccdf(sf_dir: str) -> pd.DataFrame:
+    """DEGREE-DISTRIBUTION ladder of the co-purchase graph — the
+    is-it-scale-free readout that decides hub-aware partitioning at
+    100 TB: node degrees from the shared distributed edge builder
+    band by exact BIT-LENGTH (the frexp exponent here,
+    length(printf('%b', d)) in the twin — the integer-log2 lattice),
+    and each band reports node count, edge-endpoint mass, the
+    CCDF tail (nodes at or above the band) and its share in exact
+    bps. A straight ccdf_bps ladder on this log scale = power law;
+    a cliff = bounded degrees. Degrees come from the same
+    undirect/distinct exchange as the clustering ops; the band fold
+    is ~12 rows. Pure integers, zero float."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .to_pandas())
+    nodes = np.concatenate([und["a"].to_numpy(np.int64),
+                            und["b"].to_numpy(np.int64)])
+    deg = np.bincount(nodes).astype(np.int64)
+    deg = deg[deg > 0]
+    n = len(deg)
+    band = np.frexp(deg.astype(np.float64))[1].astype(np.int64)
+    k = int(band.max()) + 1
+    n_nodes = np.bincount(band, minlength=k).astype(np.int64)
+    mass = np.bincount(band, weights=deg, minlength=k).astype(np.int64)
+    keep = np.flatnonzero(n_nodes > 0)
+    ccdf = np.cumsum(n_nodes[::-1])[::-1]
+    return pd.DataFrame({
+        "band": keep, "n_nodes": n_nodes[keep],
+        "deg_mass": mass[keep], "ccdf_nodes": ccdf[keep],
+        "ccdf_bps": 10000 * ccdf[keep] // n}).astype("int64")

@@ -185,6 +185,7 @@ def test_entry_smoke(entrymod):
     "events_recurrence_quantification", "orders_bullwhip_ratio",
     "user_split_half_reliability", "part_knapsack_greedy",
     "events_peak_over_threshold", "embedding_centroid_drift",
+    "orders_epoch_folding", "part_degree_ccdf",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
