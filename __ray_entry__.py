@@ -402,6 +402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroid_drift": analytics.embedding_centroid_drift,
         "orders_epoch_folding": analytics.orders_epoch_folding,
         "part_degree_ccdf": graph.part_degree_ccdf,
+        "part_demand_quadrants": analytics.part_demand_quadrants,
+        "customer_lorenz_asymmetry":
+            analytics.customer_lorenz_asymmetry,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9923,5 +9926,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * ccdf_nodes // nn.n AS BIGINT)
                        AS ccdf_bps
             FROM c, nn ORDER BY band
+        """,
+        "part_demand_quadrants": """
+            WITH dd AS (SELECT l_partkey AS pk,
+                               datediff('day', DATE '1970-01-01',
+                                        CAST(l_shipdate AS DATE))
+                                   AS d,
+                               SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                                   AS q
+                        FROM lineitem GROUP BY 1, 2),
+            p AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS k,
+                         CAST(SUM(q) AS BIGINT) AS s,
+                         CAST(SUM(q * q) AS BIGINT) AS sq,
+                         MIN(d) AS df, MAX(d) AS dl
+                  FROM dd GROUP BY 1),
+            c AS (SELECT pk, k, s,
+                         CASE WHEN k = 1 THEN 'single'
+                              WHEN 100 * (dl - df) >= 132 * (k - 1)
+                              THEN CASE WHEN 100 * (CAST(k AS HUGEINT)
+                                                    * sq - CAST(s AS
+                                                    HUGEINT) * s)
+                                             >= 49 * CAST(s AS HUGEINT)
+                                                * s
+                                        THEN 'lumpy'
+                                        ELSE 'intermittent' END
+                              ELSE CASE WHEN 100 * (CAST(k AS HUGEINT)
+                                                    * sq - CAST(s AS
+                                                    HUGEINT) * s)
+                                             >= 49 * CAST(s AS HUGEINT)
+                                                * s
+                                        THEN 'erratic'
+                                        ELSE 'smooth' END
+                         END AS quadrant
+                  FROM p),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM p)
+            SELECT quadrant,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(10000 * COUNT(*) // nn.np AS BIGINT)
+                       AS share_bps,
+                   CAST(SUM(k) AS BIGINT) AS sum_demand_days,
+                   CAST(SUM(s) AS BIGINT) AS sum_qty
+            FROM c, nn GROUP BY quadrant, nn.np ORDER BY quadrant
+        """,
+        "customer_lorenz_asymmetry": """
+            WITH c AS (SELECT o_custkey,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS x
+                       FROM orders GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS t
+                  FROM c),
+            f AS (SELECT CAST(COUNT(*) FILTER (
+                              CAST(m.n AS HUGEINT) * x < m.t)
+                              AS BIGINT) AS mb,
+                         CAST(COALESCE(SUM(x) FILTER (
+                              CAST(m.n AS HUGEINT) * x < m.t), 0)
+                              AS BIGINT) AS lm,
+                         CAST(COUNT(*) FILTER (
+                              CAST(m.n AS HUGEINT) * x = m.t)
+                              AS BIGINT) AS e
+                  FROM c, m GROUP BY m.n, m.t)
+            SELECT m.n AS n_customers, m.t AS total_cents,
+                   f.mb AS n_below, f.e AS n_at_mean,
+                   f.lm AS below_cents,
+                   CAST(1000 * f.mb // m.n + 1000 * f.lm // m.t
+                        AS BIGINT) AS lac_milli
+            FROM m, f
         """,
     }

@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "user_split_half_reliability", "part_knapsack_greedy",
     "events_peak_over_threshold", "embedding_centroid_drift",
     "orders_epoch_folding", "part_degree_ccdf",
+    "part_demand_quadrants", "customer_lorenz_asymmetry",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -186,6 +186,7 @@ def test_entry_smoke(entrymod):
     "user_split_half_reliability", "part_knapsack_greedy",
     "events_peak_over_threshold", "embedding_centroid_drift",
     "orders_epoch_folding", "part_degree_ccdf",
+    "part_demand_quadrants", "customer_lorenz_asymmetry",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
