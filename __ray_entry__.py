@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_demand_quadrants": analytics.part_demand_quadrants,
         "customer_lorenz_asymmetry":
             analytics.customer_lorenz_asymmetry,
+        "customer_order_overdispersion":
+            analytics.customer_order_overdispersion,
+        "nation_segment_rca": analytics.nation_segment_rca,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -9992,5 +9995,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * f.mb // m.n + 1000 * f.lm // m.t
                         AS BIGINT) AS lac_milli
             FROM m, f
+        """,
+        "customer_order_overdispersion": """
+            WITH c AS (SELECT o_custkey,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(c) AS BIGINT) AS s,
+                         CAST(SUM(c * c) AS BIGINT) AS s2
+                  FROM c),
+            f AS (SELECT n, s, s2,
+                         CAST(n AS HUGEINT) * s2
+                             - CAST(s AS HUGEINT) * s AS d
+                  FROM m)
+            SELECT n AS n_customers, s AS sum_orders, s2 AS sum_sq,
+                   CAST(d AS BIGINT) AS disp_num,
+                   CAST(1000 * d // (CAST(n AS HUGEINT) * s) - 1000
+                        AS BIGINT) AS ics_milli,
+                   CAST(CASE WHEN d - CAST(n AS HUGEINT) * s > 0
+                        THEN 1000 * CAST(s AS HUGEINT) * s
+                             // (d - CAST(n AS HUGEINT) * s)
+                        ELSE -1 END AS BIGINT) AS nb_k_milli
+            FROM f
+        """,
+        "nation_segment_rca": """
+            WITH j AS (SELECT c_nationkey AS nk,
+                              c_mktsegment AS seg,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey),
+            g AS (SELECT nk, seg, CAST(SUM(v) AS BIGINT) AS x
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT nk, CAST(SUM(x) AS BIGINT) AS rx
+                  FROM g GROUP BY 1),
+            c AS (SELECT seg, CAST(SUM(x) AS BIGINT) AS cx
+                  FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(x) AS BIGINT) AS tx FROM g)
+            SELECT CAST(g.nk AS BIGINT) AS c_nationkey,
+                   g.seg AS c_mktsegment,
+                   g.x AS cents,
+                   r.rx AS nation_cents,
+                   c.cx AS segment_cents,
+                   CAST(1000 * CAST(g.x AS HUGEINT) * t.tx
+                        // (CAST(r.rx AS HUGEINT) * c.cx)
+                        AS BIGINT) AS rca_milli
+            FROM g JOIN r ON g.nk = r.nk
+                 JOIN c ON g.seg = c.seg, t
+            ORDER BY c_nationkey, c_mktsegment
         """,
     }

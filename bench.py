@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "events_peak_over_threshold", "embedding_centroid_drift",
     "orders_epoch_folding", "part_degree_ccdf",
     "part_demand_quadrants", "customer_lorenz_asymmetry",
+    "customer_order_overdispersion", "nation_segment_rca",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13884,3 +13884,103 @@ def customer_lorenz_asymmetry(sf_dir: str) -> pd.DataFrame:
                         columns=["n_customers", "total_cents",
                                  "n_below", "n_at_mean", "below_cents",
                                  "lac_milli"]).astype("int64")
+
+
+def customer_order_overdispersion(sf_dir: str) -> pd.DataFrame:
+    """OVERDISPERSION census of per-customer order counts — is demand
+    Poisson (memoryless customers) or negative-binomial (heavy repeat
+    buyers)? The index of contagion ICS = Var/Mean - 1 stays exact
+    via the cleared form 1000*(n*sum(c^2) - S^2) // (n*S) - 1000, and
+    the negative-binomial size parameter closes as the method-of-
+    moments k = Mean^2/(Var - Mean) = S^2/(n*sum(c^2) - S^2 - n*S) —
+    one sign-gated integer milli division (underdispersed data
+    reports the -1 sentinel). Per-block customer-count partials fold
+    driver-side at customer cardinality. Pure integers, the
+    NB-vs-Poisson router for demand modeling."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        u, cnt = np.unique(c, return_counts=True)
+        return pa.table({"ck": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("ck", as_index=False).sum())
+    c = per["c"].to_numpy(np.int64)
+    n = len(c)
+    s = int(c.sum())
+    s2 = int((c * c).sum())
+    d = n * s2 - s * s
+    ics_milli = 1000 * d // (n * s) - 1000
+    den_k = d - n * s
+    nb_k_milli = 1000 * s * s // den_k if den_k > 0 else -1
+    return pd.DataFrame([(n, s, s2, d, ics_milli, nb_k_milli)],
+                        columns=["n_customers", "sum_orders",
+                                 "sum_sq", "disp_num", "ics_milli",
+                                 "nb_k_milli"]).astype("int64")
+
+
+def nation_segment_rca(sf_dir: str) -> pd.DataFrame:
+    """REVEALED COMPARATIVE ADVANTAGE grid — Balassa's index per
+    (customer nation, market segment) on order revenue: rca_milli =
+    1000 * x_ns * x_total // (x_n * x_s), fully cross-multiplied in
+    Python bigints / HUGEINT so no share rational is ever formed;
+    >1000 = the nation over-indexes in that segment. The customer
+    dimension broadcasts as a custkey -> (nation, segment) lookup
+    (``ray.put`` once, read per task — never a shuffle join); each
+    block emits one 25x5 revenue-cents grid partial — ZERO row
+    shuffle; the index closes on the driver grid. The
+    market-structure screen a pricing team reads before entering a
+    lane."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey", "c_mktsegment"]) \
+        .to_pandas()
+    segs, seg_uniq = pd.factorize(cust["c_mktsegment"], sort=True)
+    mx = int(cust["c_custkey"].max())
+    natlut = np.full(mx + 1, -1, np.int64)
+    seglut = np.full(mx + 1, -1, np.int64)
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    natlut[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    seglut[ck] = segs
+    nseg = len(seg_uniq)
+    lut_ref = ray.put((natlut, seglut))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        nl, sl = ray.get(lut_ref)
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        key = nl[ck] * nseg + sl[ck]
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "x": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    key = g["key"].to_numpy(np.int64)
+    x = g["x"].to_numpy(np.int64)
+    nk = key // nseg
+    sg = key % nseg
+    rx = {int(k): int(v) for k, v in
+          pd.Series(x).groupby(nk).sum().items()}
+    cx = {int(k): int(v) for k, v in
+          pd.Series(x).groupby(sg).sum().items()}
+    tx = int(x.sum())
+    rows = []
+    for i in np.lexsort((sg, nk)):
+        xi = int(x[i])
+        rows.append((int(nk[i]), str(seg_uniq[sg[i]]), xi,
+                     rx[int(nk[i])], cx[int(sg[i])],
+                     1000 * xi * tx // (rx[int(nk[i])]
+                                        * cx[int(sg[i])])))
+    return pd.DataFrame(rows, columns=[
+        "c_nationkey", "c_mktsegment", "cents", "nation_cents",
+        "segment_cents", "rca_milli"]).astype(
+        {c: "int64" for c in ("c_nationkey", "cents", "nation_cents",
+                              "segment_cents", "rca_milli")})

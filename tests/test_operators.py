@@ -187,6 +187,7 @@ def test_entry_smoke(entrymod):
     "events_peak_over_threshold", "embedding_centroid_drift",
     "orders_epoch_folding", "part_degree_ccdf",
     "part_demand_quadrants", "customer_lorenz_asymmetry",
+    "customer_order_overdispersion", "nation_segment_rca",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
