@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_overdispersion":
             analytics.customer_order_overdispersion,
         "nation_segment_rca": analytics.nation_segment_rca,
+        "media_scene_changes": media.media_scene_changes,
+        "part_price_stickiness": analytics.part_price_stickiness,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10043,5 +10045,69 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN r ON g.nk = r.nk
                  JOIN c ON g.seg = c.seg, t
             ORDER BY c_nationkey, c_mktsegment
+        """,
+        "media_scene_changes": """
+            WITH m AS (SELECT doc_id, text,
+                              8 + CAST(('0x' || substr(md5(text),
+                                                       1, 15))
+                                       AS UBIGINT) % 24 AS nf
+                       FROM documents),
+            s AS (SELECT doc_id, text, nf,
+                         CAST((nf + 3) // 4 AS BIGINT) AS step
+                  FROM m),
+            fr AS (SELECT doc_id, text, u.f AS fi
+                   FROM s, UNNEST(range(0, CAST(nf AS BIGINT),
+                                        step)) AS u(f)),
+            h AS (SELECT doc_id, fi,
+                         CAST(('0x' || substr(md5(text || '#'
+                              || CAST(fi AS VARCHAR)), 1, 15))
+                              AS UBIGINT) AS hv
+                  FROM fr),
+            w AS (SELECT doc_id, hv,
+                         LEAD(hv) OVER (PARTITION BY doc_id
+                                        ORDER BY fi) AS nh
+                  FROM h),
+            d AS (SELECT doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                         CAST(SUM(CASE WHEN nh IS NOT NULL
+                                  AND bit_count(xor(hv, nh)) > 30
+                                  THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_cuts
+                  FROM w GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+            SELECT CAST(n_cuts AS BIGINT) AS n_cuts,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(10000 * COUNT(*) // nn.n AS BIGINT)
+                       AS share_bps,
+                   CAST(SUM(n_sampled) AS BIGINT) AS sum_frames
+            FROM d, nn GROUP BY n_cuts, nn.n ORDER BY n_cuts
+        """,
+        "part_price_stickiness": """
+            WITH s AS (SELECT l_partkey AS pk,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))
+                                  AS d,
+                              l_orderkey AS ok, l_linenumber AS ln,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS ep,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            w AS (SELECT pk, ep, q,
+                         LAG(ep) OVER (PARTITION BY pk
+                                       ORDER BY d, ok, ln) AS pep,
+                         LAG(q) OVER (PARTITION BY pk
+                                      ORDER BY d, ok, ln) AS pq
+                  FROM s),
+            p AS (SELECT pk,
+                         CASE WHEN ep * pq <> pep * q
+                              THEN 1 ELSE 0 END AS ch
+                  FROM w WHERE pep IS NOT NULL)
+            SELECT CAST(COUNT(DISTINCT pk) AS BIGINT)
+                       AS n_parts_multi,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(ch) AS BIGINT) AS n_changed,
+                   CAST(10000 * SUM(ch) // COUNT(*) AS BIGINT)
+                       AS changed_bps
+            FROM p
         """,
     }

@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "orders_epoch_folding", "part_degree_ccdf",
     "part_demand_quadrants", "customer_lorenz_asymmetry",
     "customer_order_overdispersion", "nation_segment_rca",
+    "media_scene_changes", "part_price_stickiness",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -13984,3 +13984,62 @@ def nation_segment_rca(sf_dir: str) -> pd.DataFrame:
         "segment_cents", "rca_milli"]).astype(
         {c: "int64" for c in ("c_nationkey", "cents", "nation_cents",
                               "segment_cents", "rca_milli")})
+
+
+def part_price_stickiness(sf_dir: str) -> pd.DataFrame:
+    """PRICE STICKINESS census — how often does a part's UNIT price
+    actually move between consecutive sales? Consecutive lineitems of
+    the same part under the total (shipdate, orderkey, linenumber)
+    order compare unit prices EXACTLY via the cross-multiplied
+    ep1*q2 != ep2*q1 test (no division, no float, quantity-mix
+    immune). One ``pk % 64`` exchange co-locates each part's history;
+    the in-bucket pairing is one lexsort + same-part mask; the driver
+    folds four integers. The menu-cost / repricing-cadence number a
+    pricing team tracks."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_orderkey",
+                        "l_linenumber", "l_extendedprice",
+                        "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "pk": pa.array(pk),
+            "d": t.column("l_shipdate").cast(pa.int64()),
+            "ok": t.column("l_orderkey"),
+            "ln": t.column("l_linenumber"),
+            "ep": pa.array(np.floor(
+                t.column("l_extendedprice").to_numpy() * 100)
+                .astype(np.int64)),
+            "q": pa.array(np.floor(
+                t.column("l_quantity").to_numpy()).astype(np.int64)),
+            "bucket": pa.array((pk % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        pk = g["pk"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        ok = g["ok"].to_numpy(np.int64)
+        ln = g["ln"].to_numpy(np.int64)
+        ep = g["ep"].to_numpy(np.int64)
+        q = g["q"].to_numpy(np.int64)
+        order = np.lexsort((ln, ok, d, pk))
+        pk, ep, q = pk[order], ep[order], q[order]
+        same = np.empty(len(pk), dtype=bool)
+        same[0] = False
+        same[1:] = pk[1:] == pk[:-1]
+        i = np.flatnonzero(same)
+        ch = ep[i] * q[i - 1] != ep[i - 1] * q[i]
+        return pd.DataFrame([{
+            "n_parts_multi": int(len(np.unique(pk[i]))),
+            "n_pairs": int(len(i)), "n_changed": int(ch.sum())}])
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n_pairs = int(m["n_pairs"])
+    return pd.DataFrame([(int(m["n_parts_multi"]), n_pairs,
+                          int(m["n_changed"]),
+                          10000 * int(m["n_changed"]) // n_pairs)],
+                        columns=["n_parts_multi", "n_pairs",
+                                 "n_changed", "changed_bps"]) \
+        .astype("int64")

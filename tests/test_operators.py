@@ -188,6 +188,7 @@ def test_entry_smoke(entrymod):
     "orders_epoch_folding", "part_degree_ccdf",
     "part_demand_quadrants", "customer_lorenz_asymmetry",
     "customer_order_overdispersion", "nation_segment_rca",
+    "media_scene_changes", "part_price_stickiness",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
