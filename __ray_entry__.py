@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_segment_rca": analytics.nation_segment_rca,
         "media_scene_changes": media.media_scene_changes,
         "part_price_stickiness": analytics.part_price_stickiness,
+        "embedding_kmeans_elbow": analytics.embedding_kmeans_elbow,
+        "trade_home_bias": joins.trade_home_bias,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10109,5 +10111,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(ch) // COUNT(*) AS BIGINT)
                        AS changed_bps
             FROM p
+        """,
+        "embedding_kmeans_elbow": """
+            WITH q AS (SELECT vec_id,
+                              unnest(generate_series(
+                                  1, len(embedding))) AS dim,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                                  AS qv
+                       FROM embeddings),
+            sids AS (SELECT DISTINCT vec_id FROM embeddings
+                     ORDER BY vec_id LIMIT 8),
+            seed AS (SELECT q.vec_id AS cid, q.dim, q.qv
+                     FROM q JOIN sids ON q.vec_id = sids.vec_id),
+            cr AS (SELECT cid,
+                          ROW_NUMBER() OVER (ORDER BY cid) - 1
+                              AS cidx
+                   FROM (SELECT DISTINCT cid FROM seed)),
+            d2 AS (SELECT q.vec_id, s.cid,
+                          SUM(CAST(q.qv - s.qv AS HUGEINT)
+                              * (q.qv - s.qv)) AS dd
+                   FROM q JOIN seed s ON q.dim = s.dim
+                   GROUP BY 1, 2),
+            ks AS (SELECT unnest([2, 4, 8]) AS k),
+            a AS (SELECT ks.k, d2.vec_id, d2.dd, cr.cidx,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY ks.k, d2.vec_id
+                             ORDER BY d2.dd, cr.cidx) AS rn
+                  FROM d2 JOIN cr ON d2.cid = cr.cid, ks
+                  WHERE cr.cidx < ks.k),
+            sel AS (SELECT k, vec_id, dd, cidx FROM a WHERE rn = 1),
+            sz AS (SELECT k, cidx, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM sel GROUP BY 1, 2)
+            SELECT CAST(sel.k AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(sel.dd) // 1000000 AS BIGINT)
+                       AS inertia_scaled,
+                   CAST((SELECT MAX(c) FROM sz
+                         WHERE sz.k = sel.k) AS BIGINT) AS biggest_n
+            FROM sel GROUP BY sel.k ORDER BY k
+        """,
+        "trade_home_bias": """
+            WITH f AS (SELECT s.s_nationkey AS sn,
+                              c.c_nationkey AS cn
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey),
+            g AS (SELECT sn, cn, CAST(COUNT(*) AS BIGINT) AS o
+                  FROM f GROUP BY 1, 2),
+            r AS (SELECT sn, CAST(SUM(o) AS BIGINT) AS rr
+                  FROM g GROUP BY 1),
+            c2 AS (SELECT cn, CAST(SUM(o) AS BIGINT) AS cc
+                   FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM g),
+            d AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS s
+                  FROM g WHERE sn = cn),
+            e AS (SELECT SUM(CAST(r.rr AS HUGEINT) * c2.cc) AS en
+                  FROM r JOIN c2 ON r.sn = c2.cn)
+            SELECT t.t AS n_lines, d.s AS obs_same,
+                   CAST(10000 * d.s // t.t AS BIGINT)
+                       AS home_share_bps,
+                   CAST(e.en AS BIGINT) AS exp_num,
+                   CAST(10000 * e.en
+                        // (CAST(t.t AS HUGEINT) * t.t) AS BIGINT)
+                       AS exp_share_bps,
+                   CAST(1000 * CAST(d.s AS HUGEINT) * t.t // e.en
+                        AS BIGINT) AS lift_milli
+            FROM t, d, e
         """,
     }

@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "part_demand_quadrants", "customer_lorenz_asymmetry",
     "customer_order_overdispersion", "nation_segment_rca",
     "media_scene_changes", "part_price_stickiness",
+    "embedding_kmeans_elbow", "trade_home_bias",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -14043,3 +14043,78 @@ def part_price_stickiness(sf_dir: str) -> pd.DataFrame:
                         columns=["n_parts_multi", "n_pairs",
                                  "n_changed", "changed_bps"]) \
         .astype("int64")
+
+
+def embedding_kmeans_elbow(sf_dir: str) -> pd.DataFrame:
+    """K-MEANS ELBOW audit — exact inertia of the seed assignment at
+    k = 2/4/8 (the model-selection curve read before committing a
+    clustering budget): centroids are the vectors with the 8 SMALLEST
+    vec_ids (found by a distributed min-k partial, then a filtered
+    collect of just those 8 rows — never a full pull), coordinates
+    quantize to exact 1e-6 fixed point, and because the seed sets
+    nest, ONE pass computes all eight distances per vector and every
+    k's min reduces from the same matrix (ties break to the smallest
+    centroid id). Inertia accumulates in Python ints (HUGEINT in the
+    twin) and reports // 10^6 so the column stays int64 at any SF.
+    Per-block (inertia, cluster-count) partials — ZERO shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def min_ids(t: pa.Table) -> pa.Table:
+        v = np.sort(t.column("vec_id").to_numpy().astype(np.int64))
+        return pa.table({"vec_id": pa.array(v[:8])})
+
+    mins = ds.map_batches(min_ids, batch_format="pyarrow").to_pandas()
+    seed_ids = np.sort(mins["vec_id"].to_numpy(np.int64))[:8]
+    sid_ref = ray.put(seed_ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        sids = ray.get(sid_ref)
+        v = t.column("vec_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(np.isin(v, sids)))
+
+    sp = ds.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values("vec_id")
+    cents = np.stack([np.floor(np.asarray(e, dtype=np.float64)
+                               * 1_000_000.0).astype(np.int64)
+                      for e in sp["embedding"]])
+    c_ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1_000_000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        d2 = np.stack([((fp - cm[j]) ** 2).sum(axis=1)
+                       for j in range(len(cm))], axis=1)
+        rows = []
+        for k in (2, 4, 8):
+            sub = d2[:, :k]
+            a = np.argmin(sub, axis=1)      # first min = smallest cid
+            inert = int(sub[np.arange(len(sub)), a].sum())
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            rows.append((k, inert, cnt.tobytes(), len(sub)))
+        return pa.table({
+            "k": pa.array([r[0] for r in rows], type=pa.int64()),
+            "inert": pa.array([r[1] for r in rows], type=pa.int64()),
+            "cnt": pa.array([r[2] for r in rows],
+                            type=pa.large_binary()),
+            "n": pa.array([r[3] for r in rows], type=pa.int64())})
+
+    raw = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = []
+    for k in (2, 4, 8):
+        tot = 0
+        n = 0
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in raw:
+            if r["k"] != k:
+                continue
+            tot += int(r["inert"])
+            n += int(r["n"])
+            cnt = cnt + np.frombuffer(r["cnt"], dtype=np.int64)
+        out.append((k, n, tot // 1_000_000, int(cnt.max())))
+    return pd.DataFrame(out, columns=["k", "n_vecs", "inertia_scaled",
+                                      "biggest_n"]).astype("int64")

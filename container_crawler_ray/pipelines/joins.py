@@ -3838,3 +3838,88 @@ def part_knapsack_greedy(sf_dir: str) -> pd.DataFrame:
                                  "picked_size", "picked_rev",
                                  "rev_share_bps", "last_key"]) \
         .astype("int64")
+
+
+def trade_home_bias(sf_dir: str) -> pd.DataFrame:
+    """HOME BIAS — do customers buy from suppliers in their OWN
+    nation more than independent routing predicts? The gravity-model
+    diagonal: observed same-nation line share vs the expectation
+    sum_n(r_n*c_n)/T^2 from the margins, with the lift closed fully
+    cross-multiplied as 1000*obs_same*T // sum_n(r_n*c_n) — Python
+    bigints / HUGEINT, no rational ever formed. Scale shape is the
+    q7 kernel: ONE lineitem-x-orders fact-fact exchange on
+    ``orderkey % 64`` with supplier->nation / customer->nation LUTs
+    broadcast once via ``ray.put``; buckets emit lane-matrix-sized
+    count partials and the driver folds a 25x25 grid."""
+    import ray
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    ref = ray.put((s_nat, c_nat))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_suppkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        s_nat_, c_nat_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "custkey"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "suppkey"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"sn": pd.Series([], dtype=np.int64),
+                                 "cn": pd.Series([], dtype=np.int64),
+                                 "o": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({
+            "sn": s_nat_[m["suppkey"].to_numpy(np.int64)],
+            "cn": c_nat_[m["custkey"].to_numpy(np.int64)]})
+        return out.groupby(["sn", "cn"], as_index=False).size() \
+            .rename(columns={"size": "o"})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    obs = (tagged.groupby("bucket")
+           .map_groups(bucket_join, batch_format="pandas")
+           .to_pandas().groupby(["sn", "cn"], as_index=False)["o"]
+           .sum())
+    rtot = {int(k): int(v)
+            for k, v in obs.groupby("sn")["o"].sum().items()}
+    ctot = {int(k): int(v)
+            for k, v in obs.groupby("cn")["o"].sum().items()}
+    t = int(obs["o"].sum())
+    same = int(obs.loc[obs["sn"] == obs["cn"], "o"].sum())
+    exp_num = sum(r * ctot[n] for n, r in rtot.items() if n in ctot)
+    return pd.DataFrame(
+        [(t, same, 10000 * same // t, exp_num,
+          10000 * exp_num // (t * t),
+          1000 * same * t // exp_num)],
+        columns=["n_lines", "obs_same", "home_share_bps", "exp_num",
+                 "exp_share_bps", "lift_milli"]).astype("int64")

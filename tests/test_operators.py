@@ -189,6 +189,7 @@ def test_entry_smoke(entrymod):
     "part_demand_quadrants", "customer_lorenz_asymmetry",
     "customer_order_overdispersion", "nation_segment_rca",
     "media_scene_changes", "part_price_stickiness",
+    "embedding_kmeans_elbow", "trade_home_bias",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
