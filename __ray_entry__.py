@@ -412,6 +412,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_stickiness": analytics.part_price_stickiness,
         "embedding_kmeans_elbow": analytics.embedding_kmeans_elbow,
         "trade_home_bias": joins.trade_home_bias,
+        "part_walk_centrality": graph.part_walk_centrality,
+        "orders_quarterly_gini": analytics.orders_quarterly_gini,
+        "part_price_nested_anova": analytics.part_price_nested_anova,
+        "docs_nchars_consistency": curate.docs_nchars_consistency,
+        "events_markov_order_test": analytics.events_markov_order_test,
+        "events_neyman_allocation": analytics.events_neyman_allocation,
+        "docs_winnowing_density": dedup.docs_winnowing_density,
+        "embedding_thin_shell": analytics.embedding_thin_shell,
+        "nation_ship_lag_median": joins.nation_ship_lag_median,
+        "orders_seasonal_mann_kendall":
+            analytics.orders_seasonal_mann_kendall,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10180,5 +10191,317 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * CAST(d.s AS HUGEINT) * t.t // e.en
                         AS BIGINT) AS lift_milli
             FROM t, d, e
+        """,
+        "part_walk_centrality": """
+            WITH s AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_partkey AS pk
+                       FROM lineitem),
+            o AS (SELECT ok, pk,
+                         LAG(pk) OVER (PARTITION BY ok
+                                       ORDER BY ln, pk) AS prev
+                  FROM s),
+            ed AS (SELECT DISTINCT LEAST(pk, prev) AS a,
+                          GREATEST(pk, prev) AS b
+                   FROM o WHERE prev IS NOT NULL AND pk <> prev),
+            deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT a AS node FROM ed
+                          UNION ALL SELECT b FROM ed)
+                    GROUP BY 1),
+            w2 AS (SELECT node, CAST(SUM(dn) AS BIGINT) AS w2
+                   FROM (SELECT ed.a AS node, db.d AS dn
+                         FROM ed JOIN deg db ON ed.b = db.node
+                         UNION ALL
+                         SELECT ed.b, da.d
+                         FROM ed JOIN deg da ON ed.a = da.node)
+                   GROUP BY 1)
+            SELECT CAST(deg.node AS BIGINT) AS p_partkey,
+                   deg.d AS deg, w2.w2 AS walks2,
+                   CAST(deg.d + w2.w2 AS BIGINT) AS score,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY deg.d + w2.w2 DESC, deg.node)
+                       AS BIGINT) AS rk
+            FROM deg JOIN w2 ON deg.node = w2.node
+            ORDER BY score DESC, p_partkey LIMIT 20
+        """,
+        "orders_quarterly_gini": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            lo AS (SELECT MIN(dy) AS mn FROM d),
+            qd AS (SELECT (dy - mn) // 90 AS quarter, cents
+                   FROM d, lo),
+            r AS (SELECT quarter, cents,
+                         ROW_NUMBER() OVER (PARTITION BY quarter
+                                            ORDER BY cents) AS rn,
+                         COUNT(*) OVER (PARTITION BY quarter) AS n
+                  FROM qd)
+            SELECT CAST(quarter AS BIGINT) AS quarter,
+                   CAST(MAX(n) AS BIGINT) AS n_days,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(CASE WHEN SUM(cents) > 0 THEN
+                        10000 * SUM(CAST(2 * rn - n - 1 AS HUGEINT)
+                                    * cents)
+                        // (CAST(MAX(n) AS HUGEINT) * SUM(cents))
+                        ELSE -1 END AS BIGINT) AS gini_bps
+            FROM r GROUP BY quarter ORDER BY quarter
+        """,
+        "part_price_nested_anova": """
+            WITH d AS (SELECT p_type AS ty, p_brand AS br,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS v
+                       FROM part),
+            c AS (SELECT ty, br, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM d GROUP BY 1, 2),
+            tg AS (SELECT ty, SUM(n) AS nt, SUM(s) AS st
+                   FROM c GROUP BY 1),
+            g AS (SELECT SUM(n) AS n, SUM(s) AS s FROM c),
+            mb AS (SELECT 1000 * s // n AS mbar, n FROM g),
+            tm AS (SELECT ty, nt, 1000 * st // nt AS mt FROM tg),
+            sst AS (SELECT SUM(nt * (mt - mbar) * (mt - mbar)) AS v
+                    FROM tm, mb),
+            cm AS (SELECT c.ty, c.n, c.s, c.q,
+                          1000 * c.s // c.n AS mi, tm.mt
+                   FROM c JOIN tm ON c.ty = tm.ty),
+            ssb AS (SELECT SUM(n * (mi - mt) * (mi - mt)) AS v
+                    FROM cm),
+            ssw AS (SELECT SUM(1000000 * q - 2 * mi * 1000 * s
+                               + n * mi * mi) AS v
+                    FROM cm),
+            kk AS (SELECT (SELECT COUNT(*) FROM tm) AS n_types,
+                          (SELECT COUNT(*) FROM c) AS n_cells,
+                          mb.n AS n
+                   FROM mb)
+            SELECT CAST(kk.n AS BIGINT) AS n_parts,
+                   CAST(kk.n_types AS BIGINT) AS n_types,
+                   CAST(kk.n_cells AS BIGINT) AS n_cells,
+                   CAST(sst.v // 1000000 AS BIGINT) AS ss_type_sc,
+                   CAST(ssb.v // 1000000 AS BIGINT) AS ss_brand_sc,
+                   CAST(ssw.v // 1000000 AS BIGINT) AS ss_within_sc,
+                   CAST(1000 * sst.v * (kk.n_cells - kk.n_types)
+                        // (ssb.v * (kk.n_types - 1)) AS BIGINT)
+                       AS f_type_milli,
+                   CAST(1000 * ssb.v * (kk.n - kk.n_cells)
+                        // (ssw.v * (kk.n_cells - kk.n_types))
+                        AS BIGINT) AS f_brand_milli,
+                   CAST(10000 * sst.v // (sst.v + ssb.v + ssw.v)
+                        AS BIGINT) AS type_share_bps,
+                   CAST(10000 * ssb.v // (sst.v + ssb.v + ssw.v)
+                        AS BIGINT) AS brand_share_bps
+            FROM sst, ssb, ssw, kk
+        """,
+        "docs_nchars_consistency": """
+            WITH d AS (SELECT n_chars,
+                              length(text) AS actual
+                       FROM documents),
+            f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(*) FILTER (n_chars = actual)
+                              AS BIGINT) AS m,
+                         CAST(SUM(ABS(n_chars - actual)) AS BIGINT)
+                             AS sd,
+                         CAST(MAX(ABS(n_chars - actual)) AS BIGINT)
+                             AS mx
+                  FROM d)
+            SELECT n AS n_docs, m AS n_match,
+                   CAST(10000 * m // n AS BIGINT) AS match_bps,
+                   sd AS sum_absdev, mx AS max_absdev
+            FROM f
+        """,
+        "events_markov_order_test": """
+            WITH s AS (SELECT event_type AS t,
+                              LAG(event_type, 1) OVER w AS p1,
+                              LAG(event_type, 2) OVER w AS p2
+                       FROM events
+                       WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, event_id)),
+            u0 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s GROUP BY 1),
+            o0 AS (SELECT 0 AS k, 1 AS n_ctx, SUM(c) AS total,
+                          MAX(c) AS correct
+                   FROM u0),
+            u1 AS (SELECT p1, t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s WHERE p1 IS NOT NULL GROUP BY 1, 2),
+            m1 AS (SELECT p1, MAX(c) AS mx, SUM(c) AS tt
+                   FROM u1 GROUP BY 1),
+            o1 AS (SELECT 1 AS k, COUNT(*) AS n_ctx,
+                          SUM(tt) AS total, SUM(mx) AS correct
+                   FROM m1),
+            u2 AS (SELECT p2, p1, t, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+            m2 AS (SELECT p2, p1, MAX(c) AS mx, SUM(c) AS tt
+                   FROM u2 GROUP BY 1, 2),
+            o2 AS (SELECT 2 AS k, COUNT(*) AS n_ctx,
+                          SUM(tt) AS total, SUM(mx) AS correct
+                   FROM m2),
+            al AS (SELECT * FROM o0 UNION ALL SELECT * FROM o1
+                   UNION ALL SELECT * FROM o2)
+            SELECT CAST(k AS BIGINT) AS order_k,
+                   CAST(n_ctx AS BIGINT) AS n_contexts,
+                   CAST(total AS BIGINT) AS n_predictions,
+                   CAST(correct AS BIGINT) AS n_correct,
+                   CAST(10000 * correct // total AS BIGINT)
+                       AS accuracy_bps
+            FROM al ORDER BY order_k
+        """,
+        "events_neyman_allocation": """
+            WITH d AS (SELECT event_type AS et,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS v
+                       FROM events),
+            g AS (SELECT et, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM d GROUP BY 1),
+            f AS (SELECT et, n, n * q - s * s AS vn,
+                         CAST(FLOOR(SQRT(CAST(n * q - s * s
+                                              AS DOUBLE)))
+                              AS BIGINT) AS w
+                  FROM g),
+            t AS (SELECT SUM(w) AS ws, SUM(n) AS nt FROM f)
+            SELECT et AS event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(vn // 1000000 AS BIGINT) AS v_num_sc,
+                   w,
+                   CAST(10000 * w // t.ws AS BIGINT)
+                       AS alloc_neyman_bps,
+                   CAST(10000 * n // t.nt AS BIGINT)
+                       AS alloc_prop_bps
+            FROM f, t ORDER BY et
+        """,
+        "docs_winnowing_density": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 8 = 0
+                         AND length(text) >= 12),
+            g AS (SELECT doc_id, u.i,
+                         CAST(('0x' || substr(md5(substr(text,
+                              CAST(u.i AS INT), 5)), 1, 15))
+                              AS UBIGINT) AS h
+                  FROM d, UNNEST(generate_series(
+                      1, length(text) - 4)) AS u(i)),
+            w AS (SELECT doc_id,
+                         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                      ROWS 7 PRECEDING) AS mh,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY i) AS rn
+                  FROM g),
+            sel AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS nw,
+                           CAST(COUNT(DISTINCT mh) AS BIGINT) AS ns
+                    FROM w WHERE rn >= 8 GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(nw) AS BIGINT) AS nw,
+                         CAST(SUM(ns) AS BIGINT) AS ns
+                  FROM sel)
+            SELECT n_docs, nw AS n_windows, ns AS n_selected,
+                   CAST(10000 * ns // nw AS BIGINT) AS density_bps,
+                   CAST(20000 // 9 AS BIGINT) AS expected_bps
+            FROM t
+        """,
+        "embedding_thin_shell": """
+            WITH q AS (SELECT vec_id,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                                  AS qv
+                       FROM embeddings),
+            v AS (SELECT vec_id,
+                         SUM(CAST(qv AS HUGEINT) * qv) // 1000000
+                             AS ns2
+                  FROM q GROUP BY 1),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(ns2) AS HUGEINT) AS s
+                  FROM v),
+            c AS (SELECT CAST(COUNT(*) FILTER (
+                              100 * m.n * ns2 < 90 * m.s)
+                              AS BIGINT) AS below,
+                         CAST(COUNT(*) FILTER (
+                              100 * m.n * ns2 > 110 * m.s)
+                              AS BIGINT) AS above,
+                         CAST(COUNT(*) AS BIGINT) AS nn
+                  FROM v, m GROUP BY m.n, m.s)
+            SELECT CAST(m.n AS BIGINT) AS n_vecs,
+                   CAST(m.s AS BIGINT) AS sum_ns2_sc,
+                   CAST(c.nn - c.below - c.above AS BIGINT)
+                       AS n_within,
+                   c.below AS n_below, c.above AS n_above,
+                   CAST(10000 * (c.nn - c.below - c.above) // m.n
+                        AS BIGINT) AS within_bps
+            FROM m, c
+        """,
+        "nation_ship_lag_median": """
+            WITH j AS (SELECT c.c_nationkey AS nk,
+                              datediff('day',
+                                       CAST(o.o_orderdate AS DATE),
+                                       CAST(l.l_shipdate AS DATE))
+                                  AS lg
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN customer c ON o.o_custkey = c.c_custkey),
+            g AS (SELECT nk, lg, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT nk, lg, c,
+                         SUM(c) OVER (PARTITION BY nk ORDER BY lg
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY nk) AS tot,
+                         SUM(lg * c) OVER (PARTITION BY nk) AS wsum
+                  FROM g)
+            SELECT CAST(nk AS BIGINT) AS c_nationkey,
+                   CAST(MAX(tot) AS BIGINT) AS n_lines,
+                   CAST(MIN(lg) FILTER (
+                        cum >= (tot + 1) // 2) AS BIGINT) AS med_lag,
+                   CAST(MIN(lg) FILTER (
+                        cum >= (9 * tot + 9) // 10) AS BIGINT)
+                       AS p90_lag,
+                   CAST((CASE WHEN MAX(wsum) > 0 THEN 1
+                         WHEN MAX(wsum) < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(MAX(wsum))) // MAX(tot))
+                        AS BIGINT) AS mean_lag_milli
+            FROM r GROUP BY nk ORDER BY c_nationkey
+        """,
+        "orders_seasonal_mann_kendall": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS rev
+                       FROM orders GROUP BY 1),
+            w AS (SELECT (dy + 3) % 7 AS dow, dy, rev FROM d),
+            p AS (SELECT CASE WHEN b.rev > a.rev THEN 1
+                              WHEN b.rev < a.rev THEN -1
+                              ELSE 0 END AS sg
+                  FROM w a JOIN w b ON a.dow = b.dow
+                                   AND b.dy > a.dy),
+            ss AS (SELECT COALESCE(SUM(sg), 0) AS s FROM p),
+            gn AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM w GROUP BY 1),
+            tt AS (SELECT w.dow,
+                          COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+                              AS tie
+                   FROM (SELECT dow, rev, COUNT(*) AS c
+                         FROM w GROUP BY 1, 2) w
+                   WHERE c > 1 GROUP BY 1),
+            vv AS (SELECT SUM(gn.n * (gn.n - 1) * (2 * gn.n + 5)
+                              - COALESCE(tt.tie, 0)) AS var18,
+                          SUM(gn.n) AS n_tot
+                   FROM gn LEFT JOIN tt ON gn.dow = tt.dow
+                   WHERE gn.n >= 2)
+            SELECT CAST(vv.n_tot AS BIGINT) AS n_days,
+                   CAST(ss.s AS BIGINT) AS s_stat,
+                   CAST(vv.var18 AS BIGINT) AS var_x18,
+                   CAST(CASE
+                        WHEN ss.s > 0 THEN FLOOR(
+                            CAST(ss.s - 1 AS DOUBLE)
+                            / SQRT(CAST(vv.var18 AS DOUBLE) / 18.0)
+                            * 1000.0)
+                        WHEN ss.s < 0 THEN FLOOR(
+                            CAST(ss.s + 1 AS DOUBLE)
+                            / SQRT(CAST(vv.var18 AS DOUBLE) / 18.0)
+                            * 1000.0)
+                        ELSE 0 END AS BIGINT) AS z_milli
+            FROM ss, vv
         """,
     }

@@ -227,6 +227,11 @@ BENCH_QUERIES = [
     "customer_order_overdispersion", "nation_segment_rca",
     "media_scene_changes", "part_price_stickiness",
     "embedding_kmeans_elbow", "trade_home_bias",
+    "part_walk_centrality", "orders_quarterly_gini",
+    "part_price_nested_anova", "docs_nchars_consistency",
+    "events_markov_order_test", "events_neyman_allocation",
+    "docs_winnowing_density", "embedding_thin_shell",
+    "nation_ship_lag_median", "orders_seasonal_mann_kendall",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -14118,3 +14118,357 @@ def embedding_kmeans_elbow(sf_dir: str) -> pd.DataFrame:
         out.append((k, n, tot // 1_000_000, int(cnt.max())))
     return pd.DataFrame(out, columns=["k", "n_vecs", "inertia_scaled",
                                       "biggest_n"]).astype("int64")
+
+
+def orders_quarterly_gini(sf_dir: str) -> pd.DataFrame:
+    """INEQUALITY DRIFT — exact Gini of the daily revenue
+    distribution per calendar QUARTER (90-day windows from the span
+    start): is revenue concentrating into fewer days over time? The
+    pairwise-|difference| sum folds by the sorted-rank identity
+    sum((2r - n - 1) * x) — O(n log n), tie-permutation invariant
+    because a tie group's coefficient-sum is fixed regardless of
+    which rank each equal value takes — and Gini closes as ONE
+    integer bps floor 10000*S // (n*T) per quarter. Daily cents
+    partials collapse the stream — ZERO shuffle; quarters are
+    calendar-bounded."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=rev,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["cents"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo = int(days.min())
+    q = (days - lo) // 90
+    cents = agg["cents"].to_numpy(np.int64)
+    rows = []
+    for qi in np.unique(q):
+        x = np.sort(cents[q == qi])
+        n = len(x)
+        t = int(x.sum())
+        s = int(((2 * np.arange(1, n + 1, dtype=np.int64) - n - 1)
+                 * x).sum())
+        rows.append((int(qi), n, t,
+                     10000 * s // (n * t) if n > 0 and t > 0 else -1))
+    return pd.DataFrame(rows, columns=["quarter", "n_days",
+                                       "total_cents", "gini_bps"]) \
+        .astype("int64")
+
+
+def part_price_nested_anova(sf_dir: str) -> pd.DataFrame:
+    """NESTED (hierarchical) ANOVA of part retail price — brand
+    WITHIN type: how much price variation lives between types,
+    between brands inside a type, and within cells? The design the
+    crossed two-way can't express (brands aren't comparable across
+    types). The exact integer discipline of ``orders_dow_anova``
+    carries over level by level: every mean floors once to
+    milli-cents, SS_type = sum n_t*(m_t-m)^2, SS_brand(type) =
+    sum n_tb*(m_tb-m_t)^2, SS_within by the expanded-square identity
+    1e6*Q - 2*m*1000*S + n*m^2 — all Python-bigint/HUGEINT, the
+    nested F_type = MS_type/MS_brand rule, NO float anywhere. SS
+    outputs report // 10^6 to stay int64. One (type, brand) grid
+    partial per block (~3750 cells) — ZERO shuffle."""
+    ds = _read(sf_dir, "part",
+               columns=["p_type", "p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "ty": np.asarray(t.column("p_type")).astype(object),
+            "br": np.asarray(t.column("p_brand")).astype(object),
+            "v": np.floor(t.column("p_retailprice").to_numpy() * 100)
+            .astype(np.int64)})
+        df["v2"] = df["v"] * df["v"]
+        g = df.groupby(["ty", "br"], as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), q=("v2", "sum"))
+        return pa.table({"ty": pa.array(g["ty"], type=pa.string()),
+                         "br": pa.array(g["br"], type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64)),
+                         "q": pa.array(g["q"].to_numpy(np.int64))})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .to_pandas().groupby(["ty", "br"], as_index=False).sum())
+    n = int(cells["n"].sum())
+    s_tot = int(cells["s"].sum())
+    mbar = 1000 * s_tot // n
+    tgrp = cells.groupby("ty").agg(n=("n", "sum"), s=("s", "sum"))
+    mt = {ty: 1000 * int(r["s"]) // int(r["n"])
+          for ty, r in tgrp.iterrows()}
+    ss_type = sum(int(r["n"]) * (mt[ty] - mbar) ** 2
+                  for ty, r in tgrp.iterrows())
+    ss_brand = 0
+    ss_within = 0
+    for _, r in cells.iterrows():
+        n_i, s_i, q_i = int(r["n"]), int(r["s"]), int(r["q"])
+        m_i = 1000 * s_i // n_i
+        ss_brand += n_i * (m_i - mt[r["ty"]]) ** 2
+        ss_within += 1_000_000 * q_i - 2 * m_i * 1000 * s_i \
+            + n_i * m_i * m_i
+    n_types = len(tgrp)
+    n_cells = len(cells)
+    f_type_milli = 1000 * ss_type * (n_cells - n_types) \
+        // (ss_brand * (n_types - 1))
+    f_brand_milli = 1000 * ss_brand * (n - n_cells) \
+        // (ss_within * (n_cells - n_types))
+    tot = ss_type + ss_brand + ss_within
+    return pd.DataFrame([(n, n_types, n_cells, ss_type // 1_000_000,
+                          ss_brand // 1_000_000,
+                          ss_within // 1_000_000, f_type_milli,
+                          f_brand_milli, 10000 * ss_type // tot,
+                          10000 * ss_brand // tot)],
+                        columns=["n_parts", "n_types", "n_cells",
+                                 "ss_type_sc", "ss_brand_sc",
+                                 "ss_within_sc", "f_type_milli",
+                                 "f_brand_milli", "type_share_bps",
+                                 "brand_share_bps"]).astype("int64")
+
+
+def events_markov_order_test(sf_dir: str) -> pd.DataFrame:
+    """MARKOV ORDER selection — how much context does next-event-type
+    prediction actually need? In-sample top-1 accuracy of the
+    order-0 (global mode), order-1 (previous type) and order-2
+    (previous two types) predictors, each scored on its own valid
+    positions: correct = sum over contexts of max next-type count —
+    an EXACT integer identity, no probabilities, no logs. One
+    ``user % 64`` exchange co-locates each user's (ts, event_id)
+    -ordered sequence; buckets emit trigram-count partials
+    (|types|^3-bounded) and the driver derives every order's table
+    by marginalization. The flattening-accuracy curve is the
+    sequence-model-capacity router."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        same1 = np.empty(len(us), dtype=bool)
+        same1[0] = False
+        same1[1:] = us[1:] == us[:-1]
+        same2 = np.zeros(len(us), dtype=bool)
+        same2[2:] = (us[2:] == us[1:-1]) & (us[1:-1] == us[:-2])
+        idx = np.flatnonzero(same2)
+        tri = pd.DataFrame({"p2": et[idx - 2], "p1": et[idx - 1],
+                            "nx": et[idx]})
+        tc = tri.groupby(["p2", "p1", "nx"], as_index=False).size()
+        i1 = np.flatnonzero(same1)
+        bi = pd.DataFrame({"p1": et[i1 - 1], "nx": et[i1]})
+        bc = bi.groupby(["p1", "nx"], as_index=False).size()
+        un = pd.DataFrame({"nx": et}).groupby("nx",
+                                              as_index=False).size()
+        tc["kind"] = 2
+        bc["kind"] = 1
+        bc["p2"] = ""
+        un["kind"] = 0
+        un["p2"] = ""
+        un["p1"] = ""
+        return pd.concat([tc, bc, un], ignore_index=True)[
+            ["kind", "p2", "p1", "nx", "size"]]
+
+    parts = (ds.map_batches(derive, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas().groupby(["kind", "p2", "p1", "nx"],
+                                  as_index=False)["size"].sum())
+    rows = []
+    for k, keys in ((0, []), (1, ["p1"]), (2, ["p2", "p1"])):
+        sub = parts[parts["kind"] == k]
+        if keys:
+            mx = sub.groupby(keys)["size"].max()
+            correct = int(mx.sum())
+            n_ctx = len(mx)
+        else:
+            correct = int(sub["size"].max())
+            n_ctx = 1
+        total = int(sub["size"].sum())
+        rows.append((k, n_ctx, total, correct,
+                     10000 * correct // total))
+    return pd.DataFrame(rows, columns=["order_k", "n_contexts",
+                                       "n_predictions", "n_correct",
+                                       "accuracy_bps"]).astype("int64")
+
+
+def events_neyman_allocation(sf_dir: str) -> pd.DataFrame:
+    """NEYMAN ALLOCATION plan — if the next monitoring pass can only
+    afford a fixed sample, how should it split across event-type
+    strata? Optimal share is proportional to N_h * sigma_h; with the
+    full census in hand that reduces to w_h = floor(sqrt(V_h)) where
+    V_h = n_h*sum(v^2) - S_h^2 is the exact integer variance
+    numerator (Python bigints / HUGEINT; reported // 10^6 to stay
+    int64) — ONE IEEE-matched sqrt per stratum, never summed in
+    float. Reported against proportional allocation; the spread
+    between them is the design-effect warning. Per-block per-type
+    moment partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(et)
+        k = len(uniq)
+        return pa.table({
+            "et": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(code, weights=v, minlength=k)
+                          .astype(np.int64)),
+            "q": pa.array(np.bincount(code, weights=v * v,
+                                      minlength=k).astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("et", as_index=False).sum())
+    g = g.sort_values("et", kind="mergesort").reset_index(drop=True)
+    n_tot = int(g["n"].sum())
+    ws = []
+    vs = []
+    for _, r in g.iterrows():
+        v_num = int(r["n"]) * int(r["q"]) - int(r["s"]) ** 2
+        vs.append(v_num)
+        ws.append(math.floor(math.sqrt(float(v_num))))
+    wsum = sum(ws)
+    return pd.DataFrame({
+        "event_type": g["et"], "n": g["n"].to_numpy(np.int64),
+        "v_num_sc": [v // 1_000_000 for v in vs],
+        "w": ws,
+        "alloc_neyman_bps": [10000 * w // wsum for w in ws],
+        "alloc_prop_bps": 10000 * g["n"].to_numpy(np.int64) // n_tot}) \
+        .astype({c: "int64" for c in ("n", "v_num_sc", "w",
+                                      "alloc_neyman_bps",
+                                      "alloc_prop_bps")})
+
+
+def embedding_thin_shell(sf_dir: str) -> pd.DataFrame:
+    """THIN-SHELL concentration check — in healthy high-dimensional
+    embeddings, squared norms concentrate in a narrow shell around
+    their mean; heavy tails flag mixed scales or corrupt vectors.
+    Two cheap scans: exact quantized squared norms (scaled // 10^6 so
+    every later product stays int64) fold to (n, sum) first, then the
+    +-10% band test runs as the cross-multiplied integer compare
+    90*sum <= 100*n*ns2 <= 110*sum with the totals broadcast — no
+    mean rational, no float. Reports the within/below/above census
+    in exact bps. Per-block partials — ZERO shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def norms(t: pa.Table) -> np.ndarray:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1_000_000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        return (fp * fp).sum(axis=1) // 1_000_000
+
+    def phase1(t: pa.Table) -> pa.Table:
+        ns2 = norms(t)
+        return pa.table({"n": pa.array([np.int64(len(ns2))]),
+                         "s": pa.array([np.int64(ns2.sum())])})
+
+    m = ds.map_batches(phase1, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    s = int(m["s"].sum())
+    ref = ray.put((n, s))
+
+    def phase2(t: pa.Table) -> pa.Table:
+        n_, s_ = ray.get(ref)
+        ns2 = norms(t)
+        lhs = 100 * n_ * ns2
+        below = int((lhs < 90 * s_).sum())
+        above = int((lhs > 110 * s_).sum())
+        return pa.table({
+            "below": pa.array([np.int64(below)]),
+            "above": pa.array([np.int64(above)]),
+            "within": pa.array([np.int64(len(ns2) - below - above)])})
+
+    c = ds.map_batches(phase2, batch_format="pyarrow").to_pandas()
+    within = int(c["within"].sum())
+    return pd.DataFrame([(n, s, within, int(c["below"].sum()),
+                          int(c["above"].sum()),
+                          10000 * within // n)],
+                        columns=["n_vecs", "sum_ns2_sc", "n_within",
+                                 "n_below", "n_above", "within_bps"]) \
+        .astype("int64")
+
+
+def orders_seasonal_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """SEASONAL MANN-KENDALL — the trend gate that weekly seasonality
+    cannot fool: the plain MK pair sweep runs WITHIN each weekday
+    series separately (Hirsch-Slack rule), S and the tie-corrected
+    18*Var sum across the seven seasons as exact integers, and the
+    continuity-corrected z closes as the same ONE IEEE-matched float
+    chain as ``orders_mann_kendall``. A trend that survives here is
+    real drift, not day-of-week mix. Per-block daily partials — ZERO
+    shuffle; the pair sweep is calendar-bounded per season."""
+    import math
+
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (parts.groupby("dy", as_index=False)["rev"].sum()
+           .sort_values("dy", kind="mergesort"))
+    dy = agg["dy"].to_numpy(np.int64)
+    rv = agg["rev"].to_numpy(np.int64)
+    dow = (dy + 3) % 7
+    s_tot = 0
+    var18 = 0
+    n_tot = 0
+    for w in range(7):
+        r = rv[dow == w]
+        n = len(r)
+        if n < 2:
+            continue
+        i, j = np.triu_indices(n, k=1)
+        s_tot += int(np.sign(r[j] - r[i]).sum())
+        _, counts = np.unique(r, return_counts=True)
+        t_ = counts[counts > 1].astype(np.int64)
+        var18 += n * (n - 1) * (2 * n + 5) \
+            - int((t_ * (t_ - 1) * (2 * t_ + 5)).sum())
+        n_tot += n
+    if s_tot > 0:
+        z_milli = math.floor(
+            float(s_tot - 1) / math.sqrt(float(var18) / 18.0)
+            * 1000.0)
+    elif s_tot < 0:
+        z_milli = math.floor(
+            float(s_tot + 1) / math.sqrt(float(var18) / 18.0)
+            * 1000.0)
+    else:
+        z_milli = 0
+    return pd.DataFrame([(n_tot, s_tot, var18, z_milli)],
+                        columns=["n_days", "s_stat", "var_x18",
+                                 "z_milli"]).astype("int64")

@@ -1573,3 +1573,37 @@ def docs_menzerath(sf_dir: str) -> pd.DataFrame:
     g["mean_tok_len_milli"] = 1000 * g["sum_chars"].to_numpy(np.int64) \
         // g["n_tokens"].to_numpy(np.int64)
     return g.astype("int64")
+
+
+def docs_nchars_consistency(sf_dir: str) -> pd.DataFrame:
+    """MATERIALIZED-COLUMN consistency audit — is the stored
+    ``n_chars`` stat column stale or wrong vs the text it summarizes?
+    The staleness check every pipeline with derived columns needs:
+    per-doc |n_chars - utf8_length(text)| folded to match count,
+    total and max absolute deviation, match share in exact bps.
+    RE2-free (one Arrow utf8_length kernel); per-block partials are
+    one row — ZERO shuffle, pure integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        stored = t.column("n_chars").to_numpy().astype(np.int64)
+        actual = pc.utf8_length(t.column("text")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dev = np.abs(stored - actual)
+        return pa.table({
+            "n": pa.array([np.int64(len(dev))]),
+            "match": pa.array([np.int64((dev == 0).sum())]),
+            "sumdev": pa.array([np.int64(dev.sum())]),
+            "maxdev": pa.array([np.int64(dev.max()) if len(dev)
+                                else np.int64(0)])})
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(m["n"].sum())
+    match = int(m["match"].sum())
+    return pd.DataFrame([(n, match, 10000 * match // n,
+                          int(m["sumdev"].sum()),
+                          int(m["maxdev"].max()))],
+                        columns=["n_docs", "n_match", "match_bps",
+                                 "sum_absdev", "max_absdev"]) \
+        .astype("int64")

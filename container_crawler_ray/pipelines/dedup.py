@@ -1531,3 +1531,50 @@ def docs_rouge_pairs(sf_dir: str) -> pd.DataFrame:
                         columns=["n_pairs", "sum_overlap",
                                  "mean_f_milli", "max_f_milli",
                                  "hi500"]).astype("int64")
+
+
+def docs_winnowing_density(sf_dir: str) -> pd.DataFrame:
+    """WINNOWING fingerprint density — the MOSS plagiarism-detection
+    selector: 5-gram md5 hashes, sliding window of 8, the window
+    MINIMUM is the fingerprint, and the metric is distinct selected
+    fingerprints per full window vs the theoretical 2/(w+1) density
+    the winnowing paper guarantees. Distinct-VALUE counting (not
+    positions) keeps both sides definitionally identical; every hash
+    is md5(5-gram) so the twin reproduces each bit. Every 8th doc
+    (doc_id % 8 == 0) carries the audit — the sampled calibration a
+    100 TB near-dup pass runs before choosing w. Per-block partials
+    are one row per doc — ZERO shuffle, pure integers."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        n_docs = 0
+        nw = 0
+        ns = 0
+        for i, s in enumerate(texts):
+            if int(did[i]) % 8 != 0 or len(s) < 12:
+                continue
+            h = np.array([int(hashlib.md5(
+                s[j:j + 5].encode("utf-8")).hexdigest()[:15], 16)
+                for j in range(len(s) - 4)], dtype=np.int64)
+            wins = np.lib.stride_tricks.sliding_window_view(h, 8) \
+                .min(axis=1)
+            n_docs += 1
+            nw += len(wins)
+            ns += len(np.unique(wins))
+        return pa.table({"n_docs": pa.array([np.int64(n_docs)]),
+                         "nw": pa.array([np.int64(nw)]),
+                         "ns": pa.array([np.int64(ns)])})
+
+    m = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    nw = int(m["nw"].sum())
+    ns = int(m["ns"].sum())
+    return pd.DataFrame([(int(m["n_docs"].sum()), nw, ns,
+                          10000 * ns // nw, 20000 // 9)],
+                        columns=["n_docs", "n_windows", "n_selected",
+                                 "density_bps", "expected_bps"]) \
+        .astype("int64")

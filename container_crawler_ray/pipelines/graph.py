@@ -1052,3 +1052,48 @@ def part_degree_ccdf(sf_dir: str) -> pd.DataFrame:
         "band": keep, "n_nodes": n_nodes[keep],
         "deg_mass": mass[keep], "ccdf_nodes": ccdf[keep],
         "ccdf_bps": 10000 * ccdf[keep] // n}).astype("int64")
+
+
+def part_walk_centrality(sf_dir: str) -> pd.DataFrame:
+    """TWO-STEP WALK centrality on the co-purchase graph — the Katz
+    truncation that separates "hub" from "next to hubs": score(u) =
+    deg(u) + walks2(u) where walks2(u) = sum of deg(v) over u's
+    neighbors (2-step walk count, backtracks included, the exact
+    A^2 row sum). Degrees and the neighbor-sum both come from the
+    shared undirect/distinct edge exchange; the neighbor fold is one
+    vectorized take over the part-dimension degree array — no second
+    exchange. Top 20 under the (score desc, partkey asc) total
+    order. Pure integers; the two-hop influence ranking a frontier
+    scheduler uses to pre-warm hot neighborhoods."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .to_pandas())
+    a = und["a"].to_numpy(np.int64)
+    b = und["b"].to_numpy(np.int64)
+    deg = np.bincount(np.concatenate([a, b])).astype(np.int64)
+    w2 = np.zeros_like(deg)
+    np.add.at(w2, a, deg[b])
+    np.add.at(w2, b, deg[a])
+    nodes = np.flatnonzero(deg > 0)
+    score = deg[nodes] + w2[nodes]
+    order = np.lexsort((nodes, -score))[:20]
+    pick = nodes[order]
+    return pd.DataFrame({
+        "p_partkey": pick, "deg": deg[pick], "walks2": w2[pick],
+        "score": deg[pick] + w2[pick],
+        "rk": np.arange(1, len(pick) + 1, dtype=np.int64)}) \
+        .astype("int64")

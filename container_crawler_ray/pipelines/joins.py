@@ -3923,3 +3923,93 @@ def trade_home_bias(sf_dir: str) -> pd.DataFrame:
           1000 * same * t // exp_num)],
         columns=["n_lines", "obs_same", "home_share_bps", "exp_num",
                  "exp_share_bps", "lift_milli"]).astype("int64")
+
+
+def nation_ship_lag_median(sf_dir: str) -> pd.DataFrame:
+    """FULFILLMENT SLA by customer nation — exact ceil-rank median
+    and p90 of the order-to-ship lag, plus the truncating integer
+    mean in milli-days: the per-geography latency report an ops team
+    pages on. Scale shape is the q7 kernel: ONE lineitem-x-orders
+    fact-fact exchange on ``orderkey % 64`` (the orders side carries
+    its customer's nation via the broadcast LUT so the heavy side
+    ships once); buckets emit (nation, lag-day) HISTOGRAM partials —
+    nation x ~bounded-lag cells, never rows — and the quantile scan
+    runs per nation on the driver grid. Pure integers."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+    ref = ray.put(c_nat)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({
+            "key": pa.array(key), "aux": pa.array(d),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        nat = ray.get(ref)
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        ck_ = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(nat[ck_] * 131072 + d),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "nd"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "ship"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"nk": pd.Series([], dtype=np.int64),
+                                 "lg": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        nd = m["nd"].to_numpy(np.int64)
+        out = pd.DataFrame({"nk": nd // 131072,
+                            "lg": m["ship"].to_numpy(np.int64)
+                            - nd % 131072})
+        return out.groupby(["nk", "lg"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    hist = (tagged.groupby("bucket")
+            .map_groups(bucket_join, batch_format="pandas")
+            .to_pandas().groupby(["nk", "lg"], as_index=False)["c"]
+            .sum())
+    rows = []
+    for nk, g in hist.groupby("nk"):
+        g = g.sort_values("lg")
+        lg = g["lg"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        med = int(lg[np.searchsorted(cum, (n + 1) // 2)])
+        p90 = int(lg[np.searchsorted(cum, (9 * n + 9) // 10)])
+        # synthetic ship dates are not ordered after the order date,
+        # so the lag sum can be negative: sign-normalize the floor so
+        # it matches DuckDB's truncate-toward-zero `//`
+        ws = int((lg * c).sum())
+        sg = 1 if ws > 0 else (-1 if ws < 0 else 0)
+        mean_milli = sg * (1000 * abs(ws) // n)
+        rows.append((int(nk), n, med, p90, mean_milli))
+    return pd.DataFrame(rows, columns=[
+        "c_nationkey", "n_lines", "med_lag", "p90_lag",
+        "mean_lag_milli"]).sort_values("c_nationkey") \
+        .reset_index(drop=True).astype("int64")
