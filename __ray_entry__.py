@@ -423,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_ship_lag_median": joins.nation_ship_lag_median,
         "orders_seasonal_mann_kendall":
             analytics.orders_seasonal_mann_kendall,
+        "part_abc_migration": analytics.part_abc_migration,
+        "events_type_user_gini": analytics.events_type_user_gini,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10503,5 +10505,64 @@ def oracle_sql() -> dict[str, str]:
                             * 1000.0)
                         ELSE 0 END AS BIGINT) AS z_milli
             FROM ss, vv
+        """,
+        "part_abc_migration": """
+            WITH b AS (SELECT l_partkey AS pk,
+                              datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))
+                                  AS d,
+                              CAST(FLOOR(l_extendedprice
+                                   * (1 - l_discount) * 100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem),
+            sp AS (SELECT (MIN(d) + MAX(d)) // 2 AS mid FROM b),
+            h AS (SELECT pk,
+                         CASE WHEN d > mid THEN 1 ELSE 0 END AS hf,
+                         CAST(SUM(rev) AS BIGINT) AS rev
+                  FROM b, sp GROUP BY 1, 2),
+            w AS (SELECT pk, hf,
+                         SUM(rev) OVER (PARTITION BY hf
+                                        ORDER BY rev DESC, pk
+                                        ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(rev) OVER (PARTITION BY hf) AS t
+                  FROM h),
+            cl AS (SELECT pk, hf,
+                          CASE WHEN 5 * cum <= 4 * t THEN 'A'
+                               WHEN 20 * cum <= 19 * t THEN 'B'
+                               ELSE 'C' END AS cls
+                   FROM w),
+            c1 AS (SELECT pk, cls FROM cl WHERE hf = 0),
+            c2 AS (SELECT pk, cls FROM cl WHERE hf = 1),
+            j AS (SELECT COALESCE(c1.cls, 'N') AS f,
+                         COALESCE(c2.cls, 'N') AS t
+                  FROM part
+                  LEFT JOIN c1 ON part.p_partkey = c1.pk
+                  LEFT JOIN c2 ON part.p_partkey = c2.pk)
+            SELECT f AS from_class, t AS to_class,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_type_user_gini": """
+            WITH c AS (SELECT event_type AS et, user_id AS u,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT et, c,
+                         ROW_NUMBER() OVER (PARTITION BY et
+                                            ORDER BY c, u) AS rn,
+                         COUNT(*) OVER (PARTITION BY et) AS n,
+                         SUM(c) OVER (PARTITION BY et) AS t,
+                         MAX(c) OVER (PARTITION BY et) AS mx
+                  FROM c)
+            SELECT et AS event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_users,
+                   CAST(MAX(t) AS BIGINT) AS n_events,
+                   CAST(10000 * SUM(CAST(2 * rn - n - 1 AS HUGEINT)
+                                    * c)
+                        // (CAST(MAX(n) AS HUGEINT) * MAX(t))
+                        AS BIGINT) AS gini_bps,
+                   CAST(10000 * MAX(mx) // MAX(t) AS BIGINT)
+                       AS top_user_bps
+            FROM r GROUP BY et ORDER BY et
         """,
     }

@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "events_markov_order_test", "events_neyman_allocation",
     "docs_winnowing_density", "embedding_thin_shell",
     "nation_ship_lag_median", "orders_seasonal_mann_kendall",
+    "part_abc_migration", "events_type_user_gini",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -14472,3 +14472,112 @@ def orders_seasonal_mann_kendall(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame([(n_tot, s_tot, var18, z_milli)],
                         columns=["n_days", "s_stat", "var_x18",
                                  "z_milli"]).astype("int64")
+
+
+def part_abc_migration(sf_dir: str) -> pd.DataFrame:
+    """ABC CLASS MIGRATION — which parts moved between the A (top
+    80% of revenue), B (next 15%), C (tail) and N (no sales) classes
+    from the first calendar half to the second: the assortment-churn
+    matrix a planner reads before re-slotting a warehouse. Class
+    cuts are the exact cross-multiplied prefix tests 5*cum <= 4*T
+    and 20*cum <= 19*T under the (revenue desc, partkey) total
+    order — no share rational ever formed. Two per-(part, half)
+    revenue-cents folds (block partials, part-cardinality driver
+    grid) + the part dimension as the universe so never-sold parts
+    land in N. Pure integers end to end."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        key = pk * 2 + (d > mid)
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("key", as_index=False).sum())
+    allpk = _read(sf_dir, "part", columns=["p_partkey"]).to_pandas() \
+        ["p_partkey"].to_numpy(np.int64)
+
+    def classify(half):
+        sub = per[per["key"] % 2 == half]
+        pk = (sub["key"].to_numpy(np.int64)) // 2
+        rev = sub["rev"].to_numpy(np.int64)
+        order = np.lexsort((pk, -rev))
+        pk, rev = pk[order], rev[order]
+        cum = np.cumsum(rev)
+        t = int(cum[-1]) if len(cum) else 0
+        cls = np.where(5 * cum <= 4 * t, 0,
+                       np.where(20 * cum <= 19 * t, 1, 2))
+        out = dict(zip(pk.tolist(), cls.tolist()))
+        return out
+
+    c1 = classify(0)
+    c2 = classify(1)
+    names = np.array(["A", "B", "C", "N"])
+    cell = np.zeros((4, 4), dtype=np.int64)
+    for p in allpk:
+        cell[c1.get(int(p), 3), c2.get(int(p), 3)] += 1
+    rows = [(names[i], names[j], int(cell[i, j]))
+            for i in range(4) for j in range(4) if cell[i, j] > 0]
+    return pd.DataFrame(rows, columns=["from_class", "to_class",
+                                       "n_parts"]) \
+        .astype({"n_parts": "int64"})
+
+
+def events_type_user_gini(sf_dir: str) -> pd.DataFrame:
+    """USER-CONCENTRATION per event type — exact Gini of each type's
+    per-user count distribution plus the top-user share: is 'click'
+    broad-based while 'purchase' rides on whales? The sorted-rank
+    identity sum((2r - n - 1) * c) closes Gini as one integer bps
+    floor per type (tie-permutation invariant). Per-block (type,
+    user) count partials fold at users x types cardinality on the
+    driver (at petabyte user counts the identity distributes as a
+    per-type rank exchange). Pure integers."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"et": et, "u": u})
+        g = df.groupby(["et", "u"], as_index=False).size()
+        return pa.table({"et": pa.array(g["et"], type=pa.string()),
+                         "u": pa.array(g["u"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby(["et", "u"], as_index=False)["c"]
+           .sum())
+    rows = []
+    for et, g in per.groupby("et"):
+        c = np.sort(g["c"].to_numpy(np.int64))
+        n = len(c)
+        t = int(c.sum())
+        s = int(((2 * np.arange(1, n + 1, dtype=np.int64) - n - 1)
+                 * c).sum())
+        rows.append((str(et), n, t, 10000 * s // (n * t),
+                     10000 * int(c[-1]) // t))
+    return pd.DataFrame(sorted(rows), columns=[
+        "event_type", "n_users", "n_events", "gini_bps",
+        "top_user_bps"]).astype(
+        {c: "int64" for c in ("n_users", "n_events", "gini_bps",
+                              "top_user_bps")})
