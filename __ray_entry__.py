@@ -425,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.orders_seasonal_mann_kendall,
         "part_abc_migration": analytics.part_abc_migration,
         "events_type_user_gini": analytics.events_type_user_gini,
+        "supplier_type_coverage": joins.supplier_type_coverage,
+        "part_supply_resilience": joins.part_supply_resilience,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10564,5 +10566,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * MAX(mx) // MAX(t) AS BIGINT)
                        AS top_user_bps
             FROM r GROUP BY et ORDER BY et
+        """,
+        "supplier_type_coverage": """
+            WITH tt AS (SELECT CAST(COUNT(DISTINCT p_type) AS BIGINT)
+                               AS n_types
+                        FROM part),
+            j AS (SELECT s.s_nationkey AS nk, p.p_type AS ty
+                  FROM lineitem l
+                  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                  JOIN part p ON l.l_partkey = p.p_partkey),
+            g AS (SELECT nk,
+                         CAST(COUNT(*) AS BIGINT) AS n_lines,
+                         CAST(COUNT(DISTINCT ty) AS BIGINT)
+                             AS n_served
+                  FROM j GROUP BY 1),
+            ns AS (SELECT s_nationkey AS nk,
+                          CAST(COUNT(*) AS BIGINT) AS n_suppliers
+                   FROM supplier GROUP BY 1)
+            SELECT CAST(g.nk AS BIGINT) AS s_nationkey,
+                   COALESCE(ns.n_suppliers, 0) AS n_suppliers,
+                   g.n_lines, g.n_served AS n_types_served,
+                   CAST(10000 * g.n_served // tt.n_types AS BIGINT)
+                       AS coverage_bps
+            FROM g LEFT JOIN ns ON g.nk = ns.nk, tt
+            ORDER BY s_nationkey
+        """,
+        "part_supply_resilience": """
+            WITH j AS (SELECT l.l_partkey AS pk,
+                              s.s_nationkey AS nk,
+                              CAST(FLOOR(l.l_extendedprice
+                                   * (1 - l.l_discount) * 100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem l
+                       JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+            p AS (SELECT pk,
+                         CAST(COUNT(DISTINCT nk) AS BIGINT) AS nn,
+                         CAST(SUM(rev) AS BIGINT) AS rev
+                  FROM j GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(SUM(rev) AS BIGINT) AS tr
+                  FROM p)
+            SELECT CAST(LEAST(p.nn, 4) AS BIGINT) AS n_nations_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(10000 * COUNT(*) // t.np AS BIGINT)
+                       AS part_share_bps,
+                   CAST(SUM(p.rev) AS BIGINT) AS rev_cents,
+                   CAST(10000 * SUM(p.rev) // t.tr AS BIGINT)
+                       AS rev_share_bps
+            FROM p, t GROUP BY 1, t.np, t.tr ORDER BY 1
         """,
     }

@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "docs_winnowing_density", "embedding_thin_shell",
     "nation_ship_lag_median", "orders_seasonal_mann_kendall",
     "part_abc_migration", "events_type_user_gini",
+    "supplier_type_coverage", "part_supply_resilience",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

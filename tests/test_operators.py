@@ -196,6 +196,7 @@ def test_entry_smoke(entrymod):
     "docs_winnowing_density", "embedding_thin_shell",
     "nation_ship_lag_median", "orders_seasonal_mann_kendall",
     "part_abc_migration", "events_type_user_gini",
+    "supplier_type_coverage", "part_supply_resilience",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
