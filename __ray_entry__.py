@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_user_gini": analytics.events_type_user_gini,
         "supplier_type_coverage": joins.supplier_type_coverage,
         "part_supply_resilience": joins.part_supply_resilience,
+        "part_name_price_premium": analytics.part_name_price_premium,
+        "events_next_value_by_type":
+            analytics.events_next_value_by_type,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10614,5 +10617,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(p.rev) // t.tr AS BIGINT)
                        AS rev_share_bps
             FROM p, t GROUP BY 1, t.np, t.tr ORDER BY 1
+        """,
+        "part_name_price_premium": """
+            WITH d AS (SELECT split_part(p_name, ' ', 1) AS tok,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS v
+                       FROM part),
+            g AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(v) AS BIGINT) AS s
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(s) AS BIGINT) AS st
+                  FROM g)
+            SELECT g.tok AS token, g.n AS n_parts,
+                   CAST(1000 * g.s // g.n AS BIGINT) AS mean_milli,
+                   CAST(1000 * CAST(g.s AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.st) - 1000
+                        AS BIGINT) AS premium_milli
+            FROM g, t ORDER BY token
+        """,
+        "events_next_value_by_type": """
+            WITH s AS (SELECT event_type AS t,
+                              CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents,
+                              LAG(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev
+                       FROM events),
+            g AS (SELECT prev AS cur,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS sm
+                  FROM s WHERE prev IS NOT NULL GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(sm) AS BIGINT) AS st
+                  FROM g)
+            SELECT g.cur AS cur_type, g.n AS n_pairs,
+                   g.sm AS sum_next_cents,
+                   CAST(1000 * g.sm // g.n AS BIGINT)
+                       AS mean_next_milli,
+                   CAST(1000 * CAST(g.sm AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.st) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM g, t ORDER BY cur_type
         """,
     }

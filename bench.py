@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "nation_ship_lag_median", "orders_seasonal_mann_kendall",
     "part_abc_migration", "events_type_user_gini",
     "supplier_type_coverage", "part_supply_resilience",
+    "part_name_price_premium", "events_next_value_by_type",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

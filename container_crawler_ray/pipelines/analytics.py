@@ -14581,3 +14581,109 @@ def events_type_user_gini(sf_dir: str) -> pd.DataFrame:
         "top_user_bps"]).astype(
         {c: "int64" for c in ("n_users", "n_events", "gini_bps",
                               "top_user_bps")})
+
+
+def part_name_price_premium(sf_dir: str) -> pd.DataFrame:
+    """NAMING PREMIUM — does the leading adjective in a part's name
+    ('large', 'small', ...) carry a retail-price premium? Mean price
+    per first token in exact milli-cents (truncating integer mean)
+    and the premium vs the global mean closed cross-multiplied as
+    1000*S_g*N // (n_g*S) - 1000 (all operands positive, so the
+    floor agrees on both sides) — the catalog-linguistics screen
+    before naming-based feature engineering. Per-block (token, n,
+    sum) partials — token-cardinality grid, ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "part", columns=["p_name", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        names = np.asarray(t.column("p_name")).astype(object)
+        tok = np.array([s.split(" ", 1)[0] for s in names],
+                       dtype=object)
+        v = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(tok)
+        k = len(uniq)
+        return pa.table({
+            "tok": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(code, weights=v, minlength=k)
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("tok", as_index=False).sum()
+         .sort_values("tok", kind="mergesort"))
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    prem = []
+    for ni, si in zip(n, s):
+        num = 1000 * int(si) * n_tot
+        den = int(ni) * s_tot
+        prem.append(num // den - 1000)
+    return pd.DataFrame({
+        "token": g["tok"], "n_parts": n,
+        "mean_milli": 1000 * s // n,
+        "premium_milli": prem}).astype(
+        {c: "int64" for c in ("n_parts", "mean_milli",
+                              "premium_milli")})
+
+
+def events_next_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """NEXT-EVENT VALUE by current type — the one-step Markov reward:
+    after a 'click', what does the NEXT event carry on average? Mean
+    next-event value in exact truncating milli-cents per current
+    type, with the lift vs the global next-value mean closed as the
+    cross-multiplied integer 1000*S_t*N // (n_t*S) - 1000. Pairs come
+    from the shared one-exchange (ts, event_id)-ordered sequence
+    kernel; buckets emit (type, n, sum) partials. The
+    session-economics table a recommender reads. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type",
+                        "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "cents": pa.array(np.floor(
+                t.column("value").to_numpy() * 100).astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        cv = g["cents"].to_numpy(np.int64)[order]
+        same = np.empty(len(us), dtype=bool)
+        same[0] = False
+        same[1:] = us[1:] == us[:-1]
+        idx = np.flatnonzero(same)
+        df = pd.DataFrame({"cur": et[idx - 1], "nv": cv[idx]})
+        out = df.groupby("cur", as_index=False).agg(
+            n=("nv", "size"), s=("nv", "sum"))
+        return out
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("cur", as_index=False).sum()
+         .sort_values("cur", kind="mergesort"))
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    lift = [1000 * int(si) * n_tot // (int(ni) * s_tot) - 1000
+            for ni, si in zip(n, s)]
+    return pd.DataFrame({
+        "cur_type": g["cur"], "n_pairs": n,
+        "sum_next_cents": s, "mean_next_milli": 1000 * s // n,
+        "lift_milli": lift}).astype(
+        {c: "int64" for c in ("n_pairs", "sum_next_cents",
+                              "mean_next_milli", "lift_milli")})

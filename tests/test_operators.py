@@ -197,6 +197,7 @@ def test_entry_smoke(entrymod):
     "nation_ship_lag_median", "orders_seasonal_mann_kendall",
     "part_abc_migration", "events_type_user_gini",
     "supplier_type_coverage", "part_supply_resilience",
+    "part_name_price_premium", "events_next_value_by_type",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
