@@ -430,6 +430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_name_price_premium": analytics.part_name_price_premium,
         "events_next_value_by_type":
             analytics.events_next_value_by_type,
+        "lineitem_status_stump": analytics.lineitem_status_stump,
+        "order_supplier_spread": analytics.order_supplier_spread,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10659,5 +10661,62 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(g.n AS HUGEINT) * t.st) - 1000
                         AS BIGINT) AS lift_milli
             FROM g, t ORDER BY cur_type
+        """,
+        "lineitem_status_stump": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))
+                                  AS dy,
+                              CASE WHEN l_linestatus = 'F'
+                                   THEN 1 ELSE 0 END AS isf
+                       FROM lineitem),
+            h AS (SELECT dy,
+                         CAST(SUM(1 - isf) AS BIGINT) AS co,
+                         CAST(SUM(isf) AS BIGINT) AS cf
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(co) AS BIGINT) AS tot_o,
+                         CAST(SUM(cf) AS BIGINT) AS tot_f
+                  FROM h),
+            r AS (SELECT dy,
+                         SUM(co) OVER (ORDER BY dy
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cum_o,
+                         SUM(cf) OVER (ORDER BY dy
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cum_f
+                  FROM h),
+            e AS (SELECT r.dy,
+                         r.cum_o + (t.tot_f - r.cum_f) AS err,
+                         t.tot_o, t.tot_f
+                  FROM r, t),
+            b AS (SELECT * FROM e ORDER BY err, dy LIMIT 1)
+            SELECT CAST(tot_o + tot_f AS BIGINT) AS n_lines,
+                   CAST(tot_o AS BIGINT) AS n_o,
+                   CAST(tot_f AS BIGINT) AS n_f,
+                   CAST(dy AS BIGINT) AS best_day,
+                   CAST(err AS BIGINT) AS min_errors,
+                   CAST(10000 * err // (tot_o + tot_f) AS BIGINT)
+                       AS err_bps,
+                   CAST(10000 * LEAST(tot_o, tot_f)
+                        // (tot_o + tot_f) AS BIGINT)
+                       AS base_err_bps
+            FROM b
+        """,
+        "order_supplier_spread": """
+            WITH p AS (SELECT l_orderkey AS ok,
+                              CAST(COUNT(DISTINCT l_suppkey)
+                                   AS BIGINT) AS ns,
+                              CAST(COUNT(*) AS BIGINT) AS nl
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS no,
+                         CAST(SUM(nl) AS BIGINT) AS tl
+                  FROM p)
+            SELECT CAST(LEAST(p.ns, 4) AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(p.nl) AS BIGINT) AS n_lines,
+                   CAST(10000 * COUNT(*) // t.no AS BIGINT)
+                       AS order_share_bps,
+                   CAST(10000 * SUM(p.nl) // t.tl AS BIGINT)
+                       AS line_share_bps
+            FROM p, t GROUP BY 1, t.no, t.tl ORDER BY 1
         """,
     }

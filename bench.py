@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "part_abc_migration", "events_type_user_gini",
     "supplier_type_coverage", "part_supply_resilience",
     "part_name_price_premium", "events_next_value_by_type",
+    "lineitem_status_stump", "order_supplier_spread",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -14687,3 +14687,110 @@ def events_next_value_by_type(sf_dir: str) -> pd.DataFrame:
         "lift_milli": lift}).astype(
         {c: "int64" for c in ("n_pairs", "sum_next_cents",
                               "mean_next_milli", "lift_milli")})
+
+
+def lineitem_status_stump(sf_dir: str) -> pd.DataFrame:
+    """DECISION-STUMP training, exactly — the 1-D split every tree
+    ensemble grows from: the ship-date threshold d* that best
+    separates linestatus F from O under the rule "predict F iff
+    day <= d", found by an EXACT error scan errors(d) = cumO(d) +
+    (totF - cumF(d)) over the per-(status, day) histogram (bounded
+    2 x calendar cells, folded map-side — the rows never move).
+    Earliest-day tie rule; candidate thresholds are the observed
+    days. Reports the split, its error mass vs the majority-class
+    baseline, both in exact bps. Pure integers end to end."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_linestatus", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = np.asarray(t.column("l_linestatus")).astype(object)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        is_f = (st == "F").astype(np.int64)
+        key = d * 2 + is_f
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    key = g["key"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    d = key // 2
+    isf = key % 2
+    days = np.unique(d)
+    co = np.zeros(len(days), np.int64)
+    cf = np.zeros(len(days), np.int64)
+    pos = np.searchsorted(days, d)
+    np.add.at(co, pos[isf == 0], c[isf == 0])
+    np.add.at(cf, pos[isf == 1], c[isf == 1])
+    cum_o = np.cumsum(co)
+    cum_f = np.cumsum(cf)
+    tot_o = int(cum_o[-1])
+    tot_f = int(cum_f[-1])
+    n = tot_o + tot_f
+    err = cum_o + (tot_f - cum_f)
+    bi = int(np.argmin(err))
+    best_day = int(days[bi])
+    min_err = int(err[bi])
+    base = min(tot_o, tot_f)
+    return pd.DataFrame([(n, tot_o, tot_f, best_day, min_err,
+                          10000 * min_err // n, 10000 * base // n)],
+                        columns=["n_lines", "n_o", "n_f", "best_day",
+                                 "min_errors", "err_bps",
+                                 "base_err_bps"]).astype("int64")
+
+
+def order_supplier_spread(sf_dir: str) -> pd.DataFrame:
+    """ORDER FAN-OUT census — how many distinct suppliers does one
+    order touch? The co-location question behind every "ship
+    complete" SLA and the justification for supplier-bucketed
+    layouts: orders band by distinct-supplier count (1/2/3/4+) with
+    order shares and line mass per band. One ``orderkey % 64``
+    exchange of block-level (order, supplier, lines) partials; each
+    bucket folds its orders to one 4-cell histogram row — the driver
+    sums bucket rows. Pure integers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        key = ok * 16384 + (sk % 16384)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "ok": pa.array(u // 16384),
+            "sk": pa.array(u % 16384),
+            "c": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(((u // 16384) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["ok"].to_numpy(np.int64) * 16384 \
+            + g["sk"].to_numpy(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        cl = np.bincount(inv, weights=g["c"].to_numpy(np.int64),
+                         minlength=len(u)).astype(np.int64)
+        ok = u // 16384
+        ou, oinv = np.unique(ok, return_inverse=True)
+        nsupp = np.bincount(oinv, minlength=len(ou)).astype(np.int64)
+        nline = np.bincount(oinv, weights=cl, minlength=len(ou)) \
+            .astype(np.int64)
+        band = np.minimum(nsupp, 4)
+        rows = []
+        for b in (1, 2, 3, 4):
+            m = band == b
+            rows.append((b, int(m.sum()), int(nline[m].sum())))
+        return pd.DataFrame(rows, columns=["band", "n_orders",
+                                           "n_lines"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    n_tot = int(g["n_orders"].sum())
+    l_tot = int(g["n_lines"].sum())
+    g = g[g["n_orders"] > 0].sort_values("band") \
+        .reset_index(drop=True)
+    g["order_share_bps"] = 10000 * g["n_orders"].to_numpy(np.int64) \
+        // n_tot
+    g["line_share_bps"] = 10000 * g["n_lines"].to_numpy(np.int64) \
+        // l_tot
+    return g.astype("int64")

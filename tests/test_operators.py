@@ -198,6 +198,7 @@ def test_entry_smoke(entrymod):
     "part_abc_migration", "events_type_user_gini",
     "supplier_type_coverage", "part_supply_resilience",
     "part_name_price_premium", "events_next_value_by_type",
+    "lineitem_status_stump", "order_supplier_spread",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
