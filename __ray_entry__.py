@@ -432,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_next_value_by_type,
         "lineitem_status_stump": analytics.lineitem_status_stump,
         "order_supplier_spread": analytics.order_supplier_spread,
+        "lineitem_moods_median": analytics.lineitem_moods_median,
+        "join_size_estimator_audit":
+            analytics.join_size_estimator_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10718,5 +10721,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(p.nl) // t.tl AS BIGINT)
                        AS line_share_bps
             FROM p, t GROUP BY 1, t.no, t.tl ORDER BY 1
+        """,
+        "lineitem_moods_median": """
+            WITH d AS (SELECT l_returnflag AS fl,
+                              CAST(FLOOR(l_quantity) AS BIGINT) AS q
+                       FROM lineitem),
+            qh AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM d GROUP BY 1),
+            nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM qh),
+            med AS (SELECT MIN(q) AS med
+                    FROM (SELECT q, SUM(c) OVER (ORDER BY q
+                              ROWS UNBOUNDED PRECEDING) AS cum
+                          FROM qh), nn
+                    WHERE cum >= (nn.n + 1) // 2),
+            cl AS (SELECT fl,
+                          CAST(COUNT(*) FILTER (q <= med) AS HUGEINT)
+                              AS lo,
+                          CAST(COUNT(*) FILTER (q > med) AS HUGEINT)
+                              AS hi
+                   FROM d, med GROUP BY 1),
+            t AS (SELECT SUM(lo) AS lo_tot, SUM(hi) AS hi_tot,
+                         SUM(lo + hi) AS n,
+                         CAST(COUNT(*) AS BIGINT) AS k
+                  FROM cl),
+            chi AS (SELECT SUM(
+                        1000 * (t.n * cl.lo - (cl.lo + cl.hi)
+                                * t.lo_tot)
+                        * (t.n * cl.lo - (cl.lo + cl.hi) * t.lo_tot)
+                        // (t.n * (cl.lo + cl.hi) * t.lo_tot)
+                        + 1000 * (t.n * cl.hi - (cl.lo + cl.hi)
+                                  * t.hi_tot)
+                        * (t.n * cl.hi - (cl.lo + cl.hi) * t.hi_tot)
+                        // (t.n * (cl.lo + cl.hi) * t.hi_tot))
+                        AS v
+                    FROM cl, t GROUP BY t.n, t.lo_tot, t.hi_tot)
+            SELECT CAST(t.n AS BIGINT) AS n_lines,
+                   CAST(med.med AS BIGINT) AS med_qty,
+                   CAST(t.lo_tot AS BIGINT) AS n_le,
+                   CAST(t.hi_tot AS BIGINT) AS n_gt,
+                   CAST(chi.v AS BIGINT) AS chi2_milli,
+                   CAST(t.k - 1 AS BIGINT) AS df
+            FROM t, med, chi
+        """,
+        "join_size_estimator_audit": """
+            WITH g AS (SELECT l_partkey,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                         CAST(COUNT(*) AS BIGINT) AS d,
+                         CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT)
+                             AS actual,
+                         CAST(MAX(c * c) AS BIGINT) AS top
+                  FROM g)
+            SELECT n AS n_rows, d AS n_distinct,
+                   CAST(CAST(n AS HUGEINT) * n // d AS BIGINT)
+                       AS est_rows,
+                   actual AS actual_rows,
+                   CAST(1000 * (CAST(n AS HUGEINT) * n // d)
+                        // actual AS BIGINT)
+                       AS est_over_actual_milli,
+                   CAST(10000 * top // actual AS BIGINT)
+                       AS top_key_share_bps
+            FROM t
         """,
     }

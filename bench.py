@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "supplier_type_coverage", "part_supply_resilience",
     "part_name_price_premium", "events_next_value_by_type",
     "lineitem_status_stump", "order_supplier_spread",
+    "lineitem_moods_median", "join_size_estimator_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

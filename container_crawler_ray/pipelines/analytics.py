@@ -14794,3 +14794,97 @@ def order_supplier_spread(sf_dir: str) -> pd.DataFrame:
     g["line_share_bps"] = 10000 * g["n_lines"].to_numpy(np.int64) \
         // l_tot
     return g.astype("int64")
+
+
+def lineitem_moods_median(sf_dir: str) -> pd.DataFrame:
+    """MOOD'S MEDIAN TEST — do the return-flag populations share one
+    median quantity? The nonparametric k-sample location gate that
+    (unlike Kruskal-Wallis) only needs the 2 x k above/at-or-below
+    grid: the global median comes from the exact ceil-rank order
+    statistic over the bounded (flag, qty) histogram, the dichotomy
+    is qty <= med vs qty > med, and chi-square closes as the
+    order-free sum of per-cell integer floors
+    1000*(N*O - r*c)^2 // (N*r*c) in Python bigints / HUGEINT.
+    Constant 3x50 grid partials per block — ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = np.asarray(t.column("l_returnflag")).astype(object)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(fl)
+        key = code.astype(np.int64) * 64 + q
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "fl": pa.array(uniq.take(u // 64).astype(str),
+                           type=pa.string()),
+            "q": pa.array(u % 64),
+            "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["fl", "q"], as_index=False).sum())
+    qh = g.groupby("q")["c"].sum().sort_index()
+    cum = qh.cumsum()
+    n = int(cum.iloc[-1])
+    med = int(qh.index[int(np.searchsorted(
+        cum.to_numpy(), (n + 1) // 2))])
+    flags = sorted(g["fl"].unique())
+    lo_tot = 0
+    cells = {}
+    for f in flags:
+        sub = g[g["fl"] == f]
+        qq = sub["q"].to_numpy(np.int64)
+        cc = sub["c"].to_numpy(np.int64)
+        lo = int(cc[qq <= med].sum())
+        hi = int(cc[qq > med].sum())
+        cells[f] = (lo, hi)
+        lo_tot += lo
+    hi_tot = n - lo_tot
+    chi2 = 0
+    for f in flags:
+        lo, hi = cells[f]
+        r = lo + hi
+        for o, ctot in ((lo, lo_tot), (hi, hi_tot)):
+            dev = n * o - r * ctot
+            chi2 += 1000 * dev * dev // (n * r * ctot)
+    return pd.DataFrame([(n, med, lo_tot, hi_tot, chi2,
+                          len(flags) - 1)],
+                        columns=["n_lines", "med_qty", "n_le",
+                                 "n_gt", "chi2_milli", "df"]) \
+        .astype("int64")
+
+
+def join_size_estimator_audit(sf_dir: str) -> pd.DataFrame:
+    """JOIN-CARDINALITY estimator audit — the query-optimizer sanity
+    check: the textbook uniform estimate |R|^2 / d for the partkey
+    self-join vs the EXACT size sum(c_p^2) (the F2 moment).
+    Cauchy-Schwarz guarantees est <= actual; the gap in milli is
+    exactly how much key skew the uniform assumption hides — the
+    number that decides whether a broadcast plan blows up at 100 TB.
+    Per-part count fold (part-cardinality driver grid); top-key
+    contribution reported in bps. Pure integers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy().astype(np.int64)
+        u, cnt = np.unique(pk, return_counts=True)
+        return pa.table({"pk": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("pk", as_index=False).sum())
+    c = g["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    d = len(c)
+    actual = int((c * c).sum())
+    est = n * n // d
+    top = int((c * c).max())
+    return pd.DataFrame([(n, d, est, actual,
+                          1000 * est // actual,
+                          10000 * top // actual)],
+                        columns=["n_rows", "n_distinct", "est_rows",
+                                 "actual_rows",
+                                 "est_over_actual_milli",
+                                 "top_key_share_bps"]) \
+        .astype("int64")

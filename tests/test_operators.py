@@ -199,6 +199,7 @@ def test_entry_smoke(entrymod):
     "supplier_type_coverage", "part_supply_resilience",
     "part_name_price_premium", "events_next_value_by_type",
     "lineitem_status_stump", "order_supplier_spread",
+    "lineitem_moods_median", "join_size_estimator_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
