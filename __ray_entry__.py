@@ -435,6 +435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_moods_median": analytics.lineitem_moods_median,
         "join_size_estimator_audit":
             analytics.join_size_estimator_audit,
+        "embedding_knn_reciprocity": ann.embedding_knn_reciprocity,
+        "customer_brand_loyalty": joins.customer_brand_loyalty,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10783,5 +10785,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * top // actual AS BIGINT)
                        AS top_key_share_bps
             FROM t
+        """,
+        "embedding_knn_reciprocity": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 4 = 0),
+            top AS (SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       CAST(FLOOR(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 10000)
+                           AS BIGINT) AS sim_bp
+                FROM q a, q b WHERE a.vec_id != b.vec_id)
+              QUALIFY row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY sim_bp DESC, neighbor_id) <= 5),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS mutual
+                  FROM top e JOIN top r
+                    ON e.query_id = r.neighbor_id
+                   AND e.neighbor_id = r.query_id),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM q),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM top)
+            SELECT n.nn AS n_nodes, t.ne AS n_edges,
+                   m.mutual AS n_mutual,
+                   CAST(10000 * m.mutual // t.ne AS BIGINT)
+                       AS recip_bps
+            FROM n, t, m
+        """,
+        "customer_brand_loyalty": """
+            WITH j AS (SELECT o.o_custkey AS ck, p.p_brand AS br
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+            cb AS (SELECT ck, br, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM j GROUP BY 1, 2),
+            s AS (SELECT SUM(CAST(c AS HUGEINT) * (c - 1)) AS same
+                  FROM cb),
+            cu AS (SELECT ck, CAST(SUM(c) AS BIGINT) AS n
+                   FROM cb GROUP BY 1),
+            p AS (SELECT SUM(CAST(n AS HUGEINT) * (n - 1)) AS pairs,
+                         CAST(COUNT(*) FILTER (n >= 2) AS BIGINT)
+                             AS nc
+                  FROM cu),
+            b AS (SELECT SUM(CAST(mb AS HUGEINT) * (mb - 1)) AS gb,
+                         CAST(SUM(mb) AS HUGEINT) AS m
+                  FROM (SELECT br, CAST(SUM(c) AS BIGINT) AS mb
+                        FROM cb GROUP BY 1))
+            SELECT p.nc AS n_customers_multi,
+                   CAST(p.pairs AS BIGINT) AS n_pairs,
+                   CAST(s.same AS BIGINT) AS same_brand_pairs,
+                   CAST(10000 * s.same // p.pairs AS BIGINT)
+                       AS rate_bps,
+                   CAST(10000 * b.gb // (b.m * (b.m - 1)) AS BIGINT)
+                       AS global_bps,
+                   CAST(1000 * s.same * b.m * (b.m - 1)
+                        // (p.pairs * b.gb) AS BIGINT) AS lift_milli
+            FROM s, p, b
         """,
     }

@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "part_name_price_premium", "events_next_value_by_type",
     "lineitem_status_stump", "order_supplier_spread",
     "lineitem_moods_median", "join_size_estimator_audit",
+    "embedding_knn_reciprocity", "customer_brand_loyalty",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

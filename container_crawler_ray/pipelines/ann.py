@@ -693,3 +693,43 @@ def embedding_knn_loo_accuracy(sf_dir: str, stride: int = 4) \
                                  "majority_label",
                                  "majority_baseline_bps"]) \
         .astype("int64")
+
+
+def embedding_knn_reciprocity(sf_dir: str, stride: int = 4,
+                              k: int = 5) -> pd.DataFrame:
+    """kNN-GRAPH RECIPROCITY — what share of directed nearest-neighbor
+    edges are MUTUAL? The graph-quality number UMAP-style methods and
+    hub-pruned ANN indexes key on (low reciprocity = hub pollution;
+    see the companion ``embedding_hubness_audit``). Every
+    ``stride``-th vector is both query and corpus; edges come from
+    the shared broadcast brute-force kernel under the exact
+    (sim desc, id asc) order, k per node; mutuality is one packed-key
+    membership test on the driver's edge list (k*n rows — the
+    k-bounded kNN graph, never the similarity matrix). Pure integer
+    closing arithmetic."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    vids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    mat = list_col_to_matrix(tbl.column("embedding"))
+    sel = vids % stride == 0
+    qref = ray.put((vids[sel], normalize_rows(mat[sel])))
+
+    def pick(t: pa.Table) -> pa.Table:
+        v = t.column("vec_id").to_numpy().astype(np.int64)
+        return t.filter(pa.array(v % stride == 0))
+
+    local = (_read_embeddings(sf_dir)
+             .map_batches(pick, batch_format="pyarrow")
+             .map_batches(make_bruteforce_fn(qref, k),
+                          batch_format="pyarrow").to_pandas())
+    top = _global_topk(local, k)
+    q = top["query_id"].to_numpy(np.int64)
+    n = top["neighbor_id"].to_numpy(np.int64)
+    fwd = q * (1 << 32) + n
+    rev = n * (1 << 32) + q
+    mutual = int(np.isin(fwd, rev).sum())
+    n_edges = len(top)
+    return pd.DataFrame([(int(sel.sum()), n_edges, mutual,
+                          10000 * mutual // n_edges)],
+                        columns=["n_nodes", "n_edges", "n_mutual",
+                                 "recip_bps"]).astype("int64")

@@ -4128,3 +4128,87 @@ def part_supply_resilience(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "n_nations_band", "n_parts", "part_share_bps", "rev_cents",
         "rev_share_bps"]).astype("int64")
+
+
+def customer_brand_loyalty(sf_dir: str) -> pd.DataFrame:
+    """BRAND LOYALTY — if you draw two purchases of the same
+    customer, how often do they share a brand, and how much MORE
+    often than the global brand mix predicts? The within-customer
+    Simpson identity keeps everything exact: same-brand ordered
+    pairs sum(c*(c-1)) over (customer, brand) cells vs all
+    within-customer pairs sum(n*(n-1)), with the independence
+    baseline sum(M_b*(M_b-1))/(M*(M-1)) and the lift fully
+    cross-multiplied in Python bigints / HUGEINT. Scale shape is the
+    q7 kernel (ONE orderkey exchange; part->brand LUT broadcast);
+    buckets emit (customer, brand)-cell count partials bounded by
+    customers x 25."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    p_br = np.zeros(pk.max() + 1, dtype=np.int64)
+    p_br[pk] = bcode
+    ref = ray.put(p_br)
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("l_partkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "aux": pa.array(t.column("o_custkey").to_numpy()
+                            .astype(np.int64)),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        p_br_ = ray.get(ref)
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "ck"})
+        right = g[g["side"] == 1][["key", "aux"]] \
+            .rename(columns={"aux": "pk"})
+        m = right.merge(left, on="key")
+        if not len(m):
+            return pd.DataFrame({"cb": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        cb = m["ck"].to_numpy(np.int64) * 32 \
+            + p_br_[m["pk"].to_numpy(np.int64)]
+        u, cnt = np.unique(cb, return_counts=True)
+        return pd.DataFrame({"cb": u, "c": cnt.astype(np.int64)})
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    cells = (tagged.groupby("bucket")
+             .map_groups(bucket_join, batch_format="pandas")
+             .to_pandas().groupby("cb", as_index=False)["c"].sum())
+    c = cells["c"].to_numpy(np.int64)
+    ck = cells["cb"].to_numpy(np.int64) // 32
+    br = cells["cb"].to_numpy(np.int64) % 32
+    same = int((c * (c - 1)).sum())
+    cu = pd.Series(c).groupby(ck).sum()
+    nvals = cu.to_numpy(np.int64)
+    pairs = int((nvals * (nvals - 1)).sum())
+    nc = int((nvals >= 2).sum())
+    mb = pd.Series(c).groupby(br).sum().to_numpy(np.int64)
+    m_tot = int(mb.sum())
+    gb = sum(int(x) * (int(x) - 1) for x in mb)
+    return pd.DataFrame(
+        [(nc, pairs, same, 10000 * same // pairs,
+          10000 * gb // (m_tot * (m_tot - 1)),
+          1000 * same * m_tot * (m_tot - 1) // (pairs * gb))],
+        columns=["n_customers_multi", "n_pairs", "same_brand_pairs",
+                 "rate_bps", "global_bps", "lift_milli"]) \
+        .astype("int64")

@@ -200,6 +200,7 @@ def test_entry_smoke(entrymod):
     "part_name_price_premium", "events_next_value_by_type",
     "lineitem_status_stump", "order_supplier_spread",
     "lineitem_moods_median", "join_size_estimator_audit",
+    "embedding_knn_reciprocity", "customer_brand_loyalty",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
