@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.join_size_estimator_audit,
         "embedding_knn_reciprocity": ann.embedding_knn_reciprocity,
         "customer_brand_loyalty": joins.customer_brand_loyalty,
+        "supplier_cr_ratios": analytics.supplier_cr_ratios,
+        "events_group_sequential": analytics.events_group_sequential,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10840,5 +10842,76 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * s.same * b.m * (b.m - 1)
                         // (p.pairs * b.gb) AS BIGINT) AS lift_milli
             FROM s, p, b
+        """,
+        "supplier_cr_ratios": """
+            WITH r AS (SELECT l_suppkey AS sk,
+                              SUM(CAST(FLOOR(l_extendedprice
+                                   * (1 - l_discount) * 100)
+                                   AS BIGINT)) AS rev
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT s.s_nationkey AS nk, r.sk, r.rev
+                  FROM r JOIN supplier s ON r.sk = s.s_suppkey),
+            w AS (SELECT nk, rev,
+                         ROW_NUMBER() OVER (PARTITION BY nk
+                                            ORDER BY rev DESC, sk)
+                             AS rn
+                  FROM j)
+            SELECT CAST(nk AS BIGINT) AS s_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(rev) AS BIGINT) AS rev_cents,
+                   CAST(10000 * COALESCE(SUM(rev) FILTER (rn <= 1),
+                                         0)
+                        // SUM(rev) AS BIGINT) AS cr1_bps,
+                   CAST(10000 * COALESCE(SUM(rev) FILTER (rn <= 4),
+                                         0)
+                        // SUM(rev) AS BIGINT) AS cr4_bps,
+                   CAST(10000 * COALESCE(SUM(rev) FILTER (rn <= 8),
+                                         0)
+                        // SUM(rev) AS BIGINT) AS cr8_bps
+            FROM w GROUP BY nk ORDER BY s_nationkey
+        """,
+        "events_group_sequential": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS dy,
+                              user_id % 2 AS arm,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS v
+                       FROM events),
+            rng AS (SELECT MIN(dy) AS lo,
+                           MAX(dy) - MIN(dy) + 1 AS spn
+                    FROM d),
+            c AS (SELECT arm,
+                         LEAST((dy - lo) * 4 // spn, 3) AS qi, v
+                  FROM d, rng),
+            looks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+            m AS (SELECT looks.k, arm,
+                         CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM c, looks WHERE qi < looks.k GROUP BY 1, 2),
+            w AS (SELECT a1.k,
+                         a0.n AS n0, a0.s AS s0,
+                         a0.n * a0.q - a0.s * a0.s AS va0,
+                         a1.n AS n1, a1.s AS s1,
+                         a1.n * a1.q - a1.s * a1.s AS va1
+                  FROM m a0 JOIN m a1 ON a0.k = a1.k
+                  WHERE a0.arm = 0 AND a1.arm = 1),
+            z AS (SELECT k, n0, n1,
+                         CAST(FLOOR((CAST(s1 AS DOUBLE) / n1
+                                     - CAST(s0 AS DOUBLE) / n0)
+                              / SQRT(CAST(va1 AS DOUBLE)
+                                     / ((n1 - 1) * n1 * n1)
+                                     + CAST(va0 AS DOUBLE)
+                                     / ((n0 - 1) * n0 * n0))
+                              * 1000.0) AS BIGINT) AS zm
+                  FROM w),
+            b AS (SELECT unnest([1, 2, 3, 4]) AS k,
+                         unnest([4333, 2963, 2359, 2014]) AS bd)
+            SELECT CAST(z.k AS BIGINT) AS look,
+                   CAST(n0 AS BIGINT) AS n_arm0,
+                   CAST(n1 AS BIGINT) AS n_arm1,
+                   zm AS z_milli,
+                   CAST(bd AS BIGINT) AS boundary_milli,
+                   CAST(CASE WHEN ABS(zm) >= bd THEN 1 ELSE 0 END
+                        AS BIGINT) AS crossed
+            FROM z JOIN b ON z.k = b.k ORDER BY look
         """,
     }

@@ -238,6 +238,7 @@ BENCH_QUERIES = [
     "lineitem_status_stump", "order_supplier_spread",
     "lineitem_moods_median", "join_size_estimator_audit",
     "embedding_knn_reciprocity", "customer_brand_loyalty",
+    "supplier_cr_ratios", "events_group_sequential",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

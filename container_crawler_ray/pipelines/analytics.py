@@ -14888,3 +14888,120 @@ def join_size_estimator_audit(sf_dir: str) -> pd.DataFrame:
                                  "est_over_actual_milli",
                                  "top_key_share_bps"]) \
         .astype("int64")
+
+
+def supplier_cr_ratios(sf_dir: str) -> pd.DataFrame:
+    """CONCENTRATION RATIOS per supplier nation — CR1/CR4/CR8 revenue
+    shares (the antitrust screen that reads differently from HHI:
+    CR4 > 60% = tight oligopoly even when HHI looks moderate) under
+    the exact (revenue desc, suppkey asc) total order. Per-supplier
+    revenue folds map-side (supplier-cardinality driver grid, nation
+    via the dimension LUT); shares close as integer bps floors.
+    Pure integers end to end."""
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, dtype=np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        u, inv = np.unique(s, return_inverse=True)
+        return pa.table({
+            "sk": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("sk", as_index=False).sum())
+    skv = g["sk"].to_numpy(np.int64)
+    rev = g["rev"].to_numpy(np.int64)
+    nk = s_nat[skv]
+    rows = []
+    for n in np.unique(nk):
+        m = nk == n
+        r = rev[m]
+        s = skv[m]
+        order = np.lexsort((s, -r))
+        r = r[order]
+        tot = int(r.sum())
+        crs = [10000 * int(r[:k].sum()) // tot for k in (1, 4, 8)]
+        rows.append((int(n), int(m.sum()), tot, *crs))
+    return pd.DataFrame(rows, columns=[
+        "s_nationkey", "n_suppliers", "rev_cents", "cr1_bps",
+        "cr4_bps", "cr8_bps"]).astype("int64")
+
+
+def events_group_sequential(sf_dir: str) -> pd.DataFrame:
+    """GROUP-SEQUENTIAL A/B monitoring — the O'Brien-Fleming audit: at
+    four equally-spaced calendar looks, the Welch z between the
+    id-parity arms' event values is compared to the classic OBF
+    boundaries (4.333 / 2.963 / 2.359 / 2.014, fixed milli
+    constants): would a peeking analyst have stopped early? Exact
+    per-(arm, quartile) integer moments accumulate across looks; z
+    closes per look as ONE IEEE-order-matched float chain (the
+    ``events_ttest`` discipline). A tiny span pre-pass anchors the
+    look calendar; per-block partials are an 8-cell grid — ZERO
+    shuffle."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    lo, hi = int(sp["lo"].min()), int(sp["hi"].max())
+    spn = hi - lo + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        arm = t.column("user_id").to_numpy().astype(np.int64) % 2
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        qi = np.minimum((d - lo) * 4 // spn, 3)
+        cell = arm * 4 + qi
+        n = np.bincount(cell, minlength=8).astype(np.int64)
+        s = np.bincount(cell, weights=v, minlength=8).astype(np.int64)
+        q = np.bincount(cell, weights=v * v, minlength=8) \
+            .astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(8,
+                                                    dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "q": pa.array(q)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell").sum())
+    bounds = [4333, 2963, 2359, 2014]
+    rows = []
+    for k in range(4):
+        st = {}
+        for arm in (0, 1):
+            cells = [arm * 4 + j for j in range(k + 1)]
+            n = sum(int(agg.loc[c, "n"]) for c in cells
+                    if c in agg.index)
+            s = sum(int(agg.loc[c, "s"]) for c in cells
+                    if c in agg.index)
+            q = sum(int(agg.loc[c, "q"]) for c in cells
+                    if c in agg.index)
+            st[arm] = (n, s, n * q - s * s)
+        n0, s0, va0 = st[0]
+        n1, s1, va1 = st[1]
+        z = (float(s1) / n1 - float(s0) / n0) / math.sqrt(
+            float(va1) / ((n1 - 1) * n1 * n1)
+            + float(va0) / ((n0 - 1) * n0 * n0))
+        zm = math.floor(z * 1000.0)
+        rows.append((k + 1, n0, n1, zm, bounds[k],
+                     1 if abs(zm) >= bounds[k] else 0))
+    return pd.DataFrame(rows, columns=["look", "n_arm0", "n_arm1",
+                                       "z_milli", "boundary_milli",
+                                       "crossed"]).astype("int64")
