@@ -439,6 +439,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_brand_loyalty": joins.customer_brand_loyalty,
         "supplier_cr_ratios": analytics.supplier_cr_ratios,
         "events_group_sequential": analytics.events_group_sequential,
+        "lineitem_ansari_bradley": analytics.lineitem_ansari_bradley,
+        "user_dow_habit": analytics.user_dow_habit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10913,5 +10915,61 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN ABS(zm) >= bd THEN 1 ELSE 0 END
                         AS BIGINT) AS crossed
             FROM z JOIN b ON z.k = b.k ORDER BY look
+        """,
+        "lineitem_ansari_bradley": """
+            WITH d AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                              CASE WHEN l_linestatus = 'F'
+                                   THEN 1 ELSE 0 END AS isf
+                       FROM lineitem),
+            h AS (SELECT q, CAST(SUM(1 - isf) AS BIGINT) AS co,
+                         CAST(SUM(isf) AS BIGINT) AS cf
+                  FROM d GROUP BY 1),
+            nn AS (SELECT CAST(SUM(co + cf) AS BIGINT) AS n FROM h),
+            r AS (SELECT q, co, co + cf AS ct,
+                         SUM(co + cf) OVER (ORDER BY q
+                             ROWS UNBOUNDED PRECEDING) - (co + cf)
+                             AS sm
+                  FROM h),
+            s AS (SELECT co, ct,
+                         LEAST(2 * sm + ct + 1,
+                               2 * (nn.n + 1)
+                               - (2 * sm + ct + 1)) AS score
+                  FROM r, nn),
+            a AS (SELECT CAST(SUM(score * co) AS HUGEINT) AS ab_o,
+                         CAST(SUM(score * ct) AS HUGEINT) AS ab_tot,
+                         CAST(SUM(co) AS HUGEINT) AS n_o
+                  FROM s)
+            SELECT CAST(a.n_o AS BIGINT) AS n_o,
+                   CAST(nn.n - a.n_o AS BIGINT) AS n_f,
+                   CAST(a.ab_o AS BIGINT) AS ab2_o,
+                   CAST(a.ab_tot AS BIGINT) AS ab2_total,
+                   CAST(nn.n * a.ab_o - a.n_o * a.ab_tot AS BIGINT)
+                       AS dev_num,
+                   CAST(1000 * nn.n * a.ab_o
+                        // (a.n_o * a.ab_tot) - 1000 AS BIGINT)
+                       AS lift_milli
+            FROM a, nn
+        """,
+        "user_dow_habit": """
+            WITH c AS (SELECT user_id AS u,
+                              (epoch_us(ts) // 86400000000 + 3) % 7
+                                  AS dw,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+            p AS (SELECT u, CAST(SUM(c) AS BIGINT) AS tot,
+                         CAST(MAX(c) AS BIGINT) AS mx
+                  FROM c GROUP BY 1),
+            b AS (SELECT CASE WHEN tot < 7 THEN 0
+                              WHEN 10000 * mx // tot < 2000 THEN 1
+                              WHEN 10000 * mx // tot < 4000 THEN 2
+                              WHEN 10000 * mx // tot < 7000 THEN 3
+                              ELSE 4 END AS band
+                  FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // t.n AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.n ORDER BY band
         """,
     }

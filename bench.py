@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "lineitem_moods_median", "join_size_estimator_audit",
     "embedding_knn_reciprocity", "customer_brand_loyalty",
     "supplier_cr_ratios", "events_group_sequential",
+    "lineitem_ansari_bradley", "user_dow_habit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15005,3 +15005,105 @@ def events_group_sequential(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["look", "n_arm0", "n_arm1",
                                        "z_milli", "boundary_milli",
                                        "crossed"]).astype("int64")
+
+
+def lineitem_ansari_bradley(sf_dir: str) -> pd.DataFrame:
+    """ANSARI-BRADLEY scale comparison — do O and F lines have the
+    same quantity SPREAD (not location)? The rank-score test kept
+    permutation-exact under ties: doubled midranks 2r = 2s + c + 1
+    over the bounded (status, qty) histogram, the AB score per value
+    is min(2r, 2(N+1) - 2r) (small at both extremes, large in the
+    middle — low sample score = wider spread), and instead of the
+    tie-broken normal approximation the op closes the EXACT
+    permutation-null comparison: E[AB1] = n1 * AB_total / N, so the
+    centered deviation N*AB1 - n1*AB_total and the milli lift
+    1000*N*AB1 // (n1*AB_total) - 1000 are pure integers (negative
+    lift = sample 1 spreads wider). Constant 2x50 grid partials —
+    ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = np.asarray(t.column("l_linestatus")).astype(object)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        is_f = (st == "F").astype(np.int64)
+        key = q * 2 + is_f
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    key = g["key"].to_numpy(np.int64)
+    cc = g["c"].to_numpy(np.int64)
+    qv = np.unique(key // 2)
+    c_o = np.zeros(len(qv), np.int64)
+    c_f = np.zeros(len(qv), np.int64)
+    pos = np.searchsorted(qv, key // 2)
+    np.add.at(c_o, pos[key % 2 == 0], cc[key % 2 == 0])
+    np.add.at(c_f, pos[key % 2 == 1], cc[key % 2 == 1])
+    ctot = c_o + c_f
+    n = int(ctot.sum())
+    smaller = np.concatenate(([0], np.cumsum(ctot)[:-1]))
+    r2 = 2 * smaller + ctot + 1
+    score = np.minimum(r2, 2 * (n + 1) - r2)
+    ab_o = int((score * c_o).sum())
+    ab_tot = int((score * ctot).sum())
+    n_o = int(c_o.sum())
+    dev = n * ab_o - n_o * ab_tot
+    lift = 1000 * n * ab_o // (n_o * ab_tot) - 1000
+    return pd.DataFrame([(n_o, n - n_o, ab_o, ab_tot, dev, lift)],
+                        columns=["n_o", "n_f", "ab2_o", "ab2_total",
+                                 "dev_num", "lift_milli"]) \
+        .astype("int64")
+
+
+def user_dow_habit(sf_dir: str) -> pd.DataFrame:
+    """HABIT STRENGTH census — how concentrated is each user's
+    activity on their favorite weekday? Users band by top-dow share
+    (sparse < 7 events; then < 20% / < 40% / < 70% / >= 70% in bps)
+    — the routine-vs-roaming segmentation a scheduler keys send
+    windows on. One ``user % 64`` exchange of per-block (user, dow)
+    count partials; buckets fold per-user maxima and emit one 5-cell
+    band histogram row each. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        key = u * 8 + (d + 3) % 7
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "u": pa.array(ku // 8),
+            "dw": pa.array(ku % 8),
+            "c": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(((ku // 8) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * 8 + g["dw"].to_numpy(np.int64)
+        ku, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv, weights=g["c"].to_numpy(np.int64),
+                        minlength=len(ku)).astype(np.int64)
+        uu, uinv = np.unique(ku // 8, return_inverse=True)
+        tot = np.bincount(uinv, weights=c, minlength=len(uu)) \
+            .astype(np.int64)
+        mx = np.zeros(len(uu), np.int64)
+        np.maximum.at(mx, uinv, c)
+        share = 10000 * mx // tot
+        band = np.where(tot < 7, 0,
+                        np.where(share < 2000, 1,
+                                 np.where(share < 4000, 2,
+                                          np.where(share < 7000, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")

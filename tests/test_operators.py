@@ -202,6 +202,7 @@ def test_entry_smoke(entrymod):
     "lineitem_moods_median", "join_size_estimator_audit",
     "embedding_knn_reciprocity", "customer_brand_loyalty",
     "supplier_cr_ratios", "events_group_sequential",
+    "lineitem_ansari_bradley", "user_dow_habit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
