@@ -441,6 +441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_group_sequential": analytics.events_group_sequential,
         "lineitem_ansari_bradley": analytics.lineitem_ansari_bradley,
         "user_dow_habit": analytics.user_dow_habit,
+        "dedup_cross_source_census": dedup.dedup_cross_source_census,
+        "customer_value_trend_census":
+            analytics.customer_value_trend_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -10971,5 +10974,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // t.n AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band, t.n ORDER BY band
+        """,
+        "dedup_cross_source_census": """
+            WITH g AS (SELECT md5(text) AS h,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(DISTINCT source) AS BIGINT)
+                                  AS ns
+                       FROM documents GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+                         CAST(COUNT(*) FILTER (n >= 2) AS BIGINT)
+                             AS gd,
+                         CAST(COALESCE(SUM(n) FILTER (n >= 2), 0)
+                              AS BIGINT) AS dd,
+                         CAST(COUNT(*) FILTER (n >= 2 AND ns >= 2)
+                              AS BIGINT) AS cg,
+                         CAST(COALESCE(SUM(n) FILTER (
+                              n >= 2 AND ns >= 2), 0) AS BIGINT)
+                             AS cd
+                  FROM g)
+            SELECT n_docs, gd AS n_groups_dup, dd AS n_docs_dup,
+                   cg AS cross_groups, cd AS cross_docs,
+                   CAST(CASE WHEN gd > 0 THEN 10000 * cg // gd
+                        ELSE -1 END AS BIGINT) AS cross_share_bps
+            FROM t
+        """,
+        "customer_value_trend_census": """
+            WITH o AS (SELECT o_custkey AS ck,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS y,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+                                  - 1 AS x
+                       FROM orders),
+            p AS (SELECT ck, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         CAST(SUM(x * y) AS HUGEINT) AS sxy
+                  FROM o GROUP BY 1),
+            b AS (SELECT CASE WHEN n < 3 THEN 0
+                              WHEN n * sxy - (n * (n - 1) // 2) * sy
+                                   > 0 THEN 1
+                              WHEN n * sxy - (n * (n - 1) // 2) * sy
+                                   < 0 THEN 3
+                              ELSE 2 END AS band
+                  FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CASE band WHEN 0 THEN 'few' WHEN 1 THEN 'up'
+                        WHEN 2 THEN 'flat' ELSE 'down' END AS trend,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(10000 * COUNT(*) // t.tot AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.tot ORDER BY band
         """,
     }

@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "embedding_knn_reciprocity", "customer_brand_loyalty",
     "supplier_cr_ratios", "events_group_sequential",
     "lineitem_ansari_bradley", "user_dow_habit",
+    "dedup_cross_source_census", "customer_value_trend_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15107,3 +15107,71 @@ def user_dow_habit(sf_dir: str) -> pd.DataFrame:
     g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
     g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
     return g.astype("int64")
+
+
+def customer_value_trend_census(sf_dir: str) -> pd.DataFrame:
+    """PER-CUSTOMER TREND census — is each customer's order value
+    rising, flat or falling over their own order sequence? The
+    per-entity OLS run at full customer cardinality WITHOUT a single
+    division: with x = within-customer order index the slope's SIGN
+    is the sign of the exact integer n*sum(xy) - sum(x)*sum(y)
+    (the denominator is always positive), so the census (up / flat /
+    down, customers with < 3 orders gated to 'few') is pure integer
+    arithmetic. One ``custkey % 64`` exchange; buckets lexsort their
+    customers' (date, orderkey)-ordered histories, fold segment
+    moments vectorized and emit one 4-cell histogram row each."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "ck": pa.array(ck),
+            "d": t.column("o_orderdate").cast(pa.int64()),
+            "ok": t.column("o_orderkey"),
+            "cents": pa.array(np.floor(
+                t.column("o_totalprice").to_numpy() * 100)
+                .astype(np.int64)),
+            "bucket": pa.array((ck % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["ck"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        ok = g["ok"].to_numpy(np.int64)
+        y = g["cents"].to_numpy(np.int64)
+        order = np.lexsort((ok, d, ck))
+        ck, y = ck[order], y[order]
+        brk = np.empty(len(ck), dtype=bool)
+        brk[0] = True
+        brk[1:] = ck[1:] != ck[:-1]
+        seg = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        x = np.arange(len(ck), dtype=np.int64) - starts[seg]
+        k = seg[-1] + 1 if len(seg) else 0
+        n = np.bincount(seg, minlength=k).astype(np.int64)
+        sy = np.bincount(seg, weights=y, minlength=k).astype(np.int64)
+        sxy = np.bincount(seg, weights=x * y, minlength=k) \
+            .astype(np.int64)
+        sx = n * (n - 1) // 2
+        num = n * sxy - sx * sy
+        band = np.where(n < 3, 0,
+                        np.where(num > 0, 1,
+                                 np.where(num < 0, 3, 2)))
+        h = np.bincount(band, minlength=4).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(4, dtype=np.int64),
+                             "n_customers": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_customers"].sum())
+    g = g[g["n_customers"] > 0].sort_values("band") \
+        .reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_customers"].to_numpy(np.int64) \
+        // tot
+    names = np.array(["few", "up", "flat", "down"])
+    g["trend"] = names[g["band"].to_numpy(np.int64)]
+    return g[["band", "trend", "n_customers", "share_bps"]].astype(
+        {"band": "int64", "n_customers": "int64",
+         "share_bps": "int64"})

@@ -1578,3 +1578,54 @@ def docs_winnowing_density(sf_dir: str) -> pd.DataFrame:
                         columns=["n_docs", "n_windows", "n_selected",
                                  "density_bps", "expected_bps"]) \
         .astype("int64")
+
+
+def dedup_cross_source_census(sf_dir: str) -> pd.DataFrame:
+    """DUPLICATE PROVENANCE census — exact-duplicate text groups
+    (md5 identity) classified by whether they stay inside ONE source
+    or span several: cross-source duplication is contamination /
+    syndication (dedup before mixing), same-source duplication is a
+    feed bug (fix upstream). One ``hash-bucket`` exchange of (md5,
+    source) rows; each bucket folds its groups and emits one census
+    partial (group size >= 2, distinct sources >= 2), so the driver
+    sums bucket rows. The twin groups on the same md5. Pure
+    integers."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in texts]
+        bk = [int(h[:2], 16) % 64 for h in hs]
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "source": t.column("source"),
+            "bucket": pa.array(bk, type=pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gr = g.groupby("h").agg(n=("source", "size"),
+                                ns=("source", "nunique"))
+        dup = gr[gr["n"] >= 2]
+        return pd.DataFrame([{
+            "n_docs": int(gr["n"].sum()),
+            "n_groups_dup": len(dup),
+            "n_docs_dup": int(dup["n"].sum()),
+            "cross_groups": int((dup["ns"] >= 2).sum()),
+            "cross_docs": int(dup.loc[dup["ns"] >= 2, "n"].sum())}])
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    gd = int(m["n_groups_dup"])
+    return pd.DataFrame([(int(m["n_docs"]), gd, int(m["n_docs_dup"]),
+                          int(m["cross_groups"]),
+                          int(m["cross_docs"]),
+                          10000 * int(m["cross_groups"]) // gd
+                          if gd else -1)],
+                        columns=["n_docs", "n_groups_dup",
+                                 "n_docs_dup", "cross_groups",
+                                 "cross_docs", "cross_share_bps"]) \
+        .astype("int64")
