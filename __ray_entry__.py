@@ -444,6 +444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cross_source_census": dedup.dedup_cross_source_census,
         "customer_value_trend_census":
             analytics.customer_value_trend_census,
+        "brand_mix_drift_series": analytics.brand_mix_drift_series,
+        "events_dwell_runs": analytics.events_dwell_runs,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11026,5 +11028,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // t.tot AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band, t.tot ORDER BY band
+        """,
+        "brand_mix_drift_series": """
+            WITH b AS (SELECT datediff('month', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))
+                                  AS mo,
+                              p.p_brand AS br,
+                              CAST(FLOOR(l_extendedprice
+                                   * (1 - l_discount) * 100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+            g AS (SELECT mo, br, CAST(SUM(rev) AS BIGINT) AS x
+                  FROM b GROUP BY 1, 2),
+            ms AS (SELECT DISTINCT mo FROM g),
+            bs AS (SELECT DISTINCT p_brand AS br FROM part),
+            f AS (SELECT ms.mo, bs.br, COALESCE(g.x, 0) AS x
+                  FROM ms CROSS JOIN bs
+                  LEFT JOIN g ON g.mo = ms.mo AND g.br = bs.br),
+            t AS (SELECT mo, CAST(SUM(x) AS BIGINT) AS tot
+                  FROM f GROUP BY 1),
+            mr AS (SELECT mo, ROW_NUMBER() OVER (ORDER BY mo) AS ri
+                   FROM ms),
+            pairs AS (SELECT a.mo AS m0, b2.mo AS m1
+                      FROM mr a JOIN mr b2 ON b2.ri = a.ri + 1),
+            tv AS (SELECT p.m1,
+                          SUM(ABS(CAST(f0.x AS HUGEINT) * t1.tot
+                                  - CAST(f1.x AS HUGEINT) * t0.tot))
+                              AS num,
+                          t0.tot AS tot0, t1.tot AS tot1
+                   FROM pairs p
+                   JOIN f f0 ON f0.mo = p.m0
+                   JOIN f f1 ON f1.mo = p.m1 AND f1.br = f0.br
+                   JOIN t t0 ON t0.mo = p.m0
+                   JOIN t t1 ON t1.mo = p.m1
+                   GROUP BY 1, t0.tot, t1.tot)
+            SELECT CAST(m1 AS BIGINT) AS month,
+                   tot0 AS prev_cents, tot1 AS cur_cents,
+                   CAST(10000 * num
+                        // (2 * CAST(tot0 AS HUGEINT) * tot1)
+                        AS BIGINT) AS tv_bps
+            FROM tv ORDER BY month
+        """,
+        "events_dwell_runs": """
+            WITH s AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+                            - ROW_NUMBER() OVER (
+                                  PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rid
+                       FROM events),
+            r AS (SELECT event_type,
+                         CAST(COUNT(*) AS BIGINT) AS ln
+                  FROM s GROUP BY user_id, event_type, rid)
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(SUM(ln) AS BIGINT) AS n_events,
+                   CAST(MAX(ln) AS BIGINT) AS max_run,
+                   CAST(1000 * SUM(ln) // COUNT(*) AS BIGINT)
+                       AS mean_dwell_milli
+            FROM r GROUP BY event_type ORDER BY event_type
         """,
     }

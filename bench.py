@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "supplier_cr_ratios", "events_group_sequential",
     "lineitem_ansari_bradley", "user_dow_habit",
     "dedup_cross_source_census", "customer_value_trend_census",
+    "brand_mix_drift_series", "events_dwell_runs",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

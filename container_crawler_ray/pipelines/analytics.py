@@ -15175,3 +15175,122 @@ def customer_value_trend_census(sf_dir: str) -> pd.DataFrame:
     return g[["band", "trend", "n_customers", "share_bps"]].astype(
         {"band": "int64", "n_customers": "int64",
          "share_bps": "int64"})
+
+
+def brand_mix_drift_series(sf_dir: str) -> pd.DataFrame:
+    """MIX-DRIFT time series — month-over-month total-variation
+    distance of the brand revenue mix: the drift monitor that pages
+    BEFORE a model trained on last month's mix degrades. Calendar
+    months (months-since-epoch, identical on both sides), brand
+    shares never formed: TV per consecutive month pair closes fully
+    cross-multiplied as sum_b |x_bm * T_{m+1} - x_b,m+1 * T_m| //
+    (2 * T_m * T_{m+1}) in Python bigints / HUGEINT with absent
+    brands zero-filled. Part->brand LUT broadcast; per-block
+    (month, brand) revenue partials — months x 25 cells, ZERO row
+    shuffle."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    p_br = np.zeros(pk.max() + 1, dtype=np.int64)
+    p_br[pk] = bcode
+    nb = len(buniq)
+    ref = ray.put(p_br)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p_br_ = ray.get(ref)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        mo = d.astype("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64)
+        br = p_br_[t.column("l_partkey").to_numpy().astype(np.int64)]
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        key = mo * 32 + br
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "rev": pa.array(np.bincount(inv, weights=rev,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    mo = g["key"].to_numpy(np.int64) // 32
+    br = g["key"].to_numpy(np.int64) % 32
+    rev = g["rev"].to_numpy(np.int64)
+    months = np.unique(mo)
+    grid = np.zeros((len(months), nb), dtype=np.int64)
+    grid[np.searchsorted(months, mo), br] = rev
+    tots = grid.sum(axis=1)
+    rows = []
+    for i in range(1, len(months)):
+        t0, t1 = int(tots[i - 1]), int(tots[i])
+        tv = sum(abs(int(grid[i - 1, b]) * t1
+                     - int(grid[i, b]) * t0) for b in range(nb))
+        rows.append((int(months[i]), t0, t1,
+                     10000 * tv // (2 * t0 * t1)))
+    return pd.DataFrame(rows, columns=["month", "prev_cents",
+                                       "cur_cents", "tv_bps"]) \
+        .astype("int64")
+
+
+def events_dwell_runs(sf_dir: str) -> pd.DataFrame:
+    """DWELL / SOJOURN census — when a user enters an event type, how
+    long do they STAY before switching? Maximal same-type runs per
+    user sequence (the gaps-and-islands rid = rn_user - rn_user_type
+    identity in the twin, a vectorized run-break scan here): per
+    type, run count, total events, mean dwell as one integer milli
+    floor and the longest run. The self-transition structure a
+    session model needs beyond the transition matrix. ONE user
+    exchange; buckets emit per-type partials (type-cardinality
+    rows). Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(u),
+            "ts_us": t.column("ts").cast(pa.int64()),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts_us"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        et = g["event_type"].to_numpy()[order]
+        brk = np.empty(len(us), dtype=bool)
+        brk[0] = True
+        brk[1:] = (us[1:] != us[:-1]) | (et[1:] != et[:-1])
+        rid = np.cumsum(brk) - 1
+        ln = np.bincount(rid).astype(np.int64)
+        rtype = et[np.flatnonzero(brk)]
+        df = pd.DataFrame({"et": rtype, "ln": ln})
+        out = df.groupby("et", as_index=False).agg(
+            n_runs=("ln", "size"), n_events=("ln", "sum"),
+            max_run=("ln", "max"))
+        return out
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("et", as_index=False).agg(
+             n_runs=("n_runs", "sum"), n_events=("n_events", "sum"),
+             max_run=("max_run", "max"))
+         .sort_values("et", kind="mergesort").reset_index(drop=True))
+    g["mean_dwell_milli"] = 1000 * g["n_events"].to_numpy(np.int64) \
+        // g["n_runs"].to_numpy(np.int64)
+    return g.rename(columns={"et": "event_type"}).astype(
+        {c: "int64" for c in ("n_runs", "n_events", "max_run",
+                              "mean_dwell_milli")})

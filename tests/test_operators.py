@@ -204,6 +204,7 @@ def test_entry_smoke(entrymod):
     "supplier_cr_ratios", "events_group_sequential",
     "lineitem_ansari_bradley", "user_dow_habit",
     "dedup_cross_source_census", "customer_value_trend_census",
+    "brand_mix_drift_series", "events_dwell_runs",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
