@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_value_trend_census,
         "brand_mix_drift_series": analytics.brand_mix_drift_series,
         "events_dwell_runs": analytics.events_dwell_runs,
+        "events_conformal_coverage":
+            analytics.events_conformal_coverage,
+        "lineitem_cluster_deff": analytics.lineitem_cluster_deff,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11089,5 +11092,105 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(ln) // COUNT(*) AS BIGINT)
                        AS mean_dwell_milli
             FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "events_conformal_coverage": """
+            WITH d AS (SELECT event_type AS et, event_id % 2 AS par,
+                              CAST(FLOOR(value * 100) AS BIGINT) AS v
+                       FROM events),
+            h AS (SELECT et, par, v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1, 2, 3),
+            calm AS (SELECT et, CAST(SUM(c) AS BIGINT) AS n_cal,
+                            CAST(SUM(v * c) AS BIGINT) AS s_cal
+                     FROM h WHERE par = 0 GROUP BY 1),
+            calr AS (SELECT h.et,
+                            ABS(CAST(calm.n_cal AS HUGEINT) * h.v
+                                - calm.s_cal) AS r,
+                            h.c
+                     FROM h JOIN calm ON h.et = calm.et
+                     WHERE h.par = 0),
+            cw AS (SELECT et, r,
+                          SUM(c) OVER (PARTITION BY et ORDER BY r
+                                       ROWS UNBOUNDED PRECEDING)
+                              AS cum
+                   FROM calr),
+            q AS (SELECT cw.et, MIN(cw.r) AS q_hat
+                  FROM cw JOIN calm ON cw.et = calm.et
+                  WHERE cw.cum >= LEAST(
+                      (9 * (calm.n_cal + 1) + 9) // 10, calm.n_cal)
+                  GROUP BY 1),
+            tst AS (SELECT h.et,
+                           ABS(CAST(calm.n_cal AS HUGEINT) * h.v
+                               - calm.s_cal) AS r,
+                           h.c
+                    FROM h JOIN calm ON h.et = calm.et
+                    WHERE h.par = 1),
+            agg AS (SELECT tst.et,
+                           CAST(SUM(c) AS BIGINT) AS n_test,
+                           CAST(SUM(CASE WHEN r <= q.q_hat THEN c
+                                    ELSE 0 END) AS BIGINT) AS cov
+                    FROM tst JOIN q ON tst.et = q.et GROUP BY 1)
+            SELECT calm.et AS event_type, calm.n_cal,
+                   agg.n_test, agg.cov AS n_covered,
+                   CAST(10000 * agg.cov // agg.n_test AS BIGINT)
+                       AS coverage_bps,
+                   CAST(9000 AS BIGINT) AS nominal_bps
+            FROM calm JOIN agg ON calm.et = agg.et
+            ORDER BY event_type
+        """,
+        "lineitem_cluster_deff": """
+            WITH p AS (SELECT l_orderkey AS ok,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(FLOOR(l_quantity)
+                                   AS BIGINT)) AS BIGINT) AS s,
+                              CAST(SUM(CAST(FLOOR(l_quantity)
+                                   AS BIGINT)
+                                   * CAST(FLOOR(l_quantity)
+                                          AS BIGINT)) AS BIGINT)
+                                  AS q2
+                       FROM lineitem GROUP BY 1),
+            g AS (SELECT CAST(SUM(n) AS HUGEINT) AS n,
+                         CAST(COUNT(*) AS HUGEINT) AS k,
+                         CAST(SUM(s) AS HUGEINT) AS st
+                  FROM p),
+            mb AS (SELECT 1000 * st // n AS mbar FROM g),
+            cells AS (SELECT p.n AS ng, p.s, p.q2,
+                             1000 * p.s // p.n AS mg
+                      FROM p),
+            ss AS (SELECT SUM(CAST(ng AS HUGEINT)
+                              * (mg - mb.mbar) * (mg - mb.mbar))
+                              AS ssb,
+                          SUM(1000000 * CAST(q2 AS HUGEINT)
+                              - 2 * CAST(mg AS HUGEINT) * 1000 * s
+                              + CAST(ng AS HUGEINT) * mg * mg)
+                              AS ssw
+                   FROM cells, mb),
+            f AS (SELECT g.n, g.k, ss.ssb, ss.ssw,
+                         g.k - 1 AS dfb, g.n - g.k AS dfw
+                  FROM g, ss),
+            ic AS (SELECT n, k, ssb, ssw,
+                          k * (ssb * dfw - ssw * dfb) AS num,
+                          k * ssb * dfw + (n - k) * ssw * dfb
+                              AS den
+                   FROM f),
+            icc AS (SELECT n, k, ssb, ssw,
+                           (CASE WHEN num > 0 THEN 1
+                                 WHEN num < 0 THEN -1 ELSE 0 END)
+                           * ((1000 * ABS(num)) // den) AS icc_milli
+                    FROM ic),
+            dd AS (SELECT n, k, ssb, ssw, icc_milli,
+                          1000 * n // k AS mcl,
+                          (1000 * n // k - 1000) * icc_milli AS tt
+                   FROM icc)
+            SELECT CAST(n AS BIGINT) AS n_lines,
+                   CAST(k AS BIGINT) AS n_orders,
+                   CAST(ssb // 1000000 AS BIGINT) AS ssb_sc,
+                   CAST(ssw // 1000000 AS BIGINT) AS ssw_sc,
+                   CAST(icc_milli AS BIGINT) AS icc_milli,
+                   CAST(mcl AS BIGINT) AS mean_cluster_milli,
+                   CAST(1000 + (CASE WHEN tt > 0 THEN 1
+                                WHEN tt < 0 THEN -1 ELSE 0 END)
+                        * (ABS(tt) // 1000) AS BIGINT)
+                       AS deff_milli
+            FROM dd
         """,
     }

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "lineitem_ansari_bradley", "user_dow_habit",
     "dedup_cross_source_census", "customer_value_trend_census",
     "brand_mix_drift_series", "events_dwell_runs",
+    "events_conformal_coverage", "lineitem_cluster_deff",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15294,3 +15294,127 @@ def events_dwell_runs(sf_dir: str) -> pd.DataFrame:
     return g.rename(columns={"et": "event_type"}).astype(
         {c: "int64" for c in ("n_runs", "n_events", "max_run",
                               "mean_dwell_milli")})
+
+
+def events_conformal_coverage(sf_dir: str) -> pd.DataFrame:
+    """SPLIT-CONFORMAL coverage audit — does the 90% interval
+    actually cover 90%? Per event type, the calibration half (even
+    event_ids) sets the quantile q_hat of the nonconformity score
+    and the test half (odd ids) reports empirical coverage. The
+    score stays EXACT by clearing the calibration mean: r = |n_cal*v
+    - S_cal| (consistent within a type, the only place it is
+    compared), q_hat is the ceil-rank (9*(n_cal+1)+9)//10-th
+    smallest calibration score over the bounded (type, parity,
+    cents) HISTOGRAM — value-level, so ties resolve identically —
+    and coverage = test mass with r <= q_hat in exact bps vs the
+    9000 nominal. Histogram partials per block — ZERO row shuffle.
+    The ML-serving guarantee check, pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        par = t.column("event_id").to_numpy().astype(np.int64) % 2
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"et": et, "par": par, "v": v})
+        g = df.groupby(["et", "par", "v"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(g["et"], type=pa.string()),
+            "par": pa.array(g["par"].to_numpy(np.int64)),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["et", "par", "v"], as_index=False)["c"]
+         .sum())
+    rows = []
+    for et in sorted(h["et"].unique()):
+        sub = h[h["et"] == et]
+        cal = sub[sub["par"] == 0]
+        tst = sub[sub["par"] == 1]
+        n_cal = int(cal["c"].sum())
+        s_cal = int((cal["v"].to_numpy(np.int64)
+                     * cal["c"].to_numpy(np.int64)).sum())
+        r_cal = np.abs(n_cal * cal["v"].to_numpy(np.int64) - s_cal)
+        order = np.argsort(r_cal, kind="mergesort")
+        cw = np.cumsum(cal["c"].to_numpy(np.int64)[order])
+        k = (9 * (n_cal + 1) + 9) // 10
+        k = min(k, n_cal)
+        q_hat = int(r_cal[order][np.searchsorted(cw, k)])
+        r_tst = np.abs(n_cal * tst["v"].to_numpy(np.int64) - s_cal)
+        n_tst = int(tst["c"].sum())
+        cov = int(tst["c"].to_numpy(np.int64)[r_tst <= q_hat].sum())
+        rows.append((et, n_cal, n_tst, cov,
+                     10000 * cov // n_tst, 9000))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_cal", "n_test", "n_covered",
+        "coverage_bps", "nominal_bps"]).astype(
+        {c: "int64" for c in ("n_cal", "n_test", "n_covered",
+                              "coverage_bps", "nominal_bps")})
+
+
+def lineitem_cluster_deff(sf_dir: str) -> pd.DataFrame:
+    """CLUSTER-SAMPLING DESIGN EFFECT — if you sample ORDERS instead
+    of lines, how much information do you lose because lines within
+    an order are alike? The survey-statistics pair to
+    ``events_neyman_allocation``: one-way ANOVA of quantity with
+    orders as groups under the milli-floored-mean integer
+    discipline, then the ANOVA intraclass correlation fully
+    cross-multiplied as icc_milli = 1000*k*(ssb*dfw - ssw*dfb) //
+    (k*ssb*dfw + (n-k)*ssw*dfb) — no MS rational ever formed. One
+    ``orderkey % 64`` exchange; buckets emit per-order (n, S, Q)
+    rows and the driver closes vectorized at order cardinality. SS
+    outputs report // 10^6."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "ok": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=q,
+                                      minlength=len(u))
+                          .astype(np.int64)),
+            "q2": pa.array(np.bincount(inv, weights=q * q,
+                                       minlength=len(u))
+                           .astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("ok", as_index=False)[["n", "s", "q2"]].sum()
+
+    per = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas())
+    n_g = per["n"].to_numpy(np.int64)
+    s_g = per["s"].to_numpy(np.int64)
+    q_g = per["q2"].to_numpy(np.int64)
+    n = int(n_g.sum())
+    k = len(per)
+    s_tot = int(s_g.sum())
+    mbar = 1000 * s_tot // n
+    m_g = 1000 * s_g // n_g
+    ssb = int((n_g * (m_g - mbar) * (m_g - mbar)).sum())
+    ssw = int((1_000_000 * q_g - 2 * m_g * 1000 * s_g
+               + n_g * m_g * m_g).sum())
+    dfb, dfw = k - 1, n - k
+    num = k * (ssb * dfw - ssw * dfb)
+    den = k * ssb * dfw + (n - k) * ssw * dfb
+    sgn = 1 if num > 0 else (-1 if num < 0 else 0)
+    icc_milli = sgn * (1000 * abs(num) // den)
+    mbar_lines_milli = 1000 * n // k
+    # sign-normalize: icc can be negative and DuckDB // truncates
+    tt = (mbar_lines_milli - 1000) * icc_milli
+    sg2 = 1 if tt > 0 else (-1 if tt < 0 else 0)
+    deff_milli = 1000 + sg2 * (abs(tt) // 1000)
+    return pd.DataFrame([(n, k, ssb // 1_000_000, ssw // 1_000_000,
+                          icc_milli, mbar_lines_milli, deff_milli)],
+                        columns=["n_lines", "n_orders", "ssb_sc",
+                                 "ssw_sc", "icc_milli",
+                                 "mean_cluster_milli", "deff_milli"]) \
+        .astype("int64")

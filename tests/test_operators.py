@@ -205,6 +205,7 @@ def test_entry_smoke(entrymod):
     "lineitem_ansari_bradley", "user_dow_habit",
     "dedup_cross_source_census", "customer_value_trend_census",
     "brand_mix_drift_series", "events_dwell_runs",
+    "events_conformal_coverage", "lineitem_cluster_deff",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
