@@ -449,6 +449,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conformal_coverage":
             analytics.events_conformal_coverage,
         "lineitem_cluster_deff": analytics.lineitem_cluster_deff,
+        "embedding_norm2_anova": analytics.embedding_norm2_anova,
+        "orders_weekend_ks_dominance":
+            analytics.orders_weekend_ks_dominance,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11192,5 +11195,81 @@ def oracle_sql() -> dict[str, str]:
                         * (ABS(tt) // 1000) AS BIGINT)
                        AS deff_milli
             FROM dd
+        """,
+        "embedding_norm2_anova": """
+            WITH q AS (SELECT vec_id, label,
+                              CAST(FLOOR(CAST(unnest(embedding)
+                                              AS DOUBLE)
+                                         * 1000000.0) AS BIGINT)
+                                  AS qv
+                       FROM embeddings),
+            v AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                         SUM(CAST(qv AS HUGEINT) * qv)
+                             // 1000000000 AS ns2
+                  FROM q GROUP BY 1, 2),
+            g AS (SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(ns2) AS HUGEINT) AS s,
+                         SUM(CAST(ns2 AS HUGEINT) * ns2) AS q2
+                  FROM v GROUP BY 1),
+            t AS (SELECT SUM(n) AS n, SUM(s) AS st,
+                         CAST(COUNT(*) AS HUGEINT) AS k
+                  FROM g),
+            mb AS (SELECT 1000 * st // n AS mbar FROM t),
+            cm AS (SELECT g.n AS ng, g.s, g.q2,
+                          1000 * g.s // g.n AS mi
+                   FROM g),
+            ss AS (SELECT SUM(ng * (mi - mb.mbar) * (mi - mb.mbar))
+                              AS ssb,
+                          SUM(1000000 * q2 - 2 * mi * 1000 * s
+                              + ng * mi * mi) AS ssw
+                   FROM cm, mb)
+            SELECT CAST(t.n AS BIGINT) AS n_vecs,
+                   CAST(t.k AS BIGINT) AS n_labels,
+                   CAST(ss.ssb // 1000000 AS BIGINT) AS ssb_sc,
+                   CAST(ss.ssw // 1000000 AS BIGINT) AS ssw_sc,
+                   CAST(1000 * ss.ssb * (t.n - t.k)
+                        // (ss.ssw * (t.k - 1)) AS BIGINT)
+                       AS f_milli,
+                   CAST(10000 * ss.ssb // (ss.ssb + ss.ssw)
+                        AS BIGINT) AS eta2_bps
+            FROM t, ss
+        """,
+        "orders_weekend_ks_dominance": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            v AS (SELECT cents,
+                         CASE WHEN (dy + 3) % 7 >= 5
+                              THEN 1 ELSE 0 END AS we
+                  FROM d),
+            h AS (SELECT cents, CAST(SUM(we) AS BIGINT) AS cwe,
+                         CAST(SUM(1 - we) AS BIGINT) AS cwd
+                  FROM v GROUP BY 1),
+            t AS (SELECT CAST(SUM(cwe) AS BIGINT) AS nwe,
+                         CAST(SUM(cwd) AS BIGINT) AS nwd
+                  FROM h),
+            r AS (SELECT SUM(cwd) OVER (ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) * t.nwe
+                        - SUM(cwe) OVER (ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) * t.nwd
+                            AS gap
+                  FROM h, t),
+            a AS (SELECT CAST(MAX(gap) AS BIGINT) AS dp,
+                         CAST(MAX(-gap) AS BIGINT) AS dm
+                  FROM r)
+            SELECT t.nwd AS n_weekday, t.nwe AS n_weekend,
+                   a.dp AS d_plus_num, a.dm AS d_minus_num,
+                   CAST(1000 * GREATEST(a.dp, 0)
+                        // (t.nwd * t.nwe) AS BIGINT)
+                       AS d_plus_milli,
+                   CAST(1000 * GREATEST(a.dm, 0)
+                        // (t.nwd * t.nwe) AS BIGINT)
+                       AS d_minus_milli,
+                   CAST(1000 * GREATEST(a.dp, a.dm)
+                        // (t.nwd * t.nwe) AS BIGINT) AS d_milli
+            FROM t, a
         """,
     }

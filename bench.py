@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "dedup_cross_source_census", "customer_value_trend_census",
     "brand_mix_drift_series", "events_dwell_runs",
     "events_conformal_coverage", "lineitem_cluster_deff",
+    "embedding_norm2_anova", "orders_weekend_ks_dominance",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15418,3 +15418,110 @@ def lineitem_cluster_deff(sf_dir: str) -> pd.DataFrame:
                                  "ssw_sc", "icc_milli",
                                  "mean_cluster_milli", "deff_milli"]) \
         .astype("int64")
+
+
+def embedding_norm2_anova(sf_dir: str) -> pd.DataFrame:
+    """SUPERVISED-SCALE audit — do the label classes live at
+    different embedding MAGNITUDES? One-way integer ANOVA of the
+    squared norm (exact 1e-6 fixed point, scaled // 10^9 so every
+    square stays int64 at any block size) across labels under the
+    ``orders_dow_anova`` milli-floored-mean discipline: SSB/SSW exact
+    Python-bigint/HUGEINT, F and eta^2 close with NO float. A
+    significant F here means norm leaks the label — normalize before
+    cosine retrieval. Per-block per-label moment partials — ZERO
+    shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        fp = np.floor(flat.astype(np.float64) * 1_000_000.0) \
+            .astype(np.int64).reshape(-1, dim)
+        ns2 = (fp * fp).sum(axis=1) // 1_000_000_000
+        lab = t.column("label").to_numpy().astype(np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        k = len(u)
+        return pa.table({
+            "label": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(inv, weights=ns2, minlength=k)
+                          .astype(np.int64)),
+            "q": pa.array(np.bincount(inv, weights=ns2 * ns2,
+                                      minlength=k).astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("label", as_index=False).sum())
+    n = int(g["n"].sum())
+    k = len(g)
+    s_tot = int(g["s"].sum())
+    mbar = 1000 * s_tot // n
+    ssb = 0
+    ssw = 0
+    for _, r in g.iterrows():
+        n_i, s_i, q_i = int(r["n"]), int(r["s"]), int(r["q"])
+        m_i = 1000 * s_i // n_i
+        ssb += n_i * (m_i - mbar) * (m_i - mbar)
+        ssw += 1_000_000 * q_i - 2 * m_i * 1000 * s_i \
+            + n_i * m_i * m_i
+    f_milli = 1000 * ssb * (n - k) // (ssw * (k - 1))
+    eta2_bps = 10000 * ssb // (ssb + ssw)
+    return pd.DataFrame([(n, k, ssb // 1_000_000, ssw // 1_000_000,
+                          f_milli, eta2_bps)],
+                        columns=["n_vecs", "n_labels", "ssb_sc",
+                                 "ssw_sc", "f_milli", "eta2_bps"]) \
+        .astype("int64")
+
+
+def orders_weekend_ks_dominance(sf_dir: str) -> pd.DataFrame:
+    """DIRECTED two-sample KS — does the weekend daily-revenue
+    distribution stochastically DOMINATE weekdays (not just differ)?
+    Both one-sided sup gaps D+ = max(F_wd - F_we) and D- =
+    max(F_we - F_wd) evaluated at every pooled distinct value with
+    the CDFs fully cross-multiplied (gap numerators in exact
+    1/(n_wd*n_we) units — no rational CDF ever formed), plus the
+    two-sided D. D- near zero while D+ is large = weekends dominate
+    everywhere, a stronger statement than the two-sided test. Daily
+    partials — ZERO shuffle; the value sweep is calendar-sized."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=rev,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["cents"].sum()
+    dy = agg["dy"].to_numpy(np.int64)
+    v = agg["cents"].to_numpy(np.int64)
+    is_we = ((dy + 3) % 7) >= 5
+    n_we = int(is_we.sum())
+    n_wd = len(dy) - n_we
+    order = np.argsort(v, kind="mergesort")
+    vs = v[order]
+    we = is_we[order].astype(np.int64)
+    cum_we = np.cumsum(we)
+    cum_wd = np.cumsum(1 - we)
+    last = np.concatenate((vs[1:] != vs[:-1], [True]))
+    gap = cum_wd[last] * n_we - cum_we[last] * n_wd
+    d_plus = int(gap.max())
+    d_minus = int((-gap).max())
+    d_two = max(d_plus, d_minus)
+    den = n_wd * n_we
+    return pd.DataFrame([(n_wd, n_we, d_plus, d_minus,
+                          1000 * max(d_plus, 0) // den,
+                          1000 * max(d_minus, 0) // den,
+                          1000 * d_two // den)],
+                        columns=["n_weekday", "n_weekend",
+                                 "d_plus_num", "d_minus_num",
+                                 "d_plus_milli", "d_minus_milli",
+                                 "d_milli"]).astype("int64")

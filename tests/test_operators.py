@@ -206,6 +206,7 @@ def test_entry_smoke(entrymod):
     "dedup_cross_source_census", "customer_value_trend_census",
     "brand_mix_drift_series", "events_dwell_runs",
     "events_conformal_coverage", "lineitem_cluster_deff",
+    "embedding_norm2_anova", "orders_weekend_ks_dominance",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
