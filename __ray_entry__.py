@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm2_anova": analytics.embedding_norm2_anova,
         "orders_weekend_ks_dominance":
             analytics.orders_weekend_ks_dominance,
+        "user_early_signal_corr": analytics.user_early_signal_corr,
+        "orders_pacf2": analytics.orders_pacf2,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11271,5 +11273,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * GREATEST(a.dp, a.dm)
                         // (t.nwd * t.nwe) AS BIGINT) AS d_milli
             FROM t, a
+        """,
+        "user_early_signal_corr": """
+            WITH e AS (SELECT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+            f AS (SELECT u, MIN(d) AS fd,
+                         CAST(COUNT(*) AS BIGINT) AS tot
+                  FROM e GROUP BY 1),
+            c7 AS (SELECT e.u, CAST(COUNT(*) AS BIGINT) AS early
+                   FROM e JOIN f ON e.u = f.u
+                   WHERE e.d <= f.fd + 6 GROUP BY 1),
+            j AS (SELECT f.u, c7.early AS x, f.tot AS y
+                  FROM f JOIN c7 ON f.u = c7.u),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM j),
+            g AS (SELECT n, sx, sy,
+                         n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS va,
+                         n * syy - sy * sy AS vb
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CAST(sx AS BIGINT) AS sum_early,
+                   CAST(sy AS BIGINT) AS sum_total,
+                   CAST(num AS BIGINT) AS cov_num,
+                   CAST(va AS BIGINT) AS var_early,
+                   CAST(vb AS BIGINT) AS var_total,
+                   CAST(CASE WHEN va > 0 AND vb > 0 THEN
+                        FLOOR(CAST(num AS DOUBLE)
+                              / (SQRT(CAST(va AS DOUBLE))
+                                 * SQRT(CAST(vb AS DOUBLE)))
+                              * 1000.0)
+                        ELSE 0 END AS BIGINT) AS r_milli
+            FROM g
+        """,
+        "orders_pacf2": """
+            WITH d AS (SELECT datediff('day', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                                  AS dy,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            rng AS (SELECT MIN(dy) AS mn, MAX(dy) AS mx FROM d),
+            grid AS (SELECT u.dy FROM rng,
+                     UNNEST(generate_series(mn, mx)) AS u(dy)),
+            v AS (SELECT grid.dy,
+                         COALESCE(d.cents, 0) // 100000000 AS x
+                  FROM grid LEFT JOIN d ON d.dy = grid.dy),
+            st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS s FROM v),
+            y AS (SELECT dy,
+                         CAST(st.n * x - st.s AS HUGEINT) AS yv
+                  FROM v, st),
+            w AS (SELECT yv,
+                         LEAD(yv, 1) OVER (ORDER BY dy) AS y1,
+                         LEAD(yv, 2) OVER (ORDER BY dy) AS y2
+                  FROM y),
+            c AS (SELECT SUM(yv * yv) AS c0, SUM(yv * y1) AS c1,
+                         SUM(yv * y2) AS c2
+                  FROM w),
+            f AS (SELECT st.n, c0, c1, c2,
+                         c2 * c0 - c1 * c1 AS pnum,
+                         c0 * c0 - c1 * c1 AS pden
+                  FROM c, st)
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(c0 AS BIGINT) AS c0,
+                   CAST((CASE WHEN c1 > 0 THEN 1 WHEN c1 < 0 THEN -1
+                         ELSE 0 END) * ((1000 * ABS(c1)) // c0)
+                        AS BIGINT) AS rho1_milli,
+                   CAST((CASE WHEN c2 > 0 THEN 1 WHEN c2 < 0 THEN -1
+                         ELSE 0 END) * ((1000 * ABS(c2)) // c0)
+                        AS BIGINT) AS rho2_milli,
+                   CAST(CASE WHEN pden > 0 THEN
+                        (CASE WHEN pnum > 0 THEN 1
+                              WHEN pnum < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(pnum)) // pden)
+                        ELSE -9999 END AS BIGINT) AS phi22_milli
+            FROM f
         """,
     }

@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "brand_mix_drift_series", "events_dwell_runs",
     "events_conformal_coverage", "lineitem_cluster_deff",
     "embedding_norm2_anova", "orders_weekend_ks_dominance",
+    "user_early_signal_corr", "orders_pacf2",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

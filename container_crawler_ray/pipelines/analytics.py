@@ -15525,3 +15525,111 @@ def orders_weekend_ks_dominance(sf_dir: str) -> pd.DataFrame:
                                  "d_plus_num", "d_minus_num",
                                  "d_plus_milli", "d_minus_milli",
                                  "d_milli"]).astype("int64")
+
+
+def user_early_signal_corr(sf_dir: str) -> pd.DataFrame:
+    """EARLY-SIGNAL correlation — how well does a user's FIRST WEEK
+    predict their lifetime activity? Pearson r between events in
+    days [first, first+6] and total events, from six exact integer
+    moments through ONE user exchange (per-bucket single-row
+    partials), the final r as the same IEEE-matched
+    CAST-divide-sqrt chain as ``user_split_half_reliability``. The
+    growth-team question behind every activation metric. High r =
+    week-one engagement is destiny; low r = late bloomers are
+    real."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({
+            "u": pa.array(u), "d": pa.array(d),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        k = len(uu)
+        f = np.full(k, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(f, inv, d)
+        tot = np.bincount(inv, minlength=k).astype(np.int64)
+        early = np.bincount(inv, weights=(d <= f[inv] + 6),
+                            minlength=k).astype(np.int64)
+        return pd.DataFrame([{
+            "n": k, "sx": int(early.sum()), "sy": int(tot.sum()),
+            "sxx": int((early * early).sum()),
+            "syy": int((tot * tot).sum()),
+            "sxy": int((early * tot).sum())}])
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    if va > 0 and vb > 0:
+        r_milli = math.floor(
+            float(num)
+            / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+            * 1000.0)
+    else:
+        r_milli = 0
+    return pd.DataFrame([(n, sx, sy, num, va, vb, r_milli)],
+                        columns=["n_users", "sum_early", "sum_total",
+                                 "cov_num", "var_early", "var_total",
+                                 "r_milli"]).astype("int64")
+
+
+def orders_pacf2(sf_dir: str) -> pd.DataFrame:
+    """LAG-2 PARTIAL autocorrelation — is there momentum BEYOND what
+    yesterday already explains? The AR-order-selection number:
+    phi22 = (rho2 - rho1^2)/(1 - rho1^2) stays EXACT by clearing
+    every rational — with raw autocovariance numerators c_k =
+    sum(y_t * y_{t+k}) over the y = n*x - S demeaned gapfilled
+    mega-dollar series, phi22_milli = sign-safe
+    1000*(c2*c0 - c1^2) // (c0^2 - c1^2) in Python bigints (HUGEINT
+    twin), and rho1/rho2 close as sign-safe milli over c0. Daily
+    partials — ZERO shuffle. phi22 ~ 0 = AR(1) is enough."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        dy = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rev = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(dy, return_inverse=True)
+        return pa.table({
+            "dy": pa.array(u),
+            "cents": pa.array(np.bincount(inv, weights=rev,
+                                          minlength=len(u))
+                              .astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("dy", as_index=False)["cents"].sum()
+    days = agg["dy"].to_numpy(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    vec = np.zeros(hi - lo + 1, dtype=np.int64)
+    vec[days - lo] = agg["cents"].to_numpy(np.int64)
+    x = vec // 100_000_000
+    n = len(x)
+    s = int(x.sum())
+    y = n * x - s
+    c0 = int(np.dot(y, y))
+    c1 = int(np.dot(y[:-1], y[1:]))
+    c2 = int(np.dot(y[:-2], y[2:]))
+
+    def sdiv(num, den):
+        sgn = 1 if num > 0 else (-1 if num < 0 else 0)
+        return sgn * (1000 * abs(num) // den)
+
+    den = c0 * c0 - c1 * c1
+    phi22 = sdiv(c2 * c0 - c1 * c1, den) if den > 0 else -9999
+    return pd.DataFrame([(n, c0, sdiv(c1, c0), sdiv(c2, c0), phi22)],
+                        columns=["n_days", "c0", "rho1_milli",
+                                 "rho2_milli", "phi22_milli"]) \
+        .astype("int64")
