@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.orders_weekend_ks_dominance,
         "user_early_signal_corr": analytics.user_early_signal_corr,
         "orders_pacf2": analytics.orders_pacf2,
+        "lineitem_return_trend_ca": analytics.lineitem_return_trend_ca,
+        "media_aspect_census": media.media_aspect_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11355,5 +11357,58 @@ def oracle_sql() -> dict[str, str]:
                         * ((1000 * ABS(pnum)) // pden)
                         ELSE -9999 END AS BIGINT) AS phi22_milli
             FROM f
+        """,
+        "lineitem_return_trend_ca": """
+            WITH d AS (SELECT LEAST(GREATEST(
+                                  (CAST(FLOOR(l_quantity) AS BIGINT)
+                                   - 1) // 10, 0), 4) AS band,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS ret
+                       FROM lineitem),
+            g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(ret) AS BIGINT) AS r
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS HUGEINT) AS nn,
+                         CAST(SUM(r) AS HUGEINT) AS rr,
+                         SUM(CAST(band AS HUGEINT) * r) AS swr,
+                         SUM(CAST(band AS HUGEINT) * n) AS swn,
+                         SUM(CAST(n AS HUGEINT) * band * band)
+                             AS snw2
+                  FROM g),
+            f AS (SELECT nn, rr,
+                         nn * swr - rr * swn AS num,
+                         rr * (nn - rr)
+                         * (nn * snw2 - swn * swn) AS den
+                  FROM t)
+            SELECT CAST(g.band AS BIGINT) AS band,
+                   g.n AS n_lines, g.r AS n_returned,
+                   CAST(10000 * g.r // g.n AS BIGINT) AS rate_bps,
+                   CAST(f.num AS BIGINT) AS trend_num,
+                   CAST(1000 * f.num * f.num * f.nn // f.den
+                        AS BIGINT) AS z2_milli
+            FROM g, f ORDER BY band
+        """,
+        "media_aspect_census": """
+            WITH m AS (SELECT CAST(('0x' || substr(md5(text), 1, 15))
+                                   AS UBIGINT) AS x
+                       FROM documents),
+            g AS (SELECT 64 + (x // 3) % 960 AS w,
+                         64 + (x // 7) % 540 AS h
+                  FROM m),
+            b AS (SELECT CASE WHEN 1000 * w // h < 900 THEN 0
+                              WHEN 1000 * w // h < 1112 THEN 1
+                              WHEN 1000 * w // h < 1778 THEN 2
+                              ELSE 3 END AS band
+                  FROM g),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CASE band WHEN 0 THEN 'portrait'
+                        WHEN 1 THEN 'squarish'
+                        WHEN 2 THEN 'landscape'
+                        ELSE 'wide' END AS shape,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(10000 * COUNT(*) // t.tot AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.tot ORDER BY band
         """,
     }

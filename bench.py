@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "events_conformal_coverage", "lineitem_cluster_deff",
     "embedding_norm2_anova", "orders_weekend_ks_dominance",
     "user_early_signal_corr", "orders_pacf2",
+    "lineitem_return_trend_ca", "media_aspect_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15633,3 +15633,48 @@ def orders_pacf2(sf_dir: str) -> pd.DataFrame:
                         columns=["n_days", "c0", "rho1_milli",
                                  "rho2_milli", "phi22_milli"]) \
         .astype("int64")
+
+
+def lineitem_return_trend_ca(sf_dir: str) -> pd.DataFrame:
+    """COCHRAN-ARMITAGE trend test — does the RETURN RATE rise
+    monotonically with quantity band? The dose-response test for
+    binary outcomes, closed entirely in integers: with band scores
+    w = (q-1)//10, the trend numerator num = N*sum(w*r_b) -
+    R*sum(w*n_b) and the exact variance identity give
+    z^2_milli = 1000*num^2*N // (R*(N-R)*(N*sum(n*w^2) -
+    (sum(n*w))^2)) — Python bigints / HUGEINT, no rational ever
+    formed. Per-band rates ride along in bps. Constant 5x2 grid
+    partials per block — ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()).astype(np.int64)
+        ret = (np.asarray(t.column("l_returnflag")).astype(object)
+               == "R").astype(np.int64)
+        band = np.clip((q - 1) // 10, 0, 4)
+        cell = band * 2 + ret
+        c = np.bincount(cell, minlength=10).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(10,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    n_b = np.array([int(g.get(b * 2, 0)) + int(g.get(b * 2 + 1, 0))
+                    for b in range(5)], dtype=np.int64)
+    r_b = np.array([int(g.get(b * 2 + 1, 0)) for b in range(5)],
+                   dtype=np.int64)
+    w = np.arange(5, dtype=np.int64)
+    n = int(n_b.sum())
+    r = int(r_b.sum())
+    num = n * int((w * r_b).sum()) - r * int((w * n_b).sum())
+    den = r * (n - r) * (n * int((n_b * w * w).sum())
+                         - int((n_b * w).sum()) ** 2)
+    z2_milli = 1000 * num * num * n // den
+    rows = [(int(b), int(n_b[b]), int(r_b[b]),
+             10000 * int(r_b[b]) // int(n_b[b]), num, z2_milli)
+            for b in range(5)]
+    return pd.DataFrame(rows, columns=[
+        "band", "n_lines", "n_returned", "rate_bps", "trend_num",
+        "z2_milli"]).astype("int64")

@@ -479,3 +479,42 @@ def media_scene_changes(sf_dir: str) -> pd.DataFrame:
     return (g[["n_cuts", "n_docs", "share_bps", "sum_frames"]]
             .sort_values("n_cuts", kind="mergesort")
             .reset_index(drop=True).astype("int64"))
+
+
+def media_aspect_census(sf_dir: str) -> pd.DataFrame:
+    """ASPECT-RATIO census over the decode stand-in's geometry — the
+    preprocessing-plan input (portrait vs landscape mix decides crop
+    strategy and batch padding waste): the same deterministic
+    md5-derived (w, h) as :class:`MediaResizeStage`, aspect =
+    1000*w//h banded portrait (<900) / squarish / landscape / wide
+    (>=1778), shares in exact bps. Stateless task-mode map with
+    small binary batches; one 4-cell partial per batch — ZERO
+    shuffle; the twin reproduces the md5 geometry bit for bit."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def census(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        band = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            x = int(hashlib.md5(p).hexdigest()[:15], 16)
+            w = 64 + (x // 3) % 960
+            h = 64 + (x // 7) % 540
+            r = 1000 * w // h
+            band[i] = 0 if r < 900 else (1 if r < 1112 else
+                                         (2 if r < 1778 else 3))
+        c = np.bincount(band, minlength=4).astype(np.int64)
+        return pa.table({"band": pa.array(np.arange(4,
+                                                    dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    g = (ds.map_batches(_to_payload, batch_format="pyarrow")
+         .map_batches(census, batch_format="pyarrow", batch_size=256)
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n"].sum())
+    g = g[g["n"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n"].to_numpy(np.int64) // tot
+    names = np.array(["portrait", "squarish", "landscape", "wide"])
+    g["shape"] = names[g["band"].to_numpy(np.int64)]
+    return g[["band", "shape", "n", "share_bps"]].astype(
+        {"band": "int64", "n": "int64", "share_bps": "int64"})
