@@ -456,6 +456,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_pacf2": analytics.orders_pacf2,
         "lineitem_return_trend_ca": analytics.lineitem_return_trend_ca,
         "media_aspect_census": media.media_aspect_census,
+        "lineitem_tax_regressivity":
+            analytics.lineitem_tax_regressivity,
+        "embedding_exact_dup_census":
+            dedup.embedding_exact_dup_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11410,5 +11414,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // t.tot AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band, t.tot ORDER BY band
+        """,
+        "lineitem_tax_regressivity": """
+            WITH d AS (SELECT CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS ep,
+                              CAST(FLOOR(l_extendedprice * l_tax
+                                         * 100) AS BIGINT) AS tax
+                       FROM lineitem),
+            g AS (SELECT ep // 10000 AS b,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(ep) AS BIGINT) AS base,
+                         CAST(SUM(tax) AS BIGINT) AS tax
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g),
+            r AS (SELECT b, n, base, tax,
+                         SUM(n) OVER (ORDER BY b
+                                      ROWS UNBOUNDED PRECEDING) - n
+                             AS cum_prev
+                  FROM g),
+            a AS (SELECT LEAST(10 * cum_prev // t.nt, 9) AS decile,
+                         n, base, tax
+                  FROM r, t)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(SUM(n) AS BIGINT) AS n_lines,
+                   CAST(SUM(base) AS BIGINT) AS base_cents,
+                   CAST(SUM(tax) AS BIGINT) AS tax_cents,
+                   CAST(10000 * SUM(tax) // SUM(base) AS BIGINT)
+                       AS eff_tax_bps
+            FROM a GROUP BY 1 ORDER BY 1
+        """,
+        "embedding_exact_dup_census": """
+            WITH g AS (SELECT embedding,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM embeddings GROUP BY 1)
+            SELECT CAST(SUM(c) AS BIGINT) AS n_vecs,
+                   CAST(COUNT(*) FILTER (c >= 2) AS BIGINT)
+                       AS n_groups_dup,
+                   CAST(COALESCE(SUM(c) FILTER (c >= 2), 0)
+                        AS BIGINT) AS n_dup_vecs,
+                   CAST(MAX(c) AS BIGINT) AS max_group
+            FROM g
         """,
     }

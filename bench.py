@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "embedding_norm2_anova", "orders_weekend_ks_dominance",
     "user_early_signal_corr", "orders_pacf2",
     "lineitem_return_trend_ca", "media_aspect_census",
+    "lineitem_tax_regressivity", "embedding_exact_dup_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

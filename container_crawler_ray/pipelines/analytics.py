@@ -15678,3 +15678,50 @@ def lineitem_return_trend_ca(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "band", "n_lines", "n_returned", "rate_bps", "trend_num",
         "z2_milli"]).astype("int64")
+
+
+def lineitem_tax_regressivity(sf_dir: str) -> pd.DataFrame:
+    """TAX REGRESSIVITY profile — do SMALL line items pay a higher
+    effective tax rate? Effective tax bps per price decile, with the
+    deciles cut on the bounded $100-bin histogram (bin = cents //
+    10^4, so the rank scan never touches rows) by the exact
+    10*cum_prev // N starting-rank rule shared verbatim with the
+    twin. Per-bin (n, base-cents, tax-cents) partials — ZERO
+    shuffle; tax amounts floor per row identically on both sides.
+    The pricing-fairness table, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_extendedprice", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        tax = np.floor(t.column("l_extendedprice").to_numpy()
+                       * t.column("l_tax").to_numpy() * 100) \
+            .astype(np.int64)
+        b = ep // 10000
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "b": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "base": pa.array(np.bincount(inv, weights=ep,
+                                         minlength=len(u))
+                             .astype(np.int64)),
+            "tax": pa.array(np.bincount(inv, weights=tax,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("b", as_index=False).sum()
+         .sort_values("b"))
+    n_tot = int(g["n"].sum())
+    cum_prev = np.cumsum(g["n"].to_numpy(np.int64)) \
+        - g["n"].to_numpy(np.int64)
+    dec = np.minimum(10 * cum_prev // n_tot, 9)
+    g["dec"] = dec
+    out = g.groupby("dec", as_index=False)[["n", "base", "tax"]].sum()
+    out["eff_tax_bps"] = 10000 * out["tax"].to_numpy(np.int64) \
+        // out["base"].to_numpy(np.int64)
+    return out.rename(columns={"dec": "decile", "n": "n_lines",
+                               "base": "base_cents",
+                               "tax": "tax_cents"}).astype("int64")

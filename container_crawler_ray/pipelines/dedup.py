@@ -1629,3 +1629,49 @@ def dedup_cross_source_census(sf_dir: str) -> pd.DataFrame:
                                  "n_docs_dup", "cross_groups",
                                  "cross_docs", "cross_share_bps"]) \
         .astype("int64")
+
+
+def embedding_exact_dup_census(sf_dir: str) -> pd.DataFrame:
+    """EXACT-DUPLICATE embedding census — bitwise-identical vectors
+    are pipeline bugs (same item embedded twice, a collapsed encoder
+    batch), distinct from the NEAR-dup semantics of
+    ``semantic_dedup``: vectors group by their raw float32 payload
+    (md5 of the coordinate bytes here, list equality in the twin),
+    and the census reports dup groups, vectors in them and the
+    biggest clone set. One hash-bucket exchange of (md5, 1) rows
+    with per-bucket census partials. Pure integers."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        arr = t.column("embedding").combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(arr)
+        mat = flat.reshape(-1, dim)
+        hs = [hashlib.md5(row.tobytes()).hexdigest() for row in mat]
+        return pa.table({
+            "h": pa.array(hs, type=pa.string()),
+            "bucket": pa.array([int(x[:2], 16) % 64 for x in hs],
+                               type=pa.int32())})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h").size()
+        dup = c[c >= 2]
+        return pd.DataFrame([{
+            "n_vecs": int(c.sum()),
+            "n_groups_dup": len(dup),
+            "n_dup_vecs": int(dup.sum()),
+            "max_group": int(c.max()) if len(c) else 0}])
+
+    m = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    return pd.DataFrame([(int(m["n_vecs"].sum()),
+                          int(m["n_groups_dup"].sum()),
+                          int(m["n_dup_vecs"].sum()),
+                          int(m["max_group"].max()))],
+                        columns=["n_vecs", "n_groups_dup",
+                                 "n_dup_vecs", "max_group"]) \
+        .astype("int64")

@@ -209,6 +209,7 @@ def test_entry_smoke(entrymod):
     "embedding_norm2_anova", "orders_weekend_ks_dominance",
     "user_early_signal_corr", "orders_pacf2",
     "lineitem_return_trend_ca", "media_aspect_census",
+    "lineitem_tax_regressivity", "embedding_exact_dup_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
