@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.lineitem_tax_regressivity,
         "embedding_exact_dup_census":
             dedup.embedding_exact_dup_census,
+        "lang_source_lift": curate.lang_source_lift,
+        "lineitem_discount_moy": analytics.lineitem_discount_moy,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11454,5 +11456,43 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_vecs,
                    CAST(MAX(c) AS BIGINT) AS max_group
             FROM g
+        """,
+        "lang_source_lift": """
+            WITH g AS (SELECT lang, source,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl
+                  FROM g GROUP BY 1),
+            s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns
+                  FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
+            SELECT g.lang, g.source, g.n,
+                   CAST(1000 * CAST(g.n AS HUGEINT) * t.nt
+                        // (CAST(l.nl AS HUGEINT) * s.ns)
+                        AS BIGINT) AS lift_milli
+            FROM g JOIN l ON g.lang = l.lang
+                 JOIN s ON g.source = s.source, t
+            ORDER BY g.lang, g.source
+        """,
+        "lineitem_discount_moy": """
+            WITH d AS (SELECT datediff('month', DATE '1970-01-01',
+                                       CAST(l_shipdate AS DATE))
+                              % 12 AS moy,
+                              CAST(FLOOR(l_discount * 10000)
+                                   AS BIGINT) AS disc
+                       FROM lineitem),
+            g AS (SELECT moy, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(disc) AS BIGINT) AS s
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(s) AS BIGINT) AS st
+                  FROM g)
+            SELECT CAST(g.moy AS BIGINT) AS moy,
+                   g.n AS n_lines, g.s AS sum_disc_bp,
+                   CAST(g.s // g.n AS BIGINT) AS mean_disc_bp,
+                   CAST(1000 * CAST(g.s AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.st) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM g, t ORDER BY moy
         """,
     }

@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "user_early_signal_corr", "orders_pacf2",
     "lineitem_return_trend_ca", "media_aspect_census",
     "lineitem_tax_regressivity", "embedding_exact_dup_census",
+    "lang_source_lift", "lineitem_discount_moy",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

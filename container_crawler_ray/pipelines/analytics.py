@@ -15725,3 +15725,43 @@ def lineitem_tax_regressivity(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"dec": "decile", "n": "n_lines",
                                "base": "base_cents",
                                "tax": "tax_cents"}).astype("int64")
+
+
+def lineitem_discount_moy(sf_dir: str) -> pd.DataFrame:
+    """DISCOUNT SEASONALITY — mean discount per calendar month of
+    year (the promo-calendar fingerprint): exact truncating means in
+    basis points over the 12-cell (month-of-year, n, sum-discount-bp)
+    grid, with each month's lift vs the annual mean fully
+    cross-multiplied as 1000 * S_m * N // (n_m * S) - 1000.
+    Month-of-year = months-since-epoch % 12, identical on both
+    sides. Per-block 12-cell partials — ZERO shuffle, no float."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        moy = d.astype("datetime64[D]").astype("datetime64[M]") \
+            .astype(np.int64) % 12
+        disc = np.floor(t.column("l_discount").to_numpy() * 10000) \
+            .astype(np.int64)
+        n = np.bincount(moy, minlength=12).astype(np.int64)
+        s = np.bincount(moy, weights=disc, minlength=12) \
+            .astype(np.int64)
+        return pa.table({"moy": pa.array(np.arange(12,
+                                                   dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("moy", as_index=False).sum())
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    g = g[g["n"] > 0].sort_values("moy").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    s = g["s"].to_numpy(np.int64)
+    g["mean_disc_bp"] = s // n
+    g["lift_milli"] = [1000 * int(si) * n_tot
+                       // (int(ni) * s_tot) - 1000
+                       for ni, si in zip(n, s)]
+    return g.rename(columns={"n": "n_lines", "s": "sum_disc_bp"}) \
+        .astype("int64")

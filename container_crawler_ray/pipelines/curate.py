@@ -1607,3 +1607,38 @@ def docs_nchars_consistency(sf_dir: str) -> pd.DataFrame:
                         columns=["n_docs", "n_match", "match_bps",
                                  "sum_absdev", "max_absdev"]) \
         .astype("int64")
+
+
+def lang_source_lift(sf_dir: str) -> pd.DataFrame:
+    """LANG x SOURCE affinity — which providers over-deliver which
+    languages vs the corpus mix? Per-cell lift fully cross-multiplied
+    as 1000 * n_ls * N // (n_l * n_s) (no share rational), the
+    sourcing-contract sanity grid read next to
+    ``source_mixture_weights``. Per-block (lang, source) count
+    partials — grid-sized, ZERO shuffle, pure integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": np.asarray(t.column("lang")).astype(object),
+            "source": np.asarray(t.column("source")).astype(object)})
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "source": pa.array(g["source"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["lang", "source"], as_index=False)["n"]
+         .sum())
+    nl = g.groupby("lang")["n"].sum().to_dict()
+    ns = g.groupby("source")["n"].sum().to_dict()
+    n_tot = int(g["n"].sum())
+    g = g.sort_values(["lang", "source"], kind="mergesort") \
+        .reset_index(drop=True)
+    g["lift_milli"] = [
+        1000 * int(r["n"]) * n_tot
+        // (int(nl[r["lang"]]) * int(ns[r["source"]]))
+        for _, r in g.iterrows()]
+    return g.astype({"n": "int64", "lift_milli": "int64"})
