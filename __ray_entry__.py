@@ -462,6 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.embedding_exact_dup_census,
         "lang_source_lift": curate.lang_source_lift,
         "lineitem_discount_moy": analytics.lineitem_discount_moy,
+        "events_daily_basket_lift": analytics.events_daily_basket_lift,
+        "lineitem_benford2": analytics.lineitem_benford2,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11494,5 +11496,61 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(g.n AS HUGEINT) * t.st) - 1000
                         AS BIGINT) AS lift_milli
             FROM g, t ORDER BY moy
+        """,
+        "events_daily_basket_lift": """
+            WITH b AS (SELECT DISTINCT
+                              user_id * 32768
+                              + (epoch_us(ts) // 86400000000)
+                                % 32768 AS bk,
+                              event_type AS et
+                       FROM events),
+            t AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n
+                  FROM b),
+            s AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM b GROUP BY 1),
+            p AS (SELECT a.et AS ta, b2.et AS tb,
+                         CAST(COUNT(*) AS BIGINT) AS nab
+                  FROM b a JOIN b b2 ON a.bk = b2.bk
+                                    AND a.et < b2.et
+                  GROUP BY 1, 2)
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   p.nab AS n_both, sa.c AS n_a, sb.c AS n_b,
+                   CAST(1000 * CAST(p.nab AS HUGEINT) * t.n
+                        // (CAST(sa.c AS HUGEINT) * sb.c)
+                        AS BIGINT) AS lift_milli
+            FROM p JOIN s sa ON sa.et = p.ta
+                 JOIN s sb ON sb.et = p.tb, t
+            ORDER BY type_a, type_b
+        """,
+        "lineitem_benford2": """
+            WITH d AS (SELECT CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS v
+                       FROM lineitem),
+            f AS (SELECT CAST(substr(CAST(v AS VARCHAR), 2, 1)
+                              AS BIGINT) AS d2
+                  FROM d WHERE v >= 10),
+            g AS (SELECT d2, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM f GROUP BY 1),
+            grid AS (SELECT unnest(generate_series(0, 9)) AS d,
+                            unnest([1197, 1139, 1088, 1043, 1003,
+                                    967, 934, 904, 876, 850]) AS e),
+            nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+            t AS (SELECT grid.d, COALESCE(g.c, 0) AS o, grid.e,
+                         nn.n,
+                         1000 * CAST(10000 * COALESCE(g.c, 0)
+                                     - nn.n * grid.e AS HUGEINT)
+                         * (10000 * COALESCE(g.c, 0)
+                            - nn.n * grid.e)
+                         // (10000 * CAST(nn.n AS HUGEINT)
+                             * grid.e) AS term
+                  FROM grid LEFT JOIN g ON g.d2 = grid.d, nn),
+            c2 AS (SELECT CAST(SUM(term) AS BIGINT) AS chi FROM t)
+            SELECT CAST(t.d AS BIGINT) AS digit,
+                   CAST(o AS BIGINT) AS n_obs,
+                   CAST(10000 * o // n AS BIGINT) AS obs_bps,
+                   CAST(e AS BIGINT) AS exp_bps,
+                   CAST(term AS BIGINT) AS term_milli,
+                   c2.chi AS chi2_milli
+            FROM t, c2 ORDER BY digit
         """,
     }

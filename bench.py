@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "lineitem_return_trend_ca", "media_aspect_census",
     "lineitem_tax_regressivity", "embedding_exact_dup_census",
     "lang_source_lift", "lineitem_discount_moy",
+    "events_daily_basket_lift", "lineitem_benford2",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

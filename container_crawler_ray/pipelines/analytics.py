@@ -15765,3 +15765,113 @@ def lineitem_discount_moy(sf_dir: str) -> pd.DataFrame:
                        for ni, si in zip(n, s)]
     return g.rename(columns={"n": "n_lines", "s": "sum_disc_bp"}) \
         .astype("int64")
+
+
+def events_daily_basket_lift(sf_dir: str) -> pd.DataFrame:
+    """DAILY-BASKET co-occurrence lift — treating each (user, day) as
+    a basket, which event-type PAIRS co-occur beyond independence?
+    The affinity the user-grain ``event_type_overlap`` cannot see:
+    lift fully cross-multiplied as 1000 * n_ab * N // (n_a * n_b)
+    over basket counts, no share rational ever formed. One
+    ``basket % 64`` exchange of per-block distinct (basket, type)
+    rows; buckets (which own whole baskets) dedup across blocks and
+    emit constant-size partials: per-pair counts, per-type counts
+    and one basket-count row each. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts",
+                                          "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        b = u * 32768 + (d % 32768)
+        df = pd.DataFrame({
+            "b": b,
+            "et": np.asarray(t.column("event_type")).astype(object)})
+        df = df.drop_duplicates()
+        return pa.table({
+            "b": pa.array(df["b"].to_numpy(np.int64)),
+            "et": pa.array(df["et"], type=pa.string()),
+            "bucket": pa.array((df["b"].to_numpy(np.int64) % 64)
+                               .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["b", "et"])
+        rows = [("__baskets__", "", int(g["b"].nunique()))]
+        sg = g.groupby("et").size()
+        rows += [(str(et), "", int(c)) for et, c in sg.items()]
+        m = g.merge(g, on="b")
+        m = m[m["et_x"] < m["et_y"]]
+        pg = m.groupby(["et_x", "et_y"]).size()
+        rows += [(str(a), str(bb), int(c))
+                 for (a, bb), c in pg.items()]
+        return pd.DataFrame(rows, columns=["a", "b2", "n"])
+
+    raw = (ds.map_batches(derive, batch_format="pyarrow")
+           .groupby("bucket").map_groups(fold, batch_format="pandas")
+           .to_pandas().groupby(["a", "b2"], as_index=False)["n"]
+           .sum())
+    n_baskets = int(raw.loc[raw["a"] == "__baskets__", "n"].sum())
+    singles = {r["a"]: int(r["n"]) for _, r in
+               raw[(raw["b2"] == "")
+                   & (raw["a"] != "__baskets__")].iterrows()}
+    pairs = raw[raw["b2"] != ""].sort_values(["a", "b2"],
+                                             kind="mergesort")
+    out = []
+    for _, r in pairs.iterrows():
+        nab = int(r["n"])
+        out.append((r["a"], r["b2"], nab, singles[r["a"]],
+                    singles[r["b2"]],
+                    1000 * nab * n_baskets
+                    // (singles[r["a"]] * singles[r["b2"]])))
+    return pd.DataFrame(out, columns=["type_a", "type_b", "n_both",
+                                      "n_a", "n_b", "lift_milli"]) \
+        .astype({c: "int64" for c in ("n_both", "n_a", "n_b",
+                                      "lift_milli")})
+
+
+def lineitem_benford2(sf_dir: str) -> pd.DataFrame:
+    """SECOND-DIGIT Benford test — the forensic follow-up to the
+    first-digit screen (fraudsters who know Benford-1 still fail
+    Benford-2): the second significant digit of extended price vs
+    the published Benford-2 expectation (fixed milli constants
+    shared verbatim with the twin), chi-square closed per cell as
+    the cleared-expectation integer floor 1000*(10000*O_d -
+    N*c_d)^2 // (10000*N*c_d) and summed order-free. Digit
+    extraction is pure integer (peel to the two leading digits by
+    repeated //10). Per-block 10-cell partials — ZERO shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("l_extendedprice").to_numpy() * 100) \
+            .astype(np.int64)
+        v = v[v >= 10]
+        while True:
+            m = v >= 100
+            if not m.any():
+                break
+            v = np.where(m, v // 10, v)
+        d2 = v % 10
+        return pa.table({"d": pa.array(np.arange(10,
+                                                 dtype=np.int64)),
+                         "c": pa.array(np.bincount(d2, minlength=10)
+                                       .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("d", as_index=False)["c"].sum()
+         .sort_values("d").reset_index(drop=True))
+    exp_bps = [1197, 1139, 1088, 1043, 1003, 967, 934, 904, 876,
+               850]
+    n = int(g["c"].sum())
+    rows = []
+    chi2 = 0
+    for d in range(10):
+        o = int(g["c"].iloc[d])
+        c = exp_bps[d]
+        dev = 10000 * o - n * c
+        term = 1000 * dev * dev // (10000 * n * c)
+        chi2 += term
+        rows.append((d, o, 10000 * o // n, c, term))
+    df = pd.DataFrame(rows, columns=["digit", "n_obs", "obs_bps",
+                                     "exp_bps", "term_milli"])
+    df["chi2_milli"] = chi2
+    return df.astype("int64")

@@ -211,6 +211,7 @@ def test_entry_smoke(entrymod):
     "lineitem_return_trend_ca", "media_aspect_census",
     "lineitem_tax_regressivity", "embedding_exact_dup_census",
     "lang_source_lift", "lineitem_discount_moy",
+    "events_daily_basket_lift", "lineitem_benford2",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
