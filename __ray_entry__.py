@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_discount_moy": analytics.lineitem_discount_moy,
         "events_daily_basket_lift": analytics.events_daily_basket_lift,
         "lineitem_benford2": analytics.lineitem_benford2,
+        "events_hour_drift": analytics.events_hour_drift,
+        "user_pareto_8020": analytics.user_pareto_8020,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11552,5 +11554,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(term AS BIGINT) AS term_milli,
                    c2.chi AS chi2_milli
             FROM t, c2 ORDER BY digit
+        """,
+        "events_hour_drift": """
+            WITH lat AS (SELECT unnest(generate_series(0, 23)) AS hr,
+                                unnest([1000000, 965925, 866025,
+                                        707106, 500000, 258819, 0,
+                                        -258820, -500000, -707107,
+                                        -866026, -965926, -1000000,
+                                        -965926, -866026, -707107,
+                                        -500001, -258820, -1, 258819,
+                                        500000, 707106, 866025,
+                                        965925]) AS cs,
+                                unnest([0, 258819, 499999, 707106,
+                                        866025, 965925, 1000000,
+                                        965925, 866025, 707106,
+                                        499999, 258819, 0, -258820,
+                                        -500000, -707107, -866026,
+                                        -965926, -1000000, -965926,
+                                        -866026, -707107, -500001,
+                                        -258820]) AS sn),
+            sp AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+                           + MAX(epoch_us(ts) // 86400000000)) // 2
+                              AS mid
+                   FROM events),
+            h AS (SELECT CASE WHEN epoch_us(ts) // 86400000000
+                                   > sp.mid
+                              THEN 1 ELSE 0 END AS hf,
+                         (epoch_us(ts) // 3600000000) % 24 AS hr,
+                         COUNT(*) AS n
+                  FROM events, sp GROUP BY 1, 2),
+            g AS (SELECT hv.hf, lat.hr, lat.cs, lat.sn,
+                         COALESCE(h.n, 0) AS n
+                  FROM (SELECT unnest([0, 1]) AS hf) hv
+                  CROSS JOIN lat
+                  LEFT JOIN h ON h.hf = hv.hf AND h.hr = lat.hr),
+            s AS (SELECT hf,
+                         SUM(CAST(n AS HUGEINT) * cs) AS sx,
+                         SUM(CAST(n AS HUGEINT) * sn) AS sy,
+                         CAST(SUM(n) AS BIGINT) AS n
+                  FROM g GROUP BY 1),
+            pk AS (SELECT s.hf,
+                          (SELECT lat.hr FROM lat
+                           ORDER BY CAST(lat.cs AS HUGEINT) * s.sx
+                                    + CAST(lat.sn AS HUGEINT)
+                                      * s.sy DESC, lat.hr
+                           LIMIT 1) AS ph
+                   FROM s),
+            f AS (SELECT s0.n AS n0, s1.n AS n1,
+                         p0.ph AS ph0, p1.ph AS ph1,
+                         s0.sx * s1.sx + s0.sy * s1.sy AS num,
+                         s0.sx * s0.sx + s0.sy * s0.sy AS d0,
+                         s1.sx * s1.sx + s1.sy * s1.sy AS d1
+                  FROM s s0, s s1, pk p0, pk p1
+                  WHERE s0.hf = 0 AND s1.hf = 1
+                    AND p0.hf = 0 AND p1.hf = 1)
+            SELECT CAST(n0 AS BIGINT) AS n_first,
+                   CAST(n1 AS BIGINT) AS n_second,
+                   CAST(ph0 AS BIGINT) AS peak_h0,
+                   CAST(ph1 AS BIGINT) AS peak_h1,
+                   CAST(FLOOR(CAST(num AS DOUBLE)
+                        / (SQRT(CAST(d0 AS DOUBLE))
+                           * SQRT(CAST(d1 AS DOUBLE)))
+                        * 1000.0) AS BIGINT) AS cos_milli
+            FROM f
+        """,
+        "user_pareto_8020": """
+            WITH c AS (SELECT user_id AS u,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            r AS (SELECT c,
+                         ROW_NUMBER() OVER (ORDER BY c DESC, u)
+                             AS rn
+                  FROM c),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+                         CAST(SUM(c) AS BIGINT) AS tot
+                  FROM r)
+            SELECT t.nu AS n_users, t.tot AS n_events,
+                   CAST((t.nu + 4) // 5 AS BIGINT) AS k20,
+                   CAST(SUM(c) FILTER (rn <= (t.nu + 4) // 5)
+                        AS BIGINT) AS top20_events,
+                   CAST(10000 * SUM(c) FILTER (
+                        rn <= (t.nu + 4) // 5) // t.tot AS BIGINT)
+                       AS top20_bps,
+                   CAST((t.nu + 99) // 100 AS BIGINT) AS k1,
+                   CAST(SUM(c) FILTER (rn <= (t.nu + 99) // 100)
+                        AS BIGINT) AS top1_events,
+                   CAST(10000 * SUM(c) FILTER (
+                        rn <= (t.nu + 99) // 100) // t.tot
+                        AS BIGINT) AS top1_bps
+            FROM r, t GROUP BY t.nu, t.tot
         """,
     }

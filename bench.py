@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "lineitem_tax_regressivity", "embedding_exact_dup_census",
     "lang_source_lift", "lineitem_discount_moy",
     "events_daily_basket_lift", "lineitem_benford2",
+    "events_hour_drift", "user_pareto_8020",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15875,3 +15875,96 @@ def lineitem_benford2(sf_dir: str) -> pd.DataFrame:
                                      "exp_bps", "term_milli"])
     df["chi2_milli"] = chi2
     return df.astype("int64")
+
+
+def events_hour_drift(sf_dir: str) -> pd.DataFrame:
+    """CIRCULAR DRIFT of the diurnal cycle — did the daily load
+    pattern ROTATE between the calendar halves (a timezone mix
+    shift, a geography change)? Each half's hour-of-day resultant
+    vector folds on the same FIXED integer trig lattice as the
+    Rayleigh test (literal constants, no libm); the drift readout is
+    the cosine between the two resultants — ONE IEEE-order-matched
+    float chain — plus each half's peak lattice hour under the
+    (dot desc, hour asc) rule. A tiny span pre-pass anchors the
+    halves; per-block 48-cell partials — ZERO shuffle."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        hr = (us // 3_600_000_000) % 24
+        hf = (us // _DAY_US > mid).astype(np.int64)
+        cell = hf * 24 + hr
+        cnt = np.bincount(cell, minlength=48).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(48,
+                                                    dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("cell")["n"].sum())
+    res = []
+    for hf in (0, 1):
+        c = [int(agg.get(hf * 24 + h, 0)) for h in range(24)]
+        n = sum(c)
+        sx = sum(a * int(b) for a, b in zip(c, _HOUR_COS))
+        sy = sum(a * int(b) for a, b in zip(c, _HOUR_SIN))
+        dots = [(int(_HOUR_COS[h]) * sx + int(_HOUR_SIN[h]) * sy, -h)
+                for h in range(24)]
+        res.append((n, sx, sy, -max(dots)[1]))
+    (n0, sx0, sy0, p0), (n1, sx1, sy1, p1) = res
+    num = sx0 * sx1 + sy0 * sy1
+    d0 = sx0 * sx0 + sy0 * sy0
+    d1 = sx1 * sx1 + sy1 * sy1
+    cos_milli = math.floor(
+        float(num) / (math.sqrt(float(d0)) * math.sqrt(float(d1)))
+        * 1000.0)
+    return pd.DataFrame([(n0, n1, p0, p1, cos_milli)],
+                        columns=["n_first", "n_second", "peak_h0",
+                                 "peak_h1", "cos_milli"]) \
+        .astype("int64")
+
+
+def user_pareto_8020(sf_dir: str) -> pd.DataFrame:
+    """PARETO 80/20 check — what share of events do the top 20% (and
+    top 1%) of users actually carry? The folk rule made exact: users
+    rank under the (count desc, user asc) total order, prefix cuts
+    at the ceil-rank k = ceil(n/5) and ceil(n/100), shares in exact
+    bps. Per-user counts fold map-side at user cardinality; the rank
+    scan is one driver sort. Pure integers — the
+    concentration-at-a-glance companion to the per-type Gini."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        uu, cnt = np.unique(u, return_counts=True)
+        return pa.table({"u": pa.array(uu),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("u", as_index=False).sum())
+    u = per["u"].to_numpy(np.int64)
+    c = per["c"].to_numpy(np.int64)
+    order = np.lexsort((u, -c))
+    cs = c[order]
+    n_users = len(cs)
+    tot = int(cs.sum())
+    k20 = (n_users + 4) // 5
+    k1 = (n_users + 99) // 100
+    s20 = int(cs[:k20].sum())
+    s1 = int(cs[:k1].sum())
+    return pd.DataFrame([(n_users, tot, k20, s20,
+                          10000 * s20 // tot, k1, s1,
+                          10000 * s1 // tot)],
+                        columns=["n_users", "n_events", "k20",
+                                 "top20_events", "top20_bps", "k1",
+                                 "top1_events", "top1_bps"]) \
+        .astype("int64")

@@ -212,6 +212,7 @@ def test_entry_smoke(entrymod):
     "lineitem_tax_regressivity", "embedding_exact_dup_census",
     "lang_source_lift", "lineitem_discount_moy",
     "events_daily_basket_lift", "lineitem_benford2",
+    "events_hour_drift", "user_pareto_8020",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
