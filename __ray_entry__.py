@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_benford2": analytics.lineitem_benford2,
         "events_hour_drift": analytics.events_hour_drift,
         "user_pareto_8020": analytics.user_pareto_8020,
+        "brand_type_coverage": analytics.brand_type_coverage,
+        "part_price_points": analytics.part_price_points,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11643,5 +11645,39 @@ def oracle_sql() -> dict[str, str]:
                         rn <= (t.nu + 99) // 100) // t.tot
                         AS BIGINT) AS top1_bps
             FROM r, t GROUP BY t.nu, t.tot
+        """,
+        "brand_type_coverage": """
+            WITH g AS (SELECT p_brand AS br, p_type AS ty,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM part GROUP BY 1, 2),
+            t AS (SELECT CAST(COUNT(DISTINCT br) AS BIGINT) AS nb,
+                         CAST(COUNT(DISTINCT ty) AS BIGINT) AS nt,
+                         CAST(COUNT(*) AS BIGINT) AS occ,
+                         CAST(SUM(n) AS BIGINT) AS total
+                  FROM g)
+            SELECT nb AS n_brands, nt AS n_types,
+                   CAST(nb * nt AS BIGINT) AS n_possible,
+                   occ AS n_occupied,
+                   CAST(nb * nt - occ AS BIGINT) AS n_holes,
+                   CAST(10000 * occ // (nb * nt) AS BIGINT)
+                       AS occupied_bps,
+                   CAST(1000 * total // occ AS BIGINT)
+                       AS mean_per_cell_milli
+            FROM t
+        """,
+        "part_price_points": """
+            WITH g AS (SELECT CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS cents,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM part GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM g),
+            r AS (SELECT cents, n,
+                         ROW_NUMBER() OVER (ORDER BY n DESC, cents)
+                             AS rk
+                  FROM g)
+            SELECT CAST(rk AS BIGINT) AS rk, cents,
+                   n AS n_parts,
+                   CAST(10000 * n // t.tot AS BIGINT) AS share_bps
+            FROM r, t WHERE rk <= 10 ORDER BY rk
         """,
     }

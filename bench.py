@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "lang_source_lift", "lineitem_discount_moy",
     "events_daily_basket_lift", "lineitem_benford2",
     "events_hour_drift", "user_pareto_8020",
+    "brand_type_coverage", "part_price_points",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -15968,3 +15968,68 @@ def user_pareto_8020(sf_dir: str) -> pd.DataFrame:
                                  "top20_events", "top20_bps", "k1",
                                  "top1_events", "top1_bps"]) \
         .astype("int64")
+
+
+def brand_type_coverage(sf_dir: str) -> pd.DataFrame:
+    """ASSORTMENT-GAP census — of the brand x type grid, how many
+    cells does the catalog actually fill? Occupied cells, hole share
+    in exact bps, and the mean parts per occupied cell in milli —
+    the range-planning number that decides whether a recommender can
+    backfill from a sibling brand. Per-block distinct (brand, type)
+    pair partials — grid-sized, ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "br": np.asarray(t.column("p_brand")).astype(object),
+            "ty": np.asarray(t.column("p_type")).astype(object)})
+        g = df.groupby(["br", "ty"], as_index=False).size()
+        return pa.table({
+            "br": pa.array(g["br"], type=pa.string()),
+            "ty": pa.array(g["ty"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["br", "ty"], as_index=False)["n"]
+         .sum())
+    nb = g["br"].nunique()
+    nt = g["ty"].nunique()
+    occ = len(g)
+    total = int(g["n"].sum())
+    possible = nb * nt
+    return pd.DataFrame([(nb, nt, possible, occ, possible - occ,
+                          10000 * occ // possible,
+                          1000 * total // occ)],
+                        columns=["n_brands", "n_types", "n_possible",
+                                 "n_occupied", "n_holes",
+                                 "occupied_bps",
+                                 "mean_per_cell_milli"]) \
+        .astype("int64")
+
+
+def part_price_points(sf_dir: str) -> pd.DataFrame:
+    """PRICE-POINT adherence — the top-10 exact retail price points
+    by part count (ties to the lower price): how concentrated is the
+    catalog on anchor prices, and what share do the anchors carry
+    (in exact bps)? The pricing-ops census behind every "ends in
+    .99" policy audit. Per-block (cents, n) partials fold at
+    distinct-price cardinality — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, cnt = np.unique(v, return_counts=True)
+        return pa.table({"cents": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cents", as_index=False)["n"].sum())
+    tot = int(g["n"].sum())
+    c = g["cents"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    order = np.lexsort((c, -n))[:10]
+    return pd.DataFrame({
+        "rk": np.arange(1, len(order) + 1, dtype=np.int64),
+        "cents": c[order], "n_parts": n[order],
+        "share_bps": 10000 * n[order] // tot}).astype("int64")

@@ -213,6 +213,7 @@ def test_entry_smoke(entrymod):
     "lang_source_lift", "lineitem_discount_moy",
     "events_daily_basket_lift", "lineitem_benford2",
     "events_hour_drift", "user_pareto_8020",
+    "brand_type_coverage", "part_price_points",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
