@@ -468,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_pareto_8020": analytics.user_pareto_8020,
         "brand_type_coverage": analytics.brand_type_coverage,
         "part_price_points": analytics.part_price_points,
+        "user_decile_migration": analytics.user_decile_migration,
+        "events_weekend_mix_shift":
+            analytics.events_weekend_mix_shift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11679,5 +11682,67 @@ def oracle_sql() -> dict[str, str]:
                    n AS n_parts,
                    CAST(10000 * n // t.tot AS BIGINT) AS share_bps
             FROM r, t WHERE rk <= 10 ORDER BY rk
+        """,
+        "user_decile_migration": """
+            WITH sp AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+                                + MAX(epoch_us(ts) // 86400000000))
+                               // 2 AS mid
+                        FROM events),
+            p AS (SELECT user_id AS u,
+                         CASE WHEN epoch_us(ts) // 86400000000
+                                   > sp.mid THEN 1 ELSE 0 END AS hf,
+                         CAST(SUM(CAST(FLOOR(value * 100)
+                                       AS BIGINT)) AS BIGINT) AS v
+                  FROM events, sp GROUP BY 1, 2),
+            r AS (SELECT u, hf,
+                         10 * (ROW_NUMBER() OVER (
+                             PARTITION BY hf
+                             ORDER BY v DESC, u) - 1)
+                         // (COUNT(*) OVER (PARTITION BY hf))
+                             AS dec
+                  FROM p),
+            j AS (SELECT a.dec AS f, b.dec AS t
+                  FROM r a JOIN r b ON a.u = b.u
+                  WHERE a.hf = 0 AND b.hf = 1)
+            SELECT CAST(f AS BIGINT) AS from_decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * SUM(CASE WHEN t = f THEN 1
+                                    ELSE 0 END) // COUNT(*)
+                        AS BIGINT) AS stay_bps,
+                   CAST(1000 * SUM(ABS(t - f)) // COUNT(*)
+                        AS BIGINT) AS mean_abs_move_milli
+            FROM j GROUP BY f ORDER BY from_decile
+        """,
+        "events_weekend_mix_shift": """
+            WITH d AS (SELECT event_type AS et,
+                              CASE WHEN (epoch_us(ts)
+                                         // 86400000000 + 3) % 7
+                                        >= 5
+                                   THEN 1 ELSE 0 END AS we
+                       FROM events),
+            g AS (SELECT et, we, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(n) FILTER (we = 0), 0)
+                              AS BIGINT) AS nwd,
+                         CAST(COALESCE(SUM(n) FILTER (we = 1), 0)
+                              AS BIGINT) AS nwe
+                  FROM g),
+            w AS (SELECT et,
+                         CAST(COALESCE(SUM(n) FILTER (we = 0), 0)
+                              AS BIGINT) AS a,
+                         CAST(COALESCE(SUM(n) FILTER (we = 1), 0)
+                              AS BIGINT) AS b
+                  FROM g GROUP BY 1)
+            SELECT w.et AS event_type,
+                   w.a AS n_weekday, w.b AS n_weekend,
+                   CAST(10000 * w.a // t.nwd AS BIGINT)
+                       AS wd_share_bps,
+                   CAST(10000 * w.b // t.nwe AS BIGINT)
+                       AS we_share_bps,
+                   CAST(CASE WHEN w.a > 0 AND t.nwe > 0 THEN
+                        1000 * CAST(w.b AS HUGEINT) * t.nwd
+                        // (CAST(w.a AS HUGEINT) * t.nwe) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM w, t ORDER BY event_type
         """,
     }

@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "events_daily_basket_lift", "lineitem_benford2",
     "events_hour_drift", "user_pareto_8020",
     "brand_type_coverage", "part_price_points",
+    "user_decile_migration", "events_weekend_mix_shift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16033,3 +16033,113 @@ def part_price_points(sf_dir: str) -> pd.DataFrame:
         "rk": np.arange(1, len(order) + 1, dtype=np.int64),
         "cents": c[order], "n_parts": n[order],
         "share_bps": 10000 * n[order] // tot}).astype("int64")
+
+
+def user_decile_migration(sf_dir: str) -> pd.DataFrame:
+    """VALUE-DECILE migration — do users stay in their spending
+    decile between calendar halves, and how far do movers move? For
+    users active in BOTH halves, the per-half decile comes from the
+    exact starting-rank rule 10*(rank-1)//n under the (value desc,
+    user asc) total order (shared verbatim with the twin's window),
+    and each from-decile reports its stayer share in bps and the
+    mean |decile move| in milli. The churn-model feature-stability
+    check. Per-block (user, half) value partials fold at user
+    cardinality; the rank scan is one driver sort. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        v = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        key = u * 2 + (d > mid)
+        ku, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(ku),
+            "v": pa.array(np.bincount(inv, weights=v,
+                                      minlength=len(ku))
+                          .astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("key", as_index=False).sum())
+    key = per["key"].to_numpy(np.int64)
+    val = per["v"].to_numpy(np.int64)
+
+    def deciles(half):
+        m = key % 2 == half
+        u = key[m] // 2
+        v = val[m]
+        order = np.lexsort((u, -v))
+        n = len(u)
+        dec = 10 * np.arange(n, dtype=np.int64) // n
+        return dict(zip(u[order].tolist(), dec.tolist()))
+
+    d0 = deciles(0)
+    d1 = deciles(1)
+    both = sorted(set(d0) & set(d1))
+    f = np.array([d0[u] for u in both], dtype=np.int64)
+    t_ = np.array([d1[u] for u in both], dtype=np.int64)
+    rows = []
+    for dec in np.unique(f):
+        m = f == dec
+        n = int(m.sum())
+        stay = int((t_[m] == dec).sum())
+        move = int(np.abs(t_[m] - dec).sum())
+        rows.append((int(dec), n, 10000 * stay // n,
+                     1000 * move // n))
+    return pd.DataFrame(rows, columns=["from_decile", "n_users",
+                                       "stay_bps",
+                                       "mean_abs_move_milli"]) \
+        .astype("int64")
+
+
+def events_weekend_mix_shift(sf_dir: str) -> pd.DataFrame:
+    """WEEKEND MIX SHIFT — how does the event-type mix rotate on
+    weekends? Per type, weekday and weekend shares in exact bps and
+    the shift fully cross-multiplied as
+    1000 * n_we_t * N_wd // (n_wd_t * N_we) - 1000 (positive =
+    over-indexes on weekends), no share rational ever formed. The
+    staffing / cache-warming mix planner. Per-block (type, is_we)
+    count partials — constant cells, ZERO shuffle."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        we = ((d + 3) % 7 >= 5).astype(np.int64)
+        et = np.asarray(t.column("event_type")).astype(object)
+        df = pd.DataFrame({"et": et, "we": we})
+        g = df.groupby(["et", "we"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(g["et"], type=pa.string()),
+            "we": pa.array(g["we"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["et", "we"], as_index=False)["n"]
+         .sum())
+    wd = {r["et"]: int(r["n"]) for _, r in g[g["we"] == 0].iterrows()}
+    we = {r["et"]: int(r["n"]) for _, r in g[g["we"] == 1].iterrows()}
+    n_wd = sum(wd.values())
+    n_we = sum(we.values())
+    rows = []
+    for et in sorted(set(wd) | set(we)):
+        a = wd.get(et, 0)
+        b = we.get(et, 0)
+        shift = (1000 * b * n_wd // (a * n_we) - 1000
+                 if a > 0 and n_we > 0 else -9999)
+        rows.append((et, a, b, 10000 * a // n_wd,
+                     10000 * b // n_we, shift))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_weekday", "n_weekend", "wd_share_bps",
+        "we_share_bps", "shift_milli"]).astype(
+        {c: "int64" for c in ("n_weekday", "n_weekend",
+                              "wd_share_bps", "we_share_bps",
+                              "shift_milli")})
