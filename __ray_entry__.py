@@ -471,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decile_migration": analytics.user_decile_migration,
         "events_weekend_mix_shift":
             analytics.events_weekend_mix_shift,
+        "brand_edge_affinity": graph.brand_edge_affinity,
+        "user_night_owl_census": analytics.user_night_owl_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11744,5 +11746,65 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(w.a AS HUGEINT) * t.nwe) - 1000
                         ELSE -9999 END AS BIGINT) AS shift_milli
             FROM w, t ORDER BY event_type
+        """,
+        "brand_edge_affinity": """
+            WITH s AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+                              l_partkey AS pk
+                       FROM lineitem),
+            o AS (SELECT ok, pk,
+                         LAG(pk) OVER (PARTITION BY ok
+                                       ORDER BY ln, pk) AS prev
+                  FROM s),
+            ed AS (SELECT DISTINCT LEAST(pk, prev) AS a,
+                          GREATEST(pk, prev) AS b
+                   FROM o WHERE prev IS NOT NULL AND pk <> prev),
+            mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ed),
+            be AS (SELECT b1.p_brand AS ba, b2.p_brand AS bb
+                   FROM ed JOIN part b1 ON ed.a = b1.p_partkey
+                           JOIN part b2 ON ed.b = b2.p_partkey),
+            deg AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM (SELECT ba AS brand FROM be
+                          UNION ALL SELECT bb FROM be)
+                    GROUP BY 1),
+            p AS (SELECT LEAST(ba, bb) AS x, GREATEST(ba, bb) AS y,
+                         CAST(COUNT(*) AS BIGINT) AS e
+                  FROM be WHERE ba <> bb GROUP BY 1, 2),
+            r AS (SELECT p.x AS brand_a, p.y AS brand_b,
+                         p.e AS n_edges, da.d AS deg_a,
+                         db.d AS deg_b,
+                         CAST(1000 * CAST(p.e AS HUGEINT) * 2 * mm.m
+                              // (CAST(da.d AS HUGEINT) * db.d)
+                              AS BIGINT) AS lift_milli,
+                         ROW_NUMBER() OVER (ORDER BY p.e DESC,
+                                            p.x, p.y) AS rk
+                  FROM p JOIN deg da ON da.brand = p.x
+                       JOIN deg db ON db.brand = p.y, mm)
+            SELECT brand_a, brand_b, n_edges, deg_a, deg_b,
+                   lift_milli, CAST(rk AS BIGINT) AS rk
+            FROM r WHERE rk <= 10 ORDER BY rk
+        """,
+        "user_night_owl_census": """
+            WITH e AS (SELECT user_id AS u,
+                              CASE WHEN (epoch_us(ts) // 3600000000)
+                                        % 24 >= 22
+                                     OR (epoch_us(ts) // 3600000000)
+                                        % 24 < 6
+                                   THEN 1 ELSE 0 END AS ni
+                       FROM events),
+            p AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS tot,
+                         CAST(SUM(ni) AS BIGINT) AS nn
+                  FROM e GROUP BY 1),
+            b AS (SELECT CASE WHEN tot < 7 THEN 0
+                              WHEN 10000 * nn // tot < 1000 THEN 1
+                              WHEN 10000 * nn // tot < 3000 THEN 2
+                              WHEN 10000 * nn // tot < 6000 THEN 3
+                              ELSE 4 END AS band
+                  FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // t.n AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.n ORDER BY band
         """,
     }

@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "events_hour_drift", "user_pareto_8020",
     "brand_type_coverage", "part_price_points",
     "user_decile_migration", "events_weekend_mix_shift",
+    "brand_edge_affinity", "user_night_owl_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16143,3 +16143,55 @@ def events_weekend_mix_shift(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("n_weekday", "n_weekend",
                               "wd_share_bps", "we_share_bps",
                               "shift_milli")})
+
+
+def user_night_owl_census(sf_dir: str) -> pd.DataFrame:
+    """NIGHT-OWL census — users banded by their NIGHT share (hours
+    22-05) of activity: the behavioral-axis complement to the
+    weekday habit bands (send-window and abuse-screen input). Bands:
+    sparse (< 7 events), then night share < 10% / < 30% / < 60% /
+    >= 60% in exact bps. One ``user % 64`` exchange of per-block
+    (user, is_night) count partials; buckets emit one 5-cell
+    histogram row each. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        hr = (t.column("ts").cast(pa.int64()).to_numpy()
+              // 3_600_000_000) % 24
+        night = ((hr >= 22) | (hr < 6)).astype(np.int64)
+        key = u * 2 + night
+        ku, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "u": pa.array(ku // 2),
+            "ni": pa.array(ku % 2),
+            "c": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array(((ku // 2) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * 2 + g["ni"].to_numpy(np.int64)
+        ku, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(inv, weights=g["c"].to_numpy(np.int64),
+                        minlength=len(ku)).astype(np.int64)
+        uu, uinv = np.unique(ku // 2, return_inverse=True)
+        tot = np.bincount(uinv, weights=c, minlength=len(uu)) \
+            .astype(np.int64)
+        nn = np.bincount(uinv, weights=c * (ku % 2),
+                         minlength=len(uu)).astype(np.int64)
+        share = 10000 * nn // tot
+        band = np.where(tot < 7, 0,
+                        np.where(share < 1000, 1,
+                                 np.where(share < 3000, 2,
+                                          np.where(share < 6000, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")

@@ -1097,3 +1097,64 @@ def part_walk_centrality(sf_dir: str) -> pd.DataFrame:
         "score": deg[pick] + w2[pick],
         "rk": np.arange(1, len(pick) + 1, dtype=np.int64)}) \
         .astype("int64")
+
+
+def brand_edge_affinity(sf_dir: str) -> pd.DataFrame:
+    """CROSS-BRAND affinity edges — the mixing-matrix detail behind
+    :func:`part_graph_modularity`: which UNORDERED brand pairs carry
+    the most co-purchase edges, and how far above the
+    degree-product expectation? Lift fully cross-multiplied as
+    1000 * e_ab * 2 * m // (d_a * d_b) (configuration-model null,
+    a != b so no self-pair halving), top 10 under the (edges desc,
+    brand_a, brand_b) order. Edges from the shared distributed
+    builder + undirect/distinct exchange; brands via the broadcast
+    part LUT; the pair fold is 25x25. Pure integers."""
+    edges = _build_edges(sf_dir)
+
+    def undirect(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.int64)
+        d = t.column("dst").to_numpy().astype(np.int64)
+        m = s != d
+        a = np.minimum(s[m], d[m])
+        b = np.maximum(s[m], d[m])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "bk": pa.array((a % _BUCKETS).astype(np.int32))})
+
+    def distinct_ab(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["a", "b"]].drop_duplicates()
+
+    und = (edges.map_batches(undirect, batch_format="pyarrow")
+           .groupby("bk").map_groups(distinct_ab, batch_format="pandas")
+           .to_pandas())
+    a = und["a"].to_numpy(np.int64)
+    b = und["b"].to_numpy(np.int64)
+    m = len(a)
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    codes, uniq = pd.factorize(pt["p_brand"], sort=True)
+    lut = np.full(int(pt["p_partkey"].max()) + 1, -1, np.int64)
+    lut[pt["p_partkey"].to_numpy(np.int64)] = codes
+    k = len(uniq)
+    ca, cb = lut[a], lut[b]
+    lo = np.minimum(ca, cb)
+    hi = np.maximum(ca, cb)
+    deg = np.bincount(np.concatenate([ca, cb]), minlength=k) \
+        .astype(np.int64)
+    mask = lo != hi
+    pair = lo[mask] * k + hi[mask]
+    u, cnt = np.unique(pair, return_counts=True)
+    rows = []
+    for key, e in zip(u.tolist(), cnt.tolist()):
+        ba, bb = key // k, key % k
+        rows.append((str(uniq[ba]), str(uniq[bb]), int(e),
+                     int(deg[ba]), int(deg[bb]),
+                     1000 * int(e) * 2 * m
+                     // (int(deg[ba]) * int(deg[bb]))))
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    df = pd.DataFrame(rows[:10], columns=[
+        "brand_a", "brand_b", "n_edges", "deg_a", "deg_b",
+        "lift_milli"])
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df.astype({c: "int64" for c in ("n_edges", "deg_a",
+                                           "deg_b", "lift_milli",
+                                           "rk")})

@@ -215,6 +215,7 @@ def test_entry_smoke(entrymod):
     "events_hour_drift", "user_pareto_8020",
     "brand_type_coverage", "part_price_points",
     "user_decile_migration", "events_weekend_mix_shift",
+    "brand_edge_affinity", "user_night_owl_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
