@@ -473,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_weekend_mix_shift,
         "brand_edge_affinity": graph.brand_edge_affinity,
         "user_night_owl_census": analytics.user_night_owl_census,
+        "embedding_knn_confusion": ann.embedding_knn_confusion,
+        "orders_status_year_mix": analytics.orders_status_year_mix,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11806,5 +11808,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // t.n AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band, t.n ORDER BY band
+        """,
+        "embedding_knn_confusion": """
+            WITH q AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id % 4 = 0),
+            top AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       CAST(FLOOR(list_cosine_similarity(
+                           CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) * 10000)
+                           AS BIGINT) AS sim_bp
+                FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+              QUALIFY row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY sim_bp DESC, neighbor_id) <= 1),
+            j AS (SELECT CAST(ql.label AS BIGINT) AS t,
+                         CAST(nl.label AS BIGINT) AS p
+                  FROM top
+                  JOIN embeddings ql ON ql.vec_id = top.query_id
+                  JOIN embeddings nl ON nl.vec_id = top.neighbor_id),
+            g AS (SELECT t, p, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT t, CAST(SUM(n) AS BIGINT) AS rt
+                  FROM g GROUP BY 1)
+            SELECT g.t AS true_label, g.p AS pred_label, g.n,
+                   CAST(10000 * g.n // r.rt AS BIGINT) AS row_bps
+            FROM g JOIN r ON g.t = r.t
+            ORDER BY true_label, pred_label
+        """,
+        "orders_status_year_mix": """
+            WITH d AS (SELECT datediff('year', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                              + 1970 AS yr,
+                              o_orderstatus AS st
+                       FROM orders),
+            g AS (SELECT yr, st, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2),
+            y AS (SELECT yr, CAST(SUM(n) AS BIGINT) AS ny
+                  FROM g GROUP BY 1),
+            s AS (SELECT st, CAST(SUM(n) AS BIGINT) AS ns
+                  FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g)
+            SELECT CAST(g.yr AS BIGINT) AS year, g.st AS status,
+                   g.n,
+                   CAST(10000 * g.n // y.ny AS BIGINT)
+                       AS year_share_bps,
+                   CAST(1000 * CAST(g.n AS HUGEINT) * t.nt
+                        // (CAST(y.ny AS HUGEINT) * s.ns) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM g JOIN y ON g.yr = y.yr
+                 JOIN s ON g.st = s.st, t
+            ORDER BY year, status
         """,
     }

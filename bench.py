@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "brand_type_coverage", "part_price_points",
     "user_decile_migration", "events_weekend_mix_shift",
     "brand_edge_affinity", "user_night_owl_census",
+    "embedding_knn_confusion", "orders_status_year_mix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16195,3 +16195,45 @@ def user_night_owl_census(sf_dir: str) -> pd.DataFrame:
     g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
     g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
     return g.astype("int64")
+
+
+def orders_status_year_mix(sf_dir: str) -> pd.DataFrame:
+    """ORDER-STATUS mix by year — the lifecycle drift table (an
+    aging book shows F crowding out O in later years): per (year,
+    status) counts with within-year shares in exact bps and each
+    cell's lift vs the all-years status mix fully cross-multiplied
+    as 1000 * n_ys * N // (n_y * n_s) - 1000. Years via
+    datediff-year on both sides. Per-block (year, status) grid
+    partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderstatus"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        yr = (d.astype("datetime64[D]").astype("datetime64[Y]")
+              .astype(np.int64)) + 1970
+        st = np.asarray(t.column("o_orderstatus")).astype(object)
+        df = pd.DataFrame({"yr": yr, "st": st})
+        g = df.groupby(["yr", "st"], as_index=False).size()
+        return pa.table({
+            "yr": pa.array(g["yr"].to_numpy(np.int64)),
+            "st": pa.array(g["st"], type=pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["yr", "st"], as_index=False)["n"]
+         .sum())
+    ny = g.groupby("yr")["n"].sum().to_dict()
+    ns = g.groupby("st")["n"].sum().to_dict()
+    n_tot = int(g["n"].sum())
+    g = g.sort_values(["yr", "st"], kind="mergesort") \
+        .reset_index(drop=True)
+    g["year_share_bps"] = [10000 * int(r["n"]) // int(ny[r["yr"]])
+                           for _, r in g.iterrows()]
+    g["lift_milli"] = [1000 * int(r["n"]) * n_tot
+                       // (int(ny[r["yr"]]) * int(ns[r["st"]]))
+                       - 1000 for _, r in g.iterrows()]
+    return g.rename(columns={"yr": "year", "st": "status"}).astype(
+        {c: "int64" for c in ("year", "n", "year_share_bps",
+                              "lift_milli")})

@@ -733,3 +733,40 @@ def embedding_knn_reciprocity(sf_dir: str, stride: int = 4,
                           10000 * mutual // n_edges)],
                         columns=["n_nodes", "n_edges", "n_mutual",
                                  "recip_bps"]).astype("int64")
+
+
+def embedding_knn_confusion(sf_dir: str, stride: int = 4) \
+        -> pd.DataFrame:
+    """1-NN CONFUSION MATRIX — the per-class detail behind
+    ``embedding_knn_loo_accuracy``'s single number: every
+    ``stride``-th vector's self-excluded nearest neighbor (the
+    shared broadcast brute-force kernel, exact (sim desc, id asc)
+    rule) votes, and the (true label, predicted label) grid shows
+    WHICH classes bleed into which — the confusion structure that
+    picks the next labeling budget. Row shares in exact bps. Pure
+    integer closing arithmetic; labels ride the driver dimension
+    LUT."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"])
+    vids = tbl.column("vec_id").to_numpy().astype(np.int64)
+    labels = tbl.column("label").to_numpy().astype(np.int64)
+    lab = np.zeros(vids.max() + 1, dtype=np.int64)
+    lab[vids] = labels
+    mat = list_col_to_matrix(tbl.column("embedding"))
+    sel = vids % stride == 0
+    qref = ray.put((vids[sel], normalize_rows(mat[sel])))
+    local = _read_embeddings(sf_dir).map_batches(
+        make_bruteforce_fn(qref, 1), batch_format="pyarrow").to_pandas()
+    top = _global_topk(local, 1)
+    q_lab = lab[top["query_id"].to_numpy(np.int64)]
+    n_lab = lab[top["neighbor_id"].to_numpy(np.int64)]
+    df = pd.DataFrame({"t": q_lab, "p": n_lab})
+    g = df.groupby(["t", "p"], as_index=False).size() \
+        .rename(columns={"size": "n"})
+    row_tot = g.groupby("t")["n"].sum().to_dict()
+    g = g.sort_values(["t", "p"], kind="mergesort") \
+        .reset_index(drop=True)
+    g["row_bps"] = [10000 * int(r["n"]) // int(row_tot[r["t"]])
+                    for _, r in g.iterrows()]
+    return g.rename(columns={"t": "true_label",
+                             "p": "pred_label"}).astype("int64")

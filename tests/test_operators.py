@@ -216,6 +216,7 @@ def test_entry_smoke(entrymod):
     "brand_type_coverage", "part_price_points",
     "user_decile_migration", "events_weekend_mix_shift",
     "brand_edge_affinity", "user_night_owl_census",
+    "embedding_knn_confusion", "orders_status_year_mix",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
