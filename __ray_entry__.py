@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_night_owl_census": analytics.user_night_owl_census,
         "embedding_knn_confusion": ann.embedding_knn_confusion,
         "orders_status_year_mix": analytics.orders_status_year_mix,
+        "orders_size_slope": joins.orders_size_slope,
+        "brand_return_stdres": analytics.brand_return_stdres,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11859,5 +11861,83 @@ def oracle_sql() -> dict[str, str]:
             FROM g JOIN y ON g.yr = y.yr
                  JOIN s ON g.st = s.st, t
             ORDER BY year, status
+        """,
+        "orders_size_slope": """
+            WITH x AS (SELECT l_orderkey AS ok,
+                              CAST(COUNT(*) AS BIGINT) AS x
+                       FROM lineitem GROUP BY 1),
+            j AS (SELECT x.x,
+                         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+                             AS y
+                  FROM x JOIN orders o ON x.ok = o.o_orderkey),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM j),
+            f AS (SELECT n, sx, sy,
+                         n * sxx - sx * sx AS den,
+                         n * sxy - sx * sy AS nums,
+                         sy * sxx - sx * sxy
+                             + (n * sxy - sx * sy) AS numv
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_orders,
+                   CAST(sx AS BIGINT) AS sum_lines,
+                   CAST(sy AS BIGINT) AS sum_cents,
+                   CAST((CASE WHEN nums > 0 THEN 1
+                         WHEN nums < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(nums)) // den) AS BIGINT)
+                       AS slope_milli,
+                   CAST((CASE WHEN numv > 0 THEN 1
+                         WHEN numv < 0 THEN -1 ELSE 0 END)
+                        * ((1000 * ABS(numv)) // den) AS BIGINT)
+                       AS one_line_value_milli
+            FROM f
+        """,
+        "brand_return_stdres": """
+            WITH d AS (SELECT p.p_brand AS br,
+                              CASE WHEN l.l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS j
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+            obs AS (SELECT br, j, CAST(COUNT(*) AS BIGINT) AS o
+                    FROM d GROUP BY 1, 2),
+            bs AS (SELECT DISTINCT p_brand AS br FROM part),
+            grid AS (SELECT bs.br, jj.j, COALESCE(obs.o, 0) AS o
+                     FROM bs CROSS JOIN
+                          (SELECT unnest([0, 1]) AS j) jj
+                     LEFT JOIN obs ON obs.br = bs.br
+                                  AND obs.j = jj.j),
+            r AS (SELECT br, CAST(SUM(o) AS BIGINT) AS rt
+                  FROM grid GROUP BY 1),
+            c AS (SELECT j, CAST(SUM(o) AS BIGINT) AS ct
+                  FROM grid GROUP BY 1),
+            t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM grid),
+            e AS (SELECT grid.br, grid.j, grid.o, r.rt, c.ct, t.n,
+                         CAST(t.n AS HUGEINT) * grid.o
+                             - CAST(r.rt AS HUGEINT) * c.ct AS dev
+                  FROM grid JOIN r ON grid.br = r.br
+                       JOIN c ON grid.j = c.j, t
+                  WHERE r.rt > 0),
+            f AS (SELECT br, j, o, rt, ct, dev,
+                         CAST(FLOOR(
+                             (CAST(dev AS DOUBLE) / n)
+                             / SQRT(CAST(rt AS DOUBLE) * ct
+                                    / CAST(n AS DOUBLE)
+                                    * (1.0 - CAST(rt AS DOUBLE)
+                                       / CAST(n AS DOUBLE))
+                                    * (1.0 - CAST(ct AS DOUBLE)
+                                       / CAST(n AS DOUBLE)))
+                             * 1000.0) AS BIGINT) AS sr
+                  FROM e),
+            rk AS (SELECT *, ROW_NUMBER() OVER (
+                       ORDER BY ABS(sr) DESC, br, j) AS rk
+                   FROM f)
+            SELECT br AS brand, CAST(j AS BIGINT) AS returned,
+                   o AS obs, rt AS r_tot, ct AS c_tot,
+                   CAST(dev AS BIGINT) AS dev_num,
+                   sr AS stdres_milli, CAST(rk AS BIGINT) AS rk
+            FROM rk WHERE rk <= 10 ORDER BY rk
         """,
     }

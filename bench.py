@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "user_decile_migration", "events_weekend_mix_shift",
     "brand_edge_affinity", "user_night_owl_census",
     "embedding_knn_confusion", "orders_status_year_mix",
+    "orders_size_slope", "brand_return_stdres",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

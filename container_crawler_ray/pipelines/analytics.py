@@ -16237,3 +16237,72 @@ def orders_status_year_mix(sf_dir: str) -> pd.DataFrame:
     return g.rename(columns={"yr": "year", "st": "status"}).astype(
         {c: "int64" for c in ("year", "n", "year_share_bps",
                               "lift_milli")})
+
+
+def brand_return_stdres(sf_dir: str) -> pd.DataFrame:
+    """RETURN-RATE residuals by brand — which brands get returned
+    MORE than the grand rate predicts? Haberman standardized
+    residuals over the brand x returned 25x2 grid (the quality-
+    control sibling of the nation/segment grids): exact integer
+    deviations N*O - r*c, each cell's residual floored independently
+    from ONE IEEE-matched float (never summed), top 10 by |stdres|
+    with the (brand, returned) lexical tie rule. Part->brand LUT
+    broadcast; per-block grid partials — ZERO row shuffle."""
+    import math
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    p_br = np.zeros(pk.max() + 1, dtype=np.int64)
+    p_br[pk] = bcode
+    nb = len(buniq)
+    ref = ray.put(p_br)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p_br_ = ray.get(ref)
+        br = p_br_[t.column("l_partkey").to_numpy().astype(np.int64)]
+        ret = (np.asarray(t.column("l_returnflag")).astype(object)
+               == "R").astype(np.int64)
+        cell = br * 2 + ret
+        c = np.bincount(cell, minlength=nb * 2).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(nb * 2, dtype=np.int64)),
+            "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(nb * 2, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(nb, 2)
+    n = int(grid.sum())
+    rtot = grid.sum(axis=1)
+    ctot = grid.sum(axis=0)
+    cells = []
+    for b in range(nb):
+        if int(rtot[b]) == 0:
+            continue
+        for j in range(2):
+            o = int(grid[b, j])
+            r = int(rtot[b])
+            c = int(ctot[j])
+            dev = n * o - r * c
+            sr = math.floor(
+                (float(dev) / float(n))
+                / math.sqrt(float(r * c) / float(n)
+                            * (1.0 - float(r) / float(n))
+                            * (1.0 - float(c) / float(n)))
+                * 1000.0)
+            cells.append((str(buniq[b]), j, o, r, c, dev, sr))
+    cells.sort(key=lambda x: (-abs(x[6]), x[0], x[1]))
+    df = pd.DataFrame(cells[:10], columns=[
+        "brand", "returned", "obs", "r_tot", "c_tot", "dev_num",
+        "stdres_milli"])
+    df["rk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df.astype({c: "int64" for c in (
+        "returned", "obs", "r_tot", "c_tot", "dev_num",
+        "stdres_milli", "rk")})

@@ -4212,3 +4212,70 @@ def customer_brand_loyalty(sf_dir: str) -> pd.DataFrame:
         columns=["n_customers_multi", "n_pairs", "same_brand_pairs",
                  "rate_bps", "global_bps", "lift_milli"]) \
         .astype("int64")
+
+
+def orders_size_slope(sf_dir: str) -> pd.DataFrame:
+    """ORDER-SIZE pricing line — how much does each additional line
+    item add to order value? Exact Cramer OLS of order total (cents)
+    on line count: slope and the fitted one-line order value close
+    as sign-normalized integer milli over the always-positive
+    variance denominator, Python bigints / HUGEINT. Scale shape is
+    the tagged-union orderkey exchange (lineitem ships only (key, 1)
+    counts); each bucket joins its orders and emits ONE five-moment
+    partial row. The marginal-basket economics number."""
+    import ray
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_totalprice"])
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(u),
+            "aux": pa.array(cnt.astype(np.int64)),
+            "side": pa.array(np.ones(len(u), dtype=np.int8)),
+            "bucket": pa.array((u % _JOIN_BUCKETS).astype(np.int32))})
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(key), "aux": pa.array(cents),
+            "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            "bucket": pa.array((key % _JOIN_BUCKETS).astype(np.int32))})
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0][["key", "aux"]] \
+            .rename(columns={"aux": "y"})
+        right = g[g["side"] == 1].groupby("key", as_index=False) \
+            ["aux"].sum().rename(columns={"aux": "x"})
+        m = right.merge(left, on="key")
+        x = m["x"].to_numpy(np.int64)
+        y = m["y"].to_numpy(np.int64)
+        return pd.DataFrame([{
+            "n": len(m), "sx": int(x.sum()), "sy": int(y.sum()),
+            "sxx": int((x * x).sum()), "sxy": int((x * y).sum())}])
+
+    tagged = orders.map_batches(tag_orders, batch_format="pyarrow") \
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+    m = (tagged.groupby("bucket")
+         .map_groups(bucket_join, batch_format="pandas")
+         .to_pandas().sum())
+    n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+    sxx, sxy = int(m["sxx"]), int(m["sxy"])
+    den = n * sxx - sx * sx
+    nums = n * sxy - sx * sy
+    numv = sy * sxx - sx * sxy + 1 * nums
+
+    def sdiv(num):
+        sgn = 1 if num > 0 else (-1 if num < 0 else 0)
+        return sgn * (1000 * abs(num) // den)
+
+    return pd.DataFrame([(n, sx, sy, sdiv(nums), sdiv(numv))],
+                        columns=["n_orders", "sum_lines",
+                                 "sum_cents", "slope_milli",
+                                 "one_line_value_milli"]) \
+        .astype("int64")

@@ -217,6 +217,7 @@ def test_entry_smoke(entrymod):
     "user_decile_migration", "events_weekend_mix_shift",
     "brand_edge_affinity", "user_night_owl_census",
     "embedding_knn_confusion", "orders_status_year_mix",
+    "orders_size_slope", "brand_return_stdres",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
