@@ -477,6 +477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_year_mix": analytics.orders_status_year_mix,
         "orders_size_slope": joins.orders_size_slope,
         "brand_return_stdres": analytics.brand_return_stdres,
+        "order_line_concentration": analytics.order_line_concentration,
+        "whale_geography": analytics.whale_geography,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11939,5 +11941,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(dev AS BIGINT) AS dev_num,
                    sr AS stdres_milli, CAST(rk AS BIGINT) AS rk
             FROM rk WHERE rk <= 10 ORDER BY rk
+        """,
+        "order_line_concentration": """
+            WITH d AS (SELECT l_orderkey AS ok,
+                              CAST(FLOOR(l_extendedprice
+                                   * (1 - l_discount) * 100)
+                                   AS BIGINT) AS rev
+                       FROM lineitem),
+            p AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(rev) AS BIGINT) AS s,
+                         CAST(MAX(rev) AS BIGINT) AS mx
+                  FROM d GROUP BY 1),
+            b AS (SELECT CASE WHEN n = 1 THEN 0
+                              WHEN 100 * mx < 25 * s THEN 1
+                              WHEN 100 * mx < 50 * s THEN 2
+                              WHEN 100 * mx < 80 * s THEN 3
+                              ELSE 4 END AS band
+                  FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(10000 * COUNT(*) // t.n AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.n ORDER BY band
+        """,
+        "whale_geography": """
+            WITH p AS (SELECT o_custkey AS ck,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS v
+                       FROM orders GROUP BY 1),
+            r AS (SELECT ck,
+                         10 * (ROW_NUMBER() OVER (
+                             ORDER BY v DESC, ck) - 1)
+                         // (COUNT(*) OVER ()) AS dec
+                  FROM p),
+            w AS (SELECT c.c_nationkey AS nk,
+                         CAST(COUNT(*) AS BIGINT) AS wn
+                  FROM r JOIN customer c ON r.ck = c.c_custkey
+                  WHERE r.dec = 0 GROUP BY 1),
+            a AS (SELECT c.c_nationkey AS nk,
+                         CAST(COUNT(*) AS BIGINT) AS cn
+                  FROM p JOIN customer c ON p.ck = c.c_custkey
+                  GROUP BY 1),
+            t AS (SELECT CAST(SUM(cn) AS BIGINT) AS ct FROM a),
+            tw AS (SELECT CAST(SUM(wn) AS BIGINT) AS wt FROM w)
+            SELECT CAST(a.nk AS BIGINT) AS c_nationkey,
+                   a.cn AS n_customers,
+                   CAST(COALESCE(w.wn, 0) AS BIGINT) AS n_whales,
+                   CAST(10000 * COALESCE(w.wn, 0) // a.cn AS BIGINT)
+                       AS whale_bps,
+                   CAST(1000 * CAST(COALESCE(w.wn, 0) AS HUGEINT)
+                        * t.ct // (CAST(a.cn AS HUGEINT) * tw.wt)
+                        - 1000 AS BIGINT) AS lift_milli
+            FROM a LEFT JOIN w ON a.nk = w.nk, t, tw
+            ORDER BY c_nationkey
         """,
     }

@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "brand_edge_affinity", "user_night_owl_census",
     "embedding_knn_confusion", "orders_status_year_mix",
     "orders_size_slope", "brand_return_stdres",
+    "order_line_concentration", "whale_geography",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16306,3 +16306,105 @@ def brand_return_stdres(sf_dir: str) -> pd.DataFrame:
     return df.astype({c: "int64" for c in (
         "returned", "obs", "r_tot", "c_tot", "dev_num",
         "stdres_milli", "rk")})
+
+
+def order_line_concentration(sf_dir: str) -> pd.DataFrame:
+    """WITHIN-ORDER concentration — is an order many balanced lines
+    or one dominant line plus filler? Orders band by their TOP
+    line's revenue share (<25% / <50% / <80% / >=80%, single-line
+    orders separate), decided by the cross-multiplied integer
+    compare 100*max_rev vs k*total_rev — no share rational. One
+    ``orderkey % 64`` exchange; buckets fold per-order max/sum
+    vectorized (lexsort + maximum.at) and emit one 5-cell histogram
+    row each. The basket-structure census a bundling strategy reads.
+    Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        rev = np.floor(t.column("l_extendedprice").to_numpy()
+                       * (1 - t.column("l_discount").to_numpy())
+                       * 100).astype(np.int64)
+        return pa.table({
+            "ok": pa.array(ok), "rev": pa.array(rev),
+            "bucket": pa.array((ok % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ok = g["ok"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        u, inv = np.unique(ok, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        s = np.bincount(inv, weights=rev, minlength=len(u)) \
+            .astype(np.int64)
+        mx = np.zeros(len(u), np.int64)
+        np.maximum.at(mx, inv, rev)
+        band = np.where(n == 1, 0,
+                        np.where(100 * mx < 25 * s, 1,
+                                 np.where(100 * mx < 50 * s, 2,
+                                          np.where(100 * mx < 80 * s,
+                                                   3, 4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_orders": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_orders"].sum())
+    g = g[g["n_orders"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_orders"].to_numpy(np.int64) // tot
+    return g.astype("int64")
+
+
+def whale_geography(sf_dir: str) -> pd.DataFrame:
+    """WHALE GEOGRAPHY — are the top-decile customers concentrated in
+    particular nations? Top decile by lifetime order value under the
+    exact 10*(rank-1)//n starting-rank rule and the (value desc,
+    custkey asc) total order; per nation, whale count vs customer
+    base with the over-representation lift fully cross-multiplied as
+    1000 * w_n * C // (c_n * W). Per-customer value folds map-side;
+    nation rides the dimension LUT; the rank scan is one driver
+    sort. The market-prioritization table, pure integers."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c_nat = np.zeros(ck.max() + 1, dtype=np.int64)
+    c_nat[ck] = cust["c_nationkey"].to_numpy(np.int64)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        return pa.table({
+            "ck": pa.array(u),
+            "v": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("ck", as_index=False).sum())
+    u = per["ck"].to_numpy(np.int64)
+    v = per["v"].to_numpy(np.int64)
+    order = np.lexsort((u, -v))
+    n = len(u)
+    dec = 10 * np.arange(n, dtype=np.int64) // n
+    whale = u[order][dec == 0]
+    nk_all = c_nat[u]
+    nk_wh = c_nat[whale]
+    c_n = np.bincount(nk_all, minlength=25).astype(np.int64)
+    w_n = np.bincount(nk_wh, minlength=25).astype(np.int64)
+    c_tot = int(c_n.sum())
+    w_tot = int(w_n.sum())
+    rows = []
+    for nk in np.flatnonzero(c_n > 0):
+        lift = (1000 * int(w_n[nk]) * c_tot
+                // (int(c_n[nk]) * w_tot)) - 1000
+        rows.append((int(nk), int(c_n[nk]), int(w_n[nk]),
+                     10000 * int(w_n[nk]) // int(c_n[nk]), lift))
+    return pd.DataFrame(rows, columns=[
+        "c_nationkey", "n_customers", "n_whales", "whale_bps",
+        "lift_milli"]).astype("int64")

@@ -218,6 +218,7 @@ def test_entry_smoke(entrymod):
     "brand_edge_affinity", "user_night_owl_census",
     "embedding_knn_confusion", "orders_status_year_mix",
     "orders_size_slope", "brand_return_stdres",
+    "order_line_concentration", "whale_geography",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
