@@ -479,6 +479,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_return_stdres": analytics.brand_return_stdres,
         "order_line_concentration": analytics.order_line_concentration,
         "whale_geography": analytics.whale_geography,
+        "supplier_brand_specialization":
+            analytics.supplier_brand_specialization,
+        "orders_yearly_customer_hhi":
+            analytics.orders_yearly_customer_hhi,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -11995,5 +11999,58 @@ def oracle_sql() -> dict[str, str]:
                         - 1000 AS BIGINT) AS lift_milli
             FROM a LEFT JOIN w ON a.nk = w.nk, t, tw
             ORDER BY c_nationkey
+        """,
+        "supplier_brand_specialization": """
+            WITH j AS (SELECT l.l_suppkey AS sk, p.p_brand AS br
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+            c AS (SELECT sk, br, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM j GROUP BY 1, 2),
+            s AS (SELECT sk, CAST(SUM(c) AS HUGEINT) AS st,
+                         SUM(CAST(c AS HUGEINT) * c) AS c2
+                  FROM c GROUP BY 1),
+            b AS (SELECT sk, st,
+                         CASE WHEN st * st < 2 * c2 THEN 0
+                              WHEN st * st < 5 * c2 THEN 1
+                              WHEN st * st < 10 * c2 THEN 2
+                              ELSE 3 END AS band
+                  FROM s),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CASE band WHEN 0 THEN 'lt2' WHEN 1 THEN '2to5'
+                        WHEN 2 THEN '5to10' ELSE 'ge10' END
+                       AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(10000 * COUNT(*) // t.n AS BIGINT)
+                       AS share_bps,
+                   CAST(SUM(st) AS BIGINT) AS n_lines
+            FROM b, t GROUP BY band, t.n ORDER BY band
+        """,
+        "orders_yearly_customer_hhi": """
+            WITH p AS (SELECT datediff('year', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                              + 1970 AS yr,
+                              o_custkey AS ck,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS v
+                       FROM orders GROUP BY 1, 2),
+            y AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS nc,
+                         CAST(SUM(v) AS HUGEINT) AS t,
+                         SUM(CAST(v AS HUGEINT) * v) AS s2
+                  FROM p GROUP BY 1),
+            r AS (SELECT yr, v,
+                         ROW_NUMBER() OVER (PARTITION BY yr
+                                            ORDER BY v DESC, ck)
+                             AS rn
+                  FROM p),
+            c10 AS (SELECT yr, CAST(SUM(v) AS HUGEINT) AS top
+                    FROM r WHERE rn <= 10 GROUP BY 1)
+            SELECT CAST(y.yr AS BIGINT) AS year, y.nc AS n_customers,
+                   CAST(y.t AS BIGINT) AS total_cents,
+                   CAST(10000 * y.s2 // (y.t * y.t) AS BIGINT)
+                       AS hhi_bps,
+                   CAST(10000 * c10.top // y.t AS BIGINT)
+                       AS cr10_bps
+            FROM y JOIN c10 ON y.yr = c10.yr ORDER BY year
         """,
     }

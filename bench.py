@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "embedding_knn_confusion", "orders_status_year_mix",
     "orders_size_slope", "brand_return_stdres",
     "order_line_concentration", "whale_geography",
+    "supplier_brand_specialization", "orders_yearly_customer_hhi",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16408,3 +16408,111 @@ def whale_geography(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "c_nationkey", "n_customers", "n_whales", "whale_bps",
         "lift_milli"]).astype("int64")
+
+
+def supplier_brand_specialization(sf_dir: str) -> pd.DataFrame:
+    """SPECIALIST-vs-GENERALIST census — how many EFFECTIVE brands
+    does each supplier actually ship? The inverse-Simpson effective
+    count n_eff = S^2 / sum(c_b^2) stays division-free: band cuts
+    (< 2 / < 5 / < 10 / >= 10 effective brands) are the
+    cross-multiplied compares S^2 < k * sum(c^2). Bounded
+    (supplier, brand) cell partials fold at supplier x 25
+    cardinality with the part->brand LUT broadcast — ZERO row
+    shuffle. The sourcing-mix census behind vendor consolidation."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    p_br = np.zeros(pk.max() + 1, dtype=np.int64)
+    p_br[pk] = bcode
+    ref = ray.put(p_br)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p_br_ = ray.get(ref)
+        sk = t.column("l_suppkey").to_numpy().astype(np.int64)
+        br = p_br_[t.column("l_partkey").to_numpy().astype(np.int64)]
+        key = sk * 32 + br
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    sk = g["key"].to_numpy(np.int64) // 32
+    c = g["c"].to_numpy(np.int64)
+    su, sinv = np.unique(sk, return_inverse=True)
+    s_tot = np.bincount(sinv, weights=c, minlength=len(su)) \
+        .astype(np.int64)
+    c2 = np.bincount(sinv, weights=c * c, minlength=len(su)) \
+        .astype(np.int64)
+    s2 = s_tot * s_tot
+    band = np.where(s2 < 2 * c2, 0,
+                    np.where(s2 < 5 * c2, 1,
+                             np.where(s2 < 10 * c2, 2, 3)))
+    tot = len(su)
+    rows = []
+    names = ["lt2", "2to5", "5to10", "ge10"]
+    for b in range(4):
+        m = band == b
+        if not m.any():
+            continue
+        rows.append((b, names[b], int(m.sum()),
+                     10000 * int(m.sum()) // tot,
+                     int(s_tot[m].sum())))
+    return pd.DataFrame(rows, columns=[
+        "band", "label", "n_suppliers", "share_bps", "n_lines"]) \
+        .astype({c: "int64" for c in ("band", "n_suppliers",
+                                      "share_bps", "n_lines")})
+
+
+def orders_yearly_customer_hhi(sf_dir: str) -> pd.DataFrame:
+    """CONCENTRATION DRIFT — is revenue concentrating into fewer
+    customers year over year? Per year: active customers, the exact
+    customer-revenue HHI in bps (10^8-cleared: hhi_bps =
+    10000 * sum(x_c^2) // T^2, Python bigints / HUGEINT) and the
+    CR10 share under the (revenue desc, custkey) order. The
+    account-risk trend a CFO tracks. Per-block (year, customer)
+    revenue partials fold at year x customer cardinality; the rank
+    scan runs per year on the driver. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        yr = d.astype("datetime64[D]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        key = yr * 1_000_000 + ck
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "v": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    yr = g["key"].to_numpy(np.int64) // 1_000_000
+    ck = g["key"].to_numpy(np.int64) % 1_000_000
+    v = g["v"].to_numpy(np.int64)
+    rows = []
+    for y in np.unique(yr):
+        m = yr == y
+        x = v[m]
+        cks = ck[m]
+        t = int(x.sum())
+        s2 = sum(int(a) * int(a) for a in x)
+        hhi = 10000 * s2 // (t * t)
+        order = np.lexsort((cks, -x))[:10]
+        cr10 = 10000 * int(x[order].sum()) // t
+        rows.append((int(y), int(m.sum()), t, hhi, cr10))
+    return pd.DataFrame(rows, columns=[
+        "year", "n_customers", "total_cents", "hhi_bps",
+        "cr10_bps"]).astype("int64")

@@ -219,6 +219,7 @@ def test_entry_smoke(entrymod):
     "embedding_knn_confusion", "orders_status_year_mix",
     "orders_size_slope", "brand_return_stdres",
     "order_line_concentration", "whale_geography",
+    "supplier_brand_specialization", "orders_yearly_customer_hhi",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
