@@ -483,6 +483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_brand_specialization,
         "orders_yearly_customer_hhi":
             analytics.orders_yearly_customer_hhi,
+        "customer_balance_revenue_corr":
+            analytics.customer_balance_revenue_corr,
+        "part_type_size_price_census":
+            analytics.part_type_size_price_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12052,5 +12056,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * c10.top // y.t AS BIGINT)
                        AS cr10_bps
             FROM y JOIN c10 ON y.yr = c10.yr ORDER BY year
+        """,
+        "customer_balance_revenue_corr": """
+            WITH v AS (SELECT o_custkey AS ck,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS v
+                       FROM orders GROUP BY 1),
+            j AS (SELECT CAST(FLOOR(c.c_acctbal * 100) AS BIGINT)
+                             AS x,
+                         COALESCE(v.v, 0) AS y
+                  FROM customer c LEFT JOIN v ON c.c_custkey = v.ck),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                         SUM(CAST(y AS HUGEINT) * y) AS syy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM j),
+            f AS (SELECT n, n * sxy - sx * sy AS num,
+                         n * sxx - sx * sx AS va,
+                         n * syy - sy * sy AS vb
+                  FROM m)
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   CAST((CASE WHEN num > 0 THEN 1
+                         WHEN num < 0 THEN -1 ELSE 0 END)
+                        * (ABS(num) // 1000000000) AS BIGINT)
+                       AS cov_num_sc,
+                   CAST(va // 1000000000 AS BIGINT)
+                       AS var_balance_sc,
+                   CAST(vb // 1000000000 AS BIGINT)
+                       AS var_revenue_sc,
+                   CAST(CASE WHEN va > 0 AND vb > 0 THEN
+                        FLOOR(CAST(num AS DOUBLE)
+                              / (SQRT(CAST(va AS DOUBLE))
+                                 * SQRT(CAST(vb AS DOUBLE)))
+                              * 1000.0)
+                        ELSE 0 END AS BIGINT) AS r_milli
+            FROM f
+        """,
+        "part_type_size_price_census": """
+            WITH d AS (SELECT p_type AS ty,
+                              CAST(p_size AS BIGINT) AS x,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS y
+                       FROM part),
+            g AS (SELECT ty, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(x) AS HUGEINT) AS sx,
+                         CAST(SUM(y) AS HUGEINT) AS sy,
+                         SUM(CAST(x AS HUGEINT) * y) AS sxy
+                  FROM d GROUP BY 1),
+            b AS (SELECT CASE WHEN n < 3 THEN 0
+                              WHEN n * sxy - sx * sy > 0 THEN 1
+                              WHEN n * sxy - sx * sy < 0 THEN 3
+                              ELSE 2 END AS band
+                  FROM g),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CASE band WHEN 0 THEN 'few' WHEN 1 THEN 'up'
+                        WHEN 2 THEN 'flat' ELSE 'down' END AS trend,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(10000 * COUNT(*) // t.tot AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.tot ORDER BY band
         """,
     }

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "orders_size_slope", "brand_return_stdres",
     "order_line_concentration", "whale_geography",
     "supplier_brand_specialization", "orders_yearly_customer_hhi",
+    "customer_balance_revenue_corr", "part_type_size_price_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -16516,3 +16516,109 @@ def orders_yearly_customer_hhi(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "year", "n_customers", "total_cents", "hhi_bps",
         "cr10_bps"]).astype("int64")
+
+
+def customer_balance_revenue_corr(sf_dir: str) -> pd.DataFrame:
+    """STORED-BALANCE validity — does the account-balance column
+    actually track realized customer revenue? Pearson r between
+    c_acctbal (cents) and lifetime order value from six exact
+    integer moments (the dimension joins the fact fold driver-side
+    at customer cardinality), closed by the standard IEEE-matched
+    CAST-divide-sqrt chain. Low r = the balance column is
+    decorative; treat models that consume it accordingly. Customers
+    with zero orders join at value 0 — the base is the customer
+    dimension."""
+    import math
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal"]).to_pandas()
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        return pa.table({
+            "ck": pa.array(u),
+            "v": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    per = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("ck", as_index=False).sum())
+    val = dict(zip(per["ck"].tolist(), per["v"].tolist()))
+    x = np.floor(cust["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    y = np.array([int(val.get(int(c), 0))
+                  for c in cust["c_custkey"]], dtype=np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx = sum(int(a) * int(a) for a in x)
+    syy = sum(int(a) * int(a) for a in y)
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    r_milli = (math.floor(
+        float(num) / (math.sqrt(float(va)) * math.sqrt(float(vb)))
+        * 1000.0) if va > 0 and vb > 0 else 0)
+    # moment columns exceed int64 at scale: report // 10^9 (r uses
+    # the unscaled Python ints above)
+    sgn = 1 if num > 0 else (-1 if num < 0 else 0)
+    return pd.DataFrame([(n, sgn * (abs(num) // 10 ** 9),
+                          va // 10 ** 9, vb // 10 ** 9, r_milli)],
+                        columns=["n_customers", "cov_num_sc",
+                                 "var_balance_sc", "var_revenue_sc",
+                                 "r_milli"]).astype("int64")
+
+
+def part_type_size_price_census(sf_dir: str) -> pd.DataFrame:
+    """PER-TYPE size-price relationship census — within each part
+    type, does a bigger size command a higher price? The per-entity
+    regression-sign pattern at type grain, division-free: per type
+    the covariance numerator n*sum(xy) - sum(x)*sum(y) decides
+    up / flat / down (the denominator is positive), and the census
+    reports band counts with shares in bps (types with < 3 parts
+    gated to 'few'). Per-block per-type 4-moment partials — type
+    cardinality, ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part",
+               columns=["p_type", "p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ty = np.asarray(t.column("p_type")).astype(object)
+        x = t.column("p_size").to_numpy().astype(np.int64)
+        y = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(ty)
+        k = len(uniq)
+        return pa.table({
+            "ty": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "sx": pa.array(np.bincount(code, weights=x, minlength=k)
+                           .astype(np.int64)),
+            "sy": pa.array(np.bincount(code, weights=y, minlength=k)
+                           .astype(np.int64)),
+            "sxy": pa.array(np.bincount(code, weights=x * y,
+                                        minlength=k)
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("ty", as_index=False).sum())
+    n = g["n"].to_numpy(np.int64)
+    num = n * g["sxy"].to_numpy(np.int64) \
+        - g["sx"].to_numpy(np.int64) * g["sy"].to_numpy(np.int64)
+    band = np.where(n < 3, 0,
+                    np.where(num > 0, 1, np.where(num < 0, 3, 2)))
+    tot = len(g)
+    rows = []
+    names = ["few", "up", "flat", "down"]
+    for b in range(4):
+        m = band == b
+        if not m.any():
+            continue
+        rows.append((b, names[b], int(m.sum()),
+                     10000 * int(m.sum()) // tot))
+    return pd.DataFrame(rows, columns=["band", "trend", "n_types",
+                                       "share_bps"]).astype(
+        {"band": "int64", "n_types": "int64", "share_bps": "int64"})

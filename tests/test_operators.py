@@ -220,6 +220,7 @@ def test_entry_smoke(entrymod):
     "orders_size_slope", "brand_return_stdres",
     "order_line_concentration", "whale_geography",
     "supplier_brand_specialization", "orders_yearly_customer_hhi",
+    "customer_balance_revenue_corr", "part_type_size_price_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
