@@ -487,6 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_balance_revenue_corr,
         "part_type_size_price_census":
             analytics.part_type_size_price_census,
+        "events_type_dow_peak": analytics.events_type_dow_peak,
+        "orders_new_repeat_split": analytics.orders_new_repeat_split,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12118,5 +12120,66 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // t.tot AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band, t.tot ORDER BY band
+        """,
+        "events_type_dow_peak": """
+            WITH d AS (SELECT event_type AS et,
+                              (epoch_us(ts) // 86400000000 + 3) % 7
+                                  AS dw
+                       FROM events),
+            g AS (SELECT et, dw, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2),
+            ets AS (SELECT DISTINCT et FROM g),
+            grid AS (SELECT ets.et, dd.dw, COALESCE(g.n, 0) AS n
+                     FROM ets CROSS JOIN
+                          (SELECT unnest(generate_series(0, 6))
+                               AS dw) dd
+                     LEFT JOIN g ON g.et = ets.et
+                                AND g.dw = dd.dw),
+            t AS (SELECT et, CAST(SUM(n) AS BIGINT) AS tot
+                  FROM grid GROUP BY 1),
+            pk AS (SELECT et, dw, n,
+                          ROW_NUMBER() OVER (PARTITION BY et
+                                             ORDER BY n DESC, dw)
+                              AS rn
+                   FROM grid),
+            chi AS (SELECT grid.et,
+                           CAST(SUM(1000
+                                * CAST(7 * grid.n - t.tot
+                                       AS HUGEINT)
+                                * (7 * grid.n - t.tot)
+                                // (7 * t.tot)) AS BIGINT) AS chi2
+                    FROM grid JOIN t ON grid.et = t.et GROUP BY 1)
+            SELECT t.et AS event_type, t.tot AS n_events,
+                   CAST(pk.dw AS BIGINT) AS peak_dow,
+                   CAST(10000 * pk.n // t.tot AS BIGINT)
+                       AS peak_share_bps,
+                   chi.chi2 AS chi2_milli
+            FROM t JOIN pk ON pk.et = t.et AND pk.rn = 1
+                 JOIN chi ON chi.et = t.et
+            ORDER BY event_type
+        """,
+        "orders_new_repeat_split": """
+            WITH p AS (SELECT o_custkey AS ck,
+                              datediff('year', DATE '1970-01-01',
+                                       CAST(o_orderdate AS DATE))
+                              + 1970 AS yr,
+                              SUM(CAST(FLOOR(o_totalprice * 100)
+                                       AS BIGINT)) AS v
+                       FROM orders GROUP BY 1, 2),
+            f AS (SELECT ck, MIN(yr) AS fy FROM p GROUP BY 1),
+            j AS (SELECT p.yr, p.v,
+                         CASE WHEN p.yr = f.fy THEN 1 ELSE 0 END
+                             AS is_new
+                  FROM p JOIN f ON p.ck = f.ck)
+            SELECT CAST(yr AS BIGINT) AS year,
+                   CAST(SUM(v) AS BIGINT) AS total_cents,
+                   CAST(COALESCE(SUM(v) FILTER (is_new = 1), 0)
+                        AS BIGINT) AS new_cents,
+                   CAST(COALESCE(SUM(v) FILTER (is_new = 0), 0)
+                        AS BIGINT) AS repeat_cents,
+                   CAST(10000 * COALESCE(SUM(v) FILTER (
+                        is_new = 1), 0) // SUM(v) AS BIGINT)
+                       AS new_share_bps
+            FROM j GROUP BY yr ORDER BY year
         """,
     }

@@ -16622,3 +16622,94 @@ def part_type_size_price_census(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["band", "trend", "n_types",
                                        "share_bps"]).astype(
         {"band": "int64", "n_types": "int64", "share_bps": "int64"})
+
+
+def events_type_dow_peak(sf_dir: str) -> pd.DataFrame:
+    """PER-TYPE weekday signature — each event type's peak weekday
+    (ties to the earliest dow), its share, and the type's own
+    uniformity chi-square via the cleared-expectation identity
+    1000 * sum((7*O_d - T)^2) // (7*T) — which types are
+    weekday-driven rituals and which are flat background noise. The
+    per-type detail behind the global dow/hour heatmap. Per-block
+    (type, dow) grid partials — constant cells, ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        dw = (d + 3) % 7
+        et = np.asarray(t.column("event_type")).astype(object)
+        df = pd.DataFrame({"et": et, "dw": dw})
+        g = df.groupby(["et", "dw"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(g["et"], type=pa.string()),
+            "dw": pa.array(g["dw"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["et", "dw"], as_index=False)["n"]
+         .sum())
+    rows = []
+    for et in sorted(g["et"].unique()):
+        sub = g[g["et"] == et]
+        c = np.zeros(7, dtype=np.int64)
+        c[sub["dw"].to_numpy(np.int64)] = sub["n"].to_numpy(np.int64)
+        t = int(c.sum())
+        peak = int(np.argmax(c))
+        chi2 = sum(1000 * (7 * int(o) - t) ** 2 // (7 * t)
+                   for o in c)
+        rows.append((et, t, peak, 10000 * int(c[peak]) // t, chi2))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_events", "peak_dow", "peak_share_bps",
+        "chi2_milli"]).astype(
+        {c: "int64" for c in ("n_events", "peak_dow",
+                              "peak_share_bps", "chi2_milli")})
+
+
+def orders_new_repeat_split(sf_dir: str) -> pd.DataFrame:
+    """NEW-vs-REPEAT revenue split by year — the growth-accounting
+    decomposition on the money: each year's revenue divides into
+    customers in their FIRST year (min order year == year) vs
+    returning customers, with shares in exact bps. A shrinking new
+    share with flat totals = a maturing book living off its base.
+    Per-block (customer, year) revenue partials fold at
+    customer x years cardinality; the first-year rule is one
+    driver min per customer. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        yr = d.astype("datetime64[D]").astype("datetime64[Y]") \
+            .astype(np.int64) + 1970
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        key = ck * 10000 + yr
+        u, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "key": pa.array(u),
+            "v": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("key", as_index=False).sum())
+    ck = g["key"].to_numpy(np.int64) // 10000
+    yr = g["key"].to_numpy(np.int64) % 10000
+    v = g["v"].to_numpy(np.int64)
+    cu, cinv = np.unique(ck, return_inverse=True)
+    fy = np.full(len(cu), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(fy, cinv, yr)
+    is_new = yr == fy[cinv]
+    rows = []
+    for y in np.unique(yr):
+        m = yr == y
+        tot = int(v[m].sum())
+        new = int(v[m & is_new].sum())
+        rows.append((int(y), tot, new, tot - new,
+                     10000 * new // tot))
+    return pd.DataFrame(rows, columns=[
+        "year", "total_cents", "new_cents", "repeat_cents",
+        "new_share_bps"]).astype("int64")

@@ -221,6 +221,7 @@ def test_entry_smoke(entrymod):
     "order_line_concentration", "whale_geography",
     "supplier_brand_specialization", "orders_yearly_customer_hhi",
     "customer_balance_revenue_corr", "part_type_size_price_census",
+    "events_type_dow_peak", "orders_new_repeat_split",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
