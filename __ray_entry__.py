@@ -489,6 +489,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.part_type_size_price_census,
         "events_type_dow_peak": analytics.events_type_dow_peak,
         "orders_new_repeat_split": analytics.orders_new_repeat_split,
+        "vocab_gini": curate.vocab_gini,
+        "docs_length_anova_by_source":
+            curate.docs_length_anova_by_source,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12181,5 +12184,61 @@ def oracle_sql() -> dict[str, str]:
                         is_new = 1), 0) // SUM(v) AS BIGINT)
                        AS new_share_bps
             FROM j GROUP BY yr ORDER BY year
+        """,
+        "vocab_gini": """
+            WITH tk AS (SELECT unnest(regexp_split_to_array(
+                                   text, '\\s+')) AS tok
+                        FROM documents),
+            c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM tk WHERE tok != '' GROUP BY 1),
+            cc AS (SELECT n AS f, CAST(COUNT(*) AS BIGINT) AS m
+                   FROM c GROUP BY 1),
+            w AS (SELECT f, m,
+                         SUM(m) OVER (ORDER BY f
+                                      ROWS UNBOUNDED PRECEDING) - m
+                             AS a
+                  FROM cc),
+            g AS (SELECT CAST(SUM(m) AS BIGINT) AS n,
+                         CAST(SUM(f * m) AS BIGINT) AS t
+                  FROM cc),
+            s AS (SELECT SUM(CAST(f AS HUGEINT) * m
+                             * (2 * a + m - g.n)) AS v
+                  FROM w, g)
+            SELECT g.n AS n_types, g.t AS n_tokens,
+                   CAST(10000 * s.v
+                        // (CAST(g.n AS HUGEINT) * g.t) AS BIGINT)
+                       AS gini_bps
+            FROM g, s
+        """,
+        "docs_length_anova_by_source": """
+            WITH d AS (SELECT source,
+                              CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+            g AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM d GROUP BY 1),
+            t AS (SELECT SUM(n) AS n, SUM(s) AS st,
+                         CAST(COUNT(*) AS HUGEINT) AS k
+                  FROM g),
+            mb AS (SELECT 1000 * st // n AS mbar FROM t),
+            cm AS (SELECT g.n AS ng, g.s, g.q,
+                          1000 * g.s // g.n AS mi
+                   FROM g),
+            ss AS (SELECT SUM(ng * (mi - mb.mbar) * (mi - mb.mbar))
+                              AS ssb,
+                          SUM(1000000 * q - 2 * mi * 1000 * s
+                              + ng * mi * mi) AS ssw
+                   FROM cm, mb)
+            SELECT CAST(t.n AS BIGINT) AS n_docs,
+                   CAST(t.k AS BIGINT) AS n_sources,
+                   CAST(ss.ssb // 1000000 AS BIGINT) AS ssb_sc,
+                   CAST(ss.ssw // 1000000 AS BIGINT) AS ssw_sc,
+                   CAST(1000 * ss.ssb * (t.n - t.k)
+                        // (ss.ssw * (t.k - 1)) AS BIGINT)
+                       AS f_milli,
+                   CAST(10000 * ss.ssb // (ss.ssb + ss.ssw)
+                        AS BIGINT) AS eta2_bps
+            FROM t, ss
         """,
     }

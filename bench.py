@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "supplier_brand_specialization", "orders_yearly_customer_hhi",
     "customer_balance_revenue_corr", "part_type_size_price_census",
     "events_type_dow_peak", "orders_new_repeat_split",
+    "vocab_gini", "docs_length_anova_by_source",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

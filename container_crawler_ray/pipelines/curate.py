@@ -1642,3 +1642,101 @@ def lang_source_lift(sf_dir: str) -> pd.DataFrame:
         // (int(nl[r["lang"]]) * int(ns[r["source"]]))
         for _, r in g.iterrows()]
     return g.astype({"n": "int64", "lift_milli": "int64"})
+
+
+def vocab_gini(sf_dir: str) -> pd.DataFrame:
+    """VOCABULARY GINI — one number for how unequal token usage is
+    (the concentration summary under the Zipf fit): exact Gini over
+    the corpus frequency table computed WITHOUT materializing it,
+    from the counts-of-counts: a frequency level f spanning ranks
+    (a, a+m] contributes f*m*(2a + m - n) to the sorted-rank sum —
+    grouped, tie-free, pure integers — and Gini closes as one bps
+    floor 10000*S // (n*T). Same hashed-token exchange as the
+    hapax/Chao1 kernels (strings never shuffle); per-bucket partials
+    are frequency-level rows."""
+    from ..functions.hashing import hash64_many
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts_ = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        flat = parts_.flatten()
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        toks = np.asarray(flat).astype(object)[keep]
+        h = hash64_many(toks).astype(np.int64)
+        u, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u),
+            "n": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array((u.view(np.uint64) % 64)
+                               .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("h", as_index=False)["n"].sum()
+        f, m = np.unique(tot["n"].to_numpy(np.int64),
+                         return_counts=True)
+        return pd.DataFrame({"f": f, "m": m.astype(np.int64)})
+
+    cc = (ds.map_batches(derive, batch_format="pyarrow")
+          .groupby("bucket").map_groups(fold, batch_format="pandas")
+          .to_pandas().groupby("f", as_index=False)["m"].sum()
+          .sort_values("f").reset_index(drop=True))
+    f = cc["f"].to_numpy(np.int64)
+    m = cc["m"].to_numpy(np.int64)
+    n = int(m.sum())
+    t = int((f * m).sum())
+    a = np.concatenate(([0], np.cumsum(m)[:-1]))
+    s = sum(int(fi) * int(mi) * (2 * int(ai) + int(mi) - n)
+            for fi, mi, ai in zip(f, m, a))
+    return pd.DataFrame([(n, t, 10000 * s // (n * t))],
+                        columns=["n_types", "n_tokens", "gini_bps"]) \
+        .astype("int64")
+
+
+def docs_length_anova_by_source(sf_dir: str) -> pd.DataFrame:
+    """DOC-LENGTH homogeneity across sources — integer one-way ANOVA
+    of the stored n_chars column by source (the feed-normalization
+    gate: a significant F means per-source truncation/padding rules
+    differ and token budgets can't be shared): the
+    ``orders_dow_anova`` milli-floored-mean discipline, SSB/SSW
+    exact Python-bigint/HUGEINT (reported // 10^6), F and eta^2
+    with NO float. Per-block per-source moment partials — ZERO
+    shuffle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source")).astype(object)
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        code, uniq = pd.factorize(src)
+        k = len(uniq)
+        return pa.table({
+            "source": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(np.bincount(code, weights=v, minlength=k)
+                          .astype(np.int64)),
+            "q": pa.array(np.bincount(code, weights=v * v,
+                                      minlength=k).astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("source", as_index=False).sum())
+    n = int(g["n"].sum())
+    k = len(g)
+    mbar = 1000 * int(g["s"].sum()) // n
+    ssb = 0
+    ssw = 0
+    for _, r in g.iterrows():
+        n_i, s_i, q_i = int(r["n"]), int(r["s"]), int(r["q"])
+        m_i = 1000 * s_i // n_i
+        ssb += n_i * (m_i - mbar) * (m_i - mbar)
+        ssw += 1_000_000 * q_i - 2 * m_i * 1000 * s_i \
+            + n_i * m_i * m_i
+    f_milli = 1000 * ssb * (n - k) // (ssw * (k - 1))
+    return pd.DataFrame([(n, k, ssb // 1_000_000, ssw // 1_000_000,
+                          f_milli, 10000 * ssb // (ssb + ssw))],
+                        columns=["n_docs", "n_sources", "ssb_sc",
+                                 "ssw_sc", "f_milli", "eta2_bps"]) \
+        .astype("int64")
