@@ -492,6 +492,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_gini": curate.vocab_gini,
         "docs_length_anova_by_source":
             curate.docs_length_anova_by_source,
+        "orders_value_cv_by_priority":
+            analytics.orders_value_cv_by_priority,
+        "supplier_credit_hold_census":
+            analytics.supplier_credit_hold_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12240,5 +12244,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * ss.ssb // (ss.ssb + ss.ssw)
                         AS BIGINT) AS eta2_bps
             FROM t, ss
+        """,
+        "orders_value_cv_by_priority": """
+            WITH d AS (SELECT o_orderpriority AS pr,
+                              CAST(FLOOR(o_totalprice)
+                                   AS BIGINT) AS v
+                       FROM orders),
+            g AS (SELECT pr, CAST(COUNT(*) AS HUGEINT) AS n,
+                         CAST(SUM(v) AS HUGEINT) AS s,
+                         SUM(CAST(v AS HUGEINT) * v) AS q
+                  FROM d GROUP BY 1)
+            SELECT pr AS priority,
+                   CAST(n AS BIGINT) AS n_orders,
+                   CAST(1000 * s // n AS BIGINT) AS mean_milli,
+                   CAST(1000 * (n * q - s * s) // (s * s)
+                        AS BIGINT) AS cv2_milli
+            FROM g ORDER BY priority
+        """,
+        "supplier_credit_hold_census": """
+            WITH d AS (SELECT s_nationkey AS nk,
+                              CASE WHEN CAST(FLOOR(s_acctbal * 100)
+                                        AS BIGINT) < 0
+                                   THEN 1 ELSE 0 END AS neg
+                       FROM supplier),
+            g AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(neg) AS BIGINT) AS ng
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(ng) AS BIGINT) AS negt
+                  FROM g)
+            SELECT CAST(g.nk AS BIGINT) AS s_nationkey,
+                   g.n AS n_suppliers, g.ng AS n_negative,
+                   CAST(10000 * g.ng // g.n AS BIGINT) AS neg_bps,
+                   CAST(CASE WHEN t.negt > 0 THEN
+                        1000 * CAST(g.ng AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.negt) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM g, t ORDER BY s_nationkey
         """,
     }

@@ -260,6 +260,7 @@ BENCH_QUERIES = [
     "customer_balance_revenue_corr", "part_type_size_price_census",
     "events_type_dow_peak", "orders_new_repeat_split",
     "vocab_gini", "docs_length_anova_by_source",
+    "orders_value_cv_by_priority", "supplier_credit_hold_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

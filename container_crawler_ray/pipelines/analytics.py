@@ -16713,3 +16713,76 @@ def orders_new_repeat_split(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "year", "total_cents", "new_cents", "repeat_cents",
         "new_share_bps"]).astype("int64")
+
+
+def orders_value_cv_by_priority(sf_dir: str) -> pd.DataFrame:
+    """VALUE DISPERSION by priority class — is urgent demand also
+    ERRATIC demand? Per priority: exact truncating mean (milli-
+    dollars) and the squared coefficient of variation via the form
+    cv2_milli = 1000*(n*Q - S^2) // S^2 — the same division-free CV
+    discipline as the Syntetos-Boylan quadrants, no rational mean.
+    The safety-stock multiplier table per service class. Per-block
+    per-priority 3-moment partials — ZERO shuffle, pure integers
+    (Python bigints / HUGEINT for n*Q)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pr = np.asarray(t.column("o_orderpriority")).astype(object)
+        # DOLLAR units: cents squares exceed both int64 block sums
+        # and float64 exactness; dollars keep n*Q inside HUGEINT
+        v = np.floor(t.column("o_totalprice").to_numpy()) \
+            .astype(np.int64)
+        code, uniq = pd.factorize(pr)
+        k = len(uniq)
+        q = np.zeros(k, dtype=np.int64)
+        np.add.at(q, code, v * v)
+        s = np.zeros(k, dtype=np.int64)
+        np.add.at(s, code, v)
+        return pa.table({
+            "pr": pa.array(uniq.astype(str), type=pa.string()),
+            "n": pa.array(np.bincount(code, minlength=k)
+                          .astype(np.int64)),
+            "s": pa.array(s), "q": pa.array(q)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("pr", as_index=False).sum()
+         .sort_values("pr", kind="mergesort").reset_index(drop=True))
+    rows = []
+    for _, r in g.iterrows():
+        n, s, q = int(r["n"]), int(r["s"]), int(r["q"])
+        rows.append((r["pr"], n, 1000 * s // n,
+                     1000 * (n * q - s * s) // (s * s)))
+    return pd.DataFrame(rows, columns=[
+        "priority", "n_orders", "mean_milli", "cv2_milli"]).astype(
+        {c: "int64" for c in ("n_orders", "mean_milli",
+                              "cv2_milli")})
+
+
+def supplier_credit_hold_census(sf_dir: str) -> pd.DataFrame:
+    """CREDIT-HOLD census — negative supplier account balances (the
+    we-owe-them / credit-hold flag) by nation: share in exact bps
+    and the over-representation lift vs the global rate fully
+    cross-multiplied as 1000 * neg_n * N // (n_n * NEG) - 1000. A
+    nation full of negative-balance suppliers is a payment-terms
+    problem, not a sourcing one. Dimension-sized driver fold, pure
+    integers."""
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_nationkey", "s_acctbal"]).to_pandas()
+    nk = supp["s_nationkey"].to_numpy(np.int64)
+    neg = (np.floor(supp["s_acctbal"].to_numpy() * 100)
+           .astype(np.int64) < 0).astype(np.int64)
+    n_n = np.bincount(nk, minlength=25).astype(np.int64)
+    g_n = np.bincount(nk, weights=neg, minlength=25).astype(np.int64)
+    n_tot = int(n_n.sum())
+    neg_tot = int(g_n.sum())
+    rows = []
+    for k in np.flatnonzero(n_n > 0):
+        lift = (1000 * int(g_n[k]) * n_tot
+                // (int(n_n[k]) * neg_tot) - 1000
+                if neg_tot > 0 else -9999)
+        rows.append((int(k), int(n_n[k]), int(g_n[k]),
+                     10000 * int(g_n[k]) // int(n_n[k]), lift))
+    return pd.DataFrame(rows, columns=[
+        "s_nationkey", "n_suppliers", "n_negative", "neg_bps",
+        "lift_milli"]).astype("int64")

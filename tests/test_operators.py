@@ -223,6 +223,7 @@ def test_entry_smoke(entrymod):
     "customer_balance_revenue_corr", "part_type_size_price_census",
     "events_type_dow_peak", "orders_new_repeat_split",
     "vocab_gini", "docs_length_anova_by_source",
+    "orders_value_cv_by_priority", "supplier_credit_hold_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
