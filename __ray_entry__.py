@@ -496,6 +496,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.orders_value_cv_by_priority,
         "supplier_credit_hold_census":
             analytics.supplier_credit_hold_census,
+        "events_minute_heaping": analytics.events_minute_heaping,
+        "brand_price_overlap": analytics.brand_price_overlap,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12281,5 +12283,66 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(g.n AS HUGEINT) * t.negt) - 1000
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM g, t ORDER BY s_nationkey
+        """,
+        "events_minute_heaping": """
+            WITH d AS (SELECT (epoch_us(ts) // 60000000) % 60 AS m
+                       FROM events),
+            g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            grid AS (SELECT u.m, COALESCE(g.n, 0) AS n
+                     FROM UNNEST(generate_series(0, 59)) AS u(m)
+                     LEFT JOIN g ON g.m = u.m),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM grid),
+            chi AS (SELECT CAST(SUM(1000
+                        * CAST(60 * n - t.t AS HUGEINT)
+                        * (60 * n - t.t) // (60 * t.t)) AS BIGINT)
+                        AS v
+                    FROM grid, t),
+            pk AS (SELECT m, n FROM grid
+                   ORDER BY n DESC, m LIMIT 1)
+            SELECT t.t AS n_events, chi.v AS chi2_milli,
+                   CAST(59 AS BIGINT) AS df,
+                   CAST(pk.m AS BIGINT) AS peak_minute,
+                   CAST(1000 * 60 * pk.n // t.t - 1000 AS BIGINT)
+                       AS peak_lift_milli
+            FROM t, chi, pk
+        """,
+        "brand_price_overlap": """
+            WITH h AS (SELECT p_brand AS br,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM part GROUP BY 1, 2),
+            r AS (SELECT br, v,
+                         SUM(c) OVER (PARTITION BY br ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY br) AS n
+                  FROM h),
+            b AS (SELECT br,
+                         MIN(v) FILTER (cum >= (n + 9) // 10)
+                             AS lo,
+                         MIN(v) FILTER (cum >= (9 * n + 9) // 10)
+                             AS hi
+                  FROM r GROUP BY br),
+            p AS (SELECT b1.br AS a, b2.br AS b2r,
+                         GREATEST(b1.lo, b2.lo) AS lo,
+                         LEAST(b1.hi, b2.hi) AS hi
+                  FROM b b1 JOIN b b2 ON b1.br < b2.br),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(COUNT(*) FILTER (hi >= lo)
+                                AS BIGINT) AS n_over
+                    FROM p),
+            w AS (SELECT a, b2r, hi - lo AS width FROM p
+                  WHERE hi >= lo
+                  ORDER BY hi - lo DESC, a, b2r LIMIT 1),
+            nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT nb.n AS n_brands, agg.n_pairs, agg.n_over
+                       AS n_overlap,
+                   CAST(10000 * agg.n_over // agg.n_pairs
+                        AS BIGINT) AS overlap_bps,
+                   w.a AS widest_a, w.b2r AS widest_b,
+                   CAST(w.width AS BIGINT) AS widest_cents
+            FROM nb, agg, w
         """,
     }

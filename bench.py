@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "events_type_dow_peak", "orders_new_repeat_split",
     "vocab_gini", "docs_length_anova_by_source",
     "orders_value_cv_by_priority", "supplier_credit_hold_census",
+    "events_minute_heaping", "brand_price_overlap",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

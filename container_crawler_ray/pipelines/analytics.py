@@ -16786,3 +16786,94 @@ def supplier_credit_hold_census(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[
         "s_nationkey", "n_suppliers", "n_negative", "neg_bps",
         "lift_milli"]).astype("int64")
+
+
+def events_minute_heaping(sf_dir: str) -> pd.DataFrame:
+    """MINUTE-OF-HOUR heaping — do event timestamps pile onto :00 /
+    :30 (batch jobs and human scheduling masquerading as organic
+    traffic)? Uniformity chi-square over the 60 minute cells via the
+    cleared-expectation identity 1000*sum((60*O_m - T)^2)//(60*T),
+    plus the peak minute (earliest tie) and its lift vs uniform in
+    milli. The synthetic-timestamp realism / bot-detection screen.
+    Per-block 60-cell partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        mn = (t.column("ts").cast(pa.int64()).to_numpy()
+              // 60_000_000) % 60
+        cnt = np.bincount(mn, minlength=60).astype(np.int64)
+        return pa.table({"m": pa.array(np.arange(60, dtype=np.int64)),
+                         "n": pa.array(cnt)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("m")["n"].sum())
+    c = np.zeros(60, dtype=np.int64)
+    c[g.index.to_numpy()] = g.to_numpy()
+    t = int(c.sum())
+    chi2 = sum(1000 * (60 * int(o) - t) ** 2 // (60 * t) for o in c)
+    peak = int(np.argmax(c))
+    return pd.DataFrame([(t, chi2, 59, peak,
+                          1000 * 60 * int(c[peak]) // t - 1000)],
+                        columns=["n_events", "chi2_milli", "df",
+                                 "peak_minute", "peak_lift_milli"]) \
+        .astype("int64")
+
+
+def brand_price_overlap(sf_dir: str) -> pd.DataFrame:
+    """COMPETITIVE-SET detection — which brand pairs fight over the
+    same price band? Per brand the exact ceil-rank p10/p90 retail
+    band (from bounded per-brand cents histograms), then every
+    unordered brand pair is classified overlap / disjoint and the
+    overlap width reports in exact cents. Summary row style: total
+    pairs, overlapping pairs and share in bps, plus the widest
+    overlap pair under the (width desc, brands) tie rule. Grid-sized
+    partials — ZERO row shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        br = np.asarray(t.column("p_brand")).astype(object)
+        v = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"br": br, "v": v})
+        g = df.groupby(["br", "v"], as_index=False).size()
+        return pa.table({
+            "br": pa.array(g["br"], type=pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["br", "v"], as_index=False)["c"]
+         .sum())
+    bands = {}
+    for br, g in h.groupby("br"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, (n + 9) // 10)])
+        hi = int(v[np.searchsorted(cum, (9 * n + 9) // 10)])
+        bands[str(br)] = (lo, hi)
+    names = sorted(bands)
+    n_pairs = 0
+    n_over = 0
+    best = None
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            n_pairs += 1
+            lo = max(bands[names[i]][0], bands[names[j]][0])
+            hi = min(bands[names[i]][1], bands[names[j]][1])
+            if hi >= lo:
+                n_over += 1
+                w = hi - lo
+                key = (-w, names[i], names[j])
+                if best is None or key < best[0]:
+                    best = (key, names[i], names[j], w)
+    return pd.DataFrame([(len(names), n_pairs, n_over,
+                          10000 * n_over // n_pairs,
+                          best[1], best[2], best[3])],
+                        columns=["n_brands", "n_pairs", "n_overlap",
+                                 "overlap_bps", "widest_a",
+                                 "widest_b", "widest_cents"]).astype(
+        {c: "int64" for c in ("n_brands", "n_pairs", "n_overlap",
+                              "overlap_bps", "widest_cents")})

@@ -224,6 +224,7 @@ def test_entry_smoke(entrymod):
     "events_type_dow_peak", "orders_new_repeat_split",
     "vocab_gini", "docs_length_anova_by_source",
     "orders_value_cv_by_priority", "supplier_credit_hold_census",
+    "events_minute_heaping", "brand_price_overlap",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
