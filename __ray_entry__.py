@@ -498,6 +498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_credit_hold_census,
         "events_minute_heaping": analytics.events_minute_heaping,
         "brand_price_overlap": analytics.brand_price_overlap,
+        "docs_ttr_bands": curate.docs_ttr_bands,
+        "orders_priority_by_value_decile":
+            analytics.orders_priority_by_value_decile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12344,5 +12347,64 @@ def oracle_sql() -> dict[str, str]:
                    w.a AS widest_a, w.b2r AS widest_b,
                    CAST(w.width AS BIGINT) AS widest_cents
             FROM nb, agg, w
+        """,
+        "docs_ttr_bands": """
+            WITH t AS (SELECT doc_id,
+                              unnest(regexp_split_to_array(
+                                  text, '\\s+')) AS tok
+                       FROM documents),
+            f AS (SELECT doc_id, tok FROM t WHERE tok != ''),
+            d AS (SELECT doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS tot,
+                         CAST(COUNT(DISTINCT tok) AS BIGINT) AS dis
+                  FROM f GROUP BY 1),
+            al AS (SELECT doc_id,
+                          COALESCE(d.tot, 0) AS tot,
+                          COALESCE(d.dis, 0) AS dis
+                   FROM documents LEFT JOIN d USING (doc_id)),
+            b AS (SELECT CASE WHEN tot < 10 THEN 0
+                              WHEN 100 * dis < 40 * tot THEN 1
+                              WHEN 100 * dis < 60 * tot THEN 2
+                              WHEN 100 * dis < 80 * tot THEN 3
+                              ELSE 4 END AS band
+                  FROM al),
+            tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(10000 * COUNT(*) // tt.n AS BIGINT)
+                       AS share_bps
+            FROM b, tt GROUP BY band, tt.n ORDER BY band
+        """,
+        "orders_priority_by_value_decile": """
+            WITH d AS (SELECT CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v,
+                              CASE WHEN o_orderpriority LIKE '1%'
+                                     OR o_orderpriority LIKE '2%'
+                                   THEN 1 ELSE 0 END AS urg
+                       FROM orders),
+            g AS (SELECT v // 10000 AS b,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(urg) AS BIGINT) AS u
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(u) AS BIGINT) AS ut
+                  FROM g),
+            r AS (SELECT b, n, u,
+                         SUM(n) OVER (ORDER BY b
+                                      ROWS UNBOUNDED PRECEDING) - n
+                             AS cum_prev
+                  FROM g),
+            a AS (SELECT LEAST(10 * cum_prev // t.nt, 9) AS decile,
+                         n, u
+                  FROM r, t)
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(SUM(n) AS BIGINT) AS n_orders,
+                   CAST(SUM(u) AS BIGINT) AS n_urgent,
+                   CAST(10000 * SUM(u) // SUM(n) AS BIGINT)
+                       AS urgent_bps,
+                   CAST(1000 * CAST(SUM(u) AS HUGEINT) * t.nt
+                        // (CAST(SUM(n) AS HUGEINT) * t.ut) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM a, t GROUP BY decile, t.nt, t.ut ORDER BY decile
         """,
     }

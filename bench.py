@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "vocab_gini", "docs_length_anova_by_source",
     "orders_value_cv_by_priority", "supplier_credit_hold_census",
     "events_minute_heaping", "brand_price_overlap",
+    "docs_ttr_bands", "orders_priority_by_value_decile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

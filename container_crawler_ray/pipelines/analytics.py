@@ -16877,3 +16877,50 @@ def brand_price_overlap(sf_dir: str) -> pd.DataFrame:
                                  "widest_b", "widest_cents"]).astype(
         {c: "int64" for c in ("n_brands", "n_pairs", "n_overlap",
                               "overlap_bps", "widest_cents")})
+
+
+def orders_priority_by_value_decile(sf_dir: str) -> pd.DataFrame:
+    """DO BIG ORDERS GET URGENT TREATMENT? Urgent-class share
+    (1-URGENT / 2-HIGH) per order-value decile, with deciles cut on
+    the bounded $100-bin histogram by the exact 10*cum_prev//N
+    starting-rank rule (the ``lineitem_tax_regressivity``
+    discipline) and the urgency lift vs the global rate fully
+    cross-multiplied. A flat profile = priority is assigned blind to
+    value; a rising one = money talks. Per-bin (n, urgent) partials
+    — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_totalprice", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        pr = np.asarray(t.column("o_orderpriority")).astype(object)
+        urg = np.array([1 if (p.startswith("1") or p.startswith("2"))
+                        else 0 for p in pr], dtype=np.int64)
+        b = v // 10000
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "b": pa.array(u),
+            "n": pa.array(np.bincount(inv, minlength=len(u))
+                          .astype(np.int64)),
+            "urg": pa.array(np.bincount(inv, weights=urg,
+                                        minlength=len(u))
+                            .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("b", as_index=False).sum()
+         .sort_values("b"))
+    n_tot = int(g["n"].sum())
+    u_tot = int(g["urg"].sum())
+    cum_prev = np.cumsum(g["n"].to_numpy(np.int64)) \
+        - g["n"].to_numpy(np.int64)
+    g["dec"] = np.minimum(10 * cum_prev // n_tot, 9)
+    out = g.groupby("dec", as_index=False)[["n", "urg"]].sum()
+    n = out["n"].to_numpy(np.int64)
+    u = out["urg"].to_numpy(np.int64)
+    out["urgent_bps"] = 10000 * u // n
+    out["lift_milli"] = [1000 * int(ui) * n_tot
+                         // (int(ni) * u_tot) - 1000
+                         for ni, ui in zip(n, u)]
+    return out.rename(columns={"dec": "decile", "n": "n_orders",
+                               "urg": "n_urgent"}).astype("int64")

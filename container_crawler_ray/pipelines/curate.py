@@ -1740,3 +1740,50 @@ def docs_length_anova_by_source(sf_dir: str) -> pd.DataFrame:
                         columns=["n_docs", "n_sources", "ssb_sc",
                                  "ssw_sc", "f_milli", "eta2_bps"]) \
         .astype("int64")
+
+
+def docs_ttr_bands(sf_dir: str) -> pd.DataFrame:
+    """LEXICAL-DENSITY census — docs banded by type-token ratio
+    (distinct / total tokens): low TTR = repetitive boilerplate,
+    high TTR = dense prose; the complement to the char-level
+    Menzerath profile. Bands via cross-multiplied compares
+    100*distinct < k*total (sparse < 10 tokens separate), shares in
+    exact bps. Docs never span blocks, so the whole op is per-block
+    census partials — ZERO shuffle; RE2 whitespace tokens on both
+    sides."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column("text"), r"\s+") \
+            .combine_chunks()
+        per_doc = np.asarray(toks.value_lengths(), dtype=np.int64)
+        flat = np.asarray(toks.flatten()).astype(object)
+        lens = pc.utf8_length(toks.flatten()) \
+            .to_numpy(zero_copy_only=False)
+        didx = np.repeat(np.arange(len(per_doc)), per_doc)
+        keep = lens > 0
+        didx = didx[keep]
+        flat = flat[keep]
+        tot = np.bincount(didx, minlength=len(per_doc)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"d": didx, "t": flat}).drop_duplicates()
+        dis = np.bincount(df["d"].to_numpy(np.int64),
+                          minlength=len(per_doc)).astype(np.int64)
+        band = np.where(tot < 10, 0,
+                        np.where(100 * dis < 40 * tot, 1,
+                                 np.where(100 * dis < 60 * tot, 2,
+                                          np.where(100 * dis
+                                                   < 80 * tot, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pa.table({"band": pa.array(np.arange(5,
+                                                    dtype=np.int64)),
+                         "n_docs": pa.array(h)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_docs"].sum())
+    g = g[g["n_docs"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_docs"].to_numpy(np.int64) // tot
+    return g.astype("int64")
