@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ttr_bands": curate.docs_ttr_bands,
         "orders_priority_by_value_decile":
             analytics.orders_priority_by_value_decile,
+        "region_share_shift": joins.region_share_shift,
+        "events_zero_value_census":
+            analytics.events_zero_value_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12406,5 +12409,71 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(SUM(n) AS HUGEINT) * t.ut) - 1000
                         AS BIGINT) AS lift_milli
             FROM a, t GROUP BY decile, t.nt, t.ut ORDER BY decile
+        """,
+        "region_share_shift": """
+            WITH sp AS (SELECT (MIN(datediff('day',
+                                    DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)))
+                                + MAX(datediff('day',
+                                      DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE))))
+                               // 2 AS mid
+                        FROM orders),
+            j AS (SELECT r.r_name AS region,
+                         CASE WHEN datediff('day', DATE '1970-01-01',
+                                   CAST(o.o_orderdate AS DATE))
+                                   > sp.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(o.o_totalprice * 100)
+                              AS BIGINT) AS v
+                  FROM orders o
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey,
+                       sp),
+            g AS (SELECT region, h, CAST(SUM(v) AS BIGINT) AS x
+                  FROM j GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(x) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(x) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2
+                  FROM g),
+            w AS (SELECT region,
+                         CAST(COALESCE(SUM(x) FILTER (h = 0), 0)
+                              AS BIGINT) AS a,
+                         CAST(COALESCE(SUM(x) FILTER (h = 1), 0)
+                              AS BIGINT) AS b
+                  FROM g GROUP BY 1)
+            SELECT w.region, w.a AS h1_cents, w.b AS h2_cents,
+                   CAST(10000 * w.a // t.t1 AS BIGINT)
+                       AS h1_share_bps,
+                   CAST(10000 * w.b // t.t2 AS BIGINT)
+                       AS h2_share_bps,
+                   CAST(CASE WHEN w.a > 0 THEN
+                        1000 * CAST(w.b AS HUGEINT) * t.t1
+                        // (CAST(w.a AS HUGEINT) * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM w, t ORDER BY region
+        """,
+        "events_zero_value_census": """
+            WITH d AS (SELECT event_type AS et,
+                              CASE WHEN CAST(FLOOR(value * 100)
+                                        AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS z
+                       FROM events),
+            g AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(z) AS BIGINT) AS zc
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(zc) AS BIGINT) AS zt
+                  FROM g)
+            SELECT g.et AS event_type, g.n AS n_events,
+                   g.zc AS n_zero,
+                   CAST(10000 * g.zc // g.n AS BIGINT) AS zero_bps,
+                   CAST(CASE WHEN t.zt > 0 THEN
+                        1000 * CAST(g.zc AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.zt) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM g, t ORDER BY event_type
         """,
     }

@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "orders_value_cv_by_priority", "supplier_credit_hold_census",
     "events_minute_heaping", "brand_price_overlap",
     "docs_ttr_bands", "orders_priority_by_value_decile",
+    "region_share_shift", "events_zero_value_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

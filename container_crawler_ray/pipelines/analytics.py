@@ -16924,3 +16924,45 @@ def orders_priority_by_value_decile(sf_dir: str) -> pd.DataFrame:
                          for ni, ui in zip(n, u)]
     return out.rename(columns={"dec": "decile", "n": "n_orders",
                                "urg": "n_urgent"}).astype("int64")
+
+
+def events_zero_value_census(sf_dir: str) -> pd.DataFrame:
+    """ZERO-VALUE census — which event types carry zero-value rows
+    (instrumentation noise vs genuine free actions)? Per type: zero
+    share in exact bps and the concentration lift vs the global zero
+    rate fully cross-multiplied. A type where zeros spike is a
+    logging regression, not user behavior. Per-block (type, is_zero)
+    partials — constant cells, ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = np.asarray(t.column("event_type")).astype(object)
+        z = (np.floor(t.column("value").to_numpy() * 100)
+             .astype(np.int64) == 0).astype(np.int64)
+        df = pd.DataFrame({"et": et, "z": z})
+        g = df.groupby(["et", "z"], as_index=False).size()
+        return pa.table({
+            "et": pa.array(g["et"], type=pa.string()),
+            "z": pa.array(g["z"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["et", "z"], as_index=False)["n"]
+         .sum())
+    tot = g.groupby("et")["n"].sum().to_dict()
+    zer = {r["et"]: int(r["n"]) for _, r in
+           g[g["z"] == 1].iterrows()}
+    n_all = int(g["n"].sum())
+    z_all = sum(zer.values())
+    rows = []
+    for et in sorted(tot):
+        n = int(tot[et])
+        z = int(zer.get(et, 0))
+        lift = (1000 * z * n_all // (n * z_all) - 1000
+                if z_all > 0 else -9999)
+        rows.append((et, n, z, 10000 * z // n, lift))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_events", "n_zero", "zero_bps",
+        "lift_milli"]).astype(
+        {c: "int64" for c in ("n_events", "n_zero", "zero_bps",
+                              "lift_milli")})

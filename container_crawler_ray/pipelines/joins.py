@@ -4279,3 +4279,84 @@ def orders_size_slope(sf_dir: str) -> pd.DataFrame:
                                  "sum_cents", "slope_milli",
                                  "one_line_value_milli"]) \
         .astype("int64")
+
+
+def region_share_shift(sf_dir: str) -> pd.DataFrame:
+    """REGIONAL share shift — did revenue rotate between REGIONS from
+    the first calendar half to the second? Per region: both halves'
+    revenue, shares in exact bps, and the momentum fully
+    cross-multiplied as 1000 * r2 * T1 // (r1 * T2) - 1000. The
+    customer -> nation -> region chain broadcasts as ONE composed
+    LUT (dimension tables are tiny); each block emits a regions x 2
+    cents grid partial — ZERO row shuffle; a tiny span pre-pass
+    anchors the halves. Pure integers."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    n2r = np.zeros(int(nat["n_nationkey"].max()) + 1, dtype=np.int64)
+    n2r[nat["n_nationkey"].to_numpy(np.int64)] = \
+        nat["n_regionkey"].to_numpy(np.int64)
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    rname = dict(zip(reg["r_regionkey"].astype(int),
+                     reg["r_name"].astype(str)))
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    c2r = np.zeros(ck.max() + 1, dtype=np.int64)
+    c2r[ck] = n2r[cust["c_nationkey"].to_numpy(np.int64)]
+    ref = ray.put(c2r)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        return pa.table({"lo": pa.array([np.int64(d.min())]),
+                         "hi": pa.array([np.int64(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["lo"].min()) + int(sp["hi"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        c2r_ = ray.get(ref)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // 86_400_000_000
+        rg = c2r_[t.column("o_custkey").to_numpy().astype(np.int64)]
+        cents = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        cell = rg * 2 + (d > mid)
+        u, inv = np.unique(cell, return_inverse=True)
+        return pa.table({
+            "cell": pa.array(u),
+            "v": pa.array(np.bincount(inv, weights=cents,
+                                      minlength=len(u))
+                          .astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell", as_index=False).sum())
+    cell = g["cell"].to_numpy(np.int64)
+    v = g["v"].to_numpy(np.int64)
+    grid = {}
+    for c, x in zip(cell.tolist(), v.tolist()):
+        grid[(c // 2, c % 2)] = x
+    regions = sorted({c // 2 for c in cell.tolist()})
+    t1 = sum(grid.get((r, 0), 0) for r in regions)
+    t2 = sum(grid.get((r, 1), 0) for r in regions)
+    rows = []
+    for r in regions:
+        a = grid.get((r, 0), 0)
+        b = grid.get((r, 1), 0)
+        shift = (1000 * b * t1 // (a * t2) - 1000
+                 if a > 0 else -9999)
+        rows.append((rname[r], a, b, 10000 * a // t1,
+                     10000 * b // t2, shift))
+    return pd.DataFrame(rows, columns=[
+        "region", "h1_cents", "h2_cents", "h1_share_bps",
+        "h2_share_bps", "shift_milli"]).sort_values("region") \
+        .reset_index(drop=True).astype(
+        {c: "int64" for c in ("h1_cents", "h2_cents",
+                              "h1_share_bps", "h2_share_bps",
+                              "shift_milli")})

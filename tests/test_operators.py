@@ -226,6 +226,7 @@ def test_entry_smoke(entrymod):
     "orders_value_cv_by_priority", "supplier_credit_hold_census",
     "events_minute_heaping", "brand_price_overlap",
     "docs_ttr_bands", "orders_priority_by_value_decile",
+    "region_share_shift", "events_zero_value_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
