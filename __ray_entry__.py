@@ -504,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_share_shift": joins.region_share_shift,
         "events_zero_value_census":
             analytics.events_zero_value_census,
+        "nation_market_depth": analytics.nation_market_depth,
+        "brand_no_promo_census": analytics.brand_no_promo_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12475,5 +12477,46 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(g.n AS HUGEINT) * t.zt) - 1000
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM g, t ORDER BY event_type
+        """,
+        "nation_market_depth": """
+            WITH c AS (SELECT c_nationkey AS nk,
+                              CAST(COUNT(*) AS BIGINT) AS nc
+                       FROM customer GROUP BY 1),
+            s AS (SELECT s_nationkey AS nk,
+                         CAST(COUNT(*) AS BIGINT) AS ns
+                  FROM supplier GROUP BY 1),
+            k AS (SELECT nk FROM c UNION SELECT nk FROM s)
+            SELECT CAST(k.nk AS BIGINT) AS nationkey,
+                   CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_customers,
+                   CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_suppliers,
+                   CAST(CASE WHEN COALESCE(s.ns, 0) > 0 THEN
+                        1000 * COALESCE(c.nc, 0) // s.ns
+                        ELSE -1 END AS BIGINT)
+                       AS cust_per_supp_milli
+            FROM k LEFT JOIN c ON k.nk = c.nk
+                 LEFT JOIN s ON k.nk = s.nk
+            ORDER BY nationkey
+        """,
+        "brand_no_promo_census": """
+            WITH d AS (SELECT p.p_brand AS br,
+                              CASE WHEN CAST(FLOOR(l.l_discount
+                                        * 100) AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS z
+                       FROM lineitem l
+                       JOIN part p ON l.l_partkey = p.p_partkey),
+            g AS (SELECT br, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(z) AS BIGINT) AS zc
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                         CAST(SUM(zc) AS BIGINT) AS zt
+                  FROM g)
+            SELECT g.br AS brand, g.n AS n_lines,
+                   g.zc AS n_zero_disc,
+                   CAST(10000 * g.zc // g.n AS BIGINT) AS zero_bps,
+                   CAST(CASE WHEN t.zt > 0 THEN
+                        1000 * CAST(g.zc AS HUGEINT) * t.nt
+                        // (CAST(g.n AS HUGEINT) * t.zt) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM g, t ORDER BY brand
         """,
     }

@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "events_minute_heaping", "brand_price_overlap",
     "docs_ttr_bands", "orders_priority_by_value_decile",
     "region_share_shift", "events_zero_value_census",
+    "nation_market_depth", "brand_no_promo_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

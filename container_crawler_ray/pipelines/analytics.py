@@ -16966,3 +16966,84 @@ def events_zero_value_census(sf_dir: str) -> pd.DataFrame:
         "lift_milli"]).astype(
         {c: "int64" for c in ("n_events", "n_zero", "zero_bps",
                               "lift_milli")})
+
+
+def nation_market_depth(sf_dir: str) -> pd.DataFrame:
+    """MARKET DEPTH by nation — customers per supplier, the
+    demand/supply balance that decides where the next supplier
+    onboarding pays: both dimension counts plus the ratio as one
+    integer milli floor (nations with no suppliers report the -1
+    sentinel). Dimension-only op (two tiny reads, driver join) —
+    the shape every catalog-of-catalogs report takes. Pure
+    integers."""
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"]) \
+        .to_pandas()
+    supp = _read(sf_dir, "supplier", columns=["s_nationkey"]) \
+        .to_pandas()
+    c_n = np.bincount(cust["c_nationkey"].to_numpy(np.int64),
+                      minlength=25).astype(np.int64)
+    s_n = np.bincount(supp["s_nationkey"].to_numpy(np.int64),
+                      minlength=25).astype(np.int64)
+    rows = []
+    for nk in np.flatnonzero((c_n > 0) | (s_n > 0)):
+        ratio = (1000 * int(c_n[nk]) // int(s_n[nk])
+                 if s_n[nk] > 0 else -1)
+        rows.append((int(nk), int(c_n[nk]), int(s_n[nk]), ratio))
+    return pd.DataFrame(rows, columns=[
+        "nationkey", "n_customers", "n_suppliers",
+        "cust_per_supp_milli"]).astype("int64")
+
+
+def brand_no_promo_census(sf_dir: str) -> pd.DataFrame:
+    """PROMO-FREE share by brand — which brands sell at list price
+    (zero discount) more than the market does? Per brand:
+    zero-discount line share in exact bps and the lift vs the global
+    rate fully cross-multiplied — the brand-strength / price-
+    integrity signal a negotiation team reads. Part->brand LUT
+    broadcast; per-block (brand, is_zero) partials — constant cells,
+    ZERO row shuffle, pure integers."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    p_br = np.zeros(pk.max() + 1, dtype=np.int64)
+    p_br[pk] = bcode
+    nb = len(buniq)
+    ref = ray.put(p_br)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        p_br_ = ray.get(ref)
+        br = p_br_[t.column("l_partkey").to_numpy().astype(np.int64)]
+        z = (np.floor(t.column("l_discount").to_numpy() * 100)
+             .astype(np.int64) == 0).astype(np.int64)
+        cell = br * 2 + z
+        c = np.bincount(cell, minlength=nb * 2).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(nb * 2, dtype=np.int64)),
+            "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(nb * 2, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(nb, 2)
+    n_tot = int(grid.sum())
+    z_tot = int(grid[:, 1].sum())
+    rows = []
+    for b in range(nb):
+        n = int(grid[b].sum())
+        if n == 0:
+            continue
+        z = int(grid[b, 1])
+        lift = (1000 * z * n_tot // (n * z_tot) - 1000
+                if z_tot > 0 else -9999)
+        rows.append((str(buniq[b]), n, z, 10000 * z // n, lift))
+    return pd.DataFrame(rows, columns=[
+        "brand", "n_lines", "n_zero_disc", "zero_bps",
+        "lift_milli"]).astype(
+        {c: "int64" for c in ("n_lines", "n_zero_disc", "zero_bps",
+                              "lift_milli")})
