@@ -506,6 +506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_zero_value_census,
         "nation_market_depth": analytics.nation_market_depth,
         "brand_no_promo_census": analytics.brand_no_promo_census,
+        "entity_name_id_audit": analytics.entity_name_id_audit,
+        "part_price_endings": analytics.part_price_endings,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12518,5 +12520,65 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(g.n AS HUGEINT) * t.zt) - 1000
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM g, t ORDER BY brand
+        """,
+        "entity_name_id_audit": """
+            WITH u AS (
+              SELECT 'customer' AS entity,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN regexp_full_match(
+                              split_part(c_name, '#', 2), '[0-9]+')
+                              AND CAST(split_part(c_name, '#', 2)
+                                       AS BIGINT) = c_custkey
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_match,
+                     CAST(SUM(CASE WHEN NOT regexp_full_match(
+                              split_part(c_name, '#', 2), '[0-9]+')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_unparsed
+              FROM customer
+              UNION ALL
+              SELECT 'supplier',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(SUM(CASE WHEN regexp_full_match(
+                              split_part(s_name, '#', 2), '[0-9]+')
+                              AND CAST(split_part(s_name, '#', 2)
+                                       AS BIGINT) = s_suppkey
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CAST(SUM(CASE WHEN NOT regexp_full_match(
+                              split_part(s_name, '#', 2), '[0-9]+')
+                              THEN 1 ELSE 0 END) AS BIGINT)
+              FROM supplier)
+            SELECT entity, n_rows, n_match,
+                   CAST(10000 * n_match // n_rows AS BIGINT)
+                       AS match_bps,
+                   n_unparsed
+            FROM u ORDER BY entity
+        """,
+        "part_price_endings": """
+            WITH d AS (SELECT CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) % 100 AS e
+                       FROM part),
+            g AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            grid AS (SELECT u.e, COALESCE(g.n, 0) AS n
+                     FROM UNNEST(generate_series(0, 99)) AS u(e)
+                     LEFT JOIN g ON g.e = u.e),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM grid),
+            chi AS (SELECT CAST(SUM(1000
+                        * CAST(100 * n - t.t AS HUGEINT)
+                        * (100 * n - t.t) // (100 * t.t))
+                        AS BIGINT) AS v
+                    FROM grid, t),
+            pk AS (SELECT e, n FROM grid ORDER BY n DESC, e LIMIT 1)
+            SELECT t.t AS n_parts,
+                   CAST(10000 * (SELECT n FROM grid WHERE e = 0)
+                        // t.t AS BIGINT) AS ending00_bps,
+                   CAST(10000 * (SELECT n FROM grid WHERE e = 99)
+                        // t.t AS BIGINT) AS ending99_bps,
+                   chi.v AS chi2_milli,
+                   CAST(pk.e AS BIGINT) AS peak_ending,
+                   CAST(1000 * 100 * pk.n // t.t - 1000 AS BIGINT)
+                       AS peak_lift_milli
+            FROM t, chi, pk
         """,
     }

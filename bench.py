@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "docs_ttr_bands", "orders_priority_by_value_decile",
     "region_share_shift", "events_zero_value_census",
     "nation_market_depth", "brand_no_promo_census",
+    "entity_name_id_audit", "part_price_endings",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

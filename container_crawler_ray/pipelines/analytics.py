@@ -17047,3 +17047,71 @@ def brand_no_promo_census(sf_dir: str) -> pd.DataFrame:
         "lift_milli"]).astype(
         {c: "int64" for c in ("n_lines", "n_zero_disc", "zero_bps",
                               "lift_milli")})
+
+
+def entity_name_id_audit(sf_dir: str) -> pd.DataFrame:
+    """NAME-KEY consistency audit — do the display names
+    ('Customer#000000007', 'Supplier#000000003') actually encode the
+    primary key? The referential-naming check that catches
+    re-keyed-but-not-renamed migrations: per entity the parsed
+    numeric suffix compares to the key, with match share in exact
+    bps and the count of parse failures. Two dimension-sized reads,
+    vectorized digit parsing on both sides. Pure integers."""
+    rows = []
+    for table, key, name in (("customer", "c_custkey", "c_name"),
+                             ("supplier", "s_suppkey", "s_name")):
+        df = _read(sf_dir, table, columns=[key, name]).to_pandas()
+        k = df[key].to_numpy(np.int64)
+        parsed = []
+        bad = 0
+        for s in df[name].astype(str):
+            tail = s.split("#", 1)[-1]
+            if tail.isdigit():
+                parsed.append(int(tail))
+            else:
+                parsed.append(-1)
+                bad += 1
+        p = np.array(parsed, dtype=np.int64)
+        match = int((p == k).sum())
+        rows.append((table, len(df), match,
+                     10000 * match // len(df), bad))
+    return pd.DataFrame(rows, columns=[
+        "entity", "n_rows", "n_match", "match_bps",
+        "n_unparsed"]).astype(
+        {c: "int64" for c in ("n_rows", "n_match", "match_bps",
+                              "n_unparsed")})
+
+
+def part_price_endings(sf_dir: str) -> pd.DataFrame:
+    """CENTS-ENDING census — does the catalog price on charm points
+    (.99), round dollars (.00), or uniformly? Distribution of
+    retail-price cents endings: .00 and .99 shares in exact bps,
+    the uniformity chi-square over all 100 ending cells via the
+    cleared-expectation identity, and the top ending with its lift.
+    The pricing-psychology audit next to the anchor-price census.
+    Per-block 100-cell partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64) % 100
+        c = np.bincount(v, minlength=100).astype(np.int64)
+        return pa.table({"e": pa.array(np.arange(100,
+                                                 dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("e")["n"].sum())
+    c = np.zeros(100, dtype=np.int64)
+    c[g.index.to_numpy()] = g.to_numpy()
+    t = int(c.sum())
+    chi2 = sum(1000 * (100 * int(o) - t) ** 2 // (100 * t)
+               for o in c)
+    peak = int(np.argmax(c))
+    return pd.DataFrame([(t, 10000 * int(c[0]) // t,
+                          10000 * int(c[99]) // t, chi2, peak,
+                          1000 * 100 * int(c[peak]) // t - 1000)],
+                        columns=["n_parts", "ending00_bps",
+                                 "ending99_bps", "chi2_milli",
+                                 "peak_ending", "peak_lift_milli"]) \
+        .astype("int64")

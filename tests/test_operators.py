@@ -228,6 +228,7 @@ def test_entry_smoke(entrymod):
     "docs_ttr_bands", "orders_priority_by_value_decile",
     "region_share_shift", "events_zero_value_census",
     "nation_market_depth", "brand_no_promo_census",
+    "entity_name_id_audit", "part_price_endings",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
