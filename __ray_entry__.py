@@ -508,6 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_no_promo_census": analytics.brand_no_promo_census,
         "entity_name_id_audit": analytics.entity_name_id_audit,
         "part_price_endings": analytics.part_price_endings,
+        "user_coverage_census": analytics.user_coverage_census,
+        "part_size_uniformity": analytics.part_size_uniformity,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12580,5 +12582,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * 100 * pk.n // t.t - 1000 AS BIGINT)
                        AS peak_lift_milli
             FROM t, chi, pk
+        """,
+        "user_coverage_census": """
+            WITH e AS (SELECT DISTINCT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+            p AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS act,
+                         MAX(d) - MIN(d) + 1 AS span
+                  FROM e GROUP BY 1),
+            b AS (SELECT CASE WHEN span = 1 THEN 0
+                              WHEN 100 * act < 25 * span THEN 1
+                              WHEN 100 * act < 50 * span THEN 2
+                              WHEN 100 * act < 75 * span THEN 3
+                              ELSE 4 END AS band
+                  FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT CAST(band AS BIGINT) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // t.n AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band, t.n ORDER BY band
+        """,
+        "part_size_uniformity": """
+            WITH d AS (SELECT LEAST(GREATEST(
+                                  CAST(p_size AS BIGINT), 1), 50)
+                                  AS s
+                       FROM part),
+            g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            grid AS (SELECT u.s, COALESCE(g.n, 0) AS n
+                     FROM UNNEST(generate_series(1, 50)) AS u(s)
+                     LEFT JOIN g ON g.s = u.s),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM grid),
+            chi AS (SELECT CAST(SUM(1000
+                        * CAST(50 * n - t.t AS HUGEINT)
+                        * (50 * n - t.t) // (50 * t.t)) AS BIGINT)
+                        AS v
+                    FROM grid, t),
+            pk AS (SELECT s, n FROM grid ORDER BY n DESC, s LIMIT 1),
+            oc AS (SELECT CAST(COUNT(*) FILTER (n > 0) AS BIGINT)
+                              AS k
+                   FROM grid)
+            SELECT t.t AS n_parts, oc.k AS n_sizes_occupied,
+                   chi.v AS chi2_milli, CAST(49 AS BIGINT) AS df,
+                   CAST(pk.s AS BIGINT) AS peak_size,
+                   CAST(1000 * 50 * pk.n // t.t - 1000 AS BIGINT)
+                       AS peak_lift_milli
+            FROM t, chi, pk, oc
         """,
     }

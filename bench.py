@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "region_share_shift", "events_zero_value_census",
     "nation_market_depth", "brand_no_promo_census",
     "entity_name_id_audit", "part_price_endings",
+    "user_coverage_census", "part_size_uniformity",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17115,3 +17115,89 @@ def part_price_endings(sf_dir: str) -> pd.DataFrame:
                                  "ending99_bps", "chi2_milli",
                                  "peak_ending", "peak_lift_milli"]) \
         .astype("int64")
+
+
+def user_coverage_census(sf_dir: str) -> pd.DataFrame:
+    """TENURE-COVERAGE census — of the days between a user's first
+    and last event, how many were active? Users band by the
+    cross-multiplied coverage test 100*active < k*span_days
+    (single-day users separate): steady dailies vs drive-by
+    returners — the engagement-shape complement to streaks and
+    burstiness. One ``user % 64`` exchange of per-block distinct
+    (user, day) rows; buckets fold span + distinct-day counts
+    vectorized and emit one 5-cell histogram row each. Pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        key = u * 32768 + (d % 32768)
+        ku = np.unique(key)
+        return pa.table({
+            "u": pa.array(ku // 32768),
+            "d": pa.array(ku % 32768),
+            "bucket": pa.array(((ku // 32768) % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * 32768 \
+            + g["d"].to_numpy(np.int64)
+        ku = np.unique(key)
+        u = ku // 32768
+        d = ku % 32768
+        uu, uinv = np.unique(u, return_inverse=True)
+        act = np.bincount(uinv, minlength=len(uu)).astype(np.int64)
+        lo = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lo, uinv, d)
+        hi = np.zeros(len(uu), np.int64)
+        np.maximum.at(hi, uinv, d)
+        span = hi - lo + 1
+        band = np.where(span == 1, 0,
+                        np.where(100 * act < 25 * span, 1,
+                                 np.where(100 * act < 50 * span, 2,
+                                          np.where(100 * act
+                                                   < 75 * span, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")
+
+
+def part_size_uniformity(sf_dir: str) -> pd.DataFrame:
+    """SIZE-MIX uniformity — is the catalog's size assortment flat
+    over the 1..50 domain or does it heap? The cleared-expectation
+    chi-square 1000*sum((50*O_s - N)^2)//(50*N) over the full size
+    grid (absent sizes zero-filled), the peak size with its lift,
+    and the occupied-size count. The assortment-planning sanity
+    check. Per-block 50-cell partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "part", columns=["p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column("p_size").to_numpy().astype(np.int64)
+        c = np.bincount(np.clip(v, 1, 50) - 1, minlength=50) \
+            .astype(np.int64)
+        return pa.table({"s": pa.array(np.arange(1, 51,
+                                                 dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("s")["n"].sum())
+    c = np.zeros(50, dtype=np.int64)
+    c[g.index.to_numpy() - 1] = g.to_numpy()
+    t = int(c.sum())
+    chi2 = sum(1000 * (50 * int(o) - t) ** 2 // (50 * t) for o in c)
+    peak = int(np.argmax(c)) + 1
+    return pd.DataFrame([(t, int((c > 0).sum()), chi2, 49, peak,
+                          1000 * 50 * int(c[peak - 1]) // t - 1000)],
+                        columns=["n_parts", "n_sizes_occupied",
+                                 "chi2_milli", "df", "peak_size",
+                                 "peak_lift_milli"]).astype("int64")

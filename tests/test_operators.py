@@ -229,6 +229,7 @@ def test_entry_smoke(entrymod):
     "region_share_shift", "events_zero_value_census",
     "nation_market_depth", "brand_no_promo_census",
     "entity_name_id_audit", "part_price_endings",
+    "user_coverage_census", "part_size_uniformity",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
