@@ -510,6 +510,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_endings": analytics.part_price_endings,
         "user_coverage_census": analytics.user_coverage_census,
         "part_size_uniformity": analytics.part_size_uniformity,
+        "docs_length_quantiles_by_source":
+            curate.docs_length_quantiles_by_source,
+        "lineitem_zero_zero_lift": analytics.lineitem_zero_zero_lift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12629,5 +12632,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * 50 * pk.n // t.t - 1000 AS BIGINT)
                        AS peak_lift_milli
             FROM t, chi, pk, oc
+        """,
+        "docs_length_quantiles_by_source": """
+            WITH h AS (SELECT source AS s,
+                              CAST(n_chars AS BIGINT) AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+            r AS (SELECT s, v, c,
+                         SUM(c) OVER (PARTITION BY s ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY s) AS n,
+                         SUM(v * c) OVER (PARTITION BY s) AS tot
+                  FROM h)
+            SELECT s AS source,
+                   CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(MIN(v) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50,
+                   CAST(MIN(v) FILTER (
+                        cum >= (90 * n + 99) // 100) AS BIGINT)
+                       AS p90,
+                   CAST(MIN(v) FILTER (
+                        cum >= (99 * n + 99) // 100) AS BIGINT)
+                       AS p99,
+                   CAST(1000 * MAX(tot) // MAX(n) AS BIGINT)
+                       AS mean_milli
+            FROM r GROUP BY s ORDER BY source
+        """,
+        "lineitem_zero_zero_lift": """
+            WITH d AS (SELECT CASE WHEN CAST(FLOOR(l_discount * 100)
+                                        AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS d0,
+                              CASE WHEN CAST(FLOOR(l_tax * 100)
+                                        AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS t0
+                       FROM lineitem),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(d0) AS BIGINT) AS nd0,
+                         CAST(SUM(t0) AS BIGINT) AS nt0,
+                         CAST(SUM(d0 * t0) AS BIGINT) AS n00
+                  FROM d)
+            SELECT n AS n_lines, nd0 AS n_disc0, nt0 AS n_tax0,
+                   n00 AS n_both0,
+                   CAST(10000 * nd0 // n AS BIGINT) AS disc0_bps,
+                   CAST(10000 * nt0 // n AS BIGINT) AS tax0_bps,
+                   CAST(10000 * n00 // n AS BIGINT) AS both0_bps,
+                   CAST(CASE WHEN nd0 > 0 AND nt0 > 0 THEN
+                        1000 * CAST(n00 AS HUGEINT) * n
+                        // (CAST(nd0 AS HUGEINT) * nt0)
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM t
         """,
     }

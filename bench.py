@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "nation_market_depth", "brand_no_promo_census",
     "entity_name_id_audit", "part_price_endings",
     "user_coverage_census", "part_size_uniformity",
+    "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17201,3 +17201,44 @@ def part_size_uniformity(sf_dir: str) -> pd.DataFrame:
                         columns=["n_parts", "n_sizes_occupied",
                                  "chi2_milli", "df", "peak_size",
                                  "peak_lift_milli"]).astype("int64")
+
+
+def lineitem_zero_zero_lift(sf_dir: str) -> pd.DataFrame:
+    """ZERO-ZERO co-occurrence — are no-discount and no-tax lines
+    the SAME lines (one "plain deal" code path) or independent
+    flags? Joint zero-discount/zero-tax share vs the product of the
+    marginals, fully cross-multiplied: lift_milli =
+    1000 * n_00 * N // (n_d0 * n_t0). One 4-cell grid partial per
+    block — ZERO shuffle, pure integers; the code-path-entanglement
+    screen for downstream econometrics that assumes the flags are
+    independent."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d0 = (np.floor(t.column("l_discount").to_numpy() * 100)
+              .astype(np.int64) == 0).astype(np.int64)
+        t0 = (np.floor(t.column("l_tax").to_numpy() * 100)
+              .astype(np.int64) == 0).astype(np.int64)
+        cell = d0 * 2 + t0
+        c = np.bincount(cell, minlength=4).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(4,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    c = np.zeros(4, dtype=np.int64)
+    c[g.index.to_numpy()] = g.to_numpy()
+    n = int(c.sum())
+    n_d0 = int(c[2] + c[3])
+    n_t0 = int(c[1] + c[3])
+    n_00 = int(c[3])
+    lift = (1000 * n_00 * n // (n_d0 * n_t0)
+            if n_d0 > 0 and n_t0 > 0 else -9999)
+    return pd.DataFrame([(n, n_d0, n_t0, n_00,
+                          10000 * n_d0 // n, 10000 * n_t0 // n,
+                          10000 * n_00 // n, lift)],
+                        columns=["n_lines", "n_disc0", "n_tax0",
+                                 "n_both0", "disc0_bps", "tax0_bps",
+                                 "both0_bps", "lift_milli"]) \
+        .astype("int64")

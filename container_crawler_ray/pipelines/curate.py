@@ -1787,3 +1787,44 @@ def docs_ttr_bands(sf_dir: str) -> pd.DataFrame:
     g = g[g["n_docs"] > 0].sort_values("band").reset_index(drop=True)
     g["share_bps"] = 10000 * g["n_docs"].to_numpy(np.int64) // tot
     return g.astype("int64")
+
+
+def docs_length_quantiles_by_source(sf_dir: str) -> pd.DataFrame:
+    """LENGTH SLA per source — exact ceil-rank p50/p90/p99 of the
+    stored n_chars column per source from bounded per-source
+    histograms (the quantile scan never touches rows), plus the
+    truncating mean in milli: the per-provider document-size profile
+    that sizes chunking windows and batch padding. Per-block
+    (source, n_chars) count partials — ZERO shuffle, pure
+    integers."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source")).astype(object)
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"s": src, "v": v})
+        g = df.groupby(["s", "v"], as_index=False).size()
+        return pa.table({
+            "s": pa.array(g["s"], type=pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    h = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["s", "v"], as_index=False)["c"].sum())
+    rows = []
+    for s, g in h.groupby("s"):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        q = {p: int(v[np.searchsorted(cum, (p * n + 99) // 100)])
+             for p in (50, 90, 99)}
+        tot = int((v * c).sum())
+        rows.append((str(s), n, q[50], q[90], q[99],
+                     1000 * tot // n))
+    return pd.DataFrame(sorted(rows), columns=[
+        "source", "n_docs", "p50", "p90", "p99", "mean_milli"]) \
+        .astype({c: "int64" for c in ("n_docs", "p50", "p90", "p99",
+                                      "mean_milli")})

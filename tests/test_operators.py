@@ -230,6 +230,7 @@ def test_entry_smoke(entrymod):
     "nation_market_depth", "brand_no_promo_census",
     "entity_name_id_audit", "part_price_endings",
     "user_coverage_census", "part_size_uniformity",
+    "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
