@@ -513,6 +513,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_quantiles_by_source":
             curate.docs_length_quantiles_by_source,
         "lineitem_zero_zero_lift": analytics.lineitem_zero_zero_lift,
+        "customer_priority_stickiness":
+            analytics.customer_priority_stickiness,
+        "lineitem_discount_tax_independence":
+            analytics.lineitem_discount_tax_independence,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12683,5 +12687,70 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(nd0 AS HUGEINT) * nt0)
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM t
+        """,
+        "customer_priority_stickiness": """
+            WITH pc AS (SELECT o_custkey AS c,
+                               CAST(SUBSTR(o_orderpriority, 1, 1)
+                                    AS BIGINT) AS p,
+                               CAST(COUNT(*) AS BIGINT) AS k
+                        FROM orders GROUP BY 1, 2),
+            cu AS (SELECT c, CAST(SUM(k) AS BIGINT) AS n,
+                          CAST(MAX(k) AS BIGINT) AS m
+                   FROM pc GROUP BY c),
+            b AS (SELECT CASE WHEN n = 1 THEN 0 WHEN m = n THEN 4
+                              WHEN 100 * m >= 75 * n THEN 3
+                              WHEN 100 * m >= 50 * n THEN 2
+                              ELSE 1 END AS band,
+                         n, m FROM cu),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM cu)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(10000 * COUNT(*) // MAX(t.total) AS BIGINT)
+                       AS share_bps,
+                   CAST(10000 * SUM(m) // SUM(n) AS BIGINT)
+                       AS modal_bps
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "lineitem_discount_tax_independence": """
+            WITH d AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                                  AS di,
+                              CAST(FLOOR(l_tax * 100) AS BIGINT)
+                                  AS tj
+                       FROM lineitem),
+            o AS (SELECT di, tj, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM d GROUP BY 1, 2),
+            r AS (SELECT di, CAST(SUM(c) AS BIGINT) AS rn
+                  FROM o GROUP BY 1),
+            cc AS (SELECT tj, CAST(SUM(c) AS BIGINT) AS cn
+                   FROM o GROUP BY 1),
+            n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+            grid AS (SELECT r.di, cc.tj, r.rn, cc.cn,
+                            COALESCE(o.c, 0) AS c
+                     FROM r CROSS JOIN cc
+                     LEFT JOIN o ON o.di = r.di AND o.tj = cc.tj),
+            chi AS (SELECT CAST(SUM(
+                        1000 * (n.n * CAST(c AS HUGEINT)
+                                - rn * CAST(cn AS HUGEINT))
+                             * (n.n * CAST(c AS HUGEINT)
+                                - rn * CAST(cn AS HUGEINT))
+                        // (CAST(n.n AS HUGEINT) * rn * cn))
+                        AS BIGINT) AS chi2,
+                           CAST(COUNT(*) FILTER (c > 0) AS BIGINT)
+                               AS occ,
+                           CAST(COUNT(DISTINCT di) AS BIGINT) AS nr,
+                           CAST(COUNT(DISTINCT tj) AS BIGINT) AS nc
+                    FROM grid, n),
+            pk AS (SELECT di, tj,
+                          CAST(1000 * n.n * CAST(c AS HUGEINT)
+                               // (rn * CAST(cn AS HUGEINT))
+                               AS BIGINT) AS lift
+                   FROM grid, n ORDER BY lift DESC, di, tj LIMIT 1)
+            SELECT n.n AS n_lines, chi.nr AS n_disc_levels,
+                   chi.nc AS n_tax_levels,
+                   (chi.nr - 1) * (chi.nc - 1) AS df,
+                   chi.occ AS n_cells_occupied,
+                   chi.chi2 AS chi2_milli, pk.di AS peak_disc,
+                   pk.tj AS peak_tax,
+                   pk.lift - 1000 AS peak_lift_milli
+            FROM n, chi, pk
         """,
     }

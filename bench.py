@@ -268,6 +268,8 @@ BENCH_QUERIES = [
     "entity_name_id_audit", "part_price_endings",
     "user_coverage_census", "part_size_uniformity",
     "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
+    "customer_priority_stickiness",
+    "lineitem_discount_tax_independence",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

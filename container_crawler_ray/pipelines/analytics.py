@@ -17242,3 +17242,120 @@ def lineitem_zero_zero_lift(sf_dir: str) -> pd.DataFrame:
                                  "n_both0", "disc0_bps", "tax0_bps",
                                  "both0_bps", "lift_milli"]) \
         .astype("int64")
+
+
+def customer_priority_stickiness(sf_dir: str) -> pd.DataFrame:
+    """PRIORITY STICKINESS — is order priority a CUSTOMER trait or an
+    order-level roll of the dice? Per customer: modal-priority order
+    count m vs total orders n, banded by the cross-multiplied tests
+    (single-order customers separate; then <50%, 50-74%, 75-99%,
+    all-same); each band reports its customer share in exact bps and
+    its modal-mass concentration 10000*sum(m)//sum(n). High all-same
+    mass means priority can be a customer feature; flat means it is
+    per-order noise. One ``cust % 64`` exchange of per-block
+    (customer, priority-digit) pair counts; buckets fold modal/total
+    masses vectorized into 5-cell partials. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        p = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                    0, 1).cast(pa.int64()).to_numpy()
+        key = c * 8 + p
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"c": pa.array(uk // 8),
+                         "p": pa.array(uk % 8),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(((uk // 8) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["c"].to_numpy(np.int64) * 8 + g["p"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        k = np.zeros(len(uk), np.int64)
+        np.add.at(k, inv, g["k"].to_numpy(np.int64))
+        cu, cinv = np.unique(uk // 8, return_inverse=True)
+        n = np.zeros(len(cu), np.int64)
+        np.add.at(n, cinv, k)
+        m = np.zeros(len(cu), np.int64)
+        np.maximum.at(m, cinv, k)
+        band = np.where(n == 1, 0,
+                        np.where(m == n, 4,
+                                 np.where(100 * m >= 75 * n, 3,
+                                          np.where(100 * m >= 50 * n,
+                                                   2, 1))))
+        nc = np.bincount(band, minlength=5).astype(np.int64)
+        sm = np.zeros(5, np.int64)
+        np.add.at(sm, band, m)
+        sn = np.zeros(5, np.int64)
+        np.add.at(sn, band, n)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_customers": nc, "sum_m": sm,
+                             "sum_n": sn})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_customers"].sum())
+    g = g[g["n_customers"] > 0].sort_values("band")
+    out = pd.DataFrame({
+        "band": g["band"].to_numpy(np.int64),
+        "n_customers": g["n_customers"].to_numpy(np.int64),
+        "share_bps": 10000 * g["n_customers"].to_numpy(np.int64)
+        // tot,
+        "modal_bps": 10000 * g["sum_m"].to_numpy(np.int64)
+        // g["sum_n"].to_numpy(np.int64)})
+    return out.reset_index(drop=True).astype("int64")
+
+
+def lineitem_discount_tax_independence(sf_dir: str) -> pd.DataFrame:
+    """DISCOUNT × TAX independence — the full-grid sequel to
+    ``lineitem_zero_zero_lift``: the whole-percent 11×9 contingency
+    grid's chi-square against the independence expectation, each cell
+    floored as 1000*(N*O - r*c)^2 // (N*r*c) in EXACT arbitrary-
+    precision integers (HUGEINT twin; the metric is the sum of
+    floored cells so both sides stay bit-equal), plus the
+    occupied-cell count and the strongest-association cell with its
+    lift (first-max on sorted (disc, tax) = ORDER BY lift DESC, d, t
+    LIMIT 1 in the twin). One ≤176-cell partial per block — ZERO
+    shuffle."""
+    ds = _read(sf_dir, "lineitem", columns=["l_discount", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        x = np.floor(t.column("l_tax").to_numpy() * 100) \
+            .astype(np.int64)
+        c = np.bincount(d * 16 + x, minlength=176).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(len(c),
+                                                    dtype=np.int64)),
+                         "n": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["n"].sum())
+    obs = {int(cell): int(n) for cell, n in g.items() if n > 0}
+    r: dict = {}
+    c: dict = {}
+    for cell, n in obs.items():
+        r[cell // 16] = r.get(cell // 16, 0) + n
+        c[cell % 16] = c.get(cell % 16, 0) + n
+    big_n = sum(obs.values())
+    chi2 = 0
+    best = (-1, 0, 0)
+    for di in sorted(r):
+        for tj in sorted(c):
+            o = obs.get(di * 16 + tj, 0)
+            num = big_n * o - r[di] * c[tj]
+            chi2 += 1000 * num * num // (big_n * r[di] * c[tj])
+            lift = 1000 * big_n * o // (r[di] * c[tj])
+            if lift > best[0]:
+                best = (lift, di, tj)
+    dof = (len(r) - 1) * (len(c) - 1)
+    return pd.DataFrame([(big_n, len(r), len(c), dof, len(obs), chi2,
+                          best[1], best[2], best[0] - 1000)],
+                        columns=["n_lines", "n_disc_levels",
+                                 "n_tax_levels", "df",
+                                 "n_cells_occupied", "chi2_milli",
+                                 "peak_disc", "peak_tax",
+                                 "peak_lift_milli"]).astype("int64")

@@ -231,6 +231,8 @@ def test_entry_smoke(entrymod):
     "entity_name_id_audit", "part_price_endings",
     "user_coverage_census", "part_size_uniformity",
     "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
+    "customer_priority_stickiness",
+    "lineitem_discount_tax_independence",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
