@@ -517,6 +517,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_priority_stickiness,
         "lineitem_discount_tax_independence":
             analytics.lineitem_discount_tax_independence,
+        "nation_balance_sheet": analytics.nation_balance_sheet,
+        "supplier_part_repeat_census":
+            analytics.supplier_part_repeat_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12752,5 +12755,54 @@ def oracle_sql() -> dict[str, str]:
                    pk.tj AS peak_tax,
                    pk.lift - 1000 AS peak_lift_milli
             FROM n, chi, pk
+        """,
+        "nation_balance_sheet": """
+            WITH c AS (SELECT c_nationkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(FLOOR(c_acctbal * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS s
+                       FROM customer GROUP BY 1),
+            s AS (SELECT s_nationkey AS k,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CAST(FLOOR(s_acctbal * 100)
+                                       AS BIGINT)) AS BIGINT) AS s
+                  FROM supplier GROUP BY 1),
+            j AS (SELECT n_name AS nation,
+                         COALESCE(c.n, 0) AS nc,
+                         COALESCE(c.s, 0) AS sc,
+                         COALESCE(s.n, 0) AS ns,
+                         COALESCE(s.s, 0) AS ss
+                  FROM nation LEFT JOIN c ON c.k = n_nationkey
+                              LEFT JOIN s ON s.k = n_nationkey)
+            SELECT nation, nc AS n_customers, ns AS n_suppliers,
+                   CAST(CASE WHEN nc > 0 THEN sc // nc
+                             ELSE -9999999 END AS BIGINT)
+                       AS cust_mean_cents,
+                   CAST(CASE WHEN ns > 0 THEN ss // ns
+                             ELSE -9999999 END AS BIGINT)
+                       AS supp_mean_cents,
+                   CAST(CASE WHEN nc > 0 AND ns > 0
+                             THEN sc // nc - ss // ns
+                             ELSE -9999999 END AS BIGINT)
+                       AS gap_cents
+            FROM j ORDER BY nation
+        """,
+        "supplier_part_repeat_census": """
+            WITH p AS (SELECT l_suppkey AS s, l_partkey AS pk,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1, 2),
+            b AS (SELECT CASE WHEN c = 1 THEN 0 WHEN c = 2 THEN 1
+                              WHEN c <= 4 THEN 2 ELSE 3 END AS band,
+                         c FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(SUM(c) AS BIGINT) AS nl FROM p)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(10000 * COUNT(*) // MAX(t.np) AS BIGINT)
+                       AS pair_share_bps,
+                   CAST(SUM(c) AS BIGINT) AS n_lines,
+                   CAST(10000 * SUM(c) // MAX(t.nl) AS BIGINT)
+                       AS line_share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

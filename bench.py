@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
     "customer_priority_stickiness",
     "lineitem_discount_tax_independence",
+    "nation_balance_sheet", "supplier_part_repeat_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17359,3 +17359,113 @@ def lineitem_discount_tax_independence(sf_dir: str) -> pd.DataFrame:
                                  "n_cells_occupied", "chi2_milli",
                                  "peak_disc", "peak_tax",
                                  "peak_lift_milli"]).astype("int64")
+
+
+def nation_balance_sheet(sf_dir: str) -> pd.DataFrame:
+    """BALANCE SHEET by nation — mean customer account balance vs
+    mean supplier account balance side by side (truncating cents
+    means, DuckDB ``//`` truncates toward zero so negatives are
+    sign-decomposed) with the per-capita gap; nations missing a side
+    carry the -9999999 sentinel (at small SFs most nations have zero
+    suppliers). Positive gap = customers are net creditors relative
+    to the supply base — a working-capital posture read from two
+    dimension tables. Per-block 25-cell partials, ZERO shuffle, pure
+    integers."""
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def make_partial(keycol: str, balcol: str):
+        def partial(t: pa.Table) -> pa.Table:
+            k = t.column(keycol).to_numpy().astype(np.int64)
+            cents = np.floor(t.column(balcol).to_numpy() * 100) \
+                .astype(np.int64)
+            n = np.bincount(k, minlength=32).astype(np.int64)
+            s = np.zeros(32, np.int64)
+            np.add.at(s, k, cents)
+            return pa.table({"k": pa.array(np.arange(32,
+                                                     dtype=np.int64)),
+                             "n": pa.array(n), "s": pa.array(s)})
+        return partial
+
+    folds = {}
+    for table, keycol, balcol in (
+            ("customer", "c_nationkey", "c_acctbal"),
+            ("supplier", "s_nationkey", "s_acctbal")):
+        g = (_read(sf_dir, table, columns=[keycol, balcol])
+             .map_batches(make_partial(keycol, balcol),
+                          batch_format="pyarrow")
+             .to_pandas().groupby("k")[["n", "s"]].sum())
+        folds[table] = g
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    rows = []
+    for k, name in sorted(zip(nat["n_nationkey"].astype(int),
+                              nat["n_name"]), key=lambda x: x[1]):
+        nc = int(folds["customer"]["n"].get(k, 0))
+        sc = int(folds["customer"]["s"].get(k, 0))
+        ns = int(folds["supplier"]["n"].get(k, 0))
+        ss = int(folds["supplier"]["s"].get(k, 0))
+        cm = _tdiv(sc, nc) if nc > 0 else -9999999
+        sm = _tdiv(ss, ns) if ns > 0 else -9999999
+        gap = cm - sm if nc > 0 and ns > 0 else -9999999
+        rows.append((name, nc, ns, cm, sm, gap))
+    out = pd.DataFrame(rows, columns=["nation", "n_customers",
+                                      "n_suppliers",
+                                      "cust_mean_cents",
+                                      "supp_mean_cents",
+                                      "gap_cents"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def supplier_part_repeat_census(sf_dir: str) -> pd.DataFrame:
+    """SUPPLY-RELATIONSHIP depth census — how often does the SAME
+    (supplier, part) pairing recur across the order book? Pairs band
+    by line depth (1, 2, 3-4, 5+) with pair and line-mass shares in
+    exact bps: a heavy 5+ band means stationary supply relationships
+    (cacheable routing, stable pricing); an all-singleton book means
+    every line re-matches from scratch. One ``pair % 256`` exchange
+    of per-block distinct-pair counts; buckets fold depths
+    vectorized into 4-cell partials. Pure integers."""
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        key = s * (1 << 32) + p
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"pair": pa.array(uk),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array((uk % 256)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uk, inv = np.unique(g["pair"].to_numpy(np.int64),
+                            return_inverse=True)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, g["k"].to_numpy(np.int64))
+        band = np.where(c == 1, 0,
+                        np.where(c == 2, 1, np.where(c <= 4, 2, 3)))
+        np_ = np.bincount(band, minlength=4).astype(np.int64)
+        nl = np.zeros(4, np.int64)
+        np.add.at(nl, band, c)
+        return pd.DataFrame({"band": np.arange(4, dtype=np.int64),
+                             "n_pairs": np_, "n_lines": nl})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tp = int(g["n_pairs"].sum())
+    tl = int(g["n_lines"].sum())
+    g = g[g["n_pairs"] > 0].sort_values("band")
+    out = pd.DataFrame({
+        "band": g["band"].to_numpy(np.int64),
+        "n_pairs": g["n_pairs"].to_numpy(np.int64),
+        "pair_share_bps": 10000 * g["n_pairs"].to_numpy(np.int64)
+        // tp,
+        "n_lines": g["n_lines"].to_numpy(np.int64),
+        "line_share_bps": 10000 * g["n_lines"].to_numpy(np.int64)
+        // tl})
+    return out.reset_index(drop=True).astype("int64")

@@ -233,6 +233,7 @@ def test_entry_smoke(entrymod):
     "docs_length_quantiles_by_source", "lineitem_zero_zero_lift",
     "customer_priority_stickiness",
     "lineitem_discount_tax_independence",
+    "nation_balance_sheet", "supplier_part_repeat_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
