@@ -520,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_sheet": analytics.nation_balance_sheet,
         "supplier_part_repeat_census":
             analytics.supplier_part_repeat_census,
+        "user_journey_endpoints": analytics.user_journey_endpoints,
+        "part_name_word_census": analytics.part_name_word_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12804,5 +12806,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(c) // MAX(t.nl) AS BIGINT)
                        AS line_share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "user_journey_endpoints": """
+            WITH r AS (SELECT user_id, event_type,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rf,
+                              ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                                  AS rl
+                       FROM events),
+            f AS (SELECT user_id,
+                         MAX(CASE WHEN rf = 1 THEN event_type END)
+                             AS first_type,
+                         MAX(CASE WHEN rl = 1 THEN event_type END)
+                             AS last_type
+                  FROM r GROUP BY user_id),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)
+            SELECT first_type, last_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM f, t GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "part_name_word_census": """
+            WITH w AS (SELECT p_partkey,
+                              UNNEST(STRING_SPLIT(p_name, ' '))
+                                  AS word
+                       FROM part),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM w)
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT p_partkey) AS BIGINT)
+                       AS n_parts,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM w, t GROUP BY word ORDER BY word
         """,
     }

@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "customer_priority_stickiness",
     "lineitem_discount_tax_independence",
     "nation_balance_sheet", "supplier_part_repeat_census",
+    "user_journey_endpoints", "part_name_word_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17469,3 +17469,108 @@ def supplier_part_repeat_census(sf_dir: str) -> pd.DataFrame:
         "line_share_bps": 10000 * g["n_lines"].to_numpy(np.int64)
         // tl})
     return out.reset_index(drop=True).astype("int64")
+
+
+def user_journey_endpoints(sf_dir: str) -> pd.DataFrame:
+    """JOURNEY ENDPOINTS — the (first event type → last event type)
+    matrix over users: how journeys START vs how they END, with user
+    shares in exact bps. A heavy view→purchase cell is a healthy
+    funnel; view→error is a product bug census. Endpoints are
+    defined by the total (ts, event_id) order so duplicate
+    timestamps stay deterministic. Per-block candidate extraction
+    (each block contributes only its per-user first/last rows — 2
+    rows per (user, block), never the event stream) into one
+    ``user % 64`` exchange; buckets lexsort and emit ≤|types|² pair
+    counts. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((e, ts, u))
+        us = u[order]
+        first = np.ones(len(us), dtype=bool)
+        first[1:] = us[1:] != us[:-1]
+        last = np.zeros(len(us), dtype=bool)
+        last[:-1] = us[1:] != us[:-1]
+        last[-1] = True
+        keep = order[first | last]
+        return pa.table({"u": pa.array(u[keep]),
+                         "ts": pa.array(ts[keep]),
+                         "e": pa.array(e[keep]),
+                         "typ": t.column("event_type").take(
+                             pa.array(keep)),
+                         "bucket": pa.array((u[keep] % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, u))
+        us = u[order]
+        first = np.ones(len(us), dtype=bool)
+        first[1:] = us[1:] != us[:-1]
+        last = np.zeros(len(us), dtype=bool)
+        last[:-1] = us[1:] != us[:-1]
+        last[-1] = True
+        typ = g["typ"].to_numpy()[order]
+        pairs = pd.DataFrame({"first_type": typ[first],
+                              "last_type": typ[last]})
+        out = pairs.groupby(["first_type", "last_type"],
+                            as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas()
+         .groupby(["first_type", "last_type"], as_index=False)["n"]
+         .sum())
+    tot = int(g["n"].sum())
+    g = g.sort_values(["first_type", "last_type"],
+                      kind="mergesort").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n"].to_numpy(np.int64) // tot
+    return g.rename(columns={"n": "n_users"}).astype(
+        {"n_users": "int64", "share_bps": "int64"})
+
+
+def part_name_word_census(sf_dir: str) -> pd.DataFrame:
+    """NAME VOCABULARY census — the word-frequency table of part
+    display names (split on single spaces): occurrences, distinct
+    parts containing the word, and occurrence share in exact bps. A
+    tiny, heavy-headed vocabulary means names carry almost no
+    entropy — search/match on names needs the key, not the label;
+    the companion to ``part_name_collision_audit``. Per-block
+    explode + vocabulary-sized partials (a part never spans blocks,
+    so per-block distinct (part, word) pairs sum exactly) — ZERO
+    shuffle."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"k": t.column("p_partkey").to_numpy(),
+                           "w": t.column("p_name").to_pylist()})
+        ex = df.assign(w=df["w"].str.split(" ")).explode("w")
+        occ = ex.groupby("w").size()
+        parts = ex.drop_duplicates().groupby("w").size()
+        out = pd.DataFrame({"word": occ.index,
+                            "occ": occ.to_numpy(np.int64),
+                            "parts": parts.reindex(occ.index)
+                            .fillna(0).to_numpy(np.int64)})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("word", as_index=False)[["occ",
+                                                       "parts"]]
+         .sum())
+    tot = int(g["occ"].sum())
+    g = g.sort_values("word", kind="mergesort").reset_index(drop=True)
+    out = pd.DataFrame({"word": g["word"],
+                        "n_occurrences": g["occ"].astype("int64"),
+                        "n_parts": g["parts"].astype("int64"),
+                        "share_bps": (10000
+                                      * g["occ"].to_numpy(np.int64)
+                                      // tot)})
+    return out.astype({"n_occurrences": "int64", "n_parts": "int64",
+                       "share_bps": "int64"})
