@@ -522,6 +522,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_part_repeat_census,
         "user_journey_endpoints": analytics.user_journey_endpoints,
         "part_name_word_census": analytics.part_name_word_census,
+        "order_linenumber_contiguity":
+            analytics.order_linenumber_contiguity,
+        "supplier_activity_balance_gamma":
+            analytics.supplier_activity_balance_gamma,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12840,5 +12844,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM w, t GROUP BY word ORDER BY word
+        """,
+        "order_linenumber_contiguity": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(DISTINCT l_linenumber)
+                                   AS BIGINT) AS dn,
+                              CAST(MIN(l_linenumber) AS BIGINT)
+                                  AS mn,
+                              CAST(MAX(l_linenumber) AS BIGINT)
+                                  AS mx
+                       FROM lineitem GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CASE WHEN mn = 1 AND mx = n AND dn = n
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_ok,
+                   CAST(SUM(CASE WHEN dn < n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup,
+                   CAST(SUM(CASE WHEN dn = n AND mn <> 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_offset,
+                   CAST(SUM(CASE WHEN dn = n AND mn = 1 AND mx <> n
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_gap,
+                   CAST(10000 * SUM(CASE WHEN mn = 1 AND mx = n
+                                              AND dn = n
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS ok_bps
+            FROM o
+        """,
+        "supplier_activity_balance_gamma": """
+            WITH l AS (SELECT l_suppkey AS s,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1),
+            a AS (SELECT LEAST(COALESCE(l.c, 0), 1000) AS a,
+                         (CAST(FLOOR(s_acctbal * 100) AS BIGINT)
+                          + 100000) // 10000 AS b,
+                         CASE WHEN COALESCE(l.c, 0) > 0
+                              THEN 1 ELSE 0 END AS act
+                  FROM supplier LEFT JOIN l ON l.s = s_suppkey),
+            p AS (SELECT CAST(SUM(CASE WHEN (x.a < y.a AND x.b < y.b)
+                                         OR (x.a > y.a AND x.b > y.b)
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS c2,
+                         CAST(SUM(CASE WHEN (x.a < y.a AND x.b > y.b)
+                                         OR (x.a > y.a AND x.b < y.b)
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                             AS d2
+                  FROM a x, a y),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(act) AS BIGINT) AS na FROM a)
+            SELECT t.n AS n_suppliers, t.na AS n_active,
+                   p.c2 // 2 AS concordant_pairs,
+                   p.d2 // 2 AS discordant_pairs,
+                   CAST(CASE WHEN p.c2 + p.d2 > 0 THEN
+                        (CASE WHEN p.c2 >= p.d2 THEN 1 ELSE -1 END)
+                        * (1000 * (ABS(p.c2 - p.d2) // 2)
+                           // ((p.c2 + p.d2) // 2))
+                        ELSE 0 END AS BIGINT) AS gamma_milli
+            FROM p, t
         """,
     }

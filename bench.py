@@ -272,6 +272,8 @@ BENCH_QUERIES = [
     "lineitem_discount_tax_independence",
     "nation_balance_sheet", "supplier_part_repeat_census",
     "user_journey_endpoints", "part_name_word_census",
+    "order_linenumber_contiguity",
+    "supplier_activity_balance_gamma",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

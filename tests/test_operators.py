@@ -235,6 +235,8 @@ def test_entry_smoke(entrymod):
     "lineitem_discount_tax_independence",
     "nation_balance_sheet", "supplier_part_repeat_census",
     "user_journey_endpoints", "part_name_word_census",
+    "order_linenumber_contiguity",
+    "supplier_activity_balance_gamma",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
