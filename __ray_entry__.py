@@ -526,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.order_linenumber_contiguity,
         "supplier_activity_balance_gamma":
             analytics.supplier_activity_balance_gamma,
+        "customer_urgency_drift": analytics.customer_urgency_drift,
+        "part_size_price_gamma": analytics.part_size_price_gamma,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12903,5 +12905,64 @@ def oracle_sql() -> dict[str, str]:
                            // ((p.c2 + p.d2) // 2))
                         ELSE 0 END AS BIGINT) AS gamma_milli
             FROM p, t
+        """,
+        "customer_urgency_drift": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) // 86400000000
+                                  AS d,
+                              CAST(SUBSTR(o_orderpriority, 1, 1)
+                                   AS BIGINT) AS p
+                       FROM orders),
+            pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                          CAST(SUM(CASE WHEN y.p > x.p
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS conc,
+                          CAST(SUM(CASE WHEN y.p < x.p
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS disc
+                   FROM o x JOIN o y
+                        ON x.c = y.c AND x.d < y.d),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm
+                  FROM (SELECT c FROM o GROUP BY c
+                        HAVING COUNT(*) >= 2))
+            SELECT m.nm AS n_customers_multi, pr.np AS n_dated_pairs,
+                   pr.conc AS concordant_pairs,
+                   pr.disc AS discordant_pairs,
+                   CAST(CASE WHEN pr.conc + pr.disc > 0 THEN
+                        (CASE WHEN pr.conc >= pr.disc
+                              THEN 1 ELSE -1 END)
+                        * (1000 * ABS(pr.conc - pr.disc)
+                           // (pr.conc + pr.disc))
+                        ELSE 0 END AS BIGINT) AS gamma_milli
+            FROM pr, m
+        """,
+        "part_size_price_gamma": """
+            WITH g AS (SELECT CAST(p_size AS BIGINT) AS a,
+                              CAST(FLOOR(p_retailprice * 100)
+                                   AS BIGINT) // 100 AS b,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM part GROUP BY 1, 2),
+            p AS (SELECT CAST(SUM(CASE WHEN x.a < y.a AND x.b < y.b
+                                       THEN x.c * y.c ELSE 0 END)
+                              AS BIGINT) AS conc,
+                         CAST(SUM(CASE WHEN x.a < y.a AND x.b > y.b
+                                       THEN x.c * y.c ELSE 0 END)
+                              AS BIGINT) AS disc
+                  FROM g x, g y),
+            s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                         MAX(a) - MIN(a) + 1 AS na,
+                         MAX(b) - MIN(b) + 1 AS nb
+                  FROM g)
+            SELECT s.n AS n_parts, s.na AS n_sizes_span,
+                   s.nb AS n_dollar_span,
+                   p.conc AS concordant_pairs,
+                   p.disc AS discordant_pairs,
+                   CAST(CASE WHEN p.conc + p.disc > 0 THEN
+                        (CASE WHEN p.conc >= p.disc
+                              THEN 1 ELSE -1 END)
+                        * (1000 * ABS(p.conc - p.disc)
+                           // (p.conc + p.disc))
+                        ELSE 0 END AS BIGINT) AS gamma_milli
+            FROM p, s
         """,
     }

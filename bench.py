@@ -274,6 +274,7 @@ BENCH_QUERIES = [
     "user_journey_endpoints", "part_name_word_census",
     "order_linenumber_contiguity",
     "supplier_activity_balance_gamma",
+    "customer_urgency_drift", "part_size_price_gamma",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17689,3 +17689,119 @@ def supplier_activity_balance_gamma(sf_dir: str) -> pd.DataFrame:
           gamma_milli)],
         columns=["n_suppliers", "n_active", "concordant_pairs",
                  "discordant_pairs", "gamma_milli"]).astype("int64")
+
+
+def customer_urgency_drift(sf_dir: str) -> pd.DataFrame:
+    """URGENCY DRIFT — within a customer's order history, does
+    priority escalate or relax over time? Every strictly-dated
+    within-customer order pair votes: priority digit rises
+    (concordant), falls (discordant), or ties; gamma closes as
+    sgn * 1000*|C-D| // (C+D). Same-day pairs are excluded by the
+    strict date order on BOTH sides. One ``cust % 64`` exchange of
+    per-block (customer, day, priority, multiplicity) rollups;
+    buckets self-merge per customer (pair mass via multiplicity
+    products, order streams per customer are short) and emit one
+    4-counter partial. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate",
+                        "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        p = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                    0, 1).cast(pa.int64()).to_numpy()
+        key = c * (1 << 18) + (d % (1 << 15)) * 8 + p
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"c": pa.array(uk >> 18),
+                         "d": pa.array((uk >> 3) & ((1 << 15) - 1)),
+                         "p": pa.array(uk & 7),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(((uk >> 18) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby(["c", "d", "p"], as_index=False)["k"].sum())
+        m = g.merge(g, on="c")
+        dated = m[m["d_x"] < m["d_y"]]
+        w = dated["k_x"].to_numpy(np.int64) \
+            * dated["k_y"].to_numpy(np.int64)
+        up = dated["p_y"].to_numpy(np.int64) \
+            > dated["p_x"].to_numpy(np.int64)
+        dn = dated["p_y"].to_numpy(np.int64) \
+            < dated["p_x"].to_numpy(np.int64)
+        tot = g.groupby("c")["k"].sum()
+        return pd.DataFrame(
+            [(int((tot >= 2).sum()), int(w.sum()),
+              int(w[up].sum()), int(w[dn].sum()))],
+            columns=["n_multi", "n_pairs", "conc", "disc"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    conc, disc = int(g["conc"]), int(g["disc"])
+    tot = conc + disc
+    sgn = 1 if conc >= disc else -1
+    gamma_milli = sgn * (1000 * abs(conc - disc) // tot) \
+        if tot > 0 else 0
+    return pd.DataFrame(
+        [(int(g["n_multi"]), int(g["n_pairs"]), conc, disc,
+          gamma_milli)],
+        columns=["n_customers_multi", "n_dated_pairs",
+                 "concordant_pairs", "discordant_pairs",
+                 "gamma_milli"]).astype("int64")
+
+
+def part_size_price_gamma(sf_dir: str) -> pd.DataFrame:
+    """SIZE × PRICE monotonicity — do bigger parts list higher?
+    Goodman-Kruskal gamma between p_size (1..50) and the retail
+    price binned to whole dollars (cents // 100 — the catalog here
+    spans a narrow band, so dollar bins keep the ordinal signal):
+    concordant/discordant pair masses via exact 2D suffix sums over
+    the (size, dollar) grid; the twin pairs the GRID CELLS weighted
+    by count products, never the parts. Per-block cell partials —
+    ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_size", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t.column("p_size").to_numpy().astype(np.int64)
+        b = np.floor(t.column("p_retailprice").to_numpy() * 100) \
+            .astype(np.int64) // 100
+        key = a * (1 << 32) + b
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"a": pa.array(uk >> 32),
+                         "b": pa.array(uk & ((1 << 32) - 1)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["a", "b"], as_index=False)["n"].sum())
+    a = g["a"].to_numpy(np.int64)
+    b = g["b"].to_numpy(np.int64)
+    cnt = g["n"].to_numpy(np.int64)
+    amin, bmin = int(a.min()), int(b.min())
+    na = int(a.max()) - amin + 1
+    nb = int(b.max()) - bmin + 1
+    grid = np.zeros((na, nb), dtype=np.int64)
+    grid[a - amin, b - bmin] = cnt
+    gt = np.zeros((na + 1, nb + 1), dtype=object)
+    for i in range(na - 1, -1, -1):
+        for j in range(nb - 1, -1, -1):
+            gt[i][j] = (int(grid[i][j]) + gt[i + 1][j]
+                        + gt[i][j + 1] - gt[i + 1][j + 1])
+    conc = 0
+    disc = 0
+    for i, j in zip(*np.nonzero(grid)):
+        nij = int(grid[i][j])
+        conc += nij * int(gt[i + 1][j + 1])
+        lower = gt[i + 1][0] - gt[i + 1][j] if j > 0 else 0
+        disc += nij * int(lower)
+    tot = conc + disc
+    sgn = 1 if conc >= disc else -1
+    gamma_milli = sgn * (1000 * abs(conc - disc) // tot) \
+        if tot > 0 else 0
+    return pd.DataFrame(
+        [(int(cnt.sum()), na, nb, conc, disc, gamma_milli)],
+        columns=["n_parts", "n_sizes_span", "n_dollar_span",
+                 "concordant_pairs", "discordant_pairs",
+                 "gamma_milli"]).astype("int64")

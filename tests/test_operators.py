@@ -237,6 +237,7 @@ def test_entry_smoke(entrymod):
     "user_journey_endpoints", "part_name_word_census",
     "order_linenumber_contiguity",
     "supplier_activity_balance_gamma",
+    "customer_urgency_drift", "part_size_price_gamma",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
