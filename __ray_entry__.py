@@ -528,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_activity_balance_gamma,
         "customer_urgency_drift": analytics.customer_urgency_drift,
         "part_size_price_gamma": analytics.part_size_price_gamma,
+        "segment_priority_mix": analytics.segment_priority_mix,
+        "lineitem_net_multiplier_census":
+            analytics.lineitem_net_multiplier_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -12964,5 +12967,45 @@ def oracle_sql() -> dict[str, str]:
                            // (p.conc + p.disc))
                         ELSE 0 END AS BIGINT) AS gamma_milli
             FROM p, s
+        """,
+        "segment_priority_mix": """
+            WITH j AS (SELECT c_mktsegment AS seg,
+                              CAST(SUBSTR(o_orderpriority, 1, 1)
+                                   AS BIGINT) AS p
+                       FROM orders
+                       JOIN customer ON o_custkey = c_custkey),
+            o AS (SELECT seg, p, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM o GROUP BY 1),
+            c AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM o)
+            SELECT o.seg AS segment, o.p AS priority,
+                   o.n AS n_orders,
+                   CAST(10000 * o.n // r.rn AS BIGINT)
+                       AS seg_share_bps,
+                   CAST(1000 * o.n * t.n // (r.rn * c.cn) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM o JOIN r USING (seg) JOIN c USING (p), t
+            ORDER BY 1, 2
+        """,
+        "lineitem_net_multiplier_census": """
+            WITH d AS (SELECT (100 - CAST(FLOOR(l_discount * 100)
+                                          AS BIGINT))
+                             * (100 + CAST(FLOOR(l_tax * 100)
+                                           AS BIGINT)) AS m,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+            SELECT m AS multiplier, CAST(COUNT(*) AS BIGINT)
+                       AS n_lines,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS line_share_bps,
+                   CAST(SUM(cents) AS BIGINT) AS gross_cents,
+                   CAST(SUM(cents) * m // 10000 AS BIGINT)
+                       AS net_cents
+            FROM d, t GROUP BY m ORDER BY m
         """,
     }

@@ -275,6 +275,7 @@ BENCH_QUERIES = [
     "order_linenumber_contiguity",
     "supplier_activity_balance_gamma",
     "customer_urgency_drift", "part_size_price_gamma",
+    "segment_priority_mix", "lineitem_net_multiplier_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17805,3 +17805,107 @@ def part_size_price_gamma(sf_dir: str) -> pd.DataFrame:
         columns=["n_parts", "n_sizes_span", "n_dollar_span",
                  "concordant_pairs", "discordant_pairs",
                  "gamma_milli"]).astype("int64")
+
+
+def segment_priority_mix(sf_dir: str) -> pd.DataFrame:
+    """SEGMENT × PRIORITY mix — does market segment predict how
+    urgently its customers order? Per (segment, priority digit)
+    cell: order count, the within-segment share in exact bps, and
+    the lift vs the global priority mix fully cross-multiplied as
+    1000*o*N // (r*c) - 1000. Customer->segment LUT broadcast
+    (customers are dimension-sized); per-block constant-cell
+    partials — ZERO row shuffle, pure integers."""
+    import ray
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    scode, suniq = pd.factorize(cust["c_mktsegment"], sort=True)
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    lut = np.zeros(ck.max() + 1, dtype=np.int64)
+    lut[ck] = scode
+    ns = len(suniq)
+    ref = ray.put(lut)
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        seg = lut_[t.column("o_custkey").to_numpy().astype(np.int64)]
+        p = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                    0, 1).cast(pa.int64()).to_numpy()
+        cell = seg * 8 + p
+        c = np.bincount(cell, minlength=ns * 8).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(ns * 8, dtype=np.int64)),
+            "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(ns * 8, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(ns, 8)
+    n_tot = int(grid.sum())
+    col = grid.sum(axis=0)
+    rows = []
+    for s in range(ns):
+        rn = int(grid[s].sum())
+        for p in range(8):
+            o = int(grid[s, p])
+            if o == 0:
+                continue
+            rows.append((str(suniq[s]), p, o, 10000 * o // rn,
+                         1000 * o * n_tot // (rn * int(col[p]))
+                         - 1000))
+    out = pd.DataFrame(rows, columns=["segment", "priority",
+                                      "n_orders", "seg_share_bps",
+                                      "lift_milli"])
+    for c2 in out.columns[1:]:
+        out[c2] = out[c2].astype("int64")
+    return out
+
+
+def lineitem_net_multiplier_census(sf_dir: str) -> pd.DataFrame:
+    """NET-MULTIPLIER census — the exact distribution of the
+    combined discount-and-tax factor (100-d%)*(100+t%) per line
+    (an integer in basis-point² units; distinct (d, t) combos that
+    land on the same product POOL, identically on both sides), with
+    line shares, gross cents, and the group's exact net cents
+    (sum * m // 10000 — m is constant within a group so one floor
+    suffices). The what-does-a-dollar-of-list-actually-bill
+    profile. Per-block ≤176-cell partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_discount", "l_tax", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        x = np.floor(t.column("l_tax").to_numpy() * 100) \
+            .astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100).astype(np.int64)
+        cell = d * 16 + x
+        n = np.bincount(cell, minlength=176).astype(np.int64)
+        s = np.zeros(len(n), np.int64)
+        np.add.at(s, cell, cents)
+        return pa.table({"cell": pa.array(np.arange(len(n),
+                                                    dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")[["n", "s"]].sum())
+    pooled: dict = {}
+    for cell, row in g.iterrows():
+        if int(row["n"]) == 0:
+            continue
+        m = (100 - cell // 16) * (100 + cell % 16)
+        n0, s0 = pooled.get(m, (0, 0))
+        pooled[m] = (n0 + int(row["n"]), s0 + int(row["s"]))
+    tot = sum(n for n, _ in pooled.values())
+    rows = [(m, n, 10000 * n // tot, s, s * m // 10000)
+            for m, (n, s) in sorted(pooled.items())]
+    return pd.DataFrame(rows, columns=["multiplier", "n_lines",
+                                       "line_share_bps",
+                                       "gross_cents",
+                                       "net_cents"]).astype("int64")

@@ -238,6 +238,7 @@ def test_entry_smoke(entrymod):
     "order_linenumber_contiguity",
     "supplier_activity_balance_gamma",
     "customer_urgency_drift", "part_size_price_gamma",
+    "segment_priority_mix", "lineitem_net_multiplier_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
