@@ -531,6 +531,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_mix": analytics.segment_priority_mix,
         "lineitem_net_multiplier_census":
             analytics.lineitem_net_multiplier_census,
+        "embedding_dim_sign_balance":
+            analytics.embedding_dim_sign_balance,
+        "nation_supplier_activity_hhi":
+            analytics.nation_supplier_activity_hhi,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13007,5 +13011,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(cents) * m // 10000 AS BIGINT)
                        AS net_cents
             FROM d, t GROUP BY m ORDER BY m
+        """,
+        "embedding_dim_sign_balance": """
+            WITH u AS (
+              SELECT unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding)))
+                         AS dim
+              FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN CAST(v AS DOUBLE) > 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_pos,
+                   CAST(SUM(CASE WHEN CAST(v AS DOUBLE) = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero,
+                   CAST(10000 * SUM(CASE WHEN CAST(v AS DOUBLE) > 0
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS pos_bps
+            FROM u GROUP BY dim ORDER BY dim
+        """,
+        "nation_supplier_activity_hhi": """
+            WITH l AS (SELECT l_suppkey AS s,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1),
+            a AS (SELECT s_nationkey AS k, COALESCE(l.c, 0) AS c
+                  FROM supplier LEFT JOIN l ON l.s = s_suppkey),
+            g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_active,
+                         CAST(SUM(c) AS BIGINT) AS n_lines,
+                         CAST(SUM(c * c) AS BIGINT) AS ss,
+                         CAST(MAX(c) AS BIGINT) AS mx
+                  FROM a GROUP BY 1)
+            SELECT n_name AS nation, g.n_suppliers, g.n_active,
+                   g.n_lines,
+                   CAST(CASE WHEN g.n_lines > 0 THEN
+                        CAST(g.ss AS HUGEINT) * 100000000
+                        // (CAST(g.n_lines AS HUGEINT) * g.n_lines)
+                        ELSE -1 END AS BIGINT) AS hhi_e8,
+                   CAST(CASE WHEN g.n_lines > 0 THEN
+                        10000 * g.mx // g.n_lines
+                        ELSE -1 END AS BIGINT) AS top_share_bps
+            FROM g JOIN nation ON n_nationkey = g.k ORDER BY nation
         """,
     }

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "supplier_activity_balance_gamma",
     "customer_urgency_drift", "part_size_price_gamma",
     "segment_priority_mix", "lineitem_net_multiplier_census",
+    "embedding_dim_sign_balance",
+    "nation_supplier_activity_hhi",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -17909,3 +17909,80 @@ def lineitem_net_multiplier_census(sf_dir: str) -> pd.DataFrame:
                                        "line_share_bps",
                                        "gross_cents",
                                        "net_cents"]).astype("int64")
+
+
+def embedding_dim_sign_balance(sf_dir: str) -> pd.DataFrame:
+    """DIMENSION sign balance — per embedding dimension, the share
+    of strictly-positive components in exact bps plus exact-zero
+    counts: a dimension pinned (near-)all-positive or all-negative
+    after normalization carries a bias term, not a feature, and a
+    heavy zero count is a dead dimension (the pre-quantization
+    screen). Per-block 64-cell partials over the stacked matrix —
+    ZERO shuffle, pure integers; sign tests are exact under the
+    float32 -> float64 cast on both sides."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"],
+               rows_per_block=4096)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        pos = (m > 0).sum(axis=0).astype(np.int64)
+        zer = (m == 0).sum(axis=0).astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(1, m.shape[1] + 1,
+                                                   dtype=np.int64)),
+                         "n": pa.array(np.full(m.shape[1], m.shape[0],
+                                               dtype=np.int64)),
+                         "n_pos": pa.array(pos),
+                         "n_zero": pa.array(zer)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("dim", as_index=False)[["n", "n_pos",
+                                                      "n_zero"]]
+         .sum().sort_values("dim").reset_index(drop=True))
+    g["pos_bps"] = 10000 * g["n_pos"].to_numpy(np.int64) \
+        // g["n"].to_numpy(np.int64)
+    return g.astype("int64")
+
+
+def nation_supplier_activity_hhi(sf_dir: str) -> pd.DataFrame:
+    """ACTIVITY concentration by nation — the Herfindahl index of
+    LINE-VOLUME shares across each nation's suppliers (the
+    who-actually-ships complement to the balance-based
+    ``supplier_hhi``): HHI·1e8 = Σc² ·1e8 // (Σc)² in exact
+    arbitrary-precision integers, with supplier/active counts and
+    the top supplier's volume share in bps; zero-volume nations
+    carry the -1 sentinel. A nation whose shipping runs through one
+    supplier is a single point of failure regardless of how many
+    are registered. Per-block supplier-count partials + two
+    dimension reads — ZERO shuffle."""
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("l_suppkey").to_numpy()
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"s": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    act = (_read(sf_dir, "lineitem", columns=["l_suppkey"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("s")["c"].sum())
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cnt = supp["s_suppkey"].map(act).fillna(0).to_numpy(np.int64)
+    nk = supp["s_nationkey"].to_numpy(np.int64)
+    rows = []
+    for k in sorted(set(nk.tolist()), key=lambda k: names[k]):
+        c = cnt[nk == k]
+        tot = int(c.sum())
+        ss = sum(int(x) * int(x) for x in c)
+        hhi = ss * 100000000 // (tot * tot) if tot > 0 else -1
+        top = 10000 * int(c.max()) // tot if tot > 0 else -1
+        rows.append((names[k], len(c), int((c > 0).sum()), tot, hhi,
+                     top))
+    out = pd.DataFrame(rows, columns=["nation", "n_suppliers",
+                                      "n_active", "n_lines",
+                                      "hhi_e8", "top_share_bps"])
+    for c2 in out.columns[1:]:
+        out[c2] = out[c2].astype("int64")
+    return out

@@ -239,6 +239,8 @@ def test_entry_smoke(entrymod):
     "supplier_activity_balance_gamma",
     "customer_urgency_drift", "part_size_price_gamma",
     "segment_priority_mix", "lineitem_net_multiplier_census",
+    "embedding_dim_sign_balance",
+    "nation_supplier_activity_hhi",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
