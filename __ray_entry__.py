@@ -535,6 +535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.embedding_dim_sign_balance,
         "nation_supplier_activity_hhi":
             analytics.nation_supplier_activity_hhi,
+        "order_ship_span_census": analytics.order_ship_span_census,
+        "embedding_label_doc_mix":
+            analytics.embedding_label_doc_mix,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13054,5 +13057,46 @@ def oracle_sql() -> dict[str, str]:
                         10000 * g.mx // g.n_lines
                         ELSE -1 END AS BIGINT) AS top_share_bps
             FROM g JOIN nation ON n_nationkey = g.k ORDER BY nation
+        """,
+        "order_ship_span_census": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              MAX(epoch_us(l_shipdate)
+                                  // 86400000000)
+                              - MIN(epoch_us(l_shipdate)
+                                    // 86400000000) AS span
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT CASE WHEN span = 0 THEN 0
+                              WHEN span <= 7 THEN 1
+                              WHEN span <= 30 THEN 2
+                              WHEN span <= 90 THEN 3
+                              ELSE 4 END AS band, span FROM o),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(span) AS BIGINT) AS ss FROM o)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(1000 * MAX(t.ss) // MAX(t.n) AS BIGINT)
+                       AS mean_span_milli
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "embedding_label_doc_mix": """
+            WITH j AS (SELECT e.label AS label, d.lang AS lang
+                       FROM embeddings e
+                       JOIN documents d ON e.vec_id = d.doc_id),
+            o AS (SELECT label, lang, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM j GROUP BY 1, 2),
+            r AS (SELECT label, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM o GROUP BY 1),
+            c AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM o)
+            SELECT CAST(o.label AS BIGINT) AS label, o.lang,
+                   o.n AS n_vecs,
+                   CAST(10000 * o.n // r.rn AS BIGINT)
+                       AS label_share_bps,
+                   CAST(1000 * o.n * t.n // (r.rn * c.cn) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM o JOIN r USING (label) JOIN c USING (lang), t
+            ORDER BY 1, 2
         """,
     }

@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "segment_priority_mix", "lineitem_net_multiplier_census",
     "embedding_dim_sign_balance",
     "nation_supplier_activity_hhi",
+    "order_ship_span_census", "embedding_label_doc_mix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

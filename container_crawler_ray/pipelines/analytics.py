@@ -17986,3 +17986,124 @@ def nation_supplier_activity_hhi(sf_dir: str) -> pd.DataFrame:
     for c2 in out.columns[1:]:
         out[c2] = out[c2].astype("int64")
     return out
+
+
+def order_ship_span_census(sf_dir: str) -> pd.DataFrame:
+    """FULFILLMENT fragmentation — within an order, how many days
+    separate the first and the last line shipment? Orders band by
+    span (same-day, within a week, within a month, within a
+    quarter, longer) with shares in exact bps and the exact overall
+    milli mean span (truncating): a fat long tail means orders
+    routinely straggle across shipments and downstream consolidated-
+    invoice logic must handle partial fills. One ``order % 64``
+    exchange of per-block (order, min_day, max_day) partials;
+    buckets fold spans vectorized into 5-cell histogram + sum
+    partials. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        ou, oinv = np.unique(o, return_inverse=True)
+        mn = np.full(len(ou), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, oinv, d)
+        mx = np.zeros(len(ou), np.int64)
+        np.maximum.at(mx, oinv, d)
+        return pa.table({"o": pa.array(ou), "mn": pa.array(mn),
+                         "mx": pa.array(mx),
+                         "bucket": pa.array((ou % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ou, oinv = np.unique(g["o"].to_numpy(np.int64),
+                             return_inverse=True)
+        mn = np.full(len(ou), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, oinv, g["mn"].to_numpy(np.int64))
+        mx = np.zeros(len(ou), np.int64)
+        np.maximum.at(mx, oinv, g["mx"].to_numpy(np.int64))
+        span = mx - mn
+        band = np.where(span == 0, 0,
+                        np.where(span <= 7, 1,
+                                 np.where(span <= 30, 2,
+                                          np.where(span <= 90, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        ss = np.zeros(5, np.int64)
+        ss[0] = int(span.sum())
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_orders": h, "sum_span": ss})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_orders"].sum())
+    sum_span = int(g["sum_span"].sum())
+    g = g[g["n_orders"] > 0].sort_values("band")
+    out = pd.DataFrame({
+        "band": g["band"].to_numpy(np.int64),
+        "n_orders": g["n_orders"].to_numpy(np.int64),
+        "share_bps": 10000 * g["n_orders"].to_numpy(np.int64)
+        // tot})
+    out["mean_span_milli"] = 1000 * sum_span // tot
+    return out.reset_index(drop=True).astype("int64")
+
+
+def embedding_label_doc_mix(sf_dir: str) -> pd.DataFrame:
+    """LABEL × LANGUAGE mix across the modality boundary — are the
+    embedding labels just language clusters in disguise? Joins
+    embeddings to documents on vec_id = doc_id (the corpus the
+    vectors were computed from) and reports, per (label, lang)
+    cell: vector count, the within-label share in exact bps, and
+    the lift vs the global language mix cross-multiplied as
+    1000*o*N // (r*c) - 1000. Scale shape is the tagged-union
+    ``id % 64`` hash join (both sides are fact-sized at 100 TB —
+    each ships one slim (id, tag, payload) row, buckets merge and
+    emit cell counts); no broadcast of either table. Pure
+    integers."""
+    emb = (_read(sf_dir, "embeddings", columns=["vec_id", "label"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("vec_id").cast(pa.int64()),
+               "label": t.column("label").cast(pa.int64()),
+               "lang": pa.array([""] * len(t), type=pa.string()),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("vec_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+    doc = (_read(sf_dir, "documents", columns=["doc_id", "lang"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("doc_id").cast(pa.int64()),
+               "label": pa.array([-1] * len(t), type=pa.int64()),
+               "lang": t.column("lang"),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("doc_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["label"] >= 0][["k", "label"]]
+        right = g[g["label"] < 0][["k", "lang"]]
+        m = left.merge(right, on="k")
+        out = m.groupby(["label", "lang"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    g = (emb.union(doc).groupby("bucket")
+         .map_groups(fold, batch_format="pandas")
+         .to_pandas()
+         .groupby(["label", "lang"], as_index=False)["n"].sum())
+    n_tot = int(g["n"].sum())
+    rn = g.groupby("label")["n"].sum()
+    cn = g.groupby("lang")["n"].sum()
+    g = g.sort_values(["label", "lang"],
+                      kind="mergesort").reset_index(drop=True)
+    lab = g["label"].to_numpy(np.int64)
+    n = g["n"].to_numpy(np.int64)
+    r = rn.loc[g["label"]].to_numpy(np.int64)
+    c = cn.loc[g["lang"]].to_numpy(np.int64)
+    out = pd.DataFrame({"label": lab, "lang": g["lang"],
+                        "n_vecs": n,
+                        "label_share_bps": 10000 * n // r,
+                        "lift_milli": 1000 * n * n_tot // (r * c)
+                        - 1000})
+    return out.astype({"label": "int64", "n_vecs": "int64",
+                       "label_share_bps": "int64",
+                       "lift_milli": "int64"})

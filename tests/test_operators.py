@@ -241,6 +241,7 @@ def test_entry_smoke(entrymod):
     "segment_priority_mix", "lineitem_net_multiplier_census",
     "embedding_dim_sign_balance",
     "nation_supplier_activity_hhi",
+    "order_ship_span_census", "embedding_label_doc_mix",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
