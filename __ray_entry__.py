@@ -538,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_span_census": analytics.order_ship_span_census,
         "embedding_label_doc_mix":
             analytics.embedding_label_doc_mix,
+        "embedding_coverage_by_source":
+            analytics.embedding_coverage_by_source,
+        "part_competition_price_spread":
+            analytics.part_competition_price_spread,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13098,5 +13102,53 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lift_milli
             FROM o JOIN r USING (label) JOIN c USING (lang), t
             ORDER BY 1, 2
+        """,
+        "embedding_coverage_by_source": """
+            WITH j AS (SELECT d.source,
+                              CASE WHEN e.vec_id IS NULL
+                                   THEN 0 ELSE 1 END AS has
+                       FROM documents d
+                       LEFT JOIN embeddings e
+                            ON e.vec_id = d.doc_id)
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(has) AS BIGINT) AS n_with_vec,
+                   CAST(10000 * SUM(has) // COUNT(*) AS BIGINT)
+                       AS coverage_bps
+            FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "part_competition_price_spread": """
+            WITH u AS (SELECT l_partkey AS p, l_suppkey AS s,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                              // CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS uc
+                       FROM lineitem),
+            pp AS (SELECT p, CAST(COUNT(DISTINCT s) AS BIGINT)
+                              AS ns,
+                          CAST(MIN(uc) AS BIGINT) AS mn,
+                          CAST(MAX(uc) AS BIGINT) AS mx
+                   FROM u GROUP BY 1),
+            lv AS (SELECT LEAST(ns, 10) AS level,
+                          LEAST(10000 * (mx - mn)
+                                // GREATEST(mn, 1), 10000) AS sp
+                   FROM pp),
+            r AS (SELECT level, sp, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM lv GROUP BY 1, 2),
+            w AS (SELECT level, sp, c,
+                         SUM(c) OVER (PARTITION BY level ORDER BY sp
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY level) AS n,
+                         SUM(sp * c) OVER (PARTITION BY level)
+                             AS ssum
+                  FROM r)
+            SELECT CAST(level AS BIGINT) AS n_suppliers_capped,
+                   CAST(MAX(n) AS BIGINT) AS n_parts,
+                   CAST(1000 * MAX(ssum) // MAX(n) AS BIGINT)
+                       AS mean_spread_bp_milli,
+                   CAST(MIN(sp) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50_spread_bp
+            FROM w GROUP BY level ORDER BY 1
         """,
     }

@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "embedding_dim_sign_balance",
     "nation_supplier_activity_hhi",
     "order_ship_span_census", "embedding_label_doc_mix",
+    "embedding_coverage_by_source",
+    "part_competition_price_spread",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -18107,3 +18107,131 @@ def embedding_label_doc_mix(sf_dir: str) -> pd.DataFrame:
     return out.astype({"label": "int64", "n_vecs": "int64",
                        "label_share_bps": "int64",
                        "lift_milli": "int64"})
+
+
+def embedding_coverage_by_source(sf_dir: str) -> pd.DataFrame:
+    """EMBEDDING coverage — which corpus slices still lack vectors?
+    Per document source: total docs, docs with an embedding row
+    (vec_id = doc_id), and coverage in exact bps — the
+    is-the-index-complete gate before any semantic-dedup or ANN
+    stage is trusted. Scale shape is the tagged-union ``id % 64``
+    hash ANTI-join probe (documents ship (id, source), embeddings
+    ship bare ids; buckets membership-test vectorized) — no
+    broadcast of either side. Pure integers."""
+    emb = (_read(sf_dir, "embeddings", columns=["vec_id"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("vec_id").cast(pa.int64()),
+               "source": pa.array([""] * len(t), type=pa.string()),
+               "tag": pa.array(np.zeros(len(t), np.int64)),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("vec_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+    doc = (_read(sf_dir, "documents", columns=["doc_id", "source"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("doc_id").cast(pa.int64()),
+               "source": t.column("source"),
+               "tag": pa.array(np.ones(len(t), np.int64)),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("doc_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["tag"] == 0, "k"].tolist())
+        d = g[g["tag"] == 1]
+        hit = d["k"].isin(have)
+        out = pd.DataFrame({"source": d["source"],
+                            "hit": hit.astype(np.int64)})
+        r = out.groupby("source", as_index=False).agg(
+            n_docs=("hit", "size"), n_with_vec=("hit", "sum"))
+        return r
+
+    g = (emb.union(doc).groupby("bucket")
+         .map_groups(fold, batch_format="pandas")
+         .to_pandas()
+         .groupby("source", as_index=False)[["n_docs",
+                                             "n_with_vec"]].sum()
+         .sort_values("source").reset_index(drop=True))
+    g["coverage_bps"] = 10000 * g["n_with_vec"].to_numpy(np.int64) \
+        // g["n_docs"].to_numpy(np.int64)
+    return g.astype({"n_docs": "int64", "n_with_vec": "int64",
+                     "coverage_bps": "int64"})
+
+
+def part_competition_price_spread(sf_dir: str) -> pd.DataFrame:
+    """COMPETITION vs PRICE SPREAD — does having more suppliers for
+    a part tighten its observed unit-price range? Per part: distinct
+    supplier count (capped at 10) and the relative unit-price spread
+    10000*(max-min)//min basis points (truncating ``cents // qty``
+    units, capped at 10000); then per competition level: part count,
+    exact milli mean spread and the exact ceil-rank p50 spread. A
+    falling curve is the textbook competition story; a flat one
+    means pricing ignores the supply base. One ``part % 64``
+    exchange of per-block (part, supplier, min/max unit) rollups;
+    buckets fold parts vectorized and emit bounded (level, spread)
+    cell counts. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        key = p * (1 << 32) + s
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, uc)
+        mx = np.zeros(len(uk), np.int64)
+        np.maximum.at(mx, inv, uc)
+        return pa.table({"p": pa.array(uk >> 32),
+                         "s": pa.array(uk & ((1 << 32) - 1)),
+                         "mn": pa.array(mn), "mx": pa.array(mx),
+                         "bucket": pa.array(((uk >> 32) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["p"].to_numpy(np.int64) * (1 << 32) \
+            + g["s"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, g["mn"].to_numpy(np.int64))
+        mx = np.zeros(len(uk), np.int64)
+        np.maximum.at(mx, inv, g["mx"].to_numpy(np.int64))
+        pu, pinv = np.unique(uk >> 32, return_inverse=True)
+        ns = np.bincount(pinv, minlength=len(pu)).astype(np.int64)
+        pmn = np.full(len(pu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(pmn, pinv, mn)
+        pmx = np.zeros(len(pu), np.int64)
+        np.maximum.at(pmx, pinv, mx)
+        level = np.minimum(ns, 10)
+        sp = np.minimum(10000 * (pmx - pmn)
+                        // np.maximum(pmn, 1), 10000)
+        cell = level * 16384 + sp
+        uc2, c2 = np.unique(cell, return_counts=True)
+        return pd.DataFrame({"level": uc2 // 16384,
+                             "sp": uc2 % 16384,
+                             "c": c2.astype(np.int64)})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas()
+         .groupby(["level", "sp"], as_index=False)["c"].sum())
+    rows = []
+    for level in sorted(g["level"].unique()):
+        sub = g[g["level"] == level].sort_values("sp")
+        n = int(sub["c"].sum())
+        ssum = int((sub["sp"].to_numpy(np.int64)
+                    * sub["c"].to_numpy(np.int64)).sum())
+        cum = sub["c"].cumsum().to_numpy(np.int64)
+        rank = (50 * n + 99) // 100
+        p50 = int(sub["sp"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+        rows.append((int(level), n, 1000 * ssum // n, p50))
+    return pd.DataFrame(rows, columns=["n_suppliers_capped",
+                                       "n_parts",
+                                       "mean_spread_bp_milli",
+                                       "p50_spread_bp"]) \
+        .astype("int64")

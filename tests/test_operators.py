@@ -242,6 +242,8 @@ def test_entry_smoke(entrymod):
     "embedding_dim_sign_balance",
     "nation_supplier_activity_hhi",
     "order_ship_span_census", "embedding_label_doc_mix",
+    "embedding_coverage_by_source",
+    "part_competition_price_spread",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
