@@ -542,6 +542,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.embedding_coverage_by_source,
         "part_competition_price_spread":
             analytics.part_competition_price_spread,
+        "lineitem_price_divisibility_audit":
+            analytics.lineitem_price_divisibility_audit,
+        "customer_same_day_orders":
+            analytics.customer_same_day_orders,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13150,5 +13154,47 @@ def oracle_sql() -> dict[str, str]:
                         cum >= (50 * n + 99) // 100) AS BIGINT)
                        AS p50_spread_bp
             FROM w GROUP BY level ORDER BY 1
+        """,
+        "lineitem_price_divisibility_audit": """
+            WITH d AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS q,
+                              CASE WHEN CAST(FLOOR(l_extendedprice
+                                                   * 100) AS BIGINT)
+                                        % CAST(FLOOR(l_quantity)
+                                               AS BIGINT) = 0
+                                   THEN 1 ELSE 0 END AS dv
+                       FROM lineitem)
+            SELECT q AS quantity, CAST(COUNT(*) AS BIGINT)
+                       AS n_lines,
+                   CAST(SUM(dv) AS BIGINT) AS n_divisible,
+                   CAST(10000 * SUM(dv) // COUNT(*) AS BIGINT)
+                       AS div_bps
+            FROM d GROUP BY q ORDER BY q
+        """,
+        "customer_same_day_orders": """
+            WITH cd AS (SELECT o_custkey AS c,
+                               epoch_us(o_orderdate) // 86400000000
+                                   AS d,
+                               CAST(COUNT(*) AS BIGINT) AS k
+                        FROM orders GROUP BY 1, 2),
+            cu AS (SELECT c, CAST(MAX(k) AS BIGINT) AS mx
+                   FROM cd GROUP BY c),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+                         CAST(SUM(CASE WHEN mx >= 2
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_same FROM cu),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_multi,
+                         CAST(COALESCE(SUM(k) FILTER (k >= 2), 0)
+                              AS BIGINT) AS n_orders_multi,
+                         CAST(MAX(k) AS BIGINT) AS mx1
+                  FROM cd WHERE k >= 2),
+            mm AS (SELECT CAST(MAX(k) AS BIGINT) AS max_all FROM cd)
+            SELECT t.n_customers, t.n_same AS n_cust_same_day,
+                   CAST(10000 * t.n_same // t.n_customers AS BIGINT)
+                       AS same_day_bps,
+                   m.n_multi AS n_multi_days,
+                   m.n_orders_multi AS n_orders_on_multi_days,
+                   mm.max_all AS max_one_day
+            FROM t, m, mm
         """,
     }

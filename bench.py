@@ -281,6 +281,8 @@ BENCH_QUERIES = [
     "order_ship_span_census", "embedding_label_doc_mix",
     "embedding_coverage_by_source",
     "part_competition_price_spread",
+    "lineitem_price_divisibility_audit",
+    "customer_same_day_orders",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -18235,3 +18235,101 @@ def part_competition_price_spread(sf_dir: str) -> pd.DataFrame:
                                        "mean_spread_bp_milli",
                                        "p50_spread_bp"]) \
         .astype("int64")
+
+
+def lineitem_price_divisibility_audit(sf_dir: str) -> pd.DataFrame:
+    """PRICE DIVISIBILITY audit — is extended price an exact
+    per-unit multiple (cents % qty == 0) at every quantity level?
+    Per quantity 1..50: line count, divisible count and the share
+    in exact bps. A sub-10000 share at some quantity means unit
+    prices there carry sub-cent precision (a rounding landmine for
+    any revenue-per-unit readout downstream — ``cents // qty``
+    truncation silently loses mass). Per-block 100-cell partials —
+    ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100).astype(np.int64)
+        div = (cents % q == 0).astype(np.int64)
+        cell = np.clip(q, 1, 50) * 2 + div
+        c = np.bincount(cell, minlength=102).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(len(c),
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    cnt = np.zeros(102, dtype=np.int64)
+    cnt[g.index.to_numpy()] = g.to_numpy()
+    rows = []
+    for q in range(1, 51):
+        n = int(cnt[q * 2] + cnt[q * 2 + 1])
+        if n == 0:
+            continue
+        d = int(cnt[q * 2 + 1])
+        rows.append((q, n, d, 10000 * d // n))
+    return pd.DataFrame(rows, columns=["quantity", "n_lines",
+                                       "n_divisible", "div_bps"]) \
+        .astype("int64")
+
+
+def customer_same_day_orders(sf_dir: str) -> pd.DataFrame:
+    """SAME-DAY multi-order census — how many customers ever place
+    two or more orders on one calendar day, how much order mass
+    those days carry, and the single busiest (customer, day)? The
+    dedup-vs-genuine-burst screen for order ingestion (a spike here
+    is either bot traffic or a retry bug) and the tie-breaker
+    stress-test for sequence features keyed on (customer, day). One
+    ``cust % 64`` exchange of per-block (customer, day) pair
+    counts; buckets fold multiplicities vectorized into one
+    5-counter partial each. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        key = c * 32768 + (d % 32768)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"c": pa.array(uk // 32768),
+                         "d": pa.array(uk % 32768),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(((uk // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["c"].to_numpy(np.int64) * 32768 \
+            + g["d"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        k = np.zeros(len(uk), np.int64)
+        np.add.at(k, inv, g["k"].to_numpy(np.int64))
+        cu, cinv = np.unique(uk // 32768, return_inverse=True)
+        mx = np.zeros(len(cu), np.int64)
+        np.maximum.at(mx, cinv, k)
+        multi_days = k >= 2
+        return pd.DataFrame(
+            [(len(cu), int((mx >= 2).sum()), int(multi_days.sum()),
+              int(k[multi_days].sum()), int(k.max()))],
+            columns=["n_customers", "n_cust_same_day",
+                     "n_multi_days", "n_orders_on_multi_days",
+                     "max_one_day"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_cust = int(g["n_customers"].sum())
+    n_same = int(g["n_cust_same_day"].sum())
+    return pd.DataFrame(
+        [(n_cust, n_same, 10000 * n_same // n_cust,
+          int(g["n_multi_days"].sum()),
+          int(g["n_orders_on_multi_days"].sum()),
+          int(g["max_one_day"].max()))],
+        columns=["n_customers", "n_cust_same_day",
+                 "same_day_bps", "n_multi_days",
+                 "n_orders_on_multi_days", "max_one_day"]) \
+        .astype("int64")

@@ -244,6 +244,8 @@ def test_entry_smoke(entrymod):
     "order_ship_span_census", "embedding_label_doc_mix",
     "embedding_coverage_by_source",
     "part_competition_price_spread",
+    "lineitem_price_divisibility_audit",
+    "customer_same_day_orders",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
