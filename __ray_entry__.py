@@ -546,6 +546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.lineitem_price_divisibility_audit,
         "customer_same_day_orders":
             analytics.customer_same_day_orders,
+        "user_weekend_value_census":
+            analytics.user_weekend_value_census,
+        "embedding_norm_vs_doclen":
+            analytics.embedding_norm_vs_doclen,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13196,5 +13200,51 @@ def oracle_sql() -> dict[str, str]:
                    m.n_orders_multi AS n_orders_on_multi_days,
                    mm.max_all AS max_one_day
             FROM t, m, mm
+        """,
+        "user_weekend_value_census": """
+            WITH u AS (SELECT user_id AS c,
+                              CAST(SUM(CAST(FLOOR(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS tv,
+                              CAST(SUM(CASE WHEN
+                                       (epoch_us(ts) // 86400000000
+                                        + 4) % 7 IN (0, 6)
+                                       THEN CAST(FLOOR(value * 100)
+                                                 AS BIGINT)
+                                       ELSE 0 END) AS BIGINT) AS wv
+                       FROM events GROUP BY 1),
+            b AS (SELECT CASE WHEN tv = 0 THEN 0
+                              WHEN wv = 0 THEN 1
+                              WHEN 100 * wv < 25 * tv THEN 2
+                              WHEN 100 * wv < 50 * tv THEN 3
+                              WHEN 100 * wv < 75 * tv THEN 4
+                              ELSE 5 END AS band FROM u),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "embedding_norm_vs_doclen": """
+            WITH nv AS (SELECT vec_id,
+                               CAST(SUM(
+                                   CAST(FLOOR(CAST(v AS DOUBLE)
+                                              * 1000000.0)
+                                        AS BIGINT)
+                                   * CAST(FLOOR(CAST(v AS DOUBLE)
+                                                * 1000000.0)
+                                          AS BIGINT)) AS BIGINT)
+                                   AS n2
+                        FROM (SELECT vec_id, unnest(embedding) AS v
+                              FROM embeddings) GROUP BY 1),
+            j AS (SELECT LEAST(d.n_chars // 100, 9) AS band, nv.n2
+                  FROM nv JOIN documents d ON d.doc_id = nv.vec_id)
+            SELECT CAST(band AS BIGINT) AS len_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n2) // COUNT(*) AS BIGINT)
+                       AS mean_norm2_fp,
+                   CAST(MIN(n2) AS BIGINT) AS min_norm2_fp,
+                   CAST(MAX(n2) AS BIGINT) AS max_norm2_fp
+            FROM j GROUP BY 1 ORDER BY 1
         """,
     }

@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "part_competition_price_spread",
     "lineitem_price_divisibility_audit",
     "customer_same_day_orders",
+    "user_weekend_value_census", "embedding_norm_vs_doclen",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -18333,3 +18333,123 @@ def customer_same_day_orders(sf_dir: str) -> pd.DataFrame:
                  "same_day_bps", "n_multi_days",
                  "n_orders_on_multi_days", "max_one_day"]) \
         .astype("int64")
+
+
+def user_weekend_value_census(sf_dir: str) -> pd.DataFrame:
+    """WEEKEND-VALUE census — of each user's total event value, how
+    much lands on Saturday/Sunday? Users band by the
+    cross-multiplied share test (no-value users separate, then
+    zero-weekend, <25%, <50%, <75%, >=75%) with shares in exact
+    bps: the leisure-vs-worktime revenue shape that decides when to
+    ship releases and run promos. One ``user % 64`` exchange of
+    per-block (user, total, weekend) cent sums; buckets fold and
+    emit one 6-cell histogram each. Weekday index matches the
+    twin's (epoch_day + 4) % 7 with weekend = {0, 6}. Pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        day = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        wk = ((day + 4) % 7)
+        is_we = ((wk == 0) | (wk == 6)).astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        tv = np.zeros(len(uu), np.int64)
+        np.add.at(tv, inv, cents)
+        wv = np.zeros(len(uu), np.int64)
+        np.add.at(wv, inv, cents * is_we)
+        return pa.table({"u": pa.array(uu), "tv": pa.array(tv),
+                         "wv": pa.array(wv),
+                         "bucket": pa.array((uu % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uu, inv = np.unique(g["u"].to_numpy(np.int64),
+                            return_inverse=True)
+        tv = np.zeros(len(uu), np.int64)
+        np.add.at(tv, inv, g["tv"].to_numpy(np.int64))
+        wv = np.zeros(len(uu), np.int64)
+        np.add.at(wv, inv, g["wv"].to_numpy(np.int64))
+        band = np.where(tv == 0, 0,
+                        np.where(wv == 0, 1,
+                                 np.where(100 * wv < 25 * tv, 2,
+                                          np.where(100 * wv < 50
+                                                   * tv, 3,
+                                                   np.where(100 * wv
+                                                            < 75
+                                                            * tv, 4,
+                                                            5)))))
+        h = np.bincount(band, minlength=6).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(6, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")
+
+
+def embedding_norm_vs_doclen(sf_dir: str) -> pd.DataFrame:
+    """NORM vs LENGTH — do longer documents get bigger vectors?
+    Per 100-char length band (capped at band 9): document count and
+    the truncating mean / min / max of the exact fixed-point squared
+    norm Σ floor(v·1e6)² — unnormalized embeddings that scale with
+    input length leak length into every cosine, the
+    should-have-L2-normalized audit. Scale shape is the tagged-union
+    ``id % 64`` hash join (vectors reduce to one (id, norm²) row
+    per record before the exchange; documents ship (id, n_chars));
+    bounded band partials per bucket. Pure integers."""
+    emb = (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("vec_id").cast(pa.int64()),
+               "n2": pa.array(
+                   (np.floor(np.stack(t.column("embedding")
+                                      .to_numpy(zero_copy_only=False))
+                             .astype(np.float64) * 1e6)
+                    .astype(np.int64) ** 2).sum(axis=1)),
+               "len": pa.array(np.full(len(t), -1, np.int64)),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("vec_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+    doc = (_read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+           .map_batches(lambda t: pa.table({
+               "k": t.column("doc_id").cast(pa.int64()),
+               "n2": pa.array(np.full(len(t), -1, np.int64)),
+               "len": t.column("n_chars").cast(pa.int64()),
+               "bucket": pc.cast(pc.bit_wise_and(
+                   t.column("doc_id").cast(pa.int64()), 63),
+                   pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["len"] < 0][["k", "n2"]]
+        right = g[g["len"] >= 0][["k", "len"]]
+        m = left.merge(right, on="k")
+        if m.empty:
+            return pd.DataFrame(columns=["band", "n", "s", "mn",
+                                         "mx"])
+        band = np.minimum(m["len"].to_numpy(np.int64) // 100, 9)
+        n2 = m["n2"].to_numpy(np.int64)
+        out = pd.DataFrame({"band": band, "n2": n2}) \
+            .groupby("band", as_index=False) \
+            .agg(n=("n2", "size"), s=("n2", "sum"),
+                 mn=("n2", "min"), mx=("n2", "max"))
+        return out
+
+    g = (emb.union(doc).groupby("bucket")
+         .map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False)
+         .agg(n=("n", "sum"), s=("s", "sum"), mn=("mn", "min"),
+              mx=("mx", "max"))
+         .sort_values("band").reset_index(drop=True))
+    return pd.DataFrame({
+        "len_band": g["band"].to_numpy(np.int64),
+        "n_docs": g["n"].to_numpy(np.int64),
+        "mean_norm2_fp": g["s"].to_numpy(np.int64)
+        // g["n"].to_numpy(np.int64),
+        "min_norm2_fp": g["mn"].to_numpy(np.int64),
+        "max_norm2_fp": g["mx"].to_numpy(np.int64)}).astype("int64")

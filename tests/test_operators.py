@@ -246,6 +246,7 @@ def test_entry_smoke(entrymod):
     "part_competition_price_spread",
     "lineitem_price_divisibility_audit",
     "customer_same_day_orders",
+    "user_weekend_value_census", "embedding_norm_vs_doclen",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
