@@ -550,6 +550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.user_weekend_value_census,
         "embedding_norm_vs_doclen":
             analytics.embedding_norm_vs_doclen,
+        "nation_price_premium": analytics.nation_price_premium,
+        "returns_by_quantity_band":
+            analytics.returns_by_quantity_band,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13246,5 +13249,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(n2) AS BIGINT) AS min_norm2_fp,
                    CAST(MAX(n2) AS BIGINT) AS max_norm2_fp
             FROM j GROUP BY 1 ORDER BY 1
+        """,
+        "nation_price_premium": """
+            WITH u AS (SELECT l_partkey AS p, l_suppkey AS s,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                              // CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS uc
+                       FROM lineitem),
+            pa_ AS (SELECT p, CAST(SUM(uc) AS BIGINT) AS ps,
+                           CAST(COUNT(*) AS BIGINT) AS pc
+                    FROM u GROUP BY 1),
+            r AS (SELECT s_nationkey AS k,
+                         10000 * u.uc * pa_.pc // pa_.ps AS rel
+                  FROM u JOIN pa_ USING (p)
+                         JOIN supplier ON s_suppkey = u.s)
+            SELECT n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(1000 * SUM(rel) // COUNT(*) AS BIGINT)
+                       AS rel_price_milli_bp
+            FROM r JOIN nation ON n_nationkey = r.k
+            GROUP BY 1 ORDER BY 1
+        """,
+        "returns_by_quantity_band": """
+            WITH d AS (SELECT LEAST(GREATEST(
+                                  (CAST(FLOOR(l_quantity) AS BIGINT)
+                                   - 1) // 10, 0), 4) AS b,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r
+                       FROM lineitem),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(r) AS BIGINT) AS rt FROM d)
+            SELECT b AS qty_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(r) AS BIGINT) AS n_returned,
+                   CAST(10000 * SUM(r) // COUNT(*) AS BIGINT)
+                       AS return_bps,
+                   CAST(CASE WHEN MAX(t.rt) > 0 THEN
+                        1000 * SUM(r) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.rt)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM d, t GROUP BY b ORDER BY b
         """,
     }

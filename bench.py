@@ -284,6 +284,7 @@ BENCH_QUERIES = [
     "lineitem_price_divisibility_audit",
     "customer_same_day_orders",
     "user_weekend_value_census", "embedding_norm_vs_doclen",
+    "nation_price_premium", "returns_by_quantity_band",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -18453,3 +18453,125 @@ def embedding_norm_vs_doclen(sf_dir: str) -> pd.DataFrame:
         // g["n"].to_numpy(np.int64),
         "min_norm2_fp": g["mn"].to_numpy(np.int64),
         "max_norm2_fp": g["mx"].to_numpy(np.int64)}).astype("int64")
+
+
+def nation_price_premium(sf_dir: str) -> pd.DataFrame:
+    """NATION price premium — do suppliers from some nation
+    systematically bill above the part's own average unit price?
+    Pass A folds per-part unit-price sums/counts (truncating
+    ``cents // qty`` units); pass B broadcasts that part-indexed
+    table plus the supplier->nation LUT and scores every line's
+    relative price 10000*uc*n_p // sum_p (floored per line, exactly
+    mirrored in SQL), then averages per nation as a truncating
+    milli mean of the floored per-line values. >10000 milli-mean =
+    premium nation. Two passes, both ZERO row shuffle (part and
+    supplier tables are dimension-sized broadcasts). Pure
+    integers."""
+    import ray
+
+    def partialA(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        pu, inv = np.unique(p, return_inverse=True)
+        s = np.zeros(len(pu), np.int64)
+        np.add.at(s, inv, uc)
+        c = np.bincount(inv, minlength=len(pu)).astype(np.int64)
+        return pa.table({"p": pa.array(pu), "s": pa.array(s),
+                         "c": pa.array(c)})
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_quantity"])
+    pg = (ds.map_batches(partialA, batch_format="pyarrow")
+          .to_pandas().groupby("p")[["s", "c"]].sum())
+    pmax = int(pg.index.max())
+    psum = np.zeros(pmax + 1, np.int64)
+    psum[pg.index.to_numpy()] = pg["s"].to_numpy(np.int64)
+    pcnt = np.zeros(pmax + 1, np.int64)
+    pcnt[pg.index.to_numpy()] = pg["c"].to_numpy(np.int64)
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    s_nat = np.zeros(sk.max() + 1, np.int64)
+    s_nat[sk] = supp["s_nationkey"].to_numpy(np.int64)
+    refs = ray.put((psum, pcnt, s_nat))
+
+    def partialB(t: pa.Table) -> pa.Table:
+        psum_, pcnt_, s_nat_ = ray.get(refs)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        nk = s_nat_[t.column("l_suppkey").to_numpy()
+                    .astype(np.int64)]
+        rel = 10000 * uc * pcnt_[p] // psum_[p]
+        s = np.zeros(32, np.int64)
+        np.add.at(s, nk, rel)
+        c = np.bincount(nk, minlength=32).astype(np.int64)
+        return pa.table({"k": pa.array(np.arange(32,
+                                                 dtype=np.int64)),
+                         "s": pa.array(s), "c": pa.array(c)})
+
+    g = (ds.map_batches(partialB, batch_format="pyarrow")
+         .to_pandas().groupby("k")[["s", "c"]].sum())
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rows = []
+    for k, row in g.iterrows():
+        if int(row["c"]) == 0:
+            continue
+        rows.append((names[int(k)], int(row["c"]),
+                     1000 * int(row["s"]) // int(row["c"])))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame(rows, columns=["nation", "n_lines",
+                                       "rel_price_milli_bp"]) \
+        .astype({"n_lines": "int64", "rel_price_milli_bp": "int64"})
+
+
+def returns_by_quantity_band(sf_dir: str) -> pd.DataFrame:
+    """RETURNS vs ORDER SIZE — are high-quantity lines returned
+    more? Per 10-unit quantity band: line count, returned-flag
+    share in exact bps and the lift vs the global return rate fully
+    cross-multiplied — the bulk-buyer-remorse / damaged-in-bulk
+    screen that decides whether quantity caps cut return costs.
+    Per-block 10-cell partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        band = np.clip((q - 1) // 10, 0, 4)
+        r = (np.asarray(t.column("l_returnflag").to_numpy(
+            zero_copy_only=False)) == "R").astype(np.int64)
+        cell = band * 2 + r
+        c = np.bincount(cell, minlength=10).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(10,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    cnt = np.zeros(10, dtype=np.int64)
+    cnt[g.index.to_numpy()] = g.to_numpy()
+    grid = cnt.reshape(5, 2)
+    n_tot = int(grid.sum())
+    r_tot = int(grid[:, 1].sum())
+    rows = []
+    for b in range(5):
+        n = int(grid[b].sum())
+        if n == 0:
+            continue
+        r = int(grid[b, 1])
+        rows.append((b, n, r, 10000 * r // n,
+                     1000 * r * n_tot // (n * r_tot) - 1000
+                     if r_tot > 0 else -9999))
+    return pd.DataFrame(rows, columns=["qty_band", "n_lines",
+                                       "n_returned", "return_bps",
+                                       "lift_milli"]) \
+        .astype("int64")
