@@ -553,6 +553,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_price_premium": analytics.nation_price_premium,
         "returns_by_quantity_band":
             analytics.returns_by_quantity_band,
+        "order_size_discount_curve":
+            analytics.order_size_discount_curve,
+        "supplier_month_coverage":
+            analytics.supplier_month_coverage,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13290,5 +13294,40 @@ def oracle_sql() -> dict[str, str]:
                         // (COUNT(*) * MAX(t.rt)) - 1000
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM d, t GROUP BY b ORDER BY b
+        """,
+        "order_size_discount_curve": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CAST(FLOOR(l_discount * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS s
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT LEAST(n, 7) AS band, n, s FROM o)
+            SELECT band AS line_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(n) AS BIGINT) AS n_lines,
+                   CAST(1000 * SUM(s) // SUM(n) AS BIGINT)
+                       AS mean_disc_pct_milli
+            FROM b GROUP BY band ORDER BY band
+        """,
+        "supplier_month_coverage": """
+            WITH sm AS (SELECT DISTINCT l_suppkey AS s,
+                               epoch_us(l_shipdate) // 86400000000
+                                   // 30 AS m
+                        FROM lineitem),
+            su AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS act,
+                          CAST(MAX(m) - MIN(m) + 1 AS BIGINT)
+                              AS span
+                   FROM sm GROUP BY s),
+            b AS (SELECT CASE WHEN span = 1 THEN 0
+                              WHEN 100 * act < 25 * span THEN 1
+                              WHEN 100 * act < 50 * span THEN 2
+                              WHEN 100 * act < 75 * span THEN 3
+                              ELSE 4 END AS band FROM su),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM su)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

@@ -285,6 +285,7 @@ BENCH_QUERIES = [
     "customer_same_day_orders",
     "user_weekend_value_census", "embedding_norm_vs_doclen",
     "nation_price_premium", "returns_by_quantity_band",
+    "order_size_discount_curve", "supplier_month_coverage",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

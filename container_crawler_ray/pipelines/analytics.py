@@ -18575,3 +18575,119 @@ def returns_by_quantity_band(sf_dir: str) -> pd.DataFrame:
                                        "n_returned", "return_bps",
                                        "lift_milli"]) \
         .astype("int64")
+
+
+def order_size_discount_curve(sf_dir: str) -> pd.DataFrame:
+    """ORDER-SIZE discount curve — do orders with more lines carry
+    deeper line discounts (negotiated-volume pricing) or is the
+    discount dial independent of basket width? Per line-count band
+    (1..6, 7+): order count, line count, and the exact truncating
+    milli mean of the whole-percent line discount — read the curve
+    top to bottom and a rising mean is the volume-discount story.
+    One ``order % 64`` exchange of per-block (order, lines,
+    discount-sum) partials; buckets fold and emit 7-cell grids.
+    Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        dp = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        ou, inv = np.unique(o, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ou)).astype(np.int64)
+        s = np.zeros(len(ou), np.int64)
+        np.add.at(s, inv, dp)
+        return pa.table({"o": pa.array(ou), "n": pa.array(n),
+                         "s": pa.array(s),
+                         "bucket": pa.array((ou % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ou, inv = np.unique(g["o"].to_numpy(np.int64),
+                            return_inverse=True)
+        n = np.zeros(len(ou), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(np.int64))
+        s = np.zeros(len(ou), np.int64)
+        np.add.at(s, inv, g["s"].to_numpy(np.int64))
+        band = np.minimum(n, 7) - 1
+        no = np.bincount(band, minlength=7).astype(np.int64)
+        nl = np.zeros(7, np.int64)
+        np.add.at(nl, band, n)
+        sd = np.zeros(7, np.int64)
+        np.add.at(sd, band, s)
+        return pd.DataFrame({"band": np.arange(7, dtype=np.int64),
+                             "n_orders": no, "n_lines": nl,
+                             "sum_disc": sd})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    g = g[g["n_orders"] > 0].sort_values("band").reset_index(
+        drop=True)
+    out = pd.DataFrame({
+        "line_band": g["band"].to_numpy(np.int64) + 1,
+        "n_orders": g["n_orders"].to_numpy(np.int64),
+        "n_lines": g["n_lines"].to_numpy(np.int64),
+        "mean_disc_pct_milli": 1000 * g["sum_disc"]
+        .to_numpy(np.int64) // g["n_lines"].to_numpy(np.int64)})
+    return out.astype("int64")
+
+
+def supplier_month_coverage(sf_dir: str) -> pd.DataFrame:
+    """SUPPLY continuity census — of the 30-day months between a
+    supplier's first and last shipment, how many saw at least one
+    line ship? Suppliers band by the cross-multiplied coverage test
+    (single-month suppliers separate, then <25%, <50%, <75%,
+    >=75%): steady supply relationships vs sporadic spot buys — the
+    supplier-axis sibling of ``user_coverage_census`` and the
+    lead-time-model sanity gate. One ``supp % 64`` exchange of
+    per-block distinct (supplier, month) rows; buckets fold span +
+    distinct-month counts and emit 5-cell histograms. Pure
+    integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        m = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US // 30
+        key = s * 4096 + (m % 4096)
+        uk = np.unique(key)
+        return pa.table({"s": pa.array(uk // 4096),
+                         "m": pa.array(uk % 4096),
+                         "bucket": pa.array(((uk // 4096) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["s"].to_numpy(np.int64) * 4096 \
+            + g["m"].to_numpy(np.int64)
+        uk = np.unique(key)
+        s = uk // 4096
+        m = uk % 4096
+        su, sinv = np.unique(s, return_inverse=True)
+        act = np.bincount(sinv, minlength=len(su)).astype(np.int64)
+        lo = np.full(len(su), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(lo, sinv, m)
+        hi = np.zeros(len(su), np.int64)
+        np.maximum.at(hi, sinv, m)
+        span = hi - lo + 1
+        band = np.where(span == 1, 0,
+                        np.where(100 * act < 25 * span, 1,
+                                 np.where(100 * act < 50 * span, 2,
+                                          np.where(100 * act
+                                                   < 75 * span, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_suppliers": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_suppliers"].sum())
+    g = g[g["n_suppliers"] > 0].sort_values("band").reset_index(
+        drop=True)
+    g["share_bps"] = 10000 * g["n_suppliers"].to_numpy(np.int64) \
+        // tot
+    return g.astype("int64")
