@@ -557,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.order_size_discount_curve,
         "supplier_month_coverage":
             analytics.supplier_month_coverage,
+        "user_day_opening_type": analytics.user_day_opening_type,
+        "part_assortment_churn": analytics.part_assortment_churn,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13329,5 +13331,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "user_day_opening_type": """
+            WITH r AS (SELECT event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id,
+                                      epoch_us(ts) // 86400000000
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            f AS (SELECT event_type FROM r WHERE rn = 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_opens,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM f, t GROUP BY 1 ORDER BY 1
+        """,
+        "part_assortment_churn": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            p AS (SELECT l_partkey AS p,
+                         MAX(CASE WHEN epoch_us(l_shipdate)
+                                       // 86400000000 <= b.mid
+                                  THEN 1 ELSE 0 END) AS h1,
+                         MAX(CASE WHEN epoch_us(l_shipdate)
+                                       // 86400000000 > b.mid
+                                  THEN 1 ELSE 0 END) AS h2
+                  FROM lineitem, b GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_sold,
+                   CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_only_h1,
+                   CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_only_h2,
+                   CAST(10000 * SUM(h1 * h2)
+                        // (SUM(h1 * h2)
+                            + SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END))
+                        AS BIGINT) AS retention_bps
+            FROM p
         """,
     }

@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "user_weekend_value_census", "embedding_norm_vs_doclen",
     "nation_price_premium", "returns_by_quantity_band",
     "order_size_discount_curve", "supplier_month_coverage",
+    "user_day_opening_type", "part_assortment_churn",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

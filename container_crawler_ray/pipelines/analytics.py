@@ -18691,3 +18691,109 @@ def supplier_month_coverage(sf_dir: str) -> pd.DataFrame:
     g["share_bps"] = 10000 * g["n_suppliers"].to_numpy(np.int64) \
         // tot
     return g.astype("int64")
+
+
+def user_day_opening_type(sf_dir: str) -> pd.DataFrame:
+    """OPENING MOVE census — the first event type of every
+    (user, day): what do users actually open the product with, as
+    shares in exact bps? The home-surface / notification-payload
+    decision datum; diverges hard from the raw type mix when one
+    type dominates later-in-session traffic. Endpoint defined by
+    the total (ts, event_id) order. Per-block per-(user, day)
+    first-candidate extraction (2 slim rows per key per block at
+    most — never the stream) into one ``user % 64`` exchange;
+    buckets lexsort and count. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        d = ts // _DAY_US
+        key = u * 32768 + (d % 32768)
+        order = np.lexsort((e, ts, key))
+        ks = key[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        keep = order[first]
+        return pa.table({"k": pa.array(key[keep]),
+                         "ts": pa.array(ts[keep]),
+                         "e": pa.array(e[keep]),
+                         "typ": t.column("event_type").take(
+                             pa.array(keep)),
+                         "bucket": pa.array(((key[keep] // 32768)
+                                             % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        k = g["k"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, k))
+        ks = k[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        typ = g["typ"].to_numpy()[order][first]
+        out = pd.DataFrame({"typ": typ}).groupby(
+            "typ", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("typ", as_index=False)["n"].sum()
+         .sort_values("typ").reset_index(drop=True))
+    tot = int(g["n"].sum())
+    return pd.DataFrame({"event_type": g["typ"],
+                         "n_opens": g["n"].astype("int64"),
+                         "share_bps": (10000
+                                       * g["n"].to_numpy(np.int64)
+                                       // tot)}).astype(
+        {"n_opens": "int64", "share_bps": "int64"})
+
+
+def part_assortment_churn(sf_dir: str) -> pd.DataFrame:
+    """ASSORTMENT churn — split the shipping timeline at its
+    midpoint day and classify every part ever sold: active in both
+    halves, discontinued (first half only), introduced (second half
+    only), with H1->H2 retention in exact bps. The catalog-stability
+    number that separates a stable assortment from a
+    churn-every-season one. Phase 1 is a constant-size min/max day
+    aggregate; phase 2 folds per-block (part, any-H1, any-H2) flags
+    on the driver (parts are dimension-sized) — ZERO row shuffle.
+    Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["mn"].min()) + int(sp["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        pu, inv = np.unique(p, return_inverse=True)
+        h1 = np.zeros(len(pu), np.int64)
+        np.maximum.at(h1, inv, (d <= mid).astype(np.int64))
+        h2 = np.zeros(len(pu), np.int64)
+        np.maximum.at(h2, inv, (d > mid).astype(np.int64))
+        return pa.table({"p": pa.array(pu), "h1": pa.array(h1),
+                         "h2": pa.array(h2)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("p")[["h1", "h2"]].max())
+    h1 = g["h1"].to_numpy(np.int64)
+    h2 = g["h2"].to_numpy(np.int64)
+    n_both = int((h1 & h2).sum())
+    n_h1 = int(((h1 == 1) & (h2 == 0)).sum())
+    n_h2 = int(((h1 == 0) & (h2 == 1)).sum())
+    return pd.DataFrame(
+        [(len(g), n_both, n_h1, n_h2,
+          10000 * n_both // (n_both + n_h1))],
+        columns=["n_parts_sold", "n_both", "n_only_h1",
+                 "n_only_h2", "retention_bps"]).astype("int64")

@@ -249,6 +249,7 @@ def test_entry_smoke(entrymod):
     "user_weekend_value_census", "embedding_norm_vs_doclen",
     "nation_price_premium", "returns_by_quantity_band",
     "order_size_discount_curve", "supplier_month_coverage",
+    "user_day_opening_type", "part_assortment_churn",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
