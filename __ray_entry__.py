@@ -559,6 +559,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_month_coverage,
         "user_day_opening_type": analytics.user_day_opening_type,
         "part_assortment_churn": analytics.part_assortment_churn,
+        "customer_activity_balance_gamma":
+            analytics.customer_activity_balance_gamma,
+        "user_daily_intensity_census":
+            analytics.user_daily_intensity_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13374,5 +13378,58 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END))
                         AS BIGINT) AS retention_bps
             FROM p
+        """,
+        "customer_activity_balance_gamma": """
+            WITH l AS (SELECT o_custkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            a AS (SELECT LEAST(COALESCE(l.c, 0), 1000) AS a,
+                         (CAST(FLOOR(c_acctbal * 100) AS BIGINT)
+                          + 100000) // 10000 AS b,
+                         CASE WHEN COALESCE(l.c, 0) > 0
+                              THEN 1 ELSE 0 END AS act
+                  FROM customer LEFT JOIN l ON l.k = c_custkey),
+            g AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM a GROUP BY 1, 2),
+            p AS (SELECT CAST(SUM(CASE WHEN x.a < y.a AND x.b < y.b
+                                       THEN x.c * y.c ELSE 0 END)
+                              AS BIGINT) AS conc,
+                         CAST(SUM(CASE WHEN x.a < y.a AND x.b > y.b
+                                       THEN x.c * y.c ELSE 0 END)
+                              AS BIGINT) AS disc
+                  FROM g x, g y),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(act) AS BIGINT) AS na FROM a)
+            SELECT t.n AS n_customers, t.na AS n_active,
+                   p.conc AS concordant_pairs,
+                   p.disc AS discordant_pairs,
+                   CAST(CASE WHEN p.conc + p.disc > 0 THEN
+                        (CASE WHEN p.conc >= p.disc
+                              THEN 1 ELSE -1 END)
+                        * (1000 * ABS(p.conc - p.disc)
+                           // (p.conc + p.disc))
+                        ELSE 0 END AS BIGINT) AS gamma_milli
+            FROM p, t
+        """,
+        "user_daily_intensity_census": """
+            WITH ud AS (SELECT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d,
+                               CAST(SUM(CAST(FLOOR(value * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS s
+                        FROM events GROUP BY 1, 2),
+            cu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS days,
+                          CAST(SUM(s) AS BIGINT) AS tv
+                   FROM ud GROUP BY 1),
+            b AS (SELECT CASE WHEN tv // days = 0 THEN 0
+                              WHEN tv // days < 1000 THEN 1
+                              WHEN tv // days < 5000 THEN 2
+                              WHEN tv // days < 20000 THEN 3
+                              ELSE 4 END AS band FROM cu),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cu)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

@@ -287,6 +287,8 @@ BENCH_QUERIES = [
     "nation_price_premium", "returns_by_quantity_band",
     "order_size_discount_curve", "supplier_month_coverage",
     "user_day_opening_type", "part_assortment_churn",
+    "customer_activity_balance_gamma",
+    "user_daily_intensity_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

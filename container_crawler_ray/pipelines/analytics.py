@@ -18797,3 +18797,113 @@ def part_assortment_churn(sf_dir: str) -> pd.DataFrame:
           10000 * n_both // (n_both + n_h1))],
         columns=["n_parts_sold", "n_both", "n_only_h1",
                  "n_only_h2", "retention_bps"]).astype("int64")
+
+
+def customer_activity_balance_gamma(sf_dir: str) -> pd.DataFrame:
+    """ACTIVITY × BALANCE association, demand side — do frequent
+    buyers carry higher account balances? Goodman-Kruskal gamma
+    between each customer's order count (capped at 1000 levels;
+    zero-order customers included) and its balance in fixed $100
+    bands, via the same exact 2D suffix-sum grid algebra as the
+    supplier-side twin ``supplier_activity_balance_gamma`` — the
+    SQL twin pairs the bounded GRID CELLS weighted by count
+    products (customers are too many to pair directly). Per-block
+    customer-count partials + one dimension read; ZERO shuffle,
+    pure integers."""
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("o_custkey").to_numpy()
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    act = (_read(sf_dir, "orders", columns=["o_custkey"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("k")["c"].sum())
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal"]).to_pandas()
+    cnt = cust["c_custkey"].map(act).fillna(0).to_numpy(np.int64)
+    a = np.minimum(cnt, 1000)
+    cents = np.floor(cust["c_acctbal"].to_numpy() * 100) \
+        .astype(np.int64)
+    b = (cents + 100000) // 10000
+    na, nb = 1001, 110
+    grid = np.zeros((na, nb), dtype=np.int64)
+    np.add.at(grid, (a, b), 1)
+    gt = np.zeros((na + 1, nb + 1), dtype=object)
+    for i in range(na - 1, -1, -1):
+        for j in range(nb - 1, -1, -1):
+            gt[i][j] = (int(grid[i][j]) + gt[i + 1][j]
+                        + gt[i][j + 1] - gt[i + 1][j + 1])
+    conc = 0
+    disc = 0
+    for i, j in zip(*np.nonzero(grid)):
+        nij = int(grid[i][j])
+        conc += nij * int(gt[i + 1][j + 1])
+        lower = gt[i + 1][0] - gt[i + 1][j] if j > 0 else 0
+        disc += nij * int(lower)
+    tot = conc + disc
+    sgn = 1 if conc >= disc else -1
+    gamma_milli = sgn * (1000 * abs(conc - disc) // tot) \
+        if tot > 0 else 0
+    return pd.DataFrame(
+        [(len(cust), int((cnt > 0).sum()), conc, disc,
+          gamma_milli)],
+        columns=["n_customers", "n_active", "concordant_pairs",
+                 "discordant_pairs", "gamma_milli"]).astype("int64")
+
+
+def user_daily_intensity_census(sf_dir: str) -> pd.DataFrame:
+    """DAILY-INTENSITY census — value per ACTIVE day, not per
+    calendar day: each user's total event value cents divided
+    (truncating) by their distinct active days, banded into fixed
+    cent bands with shares in exact bps. Separates the
+    shows-up-rarely-but-spends-big whale from the daily grazer at
+    equal lifetime value — the complement to tenure-coverage. One
+    ``user % 64`` exchange of per-block (user, day, cents) rollups;
+    buckets fold distinct days + value sums vectorized into 5-cell
+    histograms. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        key = u * 32768 + (d % 32768)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"u": pa.array(uk // 32768),
+                         "d": pa.array(uk % 32768),
+                         "s": pa.array(s),
+                         "bucket": pa.array(((uk // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * 32768 \
+            + g["d"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, g["s"].to_numpy(np.int64))
+        uu, uinv = np.unique(uk // 32768, return_inverse=True)
+        days = np.bincount(uinv, minlength=len(uu)).astype(np.int64)
+        tv = np.zeros(len(uu), np.int64)
+        np.add.at(tv, uinv, s)
+        inten = tv // days
+        band = np.where(inten == 0, 0,
+                        np.where(inten < 1000, 1,
+                                 np.where(inten < 5000, 2,
+                                          np.where(inten < 20000, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(
+        drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")

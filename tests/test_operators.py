@@ -250,6 +250,8 @@ def test_entry_smoke(entrymod):
     "nation_price_premium", "returns_by_quantity_band",
     "order_size_discount_curve", "supplier_month_coverage",
     "user_day_opening_type", "part_assortment_churn",
+    "customer_activity_balance_gamma",
+    "user_daily_intensity_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
