@@ -563,6 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_activity_balance_gamma,
         "user_daily_intensity_census":
             analytics.user_daily_intensity_census,
+        "customer_order_momentum":
+            analytics.customer_order_momentum,
+        "revenue_inequality_decomposition":
+            analytics.revenue_inequality_decomposition,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13431,5 +13435,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "customer_order_momentum": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) // 86400000000
+                                  AS d,
+                              o_orderkey AS k,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v
+                       FROM orders),
+            p AS (SELECT c, v,
+                         LEAD(v) OVER (PARTITION BY c
+                                       ORDER BY d, k) AS nv
+                  FROM o),
+            s AS (SELECT CAST(SUM(CASE WHEN nv > v THEN 1 ELSE 0
+                                  END) AS BIGINT) AS up,
+                         CAST(SUM(CASE WHEN nv < v THEN 1 ELSE 0
+                                  END) AS BIGINT) AS dn,
+                         CAST(SUM(CASE WHEN nv = v THEN 1 ELSE 0
+                                  END) AS BIGINT) AS fl
+                  FROM p WHERE nv IS NOT NULL)
+            SELECT up + dn + fl AS n_pairs, up AS n_up,
+                   dn AS n_down, fl AS n_flat,
+                   CAST(CASE WHEN up + dn > 0
+                             THEN 10000 * up // (up + dn)
+                             ELSE -9999 END AS BIGINT)
+                       AS up_share_bps,
+                   CAST(CASE WHEN up + dn > 0 THEN
+                        (CASE WHEN up >= dn THEN 1 ELSE -1 END)
+                        * (1000 * ABS(up - dn) // (up + dn))
+                        ELSE 0 END AS BIGINT)
+                       AS momentum_gamma_milli
+            FROM s
+        """,
+        "revenue_inequality_decomposition": """
+            WITH r AS (SELECT o_custkey AS k,
+                              CAST(SUM(CAST(FLOOR(o_totalprice
+                                                  * 100) AS BIGINT))
+                                   AS BIGINT) AS x
+                       FROM orders GROUP BY 1),
+            j AS (SELECT r.x, c_nationkey AS nk
+                  FROM r JOIN customer ON c_custkey = r.k),
+            g AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+                         COUNT(*) OVER () AS n FROM j),
+            sa AS (SELECT CAST(SUM((2 * rn - n - 1) * x) AS BIGINT)
+                              AS s,
+                          CAST(MAX(n) AS BIGINT) AS n,
+                          CAST(SUM(x) AS BIGINT) AS t FROM g),
+            gw AS (SELECT x, ROW_NUMBER() OVER (PARTITION BY nk
+                                                ORDER BY x) AS rn,
+                          COUNT(*) OVER (PARTITION BY nk) AS n
+                   FROM j),
+            sw AS (SELECT CAST(SUM((2 * rn - n - 1) * x) AS BIGINT)
+                              AS s FROM gw)
+            SELECT sa.n AS n_customers, sa.t AS total_cents,
+                   CAST(CASE WHEN sa.t > 0 THEN
+                        1000 * CAST(sa.s AS HUGEINT)
+                        // (2 * CAST(sa.n AS HUGEINT) * sa.t)
+                        ELSE 0 END AS BIGINT) AS gini_milli,
+                   CAST(CASE WHEN sa.s > 0 THEN
+                        1000 * CAST(sw.s AS HUGEINT) // sa.s
+                        ELSE 0 END AS BIGINT)
+                       AS within_share_milli,
+                   CAST(CASE WHEN sa.s > 0 THEN
+                        1000 * (CAST(sa.s AS HUGEINT) - sw.s)
+                        // sa.s
+                        ELSE 0 END AS BIGINT)
+                       AS between_share_milli
+            FROM sa, sw
         """,
     }

@@ -289,6 +289,8 @@ BENCH_QUERIES = [
     "user_day_opening_type", "part_assortment_churn",
     "customer_activity_balance_gamma",
     "user_daily_intensity_census",
+    "customer_order_momentum",
+    "revenue_inequality_decomposition",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -18907,3 +18907,112 @@ def user_daily_intensity_census(sf_dir: str) -> pd.DataFrame:
         drop=True)
     g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
     return g.astype("int64")
+
+
+def customer_order_momentum(sf_dir: str) -> pd.DataFrame:
+    """ORDER momentum — does a big order predict a bigger next one?
+    Every CONSECUTIVE strictly-ordered (date, orderkey) order pair
+    within a customer votes: value up, down, or exactly flat
+    (cents-equal), pooled into up/down/flat counts with the up
+    share among movers in exact bps and the sign-normalized
+    momentum gamma. Mean-reverting books show up < 5000 bps. One
+    ``cust % 64`` exchange of slim (customer, day, orderkey, cents)
+    rows; buckets lexsort once and compare adjacent same-customer
+    rows vectorized. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": pa.array(t.column("o_orderdate").cast(pa.int64())
+                          .to_numpy() // _DAY_US),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "v": pa.array(np.floor(t.column("o_totalprice")
+                                   .to_numpy() * 100)
+                          .astype(np.int64)),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        k = g["k"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        order = np.lexsort((k, d, c))
+        cs, vs = c[order], v[order]
+        same = cs[1:] == cs[:-1]
+        dv = vs[1:] - vs[:-1]
+        up = int(((dv > 0) & same).sum())
+        dn = int(((dv < 0) & same).sum())
+        fl = int(((dv == 0) & same).sum())
+        return pd.DataFrame([(up, dn, fl)],
+                            columns=["up", "dn", "fl"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    up, dn, fl = int(g["up"]), int(g["dn"]), int(g["fl"])
+    movers = up + dn
+    sgn = 1 if up >= dn else -1
+    gamma_milli = sgn * (1000 * abs(up - dn) // movers) \
+        if movers > 0 else 0
+    return pd.DataFrame(
+        [(up + dn + fl, up, dn, fl,
+          10000 * up // movers if movers > 0 else -9999,
+          gamma_milli)],
+        columns=["n_pairs", "n_up", "n_down", "n_flat",
+                 "up_share_bps", "momentum_gamma_milli"]) \
+        .astype("int64")
+
+
+def revenue_inequality_decomposition(sf_dir: str) -> pd.DataFrame:
+    """GINI decomposition by nation — how much of customer revenue
+    inequality lives WITHIN nations vs BETWEEN them? Per ordering
+    customer: total order cents; the exact pairwise-difference mass
+    S = Σ(2i-n-1)·x_(i) (tie-stable) gives the overall Gini in
+    milli as 1000·S // (2·n·T), and the same formula per nation
+    splits S into a within-nation part and the between remainder —
+    if between dominates, go-to-market is a geography problem, not
+    a customer-mix one. Per-block customer-revenue partials folded
+    on the driver (customers are dimension-sized) + the
+    customer->nation dimension read; ZERO row shuffle. Pure
+    integers."""
+    def partial(t: pa.Table) -> pa.Table:
+        u, inv = np.unique(t.column("o_custkey").to_numpy()
+                           .astype(np.int64), return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, np.floor(t.column("o_totalprice")
+                                   .to_numpy() * 100)
+                  .astype(np.int64))
+        return pa.table({"k": pa.array(u), "s": pa.array(s)})
+
+    rev = (_read(sf_dir, "orders",
+                 columns=["o_custkey", "o_totalprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("k")["s"].sum())
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = cust.set_index("c_custkey")["c_nationkey"]
+    x = rev.to_numpy(np.int64)
+    nk = nat.loc[rev.index].to_numpy(np.int64)
+
+    def smass(vals: np.ndarray) -> int:
+        v = np.sort(vals)
+        n = len(v)
+        w = 2 * np.arange(1, n + 1, dtype=np.int64) - n - 1
+        return int(np.dot(w, v))
+
+    n = len(x)
+    tot = int(x.sum())
+    s_all = smass(x)
+    s_within = sum(smass(x[nk == k]) for k in np.unique(nk))
+    gini_milli = 1000 * s_all // (2 * n * tot) if tot > 0 else 0
+    return pd.DataFrame(
+        [(n, tot, gini_milli,
+          1000 * s_within // s_all if s_all > 0 else 0,
+          1000 * (s_all - s_within) // s_all if s_all > 0 else 0)],
+        columns=["n_customers", "total_cents", "gini_milli",
+                 "within_share_milli", "between_share_milli"]) \
+        .astype("int64")

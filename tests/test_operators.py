@@ -252,6 +252,8 @@ def test_entry_smoke(entrymod):
     "user_day_opening_type", "part_assortment_churn",
     "customer_activity_balance_gamma",
     "user_daily_intensity_census",
+    "customer_order_momentum",
+    "revenue_inequality_decomposition",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
