@@ -567,6 +567,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_order_momentum,
         "revenue_inequality_decomposition":
             analytics.revenue_inequality_decomposition,
+        "event_type_launch_profile":
+            analytics.event_type_launch_profile,
+        "linestatus_boundary_audit":
+            analytics.linestatus_boundary_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13503,5 +13507,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS BIGINT)
                        AS between_share_milli
             FROM sa, sw
+        """,
+        "event_type_launch_profile": """
+            WITH e AS (SELECT event_type AS t,
+                              epoch_us(ts) // 86400000000 AS d
+                       FROM events),
+            g AS (SELECT t, CAST(MIN(d) AS BIGINT) AS first_day,
+                         CAST(MAX(d) AS BIGINT) AS last_day,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY t),
+            w AS (SELECT e.t, CAST(COUNT(*) AS BIGINT) AS wk
+                  FROM e JOIN g ON g.t = e.t
+                  WHERE e.d <= g.first_day + 6 GROUP BY e.t)
+            SELECT g.t AS event_type, g.first_day, g.last_day,
+                   g.last_day - g.first_day + 1 AS span_days,
+                   g.n AS n_events, w.wk AS n_first_week,
+                   CAST(10000 * w.wk // g.n AS BIGINT)
+                       AS launch_week_bps
+            FROM g JOIN w ON w.t = g.t ORDER BY 1
+        """,
+        "linestatus_boundary_audit": """
+            WITH s AS (SELECT l_linestatus AS st,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(MIN(epoch_us(l_shipdate)
+                                       // 86400000000) AS BIGINT)
+                                  AS mn,
+                              CAST(MAX(epoch_us(l_shipdate)
+                                       // 86400000000) AS BIGINT)
+                                  AS mx
+                       FROM lineitem GROUP BY 1),
+            ov AS (SELECT COALESCE(
+                       (SELECT f.mx - o.mn + 1
+                        FROM s f, s o
+                        WHERE f.st = 'F' AND o.st = 'O'), -1)
+                       AS overlap)
+            SELECT st AS linestatus, n AS n_lines, mn AS min_day,
+                   mx AS max_day,
+                   CAST(ov.overlap AS BIGINT) AS overlap_days
+            FROM s, ov ORDER BY st
         """,
     }

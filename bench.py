@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "user_daily_intensity_census",
     "customer_order_momentum",
     "revenue_inequality_decomposition",
+    "event_type_launch_profile", "linestatus_boundary_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -19016,3 +19016,82 @@ def revenue_inequality_decomposition(sf_dir: str) -> pd.DataFrame:
         columns=["n_customers", "total_cents", "gini_milli",
                  "within_share_milli", "between_share_milli"]) \
         .astype("int64")
+
+
+def event_type_launch_profile(sf_dir: str) -> pd.DataFrame:
+    """LAUNCH profile — when did each event type first appear in
+    the stream, and how fast did it ramp? Per type: first/last
+    epoch day, lifetime span, total events, events in the type's
+    own first 7 days, and that launch-week share in exact bps. A
+    type that "launched" mid-stream is a feature flag or a schema
+    migration — the contract-evolution audit every
+    consumer-of-events needs before assuming types are stationary.
+    Per-block (type, day) count partials folded on the driver
+    (type × day is bounded); ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        df = pd.DataFrame({"typ": t.column("event_type")
+                           .to_pylist(), "d": d})
+        g = df.groupby(["typ", "d"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["typ", "d"], as_index=False)["n"]
+         .sum())
+    rows = []
+    for typ in sorted(g["typ"].unique()):
+        sub = g[g["typ"] == typ]
+        d = sub["d"].to_numpy(np.int64)
+        n = sub["n"].to_numpy(np.int64)
+        first, last = int(d.min()), int(d.max())
+        tot = int(n.sum())
+        week = int(n[d <= first + 6].sum())
+        rows.append((typ, first, last, last - first + 1, tot, week,
+                     10000 * week // tot))
+    out = pd.DataFrame(rows, columns=["event_type", "first_day",
+                                      "last_day", "span_days",
+                                      "n_events", "n_first_week",
+                                      "launch_week_bps"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def linestatus_boundary_audit(sf_dir: str) -> pd.DataFrame:
+    """LINESTATUS boundary audit — the O/F flag is supposed to be a
+    pure function of ship date (open vs fulfilled as of the data's
+    cut date). Per status: line count and min/max epoch ship day;
+    plus the overlap width in days between the latest F and the
+    earliest O (positive overlap = the flag is NOT derivable from
+    the date — downstream incremental loaders keyed on status will
+    double-process the boundary). Per-block constant-cell partials —
+    ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_linestatus", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        df = pd.DataFrame({"st": t.column("l_linestatus")
+                           .to_pylist(), "d": d})
+        g = df.groupby("st").agg(n=("d", "size"), mn=("d", "min"),
+                                 mx=("d", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("st")
+         .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")))
+    stats = {st: (int(r["n"]), int(r["mn"]), int(r["mx"]))
+             for st, r in g.iterrows()}
+    overlap = -1
+    if "F" in stats and "O" in stats:
+        overlap = stats["F"][2] - stats["O"][1] + 1
+    rows = [(st, *stats[st], overlap) for st in sorted(stats)]
+    return pd.DataFrame(rows, columns=["linestatus", "n_lines",
+                                       "min_day", "max_day",
+                                       "overlap_days"]).astype(
+        {"n_lines": "int64", "min_day": "int64", "max_day": "int64",
+         "overlap_days": "int64"})

@@ -254,6 +254,7 @@ def test_entry_smoke(entrymod):
     "user_daily_intensity_census",
     "customer_order_momentum",
     "revenue_inequality_decomposition",
+    "event_type_launch_profile", "linestatus_boundary_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
