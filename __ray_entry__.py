@@ -571,6 +571,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.event_type_launch_profile,
         "linestatus_boundary_audit":
             analytics.linestatus_boundary_audit,
+        "ship_before_order_audit":
+            analytics.ship_before_order_audit,
+        "ship_dow_profile": analytics.ship_dow_profile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13545,5 +13548,35 @@ def oracle_sql() -> dict[str, str]:
                    mx AS max_day,
                    CAST(ov.overlap AS BIGINT) AS overlap_days
             FROM s, ov ORDER BY st
+        """,
+        "ship_before_order_audit": """
+            WITH j AS (SELECT epoch_us(l_shipdate) // 86400000000
+                              - epoch_us(o_orderdate) // 86400000000
+                                  AS lag
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN lag < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violations,
+                   CAST(10000 * SUM(CASE WHEN lag < 0
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS violation_bps,
+                   CAST(MIN(lag) AS BIGINT) AS min_lag_days,
+                   CAST(MAX(lag) AS BIGINT) AS max_lag_days
+            FROM j
+        """,
+        "ship_dow_profile": """
+            WITH d AS (SELECT (epoch_us(l_shipdate) // 86400000000
+                               + 4) % 7 AS dow,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(SUM(cents) AS BIGINT) AS gross_cents
+            FROM d, t GROUP BY dow ORDER BY dow
         """,
     }

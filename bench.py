@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "customer_order_momentum",
     "revenue_inequality_decomposition",
     "event_type_launch_profile", "linestatus_boundary_audit",
+    "ship_before_order_audit", "ship_dow_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -19095,3 +19095,92 @@ def linestatus_boundary_audit(sf_dir: str) -> pd.DataFrame:
                                        "overlap_days"]).astype(
         {"n_lines": "int64", "min_day": "int64", "max_day": "int64",
          "overlap_days": "int64"})
+
+
+def ship_before_order_audit(sf_dir: str) -> pd.DataFrame:
+    """TEMPORAL integrity — does any line SHIP before its order was
+    placed? Joins lineitem ship days to orders order days on
+    orderkey and reports line count, violations (ship < order),
+    violation share in exact bps, and the min/max ship-minus-order
+    lag in days. A negative-lag cluster is a timezone bug or a
+    backdated import — either poisons every lead-time model
+    downstream. Scale shape is the tagged-union ``order % 64`` hash
+    join (orders ship one (key, day) row, lineitem ships (key,
+    ship-day) rows; buckets merge vectorized). Pure integers."""
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_shipdate"])
+          .map_batches(lambda t: pa.table({
+              "k": t.column("l_orderkey").cast(pa.int64()),
+              "d": pa.array(t.column("l_shipdate").cast(pa.int64())
+                            .to_numpy() // _DAY_US),
+              "tag": pa.array(np.ones(len(t), np.int64)),
+              "bucket": pc.cast(pc.bit_wise_and(
+                  t.column("l_orderkey").cast(pa.int64()), 63),
+                  pa.int32())}), batch_format="pyarrow"))
+    od = (_read(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate"])
+          .map_batches(lambda t: pa.table({
+              "k": t.column("o_orderkey").cast(pa.int64()),
+              "d": pa.array(t.column("o_orderdate").cast(pa.int64())
+                            .to_numpy() // _DAY_US),
+              "tag": pa.array(np.zeros(len(t), np.int64)),
+              "bucket": pc.cast(pc.bit_wise_and(
+                  t.column("o_orderkey").cast(pa.int64()), 63),
+                  pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["tag"] == 0][["k", "d"]].rename(
+            columns={"d": "od"})
+        l_ = g[g["tag"] == 1][["k", "d"]]
+        m = l_.merge(o, on="k")
+        lag = m["d"].to_numpy(np.int64) - m["od"].to_numpy(np.int64)
+        if len(lag) == 0:
+            return pd.DataFrame(columns=["n", "viol", "mn", "mx"])
+        return pd.DataFrame([(len(lag), int((lag < 0).sum()),
+                              int(lag.min()), int(lag.max()))],
+                            columns=["n", "viol", "mn", "mx"])
+
+    g = (li.union(od).groupby("bucket")
+         .map_groups(fold, batch_format="pandas").to_pandas())
+    n = int(g["n"].sum())
+    viol = int(g["viol"].sum())
+    return pd.DataFrame(
+        [(n, viol, 10000 * viol // n, int(g["mn"].min()),
+          int(g["mx"].max()))],
+        columns=["n_lines", "n_violations", "violation_bps",
+                 "min_lag_days", "max_lag_days"]).astype("int64")
+
+
+def ship_dow_profile(sf_dir: str) -> pd.DataFrame:
+    """SHIP day-of-week profile — which weekdays does the warehouse
+    actually ship on? Per dow (0=Sunday under the (epoch_day+4)%7
+    convention): line count, share in exact bps, and gross revenue
+    cents. A flat profile means continuous fulfilment; deep weekend
+    valleys mean SLA clocks should count business days. Per-block
+    7-cell partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        w = (d + 4) % 7
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100).astype(np.int64)
+        n = np.bincount(w, minlength=7).astype(np.int64)
+        s = np.zeros(7, np.int64)
+        np.add.at(s, w, cents)
+        return pa.table({"dow": pa.array(np.arange(7,
+                                                   dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("dow", as_index=False)[["n", "s"]]
+         .sum().sort_values("dow").reset_index(drop=True))
+    g = g[g["n"] > 0]
+    tot = int(g["n"].sum())
+    return pd.DataFrame({
+        "dow": g["dow"].to_numpy(np.int64),
+        "n_lines": g["n"].to_numpy(np.int64),
+        "share_bps": 10000 * g["n"].to_numpy(np.int64) // tot,
+        "gross_cents": g["s"].to_numpy(np.int64)}).astype("int64")

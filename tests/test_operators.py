@@ -255,6 +255,7 @@ def test_entry_smoke(entrymod):
     "customer_order_momentum",
     "revenue_inequality_decomposition",
     "event_type_launch_profile", "linestatus_boundary_audit",
+    "ship_before_order_audit", "ship_dow_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
