@@ -574,6 +574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_before_order_audit":
             analytics.ship_before_order_audit,
         "ship_dow_profile": analytics.ship_dow_profile,
+        "event_type_intraday_cadence":
+            analytics.event_type_intraday_cadence,
+        "status_priority_mix": analytics.status_priority_mix,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13578,5 +13581,53 @@ def oracle_sql() -> dict[str, str]:
                        AS share_bps,
                    CAST(SUM(cents) AS BIGINT) AS gross_cents
             FROM d, t GROUP BY dow ORDER BY dow
+        """,
+        "event_type_intraday_cadence": """
+            WITH e AS (SELECT event_type AS t,
+                              epoch_us(ts) // 86400000000 AS d,
+                              ts, event_id
+                       FROM events),
+            g AS (SELECT t,
+                         (epoch_us(LEAD(ts) OVER w)
+                          - epoch_us(ts)) // 1000000 AS gap
+                  FROM e WINDOW w AS (PARTITION BY t, d
+                                      ORDER BY ts, event_id)),
+            h AS (SELECT t, gap, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1, 2),
+            w2 AS (SELECT t, gap, c,
+                          SUM(c) OVER (PARTITION BY t ORDER BY gap
+                                       ROWS UNBOUNDED PRECEDING)
+                              AS cum,
+                          SUM(c) OVER (PARTITION BY t) AS n,
+                          SUM(gap * c) OVER (PARTITION BY t) AS s
+                   FROM h)
+            SELECT t AS event_type,
+                   CAST(MAX(n) AS BIGINT) AS n_gaps,
+                   CAST(MIN(gap) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50_gap_s,
+                   CAST(1000 * MAX(s) // MAX(n) AS BIGINT)
+                       AS mean_gap_milli_s
+            FROM w2 GROUP BY t ORDER BY t
+        """,
+        "status_priority_mix": """
+            WITH o AS (SELECT o_orderstatus AS st,
+                              CAST(SUBSTR(o_orderpriority, 1, 1)
+                                   AS BIGINT) AS p,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM orders GROUP BY 1, 2),
+            r AS (SELECT st, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM o GROUP BY 1),
+            c AS (SELECT p, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM o)
+            SELECT o.st AS orderstatus, o.p AS priority,
+                   o.n AS n_orders,
+                   CAST(10000 * o.n // r.rn AS BIGINT)
+                       AS status_share_bps,
+                   CAST(1000 * o.n * t.n // (r.rn * c.cn) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM o JOIN r USING (st) JOIN c USING (p), t
+            ORDER BY 1, 2
         """,
     }

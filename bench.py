@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "revenue_inequality_decomposition",
     "event_type_launch_profile", "linestatus_boundary_audit",
     "ship_before_order_audit", "ship_dow_profile",
+    "event_type_intraday_cadence", "status_priority_mix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

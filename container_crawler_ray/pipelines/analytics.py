@@ -19184,3 +19184,103 @@ def ship_dow_profile(sf_dir: str) -> pd.DataFrame:
         "n_lines": g["n"].to_numpy(np.int64),
         "share_bps": 10000 * g["n"].to_numpy(np.int64) // tot,
         "gross_cents": g["s"].to_numpy(np.int64)}).astype("int64")
+
+
+def event_type_intraday_cadence(sf_dir: str) -> pd.DataFrame:
+    """INTRADAY cadence — within a calendar day, how tightly do
+    arrivals of each event type pack? Consecutive same-(type, day)
+    gaps under the total (ts, event_id) order, floored to whole
+    seconds: per type the gap count, exact ceil-rank p50 gap and
+    truncating milli mean — the alerting-threshold datum (a page on
+    "no signup for 10 minutes" needs the real cadence, not the
+    daily average). One ``day % 64`` exchange of slim (type, day,
+    ts, id) rows; buckets lexsort once, diff adjacent, and emit
+    bounded (type, gap-second) cell counts. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        d = ts // _DAY_US
+        return pa.table({"typ": t.column("event_type"),
+                         "d": pa.array(d), "ts": pa.array(ts),
+                         "e": t.column("event_id").cast(pa.int64()),
+                         "bucket": pa.array((d % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        typ, tcode = np.unique(g["typ"].to_numpy(),
+                               return_inverse=True)
+        d = g["d"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        e = g["e"].to_numpy(np.int64)
+        order = np.lexsort((e, ts, d, tcode))
+        tc, dd, tss = tcode[order], d[order], ts[order]
+        same = (tc[1:] == tc[:-1]) & (dd[1:] == dd[:-1])
+        gap = (tss[1:] - tss[:-1]) // 1_000_000
+        out = pd.DataFrame({"typ": typ[tc[1:][same]],
+                            "gap": gap[same]})
+        r = out.groupby(["typ", "gap"], as_index=False).size()
+        return r.rename(columns={"size": "c"})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby(["typ", "gap"], as_index=False)["c"]
+         .sum())
+    rows = []
+    for typ in sorted(g["typ"].unique()):
+        sub = g[g["typ"] == typ].sort_values("gap")
+        n = int(sub["c"].sum())
+        s = int((sub["gap"].to_numpy(np.int64)
+                 * sub["c"].to_numpy(np.int64)).sum())
+        cum = sub["c"].cumsum().to_numpy(np.int64)
+        rank = (50 * n + 99) // 100
+        p50 = int(sub["gap"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+        rows.append((typ, n, p50, 1000 * s // n))
+    out = pd.DataFrame(rows, columns=["event_type", "n_gaps",
+                                      "p50_gap_s",
+                                      "mean_gap_milli_s"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def status_priority_mix(sf_dir: str) -> pd.DataFrame:
+    """STATUS × PRIORITY mix — do urgent orders clear the pipeline
+    faster (over-represented among fulfilled) or pile up open? Per
+    (orderstatus, priority digit) cell: order count, the
+    within-status share in exact bps, and the lift vs the global
+    priority mix cross-multiplied as 1000*o*N // (r*c) - 1000.
+    Per-block constant-cell partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "st": t.column("o_orderstatus").to_pylist(),
+            "p": pc.utf8_slice_codeunits(
+                t.column("o_orderpriority"), 0, 1)
+            .cast(pa.int64()).to_numpy()})
+        g = df.groupby(["st", "p"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["st", "p"], as_index=False)["n"]
+         .sum())
+    n_tot = int(g["n"].sum())
+    rn = g.groupby("st")["n"].sum()
+    cn = g.groupby("p")["n"].sum()
+    g = g.sort_values(["st", "p"], kind="mergesort") \
+        .reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    r = rn.loc[g["st"]].to_numpy(np.int64)
+    c = cn.loc[g["p"]].to_numpy(np.int64)
+    return pd.DataFrame({
+        "orderstatus": g["st"], "priority": g["p"].astype("int64"),
+        "n_orders": n, "status_share_bps": 10000 * n // r,
+        "lift_milli": 1000 * n * n_tot // (r * c) - 1000}).astype(
+        {"priority": "int64", "n_orders": "int64",
+         "status_share_bps": "int64", "lift_milli": "int64"})

@@ -256,6 +256,7 @@ def test_entry_smoke(entrymod):
     "revenue_inequality_decomposition",
     "event_type_launch_profile", "linestatus_boundary_audit",
     "ship_before_order_audit", "ship_dow_profile",
+    "event_type_intraday_cadence", "status_priority_mix",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
