@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_intraday_cadence":
             analytics.event_type_intraday_cadence,
         "status_priority_mix": analytics.status_priority_mix,
+        "tax_uniformity_by_nation":
+            analytics.tax_uniformity_by_nation,
+        "event_id_day_monotonicity":
+            analytics.event_id_day_monotonicity,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13629,5 +13633,65 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lift_milli
             FROM o JOIN r USING (st) JOIN c USING (p), t
             ORDER BY 1, 2
+        """,
+        "tax_uniformity_by_nation": """
+            WITH l AS (SELECT s_nationkey AS k,
+                              CAST(FLOOR(l_tax * 100) AS BIGINT)
+                                  AS tx
+                       FROM lineitem
+                       JOIN supplier ON s_suppkey = l_suppkey),
+            o AS (SELECT k, tx, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM l GROUP BY 1, 2),
+            r AS (SELECT k, CAST(SUM(c) AS BIGINT) AS rn,
+                         CAST(SUM(tx * c) AS BIGINT) AS ts
+                  FROM o GROUP BY 1),
+            ct AS (SELECT tx, CAST(SUM(c) AS BIGINT) AS cn
+                   FROM o GROUP BY 1),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM o),
+            grid AS (SELECT r.k, ct.tx, r.rn, ct.cn,
+                            COALESCE(o.c, 0) AS c
+                     FROM r CROSS JOIN ct
+                     LEFT JOIN o ON o.k = r.k AND o.tx = ct.tx),
+            chi AS (SELECT k, CAST(SUM(
+                        (t.n * CAST(c AS HUGEINT)
+                         - rn * CAST(cn AS HUGEINT))
+                        * (t.n * CAST(c AS HUGEINT)
+                           - rn * CAST(cn AS HUGEINT))
+                        * 1000000
+                        // (CAST(t.n AS HUGEINT) * rn * cn))
+                        AS BIGINT) AS chi2
+                    FROM grid, t GROUP BY k)
+            SELECT n_name AS nation, r.rn AS n_lines,
+                   CAST(1000 * r.ts // r.rn AS BIGINT)
+                       AS mean_tax_pct_milli,
+                   chi.chi2 AS chi2_micro
+            FROM r JOIN chi USING (k)
+                   JOIN nation ON n_nationkey = r.k
+            ORDER BY nation
+        """,
+        "event_id_day_monotonicity": """
+            WITH g AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                              CAST(MIN(event_id) AS BIGINT) AS mn,
+                              CAST(MAX(event_id) AS BIGINT) AS mx
+                       FROM events GROUP BY 1),
+            w AS (SELECT d, mn, mx, LAG(mx) OVER (ORDER BY d)
+                             AS pmx FROM g),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+                         CAST(SUM(CASE WHEN pmx IS NOT NULL
+                                            AND pmx > mn
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS bad,
+                         CAST(COALESCE(MAX(pmx - mn) FILTER (
+                              pmx IS NOT NULL), 0) AS BIGINT)
+                             AS worst
+                  FROM w)
+            SELECT n_days, n_days - 1 AS n_boundaries,
+                   bad AS n_overlaps,
+                   CAST(CASE WHEN n_days > 1
+                             THEN 10000 * bad // (n_days - 1)
+                             ELSE 0 END AS BIGINT) AS overlap_bps,
+                   CAST(GREATEST(worst, 0) AS BIGINT)
+                       AS worst_undercut
+            FROM s
         """,
     }

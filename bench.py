@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "event_type_launch_profile", "linestatus_boundary_audit",
     "ship_before_order_audit", "ship_dow_profile",
     "event_type_intraday_cadence", "status_priority_mix",
+    "tax_uniformity_by_nation", "event_id_day_monotonicity",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

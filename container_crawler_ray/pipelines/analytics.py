@@ -19284,3 +19284,110 @@ def status_priority_mix(sf_dir: str) -> pd.DataFrame:
         "lift_milli": 1000 * n * n_tot // (r * c) - 1000}).astype(
         {"priority": "int64", "n_orders": "int64",
          "status_share_bps": "int64", "lift_milli": "int64"})
+
+
+def tax_uniformity_by_nation(sf_dir: str) -> pd.DataFrame:
+    """TAX uniformity — is the whole-percent tax mix identical
+    across supplier nations, as a single global tax policy implies?
+    Per nation: line count, exact truncating milli mean tax percent,
+    and the chi-square distance of that nation's 9-level tax mix
+    against the GLOBAL mix as the sum of per-cell micro
+    contributions (N·O - N_n·C_t)²·1e6 // (N·N_n·C_t), each floored
+    in exact arbitrary-precision integers. A nation that sticks out
+    is a jurisdiction rule or a data bug — either way the compliance
+    team looks. Supplier->nation LUT broadcast; per-block
+    (nation, tax-level) constant-cell partials — ZERO row shuffle."""
+    import ray
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    lut = np.zeros(sk.max() + 1, dtype=np.int64)
+    lut[sk] = supp["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put(lut)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_tax"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        nk = lut_[t.column("l_suppkey").to_numpy().astype(np.int64)]
+        tx = np.floor(t.column("l_tax").to_numpy() * 100) \
+            .astype(np.int64)
+        cell = nk * 16 + tx
+        c = np.bincount(cell, minlength=32 * 16).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(np.arange(len(c), dtype=np.int64)),
+            "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(32 * 16, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(32, 16)
+    big_n = int(grid.sum())
+    col = grid.sum(axis=0)
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    rows = []
+    for k in sorted(names, key=lambda k: names[k]):
+        nn = int(grid[k].sum())
+        if nn == 0:
+            continue
+        mean_milli = 1000 * int((grid[k]
+                                 * np.arange(16, dtype=np.int64))
+                                .sum()) // nn
+        chi2 = 0
+        for tx in range(16):
+            ct = int(col[tx])
+            if ct == 0:
+                continue
+            num = big_n * int(grid[k, tx]) - nn * ct
+            chi2 += num * num * 1000000 // (big_n * nn * ct)
+        rows.append((names[k], nn, mean_milli, chi2))
+    out = pd.DataFrame(rows, columns=["nation", "n_lines",
+                                      "mean_tax_pct_milli",
+                                      "chi2_micro"])
+    for c2 in out.columns[1:]:
+        out[c2] = out[c2].astype("int64")
+    return out
+
+
+def event_id_day_monotonicity(sf_dir: str) -> pd.DataFrame:
+    """INGESTION-ORDER audit — do event ids advance with calendar
+    days? Per day the id range folds to (min, max); a day whose min
+    id undercuts the previous day's max means the id sequence and
+    event time disagree (late arrivals, clock skew, or a replayed
+    batch) — exactly what breaks naive "resume from max id"
+    loaders. Reports days, overlapping-boundary count and share in
+    exact bps, and the worst undercut depth in id units. Per-block
+    (day, min, max) partials folded on the driver (days are
+    bounded); ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        du, inv = np.unique(d, return_inverse=True)
+        mn = np.full(len(du), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, e)
+        mx = np.zeros(len(du), np.int64)
+        np.maximum.at(mx, inv, e)
+        return pa.table({"d": pa.array(du), "mn": pa.array(mn),
+                         "mx": pa.array(mx)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("d")
+         .agg(mn=("mn", "min"), mx=("mx", "max")).sort_index())
+    mn = g["mn"].to_numpy(np.int64)
+    mx = g["mx"].to_numpy(np.int64)
+    undercut = mx[:-1] - mn[1:]
+    n_bad = int((undercut > 0).sum())
+    worst = int(undercut.max()) if len(undercut) else 0
+    n_days = len(g)
+    return pd.DataFrame(
+        [(n_days, n_days - 1, n_bad,
+          10000 * n_bad // (n_days - 1) if n_days > 1 else 0,
+          max(worst, 0))],
+        columns=["n_days", "n_boundaries", "n_overlaps",
+                 "overlap_bps", "worst_undercut"]).astype("int64")

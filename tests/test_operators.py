@@ -257,6 +257,7 @@ def test_entry_smoke(entrymod):
     "event_type_launch_profile", "linestatus_boundary_audit",
     "ship_before_order_audit", "ship_dow_profile",
     "event_type_intraday_cadence", "status_priority_mix",
+    "tax_uniformity_by_nation", "event_id_day_monotonicity",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
