@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.tax_uniformity_by_nation,
         "event_id_day_monotonicity":
             analytics.event_id_day_monotonicity,
+        "segment_one_and_done": analytics.segment_one_and_done,
+        "user_spend_maturation": analytics.user_spend_maturation,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13693,5 +13695,81 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GREATEST(worst, 0) AS BIGINT)
                        AS worst_undercut
             FROM s
+        """,
+        "segment_one_and_done": """
+            WITH a AS (SELECT o_custkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            cu AS (SELECT c_mktsegment AS seg, COALESCE(a.c, 0)
+                              AS c
+                   FROM customer LEFT JOIN a ON a.k = c_custkey),
+            t AS (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS ts,
+                         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS toa FROM cu)
+            SELECT seg AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_never,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_multi,
+                   CAST(CASE WHEN SUM(CASE WHEN c > 0 THEN 1 ELSE 0
+                                      END) > 0 THEN
+                        10000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                    END)
+                        // SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                        ELSE -9999 END AS BIGINT) AS single_bps,
+                   CAST(CASE WHEN SUM(CASE WHEN c > 0 THEN 1 ELSE 0
+                                      END) > 0 AND MAX(t.ts) > 0
+                        THEN 1000 * SUM(CASE WHEN c = 1
+                                             THEN 1 ELSE 0 END)
+                             * MAX(t.toa)
+                             // (SUM(CASE WHEN c > 0
+                                          THEN 1 ELSE 0 END)
+                                 * MAX(t.ts)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM cu, t GROUP BY seg ORDER BY seg
+        """,
+        "user_spend_maturation": """
+            WITH e AS (SELECT user_id AS u,
+                              CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS v,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+                              COUNT(*) OVER (PARTITION BY user_id)
+                                  AS n
+                       FROM events),
+            h AS (SELECT u, CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN rn <= n // 2 THEN v
+                                       ELSE 0 END) AS BIGINT)
+                             AS s1,
+                         CAST(SUM(CASE WHEN rn > n // 2 THEN v
+                                       ELSE 0 END) AS BIGINT)
+                             AS s2
+                  FROM e GROUP BY u HAVING MAX(n) >= 2),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nm,
+                         CAST(SUM(CASE WHEN s2 * (n // 2)
+                                            > s1 * (n - n // 2)
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS up,
+                         CAST(SUM(CASE WHEN s2 * (n // 2)
+                                            < s1 * (n - n // 2)
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS dn,
+                         CAST(SUM(CASE WHEN s2 * (n // 2)
+                                            = s1 * (n - n // 2)
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS fl
+                  FROM h)
+            SELECT nm AS n_users_multi, up AS n_up, dn AS n_down,
+                   fl AS n_flat,
+                   CAST(CASE WHEN up + dn > 0
+                             THEN 10000 * up // (up + dn)
+                             ELSE -9999 END AS BIGINT)
+                       AS up_share_bps
+            FROM c
         """,
     }

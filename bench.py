@@ -295,6 +295,7 @@ BENCH_QUERIES = [
     "ship_before_order_audit", "ship_dow_profile",
     "event_type_intraday_cadence", "status_priority_mix",
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
+    "segment_one_and_done", "user_spend_maturation",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -19391,3 +19391,109 @@ def event_id_day_monotonicity(sf_dir: str) -> pd.DataFrame:
           max(worst, 0))],
         columns=["n_days", "n_boundaries", "n_overlaps",
                  "overlap_bps", "worst_undercut"]).astype("int64")
+
+
+def segment_one_and_done(sf_dir: str) -> pd.DataFrame:
+    """ONE-AND-DONE census by segment — of each market segment's
+    customers: how many never ordered, how many ordered exactly
+    once and stopped, how many came back? Single-order share (among
+    ordering customers) in exact bps plus its lift vs the global
+    single rate cross-multiplied — the retention-problem locator
+    that says WHERE the funnel leaks, not just that it leaks.
+    Per-block customer-order-count partials folded on the driver
+    (customers are dimension-sized) + one dimension read; ZERO row
+    shuffle. Pure integers."""
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("o_custkey").to_numpy()
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"k": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    act = (_read(sf_dir, "orders", columns=["o_custkey"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas().groupby("k")["c"].sum())
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cnt = cust["c_custkey"].map(act).fillna(0).to_numpy(np.int64)
+    seg = cust["c_mktsegment"].to_numpy()
+    tot_single = int((cnt == 1).sum())
+    tot_ordering = int((cnt > 0).sum())
+    rows = []
+    for s in sorted(pd.unique(seg)):
+        m = seg == s
+        n = int(m.sum())
+        never = int((cnt[m] == 0).sum())
+        single = int((cnt[m] == 1).sum())
+        multi = n - never - single
+        ordering = n - never
+        lift = (1000 * single * tot_ordering
+                // (ordering * tot_single) - 1000
+                if ordering > 0 and tot_single > 0 else -9999)
+        rows.append((s, n, never, single, multi,
+                     10000 * single // ordering if ordering > 0
+                     else -9999, lift))
+    out = pd.DataFrame(rows, columns=["segment", "n_customers",
+                                      "n_never", "n_single",
+                                      "n_multi", "single_bps",
+                                      "lift_milli"])
+    for c2 in out.columns[1:]:
+        out[c2] = out[c2].astype("int64")
+    return out
+
+
+def user_spend_maturation(sf_dir: str) -> pd.DataFrame:
+    """SPEND maturation — do users spend more per event as they
+    mature? Each user's event sequence (total (ts, event_id) order)
+    splits at n//2; the halves' mean cents compare EXACTLY via the
+    cross-multiplied s2*n1 vs s1*n2 test (no division), pooling
+    users into up / down / flat with the up share among movers in
+    exact bps. Rising = habit formation; falling = novelty decay —
+    the LTV-curve shape read without a single float. One
+    ``user % 64`` exchange of slim (user, ts, id, cents) rows;
+    buckets lexsort once and fold per-user halves vectorized via
+    cumulative sums. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(u),
+            "ts": t.column("ts").cast(pa.int64()),
+            "e": t.column("event_id").cast(pa.int64()),
+            "v": pa.array(np.floor(t.column("value").to_numpy()
+                                   * 100).astype(np.int64)),
+            "bucket": pa.array((u % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["u"].to_numpy(np.int64)
+        order = np.lexsort((g["e"].to_numpy(np.int64),
+                            g["ts"].to_numpy(np.int64), u))
+        us = u[order]
+        v = g["v"].to_numpy(np.int64)[order]
+        uu, start = np.unique(us, return_index=True)
+        n = np.diff(np.append(start, len(us)))
+        cs = np.concatenate(([0], np.cumsum(v)))
+        n1 = n // 2
+        s_tot = cs[start + n] - cs[start]
+        s1 = cs[start + n1] - cs[start]
+        s2 = s_tot - s1
+        n2 = n - n1
+        multi = n >= 2
+        lhs = s2[multi] * n1[multi]
+        rhs = s1[multi] * n2[multi]
+        return pd.DataFrame(
+            [(int(multi.sum()), int((lhs > rhs).sum()),
+              int((lhs < rhs).sum()), int((lhs == rhs).sum()))],
+            columns=["n_multi", "up", "dn", "fl"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    up, dn, fl = int(g["up"]), int(g["dn"]), int(g["fl"])
+    movers = up + dn
+    return pd.DataFrame(
+        [(int(g["n_multi"]), up, dn, fl,
+          10000 * up // movers if movers > 0 else -9999)],
+        columns=["n_users_multi", "n_up", "n_down", "n_flat",
+                 "up_share_bps"]).astype("int64")

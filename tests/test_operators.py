@@ -258,6 +258,7 @@ def test_entry_smoke(entrymod):
     "ship_before_order_audit", "ship_dow_profile",
     "event_type_intraday_cadence", "status_priority_mix",
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
+    "segment_one_and_done", "user_spend_maturation",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
