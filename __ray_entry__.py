@@ -583,6 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.event_id_day_monotonicity,
         "segment_one_and_done": analytics.segment_one_and_done,
         "user_spend_maturation": analytics.user_spend_maturation,
+        "part_three_way_independence":
+            analytics.part_three_way_independence,
+        "user_error_exposure": analytics.user_error_exposure,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13771,5 +13774,72 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS up_share_bps
             FROM c
+        """,
+        "part_three_way_independence": """
+            WITH g AS (SELECT p_brand AS b, p_type AS t,
+                              CAST(p_size AS BIGINT) AS s,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM part GROUP BY 1, 2, 3),
+            rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS rn
+                   FROM g GROUP BY 1),
+            rt AS (SELECT t, CAST(SUM(n) AS BIGINT) AS tn
+                   FROM g GROUP BY 1),
+            rs AS (SELECT s, CAST(SUM(n) AS BIGINT) AS sn
+                   FROM g GROUP BY 1),
+            tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g),
+            grid AS (SELECT rb.rn, rt.tn, rs.sn,
+                            COALESCE(g.n, 0) AS o
+                     FROM rb CROSS JOIN rt CROSS JOIN rs
+                     LEFT JOIN g ON g.b = rb.b AND g.t = rt.t
+                                    AND g.s = rs.s),
+            chi AS (SELECT CAST(SUM(
+                        1000 * (CAST(tt.n AS HUGEINT) * tt.n * o
+                                - CAST(rn AS HUGEINT) * tn * sn)
+                             * (CAST(tt.n AS HUGEINT) * tt.n * o
+                                - CAST(rn AS HUGEINT) * tn * sn)
+                        // (CAST(tt.n AS HUGEINT) * tt.n
+                            * rn * tn * sn)) AS BIGINT) AS chi2,
+                           CAST(COUNT(*) FILTER (o > 0) AS BIGINT)
+                               AS occ
+                    FROM grid, tt),
+            m AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rb)
+                             AS nb,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM rt)
+                             AS nt,
+                         (SELECT CAST(COUNT(*) AS BIGINT) FROM rs)
+                             AS ns)
+            SELECT tt.n AS n_parts, m.nb AS n_brands,
+                   m.nt AS n_types, m.ns AS n_sizes,
+                   chi.occ AS n_cells_occupied,
+                   m.nb * m.nt * m.ns - (m.nb - 1) - (m.nt - 1)
+                       - (m.ns - 1) - 1 AS df,
+                   chi.chi2 AS chi2_milli
+            FROM tt, chi, m
+        """,
+        "user_error_exposure": """
+            WITH r AS (SELECT user_id AS u,
+                              CASE WHEN event_type = 'error'
+                                   THEN 1 ELSE 0 END AS err,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC)
+                                  AS rl
+                       FROM events),
+            u AS (SELECT u, CAST(MAX(err) AS BIGINT) AS saw,
+                         CAST(MAX(CASE WHEN rl = 1 THEN err END)
+                              AS BIGINT) AS lerr
+                  FROM r GROUP BY u),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(saw) AS BIGINT) AS saw,
+                         CAST(SUM(lerr) AS BIGINT) AS rage FROM u)
+            SELECT n AS n_users, saw AS n_saw_error,
+                   CAST(10000 * saw // n AS BIGINT)
+                       AS exposure_bps,
+                   rage AS n_rage_quit,
+                   CAST(CASE WHEN saw > 0
+                             THEN 10000 * rage // saw
+                             ELSE -9999 END AS BIGINT)
+                       AS rage_quit_bps
+            FROM s
         """,
     }

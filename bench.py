@@ -296,6 +296,7 @@ BENCH_QUERIES = [
     "event_type_intraday_cadence", "status_priority_mix",
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
     "segment_one_and_done", "user_spend_maturation",
+    "part_three_way_independence", "user_error_exposure",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

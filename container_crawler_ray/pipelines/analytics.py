@@ -19497,3 +19497,116 @@ def user_spend_maturation(sf_dir: str) -> pd.DataFrame:
           10000 * up // movers if movers > 0 else -9999)],
         columns=["n_users_multi", "n_up", "n_down", "n_flat",
                  "up_share_bps"]).astype("int64")
+
+
+def part_three_way_independence(sf_dir: str) -> pd.DataFrame:
+    """THREE-WAY independence — is the catalog's (brand, type,
+    size) composition just the product of its three margins, or are
+    attributes entangled? Chi-square against MUTUAL independence
+    E = r·c·d / N², each cell floored as
+    1000·(N²·O − r·c·d)² // (N²·r·c·d) in exact arbitrary-precision
+    integers (HUGEINT twin), with df = rct·(margins−1) product and
+    the occupied-cell count. Entangled attributes mean
+    stratified sampling on one axis silently skews the others. One
+    bounded 3D bincount partial per block — ZERO shuffle."""
+    ds = _read(sf_dir, "part",
+               columns=["p_brand", "p_type", "p_size"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"b": t.column("p_brand").to_pylist(),
+                           "t": t.column("p_type").to_pylist(),
+                           "s": t.column("p_size").to_numpy()
+                           .astype(np.int64)})
+        g = df.groupby(["b", "t", "s"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["b", "t", "s"], as_index=False)["n"]
+         .sum())
+    rb = g.groupby("b")["n"].sum()
+    rt = g.groupby("t")["n"].sum()
+    rs = g.groupby("s")["n"].sum()
+    big_n = int(g["n"].sum())
+    n2 = big_n * big_n
+    obs = {(b, t_, s): int(n)
+           for b, t_, s, n in g.itertuples(index=False)}
+    chi2 = 0
+    for b in rb.index:
+        for t_ in rt.index:
+            for s in rs.index:
+                e3 = int(rb[b]) * int(rt[t_]) * int(rs[s])
+                o = obs.get((b, t_, s), 0)
+                num = n2 * o - e3
+                chi2 += 1000 * num * num // (n2 * e3)
+    dof = (len(rb) * len(rt) * len(rs)
+           - (len(rb) - 1) - (len(rt) - 1) - (len(rs) - 1) - 1)
+    return pd.DataFrame(
+        [(big_n, len(rb), len(rt), len(rs), len(obs), dof, chi2)],
+        columns=["n_parts", "n_brands", "n_types", "n_sizes",
+                 "n_cells_occupied", "df", "chi2_milli"]) \
+        .astype("int64")
+
+
+def user_error_exposure(sf_dir: str) -> pd.DataFrame:
+    """ERROR exposure — how many users ever hit an error event, and
+    of those, how many RAGE-QUIT (their very last event, under the
+    total (ts, event_id) order, is an error)? Exposure and
+    rage-quit shares in exact bps — the support-ticket-predictor
+    pair of numbers. One ``user % 64`` exchange of per-block
+    (user, saw-error, last-candidate) rows; buckets fold exposure
+    flags and resolve the global last event per user. Pure
+    integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        err = (np.asarray(t.column("event_type").to_numpy(
+            zero_copy_only=False)) == "error").astype(np.int64)
+        order = np.lexsort((e, ts, u))
+        us = u[order]
+        last = np.zeros(len(us), dtype=bool)
+        last[:-1] = us[1:] != us[:-1]
+        last[-1] = True
+        keep = order[last]
+        uu, inv = np.unique(u, return_inverse=True)
+        saw = np.zeros(len(uu), np.int64)
+        np.maximum.at(saw, inv, err)
+        return pa.table({"u": pa.array(uu), "saw": pa.array(saw),
+                         "lts": pa.array(ts[keep]),
+                         "le": pa.array(e[keep]),
+                         "lerr": pa.array(err[keep]),
+                         "bucket": pa.array((uu % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        uu, inv = np.unique(g["u"].to_numpy(np.int64),
+                            return_inverse=True)
+        saw = np.zeros(len(uu), np.int64)
+        np.maximum.at(saw, inv, g["saw"].to_numpy(np.int64))
+        order = np.lexsort((g["le"].to_numpy(np.int64),
+                            g["lts"].to_numpy(np.int64),
+                            g["u"].to_numpy(np.int64)))
+        us = g["u"].to_numpy(np.int64)[order]
+        last = np.zeros(len(us), dtype=bool)
+        last[:-1] = us[1:] != us[:-1]
+        last[-1] = True
+        lerr = g["lerr"].to_numpy(np.int64)[order][last]
+        return pd.DataFrame(
+            [(len(uu), int(saw.sum()), int(lerr.sum()))],
+            columns=["n_users", "n_saw", "n_rage"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().sum())
+    n = int(g["n_users"])
+    saw = int(g["n_saw"])
+    rage = int(g["n_rage"])
+    return pd.DataFrame(
+        [(n, saw, 10000 * saw // n, rage,
+          10000 * rage // saw if saw > 0 else -9999)],
+        columns=["n_users", "n_saw_error", "exposure_bps",
+                 "n_rage_quit", "rage_quit_bps"]).astype("int64")

@@ -259,6 +259,7 @@ def test_entry_smoke(entrymod):
     "event_type_intraday_cadence", "status_priority_mix",
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
     "segment_one_and_done", "user_spend_maturation",
+    "part_three_way_independence", "user_error_exposure",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
