@@ -586,6 +586,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_three_way_independence":
             analytics.part_three_way_independence,
         "user_error_exposure": analytics.user_error_exposure,
+        "customer_value_gap_interaction":
+            analytics.customer_value_gap_interaction,
+        "events_daily_load_factor":
+            analytics.events_daily_load_factor,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13841,5 +13845,72 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS rage_quit_bps
             FROM s
+        """,
+        "customer_value_gap_interaction": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) // 86400000000
+                                  AS d,
+                              o_orderkey AS k,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v
+                       FROM orders),
+            cu AS (SELECT c, CAST(SUM(v) AS BIGINT) AS tv,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM o GROUP BY 1),
+            b AS (SELECT c, CASE WHEN tv < 150000000 THEN 0
+                                 WHEN tv < 250000000 THEN 1
+                                 WHEN tv < 350000000 THEN 2
+                                 ELSE 3 END AS band, n FROM cu),
+            gp AS (SELECT c, d - LAG(d) OVER (PARTITION BY c
+                                              ORDER BY d, k)
+                              AS gap FROM o),
+            j AS (SELECT b.band, gp.gap FROM gp JOIN b USING (c)
+                  WHERE gp.gap IS NOT NULL),
+            h AS (SELECT band, gap, CAST(COUNT(*) AS BIGINT) AS cc
+                  FROM j GROUP BY 1, 2),
+            w AS (SELECT band, gap, cc,
+                         SUM(cc) OVER (PARTITION BY band
+                                       ORDER BY gap
+                                       ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(cc) OVER (PARTITION BY band) AS ng,
+                         SUM(gap * cc) OVER (PARTITION BY band)
+                             AS s
+                  FROM h),
+            nr AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS nrep
+                   FROM b WHERE n >= 2 GROUP BY band)
+            SELECT CAST(w.band AS BIGINT) AS value_band,
+                   CAST(MAX(nr.nrep) AS BIGINT)
+                       AS n_repeat_customers,
+                   CAST(MAX(w.ng) AS BIGINT) AS n_gaps,
+                   CAST(MIN(w.gap) FILTER (
+                        w.cum >= (50 * w.ng + 99) // 100)
+                        AS BIGINT) AS p50_gap_days,
+                   CAST(1000 * MAX(w.s) // MAX(w.ng) AS BIGINT)
+                       AS mean_gap_milli
+            FROM w JOIN nr ON nr.band = w.band
+            GROUP BY w.band ORDER BY 1
+        """,
+        "events_daily_load_factor": """
+            WITH dh AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                               (epoch_us(ts) // 3600000000) % 24
+                                   AS h,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            dd AS (SELECT d, CAST(1000 * 24 * MAX(c) // SUM(c)
+                                  AS BIGINT) AS lf
+                   FROM dh GROUP BY d),
+            r AS (SELECT lf, ROW_NUMBER() OVER (ORDER BY lf) AS rn,
+                         COUNT(*) OVER () AS n FROM dd),
+            p AS (SELECT CAST(MIN(lf) FILTER (
+                             rn >= (50 * n + 99) // 100) AS BIGINT)
+                             AS p50,
+                         CAST(MAX(n) AS BIGINT) AS n FROM r),
+            wd AS (SELECT d, lf FROM dd
+                   ORDER BY lf DESC, d LIMIT 1)
+            SELECT p.n AS n_days, p.p50 AS p50_lf_milli,
+                   CAST(wd.lf AS BIGINT) AS max_lf_milli,
+                   CAST(wd.d AS BIGINT) AS max_day
+            FROM p, wd
         """,
     }

@@ -297,6 +297,8 @@ BENCH_QUERIES = [
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
     "segment_one_and_done", "user_spend_maturation",
     "part_three_way_independence", "user_error_exposure",
+    "customer_value_gap_interaction",
+    "events_daily_load_factor",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

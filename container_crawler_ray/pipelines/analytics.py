@@ -19610,3 +19610,125 @@ def user_error_exposure(sf_dir: str) -> pd.DataFrame:
           10000 * rage // saw if saw > 0 else -9999)],
         columns=["n_users", "n_saw_error", "exposure_bps",
                  "n_rage_quit", "rage_quit_bps"]).astype("int64")
+
+
+def customer_value_gap_interaction(sf_dir: str) -> pd.DataFrame:
+    """VALUE × CADENCE — do high-lifetime-value customers reorder
+    FASTER? Customers band by fixed lifetime-cents thresholds
+    (<1.5M, <2.5M, <3.5M, >=3.5M dollars-in-cents·100), and each
+    band reports its repeat-customer count, inter-order gap count,
+    exact ceil-rank p50 gap and truncating milli mean gap in days
+    (consecutive orders under the (day, orderkey) order; same-day
+    gaps count as 0). Whales-order-often is the cross-sell
+    assumption this either confirms or kills. One ``cust % 64``
+    exchange of slim order rows; buckets fold per-customer value +
+    sorted gaps into bounded (band, gap) cells. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": pa.array(t.column("o_orderdate").cast(pa.int64())
+                          .to_numpy() // _DAY_US),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "v": pa.array(np.floor(t.column("o_totalprice")
+                                   .to_numpy() * 100)
+                          .astype(np.int64)),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((g["k"].to_numpy(np.int64),
+                            g["d"].to_numpy(np.int64), c))
+        cs = c[order]
+        d = g["d"].to_numpy(np.int64)[order]
+        v = g["v"].to_numpy(np.int64)[order]
+        uu, start = np.unique(cs, return_index=True)
+        n = np.diff(np.append(start, len(cs)))
+        cv = np.concatenate(([0], np.cumsum(v)))
+        tv = cv[start + n] - cv[start]
+        band = np.where(tv < 150_000_000, 0,
+                        np.where(tv < 250_000_000, 1,
+                                 np.where(tv < 350_000_000, 2, 3)))
+        same = cs[1:] == cs[:-1]
+        gap = d[1:] - d[:-1]
+        cband = np.repeat(band, n)[1:]
+        rep = np.zeros(4, np.int64)
+        np.add.at(rep, band[n >= 2], 1)
+        out = pd.DataFrame({"band": cband[same],
+                            "gap": gap[same]}).groupby(
+            ["band", "gap"], as_index=False).size() \
+            .rename(columns={"size": "cc"})
+        out["rep0"] = 0
+        reprow = pd.DataFrame({"band": np.arange(4, dtype=np.int64),
+                               "gap": -1, "cc": 0, "rep0": rep})
+        return pd.concat([out, reprow], ignore_index=True)
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas()
+         .groupby(["band", "gap"], as_index=False)[["cc", "rep0"]]
+         .sum())
+    rows = []
+    for band in sorted(g["band"].unique()):
+        sub = g[(g["band"] == band) & (g["gap"] >= 0)] \
+            .sort_values("gap")
+        nrep = int(g.loc[(g["band"] == band) & (g["gap"] == -1),
+                         "rep0"].sum())
+        ng = int(sub["cc"].sum())
+        if ng == 0:
+            continue
+        s = int((sub["gap"].to_numpy(np.int64)
+                 * sub["cc"].to_numpy(np.int64)).sum())
+        cum = sub["cc"].cumsum().to_numpy(np.int64)
+        rank = (50 * ng + 99) // 100
+        p50 = int(sub["gap"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+        rows.append((int(band), nrep, ng, p50, 1000 * s // ng))
+    return pd.DataFrame(rows, columns=["value_band",
+                                       "n_repeat_customers",
+                                       "n_gaps", "p50_gap_days",
+                                       "mean_gap_milli"]) \
+        .astype("int64")
+
+
+def events_daily_load_factor(sf_dir: str) -> pd.DataFrame:
+    """DAILY load factor — per day, the peak hour's traffic
+    multiple over the day's hourly average (1000·24·max_hour //
+    day_total, milli units): the census p50 across days, the worst
+    day's factor and its epoch day, plus day count. Capacity
+    planned to the daily AVERAGE under-provisions by exactly this
+    factor — the number an autoscaler's headroom comes from.
+    Per-block bounded (day, hour) count partials — ZERO shuffle,
+    pure integers."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        d = ts // _DAY_US
+        h = (ts // 3_600_000_000) % 24
+        key = d * 24 + h
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"d": pa.array(uk // 24),
+                         "h": pa.array(uk % 24),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["d", "h"], as_index=False)["c"]
+         .sum())
+    days = g.groupby("d")["c"].agg(["sum", "max"])
+    lf = (1000 * 24 * days["max"].to_numpy(np.int64)
+          // days["sum"].to_numpy(np.int64))
+    order = np.argsort(lf, kind="stable")
+    n = len(lf)
+    rank = (50 * n + 99) // 100
+    p50 = int(lf[order][rank - 1])
+    worst_i = int(np.argmax(lf))
+    return pd.DataFrame(
+        [(n, p50, int(lf.max()),
+          int(days.index.to_numpy(np.int64)[worst_i]))],
+        columns=["n_days", "p50_lf_milli", "max_lf_milli",
+                 "max_day"]).astype("int64")

@@ -260,6 +260,8 @@ def test_entry_smoke(entrymod):
     "tax_uniformity_by_nation", "event_id_day_monotonicity",
     "segment_one_and_done", "user_spend_maturation",
     "part_three_way_independence", "user_error_exposure",
+    "customer_value_gap_interaction",
+    "events_daily_load_factor",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
