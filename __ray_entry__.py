@@ -590,6 +590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.customer_value_gap_interaction,
         "events_daily_load_factor":
             analytics.events_daily_load_factor,
+        "type_brand_dominance": analytics.type_brand_dominance,
+        "user_day_type_breadth": analytics.user_day_type_breadth,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13912,5 +13914,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wd.lf AS BIGINT) AS max_lf_milli,
                    CAST(wd.d AS BIGINT) AS max_day
             FROM p, wd
+        """,
+        "type_brand_dominance": """
+            WITH j AS (SELECT p_type AS t, p_brand AS b,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            g AS (SELECT t, b, CAST(SUM(cents) AS BIGINT) AS s
+                  FROM j GROUP BY 1, 2),
+            tt AS (SELECT t, CAST(SUM(s) AS BIGINT) AS tot,
+                          CAST(COUNT(*) AS BIGINT) AS nb
+                   FROM g GROUP BY 1),
+            top AS (SELECT t, b, s,
+                           ROW_NUMBER() OVER (PARTITION BY t
+                                              ORDER BY s DESC, b)
+                               AS rn
+                    FROM g)
+            SELECT tt.t AS p_type, tt.tot AS gross_cents,
+                   tt.nb AS n_brands, top.b AS top_brand,
+                   CAST(10000 * top.s // tt.tot AS BIGINT)
+                       AS top_share_bps
+            FROM tt JOIN top ON top.t = tt.t AND top.rn = 1
+            ORDER BY 1
+        """,
+        "user_day_type_breadth": """
+            WITH b AS (SELECT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS d,
+                              CAST(LEAST(COUNT(DISTINCT event_type),
+                                         8) AS BIGINT) AS breadth
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT breadth, CAST(COUNT(*) AS BIGINT)
+                       AS n_user_days,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY breadth ORDER BY breadth
         """,
     }

@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "part_three_way_independence", "user_error_exposure",
     "customer_value_gap_interaction",
     "events_daily_load_factor",
+    "type_brand_dominance", "user_day_type_breadth",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

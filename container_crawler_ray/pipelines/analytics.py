@@ -19732,3 +19732,108 @@ def events_daily_load_factor(sf_dir: str) -> pd.DataFrame:
           int(days.index.to_numpy(np.int64)[worst_i]))],
         columns=["n_days", "p50_lf_milli", "max_lf_milli",
                  "max_day"]).astype("int64")
+
+
+def type_brand_dominance(sf_dir: str) -> pd.DataFrame:
+    """TYPE ownership — within each part type, which brand takes
+    the most revenue, and how dominant is it? Per type: gross
+    cents, active brand count, the top brand (ties resolve to the
+    lexicographically smallest, = ORDER BY revenue DESC, brand
+    LIMIT 1 per type in the twin) and its share in exact bps. A
+    type owned >5000 bps by one brand prices like a monopoly
+    segment. Part->(brand, type) LUT broadcast; per-block
+    constant-cell revenue partials — ZERO row shuffle, pure
+    integers."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand", "p_type"]) \
+        .to_pandas()
+    bcode, buniq = pd.factorize(part["p_brand"], sort=True)
+    tcode, tuniq = pd.factorize(part["p_type"], sort=True)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    nb, nt = len(buniq), len(tuniq)
+    lut = np.zeros(pk.max() + 1, dtype=np.int64)
+    lut[pk] = bcode * nt + tcode
+    ref = ray.put(lut)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        cell = lut_[t.column("l_partkey").to_numpy()
+                    .astype(np.int64)]
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100).astype(np.int64)
+        s = np.zeros(nb * nt, np.int64)
+        np.add.at(s, cell, cents)
+        return pa.table({
+            "cell": pa.array(np.arange(nb * nt, dtype=np.int64)),
+            "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["s"].sum())
+    grid = np.zeros(nb * nt, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(nb, nt)
+    rows = []
+    for t_ in range(nt):
+        col = grid[:, t_]
+        tot = int(col.sum())
+        if tot == 0:
+            continue
+        top = int(np.argmax(col))
+        rows.append((str(tuniq[t_]), tot, int((col > 0).sum()),
+                     str(buniq[top]),
+                     10000 * int(col[top]) // tot))
+    out = pd.DataFrame(rows, columns=["p_type", "gross_cents",
+                                      "n_brands", "top_brand",
+                                      "top_share_bps"])
+    out["gross_cents"] = out["gross_cents"].astype("int64")
+    out["n_brands"] = out["n_brands"].astype("int64")
+    out["top_share_bps"] = out["top_share_bps"].astype("int64")
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def user_day_type_breadth(sf_dir: str) -> pd.DataFrame:
+    """DAY-BREADTH census — on an active (user, day), how many
+    DISTINCT event types fire? Breadth histogram with shares in
+    exact bps: a breadth-1 product is a single-feature habit; deep
+    breadth means sessions traverse the surface — the
+    engagement-depth number behind "sticky" claims. One
+    ``user % 64`` exchange of per-block distinct (user, day, type)
+    rows; buckets fold distinct counts vectorized into bounded
+    histograms. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        typ, tinv = np.unique(t.column("event_type").to_numpy(),
+                              return_inverse=True)
+        df = pd.DataFrame({"u": u, "d": d % 32768,
+                           "typ": typ[tinv]}).drop_duplicates()
+        df["bucket"] = (df["u"].to_numpy(np.int64) % 64) \
+            .astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d", "typ"])
+        breadth = g.groupby(["u", "d"]).size().to_numpy()
+        h = np.bincount(np.minimum(breadth, 8),
+                        minlength=9).astype(np.int64)
+        return pd.DataFrame({"breadth": np.arange(9,
+                                                  dtype=np.int64),
+                             "n_user_days": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("breadth", as_index=False).sum())
+    tot = int(g["n_user_days"].sum())
+    g = g[g["n_user_days"] > 0].sort_values("breadth") \
+        .reset_index(drop=True)
+    g["share_bps"] = 10000 * g["n_user_days"].to_numpy(np.int64) \
+        // tot
+    return g.astype("int64")

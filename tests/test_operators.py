@@ -262,6 +262,7 @@ def test_entry_smoke(entrymod):
     "part_three_way_independence", "user_error_exposure",
     "customer_value_gap_interaction",
     "events_daily_load_factor",
+    "type_brand_dominance", "user_day_type_breadth",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
