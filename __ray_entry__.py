@@ -592,6 +592,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.events_daily_load_factor,
         "type_brand_dominance": analytics.type_brand_dominance,
         "user_day_type_breadth": analytics.user_day_type_breadth,
+        "catalog_vs_street_price":
+            analytics.catalog_vs_street_price,
+        "events_value_tail_share":
+            analytics.events_value_tail_share,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -13950,5 +13954,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY breadth ORDER BY breadth
+        """,
+        "catalog_vs_street_price": """
+            WITH cat AS (SELECT p_type AS t,
+                                CAST(COUNT(*) AS BIGINT) AS np,
+                                CAST(SUM(CAST(FLOOR(p_retailprice
+                                                    * 100)
+                                              AS BIGINT))
+                                     AS BIGINT) AS cs
+                         FROM part GROUP BY 1),
+            st AS (SELECT p_type AS t,
+                          CAST(COUNT(*) AS BIGINT) AS nl,
+                          CAST(SUM(CAST(FLOOR(l_extendedprice
+                                              * 100) AS BIGINT)
+                                   // CAST(FLOOR(l_quantity)
+                                           AS BIGINT)) AS BIGINT)
+                              AS ss
+                   FROM lineitem
+                   JOIN part ON p_partkey = l_partkey GROUP BY 1)
+            SELECT cat.t AS p_type, cat.np AS n_parts,
+                   CAST(cat.cs // cat.np AS BIGINT)
+                       AS catalog_mean_cents,
+                   st.nl AS n_lines,
+                   CAST(st.ss // st.nl AS BIGINT)
+                       AS street_mean_cents,
+                   CAST(1000 * (st.ss // st.nl)
+                        // (cat.cs // cat.np) AS BIGINT)
+                       AS street_to_list_milli
+            FROM cat JOIN st ON st.t = cat.t ORDER BY 1
+        """,
+        "events_value_tail_share": """
+            WITH h AS (SELECT CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            w AS (SELECT v, c,
+                         SUM(c) OVER (ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER () AS n,
+                         SUM(v * c) OVER () AS tot FROM h),
+            p AS (SELECT MIN(v) FILTER (
+                             cum >= (99 * n + 99) // 100) AS p99,
+                         MAX(n) AS n, MAX(tot) AS tot FROM w),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS tn,
+                         CAST(SUM(v * c) AS BIGINT) AS tv
+                  FROM h, p WHERE h.v >= p.p99)
+            SELECT CAST(p.n AS BIGINT) AS n_events,
+                   CAST(p.tot AS BIGINT) AS total_cents,
+                   CAST(p.p99 AS BIGINT) AS p99_cents,
+                   t.tn AS n_tail,
+                   CAST(10000 * t.tn // p.n AS BIGINT)
+                       AS tail_count_bps,
+                   CAST(CASE WHEN p.tot > 0
+                             THEN 10000 * t.tv // p.tot
+                             ELSE -9999 END AS BIGINT)
+                       AS tail_value_bps
+            FROM p, t
         """,
     }

@@ -300,6 +300,7 @@ BENCH_QUERIES = [
     "customer_value_gap_interaction",
     "events_daily_load_factor",
     "type_brand_dominance", "user_day_type_breadth",
+    "catalog_vs_street_price", "events_value_tail_share",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

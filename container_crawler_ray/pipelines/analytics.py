@@ -19837,3 +19837,108 @@ def user_day_type_breadth(sf_dir: str) -> pd.DataFrame:
     g["share_bps"] = 10000 * g["n_user_days"].to_numpy(np.int64) \
         // tot
     return g.astype("int64")
+
+
+def catalog_vs_street_price(sf_dir: str) -> pd.DataFrame:
+    """CATALOG vs STREET — per part type, the catalog's mean retail
+    price against the mean realized unit price on actual lines
+    (truncating ``cents // qty`` units), and the street-to-list
+    ratio in milli (1000·street_mean // catalog_mean, both
+    truncating cents means). A ratio well under 1000 is systematic
+    discounting off list; over 1000 means the catalog lags the
+    market. Part->(type) LUT broadcast; per-block constant-cell
+    partials on both tables — ZERO row shuffle, pure integers."""
+    import ray
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_type",
+                          "p_retailprice"]).to_pandas()
+    tcode, tuniq = pd.factorize(part["p_type"], sort=True)
+    nt = len(tuniq)
+    pk = part["p_partkey"].to_numpy(np.int64)
+    lut = np.zeros(pk.max() + 1, dtype=np.int64)
+    lut[pk] = tcode
+    ref = ray.put(lut)
+    cat_cents = np.floor(part["p_retailprice"].to_numpy() * 100) \
+        .astype(np.int64)
+    cat_sum = np.zeros(nt, np.int64)
+    np.add.at(cat_sum, tcode, cat_cents)
+    cat_n = np.bincount(tcode, minlength=nt).astype(np.int64)
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice",
+                        "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        tc = lut_[t.column("l_partkey").to_numpy()
+                  .astype(np.int64)]
+        uc = (np.floor(t.column("l_extendedprice").to_numpy()
+                       * 100).astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        s = np.zeros(nt, np.int64)
+        np.add.at(s, tc, uc)
+        n = np.bincount(tc, minlength=nt).astype(np.int64)
+        return pa.table({"t": pa.array(np.arange(nt,
+                                                 dtype=np.int64)),
+                         "s": pa.array(s), "n": pa.array(n)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("t")[["s", "n"]].sum())
+    rows = []
+    for t_ in range(nt):
+        ln = int(g["n"].get(t_, 0))
+        if ln == 0 or cat_n[t_] == 0:
+            continue
+        cat_mean = int(cat_sum[t_]) // int(cat_n[t_])
+        street_mean = int(g["s"].get(t_)) // ln
+        rows.append((str(tuniq[t_]), int(cat_n[t_]), cat_mean, ln,
+                     street_mean,
+                     1000 * street_mean // cat_mean))
+    out = pd.DataFrame(rows, columns=["p_type", "n_parts",
+                                      "catalog_mean_cents",
+                                      "n_lines",
+                                      "street_mean_cents",
+                                      "street_to_list_milli"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def events_value_tail_share(sf_dir: str) -> pd.DataFrame:
+    """TAIL concentration — what share of total event value rides
+    in the top 1% of events? Exact ceil-rank p99 cents threshold
+    from a bounded value histogram, then the count and value share
+    (in exact bps) of events at or above it. If the tail carries
+    half the value, mean-based dashboards and per-event sampling
+    are both lying — the heavy-tail disclosure number. Per-block
+    bounded (cents) histogram partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        u, c = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("v")["c"].sum().sort_index())
+    v = g.index.to_numpy(np.int64)
+    c = g.to_numpy(np.int64)
+    n = int(c.sum())
+    tot = int((v * c).sum())
+    cum = np.cumsum(c)
+    rank = (99 * n + 99) // 100
+    p99 = int(v[np.searchsorted(cum, rank)])
+    tail = v >= p99
+    tail_n = int(c[tail].sum())
+    tail_v = int((v[tail] * c[tail]).sum())
+    return pd.DataFrame(
+        [(n, tot, p99, tail_n, 10000 * tail_n // n,
+          10000 * tail_v // tot if tot > 0 else -9999)],
+        columns=["n_events", "total_cents", "p99_cents",
+                 "n_tail", "tail_count_bps", "tail_value_bps"]) \
+        .astype("int64")
