@@ -596,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.catalog_vs_street_price,
         "events_value_tail_share":
             analytics.events_value_tail_share,
+        "price_leadership_topk": analytics.price_leadership_topk,
+        "user_first_day_value_share":
+            analytics.user_first_day_value_share,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14011,5 +14014,51 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS tail_value_bps
             FROM p, t
+        """,
+        "price_leadership_topk": """
+            WITH u AS (SELECT l_partkey AS p, l_suppkey AS s,
+                              CAST(MIN(CAST(FLOOR(l_extendedprice
+                                                  * 100) AS BIGINT)
+                                       // CAST(FLOOR(l_quantity)
+                                               AS BIGINT))
+                                   AS BIGINT) AS mn
+                       FROM lineitem GROUP BY 1, 2),
+            pm AS (SELECT p, MIN(mn) AS m FROM u GROUP BY 1),
+            cr AS (SELECT u.s, CAST(COUNT(*) AS BIGINT) AS credits
+                   FROM u JOIN pm ON pm.p = u.p AND u.mn = pm.m
+                   GROUP BY 1),
+            np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pm)
+            SELECT CAST(cr.s AS BIGINT) AS s_suppkey,
+                   cr.credits AS n_lead_parts,
+                   CAST(10000 * cr.credits // np.n AS BIGINT)
+                       AS lead_rate_bps
+            FROM cr, np ORDER BY cr.credits DESC, cr.s LIMIT 10
+        """,
+        "user_first_day_value_share": """
+            WITH ud AS (SELECT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d,
+                               CAST(SUM(CAST(FLOOR(value * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS s
+                        FROM events GROUP BY 1, 2),
+            cu AS (SELECT u, CAST(SUM(s) AS BIGINT) AS tv,
+                          CAST(MIN(d) AS BIGINT) AS fd
+                   FROM ud GROUP BY 1),
+            fv AS (SELECT ud.u, CAST(SUM(ud.s) AS BIGINT) AS fv
+                   FROM ud JOIN cu ON cu.u = ud.u AND ud.d = cu.fd
+                   GROUP BY 1),
+            j AS (SELECT cu.tv, fv.fv FROM cu JOIN fv USING (u)
+                  WHERE cu.tv > 0),
+            b AS (SELECT CASE WHEN fv = 0 THEN 0
+                              WHEN 100 * fv < 25 * tv THEN 1
+                              WHEN 100 * fv < 50 * tv THEN 2
+                              WHEN 100 * fv < 75 * tv THEN 3
+                              WHEN fv < tv THEN 4
+                              ELSE 5 END AS band FROM j),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

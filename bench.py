@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "events_daily_load_factor",
     "type_brand_dominance", "user_day_type_breadth",
     "catalog_vs_street_price", "events_value_tail_share",
+    "price_leadership_topk", "user_first_day_value_share",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -19942,3 +19942,136 @@ def events_value_tail_share(sf_dir: str) -> pd.DataFrame:
         columns=["n_events", "total_cents", "p99_cents",
                  "n_tail", "tail_count_bps", "tail_value_bps"]) \
         .astype("int64")
+
+
+def price_leadership_topk(sf_dir: str) -> pd.DataFrame:
+    """PRICE LEADERSHIP — which suppliers set the floor? For every
+    part, the supplier(s) whose minimum observed unit price
+    (truncating ``cents // qty``) equals the part's global minimum
+    earn one leadership credit (ties all credit — a shared floor is
+    still a floor). Top 10 suppliers by credits, ties to the
+    smaller key, with the credit rate over all parts in exact bps —
+    the negotiate-with-these-first list. One ``part % 64`` exchange
+    of per-block (part, supplier, min-unit) rollups; buckets fold
+    floors vectorized and emit per-supplier credit partials plus
+    one part-count marker row. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        key = p * (1 << 32) + s
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, uc)
+        return pa.table({"p": pa.array(uk >> 32),
+                         "s": pa.array(uk & ((1 << 32) - 1)),
+                         "mn": pa.array(mn),
+                         "bucket": pa.array(((uk >> 32) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["p"].to_numpy(np.int64) * (1 << 32) \
+            + g["s"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        mn = np.full(len(uk), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, g["mn"].to_numpy(np.int64))
+        pu, pinv = np.unique(uk >> 32, return_inverse=True)
+        pmin = np.full(len(pu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(pmin, pinv, mn)
+        lead = mn == pmin[pinv]
+        su = uk & ((1 << 32) - 1)
+        cred = pd.DataFrame({"s": su[lead]}).groupby(
+            "s", as_index=False).size().rename(
+            columns={"size": "credits"})
+        cred["parts_marker"] = 0
+        marker = pd.DataFrame({"s": [-1], "credits": [0],
+                               "parts_marker": [len(pu)]})
+        return pd.concat([cred, marker], ignore_index=True)
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_parts = int(g["parts_marker"].sum())
+    cred = (g[g["s"] >= 0].groupby("s", as_index=False)["credits"]
+            .sum())
+    cred = cred.sort_values(["credits", "s"],
+                            ascending=[False, True],
+                            kind="mergesort").head(10)
+    out = pd.DataFrame({
+        "s_suppkey": cred["s"].to_numpy(np.int64),
+        "n_lead_parts": cred["credits"].to_numpy(np.int64),
+        "lead_rate_bps": 10000 * cred["credits"].to_numpy(np.int64)
+        // n_parts}).reset_index(drop=True)
+    return out.astype("int64")
+
+
+def user_first_day_value_share(sf_dir: str) -> pd.DataFrame:
+    """FIRST-DAY monetization — how much of a user's lifetime event
+    value lands on their very first active day? Users with any
+    value band by the cross-multiplied share test (zero-first-day,
+    <25%, <50%, <75%, <100%, everything-day-one) with shares in
+    exact bps — the onboarding-monetization shape: heavy
+    everything-day-one mass means retention adds nothing to
+    revenue. One ``user % 64`` exchange of per-block (user, day,
+    cents) rollups; buckets fold first-day vs total sums
+    vectorized. Pure integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        key = u * 32768 + (d % 32768)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"u": pa.array(uk // 32768),
+                         "d": pa.array(uk % 32768),
+                         "s": pa.array(s),
+                         "bucket": pa.array(((uk // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["u"].to_numpy(np.int64) * 32768 \
+            + g["d"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, g["s"].to_numpy(np.int64))
+        uu, uinv = np.unique(uk // 32768, return_inverse=True)
+        tv = np.zeros(len(uu), np.int64)
+        np.add.at(tv, uinv, s)
+        dd = uk % 32768
+        fd = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fd, uinv, dd)
+        fv = np.zeros(len(uu), np.int64)
+        first_rows = dd == fd[uinv]
+        np.add.at(fv, uinv[first_rows], s[first_rows])
+        has = tv > 0
+        fv, tv = fv[has], tv[has]
+        band = np.where(fv == 0, 0,
+                        np.where(100 * fv < 25 * tv, 1,
+                                 np.where(100 * fv < 50 * tv, 2,
+                                          np.where(100 * fv < 75
+                                                   * tv, 3,
+                                                   np.where(fv < tv,
+                                                            4, 5)))))
+        h = np.bincount(band, minlength=6).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(6, dtype=np.int64),
+                             "n_users": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_users"].sum())
+    g = g[g["n_users"] > 0].sort_values("band").reset_index(
+        drop=True)
+    g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
+    return g.astype("int64")

@@ -264,6 +264,7 @@ def test_entry_smoke(entrymod):
     "events_daily_load_factor",
     "type_brand_dominance", "user_day_type_breadth",
     "catalog_vs_street_price", "events_value_tail_share",
+    "price_leadership_topk", "user_first_day_value_share",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
