@@ -599,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_leadership_topk": analytics.price_leadership_topk,
         "user_first_day_value_share":
             analytics.user_first_day_value_share,
+        "order_discount_consistency":
+            analytics.order_discount_consistency,
+        "embedding_dim_range": analytics.embedding_dim_range,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14060,5 +14063,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "order_discount_consistency": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(DISTINCT
+                                   CAST(FLOOR(l_discount * 100)
+                                        AS BIGINT)) AS BIGINT)
+                                  AS nlev
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT CASE WHEN n = 1 THEN 0
+                              WHEN nlev = 1 THEN 1
+                              WHEN nlev = 2 THEN 2
+                              ELSE 3 END AS band FROM o),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM o)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "embedding_dim_range": """
+            WITH u AS (
+              SELECT unnest(embedding) AS v,
+                     unnest(generate_series(1, len(embedding)))
+                         AS dim
+              FROM embeddings),
+            g AS (SELECT CAST(dim AS BIGINT) AS dim,
+                         CAST(MIN(CAST(FLOOR(CAST(v AS DOUBLE)
+                                             * 1000000.0)
+                                       AS BIGINT)) AS BIGINT)
+                             AS min_fp,
+                         CAST(MAX(CAST(FLOOR(CAST(v AS DOUBLE)
+                                             * 1000000.0)
+                                       AS BIGINT)) AS BIGINT)
+                             AS max_fp
+                  FROM u GROUP BY 1)
+            SELECT dim, min_fp, max_fp,
+                   max_fp - min_fp AS span_fp,
+                   GREATEST(ABS(min_fp), ABS(max_fp)) AS absmax_fp
+            FROM g ORDER BY dim
         """,
     }

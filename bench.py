@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "type_brand_dominance", "user_day_type_breadth",
     "catalog_vs_street_price", "events_value_tail_share",
     "price_leadership_topk", "user_first_day_value_share",
+    "order_discount_consistency", "embedding_dim_range",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

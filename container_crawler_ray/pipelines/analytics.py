@@ -20075,3 +20075,87 @@ def user_first_day_value_share(sf_dir: str) -> pd.DataFrame:
         drop=True)
     g["share_bps"] = 10000 * g["n_users"].to_numpy(np.int64) // tot
     return g.astype("int64")
+
+
+def order_discount_consistency(sf_dir: str) -> pd.DataFrame:
+    """DISCOUNT consistency — inside one order, is the discount
+    dial set once (order-level promo) or per line (line-level
+    negotiation)? Orders band by distinct whole-percent discount
+    levels across their lines (single-line orders separate, then
+    uniform multi-line, 2 levels, 3+), with shares in exact bps.
+    Uniform-heavy books can compress promo storage to one column —
+    the schema-design datum. One ``order % 64`` exchange of
+    per-block distinct (order, level) pairs with line counts;
+    buckets fold distinct levels vectorized. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_discount"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        dp = np.floor(t.column("l_discount").to_numpy() * 100) \
+            .astype(np.int64)
+        key = o * 16 + dp
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"o": pa.array(uk // 16),
+                         "dp": pa.array(uk % 16),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(((uk // 16) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["o"].to_numpy(np.int64) * 16 \
+            + g["dp"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        k = np.zeros(len(uk), np.int64)
+        np.add.at(k, inv, g["k"].to_numpy(np.int64))
+        ou, oinv = np.unique(uk // 16, return_inverse=True)
+        nlev = np.bincount(oinv, minlength=len(ou)).astype(np.int64)
+        nlines = np.zeros(len(ou), np.int64)
+        np.add.at(nlines, oinv, k)
+        band = np.where(nlines == 1, 0,
+                        np.where(nlev == 1, 1,
+                                 np.where(nlev == 2, 2, 3)))
+        h = np.bincount(band, minlength=4).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(4, dtype=np.int64),
+                             "n_orders": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_orders"].sum())
+    g = g[g["n_orders"] > 0].sort_values("band").reset_index(
+        drop=True)
+    g["share_bps"] = 10000 * g["n_orders"].to_numpy(np.int64) // tot
+    return g.astype("int64")
+
+
+def embedding_dim_range(sf_dir: str) -> pd.DataFrame:
+    """DIMENSION range calibration — per embedding dimension the
+    exact fixed-point (floor(v·1e6)) min, max, span and absolute
+    max: the numbers a symmetric-vs-asymmetric quantizer clips to.
+    One dimension with 10× the span of the rest forces either a
+    per-dim scale or a fat global range — this table decides which.
+    Per-block 64-cell min/max partials over the stacked matrix —
+    ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding"],
+               rows_per_block=4096)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = np.floor(np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64) * 1e6) \
+            .astype(np.int64)
+        return pa.table({"dim": pa.array(np.arange(1, m.shape[1] + 1,
+                                                   dtype=np.int64)),
+                         "mn": pa.array(m.min(axis=0)),
+                         "mx": pa.array(m.max(axis=0))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("dim")
+         .agg(mn=("mn", "min"), mx=("mx", "max")).sort_index())
+    mn = g["mn"].to_numpy(np.int64)
+    mx = g["mx"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "dim": g.index.to_numpy(np.int64),
+        "min_fp": mn, "max_fp": mx, "span_fp": mx - mn,
+        "absmax_fp": np.maximum(np.abs(mn), np.abs(mx))}).astype(
+        "int64")
