@@ -602,6 +602,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_discount_consistency":
             analytics.order_discount_consistency,
         "embedding_dim_range": analytics.embedding_dim_range,
+        "part_name_pair_affinity":
+            analytics.part_name_pair_affinity,
+        "events_value_mode_census":
+            analytics.events_value_mode_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14102,5 +14106,33 @@ def oracle_sql() -> dict[str, str]:
                    max_fp - min_fp AS span_fp,
                    GREATEST(ABS(min_fp), ABS(max_fp)) AS absmax_fp
             FROM g ORDER BY dim
+        """,
+        "part_name_pair_affinity": """
+            WITH w AS (SELECT split_part(p_name, ' ', 1) AS w1,
+                              split_part(p_name, ' ', 2) AS w2
+                       FROM part),
+            g AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM g GROUP BY 1),
+            c AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM g GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM g)
+            SELECT g.w1, g.w2, g.n AS n_parts,
+                   CAST(1000 * g.n * t.n // (r.rn * c.cn)
+                        AS BIGINT) AS lift_milli
+            FROM g JOIN r USING (w1) JOIN c USING (w2), t
+            WHERE g.n >= 5
+            ORDER BY lift_milli DESC, g.w1, g.w2 LIMIT 10
+        """,
+        "events_value_mode_census": """
+            WITH h AS (SELECT CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h)
+            SELECT v AS value_cents, c AS n_events,
+                   CAST(10000 * c // t.n AS BIGINT) AS share_bps
+            FROM h, t ORDER BY c DESC, v LIMIT 10
         """,
     }

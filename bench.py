@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "catalog_vs_street_price", "events_value_tail_share",
     "price_leadership_topk", "user_first_day_value_share",
     "order_discount_consistency", "embedding_dim_range",
+    "part_name_pair_affinity", "events_value_mode_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -20159,3 +20159,71 @@ def embedding_dim_range(sf_dir: str) -> pd.DataFrame:
         "min_fp": mn, "max_fp": mx, "span_fp": mx - mn,
         "absmax_fp": np.maximum(np.abs(mn), np.abs(mx))}).astype(
         "int64")
+
+
+def part_name_pair_affinity(sf_dir: str) -> pd.DataFrame:
+    """NAME-PAIR affinity — in two-word part names, does the
+    adjective actually predict the noun? Top 10 (first-word,
+    second-word) pairs by cross-multiplied lift
+    1000·o·N // (r·c) with support ≥ 5, ties by lift DESC then
+    pair; a strong affinity means names encode a hidden taxonomy a
+    splitter-based feature would miss. Vocabulary-sized per-block
+    pair-count partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "part", columns=["p_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("p_name").to_pylist())
+        w = s.str.split(" ", n=1, expand=True)
+        g = pd.DataFrame({"w1": w[0], "w2": w[1]}).groupby(
+            ["w1", "w2"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["w1", "w2"], as_index=False)["n"]
+         .sum())
+    n_tot = int(g["n"].sum())
+    rn = g.groupby("w1")["n"].sum()
+    cn = g.groupby("w2")["n"].sum()
+    g = g[g["n"] >= 5].copy()
+    n = g["n"].to_numpy(np.int64)
+    r = rn.loc[g["w1"]].to_numpy(np.int64)
+    c = cn.loc[g["w2"]].to_numpy(np.int64)
+    g["lift_milli"] = 1000 * n * n_tot // (r * c)
+    g = g.sort_values(["lift_milli", "w1", "w2"],
+                      ascending=[False, True, True],
+                      kind="mergesort").head(10)
+    return pd.DataFrame({
+        "w1": g["w1"].to_numpy(), "w2": g["w2"].to_numpy(),
+        "n_parts": g["n"].to_numpy(np.int64),
+        "lift_milli": g["lift_milli"].to_numpy(np.int64)}).astype(
+        {"n_parts": "int64", "lift_milli": "int64"})
+
+
+def events_value_mode_census(sf_dir: str) -> pd.DataFrame:
+    """VALUE-MODE census — the 10 most frequent EXACT cent values
+    in the event stream, with counts and shares in bps (ties by
+    count DESC then value ASC). Spikes at arbitrary constants are
+    sentinel values or hard-coded instrumentation defaults — the
+    cousin of round-number bias that catches 9.99 and 123.45, not
+    just .00. Per-block bounded value-histogram partials — ZERO
+    shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.floor(t.column("value").to_numpy()
+                                  * 100).astype(np.int64),
+                         return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("v", as_index=False)["c"].sum())
+    tot = int(g["c"].sum())
+    g = g.sort_values(["c", "v"], ascending=[False, True],
+                      kind="mergesort").head(10)
+    return pd.DataFrame({
+        "value_cents": g["v"].to_numpy(np.int64),
+        "n_events": g["c"].to_numpy(np.int64),
+        "share_bps": 10000 * g["c"].to_numpy(np.int64)
+        // tot}).astype("int64")

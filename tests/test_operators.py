@@ -266,6 +266,7 @@ def test_entry_smoke(entrymod):
     "catalog_vs_street_price", "events_value_tail_share",
     "price_leadership_topk", "user_first_day_value_share",
     "order_discount_consistency", "embedding_dim_range",
+    "part_name_pair_affinity", "events_value_mode_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
