@@ -606,6 +606,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.part_name_pair_affinity,
         "events_value_mode_census":
             analytics.events_value_mode_census,
+        "weekend_priority_shift":
+            analytics.weekend_priority_shift,
+        "user_activity_fingerprint_dups":
+            analytics.user_activity_fingerprint_dups,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14134,5 +14138,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS value_cents, c AS n_events,
                    CAST(10000 * c // t.n AS BIGINT) AS share_bps
             FROM h, t ORDER BY c DESC, v LIMIT 10
+        """,
+        "weekend_priority_shift": """
+            WITH d AS (SELECT CAST(SUBSTR(o_orderpriority, 1, 1)
+                                   AS BIGINT) AS p,
+                              CASE WHEN (epoch_us(o_orderdate)
+                                         // 86400000000 + 4) % 7
+                                        IN (0, 6)
+                                   THEN 1 ELSE 0 END AS we
+                       FROM orders),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(we) AS BIGINT) AS w FROM d)
+            SELECT p AS priority,
+                   CAST(SUM(1 - we) AS BIGINT) AS n_weekday,
+                   CAST(SUM(we) AS BIGINT) AS n_weekend,
+                   CAST(10000 * SUM(we) // COUNT(*) AS BIGINT)
+                       AS weekend_bps,
+                   CAST(CASE WHEN MAX(t.w) > 0 THEN
+                        1000 * SUM(we) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.w)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM d, t GROUP BY p ORDER BY p
+        """,
+        "user_activity_fingerprint_dups": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events),
+            fp AS (SELECT u, string_agg(CAST(d AS VARCHAR), ','
+                                        ORDER BY d) AS f
+                   FROM ud GROUP BY u),
+            g AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM fp GROUP BY f),
+            s AS (SELECT CAST(SUM(n) AS BIGINT) AS nu,
+                         CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(COALESCE(SUM(n) FILTER (n >= 2), 0)
+                              AS BIGINT) AS nd,
+                         CAST(MAX(n) AS BIGINT) AS mg FROM g)
+            SELECT nu AS n_users, np AS n_patterns,
+                   nd AS n_users_in_dup_groups,
+                   CAST(10000 * nd // nu AS BIGINT)
+                       AS dup_share_bps,
+                   mg AS max_group
+            FROM s
         """,
     }

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "price_leadership_topk", "user_first_day_value_share",
     "order_discount_consistency", "embedding_dim_range",
     "part_name_pair_affinity", "events_value_mode_census",
+    "weekend_priority_shift", "user_activity_fingerprint_dups",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

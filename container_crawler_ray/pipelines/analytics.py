@@ -20227,3 +20227,97 @@ def events_value_mode_census(sf_dir: str) -> pd.DataFrame:
         "n_events": g["c"].to_numpy(np.int64),
         "share_bps": 10000 * g["c"].to_numpy(np.int64)
         // tot}).astype("int64")
+
+
+def weekend_priority_shift(sf_dir: str) -> pd.DataFrame:
+    """WEEKEND urgency — does the priority mix shift when orders
+    land on a weekend? Per priority digit: weekday and weekend
+    order counts, the weekend share in exact bps, and the lift of
+    each priority's weekend share vs the overall weekend rate
+    cross-multiplied. A positive urgent-lift means the
+    expedite-queue staffing can't be weekday-only. Per-block
+    10-cell partials under the (epoch_day+4)%7 convention — ZERO
+    shuffle, pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        wk = (d + 4) % 7
+        we = ((wk == 0) | (wk == 6)).astype(np.int64)
+        p = pc.utf8_slice_codeunits(t.column("o_orderpriority"),
+                                    0, 1).cast(pa.int64()).to_numpy()
+        cell = p * 2 + we
+        c = np.bincount(cell, minlength=12).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(12,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(12, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(6, 2)
+    n_tot = int(grid.sum())
+    we_tot = int(grid[:, 1].sum())
+    rows = []
+    for p in range(6):
+        n = int(grid[p].sum())
+        if n == 0:
+            continue
+        we = int(grid[p, 1])
+        rows.append((p, n - we, we, 10000 * we // n,
+                     1000 * we * n_tot // (n * we_tot) - 1000
+                     if we_tot > 0 else -9999))
+    return pd.DataFrame(rows, columns=["priority", "n_weekday",
+                                       "n_weekend", "weekend_bps",
+                                       "lift_milli"]).astype(
+        "int64")
+
+
+def user_activity_fingerprint_dups(sf_dir: str) -> pd.DataFrame:
+    """ACTIVITY-FINGERPRINT duplicates — how many users share an
+    IDENTICAL set of active days? Each user's fingerprint is the
+    comma-joined ascending active-day list; exact-duplicate
+    fingerprints across users are bot rings, replayed accounts, or
+    duplicated instrumentation (organic humans virtually never tie
+    on 10+ specific days). Reports users, distinct patterns, users
+    inside duplicate groups with share in bps, and the largest
+    group. One ``user % 64`` exchange of distinct (user, day) rows;
+    buckets build fingerprints vectorized and emit pattern-count
+    partials (the duplicate census merges exactly on the driver
+    because identical day SETS hash to identical strings). Pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        key = u * 32768 + (d % 32768)
+        uk = np.unique(key)
+        return pa.table({"u": pa.array(uk // 32768),
+                         "d": pa.array(uk % 32768),
+                         "bucket": pa.array(((uk // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "d"]).sort_values(["u", "d"])
+        fp = g.groupby("u")["d"].agg(
+            lambda s: ",".join(map(str, s)))
+        out = fp.to_frame("fp").groupby("fp", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("fp", as_index=False)["n"].sum())
+    n_users = int(g["n"].sum())
+    n_patterns = len(g)
+    dup = g[g["n"] >= 2]
+    n_dup_users = int(dup["n"].sum())
+    max_group = int(g["n"].max())
+    return pd.DataFrame(
+        [(n_users, n_patterns, n_dup_users,
+          10000 * n_dup_users // n_users, max_group)],
+        columns=["n_users", "n_patterns", "n_users_in_dup_groups",
+                 "dup_share_bps", "max_group"]).astype("int64")

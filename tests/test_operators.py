@@ -267,6 +267,7 @@ def test_entry_smoke(entrymod):
     "price_leadership_topk", "user_first_day_value_share",
     "order_discount_consistency", "embedding_dim_range",
     "part_name_pair_affinity", "events_value_mode_census",
+    "weekend_priority_shift", "user_activity_fingerprint_dups",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
