@@ -610,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.weekend_priority_shift,
         "user_activity_fingerprint_dups":
             analytics.user_activity_fingerprint_dups,
+        "nation_part_coverage": analytics.nation_part_coverage,
+        "basket_width_trend": analytics.basket_width_trend,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14180,5 +14182,36 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_share_bps,
                    mg AS max_group
             FROM s
+        """,
+        "nation_part_coverage": """
+            WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                        FROM part),
+            j AS (SELECT s_nationkey AS k, l_partkey AS p
+                  FROM lineitem
+                  JOIN supplier ON s_suppkey = l_suppkey),
+            g AS (SELECT k, CAST(COUNT(DISTINCT p) AS BIGINT)
+                             AS pc,
+                         CAST(COUNT(*) AS BIGINT) AS nl
+                  FROM j GROUP BY 1)
+            SELECT n_name AS nation, g.pc AS n_parts_touched,
+                   CAST(10000 * g.pc // np.n AS BIGINT)
+                       AS coverage_bps,
+                   g.nl AS n_lines
+            FROM g JOIN nation ON n_nationkey = g.k, np
+            ORDER BY nation
+        """,
+        "basket_width_trend": """
+            WITH lc AS (SELECT l_orderkey AS k,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT epoch_us(o_orderdate) // 86400000000
+                         // 365 AS y, lc.c
+                  FROM orders JOIN lc ON lc.k = o_orderkey)
+            SELECT CAST(y AS BIGINT) AS year_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS n_lines,
+                   CAST(1000 * SUM(c) // COUNT(*) AS BIGINT)
+                       AS mean_lines_milli
+            FROM j GROUP BY y ORDER BY y
         """,
     }

@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "order_discount_consistency", "embedding_dim_range",
     "part_name_pair_affinity", "events_value_mode_census",
     "weekend_priority_shift", "user_activity_fingerprint_dups",
+    "nation_part_coverage", "basket_width_trend",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

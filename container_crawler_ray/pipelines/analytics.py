@@ -20321,3 +20321,122 @@ def user_activity_fingerprint_dups(sf_dir: str) -> pd.DataFrame:
           10000 * n_dup_users // n_users, max_group)],
         columns=["n_users", "n_patterns", "n_users_in_dup_groups",
                  "dup_share_bps", "max_group"]).astype("int64")
+
+
+def nation_part_coverage(sf_dir: str) -> pd.DataFrame:
+    """ASSORTMENT breadth by nation — how much of the part universe
+    does each supplier nation actually ship? Per nation: distinct
+    parts touched, coverage of the full catalog in exact bps, and
+    line count. A nation with deep lines but narrow coverage is a
+    specialist; sourcing diversification needs the breadth number,
+    not the volume one. Supplier->nation LUT broadcast; one
+    ``(nation, part) % 64`` exchange of per-block distinct pairs;
+    buckets count distinct parts per nation. Pure integers."""
+    import ray
+
+    supp = _read(sf_dir, "supplier",
+                 columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    lut = np.zeros(sk.max() + 1, dtype=np.int64)
+    lut[sk] = supp["s_nationkey"].to_numpy(np.int64)
+    ref = ray.put(lut)
+    n_parts_all = int(_read(sf_dir, "part", columns=["p_partkey"])
+                      .count())
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        lut_ = ray.get(ref)
+        nk = lut_[t.column("l_suppkey").to_numpy()
+                  .astype(np.int64)]
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        key = nk * (1 << 32) + p
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uk >> 32),
+                         "p": pa.array(uk & ((1 << 32) - 1)),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array((uk % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["k"].to_numpy(np.int64) * (1 << 32) \
+            + g["p"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, g["c"].to_numpy(np.int64))
+        nu, ninv = np.unique(uk >> 32, return_inverse=True)
+        np_ = np.bincount(ninv, minlength=len(nu)).astype(np.int64)
+        nl = np.zeros(len(nu), np.int64)
+        np.add.at(nl, ninv, c)
+        return pd.DataFrame({"k": nu, "n_parts": np_,
+                             "n_lines": nl})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("k", as_index=False)[["n_parts",
+                                                    "n_lines"]]
+         .sum())
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    g["nation"] = g["k"].map(names)
+    g = g.sort_values("nation").reset_index(drop=True)
+    return pd.DataFrame({
+        "nation": g["nation"],
+        "n_parts_touched": g["n_parts"].astype("int64"),
+        "coverage_bps": (10000 * g["n_parts"].to_numpy(np.int64)
+                         // n_parts_all),
+        "n_lines": g["n_lines"].astype("int64")}).astype(
+        {"n_parts_touched": "int64", "coverage_bps": "int64",
+         "n_lines": "int64"})
+
+
+def basket_width_trend(sf_dir: str) -> pd.DataFrame:
+    """BASKET-WIDTH trend — are orders getting wider or narrower
+    over the years? Per order year: order count, line count, and
+    the exact truncating milli mean lines per order. A narrowing
+    basket with flat order counts is revenue decline hiding behind
+    a healthy-looking order dashboard. Scale shape is the
+    tagged-union ``order % 64`` hash join (orders ship (key, year),
+    lineitem ships (key, 1) counts). Pure integers."""
+    li = (_read(sf_dir, "lineitem", columns=["l_orderkey"])
+          .map_batches(lambda t: (lambda u, c: pa.table({
+              "k": pa.array(u), "y": pa.array(np.full(len(u), -1,
+                                                      np.int64)),
+              "c": pa.array(c.astype(np.int64)),
+              "bucket": pa.array((u % 64).astype(np.int32))}))(
+              *np.unique(t.column("l_orderkey").to_numpy()
+                         .astype(np.int64), return_counts=True)),
+              batch_format="pyarrow"))
+    od = (_read(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate"])
+          .map_batches(lambda t: pa.table({
+              "k": t.column("o_orderkey").cast(pa.int64()),
+              "y": pa.array(t.column("o_orderdate").cast(pa.int64())
+                            .to_numpy() // _DAY_US // 365),
+              "c": pa.array(np.zeros(len(t), np.int64)),
+              "bucket": pc.cast(pc.bit_wise_and(
+                  t.column("o_orderkey").cast(pa.int64()), 63),
+                  pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["y"] >= 0][["k", "y"]]
+        l_ = g[g["y"] < 0].groupby("k", as_index=False)["c"].sum()
+        m = o.merge(l_, on="k")
+        out = m.groupby("y", as_index=False).agg(
+            n_orders=("c", "size"), n_lines=("c", "sum"))
+        return out
+
+    g = (li.union(od).groupby("bucket")
+         .map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("y", as_index=False)[["n_orders",
+                                                    "n_lines"]]
+         .sum().sort_values("y").reset_index(drop=True))
+    return pd.DataFrame({
+        "year_id": g["y"].astype("int64"),
+        "n_orders": g["n_orders"].astype("int64"),
+        "n_lines": g["n_lines"].astype("int64"),
+        "mean_lines_milli": (1000 * g["n_lines"].to_numpy(np.int64)
+                             // g["n_orders"].to_numpy(np.int64))
+    }).astype("int64")
