@@ -612,6 +612,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.user_activity_fingerprint_dups,
         "nation_part_coverage": analytics.nation_part_coverage,
         "basket_width_trend": analytics.basket_width_trend,
+        "premium_return_interaction":
+            analytics.premium_return_interaction,
+        "basket_width_ship_span":
+            analytics.basket_width_ship_span,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14213,5 +14217,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(c) // COUNT(*) AS BIGINT)
                        AS mean_lines_milli
             FROM j GROUP BY y ORDER BY y
+        """,
+        "premium_return_interaction": """
+            WITH u AS (SELECT l_partkey AS p, l_returnflag AS rf,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                              // CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS uc
+                       FROM lineitem),
+            pa_ AS (SELECT p, CAST(SUM(uc) AS BIGINT) AS ps,
+                           CAST(COUNT(*) AS BIGINT) AS pc
+                    FROM u GROUP BY 1),
+            r AS (SELECT CASE WHEN rel < 9800 THEN 0
+                              WHEN rel < 10000 THEN 1
+                              WHEN rel < 10200 THEN 2
+                              ELSE 3 END AS band,
+                         CASE WHEN rf = 'R' THEN 1 ELSE 0 END AS rr
+                  FROM (SELECT u.rf,
+                               10000 * u.uc * pa_.pc // pa_.ps
+                                   AS rel
+                        FROM u JOIN pa_ USING (p))),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(rr) AS BIGINT) AS rt FROM r)
+            SELECT band AS rel_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(rr) AS BIGINT) AS n_returned,
+                   CAST(10000 * SUM(rr) // COUNT(*) AS BIGINT)
+                       AS return_bps,
+                   CAST(CASE WHEN MAX(t.rt) > 0 THEN
+                        1000 * SUM(rr) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.rt)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM r, t GROUP BY band ORDER BY band
+        """,
+        "basket_width_ship_span": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              MAX(epoch_us(l_shipdate)
+                                  // 86400000000)
+                              - MIN(epoch_us(l_shipdate)
+                                    // 86400000000) AS span
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT LEAST(n, 7) AS band, span FROM o)
+            SELECT band AS line_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(1000 * SUM(span) // COUNT(*) AS BIGINT)
+                       AS mean_span_milli,
+                   CAST(10000 * SUM(CASE WHEN span = 0
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS same_day_bps
+            FROM b GROUP BY band ORDER BY band
         """,
     }

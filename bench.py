@@ -306,6 +306,7 @@ BENCH_QUERIES = [
     "part_name_pair_affinity", "events_value_mode_census",
     "weekend_priority_shift", "user_activity_fingerprint_dups",
     "nation_part_coverage", "basket_width_trend",
+    "premium_return_interaction", "basket_width_ship_span",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -20440,3 +20440,143 @@ def basket_width_trend(sf_dir: str) -> pd.DataFrame:
         "mean_lines_milli": (1000 * g["n_lines"].to_numpy(np.int64)
                              // g["n_orders"].to_numpy(np.int64))
     }).astype("int64")
+
+
+def premium_return_interaction(sf_dir: str) -> pd.DataFrame:
+    """PREMIUM × RETURNS — are lines priced above the part's own
+    mean returned more often? Every line scores its relative price
+    10000·uc·n_p // sum_p (pass A folds the part table exactly as
+    ``nation_price_premium``), bands by fixed thresholds (<9800,
+    <10000, <10200, ≥10200), and each band reports line count,
+    returned share in exact bps and the lift vs the global return
+    rate. A rising curve is the market punishing premium pricing —
+    the returns-as-price-signal read. Two broadcast passes, ZERO
+    row shuffle, pure integers."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_quantity",
+                        "l_returnflag"])
+
+    def partialA(t: pa.Table) -> pa.Table:
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        pu, inv = np.unique(p, return_inverse=True)
+        s = np.zeros(len(pu), np.int64)
+        np.add.at(s, inv, uc)
+        c = np.bincount(inv, minlength=len(pu)).astype(np.int64)
+        return pa.table({"p": pa.array(pu), "s": pa.array(s),
+                         "c": pa.array(c)})
+
+    pg = (ds.map_batches(partialA, batch_format="pyarrow")
+          .to_pandas().groupby("p")[["s", "c"]].sum())
+    pmax = int(pg.index.max())
+    psum = np.zeros(pmax + 1, np.int64)
+    psum[pg.index.to_numpy()] = pg["s"].to_numpy(np.int64)
+    pcnt = np.zeros(pmax + 1, np.int64)
+    pcnt[pg.index.to_numpy()] = pg["c"].to_numpy(np.int64)
+    refs = ray.put((psum, pcnt))
+
+    def partialB(t: pa.Table) -> pa.Table:
+        psum_, pcnt_ = ray.get(refs)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64)
+              // np.floor(t.column("l_quantity").to_numpy())
+              .astype(np.int64))
+        rel = 10000 * uc * pcnt_[p] // psum_[p]
+        band = np.where(rel < 9800, 0,
+                        np.where(rel < 10000, 1,
+                                 np.where(rel < 10200, 2, 3)))
+        r = (np.asarray(t.column("l_returnflag").to_numpy(
+            zero_copy_only=False)) == "R").astype(np.int64)
+        cell = band * 2 + r
+        c = np.bincount(cell, minlength=8).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(8,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partialB, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(8, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(4, 2)
+    n_tot = int(grid.sum())
+    r_tot = int(grid[:, 1].sum())
+    rows = []
+    for b in range(4):
+        n = int(grid[b].sum())
+        if n == 0:
+            continue
+        r = int(grid[b, 1])
+        rows.append((b, n, r, 10000 * r // n,
+                     1000 * r * n_tot // (n * r_tot) - 1000
+                     if r_tot > 0 else -9999))
+    return pd.DataFrame(rows, columns=["rel_band", "n_lines",
+                                       "n_returned", "return_bps",
+                                       "lift_milli"]).astype(
+        "int64")
+
+
+def basket_width_ship_span(sf_dir: str) -> pd.DataFrame:
+    """WIDTH × SPAN — do wider orders straggle across more shipping
+    days? Per line-count band (1..6, 7+): order count, the exact
+    truncating milli mean of the first-to-last ship-day span, and
+    the same-day-complete share in exact bps. If span grows faster
+    than width, fulfilment serializes — the consolidate-or-split
+    shipping policy datum. One ``order % 64`` exchange of per-block
+    (order, lines, min/max day) partials. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_shipdate"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        ou, inv = np.unique(o, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ou)).astype(np.int64)
+        mn = np.full(len(ou), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, d)
+        mx = np.zeros(len(ou), np.int64)
+        np.maximum.at(mx, inv, d)
+        return pa.table({"o": pa.array(ou), "n": pa.array(n),
+                         "mn": pa.array(mn), "mx": pa.array(mx),
+                         "bucket": pa.array((ou % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ou, inv = np.unique(g["o"].to_numpy(np.int64),
+                            return_inverse=True)
+        n = np.zeros(len(ou), np.int64)
+        np.add.at(n, inv, g["n"].to_numpy(np.int64))
+        mn = np.full(len(ou), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, g["mn"].to_numpy(np.int64))
+        mx = np.zeros(len(ou), np.int64)
+        np.maximum.at(mx, inv, g["mx"].to_numpy(np.int64))
+        band = np.minimum(n, 7) - 1
+        span = mx - mn
+        no = np.bincount(band, minlength=7).astype(np.int64)
+        ss = np.zeros(7, np.int64)
+        np.add.at(ss, band, span)
+        sd = np.zeros(7, np.int64)
+        np.add.at(sd, band, (span == 0).astype(np.int64))
+        return pd.DataFrame({"band": np.arange(7, dtype=np.int64),
+                             "n_orders": no, "sum_span": ss,
+                             "n_same_day": sd})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    g = g[g["n_orders"] > 0].sort_values("band").reset_index(
+        drop=True)
+    return pd.DataFrame({
+        "line_band": g["band"].to_numpy(np.int64) + 1,
+        "n_orders": g["n_orders"].to_numpy(np.int64),
+        "mean_span_milli": (1000 * g["sum_span"].to_numpy(np.int64)
+                            // g["n_orders"].to_numpy(np.int64)),
+        "same_day_bps": (10000 * g["n_same_day"].to_numpy(np.int64)
+                         // g["n_orders"].to_numpy(np.int64))
+    }).astype("int64")

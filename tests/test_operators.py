@@ -269,6 +269,7 @@ def test_entry_smoke(entrymod):
     "part_name_pair_affinity", "events_value_mode_census",
     "weekend_priority_shift", "user_activity_fingerprint_dups",
     "nation_part_coverage", "basket_width_trend",
+    "premium_return_interaction", "basket_width_ship_span",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
