@@ -616,6 +616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.premium_return_interaction,
         "basket_width_ship_span":
             analytics.basket_width_ship_span,
+        "returns_by_ship_dow": analytics.returns_by_ship_dow,
+        "unit_price_by_quantity":
+            analytics.unit_price_by_quantity,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14267,5 +14270,42 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END)
                         // COUNT(*) AS BIGINT) AS same_day_bps
             FROM b GROUP BY band ORDER BY band
+        """,
+        "returns_by_ship_dow": """
+            WITH d AS (SELECT (epoch_us(l_shipdate) // 86400000000
+                               + 4) % 7 AS w,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r
+                       FROM lineitem),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(r) AS BIGINT) AS rt FROM d)
+            SELECT CAST(w AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(r) AS BIGINT) AS n_returned,
+                   CAST(10000 * SUM(r) // COUNT(*) AS BIGINT)
+                       AS return_bps,
+                   CAST(CASE WHEN MAX(t.rt) > 0 THEN
+                        1000 * SUM(r) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.rt)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM d, t GROUP BY w ORDER BY w
+        """,
+        "unit_price_by_quantity": """
+            WITH d AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS q,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                              // CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS uc
+                       FROM lineitem),
+            t AS (SELECT CAST(SUM(uc) // COUNT(*) AS BIGINT)
+                             AS gmean FROM d)
+            SELECT q AS quantity,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(uc) // COUNT(*) AS BIGINT)
+                       AS mean_unit_cents,
+                   CAST(1000 * (SUM(uc) // COUNT(*)) // MAX(t.gmean)
+                        - 1000 AS BIGINT) AS lift_milli
+            FROM d, t GROUP BY q ORDER BY q
         """,
     }

@@ -307,6 +307,7 @@ BENCH_QUERIES = [
     "weekend_priority_shift", "user_activity_fingerprint_dups",
     "nation_part_coverage", "basket_width_trend",
     "premium_return_interaction", "basket_width_ship_span",
+    "returns_by_ship_dow", "unit_price_by_quantity",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

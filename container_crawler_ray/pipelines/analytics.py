@@ -20580,3 +20580,91 @@ def basket_width_ship_span(sf_dir: str) -> pd.DataFrame:
         "same_day_bps": (10000 * g["n_same_day"].to_numpy(np.int64)
                          // g["n_orders"].to_numpy(np.int64))
     }).astype("int64")
+
+
+def returns_by_ship_dow(sf_dir: str) -> pd.DataFrame:
+    """RETURNS by ship weekday — do lines shipped on certain days
+    come back more? Per ship day-of-week ((epoch_day+4)%7,
+    0=Sunday): line count, returned share in exact bps and the lift
+    vs the global return rate — a weekend-ship return spike is a
+    carrier-handoff or warehouse-staffing defect, not a product
+    one. Per-block 14-cell partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_returnflag"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        w = (d + 4) % 7
+        r = (np.asarray(t.column("l_returnflag").to_numpy(
+            zero_copy_only=False)) == "R").astype(np.int64)
+        cell = w * 2 + r
+        c = np.bincount(cell, minlength=14).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(14,
+                                                    dtype=np.int64)),
+                         "c": pa.array(c)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(14, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(7, 2)
+    n_tot = int(grid.sum())
+    r_tot = int(grid[:, 1].sum())
+    rows = []
+    for w in range(7):
+        n = int(grid[w].sum())
+        if n == 0:
+            continue
+        r = int(grid[w, 1])
+        rows.append((w, n, r, 10000 * r // n,
+                     1000 * r * n_tot // (n * r_tot) - 1000
+                     if r_tot > 0 else -9999))
+    return pd.DataFrame(rows, columns=["dow", "n_lines",
+                                       "n_returned", "return_bps",
+                                       "lift_milli"]).astype(
+        "int64")
+
+
+def unit_price_by_quantity(sf_dir: str) -> pd.DataFrame:
+    """UNIT PRICE by quantity — is the per-unit price flat across
+    order quantities, or does buying more cost less per unit? Per
+    quantity 1..50: line count, the exact truncating mean unit
+    price in cents (``cents // qty`` units) and its milli lift vs
+    the global mean unit price. A flat curve means quantity carries
+    no pricing power beyond the discount column — the
+    don't-double-count-volume-discounts modeling check. Per-block
+    100-cell sum partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        q = np.floor(t.column("l_quantity").to_numpy()) \
+            .astype(np.int64)
+        uc = (np.floor(t.column("l_extendedprice").to_numpy() * 100)
+              .astype(np.int64) // q)
+        qc = np.clip(q, 1, 50)
+        n = np.bincount(qc, minlength=51).astype(np.int64)
+        s = np.zeros(51, np.int64)
+        np.add.at(s, qc, uc)
+        return pa.table({"q": pa.array(np.arange(51,
+                                                 dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("q")[["n", "s"]].sum())
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    gmean = s_tot // n_tot
+    rows = []
+    for q in range(1, 51):
+        n = int(g["n"].get(q, 0))
+        if n == 0:
+            continue
+        mean = int(g["s"].get(q)) // n
+        rows.append((q, n, mean, 1000 * mean // gmean - 1000))
+    return pd.DataFrame(rows, columns=["quantity", "n_lines",
+                                       "mean_unit_cents",
+                                       "lift_milli"]).astype(
+        "int64")

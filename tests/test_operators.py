@@ -270,6 +270,7 @@ def test_entry_smoke(entrymod):
     "weekend_priority_shift", "user_activity_fingerprint_dups",
     "nation_part_coverage", "basket_width_trend",
     "premium_return_interaction", "basket_width_ship_span",
+    "returns_by_ship_dow", "unit_price_by_quantity",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
