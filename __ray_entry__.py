@@ -619,6 +619,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returns_by_ship_dow": analytics.returns_by_ship_dow,
         "unit_price_by_quantity":
             analytics.unit_price_by_quantity,
+        "source_token_budget": analytics.source_token_budget,
+        "type_arpu": analytics.type_arpu,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14307,5 +14309,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * (SUM(uc) // COUNT(*)) // MAX(t.gmean)
                         - 1000 AS BIGINT) AS lift_milli
             FROM d, t GROUP BY q ORDER BY q
+        """,
+        "source_token_budget": """
+            WITH d AS (SELECT source,
+                              CAST(LENGTH(text)
+                                   - LENGTH(REPLACE(text, ' ', ''))
+                                   + 1 AS BIGINT) AS tok
+                       FROM documents),
+            g AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+                             AS n_docs,
+                         CAST(SUM(tok) AS BIGINT) AS n_tokens
+                  FROM d GROUP BY 1),
+            t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot
+                  FROM g)
+            SELECT source, n_docs, n_tokens,
+                   CAST(10000 * n_tokens // t.tot AS BIGINT)
+                       AS token_share_bps,
+                   CAST(1000 * n_tokens // n_docs AS BIGINT)
+                       AS mean_tokens_milli
+            FROM g, t ORDER BY source
+        """,
+        "type_arpu": """
+            WITH s AS (SELECT event_type AS t,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(COUNT(DISTINCT user_id)
+                                   AS BIGINT) AS nu,
+                              CAST(SUM(CAST(FLOOR(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS cents
+                       FROM events GROUP BY 1)
+            SELECT t AS event_type, n AS n_events, nu AS n_users,
+                   cents AS total_cents,
+                   CAST(cents // nu AS BIGINT) AS arpu_cents
+            FROM s ORDER BY t
         """,
     }

@@ -308,6 +308,7 @@ BENCH_QUERIES = [
     "nation_part_coverage", "basket_width_trend",
     "premium_return_interaction", "basket_width_ship_span",
     "returns_by_ship_dow", "unit_price_by_quantity",
+    "source_token_budget", "type_arpu",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -20668,3 +20668,103 @@ def unit_price_by_quantity(sf_dir: str) -> pd.DataFrame:
                                        "mean_unit_cents",
                                        "lift_milli"]).astype(
         "int64")
+
+
+def source_token_budget(sf_dir: str) -> pd.DataFrame:
+    """TOKEN BUDGET by source — the pretraining-mix table: per
+    document source, docs, whitespace tokens (spaces + 1 per doc,
+    exactly LENGTH − LENGTH(REPLACE(text,' ','')) + 1 in the twin),
+    the corpus token share in exact bps and the truncating milli
+    mean tokens per doc. Sampling weights and dedup budgets both
+    start from this table, not from doc counts — docs and tokens
+    disagree whenever sources have different document lengths.
+    Vectorized per-block count_substring partials — ZERO shuffle,
+    pure integers."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        spaces = pc.count_substring(t.column("text"), " ") \
+            .to_numpy().astype(np.int64)
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "tok": spaces + 1})
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("tok", "size"), n_tokens=("tok", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("source", as_index=False)[["n_docs",
+                                                         "n_tokens"]]
+         .sum().sort_values("source").reset_index(drop=True))
+    tot = int(g["n_tokens"].sum())
+    return pd.DataFrame({
+        "source": g["source"],
+        "n_docs": g["n_docs"].astype("int64"),
+        "n_tokens": g["n_tokens"].astype("int64"),
+        "token_share_bps": (10000 * g["n_tokens"].to_numpy(np.int64)
+                            // tot),
+        "mean_tokens_milli": (1000 * g["n_tokens"]
+                              .to_numpy(np.int64)
+                              // g["n_docs"].to_numpy(np.int64))
+    }).astype({"n_docs": "int64", "n_tokens": "int64",
+               "token_share_bps": "int64",
+               "mean_tokens_milli": "int64"})
+
+
+def type_arpu(sf_dir: str) -> pd.DataFrame:
+    """ARPU by event type — value per DISTINCT user, not per event:
+    per type the event count, distinct users, total cents and the
+    truncating per-user cents. A type with huge per-event value but
+    tiny reach monetizes differently from a broad cheap one — the
+    reach-vs-depth monetization split. One ``(type, user)``
+    distinct exchange (map-side np.unique partials) plus
+    constant-cell value sums. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        typ, tinv = np.unique(t.column("event_type").to_numpy(),
+                              return_inverse=True)
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        key = tinv.astype(np.int64) * (1 << 40) + u
+        uk = np.unique(key)
+        pairs = pd.DataFrame({"typ": typ[(uk >> 40)],
+                              "u": uk & ((1 << 40) - 1)})
+        agg = pd.DataFrame({"typ": typ[tinv], "n": 1,
+                            "cents": cents}).groupby(
+            "typ", as_index=False).agg(n=("n", "sum"),
+                                       cents=("cents", "sum"))
+        pairs["bucket"] = (pairs["u"].to_numpy(np.int64) % 64) \
+            .astype(np.int32)
+        pairs["n"] = 0
+        pairs["cents"] = 0
+        agg["u"] = -1
+        agg["bucket"] = np.int32(-1)
+        out = pd.concat([pairs, agg[["typ", "u", "bucket", "n",
+                                     "cents"]]], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        users = g[g["u"] >= 0].drop_duplicates(["typ", "u"]) \
+            .groupby("typ", as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        sums = g[g["u"] < 0].groupby("typ", as_index=False)[
+            ["n", "cents"]].sum()
+        return users.merge(sums, on="typ", how="outer").fillna(0)
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("typ", as_index=False)
+         .agg(n_users=("n_users", "sum"), n=("n", "sum"),
+              cents=("cents", "sum"))
+         .sort_values("typ").reset_index(drop=True))
+    return pd.DataFrame({
+        "event_type": g["typ"],
+        "n_events": g["n"].astype("int64"),
+        "n_users": g["n_users"].astype("int64"),
+        "total_cents": g["cents"].astype("int64"),
+        "arpu_cents": (g["cents"].to_numpy(np.int64)
+                       // g["n_users"].to_numpy(np.int64))
+    }).astype({"n_events": "int64", "n_users": "int64",
+               "total_cents": "int64", "arpu_cents": "int64"})

@@ -271,6 +271,7 @@ def test_entry_smoke(entrymod):
     "nation_part_coverage", "basket_width_trend",
     "premium_return_interaction", "basket_width_ship_span",
     "returns_by_ship_dow", "unit_price_by_quantity",
+    "source_token_budget", "type_arpu",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
