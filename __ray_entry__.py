@@ -621,6 +621,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.unit_price_by_quantity,
         "source_token_budget": analytics.source_token_budget,
         "type_arpu": analytics.type_arpu,
+        "dead_stock_census": analytics.dead_stock_census,
+        "user_resurrection_census":
+            analytics.user_resurrection_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14342,5 +14345,55 @@ def oracle_sql() -> dict[str, str]:
                    cents AS total_cents,
                    CAST(cents // nu AS BIGINT) AS arpu_cents
             FROM s ORDER BY t
+        """,
+        "dead_stock_census": """
+            WITH sold AS (SELECT DISTINCT l_partkey AS p
+                          FROM lineitem),
+            j AS (SELECT p_brand AS b,
+                         CASE WHEN sold.p IS NULL
+                              THEN 1 ELSE 0 END AS dead
+                  FROM part LEFT JOIN sold ON sold.p = p_partkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(dead) AS BIGINT) AS d FROM j)
+            SELECT b AS brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(dead) AS BIGINT) AS n_never_sold,
+                   CAST(10000 * SUM(dead) // COUNT(*) AS BIGINT)
+                       AS dead_bps,
+                   CAST(CASE WHEN MAX(t.d) > 0 THEN
+                        1000 * SUM(dead) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.d)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM j, t GROUP BY b ORDER BY b
+        """,
+        "user_resurrection_census": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events),
+            g AS (SELECT u, d - LAG(d) OVER (PARTITION BY u
+                                             ORDER BY d) AS gap
+                  FROM ud),
+            gg AS (SELECT u, gap FROM g WHERE gap IS NOT NULL),
+            m AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT)
+                             AS n_multi FROM gg),
+            dm AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS ndu,
+                          CAST(COUNT(*) AS BIGINT) AS nep,
+                          CAST(COALESCE(SUM(gap), 0) AS BIGINT)
+                              AS sg,
+                          CAST(COALESCE(MAX(gap), 0) AS BIGINT)
+                              AS mg
+                   FROM gg WHERE gap >= 28)
+            SELECT m.n_multi AS n_users_multi_day,
+                   dm.ndu AS n_dormant_users,
+                   CAST(CASE WHEN m.n_multi > 0
+                             THEN 10000 * dm.ndu // m.n_multi
+                             ELSE -9999 END AS BIGINT)
+                       AS dormant_share_bps,
+                   dm.nep AS n_episodes,
+                   CAST(CASE WHEN dm.nep > 0
+                             THEN 1000 * dm.sg // dm.nep
+                             ELSE -9999 END AS BIGINT)
+                       AS mean_dormancy_milli,
+                   dm.mg AS max_dormancy_days
+            FROM m, dm
         """,
     }

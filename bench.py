@@ -309,6 +309,7 @@ BENCH_QUERIES = [
     "premium_return_interaction", "basket_width_ship_span",
     "returns_by_ship_dow", "unit_price_by_quantity",
     "source_token_budget", "type_arpu",
+    "dead_stock_census", "user_resurrection_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

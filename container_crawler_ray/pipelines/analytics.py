@@ -20768,3 +20768,99 @@ def type_arpu(sf_dir: str) -> pd.DataFrame:
                        // g["n_users"].to_numpy(np.int64))
     }).astype({"n_events": "int64", "n_users": "int64",
                "total_cents": "int64", "arpu_cents": "int64"})
+
+
+def dead_stock_census(sf_dir: str) -> pd.DataFrame:
+    """DEAD-STOCK census — catalog parts that never appear on a
+    single line, by brand: never-sold count, share in exact bps,
+    and the lift vs the global dead rate. A brand with triple the
+    dead rate is an assortment-planning miss (or a feed that lists
+    items the warehouse never had) — the catalog-vs-reality
+    anti-join. Per-block distinct-part partials fold on the driver
+    (parts are dimension-sized); ZERO row shuffle. Pure
+    integers."""
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"p": pa.array(np.unique(
+            t.column("l_partkey").to_numpy().astype(np.int64)))})
+
+    sold = (_read(sf_dir, "lineitem", columns=["l_partkey"])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()["p"].unique())
+    sold_set = set(sold.tolist())
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    dead = ~part["p_partkey"].isin(sold_set)
+    tot_parts = len(part)
+    tot_dead = int(dead.sum())
+    rows = []
+    for b in sorted(part["p_brand"].unique()):
+        m = (part["p_brand"] == b).to_numpy()
+        n = int(m.sum())
+        d = int((dead.to_numpy() & m).sum())
+        lift = (1000 * d * tot_parts // (n * tot_dead) - 1000
+                if tot_dead > 0 else -9999)
+        rows.append((b, n, d, 10000 * d // n, lift))
+    out = pd.DataFrame(rows, columns=["brand", "n_parts",
+                                      "n_never_sold", "dead_bps",
+                                      "lift_milli"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def user_resurrection_census(sf_dir: str) -> pd.DataFrame:
+    """RESURRECTION census — users who went dormant (a gap of 28+
+    days between consecutive ACTIVE days) and came back, which they
+    did by construction of the gap: multi-day user count, users
+    with at least one dormancy with share in exact bps, total
+    dormancy episodes, the truncating milli mean dormancy length,
+    and the longest. Win-back campaigns and churn labels both
+    depend on whether dormancy-then-return actually happens
+    organically. One ``user % 64`` exchange of distinct (user, day)
+    rows; buckets diff sorted days per user vectorized. Pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        key = u * 32768 + (d % 32768)
+        uk = np.unique(key)
+        return pa.table({"u": pa.array(uk // 32768),
+                         "d": pa.array(uk % 32768),
+                         "bucket": pa.array(((uk // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(g["u"].to_numpy(np.int64) * 32768
+                        + g["d"].to_numpy(np.int64))
+        u = key // 32768
+        d = key % 32768
+        same = u[1:] == u[:-1]
+        gap = (d[1:] - d[:-1])[same]
+        uu_pairs = u[1:][same]
+        dorm = gap >= 28
+        users_multi = np.unique(uu_pairs)
+        dorm_users = np.unique(uu_pairs[dorm])
+        return pd.DataFrame(
+            [(len(users_multi), len(dorm_users), int(dorm.sum()),
+              int(gap[dorm].sum()),
+              int(gap[dorm].max()) if dorm.any() else 0)],
+            columns=["n_multi", "n_dorm_users", "n_episodes",
+                     "sum_dorm", "max_dorm"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_multi = int(g["n_multi"].sum())
+    n_du = int(g["n_dorm_users"].sum())
+    n_ep = int(g["n_episodes"].sum())
+    return pd.DataFrame(
+        [(n_multi, n_du,
+          10000 * n_du // n_multi if n_multi > 0 else -9999, n_ep,
+          1000 * int(g["sum_dorm"].sum()) // n_ep if n_ep > 0
+          else -9999, int(g["max_dorm"].max()))],
+        columns=["n_users_multi_day", "n_dormant_users",
+                 "dormant_share_bps", "n_episodes",
+                 "mean_dormancy_milli", "max_dormancy_days"]) \
+        .astype("int64")

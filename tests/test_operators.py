@@ -272,6 +272,7 @@ def test_entry_smoke(entrymod):
     "premium_return_interaction", "basket_width_ship_span",
     "returns_by_ship_dow", "unit_price_by_quantity",
     "source_token_budget", "type_arpu",
+    "dead_stock_census", "user_resurrection_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
