@@ -624,6 +624,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dead_stock_census": analytics.dead_stock_census,
         "user_resurrection_census":
             analytics.user_resurrection_census,
+        "type_value_drift": analytics.type_value_drift,
+        "first_vs_repeat_priority":
+            analytics.first_vs_repeat_priority,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14395,5 +14398,82 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_dormancy_milli,
                    dm.mg AS max_dormancy_days
             FROM m, dm
+        """,
+        "type_value_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+                             + MAX(epoch_us(ts) // 86400000000))
+                             // 2 AS mid FROM events),
+            e AS (SELECT event_type AS t,
+                         CASE WHEN epoch_us(ts) // 86400000000
+                                   > b.mid THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(value * 100) AS BIGINT) AS v
+                  FROM events, b),
+            g AS (SELECT t, h, v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2, 3),
+            w AS (SELECT t, h, v, c,
+                         SUM(c) OVER (PARTITION BY t, h ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY t, h) AS n
+                  FROM g),
+            p AS (SELECT t, h,
+                         CAST(MIN(v) FILTER (
+                              cum >= (50 * n + 99) // 100)
+                              AS BIGINT) AS p50,
+                         CAST(MAX(n) AS BIGINT) AS n
+                  FROM w GROUP BY t, h)
+            SELECT a.t AS event_type, a.n AS n_h1, b2.n AS n_h2,
+                   a.p50 AS p50_h1_cents, b2.p50 AS p50_h2_cents,
+                   CAST(CASE WHEN a.p50 > 0
+                             THEN 1000 * b2.p50 // a.p50 - 1000
+                             ELSE -9999 END AS BIGINT)
+                       AS shift_milli
+            FROM p a JOIN p b2 ON b2.t = a.t
+                 AND a.h = 0 AND b2.h = 1
+            ORDER BY 1
+        """,
+        "first_vs_repeat_priority": """
+            WITH o AS (SELECT o_custkey AS c,
+                              CAST(SUBSTR(o_orderpriority, 1, 1)
+                                   AS BIGINT) AS p,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY o_custkey
+                                  ORDER BY epoch_us(o_orderdate)
+                                           // 86400000000,
+                                           o_orderkey) AS rn
+                       FROM orders),
+            g AS (SELECT p, CASE WHEN rn = 1 THEN 0 ELSE 1 END
+                             AS rep,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM o GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(c) FILTER (rep = 0), 0)
+                              AS BIGINT) AS ft,
+                         CAST(COALESCE(SUM(c) FILTER (rep = 1), 0)
+                              AS BIGINT) AS rt FROM g)
+            SELECT p AS priority,
+                   CAST(COALESCE(SUM(c) FILTER (rep = 0), 0)
+                        AS BIGINT) AS n_first,
+                   CAST(CASE WHEN MAX(t.ft) > 0 THEN
+                        10000 * COALESCE(SUM(c) FILTER (rep = 0),
+                                         0) // MAX(t.ft)
+                        ELSE -9999 END AS BIGINT)
+                       AS first_share_bps,
+                   CAST(COALESCE(SUM(c) FILTER (rep = 1), 0)
+                        AS BIGINT) AS n_repeat,
+                   CAST(CASE WHEN MAX(t.rt) > 0 THEN
+                        10000 * COALESCE(SUM(c) FILTER (rep = 1),
+                                         0) // MAX(t.rt)
+                        ELSE -9999 END AS BIGINT)
+                       AS repeat_share_bps,
+                   CAST(CASE WHEN MAX(t.ft) > 0
+                             AND COALESCE(SUM(c) FILTER (rep = 1),
+                                          0) > 0 THEN
+                        1000 * COALESCE(SUM(c) FILTER (rep = 0), 0)
+                        * MAX(t.rt)
+                        // (MAX(t.ft)
+                            * COALESCE(SUM(c) FILTER (rep = 1), 0))
+                        - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM g, t GROUP BY p ORDER BY p
         """,
     }

@@ -310,6 +310,7 @@ BENCH_QUERIES = [
     "returns_by_ship_dow", "unit_price_by_quantity",
     "source_token_budget", "type_arpu",
     "dead_stock_census", "user_resurrection_census",
+    "type_value_drift", "first_vs_repeat_priority",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

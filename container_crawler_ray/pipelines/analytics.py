@@ -20864,3 +20864,131 @@ def user_resurrection_census(sf_dir: str) -> pd.DataFrame:
                  "dormant_share_bps", "n_episodes",
                  "mean_dormancy_milli", "max_dormancy_days"]) \
         .astype("int64")
+
+
+def type_value_drift(sf_dir: str) -> pd.DataFrame:
+    """VALUE drift by type — split the stream at its midpoint day
+    and compare each event type's exact ceil-rank p50 value cents
+    half over half, with the shift in milli
+    (1000·p50_h2 // p50_h1 − 1000 when p50_h1 > 0, else -9999). A
+    type whose median value moved is a pricing change or an
+    instrumentation unit change — count-mix drift monitors miss
+    both. Constant span pre-pass + per-block bounded
+    (type, half, cents) histogram partials — ZERO shuffle, pure
+    integers."""
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
+
+    def span(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        return pa.table({"mn": pa.array([int(d.min())]),
+                         "mx": pa.array([int(d.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["mn"].min()) + int(sp["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("ts").cast(pa.int64()).to_numpy() // _DAY_US
+        h = (d > mid).astype(np.int64)
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"typ": t.column("event_type")
+                           .to_pylist(), "h": h, "v": cents})
+        g = df.groupby(["typ", "h", "v"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "c"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["typ", "h", "v"],
+                              as_index=False)["c"].sum())
+
+    def p50(sub: pd.DataFrame) -> int:
+        sub = sub.sort_values("v")
+        n = int(sub["c"].sum())
+        cum = sub["c"].cumsum().to_numpy(np.int64)
+        rank = (50 * n + 99) // 100
+        return int(sub["v"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+
+    rows = []
+    for typ in sorted(g["typ"].unique()):
+        h1 = g[(g["typ"] == typ) & (g["h"] == 0)]
+        h2 = g[(g["typ"] == typ) & (g["h"] == 1)]
+        if h1.empty or h2.empty:
+            continue
+        a, b = p50(h1), p50(h2)
+        rows.append((typ, int(h1["c"].sum()), int(h2["c"].sum()),
+                     a, b,
+                     1000 * b // a - 1000 if a > 0 else -9999))
+    out = pd.DataFrame(rows, columns=["event_type", "n_h1", "n_h2",
+                                      "p50_h1_cents",
+                                      "p50_h2_cents",
+                                      "shift_milli"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def first_vs_repeat_priority(sf_dir: str) -> pd.DataFrame:
+    """FIRST vs REPEAT urgency — do customers order more urgently
+    on their FIRST order than on repeats? Per priority digit:
+    first-order count and share (first = the customer's earliest
+    order under the (day, orderkey) order), repeat count and share,
+    and the first-vs-repeat lift cross-multiplied. A high
+    urgent-first lift says acquisition campaigns promise speed —
+    onboarding SLAs should match. One ``cust % 64`` exchange of
+    slim order rows; buckets lexsort and split first/repeat
+    vectorized. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_orderkey",
+                        "o_orderpriority"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "c": pa.array(c),
+            "d": pa.array(t.column("o_orderdate").cast(pa.int64())
+                          .to_numpy() // _DAY_US),
+            "k": t.column("o_orderkey").cast(pa.int64()),
+            "p": pa.array(pc.utf8_slice_codeunits(
+                t.column("o_orderpriority"), 0, 1)
+                .cast(pa.int64()).to_numpy()),
+            "bucket": pa.array((c % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(np.int64)
+        order = np.lexsort((g["k"].to_numpy(np.int64),
+                            g["d"].to_numpy(np.int64), c))
+        cs = c[order]
+        p = g["p"].to_numpy(np.int64)[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        cell = p * 2 + (~first).astype(np.int64)
+        cnt = np.bincount(cell, minlength=12).astype(np.int64)
+        return pd.DataFrame({"cell": np.arange(12, dtype=np.int64),
+                             "c": cnt})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("cell")["c"].sum())
+    grid = np.zeros(12, dtype=np.int64)
+    grid[g.index.to_numpy()] = g.to_numpy()
+    grid = grid.reshape(6, 2)
+    f_tot = int(grid[:, 0].sum())
+    r_tot = int(grid[:, 1].sum())
+    rows = []
+    for p in range(6):
+        f, r = int(grid[p, 0]), int(grid[p, 1])
+        if f + r == 0:
+            continue
+        fs = 10000 * f // f_tot if f_tot > 0 else -9999
+        rs = 10000 * r // r_tot if r_tot > 0 else -9999
+        lift = (1000 * f * r_tot // (f_tot * r) - 1000
+                if f_tot > 0 and r > 0 else -9999)
+        rows.append((p, f, fs, r, rs, lift))
+    return pd.DataFrame(rows, columns=["priority", "n_first",
+                                       "first_share_bps",
+                                       "n_repeat",
+                                       "repeat_share_bps",
+                                       "lift_milli"]).astype(
+        "int64")

@@ -273,6 +273,7 @@ def test_entry_smoke(entrymod):
     "returns_by_ship_dow", "unit_price_by_quantity",
     "source_token_budget", "type_arpu",
     "dead_stock_census", "user_resurrection_census",
+    "type_value_drift", "first_vs_repeat_priority",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
