@@ -627,6 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_value_drift": analytics.type_value_drift,
         "first_vs_repeat_priority":
             analytics.first_vs_repeat_priority,
+        "supplier_lead_time_laggards":
+            analytics.supplier_lead_time_laggards,
+        "revenue_by_hour": analytics.revenue_by_hour,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14475,5 +14478,39 @@ def oracle_sql() -> dict[str, str]:
                         - 1000
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM g, t GROUP BY p ORDER BY p
+        """,
+        "supplier_lead_time_laggards": """
+            WITH j AS (SELECT l_suppkey AS s,
+                              epoch_us(l_shipdate) // 86400000000
+                              - epoch_us(o_orderdate)
+                                // 86400000000 AS lag
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey),
+            g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(lag) AS BIGINT) AS sl
+                  FROM j GROUP BY 1 HAVING COUNT(*) >= 50)
+            SELECT CAST(s AS BIGINT) AS s_suppkey, n AS n_lines,
+                   CAST(1000 * sl // n AS BIGINT)
+                       AS mean_lead_milli
+            FROM g ORDER BY mean_lead_milli DESC, s LIMIT 10
+        """,
+        "revenue_by_hour": """
+            WITH d AS (SELECT (epoch_us(ts) // 3600000000) % 24
+                                  AS h,
+                              CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s FROM d)
+            SELECT CAST(h AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents,
+                   CAST(10000 * SUM(cents) // MAX(t.s) AS BIGINT)
+                       AS value_share_bps,
+                   CAST(1000 * CAST(SUM(cents) AS HUGEINT)
+                        * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000 AS BIGINT) AS vpe_lift_milli
+            FROM d, t GROUP BY h ORDER BY hour
         """,
     }

@@ -311,6 +311,7 @@ BENCH_QUERIES = [
     "source_token_budget", "type_arpu",
     "dead_stock_census", "user_resurrection_census",
     "type_value_drift", "first_vs_repeat_priority",
+    "supplier_lead_time_laggards", "revenue_by_hour",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

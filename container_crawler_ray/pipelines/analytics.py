@@ -20992,3 +20992,103 @@ def first_vs_repeat_priority(sf_dir: str) -> pd.DataFrame:
                                        "repeat_share_bps",
                                        "lift_milli"]).astype(
         "int64")
+
+
+def supplier_lead_time_laggards(sf_dir: str) -> pd.DataFrame:
+    """LEAD-TIME laggards — the 10 slowest suppliers by mean
+    order-to-ship days (truncating milli mean, support ≥ 50 lines,
+    ties by smaller key). The vendor-scorecard bottom: chronic
+    laggards gate every promise-date model downstream. Scale shape:
+    tagged-union ``order % 64`` hash join attaches the order day to
+    each line, then per-block supplier partial sums fold on the
+    driver (suppliers are dimension-sized). Pure integers."""
+    li = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+          .map_batches(lambda t: pa.table({
+              "k": t.column("l_orderkey").cast(pa.int64()),
+              "s": t.column("l_suppkey").cast(pa.int64()),
+              "d": pa.array(t.column("l_shipdate").cast(pa.int64())
+                            .to_numpy() // _DAY_US),
+              "bucket": pc.cast(pc.bit_wise_and(
+                  t.column("l_orderkey").cast(pa.int64()), 63),
+                  pa.int32())}), batch_format="pyarrow"))
+    od = (_read(sf_dir, "orders",
+                columns=["o_orderkey", "o_orderdate"])
+          .map_batches(lambda t: pa.table({
+              "k": t.column("o_orderkey").cast(pa.int64()),
+              "s": pa.array(np.full(len(t), -1, np.int64)),
+              "d": pa.array(t.column("o_orderdate").cast(pa.int64())
+                            .to_numpy() // _DAY_US),
+              "bucket": pc.cast(pc.bit_wise_and(
+                  t.column("o_orderkey").cast(pa.int64()), 63),
+                  pa.int32())}), batch_format="pyarrow"))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["s"] < 0][["k", "d"]].rename(columns={"d": "od"})
+        l_ = g[g["s"] >= 0]
+        m = l_.merge(o, on="k")
+        lag = m["d"].to_numpy(np.int64) - m["od"].to_numpy(np.int64)
+        su, inv = np.unique(m["s"].to_numpy(np.int64),
+                            return_inverse=True)
+        n = np.bincount(inv, minlength=len(su)).astype(np.int64)
+        s = np.zeros(len(su), np.int64)
+        np.add.at(s, inv, lag)
+        return pd.DataFrame({"s": su, "n": n, "sum_lag": s})
+
+    g = (li.union(od).groupby("bucket")
+         .map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("s", as_index=False)[["n", "sum_lag"]]
+         .sum())
+    g = g[g["n"] >= 50].copy()
+    g["mean_milli"] = 1000 * g["sum_lag"].to_numpy(np.int64) \
+        // g["n"].to_numpy(np.int64)
+    g = g.sort_values(["mean_milli", "s"],
+                      ascending=[False, True],
+                      kind="mergesort").head(10)
+    return pd.DataFrame({
+        "s_suppkey": g["s"].to_numpy(np.int64),
+        "n_lines": g["n"].to_numpy(np.int64),
+        "mean_lead_milli": g["mean_milli"].to_numpy(np.int64)
+    }).reset_index(drop=True).astype("int64")
+
+
+def revenue_by_hour(sf_dir: str) -> pd.DataFrame:
+    """REVENUE by hour — when is the money actually made? Per hour
+    of day: event count, value cents, value share in exact bps, and
+    the value-per-event lift vs the global rate cross-multiplied
+    (1000·cents·N // (n·TOTAL) − 1000). Hours where value-lift and
+    traffic diverge are when big spenders shop — maintenance
+    windows and ad budgets both move off this table. Per-block
+    24-cell partials — ZERO shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = (t.column("ts").cast(pa.int64()).to_numpy()
+             // 3_600_000_000) % 24
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        n = np.bincount(h, minlength=24).astype(np.int64)
+        s = np.zeros(24, np.int64)
+        np.add.at(s, h, cents)
+        return pa.table({"h": pa.array(np.arange(24,
+                                                 dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("h", as_index=False)[["n", "s"]]
+         .sum().sort_values("h").reset_index(drop=True))
+    g = g[g["n"] > 0]
+    n_tot = int(g["n"].sum())
+    s_tot = int(g["s"].sum())
+    rows = []
+    for h, n, s in zip(g["h"].tolist(), g["n"].tolist(),
+                       g["s"].tolist()):
+        rows.append((int(h), int(n), int(s),
+                     10000 * int(s) // s_tot,
+                     1000 * int(s) * n_tot // (int(n) * s_tot)
+                     - 1000))
+    return pd.DataFrame(rows, columns=["hour", "n_events",
+                                       "value_cents",
+                                       "value_share_bps",
+                                       "vpe_lift_milli"]) \
+        .astype("int64")
