@@ -630,6 +630,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_lead_time_laggards":
             analytics.supplier_lead_time_laggards,
         "revenue_by_hour": analytics.revenue_by_hour,
+        "type_precedence_matrix":
+            analytics.type_precedence_matrix,
+        "source_mix_drift": analytics.source_mix_drift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14512,5 +14515,70 @@ def oracle_sql() -> dict[str, str]:
                         // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
                         - 1000 AS BIGINT) AS vpe_lift_milli
             FROM d, t GROUP BY h ORDER BY hour
+        """,
+        "type_precedence_matrix": """
+            WITH f AS (SELECT user_id AS u,
+                              epoch_us(ts) // 86400000000 AS d,
+                              event_type AS t, ts, event_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id,
+                                      epoch_us(ts) // 86400000000,
+                                      event_type
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            ff AS (SELECT u, d, t, ts, event_id
+                   FROM f WHERE rn = 1),
+            p AS (SELECT x.t AS a, y.t AS b,
+                         CASE WHEN x.ts < y.ts
+                                   OR (x.ts = y.ts
+                                       AND x.event_id < y.event_id)
+                              THEN 1 ELSE 0 END AS af
+                  FROM ff x JOIN ff y
+                       ON x.u = y.u AND x.d = y.d AND x.t < y.t)
+            SELECT a AS type_a, b AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_days_both,
+                   CAST(10000 * SUM(af) // COUNT(*) AS BIGINT)
+                       AS a_first_bps
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "source_mix_drift": """
+            WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
+                                  AS mid FROM documents),
+            d AS (SELECT source,
+                         CASE WHEN doc_id > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(LENGTH(text)
+                              - LENGTH(REPLACE(text, ' ', '')) + 1
+                              AS BIGINT) AS tok
+                  FROM documents, b),
+            g AS (SELECT source, h, CAST(SUM(tok) AS BIGINT)
+                             AS tok
+                  FROM d GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(tok) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(tok) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g)
+            SELECT source,
+                   CAST(COALESCE(SUM(tok) FILTER (h = 0), 0)
+                        AS BIGINT) AS tok_h1,
+                   CAST(COALESCE(SUM(tok) FILTER (h = 1), 0)
+                        AS BIGINT) AS tok_h2,
+                   CAST(CASE WHEN MAX(t.t1) > 0 THEN
+                        10000 * COALESCE(SUM(tok) FILTER (h = 0),
+                                         0) // MAX(t.t1)
+                        ELSE -9999 END AS BIGINT) AS share_h1_bps,
+                   CAST(CASE WHEN MAX(t.t2) > 0 THEN
+                        10000 * COALESCE(SUM(tok) FILTER (h = 1),
+                                         0) // MAX(t.t2)
+                        ELSE -9999 END AS BIGINT) AS share_h2_bps,
+                   CAST(CASE WHEN COALESCE(SUM(tok) FILTER (h = 0),
+                                           0) > 0
+                             AND MAX(t.t2) > 0 THEN
+                        1000 * COALESCE(SUM(tok) FILTER (h = 1), 0)
+                        * MAX(t.t1)
+                        // (COALESCE(SUM(tok) FILTER (h = 0), 0)
+                            * MAX(t.t2)) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM g, t GROUP BY source ORDER BY source
         """,
     }

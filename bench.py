@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "dead_stock_census", "user_resurrection_census",
     "type_value_drift", "first_vs_repeat_priority",
     "supplier_lead_time_laggards", "revenue_by_hour",
+    "type_precedence_matrix", "source_mix_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -21092,3 +21092,123 @@ def revenue_by_hour(sf_dir: str) -> pd.DataFrame:
                                        "value_share_bps",
                                        "vpe_lift_milli"]) \
         .astype("int64")
+
+
+def type_precedence_matrix(sf_dir: str) -> pd.DataFrame:
+    """PRECEDENCE matrix — within a (user, day), when two event
+    types both fire, which one fires FIRST? For every unordered
+    type pair (a < b lexicographically): the days both appear, and
+    the share where a's first arrival (ties broken by event_id)
+    precedes b's, in exact bps. A funnel assumption ("view before
+    purchase") is exactly a cell of this matrix — measured, not
+    assumed. Per-block per-(user, day, type) first-candidate
+    extraction into one ``user % 64`` exchange; buckets resolve
+    global firsts and compare pairs vectorized per key. Pure
+    integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        d = ts // _DAY_US
+        typ, tinv = np.unique(t.column("event_type").to_numpy(),
+                              return_inverse=True)
+        key = (u * 32768 + (d % 32768)) * 8 + tinv
+        order = np.lexsort((e, ts, key))
+        ks = key[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        keep = order[first]
+        return pa.table({"ud": pa.array(key[keep] // 8),
+                         "typ": t.column("event_type").take(
+                             pa.array(keep)),
+                         "ts": pa.array(ts[keep]),
+                         "e": pa.array(e[keep]),
+                         "bucket": pa.array(((key[keep] // 8
+                                              // 32768) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.sort_values(["ud", "typ", "ts", "e"])
+             .drop_duplicates(["ud", "typ"]))
+        pairs = m.merge(m, on="ud")
+        pairs = pairs[pairs["typ_x"] < pairs["typ_y"]]
+        a_first = (pairs["ts_x"] < pairs["ts_y"]) | \
+            ((pairs["ts_x"] == pairs["ts_y"])
+             & (pairs["e_x"] < pairs["e_y"]))
+        out = pd.DataFrame({"a": pairs["typ_x"],
+                            "b": pairs["typ_y"],
+                            "af": a_first.astype(np.int64),
+                            "n": 1})
+        return out.groupby(["a", "b"], as_index=False)[["af",
+                                                        "n"]].sum()
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby(["a", "b"], as_index=False)[["af",
+                                                           "n"]]
+         .sum().sort_values(["a", "b"]).reset_index(drop=True))
+    return pd.DataFrame({
+        "type_a": g["a"], "type_b": g["b"],
+        "n_days_both": g["n"].astype("int64"),
+        "a_first_bps": (10000 * g["af"].to_numpy(np.int64)
+                        // g["n"].to_numpy(np.int64))}).astype(
+        {"n_days_both": "int64", "a_first_bps": "int64"})
+
+
+def source_mix_drift(sf_dir: str) -> pd.DataFrame:
+    """SOURCE-MIX drift — split the corpus at the doc_id midpoint
+    (ingestion-order proxy) and compare each source's token share
+    half over half, with the shift in milli
+    (1000·share2·T1 // (share1·T2) − 1000 cross-multiplied as
+    1000·tok2·T1 // (tok1·T2) − 1000). A drifting mix silently
+    re-weights every model trained on "the corpus" — the dataset
+    version-diff one actually needs. Constant id-span pre-pass +
+    vectorized per-block (source, half) token partials — ZERO
+    shuffle, pure integers."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source",
+                                             "text"])
+
+    def span(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({"mn": pa.array([int(i.min())]),
+                         "mx": pa.array([int(i.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["mn"].min()) + int(sp["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        i = t.column("doc_id").to_numpy().astype(np.int64)
+        h = (i > mid).astype(np.int64)
+        tok = pc.count_substring(t.column("text"), " ") \
+            .to_numpy().astype(np.int64) + 1
+        df = pd.DataFrame({"source": t.column("source")
+                           .to_pylist(), "h": h, "tok": tok})
+        g = df.groupby(["source", "h"], as_index=False)["tok"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["source", "h"], as_index=False)
+         ["tok"].sum())
+    t1 = int(g.loc[g["h"] == 0, "tok"].sum())
+    t2 = int(g.loc[g["h"] == 1, "tok"].sum())
+    rows = []
+    for src_ in sorted(g["source"].unique()):
+        a = int(g.loc[(g["source"] == src_) & (g["h"] == 0),
+                      "tok"].sum())
+        b = int(g.loc[(g["source"] == src_) & (g["h"] == 1),
+                      "tok"].sum())
+        shift = (1000 * b * t1 // (a * t2) - 1000
+                 if a > 0 and t2 > 0 else -9999)
+        rows.append((src_, a, b,
+                     10000 * a // t1 if t1 > 0 else -9999,
+                     10000 * b // t2 if t2 > 0 else -9999, shift))
+    out = pd.DataFrame(rows, columns=["source", "tok_h1", "tok_h2",
+                                      "share_h1_bps",
+                                      "share_h2_bps",
+                                      "shift_milli"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out
