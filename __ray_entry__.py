@@ -633,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_precedence_matrix":
             analytics.type_precedence_matrix,
         "source_mix_drift": analytics.source_mix_drift,
+        "order_value_dup_audit": analytics.order_value_dup_audit,
+        "embedding_norm_drift": analytics.embedding_norm_drift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14580,5 +14582,69 @@ def oracle_sql() -> dict[str, str]:
                             * MAX(t.t2)) - 1000
                         ELSE -9999 END AS BIGINT) AS shift_milli
             FROM g, t GROUP BY source ORDER BY source
+        """,
+        "order_value_dup_audit": """
+            WITH cv AS (SELECT o_custkey AS c,
+                               CAST(FLOOR(o_totalprice * 100)
+                                    AS BIGINT) AS v,
+                               CAST(COUNT(*) AS BIGINT) AS k
+                        FROM orders GROUP BY 1, 2),
+            t AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+                  FROM cv),
+            d AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS ndc,
+                         CAST(COUNT(*) AS BIGINT) AS ng,
+                         CAST(COALESCE(SUM(k), 0) AS BIGINT)
+                             AS no
+                  FROM cv WHERE k >= 2),
+            m AS (SELECT CAST(MAX(k) AS BIGINT) AS mg FROM cv)
+            SELECT t.nc AS n_customers_ordering,
+                   d.ndc AS n_cust_with_dup_value,
+                   CAST(10000 * d.ndc // t.nc AS BIGINT)
+                       AS dup_cust_bps,
+                   d.ng AS n_collision_groups,
+                   d.no AS n_orders_in_groups,
+                   m.mg AS max_group
+            FROM t, d, m
+        """,
+        "embedding_norm_drift": """
+            WITH b AS (SELECT (MIN(vec_id) + MAX(vec_id)) // 2
+                                  AS mid FROM embeddings),
+            nv AS (SELECT CASE WHEN vec_id > b.mid
+                               THEN 1 ELSE 0 END AS h,
+                          CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE)
+                                              * 1000000.0)
+                                        AS BIGINT)
+                                   * CAST(FLOOR(CAST(v AS DOUBLE)
+                                                * 1000000.0)
+                                          AS BIGINT)) AS BIGINT)
+                              AS n2
+                   FROM (SELECT vec_id, unnest(embedding) AS v
+                         FROM embeddings), b
+                   GROUP BY vec_id, b.mid),
+            g AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(n2) AS BIGINT) AS s
+                  FROM nv GROUP BY h),
+            a AS (SELECT CAST(COALESCE(MAX(n) FILTER (h = 0), 0)
+                              AS BIGINT) AS n1,
+                         CAST(COALESCE(MAX(s) FILTER (h = 0), 0)
+                              AS BIGINT) AS s1,
+                         CAST(COALESCE(MAX(n) FILTER (h = 1), 0)
+                              AS BIGINT) AS n2,
+                         CAST(COALESCE(MAX(s) FILTER (h = 1), 0)
+                              AS BIGINT) AS s2 FROM g)
+            SELECT n1 AS n_h1, n2 AS n_h2,
+                   CAST(CASE WHEN n1 > 0 THEN s1 // n1
+                             ELSE -9999 END AS BIGINT)
+                       AS mean_norm2_h1_fp,
+                   CAST(CASE WHEN n2 > 0 THEN s2 // n2
+                             ELSE -9999 END AS BIGINT)
+                       AS mean_norm2_h2_fp,
+                   CAST(CASE WHEN n1 > 0 AND n2 > 0
+                                  AND s1 // n1 > 0
+                             THEN 1000 * (s2 // n2) // (s1 // n1)
+                                  - 1000
+                             ELSE -9999 END AS BIGINT)
+                       AS shift_milli
+            FROM a
         """,
     }

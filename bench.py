@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "type_value_drift", "first_vs_repeat_priority",
     "supplier_lead_time_laggards", "revenue_by_hour",
     "type_precedence_matrix", "source_mix_drift",
+    "order_value_dup_audit", "embedding_norm_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

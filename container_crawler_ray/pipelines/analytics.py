@@ -21212,3 +21212,104 @@ def source_mix_drift(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+def order_value_dup_audit(sf_dir: str) -> pd.DataFrame:
+    """DUPLICATE-CHARGE audit — does the same customer carry
+    multiple orders with the IDENTICAL total cents? Customers with
+    any exact-value collision, collision groups, orders inside
+    them, and the biggest group — double-submits and billing
+    retries land here long before a refund ticket does (organic
+    exact-cents ties are rare at 7-digit totals). One ``cust % 64``
+    exchange of per-block (customer, cents) pair counts; buckets
+    fold multiplicities vectorized. Pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        c = t.column("o_custkey").to_numpy().astype(np.int64)
+        v = np.floor(t.column("o_totalprice").to_numpy() * 100) \
+            .astype(np.int64)
+        df = pd.DataFrame({"c": c, "v": v})
+        g = df.groupby(["c", "v"], as_index=False).size()
+        g["bucket"] = (g["c"].to_numpy(np.int64) % 64) \
+            .astype(np.int32)
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "k"}), preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["c", "v"], as_index=False)["k"].sum()
+        k = gg["k"].to_numpy(np.int64)
+        dup = k >= 2
+        cu = gg["c"].to_numpy(np.int64)
+        n_cust = len(np.unique(cu))
+        n_dup_cust = len(np.unique(cu[dup]))
+        return pd.DataFrame(
+            [(n_cust, n_dup_cust, int(dup.sum()),
+              int(k[dup].sum()),
+              int(k.max()) if len(k) else 0)],
+            columns=["n_cust", "n_dup_cust", "n_groups",
+                     "n_orders_in_groups", "max_group"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_cust = int(g["n_cust"].sum())
+    n_dup = int(g["n_dup_cust"].sum())
+    return pd.DataFrame(
+        [(n_cust, n_dup, 10000 * n_dup // n_cust,
+          int(g["n_groups"].sum()),
+          int(g["n_orders_in_groups"].sum()),
+          int(g["max_group"].max()))],
+        columns=["n_customers_ordering", "n_cust_with_dup_value",
+                 "dup_cust_bps", "n_collision_groups",
+                 "n_orders_in_groups", "max_group"]) \
+        .astype("int64")
+
+
+def embedding_norm_drift(sf_dir: str) -> pd.DataFrame:
+    """NORM drift — split the vector table at its vec_id midpoint
+    (ingestion-order proxy) and compare the exact fixed-point mean
+    squared norm half over half, with the shift in milli. A norm
+    seam at some id boundary means the corpus was embedded by two
+    model versions (or one run lost its L2 normalization) — cosine
+    scores across the seam are incomparable. Constant id-span
+    pre-pass + per-block (half, sum, count) partials — ZERO
+    shuffle, pure integers."""
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding"], rows_per_block=4096)
+
+    def span(t: pa.Table) -> pa.Table:
+        i = t.column("vec_id").to_numpy().astype(np.int64)
+        return pa.table({"mn": pa.array([int(i.min())]),
+                         "mx": pa.array([int(i.max())])})
+
+    sp = ds.map_batches(span, batch_format="pyarrow").to_pandas()
+    mid = (int(sp["mn"].min()) + int(sp["mx"].max())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        i = t.column("vec_id").to_numpy().astype(np.int64)
+        h = (i > mid).astype(np.int64)
+        m = np.floor(np.stack(t.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64) * 1e6) \
+            .astype(np.int64)
+        n2 = (m * m).sum(axis=1)
+        s = np.zeros(2, np.int64)
+        np.add.at(s, h, n2)
+        n = np.bincount(h, minlength=2).astype(np.int64)
+        return pa.table({"h": pa.array(np.arange(2,
+                                                 dtype=np.int64)),
+                         "s": pa.array(s), "n": pa.array(n)})
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("h")[["s", "n"]].sum())
+    n1, n2_ = int(g["n"].get(0, 0)), int(g["n"].get(1, 0))
+    m1 = int(g["s"].get(0, 0)) // n1 if n1 > 0 else -9999
+    m2 = int(g["s"].get(1, 0)) // n2_ if n2_ > 0 else -9999
+    shift = (1000 * m2 // m1 - 1000
+             if n1 > 0 and n2_ > 0 and m1 > 0 else -9999)
+    return pd.DataFrame(
+        [(n1, n2_, m1, m2, shift)],
+        columns=["n_h1", "n_h2", "mean_norm2_h1_fp",
+                 "mean_norm2_h2_fp", "shift_milli"]) \
+        .astype("int64")

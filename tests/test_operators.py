@@ -276,6 +276,7 @@ def test_entry_smoke(entrymod):
     "type_value_drift", "first_vs_repeat_priority",
     "supplier_lead_time_laggards", "revenue_by_hour",
     "type_precedence_matrix", "source_mix_drift",
+    "order_value_dup_audit", "embedding_norm_drift",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
