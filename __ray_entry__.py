@@ -635,6 +635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_drift": analytics.source_mix_drift,
         "order_value_dup_audit": analytics.order_value_dup_audit,
         "embedding_norm_drift": analytics.embedding_norm_drift,
+        "vocab_core_census": analytics.vocab_core_census,
+        "type_adoption_rank": analytics.type_adoption_rank,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14646,5 +14648,58 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS shift_milli
             FROM a
+        """,
+        "vocab_core_census": """
+            WITH ns AS (SELECT CAST(COUNT(DISTINCT source)
+                                    AS BIGINT) AS k
+                        FROM documents),
+            w AS (SELECT DISTINCT source, tok
+                  FROM (SELECT source,
+                               UNNEST(STRING_SPLIT(text, ' '))
+                                   AS tok
+                        FROM documents)),
+            cov AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM w GROUP BY 1),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+                         CAST(SUM(CASE WHEN c >= ns.k
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nc,
+                         CAST(SUM(CASE WHEN c = 1
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n1,
+                         CAST(SUM(c) AS BIGINT) AS sc
+                  FROM cov, ns GROUP BY ns.k)
+            SELECT ns.k AS n_sources, s.nt AS n_tokens,
+                   s.nc AS n_core,
+                   CAST(10000 * s.nc // s.nt AS BIGINT)
+                       AS core_share_bps,
+                   s.n1 AS n_single_source,
+                   CAST(10000 * s.n1 // s.nt AS BIGINT)
+                       AS single_share_bps,
+                   CAST(1000 * s.sc // s.nt AS BIGINT)
+                       AS mean_coverage_milli
+            FROM s, ns
+        """,
+        "type_adoption_rank": """
+            WITH r0 AS (SELECT user_id AS u, event_type AS t, ts,
+                               event_id,
+                               ROW_NUMBER() OVER (
+                                   PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+                        FROM events),
+            f AS (SELECT u, t, ts, event_id
+                  FROM r0 WHERE rn = 1),
+            rk AS (SELECT u, t,
+                          ROW_NUMBER() OVER (PARTITION BY u
+                                             ORDER BY ts, event_id)
+                              AS rank FROM f)
+            SELECT t AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_adopters,
+                   CAST(1000 * SUM(rank) // COUNT(*) AS BIGINT)
+                       AS mean_rank_milli,
+                   CAST(10000 * SUM(CASE WHEN rank = 1
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS rank1_share_bps
+            FROM rk GROUP BY t ORDER BY t
         """,
     }

@@ -314,6 +314,7 @@ BENCH_QUERIES = [
     "supplier_lead_time_laggards", "revenue_by_hour",
     "type_precedence_matrix", "source_mix_drift",
     "order_value_dup_audit", "embedding_norm_drift",
+    "vocab_core_census", "type_adoption_rank",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

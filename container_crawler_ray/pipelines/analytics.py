@@ -21313,3 +21313,124 @@ def embedding_norm_drift(sf_dir: str) -> pd.DataFrame:
         columns=["n_h1", "n_h2", "mean_norm2_h1_fp",
                  "mean_norm2_h2_fp", "shift_milli"]) \
         .astype("int64")
+
+
+def vocab_core_census(sf_dir: str) -> pd.DataFrame:
+    """CORE-VOCABULARY census — how much of the token vocabulary is
+    CORE (appears in every source) vs exclusive to exactly one?
+    Distinct tokens, core count, single-source count, shares in
+    exact bps, and the source-coverage histogram's mean in milli. A
+    vocabulary that is mostly source-exclusive means per-source
+    tokenizers or vocab pruning will not transfer — the
+    shared-subword-budget datum. One ``token-hash % 64`` exchange
+    of per-block distinct (token, source) pairs; buckets count
+    distinct sources per token. Pure integers."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    n_sources = int(_read(sf_dir, "documents", columns=["source"])
+                    .map_batches(
+        lambda t: pa.table({"s": pa.array(
+            np.unique(t.column("source").to_numpy()))}),
+        batch_format="pyarrow").to_pandas()["s"].nunique())
+
+    def derive(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t.column("source")
+                           .to_pylist(),
+                           "tok": t.column("text").to_pylist()})
+        ex = df.assign(tok=df["tok"].str.split(" ")).explode("tok")
+        ex = ex.drop_duplicates()
+        h = pd.util.hash_array(ex["tok"].to_numpy(object)) % 64
+        ex["bucket"] = h.astype(np.int32)
+        return pa.Table.from_pandas(ex, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["tok", "source"])
+        cov = g.groupby("tok").size().to_numpy(np.int64)
+        return pd.DataFrame(
+            [(len(cov), int((cov >= n_sources).sum()),
+              int((cov == 1).sum()), int(cov.sum()))],
+            columns=["n_tokens", "n_core", "n_single", "sum_cov"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_tok = int(g["n_tokens"].sum())
+    n_core = int(g["n_core"].sum())
+    n_single = int(g["n_single"].sum())
+    return pd.DataFrame(
+        [(n_sources, n_tok, n_core, 10000 * n_core // n_tok,
+          n_single, 10000 * n_single // n_tok,
+          1000 * int(g["sum_cov"].sum()) // n_tok)],
+        columns=["n_sources", "n_tokens", "n_core",
+                 "core_share_bps", "n_single_source",
+                 "single_share_bps", "mean_coverage_milli"]) \
+        .astype("int64")
+
+
+def type_adoption_rank(sf_dir: str) -> pd.DataFrame:
+    """ADOPTION order — in what order do users discover event
+    types? Per user, each type used gets its adoption rank (1 =
+    first type ever used, by first arrival under the total
+    (ts, event_id) order); per type: adopter count, the truncating
+    milli mean rank and the rank-1 share in exact bps. The
+    onboarding-path table: a type with mean rank ~1 is the entry
+    point; high mean rank is a power-user feature. One
+    ``user % 64`` exchange of per-block (user, type)
+    first-candidates; buckets resolve global firsts, rank within
+    user, and emit per-type partials. Pure integers."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy().astype(np.int64)
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        e = t.column("event_id").to_numpy().astype(np.int64)
+        typ, tinv = np.unique(t.column("event_type").to_numpy(),
+                              return_inverse=True)
+        key = u * 8 + tinv
+        order = np.lexsort((e, ts, key))
+        ks = key[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        keep = order[first]
+        return pa.table({"u": pa.array(u[keep]),
+                         "typ": t.column("event_type").take(
+                             pa.array(keep)),
+                         "ts": pa.array(ts[keep]),
+                         "e": pa.array(e[keep]),
+                         "bucket": pa.array((u[keep] % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = (g.sort_values(["u", "typ", "ts", "e"])
+             .drop_duplicates(["u", "typ"])
+             .sort_values(["u", "ts", "e"]))
+        u = m["u"].to_numpy(np.int64)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        grp_start = np.where(first)[0]
+        rank = np.arange(len(u), dtype=np.int64) \
+            - np.repeat(grp_start, np.diff(
+                np.append(grp_start, len(u)))) + 1
+        out = pd.DataFrame({"typ": m["typ"].to_numpy(),
+                            "rank": rank, "r1": (rank == 1)
+                            .astype(np.int64), "n": 1})
+        return out.groupby("typ", as_index=False).agg(
+            n=("n", "sum"), sum_rank=("rank", "sum"),
+            n_rank1=("r1", "sum"))
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("typ", as_index=False)
+         .agg(n=("n", "sum"), sum_rank=("sum_rank", "sum"),
+              n_rank1=("n_rank1", "sum"))
+         .sort_values("typ").reset_index(drop=True))
+    return pd.DataFrame({
+        "event_type": g["typ"],
+        "n_adopters": g["n"].astype("int64"),
+        "mean_rank_milli": (1000 * g["sum_rank"].to_numpy(np.int64)
+                            // g["n"].to_numpy(np.int64)),
+        "rank1_share_bps": (10000 * g["n_rank1"]
+                            .to_numpy(np.int64)
+                            // g["n"].to_numpy(np.int64))
+    }).astype({"n_adopters": "int64", "mean_rank_milli": "int64",
+               "rank1_share_bps": "int64"})

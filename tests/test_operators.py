@@ -277,6 +277,7 @@ def test_entry_smoke(entrymod):
     "supplier_lead_time_laggards", "revenue_by_hour",
     "type_precedence_matrix", "source_mix_drift",
     "order_value_dup_audit", "embedding_norm_drift",
+    "vocab_core_census", "type_adoption_rank",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
