@@ -637,6 +637,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_drift": analytics.embedding_norm_drift,
         "vocab_core_census": analytics.vocab_core_census,
         "type_adoption_rank": analytics.type_adoption_rank,
+        "orders_status_boundary_audit":
+            analytics.orders_status_boundary_audit,
+        "supplier_focus_census":
+            analytics.supplier_focus_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14701,5 +14705,50 @@ def oracle_sql() -> dict[str, str]:
                                          THEN 1 ELSE 0 END)
                         // COUNT(*) AS BIGINT) AS rank1_share_bps
             FROM rk GROUP BY t ORDER BY t
+        """,
+        "orders_status_boundary_audit": """
+            WITH s AS (SELECT o_orderstatus AS st,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(MIN(epoch_us(o_orderdate)
+                                       // 86400000000) AS BIGINT)
+                                  AS mn,
+                              CAST(MAX(epoch_us(o_orderdate)
+                                       // 86400000000) AS BIGINT)
+                                  AS mx
+                       FROM orders GROUP BY 1),
+            ov AS (SELECT COALESCE(
+                       (SELECT f.mx - o.mn + 1
+                        FROM s f, s o
+                        WHERE f.st = 'F' AND o.st = 'O'), -1)
+                       AS overlap)
+            SELECT st AS orderstatus, n AS n_orders,
+                   mn AS min_day, mx AS max_day,
+                   CAST(ov.overlap AS BIGINT) AS overlap_days
+            FROM s, ov ORDER BY st
+        """,
+        "supplier_focus_census": """
+            WITH sp AS (SELECT l_suppkey AS s, l_partkey AS p,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1, 2),
+            su AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS np,
+                          CAST(SUM(c) AS BIGINT) AS tot,
+                          CAST(SUM(c * c) AS BIGINT) AS ss
+                   FROM sp GROUP BY 1),
+            b AS (SELECT CASE WHEN np = 1 THEN 0
+                              WHEN 10000 * CAST(ss AS HUGEINT)
+                                   // (CAST(tot AS HUGEINT) * tot)
+                                   < 1000 THEN 1
+                              WHEN 10000 * CAST(ss AS HUGEINT)
+                                   // (CAST(tot AS HUGEINT) * tot)
+                                   < 2500 THEN 2
+                              WHEN 10000 * CAST(ss AS HUGEINT)
+                                   // (CAST(tot AS HUGEINT) * tot)
+                                   < 5000 THEN 3
+                              ELSE 4 END AS band FROM su),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM su)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

@@ -315,6 +315,7 @@ BENCH_QUERIES = [
     "type_precedence_matrix", "source_mix_drift",
     "order_value_dup_audit", "embedding_norm_drift",
     "vocab_core_census", "type_adoption_rank",
+    "orders_status_boundary_audit", "supplier_focus_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -21434,3 +21434,98 @@ def type_adoption_rank(sf_dir: str) -> pd.DataFrame:
                             // g["n"].to_numpy(np.int64))
     }).astype({"n_adopters": "int64", "mean_rank_milli": "int64",
                "rank1_share_bps": "int64"})
+
+
+def orders_status_boundary_audit(sf_dir: str) -> pd.DataFrame:
+    """ORDER-STATUS boundary audit — O (open), F (fulfilled) and P
+    (partial) should partition the timeline around the data's cut
+    date. Per status: order count and min/max epoch order day, plus
+    the F-to-O overlap width in days (positive = status is not
+    derivable from the date; the orders-side sibling of
+    ``linestatus_boundary_audit``, and the P band should sit inside
+    that overlap). Per-block constant-cell partials — ZERO shuffle,
+    pure integers."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() \
+            // _DAY_US
+        df = pd.DataFrame({"st": t.column("o_orderstatus")
+                           .to_pylist(), "d": d})
+        g = df.groupby("st").agg(n=("d", "size"), mn=("d", "min"),
+                                 mx=("d", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby("st")
+         .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")))
+    stats = {st: (int(r["n"]), int(r["mn"]), int(r["mx"]))
+             for st, r in g.iterrows()}
+    overlap = -1
+    if "F" in stats and "O" in stats:
+        overlap = stats["F"][2] - stats["O"][1] + 1
+    rows = [(st, *stats[st], overlap) for st in sorted(stats)]
+    return pd.DataFrame(rows, columns=["orderstatus", "n_orders",
+                                       "min_day", "max_day",
+                                       "overlap_days"]).astype(
+        {"n_orders": "int64", "min_day": "int64",
+         "max_day": "int64", "overlap_days": "int64"})
+
+
+def supplier_focus_census(sf_dir: str) -> pd.DataFrame:
+    """FOCUS census — is each supplier a one-part pony? Per
+    supplier the Herfindahl of its line volume across parts
+    (HHI·1e4 = Σc²·1e4 // (Σc)²), banded diversified (<1000),
+    moderate (<2500), concentrated (<5000), focused (≥5000), with
+    single-part suppliers separate and shares in exact bps. A
+    focused supply base concentrates failure modes part by part —
+    the procurement-risk complement to the nation-level activity
+    HHI. One ``supp % 64`` exchange of per-block (supplier, part)
+    counts; buckets fold HHIs in exact integers. Pure integers."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        key = s * (1 << 32) + p
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"s": pa.array(uk >> 32),
+                         "p": pa.array(uk & ((1 << 32) - 1)),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(((uk >> 32) % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["s"].to_numpy(np.int64) * (1 << 32) \
+            + g["p"].to_numpy(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.zeros(len(uk), np.int64)
+        np.add.at(c, inv, g["c"].to_numpy(np.int64))
+        su, sinv = np.unique(uk >> 32, return_inverse=True)
+        tot = np.zeros(len(su), np.int64)
+        np.add.at(tot, sinv, c)
+        ss = np.zeros(len(su), np.int64)
+        np.add.at(ss, sinv, c * c)
+        nparts = np.bincount(sinv, minlength=len(su)) \
+            .astype(np.int64)
+        hhi = 10000 * ss // (tot * tot)
+        band = np.where(nparts == 1, 0,
+                        np.where(hhi < 1000, 1,
+                                 np.where(hhi < 2500, 2,
+                                          np.where(hhi < 5000, 3,
+                                                   4))))
+        h = np.bincount(band, minlength=5).astype(np.int64)
+        return pd.DataFrame({"band": np.arange(5, dtype=np.int64),
+                             "n_suppliers": h})
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("band", as_index=False).sum())
+    tot = int(g["n_suppliers"].sum())
+    g = g[g["n_suppliers"] > 0].sort_values("band").reset_index(
+        drop=True)
+    g["share_bps"] = 10000 * g["n_suppliers"].to_numpy(np.int64) \
+        // tot
+    return g.astype("int64")

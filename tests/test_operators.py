@@ -278,6 +278,7 @@ def test_entry_smoke(entrymod):
     "type_precedence_matrix", "source_mix_drift",
     "order_value_dup_audit", "embedding_norm_drift",
     "vocab_core_census", "type_adoption_rank",
+    "orders_status_boundary_audit", "supplier_focus_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
