@@ -641,6 +641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.orders_status_boundary_audit,
         "supplier_focus_census":
             analytics.supplier_focus_census,
+        "ts_collision_audit": analytics.ts_collision_audit,
+        "value_band_type_mix": analytics.value_band_type_mix,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14750,5 +14752,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
                        AS share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "ts_collision_audit": """
+            WITH h AS (SELECT ts, CAST(COUNT(*) AS BIGINT) AS k
+                       FROM events GROUP BY 1),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nts,
+                         CAST(SUM(k) AS BIGINT) AS ne,
+                         CAST(SUM(CASE WHEN k >= 2 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS nct,
+                         CAST(COALESCE(SUM(k) FILTER (k >= 2), 0)
+                              AS BIGINT) AS nec,
+                         CAST(MAX(k) AS BIGINT) AS mp FROM h)
+            SELECT nts AS n_distinct_ts, ne AS n_events,
+                   nct AS n_collision_ts,
+                   nec AS n_events_in_collisions,
+                   CAST(10000 * nec // ne AS BIGINT)
+                       AS collision_bps,
+                   mp AS max_pileup
+            FROM s
+        """,
+        "value_band_type_mix": """
+            WITH d AS (SELECT event_type AS typ,
+                              CASE WHEN CAST(FLOOR(value * 100)
+                                        AS BIGINT) = 0 THEN 0
+                                   WHEN CAST(FLOOR(value * 100)
+                                        AS BIGINT) < 100 THEN 1
+                                   WHEN CAST(FLOOR(value * 100)
+                                        AS BIGINT) < 1000 THEN 2
+                                   WHEN CAST(FLOOR(value * 100)
+                                        AS BIGINT) < 10000 THEN 3
+                                   ELSE 4 END AS band
+                       FROM events),
+            o AS (SELECT band, typ, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2),
+            r AS (SELECT band, CAST(SUM(n) AS BIGINT) AS rn
+                  FROM o GROUP BY 1),
+            c AS (SELECT typ, CAST(SUM(n) AS BIGINT) AS cn
+                  FROM o GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM o)
+            SELECT CAST(o.band AS BIGINT) AS value_band,
+                   o.typ AS event_type, o.n AS n_events,
+                   CAST(10000 * o.n // r.rn AS BIGINT)
+                       AS band_share_bps,
+                   CAST(1000 * o.n * t.n // (r.rn * c.cn) - 1000
+                        AS BIGINT) AS lift_milli
+            FROM o JOIN r USING (band) JOIN c USING (typ), t
+            ORDER BY 1, 2
         """,
     }

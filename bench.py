@@ -316,6 +316,7 @@ BENCH_QUERIES = [
     "order_value_dup_audit", "embedding_norm_drift",
     "vocab_core_census", "type_adoption_rank",
     "orders_status_boundary_audit", "supplier_focus_census",
+    "ts_collision_audit", "value_band_type_mix",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -21529,3 +21529,93 @@ def supplier_focus_census(sf_dir: str) -> pd.DataFrame:
     g["share_bps"] = 10000 * g["n_suppliers"].to_numpy(np.int64) \
         // tot
     return g.astype("int64")
+
+
+def ts_collision_audit(sf_dir: str) -> pd.DataFrame:
+    """TIMESTAMP-COLLISION audit — how often do two events share
+    the EXACT microsecond? Colliding timestamps, events inside
+    collisions with share in exact bps, and the worst pile-up. A
+    heavy collision rate means the clock is coarser than the column
+    type claims (second-granularity feeds cast to microseconds) —
+    and every (ts)-ordered window without a tie-breaker is
+    nondeterministic. One ``ts % 64`` exchange of per-block
+    (ts, count) rollups; buckets fold multiplicities. Pure
+    integers."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        uk, cnt = np.unique(ts, return_counts=True)
+        return pa.table({"ts": pa.array(uk),
+                         "k": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array((uk % 64)
+                                            .astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby("ts", as_index=False)["k"].sum()
+        k = gg["k"].to_numpy(np.int64)
+        col = k >= 2
+        return pd.DataFrame(
+            [(len(k), int(k.sum()), int(col.sum()),
+              int(k[col].sum()), int(k.max()) if len(k) else 0)],
+            columns=["n_ts", "n_events", "n_collision_ts",
+                     "n_events_in_collisions", "max_pileup"])
+
+    g = (ds.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    n_events = int(g["n_events"].sum())
+    n_in = int(g["n_events_in_collisions"].sum())
+    return pd.DataFrame(
+        [(int(g["n_ts"].sum()), n_events,
+          int(g["n_collision_ts"].sum()), n_in,
+          10000 * n_in // n_events, int(g["max_pileup"].max()))],
+        columns=["n_distinct_ts", "n_events", "n_collision_ts",
+                 "n_events_in_collisions", "collision_bps",
+                 "max_pileup"]).astype("int64")
+
+
+def value_band_type_mix(sf_dir: str) -> pd.DataFrame:
+    """VALUE-BAND type mix — which event types dominate the
+    big-ticket end? Events band by fixed cent thresholds (0, <100,
+    <1000, <10000, ≥10000); per (band, type): count, the
+    within-band type share in exact bps, and the lift vs the type's
+    global share cross-multiplied. If errors concentrate in the top
+    band, the expensive flow is the broken one — severity-weighted
+    triage in one table. Per-block constant-cell partials — ZERO
+    shuffle, pure integers."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(t.column("value").to_numpy() * 100) \
+            .astype(np.int64)
+        band = np.where(cents == 0, 0,
+                        np.where(cents < 100, 1,
+                                 np.where(cents < 1000, 2,
+                                          np.where(cents < 10000,
+                                                   3, 4))))
+        df = pd.DataFrame({"typ": t.column("event_type")
+                           .to_pylist(), "band": band})
+        g = df.groupby(["band", "typ"], as_index=False).size()
+        return pa.Table.from_pandas(
+            g.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow")
+         .to_pandas().groupby(["band", "typ"], as_index=False)["n"]
+         .sum())
+    n_tot = int(g["n"].sum())
+    rn = g.groupby("band")["n"].sum()
+    cn = g.groupby("typ")["n"].sum()
+    g = g.sort_values(["band", "typ"],
+                      kind="mergesort").reset_index(drop=True)
+    rows = []
+    for band, typ, n in g.itertuples(index=False):
+        r, c = int(rn[band]), int(cn[typ])
+        rows.append((int(band), typ, int(n), 10000 * int(n) // r,
+                     1000 * int(n) * n_tot // (r * c) - 1000))
+    return pd.DataFrame(rows, columns=["value_band", "event_type",
+                                       "n_events",
+                                       "band_share_bps",
+                                       "lift_milli"]).astype(
+        {"value_band": "int64", "n_events": "int64",
+         "band_share_bps": "int64", "lift_milli": "int64"})

@@ -279,6 +279,7 @@ def test_entry_smoke(entrymod):
     "order_value_dup_audit", "embedding_norm_drift",
     "vocab_core_census", "type_adoption_rank",
     "orders_status_boundary_audit", "supplier_focus_census",
+    "ts_collision_audit", "value_band_type_mix",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
