@@ -643,6 +643,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_focus_census,
         "ts_collision_audit": analytics.ts_collision_audit,
         "value_band_type_mix": analytics.value_band_type_mix,
+        "order_return_severity": analytics.order_return_severity,
+        "source_word_len_profile":
+            analytics.source_word_len_profile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14798,5 +14801,61 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lift_milli
             FROM o JOIN r USING (band) JOIN c USING (typ), t
             ORDER BY 1, 2
+        """,
+        "order_return_severity": """
+            WITH o AS (SELECT l_orderkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS n,
+                              CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                            THEN 1 ELSE 0 END)
+                                   AS BIGINT) AS r
+                       FROM lineitem GROUP BY 1),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS no,
+                         CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS nn,
+                         CAST(SUM(CASE WHEN r > 0 AND r < n
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS np,
+                         CAST(SUM(CASE WHEN r = n AND r > 0
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nf,
+                         CAST(COALESCE(SUM(n) FILTER (
+                              r > 0 AND r < n), 0) AS BIGINT)
+                             AS pl,
+                         CAST(COALESCE(SUM(r) FILTER (
+                              r > 0 AND r < n), 0) AS BIGINT)
+                             AS pr
+                  FROM o)
+            SELECT no AS n_orders, nn AS n_none,
+                   CAST(10000 * nn // no AS BIGINT) AS none_bps,
+                   np AS n_partial,
+                   CAST(10000 * np // no AS BIGINT)
+                       AS partial_bps,
+                   nf AS n_full,
+                   CAST(10000 * nf // no AS BIGINT) AS full_bps,
+                   CAST(CASE WHEN pl > 0 THEN 10000 * pr // pl
+                             ELSE -9999 END AS BIGINT)
+                       AS partial_depth_bps
+            FROM s
+        """,
+        "source_word_len_profile": """
+            WITH w AS (SELECT source,
+                              UNNEST(STRING_SPLIT(text, ' '))
+                                  AS tok
+                       FROM documents),
+            m AS (SELECT source, CAST(MAX(LENGTH(tok)) AS BIGINT)
+                             AS maxw
+                  FROM w GROUP BY 1),
+            b AS (SELECT source,
+                         CAST(SUM(LENGTH(text)
+                                  - LENGTH(REPLACE(text, ' ', ''))
+                                  + 1) AS BIGINT) AS toks,
+                         CAST(SUM(LENGTH(REPLACE(text, ' ', '')))
+                              AS BIGINT) AS letters
+                  FROM documents GROUP BY 1)
+            SELECT b.source, b.toks AS n_tokens,
+                   CAST(1000 * b.letters // b.toks AS BIGINT)
+                       AS mean_word_len_milli,
+                   m.maxw AS max_word_len
+            FROM b JOIN m USING (source) ORDER BY source
         """,
     }

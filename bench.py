@@ -317,6 +317,7 @@ BENCH_QUERIES = [
     "vocab_core_census", "type_adoption_rank",
     "orders_status_boundary_audit", "supplier_focus_census",
     "ts_collision_audit", "value_band_type_mix",
+    "order_return_severity", "source_word_len_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
