@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_return_severity": analytics.order_return_severity,
         "source_word_len_profile":
             analytics.source_word_len_profile,
+        "dau_volatility": analytics.dau_volatility,
+        "debtor_activity_audit":
+            analytics.debtor_activity_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14857,5 +14860,69 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_word_len_milli,
                    m.maxw AS max_word_len
             FROM b JOIN m USING (source) ORDER BY source
+        """,
+        "dau_volatility": """
+            WITH d AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                              CAST(COUNT(DISTINCT user_id)
+                                   AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                         CAST(SUM(n) AS BIGINT) AS s,
+                         CAST(SUM(n * n) AS BIGINT) AS ss,
+                         CAST(MIN(n) AS BIGINT) AS mn,
+                         CAST(MAX(n) AS BIGINT) AS mx FROM d)
+            SELECT nd AS n_days,
+                   CAST(1000 * s // nd AS BIGINT)
+                       AS mean_dau_milli,
+                   CAST(CASE WHEN s > 0 THEN
+                        1000 * (nd * CAST(ss AS HUGEINT)
+                                - CAST(s AS HUGEINT) * s)
+                        // (CAST(s AS HUGEINT) * s)
+                        ELSE -9999 END AS BIGINT) AS cv2_milli,
+                   mn AS min_dau, mx AS max_dau
+            FROM s
+        """,
+        "debtor_activity_audit": """
+            WITH a AS (SELECT o_custkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            cu AS (SELECT CASE WHEN CAST(FLOOR(c_acctbal * 100)
+                                        AS BIGINT) < 0
+                               THEN 'negative'
+                               ELSE 'nonnegative' END AS sign,
+                          COALESCE(a.c, 0) AS c
+                   FROM customer LEFT JOIN a ON a.k = c_custkey),
+            g AS (SELECT sign, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS o,
+                         CAST(SUM(c) AS BIGINT) AS tc
+                  FROM cu GROUP BY 1),
+            signs AS (SELECT 'negative' AS sign
+                      UNION ALL SELECT 'nonnegative'),
+            g2 AS (SELECT signs.sign, COALESCE(g.n, 0) AS n,
+                          COALESCE(g.o, 0) AS o,
+                          COALESCE(g.tc, 0) AS tc
+                   FROM signs LEFT JOIN g USING (sign)),
+            l AS (SELECT CAST(CASE WHEN neg.n > 0 AND pos.o > 0
+                                   THEN 1000 * neg.o * pos.n
+                                        // (neg.n * pos.o) - 1000
+                                   ELSE -9999 END AS BIGINT)
+                             AS lift
+                  FROM (SELECT * FROM g2
+                        WHERE sign = 'negative') neg,
+                       (SELECT * FROM g2
+                        WHERE sign = 'nonnegative') pos)
+            SELECT sign AS balance_sign, n AS n_customers,
+                   o AS n_ordering,
+                   CAST(CASE WHEN n > 0 THEN 10000 * o // n
+                             ELSE -9999 END AS BIGINT)
+                       AS ordering_bps,
+                   CAST(CASE WHEN n > 0 THEN 1000 * tc // n
+                             ELSE -9999 END AS BIGINT)
+                       AS mean_orders_milli,
+                   CAST(CASE WHEN sign = 'negative' THEN l.lift
+                             ELSE 0 END AS BIGINT)
+                       AS debtor_lift_milli
+            FROM g2, l ORDER BY sign
         """,
     }

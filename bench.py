@@ -318,6 +318,7 @@ BENCH_QUERIES = [
     "orders_status_boundary_audit", "supplier_focus_census",
     "ts_collision_audit", "value_band_type_mix",
     "order_return_severity", "source_word_len_profile",
+    "dau_volatility", "debtor_activity_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

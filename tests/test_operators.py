@@ -281,6 +281,7 @@ def test_entry_smoke(entrymod):
     "orders_status_boundary_audit", "supplier_focus_census",
     "ts_collision_audit", "value_band_type_mix",
     "order_return_severity", "source_word_len_profile",
+    "dau_volatility", "debtor_activity_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
