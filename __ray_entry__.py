@@ -649,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_volatility": analytics.dau_volatility,
         "debtor_activity_audit":
             analytics.debtor_activity_audit,
+        "nation_hhi_trend": analytics.nation_hhi_trend,
+        "dow_depth_profile": analytics.dow_depth_profile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14924,5 +14926,57 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 0 END AS BIGINT)
                        AS debtor_lift_milli
             FROM g2, l ORDER BY sign
+        """,
+        "nation_hhi_trend": """
+            WITH j AS (SELECT epoch_us(o_orderdate) // 86400000000
+                              // 365 AS y,
+                              c_nationkey AS nk,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders
+                       JOIN customer ON c_custkey = o_custkey),
+            g AS (SELECT y, nk, CAST(SUM(cents) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM j GROUP BY 1, 2),
+            yy AS (SELECT y, CAST(SUM(n) AS BIGINT) AS n_orders,
+                          CAST(SUM(s) AS BIGINT) AS tot,
+                          CAST(SUM(CAST(s AS HUGEINT) * s) * 10000
+                               // (CAST(SUM(s) AS HUGEINT)
+                                   * SUM(s)) AS BIGINT) AS hhi,
+                          CAST(10000 * MAX(s) // SUM(s) AS BIGINT)
+                              AS top
+                   FROM g GROUP BY y HAVING SUM(s) > 0)
+            SELECT CAST(y AS BIGINT) AS year_id, n_orders,
+                   tot AS revenue_cents, hhi AS hhi_e4,
+                   top AS top_nation_share_bps
+            FROM yy ORDER BY 1
+        """,
+        "dow_depth_profile": """
+            WITH ud AS (SELECT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d,
+                               CAST(COUNT(*) AS BIGINT) AS k
+                        FROM events GROUP BY 1, 2),
+            dd AS (SELECT (d + 4) % 7 AS dow,
+                          LEAST(k, 4096) AS depth FROM ud),
+            h AS (SELECT dow, depth, CAST(COUNT(*) AS BIGINT)
+                             AS c
+                  FROM dd GROUP BY 1, 2),
+            w AS (SELECT dow, depth, c,
+                         SUM(c) OVER (PARTITION BY dow
+                                      ORDER BY depth
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY dow) AS n,
+                         SUM(depth * c) OVER (PARTITION BY dow)
+                             AS s
+                  FROM h)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(MAX(n) AS BIGINT) AS n_user_days,
+                   CAST(1000 * MAX(s) // MAX(n) AS BIGINT)
+                       AS mean_depth_milli,
+                   CAST(MIN(depth) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50_depth
+            FROM w GROUP BY dow ORDER BY dow
         """,
     }

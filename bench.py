@@ -319,6 +319,7 @@ BENCH_QUERIES = [
     "ts_collision_audit", "value_band_type_mix",
     "order_return_severity", "source_word_len_profile",
     "dau_volatility", "debtor_activity_audit",
+    "nation_hhi_trend", "dow_depth_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -282,6 +282,7 @@ def test_entry_smoke(entrymod):
     "ts_collision_audit", "value_band_type_mix",
     "order_return_severity", "source_word_len_profile",
     "dau_volatility", "debtor_activity_audit",
+    "nation_hhi_trend", "dow_depth_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
