@@ -651,6 +651,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.debtor_activity_audit,
         "nation_hhi_trend": analytics.nation_hhi_trend,
         "dow_depth_profile": analytics.dow_depth_profile,
+        "streak_value_interaction":
+            analytics.streak_value_interaction,
+        "ship_daily_load": analytics.ship_daily_load,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -14978,5 +14981,66 @@ def oracle_sql() -> dict[str, str]:
                         cum >= (50 * n + 99) // 100) AS BIGINT)
                        AS p50_depth
             FROM w GROUP BY dow ORDER BY dow
+        """,
+        "streak_value_interaction": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events),
+            uv AS (SELECT user_id AS u,
+                          CAST(SUM(CAST(FLOOR(value * 100)
+                                        AS BIGINT)) AS BIGINT)
+                              AS tv
+                   FROM events GROUP BY 1),
+            i AS (SELECT u, d,
+                         d - ROW_NUMBER() OVER (PARTITION BY u
+                                                ORDER BY d) AS grp
+                  FROM ud),
+            r AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS len
+                  FROM i GROUP BY u, grp),
+            b0 AS (SELECT u, CAST(MAX(len) AS BIGINT) AS best
+                   FROM r GROUP BY u),
+            b AS (SELECT CASE WHEN best = 1 THEN 0
+                              WHEN best <= 3 THEN 1
+                              WHEN best <= 7 THEN 2
+                              ELSE 3 END AS band, uv.tv
+                  FROM b0 JOIN uv ON uv.u = b0.u),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(tv) AS BIGINT) AS s FROM b)
+            SELECT band AS streak_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(1000 * SUM(tv) // COUNT(*) AS BIGINT)
+                       AS mean_cents_milli,
+                   CAST(CASE WHEN MAX(t.s) > 0 THEN
+                        1000 * CAST(SUM(tv) AS HUGEINT) * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS value_lift_milli
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "ship_daily_load": """
+            WITH d AS (SELECT epoch_us(l_shipdate) // 86400000000
+                                  AS dd,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1),
+            r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+                         COUNT(*) OVER () AS n,
+                         SUM(c) OVER () AS s FROM d),
+            p AS (SELECT CAST(MIN(c) FILTER (
+                             rn >= (50 * n + 99) // 100) AS BIGINT)
+                             AS p50,
+                         CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MAX(s) AS BIGINT) AS s,
+                         CAST(MAX(c) AS BIGINT) AS mx FROM r)
+            SELECT n AS n_days,
+                   CAST(1000 * s // n AS BIGINT)
+                       AS mean_lines_milli,
+                   p50 AS p50_lines, mx AS max_lines,
+                   CAST(CASE WHEN p50 > 0 THEN 1000 * mx // p50
+                             ELSE -9999 END AS BIGINT)
+                       AS peak_to_median_milli
+            FROM p
         """,
     }

@@ -320,6 +320,7 @@ BENCH_QUERIES = [
     "order_return_severity", "source_word_len_profile",
     "dau_volatility", "debtor_activity_audit",
     "nation_hhi_trend", "dow_depth_profile",
+    "streak_value_interaction", "ship_daily_load",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -283,6 +283,7 @@ def test_entry_smoke(entrymod):
     "order_return_severity", "source_word_len_profile",
     "dau_volatility", "debtor_activity_audit",
     "nation_hhi_trend", "dow_depth_profile",
+    "streak_value_interaction", "ship_daily_load",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
