@@ -654,6 +654,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streak_value_interaction":
             analytics.streak_value_interaction,
         "ship_daily_load": analytics.ship_daily_load,
+        "priority_width_interaction":
+            analytics.priority_width_interaction,
+        "quantity_integrality_audit":
+            analytics.quantity_integrality_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15042,5 +15046,43 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS peak_to_median_milli
             FROM p
+        """,
+        "priority_width_interaction": """
+            WITH lc AS (SELECT l_orderkey AS k,
+                               CAST(COUNT(*) AS BIGINT) AS c
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT CAST(SUBSTR(o_orderpriority, 1, 1)
+                              AS BIGINT) AS p, lc.c
+                  FROM orders JOIN lc ON lc.k = o_orderkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS no,
+                         CAST(SUM(c) AS BIGINT) AS nl FROM j)
+            SELECT p AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(c) AS BIGINT) AS n_lines,
+                   CAST(1000 * SUM(c) // COUNT(*) AS BIGINT)
+                       AS mean_lines_milli,
+                   CAST(CASE WHEN MAX(t.nl) > 0 THEN
+                        1000 * SUM(c) * MAX(t.no)
+                        // (COUNT(*) * MAX(t.nl)) - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS width_lift_milli
+            FROM j, t GROUP BY p ORDER BY p
+        """,
+        "quantity_integrality_audit": """
+            WITH d AS (SELECT l_quantity AS q,
+                              CAST(FLOOR(l_quantity) AS BIGINT)
+                                  AS iq
+                       FROM lineitem)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN q <> FLOOR(q)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fractional,
+                   CAST(10000 * SUM(CASE WHEN q <> FLOOR(q)
+                                         THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS fractional_bps,
+                   CAST(MIN(iq) AS BIGINT) AS min_qty,
+                   CAST(MAX(iq) AS BIGINT) AS max_qty,
+                   CAST(COUNT(DISTINCT iq) AS BIGINT) AS n_levels
+            FROM d
         """,
     }

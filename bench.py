@@ -321,6 +321,7 @@ BENCH_QUERIES = [
     "dau_volatility", "debtor_activity_audit",
     "nation_hhi_trend", "dow_depth_profile",
     "streak_value_interaction", "ship_daily_load",
+    "priority_width_interaction", "quantity_integrality_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -284,6 +284,7 @@ def test_entry_smoke(entrymod):
     "dau_volatility", "debtor_activity_audit",
     "nation_hhi_trend", "dow_depth_profile",
     "streak_value_interaction", "ship_daily_load",
+    "priority_width_interaction", "quantity_integrality_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
