@@ -658,6 +658,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.priority_width_interaction,
         "quantity_integrality_audit":
             analytics.quantity_integrality_audit,
+        "brand_revenue_volatility":
+            analytics.brand_revenue_volatility,
+        "tenure_breadth_curve": analytics.tenure_breadth_curve,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15084,5 +15087,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(iq) AS BIGINT) AS max_qty,
                    CAST(COUNT(DISTINCT iq) AS BIGINT) AS n_levels
             FROM d
+        """,
+        "brand_revenue_volatility": """
+            WITH j AS (SELECT p_brand AS b,
+                              epoch_us(l_shipdate) // 86400000000
+                              // 30 AS m,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            g AS (SELECT b, m, CAST(SUM(cents) AS BIGINT) AS s
+                  FROM j GROUP BY 1, 2),
+            a AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(s) AS BIGINT) AS t,
+                         SUM(CAST(s AS HUGEINT) * s) AS ss
+                  FROM g GROUP BY 1)
+            SELECT b AS brand, n AS n_months,
+                   CAST(1000 * t // n AS BIGINT)
+                       AS mean_month_cents_milli,
+                   CAST(CASE WHEN t > 0 THEN
+                        1000 * (n * ss - CAST(t AS HUGEINT) * t)
+                        // (CAST(t AS HUGEINT) * t)
+                        ELSE -9999 END AS BIGINT) AS cv2_milli
+            FROM a ORDER BY brand
+        """,
+        "tenure_breadth_curve": """
+            WITH sp AS (SELECT user_id AS u,
+                               MAX(epoch_us(ts) // 86400000000)
+                               - MIN(epoch_us(ts) // 86400000000)
+                               + 1 AS span,
+                               CAST(COUNT(DISTINCT event_type)
+                                    AS BIGINT) AS breadth
+                        FROM events GROUP BY 1),
+            b AS (SELECT CASE WHEN span = 1 THEN 0
+                              WHEN span < 7 THEN 1
+                              WHEN span < 28 THEN 2
+                              WHEN span < 84 THEN 3
+                              ELSE 4 END AS band, breadth FROM sp),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sp)
+            SELECT band AS tenure_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(1000 * SUM(breadth) // COUNT(*) AS BIGINT)
+                       AS mean_breadth_milli
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

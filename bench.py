@@ -322,6 +322,7 @@ BENCH_QUERIES = [
     "nation_hhi_trend", "dow_depth_profile",
     "streak_value_interaction", "ship_daily_load",
     "priority_width_interaction", "quantity_integrality_audit",
+    "brand_revenue_volatility", "tenure_breadth_curve",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
