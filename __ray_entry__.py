@@ -661,6 +661,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue_volatility":
             analytics.brand_revenue_volatility,
         "tenure_breadth_curve": analytics.tenure_breadth_curve,
+        "street_to_list_census": analytics.street_to_list_census,
+        "breadth_value_interaction":
+            analytics.breadth_value_interaction,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15132,5 +15135,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(breadth) // COUNT(*) AS BIGINT)
                        AS mean_breadth_milli
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "street_to_list_census": """
+            WITH j AS (SELECT 1000 * (CAST(FLOOR(l_extendedprice
+                                                 * 100) AS BIGINT)
+                                      // CAST(FLOOR(l_quantity)
+                                              AS BIGINT))
+                              // GREATEST(CAST(FLOOR(p_retailprice
+                                                     * 100)
+                                               AS BIGINT), 1)
+                                  AS ratio
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            b AS (SELECT CASE WHEN ratio < 900 THEN 0
+                              WHEN ratio < 950 THEN 1
+                              WHEN ratio < 1000 THEN 2
+                              WHEN ratio < 1050 THEN 3
+                              ELSE 4 END AS band FROM j),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+            SELECT band AS ratio_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps
+            FROM b, t GROUP BY band ORDER BY band
+        """,
+        "breadth_value_interaction": """
+            WITH u AS (SELECT user_id AS u,
+                              CAST(LEAST(COUNT(DISTINCT
+                                              event_type), 8)
+                                   AS BIGINT) AS breadth,
+                              CAST(SUM(CAST(FLOOR(value * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS tv
+                       FROM events GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(tv) AS BIGINT) AS s FROM u)
+            SELECT breadth, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(1000 * SUM(tv) // COUNT(*) AS BIGINT)
+                       AS mean_cents_milli,
+                   CAST(CASE WHEN MAX(t.s) > 0 THEN
+                        1000 * CAST(SUM(tv) AS HUGEINT) * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS value_lift_milli
+            FROM u, t GROUP BY breadth ORDER BY breadth
         """,
     }

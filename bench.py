@@ -323,6 +323,7 @@ BENCH_QUERIES = [
     "streak_value_interaction", "ship_daily_load",
     "priority_width_interaction", "quantity_integrality_audit",
     "brand_revenue_volatility", "tenure_breadth_curve",
+    "street_to_list_census", "breadth_value_interaction",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
