@@ -664,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "street_to_list_census": analytics.street_to_list_census,
         "breadth_value_interaction":
             analytics.breadth_value_interaction,
+        "order_value_drift": analytics.order_value_drift,
+        "core_customer_census": analytics.core_customer_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15182,5 +15184,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -9999 END AS BIGINT)
                        AS value_lift_milli
             FROM u, t GROUP BY breadth ORDER BY breadth
+        """,
+        "order_value_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            e AS (SELECT CASE WHEN epoch_us(o_orderdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                         // 1000 AS band
+                  FROM orders, b),
+            g AS (SELECT h, band, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            w AS (SELECT h, band, c,
+                         SUM(c) OVER (PARTITION BY h ORDER BY band
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY h) AS n
+                  FROM g),
+            p AS (SELECT h,
+                         CAST(MIN(band) FILTER (
+                              cum >= (50 * n + 99) // 100)
+                              AS BIGINT) AS p50,
+                         CAST(MAX(n) AS BIGINT) AS n
+                  FROM w GROUP BY h)
+            SELECT a.n AS n_h1, b2.n AS n_h2,
+                   a.p50 AS p50_band_h1, b2.p50 AS p50_band_h2,
+                   CAST(CASE WHEN a.p50 > 0
+                             THEN 1000 * b2.p50 // a.p50 - 1000
+                             ELSE -9999 END AS BIGINT)
+                       AS shift_milli
+            FROM p a JOIN p b2 ON a.h = 0 AND b2.h = 1
+        """,
+        "core_customer_census": """
+            WITH yr AS (SELECT MAX(epoch_us(o_orderdate)
+                                   // 86400000000 // 365)
+                             - MIN(epoch_us(o_orderdate)
+                                   // 86400000000 // 365) + 1
+                                  AS n_years
+                        FROM orders),
+            cy AS (SELECT DISTINCT o_custkey AS c,
+                          epoch_us(o_orderdate) // 86400000000
+                          // 365 AS y
+                   FROM orders),
+            cu AS (SELECT c, CAST(LEAST(COUNT(*), 16) AS BIGINT)
+                             AS ny
+                   FROM cy GROUP BY 1),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cu)
+            SELECT ny AS n_years_active,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(CASE WHEN ny >= MAX(yr.n_years)
+                             THEN 1 ELSE 0 END AS BIGINT)
+                       AS is_core
+            FROM cu, t, yr GROUP BY ny ORDER BY ny
         """,
     }

@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "priority_width_interaction", "quantity_integrality_audit",
     "brand_revenue_volatility", "tenure_breadth_curve",
     "street_to_list_census", "breadth_value_interaction",
+    "order_value_drift", "core_customer_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -287,6 +287,7 @@ def test_entry_smoke(entrymod):
     "priority_width_interaction", "quantity_integrality_audit",
     "brand_revenue_volatility", "tenure_breadth_curve",
     "street_to_list_census", "breadth_value_interaction",
+    "order_value_drift", "core_customer_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
