@@ -666,6 +666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.breadth_value_interaction,
         "order_value_drift": analytics.order_value_drift,
         "core_customer_census": analytics.core_customer_census,
+        "nation_balance_revenue_mismatch":
+            analytics.nation_balance_revenue_mismatch,
+        "depth_value_curve": analytics.depth_value_curve,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15242,5 +15245,63 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT)
                        AS is_core
             FROM cu, t, yr GROUP BY ny ORDER BY ny
+        """,
+        "nation_balance_revenue_mismatch": """
+            WITH nb AS (SELECT c_nationkey AS k,
+                               CAST(SUM(GREATEST(
+                                    CAST(FLOOR(c_acctbal * 100)
+                                         AS BIGINT), 0)) AS BIGINT)
+                                   AS b
+                        FROM customer GROUP BY 1),
+            rv AS (SELECT c_nationkey AS k,
+                          CAST(SUM(CAST(FLOOR(o_totalprice * 100)
+                                        AS BIGINT)) AS BIGINT)
+                              AS r
+                   FROM orders
+                   JOIN customer ON c_custkey = o_custkey
+                   GROUP BY 1),
+            j AS (SELECT n_name AS nation, COALESCE(nb.b, 0) AS b,
+                         COALESCE(rv.r, 0) AS r
+                  FROM nation LEFT JOIN nb ON nb.k = n_nationkey
+                              LEFT JOIN rv ON rv.k = n_nationkey
+                  WHERE COALESCE(nb.b, 0) > 0
+                        OR COALESCE(rv.r, 0) > 0),
+            t AS (SELECT CAST(SUM(b) AS BIGINT) AS bt,
+                         CAST(SUM(r) AS BIGINT) AS rt FROM j)
+            SELECT nation, b AS balance_cents,
+                   CAST(CASE WHEN t.bt > 0 THEN 10000 * b // t.bt
+                             ELSE -9999 END AS BIGINT)
+                       AS balance_share_bps,
+                   r AS revenue_cents,
+                   CAST(CASE WHEN t.rt > 0 THEN 10000 * r // t.rt
+                             ELSE -9999 END AS BIGINT)
+                       AS revenue_share_bps,
+                   CAST(CASE WHEN t.bt > 0 AND 10000 * b // t.bt
+                                  > 0 AND t.rt > 0
+                             THEN 1000 * (10000 * r // t.rt)
+                                  // (10000 * b // t.bt)
+                             ELSE -9999 END AS BIGINT)
+                       AS mismatch_milli
+            FROM j, t ORDER BY nation
+        """,
+        "depth_value_curve": """
+            WITH ud AS (SELECT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(CAST(FLOOR(value * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS s
+                        FROM events GROUP BY 1, 2),
+            b AS (SELECT CASE WHEN n = 1 THEN 0
+                              WHEN n <= 3 THEN 1
+                              WHEN n <= 7 THEN 2
+                              ELSE 3 END AS band, n, s FROM ud)
+            SELECT band AS depth_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_user_days,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
+                   CAST(SUM(s) AS BIGINT) AS sum_cents,
+                   CAST(1000 * SUM(s) // SUM(n) AS BIGINT)
+                       AS cents_per_event_milli
+            FROM b GROUP BY band ORDER BY band
         """,
     }

@@ -325,6 +325,7 @@ BENCH_QUERIES = [
     "brand_revenue_volatility", "tenure_breadth_curve",
     "street_to_list_census", "breadth_value_interaction",
     "order_value_drift", "core_customer_census",
+    "nation_balance_revenue_mismatch", "depth_value_curve",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -288,6 +288,7 @@ def test_entry_smoke(entrymod):
     "brand_revenue_volatility", "tenure_breadth_curve",
     "street_to_list_census", "breadth_value_interaction",
     "order_value_drift", "core_customer_census",
+    "nation_balance_revenue_mismatch", "depth_value_curve",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
