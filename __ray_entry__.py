@@ -669,6 +669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_balance_revenue_mismatch":
             analytics.nation_balance_revenue_mismatch,
         "depth_value_curve": analytics.depth_value_curve,
+        "part_price_direction_census":
+            analytics.part_price_direction_census,
+        "habit_mass_census": analytics.habit_mass_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15303,5 +15306,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(s) // SUM(n) AS BIGINT)
                        AS cents_per_event_milli
             FROM b GROUP BY band ORDER BY band
+        """,
+        "part_price_direction_census": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            u AS (SELECT l_partkey AS p,
+                         CASE WHEN epoch_us(l_shipdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(l_extendedprice * 100)
+                              AS BIGINT)
+                         // CAST(FLOOR(l_quantity) AS BIGINT)
+                             AS uc
+                  FROM lineitem, b),
+            g AS (SELECT p, h, CAST(SUM(uc) AS BIGINT) AS s,
+                         CAST(COUNT(*) AS BIGINT) AS n
+                  FROM u GROUP BY 1, 2),
+            w AS (SELECT p,
+                         CAST(COALESCE(MAX(s) FILTER (h = 0), 0)
+                              AS BIGINT) AS s1,
+                         CAST(COALESCE(MAX(n) FILTER (h = 0), 0)
+                              AS BIGINT) AS n1,
+                         CAST(COALESCE(MAX(s) FILTER (h = 1), 0)
+                              AS BIGINT) AS s2,
+                         CAST(COALESCE(MAX(n) FILTER (h = 1), 0)
+                              AS BIGINT) AS n2
+                  FROM g GROUP BY p),
+            c AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                         CAST(SUM(CASE WHEN s2 * n1 > s1 * n2
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS up,
+                         CAST(SUM(CASE WHEN s2 * n1 < s1 * n2
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS dn,
+                         CAST(SUM(CASE WHEN s2 * n1 = s1 * n2
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS fl
+                  FROM w WHERE n1 > 0 AND n2 > 0)
+            SELECT nb AS n_parts_both_halves, up AS n_up,
+                   dn AS n_down, fl AS n_flat,
+                   CAST(CASE WHEN up + dn > 0
+                             THEN 10000 * up // (up + dn)
+                             ELSE -9999 END AS BIGINT)
+                       AS up_share_bps
+            FROM c
+        """,
+        "habit_mass_census": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               epoch_us(ts) // 86400000000 AS d
+                        FROM events),
+            i AS (SELECT u, d,
+                         d - ROW_NUMBER() OVER (PARTITION BY u
+                                                ORDER BY d) AS grp
+                  FROM ud),
+            r AS (SELECT CAST(COUNT(*) AS BIGINT) AS len
+                  FROM i GROUP BY u, grp),
+            s AS (SELECT CAST(SUM(len) AS BIGINT) AS nud,
+                         CAST(COALESCE(SUM(len) FILTER (len >= 3),
+                                       0) AS BIGINT) AS nih,
+                         CAST(COUNT(*) AS BIGINT) AS nr,
+                         CAST(SUM(CASE WHEN len >= 3
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nhr,
+                         CAST(MAX(len) AS BIGINT) AS mr FROM r)
+            SELECT nud AS n_user_days, nih AS n_in_habit,
+                   CAST(10000 * nih // nud AS BIGINT)
+                       AS habit_mass_bps,
+                   nr AS n_runs, nhr AS n_habit_runs,
+                   mr AS max_run
+            FROM s
         """,
     }

@@ -326,6 +326,7 @@ BENCH_QUERIES = [
     "street_to_list_census", "breadth_value_interaction",
     "order_value_drift", "core_customer_census",
     "nation_balance_revenue_mismatch", "depth_value_curve",
+    "part_price_direction_census", "habit_mass_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

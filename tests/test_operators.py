@@ -289,6 +289,7 @@ def test_entry_smoke(entrymod):
     "street_to_list_census", "breadth_value_interaction",
     "order_value_drift", "core_customer_census",
     "nation_balance_revenue_mismatch", "depth_value_curve",
+    "part_price_direction_census", "habit_mass_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
