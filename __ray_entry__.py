@@ -672,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_direction_census":
             analytics.part_price_direction_census,
         "habit_mass_census": analytics.habit_mass_census,
+        "type_reach_drift": analytics.type_reach_drift,
+        "supplier_balance_leadtime":
+            analytics.supplier_balance_leadtime,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15378,5 +15381,56 @@ def oracle_sql() -> dict[str, str]:
                    nr AS n_runs, nhr AS n_habit_runs,
                    mr AS max_run
             FROM s
+        """,
+        "type_reach_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(ts) // 86400000000)
+                             + MAX(epoch_us(ts) // 86400000000))
+                             // 2 AS mid FROM events),
+            e AS (SELECT DISTINCT event_type AS t,
+                         CASE WHEN epoch_us(ts) // 86400000000
+                                   > b.mid THEN 1 ELSE 0 END AS h,
+                         user_id AS u
+                  FROM events, b),
+            g AS (SELECT t, h, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            w AS (SELECT t,
+                         CAST(COALESCE(MAX(n) FILTER (h = 0), 0)
+                              AS BIGINT) AS u1,
+                         CAST(COALESCE(MAX(n) FILTER (h = 1), 0)
+                              AS BIGINT) AS u2
+                  FROM g GROUP BY t)
+            SELECT t AS event_type, u1 AS users_h1,
+                   u2 AS users_h2,
+                   CAST(CASE WHEN u1 > 0
+                             THEN 1000 * u2 // u1 - 1000
+                             ELSE -9999 END AS BIGINT)
+                       AS shift_milli
+            FROM w ORDER BY t
+        """,
+        "supplier_balance_leadtime": """
+            WITH j AS (SELECT l_suppkey AS s,
+                              epoch_us(l_shipdate) // 86400000000
+                              - epoch_us(o_orderdate)
+                                // 86400000000 AS lag
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey),
+            g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(lag) AS BIGINT) AS sl
+                  FROM j GROUP BY 1),
+            b AS (SELECT g.n, g.sl,
+                         CASE WHEN CAST(FLOOR(s_acctbal * 100)
+                                        AS BIGINT) < 0 THEN 0
+                              WHEN CAST(FLOOR(s_acctbal * 100)
+                                        AS BIGINT) < 250000 THEN 1
+                              WHEN CAST(FLOOR(s_acctbal * 100)
+                                        AS BIGINT) < 500000 THEN 2
+                              ELSE 3 END AS band
+                  FROM g JOIN supplier ON s_suppkey = g.s)
+            SELECT CAST(band AS BIGINT) AS balance_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(n) AS BIGINT) AS n_lines,
+                   CAST(1000 * SUM(sl) // SUM(n) AS BIGINT)
+                       AS mean_lead_milli
+            FROM b GROUP BY band ORDER BY band
         """,
     }

@@ -327,6 +327,7 @@ BENCH_QUERIES = [
     "order_value_drift", "core_customer_census",
     "nation_balance_revenue_mismatch", "depth_value_curve",
     "part_price_direction_census", "habit_mass_census",
+    "type_reach_drift", "supplier_balance_leadtime",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -290,6 +290,7 @@ def test_entry_smoke(entrymod):
     "order_value_drift", "core_customer_census",
     "nation_balance_revenue_mismatch", "depth_value_curve",
     "part_price_direction_census", "habit_mass_census",
+    "type_reach_drift", "supplier_balance_leadtime",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
