@@ -675,6 +675,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_reach_drift": analytics.type_reach_drift,
         "supplier_balance_leadtime":
             analytics.supplier_balance_leadtime,
+        "segment_share_drift": analytics.segment_share_drift,
+        "brand_promo_spend": analytics.brand_promo_spend,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15432,5 +15434,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * SUM(sl) // SUM(n) AS BIGINT)
                        AS mean_lead_milli
             FROM b GROUP BY band ORDER BY band
+        """,
+        "segment_share_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            e AS (SELECT c_mktsegment AS seg,
+                         CASE WHEN epoch_us(o_orderdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h
+                  FROM orders
+                  JOIN customer ON c_custkey = o_custkey, b),
+            g AS (SELECT seg, h, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(n) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(n) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g),
+            w AS (SELECT seg,
+                         CAST(COALESCE(MAX(n) FILTER (h = 0), 0)
+                              AS BIGINT) AS a,
+                         CAST(COALESCE(MAX(n) FILTER (h = 1), 0)
+                              AS BIGINT) AS b2
+                  FROM g GROUP BY seg)
+            SELECT seg AS segment, a AS orders_h1,
+                   b2 AS orders_h2,
+                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h1_bps,
+                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * b2 // t.t2
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h2_bps,
+                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
+                        1000 * b2 * t.t1 // (a * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM w, t ORDER BY segment
+        """,
+        "brand_promo_spend": """
+            WITH j AS (SELECT p_brand AS b,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT) AS cents,
+                              CAST(FLOOR(l_extendedprice * 100)
+                                   AS BIGINT)
+                              * CAST(FLOOR(l_discount * 100)
+                                     AS BIGINT) // 100 AS promo
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            g AS (SELECT b, CAST(SUM(cents) AS BIGINT) AS gr,
+                         CAST(SUM(promo) AS BIGINT) AS pr
+                  FROM j GROUP BY 1),
+            t AS (SELECT CAST(SUM(pr) AS BIGINT) AS pt FROM g)
+            SELECT b AS brand, gr AS gross_cents,
+                   pr AS promo_cents,
+                   CAST(10000 * pr // gr AS BIGINT)
+                       AS promo_rate_bps,
+                   CAST(CASE WHEN t.pt > 0 THEN 10000 * pr // t.pt
+                             ELSE -9999 END AS BIGINT)
+                       AS promo_budget_share_bps
+            FROM g, t WHERE gr > 0 ORDER BY brand
         """,
     }

@@ -328,6 +328,7 @@ BENCH_QUERIES = [
     "nation_balance_revenue_mismatch", "depth_value_curve",
     "part_price_direction_census", "habit_mass_census",
     "type_reach_drift", "supplier_balance_leadtime",
+    "segment_share_drift", "brand_promo_spend",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
