@@ -677,6 +677,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.supplier_balance_leadtime,
         "segment_share_drift": analytics.segment_share_drift,
         "brand_promo_spend": analytics.brand_promo_spend,
+        "doc_length_drift": analytics.doc_length_drift,
+        "return_status_contract_audit":
+            analytics.return_status_contract_audit,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15494,5 +15497,56 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS promo_budget_share_bps
             FROM g, t WHERE gr > 0 ORDER BY brand
+        """,
+        "doc_length_drift": """
+            WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
+                                  AS mid FROM documents),
+            e AS (SELECT CASE WHEN doc_id > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(n_chars AS BIGINT) AS v
+                  FROM documents, b),
+            g AS (SELECT h, v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            w AS (SELECT h, v, c,
+                         SUM(c) OVER (PARTITION BY h ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY h) AS n
+                  FROM g),
+            p AS (SELECT h,
+                         CAST(MIN(v) FILTER (
+                              cum >= (50 * n + 99) // 100)
+                              AS BIGINT) AS p50,
+                         CAST(MAX(n) AS BIGINT) AS n
+                  FROM w GROUP BY h)
+            SELECT a.n AS n_h1, b2.n AS n_h2,
+                   a.p50 AS p50_chars_h1, b2.p50 AS p50_chars_h2,
+                   CAST(CASE WHEN a.p50 > 0
+                             THEN 1000 * b2.p50 // a.p50 - 1000
+                             ELSE -9999 END AS BIGINT)
+                       AS shift_milli
+            FROM p a JOIN p b2 ON a.h = 0 AND b2.h = 1
+        """,
+        "return_status_contract_audit": """
+            WITH g AS (SELECT l_returnflag AS rf,
+                              l_linestatus AS st,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM lineitem GROUP BY 1, 2),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(COALESCE(SUM(n) FILTER (
+                              rf = 'N' AND st = 'F'), 0) AS BIGINT)
+                             AS vnf,
+                         CAST(COALESCE(SUM(n) FILTER (
+                              rf <> 'N' AND st = 'O'), 0)
+                              AS BIGINT) AS vro
+                  FROM g)
+            SELECT rf AS returnflag, st AS linestatus,
+                   g.n AS n_lines,
+                   CAST(10000 * g.n // t.n AS BIGINT)
+                       AS share_bps,
+                   t.vnf AS viol_n_on_f, t.vro AS viol_ra_on_o,
+                   CAST(10000 * (t.vnf + t.vro) // t.n AS BIGINT)
+                       AS violation_bps
+            FROM g, t ORDER BY rf, st
         """,
     }

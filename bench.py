@@ -329,6 +329,7 @@ BENCH_QUERIES = [
     "part_price_direction_census", "habit_mass_census",
     "type_reach_drift", "supplier_balance_leadtime",
     "segment_share_drift", "brand_promo_spend",
+    "doc_length_drift", "return_status_contract_audit",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -292,6 +292,7 @@ def test_entry_smoke(entrymod):
     "part_price_direction_census", "habit_mass_census",
     "type_reach_drift", "supplier_balance_leadtime",
     "segment_share_drift", "brand_promo_spend",
+    "doc_length_drift", "return_status_contract_audit",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
