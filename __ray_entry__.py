@@ -680,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_drift": analytics.doc_length_drift,
         "return_status_contract_audit":
             analytics.return_status_contract_audit,
+        "returns_by_size": analytics.returns_by_size,
+        "top_token_drift": analytics.top_token_drift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15548,5 +15550,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * (t.vnf + t.vro) // t.n AS BIGINT)
                        AS violation_bps
             FROM g, t ORDER BY rf, st
+        """,
+        "returns_by_size": """
+            WITH j AS (SELECT LEAST(GREATEST(
+                                  (CAST(p_size AS BIGINT) - 1)
+                                  // 10, 0), 4) AS b,
+                              CASE WHEN l_returnflag = 'R'
+                                   THEN 1 ELSE 0 END AS r
+                       FROM lineitem
+                       JOIN part ON p_partkey = l_partkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(r) AS BIGINT) AS rt FROM j)
+            SELECT b AS size_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(r) AS BIGINT) AS n_returned,
+                   CAST(10000 * SUM(r) // COUNT(*) AS BIGINT)
+                       AS return_bps,
+                   CAST(CASE WHEN MAX(t.rt) > 0 THEN
+                        1000 * SUM(r) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.rt)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM j, t GROUP BY b ORDER BY b
+        """,
+        "top_token_drift": """
+            WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
+                                  AS mid FROM documents),
+            w AS (SELECT CASE WHEN doc_id > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents, b),
+            g AS (SELECT tok, h, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM w GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g),
+            tp AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n,
+                          CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
+                               AS BIGINT) AS a,
+                          CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
+                               AS BIGINT) AS bb
+                   FROM g GROUP BY tok
+                   ORDER BY n DESC, tok LIMIT 20)
+            SELECT tok AS token, n AS n_total,
+                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h1_bps,
+                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * bb // t.t2
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h2_bps,
+                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
+                        1000 * bb * t.t1 // (a * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM tp, t
         """,
     }

@@ -330,6 +330,7 @@ BENCH_QUERIES = [
     "type_reach_drift", "supplier_balance_leadtime",
     "segment_share_drift", "brand_promo_spend",
     "doc_length_drift", "return_status_contract_audit",
+    "returns_by_size", "top_token_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

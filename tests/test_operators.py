@@ -293,6 +293,7 @@ def test_entry_smoke(entrymod):
     "type_reach_drift", "supplier_balance_leadtime",
     "segment_share_drift", "brand_promo_spend",
     "doc_length_drift", "return_status_contract_audit",
+    "returns_by_size", "top_token_drift",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
