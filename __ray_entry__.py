@@ -682,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.return_status_contract_audit,
         "returns_by_size": analytics.returns_by_size,
         "top_token_drift": analytics.top_token_drift,
+        "return_rate_drift": analytics.return_rate_drift,
+        "entry_type_value": analytics.entry_type_value,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15603,5 +15605,68 @@ def oracle_sql() -> dict[str, str]:
                         1000 * bb * t.t1 // (a * t.t2) - 1000
                         ELSE -9999 END AS BIGINT) AS shift_milli
             FROM tp, t
+        """,
+        "return_rate_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            e AS (SELECT CASE WHEN epoch_us(l_shipdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CASE WHEN l_returnflag = 'R'
+                              THEN 1 ELSE 0 END AS r
+                  FROM lineitem, b),
+            s AS (SELECT CAST(COALESCE(SUM(1) FILTER (h = 0), 0)
+                              AS BIGINT) AS n1,
+                         CAST(COALESCE(SUM(r) FILTER (h = 0), 0)
+                              AS BIGINT) AS r1,
+                         CAST(COALESCE(SUM(1) FILTER (h = 1), 0)
+                              AS BIGINT) AS n2,
+                         CAST(COALESCE(SUM(r) FILTER (h = 1), 0)
+                              AS BIGINT) AS r2 FROM e)
+            SELECT n1 AS n_h1, r1 AS returned_h1,
+                   CAST(CASE WHEN n1 > 0 THEN 10000 * r1 // n1
+                             ELSE -9999 END AS BIGINT)
+                       AS rate_h1_bps,
+                   n2 AS n_h2, r2 AS returned_h2,
+                   CAST(CASE WHEN n2 > 0 THEN 10000 * r2 // n2
+                             ELSE -9999 END AS BIGINT)
+                       AS rate_h2_bps,
+                   CAST(CASE WHEN r1 > 0 AND n2 > 0 THEN
+                        1000 * r2 * n1 // (n2 * r1) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM s
+        """,
+        "entry_type_value": """
+            WITH r AS (SELECT user_id AS u, event_type,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            f AS (SELECT u, event_type AS typ FROM r
+                  WHERE rn = 1),
+            v AS (SELECT user_id AS u,
+                         CAST(SUM(CAST(FLOOR(value * 100)
+                                       AS BIGINT)) AS BIGINT)
+                             AS tv
+                  FROM events GROUP BY 1),
+            j AS (SELECT f.typ, v.tv FROM f JOIN v USING (u)),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(tv) AS BIGINT) AS s FROM j)
+            SELECT typ AS entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS share_bps,
+                   CAST(1000 * SUM(tv) // COUNT(*) AS BIGINT)
+                       AS mean_cents_milli,
+                   CAST(CASE WHEN MAX(t.s) > 0 THEN
+                        1000 * CAST(SUM(tv) AS HUGEINT) * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS value_lift_milli
+            FROM j, t GROUP BY typ ORDER BY typ
         """,
     }

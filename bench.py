@@ -331,6 +331,7 @@ BENCH_QUERIES = [
     "segment_share_drift", "brand_promo_spend",
     "doc_length_drift", "return_status_contract_audit",
     "returns_by_size", "top_token_drift",
+    "return_rate_drift", "entry_type_value",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

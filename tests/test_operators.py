@@ -294,6 +294,7 @@ def test_entry_smoke(entrymod):
     "segment_share_drift", "brand_promo_spend",
     "doc_length_drift", "return_status_contract_audit",
     "returns_by_size", "top_token_drift",
+    "return_rate_drift", "entry_type_value",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
