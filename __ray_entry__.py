@@ -684,6 +684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_token_drift": analytics.top_token_drift,
         "return_rate_drift": analytics.return_rate_drift,
         "entry_type_value": analytics.entry_type_value,
+        "nation_one_and_done": analytics.nation_one_and_done,
+        "assortment_grid_fill": analytics.assortment_grid_fill,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15668,5 +15670,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -9999 END AS BIGINT)
                        AS value_lift_milli
             FROM j, t GROUP BY typ ORDER BY typ
+        """,
+        "nation_one_and_done": """
+            WITH a AS (SELECT o_custkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM orders GROUP BY 1),
+            cu AS (SELECT c_nationkey AS nk, COALESCE(a.c, 0) AS c
+                   FROM customer LEFT JOIN a ON a.k = c_custkey),
+            t AS (SELECT CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS ts,
+                         CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0
+                                  END) AS BIGINT) AS toa FROM cu)
+            SELECT n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_never,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_single,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_multi,
+                   CAST(CASE WHEN SUM(CASE WHEN c > 0 THEN 1
+                                           ELSE 0 END) > 0 THEN
+                        10000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                    END)
+                        // SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                        ELSE -9999 END AS BIGINT) AS single_bps,
+                   CAST(CASE WHEN SUM(CASE WHEN c > 0 THEN 1
+                                           ELSE 0 END) > 0
+                                  AND MAX(t.ts) > 0 THEN
+                        1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0
+                                   END) * MAX(t.toa)
+                        // (SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END)
+                            * MAX(t.ts)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM cu JOIN nation ON n_nationkey = cu.nk, t
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "assortment_grid_fill": """
+            WITH g AS (SELECT DISTINCT p_brand AS b,
+                              CAST(p_size AS BIGINT) AS s
+                       FROM part),
+            nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n
+                   FROM g),
+            oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+            cov AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM g GROUP BY b ORDER BY c DESC, b LIMIT 1)
+            SELECT nb.n AS n_brands, CAST(50 AS BIGINT) AS n_sizes,
+                   nb.n * 50 AS n_cells, oc.n AS n_occupied,
+                   CAST(10000 * oc.n // (nb.n * 50) AS BIGINT)
+                       AS fill_bps,
+                   cov.b AS widest_brand,
+                   cov.c AS widest_brand_sizes
+            FROM nb, oc, cov
         """,
     }

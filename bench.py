@@ -332,6 +332,7 @@ BENCH_QUERIES = [
     "doc_length_drift", "return_status_contract_audit",
     "returns_by_size", "top_token_drift",
     "return_rate_drift", "entry_type_value",
+    "nation_one_and_done", "assortment_grid_fill",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

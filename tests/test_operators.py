@@ -295,6 +295,7 @@ def test_entry_smoke(entrymod):
     "doc_length_drift", "return_status_contract_audit",
     "returns_by_size", "top_token_drift",
     "return_rate_drift", "entry_type_value",
+    "nation_one_and_done", "assortment_grid_fill",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
