@@ -686,6 +686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_type_value": analytics.entry_type_value,
         "nation_one_and_done": analytics.nation_one_and_done,
         "assortment_grid_fill": analytics.assortment_grid_fill,
+        "top_supplier_share_drift":
+            analytics.top_supplier_share_drift,
+        "supplier_churn_census":
+            analytics.supplier_churn_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15722,5 +15726,75 @@ def oracle_sql() -> dict[str, str]:
                    cov.b AS widest_brand,
                    cov.c AS widest_brand_sizes
             FROM nb, oc, cov
+        """,
+        "top_supplier_share_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            e AS (SELECT l_suppkey AS s,
+                         CASE WHEN epoch_us(l_shipdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(l_extendedprice * 100)
+                              AS BIGINT) AS cents
+                  FROM lineitem, b),
+            g AS (SELECT s, h, CAST(SUM(cents) AS BIGINT) AS v
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(v) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(v) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g),
+            tp AS (SELECT s, CAST(SUM(v) AS BIGINT) AS rev,
+                          CAST(COALESCE(SUM(v) FILTER (h = 0), 0)
+                               AS BIGINT) AS a,
+                          CAST(COALESCE(SUM(v) FILTER (h = 1), 0)
+                               AS BIGINT) AS bb
+                   FROM g GROUP BY s
+                   ORDER BY rev DESC, s LIMIT 10)
+            SELECT CAST(s AS BIGINT) AS s_suppkey,
+                   rev AS revenue_cents,
+                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h1_bps,
+                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * bb // t.t2
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h2_bps,
+                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
+                        1000 * CAST(bb AS HUGEINT) * t.t1
+                        // (CAST(a AS HUGEINT) * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM tp, t
+        """,
+        "supplier_churn_census": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            p AS (SELECT l_suppkey AS s,
+                         MAX(CASE WHEN epoch_us(l_shipdate)
+                                       // 86400000000 <= b.mid
+                                  THEN 1 ELSE 0 END) AS h1,
+                         MAX(CASE WHEN epoch_us(l_shipdate)
+                                       // 86400000000 > b.mid
+                                  THEN 1 ELSE 0 END) AS h2
+                  FROM lineitem, b GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT)
+                       AS n_suppliers_shipping,
+                   CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_lost,
+                   CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new,
+                   CAST(10000 * SUM(h1 * h2)
+                        // (SUM(h1 * h2)
+                            + SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END))
+                        AS BIGINT) AS retention_bps
+            FROM p
         """,
     }

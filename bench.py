@@ -333,6 +333,7 @@ BENCH_QUERIES = [
     "returns_by_size", "top_token_drift",
     "return_rate_drift", "entry_type_value",
     "nation_one_and_done", "assortment_grid_fill",
+    "top_supplier_share_drift", "supplier_churn_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
