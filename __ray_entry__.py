@@ -690,6 +690,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.top_supplier_share_drift,
         "supplier_churn_census":
             analytics.supplier_churn_census,
+        "customer_churn_census":
+            analytics.customer_churn_census,
+        "source_ttr_profile": analytics.source_ttr_profile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15796,5 +15799,57 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END))
                         AS BIGINT) AS retention_bps
             FROM p
+        """,
+        "customer_churn_census": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            p AS (SELECT o_custkey AS c,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 <= b.mid
+                                  THEN 1 ELSE 0 END) AS h1,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 > b.mid
+                                  THEN 1 ELSE 0 END) AS h2
+                  FROM orders, b GROUP BY 1)
+            SELECT CAST(COUNT(*) AS BIGINT)
+                       AS n_customers_ordering,
+                   CAST(SUM(h1 * h2) AS BIGINT) AS n_both,
+                   CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_churned,
+                   CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_acquired,
+                   CAST(10000 * SUM(h1 * h2)
+                        // (SUM(h1 * h2)
+                            + SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END))
+                        AS BIGINT) AS retention_bps
+            FROM p
+        """,
+        "source_ttr_profile": """
+            WITH tk AS (SELECT source,
+                               CAST(SUM(LENGTH(text)
+                                        - LENGTH(REPLACE(text, ' ',
+                                                         ''))
+                                        + 1) AS BIGINT) AS toks
+                        FROM documents GROUP BY 1),
+            ty AS (SELECT source, CAST(COUNT(*) AS BIGINT)
+                              AS types
+                   FROM (SELECT DISTINCT source, tok
+                         FROM (SELECT source,
+                                      UNNEST(STRING_SPLIT(text,
+                                                          ' '))
+                                          AS tok
+                               FROM documents))
+                   GROUP BY 1)
+            SELECT tk.source, tk.toks AS n_tokens,
+                   ty.types AS n_types,
+                   CAST(1000 * ty.types // tk.toks AS BIGINT)
+                       AS ttr_milli
+            FROM tk JOIN ty USING (source) ORDER BY source
         """,
     }

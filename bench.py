@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "return_rate_drift", "entry_type_value",
     "nation_one_and_done", "assortment_grid_fill",
     "top_supplier_share_drift", "supplier_churn_census",
+    "customer_churn_census", "source_ttr_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -297,6 +297,7 @@ def test_entry_smoke(entrymod):
     "return_rate_drift", "entry_type_value",
     "nation_one_and_done", "assortment_grid_fill",
     "top_supplier_share_drift", "supplier_churn_census",
+    "customer_churn_census", "source_ttr_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
