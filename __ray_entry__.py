@@ -693,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_churn_census":
             analytics.customer_churn_census,
         "source_ttr_profile": analytics.source_ttr_profile,
+        "churned_value_share": analytics.churned_value_share,
+        "discount_mix_drift": analytics.discount_mix_drift,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15851,5 +15853,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 * ty.types // tk.toks AS BIGINT)
                        AS ttr_milli
             FROM tk JOIN ty USING (source) ORDER BY source
+        """,
+        "churned_value_share": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            o AS (SELECT o_custkey AS c,
+                         CASE WHEN epoch_us(o_orderdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                             AS v
+                  FROM orders, b),
+            cu AS (SELECT c,
+                          CAST(COALESCE(SUM(v) FILTER (h = 0), 0)
+                               AS BIGINT) AS s1,
+                          CAST(COALESCE(SUM(1) FILTER (h = 0), 0)
+                               AS BIGINT) AS n1,
+                          CAST(COALESCE(MAX(1) FILTER (h = 1), 0)
+                               AS BIGINT) AS has2
+                   FROM o GROUP BY c),
+            s AS (SELECT CAST(COALESCE(SUM(s1) FILTER (
+                             n1 > 0 AND has2 = 0), 0) AS BIGINT)
+                             AS cs,
+                         CAST(COALESCE(SUM(n1) FILTER (
+                             n1 > 0 AND has2 = 0), 0) AS BIGINT)
+                             AS cn,
+                         CAST(COALESCE(SUM(1) FILTER (
+                             n1 > 0 AND has2 = 0), 0) AS BIGINT)
+                             AS cc,
+                         CAST(COALESCE(SUM(s1) FILTER (
+                             n1 > 0 AND has2 = 1), 0) AS BIGINT)
+                             AS rs,
+                         CAST(COALESCE(SUM(n1) FILTER (
+                             n1 > 0 AND has2 = 1), 0) AS BIGINT)
+                             AS rn,
+                         CAST(COALESCE(SUM(1) FILTER (
+                             n1 > 0 AND has2 = 1), 0) AS BIGINT)
+                             AS rc
+                  FROM cu)
+            SELECT cc AS n_churned, rc AS n_retained,
+                   cs AS churned_h1_cents,
+                   rs AS retained_h1_cents,
+                   CAST(CASE WHEN cs + rs > 0
+                             THEN 10000 * cs // (cs + rs)
+                             ELSE -9999 END AS BIGINT)
+                       AS churned_value_bps,
+                   CAST(CASE WHEN cn > 0 THEN cs // cn
+                             ELSE -9999 END AS BIGINT)
+                       AS churned_aov_cents,
+                   CAST(CASE WHEN rn > 0 THEN rs // rn
+                             ELSE -9999 END AS BIGINT)
+                       AS retained_aov_cents
+            FROM s
+        """,
+        "discount_mix_drift": """
+            WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(l_shipdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM lineitem),
+            e AS (SELECT CAST(FLOOR(l_discount * 100) AS BIGINT)
+                             AS lv,
+                         CASE WHEN epoch_us(l_shipdate)
+                                   // 86400000000 > b.mid
+                              THEN 1 ELSE 0 END AS h
+                  FROM lineitem, b),
+            g AS (SELECT lv, h, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM e GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g),
+            w AS (SELECT lv,
+                         CAST(COALESCE(MAX(c) FILTER (h = 0), 0)
+                              AS BIGINT) AS a,
+                         CAST(COALESCE(MAX(c) FILTER (h = 1), 0)
+                              AS BIGINT) AS b2
+                  FROM g GROUP BY lv)
+            SELECT lv AS discount_pct, a AS n_h1, b2 AS n_h2,
+                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h1_bps,
+                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * b2 // t.t2
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h2_bps,
+                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
+                        1000 * b2 * t.t1 // (a * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM w, t ORDER BY lv
         """,
     }

@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "nation_one_and_done", "assortment_grid_fill",
     "top_supplier_share_drift", "supplier_churn_census",
     "customer_churn_census", "source_ttr_profile",
+    "churned_value_share", "discount_mix_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

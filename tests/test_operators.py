@@ -298,6 +298,7 @@ def test_entry_smoke(entrymod):
     "nation_one_and_done", "assortment_grid_fill",
     "top_supplier_share_drift", "supplier_churn_census",
     "customer_churn_census", "source_ttr_profile",
+    "churned_value_share", "discount_mix_drift",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
