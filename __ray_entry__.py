@@ -695,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_ttr_profile": analytics.source_ttr_profile,
         "churned_value_share": analytics.churned_value_share,
         "discount_mix_drift": analytics.discount_mix_drift,
+        "signup_dow_profile": analytics.signup_dow_profile,
+        "segment_churn_census": analytics.segment_churn_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -15944,5 +15946,80 @@ def oracle_sql() -> dict[str, str]:
                         1000 * b2 * t.t1 // (a * t.t2) - 1000
                         ELSE -9999 END AS BIGINT) AS shift_milli
             FROM w, t ORDER BY lv
+        """,
+        "signup_dow_profile": """
+            WITH r AS (SELECT user_id AS u, ts, event_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            f AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7
+                             AS dow
+                  FROM r WHERE rn = 1),
+            a AS (SELECT ((epoch_us(ts) // 86400000000) + 4) % 7
+                             AS dow,
+                         CAST(COUNT(*) AS BIGINT) AS act
+                  FROM events GROUP BY 1),
+            fa AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS arr
+                   FROM f GROUP BY 1),
+            j AS (SELECT COALESCE(a.dow, fa.dow) AS dow,
+                         COALESCE(fa.arr, 0) AS arr,
+                         COALESCE(a.act, 0) AS act
+                  FROM a FULL OUTER JOIN fa ON fa.dow = a.dow),
+            t AS (SELECT CAST(SUM(arr) AS BIGINT) AS at,
+                         CAST(SUM(act) AS BIGINT) AS et FROM j)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(arr AS BIGINT) AS n_arrivals,
+                   CAST(CASE WHEN t.at > 0 THEN 10000 * arr // t.at
+                             ELSE -9999 END AS BIGINT)
+                       AS arrival_share_bps,
+                   CAST(act AS BIGINT) AS n_events,
+                   CAST(CASE WHEN t.et > 0 THEN 10000 * act // t.et
+                             ELSE -9999 END AS BIGINT)
+                       AS activity_share_bps,
+                   CAST(CASE WHEN t.at > 0 AND act > 0 THEN
+                        1000 * arr * t.et // (t.at * act) - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS arrival_lift_milli
+            FROM j, t WHERE arr + act > 0 ORDER BY dow
+        """,
+        "segment_churn_census": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            p AS (SELECT o_custkey AS c,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 <= b.mid
+                                  THEN 1 ELSE 0 END) AS h1,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 > b.mid
+                                  THEN 1 ELSE 0 END) AS h2
+                  FROM orders, b GROUP BY 1),
+            j AS (SELECT c_mktsegment AS seg, p.h1, p.h2
+                  FROM p JOIN customer ON c_custkey = p.c),
+            t AS (SELECT CAST(SUM(h1) AS BIGINT) AS ta,
+                         CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS tc FROM j)
+            SELECT seg AS segment,
+                   CAST(SUM(h1) AS BIGINT) AS n_h1_active,
+                   CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_churned,
+                   CAST(10000 * (SUM(h1)
+                                 - SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                            THEN 1 ELSE 0 END))
+                        // SUM(h1) AS BIGINT) AS retention_bps,
+                   CAST(CASE WHEN MAX(t.tc) > 0 THEN
+                        1000 * SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                        THEN 1 ELSE 0 END)
+                        * MAX(t.ta)
+                        // (SUM(h1) * MAX(t.tc)) - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS churn_lift_milli
+            FROM j, t GROUP BY seg HAVING SUM(h1) > 0
+            ORDER BY seg
         """,
     }

@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "top_supplier_share_drift", "supplier_churn_census",
     "customer_churn_census", "source_ttr_profile",
     "churned_value_share", "discount_mix_drift",
+    "signup_dow_profile", "segment_churn_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

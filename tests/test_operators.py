@@ -299,6 +299,7 @@ def test_entry_smoke(entrymod):
     "top_supplier_share_drift", "supplier_churn_census",
     "customer_churn_census", "source_ttr_profile",
     "churned_value_share", "discount_mix_drift",
+    "signup_dow_profile", "segment_churn_census",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
