@@ -697,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_mix_drift": analytics.discount_mix_drift,
         "signup_dow_profile": analytics.signup_dow_profile,
         "segment_churn_census": analytics.segment_churn_census,
+        "entry_type_retention": analytics.entry_type_retention,
+        "quarter_end_loading": analytics.quarter_end_loading,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16021,5 +16023,60 @@ def oracle_sql() -> dict[str, str]:
                        AS churn_lift_milli
             FROM j, t GROUP BY seg HAVING SUM(h1) > 0
             ORDER BY seg
+        """,
+        "entry_type_retention": """
+            WITH r AS (SELECT user_id AS u, event_type, ts,
+                              event_id,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events),
+            f AS (SELECT u, event_type AS typ,
+                         epoch_us(ts) // 86400000000 AS fd
+                  FROM r WHERE rn = 1),
+            ud AS (SELECT DISTINCT user_id AS u,
+                          epoch_us(ts) // 86400000000 AS d
+                   FROM events),
+            rt AS (SELECT DISTINCT f.u
+                   FROM f JOIN ud ON ud.u = f.u
+                        AND ud.d > f.fd AND ud.d <= f.fd + 7),
+            j AS (SELECT f.typ,
+                         CASE WHEN rt.u IS NULL THEN 0 ELSE 1 END
+                             AS ret
+                  FROM f LEFT JOIN rt ON rt.u = f.u),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(ret) AS BIGINT) AS r FROM j)
+            SELECT typ AS entry_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(ret) AS BIGINT) AS n_returned_week1,
+                   CAST(10000 * SUM(ret) // COUNT(*) AS BIGINT)
+                       AS return_bps,
+                   CAST(CASE WHEN MAX(t.r) > 0 THEN
+                        1000 * SUM(ret) * MAX(t.n)
+                        // (COUNT(*) * MAX(t.r)) - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM j, t GROUP BY typ ORDER BY typ
+        """,
+        "quarter_end_loading": """
+            WITH e AS (SELECT (epoch_us(o_orderdate)
+                               // 86400000000 // 30) % 3 AS pos,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(cents) AS BIGINT) AS s FROM e)
+            SELECT CAST(pos AS BIGINT) AS month_of_quarter,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+                   CAST(10000 * COUNT(*) // MAX(t.n) AS BIGINT)
+                       AS order_share_bps,
+                   CAST(CASE WHEN MAX(t.s) > 0 THEN
+                        1000 * CAST(SUM(cents) AS HUGEINT)
+                        * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS rpo_lift_milli
+            FROM e, t GROUP BY pos ORDER BY pos
         """,
     }

@@ -337,6 +337,7 @@ BENCH_QUERIES = [
     "customer_churn_census", "source_ttr_profile",
     "churned_value_share", "discount_mix_drift",
     "signup_dow_profile", "segment_churn_census",
+    "entry_type_retention", "quarter_end_loading",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

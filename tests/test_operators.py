@@ -300,6 +300,7 @@ def test_entry_smoke(entrymod):
     "customer_churn_census", "source_ttr_profile",
     "churned_value_share", "discount_mix_drift",
     "signup_dow_profile", "segment_churn_census",
+    "entry_type_retention", "quarter_end_loading",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
