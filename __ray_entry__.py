@@ -699,6 +699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_churn_census": analytics.segment_churn_census,
         "entry_type_retention": analytics.entry_type_retention,
         "quarter_end_loading": analytics.quarter_end_loading,
+        "nation_churn_census": analytics.nation_churn_census,
+        "part_velocity_census": analytics.part_velocity_census,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16078,5 +16080,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -9999 END AS BIGINT)
                        AS rpo_lift_milli
             FROM e, t GROUP BY pos ORDER BY pos
+        """,
+        "nation_churn_census": """
+            WITH b AS (SELECT (MIN(epoch_us(o_orderdate)
+                                   // 86400000000)
+                             + MAX(epoch_us(o_orderdate)
+                                   // 86400000000)) // 2 AS mid
+                       FROM orders),
+            p AS (SELECT o_custkey AS c,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 <= b.mid
+                                  THEN 1 ELSE 0 END) AS h1,
+                         MAX(CASE WHEN epoch_us(o_orderdate)
+                                       // 86400000000 > b.mid
+                                  THEN 1 ELSE 0 END) AS h2
+                  FROM orders, b GROUP BY 1),
+            j AS (SELECT n_name AS nation, p.h1, p.h2
+                  FROM p JOIN customer ON c_custkey = p.c
+                         JOIN nation ON n_nationkey = c_nationkey),
+            t AS (SELECT CAST(SUM(h1) AS BIGINT) AS ta,
+                         CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                       THEN 1 ELSE 0 END)
+                              AS BIGINT) AS tc FROM j)
+            SELECT nation,
+                   CAST(SUM(h1) AS BIGINT) AS n_h1_active,
+                   CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_churned,
+                   CAST(10000 * (SUM(h1)
+                                 - SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                            THEN 1 ELSE 0 END))
+                        // SUM(h1) AS BIGINT) AS retention_bps,
+                   CAST(CASE WHEN MAX(t.tc) > 0 THEN
+                        1000 * SUM(CASE WHEN h1 = 1 AND h2 = 0
+                                        THEN 1 ELSE 0 END)
+                        * MAX(t.ta)
+                        // (SUM(h1) * MAX(t.tc)) - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS churn_lift_milli
+            FROM j, t GROUP BY nation HAVING SUM(h1) > 0
+            ORDER BY nation
+        """,
+        "part_velocity_census": """
+            WITH p AS (SELECT l_partkey AS k,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM lineitem GROUP BY 1),
+            b AS (SELECT CASE WHEN c < 20 THEN 0
+                              WHEN c < 30 THEN 1
+                              WHEN c < 40 THEN 2
+                              ELSE 3 END AS band, c FROM p),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tp,
+                         CAST(SUM(c) AS BIGINT) AS tl FROM p)
+            SELECT band AS velocity_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(10000 * COUNT(*) // MAX(t.tp) AS BIGINT)
+                       AS part_share_bps,
+                   CAST(SUM(c) AS BIGINT) AS n_lines,
+                   CAST(10000 * SUM(c) // MAX(t.tl) AS BIGINT)
+                       AS line_share_bps
+            FROM b, t GROUP BY band ORDER BY band
         """,
     }

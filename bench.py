@@ -338,6 +338,7 @@ BENCH_QUERIES = [
     "churned_value_share", "discount_mix_drift",
     "signup_dow_profile", "segment_churn_census",
     "entry_type_retention", "quarter_end_loading",
+    "nation_churn_census", "part_velocity_census",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
