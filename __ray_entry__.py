@@ -701,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quarter_end_loading": analytics.quarter_end_loading,
         "nation_churn_census": analytics.nation_churn_census,
         "part_velocity_census": analytics.part_velocity_census,
+        "repeat_revenue_share": analytics.repeat_revenue_share,
+        "lang_length_profile": analytics.lang_length_profile,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16139,5 +16141,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(10000 * SUM(c) // MAX(t.tl) AS BIGINT)
                        AS line_share_bps
             FROM b, t GROUP BY band ORDER BY band
+        """,
+        "repeat_revenue_share": """
+            WITH cu AS (SELECT o_custkey AS c,
+                               CAST(COUNT(*) AS BIGINT) AS n,
+                               CAST(SUM(CAST(FLOOR(o_totalprice
+                                                   * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                   AS s
+                        FROM orders GROUP BY 1),
+            a AS (SELECT CAST(COALESCE(SUM(1) FILTER (n = 1), 0)
+                              AS BIGINT) AS sc,
+                         CAST(COALESCE(SUM(n) FILTER (n = 1), 0)
+                              AS BIGINT) AS sn,
+                         CAST(COALESCE(SUM(s) FILTER (n = 1), 0)
+                              AS BIGINT) AS ss,
+                         CAST(COALESCE(SUM(1) FILTER (n > 1), 0)
+                              AS BIGINT) AS rc,
+                         CAST(COALESCE(SUM(n) FILTER (n > 1), 0)
+                              AS BIGINT) AS rn,
+                         CAST(COALESCE(SUM(s) FILTER (n > 1), 0)
+                              AS BIGINT) AS rs
+                  FROM cu)
+            SELECT sc AS n_single_cust, ss AS single_cents,
+                   rc AS n_repeat_cust, rs AS repeat_cents,
+                   CAST(CASE WHEN ss + rs > 0
+                             THEN 10000 * rs // (ss + rs)
+                             ELSE -9999 END AS BIGINT)
+                       AS repeat_revenue_bps,
+                   CAST(CASE WHEN sn > 0 AND ss // sn > 0 AND
+                                  rn > 0
+                             THEN 1000 * (rs // rn) // (ss // sn)
+                             ELSE -9999 END AS BIGINT)
+                       AS aov_ratio_milli
+            FROM a
+        """,
+        "lang_length_profile": """
+            WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+            w AS (SELECT lang, v, c,
+                         SUM(c) OVER (PARTITION BY lang ORDER BY v
+                                      ROWS UNBOUNDED PRECEDING)
+                             AS cum,
+                         SUM(c) OVER (PARTITION BY lang) AS n,
+                         SUM(v * c) OVER (PARTITION BY lang) AS s
+                  FROM h)
+            SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+                   CAST(1000 * MAX(s) // MAX(n) AS BIGINT)
+                       AS mean_chars_milli,
+                   CAST(MIN(v) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50_chars
+            FROM w GROUP BY lang ORDER BY lang
         """,
     }

@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "signup_dow_profile", "segment_churn_census",
     "entry_type_retention", "quarter_end_loading",
     "nation_churn_census", "part_velocity_census",
+    "repeat_revenue_share", "lang_length_profile",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

@@ -302,6 +302,7 @@ def test_entry_smoke(entrymod):
     "signup_dow_profile", "segment_churn_census",
     "entry_type_retention", "quarter_end_loading",
     "nation_churn_census", "part_velocity_census",
+    "repeat_revenue_share", "lang_length_profile",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
