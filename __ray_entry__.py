@@ -703,6 +703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_velocity_census": analytics.part_velocity_census,
         "repeat_revenue_share": analytics.repeat_revenue_share,
         "lang_length_profile": analytics.lang_length_profile,
+        "dead_stock_value": analytics.dead_stock_value,
+        "user_activity_gini": analytics.user_activity_gini,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16194,5 +16196,70 @@ def oracle_sql() -> dict[str, str]:
                         cum >= (50 * n + 99) // 100) AS BIGINT)
                        AS p50_chars
             FROM w GROUP BY lang ORDER BY lang
+        """,
+        "dead_stock_value": """
+            WITH sold AS (SELECT DISTINCT l_partkey AS p
+                          FROM lineitem),
+            j AS (SELECT CAST(FLOOR(p_retailprice * 100)
+                              AS BIGINT) AS cents,
+                         CASE WHEN sold.p IS NULL
+                              THEN 1 ELSE 0 END AS dead
+                  FROM part LEFT JOIN sold ON sold.p = p_partkey),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+                         CAST(COALESCE(SUM(1) FILTER (dead = 1),
+                                       0) AS BIGINT) AS nd,
+                         CAST(COALESCE(SUM(cents) FILTER (
+                              dead = 1), 0) AS BIGINT) AS dc,
+                         CAST(COALESCE(SUM(cents) FILTER (
+                              dead = 0), 0) AS BIGINT) AS lc
+                  FROM j)
+            SELECT np AS n_parts, nd AS n_dead,
+                   dc AS dead_list_cents,
+                   CAST(CASE WHEN dc + lc > 0
+                             THEN 10000 * dc // (dc + lc)
+                             ELSE -9999 END AS BIGINT)
+                       AS dead_value_bps,
+                   CAST(CASE WHEN nd > 0 THEN dc // nd
+                             ELSE -9999 END AS BIGINT)
+                       AS dead_mean_cents,
+                   CAST(CASE WHEN np - nd > 0
+                             THEN lc // (np - nd)
+                             ELSE -9999 END AS BIGINT)
+                       AS live_mean_cents,
+                   CAST(CASE WHEN nd > 0 AND np - nd > 0
+                                  AND lc // (np - nd) > 0
+                             THEN 1000 * (dc // nd)
+                                  // (lc // (np - nd))
+                             ELSE -9999 END AS BIGINT)
+                       AS dead_live_ratio_milli
+            FROM s
+        """,
+        "user_activity_gini": """
+            WITH u AS (SELECT user_id,
+                              CAST(COUNT(*) AS BIGINT) AS x
+                       FROM events GROUP BY 1),
+            r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn,
+                         COUNT(*) OVER () AS n,
+                         SUM(x) OVER () AS t FROM u),
+            s AS (SELECT CAST(SUM((2 * rn - n - 1) * x) AS BIGINT)
+                             AS s,
+                         CAST(MAX(n) AS BIGINT) AS n,
+                         CAST(MAX(t) AS BIGINT) AS t FROM r),
+            k AS (SELECT CAST((MAX(n) + 9) // 10 AS BIGINT) AS k
+                  FROM r),
+            tp AS (SELECT CAST(SUM(x) AS BIGINT) AS top
+                   FROM r, k
+                   WHERE rn > (SELECT MAX(n) FROM r) - k.k)
+            SELECT s.n AS n_users, s.t AS n_events,
+                   CAST(CASE WHEN s.t > 0 THEN
+                        1000 * s.s // (2 * s.n * s.t)
+                        ELSE -9999 END AS BIGINT) AS gini_milli,
+                   k.k AS n_top_decile,
+                   tp.top AS top_decile_events,
+                   CAST(CASE WHEN s.t > 0
+                             THEN 10000 * tp.top // s.t
+                             ELSE -9999 END AS BIGINT)
+                       AS top_decile_share_bps
+            FROM s, k, tp
         """,
     }

@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "entry_type_retention", "quarter_end_loading",
     "nation_churn_census", "part_velocity_census",
     "repeat_revenue_share", "lang_length_profile",
+    "dead_stock_value", "user_activity_gini",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

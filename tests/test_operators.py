@@ -303,6 +303,7 @@ def test_entry_smoke(entrymod):
     "entry_type_retention", "quarter_end_loading",
     "nation_churn_census", "part_velocity_census",
     "repeat_revenue_share", "lang_length_profile",
+    "dead_stock_value", "user_activity_gini",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
