@@ -705,6 +705,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_length_profile": analytics.lang_length_profile,
         "dead_stock_value": analytics.dead_stock_value,
         "user_activity_gini": analytics.user_activity_gini,
+        "nation_lead_time": analytics.nation_lead_time,
+        "order_size_gap_effect": analytics.order_size_gap_effect,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16261,5 +16263,65 @@ def oracle_sql() -> dict[str, str]:
                              ELSE -9999 END AS BIGINT)
                        AS top_decile_share_bps
             FROM s, k, tp
+        """,
+        "nation_lead_time": """
+            WITH j AS (SELECT s_nationkey AS k,
+                              epoch_us(l_shipdate) // 86400000000
+                              - epoch_us(o_orderdate)
+                                // 86400000000 AS lag
+                       FROM lineitem
+                       JOIN orders ON o_orderkey = l_orderkey
+                       JOIN supplier ON s_suppkey = l_suppkey),
+            g AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(lag) AS BIGINT) AS s
+                  FROM j GROUP BY 1),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                         CAST(SUM(s) AS BIGINT) AS s FROM g)
+            SELECT n_name AS nation, g.n AS n_lines,
+                   CAST(1000 * g.s // g.n AS BIGINT)
+                       AS mean_lead_milli,
+                   CAST(CASE WHEN t.s > 0 THEN
+                        1000 * CAST(g.s AS HUGEINT) * t.n
+                        // (CAST(g.n AS HUGEINT) * t.s) - 1000
+                        ELSE -9999 END AS BIGINT)
+                       AS lead_lift_milli
+            FROM g JOIN nation ON n_nationkey = g.k, t
+            ORDER BY nation
+        """,
+        "order_size_gap_effect": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) // 86400000000
+                                  AS d,
+                              o_orderkey AS k,
+                              CAST(FLOOR(o_totalprice * 100)
+                                   AS BIGINT) AS v
+                       FROM orders),
+            p AS (SELECT v, LEAD(d) OVER w - d AS gap
+                  FROM o WINDOW w AS (PARTITION BY c
+                                      ORDER BY d, k)),
+            pp AS (SELECT CASE WHEN v < 150000000 THEN 0
+                               WHEN v < 250000000 THEN 1
+                               WHEN v < 350000000 THEN 2
+                               ELSE 3 END AS band, gap
+                   FROM p WHERE gap IS NOT NULL),
+            h AS (SELECT band, gap, CAST(COUNT(*) AS BIGINT) AS cc
+                  FROM pp GROUP BY 1, 2),
+            w2 AS (SELECT band, gap, cc,
+                          SUM(cc) OVER (PARTITION BY band
+                                        ORDER BY gap
+                                        ROWS UNBOUNDED PRECEDING)
+                              AS cum,
+                          SUM(cc) OVER (PARTITION BY band) AS n,
+                          SUM(gap * cc) OVER (PARTITION BY band)
+                              AS s
+                   FROM h)
+            SELECT CAST(band AS BIGINT) AS value_band,
+                   CAST(MAX(n) AS BIGINT) AS n_pairs,
+                   CAST(1000 * MAX(s) // MAX(n) AS BIGINT)
+                       AS mean_gap_milli,
+                   CAST(MIN(gap) FILTER (
+                        cum >= (50 * n + 99) // 100) AS BIGINT)
+                       AS p50_gap_days
+            FROM w2 GROUP BY band ORDER BY band
         """,
     }

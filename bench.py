@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "nation_churn_census", "part_velocity_census",
     "repeat_revenue_share", "lang_length_profile",
     "dead_stock_value", "user_activity_gini",
+    "nation_lead_time", "order_size_gap_effect",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

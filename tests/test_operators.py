@@ -304,6 +304,7 @@ def test_entry_smoke(entrymod):
     "nation_churn_census", "part_velocity_census",
     "repeat_revenue_share", "lang_length_profile",
     "dead_stock_value", "user_activity_gini",
+    "nation_lead_time", "order_size_gap_effect",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
