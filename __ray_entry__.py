@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": analytics.user_activity_gini,
         "nation_lead_time": analytics.nation_lead_time,
         "order_size_gap_effect": analytics.order_size_gap_effect,
+        "corpus_grid_fill": analytics.corpus_grid_fill,
+        "weekend_order_penalty":
+            analytics.weekend_order_penalty,
         "lineitem_energy_distance":
             analytics.lineitem_energy_distance,
         "q6_sensitivity_grid": joins.q6_sensitivity_grid,
@@ -16323,5 +16326,46 @@ def oracle_sql() -> dict[str, str]:
                         cum >= (50 * n + 99) // 100) AS BIGINT)
                        AS p50_gap_days
             FROM w2 GROUP BY band ORDER BY band
+        """,
+        "corpus_grid_fill": """
+            WITH g AS (SELECT DISTINCT source AS s, lang AS l
+                       FROM documents),
+            ns AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n
+                   FROM g),
+            nl AS (SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS n
+                   FROM g),
+            oc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+            cov AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM g GROUP BY s ORDER BY c DESC, s LIMIT 1)
+            SELECT ns.n AS n_sources, nl.n AS n_langs,
+                   ns.n * nl.n AS n_cells, oc.n AS n_occupied,
+                   CAST(10000 * oc.n // (ns.n * nl.n) AS BIGINT)
+                       AS fill_bps,
+                   cov.s AS widest_source,
+                   cov.c AS widest_source_langs
+            FROM ns, nl, oc, cov
+        """,
+        "weekend_order_penalty": """
+            WITH fs AS (SELECT l_orderkey AS k,
+                               MIN(epoch_us(l_shipdate)
+                                   // 86400000000) AS fd
+                        FROM lineitem GROUP BY 1),
+            j AS (SELECT (epoch_us(o_orderdate) // 86400000000
+                          + 4) % 7 AS dow,
+                         fs.fd - epoch_us(o_orderdate)
+                         // 86400000000 AS lag
+                  FROM orders JOIN fs ON fs.k = o_orderkey),
+            t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(lag) AS BIGINT) AS s FROM j)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(1000 * SUM(lag) // COUNT(*) AS BIGINT)
+                       AS mean_first_lag_milli,
+                   CAST(CASE WHEN MAX(t.s) > 0 THEN
+                        1000 * CAST(SUM(lag) AS HUGEINT) * MAX(t.n)
+                        // (CAST(COUNT(*) AS HUGEINT) * MAX(t.s))
+                        - 1000
+                        ELSE -9999 END AS BIGINT) AS lift_milli
+            FROM j, t GROUP BY dow ORDER BY dow
         """,
     }

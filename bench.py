@@ -342,6 +342,7 @@ BENCH_QUERIES = [
     "repeat_revenue_share", "lang_length_profile",
     "dead_stock_value", "user_activity_gini",
     "nation_lead_time", "order_size_gap_effect",
+    "corpus_grid_fill", "weekend_order_penalty",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))

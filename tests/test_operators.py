@@ -305,6 +305,7 @@ def test_entry_smoke(entrymod):
     "repeat_revenue_share", "lang_length_profile",
     "dead_stock_value", "user_activity_gini",
     "nation_lead_time", "order_size_gap_effect",
+    "corpus_grid_fill", "weekend_order_penalty",
 ])
 def test_oracle_parity(entrymod, con, name):
     """Driver-style comparison at sf0.001: row count + sorted columns +
