@@ -6326,22 +6326,26 @@ def oracle_sql() -> dict[str, str]:
             FROM d
         """,
         "poisson_bootstrap_ci": """
-            WITH w AS (SELECT b.b,
-                              CAST(FLOOR(o_totalprice * 100)
+            WITH h AS (SELECT CAST(FLOOR(o_totalprice * 100)
                                    AS BIGINT) AS cents,
+                              CAST(CAST(('0x' || substr(md5(
+                                  CAST(o_orderkey AS VARCHAR)), 1, 16))
+                                  AS UBIGINT) % 1000 AS BIGINT) AS h1,
+                              CAST(CAST(('0x' || substr(md5(
+                                  CAST(o_orderkey AS VARCHAR)), 17, 16))
+                                  AS UBIGINT) % 999 AS BIGINT) + 1
+                                  AS step
+                       FROM orders),
+            w AS (SELECT b.b, cents,
                               CASE WHEN m < 368 THEN 0
                                    WHEN m < 736 THEN 1
                                    WHEN m < 920 THEN 2
                                    WHEN m < 981 THEN 3
                                    WHEN m < 996 THEN 4
                                    ELSE 5 END AS w
-                       FROM (SELECT o_orderkey, o_totalprice, b.b,
-                                    CAST(('0x' || substr(md5(
-                                        CAST(o_orderkey AS VARCHAR)
-                                        || '#' ||
-                                        CAST(b.b AS VARCHAR)), 1, 16))
-                                        AS UBIGINT) % 1000 AS m
-                             FROM orders,
+                       FROM (SELECT h.cents, b.b,
+                                    (h.h1 + b.b * h.step) % 1000 AS m
+                             FROM h,
                                   (SELECT unnest(generate_series(0,
                                        63)) AS b) b) b),
             r AS (SELECT b, SUM(w * cents) AS s, SUM(w) AS c

@@ -557,12 +557,19 @@ def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000,
             pa.array(m.reshape(-1)), m.shape[1] if len(m) else 1)
         return pa.table({"vec_id": pa.array(ids), "nvec": nvec})
 
-    blocks = ray.get(ds.map_batches(norm_block, batch_format="pyarrow",
-                                    batch_size=None).to_arrow_refs())
-    block_refs = [ray.put(b) for b in blocks if len(b)]
+    # keep the normalized blocks as object-store refs and hand the refs
+    # straight to tile.remote — no data block ever transits the driver
+    # (the driver holds only the ref list); empty blocks are handled
+    # inside the task, where the check is free
+    block_refs = ds.map_batches(norm_block, batch_format="pyarrow",
+                                batch_size=None).to_arrow_refs()
 
     @ray.remote
     def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        if len(ta) == 0 or len(tb) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "sim_bp": pa.array([], pa.int64())})
         ia = ta.column("vec_id").to_numpy().astype(np.int64)
         ib = tb.column("vec_id").to_numpy().astype(np.int64)
         ma = list_col_to_matrix(ta.column("nvec"))

@@ -479,3 +479,44 @@ def test_skyline_dominance(ray_session):
         dom = ((price <= r["price_cents"]) & (size >= r["p_size"])
                & ((price < r["price_cents"]) | (size > r["p_size"])))
         assert not dom.any()
+
+
+def test_fk_orphan_bloom_path_exact(ray_session, tmp_path):
+    """The fact-sized-parent Bloom path of fk_orphan_audit must count
+    orphans EXACTLY (Bloom false positives stripped by the bucketed
+    verify) and agree with the broadcast path on the same input —
+    exercised on a synthetic edge WITH planted orphans, both paths
+    forced via the cardinality threshold."""
+    import duckdb
+    from container_crawler_ray.pipelines import analytics as an
+
+    d = str(tmp_path)
+    rng_keys = np.arange(1, 5001, dtype=np.int64) * 7  # sparse parent
+    pq.write_table(pa.table({"o_orderkey": rng_keys,
+                             "o_custkey": rng_keys % 97}),
+                   f"{d}/orders.parquet")
+    # children: every parent key twice + 1234 planted orphans (keys
+    # not divisible by 7, so definitely absent)
+    child = np.concatenate([rng_keys, rng_keys,
+                            np.arange(1, 1235, dtype=np.int64) * 7 + 3])
+    pq.write_table(pa.table({"l_orderkey": child,
+                             "l_partkey": child % 13}),
+                   f"{d}/lineitem.parquet")
+    edges = [("lineitem.l_orderkey->orders.o_orderkey",
+              "lineitem", "l_orderkey", "orders", "o_orderkey")]
+    old = an._FK_EDGES
+    an._FK_EDGES = edges
+    try:
+        via_bloom = an.fk_orphan_audit(d, fact_parent_rows=0)
+        via_bcast = an.fk_orphan_audit(d, fact_parent_rows=10**9)
+    finally:
+        an._FK_EDGES = old
+    pd.testing.assert_frame_equal(via_bloom, via_bcast)
+    assert int(via_bloom["n_orphans"].iloc[0]) == 1234
+    assert int(via_bloom["n_child"].iloc[0]) == len(child)
+    truth = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet('{d}/lineitem.parquet') l "
+        f"WHERE NOT EXISTS (SELECT 1 FROM "
+        f"read_parquet('{d}/orders.parquet') o "
+        f"WHERE o.o_orderkey = l.l_orderkey)").fetchone()[0]
+    assert int(via_bloom["n_orphans"].iloc[0]) == truth
