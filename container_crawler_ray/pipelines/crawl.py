@@ -17,7 +17,8 @@ frontier size):
       → map_batches(seen probe, per-worker cached shard clients)  [J1]
       → groupby(host_hash).map_groups(politeness/robots/top-k) [O1/T6/J2/M5]
         (the ONE per-pass shuffle — the priority-frontier exchange)
-      → map_batches(seen mark: scheduled rows only)               [T5]
+      → mark-WAL append + bulk seen mark (scheduled scan rows;
+        write-ahead-logged so a mid-pass kill rolls back exactly)   [T5]
       → map_batches(fetch: actor pool or elastic tasks)      [T1/M2/M3]
       → materialize (the bounded pass result)
 
@@ -55,7 +56,7 @@ from ..sources import synth
 from ..stages.fetch import FetchStage, SimulatedFetchHandler
 from ..stages.links import explode_links, make_link_enrich, make_rowid_assigner
 from ..stages.politeness import make_schedule_fn
-from ..stages.probe import make_mark_fn, make_probe_fn
+from ..stages.probe import make_probe_fn
 from ..stages.scan import make_watermark_filter
 from ..state.seen import SeenSet
 from ..storage import TableStore
@@ -258,15 +259,15 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
         state.buckets = dict(zip(bk.column("host").to_pylist(),
                                  bk.column("tokens").to_pylist()))
     # seen restore: single-engine restores its snapshot unconditionally
-    # (its torn-pass marks must roll back to the commit point). Multi-engine
-    # engines each snapshot the shards they own (shard % E == engine); a
-    # resuming engine restores ITS shards from its own committed fragment
-    # but foreign engines' shards only when their actors are freshly
-    # created (num_items == 0) — restoring a LIVE shard another engine is
-    # mid-pass on would erase in-flight seen marks and re-permit duplicate
-    # fetches. (Residual caveat: a crashed engine's uncommitted marks on
-    # foreign LIVE shards survive, so its replayed rows dedup against them
-    # — at-least-once for state, effectively-once for committed docs.)
+    # (its torn-pass marks must roll back to the commit point, and no
+    # other engine's marks can be erased). Multi-engine shards are
+    # SHARED mutable state: restoring any LIVE shard from a snapshot
+    # would erase marks other engines added after it was taken (their
+    # committed docs would then re-fetch as duplicates). So snapshots
+    # only ever hydrate FRESH shard actors (num_items == 0 — node loss /
+    # first start), each from its owner engine's last committed
+    # fragment; a resuming engine's own uncommitted marks are instead
+    # rolled back SURGICALLY from its mark-WAL (below).
     if cfg.num_engines == 1:
         sn = store.read_fragment("seen_shards", "seen", p)
         if sn is not None and len(sn):
@@ -280,11 +281,25 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
             sn = store.read_fragment("seen_shards", f"seen-e{e}",
                                      m_e["pass_id"])
             if sn is not None and len(sn):
-                mine = e == cfg.engine_index
                 ok = {s for s in range(cfg.seen_shards)
-                      if s % cfg.num_engines == e
-                      and (mine or items[s] == 0)}
+                      if s % cfg.num_engines == e and items[s] == 0}
                 state.seen.restore_from_table(sn, only_shards=ok)
+        # torn-pass mark rollback: if this engine crashed MID-PASS, the
+        # marks it applied for the uncommitted pass were write-ahead-
+        # logged (run_pass writes the "marks" WAL before any
+        # contains_add). Delete them from ALL shards — live ones hold
+        # the torn marks directly; freshly-restored foreign snapshots
+        # may also contain them (a foreign commit can postdate the torn
+        # marks). Partition ownership guarantees no other engine ever
+        # MARKS these URLs, so the deletes cannot erase a legitimate
+        # foreign mark; the only residual is a hash that overflowed
+        # into a shard's bloom spill tier during the torn window (bloom
+        # cannot delete), reported by the (removed, residual) counts.
+        wal = store.read_fragment("marks", _etag(cfg, "marks"),
+                                  state.pass_id + 1)
+        if wal is not None and len(wal):
+            state.seen.remove(
+                wal.column("url_hash").to_numpy().astype(np.uint64))
     # track the CURRENT shard-actor name set for crash cleanup
     store.write_meta({"seen_run_id": state.seen.run_id},
                      name="seen_run.json")
@@ -582,11 +597,11 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     if n_cand == 0:
         return _finalize_empty_pass(store, cfg, state, pass_id, t0, n_dead)
 
-    # ---- tag → probe → politeness → mark → fetch -------------------------
+    # ---- tag → probe → politeness → mark-WAL → mark → fetch --------------
     buckets_ref = ray.put(state.buckets)
     pipe = cand.map_batches(_make_owned_fn(cfg.num_nodes, cfg.node_id),
                             batch_format="pyarrow")
-    # probe/mark are plain task functions with a per-worker-process client
+    # probe is a plain task function with a per-worker-process client
     # cache (stages/probe.py): Ray's long-lived workers amortize the
     # named-actor lookups across passes, with no per-pass pool spin-up
     pipe = pipe.map_batches(make_probe_fn(seen_args), batch_format="pyarrow")
@@ -595,7 +610,31 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
                          cfg.bucket_capacity_factor),
         batch_format="pyarrow",
     )
-    pipe = pipe.map_batches(make_mark_fn(seen_args), batch_format="pyarrow")
+    # Seen marks are WRITE-AHEAD-LOGGED then bulk-applied from the driver
+    # BEFORE fetch — not an inline pipeline stage. The politeness groupby
+    # is already a barrier, and the scheduled set is bounded
+    # (P×items_chunk+|retry|), so the extra materialize is cheap; in
+    # exchange, a crash at ANY point after the first mark leaves a durable
+    # record of exactly which hashes were (about to be) marked, and the
+    # resume path deletes them from foreign-owned LIVE shards (own shards
+    # roll back via snapshot restore) — closing the old caveat where a
+    # mid-pass engine crash left uncommitted marks on shared shards and
+    # its replayed rows were dropped as "seen" (lost docs). Bulk driver
+    # apply also removes per-batch shard RPCs from the fetch path.
+    pipe = pipe.materialize()
+    sched_hashes = np.concatenate([
+        b.column("url_hash").to_numpy().astype(np.uint64)[
+            (pc.equal(b.column("sched"), "scheduled").to_numpy(
+                zero_copy_only=False))
+            & (pc.equal(b.column("src"), "scan").to_numpy(
+                zero_copy_only=False))]
+        for b in pipe.iter_batches(batch_format="pyarrow",
+                                   batch_size=None)] or
+        [np.zeros(0, dtype=np.uint64)])
+    store.append_fragment(
+        "marks", pa.table({"url_hash": pa.array(sched_hashes)}),
+        pass_id, tag=_etag(cfg, "marks"))
+    state.seen.contains_add(sched_hashes)
     # Even out the post-shuffle blocks before fetch: the politeness groupby
     # emits one block per host group, so a hot host (Zipf head) would ride
     # into fetch as ONE straggler task. repartition splits the bounded

@@ -121,6 +121,42 @@ class CuckooFilter:
         self.count += 1
         return False
 
+    def remove_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Delete pre-hashed keys (torn-pass mark rollback). Clears the
+        first slot matching the key's fingerprint in either candidate
+        bucket (then the stash). Standard cuckoo-deletion caveat applies:
+        under partial-key hashing a DIFFERENT key colliding on (bucket,
+        fingerprint) may lose its entry instead — the caller only ever
+        deletes keys it itself inserted, so a collision casualty merely
+        re-permits one duplicate fetch (at-least-once), never data loss.
+        Returns which keys found (and cleared) an entry."""
+        out = np.zeros(len(hashes), dtype=bool)
+        if len(hashes) == 0:
+            return out
+        fps = _fingerprints(hashes)
+        i1s = self._i1(hashes)
+        i2s = self._i2(i1s, fps)
+        for j in range(len(hashes)):
+            fp, i1, i2 = int(fps[j]), int(i1s[j]), int(i2s[j])
+            done = False
+            for i in (i1, i2):
+                row = self.slots[i]
+                hit = np.flatnonzero(row == fp)
+                if len(hit):
+                    row[hit[0]] = 0
+                    self.count -= 1
+                    done = True
+                    break
+            if not done:
+                for si, (sb, sfp) in enumerate(self.stash):
+                    if sfp == fp and sb in (i1, i2):
+                        del self.stash[si]
+                        self.count -= 1
+                        done = True
+                        break
+            out[j] = done
+        return out
+
     # -------------------------------------------------------- serialization
     def to_state(self) -> dict:
         return {"kind": "cuckoo", "nbuckets": self.nbuckets,
@@ -230,6 +266,22 @@ class SpillFilter:
         # first occurrence position of each unique value gets its novelty
         was_novel[first_idx] = novel_mask_uniq
         return was_novel
+
+    def remove_many(self, hashes: np.ndarray) -> tuple[int, int]:
+        """Best-effort delete (torn-pass mark rollback): cuckoo entries
+        are cleared; keys that spilled to the bloom tier CANNOT be
+        deleted (bloom has no removal) and stay as a residual — returns
+        (removed, residual) counts so the caller can log the exposure.
+        The residual is nonzero only when the shard overflowed its
+        cuckoo capacity during the torn window."""
+        if len(hashes) == 0:
+            return 0, 0
+        uniq = np.unique(np.asarray(hashes, dtype=np.uint64))
+        gone = self.cuckoo.remove_many(uniq)
+        residual = 0
+        if self.bloom.count and not gone.all():
+            residual = int(self.bloom.contains_many(uniq[~gone]).sum())
+        return int(gone.sum()), residual
 
     @property
     def num_items(self) -> int:

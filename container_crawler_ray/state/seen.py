@@ -44,6 +44,12 @@ class SeenShard:
     def num_items(self) -> int:
         return self.filter.num_items
 
+    def remove(self, hashes: np.ndarray) -> list[int]:
+        """Torn-pass mark rollback; [removed, bloom-residual] counts
+        (a list so the scatter-gather path can carry it as a result)."""
+        removed, residual = self.filter.remove_many(hashes)
+        return [removed, residual]
+
     def snapshot(self) -> dict:
         st = self.filter.to_state()
         return {
@@ -149,6 +155,30 @@ class SeenSet:
 
     def num_items(self) -> int:
         return sum(ray.get([a.num_items.remote() for a in self.actors]))
+
+    def remove(self, hashes: np.ndarray,
+               only_shards: set[int] | None = None) -> tuple[int, int]:
+        """Delete keys from their shards (torn-pass mark rollback),
+        optionally restricted to *only_shards* (the resume path deletes
+        a crashed engine's uncommitted marks from FOREIGN-owned shards
+        only — its own shards roll back via snapshot restore). Returns
+        total (removed, bloom_residual)."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return 0, 0
+        shard = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        refs = []
+        for i in range(self.num_shards):
+            if only_shards is not None and i not in only_shards:
+                continue
+            m = shard == i
+            if m.any():
+                refs.append(self.actors[i].remove.remote(hashes[m]))
+        removed = residual = 0
+        for r, b in ray.get(refs):
+            removed += r
+            residual += b
+        return removed, residual
 
     # ---------------------------------------------------------- checkpoint
     def snapshot_table(self, shard_ids: list[int] | None = None) -> pa.Table:

@@ -60,3 +60,31 @@ def test_determinism_same_insert_sequence(keys):
     b.contains_add_many(keys)
     assert a.to_state()["cuckoo"]["bits"] == b.to_state()["cuckoo"]["bits"]
     assert a.to_state()["bloom"]["bits"] == b.to_state()["bloom"]["bits"]
+
+
+def test_cuckoo_remove_many_roundtrip():
+    """Keys inserted then removed must read back absent; untouched keys
+    survive (incl. stash entries); spill-tier keys report as residual."""
+    import numpy as np
+    from container_crawler_ray.state.cuckoo import CuckooFilter, SpillFilter
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(1, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    keep, drop = keys[:1000], keys[1000:]
+
+    f = CuckooFilter(4096)
+    for h in keys.tolist():
+        f.add(int(h))
+    gone = f.remove_many(drop)
+    assert gone.all()
+    assert not f.contains_many(drop).any()
+    assert f.contains_many(keep).all()
+    assert f.count == 1000
+
+    # spill tier: cuckoo sized far below the insert count forces bloom
+    # spill; removal of spilled keys must report a residual, not lie
+    s = SpillFilter(cuckoo_capacity=64, bloom_bits=1 << 14)
+    s.add_novel(keys)
+    removed, residual = s.remove_many(keys)
+    assert removed + residual >= len(np.unique(keys)) - 5  # fp slack
+    assert residual > 0

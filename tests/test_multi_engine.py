@@ -290,3 +290,84 @@ def test_two_engines_with_compaction_equal_single(tmp_store):
         f"compaction broke the union: only-single={len(docsS - docsM)} "
         f"only-multi={len(docsM - docsS)}")
     st0.seen.teardown()
+
+
+def test_staggered_midpass_kill_loses_nothing(tmp_store):
+    """One engine is killed MID-PASS — after its seen marks landed on the
+    SHARED shards (half of them foreign-owned and live) but before its
+    meta commit — while the other engine keeps crawling. The mark-WAL
+    rollback in resume_run must delete exactly the torn marks from
+    foreign shards (own shards roll back via snapshot restore), so the
+    converged union still equals the single-engine crawl: no committed
+    doc lost, none duplicated. Before the WAL fix the replayed rows were
+    dropped as "seen" and their documents silently lost."""
+    import collections
+    import os
+    import shutil
+
+    seeds = make_seed_urls(120, n_hosts=10)
+
+    rootS = f"{tmp_store}-single-k"
+    run_crawl(rootS, CrawlConfig(**BASE), seed_urls=seeds, max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+
+    rootM = f"{tmp_store}-multi-k"
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(rootM, cfg0, seeds)
+    s0, st0 = resume_run(rootM, cfg0)
+    s1, st1 = resume_run(rootM, cfg1)
+    run_pass(s0, cfg0, st0)
+    run_pass(s1, cfg1, st1)
+    committed_before = {d["doc_id"] for d in _docs(rootM)}
+
+    # ---- mid-pass kill emulation: run engine 0's pass 2 fully, then
+    # roll its COMMIT POINT back (meta-e0.json is the commit; every
+    # other artifact is a fragment the replay must ignore/overwrite).
+    # The shard actors stay up — detached actors survive an engine
+    # crash — so the torn pass's marks are LIVE in the shared seen set,
+    # and the mark-WAL fragment is on disk: exactly the post-crash
+    # state of a kill between mark-apply and commit.
+    meta_path = os.path.join(rootM, "meta-e0.json")
+    saved_meta = open(meta_path, "rb").read()
+    run_pass(s0, cfg0, st0)
+    with open(meta_path + ".tmp", "wb") as f:
+        f.write(saved_meta)
+    os.replace(meta_path + ".tmp", meta_path)
+    assert glob.glob(f"{rootM}/tables/marks/marks-e0_000002.parquet"), \
+        "mark-WAL fragment for the torn pass must exist"
+    del s0, st0           # engine 0 is dead
+
+    # engine 1 keeps writing to the shared seen shards while 0 is down
+    run_pass(s1, cfg1, st1)
+    run_pass(s1, cfg1, st1)
+
+    # engine 0 resumes from its last committed pass (1)
+    s0, st0 = resume_run(rootM, cfg0)
+    assert st0.pass_id == 1
+
+    idle = 0
+    for _ in range(40):
+        r0 = run_pass(s0, cfg0, st0)
+        r1 = run_pass(s1, cfg1, st1)
+        if (r0["done"] and r1["done"]
+                and r0["retry_size"] == 0 and r1["retry_size"] == 0):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+
+    all_docs = [d["doc_id"] for d in _docs(rootM)]
+    docsM = set(all_docs)
+    # effectively-once: no doc committed twice anywhere
+    dupes = [k for k, v in collections.Counter(all_docs).items() if v > 1]
+    assert not dupes, f"duplicated committed docs: {dupes[:5]}"
+    # nothing committed before the kill was lost
+    assert committed_before <= docsM
+    # and the full union still equals the single-engine crawl — the
+    # torn marks did not swallow any document
+    assert docsM == docsS, (
+        f"mid-pass kill lost docs: only-single={len(docsS - docsM)} "
+        f"only-multi={len(docsM - docsS)}")
+    st0.seen.teardown()

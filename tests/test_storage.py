@@ -173,3 +173,49 @@ def test_compact_crash_windows_never_double_read(store):
     assert sorted(got) == [1, 2]  # segment wins, originals skipped
     assert len(glob.glob(os.path.join(store.table_dir("fr"),
                                       "append_00000?.parquet"))) == 2
+
+
+# ---------------------------------------------------------------- lance seam
+# The north_rule names Lance as the table format. The sandbox has no
+# ``lance`` package (no network), so these integration tests skip here —
+# but the moment pylance is installable they prove the backend swap is a
+# config change, not a code change (write/read/append/atomic-replace/
+# resume-filter parity with the parquet backend on identical inputs).
+
+@pytest.fixture
+def lance_store(tmp_path):
+    pytest.importorskip("lance")
+    from container_crawler_ray.storage import LanceBackend
+    return TableStore(str(tmp_path / "ls"), backend=LanceBackend())
+
+
+def test_lance_atomic_current(lance_store):
+    lance_store.write_current("ck", _t([1, 2]))
+    assert lance_store.read_current("ck").column("x").to_pylist() == [1, 2]
+    lance_store.write_current("ck", _t([3]))
+    assert lance_store.read_current("ck").column("x").to_pylist() == [3]
+    assert not [f for f in os.listdir(lance_store.table_dir("ck"))
+                if f.endswith(".tmp")]
+
+
+def test_lance_parquet_parity(tmp_path, lance_store):
+    """Identical fragment history through both backends must read back
+    identical tables, including the committed-pass resume filter and
+    idempotent overwrite of an uncommitted pass."""
+    pstore = TableStore(str(tmp_path / "ps"))
+    for s in (pstore, lance_store):
+        for p in (1, 2, 3):
+            s.append_fragment("fr", _t([p * 10, p * 10 + 1]), p)
+        s.append_fragment("fr", _t([99]), 3)      # pass-3 re-run overwrite
+    for kw in ({}, {"committed_passes": 2}):
+        a = pstore.read_all("fr", **kw)
+        b = lance_store.read_all("fr", **kw)
+        assert sorted(a.column("x").to_pylist()) \
+            == sorted(b.column("x").to_pylist())
+
+
+def test_lance_ray_read(lance_store, ray_session):
+    for p in (1, 2):
+        lance_store.append_fragment("fr", _t([p]), p)
+    ds = lance_store.ray_read(lance_store.fragments("fr"))
+    assert sorted(r["x"] for r in ds.take_all()) == [1, 2]
