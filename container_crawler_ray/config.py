@@ -42,6 +42,12 @@ class CrawlConfig:
     fail_mod: int = 97               # synthetic transient-failure injector (0 = off)
     parse_cost_bytes: int = 0        # simulated per-fetch parse CPU (bench)
     salted_hosts: tuple = ()         # hot hosts spread across partitions by url_hash
+    # auto-salt emergent hot hosts (SURVEY.md §4.1): when one host exceeds
+    # this share (in thousandths) of a pass's appended frontier rows (and
+    # at least auto_salt_min_rows of them), it joins the salted set for
+    # every later pass, persisted in meta so resume keeps it. 0 = off.
+    auto_salt_share_milli: int = 0
+    auto_salt_min_rows: int = 64
     seed: int = 42
 
     # --- world shape (synthetic closed world) ---------------------------

@@ -240,10 +240,12 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
         robots=robots,
         seen=SeenSet(seen_run, cfg.seen_shards,
                      cfg.cuckoo_capacity, cfg.bloom_bits),
-        # salting is part of the durable partition layout — the init-time
-        # value wins over whatever the resume-time cfg happens to say
-        salted_hosts=tuple(init_meta.get("salted_hosts",
-                                         cfg.salted_hosts)),
+        # salting is part of the durable partition layout — the committed
+        # meta (init-time config plus any auto-salted hosts detected
+        # mid-crawl) wins over whatever the resume-time cfg happens to say
+        salted_hosts=tuple(meta.get(
+            "salted_hosts",
+            init_meta.get("salted_hosts", cfg.salted_hosts))),
         drained=dict((int(k), v) for k, v in
                      (meta.get("drained") or {}).items()),
     )
@@ -616,8 +618,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     # (P×items_chunk+|retry|), so the extra materialize is cheap; in
     # exchange, a crash at ANY point after the first mark leaves a durable
     # record of exactly which hashes were (about to be) marked, and the
-    # resume path deletes them from foreign-owned LIVE shards (own shards
-    # roll back via snapshot restore) — closing the old caveat where a
+    # resume path deletes exactly them from the shared shards — closing
+    # the old caveat where a
     # mid-pass engine crash left uncommitted marks on shared shards and
     # its replayed rows were dropped as "seen" (lost docs). Bulk driver
     # apply also removes per-batch shard RPCs from the fetch path.
@@ -888,6 +890,26 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             store.append_fragment("frontier", frag, pass_id,
                                   tag=_etag(cfg, "append"),
                                   meta=_frontier_meta(frag))
+            # ---- auto-salt detection (SURVEY.md §4.1): a Zipf head
+            # that EMERGES mid-crawl is spotted from this pass's
+            # appended rows (the A1 per-host rollup, already on the
+            # driver) and salted for every LATER pass — its future rows
+            # spread across partitions by url_hash instead of pinning
+            # one partition. Deterministic (pure function of the
+            # committed frontier), so a replayed pass re-derives the
+            # identical set; persisted in meta below for resume.
+            if cfg.auto_salt_share_milli > 0:
+                hosts_a, counts_a = np.unique(
+                    frag.column("host").to_numpy(zero_copy_only=False),
+                    return_counts=True)
+                hot = ((counts_a * 1000
+                        > cfg.auto_salt_share_milli * len(frag))
+                       & (counts_a >= cfg.auto_salt_min_rows))
+                new_hot = [h for h in hosts_a[hot]
+                           if h not in state.salted_hosts]
+                if new_hot:
+                    state.salted_hosts = tuple(sorted(
+                        set(state.salted_hosts) | set(new_hot)))
     _mark("frontier_append")
 
     # ---- next retry table (from the slim collection) ---------------------
@@ -949,7 +971,8 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
     _write_state_fragments(store, cfg, state, retry_tbl=retry_next)
     store.write_meta({"pass_id": pass_id,
                       "num_partitions": cfg.num_partitions,
-                      "drained": state.drained},
+                      "drained": state.drained,
+                      "salted_hosts": sorted(state.salted_hosts)},
                      name=_meta_name(cfg))
     _mark("checkpoint")
     n_sched = int(pstats["scheduled"].sum()) if len(pstats) else 0
@@ -1025,7 +1048,9 @@ def _finalize_empty_pass(store, cfg, state, pass_id, t0, n_dead=0) -> dict:
     state.pass_id = pass_id
     _write_state_fragments(store, cfg, state, retry_tbl=_empty_retry())
     store.write_meta({"pass_id": pass_id, "num_partitions": cfg.num_partitions,
-                      "drained": state.drained}, name=_meta_name(cfg))
+                      "drained": state.drained,
+                      "salted_hosts": sorted(state.salted_hosts)},
+                     name=_meta_name(cfg))
     return {"pass_id": pass_id, "candidates": 0, "scanned": 0, "scheduled": 0,
             "fetched": 0, "errors": 0, "deferred": 0, "new_frontier_rows": 0,
             "retry_size": 0, "dead": n_dead, "advanced_partitions": [],

@@ -300,3 +300,60 @@ def test_compact_then_resume_equals_uninterrupted(tmp_store):
     # and the file count actually went down
     assert len(glob.glob(f"{rootB}/tables/frontier/*.parquet")) < \
         len(glob.glob(f"{rootA}/tables/frontier/*.parquet"))
+
+
+def test_auto_salt_emergent_hot_host(tmp_store):
+    """A Zipf head that emerges MID-CRAWL is detected from the per-pass
+    appended-frontier rollup and salted without a restart: before
+    detection every one of the host's frontier rows sits in the single
+    partition its host_hash pins; after detection, newly appended rows
+    for that host spread across partitions by url_hash — and the salted
+    set survives resume via the committed meta."""
+    import collections
+    import glob as _glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import (
+        init_run, resume_run, run_pass)
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    # a 2-host world: each host draws ~50% of discovered links, so both
+    # blow through the 30% share threshold on the first link-bearing pass
+    cfg = CrawlConfig(num_partitions=8, items_chunk=100, workers=2,
+                      seen_shards=2, n_hosts=2, n_paths=400,
+                      pass_time_ms=60000, fail_mod=0, fetch_mode="tasks",
+                      auto_salt_share_milli=300)
+    store, st = init_run(tmp_store, cfg, make_seed_urls(40, n_hosts=2))
+    assert st.salted_hosts == ()
+
+    run_pass(store, cfg, st)      # pass 1: appends links, detects heads
+    assert len(st.salted_hosts) >= 1, "hot host not detected"
+    hot = st.salted_hosts[0]
+
+    def _parts_by_pass(host):
+        out = collections.defaultdict(set)
+        for f in _glob.glob(f"{tmp_store}/tables/frontier/append_*.parquet"):
+            t = pq.read_table(f, columns=["host", "partition_id"])
+            pid = int(f.rsplit("_", 1)[1].split(".")[0])
+            m = pc.equal(t.column("host"), host)
+            out[pid].update(
+                t.filter(m).column("partition_id").to_pylist())
+        return out
+
+    before = _parts_by_pass(hot)[1]
+    assert len(before) == 1, "unsalted host must pin one partition"
+
+    run_pass(store, cfg, st)      # pass 2: links route WITH the salt
+    after = _parts_by_pass(hot)[2]
+    assert len(after) > 1, (
+        f"salted host still pinned to one partition: {after}")
+
+    # resume restores the auto-salted set from committed meta, even when
+    # the resume-time config carries no salt at all
+    st.seen.teardown()
+    store2, st2 = resume_run(tmp_store, cfg)
+    assert hot in st2.salted_hosts
+    st2.seen.teardown()
