@@ -780,6 +780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_analysis": text_ops.text_analysis,          # golden oracle
         # interleaved spans (input_hint shape) + sequence packing
         "spans_flat": spans.spans_flat,
+        "spans_kind_transitions": spans.spans_kind_transitions,
+        "spans_media_density_by_lang": spans.spans_media_density_by_lang,
         "pack_sequences": spans.pack_sequences,           # golden oracle
         "interleaved_pack": spans.interleaved_pack,       # golden oracle
         "pagerank_parts": graph.pagerank_parts,           # golden oracle
@@ -3100,6 +3102,45 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                        AS BIGINT) AS "offset"
             FROM spans
+        """,
+        "spans_kind_transitions": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         - 1 AS i
+              FROM documents
+            ), k AS (
+              SELECT doc_id, i,
+                     CASE WHEN i % 4 = 3 THEN 'media' ELSE 'text' END
+                         AS kind
+              FROM toks
+            ), p AS (
+              SELECT kind AS from_kind,
+                     LEAD(kind) OVER (PARTITION BY doc_id ORDER BY i)
+                         AS to_kind
+              FROM k
+            )
+            SELECT from_kind, to_kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(*) * 10000
+                        // SUM(COUNT(*)) OVER () AS BIGINT) AS share_bp
+            FROM p WHERE to_kind IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "spans_media_density_by_lang": r"""
+            WITH d AS (
+              SELECT lang,
+                     CAST(len(regexp_extract_all(text, '\S+'))
+                          AS BIGINT) AS n
+              FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_spans,
+                   CAST(SUM(n // 4) AS BIGINT) AS n_media,
+                   CAST(CASE WHEN SUM(n) > 0
+                        THEN SUM(n // 4) * 10000 // SUM(n)
+                        ELSE 0 END AS BIGINT) AS media_share_bp
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "decontaminate_docs": r"""
             WITH toks AS (

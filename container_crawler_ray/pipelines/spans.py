@@ -247,3 +247,97 @@ def interleaved_pack(sf_dir: str, budget: int = 2048,
            .groupby("block").map_groups(pack, batch_format="pandas")
            .to_pandas())
     return out.astype({c: "int64" for c in out.columns})
+
+
+def spans_kind_transitions(sf_dir: str) -> "pd.DataFrame":
+    """Interleaving-structure profile of the span stream: counts of each
+    (from_kind -> to_kind) transition between CONSECUTIVE spans within a
+    document, with the corpus share in basis points. The transition
+    matrix is what a multimodal packer and the frame-sampling stages key
+    on — a corpus whose media spans cluster back-to-back packs very
+    differently from one that strictly alternates.
+
+    Shape: the real assembly kernel runs per batch; transitions fold
+    from the nested ListArray directly (flat kind codes, doc-boundary
+    positions masked out of the pair stream, one bincount) into a
+    4-cell partial per batch — ZERO shuffle, driver folds a 4-vector."""
+    import pandas as pd
+
+    ds = spanify(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        spans = t.column("spans")
+        flat = pc.list_flatten(spans)
+        kinds = pc.equal(pc.struct_field(flat, "kind"), "media") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pa.table({"cells": pa.array(
+                [np.zeros(4, np.int64).tobytes()], type=pa.binary())})
+        # pair (i, i+1) is valid unless i is a doc's last span
+        ends = np.cumsum(lens) - 1
+        valid = np.ones(total, dtype=bool)
+        valid[-1] = False
+        valid[ends[ends < total]] = False
+        a = kinds[:-1][valid[:-1]]
+        b = kinds[1:][valid[:-1]]
+        cells = np.bincount(a * 2 + b, minlength=4).astype(np.int64)
+        return pa.table({"cells": pa.array([cells.tobytes()],
+                                           type=pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    cells = np.sum([np.frombuffer(r["cells"], dtype=np.int64)
+                    for r in rows], axis=0) if rows \
+        else np.zeros(4, np.int64)
+    total = int(cells.sum())
+    names = ["text", "media"]
+    out = [(names[c // 2], names[c % 2], int(cells[c]),
+            int(cells[c]) * 10000 // total if total else 0)
+           for c in range(4) if cells[c] > 0]
+    return pd.DataFrame(out, columns=["from_kind", "to_kind", "n_pairs",
+                                      "share_bp"]) \
+        .sort_values(["from_kind", "to_kind"]).reset_index(drop=True) \
+        .astype({"n_pairs": "int64", "share_bp": "int64"})
+
+
+def spans_media_density_by_lang(sf_dir: str) -> "pd.DataFrame":
+    """Per-language multimodal mix of the assembled interleaved corpus:
+    documents, spans, media spans and the media share in basis points,
+    per ``lang`` — the first question a multimodal mixture spec asks
+    (which languages are text-only, which carry media walls). Runs the
+    REAL assembly kernel per batch, counts kinds straight off the
+    nested ListArray, and folds a |langs|-sized pandas partial per
+    batch — ZERO shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        st = assemble_spans_batch(t.select(["doc_id", "text"]))
+        spans = st.column("spans")
+        flat = pc.list_flatten(spans)
+        is_media = pc.equal(pc.struct_field(flat, "kind"), "media") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.list_value_length(spans).to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(lens)), lens)
+        media_per_doc = np.bincount(parent, weights=is_media,
+                                    minlength=len(lens)).astype(np.int64)
+        df = pd.DataFrame({
+            "lang": t.column("lang").to_pylist(),
+            "n_docs": 1, "n_spans": lens,
+            "n_media": media_per_doc})
+        g = df.groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    g = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+         .groupby("lang", as_index=False).sum())
+    g["media_share_bp"] = [
+        int(m) * 10000 // int(s) if s else 0
+        for m, s in zip(g["n_media"], g["n_spans"])]
+    return (g.sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in g.columns if c != "lang"}))

@@ -5,6 +5,11 @@ order-insensitive values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 (with query names given, only those entries run)
+
+``--json OUT.json`` (before the sf_dir) additionally writes the full
+sweep as a JSON artifact: {query: {status, rows, secs}} plus a summary
+header — the per-round auditable record of ALL oracled queries, not
+just the driver's 50-query sample.
 """
 
 from __future__ import annotations
@@ -67,7 +72,8 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     return "OK"
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(sf_dir: str, only: list[str] | None = None,
+         json_out: str | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -91,6 +97,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             return 1
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         t0 = time.monotonic()
         try:
@@ -98,26 +105,51 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         except Exception as e:  # noqa: BLE001
             print(f"{name:26s} RAY-ERROR {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"status": f"RAY-ERROR {type(e).__name__}",
+                             "rows": None, "secs": None}
             continue
         dt = time.monotonic() - t0
         if name not in oracles:
             print(f"{name:26s} rows-only  {len(res):7d} rows  {dt:6.1f}s")
+            results[name] = {"status": "rows-only", "rows": len(res),
+                             "secs": round(dt, 2)}
             continue
         try:
             sql_df = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name:26s} SQL-ERROR {type(e).__name__}: {e}")
             failures += 1
+            results[name] = {"status": f"SQL-ERROR {type(e).__name__}",
+                             "rows": len(res), "secs": round(dt, 2)}
             continue
         verdict = compare(name, res, sql_df)
         flag = "" if verdict == "OK" else "  <<< FAIL"
         if verdict != "OK":
             failures += 1
         print(f"{name:26s} {verdict:10s} {len(res):7d} rows  {dt:6.1f}s{flag}")
+        results[name] = {"status": verdict, "rows": len(res),
+                         "secs": round(dt, 2)}
+    if json_out:
+        import json
+        n_sql = sum(1 for r in results.values() if r["status"] == "OK")
+        n_rowsonly = sum(1 for r in results.values()
+                         if r["status"] == "rows-only")
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "n_sql_ok": n_sql, "n_rows_only": n_rowsonly,
+                       "n_failures": failures, "queries": results},
+                      f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {len(results)} queries, "
+              f"{n_sql} OK, {n_rowsonly} rows-only, {failures} failures")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf, only=sys.argv[2:] or None)
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    rc = main(sf, only=argv[1:] or None, json_out=json_out)
     sys.exit(1 if rc else 0)
