@@ -21,3 +21,34 @@ Nothing here calls ``ray.init()``; the caller owns the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def _defuse_fsspec_http_import_race() -> None:
+    """Make concurrent ``ray.data.read_parquet`` calls thread-safe when
+    ``aiohttp`` is absent. Ray's path resolution does ``from
+    fsspec.implementations.http import HTTPFileSystem`` per dataset and
+    catches only ModuleNotFoundError; when two driver threads create
+    datasets at once, the loser of the import race sees the OTHER
+    thread's partially-initialized module and gets a bare ImportError
+    ("cannot import name 'HTTPFileSystem'"), which escapes. Importing
+    once here — and, if the import fails, pinning a stub module with a
+    sentinel HTTPFileSystem class into sys.modules — makes every later
+    import race-free; Ray's isinstance check against the sentinel is
+    simply never true (this engine reads local files only)."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        try:
+            import fsspec.implementations
+        except ImportError:
+            return  # no fsspec at all: Ray's except path handles it
+        stub = types.ModuleType("fsspec.implementations.http")
+        stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules["fsspec.implementations.http"] = stub
+        fsspec.implementations.http = stub
+
+
+_defuse_fsspec_http_import_race()
