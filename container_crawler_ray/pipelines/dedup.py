@@ -445,27 +445,31 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
     (distinct word k-gram shingles; inter/union as BIGINTs; jaccard in
     basis points so the comparison is integer-exact).
 
-    Shape: explode (doc_id, shingle) → groupby(shingle) pair expansion →
-    groupby(pair) count = intersection → join shingle counts (broadcast).
+    Shape: explode (doc_id, shingle, n_sh) — each doc's distinct-shingle
+    COUNT rides along with its rows, so no separate sizes shuffle and no
+    doc-cardinality dict ever forms on the driver → groupby(shingle
+    bucket) pair expansion → groupby(pair bucket) exact reduce, which
+    finishes the jaccard locally (counts are in-row) and emits only its
+    own top-N — the driver merges 64×topn candidate rows, nothing
+    pair-cardinality-sized.
     """
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shingles = [], []
+        ids, shingles, nsh = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
             toks = text.split()
             ss = {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
             ids.extend([doc_id] * len(ss))
             shingles.extend(sorted(ss))
+            nsh.extend([len(ss)] * len(ss))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
-                         "shingle": pa.array(shingles, type=pa.string())})
+                         "shingle": pa.array(shingles, type=pa.string()),
+                         "n_sh": pa.array(nsh, type=pa.int64())})
 
-    sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = sh.groupby("doc_id").aggregate(
-        Count(alias_name="n_shingles")).to_pandas()
-    size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
+    sh = docs.map_batches(explode, batch_format="pyarrow")
 
     # hash-partition shingles into a bounded number of buckets and do a
     # vectorized self-merge per bucket (equal shingles always co-bucket) —
@@ -477,11 +481,12 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pair_counts(g: pd.DataFrame) -> pa.Table:
-        m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]],
-                                           on="shingle")
+        m = g[["shingle", "doc_id", "n_sh"]].merge(
+            g[["shingle", "doc_id", "n_sh"]], on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
-            name="inter_part")
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .agg(inter_part=("shingle", "size"),
+                    na=("n_sh_x", "first"), nb=("n_sh_y", "first")))
         out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
         # single int64 pair key: the second shuffle groups on this (Ray's
         # multi-key aggregate over millions of tiny groups is far slower
@@ -492,8 +497,19 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["a", "b"], as_index=False)["inter_part"].sum()
-        return out.rename(columns={"inter_part": "inter"})
+        # every occurrence of a pair lands in THIS bucket, so the reduce
+        # is exact here — finish the jaccard and keep only this bucket's
+        # top-N (a pair outside every bucket top-N cannot be in the
+        # global top-N)
+        out = (g.groupby(["a", "b"], as_index=False)
+               .agg(inter=("inter_part", "sum"), na=("na", "first"),
+                    nb=("nb", "first")))
+        out["union_n"] = out["na"] + out["nb"] - out["inter"]
+        out["jaccard_bp"] = (out["inter"] * 10000
+                             // out["union_n"]).astype("int64")
+        out = out.sort_values(["jaccard_bp", "a", "b"],
+                              ascending=[False, True, True]).head(topn)
+        return out[["a", "b", "inter", "union_n", "jaccard_bp"]]
 
     pair_counts = (
         sh.map_batches(bucketize, batch_format="pyarrow")
@@ -507,17 +523,11 @@ def ngram_top_pairs(sf_dir: str, k: int = 3, topn: int = 20) -> pd.DataFrame:
                              "jaccard_bp": []}).astype(
             {"a": "int64", "b": "int64", "inter": "int64",
              "union_n": "int64", "jaccard_bp": "int64"})
-    pair_counts["union_n"] = [
-        size_map[a] + size_map[b] - i
-        for a, b, i in zip(pair_counts["a"], pair_counts["b"],
-                           pair_counts["inter"])
-    ]
-    pair_counts["jaccard_bp"] = (
-        pair_counts["inter"] * 10000 // pair_counts["union_n"]).astype("int64")
     pair_counts = pair_counts.sort_values(
         ["jaccard_bp", "a", "b"], ascending=[False, True, True]).head(topn)
     return pair_counts.reset_index(drop=True).astype(
-        {"a": "int64", "b": "int64", "inter": "int64", "union_n": "int64"})
+        {"a": "int64", "b": "int64", "inter": "int64", "union_n": "int64",
+         "jaccard_bp": "int64"})
 
 
 def embedding_dup_pairs(sf_dir: str, tau_bp: int = 4000,
