@@ -1116,14 +1116,16 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
     companion to :func:`ngram_top_pairs`: score =
     ``inter·10⁴ // min(|A|, |B|)``, which catches a small document
     quoted INSIDE a large one that Jaccard dilutes away (the
-    quote/excerpt detector). Same cluster shape as the Jaccard op:
-    shingle explode → 256-way hash-bucket self-merge → bucketed pair
-    reduce; only the final score differs."""
+    quote/excerpt detector). Same cluster shape as the Jaccard op —
+    per-doc counts ride with the exploded rows (no sizes shuffle, no
+    doc-cardinality driver dict), the in-bucket reduce finishes the
+    score locally and emits only its top-N; only the score formula
+    differs."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
-        ids, shingles = [], []
+        ids, shingles, nsh = [], [], []
         for doc_id, text in zip(t.column("doc_id").to_pylist(),
                                 t.column("text").to_pylist()):
             toks = text.split()
@@ -1131,14 +1133,13 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
                   for i in range(len(toks) - k + 1)}
             ids.extend([doc_id] * len(ss))
             shingles.extend(sorted(ss))
+            nsh.extend([len(ss)] * len(ss))
         return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                          "shingle": pa.array(shingles,
-                                             type=pa.string())})
+                                             type=pa.string()),
+                         "n_sh": pa.array(nsh, type=pa.int64())})
 
-    sh = docs.map_batches(explode, batch_format="pyarrow").materialize()
-    sizes = sh.groupby("doc_id").aggregate(
-        Count(alias_name="n_shingles")).to_pandas()
-    size_map = dict(zip(sizes["doc_id"], sizes["n_shingles"]))
+    sh = docs.map_batches(explode, batch_format="pyarrow")
 
     def bucketize(t: pa.Table) -> pa.Table:
         from ..functions.hashing import hash64_many
@@ -1147,19 +1148,27 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
         return t.append_column("bucket", pa.array(b))
 
     def bucket_pair_counts(g: pd.DataFrame) -> pa.Table:
-        m = g[["shingle", "doc_id"]].merge(g[["shingle", "doc_id"]],
-                                           on="shingle")
+        m = g[["shingle", "doc_id", "n_sh"]].merge(
+            g[["shingle", "doc_id", "n_sh"]], on="shingle")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
-            name="inter_part")
+        out = (m.groupby(["doc_id_x", "doc_id_y"], as_index=False)
+               .agg(inter_part=("shingle", "size"),
+                    na=("n_sh_x", "first"), nb=("n_sh_y", "first")))
         out = out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
         out["pbucket"] = ((out["a"] * 1000003 + out["b"]) % 64) \
             .astype("int32")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(["a", "b"], as_index=False)["inter_part"].sum()
-        return out.rename(columns={"inter_part": "inter"})
+        out = (g.groupby(["a", "b"], as_index=False)
+               .agg(inter=("inter_part", "sum"), na=("na", "first"),
+                    nb=("nb", "first")))
+        out["min_n"] = np.minimum(out["na"], out["nb"])
+        out["containment_bp"] = (out["inter"] * 10000
+                                 // out["min_n"]).astype("int64")
+        out = out.sort_values(["containment_bp", "a", "b"],
+                              ascending=[False, True, True]).head(topn)
+        return out[["a", "b", "inter", "min_n", "containment_bp"]]
 
     pc_ = (sh.map_batches(bucketize, batch_format="pyarrow")
            .groupby("bucket").map_groups(bucket_pair_counts,
@@ -1173,15 +1182,11 @@ def ngram_containment_pairs(sf_dir: str, k: int = 3,
              "containment_bp": []}).astype(
                  {"a": "int64", "b": "int64", "inter": "int64",
                   "min_n": "int64", "containment_bp": "int64"})
-    pc_["min_n"] = [min(size_map[a], size_map[b])
-                    for a, b in zip(pc_["a"], pc_["b"])]
-    pc_["containment_bp"] = (pc_["inter"] * 10000
-                             // pc_["min_n"]).astype("int64")
     pc_ = pc_.sort_values(["containment_bp", "a", "b"],
                           ascending=[False, True, True]).head(topn)
     return pc_.reset_index(drop=True).astype(
         {"a": "int64", "b": "int64", "inter": "int64",
-         "min_n": "int64"})
+         "min_n": "int64", "containment_bp": "int64"})
 
 
 def _lead_pair_derive(t: pa.Table, elo: np.ndarray) -> pa.Table:
