@@ -613,30 +613,42 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
         batch_format="pyarrow",
     )
     # Seen marks are WRITE-AHEAD-LOGGED then bulk-applied from the driver
-    # BEFORE fetch — not an inline pipeline stage. The politeness groupby
-    # is already a barrier, and the scheduled set is bounded
-    # (P×items_chunk+|retry|), so the extra materialize is cheap; in
-    # exchange, a crash at ANY point after the first mark leaves a durable
-    # record of exactly which hashes were (about to be) marked, and the
-    # resume path deletes exactly them from the shared shards — closing
-    # the old caveat where a
-    # mid-pass engine crash left uncommitted marks on shared shards and
-    # its replayed rows were dropped as "seen" (lost docs). Bulk driver
-    # apply also removes per-batch shard RPCs from the fetch path.
+    # — not an inline pipeline stage. The politeness groupby is already a
+    # barrier and the scheduled set is bounded (P×items_chunk+|retry|),
+    # so the extra materialize is cheap; in exchange, a crash at ANY
+    # point after the first mark leaves a durable record of exactly
+    # which hashes were (about to be) marked, and the resume path
+    # deletes exactly them from the shared shards — closing the old
+    # caveat where a mid-pass engine crash left uncommitted marks on
+    # shared shards and its replayed rows were dropped as "seen" (lost
+    # docs). Bulk driver apply also removes per-batch shard RPCs from
+    # the fetch path. WAL-then-mark runs on a DRIVER THREAD overlapped
+    # with the fetch stage: nothing in the fetch path reads the seen
+    # set, and the one consumer that does (the discovered-link probe in
+    # the flat branch) only starts after the fetch materialize, by
+    # which point the thread has been joined. The WAL write strictly
+    # precedes the first contains_add inside the thread, preserving the
+    # crash invariant.
     pipe = pipe.materialize()
-    sched_hashes = np.concatenate([
-        b.column("url_hash").to_numpy().astype(np.uint64)[
-            (pc.equal(b.column("sched"), "scheduled").to_numpy(
-                zero_copy_only=False))
-            & (pc.equal(b.column("src"), "scan").to_numpy(
-                zero_copy_only=False))]
-        for b in pipe.iter_batches(batch_format="pyarrow",
-                                   batch_size=None)] or
-        [np.zeros(0, dtype=np.uint64)])
-    store.append_fragment(
-        "marks", pa.table({"url_hash": pa.array(sched_hashes)}),
-        pass_id, tag=_etag(cfg, "marks"))
-    state.seen.contains_add(sched_hashes)
+
+    def _wal_and_mark():
+        sched_hashes = np.concatenate([
+            b.column("url_hash").to_numpy().astype(np.uint64)[
+                (pc.equal(b.column("sched"), "scheduled").to_numpy(
+                    zero_copy_only=False))
+                & (pc.equal(b.column("src"), "scan").to_numpy(
+                    zero_copy_only=False))]
+            for b in pipe.iter_batches(batch_format="pyarrow",
+                                       batch_size=None)] or
+            [np.zeros(0, dtype=np.uint64)])
+        store.append_fragment(
+            "marks", pa.table({"url_hash": pa.array(sched_hashes)}),
+            pass_id, tag=_etag(cfg, "marks"))
+        state.seen.contains_add(sched_hashes)
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+    _mark_pool = _TPE(max_workers=1)
+    mark_fut = _mark_pool.submit(_wal_and_mark)
     # Even out the post-shuffle blocks before fetch: the politeness groupby
     # emits one block per host group, so a hot host (Zipf head) would ride
     # into fetch as ONE straggler task. repartition splits the bounded
@@ -664,6 +676,11 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             FetchStage, fn_constructor_args=(handler, cfg.bulk_process),
             concurrency=(1, cfg.workers), **fetch_kwargs,
         ).materialize()
+    # marks must be durable + applied before anything probes the seen
+    # set (the link branch below); in practice the thread finished long
+    # before the fetch did
+    mark_fut.result()
+    _mark_pool.shutdown()
     _mark("probe_sched_fetch")
 
     # ---- three independent consumers of the materialized result run
