@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": analytics.lineitem_weighted_median,
         "part_triple_support": joins.part_triple_support,
         "orders_open_backlog": joins.orders_open_backlog,
+        "supplier_first_touch_share": joins.supplier_first_touch_share,
+        "docs_entropy_rate_by_source":
+            text_ops.docs_entropy_rate_by_source,
         "events_ks_test": analytics.events_ks_test,
         "events_mwu": analytics.events_mwu,
         "key_skew_report": analytics.key_skew_report,
@@ -3257,6 +3260,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p3 AS BIGINT) AS p3,
                    CAST(support AS BIGINT) AS support
             FROM s ORDER BY support DESC, p1, p2, p3 LIMIT 100
+        """,
+        "supplier_first_touch_share": """
+            WITH f AS (SELECT l_orderkey,
+                              FIRST(l_suppkey ORDER BY l_shipdate,
+                                    l_suppkey, l_linenumber) AS sk
+                       FROM lineitem GROUP BY 1),
+            fn AS (SELECT s_nationkey AS nk,
+                          CAST(COUNT(*) AS BIGINT) AS n_first
+                   FROM f JOIN supplier ON sk = s_suppkey GROUP BY 1),
+            ln AS (SELECT s_nationkey AS nk,
+                          CAST(COUNT(*) AS BIGINT) AS n_lines
+                   FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                   GROUP BY 1),
+            m AS (SELECT COALESCE(fn.nk, ln.nk) AS nk,
+                         COALESCE(n_first, 0) AS n_first,
+                         COALESCE(n_lines, 0) AS n_lines
+                  FROM fn FULL JOIN ln ON fn.nk = ln.nk),
+            t AS (SELECT SUM(n_first) AS tf, SUM(n_lines) AS tl FROM m)
+            SELECT n_name, n_first, n_lines,
+                   CAST(n_first * 10000 // tf AS BIGINT)
+                       AS first_share_bp,
+                   CAST(n_lines * 10000 // tl AS BIGINT)
+                       AS line_share_bp,
+                   CAST(CASE WHEN n_lines > 0 AND tf > 0
+                        THEN CAST(n_first AS HUGEINT) * tl * 1000
+                             // (CAST(n_lines AS HUGEINT) * tf)
+                        ELSE 0 END AS BIGINT) AS lift_milli
+            FROM m, t JOIN nation ON nk = n_nationkey
+            ORDER BY n_name
+        """,
+        "docs_entropy_rate_by_source": r"""
+            WITH toks AS (
+              SELECT source, doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text, '\S+'),
+                                         1) AS i
+              FROM documents
+            ), tri AS (
+              SELECT source,
+                     tok || ' ' || lead(tok, 1) OVER win AS ctx,
+                     tok || ' ' || lead(tok, 1) OVER win || ' '
+                         || lead(tok, 2) OVER win AS trig
+              FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tok, 2) OVER win IS NOT NULL
+            ), cc AS (
+              SELECT source, ctx, COUNT(*) AS c FROM tri GROUP BY 1, 2
+            ), tc AS (
+              SELECT source, trig, COUNT(*) AS c FROM tri GROUP BY 1, 2
+            ), sc AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                     CAST(COUNT(*) AS BIGINT) AS n_contexts,
+                     SUM(CASE WHEN c > 1 THEN
+                         CAST(FLOOR(c * ln(c) * 1e6) AS BIGINT)
+                         ELSE 0 END) AS s_ctx
+              FROM cc GROUP BY 1
+            ), st AS (
+              SELECT source,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_trigrams,
+                     SUM(CASE WHEN c > 1 THEN
+                         CAST(FLOOR(c * ln(c) * 1e6) AS BIGINT)
+                         ELSE 0 END) AS s_tri
+              FROM tc GROUP BY 1
+            )
+            SELECT sc.source, n_trigrams, n_contexts,
+                   n_distinct_trigrams,
+                   CAST((s_ctx - s_tri) // n_trigrams AS BIGINT)
+                       AS entropy_rate_micro_nats
+            FROM sc JOIN st USING (source) ORDER BY source
         """,
         "orders_open_backlog": """
             WITH ls AS (SELECT l_orderkey AS ok,

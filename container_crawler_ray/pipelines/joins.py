@@ -4360,3 +4360,96 @@ def region_share_shift(sf_dir: str) -> pd.DataFrame:
         {c: "int64" for c in ("h1_cents", "h2_cents",
                               "h1_share_bps", "h2_share_bps",
                               "shift_milli")})
+
+
+def supplier_first_touch_share(sf_dir: str) -> pd.DataFrame:
+    """FIRST-TOUCH logistics census per supplier nation: for every
+    order, the line that ships FIRST (min shipdate, ties by suppkey
+    then linenumber) names the first-touch supplier; a nation whose
+    first-touch share beats its line share (lift > 1000) starts orders
+    — its suppliers sit early in fulfilment chains — while a lift
+    below 1000 marks a trailing nation whose lines close orders out.
+
+    Shape: lineitem derives (orderkey, ship_day, suppkey, linenumber)
+    → ONE ``orderkey % 64`` exchange → per bucket a lexsort +
+    segment-first picks each order's first line; first-touch counts
+    fold through the dimension-sized supplier->nation LUT (driver
+    read, broadcast by closure); per-nation LINE totals come from a
+    zero-shuffle partial pass. lift_milli is the exact cross-multiplied
+    integer (n_first·total_lines·1000) // (n_lines·total_first) in
+    Python bigints (HUGEINT in the twin)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    order_lut = np.argsort(sk)
+    sk, snk = sk[order_lut], snk[order_lut]
+    names = dict(zip(nat.column("n_nationkey").to_numpy().astype(np.int64),
+                     nat.column("n_name").to_pylist()))
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate", "l_suppkey",
+                           "l_linenumber"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        return pa.table({
+            "o": pa.array(o),
+            "d": t.column("l_shipdate").cast(pa.int64()),
+            "s": pa.array(t.column("l_suppkey").to_numpy()
+                          .astype(np.int64)),
+            "ln": pa.array(t.column("l_linenumber").to_numpy()
+                           .astype(np.int64)),
+            "bucket": pa.array((o % 64).astype(np.int32))})
+
+    def first_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["o"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        s = g["s"].to_numpy(np.int64)
+        ln = g["ln"].to_numpy(np.int64)
+        order = np.lexsort((ln, s, d, o))
+        o, s = o[order], s[order]
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = o[1:] != o[:-1]
+        fs = s[first]
+        nk = snk[np.searchsorted(sk, fs)]
+        u, c = np.unique(nk, return_counts=True)
+        return pd.DataFrame({"nk": u, "n_first": c.astype(np.int64)})
+
+    firsts = (items.map_batches(derive, batch_format="pyarrow")
+              .groupby("bucket").map_groups(first_fold,
+                                            batch_format="pandas")
+              .to_pandas().groupby("nk", as_index=False).sum())
+
+    def line_part(t: pa.Table) -> pa.Table:
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        nk = snk[np.searchsorted(sk, s)]
+        u, c = np.unique(nk, return_counts=True)
+        return pa.table({"nk": pa.array(u),
+                         "n_lines": pa.array(c.astype(np.int64))})
+
+    lines = (_read(sf_dir, "lineitem", columns=["l_suppkey"])
+             .map_batches(line_part, batch_format="pyarrow")
+             .to_pandas().groupby("nk", as_index=False).sum())
+
+    m = firsts.merge(lines, on="nk", how="outer").fillna(0)
+    tf = int(m["n_first"].sum())
+    tl = int(m["n_lines"].sum())
+    rows = []
+    for _, r in m.iterrows():
+        nf, nl = int(r["n_first"]), int(r["n_lines"])
+        lift = (nf * tl * 1000) // (nl * tf) if nl and tf else 0
+        rows.append((names[int(r["nk"])], nf, nl,
+                     nf * 10000 // tf if tf else 0,
+                     nl * 10000 // tl if tl else 0, lift))
+    out = pd.DataFrame(rows, columns=[
+        "n_name", "n_first", "n_lines", "first_share_bp",
+        "line_share_bp", "lift_milli"])
+    return (out.sort_values("n_name", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns if c != "n_name"}))

@@ -775,3 +775,77 @@ def vocab_oov_transfer(sf_dir: str, k: int = 1000) -> pd.DataFrame:
                                  "token_oov_bps", "n_test_types",
                                  "covered_types", "type_oov_bps"]) \
         .astype("int64")
+
+
+def docs_entropy_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Trigram conditional ENTROPY RATE per source — H(w3 | w1 w2) in
+    micro-nats, the compressibility / repetitiveness proxy a mixture
+    spec prices sources by (a low-entropy source is boilerplate; a
+    high-entropy one is diverse text). Exact and order-independent by
+    construction: H = (S_ctx - S_tri) // N where S = sum of
+    floor(c*ln(c)*1e6) over group counts — the per-count terms are
+    floored BEFORE summing (identically in the twin), so float addition
+    order can never flip a bit, and ln comes from libm on both sides.
+
+    Shape: per batch explode (source, ctx="w1 w2", trig="w1 w2 w3") →
+    ONE exchange bucketed by hash(ctx)%64 (a trigram always co-buckets
+    with its context, so both count families are complete in-bucket) →
+    per bucket a pandas double-groupby emits one fixed-width partial
+    row per source; the driver folds |sources| rows."""
+    import math
+
+    import pyarrow.compute as _pc  # noqa: F401
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+        srcs, ctxs, trigs = [], [], []
+        for src, text in zip(t.column("source").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = text.split()
+            for i in range(len(toks) - 2):
+                ctxs.append(toks[i] + " " + toks[i + 1])
+                trigs.append(ctxs[-1] + " " + toks[i + 2])
+                srcs.append(src)
+        b = (hash64_many(ctxs) % np.uint64(64)).astype(np.int32) \
+            if ctxs else np.array([], dtype=np.int32)
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "ctx": pa.array(ctxs, type=pa.string()),
+                         "trig": pa.array(trigs, type=pa.string()),
+                         "bucket": pa.array(b)})
+
+    def _s_of(counts: np.ndarray) -> int:
+        # sum of floor(c*ln(c)*1e6) via a per-unique-count table: counts
+        # repeat heavily and math.log is libm's ln (what DuckDB calls),
+        # keeping both sides bit-identical
+        u, n = np.unique(counts, return_counts=True)
+        return int(sum(int(math.floor(int(c) * math.log(int(c)) * 1e6))
+                       * int(k) for c, k in zip(u, n) if c > 1))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src, sub in g.groupby("source"):
+            cc = sub.groupby("ctx").size().to_numpy()
+            tc = sub.groupby("trig").size().to_numpy()
+            rows.append((src, int(cc.sum()), len(cc), len(tc),
+                         _s_of(cc), _s_of(tc)))
+        return pd.DataFrame(rows, columns=[
+            "source", "n", "n_ctx", "n_trig", "s_ctx", "s_tri"])
+
+    parts = (docs.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby("source", as_index=False).sum()
+    g["entropy_rate_micro_nats"] = [
+        (int(sc) - int(st)) // int(n) if n else 0
+        for sc, st, n in zip(g["s_ctx"], g["s_tri"], g["n"])]
+    out = g.rename(columns={"n": "n_trigrams",
+                            "n_ctx": "n_contexts",
+                            "n_trig": "n_distinct_trigrams"})
+    out = out[["source", "n_trigrams", "n_contexts",
+               "n_distinct_trigrams", "entropy_rate_micro_nats"]]
+    return (out.sort_values("source", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns if c != "source"}))
