@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_weighted_median": analytics.lineitem_weighted_median,
         "part_triple_support": joins.part_triple_support,
         "orders_open_backlog": joins.orders_open_backlog,
+        "order_ship_sync_census": joins.order_ship_sync_census,
+        "source_js_divergence_matrix":
+            text_ops.source_js_divergence_matrix,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
         "docs_entropy_rate_by_source":
             text_ops.docs_entropy_rate_by_source,
@@ -3260,6 +3263,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(p3 AS BIGINT) AS p3,
                    CAST(support AS BIGINT) AS support
             FROM s ORDER BY support DESC, p1, p2, p3 LIMIT 100
+        """,
+        "order_ship_sync_census": """
+            WITH l AS (SELECT l_orderkey AS o,
+                              epoch_us(l_shipdate) // 86400000000 AS d
+                       FROM lineitem),
+            per AS (SELECT o, CAST(COUNT(*) AS BIGINT) AS m FROM l
+                    GROUP BY 1),
+            sd AS (SELECT o, SUM(c * (c - 1) // 2) AS sdp
+                   FROM (SELECT o, d, CAST(COUNT(*) AS BIGINT) AS c
+                         FROM l GROUP BY 1, 2) GROUP BY 1)
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS n_pairs,
+                   CAST(SUM(sdp) AS BIGINT) AS n_same_day,
+                   CAST(SUM(sdp) * 10000
+                        // SUM(m * (m - 1) // 2) AS BIGINT) AS sync_bp
+            FROM per JOIN sd USING (o)
+            WHERE m >= 2 GROUP BY 1 ORDER BY 1
+        """,
+        "source_js_divergence_matrix": r"""
+            WITH tok AS (
+              SELECT source, unnest(regexp_extract_all(text, '\S+'))
+                  AS tok
+              FROM documents
+            ), c AS (
+              SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+              FROM tok GROUP BY 1, 2
+            ), n AS (
+              SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c
+              GROUP BY 1
+            ), p AS (
+              SELECT a.source AS sa, a.n AS na, b.source AS sb,
+                     b.n AS nb
+              FROM n a, n b WHERE a.source < b.source
+            ), u AS (
+              SELECT DISTINCT p.sa, p.sb, p.na, p.nb, c.tok
+              FROM p JOIN c ON c.source = p.sa OR c.source = p.sb
+            ), t2 AS (
+              SELECT u.sa, u.sb, u.na, u.nb,
+                     COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+              FROM u
+              LEFT JOIN c ca ON ca.source = u.sa AND ca.tok = u.tok
+              LEFT JOIN c cb ON cb.source = u.sb AND cb.tok = u.tok
+            ), terms AS (
+              SELECT sa, sb, MAX(na) AS na, MAX(nb) AS nb,
+                     SUM(CASE WHEN ca > 0 THEN
+                         CAST(FLOOR(1000000 * ca *
+                             (ln(2 * ca * nb)
+                              - ln(ca * nb + cb * na))) AS BIGINT)
+                         ELSE 0 END) AS s_a,
+                     SUM(CASE WHEN cb > 0 THEN
+                         CAST(FLOOR(1000000 * cb *
+                             (ln(2 * cb * na)
+                              - ln(ca * nb + cb * na))) AS BIGINT)
+                         ELSE 0 END) AS s_b,
+                     SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1
+                         ELSE 0 END) AS n_common
+              FROM t2 GROUP BY 1, 2
+            )
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST((s_a // na + s_b // nb) // 2 AS BIGINT)
+                       AS js_micro_nats
+            FROM terms ORDER BY 1, 2
         """,
         "supplier_first_touch_share": """
             WITH f AS (SELECT l_orderkey,

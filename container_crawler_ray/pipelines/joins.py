@@ -4453,3 +4453,62 @@ def supplier_first_touch_share(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("n_name", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns if c != "n_name"}))
+
+
+def order_ship_sync_census(sf_dir: str) -> pd.DataFrame:
+    """Fulfilment SYNCHRONIZATION census: among all line PAIRS of an
+    order, how many ship the very same day, banded by order line
+    count — high sync means warehouses consolidate shipments (one box),
+    low sync means dribbled fulfilment (m boxes, m shipping bills).
+    Per band m: orders, total pairs C(m,2)·orders, same-day pairs, and
+    the sync rate in basis points — pair counts computed WITHOUT
+    materializing pairs (sum of C(r,2) over per-(order, day) run
+    lengths, a reduceat over one lexsort per bucket).
+
+    Shape: lineitem derives (orderkey, ship_day) → ONE orderkey % 64
+    exchange → per bucket lexsort + two run-length passes emit one
+    (m, n_orders, n_pairs, n_same_day) partial per band; the driver
+    folds a handful of band rows."""
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    DAY_US = 86_400_000_000
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() // DAY_US
+        return pa.table({"o": pa.array(o), "d": pa.array(d),
+                         "bucket": pa.array((o % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["o"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        order = np.lexsort((d, o))
+        o, d = o[order], d[order]
+        newo = np.empty(len(o), dtype=bool)
+        newo[0] = True
+        newo[1:] = o[1:] != o[:-1]
+        ostarts = np.flatnonzero(newo)
+        m = np.diff(np.append(ostarts, len(o)))
+        newd = newo.copy()
+        newd[1:] |= d[1:] != d[:-1]
+        dstarts = np.flatnonzero(newd)
+        r = np.diff(np.append(dstarts, len(o)))
+        # same-day pairs per order = sum C(r,2) over its day runs
+        sd_runs = r * (r - 1) // 2
+        run_owner = np.searchsorted(ostarts, dstarts, side="right") - 1
+        sd = np.bincount(run_owner, weights=sd_runs,
+                         minlength=len(ostarts)).astype(np.int64)
+        keep = m >= 2
+        df = pd.DataFrame({"m": m[keep],
+                           "pairs": (m[keep] * (m[keep] - 1) // 2),
+                           "sd": sd[keep], "n": 1})
+        out = df.groupby("m", as_index=False).sum()
+        return pd.DataFrame({"m": out["m"], "n_orders": out["n"],
+                             "n_pairs": out["pairs"],
+                             "n_same_day": out["sd"]})
+
+    g = (items.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("m", as_index=False).sum())
+    g["sync_bp"] = (g["n_same_day"] * 10000 // g["n_pairs"]).astype("int64")
+    return (g.sort_values("m", kind="mergesort").reset_index(drop=True)
+            .astype({c: "int64" for c in g.columns}))

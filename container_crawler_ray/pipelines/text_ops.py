@@ -849,3 +849,103 @@ def docs_entropy_rate_by_source(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values("source", kind="mergesort")
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns if c != "source"}))
+
+
+def source_js_divergence_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every two sources — the source-redundancy matrix
+    a mixture spec consults before weighting (a near-zero JS pair is
+    the same corpus twice; a high-JS pair adds diversity). Integer-
+    exact in micro-nats: every per-token log argument is an INTEGER
+    (u = ca*Nb, v = cb*Na, so 2p/(p+q) = 2u/(u+v)), logs come from
+    libm (``math.log`` here, ``ln`` in the twin — bit-identical), and
+    each per-token term is floored BEFORE summing, so no float
+    addition order can flip a bit:
+    js = (S_a//Na + S_b//Nb) // 2,
+    S_a = sum floor(1e6*ca*(ln(2u) - ln(u+v))) over tokens.
+
+    Shape: per-source token totals from a zero-shuffle pre-pass
+    (|sources| rows, captured by closure) → (source, token) explode →
+    ONE hash(token)%64 exchange → per bucket a token×source count
+    pivot and, per source pair, vectorized integer u/v with a
+    libm-log table — emitting one (pair, S_a_part, S_b_part,
+    n_common) partial; the driver folds 64×|pairs| rows."""
+    import math
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+
+    def tok_totals(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "n": [len(s.split()) for s in t.column("text").to_pylist()]})
+        g = df.groupby("source", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (docs.map_batches(tok_totals, batch_format="pyarrow")
+              .to_pandas().groupby("source", as_index=False).sum())
+    N = dict(zip(totals["source"], totals["n"].astype(np.int64)))
+    sources = sorted(N)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_many
+        srcs, toks = [], []
+        for src, text in zip(t.column("source").to_pylist(),
+                             t.column("text").to_pylist()):
+            ws = text.split()
+            srcs.extend([src] * len(ws))
+            toks.extend(ws)
+        b = (hash64_many(toks) % np.uint64(64)).astype(np.int32) \
+            if toks else np.array([], dtype=np.int32)
+        return pa.table({"source": pa.array(srcs, type=pa.string()),
+                         "tok": pa.array(toks, type=pa.string()),
+                         "bucket": pa.array(b)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        import math as _math
+        _libm_log = np.frompyfunc(_math.log, 1, 1)
+        piv = (g.groupby(["tok", "source"]).size().unstack(fill_value=0)
+               .reindex(columns=sources, fill_value=0))
+        cnt = piv.to_numpy(np.int64)
+        rows = []
+        for i, a in enumerate(sources):
+            for j in range(i + 1, len(sources)):
+                b = sources[j]
+                ca, cb = cnt[:, i], cnt[:, j]
+                m = (ca > 0) | (cb > 0)
+                ca, cb = ca[m], cb[m]
+                u = ca * np.int64(N[b])
+                v = cb * np.int64(N[a])
+                luv = _libm_log((u + v).astype(np.float64)) \
+                    .astype(np.float64)
+                sa = sb = 0
+                ma = ca > 0
+                if ma.any():
+                    l2u = _libm_log((2 * u[ma]).astype(np.float64)) \
+                        .astype(np.float64)
+                    sa = int(np.floor(
+                        (1000000 * ca[ma]).astype(np.float64)
+                        * (l2u - luv[ma])).sum())
+                mb = cb > 0
+                if mb.any():
+                    l2v = _libm_log((2 * v[mb]).astype(np.float64)) \
+                        .astype(np.float64)
+                    sb = int(np.floor(
+                        (1000000 * cb[mb]).astype(np.float64)
+                        * (l2v - luv[mb])).sum())
+                rows.append((a, b, int((ma & mb).sum()), sa, sb))
+        return pd.DataFrame(rows, columns=["source_a", "source_b",
+                                           "n_common", "s_a", "s_b"])
+
+    parts = (docs.map_batches(explode, batch_format="pyarrow")
+             .groupby("bucket").map_groups(fold, batch_format="pandas")
+             .to_pandas())
+    g = parts.groupby(["source_a", "source_b"], as_index=False).sum()
+    g["js_micro_nats"] = [
+        (int(sa) // int(N[a]) + int(sb) // int(N[b])) // 2
+        for a, b, sa, sb in zip(g["source_a"], g["source_b"],
+                                g["s_a"], g["s_b"])]
+    out = g[["source_a", "source_b", "n_common", "js_micro_nats"]]
+    return (out.sort_values(["source_a", "source_b"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_common": "int64", "js_micro_nats": "int64"}))
