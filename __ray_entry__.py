@@ -766,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count_parts": graph.triangle_count_parts,
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
+        "dedup_keep_best": analytics.dedup_keep_best,
         "ngram_top_pairs": dedup.ngram_top_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
         "dup_ngram_spans": dedup.dup_ngram_spans,
@@ -777,6 +778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": dedup.simhash_docs,               # golden oracle
         # similarity search
         "knn_bruteforce": ann.knn_bruteforce,
+        "embedding_mmr_topk": ann.embedding_mmr_topk,     # golden oracle
         "knn_lsh": ann.knn_lsh,                           # golden oracle
         "knn_ivf": ann.knn_ivf,                           # golden oracle
         "knn_ivfpq": ann.knn_ivfpq,                       # golden oracle
@@ -838,12 +840,22 @@ def oracle_sql() -> dict[str, str]:
                       "strip_dup_windows", "part_components",
                       "events_weighted_sample", "docs_compression_ratio",
                       "events_entropy_per_user", "bpe_merges",
-                      "events_value_ewma", "part_kcore"]
+                      "events_value_ewma", "part_kcore",
+                      "embedding_mmr_topk"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
     }
     return goldens | {
+        "dedup_keep_best": """
+            SELECT FIRST(doc_id ORDER BY source, doc_id) AS keep_id,
+                   FIRST(source ORDER BY source, doc_id)
+                       AS keep_source,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+            FROM documents GROUP BY substr(text, 1, 80)
+            HAVING COUNT(*) >= 2 ORDER BY keep_id
+        """,
         "docs_per_lang": """
             SELECT lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -770,3 +770,68 @@ def embedding_knn_confusion(sf_dir: str, stride: int = 4) \
                     for _, r in g.iterrows()]
     return g.rename(columns={"t": "true_label",
                              "p": "pred_label"}).astype("int64")
+
+
+def embedding_mmr_topk(sf_dir: str, k: int = 20, m_window: int = 256,
+                       lam_milli: int = 700) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance retrieval (Carbonell & Goldstein 1998
+    — public paper): the k results most relevant to the query vector
+    (vec_id 0) while penalizing redundancy among themselves —
+    diversity-aware retrieval, the dedup-at-query-time companion to the
+    corpus-side near-dup ops. Spec (what the golden reimplements):
+    candidates are the top ``m_window`` by query cosine (the rerank
+    window every production reranker bounds itself to), then greedy
+    selection by score = lam·sim_q − (1000−lam)·max_sim_to_selected,
+    ALL in integer basis points (sims floored to bp first), ties by
+    vec_id — so selection is integer-exact and order-free.
+
+    Shape: one map_batches pass computes per-batch local top-M
+    (same (−bp, id) order as the global merge, vectors carried along);
+    the driver merges to the global M-window — M×d is all it ever
+    holds — and runs the k-step greedy over an M×M bp matrix."""
+    from ..functions.vectors import list_col_to_matrix, normalize_rows
+
+    qids, qmat = _load_queries(sf_dir, 1)
+    qref = ray.put(qmat[0])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        m = normalize_rows(list_col_to_matrix(t.column("embedding")))
+        bp = np.floor((m @ q) * 10000).astype(np.int64)
+        cand = np.flatnonzero(ids != 0)           # exclude the query
+        order = cand[np.lexsort((ids[cand], -bp[cand]))[:m_window]]
+        sub = m[order]
+        nvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(sub.reshape(-1)), sub.shape[1] if len(sub) else 1)
+        return pa.table({"vec_id": pa.array(ids[order]),
+                         "sim_bp": pa.array(bp[order]),
+                         "nvec": nvec})
+
+    local = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"]) \
+        .map_batches(local_top, batch_format="pyarrow").to_pandas()
+    local = local.sort_values(["sim_bp", "vec_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(m_window)
+    ids = local["vec_id"].to_numpy(np.int64)
+    simq = local["sim_bp"].to_numpy(np.int64)
+    V = np.asarray([np.asarray(v, dtype=np.float64)
+                    for v in local["nvec"]])
+    P = np.floor((V @ V.T) * 10000).astype(np.int64)
+
+    lam, mu = lam_milli, 1000 - lam_milli
+    avail = np.ones(len(ids), dtype=bool)
+    maxsel = np.zeros(len(ids), dtype=np.int64)
+    rows = []
+    for rank in range(1, min(k, len(ids)) + 1):
+        score = lam * simq - mu * maxsel
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        rows.append((rank, int(ids[best]), int(simq[best]),
+                     int(score[best])))
+        avail[best] = False
+        maxsel = np.maximum(maxsel, P[best])
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "sim_bp",
+                                       "mmr_score"]) \
+        .astype("int64")

@@ -1141,6 +1141,41 @@ def g_part_kcore(sf_dir: str, k: int = 30) -> pd.DataFrame:
         "core_deg": np.array([r[1] for r in rows], dtype=np.int64)})
 
 
+
+
+def g_embedding_mmr(sf_dir: str, k: int = 20, m_window: int = 256,
+                    lam_milli: int = 700) -> pd.DataFrame:
+    """MMR spec: candidates = global top m_window by floor(cos*1e4) to
+    vec 0 (ties by vec_id), then greedy integer-bp selection."""
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    raw = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(raw, axis=1)
+    n[n == 0] = 1.0
+    mat = raw / n[:, None]
+    q = mat[np.flatnonzero(ids == 0)[0]]
+    bp = np.floor((mat @ q) * 10000).astype(np.int64)
+    cand = np.flatnonzero(ids != 0)
+    order = cand[np.lexsort((ids[cand], -bp[cand]))[:m_window]]
+    cids, simq, V = ids[order], bp[order], mat[order]
+    P = np.floor((V @ V.T) * 10000).astype(np.int64)
+    lam, mu = lam_milli, 1000 - lam_milli
+    avail = np.ones(len(cids), dtype=bool)
+    maxsel = np.zeros(len(cids), dtype=np.int64)
+    rows = []
+    for rank in range(1, min(k, len(cids)) + 1):
+        score = lam * simq - mu * maxsel
+        live = np.flatnonzero(avail)
+        best = live[np.lexsort((cids[live], -score[live]))[0]]
+        rows.append((rank, int(cids[best]), int(simq[best]),
+                     int(score[best])))
+        avail[best] = False
+        maxsel = np.maximum(maxsel, P[best])
+    return pd.DataFrame(rows, columns=["rank", "vec_id", "sim_bp",
+                                       "mmr_score"]).astype("int64")
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1172,6 +1207,7 @@ GOLDENS = {
     "bpe_merges": g_bpe_merges,
     "events_value_ewma": g_events_value_ewma,
     "part_kcore": g_part_kcore,
+    "embedding_mmr_topk": g_embedding_mmr,
 }
 
 
