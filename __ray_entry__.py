@@ -767,6 +767,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (graft training-data ops)
         "dedup_exact": analytics.dedup_exact,
         "dedup_keep_best": analytics.dedup_keep_best,
+        "part_price_tail_index": analytics.part_price_tail_index,
+        "events_type_burst_overlap":
+            analytics.events_type_burst_overlap,
         "ngram_top_pairs": dedup.ngram_top_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
         "dup_ngram_spans": dedup.dup_ngram_spans,
@@ -847,6 +850,50 @@ def oracle_sql() -> dict[str, str]:
         for name in golden_queries
     }
     return goldens | {
+        "part_price_tail_index": """
+            WITH p AS (SELECT p_brand, p_partkey,
+                              CAST(FLOOR(p_retailprice * 100) AS BIGINT)
+                                  AS cents,
+                              ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY CAST(FLOOR(p_retailprice
+                                      * 100) AS BIGINT) DESC, p_partkey)
+                                  AS rk
+                       FROM part),
+            x AS (SELECT p_brand,
+                         MAX(CASE WHEN rk = 51 THEN cents END) AS xk
+                  FROM p GROUP BY 1),
+            t AS (SELECT a.p_brand, MAX(x.xk) AS xk,
+                         SUM(CAST(FLOOR((ln(a.cents) - ln(x.xk)) * 1e6)
+                             AS BIGINT)) AS s
+                  FROM p a JOIN x ON a.p_brand = x.p_brand
+                  WHERE x.xk IS NOT NULL AND a.rk <= 50
+                  GROUP BY 1)
+            SELECT p_brand, CAST(50 AS BIGINT) AS k,
+                   xk AS xmin_cents,
+                   CAST(s // 50 AS BIGINT) AS hill_micro
+            FROM t ORDER BY p_brand
+        """,
+        "events_type_burst_overlap": """
+            WITH m AS (SELECT DISTINCT epoch_us(ts) // 60000000
+                           AS minute, event_type
+                       FROM events),
+            tot AS (SELECT COUNT(DISTINCT minute) AS n_min FROM m),
+            s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM m GROUP BY 1),
+            pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                          CAST(COUNT(*) AS BIGINT) AS n_both
+                   FROM m a JOIN m b ON a.minute = b.minute
+                        AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT ta AS type_a, tb AS type_b, n_both,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(CAST(n_both AS HUGEINT) * n_min * 1000
+                        // (CAST(sa.n AS HUGEINT) * sb.n) AS BIGINT)
+                       AS lift_milli
+            FROM pr JOIN s sa ON sa.event_type = pr.ta
+                 JOIN s sb ON sb.event_type = pr.tb, tot
+            ORDER BY 1, 2
+        """,
         "dedup_keep_best": """
             SELECT FIRST(doc_id ORDER BY source, doc_id) AS keep_id,
                    FIRST(source ORDER BY source, doc_id)
