@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_shipmode_priority": joins.q12_shipmode_priority,
         "lineitem_fingerprint": analytics.lineitem_fingerprint,
         "events_hist_quantiles": analytics.events_hist_quantiles,
+        "events_voptimal_histogram":
+            analytics.events_voptimal_histogram,     # golden oracle
         "events_ntile": analytics.events_ntile,
         "user_active_seconds": analytics.user_active_seconds,
         "user_first_last": analytics.user_first_last,
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_js_divergence_matrix":
             text_ops.source_js_divergence_matrix,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
+        "supplier_backlog_aging": joins.supplier_backlog_aging,
         "docs_entropy_rate_by_source":
             text_ops.docs_entropy_rate_by_source,
         "events_ks_test": analytics.events_ks_test,
@@ -844,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
                       "events_weighted_sample", "docs_compression_ratio",
                       "events_entropy_per_user", "bpe_merges",
                       "events_value_ewma", "part_kcore",
-                      "embedding_mmr_topk"]
+                      "embedding_mmr_topk", "events_voptimal_histogram"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -3385,6 +3388,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((s_a // na + s_b // nb) // 2 AS BIGINT)
                        AS js_micro_nats
             FROM terms ORDER BY 1, 2
+        """,
+        "supplier_backlog_aging": """
+            WITH od AS (SELECT o_orderkey,
+                               epoch_us(o_orderdate) // 86400000000
+                                   AS d
+                        FROM orders),
+            c2 AS (SELECT COUNT(*) AS n FROM od),
+            dsel AS (SELECT d AS dd FROM od ORDER BY d
+                     LIMIT 1 OFFSET (SELECT (n + 1) // 2 - 1 FROM c2)),
+            w AS (SELECT l_suppkey,
+                         (SELECT dd FROM dsel) - od.d AS age,
+                         CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                             AS cents
+                  FROM lineitem l
+                  JOIN od ON l.l_orderkey = od.o_orderkey
+                  WHERE od.d <= (SELECT dd FROM dsel)
+                    AND epoch_us(l.l_shipdate) // 86400000000
+                        > (SELECT dd FROM dsel)),
+            b AS (SELECT s_nationkey AS nk,
+                         CASE WHEN age < 8 THEN '0-7'
+                              WHEN age < 31 THEN '8-30'
+                              WHEN age < 91 THEN '31-90'
+                              ELSE '90+' END AS age_band,
+                         cents
+                  FROM w JOIN supplier ON l_suppkey = s_suppkey)
+            SELECT n_name, age_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM b JOIN nation ON nk = n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "supplier_first_touch_share": """
             WITH f AS (SELECT l_orderkey,

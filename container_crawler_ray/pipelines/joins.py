@@ -4512,3 +4512,123 @@ def order_ship_sync_census(sf_dir: str) -> pd.DataFrame:
     g["sync_bp"] = (g["n_same_day"] * 10000 // g["n_pairs"]).astype("int64")
     return (g.sort_values("m", kind="mergesort").reset_index(drop=True)
             .astype({c: "int64" for c in g.columns}))
+
+
+def supplier_backlog_aging(sf_dir: str) -> pd.DataFrame:
+    """WIP AGING report as of the corpus midpoint: at snapshot day D
+    (the lower-median order day), every line already ORDERED but not
+    yet SHIPPED is open WIP; bucket its age (D − order day) into
+    0–7 / 8–30 / 31–90 / 90+ days per SUPPLIER NATION — the aging
+    table an ops review reads top-to-bottom (old WIP in one nation =
+    a stuck lane). Value carried as exact extended-price cents.
+
+    Shape: D from a bounded day-grid bincount fold (zero shuffle);
+    then ONE ``orderkey % 64`` tagged-union exchange co-partitions
+    order days with line rows; the supplier→nation hop is a
+    dimension LUT inside the fold; output is |nations|×4 rows."""
+    import pyarrow.parquet as pq
+
+    DAY_US = 86_400_000_000
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def day_part(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        u, c = np.unique(d, return_counts=True)
+        return pa.table({"day": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    days = (orders.map_batches(day_part, batch_format="pyarrow")
+            .to_pandas().groupby("day", as_index=False).sum()
+            .sort_values("day"))
+    total = int(days["n"].sum())
+    target = (total + 1) // 2                    # lower median rank
+    D = int(days["day"].to_numpy()[
+        np.searchsorted(np.cumsum(days["n"].to_numpy()), target)])
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sk = sup.column("s_suppkey").to_numpy().astype(np.int64)
+    snk = sup.column("s_nationkey").to_numpy().astype(np.int64)
+    o_ = np.argsort(sk)
+    sk, snk = sk[o_], snk[o_]
+    names = dict(zip(nat.column("n_nationkey").to_numpy().astype(np.int64),
+                     nat.column("n_name").to_pylist()))
+    edges = np.array([8, 31, 91], np.int64)
+    bnames = np.array(["0-7", "8-30", "31-90", "90+"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        o = t.column("o_orderkey").to_numpy().astype(np.int64)
+        d = t.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        m = d <= D
+        o, d = o[m], d[m]
+        return pa.table({
+            "okey": pa.array(o), "v": pa.array(d),
+            "side": pa.array(np.zeros(len(o), np.int8)),
+            "cents": pa.array(np.zeros(len(o), np.int64)),
+            "bucket": pa.array((o % 64).astype(np.int32))})
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        d = t.column("l_shipdate").cast(pa.int64()).to_numpy() // DAY_US
+        s = t.column("l_suppkey").to_numpy().astype(np.int64)
+        cents = np.floor(t.column("l_extendedprice").to_numpy()
+                         * 100.0).astype(np.int64)
+        m = d > D
+        o, s, cents = o[m], s[m], cents[m]
+        return pa.table({
+            "okey": pa.array(o), "v": pa.array(s),
+            "side": pa.array(np.ones(len(o), np.int8)),
+            "cents": pa.array(cents),
+            "bucket": pa.array((o % 64).astype(np.int32))})
+
+    items = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate", "l_suppkey",
+                           "l_extendedprice"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int8)
+        okey = g["okey"].to_numpy(np.int64)
+        v = g["v"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        om = side == 0
+        okeys = okey[om]
+        odays = v[om]
+        oorder = np.argsort(okeys)
+        okeys, odays = okeys[oorder], odays[oorder]
+        lm = np.flatnonzero(side == 1)
+        if len(lm) and len(okeys):
+            pos = np.minimum(np.searchsorted(okeys, okey[lm]),
+                             len(okeys) - 1)
+            hit = okeys[pos] == okey[lm]
+            lm, pos = lm[hit], pos[hit]
+        else:
+            lm = lm[:0]
+            pos = np.zeros(0, np.int64)
+        if len(lm):
+            age = D - odays[pos]
+            band = np.searchsorted(edges, age, side="right")
+            nk = snk[np.searchsorted(sk, v[lm])]
+            df = pd.DataFrame({"nk": nk, "band": band,
+                               "n": 1, "cents": cents[lm]})
+            return df.groupby(["nk", "band"], as_index=False).sum()
+        return pd.DataFrame({"nk": [], "band": [], "n": [],
+                             "cents": []})
+
+    g = (orders.map_batches(o_rows, batch_format="pyarrow")
+         .union(items.map_batches(l_rows, batch_format="pyarrow"))
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas())
+    if g.empty:
+        return pd.DataFrame({"n_name": [], "age_band": [], "n_lines": [],
+                             "value_cents": []})
+    g = g.groupby(["nk", "band"], as_index=False).sum()
+    out = pd.DataFrame({
+        "n_name": [names[int(x)] for x in g["nk"]],
+        "age_band": [str(bnames[int(b)]) for b in g["band"]],
+        "n_lines": g["n"].astype(np.int64),
+        "value_cents": g["cents"].astype(np.int64)})
+    return (out.sort_values(["n_name", "age_band"], kind="mergesort")
+            .reset_index(drop=True)
+            .astype({"n_lines": "int64", "value_cents": "int64"}))

@@ -1176,6 +1176,63 @@ def g_embedding_mmr(sf_dir: str, k: int = 20, m_window: int = 256,
                                        "mmr_score"]).astype("int64")
 
 
+
+
+def g_events_voptimal(sf_dir: str, pre_bins: int = 256,
+                      k: int = 16) -> pd.DataFrame:
+    """Independent straight-line V-optimal DP over the same spec."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["value"])
+    cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+    lo, hi = int(cents.min()), int(cents.max())
+    width = max(1, (hi - lo + pre_bins) // pre_bins)
+    b = np.minimum((cents - lo) // width, pre_bins - 1)
+    c = np.bincount(b, minlength=pre_bins).astype(np.int64)
+    S = [0] * (pre_bins + 1)
+    Q = [0] * (pre_bins + 1)
+    for i in range(pre_bins):
+        S[i + 1] = S[i] + int(c[i])
+        Q[i + 1] = Q[i] + int(c[i]) ** 2
+
+    def cost(a, bb):
+        L = bb - a
+        s = S[bb] - S[a]
+        return L * (Q[bb] - Q[a]) - s * s, L
+
+    best = [[(None, None)] * (pre_bins + 1) for _ in range(k + 1)]
+    back = [[0] * (pre_bins + 1) for _ in range(k + 1)]
+    best[0][0] = (0, 1)
+    for j in range(1, k + 1):
+        for i in range(j, pre_bins + 1):
+            bn = bl = bs = None
+            for s_ in range(j - 1, i):
+                pn, pl = best[j - 1][s_]
+                if pn is None:
+                    continue
+                cn, cl = cost(s_, i)
+                tn, tl = pn * cl + cn * pl, pl * cl
+                if bn is None or tn * bl < bn * tl:
+                    bn, bl, bs = tn, tl, s_
+            if bn is not None:
+                best[j][i] = (bn, bl)
+                back[j][i] = bs
+    bounds = [pre_bins]
+    i, j = pre_bins, k
+    while j > 0:
+        i = back[j][i]
+        bounds.append(i)
+        j -= 1
+    bounds = bounds[::-1]
+    rows = []
+    for seg in range(k):
+        a, bb = bounds[seg], bounds[seg + 1]
+        n, L = cost(a, bb)
+        rows.append((seg, lo + a * width, lo + bb * width,
+                     S[bb] - S[a], (1000 * n) // L))
+    return pd.DataFrame(rows, columns=[
+        "seg", "lo_cents", "hi_cents", "n_rows", "sse_milli"]) \
+        .astype("int64")
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1208,6 +1265,7 @@ GOLDENS = {
     "events_value_ewma": g_events_value_ewma,
     "part_kcore": g_part_kcore,
     "embedding_mmr_topk": g_embedding_mmr,
+    "events_voptimal_histogram": g_events_voptimal,
 }
 
 
