@@ -114,8 +114,26 @@ def main(sf_dir: str, only: list[str] | None = None,
             results[name] = {"status": "rows-only", "rows": len(res),
                              "secs": round(dt, 2)}
             continue
+        sql = oracles[name]
+        # golden-file twins are produced at sf0.01 (the driver's gate
+        # scale). At another SF, use the per-SF golden directory when
+        # tools/make_goldens.py has produced one; otherwise record an
+        # explicit skip (NOT a failure) — the query still ran.
+        if "tests/golden" in sql and "sf0.01" not in sf_dir:
+            sfbase = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+            alt = f"/root/repo/tests/golden/{sfbase}/{name}.parquet"
+            import os
+            if os.path.exists(alt):
+                sql = sql.replace(
+                    f"/root/repo/tests/golden/{name}.parquet", alt)
+            else:
+                print(f"{name:26s} golden@sf0.01-only (ran, "
+                      f"{len(res)} rows, {dt:.1f}s)")
+                results[name] = {"status": "golden-skip",
+                                 "rows": len(res), "secs": round(dt, 2)}
+                continue
         try:
-            sql_df = con.sql(oracles[name]).df()
+            sql_df = con.sql(sql).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name:26s} SQL-ERROR {type(e).__name__}: {e}")
             failures += 1
@@ -134,13 +152,17 @@ def main(sf_dir: str, only: list[str] | None = None,
         n_sql = sum(1 for r in results.values() if r["status"] == "OK")
         n_rowsonly = sum(1 for r in results.values()
                          if r["status"] == "rows-only")
+        n_gskip = sum(1 for r in results.values()
+                      if r["status"] == "golden-skip")
         with open(json_out, "w") as f:
             json.dump({"sf_dir": sf_dir, "n_queries": len(results),
                        "n_sql_ok": n_sql, "n_rows_only": n_rowsonly,
+                       "n_golden_sf001_only": n_gskip,
                        "n_failures": failures, "queries": results},
                       f, indent=1, sort_keys=True)
         print(f"wrote {json_out}: {len(results)} queries, "
-              f"{n_sql} OK, {n_rowsonly} rows-only, {failures} failures")
+              f"{n_sql} OK, {n_rowsonly} rows-only, "
+              f"{n_gskip} golden-skip, {failures} failures")
     return failures
 
 
