@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic hash sampling
         "user_sessions": analytics.user_sessions,
         "events_percentiles": analytics.events_percentiles,
+        "events_median_ci_by_type": analytics.events_median_ci_by_type,
+        "customer_winback_census": analytics.customer_winback_census,
         "user_value_rolling": analytics.user_value_rolling,
         "users_per_event_type": analytics.users_per_event_type,
         "users_per_event_type_hll":
@@ -3053,6 +3055,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns ON s.s_nationkey = ns.n_nationkey
             WHERE p.p_name LIKE '%widget%'
             GROUP BY 1, 2
+        """,
+        "events_median_ci_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(FLOOR(value * 100) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            r AS (SELECT event_type, cents,
+                         ROW_NUMBER() OVER (PARTITION BY event_type
+                             ORDER BY cents) AS rk,
+                         COUNT(*) OVER (PARTITION BY event_type) AS n
+                  FROM v),
+            k AS (SELECT event_type, MAX(n) AS n,
+                         (MAX(n) + 1) // 2 AS k_med,
+                         CAST(FLOOR(0.98 * sqrt(MAX(n))) AS BIGINT)
+                             AS delta
+                  FROM r GROUP BY 1)
+            SELECT r.event_type, CAST(MAX(k.n) AS BIGINT) AS n,
+                   CAST(MAX(CASE WHEN rk = k_med THEN cents END)
+                        AS BIGINT) AS median_cents,
+                   CAST(MAX(CASE WHEN rk = GREATEST(1, k_med - delta)
+                        THEN cents END) AS BIGINT) AS ci_lo_cents,
+                   CAST(MAX(CASE WHEN rk = LEAST(k.n, k_med + delta)
+                        THEN cents END) AS BIGINT) AS ci_hi_cents
+            FROM r JOIN k USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "customer_winback_census": """
+            WITH o AS (SELECT o_custkey AS c,
+                              epoch_us(o_orderdate) // 86400000000
+                                  AS d,
+                              o_orderkey AS k,
+                              CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            s AS (SELECT *, LAG(d) OVER w AS pd,
+                         ROW_NUMBER() OVER w AS rn
+                  FROM o WINDOW w AS (PARTITION BY c ORDER BY d, k)),
+            fg AS (SELECT c, MIN(rn) AS cutrn
+                   FROM s WHERE pd IS NOT NULL AND d - pd >= 180
+                   GROUP BY 1),
+            info AS (SELECT s.c, f.cutrn,
+                            MAX(CASE WHEN rn = cutrn THEN d - pd END)
+                                AS glen
+                     FROM s JOIN fg f ON s.c = f.c GROUP BY 1, 2),
+            agg AS (SELECT i.c,
+                           CASE WHEN glen < 365 THEN '180-365'
+                                ELSE '365+' END AS band,
+                           SUM(CASE WHEN rn < cutrn THEN 1 ELSE 0 END)
+                               AS nb,
+                           SUM(CASE WHEN rn < cutrn THEN cents
+                               ELSE 0 END) AS sb,
+                           SUM(CASE WHEN rn >= cutrn THEN 1 ELSE 0 END)
+                               AS na,
+                           SUM(CASE WHEN rn >= cutrn THEN cents
+                               ELSE 0 END) AS sa
+                    FROM s JOIN info i ON s.c = i.c GROUP BY 1, 2),
+            b AS (SELECT band, CAST(COUNT(*) AS BIGINT)
+                             AS n_customers,
+                         SUM(nb) AS nb, SUM(sb) AS sb,
+                         SUM(na) AS na, SUM(sa) AS sa
+                  FROM agg GROUP BY 1)
+            SELECT band, n_customers,
+                   CAST(sb // nb AS BIGINT) AS mean_before_cents,
+                   CAST(sa // na AS BIGINT) AS mean_after_cents,
+                   CAST(CASE WHEN sb > 0 AND na > 0 THEN
+                        CASE WHEN CAST(sa AS HUGEINT) * nb
+                                  - CAST(sb AS HUGEINT) * na >= 0
+                             THEN (1000 * (CAST(sa AS HUGEINT) * nb
+                                   - CAST(sb AS HUGEINT) * na))
+                                  // (CAST(sb AS HUGEINT) * na)
+                             ELSE -((1000 * (CAST(sb AS HUGEINT) * na
+                                   - CAST(sa AS HUGEINT) * nb))
+                                  // (CAST(sb AS HUGEINT) * na))
+                        END ELSE 0 END AS BIGINT) AS uplift_milli
+            FROM b ORDER BY band
         """,
         "events_percentiles": """
             SELECT event_type,
