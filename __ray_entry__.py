@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": analytics.user_sessions,
         "events_percentiles": analytics.events_percentiles,
         "events_median_ci_by_type": analytics.events_median_ci_by_type,
+        "events_channel_conversion_census":
+            analytics.events_channel_conversion_census,
+        "events_channel_shapley":
+            analytics.events_channel_shapley,         # golden oracle
         "customer_winback_census": analytics.customer_winback_census,
         "user_value_rolling": analytics.user_value_rolling,
         "users_per_event_type": analytics.users_per_event_type,
@@ -849,7 +853,8 @@ def oracle_sql() -> dict[str, str]:
                       "events_weighted_sample", "docs_compression_ratio",
                       "events_entropy_per_user", "bpe_merges",
                       "events_value_ewma", "part_kcore",
-                      "embedding_mmr_topk", "events_voptimal_histogram"]
+                      "embedding_mmr_topk", "events_voptimal_histogram",
+                      "events_channel_shapley"]
     goldens = {
         name: f"SELECT * FROM read_parquet('{gold}/{name}.parquet')"
         for name in golden_queries
@@ -3055,6 +3060,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ns ON s.s_nationkey = ns.n_nationkey
             WHERE p.p_name LIKE '%widget%'
             GROUP BY 1, 2
+        """,
+        "events_channel_conversion_census": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+                              event_type
+                       FROM events),
+            fp AS (SELECT user_id, ts AS pts, event_id AS pid
+                   FROM (SELECT user_id, ts, event_id,
+                                ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+                         FROM e WHERE event_type = 'purchase')
+                   WHERE rn = 1),
+            pre AS (SELECT e.user_id,
+                           CASE WHEN fp.pts IS NULL
+                                OR e.ts < fp.pts
+                                OR (e.ts = fp.pts
+                                    AND e.event_id < fp.pid)
+                           THEN CASE e.event_type
+                                WHEN 'click' THEN 1
+                                WHEN 'error' THEN 2
+                                WHEN 'signup' THEN 4
+                                WHEN 'view' THEN 8 ELSE 0 END
+                           ELSE 0 END AS b,
+                           CASE WHEN fp.pts IS NULL THEN 0 ELSE 1 END
+                               AS conv
+                    FROM e LEFT JOIN fp ON e.user_id = fp.user_id),
+            u AS (SELECT user_id, CAST(bit_or(b) AS BIGINT) AS mask,
+                         MAX(conv) AS conv
+                  FROM pre GROUP BY 1)
+            SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(conv) AS BIGINT) AS n_converted
+            FROM u GROUP BY 1 ORDER BY 1
         """,
         "events_median_ci_by_type": """
             WITH v AS (SELECT event_type,

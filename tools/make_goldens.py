@@ -1233,6 +1233,59 @@ def g_events_voptimal(sf_dir: str, pre_bins: int = 256,
         .astype("int64")
 
 
+
+
+def g_events_channel_shapley(sf_dir: str) -> pd.DataFrame:
+    """Straight-line Shapley attribution: per-user prefix sets by a
+    plain Python scan, exact Fraction arithmetic."""
+    from fractions import Fraction
+    from math import factorial
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id",
+                               "event_type"])
+    df = t.to_pandas()
+    df["ts"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    channels = ("click", "error", "signup", "view")
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    conv = [0] * 16
+    for _uid, g in df.groupby("user_id", sort=False):
+        mask = 0
+        converted = 0
+        for ty in g["event_type"]:
+            if ty == "purchase":
+                converted = 1
+                break
+            mask |= bit.get(ty, 0)
+        if not converted:
+            mask = 0
+            for ty in g["event_type"]:
+                mask |= bit.get(ty, 0)
+        if converted:
+            conv[mask] += 1
+    v = list(conv)
+    for i in range(4):
+        for m in range(16):
+            if m & (1 << i):
+                v[m] += v[m ^ (1 << i)]
+    rows = []
+    for i, ch in enumerate(channels):
+        phi = Fraction(0)
+        for S in range(16):
+            if S & (1 << i):
+                continue
+            s_ = bin(S).count("1")
+            w = Fraction(factorial(s_) * factorial(4 - 1 - s_),
+                         factorial(4))
+            phi += w * (v[S | (1 << i)] - v[S])
+        phi6 = phi * 1_000_000
+        rows.append((ch, phi6.numerator // phi6.denominator))
+    return pd.DataFrame(rows, columns=["event_type", "shapley_micro"]) \
+        .sort_values("event_type").reset_index(drop=True) \
+        .astype({"shapley_micro": "int64"})
+
+
 GOLDENS = {
     "simhash_docs": g_simhash,
     "simhash_dup_pairs": g_simhash_pairs,
@@ -1266,6 +1319,7 @@ GOLDENS = {
     "part_kcore": g_part_kcore,
     "embedding_mmr_topk": g_embedding_mmr,
     "events_voptimal_histogram": g_events_voptimal,
+    "events_channel_shapley": g_events_channel_shapley,
 }
 
 
