@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": analytics.user_sessions,
         "events_percentiles": analytics.events_percentiles,
         "events_median_ci_by_type": analytics.events_median_ci_by_type,
+        "events_type_entropy_rate": analytics.events_type_entropy_rate,
+        "orders_priority_inversion_audit":
+            analytics.orders_priority_inversion_audit,
         "events_channel_conversion_census":
             analytics.events_channel_conversion_census,
         "events_channel_shapley":
@@ -3091,6 +3094,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
                    CAST(SUM(conv) AS BIGINT) AS n_converted
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "events_type_entropy_rate": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+                              event_type
+                       FROM events),
+            s AS (SELECT event_type AS b,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS a
+                  FROM e),
+            c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM s WHERE a IS NOT NULL GROUP BY 1, 2),
+            f AS (SELECT a, SUM(c) AS c FROM c GROUP BY 1),
+            t AS (SELECT (SELECT SUM(c) FROM c) AS n,
+                         (SELECT COUNT(*) FROM c) AS cells,
+                         (SELECT SUM(CASE WHEN c > 1 THEN
+                              CAST(FLOOR(c * ln(c) * 1e6) AS BIGINT)
+                              ELSE 0 END) FROM f) AS sf,
+                         (SELECT SUM(CASE WHEN c > 1 THEN
+                              CAST(FLOOR(c * ln(c) * 1e6) AS BIGINT)
+                              ELSE 0 END) FROM c) AS sp)
+            SELECT CAST(n AS BIGINT) AS n_transitions,
+                   CAST(cells AS BIGINT) AS n_cells,
+                   CAST((sf - sp) // n AS BIGINT)
+                       AS entropy_rate_micro_nats
+            FROM t
+        """,
+        "orders_priority_inversion_audit": """
+            WITH fs AS (SELECT l_orderkey AS ok,
+                               MIN(epoch_us(l_shipdate)
+                                   // 86400000000) AS sd
+                        FROM lineitem GROUP BY 1),
+            o AS (SELECT o_custkey AS c,
+                         epoch_us(o_orderdate) // 86400000000 AS d,
+                         o_orderpriority AS p, sd
+                  FROM orders JOIN fs ON o_orderkey = fs.ok),
+            pr AS (SELECT a.p AS urgent, b.p AS lax,
+                          CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                          CAST(SUM(CASE WHEN a.sd > b.sd THEN 1
+                               ELSE 0 END) AS BIGINT) AS n_inversions
+                   FROM o a JOIN o b ON a.c = b.c AND a.d < b.d
+                        AND a.p < b.p
+                   GROUP BY 1, 2)
+            SELECT urgent, lax, n_pairs, n_inversions,
+                   CAST(n_inversions * 10000 // n_pairs AS BIGINT)
+                       AS inversion_bp
+            FROM pr ORDER BY 1, 2
         """,
         "events_median_ci_by_type": """
             WITH v AS (SELECT event_type,
