@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_ship_sync_census": joins.order_ship_sync_census,
         "source_js_divergence_matrix":
             text_ops.source_js_divergence_matrix,
+        "source_length_ks_matrix": text_ops.source_length_ks_matrix,
+        "order_brand_diversity_curve":
+            joins.order_brand_diversity_curve,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
         "supplier_backlog_aging": joins.supplier_backlog_aging,
         "docs_entropy_rate_by_source":
@@ -3504,6 +3507,49 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(m * (m - 1) // 2) AS BIGINT) AS sync_bp
             FROM per JOIN sd USING (o)
             WHERE m >= 2 GROUP BY 1 ORDER BY 1
+        """,
+        "source_length_ks_matrix": """
+            WITH c AS (SELECT source, n_chars,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1, 2),
+            n AS (SELECT source, SUM(n) AS tot FROM c GROUP BY 1),
+            cgrid AS (SELECT s.source, g.n_chars,
+                             COALESCE(c.n, 0) AS n
+                      FROM (SELECT DISTINCT source FROM documents) s
+                      CROSS JOIN (SELECT DISTINCT n_chars
+                                  FROM documents) g
+                      LEFT JOIN c ON c.source = s.source
+                           AND c.n_chars = g.n_chars),
+            cum AS (SELECT source, n_chars,
+                           SUM(n) OVER (PARTITION BY source
+                               ORDER BY n_chars) AS cum
+                    FROM cgrid),
+            p AS (SELECT a.source AS sa, b.source AS sb,
+                         na.tot AS ta, nb.tot AS tb,
+                         ABS(a.cum * nb.tot - b.cum * na.tot) AS num
+                  FROM cum a
+                  JOIN cum b ON a.n_chars = b.n_chars
+                       AND a.source < b.source
+                  JOIN n na ON na.source = a.source
+                  JOIN n nb ON nb.source = b.source)
+            SELECT sa AS source_a, sb AS source_b,
+                   CAST((1000000 * MAX(num)) // (MAX(ta) * MAX(tb))
+                        AS BIGINT) AS ks_micro
+            FROM p GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "order_brand_diversity_curve": """
+            WITH d AS (SELECT l_orderkey AS o,
+                              CAST(COUNT(*) AS BIGINT) AS m,
+                              CAST(COUNT(DISTINCT p_brand) AS BIGINT)
+                                  AS nb
+                       FROM lineitem
+                       JOIN part ON l_partkey = p_partkey
+                       GROUP BY 1)
+            SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(nb) AS BIGINT) AS sum_distinct_brands,
+                   CAST(SUM(nb) * 1000 // COUNT(*) AS BIGINT)
+                       AS mean_brands_milli
+            FROM d GROUP BY 1 ORDER BY 1
         """,
         "source_js_divergence_matrix": r"""
             WITH tok AS (

@@ -4632,3 +4632,63 @@ def supplier_backlog_aging(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["n_name", "age_band"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"n_lines": "int64", "value_cents": "int64"}))
+
+
+def order_brand_diversity_curve(sf_dir: str) -> pd.DataFrame:
+    """COLLECTOR'S CURVE of basket variety: per order line count m, the
+    exact mean number of DISTINCT part brands in the basket (milli) —
+    a curve hugging y=x means big baskets add variety (range-seeking
+    customers), a flat curve means they repeat one brand (case/bulk
+    buying). Output per m: orders, mean distinct brands.
+
+    Shape: the part→brand hop is a dimension LUT broadcast by closure
+    (partkey-sorted arrays, one searchsorted per batch); ONE
+    ``orderkey % 64`` exchange; per bucket a lexsort + run-length pass
+    counts distinct brands per order without per-order Python."""
+    import pyarrow.parquet as pq
+
+    part_t = pq.read_table(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"])
+    pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+    br = np.asarray(part_t.column("p_brand").to_pylist(), dtype=object)
+    o_ = np.argsort(pk)
+    pk, br = pk[o_], br[o_]
+    codes = {b: i for i, b in enumerate(sorted(set(br.tolist())))}
+    brc = np.array([codes[b] for b in br], dtype=np.int64)
+
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        b = brc[np.searchsorted(pk, p)]
+        return pa.table({"o": pa.array(o), "b": pa.array(b),
+                         "bucket": pa.array((o % 64).astype(np.int32))})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g["o"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        order = np.lexsort((b, o))
+        o, b = o[order], b[order]
+        newo = np.empty(len(o), dtype=bool)
+        newo[0] = True
+        newo[1:] = o[1:] != o[:-1]
+        starts = np.flatnonzero(newo)
+        m = np.diff(np.append(starts, len(o)))
+        newb = newo.copy()
+        newb[1:] |= b[1:] != b[:-1]
+        grp = np.cumsum(newo) - 1
+        nb = np.bincount(grp[newb], minlength=len(starts))
+        df = pd.DataFrame({"m": m.astype(np.int64), "n": 1,
+                           "sb": nb.astype(np.int64)})
+        return df.groupby("m", as_index=False).sum()
+
+    g = (items.map_batches(derive, batch_format="pyarrow")
+         .groupby("bucket").map_groups(fold, batch_format="pandas")
+         .to_pandas().groupby("m", as_index=False).sum())
+    g["mean_brands_milli"] = (g["sb"] * 1000 // g["n"]).astype("int64")
+    out = g.rename(columns={"n": "n_orders",
+                            "sb": "sum_distinct_brands"})
+    return (out.sort_values("m", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns}))

@@ -949,3 +949,55 @@ def source_js_divergence_matrix(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["source_a", "source_b"], kind="mergesort")
             .reset_index(drop=True)
             .astype({"n_common": "int64", "js_micro_nats": "int64"}))
+
+
+def source_length_ks_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Kolmogorov-Smirnov distance between the document-LENGTH
+    distributions of every two sources — the structural companion to
+    ``source_js_divergence_matrix``: two sources can share vocabulary
+    (low JS) yet chunk completely differently (high KS on n_chars), and
+    a mixture spec needs both axes. EXACT integers throughout — KS is
+    max over the length grid of |cum_a*Nb - cum_b*Na|, reported as
+    ks_micro = 1e6 * max_num // (Na*Nb); no floats anywhere.
+
+    Shape: per-batch (source, n_chars) count collapse (bounded grid) →
+    the driver folds a |sources| x |distinct lengths| table, builds
+    per-source cumulative counts with one sort + cumsum, and takes the
+    190 pairwise maxima vectorized."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "n_chars"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t.column("source").to_pylist(),
+            "n_chars": t.column("n_chars").to_numpy()
+            .astype(np.int64), "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["source", "n_chars"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (docs.map_batches(part, batch_format="pyarrow").to_pandas()
+         .groupby(["source", "n_chars"], as_index=False).sum())
+    sources = sorted(g["source"].unique())
+    grid = np.sort(g["n_chars"].unique())
+    cum = {}
+    tot = {}
+    for srate in sources:
+        sub = g[g["source"] == srate]
+        c = np.zeros(len(grid), np.int64)
+        c[np.searchsorted(grid, sub["n_chars"].to_numpy(np.int64))] \
+            = sub["n"].to_numpy(np.int64)
+        cum[srate] = np.cumsum(c)
+        tot[srate] = int(cum[srate][-1])
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            num = int(np.abs(cum[a] * tot[b]
+                             - cum[b] * tot[a]).max())
+            rows.append((a, b,
+                         (1_000_000 * num) // (tot[a] * tot[b])))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                      "ks_micro"])
+    return (out.sort_values(["source_a", "source_b"],
+                            kind="mergesort")
+            .reset_index(drop=True).astype({"ks_micro": "int64"}))
