@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_js_divergence_matrix":
             text_ops.source_js_divergence_matrix,
         "source_length_ks_matrix": text_ops.source_length_ks_matrix,
+        "lang_given_source_entropy":
+            text_ops.lang_given_source_entropy,
         "order_brand_diversity_curve":
             joins.order_brand_diversity_curve,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
@@ -3507,6 +3509,23 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(m * (m - 1) // 2) AS BIGINT) AS sync_bp
             FROM per JOIN sd USING (o)
             WHERE m >= 2 GROUP BY 1 ORDER BY 1
+        """,
+        "lang_given_source_entropy": """
+            WITH c AS (SELECT source, lang,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM documents GROUP BY 1, 2),
+            s AS (SELECT source, SUM(c) AS n,
+                         CAST(COUNT(*) AS BIGINT) AS n_langs,
+                         SUM(CASE WHEN c > 1 THEN
+                             CAST(FLOOR(c * ln(c) * 1e6) AS BIGINT)
+                             ELSE 0 END) AS s_l
+                  FROM c GROUP BY 1)
+            SELECT source, CAST(n AS BIGINT) AS n_docs, n_langs,
+                   CAST((CASE WHEN n > 1 THEN
+                        CAST(FLOOR(n * ln(n) * 1e6) AS BIGINT)
+                        ELSE 0 END - s_l) // n AS BIGINT)
+                       AS h_micro_nats
+            FROM s ORDER BY source
         """,
         "source_length_ks_matrix": """
             WITH c AS (SELECT source, n_chars,

@@ -1001,3 +1001,45 @@ def source_length_ks_matrix(sf_dir: str) -> pd.DataFrame:
     return (out.sort_values(["source_a", "source_b"],
                             kind="mergesort")
             .reset_index(drop=True).astype({"ks_micro": "int64"}))
+
+
+def lang_given_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Conditional entropy H(lang | source) per source, in micro-nats —
+    how much language routing a source still needs AFTER you know the
+    source: zero means the source is monolingual (route by source tag
+    alone), high means a per-document language-ID pass is mandatory.
+    The proven fixed-point pattern: H_s = (floor-term sum over langs of
+    c*ln(c)) subtracted from N_s*ln(N_s), divided by N_s — libm ln on
+    INTEGER counts, floored before summing, bit-identical in the twin.
+
+    Shape: per-batch (source, lang) count collapse → the driver folds a
+    |sources|x|langs| grid — ZERO shuffle."""
+    import math
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "lang"])
+
+    def part(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": t.column("source").to_pylist(),
+                           "lang": t.column("lang").to_pylist(),
+                           "n": 1})
+        return pa.Table.from_pandas(
+            df.groupby(["source", "lang"], as_index=False).sum(),
+            preserve_index=False)
+
+    g = (docs.map_batches(part, batch_format="pyarrow").to_pandas()
+         .groupby(["source", "lang"], as_index=False).sum())
+    rows = []
+    for src, sub in g.groupby("source"):
+        c = sub["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        s_l = sum(int(math.floor(int(x) * math.log(int(x)) * 1e6))
+                  for x in c if int(x) > 1)
+        s_n = int(math.floor(n * math.log(n) * 1e6)) if n > 1 else 0
+        rows.append((src, n, len(c), (s_n - s_l) // n if n else 0))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "n_langs",
+                                      "h_micro_nats"])
+    return (out.sort_values("source", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({c: "int64" for c in out.columns
+                     if c != "source"}))
