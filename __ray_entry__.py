@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percentiles": analytics.events_percentiles,
         "events_median_ci_by_type": analytics.events_median_ci_by_type,
         "events_type_entropy_rate": analytics.events_type_entropy_rate,
+        "events_transition_dwell": analytics.events_transition_dwell,
         "orders_priority_inversion_audit":
             analytics.orders_priority_inversion_audit,
         "events_channel_conversion_census":
@@ -169,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_ks_matrix": text_ops.source_length_ks_matrix,
         "lang_given_source_entropy":
             text_ops.lang_given_source_entropy,
+        "docs_chunk_straddle_loss":
+            text_ops.docs_chunk_straddle_loss,
         "order_brand_diversity_curve":
             joins.order_brand_diversity_curve,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
@@ -3099,6 +3102,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_users,
                    CAST(SUM(conv) AS BIGINT) AS n_converted
             FROM u GROUP BY 1 ORDER BY 1
+        """,
+        "docs_chunk_straddle_loss": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text,
+                         '\S+'), 1) AS i
+              FROM documents
+            ), o AS (
+              SELECT doc_id, i, LENGTH(tok) AS len,
+                     COALESCE(SUM(LENGTH(tok) + 1) OVER (
+                         PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS off
+              FROM toks
+            ), tri AS (
+              SELECT off AS s,
+                     LEAD(off, 2) OVER w + LEAD(len, 2) OVER w - 1
+                         AS e
+              FROM o WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY LEAD(off, 2) OVER w IS NOT NULL
+            ), l AS (
+              SELECT w.window_chars,
+                     CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+                     CAST(SUM(CASE WHEN s // w.window_chars
+                              <> e // w.window_chars
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_straddling
+              FROM tri, (SELECT unnest([128, 512]) AS window_chars) w
+              GROUP BY 1
+            )
+            SELECT CAST(window_chars AS BIGINT) AS window_chars,
+                   n_trigrams, n_straddling,
+                   CAST(n_straddling * 10000 // n_trigrams AS BIGINT)
+                       AS loss_bp
+            FROM l ORDER BY 1
+        """,
+        "events_transition_dwell": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+                              event_type
+                       FROM events),
+            s AS (SELECT event_type AS b,
+                         LAG(event_type) OVER w AS a,
+                         (ts - LAG(ts) OVER w) // 1000000 AS sec
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                      ORDER BY ts, event_id)),
+            t AS (SELECT a, b, sec FROM s WHERE a IS NOT NULL),
+            r AS (SELECT a, b, sec,
+                         ROW_NUMBER() OVER (PARTITION BY a, b
+                             ORDER BY sec) AS rk,
+                         COUNT(*) OVER (PARTITION BY a, b) AS n,
+                         SUM(sec) OVER (PARTITION BY a, b) AS tot
+                  FROM t)
+            SELECT a AS from_type, b AS to_type,
+                   CAST(MAX(n) AS BIGINT) AS n_transitions,
+                   CAST((1000 * MAX(tot)) // MAX(n) AS BIGINT)
+                       AS mean_gap_milli_sec,
+                   CAST(MAX(CASE WHEN rk = (n + 1) // 2 THEN sec END)
+                        AS BIGINT) AS p50_gap_sec
+            FROM r GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "events_type_entropy_rate": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,

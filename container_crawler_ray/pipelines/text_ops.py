@@ -1043,3 +1043,65 @@ def lang_given_source_entropy(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True)
             .astype({c: "int64" for c in out.columns
                      if c != "source"}))
+
+
+def docs_chunk_straddle_loss(sf_dir: str,
+                             windows: tuple = (128, 512)) -> pd.DataFrame:
+    """CHUNK-BOUNDARY context loss: when documents are cut into fixed
+    ``W``-char windows (the context-window prep every training pipeline
+    runs), what share of TRIGRAM contexts straddles a boundary and is
+    destroyed — the number that decides W against the corpus instead of
+    by convention. Token i's char offset is the cumsum of
+    ``len(token)+1`` (single-space joining); trigram (i..i+2) straddles
+    W iff its first and last char land in different windows. Exact
+    integer shares in bps per W.
+
+    Shape: per-batch vectorized offsets (one cumsum per batch over the
+    flattened token stream) → one fixed-width partial per (batch, W) —
+    ZERO shuffle."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    ws = list(windows)
+
+    def part(t: pa.Table) -> pa.Table:
+        tok_lists = [s.split() for s in t.column("text").to_pylist()]
+        counts = np.fromiter((len(x) for x in tok_lists),
+                             dtype=np.int64, count=len(tok_lists))
+        total = int(counts.sum())
+        if total == 0:
+            z = np.zeros(len(ws) * 2 + 1, np.int64)
+            return pa.table({"v": pa.array([z.tobytes()],
+                                           pa.large_binary())})
+        lens = np.fromiter((len(w) for toks in tok_lists for w in toks),
+                           dtype=np.int64, count=total)
+        cum = np.cumsum(lens + 1) - (lens + 1)   # char start, per doc?
+        # restart offsets at each doc: subtract the doc's base
+        starts = np.cumsum(counts) - counts
+        base = np.repeat(cum[np.minimum(starts, total - 1)], counts)
+        off = cum - base
+        # trigram i spans tokens i..i+2 WITHIN a doc
+        doc_id = np.repeat(np.arange(len(counts)), counts)
+        ok3 = np.zeros(total, dtype=bool)
+        ok3[:-2] = doc_id[:-2] == doc_id[2:]
+        i3 = np.flatnonzero(ok3)
+        s_char = off[i3]
+        e_char = off[i3 + 2] + lens[i3 + 2] - 1
+        out = [len(i3)]
+        for W in ws:
+            strad = int((s_char // W != e_char // W).sum())
+            out.extend([strad, 0])
+        return pa.table({"v": pa.array(
+            [np.array(out, np.int64).tobytes()], pa.large_binary())})
+
+    rows = docs.map_batches(part, batch_format="pyarrow").take_all()
+    v = np.sum([np.frombuffer(r["v"], dtype=np.int64) for r in rows],
+               axis=0)
+    n_tri = int(v[0])
+    out = []
+    for idx, W in enumerate(ws):
+        strad = int(v[1 + idx * 2])
+        out.append((W, n_tri, strad,
+                    strad * 10000 // n_tri if n_tri else 0))
+    return pd.DataFrame(out, columns=["window_chars", "n_trigrams",
+                                      "n_straddling", "loss_bp"]) \
+        .astype("int64")
