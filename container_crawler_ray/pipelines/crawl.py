@@ -915,6 +915,15 @@ def run_pass(store: TableStore, cfg: CrawlConfig, state: CrawlState,
             # one partition. Deterministic (pure function of the
             # committed frontier), so a replayed pass re-derives the
             # identical set; persisted in meta below for resume.
+            # Multi-engine note: each engine detects from its OWN
+            # appends, so engines can transiently disagree on a host's
+            # salted status and the same discovered URL may land in
+            # two partitions (owned by different engines). That breaks
+            # only the co-location assumption of the frontier-append
+            # EXACT dedup — the seen set still dedups at schedule
+            # time, so delivery stays effectively-once (tested by
+            # test_multi_engine_auto_salt_union); the cost is a few
+            # duplicate frontier rows, not duplicate documents.
             if cfg.auto_salt_share_milli > 0:
                 hosts_a, counts_a = np.unique(
                     frag.column("host").to_numpy(zero_copy_only=False),

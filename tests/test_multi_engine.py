@@ -371,3 +371,113 @@ def test_staggered_midpass_kill_loses_nothing(tmp_store):
         f"mid-pass kill lost docs: only-single={len(docsS - docsM)} "
         f"only-multi={len(docsM - docsS)}")
     st0.seen.teardown()
+
+
+def test_multi_engine_auto_salt_union(tmp_store):
+    """Auto-salting in multi-engine mode: each engine detects hot hosts
+    from its OWN appends, so engines can transiently disagree on a
+    host's salted status and the same discovered URL can land in two
+    partitions owned by different engines. The seen set must still make
+    delivery effectively-once: the converged union equals the
+    single-engine crawl (also with auto-salt on) and no doc_id is
+    committed twice."""
+    import collections
+
+    seeds = make_seed_urls(120, n_hosts=4)
+    base = dict(BASE, n_hosts=4, num_partitions=8,
+                auto_salt_share_milli=200, auto_salt_min_rows=4)
+
+    rootS = f"{tmp_store}-salt-single"
+    run_crawl(rootS, CrawlConfig(**base), seed_urls=seeds, max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+
+    rootM = f"{tmp_store}-salt-multi"
+    cfg0 = CrawlConfig(**base, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**base, num_engines=2, engine_index=1)
+    init_run(rootM, cfg0, seeds)
+    s0, st0 = resume_run(rootM, cfg0)
+    s1, st1 = resume_run(rootM, cfg1)
+    idle = 0
+    for _ in range(40):
+        r0 = run_pass(s0, cfg0, st0)
+        r1 = run_pass(s1, cfg1, st1)
+        if (r0["done"] and r1["done"]
+                and r0["retry_size"] == 0 and r1["retry_size"] == 0):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+    # with 4 hosts and a 20% share threshold, detection must fire
+    assert st0.salted_hosts or st1.salted_hosts, "auto-salt never fired"
+    all_docs = [d["doc_id"] for d in _docs(rootM)]
+    dupes = [k for k, v in collections.Counter(all_docs).items()
+             if v > 1]
+    assert not dupes, f"duplicate committed docs: {dupes[:5]}"
+    assert set(all_docs) == docsS, (
+        f"auto-salt broke the union: only-single="
+        f"{len(docsS - set(all_docs))} "
+        f"only-multi={len(set(all_docs) - docsS)}")
+    st0.seen.teardown()
+
+
+def test_three_engine_staggered_kill(tmp_store):
+    """3-engine variant of the mid-pass kill: engine 1 dies after its
+    marks landed on shards owned by all THREE engines; engines 0 and 2
+    keep crawling while it is down. The WAL rollback must clean engine
+    1's torn marks from every shard without touching the survivors'
+    in-flight marks — converged union equals single-engine, no dup."""
+    import collections
+    import os
+
+    seeds = make_seed_urls(120, n_hosts=10)
+    base = dict(BASE, num_partitions=6, seen_shards=3)
+
+    rootS = f"{tmp_store}-k3-single"
+    run_crawl(rootS, CrawlConfig(**base), seed_urls=seeds, max_passes=30)
+    docsS = {d["doc_id"] for d in _docs(rootS)}
+
+    rootM = f"{tmp_store}-k3-multi"
+    cfgs = [CrawlConfig(**base, num_engines=3, engine_index=i)
+            for i in range(3)]
+    init_run(rootM, cfgs[0], seeds)
+    pairs = [list(resume_run(rootM, c)) for c in cfgs]
+    for (st_, s_), c in zip(pairs, cfgs):
+        run_pass(st_, c, s_)
+
+    # engine 1: run pass 2 fully, then roll back its commit point —
+    # detached shard actors keep the torn marks live
+    meta_path = os.path.join(rootM, "meta-e1.json")
+    saved = open(meta_path, "rb").read()
+    run_pass(pairs[1][0], cfgs[1], pairs[1][1])
+    with open(meta_path + ".tmp", "wb") as f:
+        f.write(saved)
+    os.replace(meta_path + ".tmp", meta_path)
+    pairs[1] = None                              # engine 1 is dead
+
+    # survivors keep writing to the shared shards
+    run_pass(pairs[0][0], cfgs[0], pairs[0][1])
+    run_pass(pairs[2][0], cfgs[2], pairs[2][1])
+
+    pairs[1] = list(resume_run(rootM, cfgs[1]))
+    assert pairs[1][1].pass_id == 1
+
+    idle = 0
+    for _ in range(40):
+        rs = [run_pass(s_, c, st_)
+              for (s_, st_), c in zip(pairs, cfgs)]
+        if all(r["done"] and r["retry_size"] == 0 for r in rs):
+            idle += 1
+            if idle >= 2:
+                break
+        else:
+            idle = 0
+    all_docs = [d["doc_id"] for d in _docs(rootM)]
+    dupes = [k for k, v in collections.Counter(all_docs).items()
+             if v > 1]
+    assert not dupes, f"duplicate committed docs: {dupes[:5]}"
+    assert set(all_docs) == docsS, (
+        f"3-engine staggered kill broke the union: "
+        f"only-single={len(docsS - set(all_docs))} "
+        f"only-multi={len(set(all_docs) - docsS)}")
+    pairs[0][1].seen.teardown()
