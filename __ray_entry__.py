@@ -61,6 +61,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_ci_by_type": analytics.events_median_ci_by_type,
         "events_type_entropy_rate": analytics.events_type_entropy_rate,
         "events_transition_dwell": analytics.events_transition_dwell,
+        "events_self_transition_stickiness":
+            analytics.events_self_transition_stickiness,
+        "customer_seasonal_habit": analytics.customer_seasonal_habit,
         "orders_priority_inversion_audit":
             analytics.orders_priority_inversion_audit,
         "events_channel_conversion_census":
@@ -172,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             text_ops.lang_given_source_entropy,
         "docs_chunk_straddle_loss":
             text_ops.docs_chunk_straddle_loss,
+        "token_position_drift": text_ops.token_position_drift,
         "order_brand_diversity_curve":
             joins.order_brand_diversity_curve,
         "supplier_first_touch_share": joins.supplier_first_touch_share,
@@ -3138,6 +3142,107 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_straddling * 10000 // n_trigrams AS BIGINT)
                        AS loss_bp
             FROM l ORDER BY 1
+        """,
+        "token_position_drift": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS tok,
+                     generate_subscripts(regexp_extract_all(text,
+                         '\S+'), 1) - 1 AS i
+              FROM documents
+            ), nd AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks
+              GROUP BY 1
+            ), top AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_total
+              FROM toks GROUP BY 1
+              ORDER BY n_total DESC, tok LIMIT 30
+            ), pos AS (
+              SELECT t.tok, (1000 * t.i) // (nd.n - 1) AS rel
+              FROM toks t
+              JOIN nd USING (doc_id)
+              JOIN top ON top.tok = t.tok
+              WHERE nd.n >= 2
+            )
+            SELECT top.tok, top.n_total,
+                   CAST(COUNT(p.rel) AS BIGINT) AS n_positioned,
+                   CAST(CASE WHEN COUNT(p.rel) > 0
+                        THEN SUM(p.rel) // COUNT(p.rel)
+                        ELSE 0 END AS BIGINT) AS mean_relpos_milli
+            FROM top LEFT JOIN pos p ON p.tok = top.tok
+            GROUP BY 1, 2 ORDER BY top.tok
+        """,
+        "events_self_transition_stickiness": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,
+                              event_type
+                       FROM events),
+            s AS (SELECT event_type AS b,
+                         LAG(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS a
+                  FROM e),
+            c AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM s WHERE a IS NOT NULL GROUP BY 1, 2),
+            oc AS (SELECT a, SUM(n) AS n FROM c GROUP BY 1),
+            ic AS (SELECT b, SUM(n) AS n FROM c GROUP BY 1),
+            tot AS (SELECT SUM(n) AS nt FROM c),
+            ty AS (SELECT DISTINCT t FROM
+                   (SELECT a AS t FROM oc
+                    UNION ALL SELECT b FROM ic))
+            SELECT ty.t AS event_type,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_self,
+                   CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_out,
+                   CAST(COALESCE(ic.n, 0) AS BIGINT) AS n_in,
+                   CAST(CASE WHEN COALESCE(oc.n, 0) > 0
+                             AND COALESCE(ic.n, 0) > 0
+                        THEN CAST(COALESCE(d.n, 0) AS HUGEINT)
+                             * nt * 1000
+                             // (CAST(oc.n AS HUGEINT) * ic.n)
+                        ELSE 0 END AS BIGINT) AS stickiness_milli
+            FROM ty
+            LEFT JOIN (SELECT a, n FROM c WHERE a = b) d
+                 ON d.a = ty.t
+            LEFT JOIN oc ON oc.a = ty.t
+            LEFT JOIN ic ON ic.b = ty.t, tot
+            ORDER BY 1
+        """,
+        "customer_seasonal_habit": """
+            WITH o AS (SELECT o_custkey AS c,
+                              CAST(EXTRACT(month FROM o_orderdate)
+                                   AS BIGINT) - 1 AS m
+                       FROM orders),
+            g AS (SELECT c, m, CAST(COUNT(*) AS BIGINT) AS k
+                  FROM o GROUP BY 1, 2),
+            v AS (SELECT c, k,
+                         CASE m WHEN 0 THEN 1000000 WHEN 1 THEN 866025
+                              WHEN 2 THEN 500000 WHEN 3 THEN 0
+                              WHEN 4 THEN -500000 WHEN 5 THEN -866026
+                              WHEN 6 THEN -1000000 WHEN 7 THEN -866026
+                              WHEN 8 THEN -500001 WHEN 9 THEN -1
+                              WHEN 10 THEN 500000 ELSE 866025 END
+                             AS cx,
+                         CASE m WHEN 0 THEN 0 WHEN 1 THEN 499999
+                              WHEN 2 THEN 866025 WHEN 3 THEN 1000000
+                              WHEN 4 THEN 866025 WHEN 5 THEN 499999
+                              WHEN 6 THEN 0 WHEN 7 THEN -500000
+                              WHEN 8 THEN -866026 WHEN 9 THEN -1000000
+                              WHEN 10 THEN -866026 ELSE -500001 END
+                             AS sy_
+                  FROM g),
+            r AS (SELECT c, SUM(k) AS n, SUM(k * cx) AS sx,
+                         SUM(k * sy_) AS sy
+                  FROM v GROUP BY 1 HAVING SUM(k) >= 3),
+            b AS (SELECT CASE WHEN n <= 4 THEN '3-4'
+                              WHEN n <= 8 THEN '5-8'
+                              ELSE '9+' END AS band,
+                         1000 * (CAST(sx AS HUGEINT) * sx
+                                 + CAST(sy AS HUGEINT) * sy)
+                             // (CAST(n AS HUGEINT) * n
+                                 * 1000000000000) AS conc
+                  FROM r)
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(conc) // COUNT(*) AS BIGINT)
+                       AS mean_concentration_milli
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "events_transition_dwell": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id,

@@ -1105,3 +1105,73 @@ def docs_chunk_straddle_loss(sf_dir: str,
     return pd.DataFrame(out, columns=["window_chars", "n_trigrams",
                                       "n_straddling", "loss_bp"]) \
         .astype("int64")
+
+
+def token_position_drift(sf_dir: str, topn: int = 30) -> pd.DataFrame:
+    """POSITIONAL bias of the head vocabulary: for each of the corpus's
+    top-``topn`` tokens, its exact mean RELATIVE position within
+    documents (milli: 0 = always opens the doc, 1000 = always closes
+    it, ~500 = positionally neutral) — boilerplate headers and footers
+    announce themselves here long before any template detector runs.
+    relpos of occurrence i in an n-token doc (n >= 2) is
+    floor(1000*i/(n-1)); single-token docs are excluded.
+
+    Shape: pass 1 finds the top-N tokens (pre-aggregated wordcount,
+    ties on token text); pass 2 broadcasts that set by closure and
+    folds (sum_relpos, n) per head token per batch — ZERO shuffle in
+    pass 2, |topn| output rows."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+
+    def wc(t: pa.Table) -> pa.Table:
+        toks = np.array([w for s in t.column("text").to_pylist()
+                         for w in s.split()], dtype=object)
+        if len(toks) == 0:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        u, c = np.unique(toks, return_counts=True)
+        return pa.table({"tok": pa.array(list(u), type=pa.string()),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (docs.map_batches(wc, batch_format="pyarrow").to_pandas()
+           .groupby("tok", as_index=False).sum()
+           .sort_values(["n", "tok"], ascending=[False, True])
+           .head(topn))
+    head_sorted = np.sort(np.array(list(agg["tok"]), dtype=object))
+    head_counts = dict(zip(agg["tok"], agg["n"].astype(np.int64)))
+
+    def part(t: pa.Table) -> pa.Table:
+        tok_lists = [x.split() for x in t.column("text").to_pylist()]
+        counts = np.fromiter((len(x) for x in tok_lists),
+                             dtype=np.int64, count=len(tok_lists))
+        total = int(counts.sum())
+        s = np.zeros(len(head_sorted), np.int64)
+        c = np.zeros(len(head_sorted), np.int64)
+        if total:
+            flat = np.fromiter((w for ts_ in tok_lists for w in ts_),
+                               dtype=object, count=total)
+            base = np.repeat(np.cumsum(counts) - counts, counts)
+            i = np.arange(total, dtype=np.int64) - base
+            n_rep = np.repeat(counts, counts)
+            m = (n_rep >= 2) & np.isin(flat, head_sorted)
+            if m.any():
+                idx = np.searchsorted(head_sorted, flat[m])
+                rel = (1000 * i[m]) // (n_rep[m] - 1)
+                np.add.at(s, idx, rel)
+                np.add.at(c, idx, 1)
+        return pa.table({"v": pa.array(
+            [np.concatenate([s, c]).tobytes()], pa.large_binary())})
+
+    rows = docs.map_batches(part, batch_format="pyarrow").take_all()
+    v = np.sum([np.frombuffer(r["v"], dtype=np.int64) for r in rows],
+               axis=0)
+    s, c = v[:len(head_sorted)], v[len(head_sorted):]
+    out = pd.DataFrame({
+        "tok": list(head_sorted),
+        "n_total": [int(head_counts[t]) for t in head_sorted],
+        "n_positioned": c.astype(np.int64),
+        "mean_relpos_milli": [int(si) // int(ci) if ci else 0
+                              for si, ci in zip(s, c)]})
+    return (out.sort_values("tok", kind="mergesort")
+            .reset_index(drop=True)
+            .astype({x: "int64" for x in out.columns if x != "tok"}))
