@@ -343,6 +343,39 @@ BENCH_QUERIES = [
     "dead_stock_value", "user_activity_gini",
     "nation_lead_time", "order_size_gap_effect",
     "corpus_grid_fill", "weekend_order_penalty",
+    # round-3 additions
+    "crawl_pass_docs",
+    "curate_dedup",
+    "customer_seasonal_habit",
+    "customer_winback_census",
+    "dedup_keep_best",
+    "docs_chunk_straddle_loss",
+    "docs_entropy_rate_by_source",
+    "docs_top_nchars",
+    "embedding_mmr_topk",
+    "embedding_rp",
+    "events_channel_conversion_census",
+    "events_channel_shapley",
+    "events_median_ci_by_type",
+    "events_self_transition_stickiness",
+    "events_since_watermark",
+    "events_transition_dwell",
+    "events_type_burst_overlap",
+    "events_type_entropy_rate",
+    "events_voptimal_histogram",
+    "frontier_host_stats",
+    "lang_given_source_entropy",
+    "order_brand_diversity_curve",
+    "order_ship_sync_census",
+    "orders_priority_inversion_audit",
+    "part_price_tail_index",
+    "source_js_divergence_matrix",
+    "source_length_ks_matrix",
+    "spans_kind_transitions",
+    "spans_media_density_by_lang",
+    "supplier_backlog_aging",
+    "supplier_first_touch_share",
+    "token_position_drift",
 ]
 
 SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
