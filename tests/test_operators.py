@@ -520,3 +520,71 @@ def test_fk_orphan_bloom_path_exact(ray_session, tmp_path):
         f"read_parquet('{d}/orders.parquet') o "
         f"WHERE o.o_orderkey = l.l_orderkey)").fetchone()[0]
     assert int(via_bloom["n_orphans"].iloc[0]) == truth
+
+
+def test_voptimal_histogram_is_optimal(ray_session):
+    """The distributed DP's total SSE must equal the brute-force
+    optimum over all boundary placements on a small instance (and its
+    buckets must tile the domain)."""
+    from itertools import combinations
+
+    from container_crawler_ray.pipelines.analytics import (
+        events_voptimal_histogram)
+
+    sf = "/root/testdata/sf0.001"
+    k, pre = 4, 12
+    out = events_voptimal_histogram(sf, pre_bins=pre, k=k)
+    assert len(out) == k
+    # contiguous tiling
+    assert (out["lo_cents"].to_numpy()[1:]
+            == out["hi_cents"].to_numpy()[:-1]).all()
+
+    # rebuild the pre-binned counts exactly as the op does
+    t = pq.read_table(f"{sf}/events.parquet", columns=["value"])
+    cents = np.floor(t.column("value").to_numpy() * 100).astype(np.int64)
+    lo, hi = int(cents.min()), int(cents.max())
+    width = max(1, (hi - lo + pre) // pre)
+    c = np.bincount(np.minimum((cents - lo) // width, pre - 1),
+                    minlength=pre).astype(np.int64)
+
+    def sse(a, b):
+        seg = c[a:b].astype(np.float64)
+        return float(((seg - seg.mean()) ** 2).sum())
+
+    best = min(
+        sum(sse(a, b) for a, b in zip((0,) + bs, bs + (pre,)))
+        for bs in combinations(range(1, pre), k - 1))
+    got = float(out["sse_milli"].sum()) / 1000.0
+    assert abs(got - best) < 1e-6 + 1e-9 * abs(best) + 0.004 * k, \
+        f"DP not optimal: got {got}, brute force {best}"
+
+
+def test_mmr_diversity_property(ray_session):
+    """MMR with a redundancy penalty must pick a MORE diverse set than
+    pure top-k (lower mean pairwise similarity), while every pick stays
+    inside the rerank window."""
+    from container_crawler_ray.pipelines.ann import embedding_mmr_topk
+
+    sf = "/root/testdata/sf0.001"
+    pure = embedding_mmr_topk(sf, k=10, lam_milli=1000)  # no penalty
+    mmr = embedding_mmr_topk(sf, k=10, lam_milli=500)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy().astype(np.int64)
+    m = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1
+    m = m / n[:, None]
+
+    def mean_pair_sim(sel):
+        idx = [int(np.flatnonzero(ids == v)[0]) for v in sel]
+        sub = m[idx]
+        s = sub @ sub.T
+        iu = np.triu_indices(len(idx), 1)
+        return float(s[iu].mean())
+
+    assert mean_pair_sim(mmr["vec_id"]) \
+        <= mean_pair_sim(pure["vec_id"]) + 1e-12
+    # lam=1000 degenerates to pure query-sim order
+    assert (np.diff(pure["sim_bp"].to_numpy()) <= 0).all()
