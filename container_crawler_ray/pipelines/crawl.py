@@ -63,6 +63,16 @@ from ..storage import TableStore
 
 CAND_COLS = [f.name for f in RETRY] + ["src"]
 
+_LOG = __import__("logging").getLogger("container_crawler_ray.crawl")
+
+# mark-WAL retention (passes per engine). The rollback guard reads other
+# engines' retained WALs to avoid erasing a foreign dup-mark (auto-salt
+# transient disagreement); a torn pass can only temporally overlap a
+# foreign pass within a few pass-walls of the commit frontier, so a
+# small window suffices — and bounds the on-disk WAL footprint that
+# previously grew without bound.
+_MARK_WAL_KEEP = 4
+
 
 @dataclass
 class CrawlState:
@@ -292,16 +302,64 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
         # contains_add). Delete them from ALL shards — live ones hold
         # the torn marks directly; freshly-restored foreign snapshots
         # may also contain them (a foreign commit can postdate the torn
-        # marks). Partition ownership guarantees no other engine ever
-        # MARKS these URLs, so the deletes cannot erase a legitimate
-        # foreign mark; the only residual is a hash that overflowed
-        # into a shard's bloom spill tier during the torn window (bloom
-        # cannot delete), reported by the (removed, residual) counts.
+        # marks).
+        #
+        # AUTO-SALT INTERACTION: partition ownership *almost* guarantees
+        # no other engine marks these URLs — the exception is a host
+        # whose salted status the engines transiently disagree on (see
+        # the auto-salt comment at the frontier-append site): the same
+        # discovered URL can then land in two partitions owned by two
+        # engines, both of which schedule+mark it. An unconditional
+        # rollback would erase the survivor's legitimate mark (possibly
+        # backing a committed document) and re-permit a duplicate
+        # fetch. Guard: intersect the torn WAL against every OTHER
+        # engine's retained mark-WAL fragments (their last
+        # ``_MARK_WAL_KEEP`` committed passes plus any in-flight pass) —
+        # a hash another engine has write-ahead-logged is one it marked
+        # (or is about to mark and will either commit or roll back
+        # itself), so we leave it in place. Residual hazards, accepted
+        # and logged: (1) a hash that overflowed into a shard's bloom
+        # spill tier during the torn window cannot be deleted
+        # (``residual`` count); (2) a cuckoo fingerprint collision can
+        # delete an unrelated key on a shard where the WAL hash is
+        # absent (bounded by the per-shard FPR, and only on crash
+        # paths); (3) a foreign dup-mark older than the WAL retention
+        # window is not protected (the window covers every pass that
+        # can temporally overlap the torn one).
         wal = store.read_fragment("marks", _etag(cfg, "marks"),
                                   state.pass_id + 1)
         if wal is not None and len(wal):
-            state.seen.remove(
-                wal.column("url_hash").to_numpy().astype(np.uint64))
+            torn = wal.column("url_hash").to_numpy().astype(np.uint64)
+            foreign: list[np.ndarray] = []
+            for e in range(cfg.num_engines):
+                if e == cfg.engine_index:
+                    continue
+                m_e = store.read_meta(f"meta-e{e}.json")
+                p_hi = (m_e["pass_id"] if m_e is not None else 0) + 1
+                for q in range(max(0, p_hi - _MARK_WAL_KEEP), p_hi + 1):
+                    fw = store.read_fragment("marks", f"marks-e{e}", q)
+                    if fw is not None and len(fw):
+                        foreign.append(
+                            fw.column("url_hash").to_numpy()
+                            .astype(np.uint64))
+            if foreign:
+                prot = np.isin(torn, np.concatenate(foreign))
+                n_prot = int(prot.sum())
+                torn = torn[~prot]
+            else:
+                n_prot = 0
+            removed, residual = state.seen.remove(torn)
+            _LOG.info(
+                "torn-pass mark rollback (engine %d, pass %d): "
+                "%d WAL hashes, %d removed, %d bloom-residual, "
+                "%d protected by foreign mark-WALs",
+                cfg.engine_index, state.pass_id + 1,
+                len(torn) + n_prot, removed, residual, n_prot)
+        # the WAL is consumed: remove it so a second crash during the
+        # re-run of this pass cannot roll the same marks back twice
+        # (the re-run rewrites its own fresh WAL before marking)
+        store.remove_fragment("marks", _etag(cfg, "marks"),
+                              state.pass_id + 1)
     # track the CURRENT shard-actor name set for crash cleanup
     store.write_meta({"seen_run_id": state.seen.run_id},
                      name="seen_run.json")
@@ -360,6 +418,11 @@ def _write_state_fragments(store: TableStore, cfg: CrawlConfig,
                       ("seen_shards", _etag(cfg, "seen")),
                       ("retry", _etag(cfg, "retry"))):
         store.gc_state_fragments(name, tag, p - 1)
+    # mark-WALs keep a _MARK_WAL_KEEP-pass window (not p-1): the resume
+    # rollback guard reads OTHER engines' recent committed WALs to
+    # protect legitimate foreign dup-marks (auto-salt interaction)
+    store.gc_state_fragments("marks", _etag(cfg, "marks"),
+                             p - _MARK_WAL_KEEP)
 
 
 def _purge_torn_pass(store: TableStore, cfg: CrawlConfig,

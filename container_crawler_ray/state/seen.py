@@ -159,10 +159,16 @@ class SeenSet:
     def remove(self, hashes: np.ndarray,
                only_shards: set[int] | None = None) -> tuple[int, int]:
         """Delete keys from their shards (torn-pass mark rollback),
-        optionally restricted to *only_shards* (the resume path deletes
-        a crashed engine's uncommitted marks from FOREIGN-owned shards
-        only — its own shards roll back via snapshot restore). Returns
-        total (removed, bloom_residual)."""
+        optionally restricted to *only_shards*. The multi-engine resume
+        path calls this with NO shard restriction: it deletes a crashed
+        engine's WAL-logged uncommitted marks from ALL shards — live
+        shards hold the torn marks directly, and freshly-restored
+        foreign snapshots may also contain them (a foreign commit can
+        postdate the torn marks). That is safe because the caller first
+        subtracts hashes present in other engines' retained mark-WALs
+        (the auto-salt dup-mark guard in ``crawl.resume_run``); snapshot
+        restore only hydrates shards whose actors are empty/fresh.
+        Returns total (removed, bloom_residual)."""
         hashes = np.asarray(hashes, dtype=np.uint64)
         if len(hashes) == 0:
             return 0, 0
