@@ -7082,16 +7082,16 @@ def oracle_sql() -> dict[str, str]:
             FROM p ORDER BY 1
         """,
         "f2_ams_audit": """
-            WITH sg AS (SELECT
-                            CASE WHEN CAST(('0x' || substr(md5(
-                                 CAST(l_partkey AS VARCHAR) || '#' ||
-                                 CAST(j.j AS VARCHAR)), 1, 16))
-                                 AS UBIGINT) % 2 = 1
-                            THEN 1 ELSE -1 END AS sgn,
-                            j.j AS j
-                        FROM lineitem,
-                             (SELECT unnest(generate_series(0, 15))
-                                  AS j) j),
+            WITH hv AS (SELECT CAST(('0x' || substr(md5(
+                                 CAST(l_partkey AS VARCHAR)), 1, 16))
+                                 AS UBIGINT) AS h
+                        FROM lineitem),
+            sg AS (SELECT CASE WHEN (h >> j.j) & 1 = 1
+                               THEN 1 ELSE -1 END AS sgn,
+                          j.j AS j
+                   FROM hv,
+                        (SELECT unnest(generate_series(0, 15))
+                             AS j) j),
             es AS (SELECT j, SUM(sgn) AS ss FROM sg GROUP BY 1),
             e2 AS (SELECT ss * ss AS e FROM es),
             r AS (SELECT e, ROW_NUMBER() OVER (ORDER BY e) AS rk

@@ -42,6 +42,36 @@ def hash64_many(strings) -> np.ndarray:
     )
 
 
+def int_keys_md5_u64(a: np.ndarray) -> np.ndarray:
+    """md5-hash64 of each integer key's decimal ASCII form — the shared
+    kernel for every md5-twin site that hashes integer keys (DuckDB
+    parity: ``CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16)) AS
+    UBIGINT)``). One hash per key, and the int→ascii encoding is a
+    single numpy C-loop astype (no per-row ``str(int(x))``), so the
+    only remaining per-row Python is the unavoidable hashlib call."""
+    bs = np.ascontiguousarray(np.asarray(a, dtype=np.int64)).astype("S21")
+    md5 = hashlib.md5
+    fb = int.from_bytes
+    return np.fromiter(
+        (fb(md5(b).digest()[:8], "big") for b in bs.tolist()),
+        dtype=np.uint64, count=len(bs))
+
+
+def int_keys_md5_2x64(a: np.ndarray) -> np.ndarray:
+    """Both 64-bit big-endian halves of md5 of each integer key's
+    decimal ASCII form, as an (n, 2) uint64 array (DuckDB parity:
+    ``substr(md5(...), 1, 16)`` / ``substr(md5(...), 17, 16)``).
+    Same vectorized encoding as :func:`int_keys_md5_u64`."""
+    arr = np.ascontiguousarray(np.asarray(a, dtype=np.int64))
+    bs = arr.astype("S21")
+    md5 = hashlib.md5
+    dig = b"".join(md5(b).digest() for b in bs.tolist())
+    if not len(arr):
+        return np.zeros((0, 2), dtype=np.uint64)
+    return (np.frombuffer(dig, dtype=np.dtype(">u8"))
+            .astype(np.uint64).reshape(-1, 2))
+
+
 def mix64(x: np.ndarray | int):
     """A cheap 64-bit finalizer (splitmix64-style) for deriving secondary
     hashes (cuckoo alt-index, bloom probe seeds) from a primary hash64."""

@@ -13,6 +13,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..functions.hashing import int_keys_md5_u64
 from ..functions.text import text_stats_batch
 
 
@@ -266,7 +267,7 @@ def docs_split_assign(sf_dir: str, train_pct: int = 90,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
-        h = hash64_many([str(i) for i in ids]) >> np.uint64(4)
+        h = int_keys_md5_u64(ids) >> np.uint64(4)
         r = (h % np.uint64(100)).astype(np.int64)
         split = np.where(r < train_pct, "train",
                          np.where(r < train_pct + valid_pct,
@@ -307,8 +308,7 @@ def docs_mixture_sample(sf_dir: str, budget_chars: int = 4000) -> pd.DataFrame:
 
     def tag(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
-        h = (hash64_many([str(i) for i in ids])
-             >> np.uint64(4)).astype(np.int64)
+        h = (int_keys_md5_u64(ids) >> np.uint64(4)).astype(np.int64)
         return pa.table({"source": t.column("source"),
                          "doc_id": t.column("doc_id"),
                          "n_chars": t.column("n_chars"),
@@ -511,7 +511,7 @@ def docs_kfold_assign(sf_dir: str, k: int = 5) -> pd.DataFrame:
 
     def derive(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.int64)
-        h = hash64_many(str(x) for x in ids)
+        h = int_keys_md5_u64(ids)
         return pa.table({"doc_id": pa.array(ids),
                          "lang": t.column("lang"),
                          "n_chars": t.column("n_chars"),
@@ -1227,7 +1227,8 @@ def kfold_balance_audit(sf_dir: str, k: int = 5) -> pd.DataFrame:
     def partial(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy()
         src = np.asarray(t.column("source"), dtype=object)
-        fold = (hash64_many([str(int(x)) for x in did])
+        from ..functions.hashing import int_keys_md5_u64
+        fold = (int_keys_md5_u64(did.astype(np.int64))
                 % np.uint64(k)).astype(np.int64)
         us, inv = np.unique(src, return_inverse=True)
         cell = fold * len(us) + inv

@@ -1398,8 +1398,8 @@ def fold_leakage_audit(sf_dir: str) -> pd.DataFrame:
         .to_pandas()["doc_id"].to_numpy(np.int64))
     el = ids[ids % 5 == 0]
     el_ref = ray.put(el)
-    folds = (hash64_many([str(int(x)) for x in el])
-             % np.uint64(5)).astype(np.int64)
+    from ..functions.hashing import int_keys_md5_u64
+    folds = (int_keys_md5_u64(el) % np.uint64(5)).astype(np.int64)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
                rows_per_block=512)
