@@ -125,6 +125,20 @@ _CC_BUCKETS = 64
 
 _CC_LOCAL_MAX = 100_000
 
+# Driver-resident candidate-pair budget for the LSH pipelines. Below the
+# cap the collision pair list collects to one pandas frame (the deduped
+# web-corpus common case — pairs are bounded by the collision set).
+# Past it — the boilerplate-corpus worst case where one shared band
+# value makes every doc collide, growing pairs quadratically — the pair
+# stream STAYS a Dataset: cross-band dedup runs as a bucketed exchange,
+# verification consumes bounded chunks (one ray.put per chunk), and
+# connected components take the Dataset path of
+# ``_propagate_components``. A warning logs when the cap engages.
+_PAIR_DRIVER_CAP = 2_000_000
+_PAIR_CHUNK = 500_000
+
+_LOG = __import__("logging").getLogger("container_crawler_ray.dedup")
+
 
 def _local_components(edges: pd.DataFrame) -> pd.DataFrame:
     """Min-root union-find for the driver-resident small side — emits
@@ -152,7 +166,7 @@ def _local_components(edges: pd.DataFrame) -> pd.DataFrame:
         "label": np.array([find(n) for n in nodes], dtype=np.int64)})
 
 
-def _propagate_components(edges: pd.DataFrame,
+def _propagate_components(edges: "pd.DataFrame | ray.data.Dataset",
                           max_rounds: int = 8) -> pd.DataFrame:
     """Distributed connected components by iterative min-label propagation
     (the 100 TB path — no driver union-find). Each round is two
@@ -168,38 +182,83 @@ def _propagate_components(edges: pd.DataFrame,
     rounds; near-dup components are dense (cliques from band
     collisions), so 3 rounds is typical.
 
-    Small-side shortcut: the caller's pair list is ALREADY
-    driver-resident (it is collected to broadcast for the verification
-    filter — the bounded-candidate assumption these pipelines state
-    up front), so below ``_CC_LOCAL_MAX`` edges a local min-root
-    union-find resolves the identical labels without paying per-round
-    Ray orchestration (~0.4 s/round) on kilobyte inputs; the
-    distributed rounds engage past the threshold."""
-    if len(edges) <= _CC_LOCAL_MAX:
-        return _local_components(edges)
-    both = pd.DataFrame({
-        "src": np.concatenate([edges["a"].to_numpy(), edges["b"].to_numpy()]),
-        "dst": np.concatenate([edges["b"].to_numpy(), edges["a"].to_numpy()]),
-    }).astype(np.int64)
-    both["bucket"] = (both["src"] % _CC_BUCKETS).astype(np.int32)
-    # rows: kind 0 = label (node,label), kind 1 = edge (node=src, dst),
-    # kind 2 = message (node=dst, label). Edges re-enter every round.
-    ne = len(both)
-    edges_ds = ray.data.from_arrow(pa.table({
-        "node": pa.array(both["src"].to_numpy()),
-        "label": pa.array(np.full(ne, -1, dtype=np.int64)),
-        "dst": pa.array(both["dst"].to_numpy()),
-        "kind": pa.array(np.ones(ne, dtype=np.int8)),
-        "bucket": pa.array(both["bucket"].to_numpy()),
-    })).materialize()
-    nodes = np.unique(both["src"].to_numpy())
-    state = ray.data.from_arrow(pa.table({
-        "node": pa.array(nodes),
-        "label": pa.array(nodes),
-        "dst": pa.array(np.full(len(nodes), -1, dtype=np.int64)),
-        "kind": pa.array(np.zeros(len(nodes), dtype=np.int8)),
-        "bucket": pa.array((nodes % _CC_BUCKETS).astype(np.int32)),
-    }))
+    Small-side shortcut: a driver-resident DataFrame pair list (the
+    bounded-candidate fast path) below ``_CC_LOCAL_MAX`` edges resolves
+    through a local min-root union-find without paying per-round Ray
+    orchestration (~0.4 s/round) on kilobyte inputs; the distributed
+    rounds engage past the threshold. A ``ray.data.Dataset`` edge list
+    (the spill path for uncapped collision sets — boilerplate-heavy
+    corpora) NEVER lands on the driver: the mirrored edge rows and the
+    initial label state are both derived with map_batches/groupby, and
+    only the per-round changed count plus the final (node, label) frame
+    — bounded by the dup-doc count, i.e. output-contract-shaped — come
+    back."""
+    if isinstance(edges, pd.DataFrame):
+        if len(edges) <= _CC_LOCAL_MAX:
+            return _local_components(edges)
+        both = pd.DataFrame({
+            "src": np.concatenate([edges["a"].to_numpy(),
+                                   edges["b"].to_numpy()]),
+            "dst": np.concatenate([edges["b"].to_numpy(),
+                                   edges["a"].to_numpy()]),
+        }).astype(np.int64)
+        both["bucket"] = (both["src"] % _CC_BUCKETS).astype(np.int32)
+        # rows: kind 0 = label (node,label), kind 1 = edge (node=src,
+        # dst), kind 2 = message (node=dst, label). Edges re-enter
+        # every round.
+        ne = len(both)
+        edges_ds = ray.data.from_arrow(pa.table({
+            "node": pa.array(both["src"].to_numpy()),
+            "label": pa.array(np.full(ne, -1, dtype=np.int64)),
+            "dst": pa.array(both["dst"].to_numpy()),
+            "kind": pa.array(np.ones(ne, dtype=np.int8)),
+            "bucket": pa.array(both["bucket"].to_numpy()),
+        })).materialize()
+        nodes = np.unique(both["src"].to_numpy())
+        state = ray.data.from_arrow(pa.table({
+            "node": pa.array(nodes),
+            "label": pa.array(nodes),
+            "dst": pa.array(np.full(len(nodes), -1, dtype=np.int64)),
+            "kind": pa.array(np.zeros(len(nodes), dtype=np.int8)),
+            "bucket": pa.array((nodes % _CC_BUCKETS).astype(np.int32)),
+        }))
+    else:
+        def mirror(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy().astype(np.int64)
+            b = t.column("b").to_numpy().astype(np.int64)
+            src = np.concatenate([a, b])
+            dst = np.concatenate([b, a])
+            return pa.table({
+                "node": pa.array(src),
+                "label": pa.array(np.full(len(src), -1, dtype=np.int64)),
+                "dst": pa.array(dst),
+                "kind": pa.array(np.ones(len(src), dtype=np.int8)),
+                "bucket": pa.array((src % _CC_BUCKETS).astype(np.int32)),
+            })
+
+        edges_ds = edges.map_batches(
+            mirror, batch_format="pyarrow").materialize()
+
+        def node_partial(t: pa.Table) -> pa.Table:
+            u = np.unique(t.column("node").to_numpy())
+            return pa.table({
+                "node": pa.array(u),
+                "bucket": pa.array((u % _CC_BUCKETS).astype(np.int32))})
+
+        def node_fold(g: pd.DataFrame) -> pa.Table:
+            u = np.unique(g["node"].to_numpy(np.int64))
+            return pa.table({
+                "node": pa.array(u),
+                "label": pa.array(u),
+                "dst": pa.array(np.full(len(u), -1, dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(u), dtype=np.int8)),
+                "bucket": pa.array((u % _CC_BUCKETS).astype(np.int32)),
+            })
+
+        state = (edges_ds.map_batches(node_partial,
+                                      batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(node_fold, batch_format="pandas"))
 
     def step(g: pd.DataFrame) -> pd.DataFrame:
         lab = g[g["kind"] == 0]
@@ -236,13 +295,25 @@ def _propagate_components(edges: pd.DataFrame,
                  np.zeros(len(m), dtype=np.int64)])),
         })
 
-    for rnd in range(max_rounds):
+    # run to CONVERGENCE (changed == 0): min-label propagation advances
+    # the min one hop per round, so it needs O(component diameter)
+    # rounds — an unconverged exit silently splits components.
+    # ``max_rounds`` is a soft target; the hard cap below is a runaway
+    # guard sized for near-dup graphs (dense collision cliques have
+    # tiny diameters; a 64-hop chain of pairwise-similar docs is the
+    # pathological end and gets a warning instead of wrong silence)
+    hard_cap = max(max_rounds, 64)
+    for rnd in range(hard_cap):
         new_state = state.union(edges_ds).groupby("bucket").map_groups(
             step, batch_format="pandas").materialize()
         changed = new_state.sum("changed")
         state = new_state.drop_columns(["changed"])
         if rnd > 0 and not changed:
             break
+    else:
+        _LOG.warning(
+            "_propagate_components: labels still changing after %d "
+            "rounds — emitted components may be split", hard_cap)
     out = state.to_pandas()
     out = out[out["kind"] == 0]
     return pd.DataFrame({"node": out["node"].astype(np.int64).to_numpy(),
@@ -250,7 +321,9 @@ def _propagate_components(edges: pd.DataFrame,
 
 
 def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
-                       max_rounds: int = 8) -> pd.DataFrame:
+                       max_rounds: int = 8,
+                       pair_driver_cap: int = _PAIR_DRIVER_CAP
+                       ) -> pd.DataFrame:
     """Near-dup groups: (doc_id, group_id) where group_id = min doc_id of
     the connected component over verified candidate pairs.
 
@@ -308,63 +381,116 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    # candidate pairs stream to the driver (bounded by the collision set —
-    # this list is broadcast right back for the verification filter);
-    # cross-band dedup is a vectorized drop_duplicates on that bounded set
-    pairs = (bands.map_batches(hash_bucket, batch_format="pyarrow")
-             .groupby("hbucket")
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas().drop_duplicates(["a", "b"]))
-    all_ids_tbls = ray.get(docs.select_columns(["doc_id"]).to_arrow_refs())
-    all_ids = np.sort(np.concatenate(
-        [t.column("doc_id").to_numpy() for t in all_ids_tbls
-         if len(t)])).astype(np.int64)
-    if len(pairs) == 0:
-        return pd.DataFrame({"doc_id": all_ids, "group_id": all_ids})
-    pa_arr = pairs["a"].to_numpy().astype(np.int64)
-    pb_arr = pairs["b"].to_numpy().astype(np.int64)
+    # candidate-pair stream: below the driver cap it collects to one
+    # pandas frame (bounded collision set — the deduped-corpus common
+    # case); past the cap it STAYS a Dataset (boilerplate worst case)
+    # and every later step consumes it in bounded chunks
+    pairs_ds = (bands.map_batches(hash_bucket, batch_format="pyarrow")
+                .groupby("hbucket")
+                .map_groups(bucket_pairs, batch_format="pandas")
+                .materialize())
+    n_raw = pairs_ds.count()
+    spill = n_raw > pair_driver_cap
+    if not spill:
+        pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
+        chunk_iter = [pairs] if len(pairs) else []
+        cand_ids = (np.unique(np.concatenate(
+            [pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)]))
+            if len(pairs) else np.array([], dtype=np.int64))
+    else:
+        _LOG.warning(
+            "minhash_lsh_groups: %d raw candidate pairs exceed the "
+            "driver cap (%d) — engaging the spill path (distributed "
+            "dedup, chunked verification, dataset-shaped components)",
+            n_raw, pair_driver_cap)
+
+        def pair_key_bucket(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy().astype(np.int64)
+            b = t.column("b").to_numpy().astype(np.int64)
+            key = a * np.int64(1 << 32) + b
+            return t.append_column(
+                "pbucket", pa.array(
+                    (key.view(np.uint64) % np.uint64(256))
+                    .astype(np.int32)))
+
+        def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+        deduped = (pairs_ds.map_batches(pair_key_bucket,
+                                        batch_format="pyarrow")
+                   .groupby("pbucket")
+                   .map_groups(pair_dedup, batch_format="pandas")
+                   .materialize())
+        chunk_iter = deduped.iter_batches(batch_size=_PAIR_CHUNK,
+                                          batch_format="pandas")
+
+        def endpoint_partial(t: pa.Table) -> pa.Table:
+            u = np.unique(np.concatenate(
+                [t.column("a").to_numpy().astype(np.int64),
+                 t.column("b").to_numpy().astype(np.int64)]))
+            return pa.table({
+                "node": pa.array(u),
+                "nbucket": pa.array((u % 64).astype(np.int32))})
+
+        def endpoint_fold(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"node": np.unique(g["node"].to_numpy(np.int64))})
+
+        # candidate ids: one row per colliding doc — output-contract
+        # bounded (never more rows than the result frame itself)
+        cand_ids = np.sort(
+            (deduped.map_batches(endpoint_partial, batch_format="pyarrow")
+             .groupby("nbucket")
+             .map_groups(endpoint_fold, batch_format="pandas")
+             .to_pandas())["node"].to_numpy(np.int64))
+
+    def label_join_back(lbl_nodes: np.ndarray,
+                        lbl_vals: np.ndarray) -> pd.DataFrame:
+        """Stream group ids over ALL docs: the bounded (dup-docs-only)
+        label map broadcasts once via ray.put and each block joins
+        against it inside map_batches — no full-column ray.get / driver
+        concat of the doc-id column."""
+        order = np.argsort(lbl_nodes)
+        lbl_ref = ray.put((lbl_nodes[order], lbl_vals[order]))
+
+        def jb(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            ln, lv = ray.get(lbl_ref)
+            group = ids.copy()
+            if len(ln) and len(ids):
+                pos = np.clip(np.searchsorted(ln, ids), 0, len(ln) - 1)
+                hit = ln[pos] == ids
+                group[hit] = lv[pos[hit]]
+            return pa.table({"doc_id": pa.array(ids),
+                             "group_id": pa.array(group)})
+
+        out = (docs.select_columns(["doc_id"])
+               .map_batches(jb, batch_format="pyarrow")
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        return out.astype({"doc_id": "int64", "group_id": "int64"})
+
+    if not len(cand_ids):
+        return label_join_back(np.array([], dtype=np.int64),
+                               np.array([], dtype=np.int64))
 
     # --- distributed exact-Jaccard verification -------------------------
-    cand_ids = np.unique(np.concatenate([pa_arr, pb_arr]))
     cand_ref = ray.put(cand_ids)
-    pair_keys = np.sort(pa_arr * np.int64(1 << 32) + pb_arr)
-    pkey_ref = ray.put(pair_keys)
-    # materialize: the shingle explode feeds BOTH the intersection merge
-    # and the per-doc size aggregate — without this it would execute twice
-    sh = docs.map_batches(_shingle_explode_fn(k, cand_ref),
-                          batch_format="pyarrow").materialize()
 
     def bucketize(t: pa.Table) -> pa.Table:
         b = (mix64(t.column("shingle_hash").to_numpy().astype(np.uint64))
              % np.uint64(256)).astype(np.int32)
         return t.append_column("bucket", pa.array(b))
 
-    def bucket_inter(g: pd.DataFrame) -> pd.DataFrame:
-        pk = ray.get(pkey_ref)
-        m = g[["shingle_hash", "doc_id"]].merge(
-            g[["shingle_hash", "doc_id"]], on="shingle_hash")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if not len(m):
-            return pd.DataFrame({"a": np.array([], dtype=np.int64),
-                                 "b": np.array([], dtype=np.int64),
-                                 "inter_part": np.array([], dtype=np.int64)})
-        key = (m["doc_id_x"].to_numpy().astype(np.int64) * np.int64(1 << 32)
-               + m["doc_id_y"].to_numpy().astype(np.int64))
-        pos = np.searchsorted(pk, key)
-        pos[pos >= len(pk)] = len(pk) - 1
-        m = m[pk[pos] == key]       # candidate pairs only
-        out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
-            name="inter_part")
-        return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+    # materialize ONCE (explode fused with bucketize): the bucketed
+    # shingle rows feed the per-doc size aggregate and every
+    # verification chunk — without this the explode would re-execute
+    # per consumer
+    sh_bucketed = (docs.map_batches(_shingle_explode_fn(k, cand_ref),
+                                    batch_format="pyarrow")
+                   .map_batches(bucketize, batch_format="pyarrow")
+                   .materialize())
 
-    # per-bucket partial (a, b, inter_part) rows are bounded by the pair
-    # set × bucket count — the final sum is a vectorized driver reduce
-    inter = (sh.map_batches(bucketize, batch_format="pyarrow")
-             .groupby("bucket").map_groups(bucket_inter,
-                                           batch_format="pandas")
-             .to_pandas())
-    if len(inter):
-        inter = inter.groupby(["a", "b"], as_index=False)["inter_part"].sum()
     # per-doc shingle counts: partial np.unique per block, summed on the
     # driver (rows bounded by candidate docs × block count)
     def partial_sizes(t: pa.Table) -> pa.Table:
@@ -372,34 +498,84 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
         return pa.table({"doc_id": pa.array(u.astype(np.int64)),
                          "n_sh": pa.array(c.astype(np.int64))})
 
-    sizes = (sh.map_batches(partial_sizes, batch_format="pyarrow")
+    sizes = (sh_bucketed.map_batches(partial_sizes, batch_format="pyarrow")
              .to_pandas().groupby("doc_id", as_index=False)["n_sh"].sum())
     size_of = dict(zip(sizes["doc_id"].astype(np.int64),
                        sizes["n_sh"].astype(np.int64)))
-    if len(inter):
+
+    def verify_chunk(chunk: pd.DataFrame) -> pd.DataFrame:
+        pa_arr = chunk["a"].to_numpy().astype(np.int64)
+        pb_arr = chunk["b"].to_numpy().astype(np.int64)
+        pair_keys = np.sort(pa_arr * np.int64(1 << 32) + pb_arr)
+        pkey_ref = ray.put(pair_keys)
+
+        def bucket_inter(g: pd.DataFrame) -> pd.DataFrame:
+            pk = ray.get(pkey_ref)
+            m = g[["shingle_hash", "doc_id"]].merge(
+                g[["shingle_hash", "doc_id"]], on="shingle_hash")
+            m = m[m["doc_id_x"] < m["doc_id_y"]]
+            if not len(m):
+                return pd.DataFrame(
+                    {"a": np.array([], dtype=np.int64),
+                     "b": np.array([], dtype=np.int64),
+                     "inter_part": np.array([], dtype=np.int64)})
+            key = (m["doc_id_x"].to_numpy().astype(np.int64)
+                   * np.int64(1 << 32)
+                   + m["doc_id_y"].to_numpy().astype(np.int64))
+            pos = np.searchsorted(pk, key)
+            pos[pos >= len(pk)] = len(pk) - 1
+            m = m[pk[pos] == key]       # candidate pairs only
+            out = m.groupby(["doc_id_x", "doc_id_y"]).size().reset_index(
+                name="inter_part")
+            return out.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+
+        # per-bucket partial (a, b, inter_part) rows are bounded by the
+        # chunk pair set × bucket count — the sum is a vectorized reduce
+        inter = (sh_bucketed.groupby("bucket")
+                 .map_groups(bucket_inter, batch_format="pandas")
+                 .to_pandas())
+        if not len(inter):
+            return inter.reindex(columns=["a", "b"])
+        inter = (inter.groupby(["a", "b"], as_index=False)["inter_part"]
+                 .sum())
         na = inter["a"].map(size_of).to_numpy(dtype=np.int64)
         nb = inter["b"].map(size_of).to_numpy(dtype=np.int64)
         iv = inter["inter_part"].to_numpy(dtype=np.int64)
         union = na + nb - iv
-        verified = inter.loc[(union > 0) & (iv / np.maximum(union, 1)
-                                            >= jaccard_tau), ["a", "b"]]
+        return inter.loc[(union > 0) & (iv / np.maximum(union, 1)
+                                        >= jaccard_tau), ["a", "b"]]
+
+    if not spill:
+        verified: "pd.DataFrame | ray.data.Dataset" = (
+            verify_chunk(chunk_iter[0]) if chunk_iter
+            else pd.DataFrame({"a": [], "b": []}))
+        n_verified = len(verified)
     else:
-        verified = inter
-    if not len(verified):
-        return pd.DataFrame({"doc_id": all_ids, "group_id": all_ids})
+        # verified chunks go straight to the object store; the driver
+        # holds one chunk frame at a time
+        vparts = []
+        for chunk in chunk_iter:
+            v = verify_chunk(chunk)
+            if len(v):
+                vparts.append(ray.data.from_pandas(
+                    v.reset_index(drop=True)))
+        if vparts:
+            verified = vparts[0]
+            for x in vparts[1:]:
+                verified = verified.union(x)
+            verified = verified.materialize()
+            n_verified = verified.count()
+        else:
+            verified = pd.DataFrame({"a": [], "b": []})
+            n_verified = 0
+    if not n_verified:
+        return label_join_back(np.array([], dtype=np.int64),
+                               np.array([], dtype=np.int64))
 
     # --- distributed components + broadcast label join back -------------
     comp = _propagate_components(verified, max_rounds=max_rounds)
-    lbl_nodes = comp["node"].to_numpy()
-    lbl_vals = comp["label"].to_numpy()
-    order = np.argsort(lbl_nodes)
-    lbl_nodes, lbl_vals = lbl_nodes[order], lbl_vals[order]
-    group = all_ids.copy()
-    pos = np.searchsorted(lbl_nodes, all_ids)
-    pos_c = np.clip(pos, 0, max(0, len(lbl_nodes) - 1))
-    hit = (len(lbl_nodes) > 0) & (lbl_nodes[pos_c] == all_ids)
-    group[hit] = lbl_vals[pos_c[hit]]
-    return pd.DataFrame({"doc_id": all_ids, "group_id": group})
+    return label_join_back(comp["node"].to_numpy(np.int64),
+                           comp["label"].to_numpy(np.int64))
 
 
 def simhash_batch(t: pa.Table) -> pa.Table:

@@ -305,8 +305,12 @@ def media_phash_near_pairs(sf_dir: str) -> pd.DataFrame:
     census reports distinct candidates, matches at radius 8/16, and
     the closest pair. Scale shape: one (band, bucket) exchange whose
     fold emits PAIR rows only for colliding buckets (birthday-small),
-    then a driver dedupe on the (lo, hi) key. Pure integers; the
-    twin reproduces each md5 band and bit_count(xor) verbatim."""
+    then a SECOND slim exchange on the pair key dedups across bands
+    and folds each bucket to one stats row — the pair set itself
+    never lands on the driver (the boilerplate worst case where one
+    shared payload makes every doc collide stays bounded: the driver
+    reduces ≤64 stat rows). Pure integers; the twin reproduces each
+    md5 band and bit_count(xor) verbatim."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     hashed = ds.map_batches(_to_payload, batch_format="pyarrow") \
@@ -330,7 +334,7 @@ def media_phash_near_pairs(sf_dir: str) -> pd.DataFrame:
                 .astype(np.int32))})
 
     def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"d1": [], "d2": [], "ham": []}
+        d1s, d2s, hams = [], [], []
         for _, grp in g.groupby(["band", "val"]):
             if len(grp) < 2:
                 continue
@@ -338,30 +342,53 @@ def media_phash_near_pairs(sf_dir: str) -> pd.DataFrame:
             hs = grp["h64"].to_numpy(np.int64).view(np.uint64)
             order = np.argsort(ids, kind="mergesort")
             ids, hs = ids[order], hs[order]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out["d1"].append(int(ids[i]))
-                    out["d2"].append(int(ids[j]))
-                    out["ham"].append(
-                        bin(int(hs[i]) ^ int(hs[j])).count("1"))
-        if not out["d1"]:
+            ai, bi = np.triu_indices(len(ids), 1)
+            x = hs[ai] ^ hs[bi]
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1) \
+                .sum(axis=1).astype(np.int64)
+            d1s.append(ids[ai])
+            d2s.append(ids[bi])
+            hams.append(ham)
+        if not d1s:
             return pd.DataFrame({"d1": pd.Series([], dtype=np.int64),
                                  "d2": pd.Series([], dtype=np.int64),
                                  "ham": pd.Series([], dtype=np.int64)})
-        return pd.DataFrame(out).astype(np.int64)
+        return pd.DataFrame({"d1": np.concatenate(d1s),
+                             "d2": np.concatenate(d2s),
+                             "ham": np.concatenate(hams)}).astype(np.int64)
 
-    pairs = (hashed.map_batches(derive, batch_format="pyarrow")
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        d1 = t.column("d1").to_numpy().astype(np.int64)
+        d2 = t.column("d2").to_numpy().astype(np.int64)
+        key = d1 * np.int64(1 << 32) + d2
+        return t.append_column(
+            "pbucket",
+            pa.array((key.view(np.uint64) % np.uint64(64))
+                     .astype(np.int32)))
+
+    def stats_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["d1", "d2"])
+        ham = g["ham"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_pairs": [len(g)],
+            "le8": [int((ham <= 8).sum())],
+            "le16": [int((ham <= 16).sum())],
+            "min_ham": [int(ham.min()) if len(ham) else (1 << 30)]})
+
+    stats = (hashed.map_batches(derive, batch_format="pyarrow")
              .groupby("bucket").map_groups(pair_fold,
                                            batch_format="pandas")
+             .map_batches(pair_bucket, batch_format="pyarrow")
+             .groupby("pbucket").map_groups(stats_fold,
+                                            batch_format="pandas")
              .to_pandas())
     n_docs = int(ds.count())
-    if len(pairs):
-        pairs = pairs.drop_duplicates(["d1", "d2"])
-        ham = pairs["ham"].to_numpy(np.int64)
-        n_pairs = len(pairs)
-        le8 = int((ham <= 8).sum())
-        le16 = int((ham <= 16).sum())
-        min_ham = int(ham.min())
+    if len(stats) and int(stats["n_pairs"].sum()):
+        n_pairs = int(stats["n_pairs"].sum())
+        le8 = int(stats["le8"].sum())
+        le16 = int(stats["le16"].sum())
+        min_ham = int(stats["min_ham"].min())
     else:
         n_pairs = le8 = le16 = 0
         min_ham = -1

@@ -339,6 +339,38 @@ def test_minhash_groups_planted_dups(tmp_path):
     assert g[9004] == 9004, "distinct doc stays alone"
 
 
+def test_minhash_spill_path_matches_local(tmp_path):
+    """The boilerplate-corpus worst case: every doc shares a dominant
+    prefix, so band collisions grow the candidate-pair set
+    quadratically. With the driver cap forced below the pair count, the
+    spill path (distributed pair dedup + chunked verification +
+    dataset-shaped connected components) must produce EXACTLY the
+    groups the driver-local path produces — and the cap keeps the
+    driver's share of the pair stream bounded by the chunk size."""
+    rng = np.random.default_rng(7)
+    boiler = "shared boilerplate header common to every page " * 4
+    n = 60
+    texts = [boiler + f"unique tail {i} " +
+             " ".join(rng.choice(["alpha", "beta", "gamma", "delta"],
+                                 size=6).tolist())
+             for i in range(n)]
+    # a planted exact-dup pair that must group under both paths
+    texts[41] = texts[40]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    from container_crawler_ray.pipelines.dedup import minhash_lsh_groups
+    local = minhash_lsh_groups(str(d), jaccard_tau=0.5)
+    spill = minhash_lsh_groups(str(d), jaccard_tau=0.5,
+                               pair_driver_cap=10)
+    pd.testing.assert_frame_equal(local, spill)
+    g = dict(zip(spill["doc_id"], spill["group_id"]))
+    assert g[41] == g[40], "planted exact dup groups under spill path"
+
+
 def test_simhash_properties(tmp_path):
     base = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(5)
     text = base.iloc[0]["text"]
