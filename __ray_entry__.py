@@ -712,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.return_status_contract_audit,
         "returns_by_size": analytics.returns_by_size,
         "top_token_drift": analytics.top_token_drift,
+        "top_token_drift_sketch": analytics.top_token_drift_sketch,
         "return_rate_drift": analytics.return_rate_drift,
         "entry_type_value": analytics.entry_type_value,
         "nation_one_and_done": analytics.nation_one_and_done,
@@ -838,6 +839,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_pass_docs": crawl_queries.crawl_pass_docs,
         "frontier_host_stats": crawl_queries.frontier_host_stats,
     }
+
+
+_TOP_TOKEN_DRIFT_SQL = """
+            WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
+                                  AS mid FROM documents),
+            w AS (SELECT CASE WHEN doc_id > b.mid
+                              THEN 1 ELSE 0 END AS h,
+                         UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                  FROM documents, b),
+            g AS (SELECT tok, h, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM w GROUP BY 1, 2),
+            t AS (SELECT CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
+                              AS BIGINT) AS t1,
+                         CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
+                              AS BIGINT) AS t2 FROM g),
+            tp AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n,
+                          CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
+                               AS BIGINT) AS a,
+                          CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
+                               AS BIGINT) AS bb
+                   FROM g GROUP BY tok
+                   ORDER BY n DESC, tok LIMIT 20)
+            SELECT tok AS token, n AS n_total,
+                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h1_bps,
+                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * bb // t.t2
+                             ELSE -9999 END AS BIGINT)
+                       AS share_h2_bps,
+                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
+                        1000 * bb * t.t1 // (a * t.t2) - 1000
+                        ELSE -9999 END AS BIGINT) AS shift_milli
+            FROM tp, t
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -16269,38 +16304,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -9999 END AS BIGINT) AS lift_milli
             FROM j, t GROUP BY b ORDER BY b
         """,
-        "top_token_drift": """
-            WITH b AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2
-                                  AS mid FROM documents),
-            w AS (SELECT CASE WHEN doc_id > b.mid
-                              THEN 1 ELSE 0 END AS h,
-                         UNNEST(STRING_SPLIT(text, ' ')) AS tok
-                  FROM documents, b),
-            g AS (SELECT tok, h, CAST(COUNT(*) AS BIGINT) AS c
-                  FROM w GROUP BY 1, 2),
-            t AS (SELECT CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
-                              AS BIGINT) AS t1,
-                         CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
-                              AS BIGINT) AS t2 FROM g),
-            tp AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS n,
-                          CAST(COALESCE(SUM(c) FILTER (h = 0), 0)
-                               AS BIGINT) AS a,
-                          CAST(COALESCE(SUM(c) FILTER (h = 1), 0)
-                               AS BIGINT) AS bb
-                   FROM g GROUP BY tok
-                   ORDER BY n DESC, tok LIMIT 20)
-            SELECT tok AS token, n AS n_total,
-                   CAST(CASE WHEN t.t1 > 0 THEN 10000 * a // t.t1
-                             ELSE -9999 END AS BIGINT)
-                       AS share_h1_bps,
-                   CAST(CASE WHEN t.t2 > 0 THEN 10000 * bb // t.t2
-                             ELSE -9999 END AS BIGINT)
-                       AS share_h2_bps,
-                   CAST(CASE WHEN a > 0 AND t.t2 > 0 THEN
-                        1000 * bb * t.t1 // (a * t.t2) - 1000
-                        ELSE -9999 END AS BIGINT) AS shift_milli
-            FROM tp, t
-        """,
+        # the sketch variant is output-identical by construction (MG
+        # candidate pruning with the N/(m+1) admission bound + exact
+        # recount), so it shares the exact op's SQL twin verbatim
+        "top_token_drift_sketch": _TOP_TOKEN_DRIFT_SQL,
+        "top_token_drift": _TOP_TOKEN_DRIFT_SQL,
+        
         "return_rate_drift": """
             WITH b AS (SELECT (MIN(epoch_us(l_shipdate)
                                    // 86400000000)

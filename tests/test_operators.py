@@ -371,6 +371,54 @@ def test_minhash_spill_path_matches_local(tmp_path):
     assert g[41] == g[40], "planted exact dup groups under spill path"
 
 
+def test_top_token_drift_sketch_matches_exact():
+    """The MG-sketch variant must be OUTPUT-IDENTICAL to the exact op —
+    that is its stated guarantee (candidate pruning with the N/(m+1)
+    admission bound + exact recount), not an approximation. Checked at
+    the default capacity AND at a stress capacity (m=50) far below the
+    corpus vocabulary, where per-block summaries genuinely truncate and
+    only the admission bound keeps the top-20 inside the candidate
+    set."""
+    from container_crawler_ray.pipelines.analytics import (
+        top_token_drift, top_token_drift_sketch)
+    exact = top_token_drift(SF)
+    for m in (10_000, 50):
+        sk = top_token_drift_sketch(SF, mg_capacity=m)
+        pd.testing.assert_frame_equal(exact, sk)
+
+
+def test_mg_summary_error_bound():
+    """Per-block Misra-Gries summaries summed across blocks undercount
+    any token by at most eps = N/(m+1) and never overcount — the bound
+    the sketch op's admission rule relies on. Verified directly against
+    exact counts on the sf0.001 corpus with a small capacity."""
+    import ray
+    from container_crawler_ray.pipelines.analytics import (
+        top_token_drift_sketch)  # noqa: F401  (ensures module import)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    toks = np.concatenate(docs["text"].str.split(" ").to_numpy())
+    g_ex, n_ex = np.unique(toks.astype(object), return_counts=True)
+    exact = dict(zip(g_ex, n_ex.astype(int)))
+    N = len(toks)
+    m = 200
+    # simulate block-partitioned summaries (4 blocks)
+    sketch: dict = {}
+    for part in np.array_split(toks, 4):
+        g, n = np.unique(part.astype(object), return_counts=True)
+        if len(g) > m:
+            cut = np.partition(n, len(n) - m - 1)[len(n) - m - 1]
+            keep = n > cut
+            g, n = g[keep], n[keep] - cut
+        for gg, nn in zip(g, n):
+            sketch[gg] = sketch.get(gg, 0) + int(nn)
+    eps = N // (m + 1)
+    for tok, f in exact.items():
+        s = sketch.get(tok, 0)
+        assert s <= f, f"overcount for {tok!r}"
+        assert s >= f - eps, f"undercount beyond eps for {tok!r}"
+
+
 def test_simhash_properties(tmp_path):
     base = pq.read_table(f"{SF}/documents.parquet").to_pandas().head(5)
     text = base.iloc[0]["text"]
