@@ -382,6 +382,18 @@ SEEDS = int(os.environ.get("GRAFT_BENCH_SEEDS", "200000"))
 REPS = int(os.environ.get("GRAFT_BENCH_REPS", "1"))
 
 
+def _rss_mb() -> int:
+    """Driver-process resident set size in MiB (VmRSS)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) // 1024
+    except OSError:
+        pass
+    return -1
+
+
 def crawl_headline(ncpu: int, reps: int = REPS) -> dict:
     import ray
     import ray.data
@@ -415,6 +427,251 @@ def crawl_headline(ncpu: int, reps: int = REPS) -> dict:
             best = {"sec": sec, "fetched": stats["fetched"],
                     "urls_per_sec": stats["fetched"] / sec}
     return best
+
+
+def pressure(seeds_n: int, ncpu: int, max_passes: int = 40) -> None:
+    """10x-frontier pressure run (round-4 mandate): drive the FULL
+    multi-pass crawl to frontier exhaustion at ``seeds_n`` seeds,
+    recording per-pass wall time (should stay ~flat while the frontier
+    holds >= partitions x items_chunk pending URLs — i.e. cumulative
+    wall ~linear in passes) and driver RSS after every pass (should be
+    flat: per-pass driver state is bounded by partitions x items_chunk
+    + |retry|, never by frontier size). Prints ONE JSON line with the
+    per-pass series and the flatness summary."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import init_run, run_pass
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    cfg = CrawlConfig(
+        num_partitions=32, items_chunk=20_000, workers=ncpu, seen_shards=8,
+        n_hosts=200, n_paths=3000, pass_time_ms=3_600_000,
+        parse_cost_bytes=8 << 20, fail_mod=97, fetch_batch_size=256,
+        fetch_mode="tasks",
+    )
+    t0 = time.monotonic()
+    seeds = make_seed_urls(seeds_n, n_hosts=cfg.n_hosts)
+    seed_sec = time.monotonic() - t0
+    ray.data.range(10_000).map_batches(lambda b: b).materialize()
+    root = f"/tmp/ccrawl-pressure-{os.getpid()}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.monotonic()
+    store, state = init_run(root, cfg, seeds)
+    init_sec = time.monotonic() - t0
+    del seeds
+    import gc
+
+    gc.collect()
+    rss0 = _rss_mb()
+    passes = []
+    try:
+        for _ in range(max_passes):
+            t0 = time.monotonic()
+            stats = run_pass(store, cfg, state)
+            sec = time.monotonic() - t0
+            # per-pass gc: drop dead Dataset/blocks refs so the RSS
+            # series measures retained state, not collection latency
+            gc.collect()
+            passes.append({
+                "pass": state.pass_id, "sec": round(sec, 2),
+                "scheduled": stats["scheduled"],
+                "fetched": stats["fetched"],
+                "retry_size": stats["retry_size"],
+                "rss_mb": _rss_mb(),
+                # shm-mapping-free python-heap proxy: live allocator
+                # blocks (flat series == no driver-side accumulation
+                # even when VmRSS is inflated by plasma page mappings)
+                "py_blocks_k": sys.getallocatedblocks() // 1000})
+            if stats["done"] and stats["retry_size"] == 0:
+                break
+    finally:
+        state.seen.teardown()
+    shutil.rmtree(root, ignore_errors=True)
+    total_fetched = sum(p["fetched"] for p in passes)
+    total_sec = sum(p["sec"] for p in passes)
+    # flatness over passes of comparable size: wall normalized per
+    # scheduled URL, across passes >= 50% of the largest pass (the
+    # drain tail is legitimately smaller+faster)
+    smax = max(p["scheduled"] for p in passes)
+    full = [p for p in passes if p["scheduled"] >= 0.5 * smax]
+    per_url_ms = [1000.0 * p["sec"] / max(p["scheduled"], 1)
+                  for p in full]
+    walls = [p["sec"] for p in full]
+    rss = [p["rss_mb"] for p in passes]
+    print(json.dumps({
+        "metric": "pressure_crawl",
+        "seeds": seeds_n,
+        "num_cpus": ncpu,
+        "seed_gen_sec": round(seed_sec, 2),
+        "init_sec": round(init_sec, 2),
+        "n_passes": len(passes),
+        "total_fetched": total_fetched,
+        "total_pass_sec": round(total_sec, 2),
+        "urls_per_sec": round(total_fetched / total_sec, 1),
+        "full_pass_wall_min": min(walls), "full_pass_wall_max": max(walls),
+        "full_pass_ms_per_url_min": round(min(per_url_ms), 3),
+        "full_pass_ms_per_url_max": round(max(per_url_ms), 3),
+        "full_pass_ms_per_url_spread":
+            round(max(per_url_ms) / max(min(per_url_ms), 1e-9), 3),
+        "rss_mb_after_init": rss0,
+        "rss_mb_min": min(rss), "rss_mb_max": max(rss),
+        "rss_mb_last": rss[-1],
+        "py_blocks_k_first": passes[0]["py_blocks_k"],
+        "py_blocks_k_last": passes[-1]["py_blocks_k"],
+        "passes": passes,
+    }))
+    ray.shutdown()
+
+
+def _doc_corpus_sig(root: str) -> dict:
+    """Committed-document corpus signature: count, distinct doc_ids and
+    an order-insensitive hash of the sorted id list."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    ids = []
+    for f in sorted(_glob.glob(f"{root}/tables/documents/*/*.parquet")):
+        ids.append(pq.read_table(f, columns=["doc_id"])
+                   .column("doc_id").to_pylist())
+    flat = sorted(x for part in ids for x in part)
+    return {"n_docs": len(flat), "n_distinct": len(set(flat)),
+            "hash": hashlib.md5(
+                ("\n".join(flat)).encode()).hexdigest()[:16]}
+
+
+def multi_engine(seeds_n: int, ncpu: int) -> None:
+    """Bench-scale shared-nothing multi-engine run (round-4 mandate):
+    the 200k headline world crawled to exhaustion by TWO engines running
+    CONCURRENTLY on driver threads over one store + one shared seen set
+    (the sandbox stand-in for two `ray job submit` nodes), with a
+    staggered start and one mid-pass kill + resume of engine 0 (commit-
+    point rollback, exactly the emulation the multi-engine kill tests
+    use). Reports combined URLs/s vs a single-engine drain of the same
+    world and checks corpus equality (criterion: >=0.9x aggregate
+    throughput, identical doc_id corpus, no doc committed twice)."""
+    import threading
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import (
+        init_run, resume_run, run_pass)
+    from container_crawler_ray.sources.synth import make_seed_urls
+
+    base = dict(
+        num_partitions=32, items_chunk=20_000, seen_shards=8,
+        n_hosts=200, n_paths=3000, pass_time_ms=3_600_000,
+        parse_cost_bytes=8 << 20, fail_mod=97, fetch_batch_size=256,
+        fetch_mode="tasks",
+    )
+    seeds = make_seed_urls(seeds_n, n_hosts=base["n_hosts"])
+    ray.data.range(10_000).map_batches(lambda b: b).materialize()
+
+    # ---- single-engine baseline: full drain --------------------------
+    rootS = f"/tmp/ccrawl-me-single-{os.getpid()}"
+    shutil.rmtree(rootS, ignore_errors=True)
+    cfgS = CrawlConfig(**base, workers=ncpu)
+    storeS, stS = init_run(rootS, cfgS, seeds)
+    t0 = time.monotonic()
+    fetched_s = 0
+    n_passes_s = 0
+    while True:
+        st = run_pass(storeS, cfgS, stS)
+        fetched_s += st["fetched"]
+        n_passes_s += 1
+        if st["done"] and st["retry_size"] == 0:
+            break
+    sec_s = time.monotonic() - t0
+    stS.seen.teardown()
+    sig_s = _doc_corpus_sig(rootS)
+    shutil.rmtree(rootS, ignore_errors=True)
+
+    # ---- two concurrent engines + staggered start + kill/resume ------
+    rootM = f"/tmp/ccrawl-me-multi-{os.getpid()}"
+    shutil.rmtree(rootM, ignore_errors=True)
+    cfg = [CrawlConfig(**base, workers=ncpu, num_engines=2,
+                       engine_index=e) for e in (0, 1)]
+    init_run(rootM, cfg[0], seeds)
+    eng = [list(resume_run(rootM, cfg[e])) for e in (0, 1)]
+
+    t0 = time.monotonic()
+    # staggered start: engine 0 runs its first pass alone
+    run_pass(eng[0][0], cfg[0], eng[0][1])
+    run_pass(eng[1][0], cfg[1], eng[1][1])
+
+    # mid-pass kill of engine 0: run a full pass, roll its COMMIT POINT
+    # back (meta-e0.json), abandon the state, resume. Shard actors stay
+    # up (detached-actor semantics), the torn marks are live, the WAL
+    # fragment is on disk — the post-crash state the rollback handles.
+    meta_path = os.path.join(rootM, "meta-e0.json")
+    saved_meta = open(meta_path, "rb").read()
+    run_pass(eng[0][0], cfg[0], eng[0][1])
+    with open(meta_path + ".tmp", "wb") as f:
+        f.write(saved_meta)
+    os.replace(meta_path + ".tmp", meta_path)
+    eng[0] = list(resume_run(rootM, cfg[0]))
+
+    results = [None, None]
+
+    def one_round(e: int) -> None:
+        results[e] = run_pass(eng[e][0], cfg[e], eng[e][1])
+
+    idle = 0
+    rounds = 0
+    for _ in range(60):
+        th = [threading.Thread(target=one_round, args=(e,))
+              for e in (0, 1)]
+        for t in th:
+            t.start()
+        for t in th:
+            t.join()
+        rounds += 1
+        if all(r["done"] and r["retry_size"] == 0 for r in results):
+            idle += 1
+            if idle >= 2:   # one extra round so late mailbox posts drain
+                break
+        else:
+            idle = 0
+    sec_m = time.monotonic() - t0
+    eng[0][1].seen.teardown()
+    sig_m = _doc_corpus_sig(rootM)
+    shutil.rmtree(rootM, ignore_errors=True)
+
+    ups_s = sig_s["n_docs"] / sec_s
+    ups_m = sig_m["n_docs"] / sec_m
+    print(json.dumps({
+        "metric": "multi_engine_vs_single",
+        "seeds": seeds_n, "num_cpus": ncpu,
+        "single": {"sec": round(sec_s, 2), "passes": n_passes_s,
+                   "docs": sig_s["n_docs"],
+                   "docs_per_sec": round(ups_s, 1)},
+        "multi": {"sec": round(sec_m, 2), "rounds": rounds,
+                  "docs": sig_m["n_docs"],
+                  "docs_per_sec": round(ups_m, 1),
+                  "killed_and_resumed": "engine 0, after pass 2"},
+        "corpus_equal": sig_s["hash"] == sig_m["hash"]
+        and sig_s["n_docs"] == sig_m["n_docs"],
+        "no_dup_docs": sig_m["n_docs"] == sig_m["n_distinct"],
+        "aggregate_throughput_ratio": round(ups_m / ups_s, 3),
+        "criterion": ">=0.9x aggregate throughput + corpus equality",
+        "pass": (ups_m / ups_s >= 0.9
+                 and sig_s["hash"] == sig_m["hash"]
+                 and sig_m["n_docs"] == sig_m["n_distinct"]),
+    }))
+    ray.shutdown()
 
 
 def main() -> None:
@@ -526,7 +783,16 @@ def headline_only() -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--seeds" in sys.argv:        # override the frontier size
+        SEEDS = int(sys.argv[sys.argv.index("--seeds") + 1])
+        os.environ["GRAFT_BENCH_SEEDS"] = str(SEEDS)  # reaches subprocs
+    if "--pressure" in sys.argv:
+        # pressure mode defaults to the 10x frontier (2M) unless an
+        # explicit --seeds was given
+        pressure(SEEDS if "--seeds" in sys.argv else 2_000_000, NUM_CPUS)
+    elif "--multi-engine" in sys.argv:
+        multi_engine(SEEDS, NUM_CPUS)
+    elif "--scaling" in sys.argv:
         scaling()
     elif os.environ.get("GRAFT_HEADLINE_ONLY"):
         headline_only()
