@@ -481,3 +481,55 @@ def test_three_engine_staggered_kill(tmp_store):
         f"only-single={len(docsS - set(all_docs))} "
         f"only-multi={len(set(all_docs) - docsS)}")
     pairs[0][1].seen.teardown()
+
+
+def test_wal_rollback_protects_foreign_dup_marks(tmp_store):
+    """Round-4 guard (ADVICE): a crashed engine's torn-pass WAL rollback
+    must NOT erase a hash another engine has write-ahead-logged — the
+    auto-salt transient-disagreement case where the same discovered URL
+    lands in two partitions owned by two engines and both mark it. The
+    rollback intersects the torn WAL against foreign engines' retained
+    mark-WAL fragments: protected hashes stay marked, the engine's own
+    unshared torn marks are removed, and the consumed WAL fragment is
+    deleted so a second crash cannot roll the same marks back twice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from container_crawler_ray.pipelines.crawl import _etag
+    from container_crawler_ray.storage import TableStore
+
+    seeds = make_seed_urls(80, n_hosts=10)
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(tmp_store, cfg0, seeds)
+    s0, st0 = resume_run(tmp_store, cfg0)
+    s1, st1 = resume_run(tmp_store, cfg1)
+    run_pass(s0, cfg0, st0)        # commit pass 1 for both engines
+    run_pass(s1, cfg1, st1)
+
+    h_dup = np.uint64(0xDEADBEEF00000001)   # marked by BOTH engines
+    h_own = np.uint64(0xDEADBEEF00000002)   # marked by engine 0 only
+    st0.seen.contains_add(np.array([h_dup, h_own], dtype=np.uint64))
+
+    # engine 0's TORN WAL (uncommitted pass 2): both hashes
+    store = TableStore(tmp_store)
+    store.append_fragment(
+        "marks", pa.table({"url_hash": pa.array(
+            np.array([h_dup, h_own], dtype=np.uint64))}),
+        st0.pass_id + 1, tag=_etag(cfg0, "marks"))
+    # engine 1's COMMITTED WAL for its pass 1: the dup hash
+    store.append_fragment(
+        "marks", pa.table({"url_hash": pa.array(
+            np.array([h_dup], dtype=np.uint64))}),
+        st1.pass_id, tag=_etag(cfg1, "marks"))
+
+    # engine 0 "crashes" and resumes: rollback must keep h_dup, drop h_own
+    del s0, st0
+    s0, st0 = resume_run(tmp_store, cfg0)
+    got = st0.seen.contains(np.array([h_dup, h_own], dtype=np.uint64))
+    assert bool(got[0]), "foreign-logged dup mark was erased by rollback"
+    assert not bool(got[1]), "engine's own torn mark survived rollback"
+    # the consumed WAL fragment is gone (no double-rollback exposure)
+    assert store.read_fragment("marks", _etag(cfg0, "marks"),
+                               st0.pass_id + 1) is None
+    st0.seen.teardown()
