@@ -588,7 +588,7 @@ def multi_engine(seeds_n: int, ncpu: int) -> None:
     t0 = time.monotonic()
     fetched_s = 0
     n_passes_s = 0
-    while True:
+    for _ in range(60):
         st = run_pass(storeS, cfgS, stS)
         fetched_s += st["fetched"]
         n_passes_s += 1
