@@ -334,9 +334,15 @@ def resume_run(root: str, cfg: CrawlConfig) -> tuple[TableStore, CrawlState]:
             for e in range(cfg.num_engines):
                 if e == cfg.engine_index:
                     continue
-                m_e = store.read_meta(f"meta-e{e}.json")
-                p_hi = (m_e["pass_id"] if m_e is not None else 0) + 1
-                for q in range(max(0, p_hi - _MARK_WAL_KEEP), p_hi + 1):
+                # scan EVERY retained fragment of this foreign engine,
+                # not just its last _MARK_WAL_KEEP passes: GC retention
+                # is pinned by the min commit frontier across engines
+                # (see _write_state_fragments), so after a long stall the
+                # protecting fragment can be far older than the foreign
+                # engine's own recent window — and an in-flight pass WAL
+                # (pass_id+1) is also in the listing.
+                for q in store.list_fragment_passes(
+                        "marks", f"marks-e{e}"):
                     fw = store.read_fragment("marks", f"marks-e{e}", q)
                     if fw is not None and len(fw):
                         foreign.append(
@@ -418,11 +424,27 @@ def _write_state_fragments(store: TableStore, cfg: CrawlConfig,
                       ("seen_shards", _etag(cfg, "seen")),
                       ("retry", _etag(cfg, "retry"))):
         store.gc_state_fragments(name, tag, p - 1)
-    # mark-WALs keep a _MARK_WAL_KEEP-pass window (not p-1): the resume
-    # rollback guard reads OTHER engines' recent committed WALs to
-    # protect legitimate foreign dup-marks (auto-salt interaction)
+    # mark-WALs keep a _MARK_WAL_KEEP-pass window BEHIND THE MINIMUM
+    # COMMIT FRONTIER ACROSS ALL ENGINES, not behind this engine's own
+    # pass: a crashed engine resumes arbitrarily later, and its torn-pass
+    # rollback must still find any foreign dup-mark WAL (auto-salt
+    # disagreement) that overlapped its torn pass. GC'ing at our own
+    # `p - KEEP` could erase that fragment once we outrun the crashed
+    # engine by >KEEP passes, so a stalled engine pins retention until it
+    # resumes. The 'temporal overlap' bound holds at ROLLBACK time only
+    # when anchored to the slowest engine.
+    if cfg.num_engines > 1:
+        frontier = p
+        for e in range(cfg.num_engines):
+            if e == cfg.engine_index:
+                continue
+            m_e = store.read_meta(f"meta-e{e}.json")
+            frontier = min(frontier,
+                           m_e["pass_id"] if m_e is not None else -1)
+    else:
+        frontier = p
     store.gc_state_fragments("marks", _etag(cfg, "marks"),
-                             p - _MARK_WAL_KEEP)
+                             frontier - _MARK_WAL_KEEP)
 
 
 def _purge_torn_pass(store: TableStore, cfg: CrawlConfig,

@@ -1836,26 +1836,49 @@ def embedding_exact_dup_census(sf_dir: str) -> pd.DataFrame:
     ``semantic_dedup``: vectors group by their raw float32 payload
     (md5 of the coordinate bytes here, list equality in the twin),
     and the census reports dup groups, vectors in them and the
-    biggest clone set. One hash-bucket exchange of (md5, 1) rows
-    with per-bucket census partials. Pure integers."""
+    biggest clone set. Per-block np.unique over the raw row bytes
+    collapses to distinct vectors FIRST (md5 once per distinct
+    vector), then one hash-bucket exchange of (digest-hi, digest-lo,
+    count) rows with per-bucket census partials. Pure integers."""
     import hashlib
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["embedding"])
 
     def derive(t: pa.Table) -> pa.Table:
+        empty = pa.table({"h1": pa.array([], type=pa.uint64()),
+                          "h2": pa.array([], type=pa.uint64()),
+                          "c": pa.array([], type=pa.int64()),
+                          "bucket": pa.array([], type=pa.int32())})
         arr = t.column("embedding").combine_chunks()
+        if len(arr) == 0:
+            return empty
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         dim = len(flat) // len(arr)
-        mat = flat.reshape(-1, dim)
-        hs = [hashlib.md5(row.tobytes()).hexdigest() for row in mat]
-        return pa.table({
-            "h": pa.array(hs, type=pa.string()),
-            "bucket": pa.array([int(x[:2], 16) % 64 for x in hs],
-                               type=pa.int32())})
+        mat = np.ascontiguousarray(flat.reshape(-1, dim))
+        # unique-FIRST: a void view over each row's raw bytes lets
+        # np.unique collapse the block to DISTINCT vectors before any
+        # hashing, so md5 runs once per distinct vector (not per row)
+        # and multiplicity rides as an integer count. The digest stays
+        # raw bytes → two uint64 halves (full 128 bits preserved), no
+        # hexdigest/int(hex) detour.
+        void = mat.view(np.dtype((np.void,
+                                  mat.dtype.itemsize * dim))).reshape(-1)
+        uniq, cnt = np.unique(void, return_counts=True)
+        md5 = hashlib.md5
+        dig = b"".join(md5(v.tobytes()).digest() for v in uniq)
+        dg = (np.frombuffer(dig, dtype=np.dtype(">u8"))
+              .astype(np.uint64).reshape(-1, 2))
+        # bucket = first digest byte % 64 (same routing as before)
+        bucket = ((dg[:, 0] >> np.uint64(56)).astype(np.int64)
+                  % 64).astype(np.int32)
+        return pa.table({"h1": pa.array(dg[:, 0]),
+                         "h2": pa.array(dg[:, 1]),
+                         "c": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(bucket)})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        c = g.groupby("h").size()
+        c = g.groupby(["h1", "h2"], sort=False)["c"].sum()
         dup = c[c >= 2]
         return pd.DataFrame([{
             "n_vecs": int(c.sum()),

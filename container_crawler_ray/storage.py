@@ -341,6 +341,21 @@ class TableStore:
         p = os.path.join(self.table_dir(name), f"{tag}_{pass_id:06d}.{self._ext}")
         return self._read_file(p) if os.path.exists(p) else None
 
+    def list_fragment_passes(self, name: str, tag: str) -> list[int]:
+        """Pass ids of every retained single-pass fragment for ``tag``,
+        ascending. Used by the torn-pass rollback guard to scan ALL of a
+        foreign engine's retained mark-WALs (retention is pinned by the
+        slowest engine's commit frontier, so a fragment can be older than
+        that engine's own ``pass_id - _MARK_WAL_KEEP``)."""
+        d = self.table_dir(name)
+        pat = re.compile(re.escape(tag) + r"_(\d{6})\." + self._ext + "$")
+        out = []
+        for f in glob.glob(os.path.join(d, f"{tag}_*.{self._ext}")):
+            m = pat.search(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
     def gc_state_fragments(self, name: str, tag: str, keep_from_pass: int) -> None:
         d = self.table_dir(name)
         pat = re.compile(re.escape(tag) + r"_(\d{6})\." + self._ext + "$")

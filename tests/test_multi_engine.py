@@ -533,3 +533,65 @@ def test_wal_rollback_protects_foreign_dup_marks(tmp_store):
     assert store.read_fragment("marks", _etag(cfg0, "marks"),
                                st0.pass_id + 1) is None
     st0.seen.teardown()
+
+
+def test_stalled_engine_pins_mark_wal_retention(tmp_store):
+    """Round-5 guard (ADVICE r4, medium): mark-WAL GC is anchored to the
+    MINIMUM commit frontier across all engines, not each engine's own
+    pass — a crashed engine can resume arbitrarily later, and the
+    foreign WAL fragment protecting its torn dup-mark must survive even
+    if the surviving engine commits many more than _MARK_WAL_KEEP
+    passes in the meantime. Under the old own-pass GC, engine 1's
+    pass-1 fragment would be deleted once engine 1 reached pass 6; the
+    resumed engine 0 would then erase engine 1's legitimate mark."""
+    import numpy as np
+    import pyarrow as pa
+
+    from container_crawler_ray.pipelines.crawl import (
+        _MARK_WAL_KEEP, _etag)
+    from container_crawler_ray.storage import TableStore
+
+    seeds = make_seed_urls(80, n_hosts=10)
+    cfg0 = CrawlConfig(**BASE, num_engines=2, engine_index=0)
+    cfg1 = CrawlConfig(**BASE, num_engines=2, engine_index=1)
+    init_run(tmp_store, cfg0, seeds)
+    s0, st0 = resume_run(tmp_store, cfg0)
+    s1, st1 = resume_run(tmp_store, cfg1)
+    run_pass(s0, cfg0, st0)        # both engines commit pass 1
+    run_pass(s1, cfg1, st1)
+
+    h_dup = np.uint64(0xFEEDFACE00000001)   # marked by BOTH engines
+    h_own = np.uint64(0xFEEDFACE00000002)   # engine 0's torn mark only
+    st0.seen.contains_add(np.array([h_dup, h_own], dtype=np.uint64))
+
+    store = TableStore(tmp_store)
+    # engine 0's TORN WAL (uncommitted pass 2): both hashes
+    store.append_fragment(
+        "marks", pa.table({"url_hash": pa.array(
+            np.array([h_dup, h_own], dtype=np.uint64))}),
+        st0.pass_id + 1, tag=_etag(cfg0, "marks"))
+    # engine 1's COMMITTED WAL for its pass 1: the dup hash
+    wal_pass = st1.pass_id
+    store.append_fragment(
+        "marks", pa.table({"url_hash": pa.array(
+            np.array([h_dup], dtype=np.uint64))}),
+        wal_pass, tag=_etag(cfg1, "marks"))
+
+    # engine 0 stalls; engine 1 commits KEEP+2 more passes (each pass
+    # runs the mark-WAL GC in _write_state_fragments)
+    for _ in range(_MARK_WAL_KEEP + 2):
+        run_pass(s1, cfg1, st1)
+    assert st1.pass_id - wal_pass > _MARK_WAL_KEEP, \
+        "engine 1 must outrun the per-engine retention window"
+    assert wal_pass in store.list_fragment_passes(
+        "marks", _etag(cfg1, "marks")), \
+        "stalled engine 0 must pin engine 1's pass-1 WAL fragment"
+
+    # engine 0 finally resumes: rollback still protects h_dup
+    del s0, st0
+    s0, st0 = resume_run(tmp_store, cfg0)
+    got = st0.seen.contains(np.array([h_dup, h_own], dtype=np.uint64))
+    assert bool(got[0]), \
+        "late resume erased a foreign dup mark (retention window GC'd)"
+    assert not bool(got[1]), "engine 0's own torn mark must roll back"
+    st0.seen.teardown()
