@@ -137,6 +137,17 @@ _CC_LOCAL_MAX = 100_000
 _PAIR_DRIVER_CAP = 2_000_000
 _PAIR_CHUNK = 500_000
 
+# Driver-resident label-map budget for the minhash join-back. Below the
+# cap the (dup-doc → group) map broadcasts once via ray.put and each
+# block joins against it in map_batches — bounded by the dup-doc count,
+# the deduped-corpus common case. Past it — a MOSTLY-duplicates corpus
+# (the CommonCrawl worst case near-dedup exists FOR), where nearly every
+# doc is in some dup group — the labels STAY a Dataset and the join-back
+# runs as one bucketed exchange (doc rows ∪ label rows co-located by
+# id % 256), so the driver never holds the map. A warning logs when the
+# cap engages.
+_LABEL_DRIVER_CAP = 2_000_000
+
 _LOG = __import__("logging").getLogger("container_crawler_ray.dedup")
 
 
@@ -167,7 +178,9 @@ def _local_components(edges: pd.DataFrame) -> pd.DataFrame:
 
 
 def _propagate_components(edges: "pd.DataFrame | ray.data.Dataset",
-                          max_rounds: int = 8) -> pd.DataFrame:
+                          max_rounds: int = 8,
+                          as_dataset: bool = False
+                          ) -> "pd.DataFrame | ray.data.Dataset":
     """Distributed connected components by iterative min-label propagation
     (the 100 TB path — no driver union-find). Each round is two
     ONE hash-bucketed exchange per round: a node's label row, its
@@ -195,7 +208,10 @@ def _propagate_components(edges: "pd.DataFrame | ray.data.Dataset",
     back."""
     if isinstance(edges, pd.DataFrame):
         if len(edges) <= _CC_LOCAL_MAX:
-            return _local_components(edges)
+            loc = _local_components(edges)
+            return (ray.data.from_arrow(
+                pa.Table.from_pandas(loc, preserve_index=False))
+                if as_dataset else loc)
         both = pd.DataFrame({
             "src": np.concatenate([edges["a"].to_numpy(),
                                    edges["b"].to_numpy()]),
@@ -314,6 +330,16 @@ def _propagate_components(edges: "pd.DataFrame | ray.data.Dataset",
         _LOG.warning(
             "_propagate_components: labels still changing after %d "
             "rounds — emitted components may be split", hard_cap)
+    if as_dataset:
+        # labels stay in the object store: the caller consumes them as
+        # a Dataset (mostly-duplicates join-back path) and the driver
+        # never holds the (node, label) map
+        def keep_labels(t: pa.Table) -> pa.Table:
+            f = t.filter(pa.compute.equal(t.column("kind"), 0))
+            return pa.table({"node": f.column("node").cast(pa.int64()),
+                             "label": f.column("label").cast(pa.int64())})
+        return state.map_batches(keep_labels,
+                                 batch_format="pyarrow").materialize()
     out = state.to_pandas()
     out = out[out["kind"] == 0]
     return pd.DataFrame({"node": out["node"].astype(np.int64).to_numpy(),
@@ -322,7 +348,8 @@ def _propagate_components(edges: "pd.DataFrame | ray.data.Dataset",
 
 def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
                        max_rounds: int = 8,
-                       pair_driver_cap: int = _PAIR_DRIVER_CAP
+                       pair_driver_cap: int = _PAIR_DRIVER_CAP,
+                       label_driver_cap: int = _LABEL_DRIVER_CAP
                        ) -> pd.DataFrame:
     """Near-dup groups: (doc_id, group_id) where group_id = min doc_id of
     the connected component over verified candidate pairs.
@@ -344,7 +371,10 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
     4. connected components by distributed min-label propagation
        (``_propagate_components``) — no driver union-find;
     5. group ids join back to ALL docs via a broadcast (dup-docs-only)
-       label map, default group_id = doc_id.
+       label map, default group_id = doc_id — or, past
+       ``label_driver_cap`` dup docs (mostly-duplicates corpora), via
+       a bucketed dataset exchange with the labels never landing on
+       the driver.
     """
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text"])
@@ -470,6 +500,55 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
                .reset_index(drop=True))
         return out.astype({"doc_id": "int64", "group_id": "int64"})
 
+    def label_join_back_ds(comp_ds: "ray.data.Dataset") -> pd.DataFrame:
+        """Mostly-duplicates path: the label map exceeds the driver cap,
+        so it NEVER lands on the driver or in one broadcast object —
+        doc-id rows and label rows co-locate in bucket ``id % 256`` via
+        one exchange, and each bucket assigns group ids with a local
+        searchsorted. Only the final (doc_id, group_id) output frame
+        (the query's contract) comes back."""
+        def doc_rows(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy().astype(np.int64)
+            return pa.table({
+                "id": pa.array(ids),
+                "lbl": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "kind": pa.array(np.zeros(len(ids), dtype=np.int8)),
+                "jbucket": pa.array((ids % 256).astype(np.int32))})
+
+        def lbl_rows(t: pa.Table) -> pa.Table:
+            n = t.column("node").to_numpy().astype(np.int64)
+            v = t.column("label").to_numpy().astype(np.int64)
+            return pa.table({
+                "id": pa.array(n),
+                "lbl": pa.array(v),
+                "kind": pa.array(np.ones(len(n), dtype=np.int8)),
+                "jbucket": pa.array((n % 256).astype(np.int32))})
+
+        def assign(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[g["kind"] == 0]
+            lb = g[g["kind"] == 1]
+            ids = d["id"].to_numpy(np.int64)
+            group = ids.copy()
+            if len(lb) and len(ids):
+                ln = lb["id"].to_numpy(np.int64)
+                lv = lb["lbl"].to_numpy(np.int64)
+                o = np.argsort(ln)
+                ln, lv = ln[o], lv[o]
+                pos = np.clip(np.searchsorted(ln, ids), 0, len(ln) - 1)
+                hit = ln[pos] == ids
+                group[hit] = lv[pos[hit]]
+            return pd.DataFrame({"doc_id": ids, "group_id": group})
+
+        out = (docs.select_columns(["doc_id"])
+               .map_batches(doc_rows, batch_format="pyarrow")
+               .union(comp_ds.map_batches(lbl_rows,
+                                          batch_format="pyarrow"))
+               .groupby("jbucket")
+               .map_groups(assign, batch_format="pandas")
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        return out.astype({"doc_id": "int64", "group_id": "int64"})
+
     if not len(cand_ids):
         return label_join_back(np.array([], dtype=np.int64),
                                np.array([], dtype=np.int64))
@@ -572,7 +651,19 @@ def minhash_lsh_groups(sf_dir: str, k: int = 3, jaccard_tau: float = 0.5,
         return label_join_back(np.array([], dtype=np.int64),
                                np.array([], dtype=np.int64))
 
-    # --- distributed components + broadcast label join back -------------
+    # --- distributed components + label join back -----------------------
+    # the label map is bounded by the dup-doc count <= |cand_ids|; past
+    # the driver cap (mostly-duplicates corpus) labels stay a Dataset
+    # end-to-end and join back through the bucketed exchange
+    spill_labels = len(cand_ids) > label_driver_cap
+    if spill_labels:
+        _LOG.warning(
+            "minhash_lsh_groups: %d candidate dup docs exceed the label "
+            "driver cap (%d) — engaging the dataset join-back path",
+            len(cand_ids), label_driver_cap)
+        comp_ds = _propagate_components(verified, max_rounds=max_rounds,
+                                        as_dataset=True)
+        return label_join_back_ds(comp_ds)
     comp = _propagate_components(verified, max_rounds=max_rounds)
     return label_join_back(comp["node"].to_numpy(np.int64),
                            comp["label"].to_numpy(np.int64))

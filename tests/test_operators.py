@@ -371,6 +371,45 @@ def test_minhash_spill_path_matches_local(tmp_path):
     assert g[41] == g[40], "planted exact dup groups under spill path"
 
 
+def test_minhash_label_spill_matches_broadcast(tmp_path):
+    """Mostly-duplicates worst case (round-5 hardening): when nearly
+    every doc is in some dup group, the (dup-doc → group) label map is
+    corpus-sized and must not broadcast through one ray.put. With
+    ``label_driver_cap`` forced below the dup-doc count, the dataset
+    join-back path (bucketed doc∪label exchange, labels never on the
+    driver) must produce EXACTLY the broadcast path's output. Corpus:
+    60 docs, 54 of them (90%) exact copies of three templates."""
+    templates = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "how vexingly quick daft zebras jump over the fence tonight"]
+    texts = [templates[i % 3] for i in range(54)] + [
+        f"unique document number {i} with its own words entirely "
+        f"alpha{i} beta{i} gamma{i}" for i in range(6)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "documents.parquet"))
+    from container_crawler_ray.pipelines.dedup import minhash_lsh_groups
+    local = minhash_lsh_groups(str(d), jaccard_tau=0.5)
+    spill = minhash_lsh_groups(str(d), jaccard_tau=0.5,
+                               label_driver_cap=10)
+    pd.testing.assert_frame_equal(local, spill)
+    # both caps engaged at once: pair stream AND labels stay Datasets
+    # (verified edges reach _propagate_components as a Dataset, labels
+    # come back as a Dataset) — still bit-identical
+    both = minhash_lsh_groups(str(d), jaccard_tau=0.5,
+                              pair_driver_cap=10, label_driver_cap=10)
+    pd.testing.assert_frame_equal(local, both)
+    n_dup = int((spill["group_id"] != spill["doc_id"]).sum()) + \
+        spill.loc[spill["group_id"] != spill["doc_id"],
+                  "group_id"].nunique()
+    assert n_dup >= 0.9 * len(spill), \
+        "corpus must actually be mostly duplicates for this test"
+
+
 def test_top_token_drift_sketch_matches_exact():
     """The MG-sketch variant must be OUTPUT-IDENTICAL to the exact op —
     that is its stated guarantee (candidate pruning with the N/(m+1)
