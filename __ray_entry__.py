@@ -799,6 +799,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,  # golden oracle
         "dup_ngram_spans": dedup.dup_ngram_spans,
         "top_tokens": analytics.top_tokens,
+        "top_tokens_sketch": analytics.top_tokens_sketch,
         "token_freq_cms": analytics.token_freq_cms,       # golden oracle
         "embedding_dup_pairs": dedup.embedding_dup_pairs,
         "embedding_dup_groups": dedup.embedding_dup_groups,  # golden oracle
@@ -1120,6 +1121,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY w.doc_id
         """,
         "top_tokens": r"""
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+                  FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+        """,
+        # output-identical MG-sketch variant — shares the exact twin
+        "top_tokens_sketch": r"""
             SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
             FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
                   FROM documents)

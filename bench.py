@@ -529,6 +529,156 @@ def pressure(seeds_n: int, ncpu: int, max_passes: int = 40) -> None:
     ray.shutdown()
 
 
+def salt_drain(seeds_n: int, ncpu: int, max_passes: int = 160) -> None:
+    """Skew-aware hot-host repartitioning at bench scale (the round-5
+    mandate — the one north_star clause without at-scale evidence).
+
+    The pressure world's Zipf head ``h0000.example`` is the designed
+    hot+permissive host (10 ms crawl delay → politeness budget
+    pass_time_ms/10 = 360k URLs/pass): its drain is bound by PARTITION
+    PLACEMENT, not politeness — unsalted, its ~18% of the seed list
+    pins one partition and drains at <= items_chunk (20k) rows/pass.
+    Salting spreads its rows across all partitions by url_hash, so its
+    scan capacity rises ~num_partitions× while the per-host token
+    bucket still enforces the (non-binding) 360k budget.
+
+    Two FULL drains of the identical seed list:
+      A) nosalt  — the round-4 pressure config as-is;
+      B) salted  — ``salted_hosts=("h0000.example",)`` at init (the
+         explicit skew-aware repartitioning of the known head) plus
+         auto-salt detection ACTIVE (share 60 permille) — expected to
+         stay empty here because this closed world's out-links hash
+         uniformly across hosts (no emergent head can arise), which
+         doubles as a no-false-positive check at scale.
+
+    Checks: (1) identical doc corpus; (2) politeness caps respected by
+    EVERY host in BOTH arms (per-host per-pass docs <=
+    floor(capacity_factor × pass_time_ms/delay) — salting must never
+    raise a host's fetch rate past its crawl-delay budget); (3) the
+    hot host drains in materially fewer passes salted. Prints ONE
+    JSON line."""
+    import collections
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from container_crawler_ray.config import CrawlConfig
+    from container_crawler_ray.pipelines.crawl import init_run, run_pass
+    from container_crawler_ray.sources.synth import (
+        make_seed_urls, robots_lookup)
+
+    base = dict(
+        num_partitions=32, items_chunk=20_000, workers=ncpu,
+        seen_shards=8, n_hosts=200, n_paths=3000,
+        pass_time_ms=3_600_000, parse_cost_bytes=8 << 20, fail_mod=97,
+        fetch_batch_size=256, fetch_mode="tasks",
+    )
+    hot = "h0000.example"
+    seeds = make_seed_urls(seeds_n, n_hosts=base["n_hosts"])
+    ray.data.range(10_000).map_batches(lambda b: b).materialize()
+    robots = robots_lookup(base["n_hosts"])
+
+    def host_pass_counts(root: str) -> dict[str, dict[int, int]]:
+        out: dict[str, dict[int, int]] = collections.defaultdict(
+            lambda: collections.defaultdict(int))
+        for f in sorted(_glob.glob(
+                f"{root}/tables/documents/*/*.parquet")):
+            t = pq.read_table(f, columns=["host", "pass_id"])
+            hs = t.column("host").to_pylist()
+            ps = t.column("pass_id").to_pylist()
+            for h, p in zip(hs, ps):
+                out[h][int(p)] += 1
+        return out
+
+    def politeness_violations(hp: dict) -> list:
+        bad = []
+        for h, per_pass in hp.items():
+            rb = robots.get(h)
+            delay = rb["crawl_delay_ms"] if rb else 1000
+            cap = int(max(1.0, 2.0 * base["pass_time_ms"]
+                          / max(1.0, float(delay))))
+            mx = max(per_pass.values())
+            if mx > cap:
+                bad.append({"host": h, "max_per_pass": mx, "cap": cap})
+        return bad
+
+    def run_arm(name: str, extra_cfg: dict) -> dict:
+        root = f"/tmp/ccrawl-salt-{name}-{os.getpid()}"
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = CrawlConfig(**base, **extra_cfg)
+        store, state = init_run(root, cfg, seeds)
+        passes = []
+        t0 = time.monotonic()
+        try:
+            for _ in range(max_passes):
+                tp = time.monotonic()
+                st = run_pass(store, cfg, state)
+                passes.append({
+                    "pass": state.pass_id,
+                    "sec": round(time.monotonic() - tp, 2),
+                    "scheduled": st["scheduled"],
+                    "fetched": st["fetched"],
+                    "retry_size": st["retry_size"]})
+                if st["done"] and st["retry_size"] == 0:
+                    break
+        finally:
+            sec = time.monotonic() - t0
+            state.seen.teardown()
+        sig = _doc_corpus_sig(root)
+        hp = host_pass_counts(root)
+        hot_pp = dict(sorted(hp.get(hot, {}).items()))
+        viol = politeness_violations(hp)
+        shutil.rmtree(root, ignore_errors=True)
+        total = sum(p["fetched"] for p in passes)
+        return {
+            "sec": round(sec, 2), "n_passes": len(passes),
+            "total_fetched": total,
+            "urls_per_sec": round(total / sec, 1),
+            "corpus": sig,
+            "auto_salted": sorted(state.salted_hosts),
+            "hot_host": {
+                "total_docs": sum(hot_pp.values()),
+                "passes_active": len(hot_pp),
+                "max_per_pass": max(hot_pp.values()) if hot_pp else 0,
+                "last_pass": max(hot_pp) if hot_pp else -1,
+                "docs_by_pass": hot_pp},
+            "politeness_violations": viol,
+            "passes": passes}
+
+    arm_a = run_arm("nosalt", dict(auto_salt_share_milli=0))
+    arm_b = run_arm("salted", dict(salted_hosts=(hot,),
+                                   auto_salt_share_milli=60,
+                                   auto_salt_min_rows=256))
+    corpus_equal = (arm_a["corpus"]["hash"] == arm_b["corpus"]["hash"]
+                    and arm_a["corpus"]["n_docs"]
+                    == arm_b["corpus"]["n_docs"])
+    speedup = (arm_a["hot_host"]["passes_active"]
+               / max(arm_b["hot_host"]["passes_active"], 1))
+    print(json.dumps({
+        "metric": "salt_drain",
+        "seeds": seeds_n, "num_cpus": ncpu, "hot_host": hot,
+        "arms": {"nosalt": arm_a, "salted": arm_b},
+        "corpus_equal": corpus_equal,
+        "no_dup_docs": (
+            arm_b["corpus"]["n_docs"] == arm_b["corpus"]["n_distinct"]),
+        "hot_drain_pass_speedup": round(speedup, 2),
+        "auto_salt_false_positives": arm_b["auto_salted"] != [hot],
+        "criterion": "identical corpus + zero politeness violations in "
+                     "both arms + hot host drains in >=2x fewer passes "
+                     "salted",
+        "pass": (corpus_equal and speedup >= 2.0
+                 and not arm_a["politeness_violations"]
+                 and not arm_b["politeness_violations"]),
+    }))
+    ray.shutdown()
+
+
 def _doc_corpus_sig(root: str) -> dict:
     """Committed-document corpus signature: count, distinct doc_ids and
     an order-insensitive hash of the sorted id list."""
@@ -811,6 +961,9 @@ if __name__ == "__main__":
         pressure(SEEDS if "--seeds" in sys.argv else 2_000_000, NUM_CPUS)
     elif "--multi-engine" in sys.argv:
         multi_engine(SEEDS, NUM_CPUS)
+    elif "--salt-drain" in sys.argv:
+        salt_drain(SEEDS if "--seeds" in sys.argv else 2_000_000,
+                   NUM_CPUS)
     elif "--scaling" in sys.argv:
         scaling()
     elif os.environ.get("GRAFT_HEADLINE_ONLY"):

@@ -90,15 +90,22 @@ def make_rowid_assigner(base_rowids: dict[int, int], pass_id: int):
         base = base_rowids.get(pid, 0)
         kind = t.column("order_kind").to_numpy()
         if (kind == 1).any():
-            df = t.to_pandas()
-            links = df[df["order_kind"] == 1]
-            links = links.sort_values(["canonical_url", "depth"],
-                                      kind="mergesort")
-            links = links.drop_duplicates("canonical_url", keep="first")
-            import pandas as pd
-            df = pd.concat([df[df["order_kind"] == 0], links])
-            t = pa.Table.from_pandas(df, preserve_index=False,
-                                     schema=t.schema)
+            # exact link dedup without a pandas round-trip: stable
+            # lexsort by (canonical_url, depth) picks the same
+            # min-depth / earliest-row winner the old
+            # sort_values(mergesort)+drop_duplicates pair did, as a
+            # pure index selection on the Arrow block
+            links_i = np.flatnonzero(kind == 1)
+            cu = np.asarray(t.column("canonical_url").to_numpy(
+                zero_copy_only=False))[links_i]
+            dp = t.column("depth").to_numpy()[links_i]
+            o = np.lexsort((dp, cu))
+            cs = cu[o]
+            first = np.ones(len(cs), dtype=bool)
+            first[1:] = cs[1:] != cs[:-1]
+            keep = np.sort(np.concatenate(
+                [np.flatnonzero(kind == 0), links_i[o[first]]]))
+            t = t.take(pa.array(keep))
         order = pc.sort_indices(
             t,
             sort_keys=[("order_kind", "ascending"), ("order_a", "ascending"),

@@ -473,6 +473,21 @@ def test_top_token_drift_sketch_empty_string_token(tmp_path):
     pd.testing.assert_frame_equal(exact, sk)
 
 
+def test_top_tokens_sketch_matches_exact():
+    """top_tokens_sketch must be OUTPUT-IDENTICAL to top_tokens (its
+    stated guarantee — certified MG admission + exact recount, not an
+    approximation), at the default capacity AND a stress capacity far
+    below the corpus vocabulary; and it must take the exact-fallback
+    path (still identical) when the capacity is so small the head is
+    uncertifiable (s_k <= eps)."""
+    from container_crawler_ray.pipelines.analytics import (
+        top_tokens, top_tokens_sketch)
+    exact = top_tokens(SF)
+    for m in (10_000, 100, 3):      # m=3: s_k <= eps → exact fallback
+        sk = top_tokens_sketch(SF, mg_capacity=m)
+        pd.testing.assert_frame_equal(exact, sk)
+
+
 def test_mg_summary_error_bound():
     """Per-block Misra-Gries summaries summed across blocks undercount
     any token by at most eps = N/(m+1) and never overcount — the bound
