@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "order_priority_revenue", "user_sessions", "events_percentiles",
     "media_features", "media_frames",
     "purchase_click_asof", "quiet_customers", "q3_shipping",
-    "events_value_bands", "top_tokens", "simhash_dup_pairs",
+    "events_value_bands", "top_tokens", "top_tokens_sketch",
+    "simhash_dup_pairs",
     "user_value_rolling", "users_per_event_type", "docs_hash_sample",
     "embedding_dup_groups", "media_resized", "pack_sequences",
     "users_per_event_type_hll", "user_event_pivot", "dup_ngram_spans",
