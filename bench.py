@@ -716,7 +716,8 @@ def _doc_corpus_sig(root: str) -> dict:
                 ("\n".join(flat)).encode()).hexdigest()[:16]}
 
 
-def multi_engine(seeds_n: int, ncpu: int, n_engines: int = 2) -> None:
+def multi_engine(seeds_n: int, ncpu: int, n_engines: int = 2,
+                 salted: bool = False) -> None:
     """Bench-scale shared-nothing multi-engine run (round-4 mandate):
     the headline world crawled to exhaustion by ``n_engines`` engines
     running CONCURRENTLY on driver threads over one store + one shared
@@ -746,6 +747,14 @@ def multi_engine(seeds_n: int, ncpu: int, n_engines: int = 2) -> None:
         parse_cost_bytes=8 << 20, fail_mod=97, fetch_batch_size=256,
         fetch_mode="tasks",
     )
+    if salted:
+        # skew-aware repartitioning of the known Zipf head, applied to
+        # BOTH arms (fair ratio). Without it the hot host pins ONE
+        # partition owned by ONE engine, which serializes the
+        # multi-engine drain behind that engine's items_chunk window —
+        # the 2M unsalted run (multi_engine_2M_nosalt_r5.json) measures
+        # that failure mode at ratio 0.676; salting is the engine's fix.
+        base["salted_hosts"] = ("h0000.example",)
     seeds = make_seed_urls(seeds_n, n_hosts=base["n_hosts"])
     ray.data.range(10_000).map_batches(lambda b: b).materialize()
 
@@ -810,11 +819,21 @@ def multi_engine(seeds_n: int, ncpu: int, n_engines: int = 2) -> None:
     rounds_by = [0] * E
 
     def engine_loop(e: int) -> None:
-        for _ in range(120):
+        # cap far above any real drain (the 2M unsalted run showed an
+        # idle engine can spin 70+ empty passes waiting for a skewed
+        # peer — the cap must never bind before global convergence)
+        for _ in range(400):
             r = run_pass(eng[e][0], cfg[e], eng[e][1])
             rounds_by[e] += 1
-            idle_cnt[e] = (idle_cnt[e] + 1
-                           if r["done"] and r["retry_size"] == 0 else 0)
+            if r["done"] and r["retry_size"] == 0:
+                idle_cnt[e] += 1
+                # reference poll_interval analog: an idle daemon sleeps
+                # between scan cycles instead of hammering the store
+                # with empty-pass checkpoint/snapshot I/O that contends
+                # with the still-draining peer
+                time.sleep(1.0)
+            else:
+                idle_cnt[e] = 0
             if all(c >= 2 for c in idle_cnt):
                 return
 
@@ -839,6 +858,7 @@ def multi_engine(seeds_n: int, ncpu: int, n_engines: int = 2) -> None:
     print(json.dumps({
         "metric": "multi_engine_vs_single",
         "seeds": seeds_n, "num_cpus": ncpu, "n_engines": E,
+        "salted": salted,
         "single": {"sec": round(sec_s, 2), "passes": n_passes_s,
                    "docs": sig_s["n_docs"],
                    "docs_per_sec": round(ups_s, 1)},
@@ -983,7 +1003,8 @@ if __name__ == "__main__":
     elif "--multi-engine" in sys.argv:
         n_eng = (int(sys.argv[sys.argv.index("--engines") + 1])
                  if "--engines" in sys.argv else 2)
-        multi_engine(SEEDS, NUM_CPUS, n_engines=n_eng)
+        multi_engine(SEEDS, NUM_CPUS, n_engines=n_eng,
+                     salted="--salted" in sys.argv)
     elif "--salt-drain" in sys.argv:
         salt_drain(SEEDS if "--seeds" in sys.argv else 2_000_000,
                    NUM_CPUS)
